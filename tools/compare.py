@@ -1,0 +1,57 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's t2 gate: run each oracle SQL in DuckDB
+over the sf parquet tables, load the Spark result parquet from Verify's
+outDir, sort columns by name + rows by value, and diff."""
+import json, sys, math
+import duckdb
+
+sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+
+def canon(df):
+    cols = sorted(df.columns)
+    rows = []
+    for r in df[cols].itertuples(index=False):
+        row = []
+        for v in r:
+            if isinstance(v, float):
+                row.append(round(v, 6) if not math.isnan(v) else "NaN")
+            else:
+                row.append(str(v))
+        rows.append(tuple(row))
+    return cols, sorted(rows)
+
+fails = 0
+for name, sql in sorted(oracle.items()):
+    try:
+        want = con.execute(sql).df()
+        got = duckdb.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'").df()
+    except Exception as e:
+        print(f"FAIL {name}: {e}")
+        fails += 1
+        continue
+    wc, wr = canon(want)
+    gc, gr = canon(got)
+    if wc != gc:
+        print(f"FAIL {name}: columns want={wc} got={gc}")
+        fails += 1
+    elif wr != gr:
+        diff = [(a, b) for a, b in zip(wr, gr) if a != b][:3]
+        extra = f" rowcount want={len(wr)} got={len(gr)}" if len(wr) != len(gr) else ""
+        print(f"FAIL {name}: rows differ{extra}; first diffs: {diff}")
+        fails += 1
+    else:
+        # dtype check (driver also schema-checks)
+        wd, gd = want.dtypes.sort_index(), got.dtypes.sort_index()
+        if list(wd) != list(gd):
+            print(f"WARN {name}: dtypes differ want={dict(wd)} got={dict(gd)} (values match)")
+        print(f"ok   {name} ({len(wr)} rows)")
+print(f"\n{len(oracle)-fails}/{len(oracle)} pass")
+sys.exit(1 if fails else 0)
