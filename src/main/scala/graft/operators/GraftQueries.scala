@@ -1,0 +1,83 @@
+package graft.operators
+
+import graft.{QDef, Tables => T}
+import graft.sources.GraftTable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Queries that exercise the GraftTable format end-to-end (write → commit
+  * → snapshot-resolved merge-on-read), checked against DuckDB oracles
+  * phrased over the ORIGINAL parquet tables — proving the round-trip
+  * through the table format is lossless and the MOR/time-travel/pruning
+  * semantics are exactly the declared ones (SURVEY §2.1 S4, S6, S7).
+  */
+object GraftQueries {
+
+  private def tmpRoot(prefix: String): String = {
+    val d = new java.io.File(
+      s"target/graft-tmp/$prefix-${java.util.UUID.randomUUID().toString.take(8)}")
+    d.getParentFile.mkdirs()
+    d.getAbsolutePath
+  }
+
+  /** events through a PK table: two upsert commits (even/odd event_id),
+    * merge-on-read by sequence.field (ts,event_id) ⇒ latest event per
+    * user — the same answer as the window oracle over raw events. */
+  private def graftMor(s: SparkSession, d: String): DataFrame = {
+    val ev = T.events(s, d).select("user_id", "event_id", "event_type", "value", "ts")
+    val t = GraftTable.create(s, tmpRoot("mor"), ev.schema,
+      primaryKeys = Seq("user_id"),
+      options = Map("sequence.field" -> "ts,event_id"))
+    t.upsert(ev.filter(col("event_id") % 2 === 0))
+    t.upsert(ev.filter(col("event_id") % 2 === 1))
+    t.read()
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        round(col("value"), 2).as("value"))
+      .orderBy("user_id")
+  }
+
+  /** orders through a partitioned table, two commits; time travel to the
+    * first commit ⇒ exactly the first batch (ref scan_version semantics,
+    * TestPrestoITCase.testFilterWithTimeTravel). */
+  private def graftTimeTravel(s: SparkSession, d: String): DataFrame = {
+    val o = T.orders(s, d).select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    val t = GraftTable.create(s, tmpRoot("tt"), o.schema, partitionKeys = Seq("o_orderstatus"))
+    val s1 = t.append(o.filter(col("o_orderkey") % 3 === 0))
+    t.append(o.filter(col("o_orderkey") % 3 =!= 0))
+    t.read(snapshotId = Some(s1))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("s"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** partitioned table + manifest pruning: only the matching partition's
+    * files are scanned (ref partition_prune_enabled,
+    * TestPrestoITCase.testPartitionPushDown1-5). */
+  private def graftPartitionPrune(s: SparkSession, d: String): DataFrame = {
+    val o = T.orders(s, d).select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
+    val t = GraftTable.create(s, tmpRoot("prune"), o.schema, partitionKeys = Seq("o_orderstatus"))
+    t.append(o)
+    t.read(partitionFilter = Some(col("o_orderstatus") === "O"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("s"))
+      .orderBy("o_orderpriority")
+  }
+
+  val defs: Seq[QDef] = Seq(
+    QDef("q_graft_mor", graftMor,
+      Some("""SELECT user_id, event_id, event_type, round(value,2) AS value
+             |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+             |        ORDER BY ts DESC, event_id DESC) AS rn
+             |      FROM events) t
+             |WHERE rn = 1
+             |ORDER BY user_id""".stripMargin)),
+    QDef("q_graft_timetravel", graftTimeTravel,
+      Some("""SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice),2) AS s
+             |FROM orders WHERE o_orderkey % 3 = 0
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+    QDef("q_graft_partition_prune", graftPartitionPrune,
+      Some("""SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice),2) AS s
+             |FROM orders WHERE o_orderstatus = 'O'
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+  )
+}

@@ -1,0 +1,480 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.module.scala.DefaultScalaModule
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import java.nio.charset.StandardCharsets
+import java.util.UUID
+import scala.collection.mutable
+
+/** Metadata of one data file, recorded in the snapshot manifest. */
+final case class FileMeta(
+    path: String, // relative to table root
+    partition: Map[String, String],
+    sizeBytes: Long,
+    bucket: Int)
+
+/** One committed snapshot = the full live file set at that version.
+  * (Production note: at 100 TB the file list would be a manifest-list of
+  * delta manifests like Paimon/Iceberg; a full list per commit is O(files)
+  * metadata per commit, acceptable here and orthogonal to the query path.)
+  */
+final case class SnapshotMeta(
+    id: Long,
+    commitUser: String,
+    commitIdentifier: Long,
+    commitKind: String, // APPEND | OVERWRITE | COMPACT
+    schemaId: Long,
+    timestampMs: Long,
+    files: Seq[FileMeta])
+
+final case class SchemaMeta(
+    id: Long,
+    fieldsJson: String, // Spark StructType.json of DATA columns (incl. partition cols)
+    partitionKeys: Seq[String],
+    primaryKeys: Seq[String],
+    options: Map[String, String])
+
+/** Spark-native lakehouse table: snapshot-versioned parquet with
+  * manifest-level partition pruning, primary-key merge-on-read, time
+  * travel, and system tables.
+  *
+  * Re-expresses the table-format half of apache/paimon-presto (ref:
+  * paimon-presto-common/src/main/java/org/apache/paimon/presto/
+  * PrestoTableHandle.java, PrestoSplitManager.java,
+  * PrestoSessionProperties.java:39 `scan_version`) Spark-first: the scan
+  * is a plain vectorized parquet read of the pruned live-file list, so
+  * Catalyst keeps predicate pushdown / column pruning / whole-stage
+  * codegen; merge-on-read is a declarative window dedup, not a row-merge
+  * loop like the reference's PrestoPageSourceBase.
+  *
+  * Layout under `root`:
+  *   schema/schema-<id>.json   table schema + keys + options
+  *   snapshot/snap-<id>.json   full live file list at version <id>
+  *   data/<k=v dirs>/<snap>-<bucket>-<uuid>.parquet
+  *
+  * PK tables carry hidden columns `__seq` (commit sequence = snapshot id)
+  * and `__kind` ("I" insert / "D" delete). Merge order: the
+  * `sequence.field` option (comma-separated columns, Paimon-style) wins,
+  * then `__seq` (commit order).
+  */
+class GraftTable private (
+    val spark: SparkSession,
+    val root: String,
+    private var schemaMeta: SchemaMeta) {
+
+  import GraftTable._
+
+  private val fs: FileSystem = fileSystem(spark, root)
+
+  def schema: StructType =
+    DataType.fromJson(schemaMeta.fieldsJson).asInstanceOf[StructType]
+  def partitionKeys: Seq[String] = schemaMeta.partitionKeys
+  def primaryKeys: Seq[String] = schemaMeta.primaryKeys
+  def options: Map[String, String] = schemaMeta.options
+  private def numBuckets: Int = options.getOrElse("bucket", "1").toInt
+  private def bucketKeys: Seq[String] = {
+    val bk = options.getOrElse("bucket-key", primaryKeys.mkString(","))
+    if (bk.isEmpty) Seq.empty else bk.split(",").map(_.trim).toSeq
+  }
+  private def sequenceFields: Seq[String] =
+    options.get("sequence.field").map(_.split(",").map(_.trim).toSeq).getOrElse(Seq.empty)
+  private def isPkTable: Boolean = primaryKeys.nonEmpty
+
+  /** Full on-disk schema of data files (data cols minus partition cols,
+    * plus hidden cols for PK tables). */
+  private def fileSchema: StructType = {
+    val dataCols = schema.fields.filterNot(f => partitionKeys.contains(f.name))
+    val hidden =
+      if (isPkTable) Seq(StructField(SeqCol, LongType), StructField(KindCol, StringType))
+      else Seq.empty
+    StructType(dataCols ++ hidden ++ schema.fields.filter(f => partitionKeys.contains(f.name)))
+  }
+
+  // ---- snapshot log ---------------------------------------------------
+
+  def snapshots: Seq[SnapshotMeta] = {
+    val dir = new Path(root, "snapshot")
+    if (!fs.exists(dir)) return Seq.empty
+    fs.listStatus(dir).toSeq
+      .map(_.getPath.getName)
+      .collect { case SnapRe(id) => id.toLong }
+      .sorted
+      .map(readSnapshot)
+  }
+
+  def latestSnapshotId: Option[Long] = {
+    val dir = new Path(root, "snapshot")
+    if (!fs.exists(dir)) return None
+    val ids = fs.listStatus(dir).toSeq.map(_.getPath.getName).collect { case SnapRe(id) => id.toLong }
+    if (ids.isEmpty) None else Some(ids.max)
+  }
+
+  private def readSnapshot(id: Long): SnapshotMeta =
+    mapper.readValue(readString(fs, new Path(root, s"snapshot/snap-$id.json")), classOf[SnapshotMeta])
+
+  private def commit(kind: String, files: Seq[FileMeta]): Long = {
+    val id = latestSnapshotId.getOrElse(0L) + 1
+    val snap = SnapshotMeta(
+      id = id,
+      commitUser = "graft",
+      commitIdentifier = id,
+      commitKind = kind,
+      schemaId = schemaMeta.id,
+      timestampMs = System.currentTimeMillis(),
+      files = files)
+    // write-tmp + atomic rename = optimistic concurrency (HDFS-atomic;
+    // an object store would need a catalog lock or conditional put).
+    val tmp = new Path(root, s"snapshot/.snap-$id-${UUID.randomUUID()}.tmp")
+    writeString(fs, tmp, mapper.writeValueAsString(snap))
+    val dst = new Path(root, s"snapshot/snap-$id.json")
+    if (!fs.rename(tmp, dst)) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(s"conflicting commit for snapshot $id at $root")
+    }
+    id
+  }
+
+  // ---- write path -----------------------------------------------------
+
+  /** Append rows (no PK semantics). */
+  def append(df: DataFrame): Long = writeCommit(df, kind = "APPEND", rowKind = "I")
+
+  /** Upsert by primary key. Within the batch the greatest
+    * `sequence.field` value per key wins. */
+  def upsert(df: DataFrame): Long = {
+    require(isPkTable, "upsert requires primary keys")
+    writeCommit(dedupBatch(df), kind = "APPEND", rowKind = "I")
+  }
+
+  /** Delete by primary key (df must contain at least PK + sequence cols). */
+  def delete(df: DataFrame): Long = {
+    require(isPkTable, "delete requires primary keys")
+    writeCommit(dedupBatch(df), kind = "APPEND", rowKind = "D")
+  }
+
+  /** Replace every partition present in `df` with df's rows. */
+  def overwritePartitions(df: DataFrame): Long = {
+    require(partitionKeys.nonEmpty, "overwritePartitions requires a partitioned table")
+    val affected: Set[Map[String, String]] = df
+      .select(partitionKeys.map(col): _*).distinct().collect()
+      .map(r => partitionKeys.zipWithIndex.map { case (k, i) => k -> String.valueOf(r.get(i)) }.toMap)
+      .toSet
+    val keep = currentFiles(None).filterNot(f => affected.contains(f.partition))
+    val added = stageWrite(df, rowKind = "I")
+    commit("OVERWRITE", keep ++ added)
+  }
+
+  /** Rewrite the merged current state as fresh files (drops overwritten
+    * versions and deletes — the LSM compaction of the reference's format). */
+  def compact(): Long = {
+    val merged = read()
+    val added = stageWrite(merged, rowKind = "I")
+    commit("COMPACT", added)
+  }
+
+  private def writeCommit(df: DataFrame, kind: String, rowKind: String): Long = {
+    val added = stageWrite(df, rowKind)
+    commit(kind, currentFiles(None) ++ added)
+  }
+
+  /** Deterministic within-batch dedup: greatest sequence.field per PK. */
+  private def dedupBatch(df: DataFrame): DataFrame = {
+    val ord =
+      if (sequenceFields.nonEmpty) sequenceFields.map(c => col(c).desc)
+      else df.columns.filterNot(primaryKeys.contains).map(c => col(c).desc).toSeq
+    val w = Window.partitionBy(primaryKeys.map(col): _*).orderBy(ord: _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Write df's files into the table layout; returns their FileMeta.
+    * Data lands as a distributed Spark parquet write into a staging dir,
+    * then files are renamed (metadata-only move) into
+    * data/<k=v>/<commit-uuid>-b<bucket>-<n>.parquet so one `basePath`
+    * serves all commits.
+    */
+  private def stageWrite(df: DataFrame, rowKind: String): Seq[FileMeta] = {
+    val dataCols = schema.fieldNames.toSeq
+    require(dataCols.forall(df.columns.contains),
+      s"df missing columns: ${dataCols.filterNot(df.columns.contains).mkString(",")}")
+    val nextSeq = latestSnapshotId.getOrElse(0L) + 1
+
+    var out = df.select(dataCols.map(col): _*)
+    if (isPkTable)
+      out = out
+        .withColumn(SeqCol, lit(nextSeq))
+        .withColumn(KindCol, lit(rowKind))
+    val bucketed = numBuckets > 1 && bucketKeys.nonEmpty
+    if (bucketed)
+      out = out.withColumn(BucketCol, pmod(hash(bucketKeys.map(col): _*), lit(numBuckets)))
+
+    val stagingId = UUID.randomUUID().toString.take(8)
+    val staging = new Path(root, s".staging-$stagingId")
+    val partBy = partitionKeys ++ (if (bucketed) Seq(BucketCol) else Seq.empty)
+    val writer = out.write.mode("overwrite")
+    (if (partBy.nonEmpty) writer.partitionBy(partBy: _*) else writer)
+      .parquet(staging.toString)
+
+    // move staged files into data/, folding the __bucket dir into the name
+    val stagingQ = fs.makeQualified(staging).toString
+    val rootQ = fs.makeQualified(new Path(root)).toString
+    val metas = mutable.ArrayBuffer[FileMeta]()
+    val it = fs.listFiles(staging, true)
+    var n = 0
+    while (it.hasNext) {
+      val st = it.next()
+      val p = st.getPath
+      if (p.getName.endsWith(".parquet")) {
+        val rel = p.toString.stripPrefix(stagingQ).stripPrefix("/")
+        val segs = rel.split("/").dropRight(1).filter(_.contains("="))
+        val partSegs = segs.filterNot(_.startsWith(s"$BucketCol="))
+        val bucket = segs.collectFirst { case s if s.startsWith(s"$BucketCol=") => s.split("=")(1).toInt }.getOrElse(0)
+        val partition = partSegs.map { s =>
+          val kv = s.split("=", 2); kv(0) -> unescapePath(kv(1))
+        }.toMap
+        val destDir = if (partSegs.isEmpty) new Path(root, "data")
+          else new Path(root, "data/" + partSegs.mkString("/"))
+        fs.mkdirs(destDir)
+        val dest = new Path(destDir, f"$stagingId-b$bucket-$n%05d.parquet")
+        if (!fs.rename(p, dest)) throw new IllegalStateException(s"rename failed: $p -> $dest")
+        metas += FileMeta(
+          path = fs.makeQualified(dest).toString.stripPrefix(rootQ).stripPrefix("/"),
+          partition = partition,
+          sizeBytes = st.getLen,
+          bucket = bucket)
+        n += 1
+      }
+    }
+    fs.delete(staging, true)
+    metas.toSeq
+  }
+
+  // ---- read path ------------------------------------------------------
+
+  private def currentFiles(snapshotId: Option[Long]): Seq[FileMeta] =
+    snapshotId.orElse(latestSnapshotId) match {
+      case None => Seq.empty
+      case Some(id) => readSnapshot(id).files
+    }
+
+  /** Manifest-level partition pruning: evaluate `pred` against each
+    * file's partition values driver-side (no cluster job) and keep only
+    * matching files — the Spark-first analogue of the reference's
+    * PrestoComputePushdown partition prune (PrestoComputePushdown.java).
+    */
+  private def pruneFiles(files: Seq[FileMeta], pred: Option[Column]): Seq[FileMeta] = pred match {
+    case None => files
+    case Some(p) =>
+      val partSchema = StructType(partitionKeys.map(k => schema(k)))
+      val parts = files.map(_.partition).distinct
+      val rows = parts.map { m =>
+        Row.fromSeq(partitionKeys.map(k => castPartitionValue(m(k), schema(k).dataType)))
+      }
+      val pdf = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), partSchema)
+      val kept = pdf.filter(p).collect()
+        .map(r => partitionKeys.zipWithIndex.map { case (k, i) => k -> String.valueOf(r.get(i)) }.toMap)
+        .toSet
+      files.filter(f => kept.contains(f.partition))
+  }
+
+  /** Bucket pruning for `bucketKey = value` point lookups: hash the
+    * literal driver-side with the same Murmur3 Spark uses and keep only
+    * that bucket's files. */
+  def bucketOf(values: Seq[Any]): Int = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal => CLit, Murmur3Hash, Pmod}
+    val h = new Murmur3Hash(values.map(v => CLit.create(v))) // seed 42, same as functions.hash
+    Pmod(h, CLit.create(numBuckets)).eval(null).asInstanceOf[Int]
+  }
+
+  /** Read the table: latest (or time-travel) snapshot, manifest-pruned,
+    * merge-on-read for PK tables. The result is a plain parquet-backed
+    * DataFrame, so downstream filters/projections still push into the
+    * scan. */
+  def read(
+      snapshotId: Option[Long] = None,
+      partitionFilter: Option[Column] = None,
+      bucket: Option[Int] = None): DataFrame = {
+    var files = pruneFiles(currentFiles(snapshotId), partitionFilter)
+    bucket.foreach(b => files = files.filter(_.bucket == b))
+    if (files.isEmpty)
+      return spark.createDataFrame(new java.util.ArrayList[Row](), schema)
+    val paths = files.map(f => s"${root.stripSuffix("/")}/${f.path}")
+    val raw = spark.read
+      .option("basePath", s"${root.stripSuffix("/")}/data")
+      .schema(fileSchema)
+      .parquet(paths: _*)
+    val merged =
+      if (isPkTable) {
+        val ord = (sequenceFields.map(c => col(c).desc) :+ col(SeqCol).desc)
+        val w = Window.partitionBy(primaryKeys.map(col): _*).orderBy(ord: _*)
+        raw
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1 && col(KindCol) =!= "D")
+          .drop("__rn", SeqCol, KindCol)
+      } else raw
+    merged.select(schema.fieldNames.map(col).toSeq: _*)
+  }
+
+  /** Changelog view: every row version with its rowkind/sequence — the
+    * `$audit_log` of the reference format. */
+  def auditLog(snapshotId: Option[Long] = None): DataFrame = {
+    require(isPkTable, "audit_log requires a PK table")
+    val files = currentFiles(snapshotId)
+    if (files.isEmpty)
+      return spark.createDataFrame(new java.util.ArrayList[Row](),
+        StructType(StructField("rowkind", StringType) +: StructField("seq", LongType) +: schema.fields))
+    val paths = files.map(f => s"${root.stripSuffix("/")}/${f.path}")
+    spark.read
+      .option("basePath", s"${root.stripSuffix("/")}/data")
+      .schema(fileSchema)
+      .parquet(paths: _*)
+      .select((col(KindCol).as("rowkind") +: col(SeqCol).as("seq") +: schema.fieldNames.map(col).toSeq): _*)
+  }
+
+  // ---- system tables (ref: TestPrestoITCase.testSystemTable) ----------
+
+  def system(name: String): DataFrame = {
+    import spark.implicits._
+    name match {
+      case "snapshots" =>
+        snapshots
+          .map(s => (s.id, s.schemaId, s.commitUser, s.commitIdentifier, s.commitKind,
+            new java.sql.Timestamp(s.timestampMs), s.files.size.toLong))
+          .toDF("snapshot_id", "schema_id", "commit_user", "commit_identifier",
+            "commit_kind", "commit_time", "total_file_count")
+      case "files" =>
+        currentFiles(None)
+          .map(f => (f.path, partitionKeys.map(k => s"$k=${f.partition(k)}").mkString("/"),
+            f.bucket, f.sizeBytes))
+          .toDF("file_path", "partition", "bucket", "file_size_in_bytes")
+      case "schemas" =>
+        allSchemas
+          .map(s => (s.id, s.fieldsJson, s.partitionKeys.mkString(","),
+            s.primaryKeys.mkString(",")))
+          .toDF("schema_id", "fields", "partition_keys", "primary_keys")
+      case "options" =>
+        options.toSeq.sorted.toDF("key", "value")
+      case "partitions" =>
+        val byPart = currentFiles(None).groupBy(_.partition)
+        byPart.toSeq
+          .map { case (p, fsq) =>
+            (partitionKeys.map(k => s"$k=${p(k)}").mkString("/"), fsq.size.toLong,
+              fsq.map(_.sizeBytes).sum)
+          }
+          .sortBy(_._1)
+          .toDF("partition", "file_count", "total_size_in_bytes")
+      case "audit_log" => auditLog()
+      case other => throw new IllegalArgumentException(s"unknown system table: $other")
+    }
+  }
+
+  // ---- schema evolution ----------------------------------------------
+
+  private def allSchemas: Seq[SchemaMeta] = {
+    val dir = new Path(root, "schema")
+    fs.listStatus(dir).toSeq
+      .map(_.getPath.getName)
+      .collect { case SchemaRe(id) => id.toLong }
+      .sorted
+      .map(id => mapper.readValue(readString(fs, new Path(root, s"schema/schema-$id.json")), classOf[SchemaMeta]))
+  }
+
+  /** Add a nullable column; existing files read as NULL for it. */
+  def addColumn(name: String, dataType: DataType): Unit = {
+    require(!schema.fieldNames.contains(name), s"column $name exists")
+    val next = schemaMeta.copy(
+      id = schemaMeta.id + 1,
+      fieldsJson = StructType(schema.fields :+ StructField(name, dataType)).json)
+    writeString(fs, new Path(root, s"schema/schema-${next.id}.json"), mapper.writeValueAsString(next))
+    schemaMeta = next
+  }
+}
+
+object GraftTable {
+  val SeqCol = "__seq"
+  val KindCol = "__kind"
+  val BucketCol = "__bucket"
+  private val SnapRe = "snap-(\\d+)\\.json".r
+  private val SchemaRe = "schema-(\\d+)\\.json".r
+
+  private[sources] val mapper: ObjectMapper = {
+    val m = new ObjectMapper()
+    m.registerModule(DefaultScalaModule)
+    m
+  }
+
+  private[sources] def fileSystem(spark: SparkSession, root: String): FileSystem =
+    new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+
+  private[sources] def readString(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var r = in.read(buf)
+      while (r > 0) { bytes.write(buf, 0, r); r = in.read(buf) }
+      new String(bytes.toByteArray, StandardCharsets.UTF_8)
+    } finally in.close()
+  }
+
+  private[sources] def writeString(fs: FileSystem, p: Path, s: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(s.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def castPartitionValue(v: String, dt: DataType): Any = dt match {
+    case IntegerType => v.toInt
+    case LongType => v.toLong
+    case ShortType => v.toShort
+    case StringType => v
+    case BooleanType => v.toBoolean
+    case DoubleType => v.toDouble
+    case FloatType => v.toFloat
+    case DateType => java.sql.Date.valueOf(v)
+    case other => throw new IllegalArgumentException(s"unsupported partition type $other")
+  }
+
+  private[sources] def unescapePath(s: String): String =
+    java.net.URLDecoder.decode(s, "UTF-8")
+
+  def create(
+      spark: SparkSession,
+      root: String,
+      schema: StructType,
+      partitionKeys: Seq[String] = Seq.empty,
+      primaryKeys: Seq[String] = Seq.empty,
+      options: Map[String, String] = Map.empty): GraftTable = {
+    require(partitionKeys.forall(schema.fieldNames.contains), "unknown partition key")
+    require(primaryKeys.forall(schema.fieldNames.contains), "unknown primary key")
+    val fs = fileSystem(spark, root)
+    val schemaDir = new Path(root, "schema")
+    require(!fs.exists(schemaDir), s"table already exists at $root")
+    fs.mkdirs(schemaDir)
+    fs.mkdirs(new Path(root, "snapshot"))
+    val meta = SchemaMeta(0L, schema.json, partitionKeys, primaryKeys, options)
+    writeString(fs, new Path(root, "schema/schema-0.json"), mapper.writeValueAsString(meta))
+    new GraftTable(spark, root, meta)
+  }
+
+  def load(spark: SparkSession, root: String): GraftTable = {
+    val fs = fileSystem(spark, root)
+    val dir = new Path(root, "schema")
+    require(fs.exists(dir), s"no graft table at $root")
+    val latest = fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .collect { case SchemaRe(id) => id.toLong }.max
+    val meta = mapper.readValue(
+      readString(fs, new Path(root, s"schema/schema-$latest.json")), classOf[SchemaMeta])
+    new GraftTable(spark, root, meta)
+  }
+
+  def exists(spark: SparkSession, root: String): Boolean =
+    fileSystem(spark, root).exists(new Path(root, "schema"))
+}

@@ -1,0 +1,129 @@
+package graft
+
+import graft.sources.GraftTable
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SURVEY §2.1 S4, S5, S8, S9, S10, S12. */
+class GraftTableSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("pt", StringType),
+    StructField("a", IntegerType),
+    StructField("b", LongType)))
+
+  test("S5: append creates snapshots; read sees all rows") {
+    val t = GraftTable.create(spark, TestSpark.tmpDir("append"), schema, partitionKeys = Seq("pt"))
+    t.append(Seq(("1", 1, 10L), ("2", 2, 20L)).toDF("pt", "a", "b"))
+    t.append(Seq(("1", 3, 30L)).toDF("pt", "a", "b"))
+    assert(t.latestSnapshotId.contains(2L))
+    assert(t.snapshots.map(_.commitKind) == Seq("APPEND", "APPEND"))
+    val rows = t.read().orderBy("a").collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    assert(rows.toSeq == Seq(("1", 1, 10L), ("2", 2, 20L), ("1", 3, 30L)))
+  }
+
+  test("S4: manifest partition pruning keeps only matching files, driver-side") {
+    val t = GraftTable.create(spark, TestSpark.tmpDir("prune"), schema, partitionKeys = Seq("pt"))
+    t.append(Seq(("1", 1, 1L), ("1", 2, 2L), ("2", 3, 3L), ("3", 4, 4L)).toDF("pt", "a", "b"))
+    val all = t.read()
+    assert(all.count() == 4)
+    val pruned = t.read(partitionFilter = Some(col("pt") === "2"))
+    assert(pruned.inputFiles.length < all.inputFiles.length)
+    assert(pruned.collect().map(_.getInt(1)).toSeq == Seq(3))
+    // pruning to nothing yields an empty, correctly-typed frame
+    val none = t.read(partitionFilter = Some(col("pt") === "99"))
+    assert(none.count() == 0 && none.schema.fieldNames.toSeq == Seq("pt", "a", "b"))
+  }
+
+  test("S4b: partition values keep their declared type through the path round-trip") {
+    val s2 = StructType(Seq(StructField("k", IntegerType), StructField("v", StringType)))
+    val t = GraftTable.create(spark, TestSpark.tmpDir("ptype"), s2, partitionKeys = Seq("k"))
+    t.append(Seq((1, "x"), (2, "y")).toDF("k", "v"))
+    val pruned = t.read(partitionFilter = Some(col("k") === 2))
+    assert(pruned.collect().map(_.getString(1)).toSeq == Seq("y"))
+    assert(t.read().schema("k").dataType == IntegerType)
+  }
+
+  test("S8: system tables snapshots/files/options/partitions/schemas") {
+    val t = GraftTable.create(spark, TestSpark.tmpDir("sys"), schema,
+      partitionKeys = Seq("pt"), options = Map("write.batch" -> "x"))
+    t.append(Seq(("1", 1, 1L), ("2", 2, 2L)).toDF("pt", "a", "b"))
+    val snaps = t.system("snapshots")
+    assert(snaps.columns.toSeq.take(5) ==
+      Seq("snapshot_id", "schema_id", "commit_user", "commit_identifier", "commit_kind"))
+    assert(snaps.select("snapshot_id", "commit_kind").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      == Seq((1L, "APPEND")))
+    assert(t.system("files").count() == 2) // one file per partition
+    assert(t.system("partitions").count() == 2)
+    assert(t.system("options").collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      == Seq(("write.batch", "x")))
+    assert(t.system("schemas").count() == 1)
+  }
+
+  test("S9: schema evolution — added column reads as NULL from old files") {
+    val t = GraftTable.create(spark, TestSpark.tmpDir("evol"), schema, partitionKeys = Seq("pt"))
+    t.append(Seq(("1", 1, 1L)).toDF("pt", "a", "b"))
+    t.addColumn("c", DoubleType)
+    t.append(Seq(("1", 2, 2L, 2.5)).toDF("pt", "a", "b", "c"))
+    val rows = t.read().orderBy("a").collect()
+    assert(rows(0).isNullAt(3) && rows(1).getDouble(3) == 2.5)
+    assert(t.system("schemas").count() == 2)
+  }
+
+  test("S10: type lattice round-trip (ref PrestoTypeUtils.java)") {
+    val wide = StructType(Seq(
+      StructField("i8", ByteType), StructField("i16", ShortType),
+      StructField("i32", IntegerType), StructField("i64", LongType),
+      StructField("f32", FloatType), StructField("f64", DoubleType),
+      StructField("dec", DecimalType(20, 3)), StructField("s", StringType),
+      StructField("bin", BinaryType), StructField("b", BooleanType),
+      StructField("dt", DateType), StructField("ts", TimestampType),
+      StructField("arr", ArrayType(IntegerType)),
+      StructField("map", MapType(StringType, StringType)),
+      StructField("row", StructType(Seq(StructField("x", IntegerType))))))
+    val t = GraftTable.create(spark, TestSpark.tmpDir("types"), wide)
+    val df = spark.sql(
+      """SELECT CAST(1 AS TINYINT) i8, CAST(2 AS SMALLINT) i16, 3 i32, CAST(4 AS BIGINT) i64,
+        |CAST(1.5 AS FLOAT) f32, CAST(2.5 AS DOUBLE) f64, CAST('12345.678' AS DECIMAL(20,3)) dec,
+        |'str' s, CAST('bin' AS BINARY) bin, true b, DATE'2024-01-02' dt,
+        |TIMESTAMP'2023-01-01 01:01:01.123' ts, array(1,2,3) arr, map('k','v') map,
+        |named_struct('x', 7) row""".stripMargin)
+    t.append(df)
+    val r = t.read().collect()(0)
+    assert(r.getByte(0) == 1 && r.getShort(1) == 2 && r.getInt(2) == 3 && r.getLong(3) == 4L)
+    assert(r.getFloat(4) == 1.5f && r.getDouble(5) == 2.5)
+    assert(r.getDecimal(6).toPlainString == "12345.678")
+    assert(r.getString(7) == "str" && new String(r.getAs[Array[Byte]](8)) == "bin")
+    assert(r.getBoolean(9) && r.getDate(10).toString == "2024-01-02")
+    assert(r.getTimestamp(11).toString.startsWith("2023-01-01 01:01:01.123"))
+    assert(r.getSeq[Int](12) == Seq(1, 2, 3))
+    assert(r.getMap[String, String](13) == Map("k" -> "v"))
+    assert(r.getStruct(14).getInt(0) == 7)
+  }
+
+  test("S12: bucketed layout splits files by key hash; bucket pruning finds the key") {
+    val t = GraftTable.create(spark, TestSpark.tmpDir("bucket"),
+      StructType(Seq(StructField("id", LongType), StructField("v", StringType))),
+      options = Map("bucket" -> "4", "bucket-key" -> "id"))
+    t.append((1L to 100L).map(i => (i, s"v$i")).toDF("id", "v"))
+    val buckets = t.system("files").select("bucket").distinct().count()
+    assert(buckets == 4)
+    val b = t.bucketOf(Seq(42L))
+    val hit = t.read(bucket = Some(b)).filter(col("id") === 42L)
+    assert(hit.count() == 1)
+    // the pruned read touches only that bucket's files
+    assert(hit.inputFiles.length < t.read().inputFiles.length)
+  }
+
+  test("S5b: overwritePartitions replaces only the named partitions") {
+    val t = GraftTable.create(spark, TestSpark.tmpDir("ow"), schema, partitionKeys = Seq("pt"))
+    t.append(Seq(("1", 1, 1L), ("2", 2, 2L)).toDF("pt", "a", "b"))
+    t.overwritePartitions(Seq(("1", 9, 9L)).toDF("pt", "a", "b"))
+    val rows = t.read().orderBy("a").collect().map(r => (r.getString(0), r.getInt(1)))
+    assert(rows.toSeq == Seq(("2", 2), ("1", 9)))
+    assert(t.snapshots.last.commitKind == "OVERWRITE")
+  }
+}
