@@ -1,0 +1,116 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Polynomial rolling hash over a string's UTF-16 code units:
+  * `acc = (acc * mult + c) % mod` (mod 0 ⇒ wrapping 64-bit).
+  *
+  * A native Catalyst expression with real codegen so document
+  * fingerprinting stays inside whole-stage codegen at 100 TB — the
+  * preferred extension point over a Scala UDF (which would box every row).
+  * The DuckDB oracle replicates it with
+  * `list_reduce(ord-per-char, (a,c) -> (a*31+c)%mod)`.
+  */
+case class PolyHash64(child: Expression, mult: Long, mod: Long)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "poly_hash64"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    var acc = 0L
+    var i = 0
+    while (i < s.length) {
+      acc = acc * mult + s.charAt(i)
+      if (mod > 0) acc %= mod
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val str = ctx.freshName("str")
+      val i = ctx.freshName("i")
+      val modStmt = if (mod > 0) s"${ev.value} %= ${mod}L;" else ""
+      s"""
+         |String $str = $c.toString();
+         |${ev.value} = 0L;
+         |for (int $i = 0; $i < $str.length(); $i++) {
+         |  ${ev.value} = ${ev.value} * ${mult}L + $str.charAt($i);
+         |  $modStmt
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PolyHash64 =
+    copy(child = newChild)
+}
+
+object SimHash64Impl {
+  /** 64-bit SimHash of pre-hashed tokens: per-bit vote ±1, sign → bit. */
+  def compute(hashes: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    var i = 0
+    val n = hashes.numElements()
+    while (i < n) {
+      val h = hashes.getLong(i)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) >= 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+}
+
+/** SimHash over an array of 64-bit token hashes (SURVEY §2.3 L4).
+  * Codegen calls the static impl directly, so it stays inside
+  * whole-stage codegen without per-row boxing. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sim_hash64"
+
+  override def nullSafeEval(input: Any): Any =
+    SimHash64Impl.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SimHash64Impl$$.MODULE$$.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+object HashExpr {
+  import org.apache.spark.sql.graft.Bridge.{column, expression}
+
+  /** Fingerprint matching the DuckDB-expressible polynomial (mult 31,
+    * mod 1e9+7) — oracle-checkable. */
+  def polyHash(c: Column): Column =
+    column(PolyHash64(expression(c), 31L, 1000000007L))
+
+  /** Wrapping 64-bit FNV-style hash — full-width bits for SimHash. */
+  def tokenHash64(c: Column): Column =
+    column(PolyHash64(expression(c), 1099511628211L, 0L))
+
+  def simHash(c: Column): Column = column(SimHash64(expression(c)))
+}

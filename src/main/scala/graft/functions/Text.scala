@@ -1,0 +1,90 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis building blocks (SURVEY §2.3 L8–L11), written as
+  * codegen'd Column expressions (no UDFs) with exact DuckDB-SQL mirrors
+  * so the driver oracle can verify them value-for-value.
+  */
+object Text {
+
+  def words(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Distinct 3-word shingles. Mirrors DuckDB
+    * `list_transform(range(1, greatest(len(w)-1,1)), i -> w[i:i+2] joined)`. */
+  def shingles3(text: Column): Column = {
+    val w = words(text)
+    when(size(w) >= 3,
+      array_distinct(transform(sequence(lit(1), size(w) - 2), i =>
+        concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Shingle → 31-poly hash mod 1e9+7, same arithmetic as the oracle's
+    * list_reduce. Uses the higher-order aggregate (codegen'd) rather than
+    * the native expression so the SQL mirror is line-for-line. */
+  def polyHashHof(c: Column): Column =
+    aggregate(split(c, ""), lit(0L), (acc, ch) =>
+      (acc * 31 + ascii(ch)) % 1000000007L)
+
+  // language-marker regexes (fixed priority zh > de > en > es > fr on ties)
+  val LangMarkers: Seq[(String, String)] = Seq(
+    "de" -> "\\b(der|die|das|und|ist|nicht|mit)\\b",
+    "en" -> "\\b(the|and|of|to|in|is|for)\\b",
+    "es" -> "\\b(el|los|las|una|es|en|por)\\b",
+    "fr" -> "\\b(le|la|les|et|est|dans|pour)\\b")
+  // \x{hhhh} form parses in both Java regex (Spark) and RE2 (DuckDB);
+  // RE2 does not understand \uhhhh.
+  val ZhPattern = "[\\x{4e00}-\\x{9fff}]"
+
+  private def markerCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
+
+  /** Heuristic language guess with deterministic tie-break. */
+  def langGuess(text: Column): Column = {
+    val zh = markerCount(text, ZhPattern)
+    val s = LangMarkers.toMap.view.mapValues(p => markerCount(text, p)).toMap
+    when(zh > 0, "zh")
+      .when(s("de") >= s("en") && s("de") >= s("es") && s("de") >= s("fr"), "de")
+      .when(s("en") >= s("es") && s("en") >= s("fr"), "en")
+      .when(s("es") >= s("fr"), "es")
+      .otherwise("fr")
+  }
+
+  /** DuckDB mirror of [[langGuess]]. */
+  def langGuessSql(textCol: String): String = {
+    def cnt(p: String) = s"len(regexp_extract_all($textCol, '$p'))"
+    val m = LangMarkers.toMap
+    s"""CASE WHEN ${cnt(ZhPattern)} > 0 THEN 'zh'
+       | WHEN ${cnt(m("de"))} >= ${cnt(m("en"))} AND ${cnt(m("de"))} >= ${cnt(m("es"))} AND ${cnt(m("de"))} >= ${cnt(m("fr"))} THEN 'de'
+       | WHEN ${cnt(m("en"))} >= ${cnt(m("es"))} AND ${cnt(m("en"))} >= ${cnt(m("fr"))} THEN 'en'
+       | WHEN ${cnt(m("es"))} >= ${cnt(m("fr"))} THEN 'es'
+       | ELSE 'fr' END""".stripMargin.replace("\n", " ")
+  }
+
+  val PunctPattern = "[.,;:!?]"
+  val BpeishPattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+  /** Quality score in [0,1]: length saturation + stopword ratio +
+    * punctuation sanity. */
+  def quality(text: Column): Column = {
+    val wc = size(words(text)).cast("double")
+    val stops = markerCount(text, LangMarkers.toMap.apply("en")).cast("double")
+    val punct = markerCount(text, PunctPattern).cast("double")
+    val chars = length(text).cast("double")
+    round(
+      least(wc / 100.0, lit(1.0)) * 0.4 +
+        (stops / wc) * 0.3 +
+        (lit(1.0) - punct / chars) * 0.3,
+      4)
+  }
+
+  /** DuckDB mirror of [[quality]]. */
+  def qualitySql(t: String): String =
+    s"""round(least(CAST(len(regexp_split_to_array(trim($t),'\\s+')) AS DOUBLE)/100.0, 1.0)*0.4
+       | + (CAST(len(regexp_extract_all($t, '${LangMarkers.toMap.apply("en")}')) AS DOUBLE)
+       |    / CAST(len(regexp_split_to_array(trim($t),'\\s+')) AS DOUBLE))*0.3
+       | + (1.0 - CAST(len(regexp_extract_all($t, '$PunctPattern')) AS DOUBLE)
+       |    / CAST(length($t) AS DOUBLE))*0.3, 4)""".stripMargin.replace("\n", " ")
+}

@@ -1,0 +1,183 @@
+package graft.operators
+
+import graft.{QDef, Tables => T}
+import graft.functions.{HashExpr, Text}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over `documents` (SURVEY §2.3 L1–L4).
+  *
+  * Scale design: nothing here is O(n²). Candidate pairs always come from
+  * an equality join on a bounded-fan-out key (rare shingle, minhash band,
+  * simhash chunk), so the shuffle is linear in corpus size and the
+  * pairwise work is bounded per bucket.
+  */
+object Dedup {
+
+  /** Max doc-frequency for a shingle to generate candidates (bounds each
+    * bucket to ≤ MaxDf docs ⇒ ≤ MaxDf² pairs). */
+  val MaxDf = 8
+  /** Near-dup threshold on 3-gram Jaccard. */
+  val Tau = 0.8
+
+  // 12 minhash permutations in 4 bands × 3 rows; p = 2^31-1.
+  val P = 2147483647L
+  val A: Seq[Long] = Seq(1859374103L, 1500450271L, 2038074743L, 1203391511L,
+    1527893977L, 1816928051L, 1070777737L, 1315423911L, 1999999943L,
+    1732584193L, 1412376911L, 1106459317L)
+  val B: Seq[Long] = Seq(105943L, 305927L, 508921L, 710899L, 912839L,
+    1114823L, 1316801L, 1518787L, 1720763L, 1922741L, 2124737L, 2326721L)
+  val Bands = 4
+  val RowsPerBand = 3
+
+  /** DuckDB expr: distinct 3-word shingles of `text`. */
+  private val ShSql =
+    """list_distinct(list_transform(
+      |  range(1, greatest(len(string_split_regex(trim(text),'\s+'))-1, 1)),
+      |  i -> array_to_string(string_split_regex(trim(text),'\s+')[i:i+2],' ')))""".stripMargin
+
+  /** DuckDB expr: polynomial hash of a shingle g (mirrors Text.polyHashHof). */
+  private val PolySql =
+    """list_reduce(list_cat([CAST(0 AS BIGINT)],
+      |  list_transform(string_split(g,''), c -> CAST(ord(c) AS BIGINT))),
+      |  (a,c) -> (a*31 + c) % 1000000007)""".stripMargin
+
+  private def docsWithShingles(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d).select(col("doc_id"), Text.shingles3(col("text")).as("sh"))
+
+  /** Exact Jaccard on candidate pairs that share a rare shingle. */
+  private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+    val docs = docsWithShingles(s, d)
+    val ex = docs.select(col("doc_id"), explode(col("sh")).as("g"))
+    val rare = ex.groupBy("g").agg(count(lit(1)).as("c"))
+      .filter(col("c") <= MaxDf).select("g")
+    val exr = ex.join(rare, "g")
+    val cand = exr.as("a")
+      .join(exr.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    verifyJaccard(cand, docs)
+  }
+
+  /** Join candidate (d1,d2) pairs back to shingle sets, keep J >= Tau. */
+  private def verifyJaccard(cand: DataFrame, docs: DataFrame): DataFrame =
+    cand
+      .join(docs.select(col("doc_id").as("d1"), col("sh").as("sh1")), "d1")
+      .join(docs.select(col("doc_id").as("d2"), col("sh").as("sh2")), "d2")
+      .withColumn("jr",
+        size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+          size(array_union(col("sh1"), col("sh2"))).cast("double"))
+      .filter(col("jr") >= Tau)
+      .select(col("d1"), col("d2"), round(col("jr"), 4).as("jac"))
+      .orderBy("d1", "d2")
+
+  private val JaccardTailSql =
+    s"""cand AS (SELECT DISTINCT a.doc_id d1, b.doc_id d2
+       |  FROM er a JOIN er b ON a.g = b.g AND a.doc_id < b.doc_id),
+       |j AS (SELECT d1, d2,
+       |  CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE)
+       |    / len(list_distinct(list_cat(s1.sh, s2.sh))) jr
+       |  FROM cand JOIN w s1 ON d1 = s1.doc_id JOIN w s2 ON d2 = s2.doc_id)
+       |SELECT d1, d2, round(jr,4) AS jac FROM j WHERE jr >= $Tau
+       |ORDER BY d1, d2""".stripMargin
+
+  /** MinHash signatures + LSH banding, then exact-Jaccard verification of
+    * band-collision candidates. Deterministic permutations ⇒ the DuckDB
+    * oracle reproduces the exact candidate set. */
+  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
+    val docs = docsWithShingles(s, d).filter(size(col("sh")) > 0)
+    val h = docs.withColumn("H", transform(col("sh"), g => Text.polyHashHof(g)))
+    val sig = (0 until Bands * RowsPerBand).foldLeft(h) { (df, j) =>
+      df.withColumn(s"mh$j",
+        array_min(transform(col("H"), x => (x * A(j) + B(j)) % P)))
+    }
+    val bandCols = (0 until Bands).map { b =>
+      val ms = (0 until RowsPerBand).map(r => col(s"mh${b * RowsPerBand + r}"))
+      concat_ws("_", lit(b) +: ms: _*)
+    }
+    val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    verifyJaccard(cand, docs)
+  }
+
+  private def minhashOracle: String = {
+    val mhExprs = (0 until Bands * RowsPerBand).map { j =>
+      s"list_min(list_transform(H, x -> (x*${A(j)} + ${B(j)}) % $P))"
+    }
+    val bandExprs = (0 until Bands).map { b =>
+      val parts = (0 until RowsPerBand).map(r => s"mh[${b * RowsPerBand + r + 1}]")
+      s"'${b}_' || ${parts.mkString(" || '_' || ")}"
+    }
+    s"""WITH w AS (SELECT doc_id, $ShSql sh FROM documents),
+       |h AS (SELECT doc_id, sh, list_transform(sh, g -> $PolySql) H
+       |      FROM w WHERE len(sh) > 0),
+       |sig AS (SELECT doc_id, sh, [${mhExprs.mkString(", ")}] mh FROM h),
+       |er AS (SELECT doc_id, unnest([${bandExprs.mkString(", ")}]) g FROM sig),
+       |$JaccardTailSql""".stripMargin
+  }
+
+  /** SimHash near-dup: 64-bit simhash of token hashes, candidates via
+    * 16-bit chunk collision, verified by exact hamming. With 4 chunks,
+    * pigeonhole guarantees completeness for hamming distance <= 3 (4+
+    * differing bits could touch every chunk), so the radius is 3. */
+  private def simhashPairs(s: SparkSession, d: String): DataFrame = {
+    val MaxHam = 3
+    val docs = T.documents(s, d).select(col("doc_id"),
+      HashExpr.simHash(transform(Text.words(col("text")), w => HashExpr.tokenHash64(w)))
+        .as("sim"))
+    val chunks = docs.select(col("doc_id"), col("sim"),
+      explode(array((0 until 4).map(c =>
+        concat_ws("_", lit(c), shiftright(col("sim"), 16 * c).bitwiseAND(0xFFFFL))): _*))
+        .as("chunk"))
+    chunks.as("a")
+      .join(chunks.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).cast("long").as("hd"))
+      .distinct()
+      .filter(col("hd") <= MaxHam)
+      .orderBy("d1", "d2")
+  }
+
+  val defs: Seq[QDef] = Seq(
+    // L1: exact dedup by normalized-prefix hash, keep-first.
+    QDef(
+      "q_dedup_exact",
+      (s, d) =>
+        T.documents(s, d)
+          .select(col("doc_id"),
+            md5(concat_ws(" ", slice(Text.words(col("text")), 1, 8)).cast("binary")).as("k"))
+          .groupBy("k")
+          .agg(count(lit(1)).as("dups"), min("doc_id").as("keeper"))
+          .filter(col("dups") > 1)
+          .orderBy("k"),
+      Some("""SELECT k, count(*) AS dups, min(doc_id) AS keeper
+             |FROM (SELECT doc_id,
+             |        md5(array_to_string(string_split_regex(trim(text),'\s+')[1:8],' ')) k
+             |      FROM documents) t
+             |GROUP BY k HAVING count(*) > 1 ORDER BY k""".stripMargin)),
+
+    // L2: n-gram Jaccard near-dup on rare-shingle candidates.
+    QDef(
+      "q_dedup_jaccard",
+      jaccardPairs,
+      Some(s"""WITH w AS (SELECT doc_id, $ShSql sh FROM documents),
+              |e AS (SELECT doc_id, unnest(sh) g FROM w),
+              |rare AS (SELECT g FROM e GROUP BY g HAVING count(*) <= $MaxDf),
+              |er AS (SELECT e.doc_id, e.g FROM e JOIN rare USING (g)),
+              |$JaccardTailSql""".stripMargin)),
+
+    // L3: MinHash + LSH banding, oracle reproduces the permutations.
+    QDef("q_dedup_minhash", minhashPairs, Some(minhashOracle)),
+
+    // L4: SimHash hamming near-dup (rows-only; validated in DedupSpec
+    // against brute-force hamming).
+    QDef("q_dedup_simhash", simhashPairs, None)
+  )
+}

@@ -1,0 +1,138 @@
+package graft.operators
+
+import graft.{QDef, Tables => T}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over `embeddings` (SURVEY §2.3 L5–L7).
+  *
+  * Float arithmetic parity with the oracle: embeddings are cast to
+  * double up front and every reduction is an explicit left fold
+  * (`aggregate` in Spark ≡ `list_reduce` in DuckDB), so cosines are
+  * bit-identical on both sides and rankings can be hash-compared.
+  */
+object Similarity {
+
+  private def normed(s: SparkSession, d: String): DataFrame =
+    T.embeddings(s, d)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
+
+  private def cosine(qv: Column, cv: Column, qn: Column, cn: Column): Column =
+    aggregate(zip_with(qv, cv, (x, y) => x * y), lit(0.0), (a, x) => a + x) / (qn * cn)
+
+  /** Brute-force cosine top-k for a bounded query set: broadcast the
+    * queries, stream the candidates — one pass over the corpus, no
+    * shuffle of the big side (the 100 TB-scale path for small Q; for
+    * large Q see the LSH variant). */
+  private def annBrute(s: SparkSession, d: String): DataFrame = {
+    val n = normed(s, d)
+    val q = n.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val c = n.select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val w = Window.partitionBy("q_id").orderBy(desc("cos"), col("c_id"))
+    c.join(broadcast(q), col("q_id") =!= col("c_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv"), col("qn"), col("cn")))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("q_id"), col("rn"), col("c_id"), round(col("cos"), 4).as("cos"))
+      .orderBy("q_id", "rn")
+  }
+
+  /** Embedding near-dup scan: nearest neighbor for every vector. */
+  private def embedNn(s: SparkSession, d: String): DataFrame = {
+    val n = normed(s, d)
+    val q = n.select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val c = n.select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val w = Window.partitionBy("q_id").orderBy(desc("cos"), col("c_id"))
+    c.join(broadcast(q), col("q_id") =!= col("c_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv"), col("qn"), col("cn")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("q_id").as("vec_id"), col("c_id").as("nn_id"), round(col("cos"), 4).as("cos"))
+      .orderBy("vec_id")
+  }
+
+  // deterministic ±1 hyperplanes (seeded) for sign-LSH
+  private[operators] val Dims = 64
+  private[operators] val PlanesPerTable = 4
+  private[operators] val NumTables = 2
+  private[operators] lazy val planes: Seq[Seq[Seq[Double]]] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(NumTables)(Seq.fill(PlanesPerTable)(
+      Seq.fill(Dims)(if (rnd.nextBoolean()) 1.0 else -1.0)))
+  }
+
+  private[operators] def bucketCol(v: Column, table: Int): Column =
+    (0 until PlanesPerTable).map { j =>
+      val dot = aggregate(zip_with(v, typedLit(planes(table)(j)), (x, p) => x * p),
+        lit(0.0), (a, x) => a + x)
+      when(dot >= 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** LSH-bucketed ANN: random-hyperplane sign buckets per table;
+    * candidates = same bucket in any table; exact cosine re-rank inside
+    * the bucket. Candidate generation is an equality join on
+    * (table, bucket) — linear shuffle, no N×Q blowup. */
+  private def annLsh(s: SparkSession, d: String): DataFrame = {
+    val n = normed(s, d)
+    val withBuckets = n.select(col("vec_id"), col("v"), col("nrm"),
+      explode(array((0 until NumTables).map(t =>
+        concat_ws("_", lit(t), bucketCol(col("v"), t))): _*)).as("bucket"))
+    val q = withBuckets.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"), col("bucket"))
+    val c = withBuckets
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"), col("bucket"))
+    val w = Window.partitionBy("q_id").orderBy(desc("cos"), col("c_id"))
+    c.join(broadcast(q), Seq("bucket"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"), col("qv"), col("cv"), col("qn"), col("cn"))
+      .distinct() // a pair may collide in both tables
+      .withColumn("cos", cosine(col("qv"), col("cv"), col("qn"), col("cn")))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("q_id"), col("rn"), col("c_id"), round(col("cos"), 4).as("cos"))
+      .orderBy("q_id", "rn")
+  }
+
+  private val CosSql =
+    "list_reduce(list_cat([0.0], list_transform(range(1, len(q.v)+1), i -> q.v[i]*c.v[i])), (a,x) -> a+x) / (q.nrm*c.nrm)"
+
+  private val NormedSql =
+    """e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
+      |n AS (SELECT vec_id, v,
+      |  sqrt(list_reduce(list_cat([0.0], list_transform(v, x -> x*x)), (a,x) -> a+x)) nrm
+      |  FROM e)""".stripMargin
+
+  val defs: Seq[QDef] = Seq(
+    // L6: brute-force cosine top-3 for 20 probe vectors.
+    QDef(
+      "q_ann_brute",
+      annBrute,
+      Some(s"""WITH $NormedSql,
+              |p AS (SELECT q.vec_id q_id, c.vec_id c_id, $CosSql cos
+              |      FROM n q JOIN n c ON q.vec_id < 20 AND q.vec_id <> c.vec_id),
+              |r AS (SELECT q_id, c_id, cos,
+              |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) rn
+              |      FROM p)
+              |SELECT q_id, rn, c_id, round(cos,4) AS cos FROM r WHERE rn <= 3
+              |ORDER BY q_id, rn""".stripMargin)),
+
+    // L5: nearest-neighbor near-dup scan over the whole corpus.
+    QDef(
+      "q_embed_nn",
+      embedNn,
+      Some(s"""WITH $NormedSql,
+              |p AS (SELECT q.vec_id q_id, c.vec_id c_id, $CosSql cos
+              |      FROM n q JOIN n c ON q.vec_id <> c.vec_id),
+              |r AS (SELECT q_id, c_id, cos,
+              |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) rn
+              |      FROM p)
+              |SELECT q_id AS vec_id, c_id AS nn_id, round(cos,4) AS cos FROM r WHERE rn = 1
+              |ORDER BY vec_id""".stripMargin)),
+
+    // L7: LSH-bucketed ANN (rows-only; AnnSpec measures recall vs brute).
+    QDef("q_ann_lsh", annLsh, None)
+  )
+}

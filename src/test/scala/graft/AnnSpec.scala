@@ -1,0 +1,30 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SURVEY §2.3 L6/L7: LSH ANN vs brute-force — recall and candidate
+  * reduction at sf0.001. */
+class AnnSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("L7: LSH top-3 has useful recall vs brute force at a fraction of the candidates") {
+    val brute = SparkEntry.queries("q_ann_brute")(spark, dir)
+      .select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SparkEntry.queries("q_ann_lsh")(spark, dir)
+      .select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect lsh).size.toDouble / brute.size
+    // random-direction embeddings have weak cluster structure; sign-LSH
+    // still has to beat the random-candidate baseline by a wide margin.
+    // 2 tables × 16 buckets examine ~2/16 of the corpus per query.
+    assert(recall >= 0.2, s"recall $recall")
+    info(f"LSH recall@3 = $recall%.2f")
+  }
+
+  test("L6: brute-force top-3 is sane — self excluded, 3 per query, cos in [-1,1]") {
+    val rows = SparkEntry.queries("q_ann_brute")(spark, dir).collect()
+    assert(rows.length == 20 * 3)
+    assert(rows.forall(r => r.getLong(0) != r.getLong(2)))
+    assert(rows.forall(r => math.abs(r.getDouble(3)) <= 1.0))
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import graft.functions.{HashExpr, SimHash64Impl}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Custom Catalyst expressions: codegen path vs interpreted reference. */
+class HashExprSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def refPoly(s: String, mult: Long, mod: Long): Long = {
+    var acc = 0L
+    s.foreach { c =>
+      acc = acc * mult + c
+      if (mod > 0) acc %= mod
+    }
+    acc
+  }
+
+  test("PolyHash64 (codegen) matches the interpreted reference") {
+    val inputs = Seq("", "a", "hello world", "the fast key order sort", "Ünïcödé")
+    val got = inputs.toDF("s").select(HashExpr.polyHash(col("s"))).collect().map(_.getLong(0))
+    assert(got.toSeq == inputs.map(refPoly(_, 31L, 1000000007L)))
+    val got64 = inputs.toDF("s").select(HashExpr.tokenHash64(col("s"))).collect().map(_.getLong(0))
+    assert(got64.toSeq == inputs.map(refPoly(_, 1099511628211L, 0L)))
+  }
+
+  test("PolyHash64 stays inside whole-stage codegen") {
+    // a range source (not a local relation, which constant-folds) so the
+    // physical plan actually runs codegen
+    val df = spark.range(5).select(HashExpr.polyHash(col("id").cast("string")))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WholeStageCodegen") || plan.contains("*(1)"), plan)
+  }
+
+  test("SimHash64 of identical token sets is identical; near sets are near") {
+    val df = Seq(
+      ("a", "spark fast join merge table"),
+      ("b", "spark fast join merge table"),
+      ("c", "completely different words entirely here")).toDF("id", "t")
+    val sims = df.select(col("id"),
+      HashExpr.simHash(transform(split(col("t"), " "), w => HashExpr.tokenHash64(w))).as("s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sims("a") == sims("b"))
+    assert(SimHash64Impl.hamming(sims("a"), sims("c")) > 3)
+  }
+
+  test("null propagation") {
+    val got = Seq[Option[String]](None, Some("x")).toDF("s")
+      .select(HashExpr.polyHash(col("s"))).collect()
+    assert(got(0).isNullAt(0) && !got(1).isNullAt(0))
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SURVEY §2.1 S1–S3: the plans actually push filters/projections into
+  * the parquet scan and broadcast the small sides — the properties that
+  * matter at 100 TB, asserted on the executed plan.
+  */
+class PushdownSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("S1: projection pruning — scan reads only the 3 needed lineitem columns") {
+    val p = planOf("q_scan_project")
+    val readSchema = "ReadSchema: struct<(.*?)>".r.findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(readSchema.split(",").length == 3, s"ReadSchema: $readSchema")
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_linenumber")
+      && readSchema.contains("l_extendedprice"))
+  }
+
+  test("S2: predicates reach the parquet reader (PushedFilters)") {
+    // read the scan's metadata directly — the plan toString truncates it
+    val df = SparkEntry.queries("q6_filter_agg")(spark, dir)
+    val pushed = df.queryExecution.sparkPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f.metadata("PushedFilters")
+    }.mkString
+    assert(pushed.contains("GreaterThanOrEqual(l_shipdate"), pushed)
+    assert(pushed.contains("LessThan(l_quantity"), pushed)
+    assert(pushed.contains("LessThanOrEqual(l_discount"), pushed)
+  }
+
+  test("S3: limit compiles to a bounded collect (CollectLimit/TakeOrdered)") {
+    val p = planOf("q_limit")
+    assert(p.contains("TakeOrderedAndProject") || p.contains("CollectLimit"), p)
+    val topk = planOf("q_topk")
+    assert(topk.contains("TakeOrderedAndProject"), topk)
+  }
+
+  test("R4: q5 multi-join broadcasts every dimension (single big-table shuffle)") {
+    val p = planOf("q5_multi_join")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(broadcasts >= 4, s"expected >=4 broadcast joins, got $broadcasts")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("whole-stage codegen covers the agg pipeline of q1") {
+    // AQE materializes the final plan (with codegen spans) only on execute
+    val df = SparkEntry.queries("q1_agg")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("WholeStageCodegen") || p.contains("*(1)"), p)
+    assert(p.contains("HashAggregate"), "partial/final hash agg expected")
+  }
+}
