@@ -329,13 +329,13 @@ class GraftTable private (
     val files = currentFiles(snapshotId)
     if (files.isEmpty)
       return spark.createDataFrame(new java.util.ArrayList[Row](),
-        StructType(StructField("rowkind", StringType) +: StructField("seq", LongType) +: schema.fields))
+        StructType(StructField("rowkind", StringType) +: StructField("commit_seq", LongType) +: schema.fields))
     val paths = files.map(f => s"${root.stripSuffix("/")}/${f.path}")
     spark.read
       .option("basePath", s"${root.stripSuffix("/")}/data")
       .schema(fileSchema)
       .parquet(paths: _*)
-      .select((col(KindCol).as("rowkind") +: col(SeqCol).as("seq") +: schema.fieldNames.map(col).toSeq): _*)
+      .select((col(KindCol).as("rowkind") +: col(SeqCol).as("commit_seq") +: schema.fieldNames.map(col).toSeq): _*)
   }
 
   // ---- system tables (ref: TestPrestoITCase.testSystemTable) ----------

@@ -1,0 +1,62 @@
+package graft.streaming
+
+import graft.sources.GraftTable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.Row
+
+/** Structured-Streaming integration for GraftTable (SURVEY §2.4).
+  *
+  * The reference format is a streaming lakehouse: Flink writes Paimon
+  * commits, Presto reads snapshots (ref: paimon-presto README — "Paimon
+  * is a streaming data lake platform"). Spark-first re-expression:
+  * `writeStream.foreachBatch` → one GraftTable snapshot per micro-batch,
+  * so readers get the same commit-isolation the reference's snapshots
+  * give, and `auditLog` is the CDC stream equivalent.
+  */
+object GraftStreaming {
+
+  /** Append every micro-batch as one atomic snapshot commit. Exactly-once
+    * at the table level comes from the snapshot rename: a replayed batch
+    * would produce a new snapshot, and dedup-by-PK absorbs replays for PK
+    * tables (the same at-least-once + idempotent-merge contract Paimon
+    * gives its writers). */
+  def appendStream(stream: DataFrame, table: GraftTable): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) { table.append(batch); () }
+      }
+
+  /** Upsert variant: micro-batches merge by primary key. */
+  def upsertStream(stream: DataFrame, table: GraftTable): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) { table.upsert(batch); () }
+      }
+
+  /** Watermarked tumbling-window aggregation over an event stream —
+    * the standard streaming-OLAP shape the reference's tables feed. */
+  def windowedCounts(
+      events: DataFrame,
+      tsCol: String,
+      watermark: String,
+      windowLen: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("v"))
+      .select(
+        col("window.start").as("win_start"),
+        col("event_type"), col("n"), col("v"))
+
+  /** Incremental changelog read between two snapshots: every row version
+    * committed after `fromSnapshot`, with rowkind — batch-incremental CDC
+    * (the `$audit_log` + snapshot-diff pattern). */
+  def changelog(table: GraftTable, fromSnapshot: Long): DataFrame = {
+    val log = table.auditLog()
+    log.filter(col("commit_seq") > fromSnapshot)
+  }
+}
