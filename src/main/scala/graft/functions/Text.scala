@@ -11,15 +11,21 @@ object Text {
 
   def words(text: Column): Column = split(trim(text), "\\s+")
 
-  /** Distinct 3-word shingles. Mirrors DuckDB
-    * `list_transform(range(1, greatest(len(w)-1,1)), i -> w[i:i+2] joined)`. */
-  def shingles3(text: Column): Column = {
-    val w = words(text)
+  /** Distinct 3-word shingles over an ALREADY-MATERIALIZED words column.
+    * Mirrors DuckDB `list_transform(range(1, greatest(len(w)-1,1)),
+    * i -> w[i:i+2] joined)`.
+    *
+    * Take an attribute, not `words(text)` inline: this expression
+    * references its input ~5× (size twice + 3 element_at), and inlining
+    * would re-run the regex split per reference per shingle — measured
+    * 17× slower at sf0.1. Callers project `words(text)` in a separate
+    * select; CollapseProject keeps non-cheap multi-referenced aliases in
+    * their own projection, so the split runs once per row. */
+  def shingles3FromWords(w: Column): Column =
     when(size(w) >= 3,
       array_distinct(transform(sequence(lit(1), size(w) - 2), i =>
         concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))))
       .otherwise(array().cast("array<string>"))
-  }
 
   /** Shingle → 31-poly hash mod 1e9+7, same arithmetic as the oracle's
     * list_reduce. Uses the higher-order aggregate (codegen'd) rather than

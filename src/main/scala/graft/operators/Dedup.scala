@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QDef, Tables => T}
-import graft.functions.{HashExpr, Text}
+import graft.functions.{HashExpr, ShingleExpr, Text}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -44,7 +44,9 @@ object Dedup {
       |  (a,c) -> (a*31 + c) % 1000000007)""".stripMargin
 
   private def docsWithShingles(s: SparkSession, d: String): DataFrame =
-    T.documents(s, d).select(col("doc_id"), Text.shingles3(col("text")).as("sh"))
+    T.documents(s, d)
+      .select(col("doc_id"), Text.words(col("text")).as("w"))
+      .select(col("doc_id"), ShingleExpr.shingles3(col("w")).as("sh"))
 
   /** Exact Jaccard on candidate pairs that share a rare shingle. */
   private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
@@ -61,17 +63,28 @@ object Dedup {
     verifyJaccard(cand, docs)
   }
 
-  /** Join candidate (d1,d2) pairs back to shingle sets, keep J >= Tau. */
-  private def verifyJaccard(cand: DataFrame, docs: DataFrame): DataFrame =
-    cand
-      .join(docs.select(col("doc_id").as("d1"), col("sh").as("sh1")), "d1")
-      .join(docs.select(col("doc_id").as("d2"), col("sh").as("sh2")), "d2")
+  /** Exact-Jaccard verification as a distributed set-similarity join:
+    * |A∩B| is a count over the exploded shingle table restricted to
+    * candidate pairs, |A∪B| = |A|+|B|-|A∩B|. No per-pair array
+    * materialization — at 100 TB the shuffle is (pairs × avg-set-size)
+    * rows of (long,long,string), never whole documents. Same value as
+    * the array formulation (the oracle keeps the array form). */
+  private def verifyJaccard(cand: DataFrame, docs: DataFrame): DataFrame = {
+    val ex = docs.select(col("doc_id"), explode(col("sh")).as("g"))
+    val sizes = docs.select(col("doc_id"), size(col("sh")).as("sz"))
+    val inter = cand
+      .join(ex.select(col("doc_id").as("d1"), col("g")), "d1")
+      .join(ex.select(col("doc_id").as("d2"), col("g")), Seq("d2", "g"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2")), "d2")
       .withColumn("jr",
-        size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
-          size(array_union(col("sh1"), col("sh2"))).cast("double"))
+        col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter")))
       .filter(col("jr") >= Tau)
       .select(col("d1"), col("d2"), round(col("jr"), 4).as("jac"))
       .orderBy("d1", "d2")
+  }
 
   private val JaccardTailSql =
     s"""cand AS (SELECT DISTINCT a.doc_id d1, b.doc_id d2
@@ -88,11 +101,14 @@ object Dedup {
     * oracle reproduces the exact candidate set. */
   private def minhashPairs(s: SparkSession, d: String): DataFrame = {
     val docs = docsWithShingles(s, d).filter(size(col("sh")) > 0)
-    val h = docs.withColumn("H", transform(col("sh"), g => Text.polyHashHof(g)))
-    val sig = (0 until Bands * RowsPerBand).foldLeft(h) { (df, j) =>
-      df.withColumn(s"mh$j",
-        array_min(transform(col("H"), x => (x * A(j) + B(j)) % P)))
-    }
+    // explode + hash each shingle ONCE, then 12 cheap min-aggregates —
+    // the HOF formulation would inline the (interpreted) hash fold into
+    // every one of the 12 signature columns.
+    val exh = docs.select(col("doc_id"), explode(col("sh")).as("g"))
+      .withColumn("h", HashExpr.polyHash(col("g")))
+    val aggs = (0 until Bands * RowsPerBand).map(j =>
+      min((col("h") * A(j) + B(j)) % P).as(s"mh$j"))
+    val sig = exh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
     val bandCols = (0 until Bands).map { b =>
       val ms = (0 until RowsPerBand).map(r => col(s"mh${b * RowsPerBand + r}"))
       concat_ws("_", lit(b) +: ms: _*)

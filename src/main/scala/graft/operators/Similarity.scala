@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QDef, Tables => T}
+import graft.functions.VectorExpr
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -17,10 +18,10 @@ object Similarity {
   private def normed(s: SparkSession, d: String): DataFrame =
     T.embeddings(s, d)
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
-      .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
+      .withColumn("nrm", sqrt(VectorExpr.dot(col("v"), col("v"))))
 
   private def cosine(qv: Column, cv: Column, qn: Column, cn: Column): Column =
-    aggregate(zip_with(qv, cv, (x, y) => x * y), lit(0.0), (a, x) => a + x) / (qn * cn)
+    VectorExpr.dot(qv, cv) / (qn * cn)
 
   /** Brute-force cosine top-k for a bounded query set: broadcast the
     * queries, stream the candidates — one pass over the corpus, no
@@ -66,8 +67,7 @@ object Similarity {
 
   private[operators] def bucketCol(v: Column, table: Int): Column =
     (0 until PlanesPerTable).map { j =>
-      val dot = aggregate(zip_with(v, typedLit(planes(table)(j)), (x, p) => x * p),
-        lit(0.0), (a, x) => a + x)
+      val dot = VectorExpr.dot(v, typedLit(planes(table)(j)))
       when(dot >= 0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
 

@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{HashExpr, Text}
+import graft.functions.{HashExpr, ShingleExpr, Text}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -17,7 +17,8 @@ class DedupSpec extends AnyFunSuite {
   /** brute-force all-pairs 3-gram Jaccard ≥ 0.8 — O(n²), test-only. */
   private lazy val truth: Set[(Long, Long)] = {
     val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), Text.shingles3(col("text")).as("sh"))
+      .select(col("doc_id"), Text.words(col("text")).as("w"))
+      .select(col("doc_id"), ShingleExpr.shingles3(col("w")).as("sh"))
     val a = docs.select(col("doc_id").as("d1"), col("sh").as("sh1"))
     val b = docs.select(col("doc_id").as("d2"), col("sh").as("sh2"))
     a.crossJoin(b).filter(col("d1") < col("d2"))
