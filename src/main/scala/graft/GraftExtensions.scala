@@ -1,0 +1,49 @@
+package graft
+
+import graft.functions.{DotProduct, PolyHash64, Shingles3, SimHash64}
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions registering graft's native expressions as SQL
+  * functions, so `spark.sql("SELECT poly_hash64(text) ...")` works — the
+  * Spark-native analogue of the reference's plugin/connector function
+  * surface. Install with:
+  *   SparkSession.builder().withExtensions(new GraftExtensions) ...
+  * or config spark.sql.extensions=graft.GraftExtensions,
+  * or on a live session: GraftExtensions.register(spark).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.defs.foreach(e.injectFunction)
+}
+
+object GraftExtensions {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  val defs: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("poly_hash64"),
+      info("poly_hash64", "poly_hash64(str) - rolling polynomial hash mod 1e9+7"),
+      (args: Seq[Expression]) => PolyHash64(args.head, 31L, 1000000007L)),
+    (FunctionIdentifier("token_hash64"),
+      info("token_hash64", "token_hash64(str) - wrapping 64-bit polynomial hash"),
+      (args: Seq[Expression]) => PolyHash64(args.head, 1099511628211L, 0L)),
+    (FunctionIdentifier("sim_hash64"),
+      info("sim_hash64", "sim_hash64(array<bigint>) - 64-bit simhash of token hashes"),
+      (args: Seq[Expression]) => SimHash64(args.head)),
+    (FunctionIdentifier("vec_dot"),
+      info("vec_dot", "vec_dot(array<double>, array<double>) - sequential-fold dot product"),
+      (args: Seq[Expression]) => DotProduct(args(0), args(1))),
+    (FunctionIdentifier("shingles3"),
+      info("shingles3", "shingles3(array<string>) - distinct 3-word shingles"),
+      (args: Seq[Expression]) => Shingles3(args.head)))
+
+  /** Register into an already-built session (withExtensions only applies
+    * at session construction). */
+  def register(spark: SparkSession): Unit =
+    defs.foreach { case (ident, inf, builder) =>
+      org.apache.spark.sql.graft.Bridge.registerFunction(spark, ident, inf, builder)
+    }
+}

@@ -1,0 +1,122 @@
+package graft.sources
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SQLContext, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+
+/** Spark DataSource integration: `spark.read.format("graft").load(path)`
+  * and `df.write.format("graft")...save(path)` — the Spark-native
+  * equivalent of the reference connector's plugin registration
+  * (ref: PrestoPlugin.java / PrestoConnectorFactory.java), so the table
+  * format is usable from SQL (`CREATE TEMPORARY VIEW ... USING graft`)
+  * without touching the library API.
+  *
+  * Read path pushes column pruning + filters into the GraftTable scan:
+  * partition-key filters prune files at the manifest (driver-side, before
+  * any task), and all filters are re-applied by Catalyst on the returned
+  * relation so the parquet reader sees them too (the same double-apply
+  * contract as PrestoFilterConverter: pushdown is best-effort, the engine
+  * keeps the residual).
+  */
+class GraftSource extends RelationProvider with SchemaRelationProvider
+    with CreatableRelationProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft"
+
+  private def pathOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft source requires a path"))
+
+  override def createRelation(
+      ctx: SQLContext, parameters: Map[String, String]): BaseRelation =
+    GraftRelation(ctx.sparkSession, pathOf(parameters), parameters)
+
+  override def createRelation(
+      ctx: SQLContext, parameters: Map[String, String], schema: StructType): BaseRelation =
+    createRelation(ctx, parameters)
+
+  override def createRelation(
+      ctx: SQLContext, mode: SaveMode, parameters: Map[String, String],
+      data: DataFrame): BaseRelation = {
+    val spark = ctx.sparkSession
+    val path = pathOf(parameters)
+    val partitionKeys = parameters.get("partitionKeys")
+      .map(_.split(",").map(_.trim).toSeq).getOrElse(Seq.empty)
+    val primaryKeys = parameters.get("primaryKeys")
+      .map(_.split(",").map(_.trim).toSeq).getOrElse(Seq.empty)
+    val opts = parameters.view.filterKeys(k =>
+      !Set("path", "partitionKeys", "primaryKeys").contains(k)).toMap
+    val exists = GraftTable.exists(spark, path)
+    val table =
+      if (!exists)
+        GraftTable.create(spark, path, data.schema, partitionKeys, primaryKeys, opts)
+      else GraftTable.load(spark, path)
+    mode match {
+      case SaveMode.Append | SaveMode.ErrorIfExists if !exists => table.append(data)
+      case SaveMode.Append => if (table.primaryKeys.nonEmpty) table.upsert(data) else table.append(data)
+      case SaveMode.Overwrite if table.partitionKeys.nonEmpty => table.overwritePartitions(data)
+      case SaveMode.Overwrite =>
+        throw new UnsupportedOperationException(
+          "full-table overwrite: drop and recreate, or use overwritePartitions")
+      case SaveMode.ErrorIfExists =>
+        throw new IllegalStateException(s"graft table already exists at $path")
+      case SaveMode.Ignore => if (!exists) table.append(data)
+    }
+    GraftRelation(spark, path, parameters)
+  }
+}
+
+final case class GraftRelation(
+    spark: SparkSession,
+    path: String,
+    parameters: Map[String, String]) extends BaseRelation with PrunedFilteredScan {
+
+  private lazy val table = GraftTable.load(spark, path)
+  private def snapshotId: Option[Long] =
+    parameters.get("snapshotId").map(_.toLong) // scan_version equivalent
+
+  override def sqlContext: SQLContext = spark.sqlContext
+  override def schema: StructType = table.schema
+
+  /** Filters on partition keys prune at the manifest; everything is also
+    * left to Spark (`unhandledFilters` = all) so the parquet scan pushes
+    * them again — manifest pruning is an optimization, not a correctness
+    * gate. */
+  override def unhandledFilters(filters: Array[Filter]): Array[Filter] = filters
+
+  override def buildScan(requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
+    val partCols = table.partitionKeys.toSet
+    val partFilter = filters.toSeq
+      .flatMap(filterToColumn(_, partCols))
+      .reduceOption(_ && _)
+    val df = table.read(snapshotId = snapshotId, partitionFilter = partFilter)
+    val projected =
+      if (requiredColumns.isEmpty) df else df.select(requiredColumns.map(col).toSeq: _*)
+    projected.rdd
+  }
+
+  /** Translate the pushed-down source filters that touch ONLY partition
+    * keys into Columns for manifest pruning (ref: the TupleDomain →
+    * Paimon predicate conversion in PrestoFilterConverter.java:71). */
+  private def filterToColumn(f: Filter, partCols: Set[String]): Option[org.apache.spark.sql.Column] =
+    f match {
+      case EqualTo(a, v) if partCols(a) => Some(col(a) === v)
+      case In(a, vs) if partCols(a) => Some(col(a).isin(vs.toSeq: _*))
+      case GreaterThan(a, v) if partCols(a) => Some(col(a) > v)
+      case GreaterThanOrEqual(a, v) if partCols(a) => Some(col(a) >= v)
+      case LessThan(a, v) if partCols(a) => Some(col(a) < v)
+      case LessThanOrEqual(a, v) if partCols(a) => Some(col(a) <= v)
+      case IsNotNull(a) if partCols(a) => Some(col(a).isNotNull)
+      case And(l, r) =>
+        (filterToColumn(l, partCols), filterToColumn(r, partCols)) match {
+          case (Some(a), Some(b)) => Some(a && b)
+          case (a, b) => a.orElse(b) // partial AND is still a valid prune
+        }
+      case Or(l, r) =>
+        for { a <- filterToColumn(l, partCols); b <- filterToColumn(r, partCols) }
+          yield a || b // OR prunes only if BOTH sides translate
+      case _ => None
+    }
+}

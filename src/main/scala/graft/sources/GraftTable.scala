@@ -184,11 +184,21 @@ class GraftTable private (
     commit(kind, currentFiles(None) ++ added)
   }
 
-  /** Deterministic within-batch dedup: greatest sequence.field per PK. */
+  /** Deterministic within-batch dedup: greatest sequence.field per PK.
+    * Without sequence.field, fall back to ordering by the orderable
+    * non-PK columns (maps etc. can't sort); with none orderable the
+    * surviving row per key is arbitrary — declare sequence.field for
+    * full determinism. */
   private def dedupBatch(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.RowOrdering
     val ord =
       if (sequenceFields.nonEmpty) sequenceFields.map(c => col(c).desc)
-      else df.columns.filterNot(primaryKeys.contains).map(c => col(c).desc).toSeq
+      else {
+        val orderable = df.schema.fields
+          .filter(f => !primaryKeys.contains(f.name) && RowOrdering.isOrderable(f.dataType))
+          .map(f => col(f.name).desc).toSeq
+        if (orderable.nonEmpty) orderable else Seq(lit(1).desc)
+      }
     val w = Window.partitionBy(primaryKeys.map(col): _*).orderBy(ord: _*)
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }

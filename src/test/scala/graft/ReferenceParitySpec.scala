@@ -1,0 +1,170 @@
+package graft
+
+import graft.sources.GraftTable
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Replays the reference's own integration scenarios
+  * (paimon-presto-common/src/test/java/org/apache/paimon/presto/
+  * TestPrestoITCase.java) against GraftTable, asserting the same result
+  * sets the Presto connector asserts.
+  */
+class ReferenceParitySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** t1: PK table (a int, b bigint, aCa varchar, d char(1)); rows 1,3,5
+    * inserted, row 3 deleted via RowKind.DELETE
+    * (TestPrestoITCase.java:89-96). */
+  private lazy val t1: GraftTable = {
+    val schema = StructType(Seq(
+      StructField("a", IntegerType), StructField("b", LongType),
+      StructField("aCa", StringType), StructField("d", StringType)))
+    val t = GraftTable.create(spark, TestSpark.tmpDir("ref_t1"), schema,
+      primaryKeys = Seq("a"))
+    t.upsert(Seq((1, 2L, "1", "1"), (3, 4L, "2", "2"), (5, 6L, "3", "3")).toDF("a", "b", "aCa", "d"))
+    t.delete(Seq((3, 4L, "2", "2")).toDF("a", "b", "aCa", "d"))
+    t
+  }
+
+  /** t2: two commits (TestPrestoITCase.java:98-105). */
+  private lazy val t2: GraftTable = {
+    val schema = StructType(Seq(
+      StructField("a", IntegerType), StructField("b", LongType),
+      StructField("aCa", StringType), StructField("d", StringType)))
+    val t = GraftTable.create(spark, TestSpark.tmpDir("ref_t2"), schema,
+      primaryKeys = Seq("a"))
+    t.upsert(Seq((1, 2L, "1", "1"), (3, 4L, "2", "2")).toDF("a", "b", "aCa", "d"))
+    t.upsert(Seq((5, 6L, "3", "3"), (7, 8L, "4", "4")).toDF("a", "b", "aCa", "d"))
+    t
+  }
+
+  test("testProjection: SELECT * / column projection / SUM after RowKind.DELETE") {
+    // assertThat(sql("SELECT * FROM t1")).isEqualTo("[[1, 2, 1, 1], [5, 6, 3, 3]]")
+    val all = t1.read().orderBy("a").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(2), r.getString(3)))
+    assert(all.toSeq == Seq((1, 2L, "1", "1"), (5, 6L, "3", "3")))
+    // SELECT a, aCa → [[1, 1], [5, 3]]
+    val proj = t1.read().select("a", "aCa").orderBy("a").collect()
+      .map(r => (r.getInt(0), r.getString(1)))
+    assert(proj.toSeq == Seq((1, "1"), (5, "3")))
+    // SELECT SUM(b) → [[8]]
+    assert(t1.read().agg(sum("b")).first().getLong(0) == 8L)
+  }
+
+  test("testLimitCommon: LIMIT with and without filter") {
+    assert(t1.read().orderBy("a").limit(1).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq == Seq((1, 2L)))
+    assert(t1.read().filter(col("a") === 5).limit(1).first().getLong(1) == 6L)
+  }
+
+  test("testFilter: a < 7 over two commits") {
+    // [[1, 1], [3, 2], [5, 3]]
+    val got = t2.read().filter(col("a") < 7).select("a", "aCa").orderBy("a")
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(got.toSeq == Seq((1, "1"), (3, "2"), (5, "3")))
+  }
+
+  test("testFilterWithTimeTravel: scan_version=1 sees only the first commit") {
+    // [[1, 1], [3, 2]]
+    val got = t2.read(snapshotId = Some(1L)).filter(col("a") < 7)
+      .select("a", "aCa").orderBy("a").collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(got.toSeq == Seq((1, "1"), (3, "2")))
+  }
+
+  test("testSystemTable: snapshots of t1") {
+    // "[[1, 0, user, 0, APPEND]]"-shaped: first snapshot is an APPEND at schema 0
+    val s = t1.system("snapshots")
+      .select("snapshot_id", "schema_id", "commit_kind").orderBy("snapshot_id").collect()
+    assert(s.head.getLong(0) == 1L && s.head.getLong(1) == 0L && s.head.getString(2) == "APPEND")
+  }
+
+  test("testGroupByWithCast (t3 shape): partitioned GROUP BY pt, a with sums") {
+    val schema = StructType(Seq(
+      StructField("pt", StringType), StructField("a", IntegerType),
+      StructField("b", LongType), StructField("c", LongType), StructField("d", IntegerType)))
+    val t = GraftTable.create(spark, TestSpark.tmpDir("ref_t3"), schema, partitionKeys = Seq("pt"))
+    t.append(Seq(("1", 1, 1L, 1L, 1), ("1", 1, 2L, 2L, 2), ("2", 3, 3L, 3L, 3))
+      .toDF("pt", "a", "b", "c", "d"))
+    // [[1, 1, 3, 3], [2, 3, 3, 3]]
+    val got = t.read().groupBy("pt", "a")
+      .agg(sum("b").as("sb"), sum("d").as("sd"))
+      .orderBy("pt", "a").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(("1", 1, 3L, 3L), ("2", 3, 3L, 3L)))
+  }
+
+  test("testComplexTypes (t4 shape): map column round-trips") {
+    val schema = StructType(Seq(
+      StructField("i", IntegerType),
+      StructField("map", MapType(StringType, StringType))))
+    val t = GraftTable.create(spark, TestSpark.tmpDir("ref_t4"), schema,
+      primaryKeys = Seq("i"), options = Map("bucket" -> "1"))
+    t.upsert(Seq((1, Map("1" -> "2"))).toDF("i", "map"))
+    // "[[1, {1=2}]]"
+    val r = t.read().first()
+    assert(r.getInt(0) == 1 && r.getMap[String, String](1) == Map("1" -> "2"))
+  }
+
+  test("testQueryMap (t_map shape): map subscript filter i3[1] = '1'") {
+    val schema = StructType(Seq(
+      StructField("i1", IntegerType), StructField("i2", StringType),
+      StructField("i3", MapType(IntegerType, StringType))))
+    val t = GraftTable.create(spark, TestSpark.tmpDir("ref_tmap"), schema,
+      partitionKeys = Seq("i2"), primaryKeys = Seq("i2", "i1"), options = Map("bucket" -> "1"))
+    t.upsert(Seq(
+      (1, "20241103", Map(1 -> "1")), (2, "20241103", Map(1 -> "2")),
+      (3, "20241104", Map(1 -> "1"))).toDF("i1", "i2", "i3"))
+    // where upper(i2) = '20241103' and i3[1] = '1' → [[1, 20241103, {1=1}]]
+    val got = t.read()
+      .filter(upper(col("i2")) === "20241103" && element_at(col("i3"), 1) === "1")
+      .collect().map(_.getInt(0))
+    assert(got.toSeq == Seq(1))
+    // i3[1] = '1' or i3[1] = '2' → all three rows
+    assert(t.read()
+      .filter(element_at(col("i3"), 1) === "1" || element_at(col("i3"), 1) === "2")
+      .count() == 3)
+  }
+
+  test("testPartitionPushDown (t5 shape): composite partition keys prune files") {
+    val schema = StructType(Seq(
+      StructField("i1", StringType), StructField("i2", IntegerType),
+      StructField("i3", IntegerType)))
+    val t = GraftTable.create(spark, TestSpark.tmpDir("ref_t5"), schema,
+      partitionKeys = Seq("i1", "i2"))
+    t.append(Seq(("20241103", 1, 1), ("20241103", 2, 2), ("20241104", 3, 2))
+      .toDF("i1", "i2", "i3"))
+    // upper(i1) = '20241103' → [[20241103, 1, 1], [20241103, 2, 2]]
+    val p1 = t.read(partitionFilter = Some(upper(col("i1")) === "20241103"))
+    assert(p1.orderBy("i2").collect().map(_.getInt(2)).toSeq == Seq(1, 2))
+    // ... and i2 = 1 → exactly one file scanned, one row
+    val p2 = t.read(partitionFilter = Some(upper(col("i1")) === "20241103" && col("i2") === 1))
+    assert(p2.inputFiles.length == 1 && p2.count() == 1)
+    // no matching partition → empty scan (partitions=Optional[[]])
+    val p3 = t.read(partitionFilter = Some(upper(col("i1")) === "20241105"))
+    assert(p3.count() == 0)
+  }
+
+  test("testDecimal/testTimestamp shapes: exact decimal + millis timestamp round-trip") {
+    val schema = StructType(Seq(
+      StructField("c1", DecimalType(20, 0)), StructField("c2", DecimalType(6, 3)),
+      StructField("ts", TimestampType)))
+    val t = GraftTable.create(spark, TestSpark.tmpDir("ref_dec"), schema)
+    t.append(spark.sql(
+      """SELECT CAST('10000000000' AS DECIMAL(20,0)) c1, CAST('123.456' AS DECIMAL(6,3)) c2,
+        |TIMESTAMP'2023-01-01 01:01:01.123' ts""".stripMargin))
+    val r = t.read().first()
+    assert(r.getDecimal(0).toPlainString == "10000000000")
+    assert(r.getDecimal(1).toPlainString == "123.456")
+    assert(r.getTimestamp(2).toString.startsWith("2023-01-01 01:01:01.123"))
+    // decimal range predicates (testDecimalPredicate)
+    assert(t.read().filter(col("c2") > 123 && col("c2") <= 123.457).count() == 1)
+    assert(t.read().filter(col("c1") >= "10000000000" && col("c1") < "10000000001").count() == 1)
+    // timestamp predicates (testTimestampPredicate)
+    assert(t.read().filter(col("ts") === to_timestamp(lit("2023-01-01 01:01:01.123"))).count() == 1)
+    assert(t.read().filter(
+      col("ts") > to_timestamp(lit("2023-01-01 01:01:00")) &&
+        col("ts") < to_timestamp(lit("2023-01-01 01:01:02"))).count() == 1)
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import graft.sources.GraftTable
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** DataSource API (`format("graft")`) + SQL function extensions. */
+class SourceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("write + read through format(\"graft\"), including SQL views") {
+    val path = TestSpark.tmpDir("dsv1")
+    Seq(("a", 1, 10L), ("b", 2, 20L)).toDF("pt", "x", "y")
+      .write.format("graft").option("partitionKeys", "pt").save(path)
+    // append through the source
+    Seq(("a", 3, 30L)).toDF("pt", "x", "y")
+      .write.format("graft").mode(SaveMode.Append).save(path)
+    val df = spark.read.format("graft").load(path)
+    assert(df.orderBy("x").collect().map(_.getInt(1)).toSeq == Seq(1, 2, 3))
+    // SQL view over the source
+    df.createOrReplaceTempView("graft_t")
+    assert(spark.sql("SELECT sum(y) FROM graft_t WHERE pt = 'a'").first().getLong(0) == 40L)
+  }
+
+  test("snapshotId read option = scan_version time travel") {
+    val path = TestSpark.tmpDir("dsv1tt")
+    Seq((1, "v1")).toDF("k", "v").write.format("graft").save(path)
+    Seq((2, "v2")).toDF("k", "v").write.format("graft").mode(SaveMode.Append).save(path)
+    val asOf1 = spark.read.format("graft").option("snapshotId", "1").load(path)
+    assert(asOf1.collect().map(_.getString(1)).toSeq == Seq("v1"))
+    assert(spark.read.format("graft").load(path).count() == 2)
+  }
+
+  test("PK table: Append mode upserts through the source") {
+    val path = TestSpark.tmpDir("dsv1pk")
+    Seq((1, "a", 1L), (2, "b", 1L)).toDF("k", "v", "seq")
+      .write.format("graft")
+      .option("primaryKeys", "k").option("sequence.field", "seq")
+      .save(path)
+    Seq((1, "a2", 2L)).toDF("k", "v", "seq")
+      .write.format("graft").mode(SaveMode.Append).save(path)
+    val rows = spark.read.format("graft").load(path)
+      .orderBy("k").collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(rows.toSeq == Seq((1, "a2"), (2, "b")))
+  }
+
+  test("partition-key filters prune files at the manifest through the source") {
+    val path = TestSpark.tmpDir("dsv1prune")
+    (1 to 4).map(i => (s"p$i", i)).toDF("pt", "x")
+      .write.format("graft").option("partitionKeys", "pt").save(path)
+    val pruned = spark.read.format("graft").load(path).filter(col("pt") === "p2")
+    assert(pruned.collect().map(_.getInt(1)).toSeq == Seq(2))
+    val all = spark.read.format("graft").load(path)
+    assert(pruned.rdd.getNumPartitions <= all.rdd.getNumPartitions)
+  }
+
+  test("SQL functions registered via GraftExtensions") {
+    // withExtensions only applies at session construction; use the
+    // live-session registration path
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT poly_hash64('abc') ph, token_hash64('abc') th,
+        |  sim_hash64(array(CAST(1 AS BIGINT))) sh,
+        |  vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) vd,
+        |  size(shingles3(array('a','b','c','d'))) ns""".stripMargin).first()
+    assert(r.getLong(0) == ("abc".foldLeft(0L)((a, c) => (a * 31 + c) % 1000000007L)))
+    assert(r.getDouble(3) == 11.0)
+    assert(r.getInt(4) == 2)
+  }
+}
