@@ -5,6 +5,7 @@ import org.apache.spark.sql.{DataFrame, Row, SQLContext, SaveMode, SparkSession}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.SQLContext
 
 /** Spark DataSource integration: `spark.read.format("graft").load(path)`
   * and `df.write.format("graft")...save(path)` — the Spark-native
@@ -21,7 +22,7 @@ import org.apache.spark.sql.types.StructType
   * keeps the residual).
   */
 class GraftSource extends RelationProvider with SchemaRelationProvider
-    with CreatableRelationProvider with DataSourceRegister {
+    with CreatableRelationProvider with StreamSourceProvider with DataSourceRegister {
 
   override def shortName(): String = "graft"
 
@@ -36,6 +37,17 @@ class GraftSource extends RelationProvider with SchemaRelationProvider
   override def createRelation(
       ctx: SQLContext, parameters: Map[String, String], schema: StructType): BaseRelation =
     createRelation(ctx, parameters)
+
+  override def sourceSchema(
+      ctx: SQLContext, schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    ("graft", new GraftStreamSource(ctx.sparkSession, pathOf(parameters), parameters).schema)
+
+  override def createSource(
+      ctx: SQLContext, metadataPath: String, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source =
+    new GraftStreamSource(ctx.sparkSession, pathOf(parameters), parameters)
 
   override def createRelation(
       ctx: SQLContext, mode: SaveMode, parameters: Map[String, String],

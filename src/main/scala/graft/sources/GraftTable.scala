@@ -348,6 +348,43 @@ class GraftTable private (
       .select((col(KindCol).as("rowkind") +: col(SeqCol).as("commit_seq") +: schema.fieldNames.map(col).toSeq): _*)
   }
 
+  /** Incremental read: rows in the files ADDED between snapshot
+    * `fromExclusive` and `toInclusive` (path-set diff, so OVERWRITE /
+    * COMPACT rewrites are not re-emitted as inserts of old data — same
+    * restriction Paimon places on streaming reads). For PK tables rows
+    * additionally filter on the hidden commit sequence, and
+    * `changelog=true` exposes rowkind/commit_seq. */
+  def readIncrement(
+      fromExclusive: Long,
+      toInclusive: Long,
+      changelog: Boolean = false): DataFrame = {
+    val before: Set[String] =
+      if (fromExclusive <= 0) Set.empty
+      else readSnapshot(fromExclusive).files.map(_.path).toSet
+    val added = readSnapshot(toInclusive).files.filterNot(f => before.contains(f.path))
+    val outCols =
+      if (changelog && isPkTable)
+        col(KindCol).as("rowkind") +: col(SeqCol).as("commit_seq") +:
+          schema.fieldNames.map(col).toSeq
+      else schema.fieldNames.map(col).toSeq
+    if (added.isEmpty) {
+      val outSchema =
+        if (changelog && isPkTable)
+          StructType(StructField("rowkind", StringType) +:
+            StructField("commit_seq", LongType) +: schema.fields)
+        else schema
+      return spark.createDataFrame(new java.util.ArrayList[Row](), outSchema)
+    }
+    val paths = added.map(f => s"${root.stripSuffix("/")}/${f.path}")
+    var raw = spark.read
+      .option("basePath", s"${root.stripSuffix("/")}/data")
+      .schema(fileSchema)
+      .parquet(paths.toSeq: _*)
+    if (isPkTable)
+      raw = raw.filter(col(SeqCol) > fromExclusive && col(SeqCol) <= toInclusive)
+    raw.select(outCols: _*)
+  }
+
   // ---- system tables (ref: TestPrestoITCase.testSystemTable) ----------
 
   def system(name: String): DataFrame = {

@@ -48,6 +48,16 @@ object StreamDemo {
     println(s"changelog rows after snapshot 1: ${GraftStreaming.changelog(t, 1L).count()}")
     t.system("snapshots").show(5, truncate = false)
 
+    // streaming READ back out of the table (V1 Source over the snapshot log)
+    val sq = spark.readStream.format("graft").option("readChangelog", "true")
+      .load(s"$root/events_pk")
+      .writeStream.outputMode("append").format("memory").queryName("cdc_out").start()
+    sq.processAllAvailable()
+    t.upsert(spark.read.parquet(s"$chunks/part=2").select(ev.columns.map(col).toSeq: _*))
+    sq.processAllAvailable(); sq.stop()
+    println(s"cdc stream rows: ${spark.sql("SELECT count(*) FROM cdc_out").first().getLong(0)}" +
+      s" across ${spark.sql("SELECT count(DISTINCT commit_seq) FROM cdc_out").first().getLong(0)} commits")
+
     val media = Multimodal.mediaFromDocuments(spark, graft.Tables.documents(spark, sfDir))
     val feats = Multimodal.extractFeatures(spark, media)
     println(s"media features: ${feats.count()} rows, dim=${feats.selectExpr("size(feature)").first().getInt(0)}")

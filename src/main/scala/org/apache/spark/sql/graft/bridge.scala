@@ -19,4 +19,13 @@ object Bridge {
       info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
       builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+
+  /** Re-tag a batch DataFrame as streaming — what V1 streaming sources
+    * (FileStreamSource et al.) do via the private[sql]
+    * internalCreateDataFrame; MicroBatchExecution asserts
+    * isStreaming=true on every getBatch result. */
+  def asStreaming(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val classic = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    classic.internalCreateDataFrame(df.queryExecution.toRdd, df.schema, isStreaming = true)
+  }
 }

@@ -68,6 +68,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("T4: readStream.format(\"graft\") emits each snapshot increment exactly once") {
+    val path = TestSpark.tmpDir("streamsrc")
+    val t = GraftTable.create(spark, path,
+      StructType(Seq(StructField("k", IntegerType), StructField("v", StringType))))
+    t.append(Seq((1, "a"), (2, "b")).toDF("k", "v"))
+    val q = spark.readStream.format("graft").load(path)
+      .writeStream.outputMode("append").format("memory").queryName("graft_src").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.sql("SELECT k FROM graft_src ORDER BY k").collect().map(_.getInt(0)).toSeq
+        == Seq(1, 2))
+      t.append(Seq((3, "c")).toDF("k", "v")) // new snapshot while running
+      q.processAllAvailable()
+      assert(spark.sql("SELECT k FROM graft_src ORDER BY k").collect().map(_.getInt(0)).toSeq
+        == Seq(1, 2, 3)) // increment only — no re-emit of 1,2
+    } finally q.stop()
+  }
+
+  test("T4b: changelog stream over a PK table carries rowkind + commit_seq") {
+    val path = TestSpark.tmpDir("streamcdc")
+    val t = GraftTable.create(spark, path,
+      StructType(Seq(StructField("k", IntegerType), StructField("v", StringType),
+        StructField("seq", LongType))),
+      primaryKeys = Seq("k"), options = Map("sequence.field" -> "seq"))
+    t.upsert(Seq((1, "a", 1L)).toDF("k", "v", "seq"))
+    val q = spark.readStream.format("graft").option("readChangelog", "true").load(path)
+      .writeStream.outputMode("append").format("memory").queryName("graft_cdc").start()
+    try {
+      q.processAllAvailable()
+      t.upsert(Seq((1, "a2", 2L)).toDF("k", "v", "seq"))
+      t.delete(Seq((1, "a2", 3L)).toDF("k", "v", "seq"))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT rowkind, commit_seq, k, v FROM graft_cdc ORDER BY commit_seq")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getString(3)))
+      assert(got.toSeq == Seq(("I", 1L, "a"), ("I", 2L, "a2"), ("D", 3L, "a2")))
+    } finally q.stop()
+  }
+
   test("T3: changelog exposes only post-snapshot row versions with rowkind") {
     val t = GraftTable.create(spark, TestSpark.tmpDir("cdc"),
       StructType(Seq(StructField("k", IntegerType), StructField("v", StringType),
