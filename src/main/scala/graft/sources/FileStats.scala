@@ -1,0 +1,145 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+
+import scala.jdk.CollectionConverters._
+
+/** Per-column min/max recorded per file in the snapshot manifest —
+  * manifest-level data skipping on NON-partition columns, the analogue of
+  * the reference format's per-file field stats that
+  * PrestoFilterConverter-converted predicates prune against. Collected
+  * from parquet footers (no data read); at real scale the writing tasks
+  * would report these with the commit message instead of a driver-side
+  * footer sweep.
+  */
+final case class ColStats(min: String, max: String, nullCount: Long)
+
+object FileStats {
+
+  /** Read min/max per primitive column from a parquet file footer,
+    * merged across row groups. Values serialize as strings; the column's
+    * Spark type (from the table schema) defines the comparison domain. */
+  def fromFooter(conf: Configuration, file: Path): Map[String, ColStats] = {
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala
+      val acc = scala.collection.mutable.Map[String, (Comparable[Any], Comparable[Any], Long, PrimitiveTypeName)]()
+      for (block <- blocks; col <- block.getColumns.asScala) {
+        val stats = col.getStatistics
+        if (stats != null && stats.hasNonNullValue) {
+          val name = col.getPath.toDotString
+          val tpe = col.getPrimitiveType.getPrimitiveTypeName
+          val mn = stats.genericGetMin.asInstanceOf[Comparable[Any]]
+          val mx = stats.genericGetMax.asInstanceOf[Comparable[Any]]
+          val nulls = if (stats.isNumNullsSet) stats.getNumNulls else 0L
+          acc.get(name) match {
+            case None => acc(name) = (mn, mx, nulls, tpe)
+            case Some((omn, omx, on, t)) =>
+              acc(name) = (
+                if (mn.compareTo(omn) < 0) mn else omn,
+                if (mx.compareTo(omx) > 0) mx else omx,
+                on + nulls, t)
+          }
+        }
+      }
+      acc.map { case (name, (mn, mx, nulls, tpe)) =>
+        name -> ColStats(render(mn, tpe), render(mx, tpe), nulls)
+      }.toMap
+    } finally reader.close()
+  }
+
+  private def render(v: Any, tpe: PrimitiveTypeName): String = v match {
+    case b: Binary if tpe == PrimitiveTypeName.BINARY => b.toStringUsingUTF8
+    case b: Binary => b.toString // decimals etc. — not used for pruning
+    case other => String.valueOf(other)
+  }
+
+  /** Can `filter` possibly match a file with these stats? Conservative:
+    * unknown columns/types/filters ⇒ true (no prune). */
+  def mayMatch(filter: Filter, stats: Map[String, ColStats], schema: StructType): Boolean = {
+    def bounds(attr: String): Option[(Any, Any, DataType)] =
+      for {
+        cs <- stats.get(attr)
+        field <- schema.fields.find(_.name == attr)
+        mn <- parse(cs.min, field.dataType)
+        mx <- parse(cs.max, field.dataType)
+      } yield (mn, mx, field.dataType)
+
+    def cmp(dt: DataType, a: Any, b: Any): Option[Int] = (a, b) match {
+      case (x: Int, y: Int) => Some(x.compareTo(y))
+      case (x: Long, y: Long) => Some(x.compareTo(y))
+      case (x: Double, y: Double) => Some(x.compareTo(y))
+      case (x: Float, y: Float) => Some(x.compareTo(y))
+      case (x: String, y: String) => Some(x.compareTo(y))
+      case _ => None
+    }
+    // normalize a literal from the filter into the stats domain
+    def lit(dt: DataType, v: Any): Option[Any] = (dt, v) match {
+      case (IntegerType, x: Int) => Some(x)
+      case (LongType, x: Long) => Some(x)
+      case (LongType, x: Int) => Some(x.toLong)
+      case (DoubleType, x: Double) => Some(x)
+      case (FloatType, x: Float) => Some(x)
+      case (StringType, x: String) => Some(x)
+      case (TimestampType, x: java.sql.Timestamp) =>
+        Some(x.getTime * 1000L + (x.getNanos / 1000) % 1000)
+      case (TimestampType, x: java.time.Instant) =>
+        Some(x.getEpochSecond * 1000000L + x.getNano / 1000)
+      case (DateType, x: java.sql.Date) => Some(x.toLocalDate.toEpochDay.toInt)
+      case (DateType, x: java.time.LocalDate) => Some(x.toEpochDay.toInt)
+      case _ => None
+    }
+
+    filter match {
+      case EqualTo(a, v) =>
+        bounds(a).flatMap { case (mn, mx, dt) =>
+          for (l <- lit(dt, v); c1 <- cmp(dt, l, mn); c2 <- cmp(dt, l, mx))
+            yield c1 >= 0 && c2 <= 0
+        }.getOrElse(true)
+      case In(a, vs) =>
+        bounds(a).flatMap { case (mn, mx, dt) =>
+          val checks = vs.toSeq.map(v =>
+            for (l <- lit(dt, v); c1 <- cmp(dt, l, mn); c2 <- cmp(dt, l, mx))
+              yield c1 >= 0 && c2 <= 0)
+          if (checks.exists(_.isEmpty)) None else Some(checks.flatten.exists(identity))
+        }.getOrElse(true)
+      case GreaterThan(a, v) =>
+        bounds(a).flatMap { case (_, mx, dt) =>
+          for (l <- lit(dt, v); c <- cmp(dt, mx, l)) yield c > 0
+        }.getOrElse(true)
+      case GreaterThanOrEqual(a, v) =>
+        bounds(a).flatMap { case (_, mx, dt) =>
+          for (l <- lit(dt, v); c <- cmp(dt, mx, l)) yield c >= 0
+        }.getOrElse(true)
+      case LessThan(a, v) =>
+        bounds(a).flatMap { case (mn, _, dt) =>
+          for (l <- lit(dt, v); c <- cmp(dt, mn, l)) yield c < 0
+        }.getOrElse(true)
+      case LessThanOrEqual(a, v) =>
+        bounds(a).flatMap { case (mn, _, dt) =>
+          for (l <- lit(dt, v); c <- cmp(dt, mn, l)) yield c <= 0
+        }.getOrElse(true)
+      case And(l, r) => mayMatch(l, stats, schema) && mayMatch(r, stats, schema)
+      case Or(l, r) => mayMatch(l, stats, schema) || mayMatch(r, stats, schema)
+      case _ => true
+    }
+  }
+
+  /** Parse a rendered stat back into the comparison domain of `dt`.
+    * TimestampType stats are parquet INT64 micros; DateType INT32 days. */
+  private def parse(s: String, dt: DataType): Option[Any] = dt match {
+    case IntegerType | DateType => s.toIntOption
+    case LongType | TimestampType => s.toLongOption
+    case DoubleType => s.toDoubleOption
+    case FloatType => s.toFloatOption
+    case StringType => Some(s)
+    case _ => None
+  }
+}

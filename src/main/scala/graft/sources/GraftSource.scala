@@ -103,7 +103,9 @@ final case class GraftRelation(
     val partFilter = filters.toSeq
       .flatMap(filterToColumn(_, partCols))
       .reduceOption(_ && _)
-    val df = table.read(snapshotId = snapshotId, partitionFilter = partFilter)
+    // non-partition filters prune files on min/max stats (data skipping)
+    val df = table.read(snapshotId = snapshotId, partitionFilter = partFilter,
+      dataFilters = filters.toSeq)
     val projected =
       if (requiredColumns.isEmpty) df else df.select(requiredColumns.map(col).toSeq: _*)
     projected.rdd

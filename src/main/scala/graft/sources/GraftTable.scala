@@ -18,7 +18,11 @@ final case class FileMeta(
     path: String, // relative to table root
     partition: Map[String, String],
     sizeBytes: Long,
-    bucket: Int)
+    bucket: Int,
+    stats: Map[String, ColStats] = Map.empty) {
+  /** null-safe (snapshots written before stats existed). */
+  def statsOrEmpty: Map[String, ColStats] = Option(stats).getOrElse(Map.empty)
+}
 
 /** One committed snapshot = the full live file set at that version.
   * (Production note: at 100 TB the file list would be a manifest-list of
@@ -72,6 +76,7 @@ class GraftTable private (
   import GraftTable._
 
   private val fs: FileSystem = fileSystem(spark, root)
+  private def hadoopConf = spark.sessionState.newHadoopConf()
 
   def schema: StructType =
     DataType.fromJson(schemaMeta.fieldsJson).asInstanceOf[StructType]
@@ -253,11 +258,16 @@ class GraftTable private (
         fs.mkdirs(destDir)
         val dest = new Path(destDir, f"$stagingId-b$bucket-$n%05d.parquet")
         if (!fs.rename(p, dest)) throw new IllegalStateException(s"rename failed: $p -> $dest")
+        // min/max per column from the footer -> manifest data skipping.
+        // (At cluster scale the write tasks would report these in the
+        // commit message; a driver-side footer read is O(files) metadata.)
+        val stats = FileStats.fromFooter(hadoopConf, dest)
         metas += FileMeta(
           path = fs.makeQualified(dest).toString.stripPrefix(rootQ).stripPrefix("/"),
           partition = partition,
           sizeBytes = st.getLen,
-          bucket = bucket)
+          bucket = bucket,
+          stats = stats)
         n += 1
       }
     }
@@ -310,9 +320,14 @@ class GraftTable private (
   def read(
       snapshotId: Option[Long] = None,
       partitionFilter: Option[Column] = None,
-      bucket: Option[Int] = None): DataFrame = {
+      bucket: Option[Int] = None,
+      dataFilters: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty): DataFrame = {
     var files = pruneFiles(currentFiles(snapshotId), partitionFilter)
     bucket.foreach(b => files = files.filter(_.bucket == b))
+    // manifest-level data skipping on min/max column stats
+    if (dataFilters.nonEmpty)
+      files = files.filter(f =>
+        dataFilters.forall(fl => FileStats.mayMatch(fl, f.statsOrEmpty, schema)))
     if (files.isEmpty)
       return spark.createDataFrame(new java.util.ArrayList[Row](), schema)
     val paths = files.map(f => s"${root.stripSuffix("/")}/${f.path}")

@@ -118,6 +118,33 @@ class GraftTableSpec extends AnyFunSuite {
     assert(hit.inputFiles.length < t.read().inputFiles.length)
   }
 
+  test("S14: min/max file stats skip files for range/equality predicates") {
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThan, LessThan}
+    val t = GraftTable.create(spark, TestSpark.tmpDir("skip"),
+      StructType(Seq(StructField("id", LongType), StructField("v", StringType))))
+    // 4 commits with disjoint id ranges → 4 files with disjoint [min,max]
+    (0 until 4).foreach { b =>
+      t.append(((b * 100L) until (b * 100L + 100L)).map(i => (i, s"v$i")).toDF("id", "v")
+        .coalesce(1))
+    }
+    val all = t.read()
+    assert(all.inputFiles.length == 4)
+    val skipped = t.read(dataFilters = Seq(EqualTo("id", 250L)))
+    assert(skipped.inputFiles.length == 1)
+    assert(skipped.filter(col("id") === 250L).count() == 1)
+    // files [100,199], [200,299], [300,399] overlap (150, 320) ⇒ 3 of 4 kept
+    val range = t.read(dataFilters = Seq(GreaterThan("id", 150L), LessThan("id", 320L)))
+    assert(range.inputFiles.length == 3)
+    assert(range.filter(col("id") > 150L && col("id") < 320L).count() == 169)
+    // predicates that match nothing read nothing
+    assert(t.read(dataFilters = Seq(GreaterThan("id", 5000L))).inputFiles.isEmpty)
+    // string stats prune on LEXICOGRAPHIC ranges: "v250" falls inside
+    // ["v0","v99"] as well as ["v200","v299"] ⇒ 2 of 4 files kept
+    val sv = t.read(dataFilters = Seq(EqualTo("v", "v250")))
+    assert(sv.inputFiles.length == 2)
+    assert(sv.filter(col("v") === "v250").count() == 1)
+  }
+
   test("S5b: overwritePartitions replaces only the named partitions") {
     val t = GraftTable.create(spark, TestSpark.tmpDir("ow"), schema, partitionKeys = Seq("pt"))
     t.append(Seq(("1", 1, 1L), ("2", 2, 2L)).toDF("pt", "a", "b"))
