@@ -1,0 +1,100 @@
+package graft.operators
+
+import graft.{QDef, Tables => T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal / set operators beyond the reference's own surface
+  * (SURVEY §2.2 R22–R24): an as-of join composed from a sorted union +
+  * running last-non-null (no custom physical operator needed — one
+  * shuffle on the key, same as any keyed window), INTERSECT/EXCEPT, CUBE.
+  */
+object Temporal {
+
+  /** For each purchase, the latest click by the same user at-or-before
+    * the purchase time (ASOF LEFT JOIN). Composition: union both sides
+    * tagged, sort within user by (ts, side), carry the last click forward.
+    * Scale: one hash shuffle on user_id; no range-explosion, no
+    * cartesian — the standard Spark re-expression of as-of semantics. */
+  private def asofJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = T.events(s, d)
+    // one click per (user, ts): keep max event_id so the as-of pick is
+    // deterministic under ts ties (mirrored in the oracle)
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max("event_id").as("click_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val tagged = clicks
+      .select(col("user_id"), col("ts"), lit(0).as("side"), col("click_id"),
+        lit(null).cast("long").as("event_id"))
+      .unionByName(purchases
+        .select(col("user_id"), col("ts"), lit(1).as("side"),
+          lit(null).cast("long").as("click_id"), col("event_id")))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("side"), col("click_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("last_click", last(col("click_id"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("event_id"), col("user_id"), col("last_click").as("click_id"))
+      .orderBy("event_id")
+  }
+
+  val defs: Seq[QDef] = Seq(
+    // R22: as-of join — oracle is DuckDB's native ASOF JOIN.
+    QDef(
+      "q_asof_join",
+      asofJoin,
+      Some("""WITH clicks AS (
+             |  SELECT user_id, ts, max(event_id) AS click_id
+             |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+             |purchases AS (
+             |  SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase')
+             |SELECT p.event_id, p.user_id, c.click_id
+             |FROM purchases p
+             |ASOF LEFT JOIN clicks c
+             |  ON p.user_id = c.user_id AND p.ts >= c.ts
+             |ORDER BY p.event_id""".stripMargin)),
+
+    // R23: INTERSECT / EXCEPT.
+    QDef(
+      "q_setops",
+      (s, d) => {
+        val buyers = T.events(s, d).filter(col("event_type") === "purchase")
+          .select(col("user_id")).distinct()
+        val errorers = T.events(s, d).filter(col("event_type") === "error")
+          .select(col("user_id")).distinct()
+        val both = buyers.intersect(errorers).withColumn("src", lit("both"))
+        val onlyBuy = buyers.except(errorers).withColumn("src", lit("buy_only"))
+        both.unionByName(onlyBuy)
+          .groupBy("src").agg(count(lit(1)).as("n")).orderBy("src")
+      },
+      Some("""WITH buyers AS (SELECT DISTINCT user_id FROM events WHERE event_type='purchase'),
+             |errorers AS (SELECT DISTINCT user_id FROM events WHERE event_type='error'),
+             |u AS (
+             |  SELECT 'both' AS src, user_id FROM (SELECT user_id FROM buyers INTERSECT SELECT user_id FROM errorers)
+             |  UNION ALL
+             |  SELECT 'buy_only', user_id FROM (SELECT user_id FROM buyers EXCEPT SELECT user_id FROM errorers))
+             |SELECT src, count(*) AS n FROM u GROUP BY src ORDER BY src""".stripMargin)),
+
+    // R24: CUBE grouping sets.
+    QDef(
+      "q_cube",
+      (s, d) =>
+        T.orders(s, d)
+          .cube("o_orderstatus", "o_orderpriority")
+          .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("s"))
+          .select(
+            coalesce(col("o_orderstatus"), lit("ALL")).as("st"),
+            coalesce(col("o_orderpriority"), lit("ALL")).as("pri"),
+            col("n"), col("s"))
+          .orderBy("st", "pri"),
+      Some("""SELECT coalesce(o_orderstatus,'ALL') AS st,
+             |  coalesce(o_orderpriority,'ALL') AS pri,
+             |  count(*) AS n, round(sum(o_totalprice),2) AS s
+             |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+             |ORDER BY st, pri""".stripMargin))
+  )
+}

@@ -88,6 +88,12 @@ final case class GraftRelation(
   private lazy val table = GraftTable.load(spark, path)
   private def snapshotId: Option[Long] =
     parameters.get("snapshotId").map(_.toLong) // scan_version equivalent
+  // session-property equivalents (ref PrestoSessionProperties:
+  // partition_prune_enabled / query_pushdown_enabled)
+  private def partitionPruneEnabled: Boolean =
+    parameters.get("partitionPrune").forall(_.toBoolean)
+  private def dataSkipEnabled: Boolean =
+    parameters.get("dataSkip").forall(_.toBoolean)
 
   override def sqlContext: SQLContext = spark.sqlContext
   override def schema: StructType = table.schema
@@ -100,12 +106,12 @@ final case class GraftRelation(
 
   override def buildScan(requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
     val partCols = table.partitionKeys.toSet
-    val partFilter = filters.toSeq
-      .flatMap(filterToColumn(_, partCols))
-      .reduceOption(_ && _)
+    val partFilter =
+      if (!partitionPruneEnabled) None
+      else filters.toSeq.flatMap(filterToColumn(_, partCols)).reduceOption(_ && _)
     // non-partition filters prune files on min/max stats (data skipping)
     val df = table.read(snapshotId = snapshotId, partitionFilter = partFilter,
-      dataFilters = filters.toSeq)
+      dataFilters = if (dataSkipEnabled) filters.toSeq else Seq.empty)
     val projected =
       if (requiredColumns.isEmpty) df else df.select(requiredColumns.map(col).toSeq: _*)
     projected.rdd

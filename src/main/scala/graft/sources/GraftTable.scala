@@ -437,6 +437,24 @@ class GraftTable private (
     }
   }
 
+  /** Expire all but the last `retainLast` snapshots and delete data files
+    * referenced only by expired ones (Paimon-style snapshot expiry; keeps
+    * the metadata and storage footprint bounded for a long-lived table).
+    * Returns the expired snapshot ids. */
+  def expireSnapshots(retainLast: Int): Seq[Long] = {
+    require(retainLast >= 1, "must retain at least one snapshot")
+    val ids = snapshots.map(_.id)
+    if (ids.length <= retainLast) return Seq.empty
+    val (expire, retain) = ids.splitAt(ids.length - retainLast)
+    val retained: Set[String] =
+      retain.flatMap(id => readSnapshot(id).files.map(_.path)).toSet
+    val orphans = expire.flatMap(id => readSnapshot(id).files.map(_.path))
+      .toSet -- retained
+    orphans.foreach(p => fs.delete(new Path(root, p), false))
+    expire.foreach(id => fs.delete(new Path(root, s"snapshot/snap-$id.json"), false))
+    expire
+  }
+
   // ---- schema evolution ----------------------------------------------
 
   private def allSchemas: Seq[SchemaMeta] = {

@@ -145,6 +145,24 @@ class GraftTableSpec extends AnyFunSuite {
     assert(sv.filter(col("v") === "v250").count() == 1)
   }
 
+  test("S15: snapshot expiry drops old snapshots and their orphaned files only") {
+    import org.apache.spark.sql.types.{LongType => LT, StringType => ST}
+    val t = GraftTable.create(spark, TestSpark.tmpDir("expire"),
+      StructType(Seq(StructField("k", IntegerType), StructField("v", StringType),
+        StructField("seq", LongType))), primaryKeys = Seq("k"))
+    t.upsert(Seq((1, "a", 1L)).toDF("k", "v", "seq"))
+    t.upsert(Seq((1, "a2", 2L)).toDF("k", "v", "seq"))
+    t.compact() // snapshot 3 references only the merged file
+    val expired = t.expireSnapshots(retainLast = 1)
+    assert(expired == Seq(1L, 2L))
+    assert(t.snapshots.map(_.id) == Seq(3L))
+    // current read unaffected; expired version unreadable
+    assert(t.read().collect().map(_.getString(1)).toSeq == Seq("a2"))
+    intercept[Exception](t.read(snapshotId = Some(1L)).collect())
+    // pre-compaction files physically deleted
+    assert(t.system("files").count() == 1)
+  }
+
   test("S5b: overwritePartitions replaces only the named partitions") {
     val t = GraftTable.create(spark, TestSpark.tmpDir("ow"), schema, partitionKeys = Seq("pt"))
     t.append(Seq(("1", 1, 1L), ("2", 2, 2L)).toDF("pt", "a", "b"))

@@ -56,6 +56,21 @@ class SourceSpec extends AnyFunSuite {
     assert(pruned.rdd.getNumPartitions <= all.rdd.getNumPartitions)
   }
 
+  test("partitionPrune/dataSkip toggles change the scan, never the answer") {
+    val path = TestSpark.tmpDir("dsv1toggle")
+    (1 to 4).map(i => (s"p$i", i.toLong)).toDF("pt", "x")
+      .write.format("graft").option("partitionKeys", "pt").save(path)
+    def q(opts: (String, String)*) = {
+      var r = spark.read.format("graft")
+      opts.foreach { case (k, v) => r = r.option(k, v) }
+      r.load(path).filter(col("pt") === "p2" && col("x") === 2L)
+    }
+    val on = q()
+    val off = q("partitionPrune" -> "false", "dataSkip" -> "false")
+    assert(on.collect().toSeq == off.collect().toSeq)
+    assert(on.rdd.getNumPartitions <= off.rdd.getNumPartitions)
+  }
+
   test("SQL functions registered via GraftExtensions") {
     // withExtensions only applies at session construction; use the
     // live-session registration path

@@ -22,7 +22,7 @@ def canon(df):
         row = []
         for v in r:
             if isinstance(v, float):
-                row.append(round(v, 6) if not math.isnan(v) else "NaN")
+                row.append("NaN" if math.isnan(v) else str(round(v, 6)))
             else:
                 row.append(str(v))
         rows.append(tuple(row))
