@@ -194,6 +194,48 @@ object Dedup {
 
     // L4: SimHash hamming near-dup (rows-only; validated in DedupSpec
     // against brute-force hamming).
-    QDef("q_dedup_simhash", simhashPairs, None)
+    QDef("q_dedup_simhash", simhashPairs, None),
+
+    // L13: APPLY the dedup — materialize the cleaned corpus (keep the
+    // smallest doc_id of every near-dup pair, anti-join the rest away).
+    // This is the operator a training-data pipeline actually runs; the
+    // pair queries above are its diagnostics.
+    QDef(
+      "q_dedup_apply",
+      (s, d) => {
+        val drop = jaccardPairs(s, d).select(col("d2").as("doc_id")).distinct()
+        T.documents(s, d)
+          .join(drop, Seq("doc_id"), "left_anti")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH w AS (SELECT doc_id, $ShSql sh FROM documents),
+              |e AS (SELECT doc_id, unnest(sh) g FROM w),
+              |rare AS (SELECT g FROM e GROUP BY g HAVING count(*) <= $MaxDf),
+              |er AS (SELECT e.doc_id, e.g FROM e JOIN rare USING (g)),
+              |cand AS (SELECT DISTINCT a.doc_id d1, b.doc_id d2
+              |  FROM er a JOIN er b ON a.g = b.g AND a.doc_id < b.doc_id),
+              |j AS (SELECT d1, d2,
+              |  CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE)
+              |    / len(list_distinct(list_cat(s1.sh, s2.sh))) jr
+              |  FROM cand JOIN w s1 ON d1 = s1.doc_id JOIN w s2 ON d2 = s2.doc_id),
+              |dropd AS (SELECT DISTINCT d2 FROM j WHERE jr >= $Tau)
+              |SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+              |FROM documents WHERE doc_id NOT IN (SELECT d2 FROM dropd)
+              |GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // L14: stratified sampling for data-mixture construction (rows-only:
+    // Bernoulli draws are engine-specific; SamplingSpec checks the
+    // mixture proportions instead).
+    QDef(
+      "q_sample_mixture",
+      (s, d) => {
+        val fractions = Map("en" -> 0.8, "de" -> 0.5, "fr" -> 0.5, "es" -> 0.25, "zh" -> 0.1)
+        T.documents(s, d).stat.sampleBy("lang", fractions, seed = 42L)
+          .groupBy("lang").agg(count(lit(1)).as("n"))
+          .orderBy("lang")
+      },
+      None)
   )
 }

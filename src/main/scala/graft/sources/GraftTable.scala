@@ -124,8 +124,12 @@ class GraftTable private (
   private def readSnapshot(id: Long): SnapshotMeta =
     mapper.readValue(readString(fs, new Path(root, s"snapshot/snap-$id.json")), classOf[SnapshotMeta])
 
-  private def commit(kind: String, files: Seq[FileMeta]): Long = {
-    val id = latestSnapshotId.getOrElse(0L) + 1
+  private def commit(kind: String, files: Seq[FileMeta]): Long =
+    commitAt(latestSnapshotId.getOrElse(0L) + 1, kind, files)
+
+  /** Commit targeting an explicit snapshot id — fails if another writer
+    * claimed it (optimistic concurrency; the id is the version check). */
+  private[graft] def commitAt(id: Long, kind: String, files: Seq[FileMeta]): Long = {
     val snap = SnapshotMeta(
       id = id,
       commitUser = "graft",
@@ -139,7 +143,9 @@ class GraftTable private (
     val tmp = new Path(root, s"snapshot/.snap-$id-${UUID.randomUUID()}.tmp")
     writeString(fs, tmp, mapper.writeValueAsString(snap))
     val dst = new Path(root, s"snapshot/snap-$id.json")
-    if (!fs.rename(tmp, dst)) {
+    // exists-precheck catches conflicts on filesystems whose rename
+    // overwrites (local); on HDFS the rename itself is the atomic check.
+    if (fs.exists(dst) || !fs.rename(tmp, dst)) {
       fs.delete(tmp, false)
       throw new IllegalStateException(s"conflicting commit for snapshot $id at $root")
     }

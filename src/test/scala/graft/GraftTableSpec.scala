@@ -163,6 +163,24 @@ class GraftTableSpec extends AnyFunSuite {
     assert(t.system("files").count() == 1)
   }
 
+  test("S16: commit conflict detection — an occupied snapshot id aborts the commit") {
+    val root = TestSpark.tmpDir("conflict")
+    val t = GraftTable.create(spark, root,
+      StructType(Seq(StructField("k", IntegerType))))
+    import spark.implicits._
+    t.append(Seq(1).toDF("k"))
+    // another writer claims snapshot 2 between our read and our rename:
+    // plant the file, then drive the id-targeted commit directly (a
+    // stateless append would just see the plant as the new latest)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(new org.apache.hadoop.conf.Configuration())
+    val out = fs.create(new org.apache.hadoop.fs.Path(root, "snapshot/snap-2.json"), true)
+    out.write("{}".getBytes); out.close()
+    intercept[IllegalStateException](t.commitAt(2, "APPEND", Seq.empty))
+    // and the next regular commit simply moves past the claimed id
+    t.append(Seq(2).toDF("k"))
+    assert(t.latestSnapshotId.contains(3L))
+  }
+
   test("S5b: overwritePartitions replaces only the named partitions") {
     val t = GraftTable.create(spark, TestSpark.tmpDir("ow"), schema, partitionKeys = Seq("pt"))
     t.append(Seq(("1", 1, 1L), ("2", 2, 2L)).toDF("pt", "a", "b"))
