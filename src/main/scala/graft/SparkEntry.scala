@@ -9,7 +9,8 @@ object SparkEntry {
     * DuckDB oracle. */
   def allDefs: Seq[QDef] =
     operators.Relational.defs ++ operators.Temporal.defs ++ operators.GraftQueries.defs ++
-      operators.TextOps.defs ++ operators.Dedup.defs ++ operators.Similarity.defs
+      operators.TextOps.defs ++ operators.Dedup.defs ++ operators.Similarity.defs ++
+      operators.Sketches.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -42,7 +42,72 @@ object Temporal {
       .orderBy("event_id")
   }
 
+  /** Gap-based sessionization (30-min inactivity): classic event-stream
+    * analytics. Two windows over one shuffle on user_id; the comparison
+    * runs on integer epoch-micros so both engines use identical
+    * arithmetic. */
+  private def sessionize(s: SparkSession, d: String): DataFrame = {
+    val GapUs = 1800000000L // 30 min
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    T.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > GapUs, 1).otherwise(0))
+      .withColumn("sess_id", sum(col("new_sess")).over(run))
+      .groupBy("user_id", "sess_id")
+      .agg(count(lit(1)).as("cnt"),
+        (max(unix_micros(col("ts"))) - min(unix_micros(col("ts")))).as("dur_us"))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        max("cnt").as("max_events"),
+        sum("dur_us").as("total_dur_us"))
+      .orderBy("user_id")
+  }
+
   val defs: Seq[QDef] = Seq(
+    // R25: sessionization.
+    QDef(
+      "q_sessionize",
+      sessionize,
+      Some("""WITH g AS (
+             |  SELECT user_id, ts, event_id,
+             |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+             |  FROM events),
+             |m AS (SELECT user_id, ts, event_id,
+             |    CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_sess
+             |  FROM g),
+             |sess AS (SELECT user_id, ts, event_id,
+             |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+             |  FROM m),
+             |per AS (SELECT user_id, sess_id, count(*) AS cnt,
+             |    max(epoch_us(ts)) - min(epoch_us(ts)) AS dur_us
+             |  FROM sess GROUP BY user_id, sess_id)
+             |SELECT user_id, count(*) AS n_sessions, max(cnt) AS max_events,
+             |  CAST(sum(dur_us) AS BIGINT) AS total_dur_us
+             |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // R26: exact percentiles (linear interpolation on both engines).
+    QDef(
+      "q_percentile",
+      (s, d) =>
+        T.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(
+            round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"),
+            round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25_price"),
+            round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+             |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25_price,
+             |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     // R22: as-of join — oracle is DuckDB's native ASOF JOIN.
     QDef(
       "q_asof_join",
