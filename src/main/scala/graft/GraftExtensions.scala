@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProduct, PolyHash64, Shingles3, SimHash64}
+import graft.functions.{DotProduct, KmvDistinct, PolyHash64, Shingles3, SimHash64}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -36,6 +36,10 @@ object GraftExtensions {
     (FunctionIdentifier("vec_dot"),
       info("vec_dot", "vec_dot(array<double>, array<double>) - sequential-fold dot product"),
       (args: Seq[Expression]) => DotProduct(args(0), args(1))),
+    (FunctionIdentifier("kmv_distinct"),
+      info("kmv_distinct", "kmv_distinct(hash64, k) - approx distinct via k-minimum-values sketch"),
+      (args: Seq[Expression]) => KmvDistinct(args(0),
+        args(1).eval(null).asInstanceOf[Int]).toAggregateExpression()),
     (FunctionIdentifier("shingles3"),
       info("shingles3", "shingles3(array<string>) - distinct 3-word shingles"),
       (args: Seq[Expression]) => Shingles3(args.head)))

@@ -14,10 +14,14 @@ import org.apache.spark.sql.functions._
 object GraftQueries {
 
   private def tmpRoot(prefix: String): String = {
-    val d = new java.io.File(
-      s"target/graft-tmp/$prefix-${java.util.UUID.randomUUID().toString.take(8)}")
-    d.getParentFile.mkdirs()
-    d.getAbsolutePath
+    val base = new java.io.File("target/graft-tmp")
+    base.mkdirs()
+    // best-effort GC of previous runs' throwaway tables for this query
+    Option(base.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith(s"$prefix-"))
+      .foreach(dir => scala.reflect.io.Directory(dir).deleteRecursively())
+    new java.io.File(base, s"$prefix-${java.util.UUID.randomUUID().toString.take(8)}")
+      .getAbsolutePath
   }
 
   /** events through a PK table: two upsert commits (even/odd event_id),
