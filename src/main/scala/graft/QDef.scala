@@ -36,7 +36,12 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = t(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = t(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = t(s, d, "region")
-  def events(s: SparkSession, d: String): DataFrame = normalizeTs(t(s, d, "events"))
+  def events(s: SparkSession, d: String): DataFrame = {
+    // ensure the session can read TIMESTAMP(NANOS) parquet even when the
+    // caller didn't set the conf (it is runtime-settable)
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    normalizeTs(t(s, d, "events"))
+  }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 }

@@ -8,7 +8,7 @@ object SparkEntry {
   /** All declared capabilities (SURVEY §2), each a Spark impl + optional
     * DuckDB oracle. */
   def allDefs: Seq[QDef] =
-    operators.Relational.defs ++ operators.Temporal.defs ++ operators.GraftQueries.defs ++
+    operators.Relational.defs ++ operators.Relational2.defs ++ operators.Temporal.defs ++ operators.GraftQueries.defs ++
       operators.TextOps.defs ++ operators.Dedup.defs ++ operators.Similarity.defs ++
       operators.Sketches.defs
 

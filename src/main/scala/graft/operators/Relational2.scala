@@ -1,0 +1,99 @@
+package graft.operators
+
+import graft.{QDef, Tables => T}
+import graft.functions.Text
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Second tranche of relational coverage (SURVEY §2.2 R27–R30):
+  * full outer join, pivot, explode/word-count, rank-family windows.
+  */
+object Relational2 {
+
+  val defs: Seq[QDef] = Seq(
+    // R27: FULL OUTER join — customers with no urgent orders and urgent
+    // orders with no customer row both survive.
+    QDef(
+      "q_full_outer",
+      (s, d) => {
+        val c = T.customer(s, d).filter(col("c_acctbal") > 9000)
+          .select(col("c_custkey"), col("c_mktsegment"))
+        val o = T.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+          .groupBy(col("o_custkey")).agg(count(lit(1)).as("urgent_orders"))
+        c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+          .groupBy(
+            coalesce(col("c_mktsegment"), lit("NO_CUSTOMER")).as("seg"),
+            col("c_custkey").isNull.as("no_cust"),
+            col("o_custkey").isNull.as("no_orders"))
+          .agg(count(lit(1)).as("n"),
+            sum(coalesce(col("urgent_orders"), lit(0L))).as("urgent"))
+          .orderBy("seg", "no_cust", "no_orders")
+      },
+      Some("""SELECT coalesce(c_mktsegment,'NO_CUSTOMER') AS seg,
+             |  c_custkey IS NULL AS no_cust, o_custkey IS NULL AS no_orders,
+             |  count(*) AS n,
+             |  CAST(sum(coalesce(urgent_orders, 0)) AS BIGINT) AS urgent
+             |FROM (SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal > 9000) c
+             |FULL OUTER JOIN (
+             |  SELECT o_custkey, count(*) AS urgent_orders FROM orders
+             |  WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey) o
+             |ON c_custkey = o_custkey
+             |GROUP BY seg, no_cust, no_orders
+             |ORDER BY seg, no_cust, no_orders""".stripMargin)),
+
+    // R28: pivot — orders count per status pivoted over priority buckets.
+    QDef(
+      "q_pivot",
+      (s, d) =>
+        T.orders(s, d)
+          .withColumn("pri", substring(col("o_orderpriority"), 1, 1))
+          .groupBy("o_orderstatus")
+          .pivot("pri", Seq("1", "2", "3"))
+          .agg(count(lit(1)))
+          .na.fill(0L)
+          .orderBy("o_orderstatus"),
+      Some("""SELECT o_orderstatus,
+             |  count(*) FILTER (substr(o_orderpriority,1,1) = '1') AS "1",
+             |  count(*) FILTER (substr(o_orderpriority,1,1) = '2') AS "2",
+             |  count(*) FILTER (substr(o_orderpriority,1,1) = '3') AS "3"
+             |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // R29: explode / word count over documents (the lateral-view shape).
+    QDef(
+      "q_wordcount",
+      (s, d) =>
+        T.documents(s, d)
+          .select(explode(Text.words(col("text"))).as("w"))
+          .groupBy("w")
+          .agg(count(lit(1)).as("n"))
+          .orderBy(desc("n"), col("w"))
+          .limit(10),
+      Some("""SELECT w, count(*) AS n
+             |FROM (SELECT unnest(string_split_regex(trim(text),'\s+')) AS w FROM documents) t
+             |GROUP BY w ORDER BY n DESC, w LIMIT 10""".stripMargin)),
+
+    // R30: rank-family window functions — ntile/percent_rank/cume_dist.
+    QDef(
+      "q_window_ranks",
+      (s, d) => {
+        val w = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal"), col("c_custkey"))
+        T.customer(s, d)
+          .select(
+            col("c_mktsegment"), col("c_custkey"),
+            ntile(4).over(w).cast("long").as("quartile"),
+            round(percent_rank().over(w), 6).as("pr"),
+            round(cume_dist().over(w), 6).as("cd"))
+          .filter(col("c_custkey") % 50 === 0)
+          .orderBy("c_mktsegment", "c_custkey")
+      },
+      Some("""SELECT c_mktsegment, c_custkey, quartile, round(pr,6) AS pr, round(cd,6) AS cd
+             |FROM (SELECT c_mktsegment, c_custkey,
+             |    ntile(4) OVER w AS quartile,
+             |    percent_rank() OVER w AS pr,
+             |    cume_dist() OVER w AS cd
+             |  FROM customer
+             |  WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)) t
+             |WHERE c_custkey % 50 = 0
+             |ORDER BY c_mktsegment, c_custkey""".stripMargin))
+  )
+}
