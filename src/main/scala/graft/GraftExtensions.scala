@@ -14,8 +14,13 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * or on a live session: GraftExtensions.register(spark).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.defs.foreach(e.injectFunction)
+    e.injectOptimizerRule { session =>
+      graft.plans.ApproxDistinctRule(() =>
+        session.conf.get("spark.graft.approxDistinct.enabled", "false").toBoolean)
+    }
+  }
 }
 
 object GraftExtensions {

