@@ -1,0 +1,60 @@
+package graft.operators
+
+import graft.{QDef, Tables => T}
+import graft.functions.Text
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Token-aware sequence packing (SURVEY §2.3 L16): greedy first-fit of
+  * documents into fixed-token-budget packs — the batch-construction step
+  * of an LLM training pipeline (maximize tokens per sequence, preserve
+  * document order).
+  *
+  * Scale design: documents are assigned to fixed doc_id blocks (a
+  * deterministic partitioning, unlike sampled range partitioning), each
+  * block packs independently via flatMapGroups, and pack ids are
+  * (block, local) — embarrassingly parallel, no global sort, no driver
+  * state. Block size bounds the per-task memory.
+  */
+object Packing {
+
+  val TokenBudget = 512
+  val BlockSize = 100L
+
+  final case class PackedDoc(doc_id: Long, tokens: Long, block: Long, pack_id: Long)
+
+  def packDocuments(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    T.documents(s, d)
+      .select(col("doc_id"),
+        size(Text.words(col("text"))).cast("long").as("tokens"))
+      .withColumn("block", (col("doc_id") / BlockSize).cast("long"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._3)
+      .flatMapGroups { (block: Long, docs: Iterator[(Long, Long, Long)]) =>
+        // greedy first-fit in doc_id order; oversized docs get their own pack
+        val sorted = docs.toSeq.sortBy(_._1)
+        var local = 0L
+        var used = TokenBudget + 1L // force a new pack for the first doc
+        sorted.iterator.map { case (docId, tokens, _) =>
+          if (used + tokens > TokenBudget) { local += 1; used = 0L }
+          used += tokens
+          PackedDoc(docId, tokens, block, block * 1000000L + local)
+        }
+      }
+      .toDF()
+  }
+
+  val defs: Seq[QDef] = Seq(
+    // L16 (rows-only: greedy packing is inherently sequential per block,
+    // not SQL-expressible; PackingSpec checks the invariants).
+    QDef(
+      "q_pack_sequences",
+      (s, d) =>
+        packDocuments(s, d)
+          .groupBy("pack_id")
+          .agg(count(lit(1)).as("n_docs"), sum("tokens").as("pack_tokens"))
+          .orderBy("pack_id"),
+      None)
+  )
+}
