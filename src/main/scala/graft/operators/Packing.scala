@@ -5,7 +5,7 @@ import graft.functions.Text
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Token-aware sequence packing (SURVEY §2.3 L16): greedy first-fit of
+/** Token-aware sequence packing (SURVEY §2.3 L16): greedy next-fit of
   * documents into fixed-token-budget packs — the batch-construction step
   * of an LLM training pipeline (maximize tokens per sequence, preserve
   * document order).
@@ -20,6 +20,9 @@ object Packing {
 
   val TokenBudget = 512
   val BlockSize = 100L
+  /** ≥ max packs per block (one per doc) + 1 ⇒ pack ids never collide
+    * across blocks, regardless of BlockSize tuning. */
+  val PackStride: Long = BlockSize + 1
 
   final case class PackedDoc(doc_id: Long, tokens: Long, block: Long, pack_id: Long)
 
@@ -28,18 +31,22 @@ object Packing {
     T.documents(s, d)
       .select(col("doc_id"),
         size(Text.words(col("text"))).cast("long").as("tokens"))
-      .withColumn("block", (col("doc_id") / BlockSize).cast("long"))
+      // NULL-safe token count; integral `div` (float division mis-rounds
+      // for doc_id beyond 2^53 and truncates, not floors, negatives)
+      .withColumn("tokens", coalesce(col("tokens"), lit(0L)))
+      .withColumn("block", expr(s"doc_id div $BlockSize"))
       .as[(Long, Long, Long)]
       .groupByKey(_._3)
       .flatMapGroups { (block: Long, docs: Iterator[(Long, Long, Long)]) =>
-        // greedy first-fit in doc_id order; oversized docs get their own pack
+        // greedy next-fit in doc_id order (only the currently-open pack
+        // is considered); oversized docs get their own pack
         val sorted = docs.toSeq.sortBy(_._1)
         var local = 0L
         var used = TokenBudget + 1L // force a new pack for the first doc
         sorted.iterator.map { case (docId, tokens, _) =>
           if (used + tokens > TokenBudget) { local += 1; used = 0L }
           used += tokens
-          PackedDoc(docId, tokens, block, block * 1000000L + local)
+          PackedDoc(docId, tokens, block, block * PackStride + local)
         }
       }
       .toDF()

@@ -25,7 +25,7 @@ class PackingSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     val byPack = rows.groupBy(_._4).map { case (p, rs) => p -> rs.map(_._2).sum }
     for (Array((p1, _), (p2, _)) <- rows.map(r => (r._4, r._3)).distinct.sliding(2).map(_.toArray)
-         if p1 / 1000000L == p2 / 1000000L) {
+         if p1 / Packing.PackStride == p2 / Packing.PackStride) {
       val firstOfNext = rows.filter(_._4 == p2).minBy(_._1)._2
       assert(byPack(p1) + firstOfNext > Packing.TokenBudget,
         s"pack $p1 could have absorbed the first doc of $p2")
