@@ -61,6 +61,12 @@ object FileStats {
     case other => String.valueOf(other)
   }
 
+  private def isAscii(s: String): Boolean = {
+    var i = 0
+    while (i < s.length) { if (s.charAt(i) >= 0x80) return false; i += 1 }
+    true
+  }
+
   /** Can `filter` possibly match a file with these stats? Conservative:
     * unknown columns/types/filters ⇒ true (no prune). */
   def mayMatch(filter: Filter, stats: Map[String, ColStats], schema: StructType): Boolean = {
@@ -77,7 +83,9 @@ object FileStats {
       case (x: Long, y: Long) => Some(x.compareTo(y))
       case (x: Double, y: Double) => Some(x.compareTo(y))
       case (x: Float, y: Float) => Some(x.compareTo(y))
-      case (x: String, y: String) => Some(x.compareTo(y))
+      // parquet orders string stats by unsigned UTF-8 bytes; Java compareTo
+      // is UTF-16 code units. The two orders agree only on pure ASCII.
+      case (x: String, y: String) if isAscii(x) && isAscii(y) => Some(x.compareTo(y))
       case _ => None
     }
     // normalize a literal from the filter into the stats domain

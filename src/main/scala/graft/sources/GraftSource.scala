@@ -66,7 +66,7 @@ class GraftSource extends RelationProvider with SchemaRelationProvider
         GraftTable.create(spark, path, data.schema, partitionKeys, primaryKeys, opts)
       else GraftTable.load(spark, path)
     mode match {
-      case SaveMode.Append | SaveMode.ErrorIfExists if !exists => table.append(data)
+      case _ if !exists => table.append(data) // first write: every mode just writes
       case SaveMode.Append => if (table.primaryKeys.nonEmpty) table.upsert(data) else table.append(data)
       case SaveMode.Overwrite if table.partitionKeys.nonEmpty => table.overwritePartitions(data)
       case SaveMode.Overwrite =>
@@ -74,7 +74,7 @@ class GraftSource extends RelationProvider with SchemaRelationProvider
           "full-table overwrite: drop and recreate, or use overwritePartitions")
       case SaveMode.ErrorIfExists =>
         throw new IllegalStateException(s"graft table already exists at $path")
-      case SaveMode.Ignore => if (!exists) table.append(data)
+      case SaveMode.Ignore => () // table exists: no-op
     }
     GraftRelation(spark, path, parameters)
   }

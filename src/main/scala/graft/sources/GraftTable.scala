@@ -164,7 +164,9 @@ class GraftTable private (
     writeCommit(dedupBatch(df), kind = "APPEND", rowKind = "I")
   }
 
-  /** Delete by primary key (df must contain at least PK + sequence cols). */
+  /** Delete by primary key. `df` must contain FULL rows of the schema
+    * (the non-key values are ignored by the merge; they exist so the
+    * delete file shares the table layout). */
   def delete(df: DataFrame): Long = {
     require(isPkTable, "delete requires primary keys")
     writeCommit(dedupBatch(df), kind = "APPEND", rowKind = "D")
@@ -173,27 +175,39 @@ class GraftTable private (
   /** Replace every partition present in `df` with df's rows. */
   def overwritePartitions(df: DataFrame): Long = {
     require(partitionKeys.nonEmpty, "overwritePartitions requires a partitioned table")
+    val base = latestSnapshotId.getOrElse(0L)
     val affected: Set[Map[String, String]] = df
       .select(partitionKeys.map(col): _*).distinct().collect()
-      .map(r => partitionKeys.zipWithIndex.map { case (k, i) => k -> String.valueOf(r.get(i)) }.toMap)
+      .map(r => partitionKeys.zipWithIndex.map { case (k, i) =>
+        k -> (if (r.isNullAt(i)) NullPartition else String.valueOf(r.get(i)))
+      }.toMap)
       .toSet
-    val keep = currentFiles(None).filterNot(f => affected.contains(f.partition))
-    val added = stageWrite(df, rowKind = "I")
-    commit("OVERWRITE", keep ++ added)
+    val keep = filesAt(base).filterNot(f => affected.contains(f.partition))
+    val added = stageWrite(df, rowKind = "I", seq = base + 1)
+    commitAt(base + 1, "OVERWRITE", keep ++ added)
   }
 
   /** Rewrite the merged current state as fresh files (drops overwritten
     * versions and deletes — the LSM compaction of the reference's format). */
   def compact(): Long = {
-    val merged = read()
-    val added = stageWrite(merged, rowKind = "I")
-    commit("COMPACT", added)
+    val base = latestSnapshotId.getOrElse(0L)
+    val merged = read(snapshotId = Some(base).filter(_ > 0))
+    val added = stageWrite(merged, rowKind = "I", seq = base + 1)
+    commitAt(base + 1, "COMPACT", added)
   }
 
+  /** All write paths capture ONE base snapshot and target base+1: a
+    * concurrent commit of base+1 makes commitAt fail (no lost update —
+    * the loser's file list was built from a stale base), and the staged
+    * files' __seq always equals the committed snapshot id. */
   private def writeCommit(df: DataFrame, kind: String, rowKind: String): Long = {
-    val added = stageWrite(df, rowKind)
-    commit(kind, currentFiles(None) ++ added)
+    val base = latestSnapshotId.getOrElse(0L)
+    val added = stageWrite(df, rowKind, seq = base + 1)
+    commitAt(base + 1, kind, filesAt(base) ++ added)
   }
+
+  private def filesAt(snapshotId: Long): Seq[FileMeta] =
+    if (snapshotId <= 0) Seq.empty else readSnapshot(snapshotId).files
 
   /** Deterministic within-batch dedup: greatest sequence.field per PK.
     * Without sequence.field, fall back to ordering by the orderable
@@ -220,11 +234,11 @@ class GraftTable private (
     * data/<k=v>/<commit-uuid>-b<bucket>-<n>.parquet so one `basePath`
     * serves all commits.
     */
-  private def stageWrite(df: DataFrame, rowKind: String): Seq[FileMeta] = {
+  private def stageWrite(df: DataFrame, rowKind: String, seq: Long): Seq[FileMeta] = {
     val dataCols = schema.fieldNames.toSeq
     require(dataCols.forall(df.columns.contains),
       s"df missing columns: ${dataCols.filterNot(df.columns.contains).mkString(",")}")
-    val nextSeq = latestSnapshotId.getOrElse(0L) + 1
+    val nextSeq = seq
 
     var out = df.select(dataCols.map(col): _*)
     if (isPkTable)
@@ -243,6 +257,7 @@ class GraftTable private (
       .parquet(staging.toString)
 
     // move staged files into data/, folding the __bucket dir into the name
+    val statsConf = hadoopConf // one Configuration for all footer reads
     val stagingQ = fs.makeQualified(staging).toString
     val rootQ = fs.makeQualified(new Path(root)).toString
     val metas = mutable.ArrayBuffer[FileMeta]()
@@ -267,7 +282,7 @@ class GraftTable private (
         // min/max per column from the footer -> manifest data skipping.
         // (At cluster scale the write tasks would report these in the
         // commit message; a driver-side footer read is O(files) metadata.)
-        val stats = FileStats.fromFooter(hadoopConf, dest)
+        val stats = FileStats.fromFooter(statsConf, dest)
         metas += FileMeta(
           path = fs.makeQualified(dest).toString.stripPrefix(rootQ).stripPrefix("/"),
           partition = partition,
@@ -379,10 +394,28 @@ class GraftTable private (
       fromExclusive: Long,
       toInclusive: Long,
       changelog: Boolean = false): DataFrame = {
-    val before: Set[String] =
+    // per-snapshot walk: only APPEND commits emit; OVERWRITE/COMPACT
+    // rewrite existing data with fresh paths and must not flood the
+    // stream with re-inserts of old rows.
+    val range = (fromExclusive + 1) to toInclusive
+    val snaps =
+      try range.map(readSnapshot)
+      catch {
+        case e: java.io.FileNotFoundException =>
+          throw new IllegalStateException(
+            s"snapshots in ($fromExclusive, $toInclusive] were expired; " +
+              "the incremental stream cannot resume — restart from a fresh checkpoint", e)
+      }
+    var prev: Set[String] =
       if (fromExclusive <= 0) Set.empty
       else readSnapshot(fromExclusive).files.map(_.path).toSet
-    val added = readSnapshot(toInclusive).files.filterNot(f => before.contains(f.path))
+    val added = scala.collection.mutable.ArrayBuffer[FileMeta]()
+    for (snap <- snaps) {
+      val paths = snap.files.map(_.path).toSet
+      if (snap.commitKind == "APPEND")
+        added ++= snap.files.filterNot(f => prev.contains(f.path))
+      prev = paths
+    }
     val outCols =
       if (changelog && isPkTable)
         col(KindCol).as("rowkind") +: col(SeqCol).as("commit_seq") +:
@@ -401,8 +434,12 @@ class GraftTable private (
       .option("basePath", s"${root.stripSuffix("/")}/data")
       .schema(fileSchema)
       .parquet(paths.toSeq: _*)
-    if (isPkTable)
+    if (isPkTable) {
       raw = raw.filter(col(SeqCol) > fromExclusive && col(SeqCol) <= toInclusive)
+      // without the changelog columns a consumer can't interpret delete
+      // markers — suppress them instead of resurrecting deleted keys
+      if (!changelog) raw = raw.filter(col(KindCol) =!= "D")
+    }
     raw.select(outCols: _*)
   }
 
@@ -449,7 +486,9 @@ class GraftTable private (
     * Returns the expired snapshot ids. */
   def expireSnapshots(retainLast: Int): Seq[Long] = {
     require(retainLast >= 1, "must retain at least one snapshot")
-    val ids = snapshots.map(_.id)
+    val dir = new Path(root, "snapshot")
+    val ids = fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .collect { case SnapRe(id) => id.toLong }.sorted
     if (ids.length <= retainLast) return Seq.empty
     val (expire, retain) = ids.splitAt(ids.length - retainLast)
     val retained: Set[String] =
@@ -516,7 +555,11 @@ object GraftTable {
     finally out.close()
   }
 
-  private def castPartitionValue(v: String, dt: DataType): Any = dt match {
+  /** Hive's directory name for a null partition value. */
+  val NullPartition = "__HIVE_DEFAULT_PARTITION__"
+
+  private def castPartitionValue(v: String, dt: DataType): Any =
+    if (v == NullPartition) null else dt match {
     case IntegerType => v.toInt
     case LongType => v.toLong
     case ShortType => v.toShort
@@ -528,8 +571,30 @@ object GraftTable {
     case other => throw new IllegalArgumentException(s"unsupported partition type $other")
   }
 
-  private[sources] def unescapePath(s: String): String =
-    java.net.URLDecoder.decode(s, "UTF-8")
+  /** Decode ONLY the %XX escapes Spark's escapePathName produces.
+    * (URLDecoder would also turn '+' into a space, corrupting literal
+    * '+' in partition values — Hive-style escaping never encodes '+'.) */
+  private[sources] def unescapePath(s: String): String = {
+    if (!s.contains('%')) return s
+    val out = new StringBuilder(s.length)
+    val byteBuf = new java.io.ByteArrayOutputStream(8)
+    def flushBytes(): Unit = if (byteBuf.size() > 0) {
+      out.append(new String(byteBuf.toByteArray, java.nio.charset.StandardCharsets.UTF_8))
+      byteBuf.reset()
+    }
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length + 1 && i + 3 <= s.length) {
+        try {
+          byteBuf.write(Integer.parseInt(s.substring(i + 1, i + 3), 16))
+          i += 3
+        } catch { case _: NumberFormatException => flushBytes(); out.append(c); i += 1 }
+      } else { flushBytes(); out.append(c); i += 1 }
+    }
+    flushBytes()
+    out.toString
+  }
 
   def create(
       spark: SparkSession,

@@ -181,6 +181,34 @@ class GraftTableSpec extends AnyFunSuite {
     assert(t.latestSnapshotId.contains(3L))
   }
 
+  test("S4c: partition values with '+', '%' escapes, and NULL round-trip") {
+    val t = GraftTable.create(spark, TestSpark.tmpDir("escape"),
+      StructType(Seq(StructField("pt", StringType), StructField("x", IntegerType))),
+      partitionKeys = Seq("pt"))
+    t.append(Seq(("a+b", 1), ("with space", 2), (null.asInstanceOf[String], 3)).toDF("pt", "x"))
+    // '+' must stay a literal plus (URLDecoder would turn it into a space)
+    val plus = t.read(partitionFilter = Some(col("pt") === "a+b"))
+    assert(plus.collect().map(_.getInt(1)).toSeq == Seq(1))
+    val sp = t.read(partitionFilter = Some(col("pt") === "with space"))
+    assert(sp.collect().map(_.getInt(1)).toSeq == Seq(2))
+    // null partitions survive pruned reads (predicate excludes them, no crash)
+    assert(plus.count() == 1 && t.read().count() == 3)
+    // overwrite of the null partition replaces it rather than duplicating
+    t.overwritePartitions(Seq((null.asInstanceOf[String], 9)).toDF("pt", "x"))
+    val rows = t.read().orderBy("x").collect().map(r => (Option(r.getString(0)), r.getInt(1)))
+    assert(rows.toSeq == Seq((Some("a+b"), 1), (Some("with space"), 2), (None, 9)))
+  }
+
+  test("S15b: incremental read across expired snapshots fails with a clear error") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, TestSpark.tmpDir("expinc"),
+      StructType(Seq(StructField("k", IntegerType))))
+    t.append(Seq(1).toDF("k")); t.append(Seq(2).toDF("k")); t.append(Seq(3).toDF("k"))
+    t.expireSnapshots(retainLast = 1)
+    val e = intercept[IllegalStateException](t.readIncrement(1L, 3L).collect())
+    assert(e.getMessage.contains("expired"))
+  }
+
   test("S5b: overwritePartitions replaces only the named partitions") {
     val t = GraftTable.create(spark, TestSpark.tmpDir("ow"), schema, partitionKeys = Seq("pt"))
     t.append(Seq(("1", 1, 1L), ("2", 2, 2L)).toDF("pt", "a", "b"))

@@ -56,6 +56,12 @@ class SourceSpec extends AnyFunSuite {
     assert(pruned.rdd.getNumPartitions <= all.rdd.getNumPartitions)
   }
 
+  test("SaveMode.Overwrite on a fresh path just writes") {
+    val path = TestSpark.tmpDir("dsv1ow")
+    Seq((1, "a")).toDF("k", "v").write.format("graft").mode(SaveMode.Overwrite).save(path)
+    assert(spark.read.format("graft").load(path).count() == 1)
+  }
+
   test("partitionPrune/dataSkip toggles change the scan, never the answer") {
     val path = TestSpark.tmpDir("dsv1toggle")
     (1 to 4).map(i => (s"p$i", i.toLong)).toDF("pt", "x")

@@ -106,6 +106,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("T4c: plain stream suppresses deletes; compaction does not flood the stream") {
+    val path = TestSpark.tmpDir("streamnoflood")
+    val t = GraftTable.create(spark, path,
+      StructType(Seq(StructField("k", IntegerType), StructField("v", StringType),
+        StructField("seq", LongType))),
+      primaryKeys = Seq("k"), options = Map("sequence.field" -> "seq"))
+    t.upsert(Seq((1, "a", 1L), (2, "b", 1L)).toDF("k", "v", "seq"))
+    val q = spark.readStream.format("graft").load(path)
+      .writeStream.outputMode("append").format("memory").queryName("nf_out").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM nf_out").first().getLong(0) == 2)
+      // a delete commit must NOT resurrect rows on a non-changelog stream
+      t.delete(Seq((2, "b", 2L)).toDF("k", "v", "seq"))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM nf_out").first().getLong(0) == 2)
+      // compaction rewrites every file — nothing new may be emitted
+      t.compact()
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM nf_out").first().getLong(0) == 2)
+      // and a post-compaction append still streams incrementally
+      t.upsert(Seq((3, "c", 3L)).toDF("k", "v", "seq"))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM nf_out").first().getLong(0) == 3)
+    } finally q.stop()
+  }
+
   test("T5: flatMapGroupsWithState session tracker closes sessions across micro-batches") {
     import graft.streaming.UserEvent
     implicit val sc = spark.sqlContext
