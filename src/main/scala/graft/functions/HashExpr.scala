@@ -8,8 +8,10 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Polynomial rolling hash over a string's UTF-16 code units:
-  * `acc = (acc * mult + c) % mod` (mod 0 ⇒ wrapping 64-bit).
+/** Polynomial rolling hash over a string's Unicode CODE POINTS:
+  * `acc = (acc * mult + cp) % mod` (mod 0 ⇒ wrapping 64-bit). Code
+  * points (not UTF-16 units) so the DuckDB oracle's per-character ord()
+  * matches even for supplementary-plane text (emoji, CJK ext-B).
   *
   * A native Catalyst expression with real codegen so document
   * fingerprinting stays inside whole-stage codegen at 100 TB — the
@@ -23,35 +25,31 @@ case class PolyHash64(child: Expression, mult: Long, mod: Long)
   override def dataType: DataType = LongType
   override def prettyName: String = "poly_hash64"
 
-  override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
-    var acc = 0L
-    var i = 0
-    while (i < s.length) {
-      acc = acc * mult + s.charAt(i)
-      if (mod > 0) acc %= mod
-      i += 1
-    }
-    acc
-  }
+  override def nullSafeEval(input: Any): Any =
+    PolyHash64Impl.hash(input.asInstanceOf[UTF8String], mult, mod)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c => {
-      val str = ctx.freshName("str")
-      val i = ctx.freshName("i")
-      val modStmt = if (mod > 0) s"${ev.value} %= ${mod}L;" else ""
-      s"""
-         |String $str = $c.toString();
-         |${ev.value} = 0L;
-         |for (int $i = 0; $i < $str.length(); $i++) {
-         |  ${ev.value} = ${ev.value} * ${mult}L + $str.charAt($i);
-         |  $modStmt
-         |}
-       """.stripMargin
-    })
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.PolyHash64Impl$$.MODULE$$.hash($c, ${mult}L, ${mod}L);")
 
   override protected def withNewChildInternal(newChild: Expression): PolyHash64 =
     copy(child = newChild)
+}
+
+object PolyHash64Impl {
+  /** Code-point fold, single pass over the UTF-16 buffer. */
+  def hash(u: UTF8String, mult: Long, mod: Long): Long = {
+    val s = u.toString
+    var acc = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      acc = acc * mult + cp
+      if (mod > 0) acc %= mod
+      i += Character.charCount(cp)
+    }
+    acc
+  }
 }
 
 object SimHash64Impl {

@@ -79,10 +79,12 @@ object Text {
     val stops = markerCount(text, LangMarkers.toMap.apply("en")).cast("double")
     val punct = markerCount(text, PunctPattern).cast("double")
     val chars = length(text).cast("double")
+    // greatest(..,1) guards ANSI division-by-zero on empty text (Spark 4
+    // ANSI mode throws on x/0 even for doubles; DuckDB returns NULL)
     round(
       least(wc / 100.0, lit(1.0)) * 0.4 +
-        (stops / wc) * 0.3 +
-        (lit(1.0) - punct / chars) * 0.3,
+        (stops / greatest(wc, lit(1.0))) * 0.3 +
+        (lit(1.0) - punct / greatest(chars, lit(1.0))) * 0.3,
       4)
   }
 
@@ -90,7 +92,7 @@ object Text {
   def qualitySql(t: String): String =
     s"""round(least(CAST(len(regexp_split_to_array(trim($t),'\\s+')) AS DOUBLE)/100.0, 1.0)*0.4
        | + (CAST(len(regexp_extract_all($t, '${LangMarkers.toMap.apply("en")}')) AS DOUBLE)
-       |    / CAST(len(regexp_split_to_array(trim($t),'\\s+')) AS DOUBLE))*0.3
+       |    / greatest(CAST(len(regexp_split_to_array(trim($t),'\\s+')) AS DOUBLE), 1.0))*0.3
        | + (1.0 - CAST(len(regexp_extract_all($t, '$PunctPattern')) AS DOUBLE)
-       |    / CAST(length($t) AS DOUBLE))*0.3, 4)""".stripMargin.replace("\n", " ")
+       |    / greatest(CAST(length($t) AS DOUBLE), 1.0))*0.3, 4)""".stripMargin.replace("\n", " ")
 }

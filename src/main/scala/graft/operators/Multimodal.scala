@@ -12,7 +12,8 @@ import org.apache.spark.sql.types._
   * The actual codecs (image/audio libs) are NOT in this container, so the
   * decode kernel is a clearly-marked deterministic STUB — but everything
   * Spark-side is real: the schema contract, the mapPartitions batch
-  * shape (one buffer reused per partition, no per-row allocation), the
+  * shape (the per-partition closure is where a real codec would hold its
+  * reusable decode buffers; the stub itself allocates per row), the
   * preserved partitioning, and the output encoders. Swapping the stub for
   * a JNI/py kernel changes no plan shape.
   */
@@ -70,11 +71,15 @@ object Multimodal {
     media.select(
       col("media_id"),
       col("meta"),
-      filter(
-        transform(
-          sequence(lit(0), greatest(((length(col("bytes")) - 1) / frameBytes).cast("int"), lit(0))),
-          i => col("bytes").substr((i * frameBytes + 1).cast("int"), lit(frameBytes))),
-        (_, i) => i % stride === 0).as("frames"))
+      // empty/NULL media yields zero frames (sequence(0,0) would emit one
+      // phantom frame otherwise)
+      when(length(col("bytes")) > 0,
+        filter(
+          transform(
+            sequence(lit(0), ((length(col("bytes")) - 1) / frameBytes).cast("int")),
+            i => col("bytes").substr((i * frameBytes + 1).cast("int"), lit(frameBytes))),
+          (_, i) => i % stride === 0))
+        .otherwise(array().cast("array<binary>")).as("frames"))
       .withColumn("n_sampled", size(col("frames")))
 
   /** Build a media table from documents (bytes = utf-8 text) — the

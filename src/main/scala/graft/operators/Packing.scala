@@ -31,10 +31,13 @@ object Packing {
     T.documents(s, d)
       .select(col("doc_id"),
         size(Text.words(col("text"))).cast("long").as("tokens"))
-      // NULL-safe token count; integral `div` (float division mis-rounds
-      // for doc_id beyond 2^53 and truncates, not floors, negatives)
+      // NULL-safe token count; FLOOR division in integer arithmetic
+      // (float division mis-rounds past 2^53; `div` truncates toward
+      // zero, which would let a negative-id block span 2*BlockSize docs
+      // and overflow the pack-id stride)
       .withColumn("tokens", coalesce(col("tokens"), lit(0L)))
-      .withColumn("block", expr(s"doc_id div $BlockSize"))
+      .withColumn("block", expr(
+        s"(doc_id div $BlockSize) - (CASE WHEN doc_id % $BlockSize < 0 THEN 1 ELSE 0 END)"))
       .as[(Long, Long, Long)]
       .groupByKey(_._3)
       .flatMapGroups { (block: Long, docs: Iterator[(Long, Long, Long)]) =>

@@ -420,13 +420,13 @@ object Relational {
       (s, d) =>
         T.events(s, d)
           .select(
-            (regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long") % 10)
+            (expr("try_cast(regexp_extract(props, '\"k\": (\\\\d+)', 1) AS BIGINT) % 10")) // try_cast: unmatched props bucket to NULL, not an ANSI cast error
               .as("k_bucket"),
             col("value"))
           .groupBy("k_bucket")
           .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("s"))
           .orderBy("k_bucket"),
-      Some("""SELECT CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) % 10 AS k_bucket,
+      Some("""SELECT TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) % 10 AS k_bucket,
              |  count(*) AS n, round(sum(value),2) AS s
              |FROM events
              |GROUP BY k_bucket ORDER BY k_bucket""".stripMargin)),

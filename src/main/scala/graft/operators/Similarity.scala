@@ -19,6 +19,9 @@ object Similarity {
     T.embeddings(s, d)
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("nrm", sqrt(VectorExpr.dot(col("v"), col("v"))))
+      // zero vectors have no direction: excluding them keeps cosine
+      // total and avoids ANSI divide-by-zero (oracle mirrors the filter)
+      .filter(col("nrm") > 0)
 
   private def cosine(qv: Column, cv: Column, qn: Column, cn: Column): Column =
     VectorExpr.dot(qv, cv) / (qn * cn)
@@ -41,7 +44,10 @@ object Similarity {
       .orderBy("q_id", "rn")
   }
 
-  /** Embedding near-dup scan: nearest neighbor for every vector. */
+  /** Embedding near-dup scan: nearest neighbor for every vector.
+    * Broadcasts the normed corpus — valid only while it fits a broadcast
+    * (the diagnostic/baseline regime); at corpus scale use the LSH
+    * variant, whose candidates come from an equality join on buckets. */
   private def embedNn(s: SparkSession, d: String): DataFrame = {
     val n = normed(s, d)
     val q = n.select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
@@ -101,9 +107,10 @@ object Similarity {
 
   private val NormedSql =
     """e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
-      |n AS (SELECT vec_id, v,
-      |  sqrt(list_reduce(list_cat([0.0], list_transform(v, x -> x*x)), (a,x) -> a+x)) nrm
-      |  FROM e)""".stripMargin
+      |n AS (SELECT vec_id, v, nrm FROM (
+      |  SELECT vec_id, v,
+      |    sqrt(list_reduce(list_cat([0.0], list_transform(v, x -> x*x)), (a,x) -> a+x)) nrm
+      |  FROM e) WHERE nrm > 0)""".stripMargin
 
   val defs: Seq[QDef] = Seq(
     // L6: brute-force cosine top-3 for 20 probe vectors.

@@ -62,31 +62,55 @@ object GraftStreaming {
 
   /** Custom-state streaming: per-user session tracking with
     * flatMapGroupsWithState. Emits one row per CLOSED session (gap >
-    * `gapSeconds` or state timeout); open sessions live in the state
-    * store, so the operator is incremental across micro-batches — the
-    * stateful-processing shape the built-in windowed aggregates can't
+    * `gapSeconds`, or the processing-time state timeout for users that go
+    * silent — which also evicts their state). Late events (older than the
+    * open session's last timestamp) are folded in by widening the session
+    * bounds, never by moving them backwards. Open sessions live in the
+    * state store, so the operator is incremental across micro-batches —
+    * the stateful-processing shape the built-in windowed aggregates can't
     * express (sessions have data-dependent, unaligned boundaries). */
   def sessionTracker(
       events: org.apache.spark.sql.Dataset[UserEvent],
-      gapSeconds: Long): org.apache.spark.sql.Dataset[ClosedSession] = {
+      gapSeconds: Long,
+      // None disables the idle timeout. Production should set it (evicts
+      // state for silent users); note that with a timeout the engine
+      // schedules no-data micro-batches to fire timers, so test harnesses
+      // relying on processAllAvailable quiescence must pass None.
+      idleTimeout: Option[String] = Some("30 minutes")): org.apache.spark.sql.Dataset[ClosedSession] = {
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, ClosedSession](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf) {
         (user: Long, batch: Iterator[UserEvent], state: GroupState[SessionState]) =>
-          var cur = state.getOption.orNull
-          val closed = scala.collection.mutable.ArrayBuffer[ClosedSession]()
-          batch.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
-            if (cur == null) cur = SessionState(e.ts_us, e.ts_us, 1)
-            else if (e.ts_us - cur.last_us > gapSeconds * 1000000L) {
-              closed += ClosedSession(user, cur.start_us, cur.last_us, cur.n)
-              cur = SessionState(e.ts_us, e.ts_us, 1)
-            } else cur = cur.copy(last_us = e.ts_us, n = cur.n + 1)
+          if (state.hasTimedOut) {
+            // user went silent: close and evict their open session
+            val cur = state.get
+            state.remove()
+            Iterator.single(ClosedSession(user, cur.start_us, cur.last_us, cur.n))
+          } else {
+            var cur = state.getOption.orNull
+            val closed = scala.collection.mutable.ArrayBuffer[ClosedSession]()
+            batch.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+              if (cur == null) cur = SessionState(e.ts_us, e.ts_us, 1)
+              else if (e.ts_us - cur.last_us > gapSeconds * 1000000L) {
+                closed += ClosedSession(user, cur.start_us, cur.last_us, cur.n)
+                cur = SessionState(e.ts_us, e.ts_us, 1)
+              } else cur = cur.copy(
+                start_us = math.min(cur.start_us, e.ts_us),
+                last_us = math.max(cur.last_us, e.ts_us),
+                n = cur.n + 1)
+            }
+            if (cur != null) {
+              state.update(cur)
+              idleTimeout.foreach(state.setTimeoutDuration)
+            }
+            closed.iterator
           }
-          if (cur != null) state.update(cur)
-          closed.iterator
       }
   }
 }

@@ -11,15 +11,17 @@ class HashExprSpec extends AnyFunSuite {
 
   private def refPoly(s: String, mult: Long, mod: Long): Long = {
     var acc = 0L
-    s.foreach { c =>
-      acc = acc * mult + c
+    s.codePoints().forEach { cp =>
+      acc = acc * mult + cp
       if (mod > 0) acc %= mod
     }
     acc
   }
 
   test("PolyHash64 (codegen) matches the interpreted reference") {
-    val inputs = Seq("", "a", "hello world", "the fast key order sort", "Ünïcödé")
+    // includes a supplementary-plane char: the fold is over CODE POINTS
+    // (= DuckDB ord()), not UTF-16 units
+    val inputs = Seq("", "a", "hello world", "the fast key order sort", "Ünïcödé", "a😀b")
     val got = inputs.toDF("s").select(HashExpr.polyHash(col("s"))).collect().map(_.getLong(0))
     assert(got.toSeq == inputs.map(refPoly(_, 31L, 1000000007L)))
     val got64 = inputs.toDF("s").select(HashExpr.tokenHash64(col("s"))).collect().map(_.getLong(0))

@@ -137,7 +137,9 @@ class StreamingSpec extends AnyFunSuite {
     import graft.streaming.UserEvent
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[UserEvent]
-    val sessions = GraftStreaming.sessionTracker(mem.toDS(), gapSeconds = 1800)
+    // idleTimeout=None: with a timer the engine runs no-data batches and
+    // processAllAvailable never quiesces
+    val sessions = GraftStreaming.sessionTracker(mem.toDS(), gapSeconds = 1800, idleTimeout = None)
     val q = sessions.writeStream.outputMode("append")
       .format("memory").queryName("sess_out").start()
     try {
