@@ -43,14 +43,33 @@ object GraftExtensions {
       (args: Seq[Expression]) => DotProduct(args(0), args(1))),
     (FunctionIdentifier("kmv_distinct"),
       info("kmv_distinct", "kmv_distinct(hash64, k) - approx distinct via k-minimum-values sketch"),
-      (args: Seq[Expression]) => KmvDistinct(args(0),
-        args(1).eval(null).asInstanceOf[Int]).toAggregateExpression()),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "kmv_distinct(hash64, k) takes exactly 2 arguments")
+        val k = args(1) match {
+          case lit: org.apache.spark.sql.catalyst.expressions.Literal =>
+            lit.value match {
+              case i: Int => i
+              case l: Long => l.toInt
+              case s: Short => s.toInt
+              case other => throw new IllegalArgumentException(
+                s"kmv_distinct k must be an integral literal, got $other")
+            }
+          case other => throw new IllegalArgumentException(
+            s"kmv_distinct k must be a literal, got ${other.sql}")
+        }
+        KmvDistinct(args(0), k).toAggregateExpression()
+      }),
     (FunctionIdentifier("shingles3"),
       info("shingles3", "shingles3(array<string>) - distinct 3-word shingles"),
       (args: Seq[Expression]) => Shingles3(args.head)))
 
-  /** Register into an already-built session (withExtensions only applies
-    * at session construction). */
+  /** Register the SQL FUNCTIONS into an already-built session
+    * (withExtensions only applies at session construction). Note: the
+    * ApproxDistinctRule optimizer rule CANNOT be injected post-build —
+    * sessions needing the approx-distinct rewrite must be constructed
+    * with `withExtensions(new GraftExtensions)` or
+    * `spark.sql.extensions=graft.GraftExtensions` (or use
+    * `spark.experimental.extraOptimizations`). */
   def register(spark: SparkSession): Unit =
     defs.foreach { case (ident, inf, builder) =>
       org.apache.spark.sql.graft.Bridge.registerFunction(spark, ident, inf, builder)

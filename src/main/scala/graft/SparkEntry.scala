@@ -6,8 +6,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   /** All declared capabilities (SURVEY §2), each a Spark impl + optional
-    * DuckDB oracle. */
-  def allDefs: Seq[QDef] =
+    * DuckDB oracle. A duplicate name would silently shadow a capability
+    * in the toMaps below — fail fast instead. */
+  lazy val allDefs: Seq[QDef] = {
+    val defs = allDefsSeq
+    val dups = defs.groupBy(_.name).filter(_._2.size > 1).keys
+    require(dups.isEmpty, s"duplicate query names: ${dups.mkString(",")}")
+    defs
+  }
+
+  private def allDefsSeq: Seq[QDef] =
     operators.Relational.defs ++ operators.Relational2.defs ++ operators.Temporal.defs ++ operators.GraftQueries.defs ++
       operators.TextOps.defs ++ operators.Dedup.defs ++ operators.Similarity.defs ++
       operators.Sketches.defs ++ operators.Packing.defs
@@ -17,11 +25,11 @@ object SparkEntry {
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     allDefs.map(q => q.name -> q.fn).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] =
+  lazy val oracleSql: Map[String, String] =
     allDefs.flatMap(q => q.oracle.map(q.name -> _)).toMap
 }

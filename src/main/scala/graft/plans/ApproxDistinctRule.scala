@@ -2,7 +2,8 @@ package graft.plans
 
 import graft.functions.KmvDistinct
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count}
-import org.apache.spark.sql.catalyst.expressions.XxHash64
+import org.apache.spark.sql.catalyst.expressions.{If, IsNull, Literal, XxHash64}
+import org.apache.spark.sql.types.LongType
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 
@@ -28,8 +29,12 @@ case class ApproxDistinctRule(enabled: () => Boolean) extends Rule[LogicalPlan] 
         agg.transformExpressions {
           case ae @ AggregateExpression(Count(children), Complete, true, _, _)
               if children.length == 1 =>
+            // COUNT(DISTINCT) ignores NULLs, but xxhash64(NULL) is the
+            // non-null seed — propagate NULL so the sketch skips it too
+            val hashed = If(IsNull(children.head),
+              Literal(null, LongType), new XxHash64(children))
             AggregateExpression(
-              KmvDistinct(new XxHash64(children), K),
+              KmvDistinct(hashed, K),
               Complete,
               isDistinct = false,
               filter = ae.filter,

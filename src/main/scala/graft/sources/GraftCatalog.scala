@@ -22,7 +22,10 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
   def createDatabase(db: String): Unit = fs.mkdirs(dbPath(db))
   def databaseExists(db: String): Boolean = fs.exists(dbPath(db))
   def dropDatabase(db: String): Unit = {
-    require(listTables(db).isEmpty, s"database $db is not empty")
+    // guard on ANY child entry, not just recognized graft tables — a
+    // half-created or foreign directory must block the recursive delete
+    require(!fs.exists(dbPath(db)) || fs.listStatus(dbPath(db)).isEmpty,
+      s"database $db is not empty")
     fs.delete(dbPath(db), true)
   }
   def listDatabases(): Seq[String] =

@@ -27,9 +27,7 @@ class GraftStreamSource(
   private val changelog = parameters.get("readChangelog").exists(_.toBoolean)
 
   override def schema: StructType =
-    if (changelog && table.primaryKeys.nonEmpty)
-      StructType(StructField("rowkind", StringType) +:
-        StructField("commit_seq", LongType) +: table.schema.fields)
+    if (changelog && table.primaryKeys.nonEmpty) table.changelogSchema
     else table.schema
 
   override def getOffset: Option[Offset] =

@@ -368,14 +368,21 @@ class GraftTable private (
     merged.select(schema.fieldNames.map(col).toSeq: _*)
   }
 
+  /** The schema of changelog-shaped outputs (auditLog, changelog
+    * streams): rowkind + commit_seq prepended to the table schema. ONE
+    * definition — the streaming source's declared schema must match
+    * getBatch output exactly. */
+  def changelogSchema: StructType =
+    StructType(StructField("rowkind", StringType) +:
+      StructField("commit_seq", LongType) +: schema.fields)
+
   /** Changelog view: every row version with its rowkind/sequence — the
     * `$audit_log` of the reference format. */
   def auditLog(snapshotId: Option[Long] = None): DataFrame = {
     require(isPkTable, "audit_log requires a PK table")
     val files = currentFiles(snapshotId)
     if (files.isEmpty)
-      return spark.createDataFrame(new java.util.ArrayList[Row](),
-        StructType(StructField("rowkind", StringType) +: StructField("commit_seq", LongType) +: schema.fields))
+      return spark.createDataFrame(new java.util.ArrayList[Row](), changelogSchema)
     val paths = files.map(f => s"${root.stripSuffix("/")}/${f.path}")
     spark.read
       .option("basePath", s"${root.stripSuffix("/")}/data")
@@ -423,9 +430,7 @@ class GraftTable private (
       else schema.fieldNames.map(col).toSeq
     if (added.isEmpty) {
       val outSchema =
-        if (changelog && isPkTable)
-          StructType(StructField("rowkind", StringType) +:
-            StructField("commit_seq", LongType) +: schema.fields)
+        if (changelog && isPkTable) changelogSchema
         else schema
       return spark.createDataFrame(new java.util.ArrayList[Row](), outSchema)
     }

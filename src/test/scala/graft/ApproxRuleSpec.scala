@@ -24,6 +24,11 @@ class ApproxRuleSpec extends AnyFunSuite {
       val approx = approxQ.first().getLong(0)
       assert(math.abs(approx - exact).toDouble / exact < 0.05, s"approx=$approx exact=$exact")
 
+      // NULLs must not count as a distinct value (xxhash64(NULL) = seed)
+      import spark.implicits._
+      val withNulls = Seq(Some("a"), Some("b"), None, None).toDF("x")
+      assert(withNulls.agg(countDistinct(col("x"))).first().getLong(0) == 2)
+
       spark.conf.set("spark.graft.approxDistinct.enabled", "false")
       val back = Tables.lineitem(spark, dir).agg(countDistinct(col("l_partkey")).as("n"))
       assert(!back.queryExecution.optimizedPlan.toString.contains("kmv_distinct"))
