@@ -70,6 +70,31 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       .filter(n => GraftTable.exists(spark, new Path(p, n).toString)).sorted
   }
 
+  /** Parse a reference-style scan_version spec: either a bare version
+    * ("3") applying to any table, or a pipe-separated list of
+    * "db.table.version" entries from which the matching table's version
+    * is picked (ref: PrestoSessionProperties SCAN_VERSION and
+    * TestPrestoITCase.testFilterWithTimeTravelAndTableOptions —
+    * "default.t1.1|default.t2.1"). Returns None when no entry applies. */
+  def parseScanVersion(spec: String, db: String, table: String): Option[Long] = {
+    val entries = spec.split("[|]").map(_.trim).filter(_.nonEmpty)
+    entries.flatMap { e =>
+      e.split("\\.") match {
+        case Array(v) => v.toLongOption
+        case Array(d, t, v) if d == db && t == table => v.toLongOption
+        case _ => None
+      }
+    }.headOption
+  }
+
+  /** Load a table as of a scan_version spec (see [[parseScanVersion]]);
+    * a non-matching spec reads the latest version, like the reference. */
+  def readTableAsOf(db: String, table: String, scanVersion: String)
+      : org.apache.spark.sql.DataFrame = {
+    val t = getTable(db, table)
+    t.read(snapshotId = parseScanVersion(scanVersion, db, table))
+  }
+
   def dropTable(db: String, table: String): Unit =
     fs.delete(tablePath(db, table), true)
 

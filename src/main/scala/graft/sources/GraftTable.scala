@@ -304,6 +304,11 @@ class GraftTable private (
       case Some(id) => readSnapshot(id).files
     }
 
+  /** Latest snapshot committed at or before `tsMillis` — timestamp time
+    * travel (ref: Paimon's scan.timestamp-millis). */
+  def snapshotAsOfTime(tsMillis: Long): Option[Long] =
+    snapshots.filter(_.timestampMs <= tsMillis).lastOption.map(_.id)
+
   /** Manifest-level partition pruning: evaluate `pred` against each
     * file's partition values driver-side (no cluster job) and keep only
     * matching files — the Spark-first analogue of the reference's

@@ -73,6 +73,41 @@ class ReferenceParitySpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1, "1"), (3, "2")))
   }
 
+  test("testFilterWithTimeTravelAndTableOptions: scan_version spec strings") {
+    import graft.sources.GraftCatalog
+    val c = new GraftCatalog(spark, TestSpark.tmpDir("svwh"))
+    c.createDatabase("default")
+    val t2 = c.createTable("default", "t2",
+      StructType(Seq(StructField("a", IntegerType), StructField("aCa", StringType))),
+      primaryKeys = Seq("a"))
+    t2.upsert(Seq((1, "1"), (3, "2")).toDF("a", "aCa"))
+    t2.upsert(Seq((5, "3"), (7, "4")).toDF("a", "aCa"))
+    def q(spec: String) =
+      c.readTableAsOf("default", "t2", spec).filter(col("a") < 7)
+        .orderBy("a").collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    // "1" → first commit            (sql(..., SCAN_VERSION, "1"))
+    assert(q("1") == Seq((1, "1"), (3, "2")))
+    // "default.t2.1" → first commit (table-qualified)
+    assert(q("default.t2.1") == Seq((1, "1"), (3, "2")))
+    // "default.t1.1" → does not apply to t2 → latest
+    assert(q("default.t1.1") == Seq((1, "1"), (3, "2"), (5, "3")))
+    // "default.t1.1|default.t2.1" → t2 entry applies
+    assert(q("default.t1.1|default.t2.1") == Seq((1, "1"), (3, "2")))
+  }
+
+  test("timestamp time travel: snapshotAsOfTime picks the right version") {
+    val schema = StructType(Seq(StructField("k", IntegerType)))
+    val t = GraftTable.create(spark, TestSpark.tmpDir("ts_tt"), schema)
+    t.append(Seq(1).toDF("k"))
+    val afterFirst = System.currentTimeMillis()
+    Thread.sleep(20)
+    t.append(Seq(2).toDF("k"))
+    assert(t.snapshotAsOfTime(afterFirst).contains(1L))
+    assert(t.snapshotAsOfTime(System.currentTimeMillis()).contains(2L))
+    assert(t.snapshotAsOfTime(0L).isEmpty)
+    assert(t.read(snapshotId = t.snapshotAsOfTime(afterFirst)).count() == 1)
+  }
+
   test("testSystemTable: snapshots of t1") {
     // "[[1, 0, user, 0, APPEND]]"-shaped: first snapshot is an APPEND at schema 0
     val s = t1.system("snapshots")
