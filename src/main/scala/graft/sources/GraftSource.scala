@@ -64,7 +64,17 @@ class GraftSource extends RelationProvider with SchemaRelationProvider
     val table =
       if (!exists)
         GraftTable.create(spark, path, data.schema, partitionKeys, primaryKeys, opts)
-      else GraftTable.load(spark, path)
+      else {
+        val t = GraftTable.load(spark, path)
+        // write-time schema evolution (Paimon-style): with mergeSchema=true
+        // new columns in the incoming df are added to the table schema
+        if (parameters.get("mergeSchema").exists(_.toBoolean)) {
+          data.schema.fields
+            .filterNot(f => t.schema.fieldNames.contains(f.name))
+            .foreach(f => t.addColumn(f.name, f.dataType))
+        }
+        t
+      }
     mode match {
       case _ if !exists => table.append(data) // first write: every mode just writes
       case SaveMode.Append => if (table.primaryKeys.nonEmpty) table.upsert(data) else table.append(data)

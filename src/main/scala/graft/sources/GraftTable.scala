@@ -238,6 +238,12 @@ class GraftTable private (
     val dataCols = schema.fieldNames.toSeq
     require(dataCols.forall(df.columns.contains),
       s"df missing columns: ${dataCols.filterNot(df.columns.contains).mkString(",")}")
+    // silently dropping unknown columns would lose data on typo'd writes;
+    // evolve the schema first (addColumn / mergeSchema) to accept them
+    val unknown = df.columns.filterNot(dataCols.contains)
+    require(unknown.isEmpty,
+      s"df has columns not in the table schema: ${unknown.mkString(",")} " +
+        "(add them with addColumn or the mergeSchema write option)")
     val nextSeq = seq
 
     var out = df.select(dataCols.map(col): _*)

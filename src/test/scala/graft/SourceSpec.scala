@@ -56,6 +56,21 @@ class SourceSpec extends AnyFunSuite {
     assert(pruned.rdd.getNumPartitions <= all.rdd.getNumPartitions)
   }
 
+  test("mergeSchema write option evolves the table schema") {
+    val path = TestSpark.tmpDir("dsv1merge")
+    Seq((1, "a")).toDF("k", "v").write.format("graft").save(path)
+    // extra column without mergeSchema → rejected
+    intercept[IllegalArgumentException] {
+      Seq((2, "b", 2.5)).toDF("k", "v", "score")
+        .write.format("graft").mode(SaveMode.Append).save(path)
+    }
+    Seq((2, "b", 2.5)).toDF("k", "v", "score")
+      .write.format("graft").mode(SaveMode.Append).option("mergeSchema", "true").save(path)
+    val rows = spark.read.format("graft").load(path).orderBy("k").collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2))
+    assert(rows(0).isNullAt(2) && rows(1).getDouble(2) == 2.5) // old file reads NULL
+  }
+
   test("SaveMode.Overwrite on a fresh path just writes") {
     val path = TestSpark.tmpDir("dsv1ow")
     Seq((1, "a")).toDF("k", "v").write.format("graft").mode(SaveMode.Overwrite).save(path)
