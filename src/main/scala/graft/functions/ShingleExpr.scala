@@ -13,18 +13,20 @@ object Shingles3Impl {
   /** Distinct 3-word shingles, first-occurrence order — same set as
     * `array_distinct(transform(sequence(...), concat_ws(' ', w[i..i+2])))`
     * and the oracle's list_distinct/list_transform, but a single native
-    * pass instead of interpreted lambda evals. */
+    * pass instead of interpreted lambda evals. Windows containing a null
+    * word are skipped — the declared element type is containsNull=false,
+    * and a null element would poison downstream codegen (explode, joins). */
   def eval(words: ArrayData): ArrayData = {
     val n = words.numElements()
     if (n < 3) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[UTF8String](n * 2)
     var i = 0
     while (i <= n - 3) {
-      val s = UTF8String.concat(
-        words.getUTF8String(i), Space,
-        words.getUTF8String(i + 1), Space,
-        words.getUTF8String(i + 2))
-      seen.add(s)
+      val w0 = words.getUTF8String(i)
+      val w1 = words.getUTF8String(i + 1)
+      val w2 = words.getUTF8String(i + 2)
+      if (w0 != null && w1 != null && w2 != null)
+        seen.add(UTF8String.concat(w0, Space, w1, Space, w2))
       i += 1
     }
     val out = new Array[Any](seen.size)

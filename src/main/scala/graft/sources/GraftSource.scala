@@ -129,23 +129,35 @@ final case class GraftRelation(
 
   /** Translate the pushed-down source filters that touch ONLY partition
     * keys into Columns for manifest pruning (ref: the TupleDomain →
-    * Paimon predicate conversion in PrestoFilterConverter.java:71). */
-  private def filterToColumn(f: Filter, partCols: Set[String]): Option[org.apache.spark.sql.Column] =
+    * Paimon predicate conversion in PrestoFilterConverter.java:71).
+    *
+    * `exact=false` (the top-level default) allows a lossy partial-AND
+    * translation — pruning with one conjunct of an AND keeps a superset,
+    * still sound. Under NOT the translation must be EXACT: negating a
+    * superset predicate would wrongly drop files, so `Not` recurses with
+    * exact=true and gives up if any subtree fails to translate. */
+  private[sources] def filterToColumn(
+      f: Filter, partCols: Set[String], exact: Boolean = false): Option[org.apache.spark.sql.Column] =
     f match {
       case EqualTo(a, v) if partCols(a) => Some(col(a) === v)
+      case EqualNullSafe(a, v) if partCols(a) => Some(col(a) <=> v)
       case In(a, vs) if partCols(a) => Some(col(a).isin(vs.toSeq: _*))
       case GreaterThan(a, v) if partCols(a) => Some(col(a) > v)
       case GreaterThanOrEqual(a, v) if partCols(a) => Some(col(a) >= v)
       case LessThan(a, v) if partCols(a) => Some(col(a) < v)
       case LessThanOrEqual(a, v) if partCols(a) => Some(col(a) <= v)
       case IsNotNull(a) if partCols(a) => Some(col(a).isNotNull)
+      case IsNull(a) if partCols(a) => Some(col(a).isNull)
+      case StringStartsWith(a, v) if partCols(a) => Some(col(a).startsWith(v))
+      case Not(child) => filterToColumn(child, partCols, exact = true).map(!_)
       case And(l, r) =>
-        (filterToColumn(l, partCols), filterToColumn(r, partCols)) match {
+        (filterToColumn(l, partCols, exact), filterToColumn(r, partCols, exact)) match {
           case (Some(a), Some(b)) => Some(a && b)
-          case (a, b) => a.orElse(b) // partial AND is still a valid prune
+          case (a, b) if !exact => a.orElse(b) // partial AND is still a valid prune
+          case _ => None
         }
       case Or(l, r) =>
-        for { a <- filterToColumn(l, partCols); b <- filterToColumn(r, partCols) }
+        for { a <- filterToColumn(l, partCols, exact); b <- filterToColumn(r, partCols, exact) }
           yield a || b // OR prunes only if BOTH sides translate
       case _ => None
     }

@@ -138,24 +138,30 @@ class GraftTable private (
       schemaId = schemaMeta.id,
       timestampMs = System.currentTimeMillis(),
       files = files)
-    // write-tmp + atomic rename = optimistic concurrency (HDFS-atomic;
-    // an object store would need a catalog lock or conditional put).
-    val tmp = new Path(root, s"snapshot/.snap-$id-${UUID.randomUUID()}.tmp")
-    writeString(fs, tmp, mapper.writeValueAsString(snap))
+    // exclusive create (overwrite=false) on the final path = the atomic
+    // claim of snapshot id — no exists-precheck TOCTOU window like
+    // rename-over on local FS. HDFS create is atomic; an object store
+    // would need a conditional put / catalog lock.
     val dst = new Path(root, s"snapshot/snap-$id.json")
-    // exists-precheck catches conflicts on filesystems whose rename
-    // overwrites (local); on HDFS the rename itself is the atomic check.
-    if (fs.exists(dst) || !fs.rename(tmp, dst)) {
-      fs.delete(tmp, false)
-      throw new IllegalStateException(s"conflicting commit for snapshot $id at $root")
-    }
+    val out =
+      try fs.create(dst, /*overwrite=*/ false)
+      catch {
+        case e: java.io.IOException =>
+          throw new IllegalStateException(
+            s"conflicting commit for snapshot $id at $root", e)
+      }
+    try out.write(mapper.writeValueAsString(snap).getBytes(StandardCharsets.UTF_8))
+    finally out.close()
     id
   }
 
   // ---- write path -----------------------------------------------------
 
-  /** Append rows (no PK semantics). */
-  def append(df: DataFrame): Long = writeCommit(df, kind = "APPEND", rowKind = "I")
+  /** Append rows. On a PK table this is an upsert (the batch is deduped
+    * like any other PK write — duplicate keys within one batch would
+    * otherwise share a `__seq` and merge nondeterministically). */
+  def append(df: DataFrame): Long =
+    writeCommit(if (isPkTable) dedupBatch(df) else df, kind = "APPEND", rowKind = "I")
 
   /** Upsert by primary key. Within the batch the greatest
     * `sequence.field` value per key wins. */
@@ -331,7 +337,12 @@ class GraftTable private (
       val pdf = spark.createDataFrame(
         spark.sparkContext.parallelize(rows, 1), partSchema)
       val kept = pdf.filter(p).collect()
-        .map(r => partitionKeys.zipWithIndex.map { case (k, i) => k -> String.valueOf(r.get(i)) }.toMap)
+        .map(r => partitionKeys.zipWithIndex.map { case (k, i) =>
+          // mirror the write path: NULL renders as the hive default dir,
+          // not "null" — else null-accepting filters (isNull, <=>) would
+          // silently drop null-partition files
+          k -> (if (r.isNullAt(i)) NullPartition else String.valueOf(r.get(i)))
+        }.toMap)
         .toSet
       files.filter(f => kept.contains(f.partition))
   }
@@ -356,10 +367,20 @@ class GraftTable private (
       dataFilters: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty): DataFrame = {
     var files = pruneFiles(currentFiles(snapshotId), partitionFilter)
     bucket.foreach(b => files = files.filter(_.bucket == b))
-    // manifest-level data skipping on min/max column stats
-    if (dataFilters.nonEmpty)
+    // manifest-level data skipping on min/max column stats. On a PK table
+    // only key/sequence-column filters may skip files: a non-key predicate
+    // (e.g. x = 1) could drop the file holding a key's NEWEST version
+    // while keeping an older one, resurrecting the stale row through the
+    // merge — key columns are version-invariant, so they are safe.
+    val skipSafe =
+      if (!isPkTable) dataFilters
+      else {
+        val safeCols = (primaryKeys ++ partitionKeys ++ sequenceFields).toSet
+        dataFilters.filter(_.references.forall(safeCols))
+      }
+    if (skipSafe.nonEmpty)
       files = files.filter(f =>
-        dataFilters.forall(fl => FileStats.mayMatch(fl, f.statsOrEmpty, schema)))
+        skipSafe.forall(fl => FileStats.mayMatch(fl, f.statsOrEmpty, schema)))
     if (files.isEmpty)
       return spark.createDataFrame(new java.util.ArrayList[Row](), schema)
     val paths = files.map(f => s"${root.stripSuffix("/")}/${f.path}")

@@ -145,6 +145,23 @@ class GraftTableSpec extends AnyFunSuite {
     assert(sv.filter(col("v") === "v250").count() == 1)
   }
 
+  test("S14b: PK tables data-skip only on key/sequence columns (no stale-version resurrection)") {
+    import org.apache.spark.sql.sources.EqualTo
+    val t = GraftTable.create(spark, TestSpark.tmpDir("pkskip"),
+      StructType(Seq(StructField("k", IntegerType), StructField("x", LongType),
+        StructField("seq", LongType))),
+      primaryKeys = Seq("k"), options = Map("sequence.field" -> "seq"))
+    t.upsert(Seq((1, 1L, 1L)).toDF("k", "x", "seq")) // v1: x=1
+    t.upsert(Seq((1, 2L, 2L)).toDF("k", "x", "seq")) // v2: x=2 (the live version)
+    // a non-key filter must NOT skip files: skipping the x=2 file would
+    // resurrect the stale x=1 version through the merge
+    val r = t.read(dataFilters = Seq(EqualTo("x", 1L)))
+    assert(r.inputFiles.length == 2, "non-key filter must not skip PK-table files")
+    assert(r.filter(col("x") === 1L).count() == 0) // post-merge x=2, so no match
+    // key-column skipping is version-invariant and still prunes
+    assert(t.read(dataFilters = Seq(EqualTo("k", 999))).inputFiles.isEmpty)
+  }
+
   test("S15: snapshot expiry drops old snapshots and their orphaned files only") {
     import org.apache.spark.sql.types.{LongType => LT, StringType => ST}
     val t = GraftTable.create(spark, TestSpark.tmpDir("expire"),
