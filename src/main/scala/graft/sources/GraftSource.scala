@@ -22,13 +22,38 @@ import org.apache.spark.sql.SQLContext
   * keeps the residual).
   */
 class GraftSource extends RelationProvider with SchemaRelationProvider
-    with CreatableRelationProvider with StreamSourceProvider with DataSourceRegister {
+    with CreatableRelationProvider with StreamSourceProvider with DataSourceRegister
+    with org.apache.spark.sql.connector.catalog.TableProvider {
 
   override def shortName(): String = "graft"
 
   private def pathOf(parameters: Map[String, String]): String =
     parameters.getOrElse("path",
       throw new IllegalArgumentException("graft source requires a path"))
+
+  // ---- DataSource V2 (the batch-read product surface) -----------------
+  // Reads plan through GraftScan (columnar parquet partitions + manifest
+  // pruning); writes and streaming reads intentionally report no V2
+  // capability, so Spark falls back to the V1 paths below (the staged
+  // snapshot-commit write and the snapshot-offset stream source).
+
+  /** A missing table infers an EMPTY schema (instead of throwing): the
+    * first `df.write.format("graft").save(path)` probes getTable before
+    * the table exists, and the capability-less result routes the write
+    * to the V1 CreatableRelationProvider, which creates the table. */
+  override def inferSchema(options: org.apache.spark.sql.util.CaseInsensitiveStringMap): StructType = {
+    val spark = SparkSession.active
+    Option(options.get("path")).filter(p => GraftTable.exists(spark, p))
+      .map(p => GraftTable.load(spark, p).schema)
+      .getOrElse(new StructType())
+  }
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[org.apache.spark.sql.connector.expressions.Transform],
+      properties: java.util.Map[String, String]): org.apache.spark.sql.connector.catalog.Table =
+    new GraftV2Table(Option(properties.get("path")).getOrElse(
+      throw new IllegalArgumentException("graft source requires a path")), schema)
 
   override def createRelation(
       ctx: SQLContext, parameters: Map[String, String]): BaseRelation =
@@ -118,7 +143,7 @@ final case class GraftRelation(
     val partCols = table.partitionKeys.toSet
     val partFilter =
       if (!partitionPruneEnabled) None
-      else filters.toSeq.flatMap(filterToColumn(_, partCols)).reduceOption(_ && _)
+      else filters.toSeq.flatMap(GraftFilters.toColumn(_, partCols)).reduceOption(_ && _)
     // non-partition filters prune files on min/max stats (data skipping)
     val df = table.read(snapshotId = snapshotId, partitionFilter = partFilter,
       dataFilters = if (dataSkipEnabled) filters.toSeq else Seq.empty)
@@ -126,6 +151,12 @@ final case class GraftRelation(
       if (requiredColumns.isEmpty) df else df.select(requiredColumns.map(col).toSeq: _*)
     projected.rdd
   }
+
+}
+
+/** Source-filter → Column translation shared by the V1 relation and the
+  * V2 scan builder. */
+private[sources] object GraftFilters {
 
   /** Translate the pushed-down source filters that touch ONLY partition
     * keys into Columns for manifest pruning (ref: the TupleDomain →
@@ -136,7 +167,7 @@ final case class GraftRelation(
     * still sound. Under NOT the translation must be EXACT: negating a
     * superset predicate would wrongly drop files, so `Not` recurses with
     * exact=true and gives up if any subtree fails to translate. */
-  private[sources] def filterToColumn(
+  def toColumn(
       f: Filter, partCols: Set[String], exact: Boolean = false): Option[org.apache.spark.sql.Column] =
     f match {
       case EqualTo(a, v) if partCols(a) => Some(col(a) === v)
@@ -149,15 +180,15 @@ final case class GraftRelation(
       case IsNotNull(a) if partCols(a) => Some(col(a).isNotNull)
       case IsNull(a) if partCols(a) => Some(col(a).isNull)
       case StringStartsWith(a, v) if partCols(a) => Some(col(a).startsWith(v))
-      case Not(child) => filterToColumn(child, partCols, exact = true).map(!_)
+      case Not(child) => toColumn(child, partCols, exact = true).map(!_)
       case And(l, r) =>
-        (filterToColumn(l, partCols, exact), filterToColumn(r, partCols, exact)) match {
+        (toColumn(l, partCols, exact), toColumn(r, partCols, exact)) match {
           case (Some(a), Some(b)) => Some(a && b)
           case (a, b) if !exact => a.orElse(b) // partial AND is still a valid prune
           case _ => None
         }
       case Or(l, r) =>
-        for { a <- filterToColumn(l, partCols, exact); b <- filterToColumn(r, partCols, exact) }
+        for { a <- toColumn(l, partCols, exact); b <- toColumn(r, partCols, exact) }
           yield a || b // OR prunes only if BOTH sides translate
       case _ => None
     }

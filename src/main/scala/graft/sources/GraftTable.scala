@@ -83,14 +83,25 @@ class GraftTable private (
   def partitionKeys: Seq[String] = schemaMeta.partitionKeys
   def primaryKeys: Seq[String] = schemaMeta.primaryKeys
   def options: Map[String, String] = schemaMeta.options
-  private def numBuckets: Int = options.getOrElse("bucket", "1").toInt
-  private def bucketKeys: Seq[String] = {
+  private[sources] def numBuckets: Int = options.getOrElse("bucket", "1").toInt
+  private[sources] def bucketKeys: Seq[String] = {
     val bk = options.getOrElse("bucket-key", primaryKeys.mkString(","))
     if (bk.isEmpty) Seq.empty else bk.split(",").map(_.trim).toSeq
   }
-  private def sequenceFields: Seq[String] =
+  private[sources] def sequenceFields: Seq[String] =
     options.get("sequence.field").map(_.split(",").map(_.trim).toSeq).getOrElse(Seq.empty)
-  private def isPkTable: Boolean = primaryKeys.nonEmpty
+  private[sources] def isPkTable: Boolean = primaryKeys.nonEmpty
+
+  /** On-disk columns of data files (data cols minus partition cols, plus
+    * hidden cols for PK tables) — what a parquet reader sees before
+    * partition values are appended. */
+  private[sources] def fileDataSchema: StructType = {
+    val dataCols = schema.fields.filterNot(f => partitionKeys.contains(f.name))
+    val hidden =
+      if (isPkTable) Seq(StructField(SeqCol, LongType), StructField(KindCol, StringType))
+      else Seq.empty
+    StructType(dataCols ++ hidden)
+  }
 
   /** Full on-disk schema of data files (data cols minus partition cols,
     * plus hidden cols for PK tables). */
@@ -356,22 +367,19 @@ class GraftTable private (
     Pmod(h, CLit.create(numBuckets)).eval(null).asInstanceOf[Int]
   }
 
-  /** Read the table: latest (or time-travel) snapshot, manifest-pruned,
-    * merge-on-read for PK tables. The result is a plain parquet-backed
-    * DataFrame, so downstream filters/projections still push into the
-    * scan. */
-  def read(
+  /** Manifest planning shared by the library read path and the V2 scan:
+    * partition prune → bucket prune → min/max data skipping. On a PK table
+    * only key/sequence-column filters may skip files: a non-key predicate
+    * (e.g. x = 1) could drop the file holding a key's NEWEST version
+    * while keeping an older one, resurrecting the stale row through the
+    * merge — key columns are version-invariant, so they are safe. */
+  private[sources] def planFiles(
       snapshotId: Option[Long] = None,
       partitionFilter: Option[Column] = None,
       bucket: Option[Int] = None,
-      dataFilters: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty): DataFrame = {
+      dataFilters: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty): Seq[FileMeta] = {
     var files = pruneFiles(currentFiles(snapshotId), partitionFilter)
     bucket.foreach(b => files = files.filter(_.bucket == b))
-    // manifest-level data skipping on min/max column stats. On a PK table
-    // only key/sequence-column filters may skip files: a non-key predicate
-    // (e.g. x = 1) could drop the file holding a key's NEWEST version
-    // while keeping an older one, resurrecting the stale row through the
-    // merge — key columns are version-invariant, so they are safe.
     val skipSafe =
       if (!isPkTable) dataFilters
       else {
@@ -381,6 +389,29 @@ class GraftTable private (
     if (skipSafe.nonEmpty)
       files = files.filter(f =>
         skipSafe.forall(fl => FileStats.mayMatch(fl, f.statsOrEmpty, schema)))
+    files
+  }
+
+  /** Read the table: latest (or time-travel) snapshot, manifest-pruned,
+    * merge-on-read for PK tables. The result is a plain parquet-backed
+    * DataFrame, so downstream filters/projections still push into the
+    * scan. PK tables route through the V2 scan, which merges inside each
+    * co-located (partition, bucket) split — zero Exchange in the plan;
+    * the legacy window-dedup path remains for bucket-targeted /
+    * skip-hinted reads (and as the general fallback). */
+  def read(
+      snapshotId: Option[Long] = None,
+      partitionFilter: Option[Column] = None,
+      bucket: Option[Int] = None,
+      dataFilters: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty): DataFrame = {
+    if (isPkTable && bucket.isEmpty && dataFilters.isEmpty) {
+      var reader = spark.read.format("graft")
+      snapshotId.foreach(id => reader = reader.option("snapshotId", id.toString))
+      var df = reader.load(root)
+      partitionFilter.foreach(f => df = df.filter(f))
+      return df
+    }
+    val files = planFiles(snapshotId, partitionFilter, bucket, dataFilters)
     if (files.isEmpty)
       return spark.createDataFrame(new java.util.ArrayList[Row](), schema)
     val paths = files.map(f => s"${root.stripSuffix("/")}/${f.path}")
@@ -595,7 +626,7 @@ object GraftTable {
   /** Hive's directory name for a null partition value. */
   val NullPartition = "__HIVE_DEFAULT_PARTITION__"
 
-  private def castPartitionValue(v: String, dt: DataType): Any =
+  private[sources] def castPartitionValue(v: String, dt: DataType): Any =
     if (v == NullPartition) null else dt match {
     case IntegerType => v.toInt
     case LongType => v.toLong

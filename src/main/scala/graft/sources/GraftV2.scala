@@ -1,0 +1,330 @@
+package graft.sources
+
+import org.apache.spark.paths.SparkPath
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, Descending, InterpretedOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetOptions
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetPartitionReaderFactory
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import java.util.OptionalLong
+
+/** DataSource V2 read surface of the graft table format.
+  *
+  * Spark-native re-expression of the reference connector's split/page
+  * pipeline (ref: PrestoSplitManager.java split enumeration,
+  * PrestoComputePushdown.java partition pruning) with the row bridge
+  * deliberately inverted: instead of pulling rows one by one through a
+  * connector page source (the PrestoPageSourceBase anti-pattern), the
+  * scan hands Spark's own vectorized parquet reader factory a list of
+  * manifest-planned file splits, so the SQL path keeps columnar batches
+  * and whole-stage codegen end to end.
+  *
+  * Split planning is pure metadata: partition pruning, bucket grouping
+  * and min/max data skipping all evaluate against the snapshot manifest
+  * driver-side — no file-system listing, no task launch.
+  */
+final class GraftV2Table(path: String, tableSchema: StructType) extends Table with SupportsRead {
+
+  override def name(): String = s"graft.`$path`"
+
+  override def schema(): StructType = tableSchema
+
+  /** No BATCH_WRITE / MICRO_BATCH_READ on purpose: DataFrameWriter falls
+    * back to the V1 CreatableRelationProvider (the snapshot-commit write
+    * path) and DataStreamReader to the V1 snapshot-offset stream source.
+    * An empty schema means "table does not exist yet" (first write probes
+    * before creating) — report no capability at all so every code path
+    * falls through to V1. */
+  override def capabilities(): java.util.Set[TableCapability] =
+    if (tableSchema.fields.isEmpty) java.util.Collections.emptySet()
+    else java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(SparkSession.active, path, options)
+}
+
+/** Pushdown negotiation (ref: PrestoFilterConverter.java TupleDomain →
+  * predicate conversion). All filters are returned as residual — like the
+  * built-in parquet source, pushdown here is pruning (manifest files, row
+  * groups), not row-exact evaluation, and Spark re-applies the predicate
+  * above the scan. */
+final class GraftScanBuilder(spark: SparkSession, path: String, options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private val table = GraftTable.load(spark, path)
+  private val snapshotId = Option(options.get("snapshotId")).map(_.toLong)
+  // session-property equivalents (ref PrestoSessionProperties:
+  // partition_prune_enabled / query_pushdown_enabled)
+  private val partitionPrune = Option(options.get("partitionPrune")).forall(_.toBoolean)
+  private val dataSkip = Option(options.get("dataSkip")).forall(_.toBoolean)
+
+  private var requiredSchema: StructType = table.schema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val known = table.schema.fieldNames.toSet
+    pushed = filters.filter(_.references.forall(known))
+    filters // everything is residual: pruning is best-effort, Spark re-applies
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    this.requiredSchema = requiredSchema
+
+  override def build(): Scan =
+    new GraftScan(spark, table, snapshotId, requiredSchema, pushed, partitionPrune, dataSkip)
+}
+
+/** One batch scan over the manifest-planned live file set.
+  *
+  * Non-PK tables: files split at `maxPartitionBytes` granularity and
+  * packed into FilePartitions (the same open-cost/bytes-per-core formula
+  * Spark's file sources use), read by the vectorized columnar parquet
+  * factory.
+  *
+  * PK tables: merge-on-read happens INSIDE the scan. Files group by the
+  * finest key-co-located unit — (partition, bucket) when bucket and
+  * partition keys are contained in the primary key (every version of a
+  * key provably lands in one group), coarsening to partition-only or
+  * whole-table otherwise — and each group becomes ONE input partition
+  * whose reader merges versions locally (latest sequence wins, deletes
+  * dropped). No Exchange in the plan; parallelism = number of buckets,
+  * the same contract Paimon's bucketed LSM gives its readers, and the
+  * per-task working set is one bucket's live keys, which is exactly what
+  * bucket sizing bounds. */
+final class GraftScan(
+    spark: SparkSession,
+    table: GraftTable,
+    snapshotId: Option[Long],
+    requiredSchema: StructType,
+    pushed: Array[Filter],
+    partitionPrune: Boolean,
+    dataSkip: Boolean) extends Scan with Batch with SupportsReportStatistics {
+
+  private val partKeySet = table.partitionKeys.toSet
+  // file-borne vs directory-borne halves of the requested schema
+  private val readDataFields: Array[StructField] =
+    requiredSchema.fields.filterNot(f => partKeySet(f.name))
+  private val readPartFields: Array[StructField] =
+    requiredSchema.fields.filter(f => partKeySet(f.name))
+
+  override def readSchema(): StructType = StructType(readDataFields ++ readPartFields)
+
+  override def toBatch: Batch = this
+
+  private lazy val totalFiles = table.planFiles(snapshotId).size
+
+  private lazy val plannedFiles: Seq[FileMeta] = {
+    val partFilter =
+      if (!partitionPrune) None
+      else pushed.toSeq.flatMap(GraftFilters.toColumn(_, partKeySet)).reduceOption(_ && _)
+    table.planFiles(snapshotId, partFilter,
+      dataFilters = if (dataSkip) pushed.toSeq else Seq.empty)
+  }
+
+  /** Filters safe to hand the parquet reader for row-group pruning. On a
+    * PK table only key/partition/sequence columns qualify — a non-key
+    * predicate could prune the row group holding a key's newest version
+    * and resurrect a stale one through the merge (same rule as the
+    * manifest-level skip in GraftTable.planFiles). */
+  private def readerFilters: Array[Filter] =
+    if (!table.isPkTable) pushed
+    else {
+      val safe = (table.primaryKeys ++ table.partitionKeys ++ table.sequenceFields).toSet
+      pushed.filter(_.references.forall(safe))
+    }
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): OptionalLong =
+      OptionalLong.of(math.max(1L, plannedFiles.map(_.sizeBytes).sum))
+    override def numRows(): OptionalLong = OptionalLong.empty()
+  }
+
+  override def description(): String =
+    s"GraftTable files=${plannedFiles.size}/$totalFiles root=${table.root} " +
+      s"PushedFilters: [${pushed.mkString(", ")}], ReadSchema: ${readSchema().catalogString}"
+
+  // ---- split planning (driver-side, manifest-only) ---------------------
+
+  private def absPath(f: FileMeta): String = s"${table.root.stripSuffix("/")}/${f.path}"
+
+  /** Directory-encoded partition values of one file as an InternalRow in
+    * `fields` order. */
+  private def partValues(f: FileMeta, fields: Array[StructField]): InternalRow =
+    InternalRow.fromSeq(fields.toSeq.map { fld =>
+      GraftTable.castPartitionValue(f.partition(fld.name), fld.dataType) match {
+        case null => null
+        case s: String => UTF8String.fromString(s)
+        case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt
+        case other => other
+      }
+    })
+
+  private def toPartitionedFile(
+      f: FileMeta, fields: Array[StructField], start: Long, length: Long): PartitionedFile =
+    PartitionedFile(
+      partValues(f, fields),
+      SparkPath.fromPathString(absPath(f)),
+      start, length,
+      Array.empty[String], 0L, f.sizeBytes,
+      Map.empty[String, Any])
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    if (plannedFiles.isEmpty) return Array.empty
+    if (table.isPkTable) planMergePartitions() else planSplitPartitions()
+  }
+
+  /** Non-PK: split files to maxSplitBytes and bin-pack — Spark's own
+    * open-cost formula, computed from manifest sizes (no listing). */
+  private def planSplitPartitions(): Array[InputPartition] = {
+    val conf = spark.sessionState.conf
+    val openCost = conf.filesOpenCostInBytes
+    val minPartitions = conf.filesMinPartitionNum.getOrElse(spark.sparkContext.defaultParallelism)
+    val totalBytes = plannedFiles.map(_.sizeBytes + openCost).sum
+    val bytesPerCore = totalBytes / math.max(1, minPartitions)
+    val maxSplit = math.min(conf.filesMaxPartitionBytes, math.max(openCost, bytesPerCore))
+    val splits = plannedFiles.flatMap { f =>
+      (0L until math.max(1L, f.sizeBytes) by maxSplit).map { off =>
+        toPartitionedFile(f, readPartFields, off, math.min(maxSplit, f.sizeBytes - off))
+      }
+    }.sortBy(-_.length)
+    FilePartition.getFilePartitions(spark, splits, maxSplit).toArray
+  }
+
+  /** PK: one partition per co-located file group; the group's reader
+    * performs the merge locally. */
+  private def planMergePartitions(): Array[InputPartition] = {
+    val pk = table.primaryKeys.toSet
+    val partCo = table.partitionKeys.forall(pk)
+    val bucketCo = table.bucketKeys.nonEmpty && table.bucketKeys.forall(pk)
+    val groups: Iterable[Seq[FileMeta]] =
+      if (partCo && bucketCo) plannedFiles.groupBy(f => (f.partition, f.bucket)).values
+      else if (partCo) plannedFiles.groupBy(_.partition).values
+      else Seq(plannedFiles)
+    groups.zipWithIndex.map { case (fs, i) =>
+      FilePartition(i, fs.map(f => toPartitionedFile(f, mergePartFields, 0L, f.sizeBytes)).toArray)
+        : InputPartition
+    }.toArray
+  }
+
+  // ---- merge-on-read schema plumbing -----------------------------------
+
+  /** Partition columns the merge needs: the requested ones plus any
+    * primary-key partition columns (key identity must be complete even
+    * when the query doesn't select them). */
+  private lazy val mergePartFields: Array[StructField] = {
+    val needed = readPartFields.map(_.name).toSet ++ table.primaryKeys.filter(partKeySet)
+    table.partitionKeys.filter(needed).map(n => table.schema(n)).toArray
+  }
+
+  /** File-borne columns the merge needs: requested + key + sequence +
+    * hidden __seq/__kind, in on-disk order. */
+  private lazy val mergeDataFields: Array[StructField] = {
+    val needed = readDataFields.map(_.name).toSet ++
+      (table.primaryKeys ++ table.sequenceFields).filterNot(partKeySet) ++
+      Seq(GraftTable.SeqCol, GraftTable.KindCol)
+    table.fileDataSchema.fields.filter(f => needed(f.name))
+  }
+
+  // ---- reader factories -------------------------------------------------
+
+  /** Build the vectorized parquet reader factory by delegating to a real
+    * ParquetScan (over an empty file index — createReaderFactory never
+    * touches it): it installs every reader conf key (read-support class,
+    * requested schema, timezone, rebase modes) exactly as the built-in
+    * source does, so we inherit Spark's columnar read path verbatim
+    * instead of re-plumbing it. */
+  private def parquetFactory(readData: StructType, readPart: StructType, filters: Array[Filter])
+      : PartitionReaderFactory = {
+    val emptyIndex = new org.apache.spark.sql.execution.datasources.InMemoryFileIndex(
+      spark, Seq.empty, Map.empty, None)
+    new org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan(
+      spark, spark.sessionState.newHadoopConf(), emptyIndex,
+      dataSchema = table.fileDataSchema,
+      readDataSchema = readData,
+      readPartitionSchema = readPart,
+      pushedFilters = filters,
+      options = CaseInsensitiveStringMap.empty()).createReaderFactory()
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    if (!table.isPkTable)
+      return parquetFactory(StructType(readDataFields), StructType(readPartFields), readerFilters)
+    // merge rows materialize as [mergeDataFields ++ mergePartFields]
+    val mergeSchema = StructType(mergeDataFields ++ mergePartFields)
+    def idx(name: String): Int = mergeSchema.fieldIndex(name)
+    new GraftMorReaderFactory(
+      parquetFactory(StructType(mergeDataFields), StructType(mergePartFields), readerFilters),
+      mergeSchema,
+      keyIdx = table.primaryKeys.map(idx).toArray,
+      seqIdx = (table.sequenceFields :+ GraftTable.SeqCol).map(idx).toArray,
+      kindIdx = idx(GraftTable.KindCol),
+      outIdx = readSchema().fields.map(f => idx(f.name)))
+  }
+}
+
+/** Executor-side merge-on-read: consume every row version of one
+  * co-located file group, keep the winner per primary key (greatest
+  * sequence.field values, then greatest commit __seq), drop deletes, and
+  * emit survivors projected to the requested schema.
+  *
+  * The working set is one group's LIVE keys (an UnsafeRow-keyed hash
+  * map) — the reason PK tables are bucketed in the first place; Paimon's
+  * readers carry the same per-bucket memory contract for their sorted-run
+  * merge (ref: the RecordReader merge in PrestoPageSourceBase pulls an
+  * already-merged Paimon reader; here the merge IS the reader). */
+final class GraftMorReaderFactory(
+    parquet: PartitionReaderFactory,
+    mergeSchema: StructType,
+    keyIdx: Array[Int],
+    seqIdx: Array[Int],
+    kindIdx: Int,
+    outIdx: Array[Int]) extends PartitionReaderFactory {
+
+  override def supportColumnarReads(partition: InputPartition): Boolean = false
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    def ref(i: Int) = BoundReference(i, mergeSchema(i).dataType, mergeSchema(i).nullable)
+    val keyProj = UnsafeProjection.create(keyIdx.map(ref).toSeq)
+    // Descending on (sequence fields, __seq): the winner sorts FIRST
+    val ord = new InterpretedOrdering(seqIdx.toSeq.map(i => SortOrder(ref(i), Descending)))
+    val best = new java.util.HashMap[UnsafeRow, InternalRow]()
+    val in = parquet.createReader(partition)
+    try {
+      while (in.next()) {
+        val row = in.get().copy()
+        val k = keyProj(row).copy()
+        val cur = best.get(k)
+        if (cur == null || ord.compare(row, cur) < 0) best.put(k, row)
+      }
+    } finally in.close()
+
+    val outProj = UnsafeProjection.create(outIdx.map(ref).toSeq)
+    val delete = UTF8String.fromString("D")
+    val it = best.values().iterator()
+    new PartitionReader[InternalRow] {
+      private var current: InternalRow = _
+      override def next(): Boolean = {
+        while (it.hasNext) {
+          val row = it.next()
+          if (row.getUTF8String(kindIdx) != delete) {
+            current = outProj(row)
+            return true
+          }
+        }
+        false
+      }
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
+}

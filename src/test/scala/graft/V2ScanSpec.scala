@@ -1,0 +1,128 @@
+package graft
+
+import graft.sources.{GraftScan, GraftTable}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** DataSource V2 surface of `format("graft")` (VERDICT r1 items 1, 2, 8):
+  * the SQL path must plan a columnar V2 batch scan (no per-row V1
+  * bridge), push filters/projections into it, prune manifest files —
+  * including under NOT — and merge-on-read a bucketed PK table with ZERO
+  * Exchange in the plan.
+  */
+class V2ScanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** The single graft V2 scan node of a plan. */
+  private def graftScan(df: DataFrame): GraftScan = {
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec if b.scan.isInstanceOf[GraftScan] => b.scan.asInstanceOf[GraftScan]
+    }
+    assert(scans.size == 1, s"expected 1 graft V2 scan, plan:\n${df.queryExecution.executedPlan}")
+    scans.head
+  }
+
+  private def plannedOfTotal(df: DataFrame): (Int, Int) = {
+    val d = graftScan(df).description()
+    val m = "files=(\\d+)/(\\d+)".r.findFirstMatchIn(d).getOrElse(fail(s"no file count in: $d"))
+    (m.group(1).toInt, m.group(2).toInt)
+  }
+
+  test("format(\"graft\") reads plan a V2 BatchScan on the columnar parquet path") {
+    val path = TestSpark.tmpDir("v2col")
+    (1 to 100).map(i => (i, s"name$i", i * 1.5)).toDF("id", "name", "score")
+      .write.format("graft").save(path)
+    val df = spark.read.format("graft").load(path).filter($"id" > 10)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BatchScan"), p)
+    // vectorized parquet read: batches decode columnar, then ColumnarToRow
+    assert(p.contains("ColumnarToRow"), s"expected columnar read path:\n$p")
+  }
+
+  test("PushedFilters and pruned ReadSchema through format(\"graft\")") {
+    val path = TestSpark.tmpDir("v2push")
+    (1 to 50).map(i => (i, s"n$i", i.toLong, i % 7)).toDF("id", "name", "qty", "grp")
+      .write.format("graft").save(path)
+    val df = spark.read.format("graft").load(path)
+      .filter($"qty" >= 10L).select("id", "qty")
+    val scan = graftScan(df)
+    val d = scan.description()
+    assert(d.contains("GreaterThanOrEqual(qty,10)"), d)
+    val read = scan.readSchema().fieldNames.toSet
+    assert(read == Set("id", "qty"), s"ReadSchema not pruned: $read")
+  }
+
+  test("partition pruning through the V2 scan, including NOT and IsNull") {
+    val path = TestSpark.tmpDir("v2prune")
+    val rows = (1 to 4).map(i => (s"p$i", i)) :+ ((null: String), 5)
+    rows.toDF("pt", "x").write.format("graft").option("partitionKeys", "pt").save(path)
+
+    val eq = spark.read.format("graft").load(path).filter($"pt" === "p2")
+    assert(plannedOfTotal(eq) == ((1, 5)))
+    assert(eq.collect().map(_.getInt(1)).toSeq == Seq(2))
+
+    // NOT (pt = 'p1'): null partition must ALSO be pruned (3VL: null <> 'p1' is not true)
+    val ne = spark.read.format("graft").load(path).filter($"pt" =!= "p1")
+    assert(plannedOfTotal(ne)._1 == 3, graftScan(ne).description())
+    assert(ne.collect().map(_.getInt(1)).sorted.toSeq == Seq(2, 3, 4))
+
+    val isNull = spark.read.format("graft").load(path).filter($"pt".isNull)
+    assert(plannedOfTotal(isNull)._1 == 1, graftScan(isNull).description())
+    assert(isNull.collect().map(_.getInt(1)).toSeq == Seq(5))
+  }
+
+  test("min/max data skipping prunes files through the V2 scan") {
+    val path = TestSpark.tmpDir("v2skip")
+    val t = GraftTable.create(spark, path,
+      StructType(Seq(StructField("id", LongType), StructField("v", StringType))))
+    // three appends → three files with disjoint id ranges
+    for (base <- Seq(0L, 100L, 200L))
+      t.append((base until base + 10L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1))
+    val df = spark.read.format("graft").load(path).filter($"id" === 105L)
+    val (planned, total) = plannedOfTotal(df)
+    assert(total == 3 && planned == 1, graftScan(df).description())
+    assert(df.collect().map(_.getString(1)).toSeq == Seq("v105"))
+  }
+
+  test("bucketed PK merge-on-read: zero Exchange, merge inside the scan") {
+    val path = TestSpark.tmpDir("v2mor")
+    val t = GraftTable.create(spark, path,
+      StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("v", StringType),
+        StructField("seq", LongType))),
+      primaryKeys = Seq("id"),
+      options = Map("bucket" -> "4", "bucket-key" -> "id", "sequence.field" -> "seq"))
+    t.upsert((1L to 200L).map(i => (i, s"v1-$i", 1L)).toDF("id", "v", "seq"))
+    t.upsert((1L to 100L).map(i => (i, s"v2-$i", 2L)).toDF("id", "v", "seq"))
+    t.delete(Seq((5L, "", 3L)).toDF("id", "v", "seq"))
+
+    val df = spark.read.format("graft").load(path)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"MOR must not shuffle a bucketed PK table:\n$p")
+    assert(!p.contains("Window"), s"MOR must merge inside the scan, not via window:\n$p")
+    // parallelism = one task per (partition, bucket) group
+    assert(df.rdd.getNumPartitions == 4)
+
+    val got = df.collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got.size == 199 && !got.contains(5L))
+    assert(got(3L) == "v2-3" && got(150L) == "v1-150")
+  }
+
+  test("downstream group-by on the bucket key still aggregates correctly") {
+    val path = TestSpark.tmpDir("v2morq")
+    val t = GraftTable.create(spark, path,
+      StructType(Seq(StructField("id", LongType), StructField("amt", LongType))),
+      primaryKeys = Seq("id"), options = Map("bucket" -> "2"))
+    t.upsert((1L to 50L).map(i => (i, i)).toDF("id", "amt"))
+    t.upsert((1L to 25L).map(i => (i, i * 10)).toDF("id", "amt"))
+    val total = spark.read.format("graft").load(path).agg(sum("amt")).first().getLong(0)
+    // 1..25 at ×10, 26..50 at ×1
+    assert(total == (1L to 25L).map(_ * 10).sum + (26L to 50L).sum)
+  }
+}
