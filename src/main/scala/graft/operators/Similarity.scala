@@ -44,17 +44,31 @@ object Similarity {
       .orderBy("q_id", "rn")
   }
 
-  /** Embedding near-dup scan: nearest neighbor for every vector.
-    * Broadcasts the normed corpus — valid only while it fits a broadcast
-    * (the diagnostic/baseline regime); at corpus scale use the LSH
-    * variant, whose candidates come from an equality join on buckets. */
+  /** Embedding near-dup scan: nearest LSH candidate for every vector.
+    * Candidates come from an equality join on sign-LSH buckets (same
+    * bucket in any table); an exact cosine re-rank inside the candidate
+    * set picks the winner. No corpus broadcast, no all-pairs product:
+    * the shuffle is linear in corpus × NumTables and the pair fan-out is
+    * bounded by bucket occupancy — at larger corpora raise
+    * PlanesPerTable so buckets ≈ n / desired bucket size (buckets double
+    * per plane), which keeps per-bucket work constant. */
   private def embedNn(s: SparkSession, d: String): DataFrame = {
     val n = normed(s, d)
-    val q = n.select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
-    val c = n.select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val withBuckets = n.select(col("vec_id"), col("v"), col("nrm"),
+      explode(array((0 until NumTables).map(t =>
+        concat_ws("_", lit(t), bucketCol(col("v"), t))): _*)).as("bucket"))
+    val q = withBuckets
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"), col("bucket"))
+    val c = withBuckets
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"), col("bucket"))
     val w = Window.partitionBy("q_id").orderBy(desc("cos"), col("c_id"))
-    c.join(broadcast(q), col("q_id") =!= col("c_id"))
+    q.join(c, Seq("bucket"))
+      .filter(col("q_id") =!= col("c_id"))
       .withColumn("cos", cosine(col("qv"), col("cv"), col("qn"), col("cn")))
+      // dedupe table collisions AFTER scoring: cos is deterministic per
+      // pair, so distinct shuffles 3 scalars, never the vectors
+      .select(col("q_id"), col("c_id"), col("cos"))
+      .distinct()
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("q_id").as("vec_id"), col("c_id").as("nn_id"), round(col("cos"), 4).as("cos"))
@@ -105,6 +119,12 @@ object Similarity {
   private val CosSql =
     "list_reduce(list_cat([0.0], list_transform(range(1, len(q.v)+1), i -> q.v[i]*c.v[i])), (a,x) -> a+x) / (q.nrm*c.nrm)"
 
+  /** The seeded hyperplanes as DuckDB VALUES rows (t, j, 1<<j, plane). */
+  private lazy val PlanesSql: String =
+    (for (t <- 0 until NumTables; j <- 0 until PlanesPerTable) yield
+      s"($t, $j, ${1 << j}, [${planes(t)(j).map(x => if (x > 0) "1.0" else "-1.0").mkString(",")}])")
+      .mkString(", ")
+
   private val NormedSql =
     """e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
       |n AS (SELECT vec_id, v, nrm FROM (
@@ -126,16 +146,26 @@ object Similarity {
               |SELECT q_id, rn, c_id, round(cos,4) AS cos FROM r WHERE rn <= 3
               |ORDER BY q_id, rn""".stripMargin)),
 
-    // L5: nearest-neighbor near-dup scan over the whole corpus.
+    // L5: nearest-LSH-candidate scan over the whole corpus. The oracle
+    // reproduces the seeded hyperplanes as literals, so bucketing,
+    // candidate set and re-rank are bit-identical on both sides.
     QDef(
       "q_embed_nn",
       embedNn,
       Some(s"""WITH $NormedSql,
-              |p AS (SELECT q.vec_id q_id, c.vec_id c_id, $CosSql cos
-              |      FROM n q JOIN n c ON q.vec_id <> c.vec_id),
+              |pl(t, j, w, p) AS (VALUES $PlanesSql),
+              |dots AS (SELECT n.vec_id, pl.t, pl.w,
+              |    list_reduce(list_cat([0.0], list_transform(range(1, len(n.v)+1), i -> n.v[i]*pl.p[i])), (a,x) -> a+x) AS dot
+              |  FROM n CROSS JOIN pl),
+              |bk AS (SELECT vec_id, t, CAST(sum(CASE WHEN dot >= 0 THEN w ELSE 0 END) AS BIGINT) AS bnum
+              |  FROM dots GROUP BY vec_id, t),
+              |b AS (SELECT n.vec_id, n.v, n.nrm, CAST(bk.t AS VARCHAR) || '_' || CAST(bk.bnum AS VARCHAR) AS bucket
+              |  FROM n JOIN bk ON n.vec_id = bk.vec_id),
+              |pairs AS (SELECT DISTINCT q.vec_id q_id, c.vec_id c_id, $CosSql cos
+              |  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id),
               |r AS (SELECT q_id, c_id, cos,
               |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) rn
-              |      FROM p)
+              |      FROM pairs)
               |SELECT q_id AS vec_id, c_id AS nn_id, round(cos,4) AS cos FROM r WHERE rn = 1
               |ORDER BY vec_id""".stripMargin)),
 

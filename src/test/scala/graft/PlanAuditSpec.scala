@@ -10,15 +10,23 @@ class PlanAuditSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   private val dir = "/root/testdata/sf0.001"
 
-  test("no CartesianProduct in any declared query plan") {
+  /** Queries whose BroadcastNestedLoopJoin is bounded by construction:
+    * q_ann_brute broadcasts a ≤20-vector probe set. Everything else must
+    * not plan a BNLJ at all — an unbounded one is a full-corpus
+    * broadcast that OOMs before the n² compute matters. */
+  private val boundedBnlj = Set("q_ann_brute")
+
+  test("no CartesianProduct and no unbounded BroadcastNestedLoopJoin in any plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan =
         try fn(spark, dir).queryExecution.executedPlan.toString
         catch { case e: Throwable => s"PLAN_FAILED: $e" }
-      if (plan.contains("CartesianProduct")) Some(name)
+      if (plan.contains("CartesianProduct")) Some(s"$name (cartesian)")
+      else if (plan.contains("BroadcastNestedLoopJoin") && !boundedBnlj(name))
+        Some(s"$name (unbounded BNLJ)")
       else if (plan.startsWith("PLAN_FAILED")) Some(s"$name ($plan)")
       else None
     }
-    assert(offenders.isEmpty, s"cartesian or failed plans: $offenders")
+    assert(offenders.isEmpty, s"bad plans: $offenders")
   }
 }
