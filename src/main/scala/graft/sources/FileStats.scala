@@ -5,6 +5,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.LogicalTypeAnnotation
 import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
@@ -30,12 +31,12 @@ object FileStats {
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
     try {
       val blocks = reader.getFooter.getBlocks.asScala
-      val acc = scala.collection.mutable.Map[String, (Comparable[Any], Comparable[Any], Long, PrimitiveTypeName)]()
+      val acc = scala.collection.mutable.Map[String, (Comparable[Any], Comparable[Any], Long, org.apache.parquet.schema.PrimitiveType)]()
       for (block <- blocks; col <- block.getColumns.asScala) {
         val stats = col.getStatistics
         if (stats != null && stats.hasNonNullValue) {
           val name = col.getPath.toDotString
-          val tpe = col.getPrimitiveType.getPrimitiveTypeName
+          val tpe = col.getPrimitiveType
           val mn = stats.genericGetMin.asInstanceOf[Comparable[Any]]
           val mx = stats.genericGetMax.asInstanceOf[Comparable[Any]]
           val nulls = if (stats.isNumNullsSet) stats.getNumNulls else 0L
@@ -55,11 +56,26 @@ object FileStats {
     } finally reader.close()
   }
 
-  private def render(v: Any, tpe: PrimitiveTypeName): String = v match {
-    case b: Binary if tpe == PrimitiveTypeName.BINARY => b.toStringUsingUTF8
-    case b: Binary => b.toString // decimals etc. — not used for pruning
-    case other => String.valueOf(other)
-  }
+  private def render(v: Any, tpe: org.apache.parquet.schema.PrimitiveType): String =
+    tpe.getLogicalTypeAnnotation match {
+      // decimal stats (INT32/INT64/FIXED/BINARY carry the unscaled value)
+      // serialize as plain BigDecimal strings, the manifest's comparison
+      // domain for decimal pruning (ref: the decimal TupleDomains of
+      // PrestoFilterConverter.java / testDecimalPredicate)
+      case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+        val unscaled = v match {
+          case b: Binary => new java.math.BigInteger(b.getBytes)
+          case i: java.lang.Integer => java.math.BigInteger.valueOf(i.longValue)
+          case l: java.lang.Long => java.math.BigInteger.valueOf(l)
+          case other => return String.valueOf(other)
+        }
+        new java.math.BigDecimal(unscaled, d.getScale).toPlainString
+      case _ => v match {
+        case b: Binary if tpe.getPrimitiveTypeName == PrimitiveTypeName.BINARY => b.toStringUsingUTF8
+        case b: Binary => b.toString
+        case other => String.valueOf(other)
+      }
+    }
 
   private def isAscii(s: String): Boolean = {
     var i = 0
@@ -83,6 +99,7 @@ object FileStats {
       case (x: Long, y: Long) => Some(x.compareTo(y))
       case (x: Double, y: Double) => Some(x.compareTo(y))
       case (x: Float, y: Float) => Some(x.compareTo(y))
+      case (x: java.math.BigDecimal, y: java.math.BigDecimal) => Some(x.compareTo(y))
       // parquet orders string stats by unsigned UTF-8 bytes; Java compareTo
       // is UTF-16 code units. The two orders agree only on pure ASCII.
       case (x: String, y: String) if isAscii(x) && isAscii(y) => Some(x.compareTo(y))
@@ -102,6 +119,8 @@ object FileStats {
         Some(x.getEpochSecond * 1000000L + x.getNano / 1000)
       case (DateType, x: java.sql.Date) => Some(x.toLocalDate.toEpochDay.toInt)
       case (DateType, x: java.time.LocalDate) => Some(x.toEpochDay.toInt)
+      case (_: DecimalType, x: java.math.BigDecimal) => Some(x)
+      case (_: DecimalType, x: BigDecimal) => Some(x.underlying)
       case _ => None
     }
 
@@ -148,6 +167,7 @@ object FileStats {
     case DoubleType => s.toDoubleOption
     case FloatType => s.toFloatOption
     case StringType => Some(s)
+    case _: DecimalType => scala.util.Try(new java.math.BigDecimal(s)).toOption
     case _ => None
   }
 }

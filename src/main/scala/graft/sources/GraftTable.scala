@@ -263,7 +263,21 @@ class GraftTable private (
         "(add them with addColumn or the mergeSchema write option)")
     val nextSeq = seq
 
-    var out = df.select(dataCols.map(col): _*)
+    // enforce the table schema's types: a silent mismatch (e.g. a
+    // decimal(38,18) batch into a decimal(9,2) column) would write files
+    // the table's own readers reject. Safe widenings upcast in place;
+    // anything lossy must be cast explicitly by the writer.
+    var out = df.select(dataCols.map { c =>
+      val target = schema(c).dataType
+      val actual = df.schema(c).dataType
+      if (actual == target) col(c)
+      else {
+        require(org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(actual, target),
+          s"column $c of type ${actual.simpleString} does not fit table type " +
+            s"${target.simpleString}; cast explicitly before writing")
+        col(c).cast(target).as(c)
+      }
+    }: _*)
     if (isPkTable)
       out = out
         .withColumn(SeqCol, lit(nextSeq))

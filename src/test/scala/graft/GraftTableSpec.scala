@@ -145,6 +145,38 @@ class GraftTableSpec extends AnyFunSuite {
     assert(sv.filter(col("v") === "v250").count() == 1)
   }
 
+  test("S14c: decimal min/max stats skip files (ref testDecimalPredicate)") {
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThan}
+    // DECIMAL(9,2) → parquet INT32; DECIMAL(20,4) → FIXED_LEN_BYTE_ARRAY:
+    // both encodings must decode into the BigDecimal pruning domain
+    val t = GraftTable.create(spark, TestSpark.tmpDir("decskip"),
+      StructType(Seq(
+        StructField("id", LongType),
+        StructField("amt", DecimalType(9, 2)),
+        StructField("big", DecimalType(20, 4)))))
+    (0 until 4).foreach { b =>
+      val rows = (0 until 50).map { i =>
+        val v = BigDecimal(b * 1000 + i) / 100 // [b*10, b*10+0.49]
+        (b * 50L + i, v.toString, (v * 1000).toString)
+      }
+      t.append(rows.toDF("id", "amt", "big")
+        .select(col("id"), col("amt").cast(DecimalType(9, 2)), col("big").cast(DecimalType(20, 4)))
+        .coalesce(1))
+    }
+    val eq = t.read(dataFilters = Seq(EqualTo("amt", new java.math.BigDecimal("20.25"))))
+    assert(eq.inputFiles.length == 1)
+    assert(eq.filter(col("amt") === 20.25).count() == 1)
+    val gt = t.read(dataFilters = Seq(GreaterThan("big", new java.math.BigDecimal("15000.0000"))))
+    assert(gt.inputFiles.length == 2) // files 2 [20000..] and 3 [30000..]
+    assert(t.read(dataFilters = Seq(GreaterThan("amt", new java.math.BigDecimal("999.99"))))
+      .inputFiles.isEmpty)
+    // writes must conform to the table's types: a default-precision
+    // Scala BigDecimal batch (38,18) cannot silently land in (9,2)
+    intercept[IllegalArgumentException] {
+      t.append(Seq((999L, BigDecimal("1.23"), BigDecimal("4.5"))).toDF("id", "amt", "big"))
+    }
+  }
+
   test("S14b: PK tables data-skip only on key/sequence columns (no stale-version resurrection)") {
     import org.apache.spark.sql.sources.EqualTo
     val t = GraftTable.create(spark, TestSpark.tmpDir("pkskip"),
