@@ -91,6 +91,10 @@ class GraftTable private (
   private[sources] def sequenceFields: Seq[String] =
     options.get("sequence.field").map(_.split(",").map(_.trim).toSeq).getOrElse(Seq.empty)
   private[sources] def isPkTable: Boolean = primaryKeys.nonEmpty
+  /** Paimon option name: `none` (default) writes upserts as +I;
+    * `lookup` classifies against current state and emits -U/+U pairs. */
+  private def lookupChangelog: Boolean =
+    options.getOrElse("changelog-producer", "none") == "lookup"
 
   /** On-disk columns of data files (data cols minus partition cols, plus
     * hidden cols for PK tables) — what a parquet reader sees before
@@ -172,21 +176,52 @@ class GraftTable private (
     * like any other PK write — duplicate keys within one batch would
     * otherwise share a `__seq` and merge nondeterministically). */
   def append(df: DataFrame): Long =
-    writeCommit(if (isPkTable) dedupBatch(df) else df, kind = "APPEND", rowKind = "I")
+    if (isPkTable) upsert(df)
+    else writeCommit(df, kind = "APPEND", rowKind = RowKind.Insert)
 
   /** Upsert by primary key. Within the batch the greatest
-    * `sequence.field` value per key wins. */
+    * `sequence.field` value per key wins.
+    *
+    * RowKind lattice (ref: PrestoTypeUtils' RowKind handling; Paimon's
+    * changelog-producer): with the default `changelog-producer=none`
+    * every upserted row is written `+I` (a CDC consumer cannot tell
+    * update from insert — Paimon's contract for `none`). With
+    * `changelog-producer=lookup` the batch is classified against the
+    * current table state: new keys write `+I`, existing keys write a
+    * `-U` pre-image (the replaced row's values) and a `+U` post-image in
+    * the same commit. The lookup is a key-equality join of the batch
+    * against the merged table — at scale exactly the bucketed-join cost
+    * Paimon's lookup changelog-producer pays. */
   def upsert(df: DataFrame): Long = {
     require(isPkTable, "upsert requires primary keys")
-    writeCommit(dedupBatch(df), kind = "APPEND", rowKind = "I")
+    val batch = dedupBatch(df)
+    if (!lookupChangelog)
+      return writeCommit(batch, kind = "APPEND", rowKind = RowKind.Insert)
+    val cur = read()
+    val keyCols = primaryKeys.map(col)
+    val batchKeys = batch.select(keyCols: _*).distinct()
+    val pre = cur.join(batchKeys, primaryKeys, "left_semi")
+      .withColumn(KindCol, lit(RowKind.UpdateBefore))
+    val marked = batch
+      .join(cur.select(keyCols: _*).withColumn("__hit", lit(1)), primaryKeys.toSeq, "left")
+      .withColumn(KindCol,
+        when(col("__hit").isNotNull, RowKind.UpdateAfter).otherwise(RowKind.Insert))
+      .drop("__hit")
+    writeCommit(marked.unionByName(pre), kind = "APPEND", rowKind = RowKind.Insert)
   }
 
   /** Delete by primary key. `df` must contain FULL rows of the schema
     * (the non-key values are ignored by the merge; they exist so the
-    * delete file shares the table layout). */
+    * delete file shares the table layout). With `changelog-producer=
+    * lookup` the `-D` rows carry the TRUE pre-image (current values of
+    * the deleted keys) and deletes of absent keys are dropped. */
   def delete(df: DataFrame): Long = {
     require(isPkTable, "delete requires primary keys")
-    writeCommit(dedupBatch(df), kind = "APPEND", rowKind = "D")
+    if (!lookupChangelog)
+      return writeCommit(dedupBatch(df), kind = "APPEND", rowKind = RowKind.Delete)
+    val keys = dedupBatch(df).select(primaryKeys.map(col): _*).distinct()
+    writeCommit(read().join(keys, primaryKeys, "left_semi"),
+      kind = "APPEND", rowKind = RowKind.Delete)
   }
 
   /** Replace every partition present in `df` with df's rows. */
@@ -200,7 +235,7 @@ class GraftTable private (
       }.toMap)
       .toSet
     val keep = filesAt(base).filterNot(f => affected.contains(f.partition))
-    val added = stageWrite(df, rowKind = "I", seq = base + 1)
+    val added = stageWrite(df, rowKind = RowKind.Insert, seq = base + 1)
     commitAt(base + 1, "OVERWRITE", keep ++ added)
   }
 
@@ -209,7 +244,7 @@ class GraftTable private (
   def compact(): Long = {
     val base = latestSnapshotId.getOrElse(0L)
     val merged = read(snapshotId = Some(base).filter(_ > 0))
-    val added = stageWrite(merged, rowKind = "I", seq = base + 1)
+    val added = stageWrite(merged, rowKind = RowKind.Insert, seq = base + 1)
     commitAt(base + 1, "COMPACT", added)
   }
 
@@ -255,9 +290,12 @@ class GraftTable private (
     val dataCols = schema.fieldNames.toSeq
     require(dataCols.forall(df.columns.contains),
       s"df missing columns: ${dataCols.filterNot(df.columns.contains).mkString(",")}")
+    // a pre-attached __kind column (the lookup changelog-producer path)
+    // carries per-row kinds; otherwise every row gets `rowKind`
+    val perRowKind = df.columns.contains(KindCol)
     // silently dropping unknown columns would lose data on typo'd writes;
     // evolve the schema first (addColumn / mergeSchema) to accept them
-    val unknown = df.columns.filterNot(dataCols.contains)
+    val unknown = df.columns.filterNot(c => dataCols.contains(c) || (c == KindCol && isPkTable))
     require(unknown.isEmpty,
       s"df has columns not in the table schema: ${unknown.mkString(",")} " +
         "(add them with addColumn or the mergeSchema write option)")
@@ -277,11 +315,11 @@ class GraftTable private (
             s"${target.simpleString}; cast explicitly before writing")
         col(c).cast(target).as(c)
       }
-    }: _*)
-    if (isPkTable)
-      out = out
-        .withColumn(SeqCol, lit(nextSeq))
-        .withColumn(KindCol, lit(rowKind))
+    } ++ (if (perRowKind) Seq(df(KindCol)) else Seq.empty): _*)
+    if (isPkTable) {
+      out = out.withColumn(SeqCol, lit(nextSeq))
+      if (!perRowKind) out = out.withColumn(KindCol, lit(rowKind))
+    }
     val bucketed = numBuckets > 1 && bucketKeys.nonEmpty
     if (bucketed)
       out = out.withColumn(BucketCol, pmod(hash(bucketKeys.map(col): _*), lit(numBuckets)))
@@ -438,8 +476,10 @@ class GraftTable private (
         val ord = (sequenceFields.map(c => col(c).desc) :+ col(SeqCol).desc)
         val w = Window.partitionBy(primaryKeys.map(col): _*).orderBy(ord: _*)
         raw
+          // -U pre-images are changelog markers, not row versions
+          .filter(col(KindCol) =!= RowKind.UpdateBefore)
           .withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1 && col(KindCol) =!= "D")
+          .filter(col("__rn") === 1 && col(KindCol) =!= RowKind.Delete)
           .drop("__rn", SeqCol, KindCol)
       } else raw
     merged.select(schema.fieldNames.map(col).toSeq: _*)
@@ -519,8 +559,10 @@ class GraftTable private (
     if (isPkTable) {
       raw = raw.filter(col(SeqCol) > fromExclusive && col(SeqCol) <= toInclusive)
       // without the changelog columns a consumer can't interpret delete
-      // markers — suppress them instead of resurrecting deleted keys
-      if (!changelog) raw = raw.filter(col(KindCol) =!= "D")
+      // or pre-image markers — suppress them instead of resurrecting
+      // deleted keys / double-counting updates
+      if (!changelog)
+        raw = raw.filter(col(KindCol).isin(RowKind.Insert, RowKind.UpdateAfter))
     }
     raw.select(outCols: _*)
   }
@@ -607,6 +649,15 @@ class GraftTable private (
 object GraftTable {
   val SeqCol = "__seq"
   val KindCol = "__kind"
+
+  /** Paimon's RowKind lattice (ref: the +I/-U/+U/-D row kinds the
+    * reference's audit_log and changelog readers distinguish). */
+  object RowKind {
+    val Insert = "+I"
+    val UpdateBefore = "-U"
+    val UpdateAfter = "+U"
+    val Delete = "-D"
+  }
   val BucketCol = "__bucket"
   private val SnapRe = "snap-(\\d+)\\.json".r
   private val SchemaRe = "schema-(\\d+)\\.json".r

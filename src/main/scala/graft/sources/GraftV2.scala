@@ -298,18 +298,22 @@ final class GraftMorReaderFactory(
     // Descending on (sequence fields, __seq): the winner sorts FIRST
     val ord = new InterpretedOrdering(seqIdx.toSeq.map(i => SortOrder(ref(i), Descending)))
     val best = new java.util.HashMap[UnsafeRow, InternalRow]()
+    val updateBefore = UTF8String.fromString(GraftTable.RowKind.UpdateBefore)
     val in = parquet.createReader(partition)
     try {
       while (in.next()) {
         val row = in.get().copy()
-        val k = keyProj(row).copy()
-        val cur = best.get(k)
-        if (cur == null || ord.compare(row, cur) < 0) best.put(k, row)
+        // -U pre-images are changelog markers, not row versions
+        if (row.getUTF8String(kindIdx) != updateBefore) {
+          val k = keyProj(row).copy()
+          val cur = best.get(k)
+          if (cur == null || ord.compare(row, cur) < 0) best.put(k, row)
+        }
       }
     } finally in.close()
 
     val outProj = UnsafeProjection.create(outIdx.map(ref).toSeq)
-    val delete = UTF8String.fromString("D")
+    val delete = UTF8String.fromString(GraftTable.RowKind.Delete)
     val it = best.values().iterator()
     new PartitionReader[InternalRow] {
       private var current: InternalRow = _

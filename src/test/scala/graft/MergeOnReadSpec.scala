@@ -55,8 +55,22 @@ class MergeOnReadSpec extends AnyFunSuite {
     t.delete(Seq((1, "a", 2L)).toDF("k", "v", "seq"))
     val log = t.system("audit_log").orderBy("seq").collect()
       .map(r => (r.getString(0), r.getLong(1)))
-    assert(log.toSeq == Seq(("I", 1L), ("D", 2L)))
+    assert(log.toSeq == Seq(("+I", 1L), ("-D", 2L)))
     assert(t.read().count() == 0)
+  }
+
+  test("audit_log with lookup changelog-producer shows the full RowKind lattice") {
+    val t = GraftTable.create(spark, TestSpark.tmpDir("auditfull"),
+      StructType(Seq(StructField("k", IntegerType), StructField("v", StringType),
+        StructField("seq", LongType))),
+      primaryKeys = Seq("k"),
+      options = Map("sequence.field" -> "seq", "changelog-producer" -> "lookup"))
+    t.upsert(Seq((1, "a", 1L)).toDF("k", "v", "seq"))
+    t.upsert(Seq((1, "a2", 2L)).toDF("k", "v", "seq"))
+    val log = t.system("audit_log").orderBy("commit_seq", "rowkind").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(3)))
+    assert(log.toSeq == Seq(("+I", 1L, "a"), ("+U", 2L, "a2"), ("-U", 2L, "a")))
+    assert(t.read().collect().map(_.getString(1)).toSeq == Seq("a2"))
   }
 
   test("compact materializes the merge and preserves the merged result") {

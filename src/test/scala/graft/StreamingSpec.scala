@@ -102,7 +102,36 @@ class StreamingSpec extends AnyFunSuite {
       q.processAllAvailable()
       val got = spark.sql("SELECT rowkind, commit_seq, k, v FROM graft_cdc ORDER BY commit_seq")
         .collect().map(r => (r.getString(0), r.getLong(1), r.getString(3)))
-      assert(got.toSeq == Seq(("I", 1L, "a"), ("I", 2L, "a2"), ("D", 3L, "a2")))
+      assert(got.toSeq == Seq(("+I", 1L, "a"), ("+I", 2L, "a2"), ("-D", 3L, "a2")))
+    } finally q.stop()
+  }
+
+  test("T4b-full: lookup changelog-producer streams -U/+U update pairs") {
+    val path = TestSpark.tmpDir("streamcdcfull")
+    val t = GraftTable.create(spark, path,
+      StructType(Seq(StructField("k", IntegerType), StructField("v", StringType),
+        StructField("seq", LongType))),
+      primaryKeys = Seq("k"),
+      options = Map("sequence.field" -> "seq", "changelog-producer" -> "lookup"))
+    t.upsert(Seq((1, "a", 1L), (2, "b", 1L)).toDF("k", "v", "seq"))
+    val q = spark.readStream.format("graft").option("readChangelog", "true").load(path)
+      .writeStream.outputMode("append").format("memory").queryName("graft_cdc_full").start()
+    try {
+      q.processAllAvailable()
+      t.upsert(Seq((1, "a2", 2L), (3, "c", 2L)).toDF("k", "v", "seq"))
+      t.delete(Seq((2, "x", 3L)).toDF("k", "v", "seq"))
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT rowkind, commit_seq, k, v FROM graft_cdc_full ORDER BY commit_seq, k, rowkind")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getString(3)))
+      assert(got.toSeq == Seq(
+        ("+I", 1L, 1, "a"), ("+I", 1L, 2, "b"),
+        // commit 2: key 1 updates (pre-image + post-image), key 3 inserts
+        ("+U", 2L, 1, "a2"), ("-U", 2L, 1, "a"), ("+I", 2L, 3, "c"),
+        // commit 3: -D carries the TRUE pre-image ("b"), not the caller's "x"
+        ("-D", 3L, 2, "b")))
+      // the merged table is unaffected by the markers
+      assert(t.read().orderBy("k").collect().map(_.getString(1)).toSeq == Seq("a2", "c"))
     } finally q.stop()
   }
 
@@ -173,6 +202,6 @@ class StreamingSpec extends AnyFunSuite {
     t.delete(Seq((1, "a", 3L)).toDF("k", "v", "seq"))
     val changes = GraftStreaming.changelog(t, s1)
       .orderBy("commit_seq").collect().map(r => (r.getString(0), r.getInt(2)))
-    assert(changes.toSeq == Seq(("I", 2), ("D", 1)))
+    assert(changes.toSeq == Seq(("+I", 2), ("-D", 1)))
   }
 }
