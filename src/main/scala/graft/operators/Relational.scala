@@ -534,6 +534,28 @@ object Relational {
              |  AND ts < TIMESTAMP '2024-01-20 12:34:56.789'
              |GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // S2/tz: TIMESTAMP WITH TIME ZONE predicates + named-zone conversion
+    // (ref: TestPrestoITCase.testTimestampPredicateWithTimezone:465).
+    // Bounds are spelled with explicit offsets (+05:30 / -04:00) and rows
+    // group by the hour rendered in Asia/Kolkata (a half-hour zone) —
+    // instant-correct on both engines (events.ts is naive UTC).
+    QDef(
+      "q_filter_tz",
+      (s, d) =>
+        T.events(s, d)
+          .filter(
+            col("ts") >= expr("TIMESTAMP '2024-01-10 05:30:00+05:30'") &&
+              col("ts") < expr("TIMESTAMP '2024-01-19 20:00:00-04:00'"))
+          .groupBy(hour(from_utc_timestamp(col("ts"), "Asia/Kolkata")).cast("long").as("h"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("h"),
+      Some("""SELECT extract(hour FROM timezone('Asia/Kolkata', timezone('UTC', ts))) AS h,
+             |  count(*) AS n
+             |FROM events
+             |WHERE ts >= (TIMESTAMPTZ '2024-01-10 05:30:00+05:30' AT TIME ZONE 'UTC')
+             |  AND ts < (TIMESTAMPTZ '2024-01-19 20:00:00-04:00' AT TIME ZONE 'UTC')
+             |GROUP BY 1 ORDER BY h""".stripMargin)),
+
     // S3: LIMIT pushdown (ref: TestPrestoITCase.testLimitCommon).
     QDef(
       "q_limit",

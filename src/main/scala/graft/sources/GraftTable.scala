@@ -78,8 +78,21 @@ class GraftTable private (
   private val fs: FileSystem = fileSystem(spark, root)
   private def hadoopConf = spark.sessionState.newHadoopConf()
 
-  def schema: StructType =
+  /** Declared type lattice — may contain CHAR(n)/VARCHAR(n), which Spark
+    * forbids in runtime DataFrame schemas (ref: the char/varchar/time
+    * lattice of PrestoTypeUtils.java:39-100). */
+  def lattice: StructType =
     DataType.fromJson(schemaMeta.fieldsJson).asInstanceOf[StructType]
+
+  /** Runtime schema: the lattice with char/varchar normalized to string.
+    * CHAR semantics (pad/truncate to n) are applied at write time, so
+    * runtime values of a char(n) column are always exactly n chars. */
+  def schema: StructType = normalizeRuntime(lattice).asInstanceOf[StructType]
+
+  // TIME columns need the (4.1) TimeType feature flag for every read and
+  // write of this session; flip it as soon as such a table is touched
+  if (lattice.exists(f => hasTimeType(f.dataType)))
+    spark.conf.set("spark.sql.timeType.enabled", "true")
   def partitionKeys: Seq[String] = schemaMeta.partitionKeys
   def primaryKeys: Seq[String] = schemaMeta.primaryKeys
   def options: Map[String, String] = schemaMeta.options
@@ -308,12 +321,22 @@ class GraftTable private (
     var out = df.select(dataCols.map { c =>
       val target = schema(c).dataType
       val actual = df.schema(c).dataType
-      if (actual == target) col(c)
-      else {
-        require(org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(actual, target),
-          s"column $c of type ${actual.simpleString} does not fit table type " +
-            s"${target.simpleString}; cast explicitly before writing")
-        col(c).cast(target).as(c)
+      val typed =
+        if (actual == target) col(c)
+        else {
+          require(org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(actual, target),
+            s"column $c of type ${actual.simpleString} does not fit table type " +
+              s"${target.simpleString}; cast explicitly before writing")
+          col(c).cast(target)
+        }
+      // CHAR/VARCHAR write semantics from the declared lattice (ref:
+      // PrestoTypeUtils.java:96-100 char pad/truncate): char(n) values
+      // land as exactly n chars (rpad both pads and truncates), varchar(n)
+      // truncates to its bound. Runtime reads then need no padding logic.
+      lattice(c).dataType match {
+        case CharType(n) => rpad(typed, n, " ").as(c)
+        case VarcharType(n) => substring(typed, 1, n).as(c)
+        case _ => typed.as(c)
       }
     } ++ (if (perRowKind) Seq(df(KindCol)) else Seq.empty): _*)
     if (isPkTable) {
@@ -640,7 +663,9 @@ class GraftTable private (
     require(!schema.fieldNames.contains(name), s"column $name exists")
     val next = schemaMeta.copy(
       id = schemaMeta.id + 1,
-      fieldsJson = StructType(schema.fields :+ StructField(name, dataType)).json)
+      // extend the LATTICE, not the runtime schema — rebuilding from the
+      // normalized view would silently strip char/varchar declarations
+      fieldsJson = StructType(lattice.fields :+ StructField(name, dataType)).json)
     writeString(fs, new Path(root, s"schema/schema-${next.id}.json"), mapper.writeValueAsString(next))
     schemaMeta = next
   }
@@ -649,6 +674,24 @@ class GraftTable private (
 object GraftTable {
   val SeqCol = "__seq"
   val KindCol = "__kind"
+
+  /** char/varchar live only in the declared lattice; runtime DataFrames
+    * carry plain strings (CHAR padding is a write-time invariant). */
+  private[sources] def normalizeRuntime(dt: DataType): DataType = dt match {
+    case CharType(_) | VarcharType(_) => StringType
+    case s: StructType => StructType(s.fields.map(f => f.copy(dataType = normalizeRuntime(f.dataType))))
+    case ArrayType(et, n) => ArrayType(normalizeRuntime(et), n)
+    case MapType(k, v, n) => MapType(normalizeRuntime(k), normalizeRuntime(v), n)
+    case other => other
+  }
+
+  private def hasTimeType(dt: DataType): Boolean = dt match {
+    case _: TimeType => true
+    case s: StructType => s.fields.exists(f => hasTimeType(f.dataType))
+    case ArrayType(et, _) => hasTimeType(et)
+    case MapType(k, v, _) => hasTimeType(k) || hasTimeType(v)
+    case _ => false
+  }
 
   /** Paimon's RowKind lattice (ref: the +I/-U/+U/-D row kinds the
     * reference's audit_log and changelog readers distinguish). */

@@ -118,6 +118,43 @@ class GraftTableSpec extends AnyFunSuite {
     assert(hit.inputFiles.length < t.read().inputFiles.length)
   }
 
+  test("S10b: char/varchar/time/timestamp_ntz lattice round-trip (ref PrestoTypeUtils.java:39-100)") {
+    val t = GraftTable.create(spark, TestSpark.tmpDir("lattice"),
+      StructType(Seq(
+        StructField("id", IntegerType),
+        StructField("code", CharType(4)),
+        StructField("tag", VarcharType(5)),
+        StructField("tod", TimeType(6)),
+        StructField("naive", TimestampNTZType))))
+    // the declared lattice keeps char/varchar; the runtime schema is string
+    assert(t.lattice("code").dataType == CharType(4))
+    assert(t.lattice("tag").dataType == VarcharType(5))
+    assert(t.schema("code").dataType == StringType && t.schema("tag").dataType == StringType)
+    val df = Seq(
+      (1, "ab", "abcdefgh", java.time.LocalTime.of(1, 2, 3),
+        java.time.LocalDateTime.of(2024, 1, 2, 3, 4, 5)),
+      (2, "wxyz!", "ok", java.time.LocalTime.of(23, 59, 59),
+        java.time.LocalDateTime.of(2024, 6, 7, 8, 9, 10))
+    ).toDF("id", "code", "tag", "tod", "naive")
+    t.append(df)
+    val rows = t.read().orderBy("id").collect()
+    assert(rows(0).getString(1) == "ab  ") // char(4) pads
+    assert(rows(1).getString(1) == "wxyz") // char(4) truncates
+    assert(rows(0).getString(2) == "abcde") // varchar(5) truncates
+    assert(rows(1).getString(2) == "ok") // varchar under bound unpadded
+    assert(rows(0).getAs[java.time.LocalTime]("tod") == java.time.LocalTime.of(1, 2, 3))
+    assert(rows(1).getAs[java.time.LocalDateTime]("naive")
+      == java.time.LocalDateTime.of(2024, 6, 7, 8, 9, 10))
+    // reload from disk: the lattice survives the schema-json round-trip
+    val t2 = GraftTable.load(spark, t.root)
+    assert(t2.lattice("code").dataType == CharType(4)
+      && t2.lattice("tod").dataType == TimeType(6)
+      && t2.lattice("naive").dataType == TimestampNTZType)
+    // schema evolution preserves the lattice
+    t2.addColumn("extra", LongType)
+    assert(GraftTable.load(spark, t.root).lattice("code").dataType == CharType(4))
+  }
+
   test("S14: min/max file stats skip files for range/equality predicates") {
     import org.apache.spark.sql.sources.{EqualTo, GreaterThan, LessThan}
     val t = GraftTable.create(spark, TestSpark.tmpDir("skip"),

@@ -202,4 +202,25 @@ class ReferenceParitySpec extends AnyFunSuite {
       col("ts") > to_timestamp(lit("2023-01-01 01:01:00")) &&
         col("ts") < to_timestamp(lit("2023-01-01 01:01:02"))).count() == 1)
   }
+
+  test("testTimestampPredicateWithTimezone (TestPrestoITCase.java:465): instant-valued predicates") {
+    // TIMESTAMP (Spark's with-local-time-zone type ≡ the reference's
+    // TIMESTAMP WITH TIME ZONE lattice entry): predicates spelled with
+    // explicit zone offsets must select by INSTANT, whatever the zone
+    val t = GraftTable.create(spark, TestSpark.tmpDir("ref_tz"),
+      StructType(Seq(StructField("id", IntegerType), StructField("at", TimestampType))))
+    t.append(Seq(
+      (1, java.time.Instant.parse("2024-01-15T10:00:00Z")),
+      (2, java.time.Instant.parse("2024-01-15T20:00:00Z"))).toDF("id", "at"))
+    val df = spark.read.format("graft").load(t.root)
+    // 17:30+05:30 == 12:00Z — only the 20:00Z row is later
+    assert(df.filter(col("at") > expr("TIMESTAMP '2024-01-15 17:30:00+05:30'"))
+      .collect().map(_.getInt(0)).toSeq == Seq(2))
+    // the same instant spelled in another zone selects the same rows
+    assert(df.filter(col("at") > expr("TIMESTAMP '2024-01-15 07:00:00-05:00'"))
+      .collect().map(_.getInt(0)).toSeq == Seq(2))
+    // equality across spellings: 15:30+05:30 == 10:00Z
+    assert(df.filter(col("at") === expr("TIMESTAMP '2024-01-15 15:30:00+05:30'"))
+      .collect().map(_.getInt(0)).toSeq == Seq(1))
+  }
 }
