@@ -77,6 +77,44 @@ object FileStats {
       }
     }
 
+  /** ORC analogue of `fromFooter`: min/max per top-level column from the
+    * ORC reader's file statistics. Rendered into the SAME string domains
+    * as the parquet path (plain numbers, BigDecimal strings, epoch-day
+    * ints) so `mayMatch` needs no format awareness. Timestamp stats are
+    * skipped (ORC reports millis, the pruning domain is micros —
+    * conservative no-prune beats a wrong unit). */
+  def fromOrcFooter(conf: Configuration, file: Path): Map[String, ColStats] = {
+    import org.apache.orc.{ColumnStatistics => OrcStats, _}
+    val reader = OrcFile.createReader(file, OrcFile.readerOptions(conf))
+    try {
+      val root = reader.getSchema
+      val all = reader.getStatistics
+      val totalRows = reader.getNumberOfRows
+      val names = root.getFieldNames.asScala.toSeq
+      val children = root.getChildren.asScala.toSeq
+      names.zip(children).flatMap { case (name, child) =>
+        val s: OrcStats = all(child.getId)
+        val mm: Option[(String, String)] = s match {
+          case i: IntegerColumnStatistics =>
+            Some((i.getMinimum.toString, i.getMaximum.toString))
+          case d: DoubleColumnStatistics =>
+            Some((d.getMinimum.toString, d.getMaximum.toString))
+          case st: StringColumnStatistics if st.getMinimum != null =>
+            Some((st.getMinimum, st.getMaximum))
+          case dec: DecimalColumnStatistics if dec.getMinimum != null =>
+            Some((dec.getMinimum.bigDecimalValue.toPlainString,
+              dec.getMaximum.bigDecimalValue.toPlainString))
+          case dt: DateColumnStatistics =>
+            Some((dt.getMinimumDayOfEpoch.toString, dt.getMaximumDayOfEpoch.toString))
+          case _ => None
+        }
+        mm.filter(_ => s.getNumberOfValues > 0).map { case (mn, mx) =>
+          name -> ColStats(mn, mx, totalRows - s.getNumberOfValues)
+        }
+      }.toMap
+    } finally reader.close()
+  }
+
   private def isAscii(s: String): Boolean = {
     var i = 0
     while (i < s.length) { if (s.charAt(i) >= 0x80) return false; i += 1 }

@@ -104,6 +104,13 @@ class GraftTable private (
   private[sources] def sequenceFields: Seq[String] =
     options.get("sequence.field").map(_.split(",").map(_.trim).toSeq).getOrElse(Seq.empty)
   private[sources] def isPkTable: Boolean = primaryKeys.nonEmpty
+  /** Data-file format (Paimon's file.format option): parquet (default)
+    * or orc. Both ride Spark's vectorized columnar readers. */
+  private[sources] def fileFormat: String = {
+    val f = options.getOrElse("file.format", "parquet")
+    require(f == "parquet" || f == "orc", s"unsupported file.format: $f")
+    f
+  }
   /** Paimon option name: `none` (default) writes upserts as +I;
     * `lookup` classifies against current state and emits -U/+U pairs. */
   private def lookupChangelog: Boolean =
@@ -350,9 +357,9 @@ class GraftTable private (
     val stagingId = UUID.randomUUID().toString.take(8)
     val staging = new Path(root, s".staging-$stagingId")
     val partBy = partitionKeys ++ (if (bucketed) Seq(BucketCol) else Seq.empty)
-    val writer = out.write.mode("overwrite")
+    val writer = out.write.mode("overwrite").format(fileFormat)
     (if (partBy.nonEmpty) writer.partitionBy(partBy: _*) else writer)
-      .parquet(staging.toString)
+      .save(staging.toString)
 
     // move staged files into data/, folding the __bucket dir into the name
     val statsConf = hadoopConf // one Configuration for all footer reads
@@ -364,7 +371,7 @@ class GraftTable private (
     while (it.hasNext) {
       val st = it.next()
       val p = st.getPath
-      if (p.getName.endsWith(".parquet")) {
+      if (p.getName.endsWith(s".$fileFormat")) {
         val rel = p.toString.stripPrefix(stagingQ).stripPrefix("/")
         val segs = rel.split("/").dropRight(1).filter(_.contains("="))
         val partSegs = segs.filterNot(_.startsWith(s"$BucketCol="))
@@ -375,12 +382,14 @@ class GraftTable private (
         val destDir = if (partSegs.isEmpty) new Path(root, "data")
           else new Path(root, "data/" + partSegs.mkString("/"))
         fs.mkdirs(destDir)
-        val dest = new Path(destDir, f"$stagingId-b$bucket-$n%05d.parquet")
+        val dest = new Path(destDir, f"$stagingId-b$bucket-$n%05d.$fileFormat")
         if (!fs.rename(p, dest)) throw new IllegalStateException(s"rename failed: $p -> $dest")
         // min/max per column from the footer -> manifest data skipping.
         // (At cluster scale the write tasks would report these in the
         // commit message; a driver-side footer read is O(files) metadata.)
-        val stats = FileStats.fromFooter(statsConf, dest)
+        val stats =
+          if (fileFormat == "orc") FileStats.fromOrcFooter(statsConf, dest)
+          else FileStats.fromFooter(statsConf, dest)
         metas += FileMeta(
           path = fs.makeQualified(dest).toString.stripPrefix(rootQ).stripPrefix("/"),
           partition = partition,
@@ -493,7 +502,7 @@ class GraftTable private (
     val raw = spark.read
       .option("basePath", s"${root.stripSuffix("/")}/data")
       .schema(fileSchema)
-      .parquet(paths: _*)
+      .format(fileFormat).load(paths: _*)
     val merged =
       if (isPkTable) {
         val ord = (sequenceFields.map(c => col(c).desc) :+ col(SeqCol).desc)
@@ -527,7 +536,7 @@ class GraftTable private (
     spark.read
       .option("basePath", s"${root.stripSuffix("/")}/data")
       .schema(fileSchema)
-      .parquet(paths: _*)
+      .format(fileFormat).load(paths: _*)
       .select((col(KindCol).as("rowkind") +: col(SeqCol).as("commit_seq") +: schema.fieldNames.map(col).toSeq): _*)
   }
 
@@ -578,7 +587,7 @@ class GraftTable private (
     var raw = spark.read
       .option("basePath", s"${root.stripSuffix("/")}/data")
       .schema(fileSchema)
-      .parquet(paths.toSeq: _*)
+      .format(fileFormat).load(paths.toSeq: _*)
     if (isPkTable) {
       raw = raw.filter(col(SeqCol) > fromExclusive && col(SeqCol) <= toInclusive)
       // without the changelog columns a consumer can't interpret delete

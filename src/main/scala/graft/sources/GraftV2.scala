@@ -237,33 +237,45 @@ final class GraftScan(
 
   // ---- reader factories -------------------------------------------------
 
-  /** Build the vectorized parquet reader factory by delegating to a real
-    * ParquetScan (over an empty file index — createReaderFactory never
-    * touches it): it installs every reader conf key (read-support class,
-    * requested schema, timezone, rebase modes) exactly as the built-in
-    * source does, so we inherit Spark's columnar read path verbatim
-    * instead of re-plumbing it. */
-  private def parquetFactory(readData: StructType, readPart: StructType, filters: Array[Filter])
+  /** Build the vectorized reader factory by delegating to a real
+    * ParquetScan/OrcScan (over an empty file index — createReaderFactory
+    * never touches it): it installs every reader conf key (read-support
+    * class, requested schema, timezone, rebase modes) exactly as the
+    * built-in source does, so we inherit Spark's columnar read path
+    * verbatim instead of re-plumbing it. */
+  private def fileFactory(readData: StructType, readPart: StructType, filters: Array[Filter])
       : PartitionReaderFactory = {
     val emptyIndex = new org.apache.spark.sql.execution.datasources.InMemoryFileIndex(
       spark, Seq.empty, Map.empty, None)
-    new org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan(
-      spark, spark.sessionState.newHadoopConf(), emptyIndex,
-      dataSchema = table.fileDataSchema,
-      readDataSchema = readData,
-      readPartitionSchema = readPart,
-      pushedFilters = filters,
-      options = CaseInsensitiveStringMap.empty()).createReaderFactory()
+    if (table.fileFormat == "orc")
+      new org.apache.spark.sql.execution.datasources.v2.orc.OrcScan(
+        spark, spark.sessionState.newHadoopConf(), emptyIndex,
+        dataSchema = table.fileDataSchema,
+        readDataSchema = readData,
+        readPartitionSchema = readPart,
+        options = CaseInsensitiveStringMap.empty(),
+        pushedAggregate = None,
+        pushedFilters = filters,
+        partitionFilters = Seq.empty,
+        dataFilters = Seq.empty).createReaderFactory()
+    else
+      new org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan(
+        spark, spark.sessionState.newHadoopConf(), emptyIndex,
+        dataSchema = table.fileDataSchema,
+        readDataSchema = readData,
+        readPartitionSchema = readPart,
+        pushedFilters = filters,
+        options = CaseInsensitiveStringMap.empty()).createReaderFactory()
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     if (!table.isPkTable)
-      return parquetFactory(StructType(readDataFields), StructType(readPartFields), readerFilters)
+      return fileFactory(StructType(readDataFields), StructType(readPartFields), readerFilters)
     // merge rows materialize as [mergeDataFields ++ mergePartFields]
     val mergeSchema = StructType(mergeDataFields ++ mergePartFields)
     def idx(name: String): Int = mergeSchema.fieldIndex(name)
     new GraftMorReaderFactory(
-      parquetFactory(StructType(mergeDataFields), StructType(mergePartFields), readerFilters),
+      fileFactory(StructType(mergeDataFields), StructType(mergePartFields), readerFilters),
       mergeSchema,
       keyIdx = table.primaryKeys.map(idx).toArray,
       seqIdx = (table.sequenceFields :+ GraftTable.SeqCol).map(idx).toArray,

@@ -104,6 +104,51 @@ class GraftTableSpec extends AnyFunSuite {
     assert(r.getStruct(14).getInt(0) == 7)
   }
 
+  test("S10c: file.format=orc — wide round-trip, MOR, data skipping, V2 scan") {
+    val wide = StructType(Seq(
+      StructField("i32", IntegerType), StructField("i64", LongType),
+      StructField("f64", DoubleType), StructField("dec", DecimalType(20, 3)),
+      StructField("s", StringType), StructField("dt", DateType),
+      StructField("arr", ArrayType(IntegerType)),
+      StructField("map", MapType(StringType, StringType))))
+    val t = GraftTable.create(spark, TestSpark.tmpDir("orc"), wide,
+      options = Map("file.format" -> "orc"))
+    t.append(spark.sql(
+      """SELECT 3 i32, CAST(4 AS BIGINT) i64, CAST(2.5 AS DOUBLE) f64,
+        |CAST('12345.678' AS DECIMAL(20,3)) dec, 'str' s, DATE'2024-01-02' dt,
+        |array(1,2,3) arr, map('k','v') map""".stripMargin))
+    assert(t.read().inputFiles.forall(_.endsWith(".orc")))
+    val r = t.read().collect()(0)
+    assert(r.getInt(0) == 3 && r.getLong(1) == 4L && r.getDouble(2) == 2.5)
+    assert(r.getDecimal(3).toPlainString == "12345.678" && r.getString(4) == "str")
+    assert(r.getDate(5).toString == "2024-01-02")
+    assert(r.getSeq[Int](6) == Seq(1, 2, 3) && r.getMap[String, String](7) == Map("k" -> "v"))
+
+    // ORC footer stats feed the same manifest skipping domain
+    import org.apache.spark.sql.sources.EqualTo
+    val s = GraftTable.create(spark, TestSpark.tmpDir("orcskip"),
+      StructType(Seq(StructField("id", LongType), StructField("v", StringType))),
+      options = Map("file.format" -> "orc"))
+    for (base <- Seq(0L, 100L, 200L))
+      s.append((base until base + 10L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1))
+    val skipped = s.read(dataFilters = Seq(EqualTo("id", 105L)))
+    assert(skipped.inputFiles.length == 1)
+    assert(skipped.filter(col("v") === "v105").count() == 1)
+
+    // PK merge-on-read through the V2 scan works on ORC files too
+    val pk = GraftTable.create(spark, TestSpark.tmpDir("orcpk"),
+      StructType(Seq(StructField("k", IntegerType), StructField("v", StringType),
+        StructField("seq", LongType))),
+      primaryKeys = Seq("k"),
+      options = Map("file.format" -> "orc", "sequence.field" -> "seq", "bucket" -> "2"))
+    pk.upsert(Seq((1, "a", 1L), (2, "b", 1L)).toDF("k", "v", "seq"))
+    pk.upsert(Seq((1, "a2", 2L)).toDF("k", "v", "seq"))
+    pk.delete(Seq((2, "b", 3L)).toDF("k", "v", "seq"))
+    val got = spark.read.format("graft").load(pk.root)
+    assert(!got.queryExecution.executedPlan.toString.contains("Exchange"))
+    assert(got.collect().map(r => (r.getInt(0), r.getString(1))).toSeq == Seq((1, "a2")))
+  }
+
   test("S12: bucketed layout splits files by key hash; bucket pruning finds the key") {
     val t = GraftTable.create(spark, TestSpark.tmpDir("bucket"),
       StructType(Seq(StructField("id", LongType), StructField("v", StringType))),
