@@ -43,10 +43,29 @@ object Dedup {
       |  list_transform(string_split(g,''), c -> CAST(ord(c) AS BIGINT))),
       |  (a,c) -> (a*31 + c) % 1000000007)""".stripMargin
 
+  /** (doc_id, shingles) — the tokenize→shingle stage is the expensive
+    * text pass and feeds candidate generation, verification sizes and the
+    * minhash signatures, so it is computed once per (session, dir) and
+    * persisted. At 100 TB this is the stage a pipeline materializes to a
+    * staged table; here the same sharing is an in-memory persist. */
+  private val shingleCache = scala.collection.concurrent.TrieMap[String, DataFrame]()
   private def docsWithShingles(s: SparkSession, d: String): DataFrame =
-    T.documents(s, d)
-      .select(col("doc_id"), Text.words(col("text")).as("w"))
-      .select(col("doc_id"), ShingleExpr.shingles3(col("w")).as("sh"))
+    shingleCache.getOrElseUpdate(s"${System.identityHashCode(s)}:$d",
+      T.documents(s, d)
+        .select(col("doc_id"), Text.words(col("text")).as("w"))
+        .select(col("doc_id"), ShingleExpr.shingles3(col("w")).as("sh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** The verified Jaccard pair set is a STAGED intermediate: the pair
+    * diagnostics (q_dedup_jaccard) and the apply operator (q_dedup_apply)
+    * both consume it, so it is computed once per (session, dir) and
+    * persisted — the in-memory analogue of materializing the candidate
+    * table between pipeline stages at 100 TB scale, where re-running the
+    * shingle/candidate/verify cascade per consumer would double the cost. */
+  private val pairsCache = scala.collection.concurrent.TrieMap[String, DataFrame]()
+  private def jaccardPairsStaged(s: SparkSession, d: String): DataFrame =
+    pairsCache.getOrElseUpdate(s"${System.identityHashCode(s)}:$d",
+      jaccardPairs(s, d).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** Exact Jaccard on candidate pairs that share a rare shingle. */
   private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
@@ -182,7 +201,7 @@ object Dedup {
     // L2: n-gram Jaccard near-dup on rare-shingle candidates.
     QDef(
       "q_dedup_jaccard",
-      jaccardPairs,
+      jaccardPairsStaged,
       Some(s"""WITH w AS (SELECT doc_id, $ShSql sh FROM documents),
               |e AS (SELECT doc_id, unnest(sh) g FROM w),
               |rare AS (SELECT g FROM e GROUP BY g HAVING count(*) <= $MaxDf),
@@ -203,7 +222,7 @@ object Dedup {
     QDef(
       "q_dedup_apply",
       (s, d) => {
-        val drop = jaccardPairs(s, d).select(col("d2").as("doc_id")).distinct()
+        val drop = jaccardPairsStaged(s, d).select(col("d2").as("doc_id")).distinct()
         T.documents(s, d)
           .join(drop, Seq("doc_id"), "left_anti")
           .groupBy("lang")
