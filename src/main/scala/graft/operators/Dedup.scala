@@ -50,7 +50,7 @@ object Dedup {
     * staged table; here the same sharing is an in-memory persist. */
   private val shingleCache = scala.collection.concurrent.TrieMap[String, DataFrame]()
   private def docsWithShingles(s: SparkSession, d: String): DataFrame =
-    shingleCache.getOrElseUpdate(s"${System.identityHashCode(s)}:$d",
+    shingleCache.getOrElseUpdate(cacheKey(s, d),
       T.documents(s, d)
         .select(col("doc_id"), Text.words(col("text")).as("w"))
         .select(col("doc_id"), ShingleExpr.shingles3(col("w")).as("sh"))
@@ -62,9 +62,16 @@ object Dedup {
     * persisted — the in-memory analogue of materializing the candidate
     * table between pipeline stages at 100 TB scale, where re-running the
     * shingle/candidate/verify cascade per consumer would double the cost. */
+  /** Cache key: application id + session identity + dir. Entries live for
+    * the JVM (one persisted DF per benchmarked dir — bounded and small);
+    * the app-id component keeps a restarted SparkContext from colliding
+    * with a dead session's entries. */
+  private def cacheKey(s: SparkSession, d: String): String =
+    s"${s.sparkContext.applicationId}:${System.identityHashCode(s)}:$d"
+
   private val pairsCache = scala.collection.concurrent.TrieMap[String, DataFrame]()
   private def jaccardPairsStaged(s: SparkSession, d: String): DataFrame =
-    pairsCache.getOrElseUpdate(s"${System.identityHashCode(s)}:$d",
+    pairsCache.getOrElseUpdate(cacheKey(s, d),
       jaccardPairs(s, d).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** Exact Jaccard on candidate pairs that share a rare shingle. */

@@ -127,15 +127,9 @@ class GraftTable private (
     StructType(dataCols ++ hidden)
   }
 
-  /** Full on-disk schema of data files (data cols minus partition cols,
-    * plus hidden cols for PK tables). */
-  private def fileSchema: StructType = {
-    val dataCols = schema.fields.filterNot(f => partitionKeys.contains(f.name))
-    val hidden =
-      if (isPkTable) Seq(StructField(SeqCol, LongType), StructField(KindCol, StringType))
-      else Seq.empty
-    StructType(dataCols ++ hidden ++ schema.fields.filter(f => partitionKeys.contains(f.name)))
-  }
+  /** Full on-disk schema incl. directory-borne partition columns. */
+  private def fileSchema: StructType =
+    StructType(fileDataSchema.fields ++ schema.fields.filter(f => partitionKeys.contains(f.name)))
 
   // ---- snapshot log ---------------------------------------------------
 
@@ -156,8 +150,15 @@ class GraftTable private (
     if (ids.isEmpty) None else Some(ids.max)
   }
 
+  /** Snapshot JSONs are immutable once published (rename-in of complete
+    * content), so each table instance parses a given id at most once —
+    * split planning re-walks the manifest several times per query
+    * (planned + total file counts, pruning passes) and must not pay a
+    * filesystem read each time. */
+  private val snapCache = scala.collection.concurrent.TrieMap[Long, SnapshotMeta]()
   private def readSnapshot(id: Long): SnapshotMeta =
-    mapper.readValue(readString(fs, new Path(root, s"snapshot/snap-$id.json")), classOf[SnapshotMeta])
+    snapCache.getOrElseUpdate(id,
+      mapper.readValue(readString(fs, new Path(root, s"snapshot/snap-$id.json")), classOf[SnapshotMeta]))
 
   private def commit(kind: String, files: Seq[FileMeta]): Long =
     commitAt(latestSnapshotId.getOrElse(0L) + 1, kind, files)
@@ -173,20 +174,38 @@ class GraftTable private (
       schemaId = schemaMeta.id,
       timestampMs = System.currentTimeMillis(),
       files = files)
-    // exclusive create (overwrite=false) on the final path = the atomic
-    // claim of snapshot id — no exists-precheck TOCTOU window like
-    // rename-over on local FS. HDFS create is atomic; an object store
-    // would need a conditional put / catalog lock.
+    // Two-phase publish. (1) CLAIM the id with an exclusive create
+    // (overwrite=false) of a side-car claim file — atomic on HDFS and
+    // local FS, no exists-precheck TOCTOU; an object store would need a
+    // conditional put / catalog lock. (2) Write the COMPLETE snapshot
+    // JSON to a tmp path and rename it into place. Readers list only
+    // snap-N.json names, so they never observe a partial/empty snapshot
+    // (create-then-write on the final path would expose one during every
+    // commit window and permanently on a writer crash). A claim whose
+    // writer died before publishing is taken over after ClaimTtlMs.
     val dst = new Path(root, s"snapshot/snap-$id.json")
-    val out =
-      try fs.create(dst, /*overwrite=*/ false)
-      catch {
-        case e: java.io.IOException =>
-          throw new IllegalStateException(
-            s"conflicting commit for snapshot $id at $root", e)
-      }
-    try out.write(mapper.writeValueAsString(snap).getBytes(StandardCharsets.UTF_8))
-    finally out.close()
+    val claim = new Path(root, s"snapshot/.claim-$id")
+    def tryClaim(): Boolean =
+      try { fs.create(claim, /*overwrite=*/ false).close(); true }
+      catch { case _: java.io.IOException => false }
+    if (!tryClaim()) {
+      val stale =
+        try !fs.exists(dst) &&
+          System.currentTimeMillis() - fs.getFileStatus(claim).getModificationTime > ClaimTtlMs
+        catch { case _: java.io.IOException => false }
+      if (!stale)
+        throw new IllegalStateException(s"conflicting commit for snapshot $id at $root")
+      // dead claimant: break the claim and retake it exclusively
+      fs.delete(claim, false)
+      if (!tryClaim())
+        throw new IllegalStateException(s"conflicting commit for snapshot $id at $root")
+    }
+    val tmp = new Path(root, s"snapshot/.tmp-$id-${UUID.randomUUID().toString.take(8)}")
+    writeString(fs, tmp, mapper.writeValueAsString(snap))
+    if (!fs.rename(tmp, dst)) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(s"failed to publish snapshot $id at $root")
+    }
     id
   }
 
@@ -219,14 +238,27 @@ class GraftTable private (
       return writeCommit(batch, kind = "APPEND", rowKind = RowKind.Insert)
     val cur = read()
     val keyCols = primaryKeys.map(col)
-    val batchKeys = batch.select(keyCols: _*).distinct()
-    val pre = cur.join(batchKeys, primaryKeys, "left_semi")
-      .withColumn(KindCol, lit(RowKind.UpdateBefore))
-    val marked = batch
-      .join(cur.select(keyCols: _*).withColumn("__hit", lit(1)), primaryKeys.toSeq, "left")
+    // classify against the MERGE OUTCOME, not mere key existence: a
+    // late-arriving row that loses the sequence-field ordering leaves the
+    // table unchanged, so it must emit no changelog at all — an
+    // unconditional -U/+U pair would hand CDC consumers a post-image
+    // that is not the post-commit state.
+    val curSeqs = sequenceFields.map(f => col(f).as(s"__cur_$f"))
+    val joined = batch.join(
+      cur.select(keyCols ++ curSeqs :+ lit(1).as("__hit"): _*), primaryKeys, "left")
+    val wins =
+      if (sequenceFields.isEmpty) lit(true) // commit order: newest write wins
+      else struct(sequenceFields.map(col): _*) >=
+        struct(sequenceFields.map(f => col(s"__cur_$f")): _*)
+    val marked = joined
+      .filter(col("__hit").isNull || wins)
       .withColumn(KindCol,
         when(col("__hit").isNotNull, RowKind.UpdateAfter).otherwise(RowKind.Insert))
-      .drop("__hit")
+      .drop("__hit").drop(sequenceFields.map(f => s"__cur_$f"): _*)
+    val updatedKeys = marked.filter(col(KindCol) === RowKind.UpdateAfter)
+      .select(keyCols: _*).distinct()
+    val pre = cur.join(updatedKeys, primaryKeys, "left_semi")
+      .withColumn(KindCol, lit(RowKind.UpdateBefore))
     writeCommit(marked.unionByName(pre), kind = "APPEND", rowKind = RowKind.Insert)
   }
 
@@ -451,12 +483,18 @@ class GraftTable private (
     Pmod(h, CLit.create(numBuckets)).eval(null).asInstanceOf[Int]
   }
 
+  /** Columns whose per-file stats may prune a PK table: only
+    * VERSION-INVARIANT columns (primary key, partition key) qualify. A
+    * predicate on any other column — including sequence fields, which are
+    * exactly the columns that CHANGE across versions — could drop the
+    * file holding a key's newest version while keeping an older one,
+    * resurrecting the stale row through the merge. */
+  private[sources] def skipSafeCols: Set[String] =
+    (primaryKeys ++ partitionKeys).toSet
+
   /** Manifest planning shared by the library read path and the V2 scan:
-    * partition prune → bucket prune → min/max data skipping. On a PK table
-    * only key/sequence-column filters may skip files: a non-key predicate
-    * (e.g. x = 1) could drop the file holding a key's NEWEST version
-    * while keeping an older one, resurrecting the stale row through the
-    * merge — key columns are version-invariant, so they are safe. */
+    * partition prune → bucket prune → min/max data skipping (PK tables
+    * skip only on `skipSafeCols`). */
   private[sources] def planFiles(
       snapshotId: Option[Long] = None,
       partitionFilter: Option[Column] = None,
@@ -466,10 +504,7 @@ class GraftTable private (
     bucket.foreach(b => files = files.filter(_.bucket == b))
     val skipSafe =
       if (!isPkTable) dataFilters
-      else {
-        val safeCols = (primaryKeys ++ partitionKeys ++ sequenceFields).toSet
-        dataFilters.filter(_.references.forall(safeCols))
-      }
+      else dataFilters.filter(_.references.forall(skipSafeCols))
     if (skipSafe.nonEmpty)
       files = files.filter(f =>
         skipSafe.forall(fl => FileStats.mayMatch(fl, f.statsOrEmpty, schema)))
@@ -652,7 +687,12 @@ class GraftTable private (
     val orphans = expire.flatMap(id => readSnapshot(id).files.map(_.path))
       .toSet -- retained
     orphans.foreach(p => fs.delete(new Path(root, p), false))
-    expire.foreach(id => fs.delete(new Path(root, s"snapshot/snap-$id.json"), false))
+    expire.foreach { id =>
+      fs.delete(new Path(root, s"snapshot/snap-$id.json"), false)
+      // keep the memo honest: an expired snapshot must read as missing
+      // (readIncrement's expiry error contract), not serve stale meta
+      snapCache.remove(id)
+    }
     expire
   }
 
@@ -683,6 +723,11 @@ class GraftTable private (
 object GraftTable {
   val SeqCol = "__seq"
   val KindCol = "__kind"
+
+  /** A commit claim with no published snapshot older than this is
+    * considered abandoned (writer died between claim and publish) and may
+    * be broken by the next committer of that id. */
+  val ClaimTtlMs: Long = 10 * 60 * 1000L
 
   /** char/varchar live only in the declared lattice; runtime DataFrames
     * carry plain strings (CHAR padding is a write-time invariant). */

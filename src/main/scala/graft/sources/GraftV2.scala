@@ -47,8 +47,13 @@ final class GraftV2Table(path: String, tableSchema: StructType) extends Table wi
     if (tableSchema.fields.isEmpty) java.util.Collections.emptySet()
     else java.util.EnumSet.of(TableCapability.BATCH_READ)
 
+  // one metadata load per table instance, shared by every scan builder
+  // (inferSchema already paid one; reloading per-builder would read the
+  // schema JSON again for each query)
+  private lazy val loaded: GraftTable = GraftTable.load(SparkSession.active, path)
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(SparkSession.active, path, options)
+    new GraftScanBuilder(SparkSession.active, loaded, options)
 }
 
 /** Pushdown negotiation (ref: PrestoFilterConverter.java TupleDomain →
@@ -56,10 +61,9 @@ final class GraftV2Table(path: String, tableSchema: StructType) extends Table wi
   * built-in parquet source, pushdown here is pruning (manifest files, row
   * groups), not row-exact evaluation, and Spark re-applies the predicate
   * above the scan. */
-final class GraftScanBuilder(spark: SparkSession, path: String, options: CaseInsensitiveStringMap)
+final class GraftScanBuilder(spark: SparkSession, table: GraftTable, options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
-  private val table = GraftTable.load(spark, path)
   private val snapshotId = Option(options.get("snapshotId")).map(_.toLong)
   // session-property equivalents (ref PrestoSessionProperties:
   // partition_prune_enabled / query_pushdown_enabled)
@@ -131,17 +135,15 @@ final class GraftScan(
       dataFilters = if (dataSkip) pushed.toSeq else Seq.empty)
   }
 
-  /** Filters safe to hand the parquet reader for row-group pruning. On a
-    * PK table only key/partition/sequence columns qualify — a non-key
-    * predicate could prune the row group holding a key's newest version
-    * and resurrect a stale one through the merge (same rule as the
-    * manifest-level skip in GraftTable.planFiles). */
+  /** Filters safe to hand the file reader for row-group pruning. On a PK
+    * table only version-invariant key/partition columns qualify — a
+    * predicate on any other column (sequence fields included: they change
+    * across versions) could prune the row group holding a key's newest
+    * version and resurrect a stale one through the merge (same rule as
+    * GraftTable.skipSafeCols). */
   private def readerFilters: Array[Filter] =
     if (!table.isPkTable) pushed
-    else {
-      val safe = (table.primaryKeys ++ table.partitionKeys ++ table.sequenceFields).toSet
-      pushed.filter(_.references.forall(safe))
-    }
+    else pushed.filter(_.references.forall(table.skipSafeCols))
 
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): OptionalLong =
@@ -191,7 +193,10 @@ final class GraftScan(
     val minPartitions = conf.filesMinPartitionNum.getOrElse(spark.sparkContext.defaultParallelism)
     val totalBytes = plannedFiles.map(_.sizeBytes + openCost).sum
     val bytesPerCore = totalBytes / math.max(1, minPartitions)
-    val maxSplit = math.min(conf.filesMaxPartitionBytes, math.max(openCost, bytesPerCore))
+    // floor of 1: openCost=0 on a high-parallelism cluster would
+    // otherwise yield a 0 split size (and a zero range step below)
+    val maxSplit = math.max(1L,
+      math.min(conf.filesMaxPartitionBytes, math.max(openCost, bytesPerCore)))
     val splits = plannedFiles.flatMap { f =>
       (0L until math.max(1L, f.sizeBytes) by maxSplit).map { off =>
         toPartitionedFile(f, readPartFields, off, math.min(maxSplit, f.sizeBytes - off))
@@ -219,10 +224,12 @@ final class GraftScan(
   // ---- merge-on-read schema plumbing -----------------------------------
 
   /** Partition columns the merge needs: the requested ones plus any
-    * primary-key partition columns (key identity must be complete even
-    * when the query doesn't select them). */
+    * primary-key or sequence-field columns that are partition-borne (key
+    * identity and version ordering must be complete even when the query
+    * doesn't select them). */
   private lazy val mergePartFields: Array[StructField] = {
-    val needed = readPartFields.map(_.name).toSet ++ table.primaryKeys.filter(partKeySet)
+    val needed = readPartFields.map(_.name).toSet ++
+      (table.primaryKeys ++ table.sequenceFields).filter(partKeySet)
     table.partitionKeys.filter(needed).map(n => table.schema(n)).toArray
   }
 

@@ -259,7 +259,7 @@ class GraftTableSpec extends AnyFunSuite {
     }
   }
 
-  test("S14b: PK tables data-skip only on key/sequence columns (no stale-version resurrection)") {
+  test("S14b: PK tables data-skip only on version-invariant key columns (no stale resurrection)") {
     import org.apache.spark.sql.sources.EqualTo
     val t = GraftTable.create(spark, TestSpark.tmpDir("pkskip"),
       StructType(Seq(StructField("k", IntegerType), StructField("x", LongType),
@@ -272,6 +272,12 @@ class GraftTableSpec extends AnyFunSuite {
     val r = t.read(dataFilters = Seq(EqualTo("x", 1L)))
     assert(r.inputFiles.length == 2, "non-key filter must not skip PK-table files")
     assert(r.filter(col("x") === 1L).count() == 0) // post-merge x=2, so no match
+    // sequence fields are NOT skip-safe either — they are exactly the
+    // columns that change across versions: skipping on seq=1 would drop
+    // the seq=2 file and resurrect (k=1, seq=1) through the merge
+    val sq = t.read(dataFilters = Seq(EqualTo("seq", 1L)))
+    assert(sq.inputFiles.length == 2, "sequence-field filter must not skip PK-table files")
+    assert(sq.filter(col("seq") === 1L).count() == 0) // live version has seq=2
     // key-column skipping is version-invariant and still prunes
     assert(t.read(dataFilters = Seq(EqualTo("k", 999))).inputFiles.isEmpty)
   }

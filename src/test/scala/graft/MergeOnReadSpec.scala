@@ -73,6 +73,26 @@ class MergeOnReadSpec extends AnyFunSuite {
     assert(t.read().collect().map(_.getString(1)).toSeq == Seq("a2"))
   }
 
+  test("lookup producer: a losing (stale) upsert emits NO changelog and leaves state unchanged") {
+    val t = GraftTable.create(spark, TestSpark.tmpDir("auditstale"),
+      StructType(Seq(StructField("k", IntegerType), StructField("v", StringType),
+        StructField("seq", LongType))),
+      primaryKeys = Seq("k"),
+      options = Map("sequence.field" -> "seq", "changelog-producer" -> "lookup"))
+    t.upsert(Seq((1, "new", 5L)).toDF("k", "v", "seq"))
+    t.upsert(Seq((1, "stale", 3L)).toDF("k", "v", "seq")) // loses the merge
+    // no -U/+U pair for the no-op commit: a CDC consumer applying the
+    // log must end at the same state the table reads
+    val log = t.system("audit_log").collect().map(r => (r.getString(0), r.getString(3)))
+    assert(log.toSeq == Seq(("+I", "new")))
+    assert(t.read().collect().map(_.getString(1)).toSeq == Seq("new"))
+    // and a WINNING second update still emits the pair
+    t.upsert(Seq((1, "newer", 7L)).toDF("k", "v", "seq"))
+    val log2 = t.system("audit_log").orderBy("commit_seq", "rowkind").collect()
+      .map(r => (r.getString(0), r.getString(3)))
+    assert(log2.toSeq == Seq(("+I", "new"), ("+U", "newer"), ("-U", "new")))
+  }
+
   test("compact materializes the merge and preserves the merged result") {
     val t = pkTable("compact")
     t.upsert(Seq((1, "a", 1L), (2, "b", 1L)).toDF("k", "v", "seq"))

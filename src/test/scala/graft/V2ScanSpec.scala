@@ -114,6 +114,22 @@ class V2ScanSpec extends AnyFunSuite {
     assert(got(3L) == "v2-3" && got(150L) == "v1-150")
   }
 
+  test("PK table whose sequence field is a partition column reads through V2") {
+    val path = TestSpark.tmpDir("v2seqpart")
+    val t = GraftTable.create(spark, path,
+      StructType(Seq(StructField("k", IntegerType), StructField("v", StringType),
+        StructField("day", StringType))),
+      partitionKeys = Seq("day"), primaryKeys = Seq("k"),
+      options = Map("sequence.field" -> "day"))
+    t.upsert(Seq((1, "a", "2024-01-01"), (2, "x", "2024-01-01")).toDF("k", "v", "day"))
+    t.upsert(Seq((1, "b", "2024-01-02")).toDF("k", "v", "day"))
+    // the merge needs `day` (partition-borne) for version ordering even
+    // when the query selects only k/v
+    val got = spark.read.format("graft").load(path).select("k", "v")
+      .collect().map(r => (r.getInt(0), r.getString(1))).sorted
+    assert(got.toSeq == Seq((1, "b"), (2, "x")))
+  }
+
   test("downstream group-by on the bucket key still aggregates correctly") {
     val path = TestSpark.tmpDir("v2morq")
     val t = GraftTable.create(spark, path,
