@@ -187,6 +187,37 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
+  /** DuckDB reproduction of the SimHash pipeline (see the L4 QDef). */
+  private def SimhashOracle: String = {
+    val two64 = "18446744073709551616"
+    // 2^b weights for bit assembly, 2^(16c) divisors for chunk extraction
+    val weights = (0 until 64).map(b => s"($b, ${BigInt(1) << b})").mkString(", ")
+    val chunkDiv = (0 until 4).map(c => s"($c, ${BigInt(1) << (16 * c)})").mkString(", ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(text),'\\s+')) AS w FROM documents),
+       |th AS (SELECT doc_id,
+       |  list_reduce(list_cat([CAST(0 AS HUGEINT)],
+       |    list_transform(string_split(w,''), c -> CAST(ord(c) AS HUGEINT))),
+       |    (a,c) -> (a * 1099511628211 + c) % $two64) AS h
+       |  FROM tok),
+       |pw(b, w) AS (VALUES $weights),
+       |bits AS (SELECT th.doc_id, pw.b, pw.w,
+       |    sum(CASE WHEN (th.h // pw.w) % 2 = 1 THEN 1 ELSE -1 END) AS cnt
+       |  FROM th CROSS JOIN pw GROUP BY th.doc_id, pw.b, pw.w),
+       |sim AS (SELECT doc_id,
+       |    CAST(sum(CASE WHEN cnt >= 0 THEN w ELSE CAST(0 AS HUGEINT) END) AS HUGEINT) AS s
+       |  FROM bits GROUP BY doc_id),
+       |cd(c, dv) AS (VALUES $chunkDiv),
+       |chunks AS (SELECT doc_id, s, cd.c, (s // cd.dv) % 65536 AS chunk FROM sim CROSS JOIN cd),
+       |pairs AS (SELECT DISTINCT a.doc_id d1, b.doc_id d2,
+       |    CAST(bit_count(xor(
+       |      CAST(CASE WHEN a.s >= $two64/2 THEN a.s - $two64 ELSE a.s END AS BIGINT),
+       |      CAST(CASE WHEN b.s >= $two64/2 THEN b.s - $two64 ELSE b.s END AS BIGINT))) AS BIGINT) hd
+       |  FROM chunks a JOIN chunks b
+       |    ON a.c = b.c AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+       |SELECT d1, d2, hd FROM pairs WHERE hd <= 3 ORDER BY d1, d2""".stripMargin
+  }
+
   val defs: Seq[QDef] = Seq(
     // L1: exact dedup by normalized-prefix hash, keep-first.
     QDef(
@@ -218,9 +249,11 @@ object Dedup {
     // L3: MinHash + LSH banding, oracle reproduces the permutations.
     QDef("q_dedup_minhash", minhashPairs, Some(minhashOracle)),
 
-    // L4: SimHash hamming near-dup (rows-only; validated in DedupSpec
-    // against brute-force hamming).
-    QDef("q_dedup_simhash", simhashPairs, None),
+    // L4: SimHash hamming near-dup. DedupSpec cross-checks vs brute-force
+    // hamming; the oracle reproduces the whole pipeline — wrapping 64-bit
+    // token fold (HUGEINT mod 2^64), per-bit majority vote (ties set the
+    // bit, as SimHash64Impl), 16-bit chunk candidates, exact hamming.
+    QDef("q_dedup_simhash", simhashPairs, Some(SimhashOracle)),
 
     // L13: APPLY the dedup — materialize the cleaned corpus (keep the
     // smallest doc_id of every near-dup pair, anti-join the rest away).

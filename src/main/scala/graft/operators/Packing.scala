@@ -55,9 +55,35 @@ object Packing {
       .toDF()
   }
 
+  /** DuckDB reproduction: the per-block greedy next-fit is sequential,
+    * so the oracle walks each block with a recursive CTE carrying the
+    * (open-pack, used-tokens) state — one recursion step per document
+    * rank inside its block, exactly the Scala loop. */
+  private def PackingOracle: String =
+    s"""WITH RECURSIVE docs AS (
+       |  SELECT doc_id,
+       |    coalesce(len(string_split_regex(trim(text),'\\s+')), 0) AS tokens,
+       |    (doc_id // $BlockSize) - (CASE WHEN doc_id % $BlockSize < 0 THEN 1 ELSE 0 END) AS block,
+       |    row_number() OVER (
+       |      PARTITION BY (doc_id // $BlockSize) - (CASE WHEN doc_id % $BlockSize < 0 THEN 1 ELSE 0 END)
+       |      ORDER BY doc_id) AS rn
+       |  FROM documents),
+       |walk(block, rn, doc_id, tokens, lcl, used) AS (
+       |  SELECT block, rn, doc_id, tokens, CAST(1 AS BIGINT), tokens
+       |  FROM docs WHERE rn = 1
+       |  UNION ALL
+       |  SELECT d.block, d.rn, d.doc_id, d.tokens,
+       |    CASE WHEN w.used + d.tokens > $TokenBudget THEN w.lcl + 1 ELSE w.lcl END,
+       |    CASE WHEN w.used + d.tokens > $TokenBudget THEN d.tokens ELSE w.used + d.tokens END
+       |  FROM walk w JOIN docs d ON d.block = w.block AND d.rn = w.rn + 1)
+       |SELECT block * $PackStride + lcl AS pack_id,
+       |  count(*) AS n_docs, CAST(sum(tokens) AS BIGINT) AS pack_tokens
+       |FROM walk GROUP BY 1 ORDER BY pack_id""".stripMargin
+
   val defs: Seq[QDef] = Seq(
-    // L16 (rows-only: greedy packing is inherently sequential per block,
-    // not SQL-expressible; PackingSpec checks the invariants).
+    // L16: greedy packing per fixed doc_id block; the oracle replays the
+    // sequential next-fit with a recursive CTE (PackingSpec additionally
+    // checks budget/coverage/maximality invariants).
     QDef(
       "q_pack_sequences",
       (s, d) =>
@@ -65,6 +91,6 @@ object Packing {
           .groupBy("pack_id")
           .agg(count(lit(1)).as("n_docs"), sum("tokens").as("pack_tokens"))
           .orderBy("pack_id"),
-      None)
+      Some(PackingOracle))
   )
 }

@@ -107,9 +107,11 @@ object Similarity {
     val w = Window.partitionBy("q_id").orderBy(desc("cos"), col("c_id"))
     c.join(broadcast(q), Seq("bucket"))
       .filter(col("q_id") =!= col("c_id"))
-      .select(col("q_id"), col("c_id"), col("qv"), col("cv"), col("qn"), col("cn"))
-      .distinct() // a pair may collide in both tables
       .withColumn("cos", cosine(col("qv"), col("cv"), col("qn"), col("cn")))
+      // dedupe table collisions AFTER scoring: distinct shuffles three
+      // scalars, never the vectors
+      .select(col("q_id"), col("c_id"), col("cos"))
+      .distinct()
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 3)
       .select(col("q_id"), col("rn"), col("c_id"), round(col("cos"), 4).as("cos"))
@@ -169,7 +171,27 @@ object Similarity {
               |SELECT q_id AS vec_id, c_id AS nn_id, round(cos,4) AS cos FROM r WHERE rn = 1
               |ORDER BY vec_id""".stripMargin)),
 
-    // L7: LSH-bucketed ANN (rows-only; AnnSpec measures recall vs brute).
-    QDef("q_ann_lsh", annLsh, None)
+    // L7: LSH-bucketed ANN. AnnSpec measures recall vs brute; the oracle
+    // reproduces the seeded hyperplanes, so buckets/candidates/re-rank
+    // hash-match exactly.
+    QDef(
+      "q_ann_lsh",
+      annLsh,
+      Some(s"""WITH $NormedSql,
+              |pl(t, j, w, p) AS (VALUES $PlanesSql),
+              |dots AS (SELECT n.vec_id, pl.t, pl.w,
+              |    list_reduce(list_cat([0.0], list_transform(range(1, len(n.v)+1), i -> n.v[i]*pl.p[i])), (a,x) -> a+x) AS dot
+              |  FROM n CROSS JOIN pl),
+              |bk AS (SELECT vec_id, t, CAST(sum(CASE WHEN dot >= 0 THEN w ELSE 0 END) AS BIGINT) AS bnum
+              |  FROM dots GROUP BY vec_id, t),
+              |b AS (SELECT n.vec_id, n.v, n.nrm, CAST(bk.t AS VARCHAR) || '_' || CAST(bk.bnum AS VARCHAR) AS bucket
+              |  FROM n JOIN bk ON n.vec_id = bk.vec_id),
+              |pairs AS (SELECT DISTINCT q.vec_id q_id, c.vec_id c_id, $CosSql cos
+              |  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id < 20 AND q.vec_id <> c.vec_id),
+              |r AS (SELECT q_id, c_id, cos,
+              |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) rn
+              |      FROM pairs)
+              |SELECT q_id, rn, c_id, round(cos,4) AS cos FROM r WHERE rn <= 3
+              |ORDER BY q_id, rn""".stripMargin))
   )
 }
