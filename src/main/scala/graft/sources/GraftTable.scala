@@ -164,12 +164,17 @@ class GraftTable private (
     commitAt(latestSnapshotId.getOrElse(0L) + 1, kind, files)
 
   /** Commit targeting an explicit snapshot id — fails if another writer
-    * claimed it (optimistic concurrency; the id is the version check). */
-  private[graft] def commitAt(id: Long, kind: String, files: Seq[FileMeta]): Long = {
+    * claimed it (optimistic concurrency; the id is the version check).
+    * `commitUser`/`commitIdentifier` tag the snapshot's producer — the
+    * streaming sink stores (query id, batch id) there and skips batches
+    * it already committed (Paimon's commitIdentifier replay guard). */
+  private[graft] def commitAt(
+      id: Long, kind: String, files: Seq[FileMeta],
+      commitUser: String = "graft", commitIdentifier: Option[Long] = None): Long = {
     val snap = SnapshotMeta(
       id = id,
-      commitUser = "graft",
-      commitIdentifier = id,
+      commitUser = commitUser,
+      commitIdentifier = commitIdentifier.getOrElse(id),
       commitKind = kind,
       schemaId = schemaMeta.id,
       timestampMs = System.currentTimeMillis(),
@@ -304,10 +309,25 @@ class GraftTable private (
     * concurrent commit of base+1 makes commitAt fail (no lost update —
     * the loser's file list was built from a stale base), and the staged
     * files' __seq always equals the committed snapshot id. */
-  private def writeCommit(df: DataFrame, kind: String, rowKind: String): Long = {
+  private def writeCommit(
+      df: DataFrame, kind: String, rowKind: String,
+      commitUser: String = "graft", commitIdentifier: Option[Long] = None): Long = {
     val base = latestSnapshotId.getOrElse(0L)
     val added = stageWrite(df, rowKind, seq = base + 1)
-    commitAt(base + 1, kind, filesAt(base) ++ added)
+    commitAt(base + 1, kind, filesAt(base) ++ added, commitUser, commitIdentifier)
+  }
+
+  /** Streaming-sink entry: append/upsert one micro-batch tagged with
+    * (queryId, batchId); a batch already committed under the same tag is
+    * skipped, so replays after a checkpoint recovery are exactly-once at
+    * the table level. */
+  private[graft] def commitBatch(df: DataFrame, queryId: String, batchId: Long): Option[Long] = {
+    val user = s"stream-$queryId"
+    if (snapshots.exists(s => s.commitUser == user && s.commitIdentifier == batchId))
+      return None // replayed batch: already durable
+    if (isPkTable)
+      Some(writeCommit(dedupBatch(df), "APPEND", RowKind.Insert, user, Some(batchId)))
+    else Some(writeCommit(df, "APPEND", RowKind.Insert, user, Some(batchId)))
   }
 
   private def filesAt(snapshotId: Long): Seq[FileMeta] =
