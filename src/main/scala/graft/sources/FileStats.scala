@@ -22,12 +22,16 @@ import scala.jdk.CollectionConverters._
   */
 final case class ColStats(min: String, max: String, nullCount: Long)
 
+/** Everything the manifest records from one written file's footer. */
+final case class FileFooter(stats: Map[String, ColStats], rowCount: Long)
+
 object FileStats {
 
-  /** Read min/max per primitive column from a parquet file footer,
-    * merged across row groups. Values serialize as strings; the column's
-    * Spark type (from the table schema) defines the comparison domain. */
-  def fromFooter(conf: Configuration, file: Path): Map[String, ColStats] = {
+  /** Read min/max per primitive column (and the file's row count) from a
+    * parquet file footer, merged across row groups. Values serialize as
+    * strings; the column's Spark type (from the table schema) defines the
+    * comparison domain. */
+  def fromFooter(conf: Configuration, file: Path): FileFooter = {
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
     try {
       val blocks = reader.getFooter.getBlocks.asScala
@@ -50,9 +54,10 @@ object FileStats {
           }
         }
       }
-      acc.map { case (name, (mn, mx, nulls, tpe)) =>
+      val stats = acc.map { case (name, (mn, mx, nulls, tpe)) =>
         name -> ColStats(render(mn, tpe), render(mx, tpe), nulls)
       }.toMap
+      FileFooter(stats, blocks.map(_.getRowCount).sum)
     } finally reader.close()
   }
 
@@ -83,7 +88,7 @@ object FileStats {
     * ints) so `mayMatch` needs no format awareness. Timestamp stats are
     * skipped (ORC reports millis, the pruning domain is micros —
     * conservative no-prune beats a wrong unit). */
-  def fromOrcFooter(conf: Configuration, file: Path): Map[String, ColStats] = {
+  def fromOrcFooter(conf: Configuration, file: Path): FileFooter = {
     import org.apache.orc.{ColumnStatistics => OrcStats, _}
     val reader = OrcFile.createReader(file, OrcFile.readerOptions(conf))
     try {
@@ -92,7 +97,7 @@ object FileStats {
       val totalRows = reader.getNumberOfRows
       val names = root.getFieldNames.asScala.toSeq
       val children = root.getChildren.asScala.toSeq
-      names.zip(children).flatMap { case (name, child) =>
+      val stats = names.zip(children).flatMap { case (name, child) =>
         val s: OrcStats = all(child.getId)
         val mm: Option[(String, String)] = s match {
           case i: IntegerColumnStatistics =>
@@ -112,6 +117,7 @@ object FileStats {
           name -> ColStats(mn, mx, totalRows - s.getNumberOfValues)
         }
       }.toMap
+      FileFooter(stats, totalRows)
     } finally reader.close()
   }
 

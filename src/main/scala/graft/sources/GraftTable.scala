@@ -19,16 +19,33 @@ final case class FileMeta(
     partition: Map[String, String],
     sizeBytes: Long,
     bucket: Int,
-    stats: Map[String, ColStats] = Map.empty) {
+    stats: Map[String, ColStats] = Map.empty,
+    rowCount: java.lang.Long = null) { // boxed: manifests written before counts existed read as null, not 0
   /** null-safe (snapshots written before stats existed). */
   def statsOrEmpty: Map[String, ColStats] = Option(stats).getOrElse(Map.empty)
+  def rowCountOpt: Option[Long] = Option(rowCount).map(_.longValue)
 }
 
-/** One committed snapshot = the full live file set at that version.
-  * (Production note: at 100 TB the file list would be a manifest-list of
-  * delta manifests like Paimon/Iceberg; a full list per commit is O(files)
-  * metadata per commit, acceptable here and orthogonal to the query path.)
-  */
+/** One ADD/DELETE action on a data file, the unit of a delta manifest
+  * (the Spark-first analogue of Paimon's ManifestEntry FileKind). */
+final case class ManifestEntry(kind: String, file: FileMeta)
+
+object ManifestEntry {
+  val Add = "ADD"
+  val Delete = "DELETE"
+}
+
+/** One committed snapshot. The live file set is NOT inlined: the snapshot
+  * carries an ordered chain of manifest file names (each a list of
+  * ADD/DELETE [[ManifestEntry]]s under `manifest/`), and a commit appends
+  * ONE delta manifest holding only its own added/deleted files — commit
+  * metadata is O(delta), not O(table), which is what keeps a 100 TB table
+  * with millions of live files committable (Paimon/Iceberg's
+  * manifest-list design; the reference reads the same structure through
+  * Paimon's FileStoreScan). The chain folds into a single base manifest
+  * once it exceeds `manifest.merge-min-count` (amortized O(1) commits).
+  * `files` is the legacy inline list of pre-manifest-list snapshots,
+  * still readable. */
 final case class SnapshotMeta(
     id: Long,
     commitUser: String,
@@ -36,7 +53,8 @@ final case class SnapshotMeta(
     commitKind: String, // APPEND | OVERWRITE | COMPACT
     schemaId: Long,
     timestampMs: Long,
-    files: Seq[FileMeta])
+    files: Seq[FileMeta] = null, // legacy inline manifest
+    manifests: Seq[String] = null) // ordered manifest chain under manifest/
 
 final case class SchemaMeta(
     id: Long,
@@ -160,34 +178,79 @@ class GraftTable private (
     snapCache.getOrElseUpdate(id,
       mapper.readValue(readString(fs, new Path(root, s"snapshot/snap-$id.json")), classOf[SnapshotMeta]))
 
-  private def commit(kind: String, files: Seq[FileMeta]): Long =
-    commitAt(latestSnapshotId.getOrElse(0L) + 1, kind, files)
+  // ---- manifest chain -------------------------------------------------
+
+  /** Manifests are immutable once written (content-addressed names), so
+    * both the parse and the per-snapshot resolved file set memoize. */
+  private val manifestCache = scala.collection.concurrent.TrieMap[String, Seq[ManifestEntry]]()
+  private val filesCache = scala.collection.concurrent.TrieMap[Long, Seq[FileMeta]]()
+
+  private def readManifest(name: String): Seq[ManifestEntry] =
+    manifestCache.getOrElseUpdate(name,
+      mapper.readValue(readString(fs, new Path(root, s"manifest/$name")),
+        classOf[Array[ManifestEntry]]).toSeq)
+
+  private def writeManifest(entries: Seq[ManifestEntry]): String = {
+    val name = s"mf-${UUID.randomUUID().toString.take(16)}.json"
+    fs.mkdirs(new Path(root, "manifest"))
+    writeString(fs, new Path(root, s"manifest/$name"), mapper.writeValueAsString(entries.toArray))
+    manifestCache.put(name, entries)
+    name
+  }
+
+  /** Fold a manifest chain into the live file set: ADD inserts by path,
+    * DELETE removes; later manifests win. */
+  private def resolveChain(chain: Seq[String]): Seq[FileMeta] = {
+    val live = mutable.LinkedHashMap[String, FileMeta]()
+    for (m <- chain; e <- readManifest(m)) e.kind match {
+      case ManifestEntry.Add => live(e.file.path) = e.file
+      case ManifestEntry.Delete => live.remove(e.file.path)
+      case other => throw new IllegalStateException(s"unknown manifest entry kind: $other")
+    }
+    live.values.toSeq
+  }
+
+  /** Live file set of a snapshot (manifest chain or legacy inline list). */
+  private[sources] def filesOf(snap: SnapshotMeta): Seq[FileMeta] =
+    filesCache.getOrElseUpdate(snap.id,
+      if (snap.files != null) snap.files
+      else resolveChain(Option(snap.manifests).getOrElse(Seq.empty)))
+
+  private def manifestsOf(snap: SnapshotMeta): Seq[String] =
+    Option(snap.manifests).getOrElse(Seq.empty)
+
+  /** Fold the chain into one base manifest once it grows past this many
+    * entries (Paimon's manifest.merge-min-count): commits stay O(delta)
+    * amortized while the chain a reader must fold stays bounded. */
+  private def manifestMergeMinCount: Int =
+    options.getOrElse("manifest.merge-min-count", "30").toInt
+
+  private def commit(kind: String, added: Seq[FileMeta]): Long =
+    commitAt(latestSnapshotId.getOrElse(0L) + 1, kind, added)
 
   /** Commit targeting an explicit snapshot id — fails if another writer
     * claimed it (optimistic concurrency; the id is the version check).
+    * The commit writes ONE delta manifest (its own `added`/`deleted`
+    * files) and chains it onto the base snapshot's manifests; `rebase`
+    * starts a fresh chain (full rewrite, e.g. compaction).
     * `commitUser`/`commitIdentifier` tag the snapshot's producer — the
     * streaming sink stores (query id, batch id) there and skips batches
     * it already committed (Paimon's commitIdentifier replay guard). */
   private[graft] def commitAt(
-      id: Long, kind: String, files: Seq[FileMeta],
+      id: Long, kind: String, added: Seq[FileMeta],
+      deleted: Seq[FileMeta] = Seq.empty, rebase: Boolean = false,
       commitUser: String = "graft", commitIdentifier: Option[Long] = None): Long = {
-    val snap = SnapshotMeta(
-      id = id,
-      commitUser = commitUser,
-      commitIdentifier = commitIdentifier.getOrElse(id),
-      commitKind = kind,
-      schemaId = schemaMeta.id,
-      timestampMs = System.currentTimeMillis(),
-      files = files)
     // Two-phase publish. (1) CLAIM the id with an exclusive create
     // (overwrite=false) of a side-car claim file — atomic on HDFS and
     // local FS, no exists-precheck TOCTOU; an object store would need a
-    // conditional put / catalog lock. (2) Write the COMPLETE snapshot
-    // JSON to a tmp path and rename it into place. Readers list only
-    // snap-N.json names, so they never observe a partial/empty snapshot
-    // (create-then-write on the final path would expose one during every
-    // commit window and permanently on a writer crash). A claim whose
-    // writer died before publishing is taken over after ClaimTtlMs.
+    // conditional put / catalog lock. (2) Write the delta manifest(s),
+    // then the COMPLETE snapshot JSON to a tmp path, renamed into place.
+    // Readers list only snap-N.json names, so they never observe a
+    // partial/empty snapshot (create-then-write on the final path would
+    // expose one during every commit window and permanently on a writer
+    // crash). A claim whose writer died before publishing is taken over
+    // after ClaimTtlMs. Claiming BEFORE the manifest writes means a
+    // losing committer leaves no orphan manifests behind.
     val dst = new Path(root, s"snapshot/snap-$id.json")
     val claim = new Path(root, s"snapshot/.claim-$id")
     def tryClaim(): Boolean =
@@ -205,6 +268,31 @@ class GraftTable private (
       if (!tryClaim())
         throw new IllegalStateException(s"conflicting commit for snapshot $id at $root")
     }
+
+    val baseChain: Seq[String] =
+      if (rebase || id <= 1) Seq.empty
+      else {
+        val base = readSnapshot(id - 1)
+        if (base.manifests != null) base.manifests
+        else if (base.files == null || base.files.isEmpty) Seq.empty
+        // legacy inline snapshot: migrate its file list into one manifest
+        else Seq(writeManifest(base.files.map(ManifestEntry(ManifestEntry.Add, _))))
+      }
+    val delta: Seq[ManifestEntry] =
+      deleted.map(ManifestEntry(ManifestEntry.Delete, _)) ++
+        added.map(ManifestEntry(ManifestEntry.Add, _))
+    var chain = if (delta.isEmpty) baseChain else baseChain :+ writeManifest(delta)
+    if (chain.length >= manifestMergeMinCount)
+      chain = Seq(writeManifest(resolveChain(chain).map(ManifestEntry(ManifestEntry.Add, _))))
+
+    val snap = SnapshotMeta(
+      id = id,
+      commitUser = commitUser,
+      commitIdentifier = commitIdentifier.getOrElse(id),
+      commitKind = kind,
+      schemaId = schemaMeta.id,
+      timestampMs = System.currentTimeMillis(),
+      manifests = chain)
     val tmp = new Path(root, s"snapshot/.tmp-$id-${UUID.randomUUID().toString.take(8)}")
     writeString(fs, tmp, mapper.writeValueAsString(snap))
     if (!fs.rename(tmp, dst)) {
@@ -291,9 +379,9 @@ class GraftTable private (
         k -> (if (r.isNullAt(i)) NullPartition else String.valueOf(r.get(i)))
       }.toMap)
       .toSet
-    val keep = filesAt(base).filterNot(f => affected.contains(f.partition))
+    val removed = filesAt(base).filter(f => affected.contains(f.partition))
     val added = stageWrite(df, rowKind = RowKind.Insert, seq = base + 1)
-    commitAt(base + 1, "OVERWRITE", keep ++ added)
+    commitAt(base + 1, "OVERWRITE", added, deleted = removed)
   }
 
   /** Rewrite the merged current state as fresh files (drops overwritten
@@ -302,7 +390,7 @@ class GraftTable private (
     val base = latestSnapshotId.getOrElse(0L)
     val merged = read(snapshotId = Some(base).filter(_ > 0))
     val added = stageWrite(merged, rowKind = RowKind.Insert, seq = base + 1)
-    commitAt(base + 1, "COMPACT", added)
+    commitAt(base + 1, "COMPACT", added, rebase = true)
   }
 
   /** All write paths capture ONE base snapshot and target base+1: a
@@ -314,7 +402,7 @@ class GraftTable private (
       commitUser: String = "graft", commitIdentifier: Option[Long] = None): Long = {
     val base = latestSnapshotId.getOrElse(0L)
     val added = stageWrite(df, rowKind, seq = base + 1)
-    commitAt(base + 1, kind, filesAt(base) ++ added, commitUser, commitIdentifier)
+    commitAt(base + 1, kind, added, commitUser = commitUser, commitIdentifier = commitIdentifier)
   }
 
   /** Streaming-sink entry: append/upsert one micro-batch tagged with
@@ -331,7 +419,7 @@ class GraftTable private (
   }
 
   private def filesAt(snapshotId: Long): Seq[FileMeta] =
-    if (snapshotId <= 0) Seq.empty else readSnapshot(snapshotId).files
+    if (snapshotId <= 0) Seq.empty else filesOf(readSnapshot(snapshotId))
 
   /** Deterministic within-batch dedup: greatest sequence.field per PK.
     * Without sequence.field, fall back to ordering by the orderable
@@ -436,10 +524,11 @@ class GraftTable private (
         fs.mkdirs(destDir)
         val dest = new Path(destDir, f"$stagingId-b$bucket-$n%05d.$fileFormat")
         if (!fs.rename(p, dest)) throw new IllegalStateException(s"rename failed: $p -> $dest")
-        // min/max per column from the footer -> manifest data skipping.
-        // (At cluster scale the write tasks would report these in the
-        // commit message; a driver-side footer read is O(files) metadata.)
-        val stats =
+        // min/max + row count per column from the footer -> manifest data
+        // skipping and manifest-only aggregate pushdown. (At cluster scale
+        // the write tasks would report these in the commit message; a
+        // driver-side footer read is O(files) metadata.)
+        val footer =
           if (fileFormat == "orc") FileStats.fromOrcFooter(statsConf, dest)
           else FileStats.fromFooter(statsConf, dest)
         metas += FileMeta(
@@ -447,7 +536,8 @@ class GraftTable private (
           partition = partition,
           sizeBytes = st.getLen,
           bucket = bucket,
-          stats = stats)
+          stats = footer.stats,
+          rowCount = footer.rowCount)
         n += 1
       }
     }
@@ -460,7 +550,7 @@ class GraftTable private (
   private def currentFiles(snapshotId: Option[Long]): Seq[FileMeta] =
     snapshotId.orElse(latestSnapshotId) match {
       case None => Seq.empty
-      case Some(id) => readSnapshot(id).files
+      case Some(id) => filesOf(readSnapshot(id))
     }
 
   /** Latest snapshot committed at or before `tsMillis` — timestamp time
@@ -619,13 +709,13 @@ class GraftTable private (
       }
     var prev: Set[String] =
       if (fromExclusive <= 0) Set.empty
-      else readSnapshot(fromExclusive).files.map(_.path).toSet
+      else filesOf(readSnapshot(fromExclusive)).map(_.path).toSet
     val added = scala.collection.mutable.ArrayBuffer[FileMeta]()
     for (snap <- snaps) {
-      val paths = snap.files.map(_.path).toSet
+      val live = filesOf(snap)
       if (snap.commitKind == "APPEND")
-        added ++= snap.files.filterNot(f => prev.contains(f.path))
-      prev = paths
+        added ++= live.filterNot(f => prev.contains(f.path))
+      prev = live.map(_.path).toSet
     }
     val outCols =
       if (changelog && isPkTable)
@@ -662,7 +752,7 @@ class GraftTable private (
       case "snapshots" =>
         snapshots
           .map(s => (s.id, s.schemaId, s.commitUser, s.commitIdentifier, s.commitKind,
-            new java.sql.Timestamp(s.timestampMs), s.files.size.toLong))
+            new java.sql.Timestamp(s.timestampMs), filesOf(s).size.toLong))
           .toDF("snapshot_id", "schema_id", "commit_user", "commit_identifier",
             "commit_kind", "commit_time", "total_file_count")
       case "files" =>
@@ -686,6 +776,17 @@ class GraftTable private (
           }
           .sortBy(_._1)
           .toDF("partition", "file_count", "total_size_in_bytes")
+      case "manifests" =>
+        // the current snapshot's manifest chain, in fold order (ref:
+        // Paimon's $manifests system table)
+        latestSnapshotId.map(readSnapshot).map(manifestsOf).getOrElse(Seq.empty)
+          .map { name =>
+            val entries = readManifest(name)
+            (name,
+              entries.count(_.kind == ManifestEntry.Add).toLong,
+              entries.count(_.kind == ManifestEntry.Delete).toLong)
+          }
+          .toDF("file_name", "num_added_files", "num_deleted_files")
       case "audit_log" => auditLog()
       case other => throw new IllegalArgumentException(s"unknown system table: $other")
     }
@@ -702,16 +803,26 @@ class GraftTable private (
       .collect { case SnapRe(id) => id.toLong }.sorted
     if (ids.length <= retainLast) return Seq.empty
     val (expire, retain) = ids.splitAt(ids.length - retainLast)
+    val retainedSnaps = retain.map(readSnapshot)
+    val expiredSnaps = expire.map(readSnapshot)
     val retained: Set[String] =
-      retain.flatMap(id => readSnapshot(id).files.map(_.path)).toSet
-    val orphans = expire.flatMap(id => readSnapshot(id).files.map(_.path))
+      retainedSnaps.flatMap(s => filesOf(s).map(_.path)).toSet
+    val orphans = expiredSnaps.flatMap(s => filesOf(s).map(_.path))
       .toSet -- retained
     orphans.foreach(p => fs.delete(new Path(root, p), false))
+    // manifests referenced only by expired snapshots are orphans too
+    val retainedManifests = retainedSnaps.flatMap(manifestsOf).toSet
+    val orphanManifests = expiredSnaps.flatMap(manifestsOf).toSet -- retainedManifests
+    orphanManifests.foreach { m =>
+      fs.delete(new Path(root, s"manifest/$m"), false)
+      manifestCache.remove(m)
+    }
     expire.foreach { id =>
       fs.delete(new Path(root, s"snapshot/snap-$id.json"), false)
       // keep the memo honest: an expired snapshot must read as missing
       // (readIncrement's expiry error contract), not serve stale meta
       snapCache.remove(id)
+      filesCache.remove(id)
     }
     expire
   }
