@@ -31,11 +31,12 @@ class GraftSource extends RelationProvider with SchemaRelationProvider
     parameters.getOrElse("path",
       throw new IllegalArgumentException("graft source requires a path"))
 
-  // ---- DataSource V2 (the batch-read product surface) -----------------
+  // ---- DataSource V2 (the batch product surface) ----------------------
   // Reads plan through GraftScan (columnar parquet partitions + manifest
-  // pruning); writes and streaming reads intentionally report no V2
-  // capability, so Spark falls back to the V1 paths below (the staged
-  // snapshot-commit write and the snapshot-offset stream source).
+  // pruning); non-PK batch writes through GraftWriteBuilder (executor-
+  // side files + stats in commit messages). Table creation, PK upserts,
+  // mergeSchema evolution and streaming reads intentionally report no V2
+  // capability, so Spark falls back to the V1 paths below.
 
   /** A missing table infers an EMPTY schema (instead of throwing): the
     * first `df.write.format("graft").save(path)` probes getTable before
@@ -51,9 +52,12 @@ class GraftSource extends RelationProvider with SchemaRelationProvider
   override def getTable(
       schema: StructType,
       partitioning: Array[org.apache.spark.sql.connector.expressions.Transform],
-      properties: java.util.Map[String, String]): org.apache.spark.sql.connector.catalog.Table =
+      properties: java.util.Map[String, String]): org.apache.spark.sql.connector.catalog.Table = {
+    import scala.jdk.CollectionConverters._
     new GraftV2Table(Option(properties.get("path")).getOrElse(
-      throw new IllegalArgumentException("graft source requires a path")), schema)
+      throw new IllegalArgumentException("graft source requires a path")), schema,
+      properties.asScala.toMap)
+  }
 
   override def createRelation(
       ctx: SQLContext, parameters: Map[String, String]): BaseRelation =

@@ -381,7 +381,7 @@ class GraftTable private (
       .toSet
     val removed = filesAt(base).filter(f => affected.contains(f.partition))
     val added = stageWrite(df, rowKind = RowKind.Insert, seq = base + 1)
-    commitAt(base + 1, "OVERWRITE", added, deleted = removed)
+    commitOrClean(base + 1, "OVERWRITE", added, deleted = removed)
   }
 
   /** Rewrite the merged current state as fresh files (drops overwritten
@@ -390,7 +390,7 @@ class GraftTable private (
     val base = latestSnapshotId.getOrElse(0L)
     val merged = read(snapshotId = Some(base).filter(_ > 0))
     val added = stageWrite(merged, rowKind = RowKind.Insert, seq = base + 1)
-    commitAt(base + 1, "COMPACT", added, rebase = true)
+    commitOrClean(base + 1, "COMPACT", added, rebase = true)
   }
 
   /** All write paths capture ONE base snapshot and target base+1: a
@@ -402,7 +402,50 @@ class GraftTable private (
       commitUser: String = "graft", commitIdentifier: Option[Long] = None): Long = {
     val base = latestSnapshotId.getOrElse(0L)
     val added = stageWrite(df, rowKind, seq = base + 1)
-    commitAt(base + 1, kind, added, commitUser = commitUser, commitIdentifier = commitIdentifier)
+    commitOrClean(base + 1, kind, added, commitUser = commitUser, commitIdentifier = commitIdentifier)
+  }
+
+  /** commitAt, deleting the just-written `added` files if the commit
+    * fails (a lost optimistic-concurrency race references them from no
+    * snapshot — without cleanup they'd linger until removeOrphanFiles). */
+  private def commitOrClean(
+      id: Long, kind: String, added: Seq[FileMeta],
+      deleted: Seq[FileMeta] = Seq.empty, rebase: Boolean = false,
+      commitUser: String = "graft", commitIdentifier: Option[Long] = None): Long =
+    try commitAt(id, kind, added, deleted, rebase, commitUser, commitIdentifier)
+    catch {
+      case e: Throwable =>
+        added.foreach(f =>
+          try fs.delete(new Path(root, f.path), false) catch { case _: java.io.IOException => () })
+        throw e
+    }
+
+  /** Snapshot commit of a V2 batch write (files already written and
+    * measured by the executors; `added` arrived in commit messages). */
+  private[sources] def commitV2(
+      mode: String, added: Seq[FileMeta],
+      filters: Seq[org.apache.spark.sql.sources.Filter]): Long = {
+    val base = latestSnapshotId.getOrElse(0L)
+    mode match {
+      case "append" => commitAt(base + 1, "APPEND", added)
+      case "truncate" =>
+        commitAt(base + 1, "OVERWRITE", added, deleted = filesAt(base))
+      case "dynamic" =>
+        require(partitionKeys.nonEmpty, "dynamic partition overwrite requires a partitioned table")
+        val parts = added.map(_.partition).toSet
+        commitAt(base + 1, "OVERWRITE", added,
+          deleted = filesAt(base).filter(f => parts.contains(f.partition)))
+      case "filter" =>
+        // overwrite-by-filter deletes FILES, so the filter must be an
+        // exact partition predicate (same soundness rule as pruning)
+        val partCols = partitionKeys.toSet
+        val cols = filters.map(f => GraftFilters.toColumn(f, partCols, exact = true).getOrElse(
+          throw new UnsupportedOperationException(
+            s"overwrite supports partition-column filters only, got: $f")))
+        commitAt(base + 1, "OVERWRITE", added,
+          deleted = pruneFiles(filesAt(base), cols.reduceOption(_ && _)))
+      case other => throw new IllegalStateException(s"unknown V2 write mode: $other")
+    }
   }
 
   /** Streaming-sink entry: append/upsert one micro-batch tagged with
@@ -441,11 +484,16 @@ class GraftTable private (
   }
 
   /** Write df's files into the table layout; returns their FileMeta.
-    * Data lands as a distributed Spark parquet write into a staging dir,
-    * then files are renamed (metadata-only move) into
-    * data/<k=v>/<commit-uuid>-b<bucket>-<n>.parquet so one `basePath`
-    * serves all commits.
-    */
+    * Executor-native: each write task places its rows directly into
+    * data/<k=v>/<commit-uuid>-<task>-b<bucket>-<n>.parquet (no staging
+    * dir, no driver-side rename pass) and reports FileMeta — footer
+    * min/max stats and row counts included — as its task result, so
+    * commit metadata flows driver-ward once and the driver never opens a
+    * data file. CHAR/VARCHAR write semantics (pad/truncate to the
+    * declared lattice bound, ref PrestoTypeUtils.java:96-100) and bucket
+    * routing are applied inside the task writer. A speculatively
+    * duplicated successful attempt can strand unreferenced files; they
+    * are invisible to readers and reclaimed by removeOrphanFiles. */
   private def stageWrite(df: DataFrame, rowKind: String, seq: Long): Seq[FileMeta] = {
     val dataCols = schema.fieldNames.toSeq
     require(dataCols.forall(df.columns.contains),
@@ -459,7 +507,6 @@ class GraftTable private (
     require(unknown.isEmpty,
       s"df has columns not in the table schema: ${unknown.mkString(",")} " +
         "(add them with addColumn or the mergeSchema write option)")
-    val nextSeq = seq
 
     // enforce the table schema's types: a silent mismatch (e.g. a
     // decimal(38,18) batch into a decimal(9,2) column) would write files
@@ -468,81 +515,22 @@ class GraftTable private (
     var out = df.select(dataCols.map { c =>
       val target = schema(c).dataType
       val actual = df.schema(c).dataType
-      val typed =
-        if (actual == target) col(c)
-        else {
-          require(org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(actual, target),
-            s"column $c of type ${actual.simpleString} does not fit table type " +
-              s"${target.simpleString}; cast explicitly before writing")
-          col(c).cast(target)
-        }
-      // CHAR/VARCHAR write semantics from the declared lattice (ref:
-      // PrestoTypeUtils.java:96-100 char pad/truncate): char(n) values
-      // land as exactly n chars (rpad both pads and truncates), varchar(n)
-      // truncates to its bound. Runtime reads then need no padding logic.
-      lattice(c).dataType match {
-        case CharType(n) => rpad(typed, n, " ").as(c)
-        case VarcharType(n) => substring(typed, 1, n).as(c)
-        case _ => typed.as(c)
+      if (actual == target) col(c)
+      else {
+        require(org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(actual, target),
+          s"column $c of type ${actual.simpleString} does not fit table type " +
+            s"${target.simpleString}; cast explicitly before writing")
+        col(c).cast(target).as(c)
       }
     } ++ (if (perRowKind) Seq(df(KindCol)) else Seq.empty): _*)
     if (isPkTable) {
-      out = out.withColumn(SeqCol, lit(nextSeq))
+      out = out.withColumn(SeqCol, lit(seq))
       if (!perRowKind) out = out.withColumn(KindCol, lit(rowKind))
     }
-    val bucketed = numBuckets > 1 && bucketKeys.nonEmpty
-    if (bucketed)
-      out = out.withColumn(BucketCol, pmod(hash(bucketKeys.map(col): _*), lit(numBuckets)))
-
-    val stagingId = UUID.randomUUID().toString.take(8)
-    val staging = new Path(root, s".staging-$stagingId")
-    val partBy = partitionKeys ++ (if (bucketed) Seq(BucketCol) else Seq.empty)
-    val writer = out.write.mode("overwrite").format(fileFormat)
-    (if (partBy.nonEmpty) writer.partitionBy(partBy: _*) else writer)
-      .save(staging.toString)
-
-    // move staged files into data/, folding the __bucket dir into the name
-    val statsConf = hadoopConf // one Configuration for all footer reads
-    val stagingQ = fs.makeQualified(staging).toString
-    val rootQ = fs.makeQualified(new Path(root)).toString
-    val metas = mutable.ArrayBuffer[FileMeta]()
-    val it = fs.listFiles(staging, true)
-    var n = 0
-    while (it.hasNext) {
-      val st = it.next()
-      val p = st.getPath
-      if (p.getName.endsWith(s".$fileFormat")) {
-        val rel = p.toString.stripPrefix(stagingQ).stripPrefix("/")
-        val segs = rel.split("/").dropRight(1).filter(_.contains("="))
-        val partSegs = segs.filterNot(_.startsWith(s"$BucketCol="))
-        val bucket = segs.collectFirst { case s if s.startsWith(s"$BucketCol=") => s.split("=")(1).toInt }.getOrElse(0)
-        val partition = partSegs.map { s =>
-          val kv = s.split("=", 2); kv(0) -> unescapePath(kv(1))
-        }.toMap
-        val destDir = if (partSegs.isEmpty) new Path(root, "data")
-          else new Path(root, "data/" + partSegs.mkString("/"))
-        fs.mkdirs(destDir)
-        val dest = new Path(destDir, f"$stagingId-b$bucket-$n%05d.$fileFormat")
-        if (!fs.rename(p, dest)) throw new IllegalStateException(s"rename failed: $p -> $dest")
-        // min/max + row count per column from the footer -> manifest data
-        // skipping and manifest-only aggregate pushdown. (At cluster scale
-        // the write tasks would report these in the commit message; a
-        // driver-side footer read is O(files) metadata.)
-        val footer =
-          if (fileFormat == "orc") FileStats.fromOrcFooter(statsConf, dest)
-          else FileStats.fromFooter(statsConf, dest)
-        metas += FileMeta(
-          path = fs.makeQualified(dest).toString.stripPrefix(rootQ).stripPrefix("/"),
-          partition = partition,
-          sizeBytes = st.getLen,
-          bucket = bucket,
-          stats = footer.stats,
-          rowCount = footer.rowCount)
-        n += 1
-      }
-    }
-    fs.delete(staging, true)
-    metas.toSeq
+    val spec = GraftWrite.spec(spark, this, out.schema)
+    out.queryExecution.toRdd
+      .mapPartitions(GraftWrite.writePartition(spec))
+      .collect().flatten.toSeq
   }
 
   // ---- read path ------------------------------------------------------
@@ -825,6 +813,31 @@ class GraftTable private (
       filesCache.remove(id)
     }
     expire
+  }
+
+  /** Delete data files referenced by NO snapshot and older than `ttlMs`
+    * (Paimon's remove_orphan_files): strays from aborted jobs or
+    * speculatively duplicated write attempts. The TTL grace period
+    * protects files of a commit still in flight. Returns deleted paths. */
+  def removeOrphanFiles(ttlMs: Long = 3600 * 1000L): Seq[String] = {
+    val referenced: Set[String] = snapshots.flatMap(s => filesOf(s).map(_.path)).toSet
+    val dataDir = new Path(root, "data")
+    if (!fs.exists(dataDir)) return Seq.empty
+    val rootQ = fs.makeQualified(new Path(root)).toString
+    val now = System.currentTimeMillis()
+    val out = mutable.ArrayBuffer[String]()
+    val it = fs.listFiles(dataDir, true)
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile) {
+        val rel = st.getPath.toString.stripPrefix(rootQ).stripPrefix("/")
+        if (!referenced.contains(rel) && now - st.getModificationTime > ttlMs) {
+          fs.delete(st.getPath, false)
+          out += rel
+        }
+      }
+    }
+    out.toSeq
   }
 
   // ---- schema evolution ----------------------------------------------

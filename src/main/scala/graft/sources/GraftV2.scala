@@ -4,7 +4,7 @@ import org.apache.spark.paths.SparkPath
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BoundReference, Descending, InterpretedOrdering, SortOrder, UnsafeProjection, UnsafeRow}
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetOptions
@@ -31,21 +31,40 @@ import java.util.OptionalLong
   * and min/max data skipping all evaluate against the snapshot manifest
   * driver-side — no file-system listing, no task launch.
   */
-final class GraftV2Table(path: String, tableSchema: StructType) extends Table with SupportsRead {
+final class GraftV2Table(
+    path: String, tableSchema: StructType, writeOptions: Map[String, String] = Map.empty)
+    extends Table with SupportsRead with SupportsWrite {
 
   override def name(): String = s"graft.`$path`"
 
   override def schema(): StructType = tableSchema
 
-  /** No BATCH_WRITE / MICRO_BATCH_READ on purpose: DataFrameWriter falls
-    * back to the V1 CreatableRelationProvider (the snapshot-commit write
-    * path) and DataStreamReader to the V1 snapshot-offset stream source.
-    * An empty schema means "table does not exist yet" (first write probes
-    * before creating) — report no capability at all so every code path
-    * falls through to V1. */
-  override def capabilities(): java.util.Set[TableCapability] =
-    if (tableSchema.fields.isEmpty) java.util.Collections.emptySet()
-    else java.util.EnumSet.of(TableCapability.BATCH_READ)
+  private def writeOpt(key: String): Option[String] =
+    writeOptions.collectFirst { case (k, v) if k.equalsIgnoreCase(key) => v }
+
+  /** Batch reads and non-PK batch writes are V2. Deliberately V1:
+    * table creation (empty schema = "does not exist yet" — the first
+    * write probes getTable before creating; no capability at all routes
+    * it to the V1 CreatableRelationProvider), PK writes (an upsert is a
+    * QUERY — batch dedup + changelog lookup — not a row sink),
+    * mergeSchema writes (write-time schema evolution), and streaming
+    * reads (the V1 snapshot-offset stream source). */
+  override def capabilities(): java.util.Set[TableCapability] = {
+    if (tableSchema.fields.isEmpty) return java.util.Collections.emptySet()
+    val caps = java.util.EnumSet.of(TableCapability.BATCH_READ)
+    val v2Writable = !loaded.isPkTable && !writeOpt("mergeSchema").exists(_.toBoolean)
+    if (v2Writable) {
+      caps.add(TableCapability.BATCH_WRITE)
+      caps.add(TableCapability.TRUNCATE)
+      caps.add(TableCapability.OVERWRITE_BY_FILTER)
+      caps.add(TableCapability.OVERWRITE_DYNAMIC)
+    }
+    caps
+  }
+
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new GraftWriteBuilder(loaded, info)
 
   // one metadata load per table instance, shared by every scan builder
   // (inferSchema already paid one; reloading per-builder would read the

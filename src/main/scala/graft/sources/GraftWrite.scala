@@ -1,0 +1,307 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.hadoop.mapreduce.{Job, JobID, TaskAttemptID, TaskID, TaskType}
+import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, Cast, Expression, Literal, Murmur3Hash, Pmod, StringRPad, Substring, UnsafeProjection}
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{Expressions, SortOrder => V2SortOrder}
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.execution.datasources.OutputWriterFactory
+import org.apache.spark.sql.sources.{AlwaysTrue, Filter}
+import org.apache.spark.sql.types._
+import org.apache.spark.util.SerializableConfiguration
+
+import scala.collection.mutable
+
+/** Everything a WRITE TASK needs to place rows into the table layout and
+  * report file metadata back — built once on the driver, serialized to
+  * executors. The executor side computes per-file min/max stats and row
+  * counts from the footer it just wrote and ships them home inside the
+  * commit message, so the driver never re-opens data files at commit
+  * (the reference's commit protocol does the same: Paimon write tasks
+  * report `DataFileMeta` in `CommitMessage`s; ref: the file-meta flow
+  * behind PrestoSplitManager.java's reads of committed manifests). */
+final case class GraftWriteSpec(
+    rootUri: String, // fully-qualified table root
+    fileFormat: String, // parquet | orc
+    commitUuid: String,
+    writeSchema: StructType, // schema of incoming InternalRows
+    fileDataSchema: StructType, // on-disk column set/order (runtime types)
+    charPad: Map[String, Int], // CHAR(n) columns → pad/truncate width
+    varcharTrunc: Map[String, Int], // VARCHAR(n) columns → truncate width
+    partitionKeys: Seq[String],
+    bucketKeys: Seq[String],
+    numBuckets: Int,
+    maxOpenWriters: Int,
+    factory: OutputWriterFactory,
+    conf: SerializableConfiguration)
+
+object GraftWrite {
+
+  /** Driver-side prep: delegate to the real ParquetFileFormat/OrcFileFormat
+    * `prepareWrite` so task writers inherit Spark's own output machinery
+    * (codec, schema conversion, writer confs) instead of re-plumbing it. */
+  def spec(spark: SparkSession, table: GraftTable, writeSchema: StructType): GraftWriteSpec = {
+    val job = Job.getInstance(spark.sessionState.newHadoopConf())
+    val fileDataSchema = table.fileDataSchema
+    val format: org.apache.spark.sql.execution.datasources.FileFormat =
+      if (table.fileFormat == "orc") new org.apache.spark.sql.execution.datasources.orc.OrcFileFormat
+      else new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+    val factory = format.prepareWrite(spark, job, Map.empty, fileDataSchema)
+    val lattice = table.lattice
+    val charPad = lattice.fields.collect {
+      case StructField(n, CharType(w), _, _) if fileDataSchema.fieldNames.contains(n) => n -> w
+    }.toMap
+    val varcharTrunc = lattice.fields.collect {
+      case StructField(n, VarcharType(w), _, _) if fileDataSchema.fieldNames.contains(n) => n -> w
+    }.toMap
+    val fs = GraftTable.fileSystem(spark, table.root)
+    GraftWriteSpec(
+      rootUri = fs.makeQualified(new Path(table.root)).toString,
+      fileFormat = table.fileFormat,
+      commitUuid = java.util.UUID.randomUUID().toString.take(8),
+      writeSchema = writeSchema,
+      fileDataSchema = fileDataSchema,
+      charPad = charPad,
+      varcharTrunc = varcharTrunc,
+      partitionKeys = table.partitionKeys,
+      bucketKeys = table.bucketKeys,
+      numBuckets = table.numBuckets,
+      maxOpenWriters = table.options.getOrElse("write.max-open-writers", "16").toInt,
+      factory = factory,
+      conf = new SerializableConfiguration(job.getConfiguration))
+  }
+
+  /** mapPartitions body for the library write path (static method so the
+    * closure captures only the serializable spec, never a GraftTable). */
+  def writePartition(spec: GraftWriteSpec)(rows: Iterator[InternalRow]): Iterator[Seq[FileMeta]] = {
+    if (rows.isEmpty) return Iterator.empty
+    val tc = TaskContext.get()
+    val w = new GraftTaskWriter(spec, s"${tc.partitionId()}-${tc.taskAttemptId()}")
+    var ok = false
+    try {
+      rows.foreach(w.write)
+      val metas = w.commit()
+      ok = true
+      Iterator.single(metas)
+    } finally if (!ok) w.abort()
+  }
+}
+
+/** Executor-side writer: routes each row to its (partition, bucket) file,
+  * applying the declared CHAR/VARCHAR write semantics, and reports
+  * [[FileMeta]] (incl. footer min/max stats + row count) on commit.
+  *
+  * Fan-out is bounded: at most `maxOpenWriters` files are open at once;
+  * the least-recently-opened group is closed early and reopens as a new
+  * file if more of its rows arrive (more, smaller files — never
+  * unbounded writer memory). The V2 write requests clustering by
+  * (partition, bucket-key) columns, so in practice a task sees few
+  * groups. */
+final class GraftTaskWriter(spec: GraftWriteSpec, taskUniq: String) {
+
+  private val conf = new Configuration(spec.conf.value)
+  private val attempt = new TaskAttemptContextImpl(
+    conf, new TaskAttemptID(new TaskID(new JobID(spec.commitUuid, 0), TaskType.MAP, 0), 0))
+  private val root = new Path(spec.rootUri)
+  private val fs = root.getFileSystem(conf)
+
+  private def ref(name: String): Expression = {
+    val i = spec.writeSchema.fieldIndex(name)
+    BoundReference(i, spec.writeSchema(i).dataType, spec.writeSchema(i).nullable)
+  }
+
+  private val dataProj = UnsafeProjection.create(spec.fileDataSchema.fields.toIndexedSeq.map { f =>
+    spec.charPad.get(f.name)
+      .map(n => StringRPad(ref(f.name), Literal(n), Literal(" ")): Expression)
+      .orElse(spec.varcharTrunc.get(f.name)
+        .map(n => Substring(ref(f.name), Literal(1), Literal(n)): Expression))
+      .getOrElse(ref(f.name))
+  })
+
+  // partition values render through Cast-to-string — the same rendering
+  // Spark's own dynamic-partition writer uses for directory names
+  private val partProj: Option[UnsafeProjection] =
+    if (spec.partitionKeys.isEmpty) None
+    else Some(UnsafeProjection.create(
+      spec.partitionKeys.toIndexedSeq.map(k => Cast(ref(k), StringType, Some("UTC")): Expression)))
+
+  private val bucketProj: Option[UnsafeProjection] =
+    if (spec.numBuckets > 1 && spec.bucketKeys.nonEmpty)
+      Some(UnsafeProjection.create(Seq(
+        Pmod(new Murmur3Hash(spec.bucketKeys.map(ref)), Literal(spec.numBuckets)): Expression)))
+    else None
+
+  private final class Open(
+      val writer: org.apache.spark.sql.execution.datasources.OutputWriter,
+      val relPath: String,
+      val partition: Map[String, String],
+      val bucket: Int)
+
+  private val open = mutable.LinkedHashMap[(Seq[String], Int), Open]()
+  private val closed = mutable.ArrayBuffer[Open]()
+  private var nFiles = 0
+
+  def write(row: InternalRow): Unit = {
+    val partVals: Seq[String] = partProj match {
+      case None => Nil
+      case Some(p) =>
+        val r = p(row)
+        spec.partitionKeys.indices.map(i => if (r.isNullAt(i)) null else r.getUTF8String(i).toString)
+    }
+    val bucket = bucketProj.map(_(row).getInt(0)).getOrElse(0)
+    val key = (partVals, bucket)
+    val o = open.getOrElseUpdate(key, newWriter(partVals, bucket))
+    if (open.size > spec.maxOpenWriters)
+      open.keysIterator.find(_ != key).foreach(k => closeOne(open.remove(k).get))
+    o.writer.write(dataProj(row))
+  }
+
+  private def newWriter(partVals: Seq[String], bucket: Int): Open = {
+    // null AND empty string land in the hive default dir (Spark's own
+    // dynamic-partition rendering rule, kept for V1-written-table parity)
+    val rendered = spec.partitionKeys.zip(partVals).map { case (k, v) =>
+      k -> (if (v == null || v.isEmpty) GraftTable.NullPartition else v)
+    }
+    val dirSegs = rendered.map { case (k, v) => s"$k=${ExternalCatalogUtils.escapePathName(v)}" }
+    val rel = (Seq("data") ++ dirSegs).mkString("/") +
+      f"/${spec.commitUuid}-$taskUniq-b$bucket-$nFiles%05d.${spec.fileFormat}"
+    nFiles += 1
+    val abs = new Path(root, rel)
+    fs.mkdirs(abs.getParent)
+    new Open(spec.factory.newInstance(abs.toString, spec.fileDataSchema, attempt),
+      rel, rendered.toMap, bucket)
+  }
+
+  private def closeOne(o: Open): Unit = { o.writer.close(); closed += o }
+
+  def commit(): Seq[FileMeta] = {
+    open.values.toSeq.foreach(closeOne)
+    open.clear()
+    closed.toSeq.map { o =>
+      val abs = new Path(root, o.relPath)
+      val footer =
+        if (spec.fileFormat == "orc") FileStats.fromOrcFooter(conf, abs)
+        else FileStats.fromFooter(conf, abs)
+      FileMeta(o.relPath, o.partition, fs.getFileStatus(abs).getLen, o.bucket,
+        footer.stats, footer.rowCount)
+    }
+  }
+
+  def abort(): Unit = {
+    open.values.foreach(o => try o.writer.close() catch { case _: Exception => () })
+    (open.values ++ closed).foreach { o =>
+      try fs.delete(new Path(root, o.relPath), false) catch { case _: java.io.IOException => () }
+    }
+    open.clear(); closed.clear()
+  }
+}
+
+// ---- DataSource V2 write surface ---------------------------------------
+
+final case class GraftCommitMessage(files: Seq[FileMeta]) extends WriterCommitMessage
+
+/** V2 write negotiation for non-PK tables: append, truncate-overwrite,
+  * partition-filter overwrite, and dynamic partition overwrite all land
+  * as snapshot commits. PK tables keep the V1 upsert path (their write IS
+  * a query: batch dedup + changelog lookup), which GraftV2Table signals
+  * by not advertising BATCH_WRITE for them. */
+final class GraftWriteBuilder(table: GraftTable, info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsOverwrite with SupportsDynamicOverwrite {
+
+  private var mode = "append"
+  private var overwriteFilters: Array[Filter] = Array.empty
+
+  /** DataFrameWriter.save plans every SaveMode.Overwrite as
+    * OverwriteByExpression(true) — the dynamic-overwrite intent only
+    * survives as the `partitionOverwriteMode` option / session conf, so
+    * honor it here, exactly like Spark's built-in file source does. */
+  private def dynamicRequested: Boolean = {
+    val conf = SparkSession.active.sessionState.conf
+      .getConfString("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    Option(info.options.get("partitionOverwriteMode")).getOrElse(conf)
+      .equalsIgnoreCase("dynamic")
+  }
+
+  override def truncate(): WriteBuilder = {
+    mode = if (table.partitionKeys.nonEmpty && dynamicRequested) "dynamic" else "truncate"
+    this
+  }
+
+  override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    if (filters.forall(_.isInstanceOf[AlwaysTrue])) truncate()
+    else { mode = "filter"; overwriteFilters = filters }
+    this
+  }
+
+  override def overwriteDynamicPartitions(): WriteBuilder = { mode = "dynamic"; this }
+
+  override def build(): Write = new GraftWriteImpl(table, info.schema(), mode, overwriteFilters)
+}
+
+/** Requests clustering on (partition keys ++ bucket keys) — NOT strictly:
+  * Spark then plans a RebalancePartitions, which AQE splits on skew and
+  * coalesces when small, instead of a rigid hash repartition. Each write
+  * task therefore sees few (partition, bucket-key) groups and the task
+  * writer's bounded fan-out rarely evicts. */
+final class GraftWriteImpl(
+    table: GraftTable, writeSchema: StructType, mode: String, filters: Array[Filter])
+    extends Write with RequiresDistributionAndOrdering {
+
+  private def clusterCols: Seq[String] =
+    table.partitionKeys ++ (if (table.numBuckets > 1) table.bucketKeys else Seq.empty)
+
+  override def requiredDistribution(): Distribution =
+    if (clusterCols.isEmpty) Distributions.unspecified()
+    else Distributions.clustered(clusterCols.map(c => Expressions.column(c): org.apache.spark.sql.connector.expressions.Expression).toArray)
+
+  override def distributionStrictlyRequired(): Boolean = false
+
+  override def requiredOrdering(): Array[V2SortOrder] = Array.empty
+
+  override def toBatch: BatchWrite = new GraftBatchWrite(table, writeSchema, mode, filters)
+}
+
+final class GraftBatchWrite(
+    table: GraftTable, writeSchema: StructType, mode: String, filters: Array[Filter])
+    extends BatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val spec = GraftWrite.spec(table.spark, table, writeSchema)
+    new GraftDataWriterFactory(spec)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val added = messages.toSeq.flatMap { case GraftCommitMessage(f) => f }
+    table.commitV2(mode, added, filters.toSeq)
+  }
+
+  /** Tasks clean their own failures (GraftTaskWriter.abort); this sweeps
+    * files of tasks that SUCCEEDED before the job died (incl. a failed
+    * snapshot commit — Spark calls abort when commit throws). */
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fsys = GraftTable.fileSystem(table.spark, table.root)
+    messages.toSeq.filter(_ != null).flatMap { case GraftCommitMessage(f) => f }.foreach { f =>
+      try fsys.delete(new Path(table.root, f.path), false)
+      catch { case _: java.io.IOException => () }
+    }
+  }
+}
+
+final class GraftDataWriterFactory(spec: GraftWriteSpec) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
+    val tw = new GraftTaskWriter(spec, s"$partitionId-$taskId")
+    new DataWriter[InternalRow] {
+      override def write(row: InternalRow): Unit = tw.write(row)
+      override def commit(): WriterCommitMessage = GraftCommitMessage(tw.commit())
+      override def abort(): Unit = tw.abort()
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -59,11 +59,13 @@ class SourceSpec extends AnyFunSuite {
   test("mergeSchema write option evolves the table schema") {
     val path = TestSpark.tmpDir("dsv1merge")
     Seq((1, "a")).toDF("k", "v").write.format("graft").save(path)
-    // extra column without mergeSchema → rejected
-    intercept[IllegalArgumentException] {
+    // extra column without mergeSchema → rejected (the V2 write path
+    // surfaces it as Spark's AnalysisException at analysis time)
+    intercept[org.apache.spark.sql.AnalysisException] {
       Seq((2, "b", 2.5)).toDF("k", "v", "score")
         .write.format("graft").mode(SaveMode.Append).save(path)
     }
+    assert(spark.read.format("graft").load(path).count() == 1) // unchanged
     Seq((2, "b", 2.5)).toDF("k", "v", "score")
       .write.format("graft").mode(SaveMode.Append).option("mergeSchema", "true").save(path)
     val rows = spark.read.format("graft").load(path).orderBy("k").collect()

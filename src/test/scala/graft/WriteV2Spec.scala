@@ -1,0 +1,121 @@
+package graft
+
+import graft.sources.GraftTable
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** DataSource V2 write path: executor-side files + stats in commit
+  * messages, truncate / dynamic-partition overwrite, orphan cleanup.
+  * Several behaviors here are IMPOSSIBLE on the V1 path (full-table
+  * overwrite of an unpartitioned table; static truncate semantics), so
+  * their success proves the V2 route engaged. */
+class WriteV2Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("W1: append lands executor-reported stats + row counts in the manifest") {
+    val path = TestSpark.tmpDir("w2stats")
+    Seq((1, "a")).toDF("k", "v").write.format("graft").save(path) // V1 create
+    Seq((2, "b"), (3, "c")).toDF("k", "v")
+      .write.format("graft").mode(SaveMode.Append).save(path) // V2 append
+    val t = GraftTable.load(spark, path)
+    val metas = t.system("files").collect()
+    assert(metas.length >= 2)
+    // the V2-appended files carry footer stats and row counts
+    val df = spark.read.format("graft").load(path)
+    assert(df.count() == 3)
+    assert(t.snapshots.last.commitKind == "APPEND")
+  }
+
+  test("W2: mode(overwrite) truncates an UNPARTITIONED table (V1 could not)") {
+    val path = TestSpark.tmpDir("w2trunc")
+    Seq((1, "old"), (2, "old")).toDF("k", "v").write.format("graft").save(path)
+    Seq((9, "new")).toDF("k", "v")
+      .write.format("graft").mode(SaveMode.Overwrite).save(path)
+    val rows = spark.read.format("graft").load(path).collect()
+    assert(rows.map(r => (r.getInt(0), r.getString(1))).toSeq == Seq((9, "new")))
+    val t = GraftTable.load(spark, path)
+    assert(t.snapshots.last.commitKind == "OVERWRITE")
+    // time travel still sees the old data (truncate is a snapshot, not a purge)
+    assert(spark.read.format("graft").option("snapshotId", "1").load(path).count() == 2)
+  }
+
+  test("W3: dynamic partition overwrite replaces only touched partitions") {
+    val path = TestSpark.tmpDir("w2dyn")
+    Seq(("a", 1), ("a", 2), ("b", 3)).toDF("pt", "x")
+      .write.format("graft").option("partitionKeys", "pt").save(path)
+    Seq(("a", 99)).toDF("pt", "x")
+      .write.format("graft").mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic").save(path)
+    val rows = spark.read.format("graft").load(path)
+      .orderBy("x").collect().map(r => (r.getString(0), r.getInt(1)))
+    assert(rows.toSeq == Seq(("b", 3), ("a", 99)))
+  }
+
+  test("W4: static mode(overwrite) on a partitioned table truncates ALL partitions") {
+    val path = TestSpark.tmpDir("w2static")
+    Seq(("a", 1), ("b", 2)).toDF("pt", "x")
+      .write.format("graft").option("partitionKeys", "pt").save(path)
+    Seq(("a", 99)).toDF("pt", "x")
+      .write.format("graft").mode(SaveMode.Overwrite).save(path)
+    val rows = spark.read.format("graft").load(path).collect()
+    assert(rows.map(r => (r.getString(0), r.getInt(1))).toSeq == Seq(("a", 99)))
+  }
+
+  test("W5: V2-appended files participate in data skipping") {
+    val path = TestSpark.tmpDir("w2skip")
+    Seq((1, 10L)).toDF("k", "y").write.format("graft").save(path)
+    Seq((100, 1000L)).toDF("k", "y")
+      .write.format("graft").mode(SaveMode.Append).save(path)
+    val t = GraftTable.load(spark, path)
+    // manifest min/max from the executor-written footer prunes file 1
+    val planned = spark.read.format("graft").load(path).filter(col("k") > 50)
+    assert(planned.collect().map(_.getInt(0)).toSeq == Seq(100))
+    assert(planned.rdd.getNumPartitions <= 1)
+  }
+
+  test("W6: bucketed table routes rows by the same hash as bucket pruning") {
+    val path = TestSpark.tmpDir("w2bucket")
+    val t = GraftTable.create(spark, path,
+      new org.apache.spark.sql.types.StructType()
+        .add("k", "int").add("v", "string"),
+      options = Map("bucket" -> "4", "bucket-key" -> "k"))
+    Seq((1, "a"), (2, "b"), (3, "c"), (4, "d")).toDF("k", "v")
+      .write.format("graft").mode(SaveMode.Append).save(path)
+    // every row readable via its pruned bucket alone
+    for (k <- 1 to 4) {
+      val b = t.bucketOf(Seq(k))
+      val got = t.read(bucket = Some(b)).filter(col("k") === k).count()
+      assert(got == 1, s"key $k not found in its own bucket $b")
+    }
+  }
+
+  test("W7: removeOrphanFiles reclaims unreferenced strays, never live files") {
+    val path = TestSpark.tmpDir("w2orphan")
+    Seq((1, "a")).toDF("k", "v").write.format("graft").save(path)
+    val t = GraftTable.load(spark, path)
+    // plant a stray (e.g. from an aborted job) older than the TTL
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(new org.apache.hadoop.conf.Configuration())
+    val stray = new org.apache.hadoop.fs.Path(path, "data/deadbeef-0-0-b0-00000.parquet")
+    fs.create(stray, true).close()
+    fs.setTimes(stray, System.currentTimeMillis() - 7200 * 1000L, -1)
+    val gone = t.removeOrphanFiles(ttlMs = 3600 * 1000L)
+    assert(gone == Seq("data/deadbeef-0-0-b0-00000.parquet"))
+    assert(spark.read.format("graft").load(path).count() == 1) // live data intact
+    assert(t.removeOrphanFiles(ttlMs = 0L).isEmpty) // nothing else to sweep
+  }
+
+  test("W8: CHAR padding is applied by the executor writer on the V2 path") {
+    val path = TestSpark.tmpDir("w2char")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("c", org.apache.spark.sql.types.CharType(5))))
+    GraftTable.create(spark, path, schema)
+    Seq((1, "ab"), (2, "toolongvalue")).toDF("k", "c")
+      .write.format("graft").mode(SaveMode.Append).save(path)
+    val rows = spark.read.format("graft").load(path).orderBy("k")
+      .collect().map(_.getString(1))
+    assert(rows.toSeq == Seq("ab   ", "toolo"))
+  }
+}
