@@ -1,0 +1,241 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchFunctionException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.catalyst.expressions.{Literal, Murmur3Hash, Pmod}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.{DataType, IntegerType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import scala.jdk.CollectionConverters._
+
+/** Spark V2 catalog plugin — the product surface that mirrors what the
+  * reference connector gives Presto users (`paimon.db.t` SQL over a
+  * warehouse; ref: PrestoPlugin.java / PrestoConnectorFactory.java /
+  * PrestoMetadata.java):
+  *
+  * {{{
+  * spark.sql.catalog.graft           = graft.sources.GraftSparkCatalog
+  * spark.sql.catalog.graft.warehouse = /path/to/warehouse
+  *
+  * CREATE NAMESPACE graft.db;
+  * CREATE TABLE graft.db.t (k INT, v STRING) PARTITIONED BY (bucket(4, k))
+  *   TBLPROPERTIES ('primary-key'='k');
+  * INSERT INTO graft.db.t VALUES (1, 'a');
+  * SELECT * FROM graft.db.t VERSION AS OF 1;   -- scan_version equivalent
+  * ALTER TABLE graft.db.t ADD COLUMN score DOUBLE;
+  * }}}
+  *
+  * Also a FunctionCatalog: it serves the `bucket` transform function so
+  * Spark can resolve the scan-reported KeyGroupedPartitioning and plan
+  * storage-partitioned (zero-shuffle) joins between co-bucketed tables.
+  */
+class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with FunctionCatalog {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+  private def spark = SparkSession.active
+  private def inner = new GraftCatalog(spark, warehouse)
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(s"catalog $name requires the 'warehouse' option"))
+  }
+
+  override def name(): String = catalogName
+
+  private def db(ident: Identifier): String = {
+    if (ident.namespace.length != 1)
+      throw new NoSuchTableException(ident)
+    ident.namespace()(0)
+  }
+
+  private def tablePath(ident: Identifier): String =
+    new Path(new Path(warehouse, s"${db(ident)}.db"), ident.name).toString
+
+  // ---- namespaces (ref: PrestoMetadata listSchemaNames/createSchema) --
+
+  override def listNamespaces(): Array[Array[String]] =
+    inner.listDatabases().map(d => Array(d)).toArray
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else if (namespaceExists(namespace)) Array.empty
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.length == 1 && inner.databaseExists(namespace(0))
+
+  override def loadNamespaceMetadata(namespace: Array[String]): java.util.Map[String, String] =
+    if (namespaceExists(namespace)) java.util.Collections.emptyMap()
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def createNamespace(
+      namespace: Array[String], metadata: java.util.Map[String, String]): Unit = {
+    require(namespace.length == 1, s"graft uses single-level namespaces: ${namespace.mkString(".")}")
+    if (namespaceExists(namespace)) throw new NamespaceAlreadyExistsException(namespace)
+    inner.createDatabase(namespace(0))
+  }
+
+  override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("graft namespaces carry no metadata")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    if (cascade)
+      GraftTable.fileSystem(spark, warehouse)
+        .delete(new Path(warehouse, s"${namespace(0)}.db"), true)
+    else inner.dropDatabase(namespace(0)) // refuses when non-empty
+    true
+  }
+
+  // ---- tables (ref: PrestoMetadata create/drop/rename/listTables) -----
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    inner.listTables(namespace(0)).map(t => Identifier.of(namespace, t)).toArray
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    ident.namespace.length == 1 && inner.tableExists(ident.namespace()(0), ident.name)
+
+  private def load(ident: Identifier, pinned: Option[Long]): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val p = tablePath(ident)
+    val t = GraftTable.load(spark, p)
+    new GraftV2Table(p, t.schema,
+      identName = Some(s"$catalogName.${db(ident)}.${ident.name}"),
+      pinnedSnapshot = pinned)
+  }
+
+  override def loadTable(ident: Identifier): Table = load(ident, None)
+
+  /** `VERSION AS OF v` — the reference's scan_version session property
+    * (PrestoSessionProperties.java:39); accepts a bare snapshot id or a
+    * "db.table.version|..." spec string. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val pinned = inner.parseScanVersion(version, db(ident), ident.name)
+      .getOrElse(throw new IllegalArgumentException(s"cannot parse version: $version"))
+    load(ident, Some(pinned))
+  }
+
+  /** `TIMESTAMP AS OF ts` (micros since epoch) ≈ scan.timestamp-millis. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val t = GraftTable.load(spark, tablePath(ident))
+    val pinned = t.snapshotAsOfTime(timestamp / 1000L).getOrElse(
+      throw new IllegalArgumentException(
+        s"no snapshot of $ident at or before timestamp $timestamp"))
+    load(ident, Some(pinned))
+  }
+
+  override def createTable(
+      ident: Identifier, schema: StructType, partitions: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    if (!namespaceExists(ident.namespace)) throw new NoSuchNamespaceException(ident.namespace)
+    var partitionKeys = Seq.empty[String]
+    var opts = Map.empty[String, String]
+    partitions.foreach { t =>
+      t.name match {
+        case "identity" =>
+          partitionKeys :+= t.references()(0).fieldNames().mkString(".")
+        case "bucket" =>
+          val n = t.arguments().collectFirst {
+            case l: org.apache.spark.sql.connector.expressions.Literal[_] => l.value.toString.toInt
+          }.getOrElse(throw new IllegalArgumentException(s"bucket transform without count: $t"))
+          opts += ("bucket" -> n.toString,
+            "bucket-key" -> t.references().map(_.fieldNames().mkString(".")).mkString(","))
+        case other =>
+          throw new UnsupportedOperationException(s"unsupported partition transform: $other")
+      }
+    }
+    val props = properties.asScala.toMap
+    val primaryKeys = props.get("primary-key")
+      .map(_.split(",").map(_.trim).toSeq).getOrElse(Seq.empty)
+    val reserved = Set("primary-key", "path", TableCatalog.PROP_PROVIDER,
+      TableCatalog.PROP_LOCATION, TableCatalog.PROP_OWNER, TableCatalog.PROP_COMMENT,
+      TableCatalog.PROP_EXTERNAL, TableCatalog.PROP_TABLE_TYPE)
+    opts ++= props.view
+      .filterKeys(k => !reserved.contains(k))
+      .map { case (k, v) => k.stripPrefix(TableCatalog.OPTION_PREFIX) -> v }
+    GraftTable.create(spark, tablePath(ident), schema, partitionKeys, primaryKeys, opts)
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val t = GraftTable.load(spark, tablePath(ident))
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames().length == 1, "graft supports top-level ADD COLUMN only")
+        t.addColumn(add.fieldNames()(0), add.dataType())
+      case other =>
+        throw new UnsupportedOperationException(s"unsupported table change: $other")
+    }
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean =
+    if (tableExists(ident)) { inner.dropTable(db(ident), ident.name); true }
+    else false
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
+    // the RENAME TO target arrives unresolved: strip a leading catalog
+    // element, and treat a bare name as "same namespace"
+    val newNs = newIdent.namespace match {
+      case ns if ns.length == 2 && ns(0) == catalogName => ns.drop(1)
+      case ns if ns.isEmpty => oldIdent.namespace
+      case ns => ns
+    }
+    require(oldIdent.namespace.sameElements(newNs),
+      "rename cannot move a table across namespaces")
+    val target = Identifier.of(newNs, newIdent.name)
+    if (tableExists(target)) throw new TableAlreadyExistsException(target)
+    inner.renameTable(db(oldIdent), oldIdent.name, newIdent.name)
+  }
+
+  // ---- functions (bucket transform for storage-partitioned joins) -----
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(Array.empty[String], "bucket"))
+
+  override def loadFunction(ident: Identifier): UnboundFunction =
+    if (ident.name.equalsIgnoreCase("bucket")) GraftBucketFunction
+    else throw new NoSuchFunctionException(ident)
+}
+
+/** The `bucket(n, cols...)` transform function, resolvable through the
+  * catalog so Spark can bind the KeyGroupedPartitioning the graft scan
+  * reports. Evaluates to EXACTLY the write path's bucket id —
+  * pmod(murmur3(cols), n) built from the same catalyst expressions — so
+  * partition values, bucket pruning, and storage-partitioned join keys
+  * all agree. */
+object GraftBucketFunction extends UnboundFunction {
+  override def name(): String = "bucket"
+  override def description(): String = "bucket(n, cols...): pmod(murmur3(cols), n)"
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length >= 2, "bucket(numBuckets, cols...)")
+    require(inputType.fields(0).dataType == IntegerType, "first bucket() arg must be INT")
+    GraftBucketBound(inputType.fields.drop(1).map(_.dataType).toIndexedSeq)
+  }
+}
+
+final case class GraftBucketBound(argTypes: IndexedSeq[DataType]) extends ScalarFunction[Integer] {
+  override def inputTypes(): Array[DataType] = (IntegerType +: argTypes).toArray
+  override def resultType(): DataType = IntegerType
+  override def name(): String = "bucket"
+  override def canonicalName(): String = "graft.bucket"
+  override def isResultNullable: Boolean = false
+  override def produceResult(input: InternalRow): Integer = {
+    val n = input.getInt(0)
+    val args = argTypes.zipWithIndex.map { case (dt, i) => Literal(input.get(i + 1, dt), dt) }
+    Pmod(new Murmur3Hash(args), Literal(n)).eval(null).asInstanceOf[Int]
+  }
+}

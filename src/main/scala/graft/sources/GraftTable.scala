@@ -131,7 +131,7 @@ class GraftTable private (
   }
   /** Paimon option name: `none` (default) writes upserts as +I;
     * `lookup` classifies against current state and emits -U/+U pairs. */
-  private def lookupChangelog: Boolean =
+  private[sources] def lookupChangelog: Boolean =
     options.getOrElse("changelog-producer", "none") == "lookup"
 
   /** On-disk columns of data files (data cols minus partition cols, plus
@@ -421,11 +421,12 @@ class GraftTable private (
     }
 
   /** Snapshot commit of a V2 batch write (files already written and
-    * measured by the executors; `added` arrived in commit messages). */
+    * measured by the executors; `added` arrived in commit messages;
+    * `base` was captured at write start — a concurrent commit makes this
+    * fail rather than publish a state built from a stale view). */
   private[sources] def commitV2(
       mode: String, added: Seq[FileMeta],
-      filters: Seq[org.apache.spark.sql.sources.Filter]): Long = {
-    val base = latestSnapshotId.getOrElse(0L)
+      filters: Seq[org.apache.spark.sql.sources.Filter], base: Long): Long = {
     mode match {
       case "append" => commitAt(base + 1, "APPEND", added)
       case "truncate" =>

@@ -32,27 +32,50 @@ import java.util.OptionalLong
   * driver-side — no file-system listing, no task launch.
   */
 final class GraftV2Table(
-    path: String, tableSchema: StructType, writeOptions: Map[String, String] = Map.empty)
+    path: String, tableSchema: StructType, writeOptions: Map[String, String] = Map.empty,
+    identName: Option[String] = None, pinnedSnapshot: Option[Long] = None)
     extends Table with SupportsRead with SupportsWrite {
 
-  override def name(): String = s"graft.`$path`"
+  override def name(): String = identName.getOrElse(s"graft.`$path`")
 
   override def schema(): StructType = tableSchema
+
+  /** Declared layout, surfaced for DESCRIBE / catalog introspection. */
+  override def partitioning(): Array[org.apache.spark.sql.connector.expressions.Transform] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    val parts = loaded.partitionKeys.map(Expressions.identity)
+    val bucket =
+      if (loaded.numBuckets > 1 && loaded.bucketKeys.nonEmpty)
+        Seq(Expressions.bucket(loaded.numBuckets, loaded.bucketKeys: _*))
+      else Seq.empty
+    (parts ++ bucket).toArray
+  }
+
+  override def properties(): java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    loaded.options.foreach { case (k, v) => m.put(k, v) }
+    if (loaded.primaryKeys.nonEmpty) m.put("primary-key", loaded.primaryKeys.mkString(","))
+    m
+  }
 
   private def writeOpt(key: String): Option[String] =
     writeOptions.collectFirst { case (k, v) if k.equalsIgnoreCase(key) => v }
 
-  /** Batch reads and non-PK batch writes are V2. Deliberately V1:
-    * table creation (empty schema = "does not exist yet" — the first
-    * write probes getTable before creating; no capability at all routes
-    * it to the V1 CreatableRelationProvider), PK writes (an upsert is a
-    * QUERY — batch dedup + changelog lookup — not a row sink),
-    * mergeSchema writes (write-time schema evolution), and streaming
-    * reads (the V1 snapshot-offset stream source). */
+  /** Batch reads and batch writes are V2 — PK-table writes included:
+    * they plan a strict key-clustered shuffle + sort so the task writers
+    * dedup within the batch (see GraftWriteImpl). Deliberately V1: table
+    * creation (empty schema = "does not exist yet" — the first write
+    * probes getTable before creating; no capability at all routes it to
+    * the V1 CreatableRelationProvider), `changelog-producer=lookup`
+    * writes (the -U/+U classification is a join against current state,
+    * a genuine query), mergeSchema writes (write-time schema evolution),
+    * and streaming reads (the V1 snapshot-offset stream source). */
   override def capabilities(): java.util.Set[TableCapability] = {
     if (tableSchema.fields.isEmpty) return java.util.Collections.emptySet()
     val caps = java.util.EnumSet.of(TableCapability.BATCH_READ)
-    val v2Writable = !loaded.isPkTable && !writeOpt("mergeSchema").exists(_.toBoolean)
+    val v2Writable =
+      !(loaded.isPkTable && loaded.lookupChangelog) &&
+        !writeOpt("mergeSchema").exists(_.toBoolean)
     if (v2Writable) {
       caps.add(TableCapability.BATCH_WRITE)
       caps.add(TableCapability.TRUNCATE)
@@ -72,7 +95,7 @@ final class GraftV2Table(
   private lazy val loaded: GraftTable = GraftTable.load(SparkSession.active, path)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(SparkSession.active, loaded, options)
+    new GraftScanBuilder(SparkSession.active, loaded, options, pinnedSnapshot)
 }
 
 /** Pushdown negotiation (ref: PrestoFilterConverter.java TupleDomain →
@@ -80,10 +103,13 @@ final class GraftV2Table(
   * built-in parquet source, pushdown here is pruning (manifest files, row
   * groups), not row-exact evaluation, and Spark re-applies the predicate
   * above the scan. */
-final class GraftScanBuilder(spark: SparkSession, table: GraftTable, options: CaseInsensitiveStringMap)
+final class GraftScanBuilder(
+    spark: SparkSession, table: GraftTable, options: CaseInsensitiveStringMap,
+    pinnedSnapshot: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
-  private val snapshotId = Option(options.get("snapshotId")).map(_.toLong)
+  // an explicit read option wins over a catalog VERSION AS OF pin
+  private val snapshotId = Option(options.get("snapshotId")).map(_.toLong).orElse(pinnedSnapshot)
   // session-property equivalents (ref PrestoSessionProperties:
   // partition_prune_enabled / query_pushdown_enabled)
   private val partitionPrune = Option(options.get("partitionPrune")).forall(_.toBoolean)
@@ -131,7 +157,8 @@ final class GraftScan(
     requiredSchema: StructType,
     pushed: Array[Filter],
     partitionPrune: Boolean,
-    dataSkip: Boolean) extends Scan with Batch with SupportsReportStatistics {
+    dataSkip: Boolean)
+    extends Scan with Batch with SupportsReportStatistics with SupportsReportPartitioning {
 
   private val partKeySet = table.partitionKeys.toSet
   // file-borne vs directory-borne halves of the requested schema
@@ -199,7 +226,44 @@ final class GraftScan(
       Array.empty[String], 0L, f.sizeBytes,
       Map.empty[String, Any])
 
+  // ---- storage-partitioned scan (zero-shuffle bucketed joins) ----------
+
+  /** Bucket-grouped planning is an opt-in trade (the same conf gate the
+    * built-in V2 sources use): parallelism drops to `numBuckets` and each
+    * bucket becomes one unsplittable partition, in exchange for a scan
+    * whose KeyGroupedPartitioning lets Spark join two co-bucketed tables
+    * with NO Exchange — the storage-partitioned join. Correct for PK
+    * tables whenever bucket keys ⊆ primary key (every version of a key
+    * hashes to the same bucket, so the per-bucket merge sees them all). */
+  private def bucketGrouped: Boolean =
+    spark.sessionState.conf
+      .getConfString("spark.sql.sources.v2.bucketing.enabled", "false").toBoolean &&
+      table.numBuckets > 1 && table.bucketKeys.nonEmpty &&
+      (!table.isPkTable || table.bucketKeys.forall(table.primaryKeys.toSet))
+
+  override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    if (bucketGrouped)
+      new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+        Array(org.apache.spark.sql.connector.expressions.Expressions
+          .bucket(table.numBuckets, table.bucketKeys: _*)),
+        table.numBuckets)
+    else new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+
+  /** One partition per bucket id, empties included: both sides of a
+    * storage-partitioned join then report identical key sets, so the
+    * join aligns partition-for-partition without value pushdown. */
+  private def planBucketPartitions(): Array[InputPartition] = {
+    val partFields = if (table.isPkTable) mergePartFields else readPartFields
+    val byBucket = plannedFiles.groupBy(_.bucket)
+    (0 until table.numBuckets).map { b =>
+      val files = byBucket.getOrElse(b, Seq.empty)
+        .map(f => toPartitionedFile(f, partFields, 0L, f.sizeBytes))
+      BucketedFilePartition(FilePartition(b, files.toArray), b): InputPartition
+    }.toArray
+  }
+
   override def planInputPartitions(): Array[InputPartition] = {
+    if (bucketGrouped) return planBucketPartitions()
     if (plannedFiles.isEmpty) return Array.empty
     if (table.isPkTable) planMergePartitions() else planSplitPartitions()
   }
@@ -295,19 +359,46 @@ final class GraftScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
-    if (!table.isPkTable)
-      return fileFactory(StructType(readDataFields), StructType(readPartFields), readerFilters)
-    // merge rows materialize as [mergeDataFields ++ mergePartFields]
-    val mergeSchema = StructType(mergeDataFields ++ mergePartFields)
-    def idx(name: String): Int = mergeSchema.fieldIndex(name)
-    new GraftMorReaderFactory(
-      fileFactory(StructType(mergeDataFields), StructType(mergePartFields), readerFilters),
-      mergeSchema,
-      keyIdx = table.primaryKeys.map(idx).toArray,
-      seqIdx = (table.sequenceFields :+ GraftTable.SeqCol).map(idx).toArray,
-      kindIdx = idx(GraftTable.KindCol),
-      outIdx = readSchema().fields.map(f => idx(f.name)))
+    val inner =
+      if (!table.isPkTable)
+        fileFactory(StructType(readDataFields), StructType(readPartFields), readerFilters)
+      else {
+        // merge rows materialize as [mergeDataFields ++ mergePartFields]
+        val mergeSchema = StructType(mergeDataFields ++ mergePartFields)
+        def idx(name: String): Int = mergeSchema.fieldIndex(name)
+        new GraftMorReaderFactory(
+          fileFactory(StructType(mergeDataFields), StructType(mergePartFields), readerFilters),
+          mergeSchema,
+          keyIdx = table.primaryKeys.map(idx).toArray,
+          seqIdx = (table.sequenceFields :+ GraftTable.SeqCol).map(idx).toArray,
+          kindIdx = idx(GraftTable.KindCol),
+          outIdx = readSchema().fields.map(f => idx(f.name)))
+      }
+    if (bucketGrouped) new UnwrapBucketFactory(inner) else inner
   }
+}
+
+/** A FilePartition tagged with its bucket id — the partition key Spark
+  * groups and aligns on in a storage-partitioned join. */
+final case class BucketedFilePartition(underlying: FilePartition, bucketId: Int)
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow = InternalRow(bucketId)
+  override def preferredLocations(): Array[String] = underlying.preferredLocations()
+}
+
+/** Strips the bucket tag before handing splits to the real file/merge
+  * reader factories (they expect plain FilePartitions). */
+final class UnwrapBucketFactory(delegate: PartitionReaderFactory) extends PartitionReaderFactory {
+  private def unwrap(p: InputPartition): InputPartition = p match {
+    case BucketedFilePartition(u, _) => u
+    case other => other
+  }
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    delegate.createReader(unwrap(p))
+  override def createColumnarReader(p: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    delegate.createColumnarReader(unwrap(p))
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    delegate.supportColumnarReads(unwrap(p))
 }
 
 /** Executor-side merge-on-read: consume every row version of one

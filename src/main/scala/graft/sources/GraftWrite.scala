@@ -40,14 +40,25 @@ final case class GraftWriteSpec(
     numBuckets: Int,
     maxOpenWriters: Int,
     factory: OutputWriterFactory,
-    conf: SerializableConfiguration)
+    conf: SerializableConfiguration,
+    // V2 writes of a PK table: the incoming rows carry only table
+    // columns, so the writer itself attaches the hidden commit sequence
+    // and row kind, and (rows arriving clustered+sorted by key, winner
+    // first) keeps only the first row of each consecutive key group —
+    // the distributed form of the V1 within-batch dedup.
+    hiddenSeq: Option[Long] = None,
+    hiddenKind: Option[String] = None,
+    dedupKeys: Seq[String] = Seq.empty)
 
 object GraftWrite {
 
   /** Driver-side prep: delegate to the real ParquetFileFormat/OrcFileFormat
     * `prepareWrite` so task writers inherit Spark's own output machinery
     * (codec, schema conversion, writer confs) instead of re-plumbing it. */
-  def spec(spark: SparkSession, table: GraftTable, writeSchema: StructType): GraftWriteSpec = {
+  def spec(
+      spark: SparkSession, table: GraftTable, writeSchema: StructType,
+      hiddenSeq: Option[Long] = None, hiddenKind: Option[String] = None,
+      dedupKeys: Seq[String] = Seq.empty): GraftWriteSpec = {
     val job = Job.getInstance(spark.sessionState.newHadoopConf())
     val fileDataSchema = table.fileDataSchema
     val format: org.apache.spark.sql.execution.datasources.FileFormat =
@@ -75,7 +86,10 @@ object GraftWrite {
       numBuckets = table.numBuckets,
       maxOpenWriters = table.options.getOrElse("write.max-open-writers", "16").toInt,
       factory = factory,
-      conf = new SerializableConfiguration(job.getConfiguration))
+      conf = new SerializableConfiguration(job.getConfiguration),
+      hiddenSeq = hiddenSeq,
+      hiddenKind = hiddenKind,
+      dedupKeys = dedupKeys)
   }
 
   /** mapPartitions body for the library write path (static method so the
@@ -118,12 +132,26 @@ final class GraftTaskWriter(spec: GraftWriteSpec, taskUniq: String) {
   }
 
   private val dataProj = UnsafeProjection.create(spec.fileDataSchema.fields.toIndexedSeq.map { f =>
-    spec.charPad.get(f.name)
+    if (!spec.writeSchema.fieldNames.contains(f.name)) f.name match {
+      // hidden PK columns a V2 write attaches writer-side
+      case GraftTable.SeqCol => Literal(spec.hiddenSeq.get, f.dataType): Expression
+      case GraftTable.KindCol =>
+        Literal(org.apache.spark.unsafe.types.UTF8String.fromString(spec.hiddenKind.get),
+          f.dataType): Expression
+      case other => throw new IllegalStateException(s"write input missing column $other")
+    }
+    else spec.charPad.get(f.name)
       .map(n => StringRPad(ref(f.name), Literal(n), Literal(" ")): Expression)
       .orElse(spec.varcharTrunc.get(f.name)
         .map(n => Substring(ref(f.name), Literal(1), Literal(n)): Expression))
       .getOrElse(ref(f.name))
   })
+
+  // consecutive-key dedup (see GraftWriteSpec.dedupKeys)
+  private val keyProj: Option[UnsafeProjection] =
+    if (spec.dedupKeys.isEmpty) None
+    else Some(UnsafeProjection.create(spec.dedupKeys.toIndexedSeq.map(ref)))
+  private var lastKey: org.apache.spark.sql.catalyst.expressions.UnsafeRow = _
 
   // partition values render through Cast-to-string — the same rendering
   // Spark's own dynamic-partition writer uses for directory names
@@ -149,6 +177,11 @@ final class GraftTaskWriter(spec: GraftWriteSpec, taskUniq: String) {
   private var nFiles = 0
 
   def write(row: InternalRow): Unit = {
+    keyProj.foreach { kp =>
+      val k = kp(row)
+      if (lastKey != null && k == lastKey) return // later version of a key already written
+      lastKey = k.copy()
+    }
     val partVals: Seq[String] = partProj match {
       case None => Nil
       case Some(p) =>
@@ -245,25 +278,51 @@ final class GraftWriteBuilder(table: GraftTable, info: LogicalWriteInfo)
   override def build(): Write = new GraftWriteImpl(table, info.schema(), mode, overwriteFilters)
 }
 
-/** Requests clustering on (partition keys ++ bucket keys) — NOT strictly:
-  * Spark then plans a RebalancePartitions, which AQE splits on skew and
-  * coalesces when small, instead of a rigid hash repartition. Each write
-  * task therefore sees few (partition, bucket-key) groups and the task
-  * writer's bounded fan-out rarely evicts. */
+/** Distribution contract:
+  *
+  * Non-PK tables request clustering on (partition keys ++ bucket keys),
+  * NOT strictly: Spark then plans a RebalancePartitions, which AQE
+  * splits on skew and coalesces when small, instead of a rigid hash
+  * repartition. Each write task therefore sees few (partition,
+  * bucket-key) groups and the task writer's bounded fan-out rarely
+  * evicts.
+  *
+  * PK tables request a STRICT hash clustering on the primary key plus a
+  * within-partition sort (key asc, version order desc), so every version
+  * of a key meets in one task with the winner first — the task writer's
+  * consecutive-key dedup is then exactly the V1 within-batch dedup,
+  * distributed. Strict matters: a rebalance could split one key's rows
+  * across tasks mid-sort and break the dedup invariant. */
 final class GraftWriteImpl(
     table: GraftTable, writeSchema: StructType, mode: String, filters: Array[Filter])
     extends Write with RequiresDistributionAndOrdering {
 
+  import org.apache.spark.sql.connector.expressions.{Expression => V2Expression, SortDirection}
+
   private def clusterCols: Seq[String] =
-    table.partitionKeys ++ (if (table.numBuckets > 1) table.bucketKeys else Seq.empty)
+    if (table.isPkTable) table.primaryKeys
+    else table.partitionKeys ++ (if (table.numBuckets > 1) table.bucketKeys else Seq.empty)
 
   override def requiredDistribution(): Distribution =
     if (clusterCols.isEmpty) Distributions.unspecified()
-    else Distributions.clustered(clusterCols.map(c => Expressions.column(c): org.apache.spark.sql.connector.expressions.Expression).toArray)
+    else Distributions.clustered(clusterCols.map(c => Expressions.column(c): V2Expression).toArray)
 
-  override def distributionStrictlyRequired(): Boolean = false
+  override def distributionStrictlyRequired(): Boolean = table.isPkTable
 
-  override def requiredOrdering(): Array[V2SortOrder] = Array.empty
+  override def requiredOrdering(): Array[V2SortOrder] =
+    if (!table.isPkTable) Array.empty
+    else {
+      val version =
+        if (table.sequenceFields.nonEmpty) table.sequenceFields
+        else { // dedupBatch's fallback order: the orderable non-key columns
+          import org.apache.spark.sql.catalyst.expressions.RowOrdering
+          table.schema.fields.filter(f =>
+            !table.primaryKeys.contains(f.name) && RowOrdering.isOrderable(f.dataType))
+            .map(_.name).toSeq
+        }
+      (table.primaryKeys.map(c => Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)) ++
+        version.map(c => Expressions.sort(Expressions.column(c), SortDirection.DESCENDING))).toArray
+    }
 
   override def toBatch: BatchWrite = new GraftBatchWrite(table, writeSchema, mode, filters)
 }
@@ -272,14 +331,25 @@ final class GraftBatchWrite(
     table: GraftTable, writeSchema: StructType, mode: String, filters: Array[Filter])
     extends BatchWrite {
 
+  /** Base captured at write start: the staged files' __seq equals the
+    * committed snapshot id, and a concurrent commit in the write window
+    * surfaces as an optimistic-concurrency conflict instead of silently
+    * overwriting state it never saw (same contract as the V1 paths). */
+  private val base: Long = table.latestSnapshotId.getOrElse(0L)
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
-    val spec = GraftWrite.spec(table.spark, table, writeSchema)
+    val spec =
+      if (table.isPkTable)
+        GraftWrite.spec(table.spark, table, writeSchema,
+          hiddenSeq = Some(base + 1), hiddenKind = Some(GraftTable.RowKind.Insert),
+          dedupKeys = table.primaryKeys)
+      else GraftWrite.spec(table.spark, table, writeSchema)
     new GraftDataWriterFactory(spec)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val added = messages.toSeq.flatMap { case GraftCommitMessage(f) => f }
-    table.commitV2(mode, added, filters.toSeq)
+    table.commitV2(mode, added, filters.toSeq, base)
   }
 
   /** Tasks clean their own failures (GraftTaskWriter.abort); this sweeps

@@ -1,0 +1,106 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** V2 catalog plugin: the `graft.db.t` SQL surface (DDL + DML + time
+  * travel) mirroring the reference connector's Presto catalog
+  * (ref: TestPrestoITCase.java's `paimon.default.t1` queries). */
+class CatalogV2Spec extends AnyFunSuite {
+  lazy val spark = {
+    val s = TestSpark.spark
+    s.conf.set("spark.sql.catalog.graft2", "graft.sources.GraftSparkCatalog")
+    s.conf.set("spark.sql.catalog.graft2.warehouse", TestSpark.tmpDir("catv2-wh"))
+    s
+  }
+
+  private def sql(q: String) = spark.sql(q)
+
+  test("C1: namespace + table DDL, INSERT, SELECT, SHOW") {
+    sql("CREATE NAMESPACE graft2.db1")
+    sql("CREATE TABLE graft2.db1.t (k INT, v STRING) PARTITIONED BY (v)")
+    sql("INSERT INTO graft2.db1.t VALUES (1, 'a'), (2, 'b')")
+    sql("INSERT INTO graft2.db1.t VALUES (3, 'a')")
+    assert(sql("SELECT sum(k) FROM graft2.db1.t WHERE v = 'a'").first().getLong(0) == 4L)
+    assert(sql("SHOW TABLES IN graft2.db1").collect().map(_.getString(1)).toSeq == Seq("t"))
+    assert(sql("SHOW NAMESPACES IN graft2").collect().map(_.getString(0)).contains("db1"))
+  }
+
+  test("C2: PK table INSERT dedups within batch and upserts across commits") {
+    sql("CREATE NAMESPACE graft2.db2")
+    sql("""CREATE TABLE graft2.db2.pk (k INT, v STRING, seq BIGINT)
+          |TBLPROPERTIES ('primary-key'='k', 'sequence.field'='seq')""".stripMargin)
+    // within-batch duplicates: greatest seq wins
+    sql("INSERT INTO graft2.db2.pk VALUES (1, 'old', 1), (1, 'new', 2), (2, 'b', 1)")
+    val r1 = sql("SELECT k, v FROM graft2.db2.pk ORDER BY k").collect()
+      .map(r => (r.getInt(0), r.getString(1)))
+    assert(r1.toSeq == Seq((1, "new"), (2, "b")))
+    // cross-commit upsert via merge-on-read
+    sql("INSERT INTO graft2.db2.pk VALUES (2, 'b2', 5)")
+    val r2 = sql("SELECT k, v FROM graft2.db2.pk ORDER BY k").collect()
+      .map(r => (r.getInt(0), r.getString(1)))
+    assert(r2.toSeq == Seq((1, "new"), (2, "b2")))
+  }
+
+  test("C3: VERSION AS OF / TIMESTAMP AS OF time travel") {
+    sql("CREATE NAMESPACE graft2.db3")
+    sql("CREATE TABLE graft2.db3.t (k INT)")
+    sql("INSERT INTO graft2.db3.t VALUES (1)")
+    sql("INSERT INTO graft2.db3.t VALUES (2)")
+    assert(sql("SELECT count(*) FROM graft2.db3.t VERSION AS OF 1").first().getLong(0) == 1L)
+    assert(sql("SELECT count(*) FROM graft2.db3.t").first().getLong(0) == 2L)
+    // a timestamp far in the future resolves to the latest snapshot
+    assert(sql("SELECT count(*) FROM graft2.db3.t TIMESTAMP AS OF '2099-01-01'")
+      .first().getLong(0) == 2L)
+  }
+
+  test("C4: INSERT OVERWRITE static truncates, dynamic replaces partitions") {
+    sql("CREATE NAMESPACE graft2.db4")
+    sql("CREATE TABLE graft2.db4.t (k INT, pt STRING) PARTITIONED BY (pt)")
+    sql("INSERT INTO graft2.db4.t VALUES (1, 'a'), (2, 'b')")
+    withConf("spark.sql.sources.partitionOverwriteMode", "dynamic") {
+      sql("INSERT OVERWRITE graft2.db4.t VALUES (9, 'a')")
+    }
+    val dyn = sql("SELECT k, pt FROM graft2.db4.t ORDER BY k").collect()
+      .map(r => (r.getInt(0), r.getString(1)))
+    assert(dyn.toSeq == Seq((2, "b"), (9, "a")))
+    withConf("spark.sql.sources.partitionOverwriteMode", "static") {
+      sql("INSERT OVERWRITE graft2.db4.t VALUES (7, 'c')")
+    }
+    val stat = sql("SELECT k, pt FROM graft2.db4.t").collect()
+      .map(r => (r.getInt(0), r.getString(1)))
+    assert(stat.toSeq == Seq((7, "c")))
+  }
+
+  test("C5: CTAS, ALTER TABLE ADD COLUMN, RENAME, DROP") {
+    sql("CREATE NAMESPACE graft2.db5")
+    sql("CREATE TABLE graft2.db5.src AS SELECT 1 AS k, 'a' AS v")
+    assert(sql("SELECT * FROM graft2.db5.src").count() == 1)
+    sql("ALTER TABLE graft2.db5.src ADD COLUMN score DOUBLE")
+    sql("INSERT INTO graft2.db5.src VALUES (2, 'b', 0.5)")
+    val rows = sql("SELECT k, score FROM graft2.db5.src ORDER BY k").collect()
+    assert(rows(0).isNullAt(1) && rows(1).getDouble(1) == 0.5)
+    sql("ALTER TABLE graft2.db5.src RENAME TO graft2.db5.dst")
+    assert(sql("SELECT count(*) FROM graft2.db5.dst").first().getLong(0) == 2L)
+    sql("DROP TABLE graft2.db5.dst")
+    assert(sql("SHOW TABLES IN graft2.db5").count() == 0)
+  }
+
+  test("C6: bucketed DDL via bucket transform lands in table options") {
+    sql("CREATE NAMESPACE graft2.db6")
+    sql("CREATE TABLE graft2.db6.b (k INT, v STRING) PARTITIONED BY (bucket(4, k))")
+    sql("INSERT INTO graft2.db6.b VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    val props = sql("SHOW TBLPROPERTIES graft2.db6.b").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("bucket").contains("4") && props.get("bucket-key").contains("k"))
+    assert(sql("SELECT count(*) FROM graft2.db6.b").first().getLong(0) == 3L)
+  }
+
+  private def withConf(key: String, value: String)(body: => Unit): Unit = {
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key, value)
+    try body finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+}
