@@ -205,7 +205,7 @@ object FileStats {
 
   /** Parse a rendered stat back into the comparison domain of `dt`.
     * TimestampType stats are parquet INT64 micros; DateType INT32 days. */
-  private def parse(s: String, dt: DataType): Option[Any] = dt match {
+  private[sources] def parse(s: String, dt: DataType): Option[Any] = dt match {
     case IntegerType | DateType => s.toIntOption
     case LongType | TimestampType => s.toLongOption
     case DoubleType => s.toDoubleOption

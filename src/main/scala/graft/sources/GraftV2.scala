@@ -5,6 +5,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BoundReference, Descending, InterpretedOrdering, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability}
+import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetOptions
@@ -106,7 +107,8 @@ final class GraftV2Table(
 final class GraftScanBuilder(
     spark: SparkSession, table: GraftTable, options: CaseInsensitiveStringMap,
     pinnedSnapshot: Option[Long] = None)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   // an explicit read option wins over a catalog VERSION AS OF pin
   private val snapshotId = Option(options.get("snapshotId")).map(_.toLong).orElse(pinnedSnapshot)
@@ -114,9 +116,11 @@ final class GraftScanBuilder(
   // partition_prune_enabled / query_pushdown_enabled)
   private val partitionPrune = Option(options.get("partitionPrune")).forall(_.toBoolean)
   private val dataSkip = Option(options.get("dataSkip")).forall(_.toBoolean)
+  private val aggPushdown = Option(options.get("aggPushdown")).forall(_.toBoolean)
 
   private var requiredSchema: StructType = table.schema
   private var pushed: Array[Filter] = Array.empty
+  private var aggScan: Option[GraftManifestAggScan] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val known = table.schema.fieldNames.toSet
@@ -127,10 +131,157 @@ final class GraftScanBuilder(
   override def pushedFilters(): Array[Filter] = pushed
 
   override def pruneColumns(requiredSchema: StructType): Unit =
-    this.requiredSchema = requiredSchema
+    if (aggScan.isEmpty) this.requiredSchema = requiredSchema
 
-  override def build(): Scan =
-    new GraftScan(spark, table, snapshotId, requiredSchema, pushed, partitionPrune, dataSkip)
+  // ---- manifest-only aggregates ---------------------------------------
+
+  /** COUNT(*) / MIN / MAX answered from the snapshot manifest alone
+    * (row counts and min/max stats the write tasks reported at commit):
+    * the query plans a LocalTableScan — zero files opened, zero tasks.
+    * Only COMPLETE pushdown, and only when it is provably exact:
+    * filterless scans of non-PK tables (merge-on-read hides superseded
+    * versions the stats still count), grouping only by partition
+    * columns, MIN/MAX on types whose stats are exact (no string footer
+    * stats — parquet may truncate them; no float/double — NaN handling
+    * differs). */
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    buildAggScan(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    val built = buildAggScan(agg)
+    built.foreach(s => aggScan = Some(s))
+    built.isDefined // partial pushdown is never offered
+  }
+
+  private def colName(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+    e match {
+      case nr: org.apache.spark.sql.connector.expressions.NamedReference
+        if nr.fieldNames().length == 1 => Some(nr.fieldNames()(0))
+      case _ => None
+    }
+
+  private sealed trait AggDef
+  private case object CountStarDef extends AggDef
+  private final case class MinDef(col: String) extends AggDef
+  private final case class MaxDef(col: String) extends AggDef
+
+  /** Types whose manifest stats are exact answers (see Scaladoc above). */
+  private def exactStatType(dt: DataType): Boolean = dt match {
+    case IntegerType | LongType | DateType | TimestampType | _: DecimalType => true
+    case _ => false
+  }
+
+  private def toInternal(v: Any): Any = v match {
+    case null => null
+    case s: String => UTF8String.fromString(s)
+    case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt
+    case bd: java.math.BigDecimal => org.apache.spark.sql.types.Decimal(bd)
+    case other => other
+  }
+
+  private def buildAggScan(agg: Aggregation): Option[GraftManifestAggScan] = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    if (!aggPushdown || pushed.nonEmpty || table.isPkTable) return None
+    val partKeys = table.partitionKeys.toSet
+
+    val groupColsOpt = agg.groupByExpressions.toSeq
+      .foldLeft(Option(Seq.empty[String])) { (acc, e) =>
+        acc.flatMap(s => colName(e).filter(partKeys).map(s :+ _))
+      }
+    val groupCols = groupColsOpt.getOrElse(return None)
+
+    val defsOpt = agg.aggregateExpressions.toSeq
+      .foldLeft(Option(Seq.empty[AggDef])) { (acc, f) =>
+        acc.flatMap { s =>
+          f match {
+            case _: CountStar => Some(s :+ CountStarDef)
+            case m: Min =>
+              colName(m.column)
+                .filter(c => partKeys(c) || exactStatType(table.schema(c).dataType))
+                .map(c => s :+ MinDef(c))
+            case m: Max =>
+              colName(m.column)
+                .filter(c => partKeys(c) || exactStatType(table.schema(c).dataType))
+                .map(c => s :+ MaxDef(c))
+            case _ => None
+          }
+        }
+      }
+    val defs = defsOpt.getOrElse(return None)
+    if (defs.isEmpty) return None
+
+    val files = table.planFiles(snapshotId)
+    if (files.exists(_.rowCountOpt.isEmpty)) return None // legacy manifest: no counts
+    // every MIN/MAX target needs a stats entry in EVERY file (absence is
+    // ambiguous between "all null" and "not collected" — don't guess)
+    val statCols = defs.collect { case MinDef(c) => c case MaxDef(c) => c }
+      .filterNot(partKeys).distinct
+    if (statCols.exists(c => files.exists(f => !f.statsOrEmpty.contains(c)))) return None
+
+    def statValue(f: FileMeta, c: String, min: Boolean): Option[Any] =
+      if (partKeys(c))
+        Option(GraftTable.castPartitionValue(f.partition(c), table.schema(c).dataType))
+      else {
+        val cs = f.statsOrEmpty(c)
+        FileStats.parse(if (min) cs.min else cs.max, table.schema(c).dataType)
+      }
+
+    // a min/max stat that fails to parse (unexpected rendering) aborts
+    if (statCols.exists(c => files.exists(f =>
+      statValue(f, c, min = true).isEmpty || statValue(f, c, min = false).isEmpty)))
+      return None
+
+    val groups: Seq[(Seq[String], Seq[FileMeta])] =
+      if (groupCols.isEmpty) Seq(Seq.empty[String] -> files)
+      else files.groupBy(f => groupCols.map(f.partition)).toSeq
+    def ordering(dt: DataType) =
+      org.apache.spark.sql.catalyst.util.TypeUtils.getInterpretedOrdering(dt)
+
+    val rows: Seq[InternalRow] =
+      if (files.isEmpty && groupCols.isEmpty)
+        // global aggregate over an empty table: COUNT = 0, MIN/MAX = NULL
+        Seq(InternalRow.fromSeq(defs.map { case CountStarDef => 0L; case _ => null }))
+      else groups.map { case (gv, fs) =>
+        val groupVals = groupCols.zip(gv).map { case (c, v) =>
+          toInternal(GraftTable.castPartitionValue(v, table.schema(c).dataType))
+        }
+        val aggVals = defs.map {
+          case CountStarDef => fs.map(_.rowCountOpt.get).sum
+          case MinDef(c) =>
+            val ord = ordering(table.schema(c).dataType)
+            val vs = fs.flatMap(f => statValue(f, c, min = true)).map(toInternal)
+            if (vs.isEmpty) null else vs.min(ord)
+          case MaxDef(c) =>
+            val ord = ordering(table.schema(c).dataType)
+            val vs = fs.flatMap(f => statValue(f, c, min = false)).map(toInternal)
+            if (vs.isEmpty) null else vs.max(ord)
+        }
+        InternalRow.fromSeq(groupVals ++ aggVals)
+      }
+
+    val schema = StructType(
+      groupCols.map(c => table.schema(c).copy(name = c)) ++
+        defs.zipWithIndex.map {
+          case (CountStarDef, i) => StructField(s"count_star_$i", LongType, nullable = false)
+          case (MinDef(c), i) => StructField(s"min_${c}_$i", table.schema(c).dataType)
+          case (MaxDef(c), i) => StructField(s"max_${c}_$i", table.schema(c).dataType)
+        })
+    Some(new GraftManifestAggScan(schema, rows.toArray,
+      s"GraftManifestAgg files=${files.size} groupBy=[${groupCols.mkString(",")}]"))
+  }
+
+  override def build(): Scan = aggScan.getOrElse(
+    new GraftScan(spark, table, snapshotId, requiredSchema, pushed, partitionPrune, dataSkip))
+}
+
+/** Aggregate answered from manifest metadata: a driver-local scan, no
+  * tasks, no file reads (the lakehouse "metadata-only query"). */
+final class GraftManifestAggScan(
+    aggSchema: StructType, aggRows: Array[InternalRow], desc: String)
+    extends org.apache.spark.sql.connector.read.LocalScan {
+  override def readSchema(): StructType = aggSchema
+  override def rows(): Array[InternalRow] = aggRows
+  override def description(): String = desc
 }
 
 /** One batch scan over the manifest-planned live file set.
