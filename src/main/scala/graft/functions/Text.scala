@@ -72,6 +72,13 @@ object Text {
   val PunctPattern = "[.,;:!?]"
   val BpeishPattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
 
+  /** PII patterns, restricted to the Java-regex ∩ RE2 subset (no
+    * backrefs/lookaround) so Spark and the DuckDB oracle match
+    * identically. The phone shape is rigid on purpose: greedy-quantifier
+    * edge behavior is the one place the two engines could diverge. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+1 \\(555\\) [0-9]{3}-[0-9]{4}"
+
   /** Quality score in [0,1]: length saturation + stopword ratio +
     * punctuation sanity. */
   def quality(text: Column): Column = {

@@ -18,6 +18,12 @@ object Dedup {
   /** Max doc-frequency for a shingle to generate candidates (bounds each
     * bucket to ≤ MaxDf docs ⇒ ≤ MaxDf² pairs). */
   val MaxDf = 8
+
+  /** L14 mixture thresholds in basis points of 10000 (en 80%, de/fr 50%,
+    * es 25%, zh 10%) — shared by the Spark impl, the oracle, and
+    * SamplingSpec. */
+  val SampleBps: Seq[(String, Int)] =
+    Seq("en" -> 8000, "de" -> 5000, "fr" -> 5000, "es" -> 2500, "zh" -> 1000)
   /** Near-dup threshold on 3-gram Jaccard. */
   val Tau = 0.8
 
@@ -284,17 +290,37 @@ object Dedup {
               |FROM documents WHERE doc_id NOT IN (SELECT d2 FROM dropd)
               |GROUP BY lang ORDER BY lang""".stripMargin)),
 
-    // L14: stratified sampling for data-mixture construction (rows-only:
-    // Bernoulli draws are engine-specific; SamplingSpec checks the
-    // mixture proportions instead).
+    // L14: stratified sampling for data-mixture construction.
+    // Deterministic hash-threshold draw (keep iff
+    // poly_hash64(doc_id ':' lang) mod 10000 < per-stratum threshold)
+    // instead of an RNG sampleBy: the sample is a pure function of the
+    // data — stable across runs, partitionings, and task retries, which
+    // is what a 100 TB pipeline needs for reproducible mixtures — and
+    // exactly replayable by the DuckDB oracle.
     QDef(
       "q_sample_mixture",
       (s, d) => {
-        val fractions = Map("en" -> 0.8, "de" -> 0.5, "fr" -> 0.5, "es" -> 0.25, "zh" -> 0.1)
-        T.documents(s, d).stat.sampleBy("lang", fractions, seed = 42L)
+        val bps = SampleBps // lang -> threshold in basis points of 10000
+        val h = pmod(
+          graft.functions.HashExpr.polyHash(
+            concat(col("doc_id").cast("string"), lit(":"), col("lang"))),
+          lit(10000L))
+        val thr = bps.foldLeft(lit(0L)) { case (acc, (l, t)) =>
+          when(col("lang") === l, lit(t.toLong)).otherwise(acc)
+        }
+        T.documents(s, d).filter(h < thr)
           .groupBy("lang").agg(count(lit(1)).as("n"))
           .orderBy("lang")
       },
-      None)
+      Some(s"""WITH h AS (SELECT lang,
+              |  list_reduce(list_cat([CAST(0 AS BIGINT)],
+              |    list_transform(string_split(CAST(doc_id AS VARCHAR) || ':' || lang,''),
+              |      c -> CAST(ord(c) AS BIGINT))),
+              |    (a, c) -> (a*31 + c) % 1000000007) % 10000 AS hv,
+              |  CASE lang ${SampleBps.map { case (l, t) => s"WHEN '$l' THEN $t" }.mkString(" ")}
+              |    ELSE 0 END AS thr
+              |  FROM documents)
+              |SELECT lang, count(*) AS n FROM h WHERE hv < thr
+              |GROUP BY lang ORDER BY lang""".stripMargin))
   )
 }

@@ -118,6 +118,47 @@ object Similarity {
       .orderBy("q_id", "rn")
   }
 
+  // IVF coarse quantizer: K deterministic centroid vectors, nprobe lists
+  // searched per query
+  private[operators] val IvfK = 8
+  private[operators] val IvfProbe = 2
+
+  /** IVF-flat ANN: a coarse quantizer (K centroid vectors) partitions the
+    * corpus into inverted lists; a query probes its `IvfProbe` nearest
+    * lists and re-ranks exactly inside them. Assignment is one linear
+    * pass against a K-row broadcast (bounded by construction); list
+    * search is an equality join on list id — the shuffle is linear in
+    * corpus size and the per-query work is corpus/K × nprobe, the
+    * standard IVF scale trade. Centroids here are K seeded corpus
+    * vectors (deterministic, oracle-replayable); swapping in trained
+    * k-means centroids changes only the `cent` frame. */
+  private def annIvf(s: SparkSession, d: String): DataFrame = {
+    val n = normed(s, d)
+    val cent = n.filter(col("vec_id") < IvfK)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val wAssign = Window.partitionBy("vec_id").orderBy(desc("ccos"), col("cent_id"))
+    val scored = n.crossJoin(broadcast(cent))
+      .withColumn("ccos", cosine(col("v"), col("cv"), col("nrm"), col("cn")))
+      .withColumn("arn", row_number().over(wAssign))
+    val assigned = scored.filter(col("arn") === 1)
+      .select(col("vec_id").as("c_id"), col("v").as("cv2"), col("nrm").as("cn2"),
+        col("cent_id").as("list_id"))
+    val probes = scored.filter(col("vec_id") < 20 && col("arn") <= IvfProbe)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
+        col("cent_id").as("list_id"))
+    val w = Window.partitionBy("q_id").orderBy(desc("cos"), col("c_id"))
+    assigned.join(broadcast(probes), Seq("list_id"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv2"), col("qn"), col("cn2")))
+      // a candidate can surface via both probed lists: dedupe scalars
+      .select(col("q_id"), col("c_id"), col("cos"))
+      .distinct()
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("q_id"), col("rn"), col("c_id"), round(col("cos"), 4).as("cos"))
+      .orderBy("q_id", "rn")
+  }
+
   private val CosSql =
     "list_reduce(list_cat([0.0], list_transform(range(1, len(q.v)+1), i -> q.v[i]*c.v[i])), (a,x) -> a+x) / (q.nrm*c.nrm)"
 
@@ -188,6 +229,33 @@ object Similarity {
               |  FROM n JOIN bk ON n.vec_id = bk.vec_id),
               |pairs AS (SELECT DISTINCT q.vec_id q_id, c.vec_id c_id, $CosSql cos
               |  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id < 20 AND q.vec_id <> c.vec_id),
+              |r AS (SELECT q_id, c_id, cos,
+              |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) rn
+              |      FROM pairs)
+              |SELECT q_id, rn, c_id, round(cos,4) AS cos FROM r WHERE rn <= 3
+              |ORDER BY q_id, rn""".stripMargin)),
+
+    // L19: IVF-flat ANN — coarse quantizer + inverted-list probe, the
+    // classical large-scale ANN layout. Oracle replays the assignment
+    // and probe exactly (same centroids, same fold-order cosines).
+    QDef(
+      "q_ann_ivf",
+      annIvf,
+      Some(s"""WITH $NormedSql,
+              |cent AS (SELECT vec_id cent_id, v cv, nrm cn FROM n WHERE vec_id < $IvfK),
+              |ac AS (SELECT n.vec_id, cent.cent_id,
+              |    list_reduce(list_cat([0.0], list_transform(range(1, len(n.v)+1), i -> n.v[i]*cent.cv[i])), (a,x) -> a+x)
+              |      / (n.nrm*cent.cn) AS ccos
+              |  FROM n CROSS JOIN cent),
+              |ar AS (SELECT vec_id, cent_id, row_number() OVER
+              |    (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) arn FROM ac),
+              |asg AS (SELECT vec_id c_id, cent_id list_id FROM ar WHERE arn = 1),
+              |probes AS (SELECT vec_id q_id, cent_id list_id FROM ar
+              |  WHERE vec_id < 20 AND arn <= $IvfProbe),
+              |pairs AS (SELECT DISTINCT p.q_id, a.c_id, $CosSql cos
+              |  FROM probes p JOIN asg a ON p.list_id = a.list_id AND a.c_id <> p.q_id
+              |  JOIN n q ON q.vec_id = p.q_id
+              |  JOIN n c ON c.vec_id = a.c_id),
               |r AS (SELECT q_id, c_id, cos,
               |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) rn
               |      FROM pairs)

@@ -64,6 +64,83 @@ object TextOps {
               |FROM (SELECT source, ${Text.qualitySql("text")} AS q FROM documents) t
               |GROUP BY source ORDER BY source""".stripMargin)),
 
+    // L17: PII scrubbing — regex redaction of emails/phones, the
+    // pre-training hygiene pass. The corpus is synthetic (no real PII),
+    // so the query injects deterministic PII into a third of the docs
+    // first, then measures what the scrubber removes — the redaction
+    // logic under test is exactly what runs on real data. Patterns stay
+    // in the Java-regex ∩ RE2 subset so the oracle replays them.
+    QDef(
+      "q_text_pii",
+      (s, d) => {
+        val aug = concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" contact user"), col("doc_id"), lit("@example.com or +1 (555) 123-"),
+              (lit(1000) + col("doc_id") % 9000).cast("string")))
+            .otherwise(lit("")))
+        val redacted =
+          regexp_replace(regexp_replace(aug, lit(Text.EmailRe), lit("[EMAIL]")),
+            lit(Text.PhoneRe), lit("[PHONE]"))
+        T.documents(s, d)
+          .select(col("lang"),
+            regexp_count(aug, lit(Text.EmailRe)).cast("long").as("emails"),
+            regexp_count(aug, lit(Text.PhoneRe)).cast("long").as("phones"),
+            (length(aug) - length(redacted)).cast("long").as("removed"))
+          .groupBy("lang")
+          .agg(
+            sum("emails").as("n_email"),
+            sum("phones").as("n_phone"),
+            sum("removed").as("chars_removed"),
+            sum(when(col("emails") + col("phones") > 0, 1L).otherwise(0L)).as("docs_with_pii"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH a AS (SELECT lang,
+              |  text || CASE WHEN doc_id % 3 = 0
+              |    THEN ' contact user' || doc_id || '@example.com or +1 (555) 123-' ||
+              |         CAST(1000 + doc_id % 9000 AS VARCHAR)
+              |    ELSE '' END AS aug
+              |  FROM documents),
+              |m AS (SELECT lang,
+              |  CAST(len(regexp_extract_all(aug, '${Text.EmailRe}')) AS BIGINT) AS emails,
+              |  CAST(len(regexp_extract_all(aug, '${Text.PhoneRe}')) AS BIGINT) AS phones,
+              |  CAST(length(aug) - length(
+              |    regexp_replace(regexp_replace(aug, '${Text.EmailRe}', '[EMAIL]', 'g'),
+              |      '${Text.PhoneRe}', '[PHONE]', 'g')) AS BIGINT) AS removed
+              |  FROM a)
+              |SELECT lang, CAST(sum(emails) AS BIGINT) AS n_email,
+              |  CAST(sum(phones) AS BIGINT) AS n_phone,
+              |  CAST(sum(removed) AS BIGINT) AS chars_removed,
+              |  CAST(sum(CASE WHEN emails + phones > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii
+              |FROM m GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // L18: repetition scoring (Gopher-style quality signal): fraction of
+    // repeated words per doc; high-repetition docs are the boilerplate /
+    // spam a training pipeline filters out. Single pass, map-side aggs.
+    QDef(
+      "q_text_repetition",
+      (s, d) => {
+        val ws = Text.words(col("text"))
+        T.documents(s, d)
+          .select(col("lang"), size(ws).as("nw"), size(array_distinct(ws)).as("nd"))
+          .filter(col("nw") > 0)
+          .withColumn("rep", round(lit(1.0) - col("nd").cast("double") / col("nw"), 4))
+          .groupBy("lang")
+          .agg(
+            round(avg("rep"), 3).as("avg_rep"),
+            round(max("rep"), 4).as("max_rep"),
+            sum(when(col("rep") > 0.5, 1L).otherwise(0L)).as("high_rep"),
+            count(lit(1)).as("n_docs"))
+          .orderBy("lang")
+      },
+      Some("""WITH w AS (SELECT lang, regexp_split_to_array(trim(text),'\s+') ws FROM documents),
+             |r AS (SELECT lang,
+             |  round(1.0 - CAST(len(list_distinct(ws)) AS DOUBLE)/len(ws), 4) AS rep
+             |  FROM w WHERE len(ws) > 0)
+             |SELECT lang, round(avg(rep),3) AS avg_rep, round(max(rep),4) AS max_rep,
+             |  CAST(sum(CASE WHEN rep > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS high_rep,
+             |  count(*) AS n_docs
+             |FROM r GROUP BY lang ORDER BY lang""".stripMargin)),
+
     // L11: document fingerprint via the native rolling-hash expression
     // (PolyHash64, whole-stage codegen); oracle mirrors the polynomial
     // with list_reduce over ord(char).

@@ -273,10 +273,14 @@ class GraftTable private (
       if (rebase || id <= 1) Seq.empty
       else {
         val base = readSnapshot(id - 1)
-        if (base.manifests != null) base.manifests
-        else if (base.files == null || base.files.isEmpty) Seq.empty
-        // legacy inline snapshot: migrate its file list into one manifest
-        else Seq(writeManifest(base.files.map(ManifestEntry(ManifestEntry.Add, _))))
+        // check `files` FIRST: jackson materializes an ABSENT manifests
+        // field as an empty List (not null), so a legacy inline snapshot
+        // must be detected by its files, or migration silently drops them
+        if (base.files != null)
+          if (base.files.isEmpty) Seq.empty
+          // legacy inline snapshot: migrate its file list into one manifest
+          else Seq(writeManifest(base.files.map(ManifestEntry(ManifestEntry.Add, _))))
+        else Option(base.manifests).getOrElse(Seq.empty)
       }
     val delta: Seq[ManifestEntry] =
       deleted.map(ManifestEntry(ManifestEntry.Delete, _)) ++

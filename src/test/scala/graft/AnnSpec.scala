@@ -21,6 +21,18 @@ class AnnSpec extends AnyFunSuite {
     info(f"LSH recall@3 = $recall%.2f")
   }
 
+  test("L19: IVF top-3 beats the nprobe/K fraction-of-corpus baseline") {
+    val brute = SparkEntry.queries("q_ann_brute")(spark, dir)
+      .select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = SparkEntry.queries("q_ann_ivf")(spark, dir)
+      .select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    // probing 2 of 8 lists examines ~25% of the corpus; on unclustered
+    // random embeddings recall must still clear that baseline
+    assert(recall >= 0.25, s"recall $recall")
+    info(f"IVF recall@3 = $recall%.2f")
+  }
+
   test("L6: brute-force top-3 is sane — self excluded, 3 per query, cos in [-1,1]") {
     val rows = SparkEntry.queries("q_ann_brute")(spark, dir).collect()
     assert(rows.length == 20 * 3)

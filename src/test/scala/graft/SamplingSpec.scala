@@ -7,7 +7,7 @@ class SamplingSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   private val dir = "/root/testdata/sf0.01"
 
-  test("L14: sampleBy hits the target mixture within Bernoulli tolerance and is seed-stable") {
+  test("L14: hash-threshold mixture hits targets within Bernoulli tolerance, deterministically") {
     val totals = Tables.documents(spark, dir).groupBy("lang").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val out = SparkEntry.queries("q_sample_mixture")(spark, dir)
