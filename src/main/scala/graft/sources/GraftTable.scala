@@ -389,10 +389,36 @@ class GraftTable private (
   }
 
   /** Rewrite the merged current state as fresh files (drops overwritten
-    * versions and deletes — the LSM compaction of the reference's format). */
-  def compact(): Long = {
+    * versions and deletes — the LSM compaction of the reference's
+    * format). Optional CLUSTERING makes the rewrite earn its cost at
+    * scale: `sortBy` range-partitions + sorts on the given columns, so
+    * every output file covers a narrow value range and manifest min/max
+    * skipping turns selective; `zorderBy` (exactly two int columns)
+    * sorts by the Morton z-value, clustering BOTH dimensions at once.
+    * `partitions` bounds the output file count (0 = Spark's default
+    * parallelism decides). */
+  def compact(
+      sortBy: Seq[String] = Seq.empty,
+      zorderBy: Seq[String] = Seq.empty,
+      partitions: Int = 0): Long = {
+    require(sortBy.isEmpty || zorderBy.isEmpty, "use sortBy OR zorderBy, not both")
     val base = latestSnapshotId.getOrElse(0L)
-    val merged = read(snapshotId = Some(base).filter(_ > 0))
+    var merged = read(snapshotId = Some(base).filter(_ > 0))
+    val n = if (partitions > 0) partitions else spark.sessionState.conf.numShufflePartitions
+    if (zorderBy.nonEmpty) {
+      require(zorderBy.length == 2, "z-order clustering takes exactly two columns")
+      zorderBy.foreach(c => require(schema(c).dataType == IntegerType,
+        s"z-order column $c must be INT (got ${schema(c).dataType.simpleString})"))
+      merged = merged
+        .withColumn("__zv", graft.functions.ZOrderExpr.zvalue(col(zorderBy(0)), col(zorderBy(1))))
+        .repartitionByRange(n, col("__zv"))
+        .sortWithinPartitions("__zv")
+        .drop("__zv")
+    } else if (sortBy.nonEmpty) {
+      merged = merged
+        .repartitionByRange(n, sortBy.map(col): _*)
+        .sortWithinPartitions(sortBy.map(col): _*)
+    }
     val added = stageWrite(merged, rowKind = RowKind.Insert, seq = base + 1)
     commitOrClean(base + 1, "COMPACT", added, rebase = true)
   }

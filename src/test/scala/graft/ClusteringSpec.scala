@@ -1,0 +1,68 @@
+package graft
+
+import graft.sources.GraftTable
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.{EqualTo, GreaterThan, LessThan}
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Clustered compaction: sort / z-order rewrites make manifest min/max
+  * stats selective — the data-layout half of data skipping. */
+class ClusteringSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("Z1: sortBy compaction turns overlapping files into range-prunable ones") {
+    val t = GraftTable.create(spark, TestSpark.tmpDir("clust1"),
+      StructType(Seq(StructField("id", LongType), StructField("v", StringType))))
+    // 4 commits, each spanning the FULL id range → every file overlaps
+    // every predicate; stats can skip nothing
+    (0 until 4).foreach { b =>
+      t.append((0L until 400L by 4L).map(i => (i + b, s"v${i + b}")).toDF("id", "v").coalesce(1))
+    }
+    assert(t.read(dataFilters = Seq(EqualTo("id", 250L))).inputFiles.length == 4)
+    t.compact(sortBy = Seq("id"), partitions = 4)
+    // after the sorted rewrite the same point lookup touches ONE file
+    assert(t.read(dataFilters = Seq(EqualTo("id", 250L))).inputFiles.length == 1)
+    assert(t.read().count() == 400)
+    val range = t.read(dataFilters = Seq(GreaterThan("id", 100L), LessThan("id", 200L)))
+    assert(range.inputFiles.length <= 2)
+    assert(range.filter(col("id") > 100L && col("id") < 200L).count() == 99)
+  }
+
+  test("Z2: z-order compaction prunes on BOTH dimensions") {
+    val t = GraftTable.create(spark, TestSpark.tmpDir("clust2"),
+      StructType(Seq(StructField("a", IntegerType), StructField("b", IntegerType))))
+    // a 64×64 grid written in row-major slabs: perfectly clustered on a,
+    // fully scattered on b
+    (0 until 4).foreach { s =>
+      t.append((for (a <- s * 16 until (s + 1) * 16; b <- 0 until 64) yield (a, b))
+        .toDF("a", "b").coalesce(1))
+    }
+    // before: b-filters touch every file
+    assert(t.read(dataFilters = Seq(LessThan("b", 8))).inputFiles.length == 4)
+    t.compact(zorderBy = Seq("a", "b"), partitions = 16)
+    val total = t.read().inputFiles.length
+    val aHit = t.read(dataFilters = Seq(GreaterThan("a", 55))).inputFiles.length
+    val bHit = t.read(dataFilters = Seq(LessThan("b", 8))).inputFiles.length
+    // z-clustering bounds each file in BOTH dims: each single-dim filter
+    // must now skip at least half the files
+    assert(aHit <= total / 2, s"a-filter read $aHit of $total files")
+    assert(bHit <= total / 2, s"b-filter read $bHit of $total files")
+    assert(t.read().count() == 64 * 64)
+    assert(t.read(dataFilters = Seq(LessThan("b", 8)))
+      .filter(col("b") < 8).count() == 64 * 8)
+  }
+
+  test("Z3: z-value interleave is order-preserving per dimension") {
+    import graft.functions.ZOrder64Impl.interleave
+    // fixing one dim, z-values are monotone in the other
+    val zs = (0 until 100).map(b => interleave(7, b))
+    assert(zs == zs.sorted)
+    val za = (0 until 100).map(a => interleave(a, 7))
+    assert(za == za.sorted)
+    // negative ints order below positives (unsigned flip)
+    assert(interleave(-5, 0) < interleave(5, 0))
+    assert(interleave(Int.MinValue, 0) < interleave(Int.MaxValue, 0))
+  }
+}
