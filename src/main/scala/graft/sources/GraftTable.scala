@@ -613,23 +613,34 @@ class GraftTable private (
   }
 
   /** Columns whose per-file stats may prune a PK table: only
-    * VERSION-INVARIANT columns (primary key, partition key) qualify. A
-    * predicate on any other column — including sequence fields, which are
-    * exactly the columns that CHANGE across versions — could drop the
-    * file holding a key's newest version while keeping an older one,
-    * resurrecting the stale row through the merge. */
-  private[sources] def skipSafeCols: Set[String] =
-    (primaryKeys ++ partitionKeys).toSet
+    * VERSION-INVARIANT columns (the primary key) qualify. A predicate on
+    * any other column — sequence fields, or a partition column outside
+    * the key, which an upsert can rewrite — could drop the file holding
+    * a key's newest version while keeping an older one, resurrecting the
+    * stale row through the merge. (Partition columns contained in the
+    * primary key are already covered by it.) */
+  private[sources] def skipSafeCols: Set[String] = primaryKeys.toSet
+
+  /** FILE-level partition pruning is version-safe only when every
+    * partition key is part of the primary key (Paimon enforces exactly
+    * this containment): otherwise an upsert can move a key to a new
+    * partition, and pruning away the new partition's files would
+    * resurrect the old version through the merge. Unsafe layouts fall
+    * back to row-level filtering after the merge. */
+  private[sources] def partitionPruneSafe: Boolean =
+    !isPkTable || partitionKeys.forall(primaryKeys.contains)
 
   /** Manifest planning shared by the library read path and the V2 scan:
     * partition prune → bucket prune → min/max data skipping (PK tables
-    * skip only on `skipSafeCols`). */
+    * skip only on `skipSafeCols`; the partition prune applies only when
+    * `partitionPruneSafe`). */
   private[sources] def planFiles(
       snapshotId: Option[Long] = None,
       partitionFilter: Option[Column] = None,
       bucket: Option[Int] = None,
       dataFilters: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty): Seq[FileMeta] = {
-    var files = pruneFiles(currentFiles(snapshotId), partitionFilter)
+    var files = pruneFiles(currentFiles(snapshotId),
+      if (partitionPruneSafe) partitionFilter else None)
     bucket.foreach(b => files = files.filter(_.bucket == b))
     val skipSafe =
       if (!isPkTable) dataFilters
@@ -667,7 +678,7 @@ class GraftTable private (
       .option("basePath", s"${root.stripSuffix("/")}/data")
       .schema(fileSchema)
       .format(fileFormat).load(paths: _*)
-    val merged =
+    var merged =
       if (isPkTable) {
         val ord = (sequenceFields.map(c => col(c).desc) :+ col(SeqCol).desc)
         val w = Window.partitionBy(primaryKeys.map(col): _*).orderBy(ord: _*)
@@ -678,6 +689,11 @@ class GraftTable private (
           .filter(col("__rn") === 1 && col(KindCol) =!= RowKind.Delete)
           .drop("__rn", SeqCol, KindCol)
       } else raw
+    // POST-merge row filter keeps partitionFilter semantics exact even
+    // when file-level pruning was skipped as version-unsafe (see
+    // partitionPruneSafe); when pruning did apply this is a no-op the
+    // parquet reader absorbs
+    partitionFilter.foreach(f => merged = merged.filter(f))
     merged.select(schema.fieldNames.map(col).toSeq: _*)
   }
 

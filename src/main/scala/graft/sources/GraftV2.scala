@@ -309,7 +309,8 @@ final class GraftScan(
     pushed: Array[Filter],
     partitionPrune: Boolean,
     dataSkip: Boolean)
-    extends Scan with Batch with SupportsReportStatistics with SupportsReportPartitioning {
+    extends Scan with Batch with SupportsReportStatistics with SupportsReportPartitioning
+    with SupportsRuntimeFiltering {
 
   private val partKeySet = table.partitionKeys.toSet
   // file-borne vs directory-borne halves of the requested schema
@@ -324,12 +325,42 @@ final class GraftScan(
 
   private lazy val totalFiles = table.planFiles(snapshotId).size
 
-  private lazy val plannedFiles: Seq[FileMeta] = {
+  private def planWith(filters: Seq[Filter]): Seq[FileMeta] = {
     val partFilter =
       if (!partitionPrune) None
-      else pushed.toSeq.flatMap(GraftFilters.toColumn(_, partKeySet)).reduceOption(_ && _)
+      else filters.flatMap(GraftFilters.toColumn(_, partKeySet)).reduceOption(_ && _)
     table.planFiles(snapshotId, partFilter,
-      dataFilters = if (dataSkip) pushed.toSeq else Seq.empty)
+      dataFilters = if (dataSkip) filters else Seq.empty)
+  }
+
+  private lazy val basePlanned: Seq[FileMeta] = planWith(pushed.toSeq)
+
+  // ---- runtime filtering (join-driven dynamic pruning) -----------------
+
+  /** Runtime filters (e.g. the IN-set of join keys from a selective dim)
+    * re-run MANIFEST pruning before the fact scan's tasks launch — the
+    * V2 form of dynamic partition pruning, extended to min/max data
+    * skipping. Sound by construction: pruning only drops files that
+    * cannot match, and the join above still applies the exact predicate. */
+  @volatile private var runtimePlanned: Seq[FileMeta] = _
+
+  private def plannedFiles: Seq[FileMeta] = {
+    val r = runtimePlanned
+    if (r != null) r else basePlanned
+  }
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    val cols =
+      if (!table.isPkTable) table.schema.fieldNames.toSeq
+      else (table.primaryKeys ++
+        (if (table.partitionPruneSafe) table.partitionKeys else Seq.empty)).distinct
+    cols.map(org.apache.spark.sql.connector.expressions.Expressions.column).toArray
+  }
+
+  override def filter(filters: Array[Filter]): Unit = {
+    val known = table.schema.fieldNames.toSet
+    val usable = filters.filter(_.references.forall(known))
+    if (usable.nonEmpty) runtimePlanned = planWith((pushed ++ usable).toSeq)
   }
 
   /** Filters safe to hand the file reader for row-group pruning. On a PK
