@@ -29,7 +29,12 @@ object Bench {
     // first timed query isn't charged ~5s of JVM startup
     run(if (SparkEntry.queries.contains("q1_agg")) "q1_agg"
         else SparkEntry.queries.keys.head)
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+    // Optional args = subset of query names (local profiling); driver
+    // invokes with no args → full sweep.
+    val names =
+      if (args.nonEmpty) SparkEntry.queries.keys.toSeq.sorted.filter(args.contains)
+      else SparkEntry.queries.keys.toSeq.sorted
+    val results = names.map { name =>
       val (sec, ok) = run(name)
       (name, if (ok) sec else -1.0)
     }

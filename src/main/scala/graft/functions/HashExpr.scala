@@ -53,6 +53,34 @@ object PolyHash64Impl {
 }
 
 object SimHash64Impl {
+  /** Fused words→simhash: hashes each word with the wrapping FNV-style
+    * polynomial (same arithmetic as PolyHash64Impl.hash(mult,0)) and
+    * feeds the per-bit vote in a single pass — no intermediate
+    * array<long> materialization and no interpreted HOF lambda (the
+    * ArrayTransform formulation is CodegenFallback; measured 17-30×
+    * slower in SURVEY §4). */
+  def computeWords(words: ArrayData, mult: Long): Long = {
+    val counts = new Array[Int](64)
+    var i = 0
+    val n = words.numElements()
+    while (i < n) {
+      val h = PolyHash64Impl.hash(words.getUTF8String(i), mult, 0L)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) >= 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
   /** 64-bit SimHash of pre-hashed tokens: per-bit vote ±1, sign → bit. */
   def compute(hashes: ArrayData): Long = {
     val counts = new Array[Int](64)
@@ -98,6 +126,27 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Fused SimHash over an array<string> of words: token hash + bit vote in
+  * one codegen pass (SURVEY §2.3 L4). Equivalent to
+  * `SimHash64(transform(words, tokenHash64))` but stays inside
+  * whole-stage codegen — ArrayTransform is CodegenFallback and its
+  * interpreted lambda was the hot path of q_dedup_simhash. */
+case class SimHashWords(child: Expression, mult: Long) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sim_hash_words"
+
+  override def nullSafeEval(input: Any): Any =
+    SimHash64Impl.computeWords(input.asInstanceOf[ArrayData], mult)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SimHash64Impl$$.MODULE$$.computeWords($c, ${mult}L);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashWords =
+    copy(child = newChild)
+}
+
 object HashExpr {
   import org.apache.spark.sql.graft.Bridge.{column, expression}
 
@@ -111,4 +160,8 @@ object HashExpr {
     column(PolyHash64(expression(c), 1099511628211L, 0L))
 
   def simHash(c: Column): Column = column(SimHash64(expression(c)))
+
+  /** Fused words→simhash with the tokenHash64 polynomial. */
+  def simHashWords(c: Column): Column =
+    column(SimHashWords(expression(c), 1099511628211L))
 }

@@ -9,15 +9,16 @@ import org.apache.spark.sql.functions._
 /** Deduplication operators over `documents` (SURVEY §2.3 L1–L4).
   *
   * Scale design: nothing here is O(n²). Candidate pairs always come from
-  * an equality join on a bounded-fan-out key (rare shingle, minhash band,
-  * simhash chunk), so the shuffle is linear in corpus size and the
-  * pairwise work is bounded per bucket.
+  * an equality join on a bounded-fan-out key (prefix shingle, minhash
+  * band, simhash chunk), so the shuffle is linear in corpus size and the
+  * pairwise work is bounded per bucket. The exact-Jaccard candidates use
+  * PPJoin-style prefix filtering (Chaudhuri/Xiao et al.): order each
+  * doc's shingles by ascending global frequency and emit only the first
+  * `sz - ceil(τ·sz) + 1`; any pair with J ≥ τ must collide on a prefix
+  * token, so the candidate set is COMPLETE, and prefix tokens are the
+  * globally rarest ⇒ bucket fan-out stays small.
   */
 object Dedup {
-
-  /** Max doc-frequency for a shingle to generate candidates (bounds each
-    * bucket to ≤ MaxDf docs ⇒ ≤ MaxDf² pairs). */
-  val MaxDf = 8
 
   /** L14 mixture thresholds in basis points of 10000 (en 80%, de/fr 50%,
     * es 25%, zh 10%) — shared by the Spark impl, the oracle, and
@@ -80,16 +81,33 @@ object Dedup {
     pairsCache.getOrElseUpdate(cacheKey(s, d),
       jaccardPairs(s, d).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
-  /** Exact Jaccard on candidate pairs that share a rare shingle. */
+  /** Exact Jaccard on prefix-filtered candidate pairs.
+    *
+    * Completeness: J(A,B) ≥ τ with |B| ≥ τ|A| implies
+    * |A∩B| ≥ ⌈τ·|A|⌉, so if the pair shared no token in A's first
+    * `|A| - ⌈τ|A|⌉ + 1` (rarest-first order), the whole intersection
+    * would fit in the remaining ⌈τ|A|⌉ - 1 — contradiction. The size
+    * filter 4·max ≤ 5·min (τ = 4/5 in exact integer arithmetic) is also
+    * necessary for J ≥ τ, so no qualifying pair is dropped.
+    */
   private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
     val docs = docsWithShingles(s, d)
     val ex = docs.select(col("doc_id"), explode(col("sh")).as("g"))
-    val rare = ex.groupBy("g").agg(count(lit(1)).as("c"))
-      .filter(col("c") <= MaxDf).select("g")
-    val exr = ex.join(rare, "g")
-    val cand = exr.as("a")
-      .join(exr.as("b"),
-        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+    // Global doc-frequency and per-doc size as WINDOW counts, not
+    // groupBy+join: two exchanges total (on g, then on doc_id) instead
+    // of four. sz = count over the doc partition (shingles are distinct
+    // per doc, so it equals size(sh)).
+    val prefix = ex
+      .withColumn("c", count(lit(1)).over(Window.partitionBy("g")))
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("doc_id").orderBy("c", "g")))
+      .filter(col("rn") <= col("sz") - expr("(sz*4+4) div 5") + 1)
+      .select("doc_id", "g", "sz")
+    val cand = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id") &&
+          greatest(col("a.sz"), col("b.sz")) * 4 <= least(col("a.sz"), col("b.sz")) * 5)
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
     verifyJaccard(cand, docs)
@@ -118,10 +136,25 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
-  private val JaccardTailSql =
-    s"""cand AS (SELECT DISTINCT a.doc_id d1, b.doc_id d2
-       |  FROM er a JOIN er b ON a.g = b.g AND a.doc_id < b.doc_id),
-       |j AS (SELECT d1, d2,
+  /** DuckDB: prefix-filtered candidate CTEs (expects `w` and `e`).
+    * Mirrors [[jaccardPairs]] exactly: same rarest-first (c, g) order,
+    * same integer-arithmetic prefix length and size filter. */
+  private val PrefixCandSql =
+    """p0 AS (SELECT doc_id, g,
+      |    count(*) OVER (PARTITION BY g) c,
+      |    count(*) OVER (PARTITION BY doc_id) sz
+      |  FROM e),
+      |p AS (SELECT doc_id, g, sz,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY c, g) rn
+      |  FROM p0),
+      |pr AS (SELECT doc_id, g, sz FROM p WHERE rn <= sz - ((sz*4+4)//5) + 1),
+      |cand AS (SELECT DISTINCT a.doc_id d1, b.doc_id d2
+      |  FROM pr a JOIN pr b ON a.g = b.g AND a.doc_id < b.doc_id
+      |    AND 4*greatest(a.sz, b.sz) <= 5*least(a.sz, b.sz))""".stripMargin
+
+  /** DuckDB: exact-Jaccard verification tail (expects `cand` and `w`). */
+  private val JaccardVerifySql =
+    s"""j AS (SELECT d1, d2,
        |  CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE)
        |    / len(list_distinct(list_cat(s1.sh, s2.sh))) jr
        |  FROM cand JOIN w s1 ON d1 = s1.doc_id JOIN w s2 ON d2 = s2.doc_id)
@@ -167,7 +200,9 @@ object Dedup {
        |      FROM w WHERE len(sh) > 0),
        |sig AS (SELECT doc_id, sh, [${mhExprs.mkString(", ")}] mh FROM h),
        |er AS (SELECT doc_id, unnest([${bandExprs.mkString(", ")}]) g FROM sig),
-       |$JaccardTailSql""".stripMargin
+       |cand AS (SELECT DISTINCT a.doc_id d1, b.doc_id d2
+       |  FROM er a JOIN er b ON a.g = b.g AND a.doc_id < b.doc_id),
+       |$JaccardVerifySql""".stripMargin
   }
 
   /** SimHash near-dup: 64-bit simhash of token hashes, candidates via
@@ -177,8 +212,7 @@ object Dedup {
   private def simhashPairs(s: SparkSession, d: String): DataFrame = {
     val MaxHam = 3
     val docs = T.documents(s, d).select(col("doc_id"),
-      HashExpr.simHash(transform(Text.words(col("text")), w => HashExpr.tokenHash64(w)))
-        .as("sim"))
+      HashExpr.simHashWords(Text.words(col("text"))).as("sim"))
     val chunks = docs.select(col("doc_id"), col("sim"),
       explode(array((0 until 4).map(c =>
         concat_ws("_", lit(c), shiftright(col("sim"), 16 * c).bitwiseAND(0xFFFFL))): _*))
@@ -242,15 +276,14 @@ object Dedup {
              |      FROM documents) t
              |GROUP BY k HAVING count(*) > 1 ORDER BY k""".stripMargin)),
 
-    // L2: n-gram Jaccard near-dup on rare-shingle candidates.
+    // L2: n-gram Jaccard near-dup on prefix-filtered candidates.
     QDef(
       "q_dedup_jaccard",
       jaccardPairsStaged,
       Some(s"""WITH w AS (SELECT doc_id, $ShSql sh FROM documents),
               |e AS (SELECT doc_id, unnest(sh) g FROM w),
-              |rare AS (SELECT g FROM e GROUP BY g HAVING count(*) <= $MaxDf),
-              |er AS (SELECT e.doc_id, e.g FROM e JOIN rare USING (g)),
-              |$JaccardTailSql""".stripMargin)),
+              |$PrefixCandSql,
+              |$JaccardVerifySql""".stripMargin)),
 
     // L3: MinHash + LSH banding, oracle reproduces the permutations.
     QDef("q_dedup_minhash", minhashPairs, Some(minhashOracle)),
@@ -277,10 +310,7 @@ object Dedup {
       },
       Some(s"""WITH w AS (SELECT doc_id, $ShSql sh FROM documents),
               |e AS (SELECT doc_id, unnest(sh) g FROM w),
-              |rare AS (SELECT g FROM e GROUP BY g HAVING count(*) <= $MaxDf),
-              |er AS (SELECT e.doc_id, e.g FROM e JOIN rare USING (g)),
-              |cand AS (SELECT DISTINCT a.doc_id d1, b.doc_id d2
-              |  FROM er a JOIN er b ON a.g = b.g AND a.doc_id < b.doc_id),
+              |$PrefixCandSql,
               |j AS (SELECT d1, d2,
               |  CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE)
               |    / len(list_distinct(list_cat(s1.sh, s2.sh))) jr

@@ -92,16 +92,40 @@ object Temporal {
              |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
     // R26: exact percentiles (linear interpolation on both engines).
+    // Sort-based, not Spark's percentile() TypedImperativeAggregate:
+    // that agg buffers EVERY group value in an in-memory map and
+    // serializes the maps through the merge — unbounded memory per
+    // group at 100 TB. Here each value column gets one spillable
+    // window sort; rank arithmetic picks the two bracketing rows and
+    // interpolates, matching quantile_cont exactly.
     QDef(
       "q_percentile",
-      (s, d) =>
-        T.lineitem(s, d)
-          .groupBy("l_returnflag")
-          .agg(
-            round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"),
-            round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25_price"),
-            round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"))
-          .orderBy("l_returnflag"),
+      (s, d) => {
+        val li = T.lineitem(s, d)
+        def pcts(value: String, ps: Seq[(String, Double)]): DataFrame = {
+          val w = Window.partitionBy("l_returnflag").orderBy("v")
+          val ranked = li
+            .select(col("l_returnflag"), col(value).cast("double").as("v"))
+            .withColumn("rn", row_number().over(w))
+            .withColumn("n", count(lit(1)).over(Window.partitionBy("l_returnflag")))
+          val aggs = ps.flatMap { case (name, p) =>
+            val k = (col("n") - 1) * lit(p)
+            Seq(
+              max(when(col("rn") === floor(k).cast("long") + 1, col("v"))).as(s"${name}_lo"),
+              max(when(col("rn") === ceil(k).cast("long") + 1, col("v"))).as(s"${name}_hi"),
+              max(k - floor(k)).as(s"${name}_f"))
+          }
+          ranked.groupBy("l_returnflag").agg(aggs.head, aggs.tail: _*)
+            .select(col("l_returnflag") +: ps.map { case (name, _) =>
+              round(col(s"${name}_lo") +
+                col(s"${name}_f") * (col(s"${name}_hi") - col(s"${name}_lo")), 4).as(name)
+            }: _*)
+        }
+        pcts("l_quantity", Seq("p50_qty" -> 0.5))
+          .join(pcts("l_extendedprice",
+            Seq("p25_price" -> 0.25, "p90_price" -> 0.9)), "l_returnflag")
+          .orderBy("l_returnflag")
+      },
       Some("""SELECT l_returnflag,
              |  round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
              |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25_price,

@@ -354,7 +354,13 @@ final class GraftScan(
       if (!table.isPkTable) table.schema.fieldNames.toSeq
       else (table.primaryKeys ++
         (if (table.partitionPruneSafe) table.partitionKeys else Seq.empty)).distinct
-    cols.map(org.apache.spark.sql.connector.expressions.Expressions.column).toArray
+    // Only columns in the PRUNED output: Spark's dynamic-pruning rule
+    // resolves these refs against the scan relation's output and throws
+    // on a projected-away column. A runtime filter always comes from a
+    // join key, which is necessarily in the output, so this loses nothing.
+    val out = readSchema().fieldNames.toSet
+    cols.filter(out)
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column).toArray
   }
 
   override def filter(filters: Array[Filter]): Unit = {

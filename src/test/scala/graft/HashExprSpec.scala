@@ -49,6 +49,23 @@ class HashExprSpec extends AnyFunSuite {
     assert(SimHash64Impl.hamming(sims("a"), sims("c")) > 3)
   }
 
+  test("SimHashWords (fused codegen) equals SimHash64 over transformed token hashes") {
+    val texts = Seq("spark fast join merge table", "one", "",
+      "the quick brown fox jumps over the lazy dog", "Ünïcödé wörds 😀 here")
+    val df = texts.toDF("t").select(split(col("t"), " ").as("w"))
+    val fused = df.select(HashExpr.simHashWords(col("w"))).collect().map(_.getLong(0))
+    val hof = df.select(
+      HashExpr.simHash(transform(col("w"), w => HashExpr.tokenHash64(w))))
+      .collect().map(_.getLong(0))
+    assert(fused.toSeq == hof.toSeq)
+    // and it stays inside whole-stage codegen
+    val plan = spark.range(5)
+      .select(HashExpr.simHashWords(split(col("id").cast("string"), " ")))
+    plan.collect()
+    val p = plan.queryExecution.executedPlan.toString
+    assert(p.contains("WholeStageCodegen") || p.contains("*(1)"), p)
+  }
+
   test("null propagation") {
     val got = Seq[Option[String]](None, Some("x")).toDF("s")
       .select(HashExpr.polyHash(col("s"))).collect()
