@@ -67,6 +67,45 @@ object GraftQueries {
       .orderBy("o_orderpriority")
   }
 
+  /** orders through a partial-update table: one commit carries only
+    * o_totalprice, a second only o_orderpriority — the merge stitches the
+    * full row back together (latest non-null per column), so the oracle
+    * is simply the original orders table. */
+  private def graftPartialUpdate(s: SparkSession, d: String): DataFrame = {
+    val o = T.orders(s, d).select("o_orderkey", "o_totalprice", "o_orderpriority")
+    val t = GraftTable.create(s, tmpRoot("pu"), o.schema,
+      primaryKeys = Seq("o_orderkey"),
+      options = Map("merge-engine" -> "partial-update"))
+    t.append(o.select(col("o_orderkey"), col("o_totalprice"),
+      lit(null).cast("string").as("o_orderpriority")))
+    t.append(o.select(col("o_orderkey"),
+      lit(null).cast("double").as("o_totalprice"), col("o_orderpriority")))
+    t.read().filter(col("o_orderkey") < 200)
+      .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"),
+        col("o_orderpriority"))
+      .orderBy("o_orderkey")
+  }
+
+  /** lineitem through an aggregation-engine table keyed by order: three
+    * commits split by quantity, per-key sum/max folds reassemble the
+    * GROUP BY — the oracle is the plain aggregate over raw lineitem.
+    * (Only commutative folds here: rows within one commit share __seq.) */
+  private def graftAgg(s: SparkSession, d: String): DataFrame = {
+    val li = T.lineitem(s, d).select("l_orderkey", "l_quantity", "l_extendedprice")
+    val t = GraftTable.create(s, tmpRoot("agg"), li.schema,
+      primaryKeys = Seq("l_orderkey"),
+      options = Map(
+        "merge-engine" -> "aggregation",
+        "fields.l_quantity.aggregate-function" -> "sum",
+        "fields.l_extendedprice.aggregate-function" -> "max"))
+    val part = pmod(col("l_quantity").cast("long"), lit(3))
+    (0 until 3).foreach(i => t.append(li.filter(part === i)))
+    t.read().filter(col("l_orderkey") < 100)
+      .select(col("l_orderkey"), round(col("l_quantity"), 2).as("qty_sum"),
+        round(col("l_extendedprice"), 2).as("price_max"))
+      .orderBy("l_orderkey")
+  }
+
   val defs: Seq[QDef] = Seq(
     QDef("q_graft_mor", graftMor,
       Some("""SELECT user_id, event_id, event_type, round(value,2) AS value
@@ -82,6 +121,15 @@ object GraftQueries {
     QDef("q_graft_partition_prune", graftPartitionPrune,
       Some("""SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice),2) AS s
              |FROM orders WHERE o_orderstatus = 'O'
-             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+    QDef("q_graft_partial_update", graftPartialUpdate,
+      Some("""SELECT o_orderkey, round(o_totalprice,2) AS price, o_orderpriority
+             |FROM orders WHERE o_orderkey < 200
+             |ORDER BY o_orderkey""".stripMargin)),
+    QDef("q_graft_agg", graftAgg,
+      Some("""SELECT l_orderkey, round(sum(l_quantity),2) AS qty_sum,
+             |  round(max(l_extendedprice),2) AS price_max
+             |FROM lineitem WHERE l_orderkey < 100
+             |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin))
   )
 }

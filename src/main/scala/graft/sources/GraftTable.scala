@@ -134,6 +134,36 @@ class GraftTable private (
   private[sources] def lookupChangelog: Boolean =
     options.getOrElse("changelog-producer", "none") == "lookup"
 
+  /** Paimon's `merge-engine` table option: how multiple versions of one
+    * primary key resolve at read time.
+    *  - `deduplicate` (default): latest version wins.
+    *  - `first-row`: earliest version wins.
+    *  - `partial-update`: per column, the latest NON-NULL value wins —
+    *    nulls never overwrite data.
+    *  - `aggregation`: per column, fold all versions with the function
+    *    declared via `fields.<col>.aggregate-function` (sum, min, max,
+    *    bool_and, bool_or, listagg, first_value, first_non_null_value,
+    *    last_value; unspecified columns default to last_non_null_value).
+    * For partial-update/aggregation a `-D` delete RESETS the key: only
+    * versions after the latest delete participate in the fold (the
+    * remove-record-on-delete behavior).
+    * (ref: Paimon CoreOptions MERGE_ENGINE, read by the connector's
+    * table metadata; PrestoMetadata surfaces it as a table property.) */
+  private[sources] def mergeEngine: String = {
+    val e = options.getOrElse("merge-engine", "deduplicate")
+    require(MergeEngines.contains(e), s"unsupported merge-engine: $e")
+    e
+  }
+  private val MergeEngines =
+    Set("deduplicate", "first-row", "partial-update", "aggregation")
+
+  /** `fields.<col>.aggregate-function` options for merge-engine=aggregation. */
+  private[sources] def fieldAggregates: Map[String, String] =
+    options.collect {
+      case (k, v) if k.startsWith("fields.") && k.endsWith(".aggregate-function") =>
+        k.stripPrefix("fields.").stripSuffix(".aggregate-function") -> v
+    }
+
   /** On-disk columns of data files (data cols minus partition cols, plus
     * hidden cols for PK tables) — what a parquet reader sees before
     * partition values are appended. */
@@ -330,7 +360,11 @@ class GraftTable private (
     * Paimon's lookup changelog-producer pays. */
   def upsert(df: DataFrame): Long = {
     require(isPkTable, "upsert requires primary keys")
-    val batch = dedupBatch(df)
+    require(mergeEngine == "deduplicate" || !lookupChangelog,
+      "changelog-producer=lookup requires merge-engine=deduplicate")
+    // folding engines (partial-update/aggregation/first-row) need EVERY
+    // version kept — within-batch dedup would drop rows the fold reads
+    val batch = if (mergeEngine == "deduplicate") dedupBatch(df) else df
     if (!lookupChangelog)
       return writeCommit(batch, kind = "APPEND", rowKind = RowKind.Insert)
     val cur = read()
@@ -487,7 +521,7 @@ class GraftTable private (
     val user = s"stream-$queryId"
     if (snapshots.exists(s => s.commitUser == user && s.commitIdentifier == batchId))
       return None // replayed batch: already durable
-    if (isPkTable)
+    if (isPkTable && mergeEngine == "deduplicate")
       Some(writeCommit(dedupBatch(df), "APPEND", RowKind.Insert, user, Some(batchId)))
     else Some(writeCommit(df, "APPEND", RowKind.Insert, user, Some(batchId)))
   }
@@ -678,23 +712,76 @@ class GraftTable private (
       .option("basePath", s"${root.stripSuffix("/")}/data")
       .schema(fileSchema)
       .format(fileFormat).load(paths: _*)
-    var merged =
-      if (isPkTable) {
-        val ord = (sequenceFields.map(c => col(c).desc) :+ col(SeqCol).desc)
-        val w = Window.partitionBy(primaryKeys.map(col): _*).orderBy(ord: _*)
-        raw
-          // -U pre-images are changelog markers, not row versions
-          .filter(col(KindCol) =!= RowKind.UpdateBefore)
-          .withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1 && col(KindCol) =!= RowKind.Delete)
-          .drop("__rn", SeqCol, KindCol)
-      } else raw
+    var merged = if (isPkTable) mergeVersions(raw) else raw
     // POST-merge row filter keeps partitionFilter semantics exact even
     // when file-level pruning was skipped as version-unsafe (see
     // partitionPruneSafe); when pruning did apply this is a no-op the
     // parquet reader absorbs
     partitionFilter.foreach(f => merged = merged.filter(f))
     merged.select(schema.fieldNames.map(col).toSeq: _*)
+  }
+
+  /** Resolve multiple row versions per primary key according to the
+    * table's merge-engine — the declarative window formulation of the
+    * fold (one keyed shuffle; the V2 scan performs the same fold inside
+    * the per-bucket reader, so SQL reads never shuffle a bucketed table).
+    * Input is the raw file rows including the hidden __seq/__kind. */
+  private[sources] def mergeVersions(raw: DataFrame): DataFrame = {
+    val pk = primaryKeys.map(col)
+    val seqAsc = (sequenceFields :+ SeqCol).map(c => col(c).asc)
+    val seqDesc = (sequenceFields :+ SeqCol).map(c => col(c).desc)
+    // -U pre-images are changelog markers, not row versions
+    val live = raw.filter(col(KindCol) =!= RowKind.UpdateBefore)
+    def winnerByOrder(ord: Seq[Column]): DataFrame = {
+      val w = Window.partitionBy(pk: _*).orderBy(ord: _*)
+      live.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1 && col(KindCol) =!= RowKind.Delete)
+        .drop("__rn", SeqCol, KindCol)
+    }
+    mergeEngine match {
+      case "deduplicate" => winnerByOrder(seqDesc)
+      case "first-row" => winnerByOrder(seqAsc)
+      case engine => // partial-update | aggregation
+        val seqStruct = struct((sequenceFields :+ SeqCol).map(col): _*)
+        val wKey = Window.partitionBy(pk: _*)
+        // a -D RESETS the key: only versions after the latest delete fold
+        val alive = live
+          .withColumn("__del",
+            max(when(col(KindCol) === RowKind.Delete, seqStruct)).over(wKey))
+          .filter(col("__del").isNull || seqStruct > col("__del"))
+          .drop("__del")
+        val wAsc = Window.partitionBy(pk: _*).orderBy(seqAsc: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        val wDesc = Window.partitionBy(pk: _*).orderBy(seqDesc: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        val wRn = Window.partitionBy(pk: _*).orderBy(seqDesc: _*)
+        def folded(c: String): Column = {
+          val fn =
+            if (engine == "partial-update") "last_non_null_value"
+            else fieldAggregates.getOrElse(c, "last_non_null_value")
+          val f = fn match {
+            case "sum" => sum(col(c)).over(wKey)
+            case "min" => min(col(c)).over(wKey)
+            case "max" => max(col(c)).over(wKey)
+            case "bool_and" => min(col(c)).over(wKey) // false < true
+            case "bool_or" => max(col(c)).over(wKey)
+            case "listagg" => array_join(collect_list(col(c)).over(wAsc), ",")
+            case "first_value" => first(col(c), ignoreNulls = false).over(wAsc)
+            case "first_non_null_value" => first(col(c), ignoreNulls = true).over(wAsc)
+            case "last_value" => first(col(c), ignoreNulls = false).over(wDesc)
+            case "last_non_null_value" => first(col(c), ignoreNulls = true).over(wDesc)
+            case other => throw new IllegalArgumentException(
+              s"unsupported aggregate-function for $c: $other")
+          }
+          // keep the DECLARED type (Spark's sum widens int -> long;
+          // Paimon's aggregation engine preserves the field type)
+          f.cast(schema(schema.fieldIndex(c)).dataType).as(c)
+        }
+        val nonKey = schema.fieldNames.toSeq.filterNot(primaryKeys.contains)
+        alive
+          .select(pk ++ nonKey.map(folded) :+ row_number().over(wRn).as("__rn"): _*)
+          .filter(col("__rn") === 1).drop("__rn")
+    }
   }
 
   /** The schema of changelog-shaped outputs (auditLog, changelog

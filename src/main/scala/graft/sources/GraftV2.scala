@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.spark.paths.SparkPath
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BoundReference, Descending, InterpretedOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, BoundReference, Descending, InterpretedOrdering, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability}
 import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
 import org.apache.spark.sql.connector.read._
@@ -554,13 +554,22 @@ final class GraftScan(
         // merge rows materialize as [mergeDataFields ++ mergePartFields]
         val mergeSchema = StructType(mergeDataFields ++ mergePartFields)
         def idx(name: String): Int = mergeSchema.fieldIndex(name)
+        val metaCols = Set(GraftTable.SeqCol, GraftTable.KindCol) ++
+          table.primaryKeys ++ table.sequenceFields
         new GraftMorReaderFactory(
           fileFactory(StructType(mergeDataFields), StructType(mergePartFields), readerFilters),
           mergeSchema,
           keyIdx = table.primaryKeys.map(idx).toArray,
           seqIdx = (table.sequenceFields :+ GraftTable.SeqCol).map(idx).toArray,
           kindIdx = idx(GraftTable.KindCol),
-          outIdx = readSchema().fields.map(f => idx(f.name)))
+          outIdx = readSchema().fields.map(f => idx(f.name)),
+          engine = table.mergeEngine,
+          // per-mergeSchema-column fold function ("" = key/meta, not folded)
+          aggFns = mergeSchema.fields.map { f =>
+            if (metaCols.contains(f.name)) ""
+            else if (table.mergeEngine == "partial-update") "last_non_null_value"
+            else table.fieldAggregates.getOrElse(f.name, "last_non_null_value")
+          })
       }
     if (bucketGrouped) new UnwrapBucketFactory(inner) else inner
   }
@@ -605,15 +614,27 @@ final class GraftMorReaderFactory(
     keyIdx: Array[Int],
     seqIdx: Array[Int],
     kindIdx: Int,
-    outIdx: Array[Int]) extends PartitionReaderFactory {
+    outIdx: Array[Int],
+    engine: String = "deduplicate",
+    aggFns: Array[String] = Array.empty) extends PartitionReaderFactory {
 
   override def supportColumnarReads(partition: InputPartition): Boolean = false
 
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    def ref(i: Int) = BoundReference(i, mergeSchema(i).dataType, mergeSchema(i).nullable)
+  private def ref(i: Int) = BoundReference(i, mergeSchema(i).dataType, mergeSchema(i).nullable)
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    engine match {
+      case "deduplicate" | "first-row" => winnerReader(partition)
+      case _ => foldReader(partition)
+    }
+
+  /** deduplicate / first-row: stream the winner per key (greatest — or,
+    * for first-row, least — (sequence fields, __seq)). */
+  private def winnerReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val keyProj = UnsafeProjection.create(keyIdx.map(ref).toSeq)
-    // Descending on (sequence fields, __seq): the winner sorts FIRST
-    val ord = new InterpretedOrdering(seqIdx.toSeq.map(i => SortOrder(ref(i), Descending)))
+    // Descending: the winner sorts FIRST (ascending for first-row)
+    val dir = if (engine == "first-row") Ascending else Descending
+    val ord = new InterpretedOrdering(seqIdx.toSeq.map(i => SortOrder(ref(i), dir)))
     val best = new java.util.HashMap[UnsafeRow, InternalRow]()
     val updateBefore = UTF8String.fromString(GraftTable.RowKind.UpdateBefore)
     val in = parquet.createReader(partition)
@@ -647,5 +668,125 @@ final class GraftMorReaderFactory(
       override def get(): InternalRow = current
       override def close(): Unit = ()
     }
+  }
+
+  /** partial-update / aggregation: collect each key's versions, sort by
+    * (sequence fields, __seq) ascending, and fold left — a `-D` resets
+    * the accumulator (remove-record-on-delete), key/sequence/kind columns
+    * track the latest version, data columns combine per [[MergeFns]].
+    * Working set is one group's ALIVE versions (vs the winner-only map of
+    * deduplicate) — the same per-bucket memory contract as Paimon's
+    * sorted-run merge, one fold history deep until compaction folds it. */
+  private def foldReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val keyProj = UnsafeProjection.create(keyIdx.map(ref).toSeq)
+    val ordAsc = new InterpretedOrdering(seqIdx.toSeq.map(i => SortOrder(ref(i), Ascending)))
+    val combine: Array[(Any, Any) => Any] =
+      mergeSchema.fields.zipWithIndex.map { case (f, i) =>
+        MergeFns.combiner(if (i < aggFns.length) aggFns(i) else "", f.dataType)
+      }
+    val versions = new java.util.HashMap[UnsafeRow, scala.collection.mutable.ArrayBuffer[InternalRow]]()
+    val updateBefore = UTF8String.fromString(GraftTable.RowKind.UpdateBefore)
+    val delete = UTF8String.fromString(GraftTable.RowKind.Delete)
+    val in = parquet.createReader(partition)
+    try {
+      while (in.next()) {
+        val row = in.get().copy()
+        if (row.getUTF8String(kindIdx) != updateBefore) {
+          val k = keyProj(row).copy()
+          var buf = versions.get(k)
+          if (buf == null) {
+            buf = new scala.collection.mutable.ArrayBuffer[InternalRow](4)
+            versions.put(k, buf)
+          }
+          buf += row
+        }
+      }
+    } finally in.close()
+
+    val n = mergeSchema.length
+    val fieldTypes = mergeSchema.fields.map(_.dataType)
+    def fold(rows: scala.collection.mutable.ArrayBuffer[InternalRow]): InternalRow = {
+      val sorted = rows.sorted(ordAsc)
+      var acc: Array[Any] = null
+      sorted.foreach { row =>
+        if (row.getUTF8String(kindIdx) == delete) acc = null
+        else if (acc == null) {
+          acc = Array.tabulate[Any](n)(i => row.get(i, fieldTypes(i)))
+        } else {
+          var i = 0
+          while (i < n) {
+            // key/seq/kind (fn "") track the latest version; data combines
+            acc(i) =
+              if (i < aggFns.length && aggFns(i).isEmpty) row.get(i, fieldTypes(i))
+              else combine(i)(acc(i), row.get(i, fieldTypes(i)))
+            i += 1
+          }
+        }
+      }
+      if (acc == null) null
+      else new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(acc)
+    }
+
+    val outProj = UnsafeProjection.create(outIdx.map(ref).toSeq)
+    val it = versions.values().iterator()
+    new PartitionReader[InternalRow] {
+      private var current: InternalRow = _
+      override def next(): Boolean = {
+        while (it.hasNext) {
+          val merged = fold(it.next())
+          if (merged != null) {
+            current = outProj(merged)
+            return true
+          }
+        }
+        false
+      }
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
+}
+
+/** Per-column combine functions for the fold merge engines. Null
+  * handling matches the window formulation in GraftTable.mergeVersions:
+  * sum/min/max/bool/listagg skip nulls; *_value functions take the row
+  * value as-is; *_non_null_value only overwrite/keep non-null. */
+private[sources] object MergeFns {
+  import org.apache.spark.sql.types._
+
+  def combiner(fn: String, dt: DataType): (Any, Any) => Any = fn match {
+    case "" | "last_value" => (_, b) => b
+    case "last_non_null_value" => (a, b) => if (b != null) b else a
+    case "first_value" => (a, _) => a
+    case "first_non_null_value" => (a, b) => if (a != null) a else b
+    case "sum" => nullSkipping(add(dt))
+    case "min" => nullSkipping { (a, b) => if (ordering(dt).compare(a, b) <= 0) a else b }
+    case "max" => nullSkipping { (a, b) => if (ordering(dt).compare(a, b) >= 0) a else b }
+    case "bool_and" => nullSkipping((a, b) => a.asInstanceOf[Boolean] && b.asInstanceOf[Boolean])
+    case "bool_or" => nullSkipping((a, b) => a.asInstanceOf[Boolean] || b.asInstanceOf[Boolean])
+    case "listagg" => nullSkipping((a, b) =>
+      UTF8String.concat(a.asInstanceOf[UTF8String], Comma, b.asInstanceOf[UTF8String]))
+    case other => throw new IllegalArgumentException(s"unsupported aggregate-function: $other")
+  }
+
+  private val Comma = UTF8String.fromString(",")
+
+  private def nullSkipping(f: (Any, Any) => Any): (Any, Any) => Any =
+    (a, b) => if (a == null) b else if (b == null) a else f(a, b)
+
+  private def ordering(dt: DataType): Ordering[Any] =
+    org.apache.spark.sql.catalyst.util.TypeUtils.getInterpretedOrdering(dt)
+
+  private def add(dt: DataType): (Any, Any) => Any = dt match {
+    case ByteType => (a, b) => (a.asInstanceOf[Byte] + b.asInstanceOf[Byte]).toByte
+    case ShortType => (a, b) => (a.asInstanceOf[Short] + b.asInstanceOf[Short]).toShort
+    case IntegerType => (a, b) => a.asInstanceOf[Int] + b.asInstanceOf[Int]
+    case LongType => (a, b) => a.asInstanceOf[Long] + b.asInstanceOf[Long]
+    case FloatType => (a, b) => a.asInstanceOf[Float] + b.asInstanceOf[Float]
+    case DoubleType => (a, b) => a.asInstanceOf[Double] + b.asInstanceOf[Double]
+    case _: DecimalType => (a, b) =>
+      a.asInstanceOf[org.apache.spark.sql.types.Decimal] +
+        b.asInstanceOf[org.apache.spark.sql.types.Decimal]
+    case other => throw new IllegalArgumentException(s"sum unsupported for type $other")
   }
 }

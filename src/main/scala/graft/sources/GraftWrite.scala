@@ -342,7 +342,10 @@ final class GraftBatchWrite(
       if (table.isPkTable)
         GraftWrite.spec(table.spark, table, writeSchema,
           hiddenSeq = Some(base + 1), hiddenKind = Some(GraftTable.RowKind.Insert),
-          dedupKeys = table.primaryKeys)
+          // folding merge engines need EVERY version kept — consecutive-key
+          // dedup in the task writer is only sound for deduplicate
+          dedupKeys =
+            if (table.mergeEngine == "deduplicate") table.primaryKeys else Seq.empty)
       else GraftWrite.spec(table.spark, table, writeSchema)
     new GraftDataWriterFactory(spec)
   }
