@@ -116,10 +116,15 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
   override def loadTable(ident: Identifier): Table = load(ident, None)
 
   /** `VERSION AS OF v` — the reference's scan_version session property
-    * (PrestoSessionProperties.java:39); accepts a bare snapshot id or a
-    * "db.table.version|..." spec string. */
+    * (PrestoSessionProperties.java:39); accepts a bare snapshot id, a
+    * "db.table.version|..." spec string, or a TAG name (scan.tag-name). */
   override def loadTable(ident: Identifier, version: String): Table = {
     val pinned = inner.parseScanVersion(version, db(ident), ident.name)
+      .orElse {
+        if (!tableExists(ident)) None
+        else GraftTable.load(spark, tablePath(ident))
+          .tags.find(_.name == version).map(_.snapshotId)
+      }
       .getOrElse(throw new IllegalArgumentException(s"cannot parse version: $version"))
     load(ident, Some(pinned))
   }

@@ -63,6 +63,9 @@ final case class SchemaMeta(
     primaryKeys: Seq[String],
     options: Map[String, String])
 
+/** A named pin of a snapshot (Paimon tag): `tag/tag-<name>.json`. */
+final case class TagMeta(name: String, snapshotId: Long, createTimeMs: Long)
+
 /** Spark-native lakehouse table: snapshot-versioned parquet with
   * manifest-level partition pruning, primary-key merge-on-read, time
   * travel, and system tables.
@@ -909,22 +912,64 @@ class GraftTable private (
               entries.count(_.kind == ManifestEntry.Delete).toLong)
           }
           .toDF("file_name", "num_added_files", "num_deleted_files")
+      case "tags" =>
+        tags.map(t => (t.name, t.snapshotId, new java.sql.Timestamp(t.createTimeMs)))
+          .toDF("tag_name", "snapshot_id", "create_time")
       case "audit_log" => auditLog()
       case other => throw new IllegalArgumentException(s"unknown system table: $other")
     }
   }
 
+  // ---- tags (Paimon tag management) -----------------------------------
+
+  /** Create a named tag pinning `snapshotId` (default: latest). Tagged
+    * snapshots are excluded from expiry — snapshot file, manifests and
+    * data files all survive — so the tagged version stays readable
+    * indefinitely (Paimon's TagManager contract; the reference reads
+    * tagged versions through scan.tag-name / VERSION AS OF). */
+  def createTag(name: String, snapshotId: Option[Long] = None): Unit = {
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '-' || c == '_'),
+      s"invalid tag name: $name")
+    val id = snapshotId.orElse(latestSnapshotId).getOrElse(
+      throw new IllegalArgumentException("cannot tag an empty table"))
+    readSnapshot(id) // must exist
+    val p = new Path(root, s"tag/tag-$name.json")
+    require(!fs.exists(p), s"tag $name already exists")
+    writeString(fs, p,
+      mapper.writeValueAsString(TagMeta(name, id, System.currentTimeMillis())))
+  }
+
+  def deleteTag(name: String): Boolean =
+    fs.delete(new Path(root, s"tag/tag-$name.json"), false)
+
+  def tags: Seq[TagMeta] = {
+    val dir = new Path(root, "tag")
+    if (!fs.exists(dir)) return Seq.empty
+    fs.listStatus(dir).toSeq.map(_.getPath)
+      .filter(p => p.getName.startsWith("tag-") && p.getName.endsWith(".json"))
+      .map(p => mapper.readValue(readString(fs, p), classOf[TagMeta]))
+      .sortBy(_.name)
+  }
+
+  def snapshotForTag(name: String): Long =
+    tags.find(_.name == name).map(_.snapshotId).getOrElse(
+      throw new IllegalArgumentException(s"no such tag: $name"))
+
   /** Expire all but the last `retainLast` snapshots and delete data files
     * referenced only by expired ones (Paimon-style snapshot expiry; keeps
     * the metadata and storage footprint bounded for a long-lived table).
-    * Returns the expired snapshot ids. */
+    * Tagged snapshots never expire. Returns the expired snapshot ids. */
   def expireSnapshots(retainLast: Int): Seq[Long] = {
     require(retainLast >= 1, "must retain at least one snapshot")
     val dir = new Path(root, "snapshot")
     val ids = fs.listStatus(dir).toSeq.map(_.getPath.getName)
       .collect { case SnapRe(id) => id.toLong }.sorted
     if (ids.length <= retainLast) return Seq.empty
-    val (expire, retain) = ids.splitAt(ids.length - retainLast)
+    val tagged = tags.map(_.snapshotId).toSet
+    val (expireCand, retainTail) = ids.splitAt(ids.length - retainLast)
+    val expire = expireCand.filterNot(tagged)
+    val retain = expireCand.filter(tagged) ++ retainTail
+    if (expire.isEmpty) return Seq.empty
     val retainedSnaps = retain.map(readSnapshot)
     val expiredSnaps = expire.map(readSnapshot)
     val retained: Set[String] =

@@ -110,8 +110,11 @@ final class GraftScanBuilder(
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
 
-  // an explicit read option wins over a catalog VERSION AS OF pin
-  private val snapshotId = Option(options.get("snapshotId")).map(_.toLong).orElse(pinnedSnapshot)
+  // an explicit read option wins over a catalog VERSION AS OF pin;
+  // `tag` resolves a named tag to its pinned snapshot (scan.tag-name)
+  private val snapshotId = Option(options.get("snapshotId")).map(_.toLong)
+    .orElse(Option(options.get("tag")).map(table.snapshotForTag))
+    .orElse(pinnedSnapshot)
   // session-property equivalents (ref PrestoSessionProperties:
   // partition_prune_enabled / query_pushdown_enabled)
   private val partitionPrune = Option(options.get("partitionPrune")).forall(_.toBoolean)
