@@ -180,6 +180,12 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
       case add: TableChange.AddColumn =>
         require(add.fieldNames().length == 1, "graft supports top-level ADD COLUMN only")
         t.addColumn(add.fieldNames()(0), add.dataType())
+      case rn: TableChange.RenameColumn =>
+        require(rn.fieldNames().length == 1, "graft supports top-level RENAME COLUMN only")
+        t.renameColumn(rn.fieldNames()(0), rn.newName())
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames().length == 1, "graft supports top-level DROP COLUMN only")
+        t.dropColumn(del.fieldNames()(0))
       case other =>
         throw new UnsupportedOperationException(s"unsupported table change: $other")
     }

@@ -114,6 +114,24 @@ class GraftTable private (
   // write of this session; flip it as soon as such a table is touched
   if (lattice.exists(f => hasTimeType(f.dataType)))
     spark.conf.set("spark.sql.timeType.enabled", "true")
+
+  // Field-id column resolution (rename/drop schema evolution): the
+  // lattice stamps a stable `parquet.field.id` on every column, the
+  // write path embeds it in the parquet footers, and these session flags
+  // make BOTH read paths (the library spark.read and the V2
+  // ParquetPartitionReaderFactory) resolve columns by id instead of
+  // name — so a renamed column keeps reading files written under its
+  // old name, and a dropped-then-re-added name never resurrects old
+  // data (fresh id ≠ old id). ignoreMissing turns a missing id into
+  // NULL (files older than an ADD COLUMN) and falls back to name
+  // matching for id-less legacy files. Safe globally: the flags only
+  // engage when the REQUESTED schema carries ids, which only graft
+  // lattices do. (ref: the field-id based schema of Paimon that
+  // PrestoSqlMetadataBase.java:307/:328 rename/dropColumn rely on.)
+  if (lattice.fields.exists(f => GraftTable.fieldId(f).isDefined)) {
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    spark.conf.set("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
+  }
   def partitionKeys: Seq[String] = schemaMeta.partitionKeys
   def primaryKeys: Seq[String] = schemaMeta.primaryKeys
   def options: Map[String, String] = schemaMeta.options
@@ -1030,22 +1048,108 @@ class GraftTable private (
       .map(id => mapper.readValue(readString(fs, new Path(root, s"schema/schema-$id.json")), classOf[SchemaMeta]))
   }
 
-  /** Add a nullable column; existing files read as NULL for it. */
+  /** Add a nullable column; existing files read as NULL for it. On an
+    * id-stamped table the new column gets a FRESH field id (never a
+    * recycled one — see nextFieldId), so files written before the add
+    * resolve it as absent, not as some other column's data. */
   def addColumn(name: String, dataType: DataType): Unit = {
     require(!schema.fieldNames.contains(name), s"column $name exists")
+    val newField =
+      if (fieldIdsComplete) GraftTable.withFieldId(StructField(name, dataType), nextFieldId)
+      else StructField(name, dataType) // legacy id-less table: stay name-resolved
     val next = schemaMeta.copy(
       id = schemaMeta.id + 1,
       // extend the LATTICE, not the runtime schema — rebuilding from the
       // normalized view would silently strip char/varchar declarations
-      fieldsJson = StructType(lattice.fields :+ StructField(name, dataType)).json)
+      fieldsJson = StructType(lattice.fields :+ newField).json)
+    writeSchema(next)
+  }
+
+  /** Rename a column, keeping its field id: existing parquet files keep
+    * reading through id resolution, so old data appears under the new
+    * name with zero rewrite (ref: PrestoSqlMetadataBase.java:307
+    * renameColumn → Paimon SchemaChange.renameColumn; ITCase
+    * TestPrestoSqlITCase.java:342 testRenameColumn). Like Paimon,
+    * columns the layout references BY NAME (partition keys, primary
+    * keys, bucket keys, sequence fields) cannot be renamed. */
+  def renameColumn(from: String, to: String): Unit = {
+    requireIdEvolvable(from, "rename")
+    require(!schema.fieldNames.contains(to), s"column $to exists")
+    val next = schemaMeta.copy(
+      id = schemaMeta.id + 1,
+      fieldsJson = StructType(lattice.fields.map(f =>
+        if (f.name == from) f.copy(name = to) else f)).json)
+    writeSchema(next)
+  }
+
+  /** Drop a column. Old files keep their (now unreferenced) data; a
+    * later re-add of the same name gets a fresh field id, so the dropped
+    * values never resurrect (ref: PrestoSqlMetadataBase.java:328
+    * dropColumn; ITCase TestPrestoSqlITCase.java:366 testDropColumn). */
+  def dropColumn(name: String): Unit = {
+    requireIdEvolvable(name, "drop")
+    require(schema.fields.length > 1, "cannot drop the last column")
+    val next = schemaMeta.copy(
+      id = schemaMeta.id + 1,
+      fieldsJson = StructType(lattice.fields.filterNot(_.name == name)).json)
+    writeSchema(next)
+  }
+
+  private def writeSchema(next: SchemaMeta): Unit = {
     writeString(fs, new Path(root, s"schema/schema-${next.id}.json"), mapper.writeValueAsString(next))
     schemaMeta = next
+  }
+
+  /** Every lattice column carries a field id (true for all tables this
+    * code creates; false only for legacy pre-field-id layouts). */
+  private def fieldIdsComplete: Boolean =
+    lattice.fields.nonEmpty && lattice.fields.forall(f => GraftTable.fieldId(f).isDefined)
+
+  private def requireIdEvolvable(c: String, op: String): Unit = {
+    require(fileFormat == "parquet",
+      s"$op column requires file.format=parquet (field-id resolved reads)")
+    require(fieldIdsComplete,
+      s"$op column requires a table created with field ids (legacy table — compact first)")
+    require(schema.fieldNames.contains(c), s"no such column: $c")
+    require(!partitionKeys.contains(c), s"cannot $op partition column $c")
+    require(!primaryKeys.contains(c), s"cannot $op primary-key column $c")
+    require(!bucketKeys.contains(c), s"cannot $op bucket-key column $c")
+    require(!sequenceFields.contains(c), s"cannot $op sequence.field column $c")
+  }
+
+  /** Next never-used field id: the max across ALL schema versions + 1,
+    * so an id dropped in version N is not recycled by an add in N+1
+    * (a recycled id would resurrect the dropped column's file data). */
+  private def nextFieldId: Long = {
+    val ids = allSchemas.flatMap(s =>
+      DataType.fromJson(s.fieldsJson).asInstanceOf[StructType]
+        .fields.flatMap(GraftTable.fieldId))
+    if (ids.isEmpty) lattice.fields.length.toLong else ids.max + 1
   }
 }
 
 object GraftTable {
   val SeqCol = "__seq"
   val KindCol = "__kind"
+
+  /** StructField metadata key Spark's parquet writer/readers use for
+    * field-id column resolution (the key ParquetUtils.FIELD_ID_METADATA_KEY
+    * names) — stored in the lattice JSON, embedded in footers at write,
+    * matched at read. The table format's stable column identity. */
+  val FieldIdKey = "parquet.field.id"
+
+  private[sources] def fieldId(f: StructField): Option[Long] =
+    if (f.metadata.contains(FieldIdKey)) Some(f.metadata.getLong(FieldIdKey)) else None
+
+  private[sources] def withFieldId(f: StructField, id: Long): StructField =
+    f.copy(metadata = new MetadataBuilder()
+      .withMetadata(f.metadata).putLong(FieldIdKey, id).build())
+
+  /** Stamp FRESH positional field ids, dropping any ids the incoming
+    * schema carries (a CTAS from a join of two graft tables would
+    * otherwise arrive with duplicate ids). */
+  private def stampFieldIds(schema: StructType): StructType =
+    StructType(schema.fields.zipWithIndex.map { case (f, i) => withFieldId(f, i.toLong) })
 
   /** A commit claim with no published snapshot older than this is
     * considered abandoned (writer died between claim and publish) and may
@@ -1163,7 +1267,7 @@ object GraftTable {
     require(!fs.exists(schemaDir), s"table already exists at $root")
     fs.mkdirs(schemaDir)
     fs.mkdirs(new Path(root, "snapshot"))
-    val meta = SchemaMeta(0L, schema.json, partitionKeys, primaryKeys, options)
+    val meta = SchemaMeta(0L, stampFieldIds(schema).json, partitionKeys, primaryKeys, options)
     writeString(fs, new Path(root, "schema/schema-0.json"), mapper.writeValueAsString(meta))
     new GraftTable(spark, root, meta)
   }

@@ -60,6 +60,9 @@ object GraftWrite {
       hiddenSeq: Option[Long] = None, hiddenKind: Option[String] = None,
       dedupKeys: Seq[String] = Seq.empty): GraftWriteSpec = {
     val job = Job.getInstance(spark.sessionState.newHadoopConf())
+    // embed the lattice's parquet.field.id metadata in every footer —
+    // the write half of rename/drop schema evolution (id-resolved reads)
+    job.getConfiguration.set("spark.sql.parquet.fieldId.write.enabled", "true")
     val fileDataSchema = table.fileDataSchema
     val format: org.apache.spark.sql.execution.datasources.FileFormat =
       if (table.fileFormat == "orc") new org.apache.spark.sql.execution.datasources.orc.OrcFileFormat

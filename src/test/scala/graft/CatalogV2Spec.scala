@@ -95,6 +95,25 @@ class CatalogV2Spec extends AnyFunSuite {
     assert(sql("SELECT count(*) FROM graft2.db6.b").first().getLong(0) == 3L)
   }
 
+  test("C7: ALTER TABLE RENAME/DROP COLUMN (ref testRenameColumn/testDropColumn)") {
+    sql("CREATE NAMESPACE graft2.db7")
+    sql("""CREATE TABLE graft2.db7.t5 (
+          |  order_key BIGINT, order_status STRING, total_price DOUBLE, order_date DATE
+          |)""".stripMargin)
+    sql("INSERT INTO graft2.db7.t5 VALUES (1, 'OPEN', 10.0, DATE'2024-01-01')")
+    // ref: ALTER TABLE paimon.default.t5 RENAME COLUMN order_status TO g
+    sql("ALTER TABLE graft2.db7.t5 RENAME COLUMN order_status TO g")
+    assert(spark.table("graft2.db7.t5").columns.toSeq ==
+      Seq("order_key", "g", "total_price", "order_date"))
+    // data written under the old name reads through the new one
+    assert(sql("SELECT g FROM graft2.db7.t5").first().getString(0) == "OPEN")
+    // ref: ALTER TABLE paimon.default.t5 DROP COLUMN order_status
+    sql("ALTER TABLE graft2.db7.t5 DROP COLUMN g")
+    assert(spark.table("graft2.db7.t5").columns.toSeq ==
+      Seq("order_key", "total_price", "order_date"))
+    assert(sql("SELECT count(*) FROM graft2.db7.t5").first().getLong(0) == 1L)
+  }
+
   private def withConf(key: String, value: String)(body: => Unit): Unit = {
     val old = spark.conf.getOption(key)
     spark.conf.set(key, value)

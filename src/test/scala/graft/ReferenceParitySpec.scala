@@ -223,4 +223,45 @@ class ReferenceParitySpec extends AnyFunSuite {
     assert(df.filter(col("at") === expr("TIMESTAMP '2024-01-15 15:30:00+05:30'"))
       .collect().map(_.getInt(0)).toSeq == Seq(1))
   }
+
+  test("testRenameColumn/testDropColumn (TestPrestoSqlITCase.java:342,366): field-id evolution") {
+    val schema = StructType(Seq(
+      StructField("order_key", LongType), StructField("order_status", StringType),
+      StructField("total_price", DoubleType)))
+    val t = GraftTable.create(spark, TestSpark.tmpDir("ref_evolve"), schema)
+    t.append(Seq((1L, "OPEN", 10.0), (2L, "DONE", 20.0))
+      .toDF("order_key", "order_status", "total_price"))
+    // rename: files written under the OLD name keep reading (id resolution)
+    t.renameColumn("order_status", "g")
+    assert(t.schema.fieldNames.toSeq == Seq("order_key", "g", "total_price"))
+    val afterRename = t.read().orderBy("order_key").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(afterRename.toSeq == Seq((1L, "OPEN"), (2L, "DONE")))
+    // mixed old/new files + a filter on the renamed column
+    t.append(Seq((3L, "OPEN", 30.0)).toDF("order_key", "g", "total_price"))
+    assert(t.read().filter(col("g") === "OPEN").count() == 2)
+    // drop, then re-add the same name: fresh field id → the dropped
+    // column's old file data must NOT resurrect
+    t.dropColumn("g")
+    assert(t.read().columns.toSeq == Seq("order_key", "total_price"))
+    t.addColumn("g", StringType)
+    val revived = t.read().collect().map(r => Option(r.getString(2)))
+    assert(revived.forall(_.isEmpty), "dropped column data resurrected under a recycled name")
+    // and the old files still serve their surviving columns
+    assert(t.read().agg(sum("total_price")).first().getDouble(0) == 60.0)
+  }
+
+  test("rename column on a PK table: V2 merge-on-read resolves old files by field id") {
+    val schema = StructType(Seq(StructField("k", IntegerType), StructField("v", StringType)))
+    val t = GraftTable.create(spark, TestSpark.tmpDir("ref_evolve_pk"), schema,
+      primaryKeys = Seq("k"), options = Map("bucket" -> "2"))
+    t.upsert(Seq((1, "a"), (2, "b")).toDF("k", "v"))
+    t.renameColumn("v", "val")
+    t.upsert(Seq((2, "b2"), (3, "c")).toDF("k", "val"))
+    val out = t.read().orderBy("k").collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(out.toSeq == Seq((1, "a"), (2, "b2"), (3, "c")))
+    // layout-referenced columns are frozen (Paimon's own restriction)
+    intercept[IllegalArgumentException](t.renameColumn("k", "kk"))
+    intercept[IllegalArgumentException](t.dropColumn("k"))
+  }
 }
