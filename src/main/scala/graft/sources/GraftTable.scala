@@ -20,10 +20,16 @@ final case class FileMeta(
     sizeBytes: Long,
     bucket: Int,
     stats: Map[String, ColStats] = Map.empty,
-    rowCount: java.lang.Long = null) { // boxed: manifests written before counts existed read as null, not 0
+    rowCount: java.lang.Long = null, // boxed: manifests written before counts existed read as null, not 0
+    // true = rows are sorted by (primary key asc, version order desc) — a
+    // sorted run the MOR reader can stream through a k-way merge instead
+    // of buffering a hash map of the bucket's keys. Boxed for the same
+    // legacy-manifest reason as rowCount (missing field reads as null).
+    sorted: java.lang.Boolean = null) {
   /** null-safe (snapshots written before stats existed). */
   def statsOrEmpty: Map[String, ColStats] = Option(stats).getOrElse(Map.empty)
   def rowCountOpt: Option[Long] = Option(rowCount).map(_.longValue)
+  def isSorted: Boolean = sorted != null && sorted.booleanValue
 }
 
 /** One ADD/DELETE action on a data file, the unit of a delta manifest
@@ -428,18 +434,17 @@ class GraftTable private (
       kind = "APPEND", rowKind = RowKind.Delete)
   }
 
-  /** Replace every partition present in `df` with df's rows. */
+  /** Replace every partition present in `df` with df's rows. The
+    * affected-partition set derives from the staged files' own
+    * FileMeta.partition values (the write tasks already report them), so
+    * the input is scanned exactly once — no distinct() pre-pass; same
+    * contract as the V2 dynamic-overwrite path (commitV2 "dynamic"). */
   def overwritePartitions(df: DataFrame): Long = {
     require(partitionKeys.nonEmpty, "overwritePartitions requires a partitioned table")
     val base = latestSnapshotId.getOrElse(0L)
-    val affected: Set[Map[String, String]] = df
-      .select(partitionKeys.map(col): _*).distinct().collect()
-      .map(r => partitionKeys.zipWithIndex.map { case (k, i) =>
-        k -> (if (r.isNullAt(i)) NullPartition else String.valueOf(r.get(i)))
-      }.toMap)
-      .toSet
-    val removed = filesAt(base).filter(f => affected.contains(f.partition))
     val added = stageWrite(df, rowKind = RowKind.Insert, seq = base + 1)
+    val affected = added.map(_.partition).toSet
+    val removed = filesAt(base).filter(f => affected.contains(f.partition))
     commitOrClean(base + 1, "OVERWRITE", added, deleted = removed)
   }
 
@@ -474,7 +479,8 @@ class GraftTable private (
         .repartitionByRange(n, sortBy.map(col): _*)
         .sortWithinPartitions(sortBy.map(col): _*)
     }
-    val added = stageWrite(merged, rowKind = RowKind.Insert, seq = base + 1)
+    val added = stageWrite(merged, rowKind = RowKind.Insert, seq = base + 1,
+      keySort = sortBy.isEmpty && zorderBy.isEmpty)
     commitOrClean(base + 1, "COMPACT", added, rebase = true)
   }
 
@@ -580,7 +586,8 @@ class GraftTable private (
     * routing are applied inside the task writer. A speculatively
     * duplicated successful attempt can strand unreferenced files; they
     * are invisible to readers and reclaimed by removeOrphanFiles. */
-  private def stageWrite(df: DataFrame, rowKind: String, seq: Long): Seq[FileMeta] = {
+  private def stageWrite(
+      df: DataFrame, rowKind: String, seq: Long, keySort: Boolean = true): Seq[FileMeta] = {
     val dataCols = schema.fieldNames.toSeq
     require(dataCols.forall(df.columns.contains),
       s"df missing columns: ${dataCols.filterNot(df.columns.contains).mkString(",")}")
@@ -613,7 +620,17 @@ class GraftTable private (
       out = out.withColumn(SeqCol, lit(seq))
       if (!perRowKind) out = out.withColumn(KindCol, lit(rowKind))
     }
-    val spec = GraftWrite.spec(spark, this, out.schema)
+    // PK tables: a local (no-shuffle) sort by (pk asc, version desc)
+    // makes every written file a sorted run the MOR reader can stream
+    // through a k-way merge at O(runs) memory instead of hash-buffering
+    // a bucket's keys — the LSM write amortization. Skipped when the
+    // caller requested a different clustering (compaction sortBy/zorder:
+    // those files trade streaming merges for min/max selectivity).
+    val doKeySort = isPkTable && keySort
+    if (doKeySort)
+      out = out.sortWithinPartitions(
+        primaryKeys.map(col(_).asc) ++ sequenceFields.map(col(_).desc): _*)
+    val spec = GraftWrite.spec(spark, this, out.schema, keySorted = doKeySort)
     out.queryExecution.toRdd
       .mapPartitions(GraftWrite.writePartition(spec))
       .collect().flatten.toSeq
@@ -636,6 +653,11 @@ class GraftTable private (
     * file's partition values driver-side (no cluster job) and keep only
     * matching files — the Spark-first analogue of the reference's
     * PrestoComputePushdown partition prune (PrestoComputePushdown.java).
+    *
+    * The partition rows back a LocalRelation (NOT an RDD), so the
+    * optimizer's ConvertToLocalRelation rule folds the filter into a
+    * driver-side evaluation with full analyzer resolution (implicit
+    * casts included) — planning a pruned read launches zero Spark jobs.
     */
   private def pruneFiles(files: Seq[FileMeta], pred: Option[Column]): Seq[FileMeta] = pred match {
     case None => files
@@ -645,8 +667,8 @@ class GraftTable private (
       val rows = parts.map { m =>
         Row.fromSeq(partitionKeys.map(k => castPartitionValue(m(k), schema(k).dataType)))
       }
-      val pdf = spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, 1), partSchema)
+      import scala.jdk.CollectionConverters._
+      val pdf = spark.createDataFrame(rows.asJava, partSchema)
       val kept = pdf.filter(p).collect()
         .map(r => partitionKeys.zipWithIndex.map { case (k, i) =>
           // mirror the write path: NULL renders as the hive default dir,

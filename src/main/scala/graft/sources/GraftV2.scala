@@ -415,7 +415,11 @@ final class GraftScan(
       SparkPath.fromPathString(absPath(f)),
       start, length,
       Array.empty[String], 0L, f.sizeBytes,
-      Map.empty[String, Any])
+      // piggyback the sorted-run flag on the metadata-column map (never
+      // read as a metadata column — the scan requests no _metadata
+      // fields); the MOR factory reads it to pick streaming vs hash merge
+      if (f.isSorted) Map(GraftMorReaderFactory.SortedKey -> true)
+      else Map.empty[String, Any])
 
   // ---- storage-partitioned scan (zero-shuffle bucketed joins) ----------
 
@@ -523,30 +527,52 @@ final class GraftScan(
     * never touches it): it installs every reader conf key (read-support
     * class, requested schema, timezone, rebase modes) exactly as the
     * built-in source does, so we inherit Spark's columnar read path
-    * verbatim instead of re-plumbing it. */
-  private def fileFactory(readData: StructType, readPart: StructType, filters: Array[Filter])
-      : PartitionReaderFactory = {
-    val emptyIndex = new org.apache.spark.sql.execution.datasources.InMemoryFileIndex(
-      spark, Seq.empty, Map.empty, None)
-    if (table.fileFormat == "orc")
-      new org.apache.spark.sql.execution.datasources.v2.orc.OrcScan(
-        spark, spark.sessionState.newHadoopConf(), emptyIndex,
-        dataSchema = table.fileDataSchema,
-        readDataSchema = readData,
-        readPartitionSchema = readPart,
-        options = CaseInsensitiveStringMap.empty(),
-        pushedAggregate = None,
-        pushedFilters = filters,
-        partitionFilters = Seq.empty,
-        dataFilters = Seq.empty).createReaderFactory()
-    else
-      new org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan(
-        spark, spark.sessionState.newHadoopConf(), emptyIndex,
-        dataSchema = table.fileDataSchema,
-        readDataSchema = readData,
-        readPartitionSchema = readPart,
-        pushedFilters = filters,
-        options = CaseInsensitiveStringMap.empty()).createReaderFactory()
+    * verbatim instead of re-plumbing it.
+    *
+    * `vectorized = false` builds a row-based (parquet-mr / ORC row)
+    * factory instead — required by the streaming k-way merge, which holds
+    * MANY readers of one group open at once and interleaves them:
+    * interleaved vectorized readers from one factory corrupt each other's
+    * batches (observed empirically: the second read of a run returns
+    * zeroed rows once another reader has opened), while row-based readers
+    * are independent. The sequential paths (non-PK scan, hash merge) keep
+    * the vectorized factory. */
+  private def fileFactory(
+      readData: StructType, readPart: StructType, filters: Array[Filter],
+      vectorized: Boolean = true): PartitionReaderFactory = {
+    // The vectorized flag is captured into a FINAL factory field during
+    // createReaderFactory() (driver-side, inside this window), so a
+    // scoped session-conf flip builds a row-based factory without
+    // touching how the session reads anything else.
+    val vecKey =
+      if (table.fileFormat == "orc") "spark.sql.orc.enableVectorizedReader"
+      else "spark.sql.parquet.enableVectorizedReader"
+    val conf = spark.sessionState.conf
+    val prev = if (vectorized) null else conf.getConfString(vecKey, "true")
+    if (!vectorized) conf.setConfString(vecKey, "false")
+    try {
+      val emptyIndex = new org.apache.spark.sql.execution.datasources.InMemoryFileIndex(
+        spark, Seq.empty, Map.empty, None)
+      if (table.fileFormat == "orc")
+        new org.apache.spark.sql.execution.datasources.v2.orc.OrcScan(
+          spark, spark.sessionState.newHadoopConf(), emptyIndex,
+          dataSchema = table.fileDataSchema,
+          readDataSchema = readData,
+          readPartitionSchema = readPart,
+          options = CaseInsensitiveStringMap.empty(),
+          pushedAggregate = None,
+          pushedFilters = filters,
+          partitionFilters = Seq.empty,
+          dataFilters = Seq.empty).createReaderFactory()
+      else
+        new org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan(
+          spark, spark.sessionState.newHadoopConf(), emptyIndex,
+          dataSchema = table.fileDataSchema,
+          readDataSchema = readData,
+          readPartitionSchema = readPart,
+          pushedFilters = filters,
+          options = CaseInsensitiveStringMap.empty()).createReaderFactory()
+    } finally if (!vectorized) conf.setConfString(vecKey, prev)
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -561,6 +587,8 @@ final class GraftScan(
           table.primaryKeys ++ table.sequenceFields
         new GraftMorReaderFactory(
           fileFactory(StructType(mergeDataFields), StructType(mergePartFields), readerFilters),
+          fileFactory(StructType(mergeDataFields), StructType(mergePartFields), readerFilters,
+            vectorized = false),
           mergeSchema,
           keyIdx = table.primaryKeys.map(idx).toArray,
           seqIdx = (table.sequenceFields :+ GraftTable.SeqCol).map(idx).toArray,
@@ -601,18 +629,37 @@ final class UnwrapBucketFactory(delegate: PartitionReaderFactory) extends Partit
     delegate.supportColumnarReads(unwrap(p))
 }
 
+object GraftMorReaderFactory {
+  /** PartitionedFile metadata key marking a key-sorted run. */
+  val SortedKey = "__graft_sorted"
+  // test observability: how many file groups merged via each strategy
+  // (local-mode executors share the JVM, so specs can assert the path)
+  val streamedGroups = new java.util.concurrent.atomic.AtomicLong(0)
+  val hashGroups = new java.util.concurrent.atomic.AtomicLong(0)
+}
+
 /** Executor-side merge-on-read: consume every row version of one
   * co-located file group, keep the winner per primary key (greatest
   * sequence.field values, then greatest commit __seq), drop deletes, and
   * emit survivors projected to the requested schema.
   *
-  * The working set is one group's LIVE keys (an UnsafeRow-keyed hash
-  * map) — the reason PK tables are bucketed in the first place; Paimon's
-  * readers carry the same per-bucket memory contract for their sorted-run
-  * merge (ref: the RecordReader merge in PrestoPageSourceBase pulls an
-  * already-merged Paimon reader; here the merge IS the reader). */
+  * Two strategies, chosen per file group:
+  *
+  * STREAMING (every file in the group is a sorted run — FileMeta.sorted,
+  * the normal state since all PK write paths key-sort): a k-way merge
+  * across the runs advances key by key; memory is O(runs) buffered head
+  * rows plus ONE key's live versions — the bounded contract of Paimon's
+  * sorted-run LSM merge, independent of how many keys the bucket holds.
+  *
+  * HASH (legacy/unsorted files present, e.g. a compaction clustered by
+  * non-key columns): buffer the group's live keys in an UnsafeRow-keyed
+  * map — correct and spill-free only while a bucket's key set fits in
+  * executor memory, which is what bucket sizing bounds. (ref: the
+  * RecordReader merge in PrestoPageSourceBase pulls an already-merged
+  * Paimon reader; here the merge IS the reader). */
 final class GraftMorReaderFactory(
     parquet: PartitionReaderFactory,
+    rowBased: PartitionReaderFactory,
     mergeSchema: StructType,
     keyIdx: Array[Int],
     seqIdx: Array[Int],
@@ -625,11 +672,155 @@ final class GraftMorReaderFactory(
 
   private def ref(i: Int) = BoundReference(i, mergeSchema(i).dataType, mergeSchema(i).nullable)
 
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    engine match {
-      case "deduplicate" | "first-row" => winnerReader(partition)
-      case _ => foldReader(partition)
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val sortedRuns = partition match {
+      case fp: FilePartition =>
+        fp.files.nonEmpty && fp.files.forall(
+          _.otherConstantMetadataColumnValues
+            .getOrElse(GraftMorReaderFactory.SortedKey, false) == true)
+      case _ => false
     }
+    if (sortedRuns) {
+      GraftMorReaderFactory.streamedGroups.incrementAndGet()
+      streamingReader(partition.asInstanceOf[FilePartition])
+    } else {
+      GraftMorReaderFactory.hashGroups.incrementAndGet()
+      engine match {
+        case "deduplicate" | "first-row" => winnerReader(partition)
+        case _ => foldReader(partition)
+      }
+    }
+  }
+
+  // ---- streaming k-way merge over sorted runs ---------------------------
+
+  /** One open sub-reader per run with a buffered head row; `-U`
+    * changelog markers are skipped on advance (they are not row
+    * versions). Head rows are copies — the vectorized reader reuses its
+    * row — so resident memory is runs × one row. */
+  private final class Run(file: PartitionedFile, idx: Int) {
+    private val reader = rowBased.createReader(FilePartition(idx, Array(file)))
+    private val updateBefore = UTF8String.fromString(GraftTable.RowKind.UpdateBefore)
+    private var closed = false
+    var head: InternalRow = _
+    advance()
+    def advance(): Unit = {
+      head = null
+      while (head == null && !closed && reader.next()) {
+        val r = reader.get()
+        if (r.getUTF8String(kindIdx) != updateBefore) head = r.copy()
+      }
+      if (head == null && !closed) { closed = true; reader.close() }
+    }
+    def close(): Unit = if (!closed) { closed = true; reader.close() }
+  }
+
+  /** Advance all runs past the globally-least key, combining that key's
+    * versions on the fly: deduplicate/first-row keep a single winner
+    * (O(1) per key); folding engines buffer ONE key's versions and fold
+    * them ascending — identical results to the hash strategy because
+    * versions are visited in the same per-file order the concatenated
+    * scan would produce (runs drain in file-list order). */
+  private def streamingReader(fp: FilePartition): PartitionReader[InternalRow] = {
+    val keyOrd = new InterpretedOrdering(
+      keyIdx.toSeq.map(i => SortOrder(ref(i), Ascending)))
+    val winnerDir = if (engine == "first-row") Ascending else Descending
+    val winnerOrd = new InterpretedOrdering(
+      seqIdx.toSeq.map(i => SortOrder(ref(i), winnerDir)))
+    val ordAsc = new InterpretedOrdering(
+      seqIdx.toSeq.map(i => SortOrder(ref(i), Ascending)))
+    val winnerEngine = engine == "deduplicate" || engine == "first-row"
+    val combine: Array[(Any, Any) => Any] =
+      if (winnerEngine) null
+      else mergeSchema.fields.zipWithIndex.map { case (f, i) =>
+        MergeFns.combiner(if (i < aggFns.length) aggFns(i) else "", f.dataType)
+      }
+    val delete = UTF8String.fromString(GraftTable.RowKind.Delete)
+    val runs = fp.files.zipWithIndex.map { case (f, i) => new Run(f, i) }
+    val outProj = UnsafeProjection.create(outIdx.map(ref).toSeq)
+    val n = mergeSchema.length
+    val fieldTypes = mergeSchema.fields.map(_.dataType)
+
+    new PartitionReader[InternalRow] {
+      private var current: InternalRow = _
+      private val buf = new scala.collection.mutable.ArrayBuffer[InternalRow](4)
+
+      /** Merge the least key across runs; null = key fully deleted. */
+      private def mergeLeastKey(): InternalRow = {
+        var least: InternalRow = null
+        var i = 0
+        while (i < runs.length) {
+          val h = runs(i).head
+          if (h != null && (least == null || keyOrd.compare(h, least) < 0)) least = h
+          i += 1
+        }
+        if (least == null) return null // all runs exhausted → sentinel handled by caller
+        if (winnerEngine) {
+          var winner: InternalRow = null
+          i = 0
+          while (i < runs.length) {
+            val run = runs(i)
+            while (run.head != null && keyOrd.compare(run.head, least) == 0) {
+              // strict <: ties keep the first-encountered row, the same
+              // tie-break as the hash strategy's concatenated scan
+              if (winner == null || winnerOrd.compare(run.head, winner) < 0) winner = run.head
+              run.advance()
+            }
+            i += 1
+          }
+          if (winner.getUTF8String(kindIdx) == delete) null else winner
+        } else {
+          buf.clear()
+          i = 0
+          while (i < runs.length) {
+            val run = runs(i)
+            while (run.head != null && keyOrd.compare(run.head, least) == 0) {
+              buf += run.head
+              run.advance()
+            }
+            i += 1
+          }
+          foldVersions(buf)
+        }
+      }
+
+      /** Ascending stable sort + left fold — mirrors the hash strategy's
+        * fold exactly (a -D resets the accumulator). */
+      private def foldVersions(rows: scala.collection.mutable.ArrayBuffer[InternalRow]): InternalRow = {
+        val sorted = rows.sorted(ordAsc)
+        var acc: Array[Any] = null
+        sorted.foreach { row =>
+          if (row.getUTF8String(kindIdx) == delete) acc = null
+          else if (acc == null) {
+            acc = Array.tabulate[Any](n)(i => row.get(i, fieldTypes(i)))
+          } else {
+            var i = 0
+            while (i < n) {
+              acc(i) =
+                if (i < aggFns.length && aggFns(i).isEmpty) row.get(i, fieldTypes(i))
+                else combine(i)(acc(i), row.get(i, fieldTypes(i)))
+              i += 1
+            }
+          }
+        }
+        if (acc == null) null
+        else new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(acc)
+      }
+
+      override def next(): Boolean = {
+        while (runs.exists(_.head != null)) {
+          val merged = mergeLeastKey()
+          if (merged != null) {
+            current = outProj(merged)
+            return true
+          }
+        }
+        false
+      }
+      override def get(): InternalRow = current
+      override def close(): Unit = runs.foreach(_.close())
+    }
+  }
 
   /** deduplicate / first-row: stream the winner per key (greatest — or,
     * for first-row, least — (sequence fields, __seq)). */

@@ -48,7 +48,11 @@ final case class GraftWriteSpec(
     // the distributed form of the V1 within-batch dedup.
     hiddenSeq: Option[Long] = None,
     hiddenKind: Option[String] = None,
-    dedupKeys: Seq[String] = Seq.empty)
+    dedupKeys: Seq[String] = Seq.empty,
+    // rows arrive sorted by (primary key asc, version desc): every file
+    // this task writes is a sorted run (any subsequence of a sorted
+    // stream is sorted), recorded in FileMeta for the streaming merge
+    keySorted: Boolean = false)
 
 object GraftWrite {
 
@@ -58,7 +62,7 @@ object GraftWrite {
   def spec(
       spark: SparkSession, table: GraftTable, writeSchema: StructType,
       hiddenSeq: Option[Long] = None, hiddenKind: Option[String] = None,
-      dedupKeys: Seq[String] = Seq.empty): GraftWriteSpec = {
+      dedupKeys: Seq[String] = Seq.empty, keySorted: Boolean = false): GraftWriteSpec = {
     val job = Job.getInstance(spark.sessionState.newHadoopConf())
     // embed the lattice's parquet.field.id metadata in every footer —
     // the write half of rename/drop schema evolution (id-resolved reads)
@@ -92,7 +96,8 @@ object GraftWrite {
       conf = new SerializableConfiguration(job.getConfiguration),
       hiddenSeq = hiddenSeq,
       hiddenKind = hiddenKind,
-      dedupKeys = dedupKeys)
+      dedupKeys = dedupKeys,
+      keySorted = keySorted)
   }
 
   /** mapPartitions body for the library write path (static method so the
@@ -226,7 +231,8 @@ final class GraftTaskWriter(spec: GraftWriteSpec, taskUniq: String) {
         if (spec.fileFormat == "orc") FileStats.fromOrcFooter(conf, abs)
         else FileStats.fromFooter(conf, abs)
       FileMeta(o.relPath, o.partition, fs.getFileStatus(abs).getLen, o.bucket,
-        footer.stats, footer.rowCount)
+        footer.stats, footer.rowCount,
+        sorted = if (spec.keySorted) java.lang.Boolean.TRUE else null)
     }
   }
 
@@ -348,7 +354,10 @@ final class GraftBatchWrite(
           // folding merge engines need EVERY version kept — consecutive-key
           // dedup in the task writer is only sound for deduplicate
           dedupKeys =
-            if (table.mergeEngine == "deduplicate") table.primaryKeys else Seq.empty)
+            if (table.mergeEngine == "deduplicate") table.primaryKeys else Seq.empty,
+          // requiredDistribution/Ordering guarantee (pk asc, version
+          // desc) within every task → each output file is a sorted run
+          keySorted = true)
       else GraftWrite.spec(table.spark, table, writeSchema)
     new GraftDataWriterFactory(spec)
   }

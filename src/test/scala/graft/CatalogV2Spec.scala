@@ -114,6 +114,36 @@ class CatalogV2Spec extends AnyFunSuite {
     assert(sql("SELECT count(*) FROM graft2.db7.t5").first().getLong(0) == 1L)
   }
 
+  test("C8: SHOW CREATE TABLE round-trips schema, partitioning, bucket, PK and options " +
+    "(ref TestPrestoITCase testShowCreateTable)") {
+    sql("CREATE NAMESPACE graft2.db8")
+    sql("""CREATE TABLE graft2.db8.sc (
+          |  k BIGINT, pt STRING, v DOUBLE, seq BIGINT
+          |) PARTITIONED BY (pt, bucket(4, k))
+          |TBLPROPERTIES ('primary-key'='k,pt', 'sequence.field'='seq',
+          |  'manifest.merge-min-count'='7')""".stripMargin)
+    val ddl = sql("SHOW CREATE TABLE graft2.db8.sc").first().getString(0)
+    // the emitted DDL carries every layout-defining piece
+    assert(ddl.contains("PARTITIONED BY"), ddl)
+    assert(ddl.contains("bucket(4, k)"), ddl)
+    assert(ddl.contains("'primary-key'") && ddl.contains("'k,pt'"), ddl)
+    assert(ddl.contains("'sequence.field'"), ddl)
+    // re-create from the emitted DDL under a new name: identical table
+    val ddl2 = ddl.replace("graft2.db8.sc", "graft2.db8.sc2")
+    sql(ddl2)
+    assert(spark.table("graft2.db8.sc2").schema == spark.table("graft2.db8.sc").schema)
+    val props = sql("SHOW TBLPROPERTIES graft2.db8.sc2").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("primary-key").contains("k,pt"))
+    assert(props.get("sequence.field").contains("seq"))
+    assert(props.get("bucket").contains("4") && props.get("bucket-key").contains("k"))
+    assert(props.get("manifest.merge-min-count").contains("7"))
+    // and it behaves like one: PK upsert semantics survive the round-trip
+    sql("INSERT INTO graft2.db8.sc2 VALUES (1, 'a', 1.0, 1), (1, 'a', 2.0, 2)")
+    val r = sql("SELECT v FROM graft2.db8.sc2").collect()
+    assert(r.map(_.getDouble(0)).toSeq == Seq(2.0))
+  }
+
   private def withConf(key: String, value: String)(body: => Unit): Unit = {
     val old = spark.conf.getOption(key)
     spark.conf.set(key, value)

@@ -354,4 +354,42 @@ class GraftTableSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq(("2", 2), ("1", 9)))
     assert(t.snapshots.last.commitKind == "OVERWRITE")
   }
+
+  test("S5c: overwritePartitions scans its input exactly once") {
+    val t = GraftTable.create(spark, TestSpark.tmpDir("ow1scan"), schema, partitionKeys = Seq("pt"))
+    t.append(Seq(("1", 1, 1L), ("2", 2, 2L)).toDF("pt", "a", "b"))
+    val acc = spark.sparkContext.longAccumulator("input-rows-seen")
+    val input = Seq(("1", 9, 9L), ("1", 10, 10L), ("2", 11, 11L)).toDF("pt", "a", "b")
+      .filter { r: org.apache.spark.sql.Row => acc.add(1); true }
+    t.overwritePartitions(input)
+    // the affected-partition set comes from the staged FileMeta, not a
+    // distinct() pre-pass — each input row is evaluated exactly once
+    assert(acc.value == 3L, s"expected 1 scan of 3 rows, saw ${acc.value} row evaluations")
+    val rows = t.read().orderBy("a").collect().map(_.getInt(1)).toSeq
+    assert(rows == Seq(9, 10, 11))
+  }
+
+  test("S4c: planning a pruned read launches zero Spark jobs") {
+    val t = GraftTable.create(spark, TestSpark.tmpDir("nojob"), schema, partitionKeys = Seq("pt"))
+    t.append(Seq(("1", 1, 1L), ("2", 2, 2L), ("3", 3, 3L)).toDF("pt", "a", "b"))
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // metadata-only planning: prune the manifest and build the frame
+      val df = t.read(partitionFilter = Some(col("pt") === "2"))
+      assert(df.inputFiles.length == 1)
+      // fence: listener events are async but FIFO — once the sentinel
+      // job's start event lands, any earlier job event would be counted
+      // (an RDD count is exactly ONE job; a SQL count under AQE is not)
+      spark.sparkContext.parallelize(Seq(1), 1).count()
+      val deadline = System.nanoTime() + 10e9.toLong
+      while (jobs.get() < 1 && System.nanoTime() < deadline) Thread.sleep(10)
+      assert(jobs.get() == 1,
+        s"expected only the sentinel job; pruning/planning launched ${jobs.get() - 1} extra job(s)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }

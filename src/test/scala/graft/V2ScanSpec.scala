@@ -130,6 +130,57 @@ class V2ScanSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1, "b"), (2, "x")))
   }
 
+  test("sorted-run MOR: multi-commit bucket streams a k-way merge (no key hash map)") {
+    import graft.sources.GraftMorReaderFactory
+    val path = TestSpark.tmpDir("v2stream")
+    val t = GraftTable.create(spark, path,
+      StructType(Seq(StructField("id", LongType), StructField("v", StringType))),
+      primaryKeys = Seq("id"), options = Map("bucket" -> "2"))
+    t.upsert((1L to 200L).map(i => (i, s"v1-$i")).toDF("id", "v"))
+    t.upsert((1L to 100L by 2).map(i => (i, s"v2-$i")).toDF("id", "v"))
+    t.delete(Seq((10L, ""), (11L, ""), (12L, "")).toDF("id", "v"))
+    // every PK write path key-sorts → all files are sorted runs
+    val s0 = GraftMorReaderFactory.streamedGroups.get()
+    val h0 = GraftMorReaderFactory.hashGroups.get()
+    val got = spark.read.format("graft").load(path)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(GraftMorReaderFactory.streamedGroups.get() - s0 == 2,
+      "expected both bucket groups to take the streaming k-way merge")
+    assert(GraftMorReaderFactory.hashGroups.get() == h0,
+      "no group should fall back to the hash merge on all-sorted runs")
+    // results identical to the window-formulation read
+    val oracle = t.read().collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got == oracle)
+    assert(got.size == 197 && !got.contains(10L) && !got.contains(11L))
+    assert(got(3L) == "v2-3" && got(2L) == "v1-2" && got(150L) == "v1-150")
+  }
+
+  test("unsorted files (clustered compaction) fall back to the hash merge, same results") {
+    import graft.sources.GraftMorReaderFactory
+    val path = TestSpark.tmpDir("v2streamfb")
+    val t = GraftTable.create(spark, path,
+      StructType(Seq(StructField("id", LongType), StructField("v", StringType))),
+      primaryKeys = Seq("id"))
+    t.upsert((1L to 50L).map(i => (i, s"a-$i")).toDF("id", "v"))
+    // clustering by a non-key column trades sorted runs for stats selectivity
+    t.compact(sortBy = Seq("v"))
+    t.upsert((1L to 10L).map(i => (i, s"b-$i")).toDF("id", "v"))
+    val h0 = GraftMorReaderFactory.hashGroups.get()
+    val got = spark.read.format("graft").load(path)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(GraftMorReaderFactory.hashGroups.get() > h0,
+      "mixed sorted/unsorted group must use the hash merge")
+    assert(got.size == 50 && got(5L) == "b-5" && got(30L) == "a-30")
+    // a follow-up UNclustered compaction restores sorted runs
+    t.compact()
+    t.upsert(Seq((1L, "c-1")).toDF("id", "v"))
+    val s1 = GraftMorReaderFactory.streamedGroups.get()
+    val got2 = spark.read.format("graft").load(path)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(GraftMorReaderFactory.streamedGroups.get() > s1)
+    assert(got2(1L) == "c-1" && got2(30L) == "a-30")
+  }
+
   test("downstream group-by on the bucket key still aggregates correctly") {
     val path = TestSpark.tmpDir("v2morq")
     val t = GraftTable.create(spark, path,
