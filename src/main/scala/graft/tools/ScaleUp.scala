@@ -57,9 +57,10 @@ object ScaleUp {
       df.withColumn("l_orderkey", col("l_orderkey") + lit(i * Step))
     }
     replicate("events") { (df, i) =>
+      // ts reads as BIGINT nanos under nanosAsLong (Tables.events converts
+      // either encoding); nudge replicas by i*7s so sessions stay distinct
       df.withColumn("event_id", col("event_id") + lit(i * Step))
-        // nudge replica timestamps so sessionization sees distinct events
-        .withColumn("ts", col("ts") + expr(s"INTERVAL ${i * 7} SECONDS"))
+        .withColumn("ts", col("ts") + lit(i * 7000000000L))
     }
     replicate("documents") { (df, i) =>
       val mutated =

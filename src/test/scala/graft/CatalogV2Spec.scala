@@ -144,6 +144,22 @@ class CatalogV2Spec extends AnyFunSuite {
     assert(r.map(_.getDouble(0)).toSeq == Seq(2.0))
   }
 
+  test("C9: NOT NULL and column comments survive create → write → read " +
+    "(ref PrestoTypeUtils nullability mapping)") {
+    sql("CREATE NAMESPACE graft2.db9")
+    sql("CREATE TABLE graft2.db9.nn (k INT NOT NULL, v STRING COMMENT 'payload')")
+    def check(): Unit = {
+      val sch = spark.table("graft2.db9.nn").schema
+      assert(!sch("k").nullable, "NOT NULL lost")
+      assert(sch("v").nullable)
+      assert(sch("v").getComment().contains("payload"), "column comment lost")
+    }
+    check()
+    sql("INSERT INTO graft2.db9.nn VALUES (1, 'a')")
+    check() // still intact after the write re-loads table metadata
+    assert(sql("SELECT k FROM graft2.db9.nn").first().getInt(0) == 1)
+  }
+
   private def withConf(key: String, value: String)(body: => Unit): Unit = {
     val old = spark.conf.getOption(key)
     spark.conf.set(key, value)
