@@ -106,7 +106,56 @@ object GraftQueries {
       .orderBy("l_orderkey")
   }
 
+  /** part through a bloom-indexed table (file-index.bloom-filter.columns
+    * = p_partkey): four commits = four files whose key ranges fully
+    * overlap (pmod split), so min/max stats cannot discriminate — only
+    * the bloom sidecars isolate the files holding the probed keys. The
+    * oracle is the same point lookup over raw part; identical rows prove
+    * the index never drops a match (blooms have no false negatives). */
+  private def graftBloom(s: SparkSession, d: String): DataFrame = {
+    val p = T.part(s, d).select("p_partkey", "p_name", "p_brand", "p_retailprice")
+    val t = GraftTable.create(s, tmpRoot("bloom"), p.schema,
+      options = Map("file-index.bloom-filter.columns" -> "p_partkey"))
+    val part = pmod(col("p_partkey"), lit(4))
+    (0 until 4).foreach(i => t.append(p.filter(part === i).coalesce(1)))
+    s.read.format("graft").load(t.root)
+      .filter(col("p_partkey").isin(17L, 118L, 219L, 1020L))
+      .select(col("p_partkey"), col("p_name"), col("p_brand"),
+        round(col("p_retailprice"), 2).as("price"))
+      .orderBy("p_partkey")
+  }
+
+  /** customer through the SQL surface end-to-end: CREATE TABLE (PK) via
+    * the V2 catalog, INSERT INTO, SQL DELETE FROM with a row predicate
+    * (tombstone -D commit the merge hides), SELECT — the oracle applies
+    * the negated predicate to raw customer. */
+  private def graftDelete(s: SparkSession, d: String): DataFrame = {
+    val wh = new java.io.File("target/graft-tmp/delwh").getAbsolutePath
+    s.conf.set("spark.sql.catalog.graftq", "graft.sources.GraftSparkCatalog")
+    s.conf.set("spark.sql.catalog.graftq.warehouse", wh)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graftq.q")
+    s.sql("DROP TABLE IF EXISTS graftq.q.cust")
+    s.sql("""CREATE TABLE graftq.q.cust (
+            |  c_custkey BIGINT, c_name STRING, c_acctbal DOUBLE, c_mktsegment STRING
+            |) TBLPROPERTIES ('primary-key'='c_custkey')""".stripMargin)
+    T.customer(s, d).select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+      .createOrReplaceTempView("graft_cust_src")
+    s.sql("INSERT INTO graftq.q.cust SELECT * FROM graft_cust_src")
+    s.sql("DELETE FROM graftq.q.cust WHERE c_mktsegment = 'BUILDING' OR c_acctbal < 0")
+    s.sql("""SELECT c_custkey, c_name, round(c_acctbal, 2) AS bal, c_mktsegment
+            |FROM graftq.q.cust WHERE c_custkey < 500 ORDER BY c_custkey""".stripMargin)
+  }
+
   val defs: Seq[QDef] = Seq(
+    QDef("q_graft_bloom", graftBloom,
+      Some("""SELECT p_partkey, p_name, p_brand, round(p_retailprice,2) AS price
+             |FROM part WHERE p_partkey IN (17, 118, 219, 1020)
+             |ORDER BY p_partkey""".stripMargin)),
+    QDef("q_graft_delete", graftDelete,
+      Some("""SELECT c_custkey, c_name, round(c_acctbal,2) AS bal, c_mktsegment
+             |FROM customer
+             |WHERE NOT (c_mktsegment = 'BUILDING' OR c_acctbal < 0) AND c_custkey < 500
+             |ORDER BY c_custkey""".stripMargin)),
     QDef("q_graft_mor", graftMor,
       Some("""SELECT user_id, event_id, event_type, round(value,2) AS value
              |FROM (SELECT *, row_number() OVER (PARTITION BY user_id

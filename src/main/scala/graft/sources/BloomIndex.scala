@@ -1,0 +1,110 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+import java.io.{DataInputStream, DataOutputStream}
+
+/** Per-file bloom-filter column index — equality-predicate file skipping
+  * where min/max stats cannot help (high-cardinality, unclustered
+  * columns). Spark-first re-expression of Paimon's
+  * `file-index.bloom-filter.columns` file index (which the reference
+  * connector inherits through Paimon's FileStoreScan planning): the
+  * write task hashes each non-null value of the configured columns with
+  * the SAME XxHash64 expression the planner later applies to predicate
+  * literals, sizes a filter for the file's actual row count at build
+  * time, and writes one small sidecar (`<data-file>.bfidx`) next to the
+  * data file. Planning stays driver-side and metadata-only: the sidecar
+  * is opened lazily, only when an equality predicate on an indexed
+  * column survives partition/stats pruning, and is memoized per path.
+  *
+  * A bloom filter has NO false negatives, so pruning is sound: a file is
+  * dropped only when the filter proves the value was never written.
+  */
+object BloomIndex {
+
+  val Suffix = ".bfidx"
+  private val Magic = 0x47424631 // "GBF1"
+
+  /** ~1% false-positive rate: m ≈ 9.6 bits/item, k = 7. */
+  private val BitsPerItem = 10
+  private val NumHashes = 7
+
+  final class Bloom(val words: Array[Long]) {
+    private val mBits: Long = words.length.toLong * 64
+    def mightContain(h: Long): Boolean = {
+      // Kirsch–Mitzenmacher double hashing over one 64-bit input
+      val h1 = (h & 0xFFFFFFFFL).toInt
+      val h2 = (h >>> 32).toInt
+      var i = 0
+      while (i < NumHashes) {
+        var g = (h1 + i.toLong * h2) % mBits
+        if (g < 0) g += mBits
+        if ((words((g >>> 6).toInt) & (1L << (g & 63))) == 0) return false
+        i += 1
+      }
+      true
+    }
+  }
+
+  /** Build a filter sized for `n` items from their 64-bit hashes. */
+  def build(hashes: Array[Long], n: Int): Bloom = {
+    val mBits = math.max(64L, n.toLong * BitsPerItem)
+    val words = new Array[Long](((mBits + 63) / 64).toInt)
+    val m = words.length.toLong * 64
+    var j = 0
+    while (j < n) {
+      val h = hashes(j)
+      val h1 = (h & 0xFFFFFFFFL).toInt
+      val h2 = (h >>> 32).toInt
+      var i = 0
+      while (i < NumHashes) {
+        var g = (h1 + i.toLong * h2) % m
+        if (g < 0) g += m
+        words((g >>> 6).toInt) |= 1L << (g & 63)
+        i += 1
+      }
+      j += 1
+    }
+    new Bloom(words)
+  }
+
+  def write(fs: FileSystem, path: Path, cols: Seq[(String, Bloom)]): Unit = {
+    val out = new DataOutputStream(fs.create(path, true))
+    try {
+      out.writeInt(Magic)
+      out.writeInt(cols.size)
+      cols.foreach { case (name, b) =>
+        out.writeUTF(name)
+        out.writeInt(b.words.length)
+        b.words.foreach(out.writeLong)
+      }
+    } finally out.close()
+  }
+
+  /** None for a missing/unreadable/foreign sidecar (legacy files — no
+    * pruning claim can be made). */
+  def read(fs: FileSystem, path: Path): Option[Map[String, Bloom]] =
+    try {
+      if (!fs.exists(path)) return None
+      val in = new DataInputStream(fs.open(path))
+      try {
+        if (in.readInt() != Magic) return None
+        val n = in.readInt()
+        Some((0 until n).map { _ =>
+          val name = in.readUTF()
+          val words = Array.fill(in.readInt())(in.readLong())
+          name -> new Bloom(words)
+        }.toMap)
+      } finally in.close()
+    } catch { case _: java.io.IOException => None }
+
+  /** Hash a predicate literal exactly as the write task hashed the
+    * stored values: XxHash64 over the value cast to the column type.
+    * None when the value cannot be represented (no pruning claim). */
+  def hashLiteral(value: Any, dt: org.apache.spark.sql.types.DataType): Option[Long] =
+    try {
+      import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+      val lit = Literal.create(value, dt)
+      Some(new XxHash64(Seq(lit)).eval(null).asInstanceOf[Long])
+    } catch { case scala.util.control.NonFatal(_) => None }
+}

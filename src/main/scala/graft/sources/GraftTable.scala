@@ -506,8 +506,7 @@ class GraftTable private (
     try commitAt(id, kind, added, deleted, rebase, commitUser, commitIdentifier)
     catch {
       case e: Throwable =>
-        added.foreach(f =>
-          try fs.delete(new Path(root, f.path), false) catch { case _: java.io.IOException => () })
+        added.foreach(f => deleteDataFile(f.path))
         throw e
     }
 
@@ -707,10 +706,45 @@ class GraftTable private (
   private[sources] def partitionPruneSafe: Boolean =
     !isPkTable || partitionKeys.forall(primaryKeys.contains)
 
+  /** Columns with a per-file bloom-filter sidecar index
+    * (`file-index.bloom-filter.columns`, Paimon's file-index option). */
+  private[sources] def bloomIndexCols: Seq[String] =
+    options.get("file-index.bloom-filter.columns")
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Seq.empty)
+
+  // sidecar blooms memoized per data-file path (files are immutable)
+  private val bloomCache =
+    scala.collection.concurrent.TrieMap[String, Option[Map[String, BloomIndex.Bloom]]]()
+  private def bloomsOf(f: FileMeta): Option[Map[String, BloomIndex.Bloom]] =
+    bloomCache.getOrElseUpdate(f.path,
+      BloomIndex.read(fs, new Path(root, f.path + BloomIndex.Suffix)))
+
+  /** Bloom pruning of one filter against one file: false ONLY when the
+    * sidecar proves no stored value hashes to the literal (blooms have
+    * no false negatives). Missing sidecars and non-equality shapes keep
+    * the file. */
+  private def bloomMayMatch(fl: org.apache.spark.sql.sources.Filter, f: FileMeta): Boolean = {
+    import org.apache.spark.sql.sources.{EqualNullSafe, EqualTo, In}
+    val cols = bloomIndexCols.toSet
+    def probe(c: String, v: Any): Boolean =
+      bloomsOf(f).flatMap(_.get(c)) match {
+        case Some(b) => BloomIndex.hashLiteral(v, schema(c).dataType).forall(b.mightContain)
+        case None => true
+      }
+    fl match {
+      case EqualTo(c, v) if cols(c) && v != null => probe(c, v)
+      case EqualNullSafe(c, v) if cols(c) && v != null => probe(c, v)
+      case In(c, vs) if cols(c) && vs != null =>
+        val nn = vs.filter(_ != null)
+        nn.isEmpty || nn.exists(probe(c, _))
+      case _ => true
+    }
+  }
+
   /** Manifest planning shared by the library read path and the V2 scan:
-    * partition prune → bucket prune → min/max data skipping (PK tables
-    * skip only on `skipSafeCols`; the partition prune applies only when
-    * `partitionPruneSafe`). */
+    * partition prune → bucket prune → min/max data skipping → bloom
+    * file-index skipping (PK tables skip only on `skipSafeCols`; the
+    * partition prune applies only when `partitionPruneSafe`). */
   private[sources] def planFiles(
       snapshotId: Option[Long] = None,
       partitionFilter: Option[Column] = None,
@@ -725,6 +759,8 @@ class GraftTable private (
     if (skipSafe.nonEmpty)
       files = files.filter(f =>
         skipSafe.forall(fl => FileStats.mayMatch(fl, f.statsOrEmpty, schema)))
+    if (skipSafe.nonEmpty && bloomIndexCols.nonEmpty)
+      files = files.filter(f => skipSafe.forall(fl => bloomMayMatch(fl, f)))
     files
   }
 
@@ -1016,7 +1052,7 @@ class GraftTable private (
       retainedSnaps.flatMap(s => filesOf(s).map(_.path)).toSet
     val orphans = expiredSnaps.flatMap(s => filesOf(s).map(_.path))
       .toSet -- retained
-    orphans.foreach(p => fs.delete(new Path(root, p), false))
+    orphans.foreach(deleteDataFile)
     // manifests referenced only by expired snapshots are orphans too
     val retainedManifests = retainedSnaps.flatMap(manifestsOf).toSet
     val orphanManifests = expiredSnaps.flatMap(manifestsOf).toSet -- retainedManifests
@@ -1050,13 +1086,24 @@ class GraftTable private (
       val st = it.next()
       if (st.isFile) {
         val rel = st.getPath.toString.stripPrefix(rootQ).stripPrefix("/")
-        if (!referenced.contains(rel) && now - st.getModificationTime > ttlMs) {
+        // a bloom sidecar lives and dies with its data file: it is
+        // orphaned iff the data file it indexes is unreferenced
+        val base =
+          if (rel.endsWith(BloomIndex.Suffix)) rel.dropRight(BloomIndex.Suffix.length) else rel
+        if (!referenced.contains(base) && now - st.getModificationTime > ttlMs) {
           fs.delete(st.getPath, false)
           out += rel
         }
       }
     }
     out.toSeq
+  }
+
+  /** Delete a data file together with its bloom sidecar (best-effort). */
+  private def deleteDataFile(rel: String): Unit = {
+    try fs.delete(new Path(root, rel), false) catch { case _: java.io.IOException => () }
+    try fs.delete(new Path(root, rel + BloomIndex.Suffix), false)
+    catch { case _: java.io.IOException => () }
   }
 
   // ---- schema evolution ----------------------------------------------

@@ -35,7 +35,8 @@ import java.util.OptionalLong
 final class GraftV2Table(
     path: String, tableSchema: StructType, writeOptions: Map[String, String] = Map.empty,
     identName: Option[String] = None, pinnedSnapshot: Option[Long] = None)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDeleteV2 {
 
   override def name(): String = identName.getOrElse(s"graft.`$path`")
 
@@ -89,6 +90,79 @@ final class GraftV2Table(
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new GraftWriteBuilder(loaded, info)
+
+  // ---- SQL DELETE FROM / TRUNCATE TABLE --------------------------------
+
+  /** DELETE FROM semantics, two sound strategies:
+    *
+    * METADATA delete — every predicate is an EXACT partition-column
+    * predicate: drop the matching files in one OVERWRITE commit, no job.
+    * On a PK table this requires `partitionPruneSafe` (partition keys ⊆
+    * primary key): a key's versions then never span partitions, so
+    * dropping a partition's files deletes those keys wholesale instead
+    * of resurrecting older versions left elsewhere.
+    *
+    * TOMBSTONE delete — PK table, any predicate translatable to a row
+    * Column: read the current merged state, filter the matches, and
+    * write `-D` rows (the table's own delete path), which the
+    * merge-on-read hides — the LSM delete, O(matches) new data.
+    *
+    * Anything else reports canDeleteWhere=false and Spark raises the
+    * standard unsupported-delete error. */
+  private def v1Filters(predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Option[Seq[Filter]] = {
+    val fs = org.apache.spark.sql.graft.Bridge.predicatesToV1(predicates)
+    if (fs.length == predicates.length) Some(fs.toSeq) else None
+  }
+
+  private def truncateRequested(filters: Seq[Filter]): Boolean =
+    filters.forall(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue])
+
+  private def partitionExact(filters: Seq[Filter]): Option[Seq[Filter]] = {
+    val partCols = loaded.partitionKeys.toSet
+    val metadataSafe = !loaded.isPkTable || loaded.partitionPruneSafe
+    if (metadataSafe && partCols.nonEmpty &&
+      filters.forall(f => GraftFilters.toColumn(f, partCols, exact = true).isDefined))
+      Some(filters)
+    else None
+  }
+
+  private def rowCond(filters: Seq[Filter]): Option[org.apache.spark.sql.Column] = {
+    val allCols = loaded.schema.fieldNames.toSet
+    val cols = filters.map(GraftFilters.toColumn(_, allCols, exact = true))
+    if (cols.forall(_.isDefined)) cols.flatten.reduceOption(_ && _) else None
+  }
+
+  override def canDeleteWhere(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Boolean =
+    v1Filters(predicates).exists(fs =>
+      truncateRequested(fs) || partitionExact(fs).isDefined ||
+        (loaded.isPkTable && rowCond(fs).isDefined))
+
+  override def deleteWhere(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    val filters = v1Filters(predicates).getOrElse(
+      throw new UnsupportedOperationException(s"untranslatable DELETE predicates: ${predicates.mkString(", ")}"))
+    val base = loaded.latestSnapshotId.getOrElse(0L)
+    if (truncateRequested(filters)) {
+      loaded.commitV2("truncate", Seq.empty, Seq.empty, base); return
+    }
+    partitionExact(filters) match {
+      case Some(fs) => loaded.commitV2("filter", Seq.empty, fs, base)
+      case None =>
+        val cond = rowCond(filters).filter(_ => loaded.isPkTable).getOrElse(
+          throw new UnsupportedOperationException(
+            s"DELETE supports partition predicates, or any row predicate on a primary-key " +
+              s"table; got: ${filters.mkString(", ")}"))
+        val matches = loaded.read().filter(cond)
+        loaded.delete(matches)
+    }
+  }
+
+  override def truncateTable(): Boolean = {
+    loaded.commitV2("truncate", Seq.empty, Seq.empty, loaded.latestSnapshotId.getOrElse(0L))
+    true
+  }
 
   // one metadata load per table instance, shared by every scan builder
   // (inferSchema already paid one; reloading per-builder would read the
@@ -544,13 +618,7 @@ final class GraftScan(
     // createReaderFactory() (driver-side, inside this window), so a
     // scoped session-conf flip builds a row-based factory without
     // touching how the session reads anything else.
-    val vecKey =
-      if (table.fileFormat == "orc") "spark.sql.orc.enableVectorizedReader"
-      else "spark.sql.parquet.enableVectorizedReader"
-    val conf = spark.sessionState.conf
-    val prev = if (vectorized) null else conf.getConfString(vecKey, "true")
-    if (!vectorized) conf.setConfString(vecKey, "false")
-    try {
+    def build(): PartitionReaderFactory = {
       val emptyIndex = new org.apache.spark.sql.execution.datasources.InMemoryFileIndex(
         spark, Seq.empty, Map.empty, None)
       if (table.fileFormat == "orc")
@@ -572,7 +640,21 @@ final class GraftScan(
           readPartitionSchema = readPart,
           pushedFilters = filters,
           options = CaseInsensitiveStringMap.empty()).createReaderFactory()
-    } finally if (!vectorized) conf.setConfString(vecKey, prev)
+    }
+    if (vectorized) build()
+    else {
+      val vecKey =
+        if (table.fileFormat == "orc") "spark.sql.orc.enableVectorizedReader"
+        else "spark.sql.parquet.enableVectorizedReader"
+      val conf = spark.sessionState.conf
+      // serialize the flip window: a concurrent scan builder on another
+      // thread must not observe (or restore over) the disabled flag
+      conf.synchronized {
+        val prev = conf.getConfString(vecKey, "true")
+        conf.setConfString(vecKey, "false")
+        try build() finally conf.setConfString(vecKey, prev)
+      }
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {

@@ -52,7 +52,11 @@ final case class GraftWriteSpec(
     // rows arrive sorted by (primary key asc, version desc): every file
     // this task writes is a sorted run (any subsequence of a sorted
     // stream is sorted), recorded in FileMeta for the streaming merge
-    keySorted: Boolean = false)
+    keySorted: Boolean = false,
+    // columns with a per-file bloom-filter sidecar (file-index.bloom-
+    // filter.columns): the task hashes each stored value and writes
+    // <file>.bfidx on close — see BloomIndex
+    bloomCols: Seq[String] = Seq.empty)
 
 object GraftWrite {
 
@@ -97,7 +101,8 @@ object GraftWrite {
       hiddenSeq = hiddenSeq,
       hiddenKind = hiddenKind,
       dedupKeys = dedupKeys,
-      keySorted = keySorted)
+      keySorted = keySorted,
+      bloomCols = table.bloomIndexCols.filter(writeSchema.fieldNames.contains))
   }
 
   /** mapPartitions body for the library write path (static method so the
@@ -139,6 +144,16 @@ final class GraftTaskWriter(spec: GraftWriteSpec, taskUniq: String) {
     BoundReference(i, spec.writeSchema(i).dataType, spec.writeSchema(i).nullable)
   }
 
+  /** Stored value of a write-schema column (CHAR pad / VARCHAR truncate
+    * applied) — shared by the data projection and the bloom hashes, so
+    * the index always hashes exactly the bytes the file holds. */
+  private def storedValue(name: String): Expression =
+    spec.charPad.get(name)
+      .map(n => StringRPad(ref(name), Literal(n), Literal(" ")): Expression)
+      .orElse(spec.varcharTrunc.get(name)
+        .map(n => Substring(ref(name), Literal(1), Literal(n)): Expression))
+      .getOrElse(ref(name))
+
   private val dataProj = UnsafeProjection.create(spec.fileDataSchema.fields.toIndexedSeq.map { f =>
     if (!spec.writeSchema.fieldNames.contains(f.name)) f.name match {
       // hidden PK columns a V2 write attaches writer-side
@@ -148,12 +163,26 @@ final class GraftTaskWriter(spec: GraftWriteSpec, taskUniq: String) {
           f.dataType): Expression
       case other => throw new IllegalStateException(s"write input missing column $other")
     }
-    else spec.charPad.get(f.name)
-      .map(n => StringRPad(ref(f.name), Literal(n), Literal(" ")): Expression)
-      .orElse(spec.varcharTrunc.get(f.name)
-        .map(n => Substring(ref(f.name), Literal(1), Literal(n)): Expression))
-      .getOrElse(ref(f.name))
+    else storedValue(f.name)
   })
+
+  // one XxHash64 per indexed column, over the stored (padded) value —
+  // the planner hashes predicate literals with the same expression
+  private val bloomProj: Option[UnsafeProjection] =
+    if (spec.bloomCols.isEmpty) None
+    else Some(UnsafeProjection.create(spec.bloomCols.toIndexedSeq.map(c =>
+      new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(storedValue(c))): Expression)))
+
+  /** Growable primitive long buffer (no boxing on the per-row path). */
+  private final class LongBuf {
+    var arr = new Array[Long](1024)
+    var n = 0
+    def add(v: Long): Unit = {
+      if (n == arr.length) arr = java.util.Arrays.copyOf(arr, n * 2)
+      arr(n) = v
+      n += 1
+    }
+  }
 
   // consecutive-key dedup (see GraftWriteSpec.dedupKeys)
   private val keyProj: Option[UnsafeProjection] =
@@ -178,7 +207,9 @@ final class GraftTaskWriter(spec: GraftWriteSpec, taskUniq: String) {
       val writer: org.apache.spark.sql.execution.datasources.OutputWriter,
       val relPath: String,
       val partition: Map[String, String],
-      val bucket: Int)
+      val bucket: Int) {
+    val bloomBufs: Array[LongBuf] = Array.fill(spec.bloomCols.size)(new LongBuf)
+  }
 
   private val open = mutable.LinkedHashMap[(Seq[String], Int), Open]()
   private val closed = mutable.ArrayBuffer[Open]()
@@ -201,6 +232,11 @@ final class GraftTaskWriter(spec: GraftWriteSpec, taskUniq: String) {
     val o = open.getOrElseUpdate(key, newWriter(partVals, bucket))
     if (open.size > spec.maxOpenWriters)
       open.keysIterator.find(_ != key).foreach(k => closeOne(open.remove(k).get))
+    bloomProj.foreach { bp =>
+      val hashes = bp(row)
+      var i = 0
+      while (i < o.bloomBufs.length) { o.bloomBufs(i).add(hashes.getLong(i)); i += 1 }
+    }
     o.writer.write(dataProj(row))
   }
 
@@ -220,7 +256,15 @@ final class GraftTaskWriter(spec: GraftWriteSpec, taskUniq: String) {
       rel, rendered.toMap, bucket)
   }
 
-  private def closeOne(o: Open): Unit = { o.writer.close(); closed += o }
+  private def closeOne(o: Open): Unit = {
+    o.writer.close()
+    if (spec.bloomCols.nonEmpty)
+      BloomIndex.write(fs, new Path(root, o.relPath + BloomIndex.Suffix),
+        spec.bloomCols.zip(o.bloomBufs).map { case (c, buf) =>
+          c -> BloomIndex.build(buf.arr, buf.n)
+        })
+    closed += o
+  }
 
   def commit(): Seq[FileMeta] = {
     open.values.toSeq.foreach(closeOne)
@@ -239,7 +283,10 @@ final class GraftTaskWriter(spec: GraftWriteSpec, taskUniq: String) {
   def abort(): Unit = {
     open.values.foreach(o => try o.writer.close() catch { case _: Exception => () })
     (open.values ++ closed).foreach { o =>
-      try fs.delete(new Path(root, o.relPath), false) catch { case _: java.io.IOException => () }
+      try {
+        fs.delete(new Path(root, o.relPath), false)
+        fs.delete(new Path(root, o.relPath + BloomIndex.Suffix), false)
+      } catch { case _: java.io.IOException => () }
     }
     open.clear(); closed.clear()
   }
@@ -373,8 +420,10 @@ final class GraftBatchWrite(
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val fsys = GraftTable.fileSystem(table.spark, table.root)
     messages.toSeq.filter(_ != null).flatMap { case GraftCommitMessage(f) => f }.foreach { f =>
-      try fsys.delete(new Path(table.root, f.path), false)
-      catch { case _: java.io.IOException => () }
+      try {
+        fsys.delete(new Path(table.root, f.path), false)
+        fsys.delete(new Path(table.root, f.path + BloomIndex.Suffix), false)
+      } catch { case _: java.io.IOException => () }
     }
   }
 }

@@ -20,6 +20,14 @@ object Bridge {
       builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
 
+  /** V2 Predicate → V1 Filter translation (SupportsDeleteV2 receives V2
+    * predicates; the manifest layer speaks V1 filters) — re-exposes the
+    * private[sql] PredicateUtils. */
+  def predicatesToV1(
+      ps: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Array[org.apache.spark.sql.sources.Filter] =
+    org.apache.spark.sql.internal.connector.PredicateUtils.toV1(ps)
+
   /** Re-tag a batch DataFrame as streaming — what V1 streaming sources
     * (FileStreamSource et al.) do via the private[sql]
     * internalCreateDataFrame; MicroBatchExecution asserts

@@ -1,0 +1,120 @@
+package graft
+
+import graft.sources.{BloomIndex, GraftScan, GraftTable}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SURVEY §2.1 S28 — per-file bloom-filter column index
+  * (file-index.bloom-filter.columns): equality-predicate file skipping
+  * on high-cardinality columns where min/max stats cannot prune.
+  */
+class BloomIndexSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def plannedOfTotal(df: DataFrame): (Int, Int) = {
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec if b.scan.isInstanceOf[GraftScan] => b.scan.asInstanceOf[GraftScan]
+    }
+    assert(scans.size == 1)
+    val d = scans.head.description()
+    val m = "files=(\\d+)/(\\d+)".r.findFirstMatchIn(d).getOrElse(fail(s"no file count in: $d"))
+    (m.group(1).toInt, m.group(2).toInt)
+  }
+
+  test("S28: bloom index prunes files on equality; no false negatives") {
+    val path = TestSpark.tmpDir("bloom")
+    val t = GraftTable.create(spark, path,
+      StructType(Seq(StructField("id", LongType), StructField("u", StringType))),
+      options = Map("file-index.bloom-filter.columns" -> "u"))
+    // 4 commits = 4 files with disjoint, UNSORTED high-cardinality values:
+    // min/max stats overlap fully, so only the bloom can discriminate
+    for (c <- 0 until 4)
+      t.append((0 until 500).map(i => (c * 1000L + i, s"u-${i * 7 % 500}-$c"))
+        .toDF("id", "u").coalesce(1))
+    assert(t.latestSnapshotId.contains(4L))
+
+    // equality on a value present in exactly one file
+    val hit = spark.read.format("graft").load(path).filter($"u" === "u-14-2")
+    assert(plannedOfTotal(hit) == ((1, 4)), "bloom should isolate the one matching file")
+    assert(hit.collect().map(_.getLong(0)).toSeq == Seq(2002L))
+
+    // absent value: all files pruned, zero rows, zero tasks over data
+    val miss = spark.read.format("graft").load(path).filter($"u" === "nope")
+    assert(plannedOfTotal(miss)._1 == 0)
+    assert(miss.count() == 0)
+
+    // IN list spanning two files keeps exactly those two
+    val in2 = spark.read.format("graft").load(path).filter($"u".isin("u-14-0", "u-14-3"))
+    assert(plannedOfTotal(in2) == ((2, 4)))
+    assert(in2.count() == 2)
+
+    // library read path prunes identically (dataFilters are pruning
+    // hints — the row predicate is still the caller's to apply)
+    import org.apache.spark.sql.sources.EqualTo
+    val lib = t.read(dataFilters = Seq(EqualTo("u", "u-14-1")))
+    assert(lib.inputFiles.length == 1, "library path should open only the matching file")
+    assert(lib.filter($"u" === "u-14-1").collect().map(_.getLong(0)).toSeq == Seq(1002L))
+  }
+
+  test("S28b: missing sidecar (legacy file) disables pruning, never correctness") {
+    val path = TestSpark.tmpDir("bloomlegacy")
+    val t = GraftTable.create(spark, path,
+      StructType(Seq(StructField("id", LongType), StructField("u", StringType))),
+      options = Map("file-index.bloom-filter.columns" -> "u"))
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "u").coalesce(1))
+    t.append(Seq((3L, "c"), (4L, "d")).toDF("id", "u").coalesce(1))
+    // simulate a legacy file: remove one sidecar
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(new org.apache.hadoop.conf.Configuration())
+    val dataDir = new org.apache.hadoop.fs.Path(path, "data")
+    val sidecars = fs.listStatus(dataDir).map(_.getPath)
+      .filter(_.getName.endsWith(BloomIndex.Suffix))
+    assert(sidecars.length == 2, "each file should carry a sidecar")
+    fs.delete(sidecars.head, false)
+    val t2 = GraftTable.load(spark, path) // fresh instance: no stale bloom cache
+    // value in the sidecar-less file: the file must survive pruning
+    val rows = spark.read.format("graft").load(path).filter($"u".isin("a", "b", "c", "d"))
+      .collect().map(_.getLong(0)).sorted
+    assert(rows.toSeq == Seq(1L, 2L, 3L, 4L), "legacy files must keep every row reachable")
+    assert(t2.read().count() == 4)
+  }
+
+  test("S28c: sidecars die with their data files (expiry + orphan GC)") {
+    val path = TestSpark.tmpDir("bloomgc")
+    val t = GraftTable.create(spark, path,
+      StructType(Seq(StructField("id", LongType), StructField("u", StringType))),
+      options = Map("file-index.bloom-filter.columns" -> "u"))
+    t.append(Seq((1L, "a")).toDF("id", "u"))
+    t.append(Seq((2L, "b")).toDF("id", "u"))
+    t.compact() // rewrites the live set; old files become expirable
+    t.expireSnapshots(retainLast = 1)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(new org.apache.hadoop.conf.Configuration())
+    val left = fs.listStatus(new org.apache.hadoop.fs.Path(path, "data")).map(_.getPath.getName)
+    val dataFiles = left.filterNot(_.endsWith(BloomIndex.Suffix)).toSet
+    val sidecarBases = left.filter(_.endsWith(BloomIndex.Suffix))
+      .map(_.dropRight(BloomIndex.Suffix.length)).toSet
+    assert(sidecarBases.subsetOf(dataFiles),
+      s"every surviving sidecar must index a live data file: $left")
+    assert(dataFiles.nonEmpty && sidecarBases == dataFiles)
+    // orphan GC with ttl 0 removes nothing extra (all files live)
+    assert(t.removeOrphanFiles(ttlMs = 0).isEmpty)
+  }
+
+  test("S28d: PK tables bloom-skip only on version-invariant key columns") {
+    val path = TestSpark.tmpDir("bloompk")
+    val t = GraftTable.create(spark, path,
+      StructType(Seq(StructField("k", LongType), StructField("v", StringType))),
+      primaryKeys = Seq("k"),
+      options = Map("file-index.bloom-filter.columns" -> "v"))
+    t.upsert(Seq((1L, "old")).toDF("k", "v"))
+    t.upsert(Seq((1L, "new")).toDF("k", "v"))
+    // a bloom skip on v would drop the file holding the NEWEST version
+    // and resurrect "old" through the merge — the skip must not apply
+    val rows = spark.read.format("graft").load(path).filter($"v" === "old").collect()
+    assert(rows.isEmpty, "merge must hide the superseded version")
+    assert(spark.read.format("graft").load(path).collect().map(_.getString(1)).toSeq == Seq("new"))
+  }
+}

@@ -160,6 +160,35 @@ class CatalogV2Spec extends AnyFunSuite {
     assert(sql("SELECT k FROM graft2.db9.nn").first().getInt(0) == 1)
   }
 
+  test("C10: SQL DELETE FROM — metadata delete on partitions, tombstones on PK tables, TRUNCATE") {
+    sql("CREATE NAMESPACE graft2.db10")
+    // partitioned append table: partition predicate = metadata delete
+    sql("CREATE TABLE graft2.db10.p (k INT, pt STRING) PARTITIONED BY (pt)")
+    sql("INSERT INTO graft2.db10.p VALUES (1, 'a'), (2, 'b'), (3, 'b')")
+    sql("DELETE FROM graft2.db10.p WHERE pt = 'b'")
+    assert(sql("SELECT k FROM graft2.db10.p").collect().map(_.getInt(0)).toSeq == Seq(1))
+    // a non-partition predicate on an append table is rejected, not mangled
+    val e = intercept[Exception](sql("DELETE FROM graft2.db10.p WHERE k = 1"))
+    assert(e.getMessage.toLowerCase.contains("delete"), e.getMessage)
+    assert(sql("SELECT count(*) FROM graft2.db10.p").first().getLong(0) == 1L)
+
+    // PK table: arbitrary row predicate deletes via -D tombstones
+    sql("""CREATE TABLE graft2.db10.pk (k INT, v STRING, seq BIGINT)
+          |TBLPROPERTIES ('primary-key'='k', 'sequence.field'='seq')""".stripMargin)
+    sql("INSERT INTO graft2.db10.pk VALUES (1, 'keep', 1), (2, 'drop', 1), (3, 'drop', 1)")
+    sql("DELETE FROM graft2.db10.pk WHERE v = 'drop'")
+    assert(sql("SELECT k FROM graft2.db10.pk ORDER BY k").collect().map(_.getInt(0)).toSeq == Seq(1))
+    // the delete is a tombstone commit, not a rewrite: audit log keeps history
+    sql("DELETE FROM graft2.db10.pk WHERE k = 1")
+    assert(sql("SELECT count(*) FROM graft2.db10.pk").first().getLong(0) == 0L)
+
+    // TRUNCATE TABLE drops everything in one metadata commit
+    sql("CREATE TABLE graft2.db10.tr (k INT)")
+    sql("INSERT INTO graft2.db10.tr VALUES (1), (2)")
+    sql("TRUNCATE TABLE graft2.db10.tr")
+    assert(sql("SELECT count(*) FROM graft2.db10.tr").first().getLong(0) == 0L)
+  }
+
   private def withConf(key: String, value: String)(body: => Unit): Unit = {
     val old = spark.conf.getOption(key)
     spark.conf.set(key, value)
