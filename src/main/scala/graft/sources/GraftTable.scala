@@ -484,6 +484,50 @@ class GraftTable private (
     commitOrClean(base + 1, "COMPACT", added, rebase = true)
   }
 
+  /** LSM-style TARGETED compaction (Paimon's
+    * `num-sorted-run.compaction-trigger`): rewrite ONLY the
+    * (partition, bucket) groups holding at least `trigger` files,
+    * folding their version history through the table's merge engine into
+    * fresh key-sorted runs; every other group's files are untouched. At
+    * scale this is the only viable shape — a whole-table `compact()` of
+    * 100 TB is not a maintenance op — and it is what keeps both the
+    * sorted-run count and the MOR merge's working set bounded between
+    * writes.
+    *
+    * Sound only when key → group is stable, i.e. partition keys ⊆
+    * primary key (bucket keys already are): the group then contains
+    * EVERY version of its keys, so the fold is complete and the
+    * rewritten rows' fresh `__seq` cannot outrank versions elsewhere.
+    * Returns None when nothing reached the trigger. */
+  def compactBuckets(
+      trigger: Int = if (compactionTrigger >= 2) compactionTrigger else 5): Option[Long] = {
+    require(isPkTable, "compactBuckets targets primary-key tables (sorted-run folding)")
+    require(partitionPruneSafe,
+      "compactBuckets requires partition keys contained in the primary key " +
+        "(a key's versions must not span groups)")
+    require(trigger >= 2, "a compaction trigger below 2 would rewrite on every commit")
+    val base = latestSnapshotId.getOrElse(return None)
+    val triggered = filesAt(base)
+      .groupBy(f => (f.partition, f.bucket)).values
+      .filter(_.size >= trigger).toSeq.flatten
+    if (triggered.isEmpty) return None
+    val paths = triggered.map(f => s"${root.stripSuffix("/")}/${f.path}")
+    val raw = spark.read
+      .option("basePath", s"${root.stripSuffix("/")}/data")
+      .schema(fileSchema)
+      .format(fileFormat).load(paths: _*)
+    // merging all triggered groups in one pass is sound: keys never
+    // cross groups, so the keyed fold touches exactly one group's rows
+    val merged = mergeVersions(raw).select(schema.fieldNames.map(col).toSeq: _*)
+    val added = stageWrite(merged, rowKind = RowKind.Insert, seq = base + 1)
+    Some(commitOrClean(base + 1, "COMPACT", added, deleted = triggered))
+  }
+
+  /** `num-sorted-run.compaction-trigger` option (0 = no auto-compaction;
+    * when set, PK writes opportunistically fold their bucket backlog). */
+  private[sources] def compactionTrigger: Int =
+    options.getOrElse("num-sorted-run.compaction-trigger", "0").toInt
+
   /** All write paths capture ONE base snapshot and target base+1: a
     * concurrent commit of base+1 makes commitAt fail (no lost update —
     * the loser's file list was built from a stale base), and the staged
@@ -493,7 +537,15 @@ class GraftTable private (
       commitUser: String = "graft", commitIdentifier: Option[Long] = None): Long = {
     val base = latestSnapshotId.getOrElse(0L)
     val added = stageWrite(df, rowKind, seq = base + 1)
-    commitOrClean(base + 1, kind, added, commitUser = commitUser, commitIdentifier = commitIdentifier)
+    val id = commitOrClean(base + 1, kind, added,
+      commitUser = commitUser, commitIdentifier = commitIdentifier)
+    // opt-in write-amortized maintenance (Paimon's writer-side
+    // compaction): fold any bucket whose run count reached the trigger.
+    // Not under lookup changelog (compaction folds the -U/+U history
+    // CDC consumers may not have replayed yet).
+    if (isPkTable && compactionTrigger >= 2 && !lookupChangelog && partitionPruneSafe)
+      compactBuckets(compactionTrigger)
+    id
   }
 
   /** commitAt, deleting the just-written `added` files if the commit
@@ -538,6 +590,37 @@ class GraftTable private (
       case other => throw new IllegalStateException(s"unknown V2 write mode: $other")
     }
   }
+
+  /** Roll the table back to an earlier snapshot (Paimon's
+    * rollback_to): publishes a NEW snapshot whose live file set is
+    * exactly the target's, so the commits after it are logically undone
+    * while every snapshot stays readable (audit trail intact; the undone
+    * files are reclaimed by expiry like any other superseded state).
+    * Deliberately NOT commitOrClean: the "added" files here are
+    * pre-existing files still referenced by older snapshots — a failed
+    * commit must never delete them. */
+  def rollbackTo(snapshotId: Long): Long = {
+    val base = latestSnapshotId.getOrElse(0L)
+    require(snapshotId >= 1 && snapshotId <= base,
+      s"cannot roll back to snapshot $snapshotId (latest is $base)")
+    val target = filesAt(snapshotId)
+    val current = filesAt(base)
+    val targetPaths = target.map(_.path).toSet
+    val currentPaths = current.map(_.path).toSet
+    commitAt(base + 1, "OVERWRITE",
+      added = target.filterNot(f => currentPaths(f.path)),
+      deleted = current.filterNot(f => targetPaths(f.path)))
+  }
+
+  /** Roll back to the snapshot a tag pins (Paimon's rollback to tag). */
+  def rollbackToTag(name: String): Long = rollbackTo(snapshotForTag(name))
+
+  /** Row-level operation commit: atomically swap the scanned files for
+    * their rewritten replacements (group-based copy-on-write UPDATE /
+    * MERGE / DELETE — see GraftRowLevelOperation). */
+  private[sources] def commitReplace(
+      added: Seq[FileMeta], deleted: Seq[FileMeta], base: Long): Long =
+    commitAt(base + 1, "OVERWRITE", added, deleted = deleted)
 
   /** Streaming-sink entry: append/upsert one micro-batch tagged with
     * (queryId, batchId); a batch already committed under the same tag is

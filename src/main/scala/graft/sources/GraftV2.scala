@@ -36,7 +36,19 @@ final class GraftV2Table(
     path: String, tableSchema: StructType, writeOptions: Map[String, String] = Map.empty,
     identName: Option[String] = None, pinnedSnapshot: Option[Long] = None)
     extends Table with SupportsRead with SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDeleteV2 {
+    with org.apache.spark.sql.connector.catalog.SupportsDeleteV2
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+
+  /** UPDATE / MERGE INTO / rewrite-DELETE as group-based copy-on-write
+    * (the Iceberg-style shape): Spark reads the affected groups through
+    * the operation's scan, rebuilds their full row set with the command
+    * applied, and the commit atomically swaps exactly the scanned files
+    * for the rewritten ones. Metadata-only deletes still short-circuit
+    * through SupportsDeleteV2 (OptimizeMetadataOnlyDeleteFromTable). */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    () => new GraftRowLevelOperation(loaded, info.command())
 
   override def name(): String = identName.getOrElse(s"graft.`$path`")
 
@@ -180,7 +192,13 @@ final class GraftV2Table(
   * above the scan. */
 final class GraftScanBuilder(
     spark: SparkSession, table: GraftTable, options: CaseInsensitiveStringMap,
-    pinnedSnapshot: Option[Long] = None)
+    pinnedSnapshot: Option[Long] = None,
+    // row-level replace reads (UPDATE/MERGE/rewrite-DELETE): the built
+    // scan is reported to the operation (its files get replaced at
+    // commit) and reader-level row-group pruning is disabled — a skipped
+    // row group of a replaced file would silently drop its rows
+    rowLevelReplace: Boolean = false,
+    onBuild: GraftScan => Unit = _ => ())
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
 
@@ -347,8 +365,100 @@ final class GraftScanBuilder(
       s"GraftManifestAgg files=${files.size} groupBy=[${groupCols.mkString(",")}]"))
   }
 
-  override def build(): Scan = aggScan.getOrElse(
-    new GraftScan(spark, table, snapshotId, requiredSchema, pushed, partitionPrune, dataSkip))
+  override def build(): Scan = aggScan.getOrElse {
+    val s = new GraftScan(spark, table, snapshotId, requiredSchema, pushed,
+      partitionPrune, dataSkip, rowLevelReplace)
+    onBuild(s)
+    s
+  }
+}
+
+/** Group-based copy-on-write row-level operation (UPDATE / MERGE /
+  * rewrite-DELETE). The scan Spark configures through [[newScanBuilder]]
+  * determines the replace set: its (runtime-filtered) planned files are
+  * the groups being rewritten, and [[GraftReplaceBatchWrite]] commits
+  * `added = rewritten files, deleted = scanned files` as one OVERWRITE
+  * snapshot — optimistic concurrency intact (a commit that raced in
+  * after the base was captured fails the swap). On PK tables the scan
+  * reads MERGED rows and the rewrite folds the groups' history, exactly
+  * like a targeted compaction with the command applied. */
+final class GraftRowLevelOperation(
+    table: GraftTable,
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
+    extends org.apache.spark.sql.connector.write.RowLevelOperation {
+
+  @volatile private var configuredScan: GraftScan = _
+
+  override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(SparkSession.active, table, options,
+      rowLevelReplace = true, onBuild = s => configuredScan = s)
+
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new GraftReplaceWrite(table, info.schema(),
+          () => Option(configuredScan).map(_.scannedFiles).getOrElse(Seq.empty))
+    }
+
+  override def description(): String = s"GraftRowLevelOperation[$cmd]"
+}
+
+/** The replace write: rows route through the ordinary task writers
+  * (PK tables keep the strict key-clustered shuffle + sort, so the
+  * rewritten files are sorted runs); commit swaps in the scan's files. */
+final class GraftReplaceWrite(
+    table: GraftTable, writeSchema: StructType, replaced: () => Seq[FileMeta])
+    extends org.apache.spark.sql.connector.write.Write
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+
+  // identical distribution contract to GraftWriteImpl (see its Scaladoc)
+  private val delegate = new GraftWriteImpl(table, writeSchema, "append", Array.empty)
+  override def requiredDistribution(): org.apache.spark.sql.connector.distributions.Distribution =
+    delegate.requiredDistribution()
+  override def distributionStrictlyRequired(): Boolean = delegate.distributionStrictlyRequired()
+  override def requiredOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    delegate.requiredOrdering()
+
+  override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+    new GraftReplaceBatchWrite(table, writeSchema, replaced)
+}
+
+final class GraftReplaceBatchWrite(
+    table: GraftTable, writeSchema: StructType, replaced: () => Seq[FileMeta])
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+  import org.apache.spark.sql.connector.write._
+
+  private val base: Long = table.latestSnapshotId.getOrElse(0L)
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val spec =
+      if (table.isPkTable)
+        GraftWrite.spec(table.spark, table, writeSchema,
+          hiddenSeq = Some(base + 1), hiddenKind = Some(GraftTable.RowKind.Insert),
+          dedupKeys =
+            if (table.mergeEngine == "deduplicate") table.primaryKeys else Seq.empty,
+          keySorted = true)
+      else GraftWrite.spec(table.spark, table, writeSchema)
+    new GraftReplaceDataWriterFactory(spec)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val added = messages.toSeq.flatMap { case GraftCommitMessage(f) => f }
+    table.commitReplace(added, replaced(), base)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fsys = GraftTable.fileSystem(table.spark, table.root)
+    messages.toSeq.filter(_ != null).flatMap { case GraftCommitMessage(f) => f }.foreach { f =>
+      try {
+        fsys.delete(new org.apache.hadoop.fs.Path(table.root, f.path), false)
+        fsys.delete(new org.apache.hadoop.fs.Path(table.root, f.path + BloomIndex.Suffix), false)
+      } catch { case _: java.io.IOException => () }
+    }
+  }
 }
 
 /** Aggregate answered from manifest metadata: a driver-local scan, no
@@ -385,7 +495,8 @@ final class GraftScan(
     requiredSchema: StructType,
     pushed: Array[Filter],
     partitionPrune: Boolean,
-    dataSkip: Boolean)
+    dataSkip: Boolean,
+    rowLevelReplace: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics with SupportsReportPartitioning
     with SupportsRuntimeFiltering {
 
@@ -453,8 +564,13 @@ final class GraftScan(
     * version and resurrect a stale one through the merge (same rule as
     * GraftTable.skipSafeCols). */
   private def readerFilters: Array[Filter] =
-    if (!table.isPkTable) pushed
+    if (rowLevelReplace) Array.empty // see GraftScanBuilder.rowLevelReplace
+    else if (!table.isPkTable) pushed
     else pushed.filter(_.references.forall(table.skipSafeCols))
+
+  /** Files this scan will read (runtime-filtered when a group filter
+    * ran) — the replace set of a row-level operation's commit. */
+  private[sources] def scannedFiles: Seq[FileMeta] = plannedFiles
 
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): OptionalLong =

@@ -439,3 +439,34 @@ final class GraftDataWriterFactory(spec: GraftWriteSpec) extends DataWriterFacto
     }
   }
 }
+
+/** Writer factory for row-level REPLACE writes (UPDATE / MERGE /
+  * rewrite-DELETE). Group-based plans without metadata projections hand
+  * the writer the raw query output, which Spark prefixes with the
+  * `__row_operation` int column (RowDeltaUtils.OPERATION_COLUMN) that
+  * LogicalWriteInfo.schema() does NOT report — detected from the first
+  * row's arity and stripped with one projection. */
+final class GraftReplaceDataWriterFactory(spec: GraftWriteSpec) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
+    val tw = new GraftTaskWriter(spec, s"$partitionId-$taskId")
+    new DataWriter[InternalRow] {
+      private val n = spec.writeSchema.length
+      private var checked = false
+      private var strip: UnsafeProjection = _
+      override def write(row: InternalRow): Unit = {
+        if (!checked) {
+          checked = true
+          if (row.numFields == n + 1)
+            strip = UnsafeProjection.create(spec.writeSchema.fields.toIndexedSeq.zipWithIndex
+              .map { case (f, i) => BoundReference(i + 1, f.dataType, f.nullable): Expression })
+          else require(row.numFields == n,
+            s"replace write expected $n (or ${n + 1} op-prefixed) columns, got ${row.numFields}")
+        }
+        tw.write(if (strip != null) strip(row) else row)
+      }
+      override def commit(): WriterCommitMessage = GraftCommitMessage(tw.commit())
+      override def abort(): Unit = tw.abort()
+      override def close(): Unit = ()
+    }
+  }
+}

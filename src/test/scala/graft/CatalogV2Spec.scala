@@ -167,10 +167,12 @@ class CatalogV2Spec extends AnyFunSuite {
     sql("INSERT INTO graft2.db10.p VALUES (1, 'a'), (2, 'b'), (3, 'b')")
     sql("DELETE FROM graft2.db10.p WHERE pt = 'b'")
     assert(sql("SELECT k FROM graft2.db10.p").collect().map(_.getInt(0)).toSeq == Seq(1))
-    // a non-partition predicate on an append table is rejected, not mangled
-    val e = intercept[Exception](sql("DELETE FROM graft2.db10.p WHERE k = 1"))
-    assert(e.getMessage.toLowerCase.contains("delete"), e.getMessage)
-    assert(sql("SELECT count(*) FROM graft2.db10.p").first().getLong(0) == 1L)
+    // a non-partition predicate on an append table takes the group-based
+    // copy-on-write rewrite (no metadata shortcut applies)
+    sql("INSERT INTO graft2.db10.p VALUES (7, 'a'), (8, 'a')")
+    sql("DELETE FROM graft2.db10.p WHERE k = 7")
+    assert(sql("SELECT k FROM graft2.db10.p ORDER BY k").collect().map(_.getInt(0)).toSeq
+      == Seq(1, 8))
 
     // PK table: arbitrary row predicate deletes via -D tombstones
     sql("""CREATE TABLE graft2.db10.pk (k INT, v STRING, seq BIGINT)
@@ -187,6 +189,40 @@ class CatalogV2Spec extends AnyFunSuite {
     sql("INSERT INTO graft2.db10.tr VALUES (1), (2)")
     sql("TRUNCATE TABLE graft2.db10.tr")
     assert(sql("SELECT count(*) FROM graft2.db10.tr").first().getLong(0) == 0L)
+  }
+
+  test("C11: SQL UPDATE and MERGE INTO — group-based copy-on-write") {
+    sql("CREATE NAMESPACE graft2.db11")
+    // append table UPDATE: affected files rewritten, others untouched
+    sql("CREATE TABLE graft2.db11.a (k INT, v STRING, pt STRING) PARTITIONED BY (pt)")
+    sql("INSERT INTO graft2.db11.a VALUES (1, 'x', 'p1'), (2, 'y', 'p1'), (3, 'z', 'p2')")
+    sql("UPDATE graft2.db11.a SET v = 'updated' WHERE k = 2")
+    val a = sql("SELECT k, v FROM graft2.db11.a ORDER BY k").collect()
+      .map(r => (r.getInt(0), r.getString(1)))
+    assert(a.toSeq == Seq((1, "x"), (2, "updated"), (3, "z")))
+
+    // PK table UPDATE folds through the merge and keeps upsert semantics
+    sql("""CREATE TABLE graft2.db11.pk (k INT, v STRING, seq BIGINT)
+          |TBLPROPERTIES ('primary-key'='k', 'sequence.field'='seq')""".stripMargin)
+    sql("INSERT INTO graft2.db11.pk VALUES (1, 'a', 1), (2, 'b', 1)")
+    sql("INSERT INTO graft2.db11.pk VALUES (1, 'a2', 2)")
+    sql("UPDATE graft2.db11.pk SET v = 'bumped', seq = 9 WHERE k = 1")
+    val pk = sql("SELECT k, v FROM graft2.db11.pk ORDER BY k").collect()
+      .map(r => (r.getInt(0), r.getString(1)))
+    assert(pk.toSeq == Seq((1, "bumped"), (2, "b")))
+    // a later upsert with a LOWER sequence still loses to the update
+    sql("INSERT INTO graft2.db11.pk VALUES (1, 'stale', 3)")
+    assert(sql("SELECT v FROM graft2.db11.pk WHERE k = 1").first().getString(0) == "bumped")
+
+    // MERGE INTO: matched update + not-matched insert in one statement
+    sql("""CREATE TABLE graft2.db11.src (k INT, v STRING, seq BIGINT)""")
+    sql("INSERT INTO graft2.db11.src VALUES (2, 'merged', 10), (5, 'fresh', 10)")
+    sql("""MERGE INTO graft2.db11.pk t USING graft2.db11.src s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET t.v = s.v, t.seq = s.seq
+          |WHEN NOT MATCHED THEN INSERT (k, v, seq) VALUES (s.k, s.v, s.seq)""".stripMargin)
+    val m = sql("SELECT k, v FROM graft2.db11.pk ORDER BY k").collect()
+      .map(r => (r.getInt(0), r.getString(1)))
+    assert(m.toSeq == Seq((1, "bumped"), (2, "merged"), (5, "fresh")))
   }
 
   private def withConf(key: String, value: String)(body: => Unit): Unit = {

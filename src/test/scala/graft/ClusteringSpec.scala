@@ -65,4 +65,48 @@ class ClusteringSpec extends AnyFunSuite {
     assert(interleave(-5, 0) < interleave(5, 0))
     assert(interleave(Int.MinValue, 0) < interleave(Int.MaxValue, 0))
   }
+
+  test("Z4: compactBuckets folds ONLY the triggered groups, leaves the rest untouched") {
+    val t = GraftTable.create(spark, TestSpark.tmpDir("lsm"),
+      StructType(Seq(StructField("k", LongType), StructField("v", StringType))),
+      primaryKeys = Seq("k"), options = Map("bucket" -> "4"))
+    // bucket of k is stable; find keys per bucket, then load one bucket
+    // with 5 runs and the others with 1
+    val byBucket = (0L until 200L).groupBy(k => t.bucketOf(Seq(k)))
+    assert(byBucket.size == 4)
+    val hot = byBucket.keys.min
+    val hotKeys = byBucket(hot).take(20)
+    val coldRows = byBucket.filterNot(_._1 == hot).values.flatten.take(30).toSeq
+    t.upsert(coldRows.map(k => (k, s"cold-$k")).toDF("k", "v"))
+    (0 until 5).foreach(i => t.upsert(hotKeys.map(k => (k, s"hot-$i-$k")).toDF("k", "v")))
+    val before = t.read().collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val filesBefore = t.system("files").collect().map(_.getString(0)).toSet
+
+    val committed = t.compactBuckets(trigger = 5)
+    assert(committed.isDefined && t.snapshots.last.commitKind == "COMPACT")
+    val filesAfter = t.system("files").collect().map(_.getString(0)).toSet
+    // cold buckets keep their exact files; the hot bucket's runs are gone
+    val untouched = filesBefore.intersect(filesAfter)
+    assert(untouched.nonEmpty, "non-triggered groups must keep their files")
+    assert(filesAfter.size < filesBefore.size, "triggered group must shrink")
+    // folded result identical to the merge the runs produced
+    val after = t.read().collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(after == before)
+    assert(after(hotKeys.head) == s"hot-4-${hotKeys.head}")
+    // nothing left at the trigger → no-op
+    assert(t.compactBuckets(trigger = 5).isEmpty)
+  }
+
+  test("Z5: num-sorted-run.compaction-trigger auto-folds write backlog") {
+    val t = GraftTable.create(spark, TestSpark.tmpDir("lsmauto"),
+      StructType(Seq(StructField("k", LongType), StructField("v", StringType))),
+      primaryKeys = Seq("k"),
+      options = Map("num-sorted-run.compaction-trigger" -> "3"))
+    (0 until 7).foreach(i => t.upsert(Seq((1L, s"v$i"), (2L, s"w$i")).toDF("k", "v")))
+    // every time the single bucket reaches 3 runs a COMPACT commit folds it
+    assert(t.snapshots.exists(_.commitKind == "COMPACT"))
+    assert(t.system("files").count() <= 3, "backlog must stay bounded by the trigger")
+    val rows = t.read().orderBy("k").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.toSeq == Seq((1L, "v6"), (2L, "w6")))
+  }
 }

@@ -70,4 +70,29 @@ class TagSpec extends AnyFunSuite {
     // latest state survives throughout
     assert(t.read().count() == 5)
   }
+
+  test("S32: rollbackTo undoes later commits without destroying history") {
+    import org.apache.spark.sql.types._
+    val t = GraftTable.create(spark, TestSpark.tmpDir("rollback"),
+      StructType(Seq(StructField("k", IntegerType), StructField("v", StringType))))
+    val s1 = t.append(Seq((1, "a"), (2, "b")).toDF("k", "v"))
+    t.createTag("good", Some(s1))
+    t.append(Seq((3, "c")).toDF("k", "v"))
+    t.append(Seq((4, "d")).toDF("k", "v"))
+    assert(t.read().count() == 4)
+
+    val rb = t.rollbackToTag("good")
+    assert(rb == 4L && t.snapshots.last.commitKind == "OVERWRITE")
+    assert(t.read().orderBy("k").collect().map(_.getInt(0)).toSeq == Seq(1, 2))
+    // every snapshot is still readable — rollback is a commit, not a purge
+    assert(t.read(snapshotId = Some(2L)).count() == 3)
+    assert(t.read(snapshotId = Some(3L)).count() == 4)
+    // writing after a rollback continues from the restored state
+    t.append(Seq((9, "z")).toDF("k", "v"))
+    assert(t.read().orderBy("k").collect().map(_.getInt(0)).toSeq == Seq(1, 2, 9))
+    // expiry then reclaims the undone files without touching live ones
+    t.expireSnapshots(retainLast = 2)
+    assert(t.read().count() == 3)
+    intercept[IllegalArgumentException](t.rollbackTo(99L))
+  }
 }
