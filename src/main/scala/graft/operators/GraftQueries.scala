@@ -146,7 +146,39 @@ object GraftQueries {
             |FROM graftq.q.cust WHERE c_custkey < 500 ORDER BY c_custkey""".stripMargin)
   }
 
+  /** part through the row-level SQL surface: CREATE (PK) + INSERT, then
+    * UPDATE (group-based copy-on-write rewrite) and MERGE INTO (matched
+    * update), SELECT — the oracle replays both commands as CASE
+    * expressions over raw part. */
+  private def graftUpdate(s: SparkSession, d: String): DataFrame = {
+    val wh = new java.io.File("target/graft-tmp/updwh").getAbsolutePath
+    s.conf.set("spark.sql.catalog.graftu", "graft.sources.GraftSparkCatalog")
+    s.conf.set("spark.sql.catalog.graftu.warehouse", wh)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graftu.q")
+    s.sql("DROP TABLE IF EXISTS graftu.q.part")
+    s.sql("""CREATE TABLE graftu.q.part (
+            |  p_partkey BIGINT, p_brand STRING, p_size INT, p_retailprice DOUBLE
+            |) TBLPROPERTIES ('primary-key'='p_partkey')""".stripMargin)
+    T.part(s, d).select("p_partkey", "p_brand", "p_size", "p_retailprice")
+      .createOrReplaceTempView("graft_part_src")
+    s.sql("INSERT INTO graftu.q.part SELECT * FROM graft_part_src")
+    s.sql("UPDATE graftu.q.part SET p_retailprice = p_retailprice + 1000 WHERE p_size >= 40")
+    s.sql("""MERGE INTO graftu.q.part t
+            |USING (SELECT p_partkey, 'MERGED' AS b FROM graft_part_src WHERE p_partkey < 50) s
+            |ON t.p_partkey = s.p_partkey
+            |WHEN MATCHED THEN UPDATE SET t.p_brand = s.b""".stripMargin)
+    s.sql("""SELECT p_partkey, p_brand, p_size, round(p_retailprice, 2) AS price
+            |FROM graftu.q.part WHERE p_partkey < 300 ORDER BY p_partkey""".stripMargin)
+  }
+
   val defs: Seq[QDef] = Seq(
+    QDef("q_graft_update", graftUpdate,
+      Some("""SELECT p_partkey,
+             |  CASE WHEN p_partkey < 50 THEN 'MERGED' ELSE p_brand END AS p_brand,
+             |  p_size,
+             |  round(CASE WHEN p_size >= 40 THEN p_retailprice + 1000
+             |        ELSE p_retailprice END, 2) AS price
+             |FROM part WHERE p_partkey < 300 ORDER BY p_partkey""".stripMargin)),
     QDef("q_graft_bloom", graftBloom,
       Some("""SELECT p_partkey, p_name, p_brand, round(p_retailprice,2) AS price
              |FROM part WHERE p_partkey IN (17, 118, 219, 1020)
