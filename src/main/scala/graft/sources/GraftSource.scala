@@ -44,6 +44,10 @@ class GraftSource extends RelationProvider with SchemaRelationProvider
     * to the V1 CreatableRelationProvider, which creates the table. */
   override def inferSchema(options: org.apache.spark.sql.util.CaseInsensitiveStringMap): StructType = {
     val spark = SparkSession.active
+    // incremental reads (Paimon's incremental-between) are a V1 relation:
+    // an empty schema here reports no V2 capability, routing the read to
+    // createRelation below, which builds from readIncrement
+    if (options.containsKey("incremental-between")) return new StructType()
     Option(options.get("path")).filter(p => GraftTable.exists(spark, p))
       .map(p => GraftTable.load(spark, p).schema)
       .getOrElse(new StructType())
@@ -127,6 +131,16 @@ final case class GraftRelation(
   private lazy val table = GraftTable.load(spark, path)
   private def snapshotId: Option[Long] =
     parameters.get("snapshotId").map(_.toLong) // scan_version equivalent
+  // Paimon's incremental-between = "from,to": rows ADDED by the APPEND
+  // commits in (from, to] — rewrites (OVERWRITE/COMPACT) never re-emit
+  private def incrementalBetween: Option[(Long, Long)] =
+    parameters.get("incremental-between").map { v =>
+      v.split(",").map(_.trim) match {
+        case Array(a, b) => (a.toLong, b.toLong)
+        case _ => throw new IllegalArgumentException(
+          s"incremental-between expects 'fromSnapshot,toSnapshot', got: $v")
+      }
+    }
   // session-property equivalents (ref PrestoSessionProperties:
   // partition_prune_enabled / query_pushdown_enabled)
   private def partitionPruneEnabled: Boolean =
@@ -144,6 +158,11 @@ final case class GraftRelation(
   override def unhandledFilters(filters: Array[Filter]): Array[Filter] = filters
 
   override def buildScan(requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
+    incrementalBetween.foreach { case (from, to) =>
+      val df = table.readIncrement(from, to)
+      return (if (requiredColumns.isEmpty) df
+              else df.select(requiredColumns.map(col).toSeq: _*)).rdd
+    }
     val partCols = table.partitionKeys.toSet
     val partFilter =
       if (!partitionPruneEnabled) None

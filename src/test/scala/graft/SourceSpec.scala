@@ -107,4 +107,29 @@ class SourceSpec extends AnyFunSuite {
     assert(r.getDouble(3) == 11.0)
     assert(r.getInt(4) == 2)
   }
+
+  test("incremental-between read option emits only the APPEND delta (ref incremental-between)") {
+    import graft.sources.GraftTable
+    import org.apache.spark.sql.types._
+    val path = TestSpark.tmpDir("incopt")
+    val t = GraftTable.create(spark, path,
+      StructType(Seq(StructField("k", IntegerType), StructField("b", IntegerType))))
+    t.append(Seq((1, 1), (2, 1)).toDF("k", "b"))
+    t.append(Seq((3, 2)).toDF("k", "b"))
+    t.append(Seq((4, 3), (5, 3)).toDF("k", "b"))
+    val inc = spark.read.format("graft")
+      .option("incremental-between", "1,3").load(path)
+    assert(inc.orderBy("k").collect().map(_.getInt(0)).toSeq == Seq(3, 4, 5))
+    // column pruning + residual filters still apply above the delta
+    val one = spark.read.format("graft")
+      .option("incremental-between", "2,3").load(path)
+      .select("k").filter(col("k") > 4)
+    assert(one.collect().map(_.getInt(0)).toSeq == Seq(5))
+    // a compaction between snapshots must not re-emit old rows
+    t.compact()
+    t.append(Seq((9, 9)).toDF("k", "b"))
+    val afterCompact = spark.read.format("graft")
+      .option("incremental-between", "3,5").load(path)
+    assert(afterCompact.collect().map(_.getInt(0)).toSeq == Seq(9))
+  }
 }
