@@ -47,8 +47,22 @@ final class GraftV2Table(
     * through SupportsDeleteV2 (OptimizeMetadataOnlyDeleteFromTable). */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
-      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    // a copy-on-write rewrite folds row history without emitting the
+    // -U/+U pairs lookup-changelog CDC consumers rely on — reject rather
+    // than silently break the changelog. DELETE passes through here
+    // unconditionally: Spark plans its rewrite eagerly and only later
+    // (OptimizeMetadataOnlyDeleteFromTable) converts translatable ones
+    // to the SupportsDeleteV2 tombstone path, which DOES emit true
+    // pre-images; an untranslatable DELETE that reaches the rewrite's
+    // WRITE is rejected inside GraftRowLevelOperation.
+    import org.apache.spark.sql.connector.write.RowLevelOperation.Command
+    if (loaded.isPkTable && loaded.lookupChangelog && info.command() != Command.DELETE)
+      throw new UnsupportedOperationException(
+        "UPDATE/MERGE are not supported with changelog-producer=lookup " +
+          "(a rewrite cannot emit the -U/+U changelog); use upsert writes instead")
     () => new GraftRowLevelOperation(loaded, info.command())
+  }
 
   override def name(): String = identName.getOrElse(s"graft.`$path`")
 
@@ -396,12 +410,20 @@ final class GraftRowLevelOperation(
       rowLevelReplace = true, onBuild = s => configuredScan = s)
 
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
-      : org.apache.spark.sql.connector.write.WriteBuilder =
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    // reached only when a rewrite actually executes (a DELETE converted
+    // to the tombstone path never builds this write) — see the
+    // lookup-changelog rationale in GraftV2Table
+    if (table.isPkTable && table.lookupChangelog)
+      throw new UnsupportedOperationException(
+        s"$cmd is not supported with changelog-producer=lookup " +
+          "(a rewrite cannot emit the -U/+U changelog)")
     new org.apache.spark.sql.connector.write.WriteBuilder {
       override def build(): org.apache.spark.sql.connector.write.Write =
         new GraftReplaceWrite(table, info.schema(),
           () => Option(configuredScan).map(_.scannedFiles).getOrElse(Seq.empty))
     }
+  }
 
   override def description(): String = s"GraftRowLevelOperation[$cmd]"
 }

@@ -225,6 +225,25 @@ class CatalogV2Spec extends AnyFunSuite {
     assert(m.toSeq == Seq((1, "bumped"), (2, "merged"), (5, "fresh")))
   }
 
+  test("C12: UPDATE is rejected on changelog-producer=lookup tables (CDC integrity)") {
+    sql("CREATE NAMESPACE graft2.db12")
+    sql("""CREATE TABLE graft2.db12.cdc (k INT, v STRING, seq BIGINT)
+          |TBLPROPERTIES ('primary-key'='k', 'sequence.field'='seq',
+          |  'changelog-producer'='lookup')""".stripMargin)
+    // lookup tables write through the V1 upsert path (the classification
+    // is a query) — seed via the library at the catalog's table path
+    val wh = spark.conf.get("spark.sql.catalog.graft2.warehouse")
+    import spark.implicits._
+    graft.sources.GraftTable.load(spark, s"$wh/db12.db/cdc")
+      .upsert(Seq((1, "a", 1L)).toDF("k", "v", "seq"))
+    val e = intercept[Exception](
+      sql("UPDATE graft2.db12.cdc SET v = 'b', seq = 2 WHERE k = 1"))
+    assert(e.getMessage.contains("changelog-producer=lookup"), e.getMessage)
+    // DELETE still works: the tombstone path emits true pre-images
+    sql("DELETE FROM graft2.db12.cdc WHERE k = 1")
+    assert(sql("SELECT count(*) FROM graft2.db12.cdc").first().getLong(0) == 0L)
+  }
+
   private def withConf(key: String, value: String)(body: => Unit): Unit = {
     val old = spark.conf.getOption(key)
     spark.conf.set(key, value)
