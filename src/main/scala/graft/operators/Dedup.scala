@@ -320,6 +320,51 @@ object Dedup {
               |FROM documents WHERE doc_id NOT IN (SELECT d2 FROM dropd)
               |GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // L20: benchmark decontamination — flag training docs whose shingle
+    // set CONTAINS a benchmark document (containment = fraction of the
+    // benchmark doc's distinct shingles found in the train doc ≥ 0.5),
+    // the standard eval-set leak check a training pipeline runs before
+    // export. The benchmark side (here the deterministic doc_id % 97
+    // slice; in production the eval sets) is orders of magnitude smaller
+    // than the corpus, so its exploded shingles BROADCAST and the corpus
+    // side stays one linear pass over the shared persisted shingle
+    // stage — no shuffle of the 100 TB side, no all-pairs product.
+    QDef(
+      "q_decontaminate",
+      (s, d) => {
+        val docs = docsWithShingles(s, d)
+        val ex = docs.select(col("doc_id"), explode(col("sh")).as("g"))
+        val bench = docs.filter(col("doc_id") % 97 === 0)
+        val benchSizes = bench.select(col("doc_id").as("bench_id"), size(col("sh")).as("bsz"))
+        val benchEx = bench.select(col("doc_id").as("bench_id"), explode(col("sh")).as("g"))
+        ex.join(broadcast(benchEx), Seq("g"))
+          .filter(col("doc_id") =!= col("bench_id"))
+          // count DISTINCT shared shingles: a shingle repeated in the
+          // train doc must not inflate containment
+          .select(col("doc_id"), col("bench_id"), col("g")).distinct()
+          .groupBy("doc_id", "bench_id").agg(count(lit(1)).as("hits"))
+          .join(broadcast(benchSizes), Seq("bench_id"))
+          .withColumn("containment", col("hits").cast("double") / col("bsz"))
+          // leak report: the top-20 most-contaminated (train, bench)
+          // pairs — a pipeline drops everything above its threshold;
+          // the ranked head is the always-non-empty diagnostic
+          .select(col("doc_id"), col("bench_id"), round(col("containment"), 4).as("containment"))
+          .orderBy(desc("containment"), col("doc_id"), col("bench_id"))
+          .limit(20)
+      },
+      Some(s"""WITH w AS (SELECT doc_id, $ShSql sh FROM documents),
+              |e AS (SELECT doc_id, unnest(sh) g FROM w),
+              |bw AS (SELECT doc_id bench_id, sh, len(sh) bsz FROM w WHERE doc_id % 97 = 0),
+              |be AS (SELECT bench_id, unnest(sh) g FROM bw),
+              |hits AS (SELECT e.doc_id, be.bench_id, count(DISTINCT e.g) AS hits
+              |  FROM e JOIN be ON e.g = be.g AND e.doc_id <> be.bench_id
+              |  GROUP BY e.doc_id, be.bench_id),
+              |c AS (SELECT h.doc_id, h.bench_id,
+              |    CAST(h.hits AS DOUBLE) / bw.bsz AS containment
+              |  FROM hits h JOIN bw ON h.bench_id = bw.bench_id)
+              |SELECT doc_id, bench_id, round(containment, 4) AS containment
+              |FROM c ORDER BY 3 DESC, doc_id, bench_id LIMIT 20""".stripMargin)),
+
     // L14: stratified sampling for data-mixture construction.
     // Deterministic hash-threshold draw (keep iff
     // poly_hash64(doc_id ':' lang) mod 10000 < per-stratum threshold)
