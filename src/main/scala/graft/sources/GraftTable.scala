@@ -1118,6 +1118,20 @@ class GraftTable private (
     * referenced only by expired ones (Paimon-style snapshot expiry; keeps
     * the metadata and storage footprint bounded for a long-lived table).
     * Tagged snapshots never expire. Returns the expired snapshot ids. */
+  /** Time-based expiry (Paimon's snapshot.time-retained): expire every
+    * snapshot committed more than `ttlMs` ago, always retaining at least
+    * the latest (and, as ever, anything a tag pins). Implemented as a
+    * retain-count computed from commit timestamps, so the file/manifest
+    * reclamation and tag-pinning rules are exactly [[expireSnapshots]]'. */
+  def expireOlderThan(ttlMs: Long, nowMs: Long = System.currentTimeMillis()): Seq[Long] = {
+    require(ttlMs >= 0, "ttlMs must be non-negative")
+    val cutoff = nowMs - ttlMs
+    val all = snapshots
+    if (all.isEmpty) return Seq.empty
+    val retainCount = math.max(1, all.count(_.timestampMs > cutoff))
+    expireSnapshots(retainLast = retainCount)
+  }
+
   def expireSnapshots(retainLast: Int): Seq[Long] = {
     require(retainLast >= 1, "must retain at least one snapshot")
     val dir = new Path(root, "snapshot")

@@ -336,6 +336,21 @@ class GraftTableSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq((Some("a+b"), 1), (Some("with space"), 2), (None, 9)))
   }
 
+  test("S15c: time-based expiry (snapshot.time-retained semantics)") {
+    val t = GraftTable.create(spark, TestSpark.tmpDir("expttl"),
+      StructType(Seq(StructField("k", IntegerType))))
+    t.append(Seq(1).toDF("k")); t.append(Seq(2).toDF("k")); t.append(Seq(3).toDF("k"))
+    // a generous TTL expires nothing
+    assert(t.expireOlderThan(ttlMs = 3600 * 1000L).isEmpty)
+    assert(t.snapshots.map(_.id) == Seq(1L, 2L, 3L))
+    // everything is older than a cutoff in the future — but the latest
+    // snapshot is always retained
+    val expired = t.expireOlderThan(ttlMs = 0, nowMs = System.currentTimeMillis() + 60000)
+    assert(expired == Seq(1L, 2L))
+    assert(t.snapshots.map(_.id) == Seq(3L))
+    assert(t.read().count() == 3)
+  }
+
   test("S15b: incremental read across expired snapshots fails with a clear error") {
     import spark.implicits._
     val t = GraftTable.create(spark, TestSpark.tmpDir("expinc"),
