@@ -1042,8 +1042,9 @@ class GraftTable private (
       case "files" =>
         currentFiles(None)
           .map(f => (f.path, partitionKeys.map(k => s"$k=${f.partition(k)}").mkString("/"),
-            f.bucket, f.sizeBytes))
-          .toDF("file_path", "partition", "bucket", "file_size_in_bytes")
+            f.bucket, f.sizeBytes, f.rowCountOpt.map(Long.box).orNull, f.isSorted))
+          .toDF("file_path", "partition", "bucket", "file_size_in_bytes",
+            "record_count", "sorted")
       case "schemas" =>
         allSchemas
           .map(s => (s.id, s.fieldsJson, s.partitionKeys.mkString(","),

@@ -57,6 +57,9 @@ class GraftTableSpec extends AnyFunSuite {
     assert(snaps.select("snapshot_id", "commit_kind").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
       == Seq((1L, "APPEND")))
     assert(t.system("files").count() == 2) // one file per partition
+    // $files carries the manifest's per-file record counts (Paimon $files)
+    val fsum = t.system("files").agg(sum("record_count")).first().getLong(0)
+    assert(fsum == 2L)
     assert(t.system("partitions").count() == 2)
     assert(t.system("options").collect().map(r => (r.getString(0), r.getString(1))).toSeq
       == Seq(("write.batch", "x")))
