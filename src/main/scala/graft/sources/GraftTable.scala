@@ -570,7 +570,12 @@ class GraftTable private (
       mode: String, added: Seq[FileMeta],
       filters: Seq[org.apache.spark.sql.sources.Filter], base: Long): Long = {
     mode match {
-      case "append" => commitAt(base + 1, "APPEND", added)
+      case "append" =>
+        val id = commitAt(base + 1, "APPEND", added)
+        // same opt-in writer-side maintenance as the V1 writeCommit path
+        if (isPkTable && compactionTrigger >= 2 && !lookupChangelog && partitionPruneSafe)
+          compactBuckets(compactionTrigger)
+        id
       case "truncate" =>
         commitAt(base + 1, "OVERWRITE", added, deleted = filesAt(base))
       case "dynamic" =>

@@ -108,5 +108,14 @@ class ClusteringSpec extends AnyFunSuite {
     assert(t.system("files").count() <= 3, "backlog must stay bounded by the trigger")
     val rows = t.read().orderBy("k").collect().map(r => (r.getLong(0), r.getString(1)))
     assert(rows.toSeq == Seq((1L, "v6"), (2L, "w6")))
+    // the V2 write path (catalog/format INSERTs) triggers the same fold
+    val compactsBefore = t.snapshots.count(_.commitKind == "COMPACT")
+    (7 until 12).foreach(i =>
+      Seq((1L, s"v$i")).toDF("k", "v").write.format("graft")
+        .mode(org.apache.spark.sql.SaveMode.Append).save(t.root))
+    val t2 = GraftTable.load(spark, t.root)
+    assert(t2.snapshots.count(_.commitKind == "COMPACT") > compactsBefore,
+      "V2 appends must auto-compact too")
+    assert(t2.read().filter(col("k") === 1L).first().getString(1) == "v11")
   }
 }
