@@ -11,6 +11,51 @@ import org.apache.spark.sql.functions._
 object TextOps {
 
   val defs: Seq[QDef] = Seq(
+    // L21: Gopher/C4-style rule-based quality FILTERING — the keep/drop
+    // gate a pipeline runs before training, with per-rule rejection
+    // counts (the curation dashboard). Rules are exact INTEGER
+    // arithmetic (2·nw ≤ chars ≤ 12·nw, 10·sym ≤ len) so the oracle
+    // replays them with no float divergence; one linear pass, map-side
+    // aggs only.
+    QDef(
+      "q_quality_filter",
+      (s, d) => {
+        val nw = size(Text.words(col("text"))).cast("long")
+        val cns = length(regexp_replace(col("text"), "\\s+", "")).cast("long")
+        val sym = (length(col("text")) -
+          length(regexp_replace(col("text"), "[^A-Za-z0-9 ]", ""))).cast("long")
+        val okLen = nw >= 10 && nw <= 5000
+        val okWl = cns >= nw * 2 && cns <= nw * 12
+        val okSym = sym * 10 <= length(col("text")).cast("long")
+        T.documents(s, d)
+          .select(col("lang"), okLen.as("ol"), okWl.as("ow"), okSym.as("os"))
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(when(col("ol") && col("ow") && col("os"), 1L).otherwise(0L)).as("kept"),
+            sum(when(!col("ol"), 1L).otherwise(0L)).as("rej_len"),
+            sum(when(!col("ow"), 1L).otherwise(0L)).as("rej_wordlen"),
+            sum(when(!col("os"), 1L).otherwise(0L)).as("rej_symbol"))
+          .orderBy("lang")
+      },
+      Some("""WITH m AS (SELECT lang,
+             |  CAST(len(string_split_regex(trim(text),'\s+')) AS BIGINT) AS nw,
+             |  CAST(length(regexp_replace(text,'\s+','','g')) AS BIGINT) AS cns,
+             |  CAST(length(text) - length(regexp_replace(text,'[^A-Za-z0-9 ]','','g')) AS BIGINT) AS sym,
+             |  CAST(length(text) AS BIGINT) AS chars
+             |  FROM documents),
+             |r AS (SELECT lang,
+             |  (nw >= 10 AND nw <= 5000) AS ol,
+             |  (cns >= nw*2 AND cns <= nw*12) AS ow,
+             |  (sym*10 <= chars) AS os
+             |  FROM m)
+             |SELECT lang, count(*) AS n,
+             |  CAST(sum(CASE WHEN ol AND ow AND os THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+             |  CAST(sum(CASE WHEN NOT ol THEN 1 ELSE 0 END) AS BIGINT) AS rej_len,
+             |  CAST(sum(CASE WHEN NOT ow THEN 1 ELSE 0 END) AS BIGINT) AS rej_wordlen,
+             |  CAST(sum(CASE WHEN NOT os THEN 1 ELSE 0 END) AS BIGINT) AS rej_symbol
+             |FROM r GROUP BY lang ORDER BY lang""".stripMargin)),
+
     // L10: token counting — whitespace words + BPE-ish regex tokens.
     QDef(
       "q_text_tokens",
