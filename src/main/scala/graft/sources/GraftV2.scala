@@ -753,15 +753,13 @@ final class GraftScan(
       readData: StructType, readPart: StructType, filters: Array[Filter],
       vectorized: Boolean = true): PartitionReaderFactory = {
     // The vectorized flag is captured into a FINAL factory field during
-    // createReaderFactory() (driver-side, inside this window), so a
-    // scoped session-conf flip builds a row-based factory without
-    // touching how the session reads anything else.
-    def build(): PartitionReaderFactory = {
+    // createReaderFactory() (driver-side), read from the session's SQLConf.
+    def build(s: SparkSession): PartitionReaderFactory = {
       val emptyIndex = new org.apache.spark.sql.execution.datasources.InMemoryFileIndex(
-        spark, Seq.empty, Map.empty, None)
+        s, Seq.empty, Map.empty, None)
       if (table.fileFormat == "orc")
         new org.apache.spark.sql.execution.datasources.v2.orc.OrcScan(
-          spark, spark.sessionState.newHadoopConf(), emptyIndex,
+          s, s.sessionState.newHadoopConf(), emptyIndex,
           dataSchema = table.fileDataSchema,
           readDataSchema = readData,
           readPartitionSchema = readPart,
@@ -772,26 +770,28 @@ final class GraftScan(
           dataFilters = Seq.empty).createReaderFactory()
       else
         new org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan(
-          spark, spark.sessionState.newHadoopConf(), emptyIndex,
+          s, s.sessionState.newHadoopConf(), emptyIndex,
           dataSchema = table.fileDataSchema,
           readDataSchema = readData,
           readPartitionSchema = readPart,
           pushedFilters = filters,
           options = CaseInsensitiveStringMap.empty()).createReaderFactory()
     }
-    if (vectorized) build()
+    if (vectorized) build(spark)
     else {
+      // NEVER flip the live session conf: a concurrent scan (e.g. a
+      // streaming micro-batch's vectorized V1 parquet read) planning or
+      // creating its reader during the flip window would capture the
+      // disabled flag and fail at runtime with
+      // `UnsafeRow cannot be cast to ColumnarBatch` (observed: T4b-full).
+      // cloneSession() copies the SQLConf, so the flag is disabled on an
+      // isolated conf no other scan can observe.
       val vecKey =
         if (table.fileFormat == "orc") "spark.sql.orc.enableVectorizedReader"
         else "spark.sql.parquet.enableVectorizedReader"
-      val conf = spark.sessionState.conf
-      // serialize the flip window: a concurrent scan builder on another
-      // thread must not observe (or restore over) the disabled flag
-      conf.synchronized {
-        val prev = conf.getConfString(vecKey, "true")
-        conf.setConfString(vecKey, "false")
-        try build() finally conf.setConfString(vecKey, prev)
-      }
+      val cloned = org.apache.spark.sql.graft.Bridge.cloneSession(spark)
+      cloned.sessionState.conf.setConfString(vecKey, "false")
+      build(cloned)
     }
   }
 

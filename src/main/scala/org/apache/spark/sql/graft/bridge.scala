@@ -28,6 +28,16 @@ object Bridge {
       : Array[org.apache.spark.sql.sources.Filter] =
     org.apache.spark.sql.internal.connector.PredicateUtils.toV1(ps)
 
+  /** Clone a session: an isolated copy of the SQLConf (and session state)
+    * sharing the SparkContext — re-exposes the private[sql] cloneSession.
+    * Used to build row-based reader factories without flipping
+    * enableVectorizedReader on the LIVE conf (which races concurrent
+    * scans — a streaming micro-batch planning columnar during the flip
+    * window fails with `UnsafeRow cannot be cast to ColumnarBatch`). */
+  def cloneSession(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.SparkSession =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].cloneSession()
+
   /** Re-tag a batch DataFrame as streaming — what V1 streaming sources
     * (FileStreamSource et al.) do via the private[sql]
     * internalCreateDataFrame; MicroBatchExecution asserts
