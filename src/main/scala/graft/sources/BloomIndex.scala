@@ -86,17 +86,26 @@ object BloomIndex {
   def read(fs: FileSystem, path: Path): Option[Map[String, Bloom]] =
     try {
       if (!fs.exists(path)) return None
+      // A corrupt/truncated sidecar must degrade to "no pruning claim",
+      // not fail planning: validate counts against the file's byte length
+      // before allocating (a garbage readInt could otherwise demand a
+      // negative or multi-GB array), and catch NonFatal, not just IO.
+      val fileLen = fs.getFileStatus(path).getLen
       val in = new DataInputStream(fs.open(path))
       try {
         if (in.readInt() != Magic) return None
         val n = in.readInt()
+        if (n < 0 || n > 10000) return None
         Some((0 until n).map { _ =>
           val name = in.readUTF()
-          val words = Array.fill(in.readInt())(in.readLong())
+          val wordCount = in.readInt()
+          if (wordCount < 0 || wordCount.toLong * 8 > fileLen)
+            return None
+          val words = Array.fill(wordCount)(in.readLong())
           name -> new Bloom(words)
         }.toMap)
       } finally in.close()
-    } catch { case _: java.io.IOException => None }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Hash a predicate literal exactly as the write task hashed the
     * stored values: XxHash64 over the value cast to the column type.

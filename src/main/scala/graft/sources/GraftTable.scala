@@ -543,10 +543,20 @@ class GraftTable private (
     // compaction): fold any bucket whose run count reached the trigger.
     // Not under lookup changelog (compaction folds the -U/+U history
     // CDC consumers may not have replayed yet).
-    if (isPkTable && compactionTrigger >= 2 && !lookupChangelog && partitionPruneSafe)
-      compactBuckets(compactionTrigger)
+    maintenanceCompact()
     id
   }
+
+  /** Writer-side compaction runs AFTER the user's commit has already
+    * succeeded, so it must be best-effort: a failure here — typically an
+    * optimistic-concurrency conflict with a concurrent writer — must not
+    * make the committed write appear failed (the caller would retry and
+    * duplicate data under folding merge engines). The skipped fold is
+    * retried by whichever write next trips the trigger. */
+  private def maintenanceCompact(): Unit =
+    if (isPkTable && compactionTrigger >= 2 && !lookupChangelog && partitionPruneSafe)
+      try compactBuckets(compactionTrigger)
+      catch { case scala.util.control.NonFatal(_) => () }
 
   /** commitAt, deleting the just-written `added` files if the commit
     * fails (a lost optimistic-concurrency race references them from no
@@ -572,9 +582,8 @@ class GraftTable private (
     mode match {
       case "append" =>
         val id = commitAt(base + 1, "APPEND", added)
-        // same opt-in writer-side maintenance as the V1 writeCommit path
-        if (isPkTable && compactionTrigger >= 2 && !lookupChangelog && partitionPruneSafe)
-          compactBuckets(compactionTrigger)
+        // same opt-in best-effort maintenance as the V1 writeCommit path
+        maintenanceCompact()
         id
       case "truncate" =>
         commitAt(base + 1, "OVERWRITE", added, deleted = filesAt(base))

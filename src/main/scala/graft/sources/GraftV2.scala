@@ -421,7 +421,7 @@ final class GraftRowLevelOperation(
     new org.apache.spark.sql.connector.write.WriteBuilder {
       override def build(): org.apache.spark.sql.connector.write.Write =
         new GraftReplaceWrite(table, info.schema(),
-          () => Option(configuredScan).map(_.scannedFiles).getOrElse(Seq.empty))
+          () => Option(configuredScan).map(_.scannedFiles))
     }
   }
 
@@ -432,7 +432,7 @@ final class GraftRowLevelOperation(
   * (PK tables keep the strict key-clustered shuffle + sort, so the
   * rewritten files are sorted runs); commit swaps in the scan's files. */
 final class GraftReplaceWrite(
-    table: GraftTable, writeSchema: StructType, replaced: () => Seq[FileMeta])
+    table: GraftTable, writeSchema: StructType, replaced: () => Option[Seq[FileMeta]])
     extends org.apache.spark.sql.connector.write.Write
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
 
@@ -449,7 +449,7 @@ final class GraftReplaceWrite(
 }
 
 final class GraftReplaceBatchWrite(
-    table: GraftTable, writeSchema: StructType, replaced: () => Seq[FileMeta])
+    table: GraftTable, writeSchema: StructType, replaced: () => Option[Seq[FileMeta]])
     extends org.apache.spark.sql.connector.write.BatchWrite {
   import org.apache.spark.sql.connector.write._
 
@@ -469,7 +469,19 @@ final class GraftReplaceBatchWrite(
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val added = messages.toSeq.flatMap { case GraftCommitMessage(f) => f }
-    table.commitReplace(added, replaced(), base)
+    // None = the operation's scan was never tracked (re-planned builder,
+    // defensive gap). Committing rewritten rows WITHOUT a replace set
+    // would duplicate every carried row — fail loudly instead. A tracked
+    // scan that legitimately matched nothing (e.g. insert-only MERGE into
+    // empty groups) is Some(Seq.empty) and commits normally.
+    val rep = replaced().getOrElse {
+      if (added.nonEmpty)
+        throw new IllegalStateException(
+          "row-level rewrite produced data files but its scan was never tracked; " +
+            "an empty replace set would duplicate every carried row")
+      Seq.empty
+    }
+    table.commitReplace(added, rep, base)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -556,7 +568,37 @@ final class GraftScan(
 
   private def plannedFiles: Seq[FileMeta] = {
     val r = runtimePlanned
-    if (r != null) r else basePlanned
+    val base = if (r != null) r else basePlanned
+    if (rowLevelReplace && table.isPkTable) completeGroups(base) else base
+  }
+
+  /** Row-level rewrites on PK tables must fold COMPLETE key histories:
+    * file-granularity pruning (pk min/max stats, bloom sidecars, runtime
+    * group filters) can drop a file holding a non-matching key's NEWEST
+    * version while an older version of that key rides along in a
+    * surviving file — the rewrite would re-commit the stale version with
+    * a fresh __seq that out-ranks the newer one left behind. Expanding
+    * the replace set to whole (partition, bucket) groups restores the
+    * invariant compactBuckets documents: a key's versions never span
+    * groups (partition/bucket keys ⊆ primary key), so a group-complete
+    * fold is history-complete. Coarsens to partition-only or whole-table
+    * when the layout keys are not key-contained. */
+  private lazy val allLiveFiles: Seq[FileMeta] = table.planFiles(snapshotId)
+
+  private def completeGroups(pruned: Seq[FileMeta]): Seq[FileMeta] = {
+    if (pruned.isEmpty) return pruned
+    val all = allLiveFiles
+    if (pruned.size == all.size) return pruned
+    val pk = table.primaryKeys.toSet
+    val partCo = table.partitionKeys.forall(pk)
+    val bucketCo = table.bucketKeys.nonEmpty && table.bucketKeys.forall(pk)
+    if (partCo && bucketCo) {
+      val groups = pruned.map(f => (f.partition, f.bucket)).toSet
+      all.filter(f => groups((f.partition, f.bucket)))
+    } else if (partCo) {
+      val parts = pruned.map(_.partition).toSet
+      all.filter(f => parts(f.partition))
+    } else all
   }
 
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] = {

@@ -244,6 +244,54 @@ class CatalogV2Spec extends AnyFunSuite {
     assert(sql("SELECT count(*) FROM graft2.db12.cdc").first().getLong(0) == 0L)
   }
 
+  test("C13: PK rewrite folds complete key histories — file pruning cannot " +
+    "resurrect a stale version (default __seq ordering, no sequence.field)") {
+    sql("CREATE NAMESPACE graft2.db13")
+    sql("""CREATE TABLE graft2.db13.pk (k INT, v STRING)
+          |TBLPROPERTIES ('primary-key'='k')""".stripMargin)
+    // file1 holds k∈[1,2] (incl. the STALE version of k=2); file2 holds
+    // only the NEWEST k=2. UPDATE WHERE k=1 stats-prunes file2 from the
+    // scan — without group completion the fold reads only file1, carries
+    // stale (2,'old') forward with a fresh __seq, and k=2 silently
+    // reverts. The replace set must expand to the whole (partition,
+    // bucket) group so the fold is history-complete.
+    sql("INSERT INTO graft2.db13.pk VALUES (1, 'a'), (2, 'old')")
+    sql("INSERT INTO graft2.db13.pk VALUES (2, 'new')")
+    sql("UPDATE graft2.db13.pk SET v = 'A' WHERE k = 1")
+    val r = sql("SELECT k, v FROM graft2.db13.pk ORDER BY k").collect()
+      .map(x => (x.getInt(0), x.getString(1)))
+    assert(r.toSeq == Seq((1, "A"), (2, "new")))
+
+    // same hazard through MERGE INTO
+    sql("INSERT INTO graft2.db13.pk VALUES (3, 'stale3')")
+    sql("INSERT INTO graft2.db13.pk VALUES (3, 'new3')")
+    sql("CREATE TABLE graft2.db13.src (k INT, v STRING)")
+    sql("INSERT INTO graft2.db13.src VALUES (1, 'merged')")
+    sql("""MERGE INTO graft2.db13.pk t USING graft2.db13.src s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET t.v = s.v""".stripMargin)
+    val m = sql("SELECT k, v FROM graft2.db13.pk ORDER BY k").collect()
+      .map(x => (x.getInt(0), x.getString(1)))
+    assert(m.toSeq == Seq((1, "merged"), (2, "new"), (3, "new3")))
+
+    // group completion must NOT defeat partition pruning: with partition
+    // keys ⊆ primary key a key's versions never span partitions, so an
+    // update targeting p1 leaves p2's files byte-identical.
+    sql("""CREATE TABLE graft2.db13.ppk (k INT, pt STRING, v STRING)
+          |PARTITIONED BY (pt)
+          |TBLPROPERTIES ('primary-key'='pt,k')""".stripMargin)
+    sql("INSERT INTO graft2.db13.ppk VALUES (1, 'p1', 'a'), (1, 'p2', 'b')")
+    val wh = spark.conf.get("spark.sql.catalog.graft2.warehouse")
+    def p2Files() = graft.sources.GraftTable.load(spark, s"$wh/db13.db/ppk")
+      .system("files").where("partition = 'pt=p2'")
+      .collect().map(_.getString(0)).sorted.toSeq
+    val before = p2Files()
+    sql("UPDATE graft2.db13.ppk SET v = 'A' WHERE pt = 'p1' AND k = 1")
+    assert(p2Files() == before, "untouched partition was rewritten")
+    val pr = sql("SELECT pt, v FROM graft2.db13.ppk ORDER BY pt").collect()
+      .map(x => (x.getString(0), x.getString(1)))
+    assert(pr.toSeq == Seq(("p1", "A"), ("p2", "b")))
+  }
+
   private def withConf(key: String, value: String)(body: => Unit): Unit = {
     val old = spark.conf.getOption(key)
     spark.conf.set(key, value)
