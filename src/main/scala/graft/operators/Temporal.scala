@@ -91,82 +91,29 @@ object Temporal {
              |  CAST(sum(dur_us) AS BIGINT) AS total_dur_us
              |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
-    // R26: exact percentiles (linear interpolation on both engines).
-    // Fully parallel two-pass order statistics — no per-group serial
-    // sort, no value-buffering aggregate:
-    //   1. range-repartition (group, value) so ONE group spans MANY
-    //      partitions, sort within partitions, stamp each row's local
-    //      index (monotonically_increasing_id's per-partition counter,
-    //      assigned above the sort in the same stage);
-    //   2. aggregate per-partition run lengths (P × groups scalars) to
-    //      the driver, turn them into global-rank offsets and the two
-    //      bracketing target ranks per percentile;
-    //   3. one broadcast join re-derives each row's GLOBAL rank from
-    //      (partition offset + local index) and keeps only the ≤2
-    //      bracketing rows per percentile, which interpolate exactly
-    //      like quantile_cont.
-    // Scale shape: the only full-data movement is the single range
-    // shuffle of (group, value) scalar pairs; every partition sorts
-    // rows/P values — at 100× the group no longer funnels through one
-    // task the way a partitionBy(group) window sort would.
+    // R26: exact percentiles (linear interpolation on both engines)
+    // through the reusable Percentiles.exact operator — the fully
+    // parallel two-pass order statistic (one range shuffle of scalars,
+    // no per-group serial sort; algorithm + scale shape documented on
+    // the operator).
     QDef(
       "q_percentile",
       (s, d) => {
         val li = T.lineitem(s, d)
-        // long format: both value columns ride one pipeline
+        // long format: both value columns ride the operator's ONE range
+        // shuffle (the synthetic `which` key keeps them separate groups)
         val vals = li.select(col("l_returnflag"), lit("qty").as("which"),
             col("l_quantity").cast("double").as("v"))
           .unionAll(li.select(col("l_returnflag"), lit("price").as("which"),
             col("l_extendedprice").cast("double").as("v")))
-        val nParts = s.sessionState.conf.numShufflePartitions
-        val Mask = (1L << 33) - 1 // monotonically_increasing_id local counter bits
-        val parted = vals
-          .repartitionByRange(nParts, col("l_returnflag"), col("which"), col("v"))
-          .sortWithinPartitions("l_returnflag", "which", "v")
-          .select(col("l_returnflag"), col("which"), col("v"),
-            spark_partition_id().as("pid"),
-            monotonically_increasing_id().bitwiseAND(lit(Mask)).as("lidx"))
-          .persist()
-        // pass 1: per-(partition, group) run length + start index
-        val runs = parted.groupBy("pid", "l_returnflag", "which")
-          .agg(count(lit(1)).as("cnt"), min("lidx").as("start"))
-          .collect()
-          .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3), r.getLong(4)))
-        // driver: offsets = rows of the same group in LOWER partitions
-        // (range partitions are ascending in pid, so global order = pid
-        // order, then local index order)
-        val byGroup = runs.groupBy { case (_, flag, which, _, _) => (flag, which) }
-        val offsets = byGroup.toSeq.flatMap { case (_, rs) =>
-          val sorted = rs.sortBy(_._1)
-          sorted.scanLeft(0L)(_ + _._4).zip(sorted).map { case (off, (pid, flag, which, _, start)) =>
-            (pid, flag, which, off, start)
-          }
-        }
-        val wanted = Map("qty" -> Seq("p50_qty" -> 0.5),
-          "price" -> Seq("p25_price" -> 0.25, "p90_price" -> 0.9))
-        // bracketing global ranks per (group, percentile)
-        val targets = byGroup.toSeq.flatMap { case ((flag, which), rs) =>
-          val n = rs.map(_._4).sum
-          wanted(which).map { case (name, p) =>
-            val k = (n - 1) * p
-            (flag, which, name, math.floor(k).toLong + 1, math.ceil(k).toLong + 1, k - math.floor(k))
-          }
-        }
-        import s.implicits._
-        val offsetsDf = offsets.toDF("pid", "l_returnflag", "which", "goff", "start")
-        val targetsDf = targets.toDF("l_returnflag", "which", "name", "lo", "hi", "frac")
+        val long = Percentiles.exact(vals, Seq("l_returnflag", "which"), "v",
+          Seq("p25" -> 0.25, "p50" -> 0.5, "p90" -> 0.9))
         val names = Seq("p50_qty", "p25_price", "p90_price")
-        parted
-          .join(broadcast(offsetsDf), Seq("pid", "l_returnflag", "which"))
-          .withColumn("grank", col("goff") + (col("lidx") - col("start")) + 1)
-          .join(broadcast(targetsDf), Seq("l_returnflag", "which"))
-          .filter(col("grank") === col("lo") || col("grank") === col("hi"))
-          .groupBy("l_returnflag", "name")
-          .agg((max(when(col("grank") === col("lo"), col("v"))) +
-            first(col("frac")) * (max(when(col("grank") === col("hi"), col("v"))) -
-              max(when(col("grank") === col("lo"), col("v"))))).as("pv"))
-          .groupBy("l_returnflag").pivot("name", names)
-          .agg(round(first("pv"), 4))
+        long
+          .withColumn("colname", concat(col("name"), lit("_"), col("which")))
+          .filter(col("colname").isin(names: _*))
+          .groupBy("l_returnflag").pivot("colname", names)
+          .agg(round(first("value"), 4))
           .orderBy("l_returnflag")
       },
       Some("""SELECT l_returnflag,

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Percentiles
+
+/** SURVEY §2.2 R26: the reusable exact-percentile operator (two-pass
+  * parallel order statistic). Oracle: Spark's own `percentile` aggregate,
+  * which computes exact linear-interpolation percentiles (percentile_cont
+  * semantics) by buffering values — correct at test sizes, the very plan
+  * the operator exists to avoid at scale. */
+class PercentilesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def check(df: org.apache.spark.sql.DataFrame, groupCols: Seq[String],
+      valueCol: String, ps: Seq[(String, Double)]): Unit = {
+    val got = Percentiles.exact(df, groupCols, valueCol, ps)
+      .collect()
+      .map(r => (groupCols.indices.map(r.get).toList, r.getString(groupCols.size)) ->
+        r.getDouble(groupCols.size + 1)).toMap
+    val oracleAggs = ps.map { case (name, p) =>
+      expr(s"percentile($valueCol, $p)").as(name)
+    }
+    val want = df.filter(col(valueCol).isNotNull)
+      .groupBy(groupCols.map(col): _*).agg(oracleAggs.head, oracleAggs.tail: _*)
+      .collect()
+      .flatMap { r =>
+        val key = groupCols.indices.map(r.get).toList
+        ps.zipWithIndex.map { case ((name, _), i) =>
+          (key, name) -> r.getDouble(groupCols.size + i)
+        }
+      }.toMap
+    assert(got.keySet == want.keySet,
+      s"group×percentile keys differ: ${got.keySet.diff(want.keySet)} / ${want.keySet.diff(got.keySet)}")
+    for ((k, w) <- want)
+      assert(math.abs(got(k) - w) <= 1e-9 * math.max(1.0, math.abs(w)),
+        s"$k: got ${got(k)} want $w")
+  }
+
+  test("R26a: matches Spark's exact percentile across groups, fractions and skew") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // skewed group sizes: one group with 20k rows spans many range
+    // partitions; tiny groups (1, 2, 3 rows) hit the bracketing edges
+    val rows = Seq.tabulate(20000)(i => ("big", rnd.nextGaussian() * 100)) ++
+      Seq(("one", 42.0)) ++
+      Seq(("two", 1.0), ("two", 2.0)) ++
+      Seq.tabulate(3)(i => ("three", i * 10.0)) ++
+      Seq.tabulate(500)(i => ("mid", rnd.nextDouble() * 1e6))
+    val df = rows.toDF("g", "v")
+    check(df, Seq("g"), "v",
+      Seq("p0" -> 0.0, "p25" -> 0.25, "p50" -> 0.5, "p90" -> 0.9, "p100" -> 1.0))
+  }
+
+  test("R26b: multi-column groups, null values ignored, integer input cast") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.tabulate(5000) { i =>
+      (s"a${i % 3}", i % 2, if (i % 17 == 0) None else Some(rnd.nextInt(1000)))
+    }
+    val df = rows.toDF("g1", "g2", "v")
+    check(df, Seq("g1", "g2"), "v", Seq("p10" -> 0.1, "p50" -> 0.5, "p99" -> 0.99))
+  }
+
+  test("R26c: deterministic across invocations and leaves no cached blocks behind") {
+    import spark.implicits._
+    val df = Seq.tabulate(4000)(i => (s"g${i % 5}", (i * 37 % 997).toDouble)).toDF("g", "v")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val a = Percentiles.exact(df, Seq("g"), "v", Seq("p50" -> 0.5, "p75" -> 0.75))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).sortBy(t => (t._1, t._2))
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert(after.diff(before).isEmpty, "operator leaked persisted RDDs")
+    val b = Percentiles.exact(df, Seq("g"), "v", Seq("p50" -> 0.5, "p75" -> 0.75))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).sortBy(t => (t._1, t._2))
+    assert(a.toSeq == b.toSeq)
+  }
+}
