@@ -12,8 +12,19 @@ final case class QDef(
     oracle: Option[String])
 
 object Tables {
-  def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  /** Reads pass an explicit (memoized) schema: Spark's parquet schema
+    * inference launches a small footer-reading job per `.load`, so an
+    * operator that builds several frames would pay several plan-time
+    * jobs per query. With the cache, inference runs once per table per
+    * JVM; the corpus directories are immutable inputs. */
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val sch = schemaCache.computeIfAbsent(path, p => spark.read.parquet(p).schema)
+    spark.read.schema(sch).parquet(path)
+  }
 
   /** events.ts is parquet TIMESTAMP(NANOS) which Spark cannot read natively
     * (PARQUET_TYPE_ILLEGAL). Sessions set
@@ -44,4 +55,26 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+
+  private val rowCountCache = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+
+  /** Table row count from parquet footer metadata — a DRIVER-side
+    * metadata read, no Spark job, no file-data scan. At 100 TB an extra
+    * plan-time `df.count()` is a full scan of the corpus per query;
+    * footers (like graft manifest rowCounts) already carry the answer.
+    * Memoized per path (the corpus directories are immutable inputs). */
+  def metadataRowCount(s: SparkSession, dir: String, name: String): Long =
+    rowCountCache.computeIfAbsent(s"$dir/$name.parquet", { path =>
+      val conf = s.sessionState.newHadoopConf()
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(conf)
+      def files(st: org.apache.hadoop.fs.FileStatus): Seq[org.apache.hadoop.fs.FileStatus] =
+        if (st.isDirectory) fs.listStatus(st.getPath).toSeq.flatMap(files)
+        else if (st.getPath.getName.endsWith(".parquet")) Seq(st) else Seq.empty
+      files(fs.getFileStatus(root)).map { f =>
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf))
+        try r.getRecordCount finally r.close()
+      }.sum
+    })
 }

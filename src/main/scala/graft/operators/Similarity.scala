@@ -55,7 +55,10 @@ object Similarity {
   /** Corpus rows + buckets under corpus-scaled hyperplanes (shared by
     * the near-dup scan and the LSH ANN). */
   private def bucketed(s: SparkSession, d: String): DataFrame = {
-    val pl = planesFor(planesPerTableFor(T.embeddings(s, d).count()))
+    // plane sizing needs only n: read it from parquet footer metadata
+    // (driver-side, no job) instead of a plan-time count() — at 100 TB
+    // that count is a full extra corpus scan per ANN/NN query
+    val pl = planesFor(planesPerTableFor(T.metadataRowCount(s, d, "embeddings")))
     val n = normed(s, d)
     n.select(col("vec_id"), col("v"), col("nrm"),
       explode(array((0 until NumTables).map(t =>

@@ -8,6 +8,32 @@ class AnnSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   private val dir = "/root/testdata/sf0.001"
 
+  test("L5c: ANN plane sizing reads the corpus row count from footer " +
+    "metadata — building the plan launches ZERO Spark jobs") {
+    Tables.metadataRowCount(spark, dir, "embeddings") // warm (first read hits footers, still no job)
+    // warm the once-per-JVM parquet schema inference (its footer job is
+    // per-table, not per-query — the thing this test polices)
+    SparkEntry.queries("q_embed_nn")(spark, dir)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // constructing the query (incl. LSH plane sizing) must not run a
+      // counting job over the corpus — at 100 TB that is a full scan
+      SparkEntry.queries("q_embed_nn")(spark, dir)
+      SparkEntry.queries("q_ann_lsh")(spark, dir)
+      // fence: one sentinel RDD job (see GraftTableSpec S4c rationale)
+      spark.sparkContext.parallelize(Seq(1), 1).count()
+      val deadline = System.nanoTime() + 10e9.toLong
+      while (jobs.get() < 1 && System.nanoTime() < deadline) Thread.sleep(10)
+      assert(jobs.get() == 1,
+        s"expected only the sentinel job; plan construction launched ${jobs.get() - 1} job(s)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("L7: LSH top-3 has useful recall vs brute force at a fraction of the candidates") {
     val brute = SparkEntry.queries("q_ann_brute")(spark, dir)
       .select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
