@@ -20,6 +20,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       graft.plans.ApproxDistinctRule(() =>
         session.conf.get("spark.graft.approxDistinct.enabled", "false").toBoolean)
     }
+    e.injectOptimizerRule { session =>
+      graft.plans.SubscriptFilterRule(() =>
+        session.conf.get("spark.graft.subscriptFilters.enabled", "false").toBoolean)
+    }
   }
 }
 

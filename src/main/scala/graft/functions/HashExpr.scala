@@ -147,6 +147,78 @@ case class SimHashWords(child: Expression, mult: Long) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Per-entry hashes of a map column for the bloom-filter file index —
+  * the write-side half of map-subscript file pruning (ref:
+  * PrestoSessionProperties.java:38 range_filters_on_subscripts_enabled).
+  * Each non-null entry hashes as XxHash64 (seed 42, Spark's default)
+  * over the UTF-8 string "key\u0000value" rendered from the Catalyst
+  * values; the planner hashes a subscript predicate's (key, value)
+  * literals with [[MapEntryHashesImpl.hashEntry]], the same convention.
+  * Null map values are skipped: `element_at(m, k) = v` can never match
+  * them, so their absence from the filter is sound.
+  *
+  * Native codegen (one virtual call per row, loop in compiled JVM code)
+  * so the write path stays inside whole-stage codegen. */
+case class MapEntryHashes(child: Expression) extends UnaryExpression {
+  private lazy val mt = child.dataType.asInstanceOf[MapType]
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "map_entry_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    MapEntryHashesImpl.hash(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData], mt.keyType, mt.valueType)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kt = ctx.addReferenceObj("kt", mt.keyType)
+    val vt = ctx.addReferenceObj("vt", mt.valueType)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MapEntryHashesImpl$$.MODULE$$.hash($c, $kt, $vt);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MapEntryHashes =
+    copy(child = newChild)
+}
+
+object MapEntryHashesImpl {
+  /** Map key/value types whose write-side Catalyst rendering provably
+    * equals the plan-side literal rendering (both are the JVM toString
+    * of the same Catalyst value class). Anything else makes no pruning
+    * claim — a rendering mismatch would be a bloom FALSE NEGATIVE,
+    * i.e. unsound pruning. */
+  val SafeTypes: Set[DataType] =
+    Set(StringType, IntegerType, LongType, ShortType, ByteType, BooleanType)
+
+  def subscriptSafe(dt: DataType): Boolean = dt match {
+    case m: MapType => SafeTypes(m.keyType) && SafeTypes(m.valueType)
+    case _ => false
+  }
+
+  /** The shared entry-hash convention (both sides). */
+  def hashEntry(key: String, value: String): Long =
+    org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+      UTF8String.fromString(key + "\u0000" + value), StringType, 42L)
+
+  def hash(m: org.apache.spark.sql.catalyst.util.MapData,
+      kt: DataType, vt: DataType): ArrayData = {
+    val ks = m.keyArray()
+    val vs = m.valueArray()
+    val n = m.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    var written = 0
+    while (i < n) {
+      if (!vs.isNullAt(i)) { // map keys are never null in Spark
+        out(written) = hashEntry(ks.get(i, kt).toString, vs.get(i, vt).toString)
+        written += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      if (written == n) out else java.util.Arrays.copyOf(out, written))
+  }
+}
+
 object HashExpr {
   import org.apache.spark.sql.graft.Bridge.{column, expression}
 

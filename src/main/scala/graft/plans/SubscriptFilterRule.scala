@@ -1,0 +1,87 @@
+package graft.plans
+
+import graft.functions.MapEntryHashesImpl
+import graft.sources.{GraftScan, GraftScanBuilder, GraftV2Table}
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, ElementAt, EqualTo, Expression, GetMapValue, Literal, PredicateHelper}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation}
+import org.apache.spark.sql.types.MapType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Opt-in optimizer rule: map-subscript equality predicates
+  * (`props['k'] = 'v'`, `element_at(props, 'k') = 'v'`) over a graft
+  * relation become scan-level FILE pruning via the bloom entry index
+  * (ref: PrestoSessionProperties.java:38
+  * `range_filters_on_subscripts_enabled`, exercised both ways by
+  * TestPrestoITCase.java:706 testQueryMap).
+  *
+  * Spark's V1/V2 filter translation only carries column-reference
+  * predicates, so a subscript predicate never reaches pushedFilters;
+  * this rule carries it to the scan builder as a read option instead.
+  * The Filter node is left in place, so the rewrite is residual-safe by
+  * construction: pruning can only drop files the predicate proves
+  * irrelevant (bloom no-false-negatives on entry hashes), and Spark
+  * still evaluates the exact predicate row by row. Soundness of the
+  * file-level claim additionally requires a non-PK table and
+  * plan-replayable key/value rendering — both enforced at planFiles
+  * time (GraftTable) and at write time (entry blooms are only built for
+  * MapEntryHashesImpl.subscriptSafe map types).
+  *
+  * Toggle: `spark.graft.subscriptFilters.enabled`, default false like
+  * the reference session property. Results are identical either way;
+  * the toggle only changes how many files are opened.
+  */
+case class SubscriptFilterRule(enabled: () => Boolean)
+    extends Rule[LogicalPlan] with PredicateHelper {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!enabled()) return plan
+    plan.transformUp {
+      // pre-pushdown shape (extension-injected rules run in the operator
+      // optimization batch): carry the predicates as a read option
+      case f @ Filter(cond, r: DataSourceV2Relation)
+          if r.table.isInstanceOf[GraftV2Table] &&
+            r.options.get(GraftScanBuilder.SubscriptFiltersOption) == null =>
+        val subs = splitConjunctivePredicates(cond).flatMap(extract)
+        if (subs.isEmpty) f
+        else {
+          val merged = new java.util.HashMap[String, String](r.options)
+          merged.put(GraftScanBuilder.SubscriptFiltersOption,
+            GraftScanBuilder.encodeSubscriptFilters(subs))
+          f.copy(child = r.copy(options = new CaseInsensitiveStringMap(merged)))
+        }
+      // post-pushdown shape (experimental.extraOptimizations run after
+      // V2ScanRelationPushDown): swap in a scan copy carrying them
+      case f @ Filter(cond, sr: DataSourceV2ScanRelation)
+          if sr.scan.isInstanceOf[GraftScan] &&
+            sr.scan.asInstanceOf[GraftScan].subscriptFilters.isEmpty =>
+        val subs = splitConjunctivePredicates(cond).flatMap(extract)
+        if (subs.isEmpty) f
+        else f.copy(child =
+          sr.copy(scan = sr.scan.asInstanceOf[GraftScan].withSubscriptFilters(subs)))
+    }
+  }
+
+  /** `element_at(m, k) = v` / `m[k] = v` with literal key and value over
+    * a plain map-typed column, both operand orders. Only rendering-safe
+    * key/value types make a claim (see MapEntryHashesImpl.SafeTypes). */
+  private def extract(e: Expression): Option[(String, String, String)] = {
+    def sub(x: Expression): Option[(AttributeReference, Any)] = x match {
+      case ElementAt(a: AttributeReference, Literal(k, _), _, _) => Some((a, k))
+      case GetMapValue(a: AttributeReference, Literal(k, _)) => Some((a, k))
+      case _ => None
+    }
+    def render(col: AttributeReference, k: Any, v: Any): Option[(String, String, String)] =
+      col.dataType match {
+        case m: MapType if MapEntryHashesImpl.subscriptSafe(m) && k != null && v != null =>
+          Some((col.name, k.toString, v.toString))
+        case _ => None
+      }
+    e match {
+      case EqualTo(lhs, Literal(v, _)) => sub(lhs).flatMap { case (a, k) => render(a, k, v) }
+      case EqualTo(Literal(v, _), rhs) => sub(rhs).flatMap { case (a, k) => render(a, k, v) }
+      case _ => None
+    }
+  }
+}

@@ -846,7 +846,8 @@ class GraftTable private (
       snapshotId: Option[Long] = None,
       partitionFilter: Option[Column] = None,
       bucket: Option[Int] = None,
-      dataFilters: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty): Seq[FileMeta] = {
+      dataFilters: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty,
+      subscriptFilters: Seq[(String, String, String)] = Seq.empty): Seq[FileMeta] = {
     var files = pruneFiles(currentFiles(snapshotId),
       if (partitionPruneSafe) partitionFilter else None)
     bucket.foreach(b => files = files.filter(_.bucket == b))
@@ -858,6 +859,22 @@ class GraftTable private (
         skipSafe.forall(fl => FileStats.mayMatch(fl, f.statsOrEmpty, schema)))
     if (skipSafe.nonEmpty && bloomIndexCols.nonEmpty)
       files = files.filter(f => skipSafe.forall(fl => bloomMayMatch(fl, f)))
+    // map-subscript bloom pruning (`props['k'] = 'v'`, ref
+    // range_filters_on_subscripts_enabled): entry hashes live in the
+    // same sidecars. Non-PK tables only — a map column's entries change
+    // across row versions, so file pruning on them could resurrect an
+    // older version through the merge (same rule as skipSafeCols).
+    if (subscriptFilters.nonEmpty && !isPkTable && bloomIndexCols.nonEmpty)
+      files = files.filter { f =>
+        subscriptFilters.forall { case (c, k, v) =>
+          if (!bloomIndexCols.contains(c)) true
+          else bloomsOf(f).flatMap(_.get(c)) match {
+            case Some(b) =>
+              b.mightContain(graft.functions.MapEntryHashesImpl.hashEntry(k, v))
+            case None => true // legacy file without a sidecar
+          }
+        }
+      }
     files
   }
 

@@ -199,6 +199,18 @@ final class GraftV2Table(
     new GraftScanBuilder(SparkSession.active, loaded, options, pinnedSnapshot)
 }
 
+object GraftScanBuilder {
+  /** Read-option key carrying map-subscript predicates for bloom entry
+    * pruning (injected by SubscriptFilterRule). */
+  val SubscriptFiltersOption = "subscript.filters"
+
+  /** Encode (col, key, value) triples: NUL-separated fields, SOH-joined
+    * triples (control characters cannot appear in column names and make
+    * the encoding unambiguous for arbitrary key/value text). */
+  def encodeSubscriptFilters(subs: Seq[(String, String, String)]): String =
+    subs.map { case (c, k, v) => s"$c\u0000$k\u0000$v" }.mkString("\u0001")
+}
+
 /** Pushdown negotiation (ref: PrestoFilterConverter.java TupleDomain →
   * predicate conversion). All filters are returned as residual — like the
   * built-in parquet source, pushdown here is pruning (manifest files, row
@@ -226,6 +238,18 @@ final class GraftScanBuilder(
   private val partitionPrune = Option(options.get("partitionPrune")).forall(_.toBoolean)
   private val dataSkip = Option(options.get("dataSkip")).forall(_.toBoolean)
   private val aggPushdown = Option(options.get("aggPushdown")).forall(_.toBoolean)
+
+  /** Map-subscript predicates for bloom entry pruning, injected by
+    * SubscriptFilterRule (or set directly as a read option) as
+    * `col<NUL>key<NUL>value` triples joined by SOH — file pruning
+    * only, always residual-safe (the Filter stays in the plan). */
+  private val subscriptFilters: Seq[(String, String, String)] =
+    Option(options.get(GraftScanBuilder.SubscriptFiltersOption)).toSeq
+      .flatMap(_.split('\u0001').toSeq)
+      .flatMap(_.split('\u0000') match {
+        case Array(c, k, v) => Some((c, k, v))
+        case _ => None
+      })
 
   private var requiredSchema: StructType = table.schema
   private var pushed: Array[Filter] = Array.empty
@@ -381,7 +405,7 @@ final class GraftScanBuilder(
 
   override def build(): Scan = aggScan.getOrElse {
     val s = new GraftScan(spark, table, snapshotId, requiredSchema, pushed,
-      partitionPrune, dataSkip, rowLevelReplace)
+      partitionPrune, dataSkip, rowLevelReplace, subscriptFilters)
     onBuild(s)
     s
   }
@@ -530,9 +554,18 @@ final class GraftScan(
     pushed: Array[Filter],
     partitionPrune: Boolean,
     dataSkip: Boolean,
-    rowLevelReplace: Boolean = false)
+    rowLevelReplace: Boolean = false,
+    val subscriptFilters: Seq[(String, String, String)] = Seq.empty)
     extends Scan with Batch with SupportsReportStatistics with SupportsReportPartitioning
     with SupportsRuntimeFiltering {
+
+  /** A copy of this scan with map-subscript bloom pruning predicates —
+    * used by SubscriptFilterRule when it rewrites an already-built
+    * DataSourceV2ScanRelation (the rule also handles the pre-pushdown
+    * DataSourceV2Relation shape via the read option). */
+  def withSubscriptFilters(subs: Seq[(String, String, String)]): GraftScan =
+    new GraftScan(spark, table, snapshotId, requiredSchema, pushed,
+      partitionPrune, dataSkip, rowLevelReplace, subs)
 
   private val partKeySet = table.partitionKeys.toSet
   // file-borne vs directory-borne halves of the requested schema
@@ -552,7 +585,8 @@ final class GraftScan(
       if (!partitionPrune) None
       else filters.flatMap(GraftFilters.toColumn(_, partKeySet)).reduceOption(_ && _)
     table.planFiles(snapshotId, partFilter,
-      dataFilters = if (dataSkip) filters else Seq.empty)
+      dataFilters = if (dataSkip) filters else Seq.empty,
+      subscriptFilters = if (dataSkip) subscriptFilters else Seq.empty)
   }
 
   private lazy val basePlanned: Seq[FileMeta] = planWith(pushed.toSeq)

@@ -102,7 +102,16 @@ object GraftWrite {
       hiddenKind = hiddenKind,
       dedupKeys = dedupKeys,
       keySorted = keySorted,
-      bloomCols = table.bloomIndexCols.filter(writeSchema.fieldNames.contains))
+      bloomCols = table.bloomIndexCols.filter(writeSchema.fieldNames.contains)
+        .filter { c =>
+          table.schema(c).dataType match {
+            // map columns index their ENTRIES (subscript pruning) and
+            // only when key/value rendering is provably plan-replayable
+            case m: org.apache.spark.sql.types.MapType =>
+              graft.functions.MapEntryHashesImpl.subscriptSafe(m)
+            case _ => true
+          }
+        })
   }
 
   /** mapPartitions body for the library write path (static method so the
@@ -167,11 +176,19 @@ final class GraftTaskWriter(spec: GraftWriteSpec, taskUniq: String) {
   })
 
   // one XxHash64 per indexed column, over the stored (padded) value —
-  // the planner hashes predicate literals with the same expression
+  // the planner hashes predicate literals with the same expression.
+  // Map columns contribute an array of per-ENTRY hashes instead (the
+  // subscript file index; see MapEntryHashes).
+  private val bloomIsMap: Array[Boolean] = spec.bloomCols.toArray.map(c =>
+    ref(c).dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
   private val bloomProj: Option[UnsafeProjection] =
     if (spec.bloomCols.isEmpty) None
-    else Some(UnsafeProjection.create(spec.bloomCols.toIndexedSeq.map(c =>
-      new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(storedValue(c))): Expression)))
+    else Some(UnsafeProjection.create(spec.bloomCols.toIndexedSeq.map { c =>
+      if (ref(c).dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+        graft.functions.MapEntryHashes(ref(c)): Expression
+      else
+        new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(storedValue(c))): Expression
+    }))
 
   /** Growable primitive long buffer (no boxing on the per-row path). */
   private final class LongBuf {
@@ -235,7 +252,16 @@ final class GraftTaskWriter(spec: GraftWriteSpec, taskUniq: String) {
     bloomProj.foreach { bp =>
       val hashes = bp(row)
       var i = 0
-      while (i < o.bloomBufs.length) { o.bloomBufs(i).add(hashes.getLong(i)); i += 1 }
+      while (i < o.bloomBufs.length) {
+        if (bloomIsMap(i)) {
+          if (!hashes.isNullAt(i)) {
+            val a = hashes.getArray(i)
+            var j = 0
+            while (j < a.numElements()) { o.bloomBufs(i).add(a.getLong(j)); j += 1 }
+          }
+        } else o.bloomBufs(i).add(hashes.getLong(i))
+        i += 1
+      }
     }
     o.writer.write(dataProj(row))
   }

@@ -162,6 +162,49 @@ class ReferenceParitySpec extends AnyFunSuite {
       .count() == 3)
   }
 
+  test("testQueryMap with range_filters_on_subscripts_enabled: a subscript " +
+    "predicate prunes FILES via the bloom entry index, identical results either way") {
+    val dir = TestSpark.tmpDir("ref_tmap_sub")
+    val schema = StructType(Seq(
+      StructField("i1", IntegerType), StructField("i2", StringType),
+      StructField("i3", MapType(IntegerType, StringType))))
+    val t = GraftTable.create(spark, dir, schema,
+      options = Map("file-index.bloom-filter.columns" -> "i3"))
+    // three commits → three files, each with a distinct i3[1] entry
+    t.append(Seq((1, "20241103", Map(1 -> "1"))).toDF("i1", "i2", "i3"))
+    t.append(Seq((2, "20241103", Map(1 -> "2"))).toDF("i1", "i2", "i3"))
+    t.append(Seq((3, "20241104", Map(1 -> "3"))).toDF("i1", "i2", "i3"))
+    def run(): (Seq[Int], (Int, Int)) = {
+      val df = spark.read.format("graft").load(dir)
+        .filter(element_at(col("i3"), lit(1)) === "2")
+      val rows = df.collect().map(_.getInt(0)).toSeq.sorted
+      val m = "files=(\\d+)/(\\d+)".r.findFirstMatchIn(df.queryExecution.executedPlan.toString)
+      (rows, (m.get.group(1).toInt, m.get.group(2).toInt))
+    }
+    val key = "spark.graft.subscriptFilters.enabled"
+    // TestSpark's session has no extensions; inject the same rule the
+    // GraftExtensions entry point registers (ApproxRuleSpec pattern)
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ graft.plans.SubscriptFilterRule(() =>
+        spark.conf.get(key, "false").toBoolean)
+    try {
+      spark.conf.set(key, "false") // reference default: subscript pushdown off
+      val (offRows, (offRead, offTotal)) = run()
+      assert(offRows == Seq(2) && offRead == 3 && offTotal == 3,
+        s"toggle off must scan all files: read $offRead/$offTotal")
+      spark.conf.set(key, "true")
+      val (onRows, (onRead, onTotal)) = run()
+      assert(onRows == Seq(2), "toggle must not change results")
+      assert(onRead == 1 && onTotal == 3,
+        s"subscript predicate should bloom-prune to 1/3 files, read $onRead/$onTotal")
+    } finally {
+      spark.conf.unset(key)
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations
+          .filterNot(_.isInstanceOf[graft.plans.SubscriptFilterRule])
+    }
+  }
+
   test("testPartitionPushDown (t5 shape): composite partition keys prune files") {
     val schema = StructType(Seq(
       StructField("i1", StringType), StructField("i2", IntegerType),
