@@ -326,41 +326,51 @@ class GraftTable private (
         throw new IllegalStateException(s"conflicting commit for snapshot $id at $root")
     }
 
-    val baseChain: Seq[String] =
-      if (rebase || id <= 1) Seq.empty
-      else {
-        val base = readSnapshot(id - 1)
-        // check `files` FIRST: jackson materializes an ABSENT manifests
-        // field as an empty List (not null), so a legacy inline snapshot
-        // must be detected by its files, or migration silently drops them
-        if (base.files != null)
-          if (base.files.isEmpty) Seq.empty
-          // legacy inline snapshot: migrate its file list into one manifest
-          else Seq(writeManifest(base.files.map(ManifestEntry(ManifestEntry.Add, _))))
-        else Option(base.manifests).getOrElse(Seq.empty)
-      }
-    val delta: Seq[ManifestEntry] =
-      deleted.map(ManifestEntry(ManifestEntry.Delete, _)) ++
-        added.map(ManifestEntry(ManifestEntry.Add, _))
-    var chain = if (delta.isEmpty) baseChain else baseChain :+ writeManifest(delta)
-    if (chain.length >= manifestMergeMinCount)
-      chain = Seq(writeManifest(resolveChain(chain).map(ManifestEntry(ManifestEntry.Add, _))))
+    // From here on WE hold the claim exclusively. If anything below
+    // fails before the rename publishes the snapshot, release the claim
+    // — otherwise a retry of this id (the base is unchanged) would be
+    // blocked behind our dead claim until ClaimTtlMs.
+    try {
+      val baseChain: Seq[String] =
+        if (rebase || id <= 1) Seq.empty
+        else {
+          val base = readSnapshot(id - 1)
+          // check `files` FIRST: jackson materializes an ABSENT manifests
+          // field as an empty List (not null), so a legacy inline snapshot
+          // must be detected by its files, or migration silently drops them
+          if (base.files != null)
+            if (base.files.isEmpty) Seq.empty
+            // legacy inline snapshot: migrate its file list into one manifest
+            else Seq(writeManifest(base.files.map(ManifestEntry(ManifestEntry.Add, _))))
+          else Option(base.manifests).getOrElse(Seq.empty)
+        }
+      val delta: Seq[ManifestEntry] =
+        deleted.map(ManifestEntry(ManifestEntry.Delete, _)) ++
+          added.map(ManifestEntry(ManifestEntry.Add, _))
+      var chain = if (delta.isEmpty) baseChain else baseChain :+ writeManifest(delta)
+      if (chain.length >= manifestMergeMinCount)
+        chain = Seq(writeManifest(resolveChain(chain).map(ManifestEntry(ManifestEntry.Add, _))))
 
-    val snap = SnapshotMeta(
-      id = id,
-      commitUser = commitUser,
-      commitIdentifier = commitIdentifier.getOrElse(id),
-      commitKind = kind,
-      schemaId = schemaMeta.id,
-      timestampMs = System.currentTimeMillis(),
-      manifests = chain)
-    val tmp = new Path(root, s"snapshot/.tmp-$id-${UUID.randomUUID().toString.take(8)}")
-    writeString(fs, tmp, mapper.writeValueAsString(snap))
-    if (!fs.rename(tmp, dst)) {
-      fs.delete(tmp, false)
-      throw new IllegalStateException(s"failed to publish snapshot $id at $root")
+      val snap = SnapshotMeta(
+        id = id,
+        commitUser = commitUser,
+        commitIdentifier = commitIdentifier.getOrElse(id),
+        commitKind = kind,
+        schemaId = schemaMeta.id,
+        timestampMs = System.currentTimeMillis(),
+        manifests = chain)
+      val tmp = new Path(root, s"snapshot/.tmp-$id-${UUID.randomUUID().toString.take(8)}")
+      writeString(fs, tmp, mapper.writeValueAsString(snap))
+      if (!fs.rename(tmp, dst)) {
+        fs.delete(tmp, false)
+        throw new IllegalStateException(s"failed to publish snapshot $id at $root")
+      }
+      id
+    } catch {
+      case e: Throwable =>
+        try fs.delete(claim, false) catch { case _: java.io.IOException => () }
+        throw e
     }
-    id
   }
 
   // ---- write path -----------------------------------------------------

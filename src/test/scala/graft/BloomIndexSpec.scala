@@ -103,6 +103,92 @@ class BloomIndexSpec extends AnyFunSuite {
     assert(t.removeOrphanFiles(ttlMs = 0).isEmpty)
   }
 
+  test("S28e: sidecar lifecycle across ALL cleanup paths on one table — " +
+    "commit-clean, write abort, expiry, orphan GC leave no orphaned .bfidx") {
+    val path = TestSpark.tmpDir("bloomlife")
+    val t = GraftTable.create(spark, path,
+      StructType(Seq(StructField("id", LongType), StructField("u", StringType))),
+      options = Map("file-index.bloom-filter.columns" -> "u"))
+    t.append(Seq((1L, "a")).toDF("id", "u"))
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(new org.apache.hadoop.conf.Configuration())
+    def dataDir: Seq[String] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(path, "data")).map(_.getPath.getName).toSeq
+    def assertNoOrphanSidecars(): Unit = {
+      val names = dataDir
+      val dataFiles = names.filterNot(_.endsWith(BloomIndex.Suffix)).toSet
+      val bases = names.filter(_.endsWith(BloomIndex.Suffix))
+        .map(_.dropRight(BloomIndex.Suffix.length)).toSet
+      assert(bases.subsetOf(dataFiles), s"orphaned sidecars: ${bases.diff(dataFiles)}")
+    }
+
+    // 1. COMMIT-CLEAN: plant the target snapshot id from INSIDE the
+    // append's own write job (after base capture, before commit) — the
+    // optimistic-concurrency claim fails and commitOrClean must delete
+    // the staged data files AND their sidecars
+    val before = dataDir.toSet
+    val planting = Seq((10L, "x"), (11L, "y")).toDF("id", "u").rdd
+      .mapPartitions { it =>
+        val f = org.apache.hadoop.fs.FileSystem.getLocal(
+          new org.apache.hadoop.conf.Configuration())
+        val o = f.create(new org.apache.hadoop.fs.Path(path, "snapshot/snap-2.json"), true)
+        o.write("{}".getBytes); o.close()
+        it
+      }
+    val plantingDf = spark.createDataFrame(planting,
+      StructType(Seq(StructField("id", LongType), StructField("u", StringType))))
+    intercept[Exception](t.append(plantingDf))
+    assert(dataDir.toSet == before, "failed commit must clean staged files + sidecars")
+    assertNoOrphanSidecars()
+    assert(fs.delete(new org.apache.hadoop.fs.Path(path, "snapshot/snap-2.json"), false),
+      "planted snapshot should exist and be deletable")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path, "snapshot/snap-2.json")))
+
+    // 2. WRITE ABORT (V2): a task failure mid-INSERT aborts the batch
+    // write; completed tasks' files and sidecars must be deleted
+    spark.conf.set("spark.sql.catalog.graftbl", "graft.sources.GraftSparkCatalog")
+    spark.conf.set("spark.sql.catalog.graftbl.warehouse", TestSpark.tmpDir("bloomlife-wh"))
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftbl.db")
+    spark.sql("""CREATE TABLE graftbl.db.t (id BIGINT, u STRING)
+                |TBLPROPERTIES ('file-index.bloom-filter.columns'='u')""".stripMargin)
+    spark.sql("INSERT INTO graftbl.db.t VALUES (1, 'a')")
+    val wh = spark.conf.get("spark.sql.catalog.graftbl.warehouse")
+    val tblData = new org.apache.hadoop.fs.Path(s"$wh/db.db/t", "data")
+    val beforeAbort = fs.listStatus(tblData).map(_.getPath.getName).toSet
+    intercept[Exception] {
+      spark.sql("""INSERT INTO graftbl.db.t
+                  |SELECT id, IF(id = 99, raise_error('boom'), CAST(id AS STRING))
+                  |FROM (SELECT explode(sequence(90, 99)) AS id) t""".stripMargin)
+    }
+    assert(fs.listStatus(tblData).map(_.getPath.getName).toSet == beforeAbort,
+      "aborted V2 write must delete its files and sidecars")
+
+    // 3. EXPIRY: compaction + retain-1 reclaims superseded files with
+    // their sidecars
+    t.append(Seq((2L, "b")).toDF("id", "u"))
+    t.compact()
+    t.expireSnapshots(retainLast = 1)
+    assertNoOrphanSidecars()
+    assert(dataDir.exists(_.endsWith(BloomIndex.Suffix)),
+      "live compacted file keeps its sidecar")
+
+    // 4. ORPHAN GC: a data file + sidecar referenced by no snapshot
+    // (aborted-job leftovers) are reclaimed together
+    val orphanData = new org.apache.hadoop.fs.Path(path, "data/orphan-000.parquet")
+    val orphanSidecar = new org.apache.hadoop.fs.Path(path,
+      "data/orphan-000.parquet" + BloomIndex.Suffix)
+    for (p <- Seq(orphanData, orphanSidecar)) {
+      val o = fs.create(p, true); o.write("x".getBytes); o.close()
+    }
+    val removed = t.removeOrphanFiles(ttlMs = 0)
+    assert(removed.exists(_.contains("orphan-000")), s"orphan not reclaimed: $removed")
+    assert(!fs.exists(orphanData) && !fs.exists(orphanSidecar),
+      "orphan GC must reclaim the data file AND its sidecar")
+    assertNoOrphanSidecars()
+    // live data intact through all four paths
+    assert(spark.read.format("graft").load(path).orderBy("id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+  }
+
   test("S28d: PK tables bloom-skip only on version-invariant key columns") {
     val path = TestSpark.tmpDir("bloompk")
     val t = GraftTable.create(spark, path,
