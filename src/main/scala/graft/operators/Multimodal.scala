@@ -9,13 +9,15 @@ import org.apache.spark.sql.types._
   * columns + typed metadata, with decode / feature-extract / frame-sample
   * as partition-batched transforms.
   *
-  * The actual codecs (image/audio libs) are NOT in this container, so the
-  * decode kernel is a clearly-marked deterministic STUB — but everything
-  * Spark-side is real: the schema contract, the mapPartitions batch
-  * shape (the per-partition closure is where a real codec would hold its
-  * reusable decode buffers; the stub itself allocates per row), the
-  * preserved partitioning, and the output encoders. Swapping the stub for
-  * a JNI/py kernel changes no plan shape.
+  * Decode is REAL wherever the JDK ships a codec: PNG/GIF/BMP/JPEG
+  * images (javax.imageio) and MJPEG-in-AVI video (RIFF container parse +
+  * per-frame imageio). Codecs the JDK cannot touch (H.264/mp4, audio)
+  * fall back to a clearly-marked deterministic STUB — and everything
+  * Spark-side is identical either way: the schema contract, the
+  * mapPartitions batch shape (the per-partition closure is where a
+  * native codec would hold its reusable decode buffers), the preserved
+  * partitioning, and the output encoders. Swapping the stub for a
+  * JNI/py kernel changes no plan shape.
   */
 object Multimodal {
 
@@ -48,39 +50,117 @@ object Multimodal {
     hist
   }
 
+  /** 16-bin luminance histogram (Rec.601 weights) of a decoded image,
+    * L1-normalized — shared by the image and video kernels. */
+  private def lumHistogram(img: java.awt.image.BufferedImage): Array[Double] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val hist = new Array[Double](FeatureDim)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val lum = (0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) +
+          0.114 * (rgb & 0xFF)).toInt
+        hist(lum * FeatureDim / 256) += 1.0
+        x += 1
+      }
+      y += 1
+    }
+    val total = (w.toLong * h).max(1L).toDouble
+    var j = 0
+    while (j < FeatureDim) { hist(j) /= total; j += 1 }
+    hist
+  }
+
   /** REAL decode kernel for image formats the JDK ships codecs for (PNG
     * / GIF / BMP / JPEG via javax.imageio — pure JVM, zero external
     * dependencies): full pixel decode, then a 16-bin luminance histogram
     * (Rec.601 weights), L1-normalized. Returns None for bytes no
-    * installed reader claims (e.g. video — still stubbed: the JDK has no
-    * video codec). */
+    * installed reader claims (for MJPEG-in-AVI video see
+    * [[decodeVideoKernel]]; other video/audio codecs remain stubbed —
+    * the JDK ships none). */
   private[operators] def decodeImageKernel(bytes: Array[Byte]): Option[(Int, Int, Array[Double])] = {
     if (bytes == null || bytes.length == 0) return None
     try {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
       if (img == null) None
-      else {
-        val w = img.getWidth
-        val h = img.getHeight
-        val hist = new Array[Double](FeatureDim)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val rgb = img.getRGB(x, y)
-            val lum = (0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) +
-              0.114 * (rgb & 0xFF)).toInt
-            hist(lum * FeatureDim / 256) += 1.0
-            x += 1
-          }
-          y += 1
-        }
-        val total = (w.toLong * h).max(1L).toDouble
-        var j = 0
-        while (j < FeatureDim) { hist(j) /= total; j += 1 }
-        Some((w, h, hist))
-      }
+      else Some((img.getWidth, img.getHeight, lumHistogram(img)))
     } catch { case _: java.io.IOException => None }
+  }
+
+  /** MJPEG-in-AVI frame extraction — a REAL pure-JVM container parse
+    * (no stub): walks the RIFF chunk tree ('LIST' forms recursed, video
+    * stream chunks '##dc'/'##db' collected in stream order, even-byte
+    * chunk padding honored) and returns the raw per-frame JPEG payloads.
+    * Truncated/corrupt structures stop the walk and yield whatever
+    * complete frames precede the damage — no exception reaches the
+    * caller. Anything that is not a RIFF-AVI returns no frames. */
+  private[operators] def aviMjpegFrames(bytes: Array[Byte]): Seq[Array[Byte]] = {
+    if (bytes == null || bytes.length < 12) return Seq.empty
+    def fourcc(off: Int) = new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    def le32(off: Int): Long =
+      (bytes(off) & 0xFFL) | ((bytes(off + 1) & 0xFFL) << 8) |
+        ((bytes(off + 2) & 0xFFL) << 16) | ((bytes(off + 3) & 0xFFL) << 24)
+    if (fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return Seq.empty
+    val out = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    def walk(start: Int, end: Int): Unit = {
+      var p = start
+      var ok = true
+      while (ok && p + 8 <= end) {
+        val id = fourcc(p)
+        val sz = le32(p + 4).toInt
+        val body = p + 8
+        if (sz < 0) ok = false // corrupt size
+        else if (id == "LIST" && sz >= 4 && body + 4 <= end) {
+          // recurse into however much of the list survives truncation —
+          // complete child chunks before the damage still decode
+          walk(body + 4, math.min(body + sz, end))
+          p = body + sz + (sz & 1)
+        } else if (body + sz > end) ok = false // truncated leaf: stop
+        else {
+          if (sz > 0 && (id.endsWith("dc") || id.endsWith("db")))
+            out += java.util.Arrays.copyOfRange(bytes, body, body + sz)
+          p = body + sz + (sz & 1) // chunks pad to even offsets
+        }
+      }
+    }
+    walk(12, math.min(bytes.length.toLong, 8L + le32(4)).toInt)
+    out.toSeq
+  }
+
+  /** REAL video decode kernel for MJPEG-in-AVI (the one container+codec
+    * combination the JDK can fully decode: RIFF parse above, per-frame
+    * JPEG via javax.imageio): returns (width, height, decodedFrames,
+    * mean luminance histogram across decoded frames). None when the
+    * bytes are not an AVI or no frame decodes — those formats (H.264,
+    * mp4, audio) remain the documented stub. */
+  private[operators] def decodeVideoKernel(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Double])] = {
+    val frames = aviMjpegFrames(bytes)
+    if (frames.isEmpty) return None
+    var w = 0
+    var h = 0
+    var decoded = 0
+    val acc = new Array[Double](FeatureDim)
+    frames.foreach { f =>
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f))
+        if (img != null) {
+          if (decoded == 0) { w = img.getWidth; h = img.getHeight }
+          val hist = lumHistogram(img)
+          var j = 0
+          while (j < FeatureDim) { acc(j) += hist(j); j += 1 }
+          decoded += 1
+        }
+      } catch { case _: java.io.IOException => () }
+    }
+    if (decoded == 0) None
+    else {
+      var j = 0
+      while (j < FeatureDim) { acc(j) /= decoded; j += 1 }
+      Some((w, h, decoded, acc))
+    }
   }
 
   /** Image decode over media rows: partition-batched, zero shuffle.
@@ -104,6 +184,34 @@ object Multimodal {
         decodeImageKernel(bytes) match {
           case Some((w, h, hist)) => Row(r.getLong(idIdx), true, w, h, hist.toSeq)
           case None => Row(r.getLong(idIdx), false, null, null, decodeKernelStub(bytes).toSeq)
+        }
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
+  /** Video decode over media rows: partition-batched, zero shuffle.
+    * Output (media_id, decoded, width, height, n_frames, feature):
+    * MJPEG-in-AVI media gets TRUE per-frame decode (frame count, first
+    * frame's dimensions, mean luminance histogram); any other container
+    * or codec keeps the stub feature with decoded=false — same batch
+    * contract as decodeImages, so adding codecs changes no plan shape. */
+  def decodeVideos(spark: SparkSession, media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("decoded", BooleanType, nullable = false),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("n_frames", IntegerType),
+      StructField("feature", ArrayType(DoubleType))))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val bytesIdx = media.schema.fieldIndex("bytes")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = if (r.isNullAt(bytesIdx)) null else r.getAs[Array[Byte]](bytesIdx)
+        decodeVideoKernel(bytes) match {
+          case Some((w, h, n, hist)) => Row(r.getLong(idIdx), true, w, h, n, hist.toSeq)
+          case None => Row(r.getLong(idIdx), false, null, null, null,
+            decodeKernelStub(bytes).toSeq)
         }
       }
     }(RowEncoder.encoderFor(outSchema))

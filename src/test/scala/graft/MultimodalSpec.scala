@@ -33,6 +33,59 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!feats.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("L12b: real MJPEG-in-AVI video decode — frame count, dimensions, " +
+    "per-frame pixels; stub fallback for non-AVI bytes") {
+    import spark.implicits._
+    // build a real 2-frame MJPEG AVI: JPEG frames via imageio inside a
+    // hand-assembled RIFF container (RIFF(AVI )→LIST(movi)→00dc chunks)
+    def jpeg(rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(8, 6, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 6; x <- 0 until 8) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+      bos.toByteArray
+    }
+    def le32(n: Int): Array[Byte] =
+      Array((n & 0xFF).toByte, ((n >> 8) & 0xFF).toByte,
+        ((n >> 16) & 0xFF).toByte, ((n >> 24) & 0xFF).toByte)
+    def chunk(id: String, body: Array[Byte]): Array[Byte] =
+      id.getBytes("US-ASCII") ++ le32(body.length) ++ body ++
+        (if (body.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+    val black = jpeg(0x000000)
+    val white = jpeg(0xFFFFFF)
+    val movi = chunk("LIST", "movi".getBytes("US-ASCII") ++
+      chunk("00dc", black) ++ chunk("00dc", white))
+    val avi = "RIFF".getBytes("US-ASCII") ++ le32(4 + movi.length) ++
+      "AVI ".getBytes("US-ASCII") ++ movi
+
+    val rows = Seq(
+      (1L, avi),                           // real MJPEG AVI
+      (2L, "not a video".getBytes.toArray) // stub fallback
+    ).toDF("media_id", "bytes")
+    val out = Multimodal.decodeVideos(spark, rows).orderBy("media_id").collect()
+
+    val v = out(0)
+    assert(v.getBoolean(1), "AVI must decode")
+    assert(v.getInt(2) == 8 && v.getInt(3) == 6, "true frame dimensions")
+    assert(v.getInt(4) == 2, "both frames decoded")
+    val hist = v.getSeq[Double](5)
+    // mean of an all-black frame (all mass in bin 0) and an all-white
+    // frame (all mass in the top bin) — JPEG is lossy but stays within
+    // the extreme bins for uniform frames
+    assert(math.abs(hist.head - 0.5) < 0.05, s"black half: ${hist.head}")
+    assert(math.abs(hist.last - 0.5) < 0.05, s"white half: ${hist.last}")
+    assert(math.abs(hist.sum - 1.0) < 1e-9)
+
+    val s = out(1)
+    assert(!s.getBoolean(1) && s.isNullAt(4), "non-AVI keeps the stub contract")
+    assert(s.getSeq[Double](5).length == Multimodal.FeatureDim)
+
+    // a truncated AVI (cut mid-frame) degrades to the complete frames
+    val cut = java.util.Arrays.copyOfRange(avi, 0, avi.length - white.length / 2)
+    val t = Multimodal.decodeVideos(spark, Seq((3L, cut)).toDF("media_id", "bytes")).first()
+    assert(t.getBoolean(1) && t.getInt(4) == 1, "truncation keeps the first frame")
+  }
+
   test("L12: real PNG decode — true dimensions and pixel histogram, stub fallback") {
     import java.awt.image.BufferedImage
     // 8×4 PNG: left half black, right half white
