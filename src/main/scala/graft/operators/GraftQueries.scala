@@ -171,7 +171,51 @@ object GraftQueries {
             |FROM graftu.q.part WHERE p_partkey < 300 ORDER BY p_partkey""".stripMargin)
   }
 
+  /** supplier through three APPEND commits, read back with the
+    * `incremental-between` option (Paimon's snapshot-delta read): the
+    * delta of (s1, s3] is exactly batches 2 and 3 — the oracle selects
+    * the same key ranges from raw supplier (S33). */
+  private def graftIncremental(s: SparkSession, d: String): DataFrame = {
+    val sup = T.supplier(s, d).select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    val t = GraftTable.create(s, tmpRoot("incr"), sup.schema)
+    val part = pmod(col("s_suppkey"), lit(3))
+    val s1 = t.append(sup.filter(part === 0))
+    t.append(sup.filter(part === 1))
+    val s3 = t.append(sup.filter(part === 2))
+    s.read.format("graft").option("incremental-between", s"$s1,$s3").load(t.root)
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+        round(col("s_acctbal"), 2).as("bal"))
+      .orderBy("s_suppkey")
+  }
+
+  /** orders through append → append → rollback → append: the rollback
+    * publishes a restoring snapshot (nothing purged, every snapshot
+    * stays readable) and writes continue from the restored state, so
+    * the final read is batches A ∪ C with batch B logically undone —
+    * the oracle selects those key ranges from raw orders (S32). */
+  private def graftRollback(s: SparkSession, d: String): DataFrame = {
+    val o = T.orders(s, d).select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val t = GraftTable.create(s, tmpRoot("rb"), o.schema)
+    val part = pmod(col("o_orderkey"), lit(4))
+    val s1 = t.append(o.filter(part === 0)) // batch A
+    t.append(o.filter(part === 1)) // batch B — undone below
+    t.rollbackTo(s1)
+    t.append(o.filter(part === 2)) // batch C continues from restored state
+    t.read().filter(col("o_orderkey") < 2000)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice"), 2).as("price"))
+      .orderBy("o_orderkey")
+  }
+
   val defs: Seq[QDef] = Seq(
+    QDef("q_graft_incremental", graftIncremental,
+      Some("""SELECT s_suppkey, s_name, s_nationkey, round(s_acctbal,2) AS bal
+             |FROM supplier WHERE s_suppkey % 3 IN (1, 2)
+             |ORDER BY s_suppkey""".stripMargin)),
+    QDef("q_graft_rollback", graftRollback,
+      Some("""SELECT o_orderkey, o_orderstatus, round(o_totalprice,2) AS price
+             |FROM orders WHERE o_orderkey % 4 IN (0, 2) AND o_orderkey < 2000
+             |ORDER BY o_orderkey""".stripMargin)),
     QDef("q_graft_update", graftUpdate,
       Some("""SELECT p_partkey,
              |  CASE WHEN p_partkey < 50 THEN 'MERGED' ELSE p_brand END AS p_brand,
