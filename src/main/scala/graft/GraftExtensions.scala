@@ -65,7 +65,28 @@ object GraftExtensions {
       }),
     (FunctionIdentifier("shingles3"),
       info("shingles3", "shingles3(array<string>) - distinct 3-word shingles"),
-      (args: Seq[Expression]) => Shingles3(args.head)))
+      (args: Seq[Expression]) => Shingles3(args.head)),
+    (FunctionIdentifier("kll_quantiles"),
+      info("kll_quantiles",
+        "kll_quantiles(value, k, p1[, p2...]) - mergeable multilevel quantile sketch"),
+      (args: Seq[Expression]) => {
+        require(args.length >= 3, "kll_quantiles(value, k, p1[, p2...]) needs >= 3 arguments")
+        def litNum(e: Expression, what: String): Double = e match {
+          case l: org.apache.spark.sql.catalyst.expressions.Literal =>
+            l.value match {
+              case d: Double => d
+              case f: Float => f.toDouble
+              case i: Int => i.toDouble
+              case n: Long => n.toDouble
+              case d: org.apache.spark.sql.types.Decimal => d.toDouble
+              case other => throw new IllegalArgumentException(s"$what must be numeric, got $other")
+            }
+          case other => throw new IllegalArgumentException(s"$what must be a literal, got ${other.sql}")
+        }
+        graft.functions.KllQuantiles(args.head,
+          litNum(args(1), "k").toInt,
+          args.drop(2).map(litNum(_, "fraction"))).toAggregateExpression()
+      }))
 
   /** Register the SQL FUNCTIONS into an already-built session
     * (withExtensions only applies at session construction). Note: the

@@ -115,4 +115,28 @@ object Percentiles {
       s.createDataFrame(new java.util.ArrayList[Row](rows.toSeq.asJava), out.schema)
     } finally parted.unpersist()
   }
+
+  /** Approximate grouped percentiles via the mergeable multilevel
+    * quantile sketch (graft.functions.KllQuantiles) — the sketch is
+    * map-side combinable, so ONE ordinary aggregation shuffle moves
+    * O(k log(n/k)) bytes per group instead of every (group, value)
+    * pair. This is the 100 TB path when ~1% rank error is acceptable;
+    * `exact` remains the oracle-exact plan. Same long-format output
+    * contract as `exact`: groupCols..., name STRING, value DOUBLE. */
+  def approx(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      ps: Seq[(String, Double)], k: Int = 256): DataFrame = {
+    require(groupCols.nonEmpty, "grouped operator: pass at least one group column")
+    import org.apache.spark.sql.graft.Bridge
+    val gs = groupCols.map(col)
+    val sketch = Bridge.column(
+      graft.functions.KllQuantiles(
+        Bridge.expression(col(valueCol).cast("double")), k, ps.map(_._2))
+        .toAggregateExpression())
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(gs: _*)
+      .agg(sketch.as("__qs"))
+      .select(gs :+ posexplode(col("__qs")).as(Seq("__i", "value")): _*)
+      .withColumn("name", element_at(typedlit(ps.map(_._1)), col("__i") + 1))
+      .select(gs :+ col("name") :+ col("value"): _*)
+  }
 }

@@ -63,6 +63,63 @@ class PercentilesSpec extends AnyFunSuite {
     check(df, Seq("g1", "g2"), "v", Seq("p10" -> 0.1, "p50" -> 0.5, "p99" -> 0.99))
   }
 
+  test("L22: KLL sketch quantiles — rank error bounded, shuffle-mergeable, " +
+    "deterministic, buffer survives serialization") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val n = 60000
+    // two distributions per group: gaussian and heavy-tailed
+    val rows = Seq.tabulate(n)(i =>
+      ("gauss", rnd.nextGaussian() * 100)) ++
+      Seq.tabulate(n)(i => ("pareto", math.pow(rnd.nextDouble().max(1e-9), -1.5)))
+    val df = rows.toDF("g", "v").repartition(16) // forces partial-buffer serialization + merge
+    val ps = Seq("p01" -> 0.01, "p25" -> 0.25, "p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99)
+    val approx = graft.operators.Percentiles.approx(df, Seq("g"), "v", ps, k = 256)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(approx.size == 2 * ps.size)
+    // rank-error bound: the rank of the estimate within the exact sorted
+    // values must be within 1.5% of n of the target rank (k=256 worst
+    // case is far below this; generous for host-independence)
+    val exactByGroup = rows.groupBy(_._1).map { case (g, rs) => g -> rs.map(_._2).sorted.toArray }
+    for (((g, name), est) <- approx) {
+      val sorted = exactByGroup(g)
+      val p = ps.find(_._1 == name).get._2
+      val target = p * (sorted.length - 1)
+      var rank = java.util.Arrays.binarySearch(sorted, est)
+      if (rank < 0) rank = -rank - 1
+      assert(math.abs(rank - target) <= 0.015 * sorted.length + 2,
+        s"$g/$name: est=$est rank=$rank target=$target")
+    }
+    // deterministic: no RNG in the sketch, same partitioning → same result
+    val again = graft.operators.Percentiles.approx(df, Seq("g"), "v", ps, k = 256)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(approx == again)
+    // explicit merge associativity at the buffer level: split-and-merge
+    // equals a straight build for the quantile view's error bound
+    val vals = exactByGroup("gauss")
+    val whole = new graft.functions.QuantileBuffer(128)
+    vals.foreach(whole.add)
+    val a = new graft.functions.QuantileBuffer(128)
+    val b = new graft.functions.QuantileBuffer(128)
+    vals.zipWithIndex.foreach { case (v, i) => if (i % 2 == 0) a.add(v) else b.add(v) }
+    val ser = graft.functions.QuantileBuffer.deserialize(b.serializeBytes())
+    a.mergeIn(ser)
+    assert(a.count == whole.count && a.count == vals.length.toLong)
+    for (p <- Seq(0.1, 0.5, 0.9)) {
+      val est = a.quantile(p)
+      var rank = java.util.Arrays.binarySearch(vals, est)
+      if (rank < 0) rank = -rank - 1
+      assert(math.abs(rank - p * (vals.length - 1)) <= 0.02 * vals.length + 2,
+        s"merged buffer p=$p est=$est rank=$rank")
+    }
+    // SQL surface through the registered function
+    graft.GraftExtensions.register(spark)
+    df.createOrReplaceTempView("kll_in")
+    val sqlRow = spark.sql(
+      "SELECT g, kll_quantiles(v, 256, 0.5) AS q FROM kll_in GROUP BY g ORDER BY g").collect()
+    assert(sqlRow.length == 2 && sqlRow.forall(_.getSeq[Double](1).length == 1))
+  }
+
   test("R26c: deterministic across invocations and leaves no cached blocks behind") {
     import spark.implicits._
     val df = Seq.tabulate(4000)(i => (s"g${i % 5}", (i * 37 % 997).toDouble)).toDF("g", "v")
