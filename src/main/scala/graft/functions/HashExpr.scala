@@ -160,21 +160,33 @@ case class SimHashWords(child: Expression, mult: Long) extends UnaryExpression {
   * Native codegen (one virtual call per row, loop in compiled JVM code)
   * so the write path stays inside whole-stage codegen. */
 case class MapEntryHashes(child: Expression) extends UnaryExpression {
-  private lazy val mt = child.dataType.asInstanceOf[MapType]
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "map_entry_hashes"
 
-  override def nullSafeEval(input: Any): Any =
-    MapEntryHashesImpl.hash(
-      input.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData], mt.keyType, mt.valueType)
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val kt = ctx.addReferenceObj("kt", mt.keyType)
-    val vt = ctx.addReferenceObj("vt", mt.valueType)
-    nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.MapEntryHashesImpl$$.MODULE$$.hash($c, $kt, $vt);")
+  override def nullSafeEval(input: Any): Any = child.dataType match {
+    case m: MapType =>
+      MapEntryHashesImpl.hash(
+        input.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData], m.keyType, m.valueType)
+    case a: ArrayType =>
+      MapEntryHashesImpl.hashArray(
+        input.asInstanceOf[ArrayData], a.elementType)
+    case other => throw new IllegalStateException(s"unsupported child type $other")
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    child.dataType match {
+      case m: MapType =>
+        val kt = ctx.addReferenceObj("kt", m.keyType)
+        val vt = ctx.addReferenceObj("vt", m.valueType)
+        nullSafeCodeGen(ctx, ev, c =>
+          s"${ev.value} = graft.functions.MapEntryHashesImpl$$.MODULE$$.hash($c, $kt, $vt);")
+      case a: ArrayType =>
+        val et = ctx.addReferenceObj("et", a.elementType)
+        nullSafeCodeGen(ctx, ev, c =>
+          s"${ev.value} = graft.functions.MapEntryHashesImpl$$.MODULE$$.hashArray($c, $et);")
+      case other => throw new IllegalStateException(s"unsupported child type $other")
+    }
 
   override protected def withNewChildInternal(newChild: Expression): MapEntryHashes =
     copy(child = newChild)
@@ -191,6 +203,9 @@ object MapEntryHashesImpl {
 
   def subscriptSafe(dt: DataType): Boolean = dt match {
     case m: MapType => SafeTypes(m.keyType) && SafeTypes(m.valueType)
+    // array subscripts (ref `a[2] = 5`): entries hash as
+    // (1-based position, value) — the position IS the key
+    case a: ArrayType => SafeTypes(a.elementType)
     case _ => false
   }
 
@@ -198,6 +213,25 @@ object MapEntryHashesImpl {
   def hashEntry(key: String, value: String): Long =
     org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
       UTF8String.fromString(key + "\u0000" + value), StringType, 42L)
+
+  /** Array entries hash as (1-based position, value) — matching Presto
+    * and Spark element_at subscripts; null elements are skipped (a
+    * subscript equality can never match null). */
+  def hashArray(a: ArrayData, et: DataType): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    var written = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) {
+        out(written) = hashEntry((i + 1).toString, a.get(i, et).toString)
+        written += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      if (written == n) out else java.util.Arrays.copyOf(out, written))
+  }
 
   def hash(m: org.apache.spark.sql.catalyst.util.MapData,
       kt: DataType, vt: DataType): ArrayData = {

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{AttributeReference, ElementAt,
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation}
-import org.apache.spark.sql.types.MapType
+import org.apache.spark.sql.types.{ArrayType, MapType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** Opt-in optimizer rule: map-subscript equality predicates
@@ -64,20 +64,40 @@ case class SubscriptFilterRule(enabled: () => Boolean)
   }
 
   /** `element_at(m, k) = v` / `m[k] = v` with literal key and value over
-    * a plain map-typed column, both operand orders. Only rendering-safe
-    * key/value types make a claim (see MapEntryHashesImpl.SafeTypes). */
+    * a plain map-typed column — and the array forms `element_at(a, i)`
+    * (1-based) / `a[i]` (GetArrayItem, 0-based; normalized to the
+    * 1-based entry key the write side hashes) — both operand orders.
+    * Only rendering-safe key/value types make a claim (see
+    * MapEntryHashesImpl.SafeTypes). */
   private def extract(e: Expression): Option[(String, String, String)] = {
-    def sub(x: Expression): Option[(AttributeReference, Any)] = x match {
-      case ElementAt(a: AttributeReference, Literal(k, _), _, _) => Some((a, k))
-      case GetMapValue(a: AttributeReference, Literal(k, _)) => Some((a, k))
+    def idx(k: Any): Option[Long] = k match {
+      case i: Int => Some(i.toLong)
+      case l: Long => Some(l)
+      case s: Short => Some(s.toLong)
+      case b: Byte => Some(b.toLong)
       case _ => None
     }
-    def render(col: AttributeReference, k: Any, v: Any): Option[(String, String, String)] =
-      col.dataType match {
-        case m: MapType if MapEntryHashesImpl.subscriptSafe(m) && k != null && v != null =>
-          Some((col.name, k.toString, v.toString))
-        case _ => None
-      }
+    // (attr, 1-based entry key) — None when the shape/index can't claim
+    def sub(x: Expression): Option[(AttributeReference, String)] = x match {
+      case ElementAt(a: AttributeReference, Literal(k, _), _, _) if k != null =>
+        a.dataType match {
+          case _: MapType => Some((a, k.toString))
+          // element_at on arrays is 1-based; negative = from-the-end
+          // (length-dependent, no per-file claim possible)
+          case _: ArrayType => idx(k).filter(_ >= 1).map(i => (a, i.toString))
+          case _ => None
+        }
+      case GetMapValue(a: AttributeReference, Literal(k, _)) if k != null =>
+        Some((a, k.toString))
+      case org.apache.spark.sql.catalyst.expressions.GetArrayItem(
+          a: AttributeReference, Literal(k, _), _) if k != null =>
+        idx(k).filter(_ >= 0).map(i => (a, (i + 1).toString)) // a[i] is 0-based
+      case _ => None
+    }
+    def render(col: AttributeReference, k: String, v: Any): Option[(String, String, String)] =
+      if (MapEntryHashesImpl.subscriptSafe(col.dataType) && v != null)
+        Some((col.name, k, v.toString))
+      else None
     e match {
       case EqualTo(lhs, Literal(v, _)) => sub(lhs).flatMap { case (a, k) => render(a, k, v) }
       case EqualTo(Literal(v, _), rhs) => sub(rhs).flatMap { case (a, k) => render(a, k, v) }

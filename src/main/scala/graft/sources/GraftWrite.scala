@@ -105,10 +105,11 @@ object GraftWrite {
       bloomCols = table.bloomIndexCols.filter(writeSchema.fieldNames.contains)
         .filter { c =>
           table.schema(c).dataType match {
-            // map columns index their ENTRIES (subscript pruning) and
-            // only when key/value rendering is provably plan-replayable
-            case m: org.apache.spark.sql.types.MapType =>
-              graft.functions.MapEntryHashesImpl.subscriptSafe(m)
+            // map/array columns index their ENTRIES (subscript pruning)
+            // and only when entry rendering is provably plan-replayable
+            case n @ (_: org.apache.spark.sql.types.MapType |
+                      _: org.apache.spark.sql.types.ArrayType) =>
+              graft.functions.MapEntryHashesImpl.subscriptSafe(n)
             case _ => true
           }
         })
@@ -179,12 +180,16 @@ final class GraftTaskWriter(spec: GraftWriteSpec, taskUniq: String) {
   // the planner hashes predicate literals with the same expression.
   // Map columns contribute an array of per-ENTRY hashes instead (the
   // subscript file index; see MapEntryHashes).
-  private val bloomIsMap: Array[Boolean] = spec.bloomCols.toArray.map(c =>
-    ref(c).dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+  private def isNested(c: String): Boolean = ref(c).dataType match {
+    case _: org.apache.spark.sql.types.MapType => true
+    case _: org.apache.spark.sql.types.ArrayType => true
+    case _ => false
+  }
+  private val bloomIsMap: Array[Boolean] = spec.bloomCols.toArray.map(isNested)
   private val bloomProj: Option[UnsafeProjection] =
     if (spec.bloomCols.isEmpty) None
     else Some(UnsafeProjection.create(spec.bloomCols.toIndexedSeq.map { c =>
-      if (ref(c).dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+      if (isNested(c))
         graft.functions.MapEntryHashes(ref(c)): Expression
       else
         new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(storedValue(c))): Expression

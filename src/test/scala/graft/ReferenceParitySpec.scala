@@ -205,6 +205,44 @@ class ReferenceParitySpec extends AnyFunSuite {
     }
   }
 
+  test("array subscript (ref 'range filters on subscripts like a[2] = 5'): " +
+    "element_at and 0-based a[i] both prune files via 1-based entry hashes") {
+    val dir = TestSpark.tmpDir("ref_arr_sub")
+    val schema = StructType(Seq(
+      StructField("i1", IntegerType),
+      StructField("arr", ArrayType(IntegerType))))
+    val t = GraftTable.create(spark, dir, schema,
+      options = Map("file-index.bloom-filter.columns" -> "arr"))
+    t.append(Seq((1, Seq(7, 70))).toDF("i1", "arr"))
+    t.append(Seq((2, Seq(8, 80))).toDF("i1", "arr"))
+    t.append(Seq((3, Seq(9, 90))).toDF("i1", "arr"))
+    val key = "spark.graft.subscriptFilters.enabled"
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ graft.plans.SubscriptFilterRule(() =>
+        spark.conf.get(key, "false").toBoolean)
+    try {
+      spark.conf.set(key, "true")
+      def filesOf(df: org.apache.spark.sql.DataFrame): Int =
+        "files=(\\d+)/3".r.findFirstMatchIn(df.queryExecution.executedPlan.toString)
+          .get.group(1).toInt
+      // element_at is 1-based
+      val ea = spark.read.format("graft").load(dir)
+        .filter(element_at(col("arr"), lit(1)) === 8)
+      assert(ea.collect().map(_.getInt(0)).toSeq == Seq(2))
+      assert(filesOf(ea) == 1, "element_at subscript should prune to 1/3")
+      // Spark's a[i] (GetArrayItem) is 0-based; same 1-based entry hash
+      val gi = spark.read.format("graft").load(dir)
+        .filter(col("arr")(1) === 90)
+      assert(gi.collect().map(_.getInt(0)).toSeq == Seq(3))
+      assert(filesOf(gi) == 1, "a[i] subscript should prune to 1/3")
+    } finally {
+      spark.conf.unset(key)
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations
+          .filterNot(_.isInstanceOf[graft.plans.SubscriptFilterRule])
+    }
+  }
+
   test("testPartitionPushDown (t5 shape): composite partition keys prune files") {
     val schema = StructType(Seq(
       StructField("i1", StringType), StructField("i2", IntegerType),
