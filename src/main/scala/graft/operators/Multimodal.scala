@@ -10,8 +10,9 @@ import org.apache.spark.sql.types._
   * as partition-batched transforms.
   *
   * Decode is REAL wherever the JDK ships a codec: PNG/GIF/BMP/JPEG
-  * images (javax.imageio) and MJPEG-in-AVI video (RIFF container parse +
-  * per-frame imageio). Codecs the JDK cannot touch (H.264/mp4, audio)
+  * images (javax.imageio), MJPEG-in-AVI video (RIFF container parse +
+  * per-frame imageio), and WAV/AIFF/AU PCM audio (javax.sound.sampled).
+  * Codecs the JDK cannot touch (H.264/mp4, mp3/aac)
   * fall back to a clearly-marked deterministic STUB — and everything
   * Spark-side is identical either way: the schema contract, the
   * mapPartitions batch shape (the per-partition closure is where a
@@ -184,6 +185,77 @@ object Multimodal {
         decodeImageKernel(bytes) match {
           case Some((w, h, hist)) => Row(r.getLong(idIdx), true, w, h, hist.toSeq)
           case None => Row(r.getLong(idIdx), false, null, null, decodeKernelStub(bytes).toSeq)
+        }
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
+  /** REAL audio decode kernel for the formats the JDK ships codecs for
+    * (WAV/AIFF/AU PCM via javax.sound.sampled — pure JVM): parses the
+    * container, decodes the PCM samples, and returns (sampleRateHz,
+    * channels, frameCount, 16-bin histogram of absolute normalized
+    * amplitude, L1-normalized). None for bytes no installed reader
+    * claims (mp3/aac remain the documented stub). */
+  private[operators] def decodeAudioKernel(bytes: Array[Byte]): Option[(Int, Int, Long, Array[Double])] = {
+    if (bytes == null || bytes.length == 0) return None
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        val bits = fmt.getSampleSizeInBits
+        if (bits != 8 && bits != 16) return None // exotic PCM widths: no claim
+        val data = in.readAllBytes()
+        val bytesPerSample = bits / 8
+        val n = data.length / bytesPerSample
+        val hist = new Array[Double](FeatureDim)
+        var i = 0
+        while (i < n) {
+          val amp: Double =
+            if (bits == 8) math.abs((data(i) & 0xFF) - 128) / 128.0
+            else {
+              val off = i * 2
+              val s =
+                if (fmt.isBigEndian) ((data(off) << 8) | (data(off + 1) & 0xFF)).toShort
+                else ((data(off + 1) << 8) | (data(off) & 0xFF)).toShort
+              math.abs(s.toDouble) / 32768.0
+            }
+          hist(math.min(FeatureDim - 1, (amp * FeatureDim).toInt)) += 1.0
+          i += 1
+        }
+        if (n == 0) return None
+        var j = 0
+        while (j < FeatureDim) { hist(j) /= n; j += 1 }
+        Some((fmt.getSampleRate.toInt, fmt.getChannels,
+          n.toLong / math.max(1, fmt.getChannels), hist))
+      } finally in.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
+  }
+
+  /** Audio decode over media rows: partition-batched, zero shuffle.
+    * Output (media_id, decoded, sample_rate, channels, n_frames,
+    * feature) — same batch contract as decodeImages/decodeVideos, stub
+    * fallback for codecs the JDK lacks. */
+  def decodeAudio(spark: SparkSession, media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("decoded", BooleanType, nullable = false),
+      StructField("sample_rate", IntegerType),
+      StructField("channels", IntegerType),
+      StructField("n_frames", LongType),
+      StructField("feature", ArrayType(DoubleType))))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val bytesIdx = media.schema.fieldIndex("bytes")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = if (r.isNullAt(bytesIdx)) null else r.getAs[Array[Byte]](bytesIdx)
+        decodeAudioKernel(bytes) match {
+          case Some((sr, ch, n, hist)) => Row(r.getLong(idIdx), true, sr, ch, n, hist.toSeq)
+          case None => Row(r.getLong(idIdx), false, null, null, null,
+            decodeKernelStub(bytes).toSeq)
         }
       }
     }(RowEncoder.encoderFor(outSchema))

@@ -86,6 +86,43 @@ class MultimodalSpec extends AnyFunSuite {
     assert(t.getBoolean(1) && t.getInt(4) == 1, "truncation keeps the first frame")
   }
 
+  test("L12c: real WAV audio decode — sample rate, channels, frames, " +
+    "amplitude histogram; stub fallback for non-audio bytes") {
+    import spark.implicits._
+    // 16-bit PCM mono WAV via the JDK's own writer: 400 Hz sine at 8 kHz
+    val rate = 8000f
+    val nFrames = 800
+    val pcm = new Array[Byte](nFrames * 2)
+    for (i <- 0 until nFrames) {
+      val s = (math.sin(2 * math.Pi * 400 * i / rate) * 20000).toInt.toShort
+      pcm(2 * i) = (s & 0xFF).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val wav = bos.toByteArray
+
+    val rows = Seq((1L, wav), (2L, "not audio".getBytes.toArray)).toDF("media_id", "bytes")
+    val out = Multimodal.decodeAudio(spark, rows).orderBy("media_id").collect()
+    val a = out(0)
+    assert(a.getBoolean(1), "WAV must decode")
+    assert(a.getInt(2) == 8000 && a.getInt(3) == 1, "true sample rate + channels")
+    assert(a.getLong(4) == nFrames, "true frame count")
+    val hist = a.getSeq[Double](5)
+    assert(math.abs(hist.sum - 1.0) < 1e-9)
+    // a sine of amplitude 20000/32768 ≈ 0.61 never exceeds bin 9 and
+    // spends the most time near its peak (arcsine distribution)
+    assert(hist.drop(10).sum < 1e-9, "no samples above the sine's peak amplitude")
+    assert(hist(9) == hist.max, "arcsine density peaks at the amplitude cap")
+    val s = out(1)
+    assert(!s.getBoolean(1) && s.isNullAt(2), "non-audio keeps the stub contract")
+    assert(s.getSeq[Double](5).length == Multimodal.FeatureDim)
+  }
+
   test("L12: real PNG decode — true dimensions and pixel histogram, stub fallback") {
     import java.awt.image.BufferedImage
     // 8×4 PNG: left half black, right half white
