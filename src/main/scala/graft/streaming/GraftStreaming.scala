@@ -60,6 +60,26 @@ object GraftStreaming {
     log.filter(col("commit_seq") > fromSnapshot)
   }
 
+  /** Streaming exact dedup of a document stream by fingerprint — the
+    * ingestion-time half of the batch dedup suite (L1): a document whose
+    * key appeared in ANY earlier micro-batch is dropped before it ever
+    * lands in the table. Spark-first: the built-in streaming
+    * dropDuplicates carries the seen-key set in the state store
+    * (incremental across micro-batches, checkpointed, exactly-once when
+    * composed with the graft sink's idempotent batch commits). State
+    * grows with distinct keys — use the watermarked variant at scale. */
+  def dedupStream(docs: DataFrame, keyCols: Seq[String]): DataFrame =
+    docs.dropDuplicates(keyCols)
+
+  /** Watermarked variant: duplicate keys are only suppressed within the
+    * event-time watermark horizon, which lets the state store EVICT keys
+    * older than `delay` — bounded state, the 100 TB ingestion shape
+    * (near-dup re-crawls arrive close in time; a year-old repeat is
+    * cheaper to drop in the batch dedup pass). */
+  def dedupStreamWatermarked(
+      docs: DataFrame, keyCols: Seq[String], tsCol: String, delay: String): DataFrame =
+    docs.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark(keyCols: _*)
+
   /** Custom-state streaming: per-user session tracking with
     * flatMapGroupsWithState. Emits one row per CLOSED session (gap >
     * `gapSeconds`, or the processing-time state timeout for users that go
