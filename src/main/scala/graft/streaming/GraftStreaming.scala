@@ -78,7 +78,7 @@ object GraftStreaming {
     * cheaper to drop in the batch dedup pass). */
   def dedupStreamWatermarked(
       docs: DataFrame, keyCols: Seq[String], tsCol: String, delay: String): DataFrame =
-    docs.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark(keyCols: _*)
+    docs.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark(keyCols)
 
   /** Custom-state streaming: per-user session tracking with
     * flatMapGroupsWithState. Emits one row per CLOSED session (gap >
