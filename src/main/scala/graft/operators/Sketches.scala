@@ -59,6 +59,42 @@ object Sketches {
               |FROM base b
               |JOIN ep ON b.l_returnflag = ep.l_returnflag
               |JOIN es ON b.l_returnflag = es.l_returnflag
-              |ORDER BY b.l_returnflag""".stripMargin))
+              |ORDER BY b.l_returnflag""".stripMargin)),
+
+    /** L22 on the oracle surface: the KLL sketch end-to-end through the
+      * driver gate. Per-supplier lineitem groups hold ≤ ~700 rows at ANY
+      * scale factor (TPC-H row counts scale with supplier count), so
+      * k=2048 pins the sketch in its EXACT regime — no compaction ever
+      * fires, level 0 holds the whole group, and the weighted
+      * interpolation must equal DuckDB's quantile_cont bit-for-bit
+      * regardless of partitioning or merge order. This oracle-checks the
+      * full plumbing (TypedImperativeAggregate update/serialize/merge
+      * across a real shuffle, posexplode naming, interpolation math);
+      * compaction correctness under n ≫ k is PercentilesSpec's
+      * rank-error + split/merge-associativity property tests.
+      *
+      * l_quantity (integral values) rather than l_extendedprice: with
+      * integer endpoints and frac ∈ {0, .25, .5, .75} every interpolated
+      * quantile is an exact multiple of 0.25 — bit-identical IEEE
+      * doubles in BOTH engines regardless of interpolation formula, so
+      * no rounding-boundary flakes (extendedprice interpolates at
+      * quarter-CENT boundaries, where round-to-2dp flips on 1-ulp
+      * engine differences — observed 3/300 rows). */
+    QDef(
+      "q_sketch_quantiles",
+      (s, d) =>
+        Percentiles.approx(
+            T.lineitem(s, d), Seq("l_suppkey"), "l_quantity",
+            Seq(("p25", 0.25), ("p50", 0.5), ("p75", 0.75)), k = 2048)
+          .orderBy("l_suppkey", "name"),
+      Some("""WITH q AS (
+             |  SELECT l_suppkey,
+             |    quantile_cont(l_quantity, 0.25) AS p25,
+             |    quantile_cont(l_quantity, 0.50) AS p50,
+             |    quantile_cont(l_quantity, 0.75) AS p75
+             |  FROM lineitem GROUP BY l_suppkey)
+             |SELECT l_suppkey, name, value
+             |FROM q UNPIVOT (value FOR name IN (p25, p50, p75))
+             |ORDER BY l_suppkey, name""".stripMargin))
   )
 }

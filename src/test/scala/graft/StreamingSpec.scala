@@ -192,6 +192,70 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("T7a: dedupStream drops a key duplicated across micro-batches") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Int, String)]
+    val q = GraftStreaming.dedupStream(mem.toDF().toDF("k", "v"), Seq("k"))
+      .writeStream.outputMode("append").format("memory").queryName("dedup_out").start()
+    try {
+      mem.addData((1, "a")); q.processAllAvailable()
+      // same key in a LATER micro-batch: the state store remembers it
+      mem.addData((1, "a-again"), (2, "b")); q.processAllAvailable()
+      val got = spark.sql("SELECT k, v FROM dedup_out ORDER BY k")
+        .collect().map(r => (r.getInt(0), r.getString(1)))
+      assert(got.toSeq == Seq((1, "a"), (2, "b")))
+    } finally q.stop()
+  }
+
+  test("T7b: watermarked dedup evicts state past the horizon and re-admits the key") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Int, java.sql.Timestamp)]
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val q = GraftStreaming.dedupStreamWatermarked(
+        mem.toDF().toDF("k", "ts"), Seq("k"), "ts", "10 seconds")
+      .writeStream.outputMode("append").format("memory").queryName("dedup_wm").start()
+    try {
+      mem.addData((1, ts(0))); q.processAllAvailable()
+      // duplicate within the horizon: dropped
+      mem.addData((1, ts(5)), (2, ts(5))); q.processAllAvailable()
+      // advance the watermark far past key 1's (event_time + delay) expiry
+      mem.addData((99, ts(200))); q.processAllAvailable()
+      // key 1's state was evicted at the horizon → re-admitted (not a dup)
+      mem.addData((1, ts(195))); q.processAllAvailable()
+      val got = spark.sql("SELECT k, count(*) AS n FROM dedup_wm GROUP BY k ORDER BY k")
+        .collect().map(r => (r.getInt(0), r.getLong(1)))
+      assert(got.toSeq == Seq((1, 2L), (2, 1L), (99, 1L)))
+      // bounded state: only keys still inside the horizon survive (1@195, 99@200);
+      // 4 admissions ever, so < 4 proves eviction ran
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows <= 2, s"state store holds $stateRows rows; horizon eviction failed")
+    } finally q.stop()
+  }
+
+  test("T7c: dedupStream restart from checkpoint preserves the seen-key set") {
+    implicit val sc = spark.sqlContext
+    val cp = TestSpark.tmpDir("dedup_cp")
+    val seen = new scala.collection.mutable.ArrayBuffer[(Int, String)]()
+    val mem = MemoryStream[(Int, String)]
+    def start() = GraftStreaming.dedupStream(mem.toDF().toDF("k", "v"), Seq("k"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", cp)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen.synchronized {
+          seen ++= batch.collect().map(r => (r.getInt(0), r.getString(1)))
+        }; ()
+      }.start()
+    val q1 = start()
+    try { mem.addData((1, "a"), (2, "b")); q1.processAllAvailable() } finally q1.stop()
+    // restart against the SAME checkpoint: the recovered state store must
+    // still know key 1, so only key 3 passes
+    mem.addData((1, "dup"), (3, "c"))
+    val q2 = start()
+    try { q2.processAllAvailable() } finally q2.stop()
+    val got = seen.synchronized(seen.sortBy(_._1).toSeq)
+    assert(got == Seq((1, "a"), (2, "b"), (3, "c")))
+  }
+
   test("T3: changelog exposes only post-snapshot row versions with rowkind") {
     val t = GraftTable.create(spark, TestSpark.tmpDir("cdc"),
       StructType(Seq(StructField("k", IntegerType), StructField("v", StringType),
