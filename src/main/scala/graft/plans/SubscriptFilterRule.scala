@@ -1,8 +1,8 @@
 package graft.plans
 
 import graft.functions.MapEntryHashesImpl
-import graft.sources.{GraftScan, GraftScanBuilder, GraftV2Table}
-import org.apache.spark.sql.catalyst.expressions.{AttributeReference, ElementAt, EqualTo, Expression, GetMapValue, Literal, PredicateHelper}
+import graft.sources.{GraftScan, GraftScanBuilder, GraftV2Table, SubscriptPredicate}
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, ElementAt, EqualTo, Expression, GetMapValue, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, PredicateHelper}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation}
@@ -68,8 +68,15 @@ case class SubscriptFilterRule(enabled: () => Boolean)
     * (1-based) / `a[i]` (GetArrayItem, 0-based; normalized to the
     * 1-based entry key the write side hashes) — both operand orders.
     * Only rendering-safe key/value types make a claim (see
-    * MapEntryHashesImpl.SafeTypes). */
-  private def extract(e: Expression): Option[(String, String, String)] = {
+    * MapEntryHashesImpl.SafeTypes).
+    *
+    * Besides equality, RANGE shapes (`m['k'] > 5`, both operand orders,
+    * all four inequalities) are carried when the value literal is
+    * integral — those prune via the sidecar's per-entry min/max stats
+    * rather than the bloom hashes (Catalyst type coercion guarantees the
+    * literal's type equals the map value / array element type, which is
+    * exactly the write side's stats-eligibility condition). */
+  private def extract(e: Expression): Option[SubscriptPredicate] = {
     def idx(k: Any): Option[Long] = k match {
       case i: Int => Some(i.toLong)
       case l: Long => Some(l)
@@ -94,13 +101,23 @@ case class SubscriptFilterRule(enabled: () => Boolean)
         idx(k).filter(_ >= 0).map(i => (a, (i + 1).toString)) // a[i] is 0-based
       case _ => None
     }
-    def render(col: AttributeReference, k: String, v: Any): Option[(String, String, String)] =
-      if (MapEntryHashesImpl.subscriptSafe(col.dataType) && v != null)
-        Some((col.name, k, v.toString))
-      else None
+    def render(col: AttributeReference, k: String, op: String, v: Any): Option[SubscriptPredicate] =
+      if (!MapEntryHashesImpl.subscriptSafe(col.dataType) || v == null) None
+      else if (op == "=") Some(SubscriptPredicate(col.name, k, op, v.toString))
+      // range claims need an integral value (the stats store Long bounds)
+      else idx(v).map(x => SubscriptPredicate(col.name, k, op, x.toString))
+    def both(lhs: Expression, rhs: Expression, op: String, flipped: String): Option[SubscriptPredicate] =
+      (lhs, rhs) match {
+        case (l, Literal(v, _)) => sub(l).flatMap { case (a, k) => render(a, k, op, v) }
+        case (Literal(v, _), r) => sub(r).flatMap { case (a, k) => render(a, k, flipped, v) }
+        case _ => None
+      }
     e match {
-      case EqualTo(lhs, Literal(v, _)) => sub(lhs).flatMap { case (a, k) => render(a, k, v) }
-      case EqualTo(Literal(v, _), rhs) => sub(rhs).flatMap { case (a, k) => render(a, k, v) }
+      case EqualTo(l, r) => both(l, r, "=", "=")
+      case GreaterThan(l, r) => both(l, r, ">", "<")
+      case GreaterThanOrEqual(l, r) => both(l, r, ">=", "<=")
+      case LessThan(l, r) => both(l, r, "<", ">")
+      case LessThanOrEqual(l, r) => both(l, r, "<=", ">=")
       case _ => None
     }
   }

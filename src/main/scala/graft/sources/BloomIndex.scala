@@ -23,7 +23,20 @@ import java.io.{DataInputStream, DataOutputStream}
 object BloomIndex {
 
   val Suffix = ".bfidx"
-  private val Magic = 0x47424631 // "GBF1"
+  private val Magic = 0x47424631 // "GBF1" — blooms only (legacy, still read)
+  private val Magic2 = 0x47424632 // "GBF2" — blooms + per-entry min/max stats
+
+  /** One file's sidecar: per-column blooms, plus (format v2) per-column
+    * per-ENTRY-KEY min/max of integral map/array values — the range half
+    * of subscript pruning (`props['k'] > 5`; ref session property
+    * range_filters_on_subscripts_enabled). A column appears in
+    * `entryStats` ONLY when the writer saw every row (no key-cap
+    * overflow) and every non-null value was integral — so key ABSENCE
+    * from a present column map proves no row in the file carries that
+    * key, and the (min,max) bounds are file-complete. */
+  final case class Sidecar(
+      blooms: Map[String, Bloom],
+      entryStats: Map[String, Map[String, (Long, Long)]])
 
   /** ~1% false-positive rate: m ≈ 9.6 bits/item, k = 7. */
   private val BitsPerItem = 10
@@ -68,22 +81,33 @@ object BloomIndex {
     new Bloom(words)
   }
 
-  def write(fs: FileSystem, path: Path, cols: Seq[(String, Bloom)]): Unit = {
+  def write(fs: FileSystem, path: Path, cols: Seq[(String, Bloom)],
+      entryStats: Seq[(String, Map[String, (Long, Long)])] = Seq.empty): Unit = {
     val out = new DataOutputStream(fs.create(path, true))
     try {
-      out.writeInt(Magic)
+      out.writeInt(Magic2)
       out.writeInt(cols.size)
       cols.foreach { case (name, b) =>
         out.writeUTF(name)
         out.writeInt(b.words.length)
         b.words.foreach(out.writeLong)
       }
+      out.writeInt(entryStats.size)
+      entryStats.foreach { case (name, keys) =>
+        out.writeUTF(name)
+        out.writeInt(keys.size)
+        keys.foreach { case (k, (mn, mx)) =>
+          out.writeUTF(k)
+          out.writeLong(mn)
+          out.writeLong(mx)
+        }
+      }
     } finally out.close()
   }
 
   /** None for a missing/unreadable/foreign sidecar (legacy files — no
     * pruning claim can be made). */
-  def read(fs: FileSystem, path: Path): Option[Map[String, Bloom]] =
+  def read(fs: FileSystem, path: Path): Option[Sidecar] =
     try {
       if (!fs.exists(path)) return None
       // A corrupt/truncated sidecar must degrade to "no pruning claim",
@@ -93,17 +117,33 @@ object BloomIndex {
       val fileLen = fs.getFileStatus(path).getLen
       val in = new DataInputStream(fs.open(path))
       try {
-        if (in.readInt() != Magic) return None
+        val magic = in.readInt()
+        if (magic != Magic && magic != Magic2) return None
         val n = in.readInt()
         if (n < 0 || n > 10000) return None
-        Some((0 until n).map { _ =>
+        val blooms = (0 until n).map { _ =>
           val name = in.readUTF()
           val wordCount = in.readInt()
           if (wordCount < 0 || wordCount.toLong * 8 > fileLen)
             return None
           val words = Array.fill(wordCount)(in.readLong())
           name -> new Bloom(words)
-        }.toMap)
+        }.toMap
+        val stats =
+          if (magic != Magic2) Map.empty[String, Map[String, (Long, Long)]]
+          else {
+            val nc = in.readInt()
+            if (nc < 0 || nc > 10000) return None
+            (0 until nc).map { _ =>
+              val name = in.readUTF()
+              val nk = in.readInt()
+              if (nk < 0 || nk.toLong * 16 > fileLen) return None
+              name -> (0 until nk).map { _ =>
+                in.readUTF() -> (in.readLong(), in.readLong())
+              }.toMap
+            }.toMap
+          }
+        Some(Sidecar(blooms, stats))
       } finally in.close()
     } catch { case scala.util.control.NonFatal(_) => None }
 

@@ -819,10 +819,11 @@ class GraftTable private (
     options.get("file-index.bloom-filter.columns")
       .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Seq.empty)
 
-  // sidecar blooms memoized per data-file path (files are immutable)
+  // sidecar (blooms + entry stats) memoized per data-file path (files
+  // are immutable)
   private val bloomCache =
-    scala.collection.concurrent.TrieMap[String, Option[Map[String, BloomIndex.Bloom]]]()
-  private def bloomsOf(f: FileMeta): Option[Map[String, BloomIndex.Bloom]] =
+    scala.collection.concurrent.TrieMap[String, Option[BloomIndex.Sidecar]]()
+  private def sidecarOf(f: FileMeta): Option[BloomIndex.Sidecar] =
     bloomCache.getOrElseUpdate(f.path,
       BloomIndex.read(fs, new Path(root, f.path + BloomIndex.Suffix)))
 
@@ -834,7 +835,7 @@ class GraftTable private (
     import org.apache.spark.sql.sources.{EqualNullSafe, EqualTo, In}
     val cols = bloomIndexCols.toSet
     def probe(c: String, v: Any): Boolean =
-      bloomsOf(f).flatMap(_.get(c)) match {
+      sidecarOf(f).flatMap(_.blooms.get(c)) match {
         case Some(b) => BloomIndex.hashLiteral(v, schema(c).dataType).forall(b.mightContain)
         case None => true
       }
@@ -857,7 +858,7 @@ class GraftTable private (
       partitionFilter: Option[Column] = None,
       bucket: Option[Int] = None,
       dataFilters: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty,
-      subscriptFilters: Seq[(String, String, String)] = Seq.empty): Seq[FileMeta] = {
+      subscriptFilters: Seq[SubscriptPredicate] = Seq.empty): Seq[FileMeta] = {
     var files = pruneFiles(currentFiles(snapshotId),
       if (partitionPruneSafe) partitionFilter else None)
     bucket.foreach(b => files = files.filter(_.bucket == b))
@@ -869,23 +870,52 @@ class GraftTable private (
         skipSafe.forall(fl => FileStats.mayMatch(fl, f.statsOrEmpty, schema)))
     if (skipSafe.nonEmpty && bloomIndexCols.nonEmpty)
       files = files.filter(f => skipSafe.forall(fl => bloomMayMatch(fl, f)))
-    // map-subscript bloom pruning (`props['k'] = 'v'`, ref
-    // range_filters_on_subscripts_enabled): entry hashes live in the
-    // same sidecars. Non-PK tables only — a map column's entries change
+    // map-subscript pruning (`props['k'] = 'v'` via bloom entry hashes,
+    // `props['k'] > 5` via per-entry min/max stats, ref
+    // range_filters_on_subscripts_enabled): both live in the same
+    // sidecars. Non-PK tables only — a map column's entries change
     // across row versions, so file pruning on them could resurrect an
     // older version through the merge (same rule as skipSafeCols).
     if (subscriptFilters.nonEmpty && !isPkTable && bloomIndexCols.nonEmpty)
       files = files.filter { f =>
-        subscriptFilters.forall { case (c, k, v) =>
-          if (!bloomIndexCols.contains(c)) true
-          else bloomsOf(f).flatMap(_.get(c)) match {
-            case Some(b) =>
-              b.mightContain(graft.functions.MapEntryHashesImpl.hashEntry(k, v))
-            case None => true // legacy file without a sidecar
-          }
-        }
+        subscriptFilters.forall(p => subscriptMayMatch(p, f))
       }
     files
+  }
+
+  /** One subscript predicate against one file's sidecar: false ONLY when
+    * the sidecar PROVES no row can satisfy it. Equality probes the bloom
+    * entry hashes (no false negatives). Ranges consult the per-entry
+    * min/max stats; a column's stats map is file-complete by
+    * construction (BloomIndex.Sidecar), so a key ABSENT from a present
+    * map means `m['k']` is null on every row — no range predicate can
+    * match. Missing sidecars / columns / unparseable values keep the
+    * file (residual-safe either way: the Filter stays in the plan). */
+  private def subscriptMayMatch(p: SubscriptPredicate, f: FileMeta): Boolean = {
+    if (!bloomIndexCols.contains(p.col)) return true
+    sidecarOf(f) match {
+      case None => true // legacy file without a sidecar
+      case Some(sc) =>
+        if (p.op == "=")
+          sc.blooms.get(p.col).forall(
+            _.mightContain(graft.functions.MapEntryHashesImpl.hashEntry(p.key, p.value)))
+        else sc.entryStats.get(p.col) match {
+          case None => true // no stats claim (overflow / non-integral / legacy)
+          case Some(stats) => stats.get(p.key) match {
+            case None => false // key never present in this file
+            case Some((mn, mx)) =>
+              p.value.toLongOption.forall { v =>
+                p.op match {
+                  case ">" => mx > v
+                  case ">=" => mx >= v
+                  case "<" => mn < v
+                  case "<=" => mn <= v
+                  case _ => true
+                }
+              }
+          }
+        }
+    }
   }
 
   /** Read the table: latest (or time-travel) snapshot, manifest-pruned,

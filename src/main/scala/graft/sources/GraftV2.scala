@@ -204,12 +204,20 @@ object GraftScanBuilder {
     * pruning (injected by SubscriptFilterRule). */
   val SubscriptFiltersOption = "subscript.filters"
 
-  /** Encode (col, key, value) triples: NUL-separated fields, SOH-joined
-    * triples (control characters cannot appear in column names and make
-    * the encoding unambiguous for arbitrary key/value text). */
-  def encodeSubscriptFilters(subs: Seq[(String, String, String)]): String =
-    subs.map { case (c, k, v) => s"$c\u0000$k\u0000$v" }.mkString("\u0001")
+  /** Encode (col, key, op, value) records: NUL-separated fields,
+    * SOH-joined records (control characters cannot appear in column
+    * names and make the encoding unambiguous for arbitrary key/value
+    * text). Op is one of = > >= < <=. */
+  def encodeSubscriptFilters(subs: Seq[SubscriptPredicate]): String =
+    subs.map(f => s"${f.col}\u0000${f.key}\u0000${f.op}\u0000${f.value}").mkString("\u0001")
 }
+
+/** One subscript predicate carried to the scan for file pruning:
+  * `col[key] op value` with op in = > >= < <= (ref session property
+  * range_filters_on_subscripts_enabled -- equality prunes via the bloom
+  * entry hashes, ranges via the sidecar's per-entry min/max stats;
+  * see SubscriptFilterRule / BloomIndex.Sidecar). */
+final case class SubscriptPredicate(col: String, key: String, op: String, value: String)
 
 /** Pushdown negotiation (ref: PrestoFilterConverter.java TupleDomain →
   * predicate conversion). All filters are returned as residual — like the
@@ -241,13 +249,13 @@ final class GraftScanBuilder(
 
   /** Map-subscript predicates for bloom entry pruning, injected by
     * SubscriptFilterRule (or set directly as a read option) as
-    * `col<NUL>key<NUL>value` triples joined by SOH — file pruning
+    * `col<NUL>key<NUL>op<NUL>value` records joined by SOH — file pruning
     * only, always residual-safe (the Filter stays in the plan). */
-  private val subscriptFilters: Seq[(String, String, String)] =
+  private val subscriptFilters: Seq[SubscriptPredicate] =
     Option(options.get(GraftScanBuilder.SubscriptFiltersOption)).toSeq
       .flatMap(_.split('\u0001').toSeq)
       .flatMap(_.split('\u0000') match {
-        case Array(c, k, v) => Some((c, k, v))
+        case Array(c, k, op, v) => Some(SubscriptPredicate(c, k, op, v))
         case _ => None
       })
 
@@ -555,7 +563,7 @@ final class GraftScan(
     partitionPrune: Boolean,
     dataSkip: Boolean,
     rowLevelReplace: Boolean = false,
-    val subscriptFilters: Seq[(String, String, String)] = Seq.empty)
+    val subscriptFilters: Seq[SubscriptPredicate] = Seq.empty)
     extends Scan with Batch with SupportsReportStatistics with SupportsReportPartitioning
     with SupportsRuntimeFiltering {
 
@@ -563,7 +571,7 @@ final class GraftScan(
     * used by SubscriptFilterRule when it rewrites an already-built
     * DataSourceV2ScanRelation (the rule also handles the pre-pushdown
     * DataSourceV2Relation shape via the read option). */
-  def withSubscriptFilters(subs: Seq[(String, String, String)]): GraftScan =
+  def withSubscriptFilters(subs: Seq[SubscriptPredicate]): GraftScan =
     new GraftScan(spark, table, snapshotId, requiredSchema, pushed,
       partitionPrune, dataSkip, rowLevelReplace, subs)
 

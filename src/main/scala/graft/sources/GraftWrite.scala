@@ -195,6 +195,83 @@ final class GraftTaskWriter(spec: GraftWriteSpec, taskUniq: String) {
         new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(storedValue(c))): Expression
     }))
 
+  // Per-entry min/max collection for nested bloom columns whose map
+  // value / array element type is integral — the RANGE half of subscript
+  // pruning (`props['k'] > 5`, ref range_filters_on_subscripts_enabled):
+  // the bloom entry hashes can only answer equality, so the sidecar's v2
+  // format adds per-(entry key) (min, max) bounds. Entry keys render with
+  // the same toString convention the hashes use. A file whose column
+  // exceeds MaxEntryStatKeys distinct keys writes NO stats for it (an
+  // incomplete key set would turn "key absent → prune" unsound).
+  private val MaxEntryStatKeys = 64
+  private def integralType(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
+         org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType => true
+    case _ => false
+  }
+  /** (bloom col name, writeSchema ordinal, column type) for each nested
+    * bloom column eligible for entry range stats. */
+  private val entryStatSpecs: Seq[(String, Int, org.apache.spark.sql.types.DataType)] =
+    spec.bloomCols.filter { c =>
+      ref(c).dataType match {
+        case m: org.apache.spark.sql.types.MapType => integralType(m.valueType)
+        case a: org.apache.spark.sql.types.ArrayType => integralType(a.elementType)
+        case _ => false
+      }
+    }.map(c => (c, spec.writeSchema.fieldIndex(c), ref(c).dataType))
+
+  private final class EntryStatBuf {
+    val m = mutable.HashMap[String, Array[Long]]() // key -> [min, max]
+    var overflow = false
+    def add(key: String, v: Long): Unit = {
+      if (overflow) return
+      m.get(key) match {
+        case Some(b) =>
+          if (v < b(0)) b(0) = v
+          if (v > b(1)) b(1) = v
+        case None =>
+          if (m.size >= MaxEntryStatKeys) { overflow = true; m.clear() }
+          else m.put(key, Array(v, v))
+      }
+    }
+  }
+
+  private def asLong(v: Any): Long = v match {
+    case i: java.lang.Integer => i.longValue
+    case l: java.lang.Long => l.longValue
+    case s: java.lang.Short => s.longValue
+    case b: java.lang.Byte => b.longValue
+    case other => throw new IllegalStateException(s"non-integral entry value $other")
+  }
+
+  private def collectEntryStats(row: InternalRow, o: Open): Unit = {
+    var s = 0
+    while (s < entryStatSpecs.length) {
+      val (_, ord, dt) = entryStatSpecs(s)
+      if (!row.isNullAt(ord)) dt match {
+        case m: org.apache.spark.sql.types.MapType =>
+          val md = row.getMap(ord)
+          val ks = md.keyArray(); val vs = md.valueArray()
+          var i = 0
+          while (i < md.numElements()) {
+            if (!vs.isNullAt(i)) // null values can never match a subscript predicate
+              o.entryStatBufs(s).add(ks.get(i, m.keyType).toString, asLong(vs.get(i, m.valueType)))
+            i += 1
+          }
+        case a: org.apache.spark.sql.types.ArrayType =>
+          val ad = row.getArray(ord)
+          var i = 0
+          while (i < ad.numElements()) {
+            if (!ad.isNullAt(i)) // entry key = 1-based position, like the hashes
+              o.entryStatBufs(s).add((i + 1).toString, asLong(ad.get(i, a.elementType)))
+            i += 1
+          }
+        case _ => ()
+      }
+      s += 1
+    }
+  }
+
   /** Growable primitive long buffer (no boxing on the per-row path). */
   private final class LongBuf {
     var arr = new Array[Long](1024)
@@ -231,6 +308,7 @@ final class GraftTaskWriter(spec: GraftWriteSpec, taskUniq: String) {
       val partition: Map[String, String],
       val bucket: Int) {
     val bloomBufs: Array[LongBuf] = Array.fill(spec.bloomCols.size)(new LongBuf)
+    val entryStatBufs: Array[EntryStatBuf] = Array.fill(entryStatSpecs.size)(new EntryStatBuf)
   }
 
   private val open = mutable.LinkedHashMap[(Seq[String], Int), Open]()
@@ -268,6 +346,7 @@ final class GraftTaskWriter(spec: GraftWriteSpec, taskUniq: String) {
         i += 1
       }
     }
+    if (entryStatSpecs.nonEmpty) collectEntryStats(row, o)
     o.writer.write(dataProj(row))
   }
 
@@ -293,6 +372,10 @@ final class GraftTaskWriter(spec: GraftWriteSpec, taskUniq: String) {
       BloomIndex.write(fs, new Path(root, o.relPath + BloomIndex.Suffix),
         spec.bloomCols.zip(o.bloomBufs).map { case (c, buf) =>
           c -> BloomIndex.build(buf.arr, buf.n)
+        },
+        entryStatSpecs.zip(o.entryStatBufs).collect {
+          case ((c, _, _), buf) if !buf.overflow =>
+            c -> buf.m.view.mapValues(b => (b(0), b(1))).toMap
         })
     closed += o
   }

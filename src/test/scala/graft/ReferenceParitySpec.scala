@@ -243,6 +243,52 @@ class ReferenceParitySpec extends AnyFunSuite {
     }
   }
 
+  test("range filters on subscripts (ref session property's namesake): " +
+    "props['k'] > v prunes files via per-entry min/max stats, identical results either way") {
+    val dir = TestSpark.tmpDir("ref_sub_range")
+    val schema = StructType(Seq(
+      StructField("i1", IntegerType),
+      StructField("props", MapType(StringType, IntegerType))))
+    val t = GraftTable.create(spark, dir, schema,
+      options = Map("file-index.bloom-filter.columns" -> "props"))
+    // three commits → three files with disjoint value ranges for key "a";
+    // the third lacks "a" entirely (key-absence pruning)
+    t.append(Seq((1, Map("a" -> 5, "b" -> 1))).toDF("i1", "props"))
+    t.append(Seq((2, Map("a" -> 50)), (3, Map("a" -> 70))).toDF("i1", "props").coalesce(1))
+    t.append(Seq((4, Map("b" -> 999))).toDF("i1", "props"))
+    val key = "spark.graft.subscriptFilters.enabled"
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ graft.plans.SubscriptFilterRule(() =>
+        spark.conf.get(key, "false").toBoolean)
+    try {
+      def run(cond: org.apache.spark.sql.Column): (Seq[Int], Int) = {
+        val df = spark.read.format("graft").load(dir).filter(cond)
+        val rows = df.collect().map(_.getInt(0)).toSeq.sorted
+        val m = "files=(\\d+)/3".r.findFirstMatchIn(df.queryExecution.executedPlan.toString)
+        (rows, m.get.group(1).toInt)
+      }
+      spark.conf.set(key, "false")
+      val (offRows, offFiles) = run(element_at(col("props"), "a") > 10)
+      assert(offRows == Seq(2, 3) && offFiles == 3, s"toggle off: $offRows files=$offFiles")
+      spark.conf.set(key, "true")
+      // > 10 rules out file 1 (max 5) and file 3 (no "a" key) by stats
+      val (onRows, onFiles) = run(element_at(col("props"), "a") > 10)
+      assert(onRows == Seq(2, 3), "toggle must not change results")
+      assert(onFiles == 1, s"range subscript should stats-prune to 1/3, read $onFiles")
+      // literal-on-left flips the operator: 60 < props['a'] → only file 2
+      val (fRows, fFiles) = run(lit(60) < element_at(col("props"), "a"))
+      assert(fRows == Seq(3) && fFiles == 1, s"flipped op: $fRows files=$fFiles")
+      // <= keeps only file 1 (min 5); key-absent file 3 stays pruned
+      val (leRows, leFiles) = run(element_at(col("props"), "a") <= 5)
+      assert(leRows == Seq(1) && leFiles == 1, s"<=: $leRows files=$leFiles")
+    } finally {
+      spark.conf.unset(key)
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations
+          .filterNot(_.isInstanceOf[graft.plans.SubscriptFilterRule])
+    }
+  }
+
   test("testPartitionPushDown (t5 shape): composite partition keys prune files") {
     val schema = StructType(Seq(
       StructField("i1", StringType), StructField("i2", IntegerType),
