@@ -86,6 +86,25 @@ object GraftExtensions {
         graft.functions.KllQuantiles(args.head,
           litNum(args(1), "k").toInt,
           args.drop(2).map(litNum(_, "fraction"))).toAggregateExpression()
+      }),
+    (FunctionIdentifier("freq_items"),
+      info("freq_items",
+        "freq_items(item, k, topN) - mergeable Misra-Gries heavy-hitters sketch"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "freq_items(item, k, topN) takes exactly 3 arguments")
+        def litInt(e: Expression, what: String): Int = e match {
+          case l: org.apache.spark.sql.catalyst.expressions.Literal =>
+            l.value match {
+              case i: Int => i
+              case n: Long => n.toInt
+              case s: Short => s.toInt
+              case other => throw new IllegalArgumentException(
+                s"$what must be an integral literal, got $other")
+            }
+          case other => throw new IllegalArgumentException(s"$what must be a literal, got ${other.sql}")
+        }
+        graft.functions.FreqItems(args.head,
+          litInt(args(1), "k"), litInt(args(2), "topN")).toAggregateExpression()
       }))
 
   /** Register the SQL FUNCTIONS into an already-built session

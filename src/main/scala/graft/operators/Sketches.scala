@@ -1,7 +1,8 @@
 package graft.operators
 
 import graft.{QDef, Tables => T}
-import graft.functions.{HashExpr, KmvSketch}
+import graft.functions.{FreqItems, HashExpr, KmvSketch}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Sketch aggregates (SURVEY §2.3 L15): mergeable small-state summaries —
@@ -38,6 +39,28 @@ object Sketches {
        |         ELSE CAST(round(($K - 1) / (CAST(max(CASE WHEN rn = $K THEN h END) AS DOUBLE)
        |                                     / $Two64.0)) AS BIGINT) END AS $outName
        |  FROM r$tag GROUP BY l_returnflag)""".stripMargin
+
+  /** Grouped heavy hitters via the mergeable Misra–Gries sketch
+    * (graft.functions.FreqItems): ≤ 2k (item, count) pairs per group
+    * cross the shuffle instead of one row per distinct item. Long-format
+    * output: groupCols..., item STRING, cnt BIGINT, rn BIGINT (1-based,
+    * count desc / item asc). The exact grouped-top-k sibling is
+    * `q_group_topk` (R16) — same trade as Percentiles.exact vs approx. */
+  def topItems(df: DataFrame, groupCols: Seq[String], itemCol: String,
+      k: Int = 256, topN: Int = 10): DataFrame = {
+    require(groupCols.nonEmpty, "grouped operator: pass at least one group column")
+    import org.apache.spark.sql.graft.Bridge
+    val gs = groupCols.map(col)
+    val sketch = Bridge.column(
+      FreqItems(Bridge.expression(col(itemCol).cast("string")), k, topN)
+        .toAggregateExpression())
+    df.filter(col(itemCol).isNotNull)
+      .groupBy(gs: _*)
+      .agg(sketch.as("__fi"))
+      .select(gs :+ posexplode(col("__fi")).as(Seq("__i", "__s")): _*)
+      .select(gs :+ col("__s.item").as("item") :+ col("__s.cnt").as("cnt") :+
+        (col("__i") + 1).cast("long").as("rn"): _*)
+  }
 
   val defs: Seq[QDef] = Seq(
     QDef(
@@ -95,6 +118,34 @@ object Sketches {
              |  FROM lineitem GROUP BY l_suppkey)
              |SELECT l_suppkey, name, value
              |FROM q UNPIVOT (value FOR name IN (p25, p50, p75))
-             |ORDER BY l_suppkey, name""".stripMargin))
+             |ORDER BY l_suppkey, name""".stripMargin)),
+
+    /** L23 on the oracle surface: per-returnflag top-5 ship MONTHS via
+      * the MG sketch. TPC-H ship dates span a fixed 1992–1998 window, so
+      * ~83 distinct months per group ≤ 2k = 128 at ANY scale factor: the
+      * sketch never compacts, counts are exact under any merge order,
+      * and the DuckDB count/row_number replay matches bit-for-bit — the
+      * same exact-regime oracle pattern as q_sketch_quantiles (KLL) and
+      * q_sketch_distinct (KMV). Approx-regime guarantees (heavy-hitter
+      * survival, undercount ≤ err ≤ n/(k+1)) are FrequentsSpec's
+      * property tests. */
+    QDef(
+      "q_sketch_topk",
+      (s, d) =>
+        topItems(
+          T.lineitem(s, d).withColumn("item",
+            date_format(col("l_shipdate"), "yyyy-MM")),
+          Seq("l_returnflag"), "item", k = 64, topN = 5)
+          .orderBy("l_returnflag", "rn"),
+      Some("""WITH c AS (
+             |  SELECT l_returnflag, strftime(l_shipdate, '%Y-%m') AS item,
+             |         count(*) AS cnt
+             |  FROM lineitem GROUP BY 1, 2),
+             |r AS (SELECT l_returnflag, item, cnt,
+             |        row_number() OVER (PARTITION BY l_returnflag
+             |                           ORDER BY cnt DESC, item) AS rn
+             |      FROM c)
+             |SELECT l_returnflag, item, cnt, rn FROM r WHERE rn <= 5
+             |ORDER BY l_returnflag, rn""".stripMargin))
   )
 }
