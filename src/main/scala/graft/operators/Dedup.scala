@@ -365,6 +365,74 @@ object Dedup {
               |SELECT doc_id, bench_id, round(containment, 4) AS containment
               |FROM c ORDER BY 3 DESC, doc_id, bench_id LIMIT 20""".stripMargin)),
 
+    // L25: duplicate-CLUSTER resolution — connected components over the
+    // verified near-dup pair graph. Pairwise dedup (L13) keeps d1 of
+    // every pair independently, which over-deletes on chains (a~b, b~c:
+    // b and c both drop though b was c's only witness); cluster
+    // resolution groups transitively-connected docs and keeps ONE
+    // representative (the min doc_id) per component. Min-label
+    // propagation: each round every node takes the min label among
+    // itself and its neighbors — one equality-join shuffle per round,
+    // converging in O(component diameter) rounds (near-dup clusters are
+    // near-cliques: 2-3). Per-round driver work is one scalar
+    // convergence count, never data. The oracle replays the closure with
+    // a recursive CTE: min reachable id ≡ min component label.
+    QDef(
+      "q_dedup_clusters",
+      (s, d) => {
+        import scala.jdk.CollectionConverters._
+        val pairs = jaccardPairsStaged(s, d).select("d1", "d2")
+        val edges = pairs.union(pairs.select(col("d2"), col("d1"))).toDF("src", "dst")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        var labels = edges.select(col("src").as("id")).distinct()
+          .withColumn("label", col("id"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          var iter = 0
+          var converged = false
+          while (!converged && iter < 20) {
+            val nbr = edges.join(labels.select(col("id").as("dst"), col("label")), "dst")
+              .select(col("src").as("id"), col("label"))
+            val next = nbr.union(labels.select(col("id"), col("label")))
+              .groupBy("id").agg(min("label").as("label"))
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            val changed = next.as("n").join(labels.as("o"), "id")
+              .filter(col("n.label") =!= col("o.label")).count()
+            labels.unpersist()
+            labels = next
+            converged = changed == 0
+            iter += 1
+          }
+          val out = labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+            .withColumn("csize",
+              count(lit(1)).over(Window.partitionBy("cluster_id")).cast("long"))
+            .orderBy("doc_id")
+          // result is pair-graph-nodes-sized (small): materialize so the
+          // iteration caches can be released before returning
+          val rows = out.collect()
+          s.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](rows.toSeq.asJava), out.schema)
+        } finally { edges.unpersist(); labels.unpersist() }
+      },
+      Some(s"""WITH RECURSIVE w AS (SELECT doc_id, $ShSql sh FROM documents),
+              |e AS (SELECT doc_id, unnest(sh) g FROM w),
+              |$PrefixCandSql,
+              |jv AS (SELECT d1, d2,
+              |  CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE)
+              |    / len(list_distinct(list_cat(s1.sh, s2.sh))) jr
+              |  FROM cand JOIN w s1 ON d1 = s1.doc_id JOIN w s2 ON d2 = s2.doc_id),
+              |pp AS (SELECT d1, d2 FROM jv WHERE jr >= $Tau),
+              |nodes AS (SELECT d1 AS id FROM pp UNION SELECT d2 FROM pp),
+              |ed AS (SELECT d1 a, d2 b FROM pp UNION ALL SELECT d2 a, d1 b FROM pp),
+              |reach(id, r) AS (
+              |  SELECT id, id FROM nodes
+              |  UNION
+              |  SELECT e2.b, reach.r FROM reach JOIN ed e2 ON e2.a = reach.id),
+              |cc AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)
+              |SELECT doc_id, cluster_id,
+              |  count(*) OVER (PARTITION BY cluster_id) AS csize
+              |FROM cc ORDER BY doc_id""".stripMargin)),
+
     // L14: stratified sampling for data-mixture construction.
     // Deterministic hash-threshold draw (keep iff
     // poly_hash64(doc_id ':' lang) mod 10000 < per-stratum threshold)
