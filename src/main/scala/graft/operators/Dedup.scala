@@ -258,6 +258,64 @@ object Dedup {
        |SELECT d1, d2, hd FROM pairs WHERE hd <= 3 ORDER BY d1, d2""".stripMargin
   }
 
+  /** Connected components over an undirected pair graph by min-label
+    * propagation: each round every node takes the min label among itself
+    * and its neighbors — one equality-join shuffle per round, converging
+    * in O(component diameter) rounds (near-dup clusters are
+    * near-cliques: 2-3; DedupSpec exercises a diameter-9 path). Per-round
+    * driver work is one scalar convergence count, never data.
+    *
+    * Each round's label frame is cut over via `localCheckpoint` — NOT
+    * plain persist: persist caches the data but leaves the logical plan
+    * growing by one join+aggregate per round, so Catalyst
+    * analysis/optimization cost compounds per iteration (measured: a
+    * diameter-9 path hung the 20-round loop for minutes on 16 rows).
+    * localCheckpoint truncates the lineage to the materialized blocks —
+    * the standard iterative-algorithm discipline; the node-sized result
+    * is collected so no checkpoint blocks outlive the call.
+    *
+    * @param pairs two numeric columns (a, b), one row per undirected edge
+    * @return (doc_id, cluster_id = min id in component, csize) for every
+    *         node appearing in `pairs`, ordered by doc_id
+    */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val s = pairs.sparkSession
+    val Seq(c1, c2) = pairs.columns.toSeq.take(2).map(col)
+    val edges = pairs.select(c1.as("src"), c2.as("dst"))
+      .union(pairs.select(c2.as("src"), c1.as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < 30) {
+      val nbr = edges.join(labels.select(col("id").as("dst"), col("label")), "dst")
+        .select(col("src").as("id"), col("label"))
+      val next = nbr.union(labels.select(col("id"), col("label")))
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint(true)
+      val changed = next.as("n").join(labels.as("o"), "id")
+        .filter(col("n.label") =!= col("o.label")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    val out = labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .withColumn("csize",
+        count(lit(1)).over(Window.partitionBy("cluster_id")).cast("long"))
+      .orderBy("doc_id")
+    // result is pair-graph-nodes-sized (small): materialize so the
+    // checkpoint blocks can be released before returning
+    val rows = out.collect()
+    edges.unpersist()
+    labels.unpersist()
+    s.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](rows.toSeq.asJava), out.schema)
+  }
+
   val defs: Seq[QDef] = Seq(
     // L1: exact dedup by normalized-prefix hash, keep-first.
     QDef(
@@ -370,50 +428,12 @@ object Dedup {
     // every pair independently, which over-deletes on chains (a~b, b~c:
     // b and c both drop though b was c's only witness); cluster
     // resolution groups transitively-connected docs and keeps ONE
-    // representative (the min doc_id) per component. Min-label
-    // propagation: each round every node takes the min label among
-    // itself and its neighbors — one equality-join shuffle per round,
-    // converging in O(component diameter) rounds (near-dup clusters are
-    // near-cliques: 2-3). Per-round driver work is one scalar
-    // convergence count, never data. The oracle replays the closure with
-    // a recursive CTE: min reachable id ≡ min component label.
+    // representative (the min doc_id) per component. The oracle replays
+    // the closure with a recursive CTE: min reachable id ≡ min
+    // component label.
     QDef(
       "q_dedup_clusters",
-      (s, d) => {
-        import scala.jdk.CollectionConverters._
-        val pairs = jaccardPairsStaged(s, d).select("d1", "d2")
-        val edges = pairs.union(pairs.select(col("d2"), col("d1"))).toDF("src", "dst")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        var labels = edges.select(col("src").as("id")).distinct()
-          .withColumn("label", col("id"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          var iter = 0
-          var converged = false
-          while (!converged && iter < 20) {
-            val nbr = edges.join(labels.select(col("id").as("dst"), col("label")), "dst")
-              .select(col("src").as("id"), col("label"))
-            val next = nbr.union(labels.select(col("id"), col("label")))
-              .groupBy("id").agg(min("label").as("label"))
-              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-            val changed = next.as("n").join(labels.as("o"), "id")
-              .filter(col("n.label") =!= col("o.label")).count()
-            labels.unpersist()
-            labels = next
-            converged = changed == 0
-            iter += 1
-          }
-          val out = labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
-            .withColumn("csize",
-              count(lit(1)).over(Window.partitionBy("cluster_id")).cast("long"))
-            .orderBy("doc_id")
-          // result is pair-graph-nodes-sized (small): materialize so the
-          // iteration caches can be released before returning
-          val rows = out.collect()
-          s.createDataFrame(
-            new java.util.ArrayList[org.apache.spark.sql.Row](rows.toSeq.asJava), out.schema)
-        } finally { edges.unpersist(); labels.unpersist() }
-      },
+      (s, d) => connectedComponents(jaccardPairsStaged(s, d).select("d1", "d2")),
       Some(s"""WITH RECURSIVE w AS (SELECT doc_id, $ShSql sh FROM documents),
               |e AS (SELECT doc_id, unnest(sh) g FROM w),
               |$PrefixCandSql,

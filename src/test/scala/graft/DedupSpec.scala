@@ -40,6 +40,26 @@ class DedupSpec extends AnyFunSuite {
     assert(mh.size >= (truth.size * 0.85).toInt) // banding recall
   }
 
+  test("L25: connected components — diameter-9 path, disjoint components, chain over-deletion fixed") {
+    import spark.implicits._
+    // component 1: a 10-node path 0-1-2-...-9 (diameter 9 — forces the
+    // propagation loop well past the near-clique 2-3 rounds);
+    // component 2: a triangle {100,101,102}; component 3: lone edge {200,201}
+    val pairs = ((0L until 9L).map(i => (i, i + 1)) ++
+      Seq((100L, 101L), (101L, 102L), (100L, 102L), (200L, 201L))).toDF("d1", "d2")
+    val got = graft.operators.Dedup.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = (0L to 9L).map(i => (i, 0L, 10L)) ++
+      Seq((100L, 100L, 3L), (101L, 100L, 3L), (102L, 100L, 3L),
+        (200L, 200L, 2L), (201L, 200L, 2L))
+    assert(got.toSeq == want)
+    // the chain scenario pairwise-apply gets wrong: pairs (0,1),(1,2)
+    // drop BOTH 1 and 2 under keep-d1 (over-deletion); cluster
+    // resolution keeps exactly one representative per component
+    val keepers = got.filter { case (id, cl, _) => id == cl }.map(_._1)
+    assert(keepers.toSeq == Seq(0L, 100L, 200L))
+  }
+
   test("L4: simhash hamming pairs match brute-force hamming at the same radius") {
     val got = SparkEntry.queries("q_dedup_simhash")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
