@@ -189,6 +189,15 @@ object Similarity {
     val n = normed(s, d)
     val cent = n.filter(col("vec_id") < IvfK)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
+    ivfTopK(s, d, cent)
+  }
+
+  /** IVF probe/re-rank against a caller-supplied quantizer frame
+    * (cent_id, cv: array<double>, cn: double) — the seeded QDef and the
+    * KMeansOp-trained variant (AnnSpec L19b) share this body; "swapping
+    * in trained k-means centroids changes only the `cent` frame". */
+  private[graft] def ivfTopK(s: SparkSession, d: String, cent: DataFrame): DataFrame = {
+    val n = normed(s, d)
     val wAssign = Window.partitionBy("vec_id").orderBy(desc("ccos"), col("cent_id"))
     val scored = n.crossJoin(broadcast(cent))
       .withColumn("ccos", cosine(col("v"), col("cv"), col("nrm"), col("cn")))

@@ -62,6 +62,58 @@ class AnnSpec extends AnyFunSuite {
     info(f"IVF recall@3 = $recall%.2f")
   }
 
+  test("L19b: IVF with k-means-trained centroids (L26) — balanced lists, recall clears the baseline") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val brute = SparkEntry.queries("q_ann_brute")(spark, dir)
+      .select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val seeded = SparkEntry.queries("q_ann_ivf")(spark, dir)
+      .select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val emb = Tables.embeddings(spark, dir)
+    val (cent, _) = operators.KMeansOp.fit(emb, "vec_id", "embedding", k = 8, maxIters = 5)
+    val centDf = cent.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }.toSeq
+      .toDF("cent_id", "cv")
+      .withColumn("cn", sqrt(graft.functions.VectorExpr.dot(col("cv"), col("cv"))))
+    val trained = operators.Similarity.ivfTopK(spark, dir, centDf)
+      .select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rTrained = (brute intersect trained).size.toDouble / brute.size
+    val rSeeded = (brute intersect seeded).size.toDouble / brute.size
+    // what training actually buys at scale: BALANCED inverted lists.
+    // Random-seed cells on unclustered data are skewed — big cells both
+    // attract more probes and hold more candidates, inflating recall by
+    // examining more of the corpus (recall at higher cost, and a hot
+    // list is exactly what kills a 1000-executor IVF). Compare per-list
+    // occupancy of both quantizers under the operator's own cosine
+    // assignment (local replica over the collected test-sized corpus).
+    val vecs = Tables.embeddings(spark, dir)
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray))
+      .filter { case (_, v) => v.exists(_ != 0.0) }
+    def listSizes(cents: Array[Array[Double]]): Array[Int] = {
+      def cos(a: Array[Double], b: Array[Double]): Double = {
+        var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+        d / math.sqrt(na * nb)
+      }
+      val out = new Array[Int](cents.length)
+      vecs.foreach { case (_, v) =>
+        out(cents.indices.maxBy(j => cos(v, cents(j)))) += 1
+      }
+      out
+    }
+    val seededCents = vecs.filter(_._1 < 8).sortBy(_._1).map(_._2)
+    val szSeeded = listSizes(seededCents)
+    val szTrained = listSizes(cent)
+    info(f"IVF recall@3: trained=$rTrained%.2f seeded=$rSeeded%.2f; " +
+      s"list max/min: trained=${szTrained.max}/${szTrained.min} " +
+      s"seeded=${szSeeded.max}/${szSeeded.min}")
+    // trained must clear the L19 nprobe/K baseline and balance the lists
+    // strictly better than random seeding (smaller hottest list)
+    assert(rTrained >= 0.25, f"trained recall $rTrained%.2f below nprobe/K baseline")
+    assert(szTrained.max < szSeeded.max,
+      s"k-means lists not more balanced: ${szTrained.toSeq} vs ${szSeeded.toSeq}")
+  }
+
   test("L6: brute-force top-3 is sane — self excluded, 3 per query, cos in [-1,1]") {
     val rows = SparkEntry.queries("q_ann_brute")(spark, dir).collect()
     assert(rows.length == 20 * 3)
