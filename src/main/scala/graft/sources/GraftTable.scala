@@ -1259,7 +1259,11 @@ class GraftTable private (
         // orphaned iff the data file it indexes is unreferenced
         val base =
           if (rel.endsWith(BloomIndex.Suffix)) rel.dropRight(BloomIndex.Suffix.length) else rel
-        if (!referenced.contains(base) && now - st.getModificationTime > ttlMs) {
+        // >= so ttlMs=0 means "all unreferenced": with strict >, a file
+        // whose modification time lands in the SAME millisecond as `now`
+        // survives a ttl-0 sweep (observed as a suite flake — data file
+        // reclaimed, its same-ms sidecar kept)
+        if (!referenced.contains(base) && now - st.getModificationTime >= ttlMs) {
           fs.delete(st.getPath, false)
           out += rel
         }

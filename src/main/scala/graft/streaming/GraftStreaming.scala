@@ -80,6 +80,36 @@ object GraftStreaming {
       docs: DataFrame, keyCols: Seq[String], tsCol: String, delay: String): DataFrame =
     docs.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark(keyCols)
 
+  /** CDC replication: apply a `readChangelog` stream onto a second PK
+    * table — the changelog-consumer half of the lakehouse CDC contract
+    * (Paimon's CDC sinks replay +I/+U as upserts and -D as deletes;
+    * -U pre-images are informational and skipped). A micro-batch can
+    * span several SOURCE commits whose effects do not commute (upsert
+    * then delete of one key vs delete then upsert), so the batch is
+    * applied per commit_seq in order — one replica snapshot per source
+    * commit, preserving per-commit atomicity on the replica. The
+    * commit_seq list per batch is bounded by commits-per-batch (driver
+    * scalars, never data). Replays after restart are absorbed by the
+    * PK merge (idempotent upserts, sequence field = source commit). */
+  def replicateStream(changelog: DataFrame, target: GraftTable): DataStreamWriter[Row] =
+    changelog.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val seqs = batch.select("commit_seq").distinct()
+            .collect().map(_.getLong(0)).sorted
+          seqs.foreach { sq =>
+            val commit = batch.filter(col("commit_seq") === sq)
+            val ups = commit.filter(col("rowkind").isin("+I", "+U"))
+              .drop("rowkind", "commit_seq")
+            val dels = commit.filter(col("rowkind") === "-D")
+              .drop("rowkind", "commit_seq")
+            if (!ups.isEmpty) { target.upsert(ups); () }
+            if (!dels.isEmpty) { target.delete(dels); () }
+          }
+        }
+      }
+
   /** Custom-state streaming: per-user session tracking with
     * flatMapGroupsWithState. Emits one row per CLOSED session (gap >
     * `gapSeconds`, or the processing-time state timeout for users that go

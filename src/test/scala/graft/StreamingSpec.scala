@@ -256,6 +256,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Seq((1, "a"), (2, "b"), (3, "c")))
   }
 
+  test("T8: CDC replication — changelog stream replays a PK table onto a replica") {
+    val srcPath = TestSpark.tmpDir("cdc_src")
+    val dstPath = TestSpark.tmpDir("cdc_dst")
+    val schema = StructType(Seq(StructField("k", IntegerType), StructField("v", StringType),
+      StructField("seq", LongType)))
+    val src = GraftTable.create(spark, srcPath, schema,
+      primaryKeys = Seq("k"),
+      options = Map("sequence.field" -> "seq", "changelog-producer" -> "lookup"))
+    val dst = GraftTable.create(spark, dstPath, schema,
+      primaryKeys = Seq("k"), options = Map("sequence.field" -> "seq"))
+    src.upsert(Seq((1, "a", 1L), (2, "b", 1L)).toDF("k", "v", "seq"))
+    val changelog = spark.readStream.format("graft")
+      .option("readChangelog", "true").load(srcPath)
+    val q = GraftStreaming.replicateStream(changelog, dst).start()
+    try {
+      q.processAllAvailable()
+      assert(dst.read().orderBy("k").collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+        == Seq((1, "a"), (2, "b")))
+      // update + insert + delete across several source commits; the -D
+      // of key 2 must NOT resurrect through the replica's merge
+      src.upsert(Seq((1, "a2", 2L), (3, "c", 2L)).toDF("k", "v", "seq"))
+      src.delete(Seq((2, "b", 3L)).toDF("k", "v", "seq"))
+      src.upsert(Seq((2, "b2", 4L)).toDF("k", "v", "seq")) // re-insert after delete
+      q.processAllAvailable()
+      val want = src.read().orderBy("k").collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+      val got = dst.read().orderBy("k").collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+      assert(want == Seq((1, "a2"), (2, "b2"), (3, "c")))
+      assert(got == want, s"replica diverged: $got vs $want")
+    } finally q.stop()
+  }
+
   test("T3: changelog exposes only post-snapshot row versions with rowkind") {
     val t = GraftTable.create(spark, TestSpark.tmpDir("cdc"),
       StructType(Seq(StructField("k", IntegerType), StructField("v", StringType),
