@@ -110,6 +110,37 @@ object GraftStreaming {
         }
       }
 
+  /** Streaming grouped approx-distinct: the KMV sketch as
+    * mapGroupsWithState STATE — the mergeable-summary property (SURVEY
+    * L15) is exactly what makes unbounded-stream aggregation bounded:
+    * per group the state store holds ≤ k longs FOREVER, regardless of
+    * stream length or key cardinality, where exact streaming
+    * COUNT(DISTINCT) state grows with distinct keys. Emits the updated
+    * (group, estimate) per group per micro-batch (update mode). Input:
+    * a group column and a pre-hashed 64-bit value column (xxhash64
+    * upstream, like the batch aggregate). */
+  def approxDistinctStream(
+      events: DataFrame, groupCol: String, hashCol: String, k: Int = 256): org.apache.spark.sql.Dataset[(String, Long)] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    events
+      .select(col(groupCol).cast("string"), col(hashCol).cast("long"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Array[Long], (String, Long)](GroupStateTimeout.NoTimeout) {
+        (g: String, rows: Iterator[(String, Long)], state: org.apache.spark.sql.streaming.GroupState[Array[Long]]) =>
+          val buf = new graft.functions.KmvBuffer(k)
+          state.getOption.foreach(_.foreach(buf.add))
+          rows.foreach(r => buf.add(r._2))
+          val mins = new Array[Long](buf.set.size)
+          val it = buf.set.iterator()
+          var i = 0
+          while (it.hasNext) { mins(i) = it.next(); i += 1 }
+          state.update(mins)
+          (g, buf.estimate)
+      }
+  }
+
   /** Custom-state streaming: per-user session tracking with
     * flatMapGroupsWithState. Emits one row per CLOSED session (gap >
     * `gapSeconds`, or the processing-time state timeout for users that go

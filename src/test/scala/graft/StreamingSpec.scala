@@ -287,6 +287,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("T9: streaming KMV approx-distinct — exact below k, cross-batch distinct, bounded state") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(String, Long)]
+    val out = GraftStreaming.approxDistinctStream(mem.toDF().toDF("g", "h"), "g", "h", k = 256)
+    val q = out.toDF("g", "nd").writeStream
+      .outputMode("update").format("memory").queryName("kmv_stream").start()
+    try {
+      mem.addData(("a", 11L), ("a", 22L), ("b", 11L)); q.processAllAvailable()
+      // re-sending 22 must not inflate (distinct semantics across batches)
+      mem.addData(("a", 22L), ("a", 33L)); q.processAllAvailable()
+      val got = spark.sql("SELECT g, nd FROM kmv_stream")
+        .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+      assert(got == Seq(("a", 2L), ("a", 3L), ("b", 1L)), s"got $got")
+      // high-cardinality group: 5000 uniform hashes in two batches;
+      // k=256 state (~2 KB) must estimate within KMV error (~1/√k)
+      val rnd = new java.util.SplittableRandom(42)
+      val hs = Array.fill(5000)(rnd.nextLong())
+      mem.addData(hs.take(2500).map(("c", _)).toSeq: _*); q.processAllAvailable()
+      mem.addData(hs.drop(2500).map(("c", _)).toSeq: _*); q.processAllAvailable()
+      val est = spark.sql("SELECT nd FROM kmv_stream WHERE g = 'c' ORDER BY nd DESC LIMIT 1")
+        .first().getLong(0)
+      assert(math.abs(est - 5000.0) / 5000.0 < 0.2, s"estimate $est for true 5000")
+      // one state row per group, k longs each — bounded regardless of stream length
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows == 3, s"state rows $stateRows (expected one per group)")
+    } finally q.stop()
+  }
+
   test("T3: changelog exposes only post-snapshot row versions with rowkind") {
     val t = GraftTable.create(spark, TestSpark.tmpDir("cdc"),
       StructType(Seq(StructField("k", IntegerType), StructField("v", StringType),
