@@ -71,18 +71,6 @@ object GraftExtensions {
         "kll_quantiles(value, k, p1[, p2...]) - mergeable multilevel quantile sketch"),
       (args: Seq[Expression]) => {
         require(args.length >= 3, "kll_quantiles(value, k, p1[, p2...]) needs >= 3 arguments")
-        def litNum(e: Expression, what: String): Double = e match {
-          case l: org.apache.spark.sql.catalyst.expressions.Literal =>
-            l.value match {
-              case d: Double => d
-              case f: Float => f.toDouble
-              case i: Int => i.toDouble
-              case n: Long => n.toDouble
-              case d: org.apache.spark.sql.types.Decimal => d.toDouble
-              case other => throw new IllegalArgumentException(s"$what must be numeric, got $other")
-            }
-          case other => throw new IllegalArgumentException(s"$what must be a literal, got ${other.sql}")
-        }
         graft.functions.KllQuantiles(args.head,
           litNum(args(1), "k").toInt,
           args.drop(2).map(litNum(_, "fraction"))).toAggregateExpression()
@@ -92,20 +80,32 @@ object GraftExtensions {
         "freq_items(item, k, topN) - mergeable Misra-Gries heavy-hitters sketch"),
       (args: Seq[Expression]) => {
         require(args.length == 3, "freq_items(item, k, topN) takes exactly 3 arguments")
-        def litInt(e: Expression, what: String): Int = e match {
-          case l: org.apache.spark.sql.catalyst.expressions.Literal =>
-            l.value match {
-              case i: Int => i
-              case n: Long => n.toInt
-              case s: Short => s.toInt
-              case other => throw new IllegalArgumentException(
-                s"$what must be an integral literal, got $other")
-            }
-          case other => throw new IllegalArgumentException(s"$what must be a literal, got ${other.sql}")
-        }
-        graft.functions.FreqItems(args.head,
-          litInt(args(1), "k"), litInt(args(2), "topN")).toAggregateExpression()
+        // cast the item to STRING at the Catalyst level: FreqItems
+        // stringifies the evaluated value, and internal representations
+        // (DateType Int days, TimestampType Long micros) would otherwise
+        // render as raw numbers through the SQL surface (the DataFrame
+        // operator casts the same way)
+        graft.functions.FreqItems(
+          org.apache.spark.sql.catalyst.expressions.Cast(
+            args.head, org.apache.spark.sql.types.StringType),
+          litNum(args(1), "k").toInt, litNum(args(2), "topN").toInt).toAggregateExpression()
       }))
+
+  /** Shared literal decode for the sketch-function arguments. */
+  private def litNum(e: Expression, what: String): Double = e match {
+    case l: org.apache.spark.sql.catalyst.expressions.Literal =>
+      l.value match {
+        case d: Double => d
+        case f: Float => f.toDouble
+        case i: Int => i.toDouble
+        case n: Long => n.toDouble
+        case s: Short => s.toDouble
+        case b: Byte => b.toDouble
+        case d: org.apache.spark.sql.types.Decimal => d.toDouble
+        case other => throw new IllegalArgumentException(s"$what must be numeric, got $other")
+      }
+    case other => throw new IllegalArgumentException(s"$what must be a literal, got ${other.sql}")
+  }
 
   /** Register the SQL FUNCTIONS into an already-built session
     * (withExtensions only applies at session construction). Note: the

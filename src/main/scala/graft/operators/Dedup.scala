@@ -278,7 +278,7 @@ object Dedup {
     * @return (doc_id, cluster_id = min id in component, csize) for every
     *         node appearing in `pairs`, ordered by doc_id
     */
-  def connectedComponents(pairs: DataFrame): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
     import scala.jdk.CollectionConverters._
     val s = pairs.sparkSession
     val Seq(c1, c2) = pairs.columns.toSeq.take(2).map(col)
@@ -290,7 +290,7 @@ object Dedup {
       .localCheckpoint(true)
     var iter = 0
     var converged = false
-    while (!converged && iter < 30) {
+    while (!converged && iter < maxRounds) {
       val nbr = edges.join(labels.select(col("id").as("dst"), col("label")), "dst")
         .select(col("src").as("id"), col("label"))
       val next = nbr.union(labels.select(col("id"), col("label")))
@@ -303,6 +303,11 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
+    // a silent non-converged exit would return plausible-looking but
+    // WRONG labels (one true component reported as several) — fail loud
+    require(converged,
+      s"connectedComponents did not converge in $maxRounds rounds — " +
+        "component diameter exceeds the cap; raise maxRounds")
     val out = labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
       .withColumn("csize",
         count(lit(1)).over(Window.partitionBy("cluster_id")).cast("long"))

@@ -45,7 +45,15 @@ object Sketches {
     * cross the shuffle instead of one row per distinct item. Long-format
     * output: groupCols..., item STRING, cnt BIGINT, rn BIGINT (1-based,
     * count desc / item asc). The exact grouped-top-k sibling is
-    * `q_group_topk` (R16) — same trade as Percentiles.exact vs approx. */
+    * `q_group_topk` (R16) — same trade as Percentiles.exact vs approx.
+    *
+    * A group CAN yield zero rows: if a compaction lands exactly on
+    * uniform counts (e.g. 2k+1 equal singletons) every counter drops
+    * and "no provably frequent item" is reported as an absent group —
+    * never as fabricated rows; more typically a uniform tail surfaces
+    * post-compaction stragglers whose counts are true UNDERcounts (MG
+    * never overcounts). FrequentsSpec L23e pins both. Groups with ≤ 2k
+    * distinct items never compact and always report exactly. */
   def topItems(df: DataFrame, groupCols: Seq[String], itemCol: String,
       k: Int = 256, topN: Int = 10): DataFrame = {
     require(groupCols.nonEmpty, "grouped operator: pass at least one group column")

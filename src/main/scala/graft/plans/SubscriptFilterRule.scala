@@ -84,20 +84,29 @@ case class SubscriptFilterRule(enabled: () => Boolean)
       case b: Byte => Some(b.toLong)
       case _ => None
     }
-    // (attr, 1-based entry key) — None when the shape/index can't claim
+    // (attr, 1-based entry key) — None when the shape/index can't claim.
+    // ARRAY subscripts additionally require failOnError=false
+    // (try_element_at, or ANSI off): under ANSI an out-of-bounds
+    // subscript THROWS, and pruning the file would suppress the error
+    // the unpruned query raises — results must be identical either way.
+    // (Presto, whose session property this mirrors, is null-on-missing —
+    // Spark's equivalent is exactly the failOnError=false shape. Map
+    // subscripts return null for absent keys even under ANSI, so maps
+    // always claim.)
     def sub(x: Expression): Option[(AttributeReference, String)] = x match {
-      case ElementAt(a: AttributeReference, Literal(k, _), _, _) if k != null =>
+      case ElementAt(a: AttributeReference, Literal(k, _), _, failOnError) if k != null =>
         a.dataType match {
           case _: MapType => Some((a, k.toString))
           // element_at on arrays is 1-based; negative = from-the-end
           // (length-dependent, no per-file claim possible)
-          case _: ArrayType => idx(k).filter(_ >= 1).map(i => (a, i.toString))
+          case _: ArrayType if !failOnError =>
+            idx(k).filter(_ >= 1).map(i => (a, i.toString))
           case _ => None
         }
       case GetMapValue(a: AttributeReference, Literal(k, _)) if k != null =>
         Some((a, k.toString))
       case org.apache.spark.sql.catalyst.expressions.GetArrayItem(
-          a: AttributeReference, Literal(k, _), _) if k != null =>
+          a: AttributeReference, Literal(k, _), failOnError) if k != null && !failOnError =>
         idx(k).filter(_ >= 0).map(i => (a, (i + 1).toString)) // a[i] is 0-based
       case _ => None
     }

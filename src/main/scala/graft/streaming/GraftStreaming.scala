@@ -95,19 +95,26 @@ object GraftStreaming {
     changelog.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          val seqs = batch.select("commit_seq").distinct()
-            .collect().map(_.getLong(0)).sorted
-          seqs.foreach { sq =>
-            val commit = batch.filter(col("commit_seq") === sq)
-            val ups = commit.filter(col("rowkind").isin("+I", "+U"))
-              .drop("rowkind", "commit_seq")
-            val dels = commit.filter(col("rowkind") === "-D")
-              .drop("rowkind", "commit_seq")
-            if (!ups.isEmpty) { target.upsert(ups); () }
-            if (!dels.isEmpty) { target.delete(dels); () }
+        // persist: every action below (isEmpty probes, the commit_seq
+        // collect, each per-commit upsert/delete) would otherwise
+        // re-execute the incremental read and re-scan the source parquet
+        // — ~2+4C scans for a batch spanning C commits
+        batch.persist()
+        try {
+          if (!batch.isEmpty) {
+            val seqs = batch.select("commit_seq").distinct()
+              .collect().map(_.getLong(0)).sorted
+            seqs.foreach { sq =>
+              val commit = batch.filter(col("commit_seq") === sq)
+              val ups = commit.filter(col("rowkind").isin("+I", "+U"))
+                .drop("rowkind", "commit_seq")
+              val dels = commit.filter(col("rowkind") === "-D")
+                .drop("rowkind", "commit_seq")
+              if (!ups.isEmpty) { target.upsert(ups); () }
+              if (!dels.isEmpty) { target.delete(dels); () }
+            }
           }
-        }
+        } finally { batch.unpersist(); () }
       }
 
   /** Streaming grouped approx-distinct: the KMV sketch as
@@ -125,6 +132,10 @@ object GraftStreaming {
     import org.apache.spark.sql.streaming.GroupStateTimeout
     events
       .select(col(groupCol).cast("string"), col(hashCol).cast("long"))
+      // a null hash would fail the non-nullable tuple encoder and
+      // crash-loop the query from its checkpoint; the batch KMV
+      // aggregate skips nulls — match it
+      .filter(col(groupCol).isNotNull && col(hashCol).isNotNull)
       .as[(String, Long)]
       .groupByKey(_._1)
       .mapGroupsWithState[Array[Long], (String, Long)](GroupStateTimeout.NoTimeout) {

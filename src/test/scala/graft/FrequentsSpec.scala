@@ -72,6 +72,31 @@ class FrequentsSpec extends AnyFunSuite {
     assert(est.contains("big") && est("big") <= 5000 && est("big") >= 5000 - small.err)
   }
 
+  test("L23e: empty-sketch and uniform-tail edge cases — absent group, never fabricated counts") {
+    // exactly 2k+1 equal singletons: the compaction threshold equals
+    // every count and the sketch deterministically EMPTIES — top() is
+    // empty, and through the operator the group would yield no rows
+    // ("no provably frequent item"), not fabricated ones
+    val b = new FreqBuffer(8)
+    (0 until 17).foreach(i => b.add(s"x$i"))
+    assert(b.top(8).isEmpty && b.n == 17 && b.err == 1)
+    // operator level on a uniform-singleton group: residual
+    // post-compaction stragglers may surface, but every reported count
+    // must be a true UNDERcount (est ≤ true = 1... + err slack never
+    // inflates a count) and the dominant item of a mixed group wins
+    import spark.implicits._
+    val rows = Seq.tabulate(600)(i => ("u", s"one$i")) ++
+      Seq.fill(300)(("s", "hot")) ++ Seq.tabulate(100)(i => ("s", s"cold$i"))
+    val got = operators.Sketches.topItems(rows.toDF("g", "item"), Seq("g"), "item",
+        k = 8, topN = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    got.filter(_._1 == "u").foreach { case (_, item, cnt) =>
+      assert(cnt <= 1L, s"uniform singleton $item overcounted: $cnt") // MG never overcounts
+    }
+    val sTop = got.filter(_._1 == "s")
+    assert(sTop.head._2 == "hot" && sTop.head._3 <= 300L)
+  }
+
   test("L23d: serialization round-trips and the SQL surface works") {
     val b = new FreqBuffer(16)
     Seq("a", "b", "a", "c", "a", "b").foreach(b.add)

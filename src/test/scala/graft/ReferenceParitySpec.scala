@@ -225,16 +225,28 @@ class ReferenceParitySpec extends AnyFunSuite {
       def filesOf(df: org.apache.spark.sql.DataFrame): Int =
         "files=(\\d+)/3".r.findFirstMatchIn(df.queryExecution.executedPlan.toString)
           .get.group(1).toInt
-      // element_at is 1-based
-      val ea = spark.read.format("graft").load(dir)
+      // ANSI element_at THROWS on out-of-bounds, so pruning a file could
+      // suppress the error the unpruned query raises — the rule must NOT
+      // claim for failOnError array subscripts (results identical either
+      // way is the contract). try_element_at (null-on-missing — Presto's
+      // own subscript semantics) is the shape that prunes.
+      val ansiEa = spark.read.format("graft").load(dir)
         .filter(element_at(col("arr"), lit(1)) === 8)
+      assert(ansiEa.collect().map(_.getInt(0)).toSeq == Seq(2))
+      assert(filesOf(ansiEa) == 3, "ANSI element_at must not prune (error suppression)")
+      val ea = spark.read.format("graft").load(dir)
+        .filter(try_element_at(col("arr"), lit(1)) === 8)
       assert(ea.collect().map(_.getInt(0)).toSeq == Seq(2))
-      assert(filesOf(ea) == 1, "element_at subscript should prune to 1/3")
-      // Spark's a[i] (GetArrayItem) is 0-based; same 1-based entry hash
-      val gi = spark.read.format("graft").load(dir)
-        .filter(col("arr")(1) === 90)
-      assert(gi.collect().map(_.getInt(0)).toSeq == Seq(3))
-      assert(filesOf(gi) == 1, "a[i] subscript should prune to 1/3")
+      assert(filesOf(ea) == 1, "try_element_at subscript should prune to 1/3")
+      // Spark's a[i] (GetArrayItem) is 0-based; same 1-based entry hash.
+      // With ANSI off, a[i] is null-on-missing → claimable.
+      spark.conf.set("spark.sql.ansi.enabled", "false")
+      try {
+        val gi = spark.read.format("graft").load(dir)
+          .filter(col("arr")(1) === 90)
+        assert(gi.collect().map(_.getInt(0)).toSeq == Seq(3))
+        assert(filesOf(gi) == 1, "a[i] subscript should prune to 1/3 with ansi off")
+      } finally spark.conf.unset("spark.sql.ansi.enabled")
     } finally {
       spark.conf.unset(key)
       spark.experimental.extraOptimizations =
