@@ -45,8 +45,9 @@ object SubscriptScale {
     fs.delete(new org.apache.hadoop.fs.Path(dir), true)
     val t = GraftTable.create(spark, dir,
       StructType(Seq(StructField("i1", IntegerType),
-        StructField("props", MapType(StringType, IntegerType)))),
-      options = Map("file-index.bloom-filter.columns" -> "props"))
+        StructField("props", MapType(StringType, IntegerType)),
+        StructField("arr", ArrayType(IntegerType)))),
+      options = Map("file-index.bloom-filter.columns" -> "props,arr"))
     val t0 = System.nanoTime()
     (0 until files).foreach { f =>
       val av = (lit(f * 1000) + pmod(col("id"), lit(500))).cast("int")
@@ -54,8 +55,11 @@ object SubscriptScale {
       val props =
         if (f == 0) map(lit("a"), av, lit("b"), bv, lit("c"), col("id").cast("int"))
         else map(lit("a"), av, lit("b"), bv)
+      // arr[1] carries the same per-file-disjoint range as props['a']
+      val arr = array(av, bv)
       t.append(spark.range(rows).select(
-        (lit(f.toLong * rows) + col("id")).cast("int").as("i1"), props.as("props"))
+        (lit(f.toLong * rows) + col("id")).cast("int").as("i1"),
+        props.as("props"), arr.as("arr"))
         .coalesce(1))
     }
     val writeSec = (System.nanoTime() - t0) / 1e9
@@ -76,7 +80,12 @@ object SubscriptScale {
     val cases = Seq(
       "eq" -> (element_at(col("props"), "a") === (top + 7)),
       "range" -> (element_at(col("props"), "a") > (top + 100)),
-      "absent_range" -> (element_at(col("props"), "c") <= 5))
+      "absent_range" -> (element_at(col("props"), "c") <= 5),
+      // array subscripts claim only for failOnError=false shapes
+      // (try_element_at): ANSI element_at throws on out-of-bounds and
+      // pruning could suppress the error
+      "arr_eq" -> (try_element_at(col("arr"), lit(1)) === (top + 7)),
+      "arr_range" -> (try_element_at(col("arr"), lit(1)) > (top + 100)))
     val out = cases.map { case (name, cond) =>
       spark.conf.set(key, "false")
       val (offMs, offRows, offRead) = run(cond)
