@@ -39,7 +39,7 @@ object Dedup {
   val RowsPerBand = 3
 
   /** DuckDB expr: distinct 3-word shingles of `text`. */
-  private val ShSql =
+  private[operators] val ShSql =
     """list_distinct(list_transform(
       |  range(1, greatest(len(string_split_regex(trim(text),'\s+'))-1, 1)),
       |  i -> array_to_string(string_split_regex(trim(text),'\s+')[i:i+2],' ')))""".stripMargin
@@ -77,7 +77,7 @@ object Dedup {
     s"${s.sparkContext.applicationId}:${System.identityHashCode(s)}:$d"
 
   private val pairsCache = scala.collection.concurrent.TrieMap[String, DataFrame]()
-  private def jaccardPairsStaged(s: SparkSession, d: String): DataFrame =
+  private[operators] def jaccardPairsStaged(s: SparkSession, d: String): DataFrame =
     pairsCache.getOrElseUpdate(cacheKey(s, d),
       jaccardPairs(s, d).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
@@ -139,7 +139,7 @@ object Dedup {
   /** DuckDB: prefix-filtered candidate CTEs (expects `w` and `e`).
     * Mirrors [[jaccardPairs]] exactly: same rarest-first (c, g) order,
     * same integer-arithmetic prefix length and size filter. */
-  private val PrefixCandSql =
+  private[operators] val PrefixCandSql =
     """p0 AS (SELECT doc_id, g,
       |    count(*) OVER (PARTITION BY g) c,
       |    count(*) OVER (PARTITION BY doc_id) sz
