@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -134,6 +135,15 @@ case class FreqItems(
   require(topN >= 1, "topN must be at least 1")
 
   override def children: Seq[Expression] = Seq(child)
+  // strict StringType: update() renders the child with toString, which
+  // for a date/timestamp child would bucket on INTERNAL representations
+  // (epoch-day ints, micros) — require the caller to cast so uncast uses
+  // fail analysis instead of silently mis-rendering
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"freq_items requires a STRING item column, got ${child.dataType.sql} — " +
+        "cast explicitly so date/timestamp values are rendered, not raw internals")
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(
     StructType(Seq(

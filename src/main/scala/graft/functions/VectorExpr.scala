@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 object VecImpl {
   /** Sequential left-fold dot product — the exact addition order of the
@@ -17,6 +17,44 @@ object VecImpl {
     while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
     acc
   }
+
+  /** Element-wise quantization to integer-valued doubles: x →
+    * sign(x)·floor(|x·scale| + 0.5). The formula is chosen for exact
+    * ENGINE PARITY, not ideal rounding: floor/abs/negate are exact IEEE
+    * ops, so a DuckDB `CASE WHEN v >= 0 THEN floor(v+0.5) ELSE
+    * -floor(-v+0.5) END` over the same doubles is bit-identical — which
+    * is what lets cross-row sums of the result be exact (integers below
+    * 2^53 add associatively) and k-means centroids replay in SQL. */
+  def quantize(a: ArrayData, scale: Double): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i) * scale
+      out(i) = if (x >= 0) math.floor(x + 0.5) else -math.floor(-x + 0.5)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Native per-element quantizer over array<double> (SURVEY §2.3 L26) —
+  * stays in whole-stage codegen (a `transform(v, ...)` HOF formulation
+  * is interpreted per element and re-runs corpus-wide every Lloyd's
+  * round). */
+case class QuantizeVec(child: Expression, scale: Double) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "vec_quantize"
+
+  override def nullSafeEval(input: Any): Any =
+    VecImpl.quantize(input.asInstanceOf[ArrayData], scale)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VecImpl$$.MODULE$$.quantize($c, $scale);")
+
+  override protected def withNewChildInternal(newChild: Expression): QuantizeVec =
+    copy(child = newChild)
 }
 
 /** Native dot product over array<double> (SURVEY §2.3 L5–L7 hot path).
@@ -44,4 +82,9 @@ object VectorExpr {
   import org.apache.spark.sql.graft.Bridge.{column, expression}
   def dot(a: Column, b: Column): Column =
     column(DotProduct(expression(a), expression(b)))
+
+  /** Quantize an array<double> column to integer-valued doubles (see
+    * [[VecImpl.quantize]] for the parity-exact rounding formula). */
+  def quantize(a: Column, scale: Double): Column =
+    column(QuantizeVec(expression(a), scale))
 }

@@ -56,7 +56,7 @@ object Dedup {
     * persisted. At 100 TB this is the stage a pipeline materializes to a
     * staged table; here the same sharing is an in-memory persist. */
   private val shingleCache = scala.collection.concurrent.TrieMap[String, DataFrame]()
-  private def docsWithShingles(s: SparkSession, d: String): DataFrame =
+  private[operators] def docsWithShingles(s: SparkSession, d: String): DataFrame =
     shingleCache.getOrElseUpdate(cacheKey(s, d),
       T.documents(s, d)
         .select(col("doc_id"), Text.words(col("text")).as("w"))
@@ -272,7 +272,12 @@ object Dedup {
     * diameter-9 path hung the 20-round loop for minutes on 16 rows).
     * localCheckpoint truncates the lineage to the materialized blocks —
     * the standard iterative-algorithm discipline; the node-sized result
-    * is collected so no checkpoint blocks outlive the call.
+    * is collected and the checkpoint blocks are freed before returning.
+    * Freeing goes through the UNDERLYING RDDs (Bridge.checkpointRdd):
+    * Dataset.unpersist routes through the CacheManager, which does not
+    * track localCheckpoint blocks, so a Dataset-level unpersist here
+    * would be a silent no-op and long sessions would accumulate
+    * MEMORY_AND_DISK blocks until the ContextCleaner GC'd the RDDs.
     *
     * @param pairs two numeric columns (a, b), one row per undirected edge
     * @return (doc_id, cluster_id = min id in component, csize) for every
@@ -281,6 +286,11 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
     import scala.jdk.CollectionConverters._
     val s = pairs.sparkSession
+    // free a localCheckpoint'd frame's blocks NOW (the frame must no
+    // longer be needed: the checkpoint is its only copy)
+    def free(df: DataFrame): Unit =
+      org.apache.spark.sql.graft.Bridge.checkpointRdd(df)
+        .foreach(_.unpersist(blocking = false))
     val Seq(c1, c2) = pairs.columns.toSeq.take(2).map(col)
     val edges = pairs.select(c1.as("src"), c2.as("dst"))
       .union(pairs.select(c2.as("src"), c1.as("dst")))
@@ -298,7 +308,7 @@ object Dedup {
         .localCheckpoint(true)
       val changed = next.as("n").join(labels.as("o"), "id")
         .filter(col("n.label") =!= col("o.label")).count()
-      labels.unpersist()
+      free(labels)
       labels = next
       converged = changed == 0
       iter += 1
@@ -315,8 +325,8 @@ object Dedup {
     // result is pair-graph-nodes-sized (small): materialize so the
     // checkpoint blocks can be released before returning
     val rows = out.collect()
-    edges.unpersist()
-    labels.unpersist()
+    free(edges)
+    free(labels)
     s.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](rows.toSeq.asJava), out.schema)
   }

@@ -50,7 +50,13 @@ object Indexing {
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= HeadLen)
           .groupBy("term", "df")
-          .agg(sort_array(collect_list("doc_id")).as("postings_head"))
+          // head rendered as a comma-joined STRING, not array<long>: the
+          // driver's oracle harness hashes result cells via pandas, which
+          // cannot hash ndarray cells — oracle-checked outputs must be
+          // scalar columns only (r8 verdict #1). sort_array is numeric
+          // (on longs) and the array<string> cast preserves that order.
+          .agg(array_join(sort_array(collect_list("doc_id")).cast("array<string>"), ",")
+            .as("postings_head"))
           .orderBy(desc("df"), col("term"))
           .limit(Top)
       },
@@ -63,7 +69,9 @@ object Indexing {
               |r AS (SELECT k.term, k.df, pairs.doc_id,
               |        row_number() OVER (PARTITION BY k.term ORDER BY pairs.doc_id) AS rn
               |      FROM pairs JOIN k USING (term)),
-              |p AS (SELECT term, df, list(doc_id ORDER BY doc_id) AS postings_head
+              |p AS (SELECT term, df,
+              |        array_to_string(list(CAST(doc_id AS VARCHAR) ORDER BY doc_id), ',')
+              |          AS postings_head
               |      FROM r WHERE rn <= $HeadLen GROUP BY term, df)
               |SELECT term, df, postings_head FROM p
               |ORDER BY df DESC, term LIMIT $Top""".stripMargin))

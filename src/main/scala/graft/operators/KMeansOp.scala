@@ -4,6 +4,7 @@ import graft.{QDef, Tables => T}
 import graft.functions.VectorExpr
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
 
 /** Distributed Lloyd's k-means over an embedding column (SURVEY §2.3
   * L26) — the trainer for the IVF coarse quantizer (L19, whose scaladoc
@@ -27,11 +28,14 @@ import org.apache.spark.sql.functions._
   *    rows, map-side combinable, k × dims values to the driver per
   *    round. No per-group vector state anywhere.
   *
-  * Init is deterministic (the k smallest-id vectors); empty clusters
-  * keep their previous centroid. Cross-row float sums make centroid
-  * bits partitioning-dependent at the ulp level, so the q entry is
-  * rows-only (assignment COUNTS are stable — KMeansSpec asserts exact
-  * recovery of well-separated clusters and run-to-run determinism).
+  * Init is deterministic; empty clusters keep their previous centroid.
+  * Cross-row float sums are partitioning-dependent at the ulp level for
+  * arbitrary doubles, so the ORACLE-CHECKED entry (q_kmeans) first
+  * quantizes the vectors to integer-valued doubles (exact sums under any
+  * partitioning — the same design-for-the-oracle move SURVEY §5 uses for
+  * interpolated quantiles) and trains via [[fitReplayable]], whose whole
+  * 5-round run the DuckDB oracle replays bit-exactly. The float-input
+  * farthest-first [[fit]] is the production trainer (KMeansSpec, L19b).
   */
 object KMeansOp {
 
@@ -65,14 +69,22 @@ object KMeansOp {
       .limit(sampleN)
       .select("__v").collect().map(_.getSeq[Double](0).toArray)
     require(sample.length >= k, s"corpus has fewer than $k vectors")
+    // incremental farthest-first: keep each sample's min distance to the
+    // chosen set and refresh it with only the NEWEST centroid per round —
+    // O(sampleN · k) total instead of re-scanning all chosen centroids
+    // per candidate (which made large-k seeding driver-quadratic).
+    // Strict > keeps ties deterministic: first in hash order wins.
+    val minD = Array.fill(sample.length)(Double.MaxValue)
     val chosen = scala.collection.mutable.ArrayBuffer(sample.head)
     while (chosen.size < k) {
+      val newest = chosen.last
       var best = 0
       var bestD = -1.0
       var i = 0
       while (i < sample.length) {
-        val dmin = chosen.iterator.map(c => l2sq(sample(i), c)).min
-        if (dmin > bestD) { bestD = dmin; best = i }
+        val d = l2sq(sample(i), newest)
+        if (d < minD(i)) minD(i) = d
+        if (minD(i) > bestD) { bestD = minD(i); best = i }
         i += 1
       }
       chosen += sample(best)
@@ -80,16 +92,49 @@ object KMeansOp {
     chosen.toArray
   }
 
-  /** Train k centroids; returns (centroids, iterations run). */
+  /** Train k centroids; returns (centroids, iterations run). The base
+    * frame is persisted for the duration of the fit — initCentroids plus
+    * every Lloyd's round scans it, so without the persist each round
+    * re-reads the source and re-runs the normalize/quantize pass
+    * (maxIters + 1 source scans; at 100 TB this stage is materialized). */
   def fit(df: DataFrame, idCol: String, vecCol: String, k: Int,
       maxIters: Int = 10, tol: Double = 1e-9): (Array[Array[Double]], Int) = {
     require(k >= 1 && maxIters >= 1)
-    val base = df
-      .select(col(idCol).as("__id"),
-        transform(col(vecCol), x => x.cast("double")).as("__v"))
-      .filter(col("__v").isNotNull)
-      .withColumn("__vn2", VectorExpr.dot(col("__v"), col("__v")))
-    var centroids: Array[Array[Double]] = initCentroids(base, k)
+    val base = normalized(df, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try lloyd(base, initCentroids(base, k), maxIters, tol)
+    finally base.unpersist()
+  }
+
+  /** Oracle-replayable trainer (the L26 QDef path): deterministic
+    * hash-ordered seeding — the k smallest (polyHash(id), id) vectors,
+    * hash order ≈ a uniform draw but exactly reproducible in SQL (the
+    * farthest-first greedy of [[fit]] needs driver iteration; this
+    * variant trades a little seed spread for full SQL replay) — and a
+    * FIXED round count with tol = 0 (a zero-movement early exit is a
+    * fixed point, so the oracle's unrolled rounds replay identically).
+    * Feed it integer-valued vectors ([[graft.functions.VectorExpr.quantize]]):
+    * per-(cluster, dim) sums are then exact under ANY partitioning and
+    * every centroid double is bit-identical to the SQL replay. */
+  def fitReplayable(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int): Array[Array[Double]] = {
+    require(k >= 1 && iters >= 1)
+    val base = normalized(df, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val seeds = base
+        .orderBy(graft.functions.HashExpr.polyHash(col("__id").cast("string")), col("__id"))
+        .limit(k)
+        .select("__v").collect().map(_.getSeq[Double](0).toArray)
+      require(seeds.length == k, s"corpus has fewer than $k vectors")
+      lloyd(base, seeds, iters, 0.0)._1
+    } finally base.unpersist()
+  }
+
+  private def lloyd(base: DataFrame, init: Array[Array[Double]],
+      maxIters: Int, tol: Double): (Array[Array[Double]], Int) = {
+    val k = init.length
+    var centroids: Array[Array[Double]] = init
     val dims = centroids.head.length
     var iter = 0
     var moved = Double.MaxValue
@@ -134,32 +179,103 @@ object KMeansOp {
       .drop("__ds")
   }
 
+  /** (__id, __v: array<double>, __vn2) — the vector column is widened
+    * with a plain codegen'd Cast (identity-eliminated by Catalyst when
+    * already array<double>), NOT a `transform(_, _.cast(...))` HOF:
+    * higher-order functions are interpreted and this expression re-runs
+    * corpus-wide every Lloyd's round (r8 verdict #4). */
+  private def normalized(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).as("__id"),
+        col(vecCol).cast(ArrayType(DoubleType)).as("__v"))
+      .filter(col("__v").isNotNull)
+      .withColumn("__vn2", VectorExpr.dot(col("__v"), col("__v")))
+
   /** Assign every vector of `df` to its nearest trained centroid. */
   def transformDf(df: DataFrame, idCol: String, vecCol: String,
       centroids: Array[Array[Double]]): DataFrame = {
-    val base = df
-      .select(col(idCol).as("__id"),
-        transform(col(vecCol), x => x.cast("double")).as("__v"))
-      .filter(col("__v").isNotNull)
-      .withColumn("__vn2", VectorExpr.dot(col("__v"), col("__v")))
-    assign(base, "__v", "__vn2", centroids)
+    assign(normalized(df, idCol, vecCol), "__v", "__vn2", centroids)
       .select(col("__id").as(idCol), col("__c").as("cluster_id"))
   }
 
+  private[operators] val KmK = 8
+  private[operators] val KmIters = 5
+  private[operators] val KmScale = 1000.0
+
+  /** DuckDB replay of the full quantized Lloyd's run (r8 verdict #3 —
+    * q_kmeans previously verified nothing at the driver). The rounds are
+    * UNROLLED as CTE chains; every double either is integer-valued
+    * (quantized inputs, their sums) or is produced by the identical IEEE
+    * op sequence on both engines (s/n division, the sequential-fold
+    * distance expansion (vn2 - 2·dot) + cn2), so assignments — double
+    * comparisons with ties broken by centroid index — hash-match. */
+  private def kmeansOracle: String = {
+    // parity-exact per-element quantizer (see VecImpl.quantize)
+    val q = "CAST(x AS DOUBLE)*" + KmScale
+    val quant = s"CASE WHEN $q >= 0 THEN floor($q + 0.5) ELSE -floor(-($q) + 0.5) END"
+    val polyId =
+      """list_reduce(list_cat([CAST(0 AS BIGINT)],
+        |    list_transform(string_split(CAST(vec_id AS VARCHAR),''), c -> CAST(ord(c) AS BIGINT))),
+        |    (a,c) -> (a*31 + c) % 1000000007)""".stripMargin
+    // dist(a row of vv, c row of cn{r}) — same shape as dist2():
+    // (vn2 - 2·seq-fold-dot) + cn2
+    val dot =
+      "list_reduce(list_cat([0.0], list_transform(range(1, len(a.v)+1), i -> a.v[i]*c.cv[i])), (p,x) -> p+x)"
+    val dist = s"(a.vn2 - 2.0*$dot + c.cn2)"
+    def round(r: Int): String =
+      s"""cn${r - 1} AS (SELECT c, cv,
+         |    list_reduce(list_cat([0.0], list_transform(cv, x -> x*x)), (p,x) -> p+x) AS cn2
+         |  FROM c${r - 1}),
+         |a$r AS (SELECT vec_id, v, c FROM (
+         |    SELECT a.vec_id, a.v, c.c,
+         |      row_number() OVER (PARTITION BY a.vec_id ORDER BY $dist, c.c) AS rn
+         |    FROM vv a CROSS JOIN cn${r - 1} c) WHERE rn = 1),
+         |e$r AS (SELECT c, unnest(v) AS x, unnest(range(1, len(v)+1)) AS p FROM a$r),
+         |m$r AS (SELECT c, list(cm ORDER BY p) AS cv FROM (
+         |    SELECT c, p, sum(x)/count(*) AS cm FROM e$r GROUP BY c, p) GROUP BY c),
+         |c$r AS (SELECT prev.c, coalesce(nw.cv, prev.cv) AS cv
+         |  FROM c${r - 1} prev LEFT JOIN m$r nw ON prev.c = nw.c)""".stripMargin
+    val rounds = (1 to KmIters).map(round).mkString(",\n")
+    s"""WITH v0 AS (SELECT vec_id, list_transform(embedding, x -> $quant) AS v
+       |  FROM embeddings),
+       |vv AS (SELECT vec_id, v,
+       |    list_reduce(list_cat([0.0], list_transform(v, x -> x*x)), (p,x) -> p+x) AS vn2
+       |  FROM v0 WHERE v IS NOT NULL),
+       |hh AS (SELECT vec_id, v, $polyId AS hv FROM vv),
+       |c0 AS (SELECT cid - 1 AS c, cv FROM (
+       |    SELECT row_number() OVER (ORDER BY hv, vec_id) AS cid, v AS cv FROM hh)
+       |  WHERE cid <= $KmK),
+       |$rounds,
+       |cnF AS (SELECT c, cv,
+       |    list_reduce(list_cat([0.0], list_transform(cv, x -> x*x)), (p,x) -> p+x) AS cn2
+       |  FROM c$KmIters),
+       |f AS (SELECT vec_id, c FROM (
+       |    SELECT a.vec_id, c.c,
+       |      row_number() OVER (PARTITION BY a.vec_id ORDER BY $dist, c.c) AS rn
+       |    FROM vv a CROSS JOIN cnF c) WHERE rn = 1)
+       |SELECT c AS cluster_id, count(*) AS n, min(vec_id) AS min_id
+       |FROM f GROUP BY c ORDER BY cluster_id""".stripMargin
+  }
+
   val defs: Seq[QDef] = Seq(
-    // L26: k-means over the embeddings corpus — rows-only check (k rows,
-    // one per cluster; cross-row float sums make centroid bits
-    // partitioning-dependent, so no SQL oracle — see scaladoc).
+    // L26: distributed Lloyd's k-means over the embeddings corpus,
+    // quantized to integer-valued doubles so the ENTIRE 5-round run is
+    // partitioning-independent and replayed bit-exactly by the DuckDB
+    // oracle (cluster sizes + min member id per cluster). The
+    // farthest-first float-input trainer stays spec-covered (KMeansSpec,
+    // AnnSpec L19b); this entry is the driver-checkable form.
     QDef(
       "q_kmeans",
       (s, d) => {
         val emb = T.embeddings(s, d)
-        val (cent, _) = fit(emb, "vec_id", "embedding", k = 8, maxIters = 5)
-        transformDf(emb, "vec_id", "embedding", cent)
-          .groupBy("cluster_id")
+        val qv = emb.select(col("vec_id"),
+          graft.functions.VectorExpr.quantize(
+            col("embedding").cast(ArrayType(DoubleType)), KmScale).as("qv"))
+        val cent = fitReplayable(qv, "vec_id", "qv", KmK, KmIters)
+        transformDf(qv, "vec_id", "qv", cent)
+          .groupBy(col("cluster_id").cast("long").as("cluster_id"))
           .agg(count(lit(1)).as("n"), min("vec_id").as("min_id"))
           .orderBy("cluster_id")
       },
-      None)
+      Some(kmeansOracle))
   )
 }

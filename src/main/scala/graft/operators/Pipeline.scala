@@ -45,9 +45,12 @@ object Pipeline {
         val nearDrop = Dedup.jaccardPairsStaged(s, d)
           .select(col("d2").as("doc_id")).distinct()
         // stage 3: benchmark exclusion + decontamination (containment
-        // hits·2 ≥ bsz against the bench slice, integers only)
-        val sh = docs.select(col("doc_id"),
-          graft.functions.ShingleExpr.shingles3(Text.words(col("text"))).as("sh"))
+        // hits·2 ≥ bsz against the bench slice, integers only). Consumes
+        // the SAME persisted shingle stage as the dedup/decontamination
+        // diagnostics — the tokenize+shingle pass is the expensive text
+        // pass and must not be re-executed inside this plan (r8 verdict
+        // #2: rebuilding it here ran it ~3× per query).
+        val sh = Dedup.docsWithShingles(s, d)
         val ex = sh.select(col("doc_id"), explode(col("sh")).as("g"))
         val bench = sh.filter(col("doc_id") % 97 === 0)
         val benchSizes = bench.select(col("doc_id").as("bench_id"), size(col("sh")).as("bsz"))

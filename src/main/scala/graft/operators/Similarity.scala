@@ -17,7 +17,10 @@ object Similarity {
 
   private def normed(s: SparkSession, d: String): DataFrame =
     T.embeddings(s, d)
-      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      // plain codegen'd Cast, not a transform(_, _.cast) HOF (interpreted
+      // per element); float→double widening is exact either way, so the
+      // oracle's per-element CAST stays bit-identical
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(VectorExpr.dot(col("v"), col("v"))))
       // zero vectors have no direction: excluding them keeps cosine
       // total and avoids ANSI divide-by-zero (oracle mirrors the filter)

@@ -102,6 +102,28 @@ object GraftStreaming {
         batch.persist()
         try {
           if (!batch.isEmpty) {
+            // Within one commit_seq, upserts are applied before deletes —
+            // correct ONLY while a single source commit never carries
+            // both an upsert and a delete of the SAME key (true today:
+            // each commit is one upsert() or delete() call, and those
+            // dedupe per key). If that invariant ever broke, a
+            // delete-then-reinsert commit would replicate as deleted —
+            // so assert it loudly instead of relying on it silently.
+            // One aggregate over the (persisted) batch, grouped on
+            // (commit_seq, pk): a key with BOTH kind classes in one
+            // commit is a contract violation.
+            val keyCols = col("commit_seq") +: target.primaryKeys.map(col)
+            val kindClass = when(col("rowkind") === "-D", lit("D")).otherwise(lit("U"))
+            val conflicted = batch.filter(col("rowkind").isin("+I", "+U", "-D"))
+              .groupBy(keyCols: _*)
+              .agg(countDistinct(kindClass).as("kinds"))
+              .filter(col("kinds") > 1)
+              .count()
+            require(conflicted == 0,
+              s"replicateStream: $conflicted key(s) carry both an upsert and a " +
+                "delete within one source commit — per-commit kind-ordered " +
+                "application cannot represent that; the changelog producer " +
+                "broke the one-change-per-key-per-commit contract")
             val seqs = batch.select("commit_seq").distinct()
               .collect().map(_.getLong(0)).sorted
             seqs.foreach { sq =>

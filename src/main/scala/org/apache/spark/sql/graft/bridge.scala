@@ -38,6 +38,19 @@ object Bridge {
       : org.apache.spark.sql.SparkSession =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].cloneSession()
 
+  /** The RDD backing a localCheckpoint'd Dataset (a LogicalRDD plan).
+    * Dataset.unpersist goes through the CacheManager, which does NOT
+    * track localCheckpoint blocks — freeing them before the
+    * ContextCleaner gets around to it needs the RDD itself. Unpersisting
+    * truncately-checkpointed RDDs destroys their only copy, so callers
+    * must be done with the frame. */
+  def checkpointRdd(df: org.apache.spark.sql.DataFrame)
+      : Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => Some(lr.rdd)
+      case _ => None
+    }
+
   /** Re-tag a batch DataFrame as streaming — what V1 streaming sources
     * (FileStreamSource et al.) do via the private[sql]
     * internalCreateDataFrame; MicroBatchExecution asserts

@@ -14,13 +14,29 @@ for t in ["region","nation","customer","supplier","part","orders",
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+only = set(sys.argv[3:])
+if only:
+    oracle = {k: v for k, v in oracle.items() if k in only}
+
+class NonScalarCell(Exception):
+    pass
 
 def canon(df):
     cols = sorted(df.columns)
+    # PARITY GUARD (r8 verdict #7): the driver's harness sorts via pandas,
+    # which cannot hash/factorize ndarray or list cells — an array-typed
+    # output column passes a stringifying gate locally but crashes the
+    # driver. Reject non-scalar cells here so the two gates cannot
+    # diverge: oracle-checked query outputs must be scalar columns only.
+    import numpy as np
     rows = []
     for r in df[cols].itertuples(index=False):
         row = []
-        for v in r:
+        for c, v in zip(cols, r):
+            if isinstance(v, (np.ndarray, list, dict, tuple)):
+                raise NonScalarCell(
+                    f"non-scalar cell in column '{c}' ({type(v).__name__}) — "
+                    "oracle-checked outputs must be scalar columns only")
             if isinstance(v, float):
                 row.append("NaN" if math.isnan(v) else str(round(v, 6)))
             else:
@@ -33,12 +49,12 @@ for name, sql in sorted(oracle.items()):
     try:
         want = con.execute(sql).df()
         got = duckdb.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'").df()
+        wc, wr = canon(want)
+        gc, gr = canon(got)
     except Exception as e:
         print(f"FAIL {name}: {e}")
         fails += 1
         continue
-    wc, wr = canon(want)
-    gc, gr = canon(got)
     if wc != gc:
         print(f"FAIL {name}: columns want={wc} got={gc}")
         fails += 1
