@@ -208,19 +208,29 @@ object KMeansOp {
     * op sequence on both engines (s/n division, the sequential-fold
     * distance expansion (vn2 - 2·dot) + cn2), so assignments — double
     * comparisons with ties broken by centroid index — hash-match. */
-  private def kmeansOracle: String = {
+  /** dist(a row of vv, c row of a cn-CTE) — same shape as dist2():
+    * (vn2 - 2·seq-fold-dot) + cn2. */
+  private val SqlDist = {
+    val dot =
+      "list_reduce(list_cat([0.0], list_transform(range(1, len(a.v)+1), i -> a.v[i]*c.cv[i])), (p,x) -> p+x)"
+    s"(a.vn2 - 2.0*$dot + c.cn2)"
+  }
+
+  /** The quantize→seed→k-round Lloyd's chain as a WITH-body prefix:
+    * defines `vv` (vec_id, v, vn2 — quantized vectors) and `c$iters`
+    * (c, cv — final centroids), plus internal v0, hh, c0 and per-round
+    * cnN, aN, eN, mN CTEs. Shared by the L26 oracle and the trained-IVF
+    * oracle (L19),
+    * which appends its own probe/re-rank tail. */
+  private[operators] def lloydCtes(k: Int, iters: Int, scale: Double): String = {
     // parity-exact per-element quantizer (see VecImpl.quantize)
-    val q = "CAST(x AS DOUBLE)*" + KmScale
+    val q = s"CAST(x AS DOUBLE)*$scale"
     val quant = s"CASE WHEN $q >= 0 THEN floor($q + 0.5) ELSE -floor(-($q) + 0.5) END"
     val polyId =
       """list_reduce(list_cat([CAST(0 AS BIGINT)],
         |    list_transform(string_split(CAST(vec_id AS VARCHAR),''), c -> CAST(ord(c) AS BIGINT))),
         |    (a,c) -> (a*31 + c) % 1000000007)""".stripMargin
-    // dist(a row of vv, c row of cn{r}) — same shape as dist2():
-    // (vn2 - 2·seq-fold-dot) + cn2
-    val dot =
-      "list_reduce(list_cat([0.0], list_transform(range(1, len(a.v)+1), i -> a.v[i]*c.cv[i])), (p,x) -> p+x)"
-    val dist = s"(a.vn2 - 2.0*$dot + c.cn2)"
+    val dist = SqlDist
     def round(r: Int): String =
       s"""cn${r - 1} AS (SELECT c, cv,
          |    list_reduce(list_cat([0.0], list_transform(cv, x -> x*x)), (p,x) -> p+x) AS cn2
@@ -234,8 +244,8 @@ object KMeansOp {
          |    SELECT c, p, sum(x)/count(*) AS cm FROM e$r GROUP BY c, p) GROUP BY c),
          |c$r AS (SELECT prev.c, coalesce(nw.cv, prev.cv) AS cv
          |  FROM c${r - 1} prev LEFT JOIN m$r nw ON prev.c = nw.c)""".stripMargin
-    val rounds = (1 to KmIters).map(round).mkString(",\n")
-    s"""WITH v0 AS (SELECT vec_id, list_transform(embedding, x -> $quant) AS v
+    val rounds = (1 to iters).map(round).mkString(",\n")
+    s"""v0 AS (SELECT vec_id, list_transform(embedding, x -> $quant) AS v
        |  FROM embeddings),
        |vv AS (SELECT vec_id, v,
        |    list_reduce(list_cat([0.0], list_transform(v, x -> x*x)), (p,x) -> p+x) AS vn2
@@ -243,18 +253,21 @@ object KMeansOp {
        |hh AS (SELECT vec_id, v, $polyId AS hv FROM vv),
        |c0 AS (SELECT cid - 1 AS c, cv FROM (
        |    SELECT row_number() OVER (ORDER BY hv, vec_id) AS cid, v AS cv FROM hh)
-       |  WHERE cid <= $KmK),
-       |$rounds,
+       |  WHERE cid <= $k),
+       |$rounds""".stripMargin
+  }
+
+  private def kmeansOracle: String =
+    s"""WITH ${lloydCtes(KmK, KmIters, KmScale)},
        |cnF AS (SELECT c, cv,
        |    list_reduce(list_cat([0.0], list_transform(cv, x -> x*x)), (p,x) -> p+x) AS cn2
        |  FROM c$KmIters),
        |f AS (SELECT vec_id, c FROM (
        |    SELECT a.vec_id, c.c,
-       |      row_number() OVER (PARTITION BY a.vec_id ORDER BY $dist, c.c) AS rn
+       |      row_number() OVER (PARTITION BY a.vec_id ORDER BY $SqlDist, c.c) AS rn
        |    FROM vv a CROSS JOIN cnF c) WHERE rn = 1)
        |SELECT c AS cluster_id, count(*) AS n, min(vec_id) AS min_id
        |FROM f GROUP BY c ORDER BY cluster_id""".stripMargin
-  }
 
   val defs: Seq[QDef] = Seq(
     // L26: distributed Lloyd's k-means over the embeddings corpus,

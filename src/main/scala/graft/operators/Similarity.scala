@@ -195,6 +195,33 @@ object Similarity {
     ivfTopK(s, d, cent)
   }
 
+  /** IVF-flat ANN with a TRAINED coarse quantizer (the L19 scaladoc's
+    * promise made a QDef): centroids come from KMeansOp.fitReplayable
+    * over the quantized corpus — cosine is scale-invariant, so
+    * quantized-space centroids are valid directions for bucketing the
+    * real vectors — and the DuckDB oracle replays the entire trainer
+    * (KMeansOp.lloydCtes) plus the probe/re-rank tail bit-exactly.
+    * Training cost is bounded: KmIters + 1 scans of the persisted
+    * quantized frame, centroids are driver literals thereafter. */
+  private def annIvfTrained(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.{VectorExpr => VE}
+    val qv = T.embeddings(s, d).select(col("vec_id"),
+      VE.quantize(col("embedding").cast("array<double>"), KMeansOp.KmScale).as("qv"))
+    val cent = KMeansOp.fitReplayable(qv, "vec_id", "qv", IvfK, KMeansOp.KmIters)
+    val centDf = s.createDataFrame(
+      s.sparkContext.parallelize(cent.toSeq.zipWithIndex.map { case (c, i) =>
+        org.apache.spark.sql.Row(i.toLong, c.toSeq)
+      }, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cent_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("cv",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType), nullable = false))))
+      .withColumn("cn", sqrt(VectorExpr.dot(col("cv"), col("cv"))))
+    ivfTopK(s, d, centDf)
+  }
+
   /** IVF probe/re-rank against a caller-supplied quantizer frame
     * (cent_id, cv: array<double>, cn: double) — the seeded QDef and the
     * KMeansOp-trained variant (AnnSpec L19b) share this body; "swapping
@@ -315,6 +342,38 @@ object Similarity {
       annIvf,
       Some(s"""WITH $NormedSql,
               |cent AS (SELECT vec_id cent_id, v cv, nrm cn FROM n WHERE vec_id < $IvfK),
+              |ac AS (SELECT n.vec_id, cent.cent_id,
+              |    list_reduce(list_cat([0.0], list_transform(range(1, len(n.v)+1), i -> n.v[i]*cent.cv[i])), (a,x) -> a+x)
+              |      / (n.nrm*cent.cn) AS ccos
+              |  FROM n CROSS JOIN cent),
+              |ar AS (SELECT vec_id, cent_id, row_number() OVER
+              |    (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) arn FROM ac),
+              |asg AS (SELECT vec_id c_id, cent_id list_id FROM ar WHERE arn = 1),
+              |probes AS (SELECT vec_id q_id, cent_id list_id FROM ar
+              |  WHERE vec_id < 20 AND arn <= $IvfProbe),
+              |pairs AS (SELECT DISTINCT p.q_id, a.c_id, $CosSql cos
+              |  FROM probes p JOIN asg a ON p.list_id = a.list_id AND a.c_id <> p.q_id
+              |  JOIN n q ON q.vec_id = p.q_id
+              |  JOIN n c ON c.vec_id = a.c_id),
+              |r AS (SELECT q_id, c_id, cos,
+              |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) rn
+              |      FROM pairs)
+              |SELECT q_id, rn, c_id, round(cos,4) AS cos FROM r WHERE rn <= 3
+              |ORDER BY q_id, rn""".stripMargin)),
+
+    // L19 (trained): IVF-flat ANN whose coarse quantizer is TRAINED by
+    // the replayable k-means — the oracle replays the whole trainer
+    // (quantize → hash seeds → unrolled Lloyd's rounds) and then the
+    // same probe/re-rank tail as q_ann_ivf. AnnSpec L19c records recall
+    // vs the static-seed quantizer.
+    QDef(
+      "q_ann_ivf_trained",
+      annIvfTrained,
+      Some(s"""WITH ${KMeansOp.lloydCtes(IvfK, KMeansOp.KmIters, KMeansOp.KmScale)},
+              |$NormedSql,
+              |cent AS (SELECT c AS cent_id, cv,
+              |    sqrt(list_reduce(list_cat([0.0], list_transform(cv, x -> x*x)), (p,x) -> p+x)) AS cn
+              |  FROM c${KMeansOp.KmIters}),
               |ac AS (SELECT n.vec_id, cent.cent_id,
               |    list_reduce(list_cat([0.0], list_transform(range(1, len(n.v)+1), i -> n.v[i]*cent.cv[i])), (a,x) -> a+x)
               |      / (n.nrm*cent.cn) AS ccos

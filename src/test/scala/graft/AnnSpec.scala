@@ -114,6 +114,21 @@ class AnnSpec extends AnyFunSuite {
       s"k-means lists not more balanced: ${szTrained.toSeq} vs ${szSeeded.toSeq}")
   }
 
+  test("L19c: q_ann_ivf_trained — replayable-trainer IVF clears the nprobe/K baseline") {
+    val brute = SparkEntry.queries("q_ann_brute")(spark, dir)
+      .select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val trained = SparkEntry.queries("q_ann_ivf_trained")(spark, dir)
+      .select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val seeded = SparkEntry.queries("q_ann_ivf")(spark, dir)
+      .select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rTrained = (brute intersect trained).size.toDouble / brute.size
+    val rSeeded = (brute intersect seeded).size.toDouble / brute.size
+    info(f"q_ann_ivf_trained recall@3 = $rTrained%.2f (static quantizer: $rSeeded%.2f)")
+    // same floor as L19: probing 2 of 8 lists must beat the ~25%
+    // fraction-of-corpus baseline (balance benefits are asserted in L19b)
+    assert(rTrained >= 0.25, f"trained recall $rTrained%.2f below nprobe/K baseline")
+  }
+
   test("L6: brute-force top-3 is sane — self excluded, 3 per query, cos in [-1,1]") {
     val rows = SparkEntry.queries("q_ann_brute")(spark, dir).collect()
     assert(rows.length == 20 * 3)
