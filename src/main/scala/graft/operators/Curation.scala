@@ -1,0 +1,200 @@
+package graft.operators
+
+import graft.{QDef, Tables => T}
+import graft.functions.{HashExpr, Text}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators beyond the dedup/decontamination family
+  * (SURVEY §2.3 L28–L31): per-source quota caps, corpus-adaptive
+  * vocabulary coverage, per-language distinctive terms, and
+  * temperature-weighted mixture sampling — the remaining knobs a
+  * training-data pipeline turns between "raw corpus" and "export".
+  *
+  * Determinism discipline (shared with L14): every sampling/selection
+  * decision is a pure function of the data via poly_hash64 — stable
+  * across runs, partitionings and task retries, and exactly replayable
+  * by the DuckDB oracle. Every ratio in an output is a SINGLE division
+  * of exact integers (bit-identical IEEE both engines); no cross-row
+  * float accumulation anywhere.
+  */
+object Curation {
+
+  /** L28: max docs kept per source. */
+  val QuotaN = 10
+  /** L29: corpus-adaptive vocabulary size. */
+  val VocabV = 200
+  /** L30: minimum corpus df for a distinctive term (drops hapax noise). */
+  val TermMinDf = 5
+  /** L31: temperature exponent is 1/2 (sqrt — IEEE-exact both engines). */
+  val TempBps = 10000L
+
+  /** DuckDB polyhash of `doc_id ':' <col>` (mirrors HashExpr.polyHash). */
+  private def polySql(saltCol: String): String =
+    s"""list_reduce(list_cat([CAST(0 AS BIGINT)],
+       |    list_transform(string_split(CAST(doc_id AS VARCHAR) || ':' || $saltCol,''),
+       |      c -> CAST(ord(c) AS BIGINT))),
+       |    (a,c) -> (a*31 + c) % 1000000007)""".stripMargin
+
+  val defs: Seq[QDef] = Seq(
+    // L28: per-source quota cap — keep at most QuotaN docs per source,
+    // chosen deterministically by (hash, doc_id) order (the common-crawl
+    // "cap every domain" rule). One shuffle on source; the per-key
+    // row_number is a sort-based window (spillable). A pathologically
+    // hot key at 100 TB would use the two-stage bounded top-N (per-
+    // partition N smallest, then re-rank N·P candidates — the
+    // FreqItems-style bounded-state move); the window form is the
+    // audited baseline and the semantics are identical.
+    QDef(
+      "q_quota_cap",
+      (s, d) => {
+        val h = HashExpr.polyHash(
+          concat(col("doc_id").cast("string"), lit(":"), col("source")))
+        val w = Window.partitionBy("source").orderBy(h, col("doc_id"))
+        T.documents(s, d)
+          .withColumn("rn", row_number().over(w))
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("total"),
+            sum(when(col("rn") <= QuotaN, 1L).otherwise(0L)).as("kept"),
+            sum(when(col("rn") <= QuotaN, col("n_chars")).otherwise(0L)).as("kept_chars"))
+          .orderBy("source")
+      },
+      Some(s"""WITH h AS (SELECT source, n_chars,
+              |    row_number() OVER (PARTITION BY source
+              |      ORDER BY ${polySql("source")}, doc_id) rn
+              |  FROM documents)
+              |SELECT source, count(*) AS total,
+              |  CAST(sum(CASE WHEN rn <= $QuotaN THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+              |  CAST(sum(CASE WHEN rn <= $QuotaN THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+              |FROM h GROUP BY source ORDER BY source""".stripMargin)),
+
+    // L29: corpus-adaptive vocabulary coverage — the C4/Gopher
+    // "common-word ratio" quality signal with the vocabulary LEARNED
+    // from the corpus itself: top-V words by document frequency (ties
+    // by word), then per-doc fraction of distinct words in-vocabulary,
+    // aggregated per lang as exact integer sums with ONE final
+    // division. Two passes over the tokenized corpus (df pass + scoring
+    // pass), both map-side combinable; the vocabulary is bounded V and
+    // broadcasts. TakeOrdered handles top-V without a global sort.
+    QDef(
+      "q_vocab_coverage",
+      (s, d) => {
+        val words = T.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            explode(array_distinct(Text.words(col("text")))).as("w"))
+        val vocab = words.groupBy("w").agg(count(lit(1)).as("df"))
+          .orderBy(desc("df"), col("w")).limit(VocabV)
+          .select(col("w"), lit(1L).as("inv"))
+        words.join(broadcast(vocab), Seq("w"), "left")
+          .groupBy("doc_id", "lang")
+          .agg(count(lit(1)).as("dw"), sum(coalesce(col("inv"), lit(0L))).as("hits"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("docs"), sum("hits").as("vocab_hits"),
+            sum("dw").as("distinct_words"))
+          .withColumn("coverage",
+            round(col("vocab_hits").cast("double") / col("distinct_words"), 4))
+          .orderBy("lang")
+      },
+      Some(s"""WITH wd AS (SELECT doc_id, lang,
+              |    unnest(list_distinct(string_split_regex(trim(text),'\\s+'))) w
+              |  FROM documents),
+              |dfq AS (SELECT w, count(*) df FROM wd GROUP BY w),
+              |vocab AS (SELECT w FROM dfq ORDER BY df DESC, w LIMIT $VocabV),
+              |pd AS (SELECT doc_id, lang, count(*) dw,
+              |    sum(CASE WHEN vocab.w IS NOT NULL THEN 1 ELSE 0 END) hits
+              |  FROM wd LEFT JOIN vocab ON wd.w = vocab.w
+              |  GROUP BY doc_id, lang)
+              |SELECT lang, count(*) AS docs,
+              |  CAST(sum(hits) AS BIGINT) AS vocab_hits,
+              |  CAST(sum(dw) AS BIGINT) AS distinct_words,
+              |  round(CAST(sum(hits) AS DOUBLE)/sum(dw), 4) AS coverage
+              |FROM pd GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // L30: distinctive terms per language — presence-based TF-IDF:
+    // score(term, lang) = docs-in-lang-containing / docs-containing,
+    // df-floored to drop hapax noise; top-5 per lang. The score is one
+    // division of two exact counts — bit-identical ranking both
+    // engines; ties break (score desc, ldf desc, term). Two map-side-
+    // combinable groupBys + one equality join on term, all linear; the
+    // per-lang top-5 window partitions on lang (bounded).
+    QDef(
+      "q_tfidf_terms",
+      (s, d) => {
+        val pairs = T.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            explode(array_distinct(Text.words(col("text")))).as("term"))
+        val cdf = pairs.groupBy("term").agg(count(lit(1)).as("cdf"))
+          .filter(col("cdf") >= TermMinDf)
+        val ldf = pairs.groupBy("lang", "term").agg(count(lit(1)).as("ldf"))
+        val w = Window.partitionBy("lang")
+          .orderBy(desc("score"), desc("ldf"), col("term"))
+        ldf.join(cdf, "term")
+          .withColumn("score", col("ldf").cast("double") / col("cdf"))
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 5)
+          .select(col("lang"), col("rn"), col("term"), col("ldf"), col("cdf"),
+            round(col("score"), 4).as("score"))
+          .orderBy("lang", "rn")
+      },
+      Some(s"""WITH pairs AS (SELECT doc_id, lang,
+              |    unnest(list_distinct(string_split_regex(trim(text),'\\s+'))) term
+              |  FROM documents),
+              |cdf AS (SELECT term, count(*) cdf FROM pairs GROUP BY term
+              |        HAVING count(*) >= $TermMinDf),
+              |ldf AS (SELECT lang, term, count(*) ldf FROM pairs GROUP BY lang, term),
+              |sc AS (SELECT lang, ldf.term, ldf, cdf.cdf,
+              |    CAST(ldf AS DOUBLE)/cdf.cdf AS score
+              |  FROM ldf JOIN cdf ON ldf.term = cdf.term),
+              |r AS (SELECT lang, term, ldf, cdf, score,
+              |    row_number() OVER (PARTITION BY lang
+              |      ORDER BY score DESC, ldf DESC, term) rn
+              |  FROM sc)
+              |SELECT lang, rn, term, ldf, cdf, round(score, 4) AS score
+              |FROM r WHERE rn <= 5 ORDER BY lang, rn""".stripMargin)),
+
+    // L31: temperature-weighted mixture sampling — per-lang keep rate ∝
+    // sqrt(n_lang) (temperature α = 1/2), normalized so the largest
+    // stratum keeps everything; the standard move that UP-weights
+    // low-resource languages relative to proportional sampling. The
+    // stratum counts are a bounded driver collect (one map-side-
+    // combinable aggregate — langs, not rows); thresholds are derived
+    // with IEEE-exact single ops (sqrt, one multiply, one divide,
+    // floor) so the oracle replays them bit-identically, and the draw
+    // itself is the L14 deterministic hash-threshold rule.
+    QDef(
+      "q_mixture_temperature",
+      (s, d) => {
+        val counts = T.documents(s, d).groupBy("lang").agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val mx = math.sqrt(counts.values.max.toDouble)
+        val thr: Map[String, Long] = counts.map { case (l, n) =>
+          l -> math.floor(TempBps * math.sqrt(n.toDouble) / mx).toLong
+        }
+        val h = pmod(
+          HashExpr.polyHash(
+            concat(col("doc_id").cast("string"), lit(":"), col("lang"))),
+          lit(TempBps))
+        val thrCol = thr.foldLeft(lit(0L)) { case (acc, (l, t)) =>
+          when(col("lang") === l, lit(t)).otherwise(acc)
+        }
+        T.documents(s, d)
+          .withColumn("thr", thrCol)
+          .groupBy("lang", "thr")
+          .agg(count(lit(1)).as("n"),
+            sum(when(h < col("thr"), 1L).otherwise(0L)).as("kept"))
+          .select(col("lang"), col("n"), col("thr"), col("kept"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH c AS (SELECT lang, count(*) n FROM documents GROUP BY lang),
+              |mx AS (SELECT sqrt(CAST(max(n) AS DOUBLE)) m FROM c),
+              |t AS (SELECT lang, n,
+              |    CAST(floor($TempBps * sqrt(CAST(n AS DOUBLE)) / (SELECT m FROM mx)) AS BIGINT) thr
+              |  FROM c),
+              |h AS (SELECT lang, ${polySql("lang")} % $TempBps hv FROM documents)
+              |SELECT t.lang, CAST(t.n AS BIGINT) AS n, t.thr,
+              |  CAST(sum(CASE WHEN h.hv < t.thr THEN 1 ELSE 0 END) AS BIGINT) AS kept
+              |FROM h JOIN t USING (lang) GROUP BY t.lang, t.n, t.thr
+              |ORDER BY t.lang""".stripMargin))
+  )
+}
