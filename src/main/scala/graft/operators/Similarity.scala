@@ -208,7 +208,60 @@ object Similarity {
     val qv = T.embeddings(s, d).select(col("vec_id"),
       VE.quantize(col("embedding").cast("array<double>"), KMeansOp.KmScale).as("qv"))
     val cent = KMeansOp.fitReplayable(qv, "vec_id", "qv", IvfK, KMeansOp.KmIters)
-    val centDf = s.createDataFrame(
+    ivfTopK(s, d, centFrame(s, cent))
+  }
+
+  /** Target k-means cell occupancy for semantic dedup — like the LSH
+    * TargetOccupancy rule, the cell count scales with the corpus so
+    * within-cell pair work stays LINEAR: k = max(8, ceil(n / target)).
+    * At the oracle-checked sizes (n ≤ 5000) this is exactly the base
+    * k = 8, so the replayed-trainer SQL stays bit-identical. */
+  private[graft] val SemTargetCell = 2000
+  private[graft] def semKFor(n: Long): Int =
+    math.max(IvfK, math.ceil(n.toDouble / SemTargetCell).toInt)
+
+  /** Embedding-space (semantic) near-dup detection (L32): bucket the
+    * corpus into k-means cells via the replayable trainer, then exact
+    * cosine over WITHIN-CELL pairs only — the embedding-cosine member
+    * of the near-dup family (L2 shingles, L3 minhash, L4 simhash), with
+    * k-means cells as the candidate generator instead of hash bands.
+    * Candidate work is Σ cell² — bounded because k scales with the
+    * corpus (semKFor), never all-pairs. Output is the ranked top-20
+    * most-similar pair report (the always-non-empty diagnostic, like
+    * L20's leak report; a pipeline drops everything over its
+    * threshold). A same-cell near-dup can straddle a cell boundary and
+    * be missed — the recall lever is probing arn ≤ 2 cells (the IVF
+    * nprobe move); the oracle-checked entry keeps nprobe=1 for the
+    * candidate set the SQL replays. */
+  private def dedupSemantic(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.{VectorExpr => VE}
+    val k = semKFor(T.metadataRowCount(s, d, "embeddings"))
+    val qv = T.embeddings(s, d).select(col("vec_id"),
+      VE.quantize(col("embedding").cast("array<double>"), KMeansOp.KmScale).as("qv"))
+    val cent = KMeansOp.fitReplayable(qv, "vec_id", "qv", k, KMeansOp.KmIters)
+    val centDf = centFrame(s, cent)
+    val n = normed(s, d)
+    val wAssign = Window.partitionBy("vec_id").orderBy(desc("ccos"), col("cent_id"))
+    val cells = n.crossJoin(broadcast(centDf))
+      .withColumn("ccos", cosine(col("v"), col("cv"), col("nrm"), col("cn")))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cent_id").as("cell"))
+    cells.as("a")
+      .join(cells.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos",
+        cosine(col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm")))
+      .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"),
+        round(col("cos"), 4).as("cos"))
+      .orderBy(desc("cos"), col("d1"), col("d2"))
+      .limit(20)
+  }
+
+  /** (cent_id, cv, cn) frame from driver centroid literals. */
+  private def centFrame(
+      s: SparkSession, cent: Array[Array[Double]]): DataFrame =
+    s.createDataFrame(
       s.sparkContext.parallelize(cent.toSeq.zipWithIndex.map { case (c, i) =>
         org.apache.spark.sql.Row(i.toLong, c.toSeq)
       }, 1),
@@ -219,8 +272,6 @@ object Similarity {
           org.apache.spark.sql.types.ArrayType(
             org.apache.spark.sql.types.DoubleType), nullable = false))))
       .withColumn("cn", sqrt(VectorExpr.dot(col("cv"), col("cv"))))
-    ivfTopK(s, d, centDf)
-  }
 
   /** IVF probe/re-rank against a caller-supplied quantizer frame
     * (cent_id, cv: array<double>, cn: double) — the seeded QDef and the
@@ -391,6 +442,32 @@ object Similarity {
               |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) rn
               |      FROM pairs)
               |SELECT q_id, rn, c_id, round(cos,4) AS cos FROM r WHERE rn <= 3
-              |ORDER BY q_id, rn""".stripMargin))
+              |ORDER BY q_id, rn""".stripMargin)),
+
+    // L32: semantic near-dup — k-means cells as the candidate
+    // generator, exact cosine within cells, ranked top-20 pair report.
+    // The oracle replays trainer (lloydCtes), cell assignment, and the
+    // within-cell pair ranking bit-exactly.
+    QDef(
+      "q_dedup_semantic",
+      dedupSemantic,
+      Some(s"""WITH ${KMeansOp.lloydCtes(IvfK, KMeansOp.KmIters, KMeansOp.KmScale)},
+              |$NormedSql,
+              |cent AS (SELECT c AS cent_id, cv,
+              |    sqrt(list_reduce(list_cat([0.0], list_transform(cv, x -> x*x)), (p,x) -> p+x)) AS cn
+              |  FROM c${KMeansOp.KmIters}),
+              |ac AS (SELECT n.vec_id, cent.cent_id,
+              |    list_reduce(list_cat([0.0], list_transform(range(1, len(n.v)+1), i -> n.v[i]*cent.cv[i])), (a,x) -> a+x)
+              |      / (n.nrm*cent.cn) AS ccos
+              |  FROM n CROSS JOIN cent),
+              |ar AS (SELECT vec_id, cent_id, row_number() OVER
+              |    (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) arn FROM ac),
+              |asg AS (SELECT vec_id c_id, cent_id list_id FROM ar WHERE arn = 1),
+              |p AS (SELECT a.c_id d1, b.c_id d2, $CosSql cos
+              |  FROM asg a JOIN asg b ON a.list_id = b.list_id AND a.c_id < b.c_id
+              |  JOIN n q ON q.vec_id = a.c_id
+              |  JOIN n c ON c.vec_id = b.c_id)
+              |SELECT d1, d2, round(cos,4) AS cos FROM p
+              |ORDER BY 3 DESC, d1, d2 LIMIT 20""".stripMargin))
   )
 }

