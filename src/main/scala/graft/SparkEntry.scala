@@ -19,7 +19,8 @@ object SparkEntry {
     operators.Relational.defs ++ operators.Relational2.defs ++ operators.Temporal.defs ++ operators.GraftQueries.defs ++
       operators.TextOps.defs ++ operators.Dedup.defs ++ operators.Similarity.defs ++
       operators.Sketches.defs ++ operators.Packing.defs ++ operators.Indexing.defs ++
-      operators.KMeansOp.defs ++ operators.Pipeline.defs ++ operators.Curation.defs
+      operators.KMeansOp.defs ++ operators.Pipeline.defs ++ operators.Curation.defs ++
+      operators.Dedup2.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,135 @@
+package graft.operators
+
+import graft.{QDef, Tables => T}
+import graft.functions.Text
+import org.apache.spark.sql.functions._
+
+/** Second-wave dedup operators (SURVEY §2.3 L33–L34): sub-document
+  * granularity and incremental batch-vs-corpus dedup — the two shapes
+  * production curation runs AFTER the whole-document suite (L1–L4,
+  * L13, L25) is in place.
+  */
+object Dedup2 {
+
+  /** L33: words per non-overlapping block. */
+  val BlockLen = 8
+  /** L33: report size. */
+  val BlockTop = 20
+
+  val defs: Seq[QDef] = Seq(
+    // L33: repeated-span (paragraph-granularity) dedup — exact dedup at
+    // sub-document granularity: split every document into
+    // non-overlapping BlockLen-word blocks and report the blocks
+    // repeated across the most documents (refinedweb-style repeated
+    // boilerplate detection; a pipeline strips or down-weights them).
+    // Block extraction is pure codegen (sequence→explode + slice — no
+    // HOF, no per-row arrays beyond the word split the text ops already
+    // pay); the aggregation is a map-side-combinable count on the block
+    // string. Presence counts (distinct doc per block), integer-exact.
+    QDef(
+      "q_dedup_spans",
+      (s, d) => {
+        val w = Text.words(col("text"))
+        val blocks = T.documents(s, d)
+          .select(col("doc_id"), w.as("w"))
+          .filter(size(col("w")) > 0)
+          .select(col("doc_id"),
+            explode(sequence(lit(0), expr(s"(size(w)-1) div $BlockLen"))).as("b"),
+            col("w"))
+          .select(col("doc_id"),
+            concat_ws(" ",
+              slice(col("w"), col("b") * BlockLen + 1, lit(BlockLen))).as("block"))
+          .distinct() // presence: one (doc, block) row each
+        blocks.groupBy("block")
+          .agg(count(lit(1)).as("ndocs"), min("doc_id").as("first_doc"))
+          .filter(col("ndocs") > 1)
+          .orderBy(desc("ndocs"), col("block"))
+          .limit(BlockTop)
+      },
+      Some(s"""WITH wd AS (SELECT doc_id,
+              |    string_split_regex(trim(text),'\\s+') w FROM documents
+              |  WHERE len(string_split_regex(trim(text),'\\s+')) > 0),
+              |bl AS (SELECT DISTINCT doc_id,
+              |    array_to_string(w[b*$BlockLen+1 : b*$BlockLen+$BlockLen], ' ') AS block
+              |  FROM wd, unnest(range(0, (len(w)-1)//$BlockLen + 1)) AS t(b))
+              |SELECT block, count(*) AS ndocs, min(doc_id) AS first_doc
+              |FROM bl GROUP BY block HAVING count(*) > 1
+              |ORDER BY ndocs DESC, block LIMIT $BlockTop""".stripMargin)),
+
+    // L34: incremental dedup — dedup a NEW batch (doc_id % 10 = 9, the
+    // deterministic stand-in for "today's crawl") against the EXISTING
+    // corpus plus itself, without re-deduping the corpus: a new doc is
+    // dropped if it exact-dups (md5 content key) or near-dups (the
+    // staged Jaccard pair set) any corpus doc, or a SMALLER-id new doc
+    // (keep-first within the batch). Exact-before-near precedence makes
+    // the drop-reason counts disjoint. Reuses the SHARED persisted
+    // shingle + pair stages — at 100 TB the directional form broadcasts
+    // only the new batch's PPJoin prefixes and makes ONE pass over the
+    // corpus; the semantics here are identical on the symmetric pair
+    // set restricted to new-doc membership.
+    QDef(
+      "q_dedup_incremental",
+      (s, d) => {
+        val isNew = col("doc_id") % 10 === 9
+        val docs = T.documents(s, d)
+        val keys = docs.select(col("doc_id"),
+          md5(concat_ws(" ", slice(Text.words(col("text")), 1, 8)).cast("binary")).as("k"))
+        // exact: same content key as a corpus doc or a smaller-id new doc
+        val exactDrop = keys.as("n")
+          .join(keys.as("o"),
+            col("n.k") === col("o.k") && col("n.doc_id") =!= col("o.doc_id") &&
+              col("n.doc_id") % 10 === 9 &&
+              (col("o.doc_id") % 10 =!= 9 || col("o.doc_id") < col("n.doc_id")))
+          .select(col("n.doc_id")).distinct()
+        // near: pair partner in the corpus, or a smaller-id new partner
+        val pp = Dedup.jaccardPairsStaged(s, d)
+        val sym = pp.select(col("d2").as("x"), col("d1").as("y"))
+          .union(pp.select(col("d1").as("x"), col("d2").as("y")))
+        val nearDrop = sym
+          .filter(col("x") % 10 === 9 &&
+            (col("y") % 10 =!= 9 || col("y") < col("x")))
+          .select(col("x").as("doc_id")).distinct()
+        docs.filter(isNew)
+          .join(exactDrop.withColumn("ex", lit(1L)), Seq("doc_id"), "left")
+          .join(nearDrop.withColumn("nr", lit(1L)), Seq("doc_id"), "left")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("total"),
+            sum(when(col("ex").isNotNull, 1L).otherwise(0L)).as("dropped_exact"),
+            sum(when(col("ex").isNull && col("nr").isNotNull, 1L).otherwise(0L))
+              .as("dropped_near"),
+            sum(when(col("ex").isNull && col("nr").isNull, 1L).otherwise(0L))
+              .as("kept"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH w AS (SELECT doc_id, ${Dedup.ShSql} sh FROM documents),
+              |e AS (SELECT doc_id, unnest(sh) g FROM w),
+              |${Dedup.PrefixCandSql},
+              |jv AS (SELECT d1, d2,
+              |  CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE)
+              |    / len(list_distinct(list_cat(s1.sh, s2.sh))) jr
+              |  FROM cand JOIN w s1 ON d1 = s1.doc_id JOIN w s2 ON d2 = s2.doc_id),
+              |pp AS (SELECT d1, d2 FROM jv WHERE jr >= ${Dedup.Tau}),
+              |k0 AS (SELECT doc_id,
+              |  md5(array_to_string(string_split_regex(trim(text),'\\s+')[1:8],' ')) k
+              |  FROM documents),
+              |exd AS (SELECT DISTINCT n.doc_id FROM k0 n JOIN k0 o
+              |  ON n.k = o.k AND n.doc_id <> o.doc_id
+              |  AND (o.doc_id % 10 <> 9 OR o.doc_id < n.doc_id)
+              |  WHERE n.doc_id % 10 = 9),
+              |sym AS (SELECT d2 x, d1 y FROM pp UNION ALL SELECT d1, d2 FROM pp),
+              |nrd AS (SELECT DISTINCT x AS doc_id FROM sym
+              |  WHERE x % 10 = 9 AND (y % 10 <> 9 OR y < x))
+              |SELECT d.lang, count(*) AS total,
+              |  CAST(sum(CASE WHEN exd.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS dropped_exact,
+              |  CAST(sum(CASE WHEN exd.doc_id IS NULL AND nrd.doc_id IS NOT NULL
+              |    THEN 1 ELSE 0 END) AS BIGINT) AS dropped_near,
+              |  CAST(sum(CASE WHEN exd.doc_id IS NULL AND nrd.doc_id IS NULL
+              |    THEN 1 ELSE 0 END) AS BIGINT) AS kept
+              |FROM documents d
+              |LEFT JOIN exd ON d.doc_id = exd.doc_id
+              |LEFT JOIN nrd ON d.doc_id = nrd.doc_id
+              |WHERE d.doc_id % 10 = 9
+              |GROUP BY d.lang ORDER BY d.lang""".stripMargin))
+  )
+}

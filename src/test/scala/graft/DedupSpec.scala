@@ -60,6 +60,48 @@ class DedupSpec extends AnyFunSuite {
     assert(keepers.toSeq == Seq(0L, 100L, 200L))
   }
 
+  test("L33: repeated-span report — blocks really repeat, ordered, deterministic") {
+    val rows = SparkEntry.queries("q_dedup_spans")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) > 1, "reported block must repeat across docs")
+      assert(r.getString(0).split(" ").length <= operators.Dedup2.BlockLen)
+    }
+    val counts = rows.map(_.getLong(1)).toSeq
+    assert(counts == counts.sorted.reverse, "not ranked by ndocs")
+    // ground truth for the top block: recount its presence with an
+    // independent formulation (block set containment over word blocks)
+    val top = rows.head.getString(0)
+    val n = Tables.documents(spark, dir)
+      .select(col("doc_id"), Text.words(col("text")).as("w"))
+      .filter(size(col("w")) > 0)
+      .select(col("doc_id"),
+        explode(expr(s"transform(sequence(0, (size(w)-1) div ${operators.Dedup2.BlockLen})," +
+          s" b -> array_join(slice(w, b*${operators.Dedup2.BlockLen}+1, ${operators.Dedup2.BlockLen}), ' '))")).as("blk"))
+      .filter(col("blk") === top).select("doc_id").distinct().count()
+    assert(n == rows.head.getLong(1), s"top block count $n != reported ${rows.head.getLong(1)}")
+    val again = SparkEntry.queries("q_dedup_spans")(spark, dir).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("L34: incremental dedup — batch partitions exactly, corpus untouched, drop reasons disjoint") {
+    val rows = SparkEntry.queries("q_dedup_incremental")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // per-lang partition: total = exact + near + kept (disjoint by
+    // precedence), and totals match the new-batch slice exactly
+    val newCounts = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 10 === 9)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val (lang, total, ex, nr, kept) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(total == ex + nr + kept, s"$lang: categories don't partition")
+      assert(total == newCounts(lang), s"$lang: total != new-batch size")
+    }
+    assert(rows.map(_.getLong(1)).sum == newCounts.values.sum)
+  }
+
   test("L4: simhash hamming pairs match brute-force hamming at the same radius") {
     val got = SparkEntry.queries("q_dedup_simhash")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
