@@ -68,7 +68,80 @@ object Temporal {
       .orderBy("user_id")
   }
 
+  /** Ordered-funnel analysis (R31): users who signed up, then clicked
+    * AFTER the signup, then purchased AFTER that click — the classic
+    * behavioral-OLAP query over an event stream. Strictly-ordered
+    * stage times via staged conditional-min aggregation: each stage is
+    * one groupBy(user) pass + one equality join on user_id (co-
+    * partitioned shuffles, no self-join explosion, no window over the
+    * whole stream). Timestamp comparisons are integer microseconds —
+    * exact both engines. */
+  private def funnel(s: SparkSession, d: String): DataFrame = {
+    val e = T.events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+    val u1 = e.groupBy("user_id")
+      .agg(min(when(col("event_type") === "signup", col("ts"))).as("t1"))
+    val u2 = e.join(u1, "user_id").groupBy("user_id")
+      .agg(max("t1").as("t1"),
+        min(when(col("event_type") === "click" && col("ts") > col("t1"), col("ts"))).as("t2"))
+    val u3 = e.join(u2, "user_id").groupBy("user_id")
+      .agg(max("t1").as("t1"), max("t2").as("t2"),
+        min(when(col("event_type") === "purchase" && col("ts") > col("t2"), col("ts"))).as("t3"))
+    u3.agg(
+      sum(when(col("t1").isNotNull, 1L).otherwise(0L)).as("signup_users"),
+      sum(when(col("t2").isNotNull, 1L).otherwise(0L)).as("clicked_after"),
+      sum(when(col("t3").isNotNull, 1L).otherwise(0L)).as("purchased_after"))
+  }
+
+  /** D1 retention by signup cohort (R32): cohort = day of a user's
+    * FIRST event; retained = any event on cohort day + 1. Two
+    * groupBy(user) passes + one join on user_id; day arithmetic on
+    * timestamps is exact. */
+  private def retention(s: SparkSession, d: String): DataFrame = {
+    val e = T.events(s, d).select(col("user_id"), col("ts"))
+    val c = e.groupBy("user_id").agg(date_trunc("day", min("ts")).as("d0"))
+    e.join(c, "user_id")
+      .groupBy("user_id")
+      .agg(max("d0").as("d0"),
+        max(when(date_trunc("day", col("ts")) === col("d0") + expr("INTERVAL 1 DAY"), 1L)
+          .otherwise(0L)).as("ret"))
+      .groupBy("d0")
+      .agg(count(lit(1)).as("users"), sum("ret").as("retained_d1"))
+      .orderBy("d0")
+  }
+
   val defs: Seq[QDef] = Seq(
+    // R31: ordered funnel.
+    QDef(
+      "q_funnel",
+      funnel,
+      Some("""WITH u1 AS (SELECT user_id,
+             |    min(CASE WHEN event_type='signup' THEN ts END) t1
+             |  FROM events GROUP BY user_id),
+             |u2 AS (SELECT e.user_id, max(u1.t1) t1,
+             |    min(CASE WHEN e.event_type='click' AND e.ts > u1.t1 THEN e.ts END) t2
+             |  FROM events e JOIN u1 USING (user_id) GROUP BY e.user_id),
+             |u3 AS (SELECT e.user_id, max(u2.t1) t1, max(u2.t2) t2,
+             |    min(CASE WHEN e.event_type='purchase' AND e.ts > u2.t2 THEN e.ts END) t3
+             |  FROM events e JOIN u2 USING (user_id) GROUP BY e.user_id)
+             |SELECT
+             |  CAST(sum(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS signup_users,
+             |  CAST(sum(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS clicked_after,
+             |  CAST(sum(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS purchased_after
+             |FROM u3""".stripMargin)),
+
+    // R32: D1 retention by first-event cohort.
+    QDef(
+      "q_retention",
+      retention,
+      Some("""WITH c AS (SELECT user_id, date_trunc('day', min(ts)) d0
+             |  FROM events GROUP BY user_id),
+             |r AS (SELECT e.user_id, max(c.d0) d0,
+             |    max(CASE WHEN date_trunc('day', e.ts) = c.d0 + INTERVAL 1 DAY
+             |      THEN 1 ELSE 0 END) ret
+             |  FROM events e JOIN c USING (user_id) GROUP BY e.user_id)
+             |SELECT d0, count(*) AS users, CAST(sum(ret) AS BIGINT) AS retained_d1
+             |FROM r GROUP BY d0 ORDER BY d0""".stripMargin)),
+
     // R25: sessionization.
     QDef(
       "q_sessionize",
