@@ -305,6 +305,56 @@ object Multimodal {
     }(RowEncoder.encoderFor(outSchema))
   }
 
+  /** REAL image resize kernel (JDK-native): decode, scale to (w, h)
+    * with NEAREST-NEIGHBOR (deterministic pure-Java pixel mapping — no
+    * native filter variance), re-encode PNG (lossless, so the spec can
+    * assert exact pixels). None for undecodable bytes. */
+  private[operators] def resizeKernel(
+      bytes: Array[Byte], w: Int, h: Int): Option[Array[Byte]] = {
+    if (bytes == null || bytes.length == 0) return None
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) return None
+      val out = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_NEAREST_NEIGHBOR)
+        g.drawImage(img, 0, 0, w, h, null)
+      } finally g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      Some(bos.toByteArray)
+    } catch { case _: java.io.IOException => None }
+  }
+
+  /** Image resize over media rows — the remaining member of the
+    * decode / feature-extract / resize / frame-sample quartet.
+    * Partition-batched, zero shuffle, one image in memory per row per
+    * task (at 100 TB the binary column streams through; nothing
+    * aggregates). Undecodable bytes pass through decoded=false with a
+    * null payload — same batch contract as the decoders. */
+  def resizeImages(spark: SparkSession, media: DataFrame, w: Int, h: Int): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("decoded", BooleanType, nullable = false),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("png", BinaryType)))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val bytesIdx = media.schema.fieldIndex("bytes")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = if (r.isNullAt(bytesIdx)) null else r.getAs[Array[Byte]](bytesIdx)
+        resizeKernel(bytes, w, h) match {
+          case Some(png) => Row(r.getLong(idIdx), true, w, h, png)
+          case None => Row(r.getLong(idIdx), false, null, null, null)
+        }
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
   /** Frame sampling: split the binary into fixed-size "frames" and keep
     * every `stride`-th one (a real build would seek keyframes). Pure
     * column expressions — stays in codegen, no UDF. */

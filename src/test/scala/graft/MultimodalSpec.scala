@@ -123,6 +123,36 @@ class MultimodalSpec extends AnyFunSuite {
     assert(s.getSeq[Double](5).length == Multimodal.FeatureDim)
   }
 
+  test("L12e: image resize — exact pixels under nearest-neighbor, lossless round-trip, stub fallback") {
+    import java.awt.image.BufferedImage
+    // 4×4 quadrant image: solid colors per 2×2 quadrant
+    val img = new BufferedImage(4, 4, BufferedImage.TYPE_INT_RGB)
+    val cols = Array(0xFF0000, 0x00FF00, 0x0000FF, 0xFFFFFF)
+    for (y <- 0 until 4; x <- 0 until 4)
+      img.setRGB(x, y, cols((y / 2) * 2 + (x / 2)))
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    import spark.implicits._
+    val df = Seq((1L, baos.toByteArray), (2L, "junk".getBytes("UTF-8")))
+      .toDF("media_id", "bytes")
+    val out = Multimodal.resizeImages(spark, df, 2, 2).orderBy("media_id").collect()
+    val ok = out(0)
+    assert(ok.getBoolean(1) && ok.getInt(2) == 2 && ok.getInt(3) == 2)
+    val resized = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(ok.getAs[Array[Byte]](4)))
+    assert(resized.getWidth == 2 && resized.getHeight == 2)
+    // nearest-neighbor from a solid 2×2 quadrant can only pick that
+    // quadrant's color — one pixel per quadrant, exactly
+    val got = for (y <- 0 until 2; x <- 0 until 2)
+      yield resized.getRGB(x, y) & 0xFFFFFF
+    assert(got == Seq(0xFF0000, 0x00FF00, 0x0000FF, 0xFFFFFF), s"pixels $got")
+    // determinism: identical bytes on a second run (lossless PNG)
+    val again = Multimodal.resizeImages(spark, df, 2, 2).orderBy("media_id").collect()
+    assert(java.util.Arrays.equals(ok.getAs[Array[Byte]](4), again(0).getAs[Array[Byte]](4)))
+    // undecodable input keeps the contract
+    assert(!out(1).getBoolean(1) && out(1).isNullAt(2) && out(1).isNullAt(4))
+  }
+
   test("L12: real PNG decode — true dimensions and pixel histogram, stub fallback") {
     import java.awt.image.BufferedImage
     // 8×4 PNG: left half black, right half white
