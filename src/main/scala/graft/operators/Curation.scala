@@ -39,25 +39,27 @@ object Curation {
   val defs: Seq[QDef] = Seq(
     // L28: per-source quota cap — keep at most QuotaN docs per source,
     // chosen deterministically by (hash, doc_id) order (the common-crawl
-    // "cap every domain" rule). One shuffle on source; the per-key
-    // row_number is a sort-based window (spillable). A pathologically
-    // hot key at 100 TB would use the two-stage bounded top-N (per-
-    // partition N smallest, then re-rank N·P candidates — the
-    // FreqItems-style bounded-state move); the window form is the
-    // audited baseline and the semantics are identical.
+    // "cap every domain" rule). NOT a row_number window: a sort-based
+    // window must co-locate and sort EVERY row of a key in one task —
+    // the hot-key wall at 100 TB. MinNSummary is the bounded two-stage
+    // form: map-side combinable, ≤ N entries per key per partition
+    // cross the shuffle (the KMV/KLL/MG bounded-state idiom applied to
+    // selection); selection by the total order (hash, doc_id) is
+    // merge-order independent, so the kept set is bit-identical to the
+    // window formulation under any partitioning (MinNSpec proves both).
     QDef(
       "q_quota_cap",
       (s, d) => {
         val h = HashExpr.polyHash(
           concat(col("doc_id").cast("string"), lit(":"), col("source")))
-        val w = Window.partitionBy("source").orderBy(h, col("doc_id"))
         T.documents(s, d)
-          .withColumn("rn", row_number().over(w))
           .groupBy("source")
           .agg(
             count(lit(1)).as("total"),
-            sum(when(col("rn") <= QuotaN, 1L).otherwise(0L)).as("kept"),
-            sum(when(col("rn") <= QuotaN, col("n_chars")).otherwise(0L)).as("kept_chars"))
+            graft.functions.MinNAgg.minNSummary(
+              h, col("doc_id"), col("n_chars"), QuotaN).as("s"))
+          .select(col("source"), col("total"),
+            col("s.kept").as("kept"), col("s.payload_sum").as("kept_chars"))
           .orderBy("source")
       },
       Some(s"""WITH h AS (SELECT source, n_chars,

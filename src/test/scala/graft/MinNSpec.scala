@@ -1,0 +1,57 @@
+package graft
+
+import graft.functions.{HashExpr, MinNAgg}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SURVEY L28 supporting aggregate: bounded min-N-by-(ord,id) summary ≡
+  * the row_number window formulation, under any partitioning. */
+class MinNSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("MinNSummary ≡ row_number window on the documents corpus, any partitioning") {
+    val h = HashExpr.polyHash(
+      concat(col("doc_id").cast("string"), lit(":"), col("source")))
+    val win = Tables.documents(spark, dir)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("source").orderBy(h, col("doc_id"))))
+      .groupBy("source")
+      .agg(count(lit(1)).as("total"),
+        sum(when(col("rn") <= 10, 1L).otherwise(0L)).as("kept"),
+        sum(when(col("rn") <= 10, col("n_chars")).otherwise(0L)).as("kept_chars"))
+      .orderBy("source").collect().map(_.toString).toSeq
+    for (parts <- Seq(1, 7, 31)) {
+      val agg = Tables.documents(spark, dir).repartition(parts)
+        .groupBy("source")
+        .agg(count(lit(1)).as("total"),
+          MinNAgg.minNSummary(h, col("doc_id"), col("n_chars"), 10).as("s"))
+        .select(col("source"), col("total"),
+          col("s.kept").as("kept"), col("s.payload_sum").as("kept_chars"))
+        .orderBy("source").collect().map(_.toString).toSeq
+      assert(agg == win, s"mismatch at $parts partitions")
+    }
+  }
+
+  test("hot key: 100k rows on one key through 64 partitions — exact n smallest survive") {
+    import spark.implicits._
+    // ord = a permuted hash of i; the true 5 smallest are known by sort
+    val rows = (0L until 100000L).map(i => ("hot", i * 2654435761L % 1000003L, i, 1L))
+    val df = rows.toDF("k", "ord", "id", "p").repartition(64)
+    val got = df.groupBy("k")
+      .agg(MinNAgg.minNSummary(col("ord"), col("id"), col("p"), 5).as("s"))
+      .select(col("s.kept"), col("s.payload_sum")).collect().head
+    assert(got.getLong(0) == 5 && got.getLong(1) == 5)
+    // cross-check the selected set via the driver
+    val want = rows.sortBy(r => (r._2, r._3)).take(5).map(_._4).sum
+    assert(got.getLong(1) == want)
+    // ties on ord resolve by id: duplicate ords must not drop entries
+    val tied = (0L until 1000L).map(i => ("t", 7L, i, i)).toDF("k", "ord", "id", "p")
+      .repartition(16)
+    val t = tied.groupBy("k")
+      .agg(MinNAgg.minNSummary(col("ord"), col("id"), col("p"), 5).as("s"))
+      .select(col("s.kept"), col("s.payload_sum")).collect().head
+    assert(t.getLong(0) == 5 && t.getLong(1) == (0L + 1 + 2 + 3 + 4))
+  }
+}
