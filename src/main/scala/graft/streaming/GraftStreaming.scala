@@ -207,6 +207,37 @@ object GraftStreaming {
       }
   }
 
+  /** Streaming grouped quantiles (T11): the KLL sketch (SURVEY L22) as
+    * mapGroupsWithState STATE — completes the streaming mergeable-
+    * sketch trio (T9 KMV distinct, T10 MG heavy hitters). Per group the
+    * state store holds O(k log(n/k)) doubles regardless of stream
+    * length (exact streaming percentile state grows with every value);
+    * micro-batch increments are just more adds, so the deterministic-
+    * compaction error bound carries across batches. Emits (group, p50,
+    * p95, count) per group per micro-batch (update mode). */
+  def quantileStream(
+      events: DataFrame, groupCol: String, valCol: String,
+      k: Int = 256): org.apache.spark.sql.Dataset[(String, Double, Double, Long)] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    events
+      .select(col(groupCol).cast("string"), col(valCol).cast("double"))
+      .filter(col(groupCol).isNotNull && col(valCol).isNotNull)
+      .as[(String, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Array[Byte], (String, Double, Double, Long)](
+        GroupStateTimeout.NoTimeout) {
+        (g: String, rows: Iterator[(String, Double)],
+         state: org.apache.spark.sql.streaming.GroupState[Array[Byte]]) =>
+          val buf = state.getOption
+            .map(graft.functions.QuantileBuffer.deserialize)
+            .getOrElse(new graft.functions.QuantileBuffer(k))
+          rows.foreach(r => buf.add(r._2))
+          state.update(buf.serializeBytes())
+          (g, buf.quantile(0.5), buf.quantile(0.95), buf.count)
+      }
+  }
+
   /** Custom-state streaming: per-user session tracking with
     * flatMapGroupsWithState. Emits one row per CLOSED session (gap >
     * `gapSeconds`, or the processing-time state timeout for users that go

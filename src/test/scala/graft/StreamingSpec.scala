@@ -353,6 +353,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("T11: streaming KLL quantiles — exact below k, cross-batch accumulation, error-bounded, bounded state") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(String, Double)]
+    val out = GraftStreaming.quantileStream(
+      mem.toDF().toDF("g", "v"), "g", "v", k = 256)
+    val q = out.toDF("g", "p50", "p95", "n").writeStream
+      .outputMode("update").format("memory").queryName("kll_stream").start()
+    try {
+      // exact regime: ≤ k values never compact — p50 of 1..5 split
+      // across two batches is the exact interpolated median
+      mem.addData(("a", 1.0), ("a", 2.0), ("a", 3.0)); q.processAllAvailable()
+      mem.addData(("a", 4.0), ("a", 5.0)); q.processAllAvailable()
+      val aRows = spark.sql("SELECT p50, n FROM kll_stream WHERE g = 'a'")
+        .collect().map(r => (r.getDouble(0), r.getLong(1)))
+      assert(aRows.exists(_._2 == 5L), s"cross-batch count missing: ${aRows.toSeq}")
+      assert(aRows.find(_._2 == 5L).get._1 == 3.0, "exact-regime median of 1..5 must be 3")
+      // compaction regime: 20k uniform values in two batches; p50/p95
+      // must land within ~2% rank error of the true quantiles
+      val rnd = new java.util.SplittableRandom(11)
+      val vs = Array.fill(20000)(rnd.nextDouble() * 1000.0)
+      mem.addData(vs.take(10000).map(("b", _)).toSeq: _*); q.processAllAvailable()
+      mem.addData(vs.drop(10000).map(("b", _)).toSeq: _*); q.processAllAvailable()
+      val sorted = vs.sorted
+      val b = spark.sql("SELECT p50, p95, n FROM kll_stream WHERE g = 'b' ORDER BY n DESC LIMIT 1")
+        .collect().head
+      assert(b.getLong(2) == 20000L)
+      def rankOf(x: Double): Double =
+        sorted.count(_ <= x).toDouble / sorted.length
+      assert(math.abs(rankOf(b.getDouble(0)) - 0.50) < 0.02,
+        s"p50 rank ${rankOf(b.getDouble(0))}")
+      assert(math.abs(rankOf(b.getDouble(1)) - 0.95) < 0.02,
+        s"p95 rank ${rankOf(b.getDouble(1))}")
+      // one state row per group — bounded regardless of stream length
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows == 2, s"state rows $stateRows (expected one per group)")
+    } finally q.stop()
+  }
+
   test("T3: changelog exposes only post-snapshot row versions with rowkind") {
     val t = GraftTable.create(spark, TestSpark.tmpDir("cdc"),
       StructType(Seq(StructField("k", IntegerType), StructField("v", StringType),
