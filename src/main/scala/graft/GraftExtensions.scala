@@ -89,6 +89,21 @@ object GraftExtensions {
           org.apache.spark.sql.catalyst.expressions.Cast(
             args.head, org.apache.spark.sql.types.StringType),
           litNum(args(1), "k").toInt, litNum(args(2), "topN").toInt).toAggregateExpression()
+      }),
+    (FunctionIdentifier("vec_quantize"),
+      info("vec_quantize",
+        "vec_quantize(array<double>, scale) - quantize to integer-valued doubles (parity-exact rounding)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "vec_quantize(vec, scale) takes exactly 2 arguments")
+        graft.functions.QuantizeVec(args.head, litNum(args(1), "scale"))
+      }),
+    (FunctionIdentifier("min_n_summary"),
+      info("min_n_summary",
+        "min_n_summary(ord, id, payload, n) - bounded n-smallest-by-(ord,id) summary: struct(kept, payload_sum)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4, "min_n_summary(ord, id, payload, n) takes exactly 4 arguments")
+        graft.functions.MinNSummary(args(0), args(1), args(2),
+          litNum(args(3), "n").toInt).toAggregateExpression()
       }))
 
   /** Shared literal decode for the sketch-function arguments. */

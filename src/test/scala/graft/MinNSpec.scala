@@ -34,6 +34,21 @@ class MinNSpec extends AnyFunSuite {
     }
   }
 
+  test("SQL surface: vec_quantize and min_n_summary registered and correct") {
+    GraftExtensions.register(spark)
+    val q = spark.sql(
+      "SELECT vec_quantize(array(CAST(0.0012 AS DOUBLE), CAST(-0.0015 AS DOUBLE)), 1000.0) v")
+      .collect().head.getSeq[Double](0)
+    assert(q == Seq(1.0, -2.0), s"got $q") // half away from zero
+    val s = spark.sql(
+      """SELECT k, min_n_summary(ord, id, p, 2) s FROM VALUES
+        |  ('a', 3L, 1L, 10L), ('a', 1L, 2L, 20L), ('a', 2L, 3L, 30L)
+        |  AS t(k, ord, id, p) GROUP BY k""".stripMargin)
+      .selectExpr("s.kept", "s.payload_sum").collect().head
+    assert(s.getLong(0) == 2 && s.getLong(1) == 50, // ords 1,2 → payloads 20+30
+      s"got ${s.toString}")
+  }
+
   test("hot key: 100k rows on one key through 64 partitions — exact n smallest survive") {
     import spark.implicits._
     // ord = a permuted hash of i; the true 5 smallest are known by sort
