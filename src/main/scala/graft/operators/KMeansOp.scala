@@ -201,6 +201,28 @@ object KMeansOp {
   private[operators] val KmIters = 5
   private[operators] val KmScale = 1000.0
 
+  /** Quantized embeddings frame for `d` (the replayable trainer's input). */
+  private[operators] def quantizedEmbeddings(
+      s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    T.embeddings(s, d).select(col("vec_id"),
+      graft.functions.VectorExpr.quantize(
+        col("embedding").cast(ArrayType(DoubleType)), KmScale).as("qv"))
+
+  /** Replayable-trained centroids over the quantized embeddings of `d`,
+    * computed ONCE per (session, dir, k, iters) — q_kmeans,
+    * q_ann_ivf_trained and q_dedup_semantic all train the SAME model, so
+    * training three times per sweep would triple the corpus scans (the
+    * r8 shingle-stage lesson applied to the trainer). Centroids are
+    * k×dims driver doubles — bounded, no executor memory held. */
+  private val centCache =
+    scala.collection.concurrent.TrieMap[String, Array[Array[Double]]]()
+  private[operators] def trainedCentroids(
+      s: org.apache.spark.sql.SparkSession, d: String,
+      k: Int, iters: Int = KmIters): Array[Array[Double]] =
+    centCache.getOrElseUpdate(
+      s"${s.sparkContext.applicationId}:${System.identityHashCode(s)}:$d:$k:$iters",
+      fitReplayable(quantizedEmbeddings(s, d), "vec_id", "qv", k, iters))
+
   /** DuckDB replay of the full quantized Lloyd's run (r8 verdict #3 —
     * q_kmeans previously verified nothing at the driver). The rounds are
     * UNROLLED as CTE chains; every double either is integer-valued
@@ -279,11 +301,8 @@ object KMeansOp {
     QDef(
       "q_kmeans",
       (s, d) => {
-        val emb = T.embeddings(s, d)
-        val qv = emb.select(col("vec_id"),
-          graft.functions.VectorExpr.quantize(
-            col("embedding").cast(ArrayType(DoubleType)), KmScale).as("qv"))
-        val cent = fitReplayable(qv, "vec_id", "qv", KmK, KmIters)
+        val qv = quantizedEmbeddings(s, d)
+        val cent = trainedCentroids(s, d, KmK)
         transformDf(qv, "vec_id", "qv", cent)
           .groupBy(col("cluster_id").cast("long").as("cluster_id"))
           .agg(count(lit(1)).as("n"), min("vec_id").as("min_id"))

@@ -203,13 +203,8 @@ object Similarity {
     * (KMeansOp.lloydCtes) plus the probe/re-rank tail bit-exactly.
     * Training cost is bounded: KmIters + 1 scans of the persisted
     * quantized frame, centroids are driver literals thereafter. */
-  private def annIvfTrained(s: SparkSession, d: String): DataFrame = {
-    import graft.functions.{VectorExpr => VE}
-    val qv = T.embeddings(s, d).select(col("vec_id"),
-      VE.quantize(col("embedding").cast("array<double>"), KMeansOp.KmScale).as("qv"))
-    val cent = KMeansOp.fitReplayable(qv, "vec_id", "qv", IvfK, KMeansOp.KmIters)
-    ivfTopK(s, d, centFrame(s, cent))
-  }
+  private def annIvfTrained(s: SparkSession, d: String): DataFrame =
+    ivfTopK(s, d, centFrame(s, KMeansOp.trainedCentroids(s, d, IvfK)))
 
   /** Target k-means cell occupancy for semantic dedup — like the LSH
     * TargetOccupancy rule, the cell count scales with the corpus so
@@ -234,12 +229,8 @@ object Similarity {
     * nprobe move); the oracle-checked entry keeps nprobe=1 for the
     * candidate set the SQL replays. */
   private def dedupSemantic(s: SparkSession, d: String): DataFrame = {
-    import graft.functions.{VectorExpr => VE}
     val k = semKFor(T.metadataRowCount(s, d, "embeddings"))
-    val qv = T.embeddings(s, d).select(col("vec_id"),
-      VE.quantize(col("embedding").cast("array<double>"), KMeansOp.KmScale).as("qv"))
-    val cent = KMeansOp.fitReplayable(qv, "vec_id", "qv", k, KMeansOp.KmIters)
-    val centDf = centFrame(s, cent)
+    val centDf = centFrame(s, KMeansOp.trainedCentroids(s, d, k))
     val n = normed(s, d)
     val wAssign = Window.partitionBy("vec_id").orderBy(desc("ccos"), col("cent_id"))
     val cells = n.crossJoin(broadcast(centDf))
