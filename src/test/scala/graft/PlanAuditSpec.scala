@@ -32,4 +32,21 @@ class PlanAuditSpec extends AnyFunSuite {
     }
     assert(offenders.isEmpty, s"bad plans: $offenders")
   }
+
+  test("no interpreted higher-order array functions in any declared query plan") {
+    // ArrayTransform/ArrayAggregate/ArrayFilter/ZipWith are CodegenFallback
+    // (interpreted per element) and measured 17-30× slower than native
+    // expressions on data-sized paths (CLAUDE.md rule) — the declared
+    // surface must be free of them; native graft.functions expressions
+    // are the sanctioned path.
+    val hofs = Seq("array_transform", "ArrayTransform", "ArrayAggregate",
+      "ArrayFilter", "ZipWith")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan =
+        try fn(spark, dir).queryExecution.executedPlan.toString
+        catch { case e: Throwable => s"PLAN_FAILED: $e" }
+      hofs.filter(plan.contains).map(h => s"$name ($h)")
+    }
+    assert(offenders.isEmpty, s"interpreted HOFs in plans: $offenders")
+  }
 }
