@@ -681,7 +681,15 @@ final class GraftScan(
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): OptionalLong =
       OptionalLong.of(math.max(1L, plannedFiles.map(_.sizeBytes).sum))
-    override def numRows(): OptionalLong = OptionalLong.empty()
+    // manifest rowCounts, summed over the PRUNED file set — lets Spark's
+    // CBO (join reorder, broadcast-threshold decisions) see true
+    // cardinality instead of guessing from bytes. Only reported when
+    // every planned file carries a count (legacy manifests read null);
+    // a partial sum would understate and mis-broadcast a big side.
+    override def numRows(): OptionalLong =
+      if (plannedFiles.nonEmpty && plannedFiles.forall(_.rowCount != null))
+        OptionalLong.of(plannedFiles.map(_.rowCount.longValue).sum)
+      else OptionalLong.empty()
   }
 
   override def description(): String =

@@ -57,6 +57,21 @@ class V2ScanSpec extends AnyFunSuite {
     assert(read == Set("id", "qty"), s"ReadSchema not pruned: $read")
   }
 
+  test("V2 scan reports manifest rowCount statistics, reduced by pruning") {
+    val path = TestSpark.tmpDir("v2stats")
+    (1 to 60).map(i => (i, i % 3, s"v$i")).toDF("id", "p", "v")
+      .write.format("graft").option("partitionKeys", "p").save(path)
+    val full = graftScan(spark.read.format("graft").load(path)).estimateStatistics()
+    assert(full.numRows().isPresent, "manifest rowCounts must surface to the CBO")
+    assert(full.numRows().getAsLong == 60, s"got ${full.numRows()}")
+    // partition pruning must shrink the reported cardinality with the file set
+    val pruned = graftScan(spark.read.format("graft").load(path).filter($"p" === 1))
+      .estimateStatistics()
+    assert(pruned.numRows().isPresent && pruned.numRows().getAsLong == 20,
+      s"pruned stats ${pruned.numRows()}")
+    assert(pruned.sizeInBytes().getAsLong < full.sizeInBytes().getAsLong)
+  }
+
   test("partition pruning through the V2 scan, including NOT and IsNull") {
     val path = TestSpark.tmpDir("v2prune")
     val rows = (1 to 4).map(i => (s"p$i", i)) :+ ((null: String), 5)
