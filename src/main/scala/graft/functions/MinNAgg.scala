@@ -86,6 +86,17 @@ case class MinNSummary(
 
   override def children: Seq[Expression] = Seq(ordExpr, idExpr, payExpr)
   override def nullable: Boolean = false
+  // strict BIGINT on all three children: update() casts the evaluated
+  // values to Long, so an INT column would throw ClassCastException
+  // mid-task — fail analysis instead (callers cast)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    children.find(_.dataType != LongType) match {
+      case None =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case Some(bad) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"min_n_summary requires BIGINT (ord, id, payload), got ${bad.dataType.sql} — cast explicitly")
+    }
   override def dataType: DataType = StructType(Seq(
     StructField("kept", LongType, nullable = false),
     StructField("payload_sum", LongType, nullable = false)))

@@ -46,6 +46,18 @@ case class QuantizeVec(child: Expression, scale: Double) extends UnaryExpression
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "vec_quantize"
 
+  // strict array<double>: the kernel reads 8-byte slots, so an
+  // array<int> child would yield garbage doubles (UnsafeArrayData) or a
+  // mid-job ClassCastException — fail analysis instead (callers cast)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"vec_quantize requires array<double>, got ${other.sql} — cast explicitly")
+    }
+
   override def nullSafeEval(input: Any): Any =
     VecImpl.quantize(input.asInstanceOf[ArrayData], scale)
 

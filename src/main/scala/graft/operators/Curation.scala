@@ -29,12 +29,10 @@ object Curation {
   /** L31: temperature exponent is 1/2 (sqrt — IEEE-exact both engines). */
   val TempBps = 10000L
 
-  /** DuckDB polyhash of `doc_id ':' <col>` (mirrors HashExpr.polyHash). */
+  /** DuckDB polyhash of `doc_id ':' <col>` (mirrors HashExpr.polyHash —
+    * shared builder, see Dedup.polyHashSqlOf). */
   private def polySql(saltCol: String): String =
-    s"""list_reduce(list_cat([CAST(0 AS BIGINT)],
-       |    list_transform(string_split(CAST(doc_id AS VARCHAR) || ':' || $saltCol,''),
-       |      c -> CAST(ord(c) AS BIGINT))),
-       |    (a,c) -> (a*31 + c) % 1000000007)""".stripMargin
+    Dedup.polyHashSqlOf(s"CAST(doc_id AS VARCHAR) || ':' || $saltCol")
 
   val defs: Seq[QDef] = Seq(
     // L28: per-source quota cap — keep at most QuotaN docs per source,

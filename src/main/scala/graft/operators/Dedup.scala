@@ -44,11 +44,18 @@ object Dedup {
       |  range(1, greatest(len(string_split_regex(trim(text),'\s+'))-1, 1)),
       |  i -> array_to_string(string_split_regex(trim(text),'\s+')[i:i+2],' ')))""".stripMargin
 
+  /** DuckDB mirror of HashExpr.polyHash over an arbitrary SQL string
+    * expression — THE single source for the `(a*31 + c) % 1e9+7`
+    * char-fold on the oracle side (Dedup L3/L14, Curation L28/L31,
+    * KMeansOp seeds all parameterize this; a drifted copy would break
+    * parity only for the queries using it). */
+  private[operators] def polyHashSqlOf(strExpr: String): String =
+    s"""list_reduce(list_cat([CAST(0 AS BIGINT)],
+       |  list_transform(string_split($strExpr,''), c -> CAST(ord(c) AS BIGINT))),
+       |  (a,c) -> (a*31 + c) % 1000000007)""".stripMargin
+
   /** DuckDB expr: polynomial hash of a shingle g (mirrors Text.polyHashHof). */
-  private val PolySql =
-    """list_reduce(list_cat([CAST(0 AS BIGINT)],
-      |  list_transform(string_split(g,''), c -> CAST(ord(c) AS BIGINT))),
-      |  (a,c) -> (a*31 + c) % 1000000007)""".stripMargin
+  private val PolySql = polyHashSqlOf("g")
 
   /** (doc_id, shingles) — the tokenize→shingle stage is the expensive
     * text pass and feeds candidate generation, verification sizes and the
@@ -491,10 +498,7 @@ object Dedup {
           .orderBy("lang")
       },
       Some(s"""WITH h AS (SELECT lang,
-              |  list_reduce(list_cat([CAST(0 AS BIGINT)],
-              |    list_transform(string_split(CAST(doc_id AS VARCHAR) || ':' || lang,''),
-              |      c -> CAST(ord(c) AS BIGINT))),
-              |    (a, c) -> (a*31 + c) % 1000000007) % 10000 AS hv,
+              |  ${polyHashSqlOf("CAST(doc_id AS VARCHAR) || ':' || lang")} % 10000 AS hv,
               |  CASE lang ${SampleBps.map { case (l, t) => s"WHEN '$l' THEN $t" }.mkString(" ")}
               |    ELSE 0 END AS thr
               |  FROM documents)

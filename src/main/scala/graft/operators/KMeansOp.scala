@@ -248,10 +248,8 @@ object KMeansOp {
     // parity-exact per-element quantizer (see VecImpl.quantize)
     val q = s"CAST(x AS DOUBLE)*$scale"
     val quant = s"CASE WHEN $q >= 0 THEN floor($q + 0.5) ELSE -floor(-($q) + 0.5) END"
-    val polyId =
-      """list_reduce(list_cat([CAST(0 AS BIGINT)],
-        |    list_transform(string_split(CAST(vec_id AS VARCHAR),''), c -> CAST(ord(c) AS BIGINT))),
-        |    (a,c) -> (a*31 + c) % 1000000007)""".stripMargin
+    // shared poly-hash SQL mirror (Dedup.polyHashSqlOf — single source)
+    val polyId = Dedup.polyHashSqlOf("CAST(vec_id AS VARCHAR)")
     val dist = SqlDist
     def round(r: Int): String =
       s"""cn${r - 1} AS (SELECT c, cv,

@@ -684,10 +684,14 @@ final class GraftScan(
     // manifest rowCounts, summed over the PRUNED file set — lets Spark's
     // CBO (join reorder, broadcast-threshold decisions) see true
     // cardinality instead of guessing from bytes. Only reported when
-    // every planned file carries a count (legacy manifests read null);
-    // a partial sum would understate and mis-broadcast a big side.
+    // every planned file carries a count (legacy manifests read null —
+    // a partial sum would understate and mis-broadcast a big side) and
+    // the table is NOT merge-on-read: a PK table's reader collapses row
+    // versions and drops deletes, so file counts OVERSTATE output rows
+    // (the same reason buildAggScan refuses PK tables).
     override def numRows(): OptionalLong =
-      if (plannedFiles.nonEmpty && plannedFiles.forall(_.rowCount != null))
+      if (!table.isPkTable && plannedFiles.nonEmpty &&
+          plannedFiles.forall(_.rowCount != null))
         OptionalLong.of(plannedFiles.map(_.rowCount.longValue).sum)
       else OptionalLong.empty()
   }

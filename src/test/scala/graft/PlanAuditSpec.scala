@@ -38,14 +38,24 @@ class PlanAuditSpec extends AnyFunSuite {
     // (interpreted per element) and measured 17-30× slower than native
     // expressions on data-sized paths (CLAUDE.md rule) — the declared
     // surface must be free of them; native graft.functions expressions
-    // are the sanctioned path.
-    val hofs = Seq("array_transform", "ArrayTransform", "ArrayAggregate",
-      "ArrayFilter", "ZipWith")
+    // are the sanctioned path. Catalyst renders every HOF via its
+    // embedded lambda, which prints as "lambdafunction(" — match THAT
+    // (the pretty names "transform("/"filter(" would false-positive on
+    // unrelated operators, and class names never appear in plan text;
+    // the guard test below proves the probe string actually fires).
+    val probe = "lambdafunction("
+    val rendered = spark.range(1)
+      .select(org.apache.spark.sql.functions.transform(
+        org.apache.spark.sql.functions.array(org.apache.spark.sql.functions.lit(1)),
+        x => x + 1).as("a"))
+      .queryExecution.executedPlan.toString
+    assert(rendered.contains(probe),
+      s"probe string no longer matches Spark's HOF rendering — fix the audit:\n$rendered")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan =
         try fn(spark, dir).queryExecution.executedPlan.toString
         catch { case e: Throwable => s"PLAN_FAILED: $e" }
-      hofs.filter(plan.contains).map(h => s"$name ($h)")
+      if (plan.contains(probe)) Some(name) else None
     }
     assert(offenders.isEmpty, s"interpreted HOFs in plans: $offenders")
   }

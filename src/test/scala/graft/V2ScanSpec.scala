@@ -70,6 +70,18 @@ class V2ScanSpec extends AnyFunSuite {
     assert(pruned.numRows().isPresent && pruned.numRows().getAsLong == 20,
       s"pruned stats ${pruned.numRows()}")
     assert(pruned.sizeInBytes().getAsLong < full.sizeInBytes().getAsLong)
+    // PK (merge-on-read) tables must NOT report: file counts include
+    // stale row versions and delete markers, overstating output rows
+    val pkPath = TestSpark.tmpDir("v2statspk")
+    val t = GraftTable.create(spark, pkPath,
+      StructType(Seq(StructField("k", IntegerType), StructField("v", StringType),
+        StructField("seq", LongType))),
+      primaryKeys = Seq("k"))
+    t.upsert(Seq((1, "a", 1L), (2, "b", 1L)).toDF("k", "v", "seq"))
+    t.upsert(Seq((1, "a2", 2L)).toDF("k", "v", "seq")) // stale version of k=1
+    val pk = graftScan(spark.read.format("graft").load(pkPath)).estimateStatistics()
+    assert(!pk.numRows().isPresent,
+      s"PK table reported numRows ${pk.numRows()} — would overstate post-merge cardinality")
   }
 
   test("partition pruning through the V2 scan, including NOT and IsNull") {

@@ -16,6 +16,11 @@ for t in ["region","nation","customer","supplier","part","orders",
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 only = set(sys.argv[3:])
 if only:
+    unknown = only - set(oracle)
+    if unknown:
+        # a typo'd name would otherwise filter to {} and "pass" vacuously
+        print(f"FAIL: unknown query name(s): {sorted(unknown)}")
+        sys.exit(1)
     oracle = {k: v for k, v in oracle.items() if k in only}
 
 class NonScalarCell(Exception):
