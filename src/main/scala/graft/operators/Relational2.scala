@@ -5,8 +5,9 @@ import graft.functions.Text
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Second tranche of relational coverage (SURVEY §2.2 R27–R30):
-  * full outer join, pivot, explode/word-count, rank-family windows.
+/** Second tranche of relational coverage (SURVEY §2.2 R27–R30, R33–R34):
+  * full outer join, pivot, explode/word-count, rank-family windows,
+  * LISTAGG, RANGE-frame moving aggregates.
   */
 object Relational2 {
 
@@ -94,6 +95,71 @@ object Relational2 {
              |  FROM customer
              |  WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)) t
              |WHERE c_custkey % 50 = 0
-             |ORDER BY c_mktsegment, c_custkey""".stripMargin))
+             |ORDER BY c_mktsegment, c_custkey""".stripMargin)),
+
+    // R33: LISTAGG / string_agg (ref: Presto's listagg; Paimon's listagg
+    // aggregation merge-engine function, mirrored by S26's fields.*.
+    // aggregate-function=listagg). Scale shape: the aggregated set is
+    // DISTINCT over a bounded domain (nations ≤ 25) so the collect_set
+    // is map-side combinable and each group's list is bounded — a
+    // listagg over unbounded per-group rows is the anti-pattern (use
+    // L28's MinNSummary head instead). Sorted before joining so the
+    // rendering is partitioning-independent.
+    QDef(
+      "q_listagg",
+      (s, d) => {
+        val c = T.customer(s, d)
+        val n = T.nation(s, d)
+        val pairs = c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .select(col("c_mktsegment"), col("n_name")).distinct()
+        pairs.groupBy("c_mktsegment")
+          .agg(
+            array_join(sort_array(collect_set(col("n_name"))), ",").as("nations"),
+            count(lit(1)).as("n_nations"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""WITH p AS (SELECT DISTINCT c_mktsegment, n_name
+             |  FROM customer JOIN nation ON c_nationkey = n_nationkey)
+             |SELECT c_mktsegment,
+             |  string_agg(n_name, ',' ORDER BY n_name) AS nations,
+             |  count(*) AS n_nations
+             |FROM p GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // R34: RANGE-frame moving aggregate — 7-day trailing order count per
+    // priority bucket over daily pre-aggregates. The window input is one
+    // row per (pri, day) — bounded by the calendar, not the fact table —
+    // so the sort inside each partition stays tiny at any corpus size;
+    // the heavy lifting is the map-side-combinable daily groupBy. RANGE
+    // (value-based) framing, not ROWS: gap days genuinely age out of the
+    // trailing week. Integer day arithmetic + one final IEEE division
+    // keep both engines bit-identical.
+    QDef(
+      "q_moving_avg",
+      (s, d) => {
+        val daily = T.orders(s, d)
+          .select(
+            substring(col("o_orderpriority"), 1, 1).as("pri"),
+            datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+              .cast("long").as("day_num"))
+          .groupBy("pri", "day_num").agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy("pri").orderBy("day_num").rangeBetween(-6, 0)
+        daily.select(
+            col("pri"), col("day_num"), col("n"),
+            sum("n").over(w).as("n7"))
+          .withColumn("avg7", round(col("n7").cast("double") / lit(7.0), 4))
+          .orderBy("pri", "day_num")
+      },
+      Some("""WITH daily AS (
+             |  SELECT substr(o_orderpriority, 1, 1) AS pri,
+             |    datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day_num,
+             |    count(*) AS n
+             |  FROM orders GROUP BY 1, 2),
+             |win AS (
+             |  SELECT pri, CAST(day_num AS BIGINT) AS day_num, n,
+             |    CAST(sum(n) OVER (PARTITION BY pri ORDER BY day_num
+             |      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS n7
+             |  FROM daily)
+             |SELECT pri, day_num, n, n7, round(n7 / 7.0, 4) AS avg7
+             |FROM win ORDER BY pri, day_num""".stripMargin))
   )
 }

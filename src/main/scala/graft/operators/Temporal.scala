@@ -109,7 +109,48 @@ object Temporal {
       .orderBy("d0")
   }
 
+  /** R35: time-series gap fill — daily event counts per event_type with
+    * every missing day inside the type's active range zero-filled (the
+    * dashboard/downstream-ML shape: models and charts need dense days).
+    * Scale: the only pass over the fact table is one map-side-combinable
+    * groupBy; the day grid derives from the AGGREGATED frame
+    * (sequence+explode per type over its own [min,max] day span), so the
+    * grid is calendar-bounded — days × types — regardless of corpus size,
+    * and the left join runs grid-vs-aggregate, never touching raw events
+    * again. No cross join anywhere (PlanAuditSpec-clean by construction).
+    * Integer day arithmetic both engines. */
+  private def gapfill(s: SparkSession, d: String): DataFrame = {
+    val e = T.events(s, d).select(
+      col("event_type"),
+      datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("day_num"))
+    val counts = e.groupBy("event_type", "day_num").agg(count(lit(1)).as("n"))
+    val grid = counts.groupBy("event_type")
+      .agg(min("day_num").as("lo"), max("day_num").as("hi"))
+      .select(col("event_type"), explode(sequence(col("lo"), col("hi"))).as("day_num"))
+    grid.join(counts, Seq("event_type", "day_num"), "left")
+      .select(col("event_type"), col("day_num"), coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy("event_type", "day_num")
+  }
+
   val defs: Seq[QDef] = Seq(
+    // R35: gap-filled daily series.
+    QDef(
+      "q_gapfill",
+      gapfill,
+      Some("""WITH e AS (SELECT event_type,
+             |    datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_num
+             |  FROM events),
+             |counts AS (SELECT event_type, day_num, count(*) AS n
+             |  FROM e GROUP BY 1, 2),
+             |b AS (SELECT event_type, min(day_num) AS lo, max(day_num) AS hi
+             |  FROM counts GROUP BY 1),
+             |grid AS (SELECT event_type, unnest(generate_series(lo, hi)) AS day_num
+             |  FROM b)
+             |SELECT g.event_type, CAST(g.day_num AS BIGINT) AS day_num,
+             |  CAST(coalesce(c.n, 0) AS BIGINT) AS n
+             |FROM grid g LEFT JOIN counts c USING (event_type, day_num)
+             |ORDER BY event_type, day_num""".stripMargin)),
+
     // R31: ordered funnel.
     QDef(
       "q_funnel",

@@ -238,6 +238,45 @@ object GraftStreaming {
       }
   }
 
+  /** Streaming per-key quota / bounded top-N selection (T12): the
+    * MinNSummary buffer (SURVEY L28) as mapGroupsWithState STATE — the
+    * SELECTION member of the bounded-state family (T9 KMV distinct, T10
+    * MG frequent items, T11 KLL quantiles). Per group the state store
+    * holds ≤ n (ord, id) pairs FOREVER regardless of stream length: the
+    * n smallest (ord, id) seen so far, which selection-by-total-order
+    * makes EXACT under any batch arrival order (each batch's adds are
+    * just more merge steps — the same argument that makes the batch
+    * aggregate partitioning-independent). A streaming row_number over
+    * the whole history would need every row of every key in state.
+    * Emits (group, kept_count, kept ids rendered "id,id,…" in ord
+    * order) per group per micro-batch (update mode). */
+  def minNStream(
+      events: DataFrame, groupCol: String, ordCol: String, idCol: String,
+      n: Int = 5): org.apache.spark.sql.Dataset[(String, Long, String)] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    events
+      .select(col(groupCol).cast("string"), col(ordCol).cast("long"), col(idCol).cast("long"))
+      // nulls cannot be ranked and would fail the non-nullable tuple
+      // encoder (see T9); the batch aggregate skips them — match it
+      .filter(col(groupCol).isNotNull && col(ordCol).isNotNull && col(idCol).isNotNull)
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Array[Byte], (String, Long, String)](GroupStateTimeout.NoTimeout) {
+        (g: String, rows: Iterator[(String, Long, Long)],
+         state: org.apache.spark.sql.streaming.GroupState[Array[Byte]]) =>
+          val buf = state.getOption
+            .map(graft.functions.MinNBuffer.deserialize)
+            .getOrElse(new graft.functions.MinNBuffer(n))
+          rows.foreach(r => buf.add(r._2, r._3, 0L))
+          state.update(buf.serializeBytes())
+          val ids = new Array[Long](buf.size)
+          var j = 0
+          while (j < buf.size) { ids(j) = buf.id(j); j += 1 }
+          (g, buf.size.toLong, ids.mkString(","))
+      }
+  }
+
   /** Custom-state streaming: per-user session tracking with
     * flatMapGroupsWithState. Emits one row per CLOSED session (gap >
     * `gapSeconds`, or the processing-time state timeout for users that go

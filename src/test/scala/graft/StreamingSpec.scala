@@ -394,6 +394,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("T12: streaming bounded top-N selection — exact under any batch split, eviction, tie order, bounded state") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(String, Long, Long)]
+    val out = GraftStreaming.minNStream(
+      mem.toDF().toDF("g", "ord", "id"), "g", "ord", "id", n = 3)
+    val q = out.toDF("g", "kept", "ids").writeStream
+      .outputMode("update").format("memory").queryName("minn_stream").start()
+    try {
+      mem.addData(("a", 5L, 50L), ("a", 1L, 10L), ("a", 3L, 30L), ("b", 2L, 20L))
+      q.processAllAvailable()
+      mem.addData(("a", 2L, 21L), ("a", 9L, 99L)); q.processAllAvailable()
+      val emissions = spark.sql("SELECT g, kept, ids FROM minn_stream")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+      // batch 1: full kept set in (ord, id) order
+      assert(emissions.contains(("a", 3L, "10,30,50")), s"batch-1 emission missing: $emissions")
+      assert(emissions.contains(("b", 1L, "20")))
+      // batch 2: (2,21) EVICTS (5,50) across the batch boundary; (9,99)
+      // is rejected — the kept set is the global 3 smallest (ord, id)
+      assert(emissions.contains(("a", 3L, "10,21,30")), s"batch-2 emission missing: $emissions")
+      // equal ord ranks by id — the total-order tie-break
+      mem.addData(("t", 7L, 2L), ("t", 7L, 1L), ("t", 7L, 3L), ("t", 7L, 0L))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT ids FROM minn_stream WHERE g = 't'")
+        .collect().map(_.getString(0)).contains("0,1,2"))
+      // hot key: 5000 rows split across two batches — the kept set must
+      // be the exact global n-smallest regardless of the split (selection
+      // by a total order is merge-order independent), from n-entry state
+      val rnd = new java.util.SplittableRandom(13)
+      val rows = Array.fill(5000)((rnd.nextLong(1000000), rnd.nextLong(1 << 30)))
+      mem.addData(rows.take(2500).map(r => ("c", r._1, r._2)).toSeq: _*); q.processAllAvailable()
+      mem.addData(rows.drop(2500).map(r => ("c", r._1, r._2)).toSeq: _*); q.processAllAvailable()
+      val expect = rows.sortBy(r => (r._1, r._2)).take(3).map(_._2).mkString(",")
+      val cIds = spark.sql("SELECT ids FROM minn_stream WHERE g = 'c'")
+        .collect().map(_.getString(0))
+      assert(cIds.contains(expect), s"final kept set $expect not in ${cIds.toSeq}")
+      // one state row per group, ≤ n entries each — bounded forever
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows == 4, s"state rows $stateRows (expected one per group)")
+    } finally q.stop()
+  }
+
   test("T3: changelog exposes only post-snapshot row versions with rowkind") {
     val t = GraftTable.create(spark, TestSpark.tmpDir("cdc"),
       StructType(Seq(StructField("k", IntegerType), StructField("v", StringType),
