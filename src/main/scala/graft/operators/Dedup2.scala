@@ -15,6 +15,8 @@ object Dedup2 {
   val BlockLen = 8
   /** L33: report size. */
   val BlockTop = 20
+  /** L35: fuzzy-pair report size. */
+  val FuzzyTop = 20
 
   val defs: Seq[QDef] = Seq(
     // L33: repeated-span (paragraph-granularity) dedup — exact dedup at
@@ -130,6 +132,94 @@ object Dedup2 {
               |LEFT JOIN exd ON d.doc_id = exd.doc_id
               |LEFT JOIN nrd ON d.doc_id = nrd.doc_id
               |WHERE d.doc_id % 10 = 9
-              |GROUP BY d.lang ORDER BY d.lang""".stripMargin))
+              |GROUP BY d.lang ORDER BY d.lang""".stripMargin)),
+
+    // L35: fuzzy (edit-distance-1) vocabulary pairs — SymSpell-style
+    // misspelling detection over the corpus vocabulary, ranked by
+    // combined frequency (the "same word, two spellings" curation
+    // diagnostic; a pipeline folds the rare spelling into the common
+    // one). The synthetic corpus vocabulary has NO distance-1 pairs
+    // (min pairwise distance 2 at every SF), so — exactly like
+    // q_text_pii injects PII before scrubbing — the query first injects
+    // a deterministic typo (2nd char deleted) into 1/13 of word
+    // occurrences keyed by (doc_id, position), then measures exactly
+    // what the detector recovers: each typo'd spelling pairs with its
+    // source word at distance 1. See [[fuzzyWordPairs]] for the
+    // candidate-generation scale design.
+    QDef(
+      "q_dedup_fuzzy",
+      (s, d) => {
+        val occ = T.documents(s, d)
+          .select(col("doc_id"), posexplode(Text.words(col("text"))).as(Seq("pos", "w0")))
+          .filter(length(col("w0")) >= 4 && col("w0").rlike("^[a-z]+$"))
+        val words = occ
+          .select(
+            when((col("doc_id") * 31 + col("pos")) % 13 === 0,
+              expr("concat(substring(w0, 1, 1), substring(w0, 3, length(w0)))"))
+            .otherwise(col("w0")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("n"))
+        fuzzyWordPairs(words)
+      },
+      Some(s"""WITH ex AS (
+              |  SELECT doc_id, unnest(generate_series(1, len(l))) AS i, l
+              |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l
+              |        FROM documents) t),
+              |occ AS (
+              |  SELECT doc_id, i - 1 AS pos, l[i] AS w0 FROM ex
+              |  WHERE length(l[i]) >= 4 AND regexp_matches(l[i], '^[a-z]+$$')),
+              |words AS (
+              |  SELECT w, count(*) AS n FROM (
+              |    SELECT CASE WHEN (doc_id * 31 + pos) % 13 = 0
+              |      THEN substring(w0, 1, 1) || substring(w0, 3, length(w0))
+              |      ELSE w0 END AS w
+              |    FROM occ) t
+              |  GROUP BY w),
+              |cand AS (
+              |  SELECT w, n, w AS v FROM words
+              |  UNION ALL
+              |  SELECT w, n,
+              |    substring(w, 1, pos - 1) || substring(w, pos + 1, length(w)) AS v
+              |  FROM (SELECT w, n, unnest(generate_series(1, length(w))) AS pos
+              |        FROM words) t),
+              |pairs AS (
+              |  SELECT DISTINCT a.w AS w1, b.w AS w2, a.n AS n1, b.n AS n2
+              |  FROM cand a JOIN cand b USING (v)
+              |  WHERE a.w < b.w)
+              |SELECT w1, w2, n1, n2, n1 + n2 AS total_n
+              |FROM pairs
+              |WHERE levenshtein(w1, w2) = 1
+              |ORDER BY total_n DESC, w1, w2 LIMIT $FuzzyTop""".stripMargin))
   )
+
+  /** L35 core: rank Levenshtein-distance-1 pairs over a `(w, n)`
+    * vocabulary frame. Candidate generation is the SymSpell deletion
+    * neighborhood: every word emits itself plus its `length` 1-deletion
+    * variants (two words within distance 1 ALWAYS share a variant —
+    * deletion/insertion pairs meet at the shorter word, substitution
+    * pairs at the common deletion), so candidates come from a hash
+    * equality-join on the variant — never an all-pairs edit-distance
+    * scan of the vocabulary (the L2 PPJoin / L3 LSH idea applied to
+    * edit distance). False candidates (e.g. transpositions sharing a
+    * deletion at distance 2) are killed by the exact codegen
+    * `levenshtein` verify, which runs on candidate pairs only. Scale:
+    * the vocabulary is sublinear in the corpus (Heaps' law), fan-out is
+    * bounded by word length, and the join's two sides derive from ONE
+    * aggregated subtree, which Spark's ReuseExchange executes once. */
+  def fuzzyWordPairs(words: org.apache.spark.sql.DataFrame,
+      top: Int = FuzzyTop): org.apache.spark.sql.DataFrame = {
+    val cand = words
+      .select(col("w"), col("n"), explode(expr("sequence(1, length(w))")).as("pos"))
+      .select(col("w"), col("n"),
+        expr("concat(substring(w, 1, pos - 1), substring(w, pos + 1, length(w)))").as("v"))
+      .unionByName(words.select(col("w"), col("n"), col("w").as("v")))
+    val a = cand.select(col("w").as("w1"), col("n").as("n1"), col("v"))
+    val b = cand.select(col("w").as("w2"), col("n").as("n2"), col("v"))
+    a.join(b, "v")
+      .filter(col("w1") < col("w2"))
+      .select("w1", "w2", "n1", "n2").distinct()
+      .filter(levenshtein(col("w1"), col("w2")) === 1)
+      .withColumn("total_n", col("n1") + col("n2"))
+      .orderBy(desc("total_n"), col("w1"), col("w2"))
+      .limit(top)
+  }
 }

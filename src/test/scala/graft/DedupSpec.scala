@@ -118,4 +118,26 @@ class DedupSpec extends AnyFunSuite {
     // untouched ⇒ candidate generation is complete and sets are equal.
     assert(got == brute)
   }
+
+  test("L35: fuzzy pairs — deletion/insertion/substitution found, transposition excluded, ranked, deterministic") {
+    import spark.implicits._
+    val vocab = Seq(
+      ("hello", 10L), ("helo", 2L),      // deletion/insertion pair
+      ("color", 9L), ("colour", 3L),     // insertion pair
+      ("gray", 5L), ("grey", 4L),        // substitution pair
+      ("abcd", 1L), ("abdc", 1L),        // transposition: distance 2, must NOT match
+      ("window", 7L)                     // no neighbor
+    ).toDF("w", "n")
+    val got = operators.Dedup2.fuzzyWordPairs(vocab)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(4)))
+    // candidate completeness: all three distance-1 pair kinds surface;
+    // the distance-2 transposition (which DOES share a deletion variant)
+    // is killed by the levenshtein verify; ordering is (total desc, w1)
+    assert(got.toSeq == Seq(
+      ("color", "colour", 12L), ("hello", "helo", 12L), ("gray", "grey", 9L)),
+      s"got ${got.toSeq}")
+    // determinism: a second run returns the identical report
+    assert(got.toSeq == operators.Dedup2.fuzzyWordPairs(vocab)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(4))).toSeq)
+  }
 }
