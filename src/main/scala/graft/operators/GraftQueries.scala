@@ -207,7 +207,35 @@ object GraftQueries {
       .orderBy("o_orderkey")
   }
 
+  /** S36: branch isolation round-trip — a shared base commit, then one
+    * branch-only and one main-only commit; reading both refs must show
+    * exactly base+own rows on each side (writable-ref semantics; the
+    * expiry/GC/fast-forward lifecycle is BranchSpec's). */
+  private def graftBranch(s: SparkSession, d: String): DataFrame = {
+    val sup = T.supplier(s, d).select("s_suppkey", "s_name", "s_acctbal")
+    val t = GraftTable.create(s, tmpRoot("br"), sup.schema)
+    val m = pmod(col("s_suppkey"), lit(4))
+    t.append(sup.filter(m === 0)) // shared base
+    t.createBranch("exp")
+    val b = t.forBranch("exp")
+    b.append(sup.filter(m === 1)) // branch-only
+    t.append(sup.filter(m === 2)) // main-only divergence
+    t.read().withColumn("ref", lit("main"))
+      .unionByName(b.read().withColumn("ref", lit("exp")))
+      .select(col("ref"), col("s_suppkey"), col("s_name"),
+        round(col("s_acctbal"), 2).as("bal"))
+      .orderBy("ref", "s_suppkey")
+  }
+
   val defs: Seq[QDef] = Seq(
+    QDef("q_graft_branch", graftBranch,
+      Some("""SELECT ref, s_suppkey, s_name, round(s_acctbal,2) AS bal FROM (
+             |  SELECT 'main' AS ref, s_suppkey, s_name, s_acctbal
+             |  FROM supplier WHERE s_suppkey % 4 IN (0, 2)
+             |  UNION ALL
+             |  SELECT 'exp', s_suppkey, s_name, s_acctbal
+             |  FROM supplier WHERE s_suppkey % 4 IN (0, 1)) t
+             |ORDER BY ref, s_suppkey""".stripMargin)),
     QDef("q_graft_incremental", graftIncremental,
       Some("""SELECT s_suppkey, s_name, s_nationkey, round(s_acctbal,2) AS bal
              |FROM supplier WHERE s_suppkey % 3 IN (1, 2)

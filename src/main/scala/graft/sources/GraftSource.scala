@@ -98,15 +98,16 @@ class GraftSource extends RelationProvider with SchemaRelationProvider
       if (!exists)
         GraftTable.create(spark, path, data.schema, partitionKeys, primaryKeys, opts)
       else {
-        val t = GraftTable.load(spark, path)
+        val t0 = GraftTable.load(spark, path)
         // write-time schema evolution (Paimon-style): with mergeSchema=true
         // new columns in the incoming df are added to the table schema
         if (parameters.get("mergeSchema").exists(_.toBoolean)) {
           data.schema.fields
-            .filterNot(f => t.schema.fieldNames.contains(f.name))
-            .foreach(f => t.addColumn(f.name, f.dataType))
+            .filterNot(f => t0.schema.fieldNames.contains(f.name))
+            .foreach(f => t0.addColumn(f.name, f.dataType))
         }
-        t
+        // `branch` write option (S36): commit onto the branch ref
+        parameters.get("branch").map(t0.forBranch).getOrElse(t0)
       }
     mode match {
       case _ if !exists => table.append(data) // first write: every mode just writes

@@ -98,11 +98,21 @@ final case class TagMeta(name: String, snapshotId: Long, createTimeMs: Long)
 class GraftTable private (
     val spark: SparkSession,
     val root: String,
-    private var schemaMeta: SchemaMeta) {
+    private var schemaMeta: SchemaMeta,
+    /** Which ref's snapshot log this view reads and commits to: None =
+      * main. Branch views share the root (schema, manifests, data files
+      * — all immutable/content-addressed) and differ ONLY in where the
+      * snapshot log lives, so every read/write/commit path is
+      * branch-local for free via [[snapDirRel]]. */
+    val branchName: Option[String] = None) {
 
   import GraftTable._
 
   private val fs: FileSystem = fileSystem(spark, root)
+
+  /** Snapshot-log directory of this view's ref, relative to root. */
+  private def snapDirRel: String =
+    branchName.map(b => s"branch/$b/snapshot").getOrElse("snapshot")
   private def hadoopConf = spark.sessionState.newHadoopConf()
 
   /** Declared type lattice — may contain CHAR(n)/VARCHAR(n), which Spark
@@ -209,7 +219,7 @@ class GraftTable private (
   // ---- snapshot log ---------------------------------------------------
 
   def snapshots: Seq[SnapshotMeta] = {
-    val dir = new Path(root, "snapshot")
+    val dir = new Path(root, snapDirRel)
     if (!fs.exists(dir)) return Seq.empty
     fs.listStatus(dir).toSeq
       .map(_.getPath.getName)
@@ -219,7 +229,7 @@ class GraftTable private (
   }
 
   def latestSnapshotId: Option[Long] = {
-    val dir = new Path(root, "snapshot")
+    val dir = new Path(root, snapDirRel)
     if (!fs.exists(dir)) return None
     val ids = fs.listStatus(dir).toSeq.map(_.getPath.getName).collect { case SnapRe(id) => id.toLong }
     if (ids.isEmpty) None else Some(ids.max)
@@ -233,7 +243,7 @@ class GraftTable private (
   private val snapCache = scala.collection.concurrent.TrieMap[Long, SnapshotMeta]()
   private def readSnapshot(id: Long): SnapshotMeta =
     snapCache.getOrElseUpdate(id,
-      mapper.readValue(readString(fs, new Path(root, s"snapshot/snap-$id.json")), classOf[SnapshotMeta]))
+      mapper.readValue(readString(fs, new Path(root, s"$snapDirRel/snap-$id.json")), classOf[SnapshotMeta]))
 
   // ---- manifest chain -------------------------------------------------
 
@@ -308,8 +318,8 @@ class GraftTable private (
     // crash). A claim whose writer died before publishing is taken over
     // after ClaimTtlMs. Claiming BEFORE the manifest writes means a
     // losing committer leaves no orphan manifests behind.
-    val dst = new Path(root, s"snapshot/snap-$id.json")
-    val claim = new Path(root, s"snapshot/.claim-$id")
+    val dst = new Path(root, s"$snapDirRel/snap-$id.json")
+    val claim = new Path(root, s"$snapDirRel/.claim-$id")
     def tryClaim(): Boolean =
       try { fs.create(claim, /*overwrite=*/ false).close(); true }
       catch { case _: java.io.IOException => false }
@@ -359,7 +369,7 @@ class GraftTable private (
         schemaId = schemaMeta.id,
         timestampMs = System.currentTimeMillis(),
         manifests = chain)
-      val tmp = new Path(root, s"snapshot/.tmp-$id-${UUID.randomUUID().toString.take(8)}")
+      val tmp = new Path(root, s"$snapDirRel/.tmp-$id-${UUID.randomUUID().toString.take(8)}")
       writeString(fs, tmp, mapper.writeValueAsString(snap))
       if (!fs.rename(tmp, dst)) {
         fs.delete(tmp, false)
@@ -1186,6 +1196,99 @@ class GraftTable private (
     tags.find(_.name == name).map(_.snapshotId).getOrElse(
       throw new IllegalArgumentException(s"no such tag: $name"))
 
+  // ---- branches (S36) -------------------------------------------------
+  // Paimon branches (create_branch / delete_branch / fast_forward): a
+  // branch is a WRITABLE ref — its own snapshot log under
+  // branch/<name>/snapshot cut from a main snapshot, sharing the root's
+  // schema, manifests and data files (all immutable or content-
+  // addressed, so refs never contend). Contrast tags (S27): a tag pins
+  // one snapshot read-only; a branch continues committing from its cut
+  // point without touching main — the experiment/backfill isolation
+  // shape. Expiry and orphan GC treat every ref's files as live
+  // (see expireSnapshots/removeOrphanFiles), so no ref can reclaim
+  // another ref's data.
+
+  private def branchDir(name: String) = new Path(root, s"branch/$name")
+
+  /** Cut a branch at `fromSnapshot` (default: latest). The branch's log
+    * starts as a copy of that one snapshot JSON under the branch's own
+    * snapshot dir — same id, so branch commits continue the id sequence
+    * from the cut point and fastForward can splice them back. */
+  def createBranch(name: String, fromSnapshot: Option[Long] = None): Unit = {
+    require(branchName.isEmpty, "createBranch must run on the main view")
+    require(name.matches("[A-Za-z0-9_\\-]+"), s"invalid branch name: $name")
+    require(!fs.exists(branchDir(name)), s"branch already exists: $name")
+    val id = fromSnapshot.orElse(latestSnapshotId).getOrElse(
+      throw new IllegalArgumentException("cannot branch an empty table"))
+    val snap = readSnapshot(id) // validates the cut point exists
+    fs.mkdirs(new Path(branchDir(name), "snapshot"))
+    writeString(fs, new Path(branchDir(name), s"snapshot/snap-$id.json"),
+      mapper.writeValueAsString(snap))
+  }
+
+  /** Drop a branch ref. Data files the branch created stay on disk until
+    * [[removeOrphanFiles]] (they are unreferenced once the ref is gone) —
+    * the same no-purge contract as rollback. */
+  def deleteBranch(name: String): Boolean = {
+    require(branchName.isEmpty, "deleteBranch must run on the main view")
+    fs.delete(branchDir(name), true)
+  }
+
+  def branches: Seq[String] = {
+    val dir = new Path(root, "branch")
+    if (!fs.exists(dir)) return Seq.empty
+    fs.listStatus(dir).toSeq.map(_.getPath.getName).sorted
+  }
+
+  /** A view of this table reading and committing on branch `name`. */
+  def forBranch(name: String): GraftTable = {
+    require(fs.exists(new Path(branchDir(name), "snapshot")), s"no such branch: $name")
+    new GraftTable(spark, root, schemaMeta, Some(name))
+  }
+
+  /** Every OTHER ref sharing this root, as table views (fresh instances:
+    * the id-keyed snapshot/file memos must not mix refs). */
+  private def siblingRefs: Seq[GraftTable] =
+    (None +: branches.map(Option(_))).filterNot(_ == branchName).map {
+      case Some(b) => new GraftTable(spark, root, schemaMeta, Some(b))
+      case None => new GraftTable(spark, root, schemaMeta, None)
+    }
+
+  /** Paimon's fast_forward: main adopts branch `name`'s history. Main
+    * snapshots AFTER the branch's cut point are discarded (they are the
+    * divergent history being replaced; their files become orphans for
+    * GC — no purge) and the branch's post-cut snapshots are copied in.
+    * Refuses if a tag pins a discarded snapshot (the pin would dangle).
+    * Returns the new main head id. */
+  def fastForward(name: String): Long = {
+    require(branchName.isEmpty, "fastForward must run on the main view")
+    val bDir = new Path(branchDir(name), "snapshot")
+    require(fs.exists(bDir), s"no such branch: $name")
+    val bIds = fs.listStatus(bDir).toSeq.map(_.getPath.getName)
+      .collect { case SnapRe(id) => id.toLong }.sorted
+    require(bIds.nonEmpty, s"branch $name has no snapshots")
+    val cut = bIds.head
+    val mainIds = fs.listStatus(new Path(root, snapDirRel)).toSeq.map(_.getPath.getName)
+      .collect { case SnapRe(id) => id.toLong }.sorted
+    require(mainIds.contains(cut),
+      s"branch $name cut point $cut is not in main's log (already expired?)")
+    val discard = mainIds.filter(_ > cut)
+    val pinned = tags.map(_.snapshotId).toSet
+    val danglingPins = discard.filter(pinned)
+    require(danglingPins.isEmpty,
+      s"fastForward would discard tag-pinned snapshots: ${danglingPins.mkString(",")}")
+    discard.foreach { id =>
+      fs.delete(new Path(root, s"$snapDirRel/snap-$id.json"), false)
+      snapCache.remove(id); filesCache.remove(id)
+    }
+    bIds.filter(_ > cut).foreach { id =>
+      val body = readString(fs, new Path(bDir, s"snap-$id.json"))
+      writeString(fs, new Path(root, s"$snapDirRel/snap-$id.json"), body)
+      snapCache.remove(id); filesCache.remove(id)
+    }
+    bIds.last
+  }
+
   /** Expire all but the last `retainLast` snapshots and delete data files
     * referenced only by expired ones (Paimon-style snapshot expiry; keeps
     * the metadata and storage footprint bounded for a long-lived table).
@@ -1206,7 +1309,7 @@ class GraftTable private (
 
   def expireSnapshots(retainLast: Int): Seq[Long] = {
     require(retainLast >= 1, "must retain at least one snapshot")
-    val dir = new Path(root, "snapshot")
+    val dir = new Path(root, snapDirRel)
     val ids = fs.listStatus(dir).toSeq.map(_.getPath.getName)
       .collect { case SnapRe(id) => id.toLong }.sorted
     if (ids.length <= retainLast) return Seq.empty
@@ -1217,20 +1320,28 @@ class GraftTable private (
     if (expire.isEmpty) return Seq.empty
     val retainedSnaps = retain.map(readSnapshot)
     val expiredSnaps = expire.map(readSnapshot)
+    // files/manifests referenced by ANY OTHER ref sharing this root
+    // (main + every branch) are live regardless of what THIS ref
+    // expires: a branch cut before the expired snapshots still reads
+    // the pre-branch files (S36)
+    val sibs = siblingRefs
+    val external: Set[String] =
+      sibs.flatMap(t => t.snapshots.flatMap(s => t.filesOf(s).map(_.path))).toSet
     val retained: Set[String] =
-      retainedSnaps.flatMap(s => filesOf(s).map(_.path)).toSet
+      retainedSnaps.flatMap(s => filesOf(s).map(_.path)).toSet ++ external
     val orphans = expiredSnaps.flatMap(s => filesOf(s).map(_.path))
       .toSet -- retained
     orphans.foreach(deleteDataFile)
     // manifests referenced only by expired snapshots are orphans too
-    val retainedManifests = retainedSnaps.flatMap(manifestsOf).toSet
+    val externalManifests = sibs.flatMap(t => t.snapshots.flatMap(t.manifestsOf)).toSet
+    val retainedManifests = retainedSnaps.flatMap(manifestsOf).toSet ++ externalManifests
     val orphanManifests = expiredSnaps.flatMap(manifestsOf).toSet -- retainedManifests
     orphanManifests.foreach { m =>
       fs.delete(new Path(root, s"manifest/$m"), false)
       manifestCache.remove(m)
     }
     expire.foreach { id =>
-      fs.delete(new Path(root, s"snapshot/snap-$id.json"), false)
+      fs.delete(new Path(root, s"$snapDirRel/snap-$id.json"), false)
       // keep the memo honest: an expired snapshot must read as missing
       // (readIncrement's expiry error contract), not serve stale meta
       snapCache.remove(id)
@@ -1244,7 +1355,10 @@ class GraftTable private (
     * speculatively duplicated write attempts. The TTL grace period
     * protects files of a commit still in flight. Returns deleted paths. */
   def removeOrphanFiles(ttlMs: Long = 3600 * 1000L): Seq[String] = {
-    val referenced: Set[String] = snapshots.flatMap(s => filesOf(s).map(_.path)).toSet
+    // the reference universe is EVERY ref sharing this root — a file
+    // live only in a branch is not an orphan (S36)
+    val referenced: Set[String] =
+      (this +: siblingRefs).flatMap(t => t.snapshots.flatMap(s => t.filesOf(s).map(_.path))).toSet
     val dataDir = new Path(root, "data")
     if (!fs.exists(dataDir)) return Seq.empty
     val rootQ = fs.makeQualified(new Path(root)).toString

@@ -114,8 +114,11 @@ final class GraftV2Table(
   }
 
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
-      : org.apache.spark.sql.connector.write.WriteBuilder =
-    new GraftWriteBuilder(loaded, info)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    // `branch` write option (S36): commit onto the branch ref's log
+    val t = Option(info.options.get("branch")).map(loaded.forBranch).getOrElse(loaded)
+    new GraftWriteBuilder(t, info)
+  }
 
   // ---- SQL DELETE FROM / TRUNCATE TABLE --------------------------------
 
@@ -195,8 +198,13 @@ final class GraftV2Table(
   // schema JSON again for each query)
   private lazy val loaded: GraftTable = GraftTable.load(SparkSession.active, path)
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(SparkSession.active, loaded, options, pinnedSnapshot)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // `branch` read option (S36): scan the branch ref's snapshot log —
+    // a view sharing root/schema/manifests, so everything downstream
+    // (pruning, MOR, pushdown) is unchanged
+    val t = Option(options.get("branch")).map(loaded.forBranch).getOrElse(loaded)
+    new GraftScanBuilder(SparkSession.active, t, options, pinnedSnapshot)
+  }
 }
 
 object GraftScanBuilder {
