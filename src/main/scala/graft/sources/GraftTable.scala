@@ -1156,6 +1156,14 @@ class GraftTable private (
       case "tags" =>
         tags.map(t => (t.name, t.snapshotId, new java.sql.Timestamp(t.createTimeMs)))
           .toDF("tag_name", "snapshot_id", "create_time")
+      case "branches" =>
+        // (name, cut-point id, head id) per branch ref — the cut point is
+        // the branch's earliest snapshot (the copied base), the head its
+        // latest commit (Paimon's $branches)
+        branches.map { b =>
+          val ids = forBranch(b).snapshots.map(_.id)
+          (b, ids.min, ids.max)
+        }.toDF("branch_name", "cut_snapshot_id", "head_snapshot_id")
       case "audit_log" => auditLog()
       case other => throw new IllegalArgumentException(s"unknown system table: $other")
     }

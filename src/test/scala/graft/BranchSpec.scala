@@ -26,6 +26,10 @@ class BranchSpec extends AnyFunSuite {
     assert(t.read().collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 3))
     assert(b.read().collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2))
     assert(t.branches == Seq("exp"))
+    // $branches system table: name, cut point, head (cut=1, head=2 after
+    // the branch's own commit)
+    assert(t.system("branches").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq == Seq(("exp", 1L, 2L)))
     // the `branch` read option scans the branch ref through the V2 path
     val viaOpt = spark.read.format("graft").option("branch", "exp").load(t.root)
     assert(viaOpt.collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2))
