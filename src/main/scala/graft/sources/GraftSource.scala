@@ -91,12 +91,21 @@ class GraftSource extends RelationProvider with SchemaRelationProvider
       .map(_.split(",").map(_.trim).toSeq).getOrElse(Seq.empty)
     val primaryKeys = parameters.get("primaryKeys")
       .map(_.split(",").map(_.trim).toSeq).getOrElse(Seq.empty)
+    // `branch` is a per-write routing option, never a table property —
+    // filtering it here keeps a create-with-branch from persisting it
+    // into SchemaMeta.options forever
     val opts = parameters.view.filterKeys(k =>
-      !Set("path", "partitionKeys", "primaryKeys").contains(k)).toMap
+      !Set("path", "partitionKeys", "primaryKeys", "branch").contains(k)).toMap
     val exists = GraftTable.exists(spark, path)
     val table =
-      if (!exists)
+      if (!exists) {
+        // a branch can only be cut from an existing table: silently
+        // creating the table and writing MAIN would strand the rows the
+        // caller believes went to the branch
+        require(!parameters.contains("branch"),
+          s"cannot write branch '${parameters("branch")}' of a table that does not exist yet: $path")
         GraftTable.create(spark, path, data.schema, partitionKeys, primaryKeys, opts)
+      }
       else {
         val t0 = GraftTable.load(spark, path)
         // write-time schema evolution (Paimon-style): with mergeSchema=true

@@ -1159,10 +1159,18 @@ class GraftTable private (
       case "branches" =>
         // (name, cut-point id, head id) per branch ref — the cut point is
         // the branch's earliest snapshot (the copied base), the head its
-        // latest commit (Paimon's $branches)
+        // latest commit (Paimon's $branches). Ids come from FILENAMES
+        // (no JSON parse per snapshot), and a branch dir with no
+        // snapshots yet (a crashed createBranch) is listed with null ids
+        // rather than crashing the system table.
         branches.map { b =>
-          val ids = forBranch(b).snapshots.map(_.id)
-          (b, ids.min, ids.max)
+          val dir = new Path(branchDir(b), "snapshot")
+          val ids =
+            if (!fs.exists(dir)) Seq.empty
+            else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+              .collect { case SnapRe(id) => id.toLong }
+          if (ids.isEmpty) (b, null.asInstanceOf[java.lang.Long], null.asInstanceOf[java.lang.Long])
+          else (b, java.lang.Long.valueOf(ids.min), java.lang.Long.valueOf(ids.max))
         }.toDF("branch_name", "cut_snapshot_id", "head_snapshot_id")
       case "audit_log" => auditLog()
       case other => throw new IllegalArgumentException(s"unknown system table: $other")
@@ -1216,6 +1224,14 @@ class GraftTable private (
   // (see expireSnapshots/removeOrphanFiles), so no ref can reclaim
   // another ref's data.
 
+  /** Branch names are path segments — validate EVERYWHERE one arrives
+    * (createBranch, deleteBranch, forBranch — the latter is also the
+    * funnel for the user-supplied `branch` read/write option), or
+    * deleteBranch("..") recursively deletes the table root and
+    * forBranch("..") silently aliases main. */
+  private def requireValidBranchName(name: String): Unit =
+    require(name.matches("[A-Za-z0-9_\\-]+"), s"invalid branch name: $name")
+
   private def branchDir(name: String) = new Path(root, s"branch/$name")
 
   /** Cut a branch at `fromSnapshot` (default: latest). The branch's log
@@ -1224,7 +1240,7 @@ class GraftTable private (
     * from the cut point and fastForward can splice them back. */
   def createBranch(name: String, fromSnapshot: Option[Long] = None): Unit = {
     require(branchName.isEmpty, "createBranch must run on the main view")
-    require(name.matches("[A-Za-z0-9_\\-]+"), s"invalid branch name: $name")
+    requireValidBranchName(name)
     require(!fs.exists(branchDir(name)), s"branch already exists: $name")
     val id = fromSnapshot.orElse(latestSnapshotId).getOrElse(
       throw new IllegalArgumentException("cannot branch an empty table"))
@@ -1239,6 +1255,7 @@ class GraftTable private (
     * the same no-purge contract as rollback. */
   def deleteBranch(name: String): Boolean = {
     require(branchName.isEmpty, "deleteBranch must run on the main view")
+    requireValidBranchName(name)
     fs.delete(branchDir(name), true)
   }
 
@@ -1250,6 +1267,7 @@ class GraftTable private (
 
   /** A view of this table reading and committing on branch `name`. */
   def forBranch(name: String): GraftTable = {
+    requireValidBranchName(name)
     require(fs.exists(new Path(branchDir(name), "snapshot")), s"no such branch: $name")
     new GraftTable(spark, root, schemaMeta, Some(name))
   }
@@ -1267,9 +1285,27 @@ class GraftTable private (
     * divergent history being replaced; their files become orphans for
     * GC — no purge) and the branch's post-cut snapshots are copied in.
     * Refuses if a tag pins a discarded snapshot (the pin would dangle).
-    * Returns the new main head id. */
+    * Returns the new main head id.
+    *
+    * Crash ordering: adopted snapshots are copied in ASCENDING order
+    * first (overwriting same-id diverged JSONs — writeString is an
+    * overwrite), then the diverged-only tail (main ids above the
+    * branch's head) is deleted DESCENDING — so at every instant main's
+    * log is gapless below its current maximum and every listed snapshot
+    * is a complete JSON; a crash leaves a partially-spliced but readable
+    * log that a re-run (same cut point, still present) completes.
+    * Discarded/overwritten ids also drop their commit-claim markers,
+    * otherwise the next main commit reusing a discarded id would see a
+    * fresh foreign claim and refuse for ClaimTtlMs.
+    *
+    * Reader contract (same as Paimon's fast_forward replacing the main
+    * branch): the splice rewrites the CONTENT of post-cut snapshot ids,
+    * so table views/DataFrames constructed before it may serve the
+    * replaced history from their id-keyed memos — discard and reload
+    * them after a fast-forward. */
   def fastForward(name: String): Long = {
     require(branchName.isEmpty, "fastForward must run on the main view")
+    requireValidBranchName(name)
     val bDir = new Path(branchDir(name), "snapshot")
     require(fs.exists(bDir), s"no such branch: $name")
     val bIds = fs.listStatus(bDir).toSeq.map(_.getPath.getName)
@@ -1285,13 +1321,16 @@ class GraftTable private (
     val danglingPins = discard.filter(pinned)
     require(danglingPins.isEmpty,
       s"fastForward would discard tag-pinned snapshots: ${danglingPins.mkString(",")}")
-    discard.foreach { id =>
-      fs.delete(new Path(root, s"$snapDirRel/snap-$id.json"), false)
-      snapCache.remove(id); filesCache.remove(id)
-    }
-    bIds.filter(_ > cut).foreach { id =>
+    val adopted = bIds.filter(_ > cut)
+    adopted.foreach { id =>
       val body = readString(fs, new Path(bDir, s"snap-$id.json"))
       writeString(fs, new Path(root, s"$snapDirRel/snap-$id.json"), body)
+      fs.delete(new Path(root, s"$snapDirRel/.claim-$id"), false)
+      snapCache.remove(id); filesCache.remove(id)
+    }
+    discard.filterNot(adopted.contains).sorted.reverse.foreach { id =>
+      fs.delete(new Path(root, s"$snapDirRel/snap-$id.json"), false)
+      fs.delete(new Path(root, s"$snapDirRel/.claim-$id"), false)
       snapCache.remove(id); filesCache.remove(id)
     }
     bIds.last

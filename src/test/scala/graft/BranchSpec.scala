@@ -50,6 +50,18 @@ class BranchSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { t.createBranch("bad name") } // invalid chars
     intercept[IllegalArgumentException] { t.forBranch("nope") }        // missing
     intercept[IllegalArgumentException] { t.forBranch("old").createBranch("x") }
+    // path-segment traversal must be rejected everywhere a name arrives:
+    // deleteBranch("..") would recursively delete the table root, and
+    // forBranch("..") would silently alias main
+    intercept[IllegalArgumentException] { t.deleteBranch("..") }
+    intercept[IllegalArgumentException] { t.forBranch("..") }
+    assert(t.read().count() == 2) // root intact
+    // a branch write option on a table that does not exist yet must fail
+    // loudly, not create the table and write main
+    intercept[IllegalArgumentException] {
+      Seq((1, "x")).toDF("k", "v").write.format("graft")
+        .option("branch", "exp").mode("append").save(TestSpark.tmpDir("br-missing"))
+    }
   }
 
   test("S36c: fastForward adopts branch history, discards diverged main, refuses dangling tag pins") {
@@ -67,6 +79,19 @@ class BranchSpec extends AnyFunSuite {
     // main continues committing after the splice
     t.append(Seq((4, "after")).toDF("k", "v"))
     assert(t.read().collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2, 3, 4))
+    // main diverged LONGER than the branch: the fast-forward's new head
+    // is a formerly-discarded id, and the NEXT main commit reuses the id
+    // right above it — both had live commit claims that must have been
+    // cleaned, or the append refuses for ClaimTtlMs
+    val t3 = GraftTable.create(spark, TestSpark.tmpDir("br-ffclaim"), schema)
+    t3.append(Seq((1, "a")).toDF("k", "v"))
+    t3.createBranch("short")
+    t3.forBranch("short").append(Seq((2, "w")).toDF("k", "v")) // branch head = 2
+    t3.append(Seq((8, "d1")).toDF("k", "v")) // main 2 (diverged)
+    t3.append(Seq((9, "d2")).toDF("k", "v")) // main 3 (diverged)
+    assert(t3.fastForward("short") == 2L)
+    t3.append(Seq((3, "after")).toDF("k", "v")) // claims id 3 again — must succeed NOW
+    assert(t3.read().collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2, 3))
     // a tag pinning a to-be-discarded snapshot blocks the fast-forward
     val t2 = GraftTable.create(spark, TestSpark.tmpDir("br-ffpin"), schema)
     t2.append(Seq((1, "a")).toDF("k", "v"))
