@@ -160,6 +160,49 @@ object Relational2 {
              |      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS n7
              |  FROM daily)
              |SELECT pri, day_num, n, n7, round(n7 / 7.0, 4) AS avg7
-             |FROM win ORDER BY pri, day_num""".stripMargin))
+             |FROM win ORDER BY pri, day_num""".stripMargin)),
+
+    // R36: offset windows — lag/lead/first_value/last_value over each
+    // customer's order history (the per-entity "previous event" shape:
+    // order-over-order price delta, distance from the first order).
+    // Scale shape: one hash shuffle on o_custkey; per-customer order
+    // counts are bounded (TPC-H ~10) so no hot-key sort wall. All window
+    // outputs are single picked VALUES (no cross-row float accumulation)
+    // — the only derived float is one subtraction, a single IEEE op both
+    // engines, rounded at the end. Deterministic: the window order
+    // includes the unique o_orderkey tie-break.
+    QDef(
+      "q_lead_lag",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        val wFull = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        T.orders(s, d)
+          .select(
+            col("o_custkey"), col("o_orderkey"),
+            round(col("o_totalprice"), 2).as("price"),
+            round(lag(col("o_totalprice"), 1).over(w), 2).as("prev_price"),
+            round(lead(col("o_totalprice"), 1).over(w), 2).as("next_price"),
+            round(first(col("o_totalprice")).over(wFull), 2).as("first_price"),
+            round(last(col("o_totalprice")).over(wFull), 2).as("last_price"),
+            round(col("o_totalprice") - first(col("o_totalprice")).over(wFull), 2)
+              .as("delta_vs_first"))
+          .filter(col("o_custkey") % 40 === 0)
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price,
+             |  round(lag(o_totalprice, 1) OVER w, 2) AS prev_price,
+             |  round(lead(o_totalprice, 1) OVER w, 2) AS next_price,
+             |  round(first_value(o_totalprice) OVER wf, 2) AS first_price,
+             |  round(last_value(o_totalprice) OVER wf, 2) AS last_price,
+             |  round(o_totalprice - first_value(o_totalprice) OVER wf, 2) AS delta_vs_first
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+             |  wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             |QUALIFY o_custkey % 40 = 0
+             |ORDER BY o_custkey, o_orderkey""".stripMargin))
   )
 }
