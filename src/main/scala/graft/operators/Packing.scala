@@ -91,6 +91,62 @@ object Packing {
           .groupBy("pack_id")
           .agg(count(lit(1)).as("n_docs"), sum("tokens").as("pack_tokens"))
           .orderBy("pack_id"),
-      Some(PackingOracle))
+      Some(PackingOracle)),
+
+    // L36: RAG-style document chunking — fixed W-token windows advanced
+    // by stride S (W-S tokens of overlap) so retrieval context never
+    // splits mid-thought at a hard boundary. Emits the window GEOMETRY
+    // (chunk_id, start token, token count) plus an md5 of the rendered
+    // chunk text, so the oracle verifies both the arithmetic and the
+    // content byte-for-byte. Scale shape: pure codegen per row
+    // (split + sequence/explode + slice/array_join — no HOF, no shuffle
+    // until the final presentation sort); chunk fan-out per doc is
+    // len/S, linear in corpus tokens. Integer/string semantics only.
+    // The doc_id % 20 slice bounds the oracle diff; every window class
+    // (single-chunk doc, full mid-chunks, short tail) appears in it.
+    QDef(
+      "q_chunk_docs",
+      (s, d) => {
+        val W = 32
+        val S = 24
+        val docs = T.documents(s, d)
+          .filter(col("doc_id") % 20 === 0)
+          .select(col("doc_id"), Text.words(col("text")).as("w"))
+          .withColumn("nw", size(col("w")).cast("long"))
+          .withColumn("n_chunks", expr(
+            s"CASE WHEN nw <= $W THEN CAST(1 AS BIGINT) " +
+              s"ELSE ((nw - $W + ${S - 1}) div $S) + 1 END"))
+        docs
+          .select(col("doc_id"), col("w"), col("nw"), col("n_chunks"),
+            explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_id"))
+          .withColumn("start_tok", col("chunk_id") * S + 1)
+          .withColumn("piece",
+            slice(col("w"), (col("chunk_id") * S + 1).cast("int"), lit(W)))
+          .select(
+            col("doc_id"), col("nw"), col("n_chunks"), col("chunk_id"),
+            col("start_tok"),
+            size(col("piece")).cast("long").as("n_tok"),
+            md5(array_join(col("piece"), " ")).as("chunk_md5"))
+          .orderBy("doc_id", "chunk_id")
+      },
+      Some("""WITH dw AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+             |  FROM documents WHERE doc_id % 20 = 0),
+             |d2 AS (
+             |  SELECT doc_id, w, len(w) AS nw,
+             |    CASE WHEN len(w) <= 32 THEN 1
+             |         ELSE ((len(w) - 32 + 23) // 24) + 1 END AS n_chunks
+             |  FROM dw),
+             |ch AS (
+             |  SELECT doc_id, w, nw, n_chunks,
+             |    unnest(range(n_chunks)) AS chunk_id
+             |  FROM d2)
+             |SELECT doc_id, CAST(nw AS BIGINT) AS nw,
+             |  CAST(n_chunks AS BIGINT) AS n_chunks,
+             |  CAST(chunk_id AS BIGINT) AS chunk_id,
+             |  CAST(chunk_id * 24 + 1 AS BIGINT) AS start_tok,
+             |  CAST(len(list_slice(w, chunk_id * 24 + 1, chunk_id * 24 + 32)) AS BIGINT) AS n_tok,
+             |  md5(array_to_string(list_slice(w, chunk_id * 24 + 1, chunk_id * 24 + 32), ' ')) AS chunk_md5
+             |FROM ch ORDER BY doc_id, chunk_id""".stripMargin))
   )
 }

@@ -36,4 +36,41 @@ class PackingSpec extends AnyFunSuite {
     assert(rows.map(r => (r._1, r._4)).toSeq == again.toSeq)
     packed.unpersist()
   }
+
+  test("L36: chunk windows cover every token, overlap exactly W-S, and are deterministic") {
+    val W = 32L
+    val S = 24L
+    val out = SparkEntry.queries("q_chunk_docs")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getString(6)))
+    assert(out.nonEmpty)
+    val byDoc = out.groupBy(_._1)
+    byDoc.foreach { case (doc, chunks) =>
+      val sorted = chunks.sortBy(_._4)
+      val nw = sorted.head._2
+      val nChunks = sorted.head._3
+      // declared chunk count matches the emitted rows and the formula
+      assert(sorted.map(_._4).toSeq == (0L until nChunks).toSeq, s"doc $doc chunk ids")
+      val expected = if (nw <= W) 1L else (nw - W + S - 1) / S + 1
+      assert(nChunks == expected, s"doc $doc n_chunks")
+      sorted.foreach { case (_, _, _, i, start, nTok, _) =>
+        assert(start == i * S + 1)
+        assert(nTok == math.min(W, nw - i * S), s"doc $doc chunk $i token count")
+        assert(nTok > 0, s"doc $doc emitted an empty chunk")
+      }
+      // coverage: last chunk reaches the final token; neighbors overlap W-S
+      val last = sorted.last
+      assert(last._5 + last._6 - 1 == nw, s"doc $doc tail coverage")
+      if (nChunks > 1)
+        sorted.sliding(2).foreach { case Array(a, b) =>
+          val overlap = (a._5 + a._6) - b._5 // prev end+1 - next start
+          assert(overlap == W - S || a._6 < W,
+            s"doc $doc overlap between ${a._4} and ${b._4}")
+        }
+    }
+    // determinism: identical md5 stream on a second run
+    val again = SparkEntry.queries("q_chunk_docs")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getString(6)))
+    assert(out.map(r => (r._1, r._4, r._7)).toSeq == again.toSeq)
+  }
 }
