@@ -195,6 +195,51 @@ object Curation {
               |SELECT t.lang, CAST(t.n AS BIGINT) AS n, t.thr,
               |  CAST(sum(CASE WHEN h.hv < t.thr THEN 1 ELSE 0 END) AS BIGINT) AS kept
               |FROM h JOIN t USING (lang) GROUP BY t.lang, t.n, t.thr
-              |ORDER BY t.lang""".stripMargin))
+              |ORDER BY t.lang""".stripMargin)),
+
+    // L37: deterministic stratified train/val/test split — the export
+    // step every training pipeline ends with. The assignment is a pure
+    // function of (doc_id, lang) via poly_hash64 with a split-specific
+    // salt (independent of the L14/L31 sampling draws): stable across
+    // runs/partitionings/retries, reproducible from the raw corpus
+    // alone, and exactly replayable by the oracle. 90/5/5 by hash
+    // bands; hashing (doc_id, lang) stratifies each language at the
+    // same expected proportions without a per-stratum shuffle — one
+    // linear pass, map-side-combinable groupBy. The per-lang fraction
+    // is ONE division of exact integers (same IEEE op both engines).
+    // Disjoint + exhaustive by construction (CASE bands partition
+    // [0,10000)); CurationSpec proves it on the materialized frame.
+    QDef(
+      "q_split_train",
+      (s, d) => {
+        val h = pmod(
+          HashExpr.polyHash(concat(
+            lit("split:"), col("doc_id").cast("string"), lit(":"), col("lang"))),
+          lit(10000L))
+        T.documents(s, d)
+          .withColumn("split",
+            when(h < 9000, "train").when(h < 9500, "val").otherwise("test"))
+          .groupBy("lang", "split")
+          .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"))
+          .withColumn("lang_total",
+            sum("n").over(Window.partitionBy("lang")))
+          .withColumn("frac",
+            round(col("n").cast("double") / col("lang_total"), 4))
+          .orderBy("lang", "split")
+      },
+      Some(s"""WITH h AS (SELECT lang, n_chars,
+              |  ${Dedup.polyHashSqlOf("'split:' || CAST(doc_id AS VARCHAR) || ':' || lang")} % 10000 AS hv
+              |  FROM documents),
+              |s AS (SELECT lang, n_chars,
+              |  CASE WHEN hv < 9000 THEN 'train'
+              |       WHEN hv < 9500 THEN 'val' ELSE 'test' END AS split
+              |  FROM h),
+              |g AS (SELECT lang, split, count(*) AS n, sum(n_chars) AS chars
+              |  FROM s GROUP BY 1, 2)
+              |SELECT lang, split, CAST(n AS BIGINT) AS n,
+              |  CAST(chars AS BIGINT) AS chars,
+              |  CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT) AS lang_total,
+              |  round(CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT), 4) AS frac
+              |FROM g ORDER BY lang, split""".stripMargin))
   )
 }

@@ -95,4 +95,39 @@ class CurationSpec extends AnyFunSuite {
     val again = SparkEntry.queries("q_mixture_temperature")(spark, dir).collect()
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
+
+  test("L37: train/val/test split — disjoint, exhaustive, stratified, deterministic") {
+    val rows = SparkEntry.queries("q_split_train")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val byLang = rows.groupBy(_.getString(0))
+    val docTotal = Tables.documents(spark, dir).count()
+    // exhaustive: per-lang split counts sum to the lang total, and lang
+    // totals sum to the corpus (nothing dropped, nothing duplicated)
+    byLang.foreach { case (lang, rs) =>
+      val total = rs.head.getLong(4)
+      assert(rs.map(_.getLong(4)).distinct.length == 1, s"$lang: lang_total disagrees")
+      assert(rs.map(_.getLong(2)).sum == total, s"$lang: splits don't partition")
+      assert(rs.map(_.getString(1)).toSet.subsetOf(Set("train", "val", "test")))
+      assert(rs.map(_.getString(1)).distinct.length == rs.length, s"$lang: dup split rows")
+    }
+    assert(byLang.values.map(_.head.getLong(4)).sum == docTotal)
+    // stratified: with 90/5/5 bands, train must dominate in every lang
+    // that has enough docs for the expectation to bind (loose 2-sigma-ish
+    // bound — the draw is a fixed hash, so this is deterministic, not flaky)
+    byLang.foreach { case (lang, rs) =>
+      val total = rs.head.getLong(4)
+      if (total >= 100) {
+        val train = rs.find(_.getString(1) == "train").map(_.getLong(2)).getOrElse(0L)
+        assert(train.toDouble / total > 0.8, s"$lang: train frac ${train.toDouble / total}")
+      }
+    }
+    // frac column is the single-division rendering of n/lang_total
+    rows.foreach { r =>
+      val expect = math.rint(r.getLong(2).toDouble / r.getLong(4) * 10000) / 10000
+      assert(math.abs(r.getDouble(5) - expect) < 1e-12)
+    }
+    // determinism
+    val again = SparkEntry.queries("q_split_train")(spark, dir).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
 }
