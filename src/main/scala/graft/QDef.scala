@@ -26,17 +26,25 @@ object Tables {
     spark.read.schema(sch).parquet(path)
   }
 
-  /** events.ts is parquet TIMESTAMP(NANOS) which Spark cannot read natively
-    * (PARQUET_TYPE_ILLEGAL). Sessions set
-    * spark.sql.legacy.parquet.nanosAsLong=true, so ts arrives as LongType
-    * nanos; normalize to a microsecond TimestampType (truncating, same as
-    * DuckDB's ns→µs read of the same file).
+  /** events.ts has shipped in two parquet vintages: TIMESTAMP(NANOS)
+    * (which Spark cannot read natively — PARQUET_TYPE_ILLEGAL — so
+    * sessions set spark.sql.legacy.parquet.nanosAsLong=true and ts
+    * arrives as LongType nanos) and TIMESTAMP(MICROS) isAdjustedToUTC=
+    * false (which Spark reads as TimestampNTZType). Normalize BOTH to a
+    * microsecond TimestampType: truncate nanos the way DuckDB's ns→µs
+    * read does, and cast NTZ→TZ (the session timezone is pinned UTC, so
+    * the underlying epoch-micros are identical). Downstream temporal
+    * operators (unix_micros at Temporal.scala) require TimestampType.
     */
   private def normalizeTs(df: DataFrame): DataFrame =
     df.schema.find(_.name == "ts") match {
       case Some(f) if f.dataType == org.apache.spark.sql.types.LongType =>
         df.withColumn("ts",
           org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case Some(f) if f.dataType == org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts")
+            .cast(org.apache.spark.sql.types.TimestampType))
       case _ => df
     }
 
