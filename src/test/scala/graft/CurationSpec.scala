@@ -123,7 +123,10 @@ class CurationSpec extends AnyFunSuite {
     }
     // frac column is the single-division rendering of n/lang_total
     rows.foreach { r =>
-      val expect = math.rint(r.getLong(2).toDouble / r.getLong(4) * 10000) / 10000
+      // HALF_UP to 4dp, matching Spark's round() (math.rint is half-even
+      // and would diverge on an exact .00005 tie)
+      val expect = BigDecimal(r.getLong(2).toDouble / r.getLong(4))
+        .setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
       assert(math.abs(r.getDouble(5) - expect) < 1e-12)
     }
     // determinism

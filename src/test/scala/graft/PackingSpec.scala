@@ -64,7 +64,7 @@ class PackingSpec extends AnyFunSuite {
       if (nChunks > 1)
         sorted.sliding(2).foreach { case Array(a, b) =>
           val overlap = (a._5 + a._6) - b._5 // prev end+1 - next start
-          assert(overlap == W - S || a._6 < W,
+          assert(overlap == W - S,
             s"doc $doc overlap between ${a._4} and ${b._4}")
         }
     }
