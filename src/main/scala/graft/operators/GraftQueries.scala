@@ -125,6 +125,34 @@ object GraftQueries {
       .orderBy("p_partkey")
   }
 
+  /** Deletion-vector DELETE (S37) end-to-end through SQL: CREATE an
+    * APPEND table (no primary key) with `deletion-vectors.enabled`,
+    * INSERT, then TWO row-predicate DELETEs — the first writes fresh
+    * position sidecars, the second exercises the union/pointer-swap path
+    * on files both predicates graze — and SELECT. No data file is
+    * rewritten (the spec asserts that; here the oracle checks the masked
+    * read): the scan masks sidecar positions per file. Oracle = the
+    * conjunction of both negated predicates over raw customer.
+    * Ref: Paimon deletion-vectors.enabled (the reference connector
+    * predates it); DeletionVector.scala for the sidecar format. */
+  private def graftDv(s: SparkSession, d: String): DataFrame = {
+    val wh = new java.io.File("target/graft-tmp/dvwh").getAbsolutePath
+    s.conf.set("spark.sql.catalog.graftdv", "graft.sources.GraftSparkCatalog")
+    s.conf.set("spark.sql.catalog.graftdv.warehouse", wh)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graftdv.q")
+    s.sql("DROP TABLE IF EXISTS graftdv.q.cust")
+    s.sql("""CREATE TABLE graftdv.q.cust (
+            |  c_custkey BIGINT, c_name STRING, c_acctbal DOUBLE, c_mktsegment STRING
+            |) TBLPROPERTIES ('deletion-vectors.enabled'='true')""".stripMargin)
+    T.customer(s, d).select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+      .createOrReplaceTempView("graft_dv_src")
+    s.sql("INSERT INTO graftdv.q.cust SELECT * FROM graft_dv_src")
+    s.sql("DELETE FROM graftdv.q.cust WHERE c_acctbal < 0")
+    s.sql("DELETE FROM graftdv.q.cust WHERE c_mktsegment = 'MACHINERY' AND c_custkey >= 300")
+    s.sql("""SELECT c_custkey, c_name, round(c_acctbal, 2) AS bal, c_mktsegment
+            |FROM graftdv.q.cust WHERE c_custkey < 600 ORDER BY c_custkey""".stripMargin)
+  }
+
   /** customer through the SQL surface end-to-end: CREATE TABLE (PK) via
     * the V2 catalog, INSERT INTO, SQL DELETE FROM with a row predicate
     * (tombstone -D commit the merge hides), SELECT — the oracle applies
@@ -255,6 +283,13 @@ object GraftQueries {
       Some("""SELECT p_partkey, p_name, p_brand, round(p_retailprice,2) AS price
              |FROM part WHERE p_partkey IN (17, 118, 219, 1020)
              |ORDER BY p_partkey""".stripMargin)),
+    QDef("q_graft_dv", graftDv,
+      Some("""SELECT c_custkey, c_name, round(c_acctbal,2) AS bal, c_mktsegment
+             |FROM customer
+             |WHERE NOT (c_acctbal < 0)
+             |  AND NOT (c_mktsegment = 'MACHINERY' AND c_custkey >= 300)
+             |  AND c_custkey < 600
+             |ORDER BY c_custkey""".stripMargin)),
     QDef("q_graft_delete", graftDelete,
       Some("""SELECT c_custkey, c_name, round(c_acctbal,2) AS bal, c_mktsegment
              |FROM customer

@@ -37,6 +37,18 @@ import scala.jdk.CollectionConverters._
   *
   * Null values are ignored (percentile_cont semantics); null group keys
   * are not supported (they would drop at the broadcast joins).
+  *
+  * ==Cost contract — exact vs approx==
+  * `exact` is inherently a FULL range-shuffle + persist of every value
+  * between its two passes: the fastest plan that returns bit-exact
+  * percentile_cont, and the right face for oracle parity and small/
+  * medium data, but its wall-clock scales with the full value column
+  * (measured ~2× every other sf0.1 query; ~17× at sf1). At 100 TB the
+  * operator of choice is [[approx]] (KLL sketch, ~1.1× per 10× data,
+  * mergeable, bounded memory) — reach for `exact` only when the answer
+  * must be exact to the last ULP. q_percentile deliberately benches the
+  * exact path; treat its larger reading as this documented band, not a
+  * regression (SURVEY §6).
   */
 object Percentiles {
 

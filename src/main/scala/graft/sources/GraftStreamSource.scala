@@ -16,6 +16,7 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   *
   * Usage: spark.readStream.format("graft")
   *   [.option("readChangelog", "true")]  // PK tables: rowkind/commit_seq
+  *   [.option("branch", "b")]            // stream a branch ref's commits
   *   .load(path)
   */
 class GraftStreamSource(
@@ -23,7 +24,13 @@ class GraftStreamSource(
     path: String,
     parameters: Map[String, String]) extends Source {
 
-  private val table = GraftTable.load(spark, path)
+  // `branch` option (S36): offsets walk the BRANCH ref's snapshot log —
+  // main commits are invisible to the stream, exactly like batch reads
+  // through forBranch (Paimon streams from branches the same way)
+  private val table = {
+    val t = GraftTable.load(spark, path)
+    parameters.get("branch").map(t.forBranch).getOrElse(t)
+  }
   private val changelog = parameters.get("readChangelog").exists(_.toBoolean)
 
   override def schema: StructType =

@@ -25,11 +25,23 @@ final case class FileMeta(
     // sorted run the MOR reader can stream through a k-way merge instead
     // of buffering a hash map of the bucket's keys. Boxed for the same
     // legacy-manifest reason as rowCount (missing field reads as null).
-    sorted: java.lang.Boolean = null) {
+    sorted: java.lang.Boolean = null,
+    // deletion-vector sidecar (S37): root-relative path of the ascending
+    // position list masking this file's deleted rows, plus its exact
+    // cardinality (kept in the manifest so COUNT pushdown and CBO stats
+    // stay manifest-only). Null = no deletions. Boxed/nullable for the
+    // same legacy-manifest reason as rowCount.
+    dvPath: String = null,
+    dvCount: java.lang.Long = null) {
   /** null-safe (snapshots written before stats existed). */
   def statsOrEmpty: Map[String, ColStats] = Option(stats).getOrElse(Map.empty)
   def rowCountOpt: Option[Long] = Option(rowCount).map(_.longValue)
   def isSorted: Boolean = sorted != null && sorted.booleanValue
+  def hasDv: Boolean = dvPath != null
+  def dvCountOrZero: Long = if (dvCount == null) 0L else dvCount.longValue
+  /** Storage paths this manifest entry keeps live (data file + sidecar) —
+    * the unit expiry/orphan GC must retain. */
+  def refPaths: Seq[String] = if (hasDv) Seq(path, dvPath) else Seq(path)
 }
 
 /** One ADD/DELETE action on a data file, the unit of a delta manifest
@@ -170,6 +182,12 @@ class GraftTable private (
     * `lookup` classifies against current state and emits -U/+U pairs. */
   private[sources] def lookupChangelog: Boolean =
     options.getOrElse("changelog-producer", "none") == "lookup"
+  /** `deletion-vectors.enabled` (S37): row-predicate DELETE on an APPEND
+    * table writes per-file position sidecars instead of a group rewrite.
+    * PK tables already have a cheaper delete (RowKind tombstones through
+    * the LSM merge), so the option targets append tables. */
+  private[sources] def dvEnabled: Boolean =
+    !isPkTable && options.getOrElse("deletion-vectors.enabled", "false").toBoolean
 
   /** Paimon's `merge-engine` table option: how multiple versions of one
     * primary key resolve at read time.
@@ -454,6 +472,99 @@ class GraftTable private (
       kind = "APPEND", rowKind = RowKind.Delete)
   }
 
+  /** Deletion-vector DELETE (S37, Paimon's `deletion-vectors.enabled`):
+    * mark matching ROW POSITIONS in per-file sidecars and swap the
+    * FileMeta pointers in ONE metadata commit — no data file is
+    * rewritten. Copy-on-write touches every file a predicate grazes; at
+    * 100 TB that is a corpus rewrite for a 0.01% delete, while this
+    * path's cost is a scan of the STATS-PRUNED candidate files plus
+    * sidecars sized by the match count.
+    *
+    * Shape: one distributed job reads the candidate files with
+    * `_metadata.row_index`, filters by the predicate, and groups
+    * positions BY FILE on the executors — each group writes its sidecar
+    * (unioned with the file's prior vector; vectors are immutable, a
+    * repeat delete writes a NEW sidecar and the commit swaps the
+    * pointer). Only (file, sidecar-path, count) triples return to the
+    * driver, so driver memory is O(affected files), never O(deleted
+    * rows). A file whose vector reaches rowCount is dropped from the
+    * manifest outright. Commit kind OVERWRITE: incremental/streaming
+    * readers do not re-emit it (append-table deletes carry no
+    * retractions, matching Paimon), and time travel / rollback see the
+    * pre-delete FileMeta — the vectors are versioned metadata.
+    *
+    * `dataFilters` (the same V1 filters the predicate translated from)
+    * prune candidates via manifest stats + bloom sidecars before any
+    * file is opened. */
+  def dvDelete(cond: Column, dataFilters: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty): Long = {
+    require(dvEnabled, "dvDelete requires deletion-vectors.enabled on an append table")
+    require(fileFormat == "parquet",
+      "deletion vectors require parquet data files (_metadata.row_index)")
+    val base = latestSnapshotId.getOrElse(0L)
+    val candidates = planFiles(Some(base).filter(_ > 0), dataFilters = dataFilters)
+    if (candidates.isEmpty) return base
+    // filenames are uuid-unique within the table — a stable join key that
+    // sidesteps URI-form mismatches between _metadata.file_path and root
+    def nameOf(rel: String): String = rel.substring(rel.lastIndexOf('/') + 1)
+    val byName: Map[String, FileMeta] = candidates.map(f => nameOf(f.path) -> f).toMap
+    val priorDv: Map[String, String] =
+      candidates.filter(_.hasDv).map(f => nameOf(f.path) -> f.dvPath).toMap
+    val paths = candidates.map(f => s"${root.stripSuffix("/")}/${f.path}")
+    val matches = spark.read
+      .option("basePath", s"${root.stripSuffix("/")}/data")
+      .schema(fileSchema)
+      .format(fileFormat).load(paths: _*)
+      .filter(cond)
+      .select(
+        substring_index(col("_metadata.file_path"), "/", -1).as("__gfile"),
+        col("_metadata.row_index").as("__gpos"))
+    val rootStr = root
+    val serConf = new SerializableHadoopConf(hadoopConf)
+    val rowCountByName: Map[String, Long] =
+      candidates.flatMap(f => f.rowCountOpt.map(nameOf(f.path) -> _)).toMap
+    import spark.implicits._
+    // executor-side sidecar writes: each file's positions sort, union
+    // with the prior vector, and persist WHERE they were computed. A
+    // vector covering the whole file writes nothing (rel = "") — the
+    // file leaves the manifest instead.
+    val written: Array[(String, String, Long)] = matches.as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (fname, it) =>
+        val positions = it.map(_._2).toArray
+        java.util.Arrays.sort(positions)
+        val merged = priorDv.get(fname) match {
+          case Some(prior) =>
+            DeletionVector.union(
+              DeletionVector.read(serConf.value, rootStr, prior), positions)
+          case None => positions
+        }
+        val rel =
+          if (rowCountByName.get(fname).contains(merged.length.toLong)) ""
+          else DeletionVector.write(serConf.value, rootStr, merged)
+        (fname, rel, merged.length.toLong)
+      }
+      .collect()
+    if (written.isEmpty) return base
+    // a fully-deleted file leaves the manifest entirely (its bytes are
+    // reclaimed by snapshot expiry, like any overwritten file)
+    val (gone, keptRaw) = written.partition(_._2.isEmpty)
+    val kept = keptRaw.map { case (fname, rel, cnt) =>
+      byName(fname).copy(dvPath = rel, dvCount = cnt)
+    }
+    try commitAt(base + 1, "OVERWRITE", added = kept.toSeq,
+      deleted = gone.toSeq.map { case (fname, _, _) => byName(fname) })
+    catch {
+      case e: Throwable =>
+        // losing an optimistic-concurrency race must not strand sidecars
+        written.foreach { case (_, rel, _) =>
+          if (rel.nonEmpty)
+            try fs.delete(new Path(root, rel), false)
+            catch { case _: java.io.IOException => () }
+        }
+        throw e
+    }
+  }
+
   /** Replace every partition present in `df` with df's rows. The
     * affected-partition set derives from the staged files' own
     * FileMeta.partition values (the write tasks already report them), so
@@ -640,9 +751,13 @@ class GraftTable private (
     val target = filesAt(snapshotId)
     val current = filesAt(base)
     val targetPaths = target.map(_.path).toSet
-    val currentPaths = current.map(_.path).toSet
+    val currentByPath = current.map(f => f.path -> f).toMap
+    // compare full metas, not just paths: a metadata-only change (e.g. a
+    // deletion-vector pointer swap, S37) keeps the path but must still
+    // be rolled back by re-ADDing the target meta (resolveChain replaces
+    // by path)
     commitAt(base + 1, "OVERWRITE",
-      added = target.filterNot(f => currentPaths(f.path)),
+      added = target.filter(f => !currentByPath.get(f.path).contains(f)),
       deleted = current.filterNot(f => targetPaths(f.path)))
   }
 
@@ -940,7 +1055,11 @@ class GraftTable private (
       partitionFilter: Option[Column] = None,
       bucket: Option[Int] = None,
       dataFilters: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty): DataFrame = {
-    if (isPkTable && bucket.isEmpty && dataFilters.isEmpty) {
+    // V2 route: PK tables (per-bucket MOR merge inside the scan) and
+    // dv-carrying append tables (the scan masks sidecar positions
+    // per-file — see DvReaderFactory)
+    if (bucket.isEmpty && dataFilters.isEmpty &&
+        (isPkTable || currentFiles(snapshotId).exists(_.hasDv))) {
       var reader = spark.read.format("graft")
       snapshotId.foreach(id => reader = reader.option("snapshotId", id.toString))
       var df = reader.load(root)
@@ -951,10 +1070,31 @@ class GraftTable private (
     if (files.isEmpty)
       return spark.createDataFrame(new java.util.ArrayList[Row](), schema)
     val paths = files.map(f => s"${root.stripSuffix("/")}/${f.path}")
-    val raw = spark.read
+    var raw = spark.read
       .option("basePath", s"${root.stripSuffix("/")}/data")
       .schema(fileSchema)
       .format(fileFormat).load(paths: _*)
+    // rare fallback (bucket/dataFilters read of a dv table): mask deleted
+    // positions with an anti-join on (filename, row position) against the
+    // sidecars, read in a parallelized executor job — never collected
+    val dvFiles = files.filter(_.hasDv)
+    if (dvFiles.nonEmpty) {
+      import spark.implicits._
+      val rootStr = root
+      val serConf = new SerializableHadoopConf(hadoopConf)
+      val dvInfo = dvFiles.map(f =>
+        (f.path.substring(f.path.lastIndexOf('/') + 1), f.dvPath))
+      val posDf = spark.createDataset(dvInfo)
+        .flatMap { case (fname, dv) =>
+          DeletionVector.read(serConf.value, rootStr, dv).map(p => (fname, p))
+        }
+        .toDF("__gfile", "__gpos")
+      raw = raw
+        .withColumn("__gfile", substring_index(col("_metadata.file_path"), "/", -1))
+        .withColumn("__gpos", col("_metadata.row_index"))
+        .join(posDf, Seq("__gfile", "__gpos"), "left_anti")
+        .drop("__gfile", "__gpos")
+    }
     var merged = if (isPkTable) mergeVersions(raw) else raw
     // POST-merge row filter keeps partitionFilter semantics exact even
     // when file-level pruning was skipped as version-unsafe (see
@@ -1123,9 +1263,12 @@ class GraftTable private (
       case "files" =>
         currentFiles(None)
           .map(f => (f.path, partitionKeys.map(k => s"$k=${f.partition(k)}").mkString("/"),
-            f.bucket, f.sizeBytes, f.rowCountOpt.map(Long.box).orNull, f.isSorted))
+            f.bucket, f.sizeBytes, f.rowCountOpt.map(Long.box).orNull, f.isSorted,
+            // deletion-vector sidecar (S37): masked-row count + pointer
+            // (Paimon $files' delete_row_count)
+            f.dvCountOrZero, f.dvPath))
           .toDF("file_path", "partition", "bucket", "file_size_in_bytes",
-            "record_count", "sorted")
+            "record_count", "sorted", "delete_row_count", "dv_path")
       case "schemas" =>
         allSchemas
           .map(s => (s.id, s.fieldsJson, s.partitionKeys.mkString(","),
@@ -1372,11 +1515,15 @@ class GraftTable private (
     // expires: a branch cut before the expired snapshots still reads
     // the pre-branch files (S36)
     val sibs = siblingRefs
+    // refPaths: a FileMeta keeps both its data file AND its deletion-
+    // vector sidecar live; a superseded vector (pointer swapped by a
+    // later delete) is referenced only by expired snapshots and is
+    // reclaimed here with them (S37)
     val external: Set[String] =
-      sibs.flatMap(t => t.snapshots.flatMap(s => t.filesOf(s).map(_.path))).toSet
+      sibs.flatMap(t => t.snapshots.flatMap(s => t.filesOf(s).flatMap(_.refPaths))).toSet
     val retained: Set[String] =
-      retainedSnaps.flatMap(s => filesOf(s).map(_.path)).toSet ++ external
-    val orphans = expiredSnaps.flatMap(s => filesOf(s).map(_.path))
+      retainedSnaps.flatMap(s => filesOf(s).flatMap(_.refPaths)).toSet ++ external
+    val orphans = expiredSnaps.flatMap(s => filesOf(s).flatMap(_.refPaths))
       .toSet -- retained
     orphans.foreach(deleteDataFile)
     // manifests referenced only by expired snapshots are orphans too
@@ -1405,7 +1552,8 @@ class GraftTable private (
     // the reference universe is EVERY ref sharing this root — a file
     // live only in a branch is not an orphan (S36)
     val referenced: Set[String] =
-      (this +: siblingRefs).flatMap(t => t.snapshots.flatMap(s => t.filesOf(s).map(_.path))).toSet
+      (this +: siblingRefs)
+        .flatMap(t => t.snapshots.flatMap(s => t.filesOf(s).flatMap(_.refPaths))).toSet
     val dataDir = new Path(root, "data")
     if (!fs.exists(dataDir)) return Seq.empty
     val rootQ = fs.makeQualified(new Path(root)).toString

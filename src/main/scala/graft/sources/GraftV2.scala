@@ -166,7 +166,7 @@ final class GraftV2Table(
       predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Boolean =
     v1Filters(predicates).exists(fs =>
       truncateRequested(fs) || partitionExact(fs).isDefined ||
-        (loaded.isPkTable && rowCond(fs).isDefined))
+        ((loaded.isPkTable || loaded.dvEnabled) && rowCond(fs).isDefined))
 
   override def deleteWhere(
       predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
@@ -179,12 +179,13 @@ final class GraftV2Table(
     partitionExact(filters) match {
       case Some(fs) => loaded.commitV2("filter", Seq.empty, fs, base)
       case None =>
-        val cond = rowCond(filters).filter(_ => loaded.isPkTable).getOrElse(
-          throw new UnsupportedOperationException(
-            s"DELETE supports partition predicates, or any row predicate on a primary-key " +
-              s"table; got: ${filters.mkString(", ")}"))
-        val matches = loaded.read().filter(cond)
-        loaded.delete(matches)
+        val cond = rowCond(filters).filter(_ => loaded.isPkTable || loaded.dvEnabled)
+          .getOrElse(throw new UnsupportedOperationException(
+            s"DELETE supports partition predicates, row predicates on a primary-key " +
+              s"table, or row predicates on a deletion-vectors append table; " +
+              s"got: ${filters.mkString(", ")}"))
+        if (loaded.isPkTable) loaded.delete(loaded.read().filter(cond))
+        else loaded.dvDelete(cond, filters) // S37: position sidecars, no rewrite
     }
   }
 
@@ -361,6 +362,10 @@ final class GraftScanBuilder(
 
     val files = table.planFiles(snapshotId)
     if (files.exists(_.rowCountOpt.isEmpty)) return None // legacy manifest: no counts
+    // deletion vectors (S37): COUNT stays manifest-exact (dvCount is the
+    // sidecar's exact cardinality), but a masked row may have BEEN the
+    // min/max — stats are only conservative bounds on a dv'd file
+    if (files.exists(_.hasDv) && defs.exists(_ != CountStarDef)) return None
     // every MIN/MAX target needs a stats entry in EVERY file (absence is
     // ambiguous between "all null" and "not collected" — don't guess)
     val statCols = defs.collect { case MinDef(c) => c case MaxDef(c) => c }
@@ -395,7 +400,7 @@ final class GraftScanBuilder(
           toInternal(GraftTable.castPartitionValue(v, table.schema(c).dataType))
         }
         val aggVals = defs.map {
-          case CountStarDef => fs.map(_.rowCountOpt.get).sum
+          case CountStarDef => fs.map(f => f.rowCountOpt.get - f.dvCountOrZero).sum
           case MinDef(c) =>
             val ord = ordering(table.schema(c).dataType)
             val vs = fs.flatMap(f => statValue(f, c, min = true)).map(toInternal)
@@ -700,7 +705,9 @@ final class GraftScan(
     override def numRows(): OptionalLong =
       if (!table.isPkTable && plannedFiles.nonEmpty &&
           plannedFiles.forall(_.rowCount != null))
-        OptionalLong.of(plannedFiles.map(_.rowCount.longValue).sum)
+        // dvCount is exact sidecar cardinality, so masked rows subtract
+        // out of the CBO estimate manifest-only
+        OptionalLong.of(plannedFiles.map(f => f.rowCount.longValue - f.dvCountOrZero).sum)
       else OptionalLong.empty()
   }
 
@@ -731,11 +738,14 @@ final class GraftScan(
       SparkPath.fromPathString(absPath(f)),
       start, length,
       Array.empty[String], 0L, f.sizeBytes,
-      // piggyback the sorted-run flag on the metadata-column map (never
-      // read as a metadata column — the scan requests no _metadata
-      // fields); the MOR factory reads it to pick streaming vs hash merge
-      if (f.isSorted) Map(GraftMorReaderFactory.SortedKey -> true)
-      else Map.empty[String, Any])
+      // piggyback the sorted-run flag and the deletion-vector pointer on
+      // the metadata-column map (never read as a metadata column — the
+      // scan requests no _metadata fields); the MOR factory reads the
+      // former, DvReaderFactory the latter
+      (if (f.isSorted) Map[String, Any](GraftMorReaderFactory.SortedKey -> true)
+       else Map.empty[String, Any]) ++
+        (if (f.hasDv) Map[String, Any](DvReaderFactory.DvKey -> f.dvPath)
+         else Map.empty[String, Any]))
 
   // ---- storage-partitioned scan (zero-shuffle bucketed joins) ----------
 
@@ -792,7 +802,11 @@ final class GraftScan(
     val maxSplit = math.max(1L,
       math.min(conf.filesMaxPartitionBytes, math.max(openCost, bytesPerCore)))
     val splits = plannedFiles.flatMap { f =>
-      (0L until math.max(1L, f.sizeBytes) by maxSplit).map { off =>
+      // a dv-carrying file is planned UNSPLIT: its reader masks sidecar
+      // positions against a physical row counter that must start at 0
+      // and see every row (DvSkipReader)
+      if (f.hasDv) Seq(toPartitionedFile(f, readPartFields, 0L, f.sizeBytes))
+      else (0L until math.max(1L, f.sizeBytes) by maxSplit).map { off =>
         toPartitionedFile(f, readPartFields, off, math.min(maxSplit, f.sizeBytes - off))
       }
     }.sortBy(-_.length)
@@ -901,9 +915,21 @@ final class GraftScan(
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val inner =
-      if (!table.isPkTable)
-        fileFactory(StructType(readDataFields), StructType(readPartFields), readerFilters)
-      else {
+      if (!table.isPkTable) {
+        val plain =
+          fileFactory(StructType(readDataFields), StructType(readPartFields), readerFilters)
+        if (!plannedFiles.exists(_.hasDv)) plain
+        else
+          // dv-masked scan (S37): partitions without dv files keep the
+          // plain (columnar) path; dv files read through a NO-pushdown
+          // factory so the physical row counter sees every row
+          new DvReaderFactory(
+            plain,
+            fileFactory(StructType(readDataFields), StructType(readPartFields),
+              Array.empty[Filter]),
+            table.root,
+            new SerializableHadoopConf(spark.sessionState.newHadoopConf()))
+      } else {
         // merge rows materialize as [mergeDataFields ++ mergePartFields]
         val mergeSchema = StructType(mergeDataFields ++ mergePartFields)
         def idx(name: String): Int = mergeSchema.fieldIndex(name)

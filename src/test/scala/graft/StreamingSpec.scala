@@ -162,6 +162,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("T4d: readStream with the branch option sees only the branch's commits") {
+    val path = TestSpark.tmpDir("streambranch")
+    val t = GraftTable.create(spark, path,
+      StructType(Seq(StructField("k", IntegerType), StructField("v", StringType))))
+    t.append(Seq((1, "base")).toDF("k", "v"))
+    t.createBranch("live")
+    val b = t.forBranch("live")
+    b.append(Seq((10, "b1")).toDF("k", "v"))
+    val q = spark.readStream.format("graft").option("branch", "live").load(path)
+      .writeStream.outputMode("append").format("memory").queryName("br_out").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.sql("SELECT k FROM br_out ORDER BY k").collect().map(_.getInt(0)).toSeq
+        == Seq(1, 10)) // cut-point state + branch commit
+      // a MAIN commit is invisible to the branch stream
+      t.append(Seq((2, "main")).toDF("k", "v"))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM br_out").first().getLong(0) == 2)
+      // a further branch commit streams incrementally
+      b.append(Seq((11, "b2")).toDF("k", "v"))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT k FROM br_out ORDER BY k").collect().map(_.getInt(0)).toSeq
+        == Seq(1, 10, 11))
+    } finally q.stop()
+  }
+
   test("T5: flatMapGroupsWithState session tracker closes sessions across micro-batches") {
     import graft.streaming.UserEvent
     implicit val sc = spark.sqlContext

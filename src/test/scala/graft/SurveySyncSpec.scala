@@ -33,6 +33,24 @@ class SurveySyncSpec extends AnyFunSuite {
     assert(orphanOracles.isEmpty, s"oracle SQL without a query: $orphanOracles")
   }
 
+  test("SURVEY §2 header totals match the tables and SparkEntry.queries") {
+    // "Component totals after rN: 37 S + 36 R + 37 L + 12 T = 122; 92 declared"
+    val hdr = ("Component totals after r\\d+: (\\d+) S \\+ (\\d+) R \\+ (\\d+) L " +
+      "\\+ (\\d+) T = (\\d+); (\\d+) declared").r
+    val m = hdr.findFirstMatchIn(survey).getOrElse(
+      fail("SURVEY §2 header totals line not found / reformatted"))
+    val Seq(s, r, l, t, total, queries) = (1 to 6).map(i => m.group(i).toInt)
+    assert(s + r + l + t == total, "header total is not the sum of its parts")
+    def rows(prefix: String): Int =
+      s"(?m)^\\| $prefix\\d+ \\|".r.findAllIn(survey).size
+    assert(rows("S") == s, s"header says $s S-components, table has ${rows("S")}")
+    assert(rows("R") == r, s"header says $r R-components, table has ${rows("R")}")
+    assert(rows("L") == l, s"header says $l L-components, table has ${rows("L")}")
+    assert(rows("T") == t, s"header says $t T-components, table has ${rows("T")}")
+    assert(SparkEntry.queries.size == queries,
+      s"header says $queries queries, SparkEntry.queries has ${SparkEntry.queries.size}")
+  }
+
   test("every spec suite named in SURVEY §2 exists in src/test") {
     val named = "spec: `([A-Za-z0-9]+)`".r.findAllMatchIn(survey).map(_.group(1)).toSet
     val missing = named.filterNot { n =>
