@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QDef, Tables => T}
 import graft.functions.Text
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -34,6 +35,13 @@ object Indexing {
   private val MinDf = 5
   private val HeadLen = 20
   private val Top = 200
+
+  // BM25 (L38): standard Robertson/Sparck-Jones parameters
+  private val K1 = 1.2
+  private val B = 0.75
+  private val QSkip = 10 // skip the 10 highest-df terms (corpus stopwords)
+  private val QTerms = 8 // query = the next 8 by (df desc, term asc)
+  private val TopDocs = 50
 
   val defs: Seq[QDef] = Seq(
     QDef(
@@ -74,6 +82,78 @@ object Indexing {
               |          AS postings_head
               |      FROM r WHERE rn <= $HeadLen GROUP BY term, df)
               |SELECT term, df, postings_head FROM p
-              |ORDER BY df DESC, term LIMIT $Top""".stripMargin))
+              |ORDER BY df DESC, term LIMIT $Top""".stripMargin)),
+
+    /** BM25 ranking (L38) — the scoring-side complement of the inverted
+      * index: score every document against a deterministic 8-term query
+      * (the terms ranked 11-18 by document frequency — high-signal,
+      * sub-stopword) and return the top 50 by rounded score.
+      *
+      * Scale shape: ONE tokenization pass feeds all three statistics —
+      * dl (per-doc length, a map-combinable count), df (distinct-pair
+      * count, same plan as L24), and tf (counted only for the 8 query
+      * terms, so the scored frame is tiny). avgdl is an EXACT integer
+      * sum over docs divided once (sum of longs in double is exact below
+      * 2^53 — no cross-row float-order divergence), the df/idf table is
+      * 8 rows broadcast, and the only full-corpus shuffles are the two
+      * scalar-pair aggregations. Driver state: 18 (term, df) rows.
+      * Ordering/parity: both engines order by the ROUNDED score (ties by
+      * doc_id), so sub-ULP ln/sum differences cannot flip the cutoff.
+      */
+    QDef(
+      "q_rank_bm25",
+      (s, d) => {
+        val toks = T.documents(s, d)
+          .select(col("doc_id"), explode(Text.words(col("text"))).as("term"))
+        val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        val nDocs = T.metadataRowCount(s, d, "documents")
+        val avgdl = dl.agg(sum("dl")).head().getLong(0).toDouble / nDocs
+        val dfAll = toks.select("doc_id", "term").distinct()
+          .groupBy("term").agg(count(lit(1)).as("df"))
+        val qterms = dfAll.orderBy(desc("df"), col("term"))
+          .limit(QSkip + QTerms).collect().drop(QSkip)
+          .map(r => (r.getString(0), r.getLong(1)))
+        val qdf = s.createDataFrame(
+          s.sparkContext.parallelize(qterms.toSeq.map(Row.fromTuple), 1),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("term",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("df",
+              org.apache.spark.sql.types.LongType))))
+        val tf = toks.join(broadcast(qdf.select("term")), "term")
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val idf = log(
+          (lit(nDocs.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+        val score = idf * (col("tf") * lit(K1 + 1.0)) /
+          (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / lit(avgdl)))
+        tf.join(broadcast(qdf), "term")
+          .join(dl, "doc_id")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("matched"), round(sum(score), 2).as("score"))
+          .orderBy(desc("score"), col("doc_id"))
+          .limit(TopDocs)
+          .select("doc_id", "matched", "score")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id,
+              |    unnest(string_split_regex(trim(text),'\\s+')) AS term FROM documents),
+              |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+              |st AS (SELECT (SELECT count(*) FROM documents) AS n,
+              |         CAST((SELECT sum(dl) FROM dl) AS DOUBLE)
+              |           / (SELECT count(*) FROM documents) AS avgdl),
+              |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+              |q AS (SELECT term, df FROM df
+              |      ORDER BY df DESC, term LIMIT $QTerms OFFSET $QSkip),
+              |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+              |       WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term),
+              |sc AS (SELECT tf.doc_id, count(*) AS matched,
+              |         round(sum(
+              |           ln((st.n - q.df + 0.5)/(q.df + 0.5) + 1.0)
+              |             * (tf.tf * ${K1 + 1.0})
+              |             / (tf.tf + $K1 * (${1.0 - B} + $B * dl.dl / st.avgdl))), 2)
+              |           AS score
+              |       FROM tf JOIN q USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+              |       GROUP BY tf.doc_id)
+              |SELECT doc_id, matched, score FROM sc
+              |ORDER BY score DESC, doc_id LIMIT $TopDocs""".stripMargin))
   )
 }
