@@ -52,6 +52,30 @@ object GraftStreaming {
         col("window.start").as("win_start"),
         col("event_type"), col("n"), col("v"))
 
+  /** Stream-stream interval join (T13): correlate two live streams on a
+    * key within an event-time window — the attribution shape (impression
+    * joined to the click that followed it within `withinSeconds`).
+    * Spark-first: the built-in watermarked stream-stream join keeps each
+    * side's rows in the state store ONLY until the watermark passes the
+    * interval bound, so state is bounded by (rate × (delay + within)),
+    * never by stream length — the 100 TB-day ingestion contract. Both
+    * sides MUST carry distinct column names apart from `key` (the join
+    * output concatenates them). Inner-join semantics: a match emits as
+    * soon as both rows have arrived; no-match rows simply never emit
+    * (left-outer would additionally wait for watermark expiry). */
+  def intervalJoin(
+      left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String,
+      delay: String, withinSeconds: Long): DataFrame = {
+    val l = left.withWatermark(leftTs, delay).alias("l")
+    val r = right.withWatermark(rightTs, delay).alias("r")
+    l.join(r,
+      col(s"l.$key") === col(s"r.$key") &&
+        col(rightTs) >= col(leftTs) &&
+        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $withinSeconds seconds"))
+      .drop(col(s"r.$key"))
+  }
+
   /** Incremental changelog read between two snapshots: every row version
     * committed after `fromSnapshot`, with rowkind — batch-incremental CDC
     * (the `$audit_log` + snapshot-diff pattern). */

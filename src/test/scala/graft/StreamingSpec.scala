@@ -188,6 +188,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("T13: watermarked stream-stream interval join attributes clicks to impressions") {
+    implicit val sc = spark.sqlContext
+    val imps = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val clicks = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val joined = GraftStreaming.intervalJoin(
+      imps.toDF().toDF("user_id", "imp_ts", "imp_id"),
+      clicks.toDF().toDF("user_id", "click_ts", "click_id"),
+      key = "user_id", leftTs = "imp_ts", rightTs = "click_ts",
+      delay = "10 minutes", withinSeconds = 600)
+    val q = joined.select("user_id", "imp_id", "click_id")
+      .writeStream.outputMode("append").format("memory").queryName("attr_out").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    try {
+      imps.addData(
+        (1L, ts("2024-01-01 10:00:00"), "i1"),
+        (2L, ts("2024-01-01 10:00:00"), "i2"),
+        (3L, ts("2024-01-01 10:00:00"), "i3"))
+      clicks.addData(
+        (1L, ts("2024-01-01 10:05:00"), "c1"), // within 10 min → match
+        (2L, ts("2024-01-01 10:20:00"), "c2"), // outside the interval
+        (3L, ts("2024-01-01 09:55:00"), "c3")) // click BEFORE impression
+      q.processAllAvailable()
+      val out = spark.sql("SELECT user_id, imp_id, click_id FROM attr_out")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      assert(out.toSeq == Seq((1L, "i1", "c1")))
+      // a second in-window click for the same impression also matches
+      // (inner interval join emits every qualifying pair)
+      clicks.addData((1L, ts("2024-01-01 10:08:00"), "c4"))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM attr_out").first().getLong(0) == 2L)
+    } finally q.stop()
+  }
+
   test("T5: flatMapGroupsWithState session tracker closes sessions across micro-batches") {
     import graft.streaming.UserEvent
     implicit val sc = spark.sqlContext
