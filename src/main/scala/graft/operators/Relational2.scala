@@ -203,6 +203,46 @@ object Relational2 {
              |  wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
              |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
              |QUALIFY o_custkey % 40 = 0
-             |ORDER BY o_custkey, o_orderkey""".stripMargin))
+             |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    // R37: UNPIVOT (melt) — the inverse of R31's pivot: wide per-nation
+    // measure columns rotate into (nation, measure, value) rows. Spark's
+    // native unpivot (Dataset.unpivot, codegen'd expand — one pass, no
+    // join) over a nation-level aggregate whose cardinality is bounded
+    // by the dimension, so the rotation is metadata-cheap at any corpus
+    // size; the heavy work is the map-side-combinable customer groupBy.
+    // Measures are rounded BEFORE the rotation (one cross-row double sum,
+    // the standard 2dp parity face) and the count casts to double to
+    // share the single value column — mirrored literally by the oracle's
+    // UNION ALL (the portable UNPIVOT phrasing).
+    QDef(
+      "q_unpivot",
+      (s, d) => {
+        val base = T.customer(s, d)
+          .join(T.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+          .groupBy("n_name")
+          .agg(
+            count(lit(1)).cast("double").as("n_cust"),
+            round(sum("c_acctbal"), 2).as("bal_sum"),
+            round(max("c_acctbal"), 2).as("bal_max"))
+        base.unpivot(
+            Array(col("n_name")),
+            Array(col("n_cust"), col("bal_sum"), col("bal_max")),
+            "measure", "value")
+          .orderBy("n_name", "measure")
+      },
+      Some("""WITH base AS (
+             |  SELECT n_name, CAST(count(*) AS DOUBLE) AS n_cust,
+             |    round(sum(c_acctbal), 2) AS bal_sum,
+             |    round(max(c_acctbal), 2) AS bal_max
+             |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |  GROUP BY n_name)
+             |SELECT n_name, measure, value FROM (
+             |  SELECT n_name, 'n_cust' AS measure, n_cust AS value FROM base
+             |  UNION ALL
+             |  SELECT n_name, 'bal_sum', bal_sum FROM base
+             |  UNION ALL
+             |  SELECT n_name, 'bal_max', bal_max FROM base)
+             |ORDER BY n_name, measure""".stripMargin))
   )
 }

@@ -174,6 +174,30 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM gdvt.ns.t WHERE id < 300").first().getLong(0) == 150L)
   }
 
+  test("S37l: partitioned table — mixed partition+row predicate masks only within matching partitions") {
+    val df = (0 until 100).map(i => (i.toLong, s"p${i % 4}", i % 10)).toDF("id", "pt", "grp")
+    val t = GraftTable.create(spark, TestSpark.tmpDir("dv-part"), df.schema,
+      partitionKeys = Seq("pt"),
+      options = Map("deletion-vectors.enabled" -> "true"))
+    t.append(df)
+    val before = filePaths(t)
+    // predicate mixes a partition column (pt, directory-borne — the dv
+    // read must materialize it) and a data column
+    t.dvDelete($"pt" === "p1" && $"grp" < 5)
+    assert(filePaths(t) == before) // no rewrite, masked in place
+    val rows = t.read().select("id", "pt").as[(Long, String)].collect()
+    // p1 holds ids ≡ 1 (mod 4): 25 ids whose id%10 cycles (1,5,9,3,7);
+    // grp<5 keeps {1,3} of each 5-cycle → 10 masked rows
+    assert(rows.length == 90)
+    assert(rows.forall { case (id, pt) =>
+      !(pt == "p1" && id % 10 < 5)
+    })
+    // only p1's file(s) carry vectors
+    val dvParts = t.system("files").select("partition", "dv_path")
+      .collect().filter(_.getString(1) != null).map(_.getString(0)).toSet
+    assert(dvParts == Set("pt=p1"))
+  }
+
   test("S37k: compaction purges masked rows and clears the vectors") {
     val t = mkTable("dv-compact")
     t.dvDelete($"id" % 2 === 0)
