@@ -52,5 +52,15 @@ class GraftStreamSource(
     org.apache.spark.sql.graft.Bridge.asStreaming(batch)
   }
 
+  /** `consumer-id` option (S38): after the engine finalizes a batch,
+    * record that every snapshot up to `end` is consumed — expiry then
+    * keeps end+1 and later readable for this stream (Paimon consumer-id;
+    * the engine's checkpoint remains the source of truth for restarts,
+    * the consumer file is the RETENTION signal). */
+  override def commit(end: Offset): Unit =
+    parameters.get("consumer-id").foreach { id =>
+      table.commitConsumer(id, toSnapshotId(end) + 1)
+    }
+
   override def stop(): Unit = ()
 }

@@ -84,6 +84,11 @@ final case class SchemaMeta(
 /** A named pin of a snapshot (Paimon tag): `tag/tag-<name>.json`. */
 final case class TagMeta(name: String, snapshotId: Long, createTimeMs: Long)
 
+/** One registered stream consumer: `nextSnapshot` is the first snapshot
+  * it has NOT yet consumed — expiry must keep `nextSnapshot` and later
+  * readable (Paimon's consumer-id contract). */
+final case class ConsumerMeta(consumerId: String, nextSnapshot: Long, updateTimeMs: Long)
+
 /** Spark-native lakehouse table: snapshot-versioned parquet with
   * manifest-level partition pruning, primary-key merge-on-read, time
   * travel, and system tables.
@@ -1299,6 +1304,10 @@ class GraftTable private (
       case "tags" =>
         tags.map(t => (t.name, t.snapshotId, new java.sql.Timestamp(t.createTimeMs)))
           .toDF("tag_name", "snapshot_id", "create_time")
+      case "consumers" =>
+        consumers
+          .map(c => (c.consumerId, c.nextSnapshot, new java.sql.Timestamp(c.updateTimeMs)))
+          .toDF("consumer_id", "next_snapshot", "update_time")
       case "branches" =>
         // (name, cut-point id, head id) per branch ref — the cut point is
         // the branch's earliest snapshot (the copied base), the head its
@@ -1341,6 +1350,63 @@ class GraftTable private (
 
   def deleteTag(name: String): Boolean =
     fs.delete(new Path(root, s"tag/tag-$name.json"), false)
+
+  // ---- stream consumers (S38, Paimon consumer-id) ---------------------
+
+  /** Consumer registry directory of this view's ref: a consumer follows
+    * ONE snapshot log, so branch consumers live under the branch dir. */
+  private def consumerDirRel: String =
+    branchName.map(b => s"branch/$b/consumer").getOrElse("consumer")
+
+  /** Record `consumerId`'s progress: `nextSnapshot` is the first
+    * snapshot it still needs. Expiry keeps every snapshot >= the
+    * minimum registered nextSnapshot (minus stale consumers, below), so
+    * a paused stream can resume without a lost-offset error. Progress
+    * writes are tiny single-file swaps — called once per committed
+    * micro-batch, never per row. */
+  def commitConsumer(consumerId: String, nextSnapshot: Long): Unit = {
+    require(consumerId.nonEmpty &&
+      consumerId.forall(c => c.isLetterOrDigit || c == '-' || c == '_'),
+      s"invalid consumer id: $consumerId")
+    val tmp = new Path(root,
+      s"$consumerDirRel/.tmp-$consumerId-${UUID.randomUUID().toString.take(8)}")
+    writeString(fs, tmp, mapper.writeValueAsString(
+      ConsumerMeta(consumerId, nextSnapshot, System.currentTimeMillis())))
+    val dst = new Path(root, s"$consumerDirRel/consumer-$consumerId.json")
+    fs.delete(dst, false)
+    if (!fs.rename(tmp, dst)) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(s"failed to record consumer $consumerId at $root")
+    }
+  }
+
+  def deleteConsumer(consumerId: String): Boolean =
+    fs.delete(new Path(root, s"$consumerDirRel/consumer-$consumerId.json"), false)
+
+  def consumers: Seq[ConsumerMeta] = {
+    val dir = new Path(root, consumerDirRel)
+    if (!fs.exists(dir)) return Seq.empty
+    fs.listStatus(dir).toSeq.map(_.getPath)
+      .filter(p => p.getName.startsWith("consumer-") && p.getName.endsWith(".json"))
+      .map(p => mapper.readValue(readString(fs, p), classOf[ConsumerMeta]))
+      .sortBy(_.consumerId)
+  }
+
+  /** `consumer.expiration-time` (ms): a consumer whose last progress
+    * write is older stops pinning snapshots (Paimon's staleness valve —
+    * one dead consumer must not block expiry forever). Default: pins
+    * indefinitely. */
+  private def consumerExpirationMs: Option[Long] =
+    options.get("consumer.expiration-time").map(_.toLong)
+
+  /** Oldest snapshot some LIVE consumer still needs (None = no pin). */
+  private[sources] def consumerPin(nowMs: Long = System.currentTimeMillis()): Option[Long] = {
+    val live = consumerExpirationMs match {
+      case Some(ttl) => consumers.filter(c => nowMs - c.updateTimeMs <= ttl)
+      case None => consumers
+    }
+    if (live.isEmpty) None else Some(live.map(_.nextSnapshot).min)
+  }
 
   def tags: Seq[TagMeta] = {
     val dir = new Path(root, "tag")
@@ -1505,8 +1571,12 @@ class GraftTable private (
     if (ids.length <= retainLast) return Seq.empty
     val tagged = tags.map(_.snapshotId).toSet
     val (expireCand, retainTail) = ids.splitAt(ids.length - retainLast)
-    val expire = expireCand.filterNot(tagged)
-    val retain = expireCand.filter(tagged) ++ retainTail
+    // a live stream consumer pins its nextSnapshot and everything after
+    // (S38): a paused reader must be able to resume without a lost
+    // offset; stale consumers (consumer.expiration-time) stop pinning
+    val pin = consumerPin()
+    val expire = expireCand.filterNot(tagged).filter(id => pin.forall(id < _))
+    val retain = expireCand.filter(id => tagged(id) || pin.exists(id >= _)) ++ retainTail
     if (expire.isEmpty) return Seq.empty
     val retainedSnaps = retain.map(readSnapshot)
     val expiredSnaps = expire.map(readSnapshot)
