@@ -19,8 +19,19 @@ import scala.jdk.CollectionConverters._
   * from parquet footers (no data read); at real scale the writing tasks
   * would report these with the commit message instead of a driver-side
   * footer sweep.
+  *
+  * `nullCount` domain (S39 null skipping): 0 = PROVABLY no nulls (IS
+  * NULL prunes the file); > 0 = that many nulls; -1 = unknown (footer
+  * did not report — never prune on it). An ALL-null column records
+  * min = max = null with its nullCount — IS NOT NULL and every
+  * value predicate prune such a file.
   */
-final case class ColStats(min: String, max: String, nullCount: Long)
+final case class ColStats(min: String, max: String, nullCount: Long) {
+  // @JsonIgnore: a bean-shaped def would otherwise serialize into the
+  // manifest and break deserialization (unknown property)
+  @com.fasterxml.jackson.annotation.JsonIgnore
+  def isAllNull: Boolean = min == null && nullCount > 0
+}
 
 /** Everything the manifest records from one written file's footer. */
 final case class FileFooter(stats: Map[String, ColStats], rowCount: Long)
@@ -35,27 +46,37 @@ object FileStats {
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
     try {
       val blocks = reader.getFooter.getBlocks.asScala
-      val acc = scala.collection.mutable.Map[String, (Comparable[Any], Comparable[Any], Long, org.apache.parquet.schema.PrimitiveType)]()
+      // (min, max) null for an all-null chunk; nullCount -1 once any
+      // chunk's footer omits the count (unknown poisons the sum)
+      val acc = scala.collection.mutable.Map[String,
+        (Comparable[Any], Comparable[Any], Long, org.apache.parquet.schema.PrimitiveType)]()
       for (block <- blocks; col <- block.getColumns.asScala) {
         val stats = col.getStatistics
-        if (stats != null && stats.hasNonNullValue) {
+        if (stats != null && (stats.hasNonNullValue || stats.isNumNullsSet)) {
           val name = col.getPath.toDotString
           val tpe = col.getPrimitiveType
-          val mn = stats.genericGetMin.asInstanceOf[Comparable[Any]]
-          val mx = stats.genericGetMax.asInstanceOf[Comparable[Any]]
-          val nulls = if (stats.isNumNullsSet) stats.getNumNulls else 0L
+          val mn: Comparable[Any] =
+            if (stats.hasNonNullValue) stats.genericGetMin.asInstanceOf[Comparable[Any]] else null
+          val mx: Comparable[Any] =
+            if (stats.hasNonNullValue) stats.genericGetMax.asInstanceOf[Comparable[Any]] else null
+          val nulls = if (stats.isNumNullsSet) stats.getNumNulls else -1L
+          def addNulls(a: Long, b: Long): Long = if (a < 0 || b < 0) -1L else a + b
+          def lesser(a: Comparable[Any], b: Comparable[Any]): Comparable[Any] =
+            if (a == null) b else if (b == null) a else if (a.compareTo(b) < 0) a else b
+          def greater(a: Comparable[Any], b: Comparable[Any]): Comparable[Any] =
+            if (a == null) b else if (b == null) a else if (a.compareTo(b) > 0) a else b
           acc.get(name) match {
             case None => acc(name) = (mn, mx, nulls, tpe)
             case Some((omn, omx, on, t)) =>
-              acc(name) = (
-                if (mn.compareTo(omn) < 0) mn else omn,
-                if (mx.compareTo(omx) > 0) mx else omx,
-                on + nulls, t)
+              acc(name) = (lesser(mn, omn), greater(mx, omx), addNulls(on, nulls), t)
           }
         }
       }
-      val stats = acc.map { case (name, (mn, mx, nulls, tpe)) =>
-        name -> ColStats(render(mn, tpe), render(mx, tpe), nulls)
+      val stats = acc.flatMap { case (name, (mn, mx, nulls, tpe)) =>
+        if (mn == null && nulls <= 0) None // nothing provable about this column
+        else Some(name -> ColStats(
+          if (mn == null) null else render(mn, tpe),
+          if (mx == null) null else render(mx, tpe), nulls))
       }.toMap
       FileFooter(stats, blocks.map(_.getRowCount).sum)
     } finally reader.close()
@@ -113,7 +134,9 @@ object FileStats {
             Some((dt.getMinimumDayOfEpoch.toString, dt.getMaximumDayOfEpoch.toString))
           case _ => None
         }
-        mm.filter(_ => s.getNumberOfValues > 0).map { case (mn, mx) =>
+        if (s.getNumberOfValues == 0 && totalRows > 0)
+          Some(name -> ColStats(null, null, totalRows)) // all-null column (S39)
+        else mm.filter(_ => s.getNumberOfValues > 0).map { case (mn, mx) =>
           name -> ColStats(mn, mx, totalRows - s.getNumberOfValues)
         }
       }.toMap
@@ -130,9 +153,14 @@ object FileStats {
   /** Can `filter` possibly match a file with these stats? Conservative:
     * unknown columns/types/filters ⇒ true (no prune). */
   def mayMatch(filter: Filter, stats: Map[String, ColStats], schema: StructType): Boolean = {
+    // S39 null skipping: an all-null column fails every VALUE predicate
+    // and IS NOT NULL; a provably-null-free column (nullCount == 0,
+    // known — -1 is unknown) fails IS NULL
+    def allNull(attr: String): Boolean = stats.get(attr).exists(_.isAllNull)
     def bounds(attr: String): Option[(Any, Any, DataType)] =
       for {
         cs <- stats.get(attr)
+        if cs.min != null && cs.max != null
         field <- schema.fields.find(_.name == attr)
         mn <- parse(cs.min, field.dataType)
         mx <- parse(cs.max, field.dataType)
@@ -169,32 +197,49 @@ object FileStats {
     }
 
     filter match {
+      case IsNull(a) =>
+        // keep unless the column provably has no nulls in this file
+        stats.get(a).forall(_.nullCount != 0L)
+      case IsNotNull(a) => !allNull(a)
+      case EqualNullSafe(a, null) => stats.get(a).forall(_.nullCount != 0L)
+      case EqualNullSafe(a, v) =>
+        if (allNull(a)) false else mayMatch(EqualTo(a, v), stats, schema)
+      // value predicates: NULL input yields NULL → row dropped, so an
+      // all-null referenced column proves no row can pass (leaf cases
+      // ONLY — composites recurse through And/Or below, where an
+      // embedded IsNull branch may still match)
       case EqualTo(a, v) =>
-        bounds(a).flatMap { case (mn, mx, dt) =>
+        if (allNull(a)) false
+        else bounds(a).flatMap { case (mn, mx, dt) =>
           for (l <- lit(dt, v); c1 <- cmp(dt, l, mn); c2 <- cmp(dt, l, mx))
             yield c1 >= 0 && c2 <= 0
         }.getOrElse(true)
       case In(a, vs) =>
-        bounds(a).flatMap { case (mn, mx, dt) =>
+        if (allNull(a)) false
+        else bounds(a).flatMap { case (mn, mx, dt) =>
           val checks = vs.toSeq.map(v =>
             for (l <- lit(dt, v); c1 <- cmp(dt, l, mn); c2 <- cmp(dt, l, mx))
               yield c1 >= 0 && c2 <= 0)
           if (checks.exists(_.isEmpty)) None else Some(checks.flatten.exists(identity))
         }.getOrElse(true)
       case GreaterThan(a, v) =>
-        bounds(a).flatMap { case (_, mx, dt) =>
+        if (allNull(a)) false
+        else bounds(a).flatMap { case (_, mx, dt) =>
           for (l <- lit(dt, v); c <- cmp(dt, mx, l)) yield c > 0
         }.getOrElse(true)
       case GreaterThanOrEqual(a, v) =>
-        bounds(a).flatMap { case (_, mx, dt) =>
+        if (allNull(a)) false
+        else bounds(a).flatMap { case (_, mx, dt) =>
           for (l <- lit(dt, v); c <- cmp(dt, mx, l)) yield c >= 0
         }.getOrElse(true)
       case LessThan(a, v) =>
-        bounds(a).flatMap { case (mn, _, dt) =>
+        if (allNull(a)) false
+        else bounds(a).flatMap { case (mn, _, dt) =>
           for (l <- lit(dt, v); c <- cmp(dt, mn, l)) yield c < 0
         }.getOrElse(true)
       case LessThanOrEqual(a, v) =>
-        bounds(a).flatMap { case (mn, _, dt) =>
+        if (allNull(a)) false
+        else bounds(a).flatMap { case (mn, _, dt) =>
           for (l <- lit(dt, v); c <- cmp(dt, mn, l)) yield c <= 0
         }.getOrElse(true)
       case And(l, r) => mayMatch(l, stats, schema) && mayMatch(r, stats, schema)
@@ -204,8 +249,9 @@ object FileStats {
   }
 
   /** Parse a rendered stat back into the comparison domain of `dt`.
-    * TimestampType stats are parquet INT64 micros; DateType INT32 days. */
-  private[sources] def parse(s: String, dt: DataType): Option[Any] = dt match {
+    * TimestampType stats are parquet INT64 micros; DateType INT32 days.
+    * Null stats (an all-null column's entry, S39) parse to None. */
+  private[sources] def parse(s: String, dt: DataType): Option[Any] = if (s == null) None else dt match {
     case IntegerType | DateType => s.toIntOption
     case LongType | TimestampType => s.toLongOption
     case DoubleType => s.toDoubleOption

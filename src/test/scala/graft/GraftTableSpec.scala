@@ -230,6 +230,37 @@ class GraftTableSpec extends AnyFunSuite {
     assert(sv.filter(col("v") === "v250").count() == 1)
   }
 
+  test("S39: null-count stats skip files for IS NULL / IS NOT NULL / value predicates on all-null columns") {
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThan, IsNotNull, IsNull, Or}
+    val t = GraftTable.create(spark, TestSpark.tmpDir("nullskip"),
+      StructType(Seq(StructField("id", LongType), StructField("v", StringType))))
+    // file 1: no nulls; file 2: some null v; file 3: ALL-null v
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1))
+    t.append(Seq((3L, "c"), (4L, null)).toDF("id", "v").coalesce(1))
+    t.append(Seq((5L, null), (6L, null)).toDF("id", "v")
+      .select(col("id"), col("v").cast("string")).coalesce(1))
+    assert(t.read().inputFiles.length == 3)
+    // IS NULL: the provably null-free file drops
+    val isNull = t.read(dataFilters = Seq(IsNull("v")))
+    assert(isNull.inputFiles.length == 2)
+    assert(isNull.filter(col("v").isNull).count() == 3)
+    // IS NOT NULL: only the all-null file drops
+    val notNull = t.read(dataFilters = Seq(IsNotNull("v")))
+    assert(notNull.inputFiles.length == 2)
+    assert(notNull.filter(col("v").isNotNull).count() == 3)
+    // a value predicate on the all-null column drops that file too
+    // ("z" is above every stats range, so only the all-null skip differs
+    // from plain min/max pruning on the other two)
+    val eq = t.read(dataFilters = Seq(EqualTo("v", "a")))
+    assert(eq.inputFiles.length == 1)
+    assert(eq.filter(col("v") === "a").count() == 1)
+    // composite with an IS NULL branch must NOT blanket-prune on the
+    // all-null column (the null branch matches its rows)
+    val or = t.read(dataFilters = Seq(Or(IsNull("v"), GreaterThan("id", 100L))))
+    assert(or.inputFiles.length == 2)
+    assert(or.filter(col("v").isNull || col("id") > 100L).count() == 3)
+  }
+
   test("S14c: decimal min/max stats skip files (ref testDecimalPredicate)") {
     import org.apache.spark.sql.sources.{EqualTo, GreaterThan}
     // DECIMAL(9,2) → parquet INT32; DECIMAL(20,4) → FIXED_LEN_BYTE_ARRAY:
