@@ -58,7 +58,48 @@ case class Shingles3(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+object BigramsImpl {
+  private val Space = UTF8String.fromString(" ")
+
+  /** ALL adjacent word pairs, in order, WITH multiplicity (unlike the
+    * distinct shingle set): the tf-weighted unit of the L39 familiarity
+    * score. Pairs containing a null word are skipped (containsNull=false
+    * contract, as Shingles3). */
+  def eval(words: ArrayData): ArrayData = {
+    val n = words.numElements()
+    if (n < 2) return new GenericArrayData(Array.empty[Any])
+    val out = new java.util.ArrayList[Any](n - 1)
+    var i = 0
+    while (i <= n - 2) {
+      val w0 = words.getUTF8String(i)
+      val w1 = words.getUTF8String(i + 1)
+      if (w0 != null && w1 != null) out.add(UTF8String.concat(w0, Space, w1))
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** Native adjacent-bigram expression (SURVEY §2.3 L39 hot path): one
+  * tight whole-stage-codegen loop, for the same reason as Shingles3 —
+  * the HOF formulation is interpreted and gets re-inlined by Catalyst. */
+case class Bigrams(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bigrams"
+
+  override def nullSafeEval(input: Any): Any =
+    BigramsImpl.eval(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.BigramsImpl$$.MODULE$$.eval($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Bigrams =
+    copy(child = newChild)
+}
+
 object ShingleExpr {
   import org.apache.spark.sql.graft.Bridge.{column, expression}
   def shingles3(words: Column): Column = column(Shingles3(expression(words)))
+  def bigrams(words: Column): Column = column(Bigrams(expression(words)))
 }

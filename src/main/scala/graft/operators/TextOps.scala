@@ -11,6 +11,47 @@ import org.apache.spark.sql.functions._
 object TextOps {
 
   val defs: Seq[QDef] = Seq(
+    // L39: corpus-familiarity quality score — the LM-lite member of the
+    // quality family (L8/L21 are per-doc surface heuristics; this one is
+    // CORPUS-relative, the CCNet idea with counts in place of a trained
+    // LM): a doc whose adjacent bigrams are rare across the corpus is
+    // likely garbled/boilerplate-free noise, one whose bigrams are all
+    // corpus-common is formulaic. score = mean corpus-frequency of the
+    // doc's bigram OCCURRENCES (tf-weighted, multiplicity kept — native
+    // Bigrams expression, codegen). Exact-integer until ONE final
+    // division: corpus counts and per-doc sums are long arithmetic, so
+    // cross-row order cannot diverge; both engines perform the same
+    // single IEEE divide, rounded 4dp. Scale: one tokenize pass, two
+    // map-combinable count shuffles and one vocabulary join — no floats,
+    // no windows, no driver state.
+    QDef(
+      "q_quality_bigram",
+      (s, d) => {
+        import graft.functions.ShingleExpr
+        val pairs = T.documents(s, d)
+          .select(col("doc_id"),
+            explode(ShingleExpr.bigrams(Text.words(col("text")))).as("bg"))
+        val counts = pairs.groupBy("bg").agg(count(lit(1)).as("cnt"))
+        pairs.join(counts, "bg")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"), sum("cnt").as("fam_sum"))
+          .withColumn("familiarity",
+            round(col("fam_sum").cast("double") / col("n_bigrams"), 4))
+          .orderBy(col("familiarity"), col("doc_id"))
+          .limit(100)
+          .select("doc_id", "n_bigrams", "fam_sum", "familiarity")
+      },
+      Some("""WITH toks AS (SELECT doc_id,
+             |    string_split_regex(trim(text),'\s+') AS t FROM documents),
+             |pairs AS (SELECT doc_id, unnest(list_transform(
+             |    range(1, greatest(len(t), 1)),
+             |    i -> array_to_string(t[i:i+1], ' '))) AS bg FROM toks),
+             |counts AS (SELECT bg, count(*) AS cnt FROM pairs GROUP BY bg),
+             |sc AS (SELECT doc_id, count(*) AS n_bigrams, sum(cnt) AS fam_sum
+             |       FROM pairs JOIN counts USING (bg) GROUP BY doc_id)
+             |SELECT doc_id, n_bigrams, CAST(fam_sum AS BIGINT) AS fam_sum,
+             |  round(CAST(fam_sum AS DOUBLE) / n_bigrams, 4) AS familiarity
+             |FROM sc ORDER BY familiarity, doc_id LIMIT 100""".stripMargin)),
     // L21: Gopher/C4-style rule-based quality FILTERING — the keep/drop
     // gate a pipeline runs before training, with per-rule rejection
     // counts (the curation dashboard). Rules are exact INTEGER
