@@ -243,6 +243,44 @@ object Relational2 {
              |  SELECT n_name, 'bal_sum', bal_sum FROM base
              |  UNION ALL
              |  SELECT n_name, 'bal_max', bal_max FROM base)
-             |ORDER BY n_name, measure""".stripMargin))
+             |ORDER BY n_name, measure""".stripMargin)),
+
+    // R38: explicit GROUPING SETS — arbitrary grouping-set lattices
+    // beyond the rollup (R17) / cube (R23) shorthands: here
+    // ((status, pri), (status), (pri), ()) — the rollup is NOT this set
+    // (it lacks the (pri)-only slice). grouping_id disambiguates a
+    // SET-projected null from a real null in the data; Spark's native
+    // groupingSets + DuckDB GROUPING follow the same standard bit order
+    // (first listed column = most significant). One expand + one
+    // shuffle, the same plan class as rollup/cube — no per-set rescans.
+    QDef(
+      "q_grouping_sets",
+      (s, d) => {
+        val o = T.orders(s, d)
+        o.groupingSets(
+            Seq(
+              Seq(col("o_orderstatus"), col("o_orderpriority")),
+              Seq(col("o_orderstatus")),
+              Seq(col("o_orderpriority")),
+              Seq.empty[org.apache.spark.sql.Column]),
+            col("o_orderstatus"), col("o_orderpriority"))
+          .agg(
+            grouping_id().as("gid"),
+            count(lit(1)).as("n"),
+            round(sum("o_totalprice"), 2).as("total"))
+          .select(
+            coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+            coalesce(col("o_orderpriority"), lit("ALL")).as("pri"),
+            col("gid"), col("n"), col("total"))
+          .orderBy("gid", "status", "pri")
+      },
+      Some("""SELECT coalesce(o_orderstatus,'ALL') AS status,
+             |  coalesce(o_orderpriority,'ALL') AS pri,
+             |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+             |  count(*) AS n, round(sum(o_totalprice),2) AS total
+             |FROM orders
+             |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+             |  (o_orderstatus), (o_orderpriority), ())
+             |ORDER BY gid, status, pri""".stripMargin))
   )
 }

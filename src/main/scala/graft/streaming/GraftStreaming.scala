@@ -52,6 +52,22 @@ object GraftStreaming {
         col("window.start").as("win_start"),
         col("event_type"), col("n"), col("v"))
 
+  /** Streaming gap-sessionization (T14): the streaming face of the batch
+    * sessionize operator (R25) via Spark's native session_window — state
+    * per key is ONE open session (merged as events arrive, emitted once
+    * the watermark passes the gap), not the key's event history; the
+    * window-merge machinery is the engine's, not reimplemented. */
+  def sessionCounts(
+      events: DataFrame, keyCol: String, tsCol: String,
+      watermark: String, gap: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(col(keyCol), session_window(col(tsCol), gap))
+      .agg(count(lit(1)).as("n"))
+      .select(col(keyCol),
+        col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"), col("n"))
+
   /** Stream-stream interval join (T13): correlate two live streams on a
     * key within an event-time window — the attribution shape (impression
     * joined to the click that followed it within `withinSeconds`).

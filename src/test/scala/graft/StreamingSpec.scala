@@ -188,6 +188,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("T14: session_window sessionization merges in-gap events and splits across the gap") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = GraftStreaming.sessionCounts(
+        mem.toDF().toDF("user_id", "ts"), "user_id", "ts", "1 minute", "10 minutes")
+      .writeStream.outputMode("complete").format("memory").queryName("sess_out").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    try {
+      mem.addData(
+        (1L, ts("2024-01-01 10:00:00")),
+        (1L, ts("2024-01-01 10:05:00")), // merges into session 1 (< 10 min gap)
+        (1L, ts("2024-01-01 10:30:00")), // > gap → session 2
+        (2L, ts("2024-01-01 10:00:00")))
+      q.processAllAvailable()
+      // a later event EXTENDS user 2's open session across batches
+      mem.addData((2L, ts("2024-01-01 10:08:00")))
+      q.processAllAvailable()
+      val out = spark.sql(
+        "SELECT user_id, sess_start, n FROM sess_out ORDER BY user_id, sess_start")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(2)))
+      assert(out.toSeq == Seq(
+        (1L, "2024-01-01 10:00:00.0", 2L),
+        (1L, "2024-01-01 10:30:00.0", 1L),
+        (2L, "2024-01-01 10:00:00.0", 2L)))
+    } finally q.stop()
+  }
+
   test("T13: watermarked stream-stream interval join attributes clicks to impressions") {
     implicit val sc = spark.sqlContext
     val imps = MemoryStream[(Long, java.sql.Timestamp, String)]
