@@ -90,10 +90,67 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
     copy(left = l, right = r)
 }
 
+object Dequant8Impl {
+  /** Fused int8 scalar quantize→dequantize (SURVEY §2.3 L40): per-vector
+    * [min,max] range mapped onto 256 levels, each element snapped to its
+    * level's reconstruction value — the value an int8-compressed ANN
+    * index would search over (codes cost 1 byte/dim vs 8: the ×8 memory
+    * lever for 100 TB vector search; fidelity is bounded by range/255
+    * per element). Every op (min/max select, one divide, subtract,
+    * floor(x+0.5), multiply, add) is an exact-parity IEEE sequence the
+    * oracle mirrors literally with list_min/list_max/list_transform;
+    * codes from (x-mn)/scale are always >= 0, so the plain floor(x+0.5)
+    * half of the QuantizeVec parity formula applies. A constant vector
+    * (mx == mn, scale 0) reconstructs as all-mn. */
+  def eval(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    var mn = Double.PositiveInfinity
+    var mx = Double.NegativeInfinity
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i)
+      if (x < mn) mn = x
+      if (x > mx) mx = x
+      i += 1
+    }
+    val out = new Array[Double](n)
+    val scale = (mx - mn) / 255.0
+    i = 0
+    while (i < n) {
+      out(i) =
+        if (scale == 0) mn
+        else mn + math.floor((a.getDouble(i) - mn) / scale + 0.5) * scale
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Native fused int8 quantize→dequantize over array<double> — one tight
+  * whole-stage-codegen pass (HOF min/max + transform would be three
+  * interpreted walks). */
+case class Dequant8(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "vec_dequant8"
+
+  override def nullSafeEval(input: Any): Any =
+    Dequant8Impl.eval(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Dequant8Impl$$.MODULE$$.eval($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Dequant8 =
+    copy(child = newChild)
+}
+
 object VectorExpr {
   import org.apache.spark.sql.graft.Bridge.{column, expression}
   def dot(a: Column, b: Column): Column =
     column(DotProduct(expression(a), expression(b)))
+
+  /** Fused int8 scalar quantize→dequantize (see [[Dequant8Impl]]). */
+  def dequant8(a: Column): Column = column(Dequant8(expression(a)))
 
   /** Quantize an array<double> column to integer-valued doubles (see
     * [[VecImpl.quantize]] for the parity-exact rounding formula). */

@@ -293,6 +293,26 @@ object Similarity {
       .orderBy("q_id", "rn")
   }
 
+  /** L40: brute top-3 (the L6 plan) over int8-reconstructed vectors. */
+  private def annQuantized(s: SparkSession, d: String): DataFrame = {
+    val n = T.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v0"))
+      .withColumn("v", graft.functions.VectorExpr.dequant8(col("v0")))
+      .withColumn("nrm", sqrt(VectorExpr.dot(col("v"), col("v"))))
+      .filter(col("nrm") > 0)
+      .select("vec_id", "v", "nrm")
+    val q = n.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val c = n.select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val w = Window.partitionBy("q_id").orderBy(desc("cos"), col("c_id"))
+    c.join(broadcast(q), col("q_id") =!= col("c_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv"), col("qn"), col("cn")))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("q_id"), col("rn"), col("c_id"), round(col("cos"), 4).as("cos"))
+      .orderBy("q_id", "rn")
+  }
+
   private val CosSql =
     "list_reduce(list_cat([0.0], list_transform(range(1, len(q.v)+1), i -> q.v[i]*c.v[i])), (a,x) -> a+x) / (q.nrm*c.nrm)"
 
@@ -459,6 +479,35 @@ object Similarity {
               |  JOIN n q ON q.vec_id = a.c_id
               |  JOIN n c ON c.vec_id = b.c_id)
               |SELECT d1, d2, round(cos,4) AS cos FROM p
-              |ORDER BY 3 DESC, d1, d2 LIMIT 20""".stripMargin))
+              |ORDER BY 3 DESC, d1, d2 LIMIT 20""".stripMargin)),
+
+    // L40: ANN over int8-quantized vectors — the ×8 memory lever for
+    // 100 TB vector search: per-vector scalar quantization (range →
+    // 256 levels, fused native Dequant8, one codegen pass), then the
+    // same broadcast-queries brute top-3 as L6 over the RECONSTRUCTED
+    // vectors. The oracle replays min/max, the level snap, and the
+    // sequential cosine fold bit-exactly; AnnSpec measures recall@3 vs
+    // the full-precision ranking.
+    QDef(
+      "q_ann_quantized",
+      annQuantized,
+      Some(s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v0 FROM embeddings),
+              |rng AS (SELECT vec_id, v0, list_min(v0) mn, list_max(v0) mx FROM e),
+              |dq AS (SELECT vec_id, CASE WHEN mx = mn
+              |    THEN list_transform(v0, x -> mn)
+              |    ELSE list_transform(v0, x ->
+              |      mn + floor((x - mn) / ((mx - mn) / 255.0) + 0.5) * ((mx - mn) / 255.0))
+              |    END AS v FROM rng),
+              |n AS (SELECT vec_id, v, nrm FROM (
+              |  SELECT vec_id, v,
+              |    sqrt(list_reduce(list_cat([0.0], list_transform(v, x -> x*x)), (a,x) -> a+x)) nrm
+              |  FROM dq) WHERE nrm > 0),
+              |p AS (SELECT q.vec_id q_id, c.vec_id c_id, $CosSql cos
+              |      FROM n q JOIN n c ON q.vec_id < 20 AND q.vec_id <> c.vec_id),
+              |r AS (SELECT q_id, c_id, cos,
+              |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) rn
+              |      FROM p)
+              |SELECT q_id, rn, c_id, round(cos,4) AS cos FROM r WHERE rn <= 3
+              |ORDER BY q_id, rn""".stripMargin))
   )
 }

@@ -156,4 +156,16 @@ class AnnSpec extends AnyFunSuite {
     assert(rows.forall(r => r.getLong(0) != r.getLong(2)))
     assert(rows.forall(r => math.abs(r.getDouble(3)) <= 1.0))
   }
+
+  test("L40: int8-quantized ranking nearly matches full precision (8 bits ≈ exact at this dim)") {
+    val brute = SparkEntry.queries("q_ann_brute")(spark, dir)
+      .select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quant = SparkEntry.queries("q_ann_quantized")(spark, dir)
+      .select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(quant.size == brute.size)
+    val recall = (brute intersect quant).size.toDouble / brute.size
+    // per-element error ≤ range/510 barely perturbs a unit-norm cosine;
+    // only knife-edge rank-3 boundaries may flip
+    assert(recall >= 0.9, s"quantized recall $recall")
+  }
 }
