@@ -11,13 +11,14 @@ class PlanAuditSpec extends AnyFunSuite {
   private val dir = "/root/testdata/sf0.001"
 
   /** Queries whose BroadcastNestedLoopJoin is bounded by construction:
-    * q_ann_brute broadcasts a ≤20-vector probe set; q_ann_ivf and
-    * q_ann_ivf_trained broadcast their K=8 centroids for coarse
-    * assignment. Everything else must not plan a BNLJ at all — an
-    * unbounded one is a full-corpus broadcast that OOMs before the n²
-    * compute matters. */
+    * q_ann_brute and q_ann_quantized broadcast a ≤20-vector probe set;
+    * q_ann_ivf and q_ann_ivf_trained broadcast their K=8 centroids for
+    * coarse assignment. Everything else must not plan a BNLJ at all —
+    * an unbounded one is a full-corpus broadcast that OOMs before the
+    * n² compute matters. */
   private val boundedBnlj =
-    Set("q_ann_brute", "q_ann_ivf", "q_ann_ivf_trained", "q_dedup_semantic")
+    Set("q_ann_brute", "q_ann_quantized", "q_ann_ivf", "q_ann_ivf_trained",
+      "q_dedup_semantic")
 
   test("no CartesianProduct and no unbounded BroadcastNestedLoopJoin in any plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
