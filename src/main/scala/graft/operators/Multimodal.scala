@@ -289,6 +289,65 @@ object Multimodal {
     }(RowEncoder.encoderFor(outSchema))
   }
 
+  /** Per-frame scene-change detection over one video's bytes: L1
+    * distance between consecutive frame luminance histograms; a frame is
+    * a KEYFRAME when it opens the video or jumps past `threshold`
+    * (histograms are L1-normalized, so distances live in [0,2] — 2 =
+    * disjoint luminance mass). Returns (frame_idx, dist, isKey) per
+    * decodable frame. */
+  private[operators] def keyframeKernel(
+      bytes: Array[Byte], threshold: Double): Option[Seq[(Int, Double, Boolean)]] = {
+    val frames = aviMjpegFrames(bytes)
+    if (frames.isEmpty) return None
+    var prev: Array[Double] = null
+    val out = scala.collection.mutable.ArrayBuffer[(Int, Double, Boolean)]()
+    var idx = 0
+    frames.foreach { f =>
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f))
+        if (img != null) {
+          val hist = lumHistogram(img)
+          if (prev == null) out += ((idx, 0.0, true))
+          else {
+            var d = 0.0
+            var j = 0
+            while (j < FeatureDim) { d += math.abs(hist(j) - prev(j)); j += 1 }
+            out += ((idx, d, d > threshold))
+          }
+          prev = hist
+          idx += 1
+        }
+      } catch { case _: java.io.IOException => () }
+    }
+    if (out.isEmpty) None else Some(out.toSeq)
+  }
+
+  /** Keyframe selection over media rows (the training-data shape: keep
+    * one frame per scene instead of every frame — a 30 fps corpus is
+    * ~30× oversampled for vision training). Partition-batched like every
+    * decode here (per-row codec state; zero shuffle); output one row per
+    * decodable frame (media_id, frame_idx, scene_dist, is_key) so the
+    * downstream pipeline filters `is_key` or ranks by scene_dist. */
+  def selectKeyframes(
+      spark: SparkSession, media: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("scene_dist", DoubleType, nullable = false),
+      StructField("is_key", BooleanType, nullable = false)))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val bytesIdx = media.schema.fieldIndex("bytes")
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = if (r.isNullAt(bytesIdx)) null else r.getAs[Array[Byte]](bytesIdx)
+        keyframeKernel(bytes, threshold) match {
+          case Some(fs) => fs.map { case (i, d, k) => Row(r.getLong(idIdx), i, d, k) }
+          case None => Seq.empty[Row]
+        }
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
   /** Feature extraction over media rows: partition-batched, zero shuffle,
     * output schema (media_id, feature array). */
   def extractFeatures(spark: SparkSession, media: DataFrame): DataFrame = {

@@ -123,6 +123,39 @@ class MultimodalSpec extends AnyFunSuite {
     assert(s.getSeq[Double](5).length == Multimodal.FeatureDim)
   }
 
+  test("L12f: keyframe selection — scene changes flagged, steady frames not; non-video yields no rows") {
+    import spark.implicits._
+    def jpeg(rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(8, 6, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 6; x <- 0 until 8) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+      bos.toByteArray
+    }
+    def le32(n: Int): Array[Byte] =
+      Array((n & 0xFF).toByte, ((n >> 8) & 0xFF).toByte,
+        ((n >> 16) & 0xFF).toByte, ((n >> 24) & 0xFF).toByte)
+    def chunk(id: String, body: Array[Byte]): Array[Byte] =
+      id.getBytes("US-ASCII") ++ le32(body.length) ++ body ++
+        (if (body.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+    // black, black (steady), white (scene cut), white (steady)
+    val frames = Seq(jpeg(0x000000), jpeg(0x000000), jpeg(0xFFFFFF), jpeg(0xFFFFFF))
+    val movi = chunk("LIST", "movi".getBytes("US-ASCII") ++
+      frames.map(chunk("00dc", _)).reduce(_ ++ _))
+    val avi = "RIFF".getBytes("US-ASCII") ++ le32(4 + movi.length) ++
+      "AVI ".getBytes("US-ASCII") ++ movi
+    val rows = Seq((1L, avi), (2L, "not a video".getBytes.toArray))
+      .toDF("media_id", "bytes")
+    val out = Multimodal.selectKeyframes(spark, rows, threshold = 0.5)
+      .orderBy("media_id", "frame_idx").collect()
+    assert(out.forall(_.getLong(0) == 1L), "non-video must contribute no frame rows")
+    assert(out.length == 4)
+    assert(out.map(_.getBoolean(3)).toSeq == Seq(true, false, true, false))
+    // scene distance: black→white moves ~all mass across the histogram
+    assert(out(2).getDouble(2) > 1.5)
+    assert(out(1).getDouble(2) < 0.2 && out(3).getDouble(2) < 0.2)
+  }
+
   test("L12e: image resize — exact pixels under nearest-neighbor, lossless round-trip, stub fallback") {
     import java.awt.image.BufferedImage
     // 4×4 quadrant image: solid colors per 2×2 quadrant
