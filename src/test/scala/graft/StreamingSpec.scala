@@ -188,6 +188,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("T15: Trigger.AvailableNow backfill drains the snapshot log and terminates") {
+    val path = TestSpark.tmpDir("streamavail")
+    val t = GraftTable.create(spark, path,
+      StructType(Seq(StructField("k", IntegerType), StructField("v", StringType))))
+    t.append(Seq((1, "a")).toDF("k", "v"))
+    t.append(Seq((2, "b")).toDF("k", "v"))
+    val q = spark.readStream.format("graft").load(path)
+      .writeStream.outputMode("append").format("memory").queryName("avail_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    // AvailableNow = batch-style backfill THROUGH the streaming source:
+    // consume everything available at start, then stop on its own
+    assert(q.awaitTermination(120000), "AvailableNow query must self-terminate")
+    assert(spark.sql("SELECT k FROM avail_out ORDER BY k").collect().map(_.getInt(0)).toSeq
+      == Seq(1, 2))
+    // a commit AFTER termination stays unconsumed (no running query)
+    t.append(Seq((3, "c")).toDF("k", "v"))
+    assert(spark.sql("SELECT count(*) FROM avail_out").first().getLong(0) == 2)
+    // a SECOND AvailableNow run from the same checkpointless sink state
+    // re-reads from scratch (fresh query) and sees all three commits
+    spark.sql("DROP TABLE IF EXISTS avail_out")
+    val q2 = spark.readStream.format("graft").load(path)
+      .writeStream.outputMode("append").format("memory").queryName("avail_out2")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q2.awaitTermination(120000))
+    assert(spark.sql("SELECT count(*) FROM avail_out2").first().getLong(0) == 3)
+  }
+
   test("T14: session_window sessionization merges in-gap events and splits across the gap") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[(Long, java.sql.Timestamp)]
