@@ -306,6 +306,71 @@ object KMeansOp {
           .agg(count(lit(1)).as("n"), min("vec_id").as("min_id"))
           .orderBy("cluster_id")
       },
-      Some(kmeansOracle))
+      Some(kmeansOracle)),
+
+    // L41: label coherence / confusion matrix — nearest-CLASS-centroid
+    // assignment of every embedding against its own label (the
+    // training-data curation lens: off-diagonal mass = label noise or
+    // class overlap in embedding space; a per-class nearest-centroid
+    // probe is the standard cheap separability check). Reuses the
+    // ENTIRE proven k-means parity machinery: quantized inputs make the
+    // per-LABEL centroid sums exact under any partitioning, centroids
+    // are L × dims bounded driver doubles, assignment is the same
+    // (vn2 − 2·dot + cn2) sequential-fold distance with first-index
+    // (lowest label) tie-break both engines. One scalar-pair shuffle for
+    // the sums, one broadcast-literal pass for assignment.
+    QDef(
+      "q_label_confusion",
+      (s, d) => {
+        val q = T.embeddings(s, d).select(col("vec_id"), col("label"),
+          graft.functions.VectorExpr.quantize(
+            col("embedding").cast(ArrayType(DoubleType)), KmScale).as("qv"))
+        // per-(label, dim) exact sums → L × dims driver scalars
+        val sums = q
+          .select(col("label"), posexplode(col("qv")).as(Seq("p", "x")))
+          .groupBy("label", "p").agg(sum("x").as("s"), count(lit(1)).as("n"))
+          .collect()
+        val labels = sums.map(_.getInt(0)).distinct.sorted
+        val dims = sums.map(_.getInt(1)).max + 1
+        val acc = labels.map(_ => new Array[Double](dims))
+        val cnt = new Array[Long](labels.length)
+        val idx = labels.zipWithIndex.toMap
+        sums.foreach { r =>
+          acc(idx(r.getInt(0)))(r.getInt(1)) = r.getDouble(2)
+          cnt(idx(r.getInt(0))) = r.getLong(3)
+        }
+        val cents = labels.indices.map(i => acc(i).map(_ / cnt(i))).toArray
+        val predOfIdx = map(labels.zipWithIndex.flatMap { case (l, i) =>
+          Seq(lit(i), lit(l)) }.toSeq: _*)
+        transformDf(q, "vec_id", "qv", cents)
+          .join(q.select(col("vec_id"), col("label")), "vec_id")
+          .select(col("label"), element_at(predOfIdx, col("cluster_id")).as("pred"))
+          .groupBy("label", "pred").agg(count(lit(1)).as("n"))
+          .orderBy("label", "pred")
+      },
+      Some {
+        val qx = s"CAST(x AS DOUBLE)*$KmScale"
+        val quant = s"CASE WHEN $qx >= 0 THEN floor($qx + 0.5) ELSE -floor(-($qx) + 0.5) END"
+        val dot =
+          "list_reduce(list_cat([0.0], list_transform(range(1, len(a.v)+1), i -> a.v[i]*c.cv[i])), (p,x) -> p+x)"
+        s"""WITH v0 AS (SELECT vec_id, label,
+           |    list_transform(embedding, x -> $quant) AS v FROM embeddings),
+           |vv AS (SELECT vec_id, label, v,
+           |    list_reduce(list_cat([0.0], list_transform(v, x -> x*x)), (p,x) -> p+x) AS vn2
+           |  FROM v0 WHERE v IS NOT NULL),
+           |e AS (SELECT label, unnest(v) AS x, unnest(range(1, len(v)+1)) AS p FROM vv),
+           |m AS (SELECT label AS c, list(cm ORDER BY p) AS cv FROM (
+           |    SELECT label, p, sum(x)/count(*) AS cm FROM e GROUP BY label, p) GROUP BY label),
+           |cn AS (SELECT c, cv,
+           |    list_reduce(list_cat([0.0], list_transform(cv, x -> x*x)), (p,x) -> p+x) AS cn2
+           |  FROM m),
+           |pr AS (SELECT vec_id, label, c AS pred FROM (
+           |    SELECT a.vec_id, a.label, c.c,
+           |      row_number() OVER (PARTITION BY a.vec_id
+           |        ORDER BY (a.vn2 - 2.0*$dot + c.cn2), c.c) AS rn
+           |    FROM vv a CROSS JOIN cn c) WHERE rn = 1)
+           |SELECT label, pred, count(*) AS n FROM pr
+           |GROUP BY label, pred ORDER BY label, pred""".stripMargin
+      })
   )
 }
