@@ -281,6 +281,41 @@ object Relational2 {
              |FROM orders
              |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
              |  (o_orderstatus), (o_orderpriority), ())
-             |ORDER BY gid, status, pri""".stripMargin))
+             |ORDER BY gid, status, pri""".stripMargin)),
+
+    // R39: semi-structured JSON access — a REAL JSON parse of the
+    // events.props payload (from_json with a declared schema — Jackson
+    // under Spark's codegen'd JsonToStructs — vs DuckDB's JSON
+    // extension), not the regexp shortcut of R19: malformed/missing
+    // keys become NULLs on both engines (from_json null field ≡
+    // json_extract_string miss), aggregated per event_type. Integer
+    // sums/extrema only — no float parity surface at all. The schema-on
+    // -read shape: at 100 TB the parse is one codegen'd map pass and the
+    // aggregation is the usual map-side-combinable shuffle.
+    QDef(
+      "q_json_extract",
+      (s, d) => {
+        val k = from_json(col("props"),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.LongType)))).getField("k")
+        T.events(s, d)
+          .select(col("event_type"), k.as("k"))
+          .groupBy("event_type")
+          .agg(
+            count(lit(1)).as("n"),
+            count(col("k")).as("n_with_k"),
+            sum("k").as("k_sum"),
+            min("k").as("k_min"),
+            max("k").as("k_max"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n,
+             |  count(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+             |  CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+             |  min(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
+             |  max(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
+             |FROM events
+             |GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 }
