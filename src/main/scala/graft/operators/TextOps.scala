@@ -11,6 +11,35 @@ import org.apache.spark.sql.functions._
 object TextOps {
 
   val defs: Seq[QDef] = Seq(
+    // L42: tokenizer vocabulary induction — the literal FIRST BPE merge
+    // iteration: count adjacent symbol (character) pairs inside every
+    // word across the corpus and rank the merge candidates (the pair a
+    // BPE trainer would fuse first). Exact-integer counts, deterministic
+    // (cnt desc, pair asc) ranking; the char-pair walk reuses the native
+    // Bigrams expression over a char split (one codegen pass per word).
+    // Scale: tokenize + double explode is the linear corpus pass; the
+    // count shuffle is map-side-combinable on a vocabulary-sized key
+    // space (distinct char pairs), top-50 via the final bounded sort.
+    QDef(
+      "q_bpe_pairs",
+      (s, d) => {
+        import graft.functions.ShingleExpr
+        T.documents(s, d)
+          .select(explode(Text.words(col("text"))).as("w"))
+          .filter(length(col("w")) >= 2)
+          .select(explode(ShingleExpr.bigrams(split(col("w"), ""))).as("pair"))
+          .groupBy("pair").agg(count(lit(1)).as("cnt"))
+          .orderBy(desc("cnt"), col("pair"))
+          .limit(50)
+      },
+      Some("""WITH w AS (SELECT unnest(string_split_regex(trim(text),'\s+')) AS w
+             |  FROM documents),
+             |p AS (SELECT unnest(list_transform(range(1, len(w)),
+             |    i -> w[i] || ' ' || w[i+1])) AS pair
+             |  FROM w WHERE len(w) >= 2)
+             |SELECT pair, count(*) AS cnt FROM p
+             |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 50""".stripMargin)),
+
     // L39: corpus-familiarity quality score — the LM-lite member of the
     // quality family (L8/L21 are per-doc surface heuristics; this one is
     // CORPUS-relative, the CCNet idea with counts in place of a trained
