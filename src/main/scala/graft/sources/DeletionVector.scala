@@ -86,23 +86,6 @@ object DeletionVector {
   }
 }
 
-/** Hadoop Configuration is not Serializable; executor tasks that read or
-  * write sidecars need the driver's conf (filesystem credentials, object
-  * store endpoints). Same shape as Spark's internal
-  * SerializableConfiguration, re-expressed on public API only. */
-final class SerializableHadoopConf(@transient var value: Configuration)
-    extends Serializable {
-  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
-    out.defaultWriteObject()
-    value.write(out)
-  }
-  private def readObject(in: java.io.ObjectInputStream): Unit = {
-    in.defaultReadObject()
-    value = new Configuration(false)
-    value.readFields(in)
-  }
-}
-
 object DvReaderFactory {
   /** PartitionedFile metadata key carrying the file's deletion-vector
     * sidecar path (table-root-relative). Like GraftMorReaderFactory's
@@ -130,7 +113,7 @@ final class DvReaderFactory(
     filtered: org.apache.spark.sql.connector.read.PartitionReaderFactory,
     clean: org.apache.spark.sql.connector.read.PartitionReaderFactory,
     tableRoot: String,
-    conf: SerializableHadoopConf)
+    conf: org.apache.spark.util.SerializableConfiguration)
     extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
 
   import org.apache.spark.sql.catalyst.InternalRow

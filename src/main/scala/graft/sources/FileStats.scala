@@ -24,7 +24,11 @@ import scala.jdk.CollectionConverters._
   * NULL prunes the file); > 0 = that many nulls; -1 = unknown (footer
   * did not report — never prune on it). An ALL-null column records
   * min = max = null with its nullCount — IS NOT NULL and every
-  * value predicate prune such a file.
+  * value predicate prune such a file. (The pre-S39 writer encoded
+  * footer-omitted counts as 0; no such manifests persist — every graft
+  * table here is created fresh by the current writer, and parquet-mr /
+  * ORC always report null counts for the files our write path stages —
+  * but a migration from foreign manifests would need a stats version.)
   */
 final case class ColStats(min: String, max: String, nullCount: Long) {
   // @JsonIgnore: a bean-shaped def would otherwise serialize into the
@@ -47,13 +51,19 @@ object FileStats {
     try {
       val blocks = reader.getFooter.getBlocks.asScala
       // (min, max) null for an all-null chunk; nullCount -1 once any
-      // chunk's footer omits the count (unknown poisons the sum)
+      // chunk's footer omits the count (unknown poisons the sum). A
+      // chunk with NO stats object at all poisons the whole column —
+      // min/max merged from the other chunks would miss its values and
+      // wrongly prune (its null state is equally unknowable).
       val acc = scala.collection.mutable.Map[String,
         (Comparable[Any], Comparable[Any], Long, org.apache.parquet.schema.PrimitiveType)]()
+      val poisoned = scala.collection.mutable.Set[String]()
       for (block <- blocks; col <- block.getColumns.asScala) {
         val stats = col.getStatistics
-        if (stats != null && (stats.hasNonNullValue || stats.isNumNullsSet)) {
-          val name = col.getPath.toDotString
+        val name = col.getPath.toDotString
+        if (stats == null || (!stats.hasNonNullValue && !stats.isNumNullsSet)) {
+          poisoned += name
+        } else {
           val tpe = col.getPrimitiveType
           val mn: Comparable[Any] =
             if (stats.hasNonNullValue) stats.genericGetMin.asInstanceOf[Comparable[Any]] else null
@@ -73,7 +83,8 @@ object FileStats {
         }
       }
       val stats = acc.flatMap { case (name, (mn, mx, nulls, tpe)) =>
-        if (mn == null && nulls <= 0) None // nothing provable about this column
+        if (poisoned(name)) None // a stats-less chunk: nothing provable
+        else if (mn == null && nulls <= 0) None // nothing provable about this column
         else Some(name -> ColStats(
           if (mn == null) null else render(mn, tpe),
           if (mx == null) null else render(mx, tpe), nulls))

@@ -190,9 +190,13 @@ class GraftTable private (
   /** `deletion-vectors.enabled` (S37): row-predicate DELETE on an APPEND
     * table writes per-file position sidecars instead of a group rewrite.
     * PK tables already have a cheaper delete (RowKind tombstones through
-    * the LSM merge), so the option targets append tables. */
+    * the LSM merge), so the option targets append tables. Parquet-only
+    * (position collection needs `_metadata.row_index`): an ORC table
+    * with the option set reports NOT dv-enabled, so SQL DELETE falls
+    * back to the group rewrite instead of failing in dvDelete. */
   private[sources] def dvEnabled: Boolean =
-    !isPkTable && options.getOrElse("deletion-vectors.enabled", "false").toBoolean
+    !isPkTable && fileFormat == "parquet" &&
+      options.getOrElse("deletion-vectors.enabled", "false").toBoolean
 
   /** Paimon's `merge-engine` table option: how multiple versions of one
     * primary key resolve at read time.
@@ -524,7 +528,7 @@ class GraftTable private (
         substring_index(col("_metadata.file_path"), "/", -1).as("__gfile"),
         col("_metadata.row_index").as("__gpos"))
     val rootStr = root
-    val serConf = new SerializableHadoopConf(hadoopConf)
+    val serConf = new org.apache.spark.util.SerializableConfiguration(hadoopConf)
     val rowCountByName: Map[String, Long] =
       candidates.flatMap(f => f.rowCountOpt.map(nameOf(f.path) -> _)).toMap
     import spark.implicits._
@@ -1067,6 +1071,9 @@ class GraftTable private (
         (isPkTable || currentFiles(snapshotId).exists(_.hasDv))) {
       var reader = spark.read.format("graft")
       snapshotId.foreach(id => reader = reader.option("snapshotId", id.toString))
+      // the V2 provider loads the ROOT table — a branch view must
+      // forward its ref or the scan would silently read main's log
+      branchName.foreach(b => reader = reader.option("branch", b))
       var df = reader.load(root)
       partitionFilter.foreach(f => df = df.filter(f))
       return df
@@ -1082,24 +1089,7 @@ class GraftTable private (
     // rare fallback (bucket/dataFilters read of a dv table): mask deleted
     // positions with an anti-join on (filename, row position) against the
     // sidecars, read in a parallelized executor job — never collected
-    val dvFiles = files.filter(_.hasDv)
-    if (dvFiles.nonEmpty) {
-      import spark.implicits._
-      val rootStr = root
-      val serConf = new SerializableHadoopConf(hadoopConf)
-      val dvInfo = dvFiles.map(f =>
-        (f.path.substring(f.path.lastIndexOf('/') + 1), f.dvPath))
-      val posDf = spark.createDataset(dvInfo)
-        .flatMap { case (fname, dv) =>
-          DeletionVector.read(serConf.value, rootStr, dv).map(p => (fname, p))
-        }
-        .toDF("__gfile", "__gpos")
-      raw = raw
-        .withColumn("__gfile", substring_index(col("_metadata.file_path"), "/", -1))
-        .withColumn("__gpos", col("_metadata.row_index"))
-        .join(posDf, Seq("__gfile", "__gpos"), "left_anti")
-        .drop("__gfile", "__gpos")
-    }
+    raw = maskByDv(raw, files.filter(_.hasDv))
     var merged = if (isPkTable) mergeVersions(raw) else raw
     // POST-merge row filter keeps partitionFilter semantics exact even
     // when file-level pruning was skipped as version-unsafe (see
@@ -1107,6 +1097,30 @@ class GraftTable private (
     // parquet reader absorbs
     partitionFilter.foreach(f => merged = merged.filter(f))
     merged.select(schema.fieldNames.map(col).toSeq: _*)
+  }
+
+  /** Mask `dvFiles`' sidecar positions out of `raw` (which must carry
+    * `_metadata`) with an anti-join on (filename, row position); the
+    * sidecars are read in a parallelized executor job, never collected.
+    * Filenames are uuid-unique within the table, sidestepping URI-form
+    * mismatches between `_metadata.file_path` and root. */
+  private def maskByDv(raw: DataFrame, dvFiles: Seq[FileMeta]): DataFrame = {
+    if (dvFiles.isEmpty) return raw
+    import spark.implicits._
+    val rootStr = root
+    val serConf = new org.apache.spark.util.SerializableConfiguration(hadoopConf)
+    val dvInfo = dvFiles.map(f =>
+      (f.path.substring(f.path.lastIndexOf('/') + 1), f.dvPath))
+    val posDf = spark.createDataset(dvInfo)
+      .flatMap { case (fname, dv) =>
+        DeletionVector.read(serConf.value, rootStr, dv).map(p => (fname, p))
+      }
+      .toDF("__gfile", "__gpos")
+    raw
+      .withColumn("__gfile", substring_index(col("_metadata.file_path"), "/", -1))
+      .withColumn("__gpos", col("_metadata.row_index"))
+      .join(posDf, Seq("__gfile", "__gpos"), "left_anti")
+      .drop("__gfile", "__gpos")
   }
 
   /** Resolve multiple row versions per primary key according to the
@@ -1209,17 +1223,21 @@ class GraftTable private (
     // rewrite existing data with fresh paths and must not flood the
     // stream with re-inserts of old rows.
     val range = (fromExclusive + 1) to toInclusive
+    def expired(e: java.io.FileNotFoundException): Nothing =
+      throw new IllegalStateException(
+        s"snapshots in [$fromExclusive, $toInclusive] were expired; " +
+          "the incremental stream cannot resume — restart from a fresh checkpoint " +
+          "(register a consumer-id to pin the resume window from expiry)", e)
     val snaps =
       try range.map(readSnapshot)
-      catch {
-        case e: java.io.FileNotFoundException =>
-          throw new IllegalStateException(
-            s"snapshots in ($fromExclusive, $toInclusive] were expired; " +
-              "the incremental stream cannot resume — restart from a fresh checkpoint", e)
-      }
+      catch { case e: java.io.FileNotFoundException => expired(e) }
     var prev: Set[String] =
       if (fromExclusive <= 0) Set.empty
-      else filesOf(readSnapshot(fromExclusive)).map(_.path).toSet
+      else
+        // the diff base: the last CONSUMED snapshot — reading it expired
+        // is the same resume failure as a missing range snapshot
+        try filesOf(readSnapshot(fromExclusive)).map(_.path).toSet
+        catch { case e: java.io.FileNotFoundException => expired(e) }
     val added = scala.collection.mutable.ArrayBuffer[FileMeta]()
     for (snap <- snaps) {
       val live = filesOf(snap)
@@ -1250,6 +1268,20 @@ class GraftTable private (
       // deleted keys / double-counting updates
       if (!changelog)
         raw = raw.filter(col(KindCol).isin(RowKind.Insert, RowKind.UpdateAfter))
+    } else if (dvEnabled) {
+      // S37: mask rows the `to` snapshot's deletion vectors exclude, by
+      // the emitted files' CURRENT metas — a backfill over a dv table
+      // must match what a batch read returns (append tables carry no
+      // retractions to replay). Files the current snapshot no longer
+      // lists (fully-deleted, or compacted away) replay unmasked: after
+      // a COMPACT rebase the original appends are the stream's only
+      // copy of the rows, the same history-rewrite caveat Paimon's
+      // incremental reads document.
+      val dvByName = filesOf(readSnapshot(toInclusive)).filter(_.hasDv)
+        .map(f => f.path.substring(f.path.lastIndexOf('/') + 1) -> f).toMap
+      val emittedDv = added.toSeq.flatMap(f =>
+        dvByName.get(f.path.substring(f.path.lastIndexOf('/') + 1)))
+      raw = maskByDv(raw, emittedDv)
     }
     raw.select(outCols: _*)
   }
@@ -1359,36 +1391,55 @@ class GraftTable private (
     branchName.map(b => s"branch/$b/consumer").getOrElse("consumer")
 
   /** Record `consumerId`'s progress: `nextSnapshot` is the first
-    * snapshot it still needs. Expiry keeps every snapshot >= the
-    * minimum registered nextSnapshot (minus stale consumers, below), so
-    * a paused stream can resume without a lost-offset error. Progress
-    * writes are tiny single-file swaps — called once per committed
-    * micro-batch, never per row. */
+    * snapshot it has NOT yet consumed. Expiry keeps the consumer's
+    * resume window readable (nextSnapshot-1 and later — the incremental
+    * diff needs the last CONSUMED snapshot's file set as its base), so
+    * a paused stream resumes without a lost-offset error.
+    *
+    * Publish is a NEW versioned file (`consumer-<id>-<n>.json`) followed
+    * by best-effort deletion of the id's older versions — at no instant
+    * is the id absent from a directory listing, so a concurrent
+    * expireSnapshots cannot race past the pin (a delete-then-rename
+    * swap would open exactly that window). Progress writes are tiny
+    * metadata files — once per committed micro-batch, never per row. */
   def commitConsumer(consumerId: String, nextSnapshot: Long): Unit = {
     require(consumerId.nonEmpty &&
       consumerId.forall(c => c.isLetterOrDigit || c == '-' || c == '_'),
       s"invalid consumer id: $consumerId")
+    val dst = new Path(root, s"$consumerDirRel/consumer-$consumerId-$nextSnapshot.json")
     val tmp = new Path(root,
       s"$consumerDirRel/.tmp-$consumerId-${UUID.randomUUID().toString.take(8)}")
     writeString(fs, tmp, mapper.writeValueAsString(
       ConsumerMeta(consumerId, nextSnapshot, System.currentTimeMillis())))
-    val dst = new Path(root, s"$consumerDirRel/consumer-$consumerId.json")
-    fs.delete(dst, false)
-    if (!fs.rename(tmp, dst)) {
-      fs.delete(tmp, false)
-      throw new IllegalStateException(s"failed to record consumer $consumerId at $root")
-    }
+    if (!fs.rename(tmp, dst)) fs.delete(tmp, false) // same-offset re-commit: keep existing
+    consumerFiles(consumerId)
+      .filter(p => p.getName != dst.getName)
+      .foreach(p => try fs.delete(p, false) catch { case _: java.io.IOException => () })
   }
 
   def deleteConsumer(consumerId: String): Boolean =
-    fs.delete(new Path(root, s"$consumerDirRel/consumer-$consumerId.json"), false)
+    consumerFiles(consumerId).map(p => fs.delete(p, false)).exists(identity)
+
+  private def consumerFiles(consumerId: String): Seq[Path] = {
+    val dir = new Path(root, consumerDirRel)
+    if (!fs.exists(dir)) return Seq.empty
+    fs.listStatus(dir).toSeq.map(_.getPath)
+      .filter(p => p.getName.startsWith(s"consumer-$consumerId-") && p.getName.endsWith(".json"))
+  }
 
   def consumers: Seq[ConsumerMeta] = {
     val dir = new Path(root, consumerDirRel)
     if (!fs.exists(dir)) return Seq.empty
     fs.listStatus(dir).toSeq.map(_.getPath)
       .filter(p => p.getName.startsWith("consumer-") && p.getName.endsWith(".json"))
-      .map(p => mapper.readValue(readString(fs, p), classOf[ConsumerMeta]))
+      .flatMap { p =>
+        // a concurrently-deleted older version is not an error
+        try Some(mapper.readValue(readString(fs, p), classOf[ConsumerMeta]))
+        catch { case _: java.io.IOException => None }
+      }
+      // several versions of one id may coexist mid-publish: progress is
+      // monotonic, the greatest nextSnapshot is the consumer's truth
+      .groupBy(_.consumerId).values.map(_.maxBy(_.nextSnapshot)).toSeq
       .sortBy(_.consumerId)
   }
 
@@ -1571,12 +1622,13 @@ class GraftTable private (
     if (ids.length <= retainLast) return Seq.empty
     val tagged = tags.map(_.snapshotId).toSet
     val (expireCand, retainTail) = ids.splitAt(ids.length - retainLast)
-    // a live stream consumer pins its nextSnapshot and everything after
-    // (S38): a paused reader must be able to resume without a lost
-    // offset; stale consumers (consumer.expiration-time) stop pinning
+    // a live stream consumer pins its RESUME WINDOW (S38): incremental
+    // resume at nextSnapshot diffs against the last CONSUMED snapshot's
+    // file set, so nextSnapshot-1 and everything after must stay
+    // readable; stale consumers (consumer.expiration-time) stop pinning
     val pin = consumerPin()
-    val expire = expireCand.filterNot(tagged).filter(id => pin.forall(id < _))
-    val retain = expireCand.filter(id => tagged(id) || pin.exists(id >= _)) ++ retainTail
+    val expire = expireCand.filterNot(tagged).filter(id => pin.forall(id < _ - 1))
+    val retain = expireCand.filter(id => tagged(id) || pin.exists(id >= _ - 1)) ++ retainTail
     if (expire.isEmpty) return Seq.empty
     val retainedSnaps = retain.map(readSnapshot)
     val expiredSnaps = expire.map(readSnapshot)

@@ -928,7 +928,8 @@ final class GraftScan(
             fileFactory(StructType(readDataFields), StructType(readPartFields),
               Array.empty[Filter]),
             table.root,
-            new SerializableHadoopConf(spark.sessionState.newHadoopConf()))
+            new org.apache.spark.util.SerializableConfiguration(
+              spark.sessionState.newHadoopConf()))
       } else {
         // merge rows materialize as [mergeDataFields ++ mergePartFields]
         val mergeSchema = StructType(mergeDataFields ++ mergePartFields)

@@ -134,6 +134,32 @@ class BranchSpec extends AnyFunSuite {
     assert(t.read().collect().map(_.getInt(0)).toSeq == Seq(1)) // main intact
   }
 
+  test("S36h: branch read() routes the branch ref through the V2 scan (PK and dv tables)") {
+    import org.apache.spark.sql.functions.col
+    // PK table: read() takes the format("graft") route — the branch ref
+    // must be forwarded or the scan silently reads MAIN's snapshot log
+    val pk = GraftTable.create(spark, TestSpark.tmpDir("br-v2pk"), schema,
+      primaryKeys = Seq("k"))
+    pk.upsert(Seq((1, "base")).toDF("k", "v"))
+    pk.createBranch("b")
+    pk.forBranch("b").upsert(Seq((2, "branch")).toDF("k", "v"))
+    pk.upsert(Seq((3, "main")).toDF("k", "v")) // main diverges
+    assert(pk.forBranch("b").read().collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2))
+    assert(pk.read().collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 3))
+    // dv-carrying append table: same route, same requirement
+    val dv = GraftTable.create(spark, TestSpark.tmpDir("br-v2dv"),
+      StructType(Seq(StructField("id", LongType), StructField("v", StringType))),
+      options = Map("deletion-vectors.enabled" -> "true"))
+    dv.append((0L until 10L).map(i => (i, s"v$i")).toDF("id", "v"))
+    dv.dvDelete(col("id") < 3)
+    dv.createBranch("bd")
+    dv.forBranch("bd").append(Seq((100L, "branch")).toDF("id", "v"))
+    dv.append(Seq((200L, "main")).toDF("id", "v"))
+    val branchIds = dv.forBranch("bd").read().collect().map(_.getLong(0)).sorted.toSeq
+    assert(branchIds == ((3L until 10L) :+ 100L).toSeq, s"got $branchIds")
+    assert(!dv.read().collect().map(_.getLong(0)).contains(100L))
+  }
+
   test("S36f: concurrent writers on DIFFERENT branches never contend") {
     val t = GraftTable.create(spark, TestSpark.tmpDir("br-conc"), schema)
     t.append(Seq((0, "base")).toDF("k", "v"))

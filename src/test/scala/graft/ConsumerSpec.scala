@@ -36,18 +36,21 @@ class ConsumerSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { t.commitConsumer("bad id", 1) }
   }
 
-  test("S38b: expiry keeps every snapshot a live consumer still needs") {
+  test("S38b: expiry keeps the consumer's RESUME WINDOW (nextSnapshot-1 onward)") {
     val t = GraftTable.create(spark, TestSpark.tmpDir("cons-exp"), schema)
     appendN(t, 5)
-    t.commitConsumer("reader", 3) // snapshots 3..5 still needed
+    t.commitConsumer("reader", 3) // consumed through 2; resume diffs against 2
     val expired = t.expireSnapshots(retainLast = 1)
-    assert(expired == Seq(1L, 2L))
-    assert(t.snapshots.map(_.id) == Seq(3L, 4L, 5L))
-    // the pinned suffix is fully readable (incremental resume at 3)
-    assert(t.read(snapshotId = Some(3L)).count() == 3L)
+    assert(expired == Seq(1L))
+    assert(t.snapshots.map(_.id) == Seq(2L, 3L, 4L, 5L))
+    // the ACTUAL resume path works: incremental read from the recorded
+    // offset (diff base = last consumed snapshot 2) — this is the
+    // guarantee the pin exists for
+    val resumed = t.readIncrement(fromExclusive = 2L, toInclusive = 5L)
+    assert(resumed.collect().map(_.getInt(0)).sorted.toSeq == Seq(3, 4, 5))
     // consumer gone → the pin lifts
     t.deleteConsumer("reader")
-    assert(t.expireSnapshots(retainLast = 1) == Seq(3L, 4L))
+    assert(t.expireSnapshots(retainLast = 1) == Seq(2L, 3L, 4L))
     assert(t.snapshots.map(_.id) == Seq(5L))
   }
 

@@ -198,6 +198,24 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(dvParts == Set("pt=p1"))
   }
 
+  test("S37m: incremental/streaming backfill masks dv rows like a batch read") {
+    val t = mkTable("dv-incr")
+    t.dvDelete($"id" % 10 === 3)
+    // a fresh backfill (readIncrement from 0) must equal the batch read:
+    // append tables carry no retractions, so replayed appends apply the
+    // CURRENT snapshot's masks
+    val backfill = t.readIncrement(0L, t.latestSnapshotId.get)
+      .select("id").as[Long].collect().sorted
+    assert(backfill.length == 90 && backfill.forall(_ % 10 != 3))
+    // and the streaming source sees the same masked rows
+    val q = spark.readStream.format("graft").load(t.root)
+      .writeStream.outputMode("append").format("memory").queryName("dv_stream").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM dv_stream").first().getLong(0) == 90L)
+    } finally q.stop()
+  }
+
   test("S37k: compaction purges masked rows and clears the vectors") {
     val t = mkTable("dv-compact")
     t.dvDelete($"id" % 2 === 0)
