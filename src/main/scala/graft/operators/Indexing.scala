@@ -103,36 +103,46 @@ object Indexing {
     QDef(
       "q_rank_bm25",
       (s, d) => {
-        val toks = T.documents(s, d)
+        // ONE tokenize pass + ONE (doc,term) shuffle: every statistic —
+        // dl (sum of tf per doc), df (row count per term), tf (filtered
+        // rows) — derives from the persisted tf frame. Naively deriving
+        // the three from the raw token stream re-tokenizes the corpus
+        // three times; at 100 TB those are three full scans.
+        val grouped = T.documents(s, d)
           .select(col("doc_id"), explode(Text.words(col("text"))).as("term"))
-        val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-        val nDocs = T.metadataRowCount(s, d, "documents")
-        val avgdl = dl.agg(sum("dl")).head().getLong(0).toDouble / nDocs
-        val dfAll = toks.select("doc_id", "term").distinct()
-          .groupBy("term").agg(count(lit(1)).as("df"))
-        val qterms = dfAll.orderBy(desc("df"), col("term"))
-          .limit(QSkip + QTerms).collect().drop(QSkip)
-          .map(r => (r.getString(0), r.getLong(1)))
-        val qdf = s.createDataFrame(
-          s.sparkContext.parallelize(qterms.toSeq.map(Row.fromTuple), 1),
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("term",
-              org.apache.spark.sql.types.StringType),
-            org.apache.spark.sql.types.StructField("df",
-              org.apache.spark.sql.types.LongType))))
-        val tf = toks.join(broadcast(qdf.select("term")), "term")
           .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-        val idf = log(
-          (lit(nDocs.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
-        val score = idf * (col("tf") * lit(K1 + 1.0)) /
-          (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / lit(avgdl)))
-        tf.join(broadcast(qdf), "term")
-          .join(dl, "doc_id")
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("matched"), round(sum(score), 2).as("score"))
-          .orderBy(desc("score"), col("doc_id"))
-          .limit(TopDocs)
-          .select("doc_id", "matched", "score")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val dl = grouped.groupBy("doc_id").agg(sum("tf").as("dl"))
+          val nDocs = T.metadataRowCount(s, d, "documents")
+          val avgdl = dl.agg(sum("dl")).head().getLong(0).toDouble / nDocs
+          val dfAll = grouped.groupBy("term").agg(count(lit(1)).as("df"))
+          val qterms = dfAll.orderBy(desc("df"), col("term"))
+            .limit(QSkip + QTerms).collect().drop(QSkip)
+            .map(r => (r.getString(0), r.getLong(1)))
+          val qdf = s.createDataFrame(
+            s.sparkContext.parallelize(qterms.toSeq.map(Row.fromTuple), 1),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("term",
+                org.apache.spark.sql.types.StringType),
+              org.apache.spark.sql.types.StructField("df",
+                org.apache.spark.sql.types.LongType))))
+          val idf = log(
+            (lit(nDocs.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+          val score = idf * (col("tf") * lit(K1 + 1.0)) /
+            (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / lit(avgdl)))
+          val result = grouped.join(broadcast(qdf), "term")
+            .join(dl, "doc_id")
+            .groupBy("doc_id")
+            .agg(count(lit(1)).as("matched"), round(sum(score), 2).as("score"))
+            .orderBy(desc("score"), col("doc_id"))
+            .limit(TopDocs)
+            .select("doc_id", "matched", "score")
+          // materialize the (bounded) result before releasing the stage
+          val rows = result.collect()
+          s.createDataFrame(
+            s.sparkContext.parallelize(rows.toSeq, 1), result.schema)
+        } finally grouped.unpersist()
       },
       Some(s"""WITH toks AS (SELECT doc_id,
               |    unnest(string_split_regex(trim(text),'\\s+')) AS term FROM documents),
