@@ -48,25 +48,33 @@ object Indexing {
       "q_inverted_index",
       (s, d) => {
         val maxDf = T.metadataRowCount(s, d, "documents") * 9 / 10
+        // pairs feeds the df pass AND the posting materialization — one
+        // persisted stage, not two corpus tokenizations (shared-stage
+        // rule; the distinct is the expensive half)
         val pairs = T.documents(s, d)
           .select(col("doc_id"), explode(Text.words(col("text"))).as("term"))
           .distinct() // presence, not tf: one (doc, term) pair each
-        val kept = pairs.groupBy("term").agg(count(lit(1)).as("df"))
-          .filter(col("df") >= MinDf && col("df") <= maxDf)
-        val w = Window.partitionBy("term").orderBy("doc_id")
-        pairs.join(kept, "term")
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= HeadLen)
-          .groupBy("term", "df")
-          // head rendered as a comma-joined STRING, not array<long>: the
-          // driver's oracle harness hashes result cells via pandas, which
-          // cannot hash ndarray cells — oracle-checked outputs must be
-          // scalar columns only (r8 verdict #1). sort_array is numeric
-          // (on longs) and the array<string> cast preserves that order.
-          .agg(array_join(sort_array(collect_list("doc_id")).cast("array<string>"), ",")
-            .as("postings_head"))
-          .orderBy(desc("df"), col("term"))
-          .limit(Top)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val kept = pairs.groupBy("term").agg(count(lit(1)).as("df"))
+            .filter(col("df") >= MinDf && col("df") <= maxDf)
+          val w = Window.partitionBy("term").orderBy("doc_id")
+          val result = pairs.join(kept, "term")
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") <= HeadLen)
+            .groupBy("term", "df")
+            // head rendered as a comma-joined STRING, not array<long>: the
+            // driver's oracle harness hashes result cells via pandas, which
+            // cannot hash ndarray cells — oracle-checked outputs must be
+            // scalar columns only (r8 verdict #1). sort_array is numeric
+            // (on longs) and the array<string> cast preserves that order.
+            .agg(array_join(sort_array(collect_list("doc_id")).cast("array<string>"), ",")
+              .as("postings_head"))
+            .orderBy(desc("df"), col("term"))
+            .limit(Top)
+          val rows = result.collect() // bounded (Top) — release the stage
+          s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), result.schema)
+        } finally pairs.unpersist()
       },
       Some(s"""WITH pairs AS (SELECT DISTINCT doc_id, term FROM (
               |    SELECT doc_id, unnest(string_split_regex(trim(text),'\\s+')) AS term

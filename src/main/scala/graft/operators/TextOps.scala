@@ -57,18 +57,26 @@ object TextOps {
       "q_quality_bigram",
       (s, d) => {
         import graft.functions.ShingleExpr
+        // pairs feeds BOTH the corpus counts and the per-doc fold — one
+        // persisted stage instead of tokenizing the corpus twice (the
+        // same shared-stage rule as the dedup shingles and BM25)
         val pairs = T.documents(s, d)
           .select(col("doc_id"),
             explode(ShingleExpr.bigrams(Text.words(col("text")))).as("bg"))
-        val counts = pairs.groupBy("bg").agg(count(lit(1)).as("cnt"))
-        pairs.join(counts, "bg")
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_bigrams"), sum("cnt").as("fam_sum"))
-          .withColumn("familiarity",
-            round(col("fam_sum").cast("double") / col("n_bigrams"), 4))
-          .orderBy(col("familiarity"), col("doc_id"))
-          .limit(100)
-          .select("doc_id", "n_bigrams", "fam_sum", "familiarity")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val counts = pairs.groupBy("bg").agg(count(lit(1)).as("cnt"))
+          val result = pairs.join(counts, "bg")
+            .groupBy("doc_id")
+            .agg(count(lit(1)).as("n_bigrams"), sum("cnt").as("fam_sum"))
+            .withColumn("familiarity",
+              round(col("fam_sum").cast("double") / col("n_bigrams"), 4))
+            .orderBy(col("familiarity"), col("doc_id"))
+            .limit(100)
+            .select("doc_id", "n_bigrams", "fam_sum", "familiarity")
+          val rows = result.collect() // bounded (100) — release the stage
+          s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), result.schema)
+        } finally pairs.unpersist()
       },
       Some("""WITH toks AS (SELECT doc_id,
              |    string_split_regex(trim(text),'\s+') AS t FROM documents),
