@@ -322,9 +322,13 @@ object KMeansOp {
     QDef(
       "q_label_confusion",
       (s, d) => {
+        // the quantized frame feeds the centroid sums AND the assignment
+        // pass — one persisted stage, not three corpus scans
         val q = T.embeddings(s, d).select(col("vec_id"), col("label"),
           graft.functions.VectorExpr.quantize(
             col("embedding").cast(ArrayType(DoubleType)), KmScale).as("qv"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
         // per-(label, dim) exact sums → L × dims driver scalars
         val sums = q
           .select(col("label"), posexplode(col("qv")).as(Seq("p", "x")))
@@ -342,11 +346,14 @@ object KMeansOp {
         val cents = labels.indices.map(i => acc(i).map(_ / cnt(i))).toArray
         val predOfIdx = map(labels.zipWithIndex.flatMap { case (l, i) =>
           Seq(lit(i), lit(l)) }.toSeq: _*)
-        transformDf(q, "vec_id", "qv", cents)
+        val result = transformDf(q, "vec_id", "qv", cents)
           .join(q.select(col("vec_id"), col("label")), "vec_id")
           .select(col("label"), element_at(predOfIdx, col("cluster_id")).as("pred"))
           .groupBy("label", "pred").agg(count(lit(1)).as("n"))
           .orderBy("label", "pred")
+        val rows = result.collect() // bounded (≤ L²) — release the stage
+        s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), result.schema)
+        } finally q.unpersist()
       },
       Some {
         val qx = s"CAST(x AS DOUBLE)*$KmScale"
