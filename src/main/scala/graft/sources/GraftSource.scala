@@ -142,13 +142,17 @@ final case class GraftRelation(
   private def snapshotId: Option[Long] =
     parameters.get("snapshotId").map(_.toLong) // scan_version equivalent
   // Paimon's incremental-between = "from,to": rows ADDED by the APPEND
-  // commits in (from, to] — rewrites (OVERWRITE/COMPACT) never re-emit
+  // commits in (from, to] — rewrites (OVERWRITE/COMPACT) never re-emit.
+  // Bounds are snapshot ids OR tag names (Paimon accepts both: tags are
+  // the durable form — ids expire, a tagged bound survives by contract).
   private def incrementalBetween: Option[(Long, Long)] =
     parameters.get("incremental-between").map { v =>
+      def bound(s: String): Long =
+        s.toLongOption.getOrElse(table.snapshotForTag(s))
       v.split(",").map(_.trim) match {
-        case Array(a, b) => (a.toLong, b.toLong)
+        case Array(a, b) => (bound(a), bound(b))
         case _ => throw new IllegalArgumentException(
-          s"incremental-between expects 'fromSnapshot,toSnapshot', got: $v")
+          s"incremental-between expects 'from,to' (snapshot ids or tag names), got: $v")
       }
     }
   // session-property equivalents (ref PrestoSessionProperties:

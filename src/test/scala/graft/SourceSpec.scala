@@ -131,5 +131,15 @@ class SourceSpec extends AnyFunSuite {
     val afterCompact = spark.read.format("graft")
       .option("incremental-between", "3,5").load(path)
     assert(afterCompact.collect().map(_.getInt(0)).toSeq == Seq(9))
+    // tag-name bounds (Paimon accepts tags — ids expire, tags survive)
+    t.createTag("base", Some(1L))
+    t.createTag("mid", Some(3L))
+    val byTag = spark.read.format("graft")
+      .option("incremental-between", "base,mid").load(path)
+    assert(byTag.orderBy("k").collect().map(_.getInt(0)).toSeq == Seq(3, 4, 5))
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft")
+        .option("incremental-between", "nope,mid").load(path).collect()
+    }
   }
 }
