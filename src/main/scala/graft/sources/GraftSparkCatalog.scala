@@ -34,7 +34,8 @@ import scala.jdk.CollectionConverters._
   * Spark can resolve the scan-reported KeyGroupedPartitioning and plan
   * storage-partitioned (zero-shuffle) joins between co-bucketed tables.
   */
-class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with FunctionCatalog {
+class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with FunctionCatalog
+    with ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -57,6 +58,104 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
 
   private def tablePath(ident: Identifier): String =
     new Path(new Path(warehouse, s"${db(ident)}.db"), ident.name).toString
+
+  // ---- procedures (S40, Paimon's CALL sys.* surface) ------------------
+  // `CALL cat.sys.create_tag('db.t', 'v1')` etc. — maintenance ops as
+  // first-class SQL, the Paimon procedure catalog re-expressed on
+  // Spark 4's ProcedureCatalog API. Each returns a one-row LocalScan.
+
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private def loadByName(qualified: String): GraftTable = {
+    val parts = qualified.split("\\.")
+    require(parts.length == 2, s"procedures take a 'db.table' name, got: $qualified")
+    GraftTable.load(spark, tablePath(Identifier.of(Array(parts(0)), parts(1))))
+  }
+
+  /** One graft procedure: fixed IN parameters (optional ones take SQL
+    * DEFAULTs) and a body returning a single result row. */
+  private final class GraftProcedure(
+      procName: String,
+      params: Seq[ProcedureParameter],
+      resultSchema: StructType,
+      body: InternalRow => InternalRow) extends UnboundProcedure with BoundProcedure {
+    override def name(): String = procName
+    override def description(): String = s"graft maintenance procedure $procName"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = params.toArray
+    override def isDeterministic: Boolean = false
+    override def call(input: InternalRow): java.util.Iterator[org.apache.spark.sql.connector.read.Scan] =
+      java.util.List.of[org.apache.spark.sql.connector.read.Scan](
+        new org.apache.spark.sql.connector.read.LocalScan {
+          override def rows(): Array[InternalRow] = Array(body(input))
+          override def readSchema(): StructType = resultSchema
+        }).iterator()
+  }
+
+  private def pStr(n: String) = ProcedureParameter.in(n, org.apache.spark.sql.types.StringType).build()
+  private def pLongOpt(n: String, dflt: String) =
+    ProcedureParameter.in(n, org.apache.spark.sql.types.LongType).defaultValue(dflt).build()
+  private val snapshotResult = StructType(Seq(
+    org.apache.spark.sql.types.StructField("snapshot_id", org.apache.spark.sql.types.LongType)))
+  private val okResult = StructType(Seq(
+    org.apache.spark.sql.types.StructField("result", org.apache.spark.sql.types.BooleanType)))
+  private def okRow(v: Boolean): InternalRow = InternalRow(v)
+
+  private def procedures: Map[String, GraftProcedure] = Map(
+    "create_tag" -> new GraftProcedure("create_tag",
+      Seq(pStr("table"), pStr("tag"), pLongOpt("snapshot_id", "-1")), okResult,
+      in => {
+        val id = in.getLong(2)
+        loadByName(in.getString(0)).createTag(in.getString(1),
+          if (id < 0) None else Some(id))
+        okRow(true)
+      }),
+    "delete_tag" -> new GraftProcedure("delete_tag",
+      Seq(pStr("table"), pStr("tag")), okResult,
+      in => okRow(loadByName(in.getString(0)).deleteTag(in.getString(1)))),
+    "rollback" -> new GraftProcedure("rollback",
+      Seq(pStr("table"), pLongOpt("version", "-1")), snapshotResult,
+      in => InternalRow(loadByName(in.getString(0)).rollbackTo(in.getLong(1)))),
+    "expire_snapshots" -> new GraftProcedure("expire_snapshots",
+      Seq(pStr("table"), pLongOpt("retain_last", "1")), StructType(Seq(
+        org.apache.spark.sql.types.StructField("expired", org.apache.spark.sql.types.StringType))),
+      in => InternalRow(UTF8String.fromString(
+        loadByName(in.getString(0)).expireSnapshots(in.getLong(1).toInt).mkString(",")))),
+    "create_branch" -> new GraftProcedure("create_branch",
+      Seq(pStr("table"), pStr("branch"), pLongOpt("snapshot_id", "-1")), okResult,
+      in => {
+        val id = in.getLong(2)
+        loadByName(in.getString(0)).createBranch(in.getString(1),
+          if (id < 0) None else Some(id))
+        okRow(true)
+      }),
+    "delete_branch" -> new GraftProcedure("delete_branch",
+      Seq(pStr("table"), pStr("branch")), okResult,
+      in => okRow(loadByName(in.getString(0)).deleteBranch(in.getString(1)))),
+    "fast_forward" -> new GraftProcedure("fast_forward",
+      Seq(pStr("table"), pStr("branch")), snapshotResult,
+      in => InternalRow(loadByName(in.getString(0)).fastForward(in.getString(1)))),
+    "compact" -> new GraftProcedure("compact",
+      Seq(pStr("table")), snapshotResult,
+      in => InternalRow(loadByName(in.getString(0)).compact())),
+    "remove_orphan_files" -> new GraftProcedure("remove_orphan_files",
+      Seq(pStr("table"), pLongOpt("older_than_ms", (3600L * 1000).toString)), StructType(Seq(
+        org.apache.spark.sql.types.StructField("removed", org.apache.spark.sql.types.LongType))),
+      in => InternalRow(
+        loadByName(in.getString(0)).removeOrphanFiles(in.getLong(1)).length.toLong)))
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    if (!ident.namespace().sameElements(Array("sys")))
+      throw new RuntimeException(s"unknown procedure namespace: ${ident.namespace().mkString(".")}")
+    procedures.getOrElse(ident.name,
+      throw new RuntimeException(s"unknown procedure: sys.${ident.name}"))
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("sys")))
+      procedures.keys.toArray.sorted.map(n => Identifier.of(Array("sys"), n))
+    else Array.empty
 
   // ---- namespaces (ref: PrestoMetadata listSchemaNames/createSchema) --
 

@@ -292,6 +292,39 @@ class CatalogV2Spec extends AnyFunSuite {
     assert(pr.toSeq == Seq(("p1", "A"), ("p2", "b")))
   }
 
+  test("C14 (S40): CALL sys.* procedures — tag, rollback, branch, expire, compact") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft2.procs")
+    sql("DROP TABLE IF EXISTS graft2.procs.t")
+    sql("CREATE TABLE graft2.procs.t (k INT, v STRING)")
+    sql("INSERT INTO graft2.procs.t VALUES (1, 'a')")
+    sql("INSERT INTO graft2.procs.t VALUES (2, 'b')")
+    // tag snapshot 1 and roll back to it
+    assert(sql("CALL graft2.sys.create_tag('procs.t', 'v1', 1)").first().getBoolean(0))
+    val rb = sql("CALL graft2.sys.rollback('procs.t', 1)").first().getLong(0)
+    assert(rb == 3L) // rollback commits a NEW snapshot
+    assert(sql("SELECT k FROM graft2.procs.t").collect().map(_.getInt(0)).toSeq == Seq(1))
+    // branch lifecycle through procedures
+    assert(sql("CALL graft2.sys.create_branch('procs.t', 'work')").first().getBoolean(0))
+    sql("INSERT INTO graft2.procs.t VALUES (9, 'main')")
+    val head = sql("CALL graft2.sys.fast_forward('procs.t', 'work')").first().getLong(0)
+    assert(head == 3L) // branch had no commits: main returns to the cut
+    assert(sql("SELECT k FROM graft2.procs.t").collect().map(_.getInt(0)).toSeq == Seq(1))
+    assert(sql("CALL graft2.sys.delete_branch('procs.t', 'work')").first().getBoolean(0))
+    // compact + expire + orphan sweep chain
+    sql("INSERT INTO graft2.procs.t VALUES (5, 'e')")
+    val compacted = sql("CALL graft2.sys.compact('procs.t')").first().getLong(0)
+    assert(compacted >= 4L)
+    assert(sql("CALL graft2.sys.delete_tag('procs.t', 'v1')").first().getBoolean(0))
+    val expired = sql("CALL graft2.sys.expire_snapshots('procs.t', 1)").first().getString(0)
+    assert(expired.nonEmpty)
+    val removed = sql("CALL graft2.sys.remove_orphan_files('procs.t', 0)").first().getLong(0)
+    assert(removed >= 0L)
+    assert(sql("SELECT k FROM graft2.procs.t").collect().map(_.getInt(0)).sorted.toSeq
+      == Seq(1, 5))
+    // unknown procedure: a clear error
+    intercept[Exception] { sql("CALL graft2.sys.nope('procs.t')") }
+  }
+
   private def withConf(key: String, value: String)(body: => Unit): Unit = {
     val old = spark.conf.getOption(key)
     spark.conf.set(key, value)
