@@ -139,6 +139,17 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
     "compact" -> new GraftProcedure("compact",
       Seq(pStr("table")), snapshotResult,
       in => InternalRow(loadByName(in.getString(0)).compact())),
+    "reset_consumer" -> new GraftProcedure("reset_consumer",
+      // Paimon's reset_consumer: with next_snapshot_id, reposition the
+      // consumer's retention pin; without it, delete the consumer
+      Seq(pStr("table"), pStr("consumer_id"), pLongOpt("next_snapshot_id", "-1")), okResult,
+      in => {
+        val t = loadByName(in.getString(0))
+        val id = in.getString(1)
+        val next = in.getLong(2)
+        if (next < 0) okRow(t.deleteConsumer(id))
+        else { t.commitConsumer(id, next); okRow(true) }
+      }),
     "remove_orphan_files" -> new GraftProcedure("remove_orphan_files",
       Seq(pStr("table"), pLongOpt("older_than_ms", (3600L * 1000).toString)), StructType(Seq(
         org.apache.spark.sql.types.StructField("removed", org.apache.spark.sql.types.LongType))),

@@ -323,6 +323,13 @@ class CatalogV2Spec extends AnyFunSuite {
       == Seq(1, 5))
     // unknown procedure: a clear error
     intercept[Exception] { sql("CALL graft2.sys.nope('procs.t')") }
+    // reset_consumer: reposition the retention pin, then delete it
+    assert(sql("CALL graft2.sys.reset_consumer('procs.t', 'job', 2)").first().getBoolean(0))
+    val t = graft.sources.GraftTable.load(spark,
+      spark.conf.get("spark.sql.catalog.graft2.warehouse") + "/procs.db/t")
+    assert(t.consumers.map(c => (c.consumerId, c.nextSnapshot)) == Seq(("job", 2L)))
+    assert(sql("CALL graft2.sys.reset_consumer('procs.t', 'job')").first().getBoolean(0))
+    assert(t.consumers.isEmpty)
   }
 
   private def withConf(key: String, value: String)(body: => Unit): Unit = {
