@@ -147,8 +147,12 @@ final case class GraftRelation(
   // the durable form — ids expire, a tagged bound survives by contract).
   private def incrementalBetween: Option[(Long, Long)] =
     parameters.get("incremental-between").map { v =>
+      // tag lookup FIRST: digit-only tag names are legal, and a tagged
+      // bound must not be shadowed by the raw-snapshot-id reading
       def bound(s: String): Long =
-        s.toLongOption.getOrElse(table.snapshotForTag(s))
+        table.tags.find(_.name == s).map(_.snapshotId).getOrElse(
+          s.toLongOption.getOrElse(throw new IllegalArgumentException(
+            s"incremental-between bound '$s' is neither a snapshot id nor a tag")))
       v.split(",").map(_.trim) match {
         case Array(a, b) => (bound(a), bound(b))
         case _ => throw new IllegalArgumentException(

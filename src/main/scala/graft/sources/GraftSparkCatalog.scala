@@ -118,7 +118,9 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
       Seq(pStr("table"), pLongOpt("version", "-1")), snapshotResult,
       in => InternalRow(loadByName(in.getString(0)).rollbackTo(in.getLong(1)))),
     "expire_snapshots" -> new GraftProcedure("expire_snapshots",
-      Seq(pStr("table"), pLongOpt("retain_last", "1")), StructType(Seq(
+      // default retains 10 (Paimon's snapshot.num-retained.min): a
+      // no-argument maintenance CALL must not destroy all history
+      Seq(pStr("table"), pLongOpt("retain_last", "10")), StructType(Seq(
         org.apache.spark.sql.types.StructField("expired", org.apache.spark.sql.types.StringType))),
       in => InternalRow(UTF8String.fromString(
         loadByName(in.getString(0)).expireSnapshots(in.getLong(1).toInt).mkString(",")))),
@@ -141,14 +143,19 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
       in => InternalRow(loadByName(in.getString(0)).compact())),
     "reset_consumer" -> new GraftProcedure("reset_consumer",
       // Paimon's reset_consumer: with next_snapshot_id, reposition the
-      // consumer's retention pin; without it, delete the consumer
+      // consumer's retention pin; without it, delete the consumer.
+      // A BACKWARD reposition deletes the higher versions first —
+      // commitConsumer's cleanup keeps higher versions by design (racing
+      // stream commits are monotonic) and consumers() resolves by max,
+      // so a bare commit could not rewind the pin. Resetting while the
+      // stream is live is inherently racy; pause it first.
       Seq(pStr("table"), pStr("consumer_id"), pLongOpt("next_snapshot_id", "-1")), okResult,
       in => {
         val t = loadByName(in.getString(0))
         val id = in.getString(1)
         val next = in.getLong(2)
         if (next < 0) okRow(t.deleteConsumer(id))
-        else { t.commitConsumer(id, next); okRow(true) }
+        else { t.deleteConsumer(id); t.commitConsumer(id, next); okRow(true) }
       }),
     "remove_orphan_files" -> new GraftProcedure("remove_orphan_files",
       Seq(pStr("table"), pLongOpt("older_than_ms", (3600L * 1000).toString)), StructType(Seq(

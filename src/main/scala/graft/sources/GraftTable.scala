@@ -1268,20 +1268,25 @@ class GraftTable private (
       // deleted keys / double-counting updates
       if (!changelog)
         raw = raw.filter(col(KindCol).isin(RowKind.Insert, RowKind.UpdateAfter))
-    } else if (dvEnabled) {
+    } else {
       // S37: mask rows the `to` snapshot's deletion vectors exclude, by
       // the emitted files' CURRENT metas — a backfill over a dv table
       // must match what a batch read returns (append tables carry no
-      // retractions to replay). Files the current snapshot no longer
-      // lists (fully-deleted, or compacted away) replay unmasked: after
-      // a COMPACT rebase the original appends are the stream's only
-      // copy of the rows, the same history-rewrite caveat Paimon's
-      // incremental reads document.
-      val dvByName = filesOf(readSnapshot(toInclusive)).filter(_.hasDv)
+      // retractions to replay). Gated on ACTUAL sidecar presence (like
+      // the batch route), not the table option — vectors outlive an
+      // option flip. Files the current snapshot no longer lists
+      // (fully-deleted, or compacted away) replay unmasked: after a
+      // COMPACT rebase the original appends are the stream's only copy
+      // of the rows, the same history-rewrite caveat Paimon's
+      // incremental reads document. snaps.last IS the `to` snapshot —
+      // no extra metadata read.
+      val dvByName = filesOf(snaps.last).filter(_.hasDv)
         .map(f => f.path.substring(f.path.lastIndexOf('/') + 1) -> f).toMap
-      val emittedDv = added.toSeq.flatMap(f =>
-        dvByName.get(f.path.substring(f.path.lastIndexOf('/') + 1)))
-      raw = maskByDv(raw, emittedDv)
+      if (dvByName.nonEmpty) {
+        val emittedDv = added.toSeq.flatMap(f =>
+          dvByName.get(f.path.substring(f.path.lastIndexOf('/') + 1)))
+        raw = maskByDv(raw, emittedDv)
+      }
     }
     raw.select(outCols: _*)
   }
@@ -1411,20 +1416,46 @@ class GraftTable private (
       s"$consumerDirRel/.tmp-$consumerId-${UUID.randomUUID().toString.take(8)}")
     writeString(fs, tmp, mapper.writeValueAsString(
       ConsumerMeta(consumerId, nextSnapshot, System.currentTimeMillis())))
-    if (!fs.rename(tmp, dst)) fs.delete(tmp, false) // same-offset re-commit: keep existing
+    if (!fs.rename(tmp, dst)) {
+      fs.delete(tmp, false)
+      // benign ONLY when this exact offset is already published
+      // (same-offset re-commit); any other rename failure must SURFACE —
+      // proceeding to cleanup without a published file would delete the
+      // id's every version and silently drop the retention pin
+      if (!fs.exists(dst))
+        throw new IllegalStateException(
+          s"failed to record consumer $consumerId at $root")
+    }
+    // remove only versions BELOW ours: progress is monotonic, and a
+    // concurrent higher commit's file must survive this cleanup (two
+    // racing commits would otherwise mutually delete and leave the id
+    // absent — the window the versioned scheme exists to close)
     consumerFiles(consumerId)
-      .filter(p => p.getName != dst.getName)
-      .foreach(p => try fs.delete(p, false) catch { case _: java.io.IOException => () })
+      .filter { case (_, v) => v < nextSnapshot }
+      .foreach { case (p, _) =>
+        try fs.delete(p, false) catch { case _: java.io.IOException => () }
+      }
   }
 
   def deleteConsumer(consumerId: String): Boolean =
-    consumerFiles(consumerId).map(p => fs.delete(p, false)).exists(identity)
+    consumerFiles(consumerId).map { case (p, _) => fs.delete(p, false) }.exists(identity)
 
-  private def consumerFiles(consumerId: String): Seq[Path] = {
+  /** This id's pin files as (path, version). Matched EXACTLY —
+    * `consumer-<id>-<n>.json` plus the unversioned `consumer-<id>.json`
+    * vintage (version 0) — so ids where one is a '-'-prefix of another
+    * ("job" / "job-eu", both legal) never collide. */
+  private def consumerFiles(consumerId: String): Seq[(Path, Long)] = {
     val dir = new Path(root, consumerDirRel)
     if (!fs.exists(dir)) return Seq.empty
-    fs.listStatus(dir).toSeq.map(_.getPath)
-      .filter(p => p.getName.startsWith(s"consumer-$consumerId-") && p.getName.endsWith(".json"))
+    val versioned = s"consumer-${java.util.regex.Pattern.quote(consumerId)}-(\\d+)\\.json".r
+    val legacy = s"consumer-$consumerId.json"
+    fs.listStatus(dir).toSeq.map(_.getPath).flatMap { p =>
+      p.getName match {
+        case versioned(v) => Some((p, v.toLong))
+        case n if n == legacy => Some((p, 0L))
+        case _ => None
+      }
+    }
   }
 
   def consumers: Seq[ConsumerMeta] = {

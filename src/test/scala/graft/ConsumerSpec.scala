@@ -63,6 +63,27 @@ class ConsumerSpec extends AnyFunSuite {
     assert(t.expireSnapshots(retainLast = 1) == Seq(1L, 2L))
   }
 
+  test("S38e: consumer file protocol — no prefix collisions, monotonic resolution, legacy cleanup") {
+    val t = GraftTable.create(spark, TestSpark.tmpDir("cons-proto"), schema)
+    appendN(t, 3)
+    // ids where one is a '-'-prefix of the other must not collide
+    t.commitConsumer("job", 2)
+    t.commitConsumer("job-eu", 3)
+    t.commitConsumer("job", 3) // cleanup of job's old version
+    assert(t.consumers.map(c => (c.consumerId, c.nextSnapshot)) ==
+      Seq(("job", 3L), ("job-eu", 3L)))
+    assert(t.deleteConsumer("job"))
+    assert(t.consumers.map(_.consumerId) == Seq("job-eu")) // job-eu untouched
+    // an out-of-order (stale) commit cannot rewind the pin: the higher
+    // version survives cleanup and resolution takes the max
+    t.commitConsumer("job-eu", 2)
+    assert(t.consumers.find(_.consumerId == "job-eu").get.nextSnapshot == 3L)
+    // explicit rewind = delete + commit (the reset_consumer shape)
+    t.deleteConsumer("job-eu")
+    t.commitConsumer("job-eu", 2)
+    assert(t.consumers.find(_.consumerId == "job-eu").get.nextSnapshot == 2L)
+  }
+
   test("S38d: readStream with consumer-id records progress per committed batch") {
     val path = TestSpark.tmpDir("cons-stream")
     val t = GraftTable.create(spark, path, schema)
