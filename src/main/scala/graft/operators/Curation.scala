@@ -240,6 +240,44 @@ object Curation {
               |  CAST(chars AS BIGINT) AS chars,
               |  CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT) AS lang_total,
               |  round(CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT), 4) AS frac
-              |FROM g ORDER BY lang, split""".stripMargin))
+              |FROM g ORDER BY lang, split""".stripMargin)),
+
+    // L44: per-language vocabulary shape (Zipf diagnostics) — token
+    // count, type count, hapax-legomena count, type/token ratio and
+    // hapax/type ratio. TTR and hapax share are the standard corpus
+    // health probes (a scraped corpus whose TTR collapses is template
+    // spam; a hapax share near 1 is OCR noise). Two map-side-combinable
+    // aggregations — (lang, word) term frequencies, then per-lang
+    // reduction; vocabulary is sublinear in the corpus (Heaps' law), so
+    // the second shuffle SHRINKS with scale relative to the first. Each
+    // ratio is ONE division of exact integers (bit-identical IEEE both
+    // engines, §5 discipline) — no cross-row float accumulation.
+    QDef(
+      "q_vocab_zipf",
+      (s, d) => {
+        val tf = T.documents(s, d)
+          .select(col("lang"), explode(graft.functions.Text.words(col("text"))).as("w"))
+          .groupBy("lang", "w")
+          .agg(count(lit(1)).as("f"))
+        tf.groupBy("lang")
+          .agg(
+            sum("f").as("tokens"),
+            count(lit(1)).as("types"),
+            sum(when(col("f") === 1, 1L).otherwise(0L)).as("hapax"))
+          .select(col("lang"), col("tokens"), col("types"), col("hapax"),
+            round(col("types").cast("double") / col("tokens").cast("double"), 6).as("ttr"),
+            round(col("hapax").cast("double") / col("types").cast("double"), 6).as("hapax_share"))
+          .orderBy("lang")
+      },
+      Some("""WITH t AS (SELECT lang,
+             |    unnest(string_split_regex(trim(text),'\s+')) AS w FROM documents),
+             |tf AS (SELECT lang, w, count(*) AS f FROM t GROUP BY lang, w)
+             |SELECT lang, CAST(sum(f) AS BIGINT) AS tokens,
+             |  count(*) AS types,
+             |  CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+             |  round(CAST(count(*) AS DOUBLE) / CAST(sum(f) AS DOUBLE), 6) AS ttr,
+             |  round(CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             |    / CAST(count(*) AS DOUBLE), 6) AS hapax_share
+             |FROM tf GROUP BY lang ORDER BY lang""".stripMargin))
   )
 }

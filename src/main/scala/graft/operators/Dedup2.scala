@@ -188,7 +188,35 @@ object Dedup2 {
               |SELECT w1, w2, n1, n2, n1 + n2 AS total_n
               |FROM pairs
               |WHERE levenshtein(w1, w2) = 1
-              |ORDER BY total_n DESC, w1, w2 LIMIT $FuzzyTop""".stripMargin))
+              |ORDER BY total_n DESC, w1, w2 LIMIT $FuzzyTop""".stripMargin)),
+
+    // L43: token-SET (order/frequency-invariant) exact dedup — the
+    // canonical form is the sorted distinct token list, so documents
+    // that differ only by token order or repetition count collapse to
+    // one fingerprint (catches shuffled/boilerplate-stuffed copies that
+    // the L1 prefix hash misses and the shingle family only scores).
+    // All codegen builtins (split → array_distinct → array_sort →
+    // array_join → md5), one linear pass; the cluster aggregation is a
+    // map-side-combinable count keyed by a 16-byte hash — the canonical
+    // string itself never crosses the shuffle. Sort order parity: the
+    // corpus is ASCII (binary order == lexicographic in both engines).
+    QDef(
+      "q_dedup_tokenset",
+      (s, d) =>
+        T.documents(s, d)
+          .select(col("doc_id"),
+            md5(array_join(array_sort(array_distinct(Text.words(col("text")))), " ")
+              .cast("binary")).as("k"))
+          .groupBy("k")
+          .agg(count(lit(1)).as("dups"), min("doc_id").as("keeper"))
+          .filter(col("dups") > 1)
+          .orderBy("k"),
+      Some("""SELECT k, count(*) AS dups, min(doc_id) AS keeper
+             |FROM (SELECT doc_id,
+             |        md5(array_to_string(list_sort(list_distinct(
+             |          string_split_regex(trim(text),'\s+'))), ' ')) k
+             |      FROM documents) t
+             |GROUP BY k HAVING count(*) > 1 ORDER BY k""".stripMargin))
   )
 
   /** L35 core: rank Levenshtein-distance-1 pairs over a `(w, n)`

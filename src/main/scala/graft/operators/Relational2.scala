@@ -316,6 +316,35 @@ object Relational2 {
              |  min(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
              |  max(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
              |FROM events
-             |GROUP BY event_type ORDER BY event_type""".stripMargin))
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // R40: bivariate statistical aggregates — corr / covar_samp /
+    // regr_slope / regr_intercept of (l_quantity, l_extendedprice) per
+    // return flag (the OLS fit every profiling layer exposes; Presto
+    // ships the same regr_/corr family). Each is one map-side-combinable
+    // co-moment aggregation (Tungsten's declarative central-moment
+    // updates — n, Σx, Σy, co-moments merged associatively), so the
+    // whole query is a single shuffle of 3 groups at any scale. Doubles
+    // rounded (corr to 4dp — it lives in [-1,1]; the rest to 2dp): the
+    // engines accumulate co-moments in different orders, so parity is
+    // by rounding distance, same as q_stats (§5).
+    QDef(
+      "q_corr_regr",
+      (s, d) =>
+        T.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(
+            count(lit(1)).as("n"),
+            round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("r"),
+            round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("cov"),
+            round(regr_slope(col("l_extendedprice"), col("l_quantity")), 2).as("slope"),
+            round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 2).as("icept"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, count(*) AS n,
+             |  round(corr(l_quantity, l_extendedprice), 4) AS r,
+             |  round(covar_samp(l_quantity, l_extendedprice), 2) AS cov,
+             |  round(regr_slope(l_extendedprice, l_quantity), 2) AS slope,
+             |  round(regr_intercept(l_extendedprice, l_quantity), 2) AS icept
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
   )
 }
