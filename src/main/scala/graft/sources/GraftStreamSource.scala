@@ -22,7 +22,10 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
 class GraftStreamSource(
     spark: SparkSession,
     path: String,
-    parameters: Map[String, String]) extends Source {
+    parameters: Map[String, String])
+  extends Source
+  with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+  with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   // `branch` option (S36): offsets walk the BRANCH ref's snapshot log —
   // main commits are invisible to the stream, exactly like batch reads
@@ -37,13 +40,54 @@ class GraftStreamSource(
     if (changelog && table.primaryKeys.nonEmpty) table.changelogSchema
     else table.schema
 
+  // T16: admission control — `maxSnapshotsPerTrigger` caps how many
+  // snapshots one micro-batch may drain. The 100 TB shape: a stream
+  // started against a table with months of history must NOT plan its
+  // entire backlog as micro-batch 0 (one giant batch = one giant
+  // shuffle + no progress checkpoints); with the cap, the backlog
+  // drains as a sequence of bounded, individually-checkpointed batches.
+  // Implemented the FileStreamSource way: a V1 Source that ALSO
+  // implements SupportsAdmissionControl — the engine then negotiates
+  // each batch end through latestOffset(start, limit) (so the start is
+  // always the checkpointed end, restarts included — no offset
+  // regression by construction) — and SupportsTriggerAvailableNow, so
+  // Trigger.AvailableNow drains the whole available-at-prepare backlog
+  // in capped batches instead of falling back to one giant batch.
+  private val maxSnapshots: Option[Long] =
+    parameters.get("maxSnapshotsPerTrigger").map(_.toLong).filter(_ > 0)
+
+  /** Set by prepareForTriggerAvailableNow: AvailableNow must consume
+    * exactly what existed at query start and then terminate — commits
+    * racing in DURING the drain stay for the next run. */
+  private var availableNowTarget: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(table.latestSnapshotId.getOrElse(0L))
+
+  override def latestOffset(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : org.apache.spark.sql.connector.read.streaming.Offset = {
+    val latest0 = table.latestSnapshotId.getOrElse(0L)
+    val latest = availableNowTarget.fold(latest0)(math.min(latest0, _))
+    val base = Option(start).map(snapId).getOrElse(0L)
+    val end = maxSnapshots.fold(latest)(k => math.min(latest, base + k))
+    if (end > base) LongOffset(end) else null
+  }
+
+  // the legacy getOffset path is still consulted when the engine treats
+  // this as a plain V1 source (it prefers the admission-control path);
+  // it reports the uncapped tip
   override def getOffset: Option[Offset] =
     table.latestSnapshotId.map(id => LongOffset(id))
 
-  private def toSnapshotId(o: Offset): Long = o match {
-    case LongOffset(v) => v
-    case other => other.json.trim.toLong // SerializedOffset after restart
-  }
+  private def snapId(o: org.apache.spark.sql.connector.read.streaming.Offset): Long =
+    o match {
+      case LongOffset(v) => v
+      case other => other.json.trim.toLong // SerializedOffset after restart
+    }
+
+  private def toSnapshotId(o: Offset): Long = snapId(o)
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(toSnapshotId).getOrElse(0L)

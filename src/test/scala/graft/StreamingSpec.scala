@@ -217,6 +217,59 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM avail_out2").first().getLong(0) == 3)
   }
 
+  test("T16: maxSnapshotsPerTrigger caps each micro-batch and survives restart without regression") {
+    val path = TestSpark.tmpDir("streamcap")
+    val ckpt = TestSpark.tmpDir("streamcapckpt")
+    val t = GraftTable.create(spark, path,
+      StructType(Seq(StructField("k", IntegerType), StructField("v", StringType))))
+    (1 to 5).foreach(i => t.append(Seq((i, s"v$i")).toDF("k", "v")))
+    val batches = new scala.collection.mutable.ArrayBuffer[Seq[Int]]()
+    def start() = spark.readStream.format("graft")
+      .option("maxSnapshotsPerTrigger", "2").load(path)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val ks = b.select("k").collect().map(_.getInt(0)).toSeq.sorted
+        batches.synchronized { if (ks.nonEmpty) batches += ks }; ()
+      }.start()
+    val q = start()
+    try { q.processAllAvailable() } finally q.stop()
+    val first = batches.synchronized(batches.toList)
+    // the 5-commit backlog drains completely, in bounded micro-batches
+    // of at most 2 snapshots (1 row per commit)
+    assert(first.flatten.sorted == (1 to 5), s"backlog not fully drained: $first")
+    assert(first.map(_.size) == Seq(2, 2, 1), s"expected capped batches 2/2/1, got $first")
+    // restart from the checkpoint: the persisted floor keeps the capped
+    // offset from regressing below the engine's committed end — only
+    // commits AFTER the checkpoint are delivered, exactly once
+    (6 to 7).foreach(i => t.append(Seq((i, s"v$i")).toDF("k", "v")))
+    batches.synchronized(batches.clear())
+    val q2 = start()
+    try { q2.processAllAvailable() } finally q2.stop()
+    val second = batches.synchronized(batches.toList)
+    assert(second.flatten.sorted == Seq(6, 7), s"restart must deliver only new commits: $second")
+  }
+
+  test("T16b: maxSnapshotsPerTrigger composes with Trigger.AvailableNow — full drain, bounded batches") {
+    val path = TestSpark.tmpDir("streamcapnow")
+    val t = GraftTable.create(spark, path,
+      StructType(Seq(StructField("k", IntegerType), StructField("v", StringType))))
+    (1 to 5).foreach(i => t.append(Seq((i, s"v$i")).toDF("k", "v")))
+    val batches = new scala.collection.mutable.ArrayBuffer[Seq[Int]]()
+    val q = spark.readStream.format("graft")
+      .option("maxSnapshotsPerTrigger", "2").load(path)
+      .writeStream.outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val ks = b.select("k").collect().map(_.getInt(0)).toSeq.sorted
+        batches.synchronized { if (ks.nonEmpty) batches += ks }; ()
+      }.start()
+    assert(q.awaitTermination(120000), "AvailableNow query must self-terminate")
+    val got = batches.synchronized(batches.toList)
+    assert(got.flatten.sorted == (1 to 5), s"AvailableNow must drain the full backlog: $got")
+    assert(got.forall(_.size <= 2), s"every batch must respect the cap: $got")
+  }
+
   test("T14: session_window sessionization merges in-gap events and splits across the gap") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[(Long, java.sql.Timestamp)]
