@@ -270,6 +270,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.forall(_.size <= 2), s"every batch must respect the cap: $got")
   }
 
+  test("T17: stream-static lookup join re-reads the graft dim table every micro-batch") {
+    implicit val sc = spark.sqlContext
+    val dimPath = TestSpark.tmpDir("lookupdim")
+    val dim = GraftTable.create(spark, dimPath,
+      StructType(Seq(StructField("id", IntegerType), StructField("name", StringType),
+        StructField("seq", LongType))),
+      primaryKeys = Seq("id"), options = Map("sequence.field" -> "seq"))
+    dim.upsert(Seq((1, "old", 1L)).toDF("id", "name", "seq"))
+    val mem = MemoryStream[(Int, Int)]
+    val dimDf = spark.read.format("graft").load(dimPath).select("id", "name")
+    val joined = mem.toDF().toDF("k", "id").join(dimDf, Seq("id"))
+    val out = new scala.collection.mutable.ArrayBuffer[(Int, String)]()
+    val q = joined.writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        out.synchronized {
+          out ++= b.select("k", "name").collect().map(r => (r.getInt(0), r.getString(1)))
+        }; ()
+      }.start()
+    try {
+      mem.addData((1, 1)); q.processAllAvailable()
+      // dim updated BETWEEN micro-batches: the PK upsert folds id=1 to
+      // the new value; the next batch's static side must see it
+      dim.upsert(Seq((1, "new", 2L)).toDF("id", "name", "seq"))
+      mem.addData((2, 1)); q.processAllAvailable()
+    } finally q.stop()
+    val got = out.synchronized(out.sortBy(_._1).toList)
+    assert(got == List((1, "old"), (2, "new")),
+      s"lookup join must serve each batch from the dim's current snapshot: $got")
+  }
+
   test("T14: session_window sessionization merges in-gap events and splits across the gap") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[(Long, java.sql.Timestamp)]
