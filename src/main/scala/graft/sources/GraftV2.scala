@@ -709,6 +709,76 @@ final class GraftScan(
         // out of the CBO estimate manifest-only
         OptionalLong.of(plannedFiles.map(f => f.rowCount.longValue - f.dvCountOrZero).sum)
       else OptionalLong.empty()
+
+    // S41: column-level CBO statistics folded from the manifest's
+    // per-file footer stats over the PRUNED file set — min/max (range
+    // join/filter selectivity) and null counts, zero file reads, zero
+    // jobs (the same driver-side metadata CBO path as numRows; ANALYZE
+    // TABLE at 100 TB is a corpus scan — the manifest already knows).
+    // Same conservatism as numRows: non-PK tables only (a MOR fold
+    // drops rows, so file-level aggregates overstate), and a column
+    // reports only when EVERY planned file carries its stat (a partial
+    // fold could understate the range and flip a CBO join order on
+    // fiction). Bounds go out in the stats comparison domain
+    // (FileStats.parse): numerics boxed, DateType days-int,
+    // TimestampType epoch-micros-long — the internal forms Spark's
+    // estimation arithmetic consumes; strings/decimals stay min/max-less
+    // (estimation does not range over them; null counts still help).
+    override def columnStats(): java.util.Map[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+      val out = new java.util.HashMap[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+      if (table.isPkTable || plannedFiles.isEmpty) return out
+      readSchema().fields.foreach { fld =>
+        val perFile = plannedFiles.map(_.statsOrEmpty.get(fld.name))
+        if (perFile.forall(_.isDefined)) {
+          val cs = perFile.map(_.get)
+          val nulls =
+            if (cs.forall(_.nullCount >= 0)) OptionalLong.of(cs.map(_.nullCount).sum)
+            else OptionalLong.empty()
+          val rangeable = fld.dataType match {
+            case IntegerType | LongType | DoubleType | FloatType |
+                 DateType | TimestampType => true
+            case _ => false
+          }
+          // an all-null file contributes NO values — it never widens the
+          // bounds (its nulls still count above); files with UNKNOWN
+          // stats (unparseable/absent bounds on a valued column) decline
+          // the whole range instead of silently understating it
+          val valued = cs.filterNot(_.isAllNull)
+          val mins = valued.map(c => FileStats.parse(c.min, fld.dataType))
+          val maxs = valued.map(c => FileStats.parse(c.max, fld.dataType))
+          def fold(vs: Seq[Option[Any]], keepFirst: (Any, Any) => Boolean): Option[Any] =
+            if (!rangeable || vs.isEmpty || vs.exists(_.isEmpty)) None
+            else Some(vs.flatten.reduce((a, b) => if (keepFirst(a, b)) a else b))
+          def cmp(a: Any, b: Any): Int = (a, b) match {
+            case (x: Int, y: Int) => x.compareTo(y)
+            case (x: Long, y: Long) => x.compareTo(y)
+            case (x: Double, y: Double) => x.compareTo(y)
+            case (x: Float, y: Float) => x.compareTo(y)
+            case _ => 0
+          }
+          val mn = fold(mins, (a, b) => cmp(a, b) <= 0)
+          val mx = fold(maxs, (a, b) => cmp(a, b) >= 0)
+          if (nulls.isPresent || mn.isDefined || mx.isDefined) {
+            out.put(
+              org.apache.spark.sql.connector.expressions.Expressions.column(fld.name),
+              new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+                override def nullCount(): OptionalLong = nulls
+                override def min(): java.util.Optional[Object] =
+                  mn.map(_.asInstanceOf[Object]).fold(
+                    java.util.Optional.empty[Object]())(java.util.Optional.of)
+                override def max(): java.util.Optional[Object] =
+                  mx.map(_.asInstanceOf[Object]).fold(
+                    java.util.Optional.empty[Object]())(java.util.Optional.of)
+              })
+          }
+        }
+      }
+      out
+    }
   }
 
   override def description(): String =

@@ -84,6 +84,48 @@ class V2ScanSpec extends AnyFunSuite {
       s"PK table reported numRows ${pk.numRows()} — would overstate post-merge cardinality")
   }
 
+  test("S41: V2 scan reports column-level min/max/null statistics from the manifest") {
+    val path = TestSpark.tmpDir("v2colstats")
+    Seq((1, Option(10L), "a"), (2, Option.empty[Long], "b"), (3, Option(30L), "c"))
+      .toDF("id", "qty", "name").write.format("graft").save(path)
+    GraftTable.load(spark, path).append(
+      Seq((4, Option(40L), "d"), (5, Option.empty[Long], "e")).toDF("id", "qty", "name"))
+    val cs = graftScan(spark.read.format("graft").load(path))
+      .estimateStatistics().columnStats()
+    import scala.jdk.CollectionConverters._
+    val byName = cs.asScala.map { case (k, v) => k.fieldNames().mkString(".") -> v }
+    val id = byName("id")
+    assert(id.min().get() == 1 && id.max().get() == 5, s"id bounds ${id.min()}..${id.max()}")
+    assert(id.nullCount().getAsLong == 0)
+    val qty = byName("qty")
+    assert(qty.min().get() == 10L && qty.max().get() == 40L,
+      s"qty bounds folded across files: ${qty.min()}..${qty.max()}")
+    assert(qty.nullCount().getAsLong == 2, s"qty nulls ${qty.nullCount()}")
+    // strings: no range estimation domain — null count only
+    val name = byName("name")
+    assert(!name.min().isPresent && !name.max().isPresent)
+    assert(name.nullCount().getAsLong == 0)
+    // the CBO actually consumes them: attribute-level stats appear on the
+    // optimized plan when cost-based optimization is on
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val attr = spark.read.format("graft").load(path)
+        .queryExecution.optimizedPlan.stats.attributeStats
+      val idStat = attr.find(_._1.name == "id").map(_._2)
+      assert(idStat.isDefined, s"CBO did not surface column stats: $attr")
+      assert(idStat.get.min.contains(1) && idStat.get.max.contains(5), s"$idStat")
+    } finally spark.conf.set("spark.sql.cbo.enabled", "false")
+    // PK tables stay column-stat-less (MOR fold — file stats overstate)
+    val pkPath = TestSpark.tmpDir("v2colstatspk")
+    val t = GraftTable.create(spark, pkPath,
+      StructType(Seq(StructField("k", IntegerType), StructField("v", StringType),
+        StructField("seq", LongType))),
+      primaryKeys = Seq("k"))
+    t.upsert(Seq((1, "a", 1L)).toDF("k", "v", "seq"))
+    assert(graftScan(spark.read.format("graft").load(pkPath))
+      .estimateStatistics().columnStats().isEmpty)
+  }
+
   test("partition pruning through the V2 scan, including NOT and IsNull") {
     val path = TestSpark.tmpDir("v2prune")
     val rows = (1 to 4).map(i => (s"p$i", i)) :+ ((null: String), 5)
