@@ -216,7 +216,44 @@ object Dedup2 {
              |        md5(array_to_string(list_sort(list_distinct(
              |          string_split_regex(trim(text),'\s+'))), ' ')) k
              |      FROM documents) t
-             |GROUP BY k HAVING count(*) > 1 ORDER BY k""".stripMargin))
+             |GROUP BY k HAVING count(*) > 1 ORDER BY k""".stripMargin)),
+
+    // L46: cross-source contamination matrix — for every source pair,
+    // the number of DISTINCT 3-shingles present in both (the corpus-
+    // mixing diagnostic: a pair sharing a fat slice of its shingle
+    // vocabulary is mirrored/scraped-from-each-other content and its
+    // docs double-count in the mixture). Consumes the SHARED persisted
+    // shingle stage (the r8/r9 lesson — no second tokenize pass); the
+    // presence set is distinct (source, shingle) — vocabulary-bounded,
+    // sublinear in the corpus — and the pair counts come from a shingle
+    // equality self-join whose two sides reuse ONE aggregated subtree
+    // (ReuseExchange), never an all-pairs document scan. Top-50 by a
+    // total order, so the cut is deterministic.
+    QDef(
+      "q_source_overlap",
+      (s, d) => {
+        val e = Dedup.docsWithShingles(s, d)
+          .join(T.documents(s, d).select(col("doc_id"), col("source")), "doc_id")
+          .select(col("source"), explode(col("sh")).as("g"))
+          .distinct()
+        val a = e.select(col("source").as("s1"), col("g"))
+        val b = e.select(col("source").as("s2"), col("g"))
+        a.join(b, "g")
+          .filter(col("s1") < col("s2"))
+          .groupBy("s1", "s2")
+          .agg(count(lit(1)).as("shared"))
+          .orderBy(desc("shared"), col("s1"), col("s2"))
+          .limit(50)
+      },
+      Some(s"""WITH w AS (SELECT doc_id, ${Dedup.ShSql} sh FROM documents),
+              |e0 AS (SELECT d.source, unnest(w.sh) AS g
+              |  FROM w JOIN documents d USING (doc_id)),
+              |e AS (SELECT DISTINCT source, g FROM e0)
+              |SELECT a.source AS s1, b.source AS s2, count(*) AS shared
+              |FROM e a JOIN e b USING (g)
+              |WHERE a.source < b.source
+              |GROUP BY s1, s2
+              |ORDER BY shared DESC, s1, s2 LIMIT 50""".stripMargin))
   )
 
   /** L35 core: rank Levenshtein-distance-1 pairs over a `(w, n)`

@@ -345,6 +345,42 @@ object Relational2 {
              |  round(covar_samp(l_quantity, l_extendedprice), 2) AS cov,
              |  round(regr_slope(l_extendedprice, l_quantity), 2) AS slope,
              |  round(regr_intercept(l_extendedprice, l_quantity), 2) AS icept
-             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // R41: date/interval arithmetic — order-to-ship latency per priority
+    // (datediff over casted dates; the Presto date_diff family). The
+    // join is co-keyed on orderkey (shuffle join, AQE-sized); latency
+    // sums are exact integers, each ratio ONE division (§5). Day
+    // arithmetic is calendar-exact on both engines (DATE cast strips
+    // the time component identically).
+    QDef(
+      "q_ship_latency",
+      (s, d) => {
+        val l = T.lineitem(s, d).select(col("l_orderkey"), col("l_shipdate"))
+        val o = T.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_orderpriority"),
+            datediff(col("l_shipdate").cast("date"), col("o_orderdate").cast("date")).as("dd"))
+          .groupBy("o_orderpriority")
+          .agg(
+            count(lit(1)).as("n"),
+            min("dd").cast("long").as("mn_days"),
+            max("dd").cast("long").as("mx_days"),
+            round(sum("dd").cast("double") / count(lit(1)), 2).as("avg_days"),
+            round(sum(when(col("dd") <= 30, 1L).otherwise(0L)).cast("double")
+              / count(lit(1)), 4).as("within30"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH j AS (SELECT o_orderpriority,
+             |    date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS dd
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+             |SELECT o_orderpriority, count(*) AS n,
+             |  CAST(min(dd) AS BIGINT) AS mn_days,
+             |  CAST(max(dd) AS BIGINT) AS mx_days,
+             |  round(CAST(sum(dd) AS DOUBLE) / count(*), 2) AS avg_days,
+             |  round(CAST(sum(CASE WHEN dd <= 30 THEN 1 ELSE 0 END) AS DOUBLE)
+             |    / count(*), 4) AS within30
+             |FROM j GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
   )
 }
