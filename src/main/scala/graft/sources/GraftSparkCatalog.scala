@@ -141,6 +141,16 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
     "compact" -> new GraftProcedure("compact",
       Seq(pStr("table")), snapshotResult,
       in => InternalRow(loadByName(in.getString(0)).compact())),
+    "rescale" -> new GraftProcedure("rescale",
+      // Paimon's rescale procedure: full re-hash rewrite under a new
+      // bucket count (S42) — the 100 TB answer to a table whose write
+      // parallelism was sized for 1 TB
+      Seq(pStr("table"), pLongOpt("bucket", "-1")), snapshotResult,
+      in => {
+        val n = in.getLong(1)
+        require(n >= 1, "rescale requires a bucket count >= 1")
+        InternalRow(loadByName(in.getString(0)).rescaleBucket(n.toInt))
+      }),
     "reset_consumer" -> new GraftProcedure("reset_consumer",
       // Paimon's reset_consumer: with next_snapshot_id, reposition the
       // consumer's retention pin; without it, delete the consumer.

@@ -272,6 +272,31 @@ class GraftTable private (
     snapCache.getOrElseUpdate(id,
       mapper.readValue(readString(fs, new Path(root, s"$snapDirRel/snap-$id.json")), classOf[SnapshotMeta]))
 
+  /** Schema version a snapshot was committed under — the SPJ layout
+    * guard (S42): bucket-layout claims are honest only for snapshots
+    * whose files were written under the CURRENT bucket option. */
+  private[sources] def snapshotSchemaId(id: Long): Long = readSnapshot(id).schemaId
+
+  /** Current schema version id (see [[snapshotSchemaId]]). */
+  private[sources] def currentSchemaId: Long = schemaMeta.id
+
+  /** The bucket layout a schema version declares: (count, keys). Column
+    * evolution bumps the schema id without touching the layout, so the
+    * SPJ guard compares LAYOUTS, not ids — an ADD COLUMN must not cost
+    * a table its zero-Exchange joins. Schema files are immutable and
+    * never GC'd, so the lookup is cacheable forever. */
+  private val schemaAtCache = scala.collection.concurrent.TrieMap[Long, SchemaMeta]()
+  private[sources] def bucketLayoutAt(schemaId: Long): (String, String) = {
+    val m =
+      if (schemaId == schemaMeta.id) schemaMeta
+      else schemaAtCache.getOrElseUpdate(schemaId,
+        mapper.readValue(
+          readString(fs, new Path(root, s"schema/schema-$schemaId.json")),
+          classOf[SchemaMeta]))
+    (m.options.getOrElse("bucket", "1"),
+      m.options.getOrElse("bucket-key", m.primaryKeys.mkString(",")))
+  }
+
   // ---- manifest chain -------------------------------------------------
 
   /** Manifests are immutable once written (content-addressed names), so
@@ -621,6 +646,36 @@ class GraftTable private (
     }
     val added = stageWrite(merged, rowKind = RowKind.Insert, seq = base + 1,
       keySort = sortBy.isEmpty && zorderBy.isEmpty)
+    commitOrClean(base + 1, "COMPACT", added, rebase = true)
+  }
+
+  /** S42: offline bucket rescale (Paimon's `rescale` procedure shape) —
+    * rewrite the whole table under a NEW bucket count in one commit.
+    * Bucket count fixes write parallelism and SPJ co-location, so a
+    * table sized for 1 TB chokes at 100 TB (every bucket a hot file
+    * chain) unless it can rescale; the only sound way is a full
+    * re-hash rewrite, because every existing file's rows are placed by
+    * the OLD hash.
+    *
+    * Crash ordering: the new layout publishes FIRST as a fresh schema
+    * version; the data commit that stamps its schemaId is the atomic
+    * flip. A crash in between leaves an unreferenced schema file and
+    * the old snapshot — readers group by the FileMeta-recorded buckets
+    * (always self-consistent) and the scan's schemaId guard keeps SPJ
+    * claims suppressed while layout and files disagree (time-travel
+    * reads of pre-rescale snapshots stay claim-less forever for the
+    * same reason). */
+  def rescaleBucket(newBuckets: Int): Long = {
+    require(newBuckets >= 1, s"bucket count must be >= 1 (got $newBuckets)")
+    if (newBuckets == numBuckets) return latestSnapshotId.getOrElse(0L)
+    require(bucketKeys.nonEmpty,
+      "rescale needs a bucketed table (bucket-key or primary-key layout)")
+    val base = latestSnapshotId.getOrElse(0L)
+    val merged = read(snapshotId = Some(base).filter(_ > 0))
+    writeSchema(schemaMeta.copy(
+      id = schemaMeta.id + 1,
+      options = schemaMeta.options.updated("bucket", newBuckets.toString)))
+    val added = stageWrite(merged, rowKind = RowKind.Insert, seq = base + 1)
     commitOrClean(base + 1, "COMPACT", added, rebase = true)
   }
 

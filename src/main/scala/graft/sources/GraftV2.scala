@@ -826,11 +826,23 @@ final class GraftScan(
     * with NO Exchange — the storage-partitioned join. Correct for PK
     * tables whenever bucket keys ⊆ primary key (every version of a key
     * hashes to the same bucket, so the per-bucket merge sees them all). */
+  /** S42 layout guard: a bucket-partitioning claim keyed on the CURRENT
+    * bucket option is a lie for files written under a different count —
+    * a pre-rescale snapshot (time travel), or the crash window where
+    * the new layout's schema is published but its rewrite commit is
+    * not. Snapshots stamp the schemaId they were committed under;
+    * require it to match, plus the cheap structural invariant. */
+  private lazy val bucketLayoutCurrent: Boolean =
+    snapshotId.orElse(table.latestSnapshotId).forall(id =>
+      table.bucketLayoutAt(table.snapshotSchemaId(id)) ==
+        table.bucketLayoutAt(table.currentSchemaId))
+
   private def bucketGrouped: Boolean =
     spark.sessionState.conf
       .getConfString("spark.sql.sources.v2.bucketing.enabled", "false").toBoolean &&
       table.numBuckets > 1 && table.bucketKeys.nonEmpty &&
-      (!table.isPkTable || table.bucketKeys.forall(table.primaryKeys.toSet))
+      (!table.isPkTable || table.bucketKeys.forall(table.primaryKeys.toSet)) &&
+      bucketLayoutCurrent && plannedFiles.forall(_.bucket < table.numBuckets)
 
   override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning =
     if (bucketGrouped)

@@ -330,6 +330,19 @@ class CatalogV2Spec extends AnyFunSuite {
     assert(t.consumers.map(c => (c.consumerId, c.nextSnapshot)) == Seq(("job", 2L)))
     assert(sql("CALL graft2.sys.reset_consumer('procs.t', 'job')").first().getBoolean(0))
     assert(t.consumers.isEmpty)
+    // rescale (S42): bucketed table re-hashes under the new count via CALL
+    sql("DROP TABLE IF EXISTS graft2.procs.b")
+    sql("""CREATE TABLE graft2.procs.b (k INT, v STRING)
+          |PARTITIONED BY (bucket(2, k))""".stripMargin)
+    sql("INSERT INTO graft2.procs.b VALUES (1,'a'),(2,'b'),(3,'c'),(4,'d'),(5,'e'),(6,'f'),(7,'g'),(8,'h')")
+    val resc = sql("CALL graft2.sys.rescale('procs.b', 4)").first().getLong(0)
+    assert(resc >= 2L)
+    val tb = graft.sources.GraftTable.load(spark,
+      spark.conf.get("spark.sql.catalog.graft2.warehouse") + "/procs.db/b")
+    assert(tb.options.get("bucket").contains("4"))
+    val bks = tb.system("files").select("bucket").collect().map(_.getInt(0)).toSeq
+    assert(bks.forall(_ < 4) && bks.exists(_ >= 2), s"buckets $bks")
+    assert(sql("SELECT count(*) FROM graft2.procs.b").first().getLong(0) == 8L)
   }
 
   private def withConf(key: String, value: String)(body: => Unit): Unit = {

@@ -66,6 +66,39 @@ class ClusteringSpec extends AnyFunSuite {
     assert(interleave(Int.MinValue, 0) < interleave(Int.MaxValue, 0))
   }
 
+  test("S42: rescaleBucket re-hashes the table in one commit; history stays readable; writes continue") {
+    val path = TestSpark.tmpDir("rescale")
+    val t = GraftTable.create(spark, path,
+      StructType(Seq(StructField("k", IntegerType), StructField("v", StringType),
+        StructField("seq", LongType))),
+      primaryKeys = Seq("k"), options = Map("bucket" -> "2"))
+    t.upsert((1 to 8).map(i => (i, s"v$i", 1L)).toDF("k", "v", "seq"))
+    t.upsert(Seq((1, "v1b", 2L)).toDF("k", "v", "seq"))
+    val pre = t.latestSnapshotId.get
+    def buckets(): Seq[Int] =
+      t.system("files").select("bucket").collect().map(_.getInt(0)).toSeq
+    assert(buckets().forall(_ < 2), s"pre-rescale buckets ${buckets()}")
+    t.rescaleBucket(4)
+    // same logical content, version history folded through the merge
+    val rows = spark.read.format("graft").load(path).collect()
+      .map(r => (r.getInt(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(rows.size == 8 && rows.head == ((1, "v1b")), s"$rows")
+    // files re-hashed under the NEW count
+    val b2 = buckets()
+    assert(b2.forall(_ < 4) && b2.exists(_ >= 2), s"post-rescale buckets $b2")
+    // time travel to the pre-rescale snapshot unaffected
+    assert(t.read(snapshotId = Some(pre)).count() == 8)
+    // writes continue under the new layout (fresh load reads the new schema)
+    val t2 = GraftTable.load(spark, path)
+    t2.upsert(Seq((2, "v2b", 3L)).toDF("k", "v", "seq"))
+    val after = spark.read.format("graft").load(path).collect()
+      .map(r => (r.getInt(0), r.getString(1))).toMap
+    assert(after.size == 8 && after(2) == "v2b")
+    // same-count rescale is a no-op
+    val head = t2.latestSnapshotId.get
+    assert(t2.rescaleBucket(4) == head)
+  }
+
   test("Z4: compactBuckets folds ONLY the triggered groups, leaves the rest untouched") {
     val t = GraftTable.create(spark, TestSpark.tmpDir("lsm"),
       StructType(Seq(StructField("k", LongType), StructField("v", StringType))),

@@ -74,6 +74,42 @@ class SpjSpec extends AnyFunSuite {
     withSpjConfs { assert(spark.sql(q).collect().map(_.toString).sorted.toSeq == off) }
   }
 
+  test("SPJ5: a pre-rescale snapshot never claims the new bucket layout (S42 guard)") {
+    val path = TestSpark.tmpDir("spjrescale")
+    val t = graft.sources.GraftTable.create(spark, path,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("amt", org.apache.spark.sql.types.LongType))),
+      options = Map("bucket" -> "2", "bucket-key" -> "k"))
+    import spark.implicits._
+    t.append((1 to 8).map(i => (i, i.toLong)).toDF("k", "amt"))
+    val pre = t.latestSnapshotId.get
+    t.rescaleBucket(4)
+    withSpjConfs {
+      // path-based loads have no function catalog to bind the bucket
+      // transform, so assert the SCAN's claim (what a catalog-resolved
+      // plan would consume), not the physical node's
+      def claims(df: org.apache.spark.sql.DataFrame): Boolean =
+        df.queryExecution.executedPlan.collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+        }.exists {
+          case s: org.apache.spark.sql.connector.read.SupportsReportPartitioning =>
+            s.outputPartitioning().isInstanceOf[
+              org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning]
+          case _ => false
+        }
+      // current snapshot: files written under the current layout → claim on
+      val cur = spark.read.format("graft").load(path)
+      assert(claims(cur), "current snapshot must claim bucket partitioning")
+      // pre-rescale snapshot: files are OLD-hash — a claim keyed on the
+      // new count would mis-align a storage-partitioned join
+      val old = spark.read.format("graft")
+        .option("snapshotId", pre.toString).load(path)
+      assert(!claims(old), "pre-rescale snapshot must not claim the new layout")
+      assert(old.count() == 8 && cur.count() == 8)
+    }
+  }
+
   test("SPJ4: bucket function answers SELECT through the catalog") {
     // the same function SPJ binds is user-callable; must agree with the
     // library's bucketOf
