@@ -22,7 +22,8 @@ import org.apache.spark.sql.SQLContext
   * keeps the residual).
   */
 class GraftSource extends RelationProvider with SchemaRelationProvider
-    with CreatableRelationProvider with StreamSourceProvider with DataSourceRegister
+    with CreatableRelationProvider with StreamSourceProvider with StreamSinkProvider
+    with DataSourceRegister
     with org.apache.spark.sql.connector.catalog.TableProvider {
 
   override def shortName(): String = "graft"
@@ -81,6 +82,15 @@ class GraftSource extends RelationProvider with SchemaRelationProvider
       providerName: String, parameters: Map[String, String])
       : org.apache.spark.sql.execution.streaming.Source =
     new GraftStreamSource(ctx.sparkSession, pathOf(parameters), parameters)
+
+  /** T18: `writeStream.format("graft")` — each micro-batch is one
+    * snapshot commit stamped with the batch id (see [[GraftSink]]). */
+  override def createSink(
+      ctx: SQLContext, parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink =
+    new GraftSink(ctx.sparkSession, pathOf(parameters), parameters, outputMode)
 
   override def createRelation(
       ctx: SQLContext, mode: SaveMode, parameters: Map[String, String],

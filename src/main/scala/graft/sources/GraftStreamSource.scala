@@ -108,3 +108,44 @@ class GraftStreamSource(
 
   override def stop(): Unit = ()
 }
+
+/** T18: V1 streaming Sink — `writeStream.format("graft").start(path)`
+  * commits each micro-batch as ONE snapshot, stamped with the batch id.
+  *
+  * Exactly-once at the table level: the engine's checkpoint can replay
+  * the last batch after a crash between the offset-log write and the
+  * commit-log write; a replayed batch's id already appears as a
+  * snapshot `(commitUser = sinkId, commitIdentifier = batchId)`, so
+  * addBatch skips it — the idempotent-writer half of the Paimon
+  * contract (commit identifiers exist for exactly this). PK tables
+  * additionally absorb replays by key. Two concurrent sink queries on
+  * one table need distinct `sinkId` options (default "stream-sink");
+  * the `branch` option routes commits onto a branch ref (S36).
+  */
+class GraftSink(
+    spark: SparkSession,
+    path: String,
+    parameters: Map[String, String],
+    outputMode: org.apache.spark.sql.streaming.OutputMode)
+  extends org.apache.spark.sql.execution.streaming.Sink {
+
+  require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append() ||
+    outputMode == org.apache.spark.sql.streaming.OutputMode.Update(),
+    s"graft sink supports Append/Update output modes (got $outputMode) — " +
+      "Complete mode would rewrite the table every batch")
+
+  private val sinkId = parameters.getOrElse("sinkId", "stream-sink")
+
+  override def addBatch(batchId: Long, data: org.apache.spark.sql.DataFrame): Unit = {
+    require(GraftTable.exists(spark, path),
+      s"graft sink requires an existing table at $path (create it first — " +
+        "a sink must not guess partitioning/keys from the first batch)")
+    val t0 = GraftTable.load(spark, path)
+    val t = parameters.get("branch").map(t0.forBranch).getOrElse(t0)
+    if (t.snapshots.exists(s => s.commitUser == sinkId && s.commitIdentifier == batchId))
+      return // replayed batch: already committed
+    val batch = org.apache.spark.sql.graft.Bridge.asBatch(data)
+    t.append(batch, commitUser = sinkId, commitIdentifier = Some(batchId))
+    ()
+  }
+}

@@ -440,9 +440,11 @@ class GraftTable private (
   /** Append rows. On a PK table this is an upsert (the batch is deduped
     * like any other PK write — duplicate keys within one batch would
     * otherwise share a `__seq` and merge nondeterministically). */
-  def append(df: DataFrame): Long =
-    if (isPkTable) upsert(df)
-    else writeCommit(df, kind = "APPEND", rowKind = RowKind.Insert)
+  def append(df: DataFrame, commitUser: String = "graft",
+      commitIdentifier: Option[Long] = None): Long =
+    if (isPkTable) upsert(df, commitUser, commitIdentifier)
+    else writeCommit(df, kind = "APPEND", rowKind = RowKind.Insert,
+      commitUser = commitUser, commitIdentifier = commitIdentifier)
 
   /** Upsert by primary key. Within the batch the greatest
     * `sequence.field` value per key wins.
@@ -457,7 +459,8 @@ class GraftTable private (
     * the same commit. The lookup is a key-equality join of the batch
     * against the merged table — at scale exactly the bucketed-join cost
     * Paimon's lookup changelog-producer pays. */
-  def upsert(df: DataFrame): Long = {
+  def upsert(df: DataFrame, commitUser: String = "graft",
+      commitIdentifier: Option[Long] = None): Long = {
     require(isPkTable, "upsert requires primary keys")
     require(mergeEngine == "deduplicate" || !lookupChangelog,
       "changelog-producer=lookup requires merge-engine=deduplicate")
@@ -465,7 +468,8 @@ class GraftTable private (
     // version kept — within-batch dedup would drop rows the fold reads
     val batch = if (mergeEngine == "deduplicate") dedupBatch(df) else df
     if (!lookupChangelog)
-      return writeCommit(batch, kind = "APPEND", rowKind = RowKind.Insert)
+      return writeCommit(batch, kind = "APPEND", rowKind = RowKind.Insert,
+        commitUser = commitUser, commitIdentifier = commitIdentifier)
     val cur = read()
     val keyCols = primaryKeys.map(col)
     // classify against the MERGE OUTCOME, not mere key existence: a
@@ -489,7 +493,8 @@ class GraftTable private (
       .select(keyCols: _*).distinct()
     val pre = cur.join(updatedKeys, primaryKeys, "left_semi")
       .withColumn(KindCol, lit(RowKind.UpdateBefore))
-    writeCommit(marked.unionByName(pre), kind = "APPEND", rowKind = RowKind.Insert)
+    writeCommit(marked.unionByName(pre), kind = "APPEND", rowKind = RowKind.Insert,
+      commitUser = commitUser, commitIdentifier = commitIdentifier)
   }
 
   /** Delete by primary key. `df` must contain FULL rows of the schema

@@ -59,4 +59,14 @@ object Bridge {
     val classic = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     classic.internalCreateDataFrame(df.queryExecution.toRdd, df.schema, isStreaming = true)
   }
+
+  /** The reverse re-tag: a V1 Sink's addBatch receives a STREAMING
+    * micro-batch frame whose plan batch writers refuse (the batch
+    * UnsupportedOperationChecker rejects streaming sources); wrapping
+    * the already-planned incremental toRdd as a batch frame is what
+    * FileStreamSink effectively does with its own execution. */
+  def asBatch(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val classic = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    classic.internalCreateDataFrame(df.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
 }

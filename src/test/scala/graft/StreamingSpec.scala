@@ -250,6 +250,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(second.flatten.sorted == Seq(6, 7), s"restart must deliver only new commits: $second")
   }
 
+  test("T18: writeStream.format(\"graft\") — snapshot per batch, replay-idempotent, branch routing") {
+    implicit val sc = spark.sqlContext
+    val path = TestSpark.tmpDir("sinkfmt")
+    val t = GraftTable.create(spark, path,
+      StructType(Seq(StructField("k", IntegerType), StructField("v", StringType))))
+    val mem = MemoryStream[(Int, String)]
+    val q = mem.toDF().toDF("k", "v").writeStream
+      .format("graft").outputMode("append")
+      .option("checkpointLocation", TestSpark.tmpDir("sinkfmtckpt"))
+      .start(path)
+    try {
+      mem.addData((1, "a")); q.processAllAvailable()
+      mem.addData((2, "b")); q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.read.format("graft").load(path).collect()
+      .map(r => (r.getInt(0), r.getString(1))).sortBy(_._1).toSeq
+      == Seq((1, "a"), (2, "b")))
+    // one snapshot per micro-batch, stamped with the sink id
+    assert(t.snapshots.count(_.commitUser == "stream-sink") == 2)
+    // a REPLAYED batch id commits nothing (the crash window between the
+    // engine's offset log and commit log)
+    val head = t.latestSnapshotId.get
+    new sources.GraftSink(spark, path, Map.empty,
+      org.apache.spark.sql.streaming.OutputMode.Append())
+      .addBatch(1L, Seq((9, "dup")).toDF("k", "v"))
+    assert(GraftTable.load(spark, path).latestSnapshotId.get == head,
+      "replayed batch id must be skipped")
+    // the branch option routes commits onto the branch ref only
+    t.createBranch("side", None)
+    new sources.GraftSink(spark, path, Map("branch" -> "side"),
+      org.apache.spark.sql.streaming.OutputMode.Append())
+      .addBatch(0L, Seq((7, "z")).toDF("k", "v"))
+    assert(spark.read.format("graft").option("branch", "side").load(path)
+      .filter($"k" === 7).count() == 1)
+    assert(spark.read.format("graft").load(path).filter($"k" === 7).count() == 0)
+    // Complete mode is rejected loudly
+    intercept[IllegalArgumentException] {
+      new sources.GraftSink(spark, path, Map.empty,
+        org.apache.spark.sql.streaming.OutputMode.Complete())
+    }
+  }
+
   test("T16b: maxSnapshotsPerTrigger composes with Trigger.AvailableNow — full drain, bounded batches") {
     val path = TestSpark.tmpDir("streamcapnow")
     val t = GraftTable.create(spark, path,
