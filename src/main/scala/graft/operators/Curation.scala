@@ -278,6 +278,31 @@ object Curation {
              |  round(CAST(count(*) AS DOUBLE) / CAST(sum(f) AS DOUBLE), 6) AS ttr,
              |  round(CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS DOUBLE)
              |    / CAST(count(*) AS DOUBLE), 6) AS hapax_share
-             |FROM tf GROUP BY lang ORDER BY lang""".stripMargin))
+             |FROM tf GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // L47: token-length histogram — power-of-two length buckets per
+    // language (doc counts + token mass), the input a sequence-packing
+    // planner (L16) reads to pick its window/stride and a curation
+    // pipeline watches for truncation cliffs. Bucket = number of binary
+    // digits of the token count (bin() is exact integer rendering on
+    // both engines — no float log2 whose x.9999 at exact powers flips a
+    // bucket). One linear pass, (lang × ~12 buckets) keys — map-side
+    // combinable, output bounded at any corpus size.
+    QDef(
+      "q_len_histogram",
+      (s, d) =>
+        T.documents(s, d)
+          .select(col("lang"),
+            size(graft.functions.Text.words(col("text"))).as("ntok"))
+          .select(col("lang"), col("ntok"),
+            length(bin(col("ntok"))).cast("long").as("b"))
+          .groupBy("lang", "b")
+          .agg(count(lit(1)).as("docs"), sum("ntok").as("toks"))
+          .orderBy("lang", "b"),
+      Some("""WITH t AS (SELECT lang,
+             |    len(string_split_regex(trim(text),'\s+')) AS ntok FROM documents)
+             |SELECT lang, CAST(length(bin(ntok)) AS BIGINT) AS b,
+             |  count(*) AS docs, CAST(sum(ntok) AS BIGINT) AS toks
+             |FROM t GROUP BY lang, b ORDER BY lang, b""".stripMargin))
   )
 }
