@@ -313,6 +313,10 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
       case del: TableChange.DeleteColumn =>
         require(del.fieldNames().length == 1, "graft supports top-level DROP COLUMN only")
         t.dropColumn(del.fieldNames()(0))
+      case set: TableChange.SetProperty =>
+        t.setOptions(Map(set.property -> set.value))
+      case rm: TableChange.RemoveProperty =>
+        t.removeOptions(Seq(rm.property))
       case other =>
         throw new UnsupportedOperationException(s"unsupported table change: $other")
     }

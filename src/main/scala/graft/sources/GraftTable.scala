@@ -1829,6 +1829,32 @@ class GraftTable private (
     writeSchema(next)
   }
 
+  /** S43: update table OPTIONS as a new schema version (the ALTER TABLE
+    * SET/UNSET TBLPROPERTIES surface). Layout- and semantics-critical
+    * options are immutable here: bucket/bucket-key need a data re-hash
+    * (rescaleBucket is the sound path), file.format would misread every
+    * existing file (readers resolve the format table-wide), and
+    * merge-engine / sequence.field would silently change the fold
+    * semantics of ALREADY-WRITTEN row versions. */
+  private val ImmutableOptions =
+    Set("bucket", "bucket-key", "file.format", "merge-engine", "sequence.field")
+
+  def setOptions(kv: Map[String, String]): Unit = {
+    val bad = kv.keySet.intersect(ImmutableOptions)
+    require(bad.isEmpty,
+      s"immutable table option(s): ${bad.mkString(", ")} " +
+        "(bucket layout changes go through rescaleBucket)")
+    writeSchema(schemaMeta.copy(
+      id = schemaMeta.id + 1, options = schemaMeta.options ++ kv))
+  }
+
+  def removeOptions(keys: Seq[String]): Unit = {
+    val bad = keys.toSet.intersect(ImmutableOptions)
+    require(bad.isEmpty, s"immutable table option(s): ${bad.mkString(", ")}")
+    writeSchema(schemaMeta.copy(
+      id = schemaMeta.id + 1, options = schemaMeta.options -- keys))
+  }
+
   /** Rename a column, keeping its field id: existing parquet files keep
     * reading through id resolution, so old data appears under the new
     * name with zero rewrite (ref: PrestoSqlMetadataBase.java:307

@@ -345,6 +345,29 @@ class CatalogV2Spec extends AnyFunSuite {
     assert(sql("SELECT count(*) FROM graft2.procs.b").first().getLong(0) == 8L)
   }
 
+  test("C15 (S43): ALTER TABLE SET/UNSET TBLPROPERTIES — versioned options, layout guarded") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft2.procs")
+    sql("DROP TABLE IF EXISTS graft2.procs.props")
+    sql("CREATE TABLE graft2.procs.props (k INT, v STRING)")
+    sql("INSERT INTO graft2.procs.props VALUES (1, 'a')")
+    sql("""ALTER TABLE graft2.procs.props SET TBLPROPERTIES
+          |('num-sorted-run.compaction-trigger'='5', 'snapshot.time-retained'='3600000')""".stripMargin)
+    def t = graft.sources.GraftTable.load(spark,
+      spark.conf.get("spark.sql.catalog.graft2.warehouse") + "/procs.db/props")
+    assert(t.options.get("num-sorted-run.compaction-trigger").contains("5"))
+    assert(t.options.get("snapshot.time-retained").contains("3600000"))
+    sql("ALTER TABLE graft2.procs.props UNSET TBLPROPERTIES ('snapshot.time-retained')")
+    assert(!t.options.contains("snapshot.time-retained"))
+    assert(t.options.get("num-sorted-run.compaction-trigger").contains("5"))
+    // layout/semantics-critical options are immutable through this path
+    for (bad <- Seq("bucket", "file.format", "merge-engine", "sequence.field"))
+      intercept[Exception] {
+        sql(s"ALTER TABLE graft2.procs.props SET TBLPROPERTIES ('$bad'='x')")
+      }
+    // data untouched by the metadata-only versioning
+    assert(sql("SELECT k FROM graft2.procs.props").first().getInt(0) == 1)
+  }
+
   private def withConf(key: String, value: String)(body: => Unit): Unit = {
     val old = spark.conf.getOption(key)
     spark.conf.set(key, value)
