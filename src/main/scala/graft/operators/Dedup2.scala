@@ -253,7 +253,93 @@ object Dedup2 {
               |FROM e a JOIN e b USING (g)
               |WHERE a.source < b.source
               |GROUP BY s1, s2
-              |ORDER BY shared DESC, s1, s2 LIMIT 50""".stripMargin))
+              |ORDER BY shared DESC, s1, s2 LIMIT 50""".stripMargin)),
+
+    // L48: embedding-health diagnostics — per-label vector-norm stats
+    // (count, zero-norm vectors, min/max norm, mean norm): the broken-
+    // embedding detector a pipeline runs before any similarity stage
+    // (an encoder emitting zeros or wildly-scaled vectors poisons every
+    // cosine downstream). Norms are per-row sequential folds
+    // (deterministic IEEE both engines); the MEAN uses quantized norms
+    // (×1000 → integer-valued doubles, exact cross-row sums under any
+    // partitioning — §5) and min/max are order-free selections, so all
+    // five stats hash-match bit-exactly.
+    QDef(
+      "q_embed_norms",
+      (s, d) => {
+        import org.apache.spark.sql.types.{ArrayType, DoubleType}
+        val v = col("embedding").cast(ArrayType(DoubleType))
+        val nrm = sqrt(graft.functions.VectorExpr.dot(v, v))
+        val u = nrm * lit(1000.0)
+        val nq = when(u >= 0, floor(u + lit(0.5))).otherwise(-floor(-u + lit(0.5)))
+          .cast("double")
+        T.embeddings(s, d)
+          .filter(v.isNotNull)
+          .select(col("label"), nrm.as("nrm"), nq.as("nq"))
+          .groupBy("label")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(when(col("nrm") === 0.0, 1L).otherwise(0L)).as("zeros"),
+            round(min("nrm"), 4).as("mn"),
+            round(max("nrm"), 4).as("mx"),
+            round(sum("nq") / (count(lit(1)) * lit(1000.0)), 4).as("mean_norm"))
+          .orderBy("label")
+      },
+      Some("""WITH vv AS (SELECT label,
+             |    sqrt(list_reduce(list_cat([0.0],
+             |      list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))),
+             |      (a,e) -> a+e)) AS nrm
+             |  FROM embeddings WHERE embedding IS NOT NULL),
+             |q AS (SELECT label, nrm,
+             |    CASE WHEN nrm*1000.0 >= 0 THEN floor(nrm*1000.0 + 0.5)
+             |         ELSE -floor(-(nrm*1000.0) + 0.5) END AS nq
+             |  FROM vv)
+             |SELECT label, count(*) AS n,
+             |  CAST(sum(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zeros,
+             |  round(min(nrm), 4) AS mn, round(max(nrm), 4) AS mx,
+             |  round(sum(nq) / (count(*)*1000.0), 4) AS mean_norm
+             |FROM q GROUP BY label ORDER BY label""".stripMargin)),
+
+    // L49: per-source duplication rate — the share of each source's docs
+    // that sit in at least one verified near-dup pair (the mixture
+    // report a curation pipeline publishes: a source with a fat dup rate
+    // gets down-weighted or re-crawled). Consumes the SHARED staged
+    // Jaccard pair frame (L2's PPJoin cascade runs once per session/dir);
+    // the dup-doc set is pair-bounded and the join back to documents is
+    // a broadcast-able semi-join shape.
+    QDef(
+      "q_dup_rate",
+      (s, d) => {
+        val pairs = Dedup.jaccardPairsStaged(s, d)
+        val dup = pairs.select(col("d1").as("doc_id"))
+          .unionByName(pairs.select(col("d2").as("doc_id")))
+          .distinct()
+          .withColumn("isdup", lit(1L))
+        T.documents(s, d).select(col("doc_id"), col("source"))
+          .join(dup, Seq("doc_id"), "left")
+          .groupBy("source")
+          .agg(count(lit(1)).as("docs"),
+            sum(coalesce(col("isdup"), lit(0L))).as("dup_docs"))
+          .withColumn("dup_rate",
+            round(col("dup_docs").cast("double") / col("docs").cast("double"), 4))
+          .orderBy("source")
+      },
+      Some(s"""WITH w AS (SELECT doc_id, ${Dedup.ShSql} sh FROM documents),
+              |e AS (SELECT doc_id, unnest(sh) g FROM w),
+              |${Dedup.PrefixCandSql},
+              |j AS (SELECT d1, d2,
+              |  CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE)
+              |    / len(list_distinct(list_cat(s1.sh, s2.sh))) jr
+              |  FROM cand JOIN w s1 ON d1 = s1.doc_id JOIN w s2 ON d2 = s2.doc_id),
+              |vp AS (SELECT d1, d2 FROM j WHERE jr >= ${Dedup.Tau}),
+              |dd AS (SELECT DISTINCT doc_id FROM
+              |  (SELECT d1 AS doc_id FROM vp UNION ALL SELECT d2 FROM vp))
+              |SELECT source, count(*) AS docs,
+              |  CAST(sum(CASE WHEN dd.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs,
+              |  round(CAST(sum(CASE WHEN dd.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+              |    / CAST(count(*) AS DOUBLE), 4) AS dup_rate
+              |FROM documents doc LEFT JOIN dd ON doc.doc_id = dd.doc_id
+              |GROUP BY source ORDER BY source""".stripMargin))
   )
 
   /** L35 core: rank Levenshtein-distance-1 pairs over a `(w, n)`
