@@ -205,7 +205,9 @@ object Dedup2 {
       (s, d) =>
         T.documents(s, d)
           .select(col("doc_id"),
-            md5(array_join(array_sort(array_distinct(Text.words(col("text")))), " ")
+            // sort_array, not array_sort: the latter embeds a comparator
+            // lambda (interpreted HOF — PlanAuditSpec rejects it)
+            md5(array_join(sort_array(array_distinct(Text.words(col("text")))), " ")
               .cast("binary")).as("k"))
           .groupBy("k")
           .agg(count(lit(1)).as("dups"), min("doc_id").as("keeper"))
