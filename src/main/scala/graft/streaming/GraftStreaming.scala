@@ -100,6 +100,28 @@ object GraftStreaming {
     log.filter(col("commit_seq") > fromSnapshot)
   }
 
+  /** Changelog-driven incremental aggregate maintenance (T19): keep an
+    * exact per-group SUM + live-row COUNT from a `readChangelog`
+    * stream — the materialized-view upkeep shape (a downstream
+    * aggregate table stays correct under UPDATEs and DELETEs without
+    * reprocessing the base table). Retract-stream algebra: +I/+U
+    * contribute +value, their -U pre-images and -D deletes contribute
+    * −value, so the running signed sums ARE the aggregate of the
+    * table's current state after every batch. Spark-first: a plain
+    * streaming groupBy carries the per-group sums in the state store
+    * (incremental, checkpointed); state is group-cardinality-bounded —
+    * the aggregate table's own size, the minimum any view needs. */
+  def aggregateChangelog(
+      changelog: DataFrame, groupCol: String, valCol: String): DataFrame = {
+    val sgn = when(col("rowkind").isin("+I", "+U"), 1L).otherwise(-1L)
+    changelog
+      .withColumn("__sgn", sgn)
+      .groupBy(col(groupCol))
+      .agg(
+        sum(col(valCol) * col("__sgn")).as("total"),
+        sum(col("__sgn")).as("live_rows"))
+  }
+
   /** Streaming exact dedup of a document stream by fingerprint — the
     * ingestion-time half of the batch dedup suite (L1): a document whose
     * key appeared in ANY earlier micro-batch is dropped before it ever

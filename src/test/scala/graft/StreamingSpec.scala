@@ -250,6 +250,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(second.flatten.sorted == Seq(6, 7), s"restart must deliver only new commits: $second")
   }
 
+  test("T19: changelog-driven aggregate view stays exact under update and delete") {
+    val path = TestSpark.tmpDir("aggview")
+    val t = GraftTable.create(spark, path,
+      StructType(Seq(StructField("id", IntegerType), StructField("grp", StringType),
+        StructField("amount", LongType), StructField("seq", LongType))),
+      primaryKeys = Seq("id"),
+      options = Map("sequence.field" -> "seq", "changelog-producer" -> "lookup"))
+    t.upsert(Seq((1, "A", 10L, 1L), (2, "A", 20L, 1L), (3, "B", 5L, 1L))
+      .toDF("id", "grp", "amount", "seq"))
+    val changelog = spark.readStream.format("graft")
+      .option("readChangelog", "true").load(path)
+    val q = GraftStreaming.aggregateChangelog(changelog, "grp", "amount")
+      .writeStream.outputMode("complete").format("memory").queryName("agg_view")
+      .start()
+    def state(): Map[String, (Long, Long)] =
+      spark.sql("SELECT grp, total, live_rows FROM agg_view").collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    try {
+      q.processAllAvailable()
+      assert(state() == Map("A" -> ((30L, 2L)), "B" -> ((5L, 1L))))
+      // UPDATE id=1: the -U pre-image retracts 10, the +U adds 15
+      t.upsert(Seq((1, "A", 15L, 2L)).toDF("id", "grp", "amount", "seq"))
+      q.processAllAvailable()
+      assert(state() == Map("A" -> ((35L, 2L)), "B" -> ((5L, 1L))))
+      // DELETE id=2: the -D pre-image retracts 20 and one live row
+      t.delete(Seq((2, "A", 0L, 3L)).toDF("id", "grp", "amount", "seq"))
+      q.processAllAvailable()
+      assert(state() == Map("A" -> ((15L, 1L)), "B" -> ((5L, 1L))))
+    } finally q.stop()
+  }
+
   test("T18: writeStream.format(\"graft\") — snapshot per batch, replay-idempotent, branch routing") {
     implicit val sc = spark.sqlContext
     val path = TestSpark.tmpDir("sinkfmt")
