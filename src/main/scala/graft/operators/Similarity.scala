@@ -508,6 +508,64 @@ object Similarity {
               |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) rn
               |      FROM p)
               |SELECT q_id, rn, c_id, round(cos,4) AS cos FROM r WHERE rn <= 3
-              |ORDER BY q_id, rn""".stripMargin))
+              |ORDER BY q_id, rn""".stripMargin)),
+
+    // L50: ANN recall report — recall@3 of the deployed LSH index
+    // against the brute-force ground truth, as ONE measured number (the
+    // index-quality gate a pipeline runs after every (re)build; an
+    // index whose recall drifts below target gets more planes/probes
+    // before any consumer sees it). Both pipelines are deterministic
+    // and already oracle-replayed (L6/L7); the report is their
+    // per-query top-3 intersection — hits are exact integers, the
+    // recall is ONE division (§5). Cost is the brute baseline's
+    // bounded-query-side scan — the evaluation probe set stays ≤20
+    // vectors at any corpus size.
+    QDef(
+      "q_ann_recall",
+      (s, d) => {
+        val gt = annBrute(s, d).select(col("q_id"), col("c_id"))
+        val got = annLsh(s, d).select(col("q_id"), col("c_id"))
+          .withColumn("hit", lit(1L))
+        val hits = gt.join(got, Seq("q_id", "c_id"), "left")
+          .groupBy("q_id")
+          .agg(sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("h"))
+        hits.agg(
+          count(lit(1)).as("nq"),
+          sum("h").as("hits"),
+          round(sum("h").cast("double") / (count(lit(1)) * lit(3.0)), 4).as("recall3"))
+      },
+      Some(s"""WITH $NormedSql,
+              |bp AS (SELECT q.vec_id q_id, c.vec_id c_id, $CosSql cos
+              |      FROM n q JOIN n c ON q.vec_id < 20 AND q.vec_id <> c.vec_id),
+              |br AS (SELECT q_id, c_id,
+              |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) rn
+              |      FROM bp),
+              |gt AS (SELECT q_id, c_id FROM br WHERE rn <= 3),
+              |pl(t, j, w, p) AS (VALUES $PlanesSql),
+              |dots AS (SELECT n.vec_id, pl.t, pl.w,
+              |    list_reduce(list_cat([0.0], list_transform(range(1, len(n.v)+1), i -> n.v[i]*pl.p[i])), (a,x) -> a+x) AS dot
+              |  FROM n CROSS JOIN pl),
+              |bk AS (SELECT vec_id, t, CAST(sum(CASE WHEN dot >= 0 THEN w ELSE 0 END) AS BIGINT) AS bnum
+              |  FROM dots GROUP BY vec_id, t),
+              |b AS (SELECT n.vec_id, n.v, n.nrm, CAST(bk.t AS VARCHAR) || '_' || CAST(bk.bnum AS VARCHAR) AS bucket
+              |  FROM n JOIN bk ON n.vec_id = bk.vec_id),
+              |qp AS (SELECT vec_id, t, bnum FROM bk WHERE vec_id < 20
+              |  UNION
+              |  SELECT bk.vec_id, bk.t, xor(bk.bnum, CAST(pl.w AS BIGINT))
+              |  FROM bk JOIN pl ON pl.t = bk.t WHERE bk.vec_id < 20),
+              |qb AS (SELECT n.vec_id, n.v, n.nrm, CAST(qp.t AS VARCHAR) || '_' || CAST(qp.bnum AS VARCHAR) AS bucket
+              |  FROM n JOIN qp ON n.vec_id = qp.vec_id),
+              |lp AS (SELECT DISTINCT q.vec_id q_id, c.vec_id c_id, $CosSql cos
+              |  FROM qb q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id),
+              |lr AS (SELECT q_id, c_id,
+              |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) rn
+              |      FROM lp),
+              |got AS (SELECT q_id, c_id FROM lr WHERE rn <= 3),
+              |hits AS (SELECT gt.q_id, count(got.c_id) AS h
+              |  FROM gt LEFT JOIN got ON gt.q_id = got.q_id AND gt.c_id = got.c_id
+              |  GROUP BY gt.q_id)
+              |SELECT count(*) AS nq, CAST(sum(h) AS BIGINT) AS hits,
+              |  round(CAST(sum(h) AS DOUBLE) / (count(*)*3.0), 4) AS recall3
+              |FROM hits""".stripMargin))
   )
 }
