@@ -90,7 +90,8 @@ class GraftSource extends RelationProvider with SchemaRelationProvider
       partitionColumns: Seq[String],
       outputMode: org.apache.spark.sql.streaming.OutputMode)
       : org.apache.spark.sql.execution.streaming.Sink =
-    new GraftSink(ctx.sparkSession, pathOf(parameters), parameters, outputMode)
+    new GraftSink(ctx.sparkSession, pathOf(parameters), parameters, outputMode,
+      partitionColumns)
 
   override def createRelation(
       ctx: SQLContext, mode: SaveMode, parameters: Map[String, String],

@@ -303,6 +303,10 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val t = GraftTable.load(spark, tablePath(ident))
+    // property changes batch into ONE schema version (a multi-property
+    // ALTER must apply atomically); structural changes apply in order
+    val sets = changes.collect { case s: TableChange.SetProperty => s.property -> s.value }
+    val removes = changes.collect { case r: TableChange.RemoveProperty => r.property }
     changes.foreach {
       case add: TableChange.AddColumn =>
         require(add.fieldNames().length == 1, "graft supports top-level ADD COLUMN only")
@@ -313,13 +317,11 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
       case del: TableChange.DeleteColumn =>
         require(del.fieldNames().length == 1, "graft supports top-level DROP COLUMN only")
         t.dropColumn(del.fieldNames()(0))
-      case set: TableChange.SetProperty =>
-        t.setOptions(Map(set.property -> set.value))
-      case rm: TableChange.RemoveProperty =>
-        t.removeOptions(Seq(rm.property))
+      case _: TableChange.SetProperty | _: TableChange.RemoveProperty => () // batched below
       case other =>
         throw new UnsupportedOperationException(s"unsupported table change: $other")
     }
+    t.updateOptions(sets.toMap, removes)
     loadTable(ident)
   }
 

@@ -117,16 +117,20 @@ class GraftStreamSource(
   * commit-log write; a replayed batch's id already appears as a
   * snapshot `(commitUser = sinkId, commitIdentifier = batchId)`, so
   * addBatch skips it — the idempotent-writer half of the Paimon
-  * contract (commit identifiers exist for exactly this). PK tables
-  * additionally absorb replays by key. Two concurrent sink queries on
-  * one table need distinct `sinkId` options (default "stream-sink");
-  * the `branch` option routes commits onto a branch ref (S36).
+  * contract (commit identifiers exist for exactly this). Batch ids are
+  * scoped to a CHECKPOINT, so the default sinkId derives from the
+  * query's checkpointLocation (stable across restarts of the same
+  * query, distinct across queries — a static default would let query
+  * B's batch 0 alias query A's and drop data); `sinkId` overrides it.
+  * PK tables additionally absorb replays by key; the `branch` option
+  * routes commits onto a branch ref (S36).
   */
 class GraftSink(
     spark: SparkSession,
     path: String,
     parameters: Map[String, String],
-    outputMode: org.apache.spark.sql.streaming.OutputMode)
+    outputMode: org.apache.spark.sql.streaming.OutputMode,
+    partitionColumns: Seq[String] = Seq.empty)
   extends org.apache.spark.sql.execution.streaming.Sink {
 
   require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append() ||
@@ -134,18 +138,48 @@ class GraftSink(
     s"graft sink supports Append/Update output modes (got $outputMode) — " +
       "Complete mode would rewrite the table every batch")
 
-  private val sinkId = parameters.getOrElse("sinkId", "stream-sink")
+  private val sinkId = parameters.get("sinkId")
+    .orElse(parameters.get("checkpointLocation")
+      // String.hashCode is specified and stable across JVMs
+      .map(p => "sink-" + java.lang.Integer.toHexString(p.hashCode)))
+    .getOrElse("stream-sink")
 
-  override def addBatch(batchId: Long, data: org.apache.spark.sql.DataFrame): Unit = {
+  /** Table handle cached for the sink's lifetime: reloading per batch
+    * would re-parse the whole snapshot log every micro-batch (the
+    * instance's snapshot cache amortizes the replay check instead). */
+  private var cached: Option[GraftTable] = None
+  /** Highest batch id committed by THIS instance — batch ids are
+    * monotonic within a run, so only the first addBatch after a
+    * (re)start can be a replay and needs the log scan. */
+  private var lastBatch: Option[Long] = None
+
+  private def table: GraftTable = cached.getOrElse {
     require(GraftTable.exists(spark, path),
       s"graft sink requires an existing table at $path (create it first — " +
         "a sink must not guess partitioning/keys from the first batch)")
     val t0 = GraftTable.load(spark, path)
     val t = parameters.get("branch").map(t0.forBranch).getOrElse(t0)
-    if (t.snapshots.exists(s => s.commitUser == sinkId && s.commitIdentifier == batchId))
-      return // replayed batch: already committed
-    val batch = org.apache.spark.sql.graft.Bridge.asBatch(data)
-    t.append(batch, commitUser = sinkId, commitIdentifier = Some(batchId))
+    require(partitionColumns.isEmpty || partitionColumns == t.partitionKeys,
+      s"partitionBy(${partitionColumns.mkString(",")}) does not match the " +
+        s"table's partition keys (${t.partitionKeys.mkString(",")}) — the sink " +
+        "writes under the table's own layout and must not silently ignore a spec")
+    cached = Some(t)
+    t
+  }
+
+  override def addBatch(batchId: Long, data: org.apache.spark.sql.DataFrame): Unit = {
+    val t = table
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append() ||
+      t.primaryKeys.nonEmpty,
+      "Update output mode needs a primary-key table (append would accumulate " +
+        "stale per-key emissions instead of folding them)")
+    val replayed = !lastBatch.exists(batchId > _) &&
+      t.snapshots.exists(s => s.commitUser == sinkId && s.commitIdentifier == batchId)
+    if (!replayed) {
+      val batch = org.apache.spark.sql.graft.Bridge.asBatch(data)
+      t.append(batch, commitUser = sinkId, commitIdentifier = Some(batchId))
+    }
+    lastBatch = Some(lastBatch.fold(batchId)(math.max(_, batchId)))
     ()
   }
 }

@@ -269,8 +269,18 @@ class GraftTable private (
     * filesystem read each time. */
   private val snapCache = scala.collection.concurrent.TrieMap[Long, SnapshotMeta]()
   private def readSnapshot(id: Long): SnapshotMeta =
-    snapCache.getOrElseUpdate(id,
-      mapper.readValue(readString(fs, new Path(root, s"$snapDirRel/snap-$id.json")), classOf[SnapshotMeta]))
+    snapCache.getOrElseUpdate(id, {
+      val parsed = mapper.readValue(
+        readString(fs, new Path(root, s"$snapDirRel/snap-$id.json")), classOf[SnapshotMeta])
+      // never CACHE a body that does not match its filename id: a legal
+      // publish (tmp write + rename) is all-or-nothing, so a mismatch is
+      // a corrupt/foreign file — caching it would poison every later
+      // consumer of this id (a real snapshot may still legally land at
+      // this id after the bad file is removed)
+      require(parsed.id == id,
+        s"corrupt snapshot file snap-$id.json at $root (body id ${parsed.id})")
+      parsed
+    })
 
   /** Schema version a snapshot was committed under — the SPJ layout
     * guard (S42): bucket-layout claims are honest only for snapshots
@@ -359,6 +369,32 @@ class GraftTable private (
       id: Long, kind: String, added: Seq[FileMeta],
       deleted: Seq[FileMeta] = Seq.empty, rebase: Boolean = false,
       commitUser: String = "graft", commitIdentifier: Option[Long] = None): Long = {
+    // S42 mid-rescale fence: if the bucket layout the CURRENT schema
+    // declares differs from the layout the latest snapshot was committed
+    // under, a rescale published its schema but its rewrite never landed
+    // (crash / lost race). An incremental commit here would stamp the
+    // new schemaId onto a file set still holding OLD-hash files — the
+    // SPJ layout guard would then certify a mixed-hash layout and a
+    // storage-partitioned join would silently mis-align. Only a FULL
+    // rebase (rescaleBucket retry, whole-table compact) repairs the
+    // state; everything else must fail loudly.
+    if (!rebase) latestSnapshotId.foreach { latest =>
+      // an unreadable/corrupt latest snapshot is NOT a rescale state —
+      // skip the fence and let the claim/rename machinery below surface
+      // the real conflict (S16's planted-file scenario)
+      val layouts =
+        try Some((bucketLayoutAt(snapshotSchemaId(latest)), bucketLayoutAt(schemaMeta.id)))
+        catch {
+          case _: IllegalArgumentException | _: java.io.IOException => None
+        }
+      layouts.foreach { case (stamped, current) =>
+        if (stamped != current)
+          throw new IllegalStateException(
+            s"table at $root is mid-rescale (snapshot $latest layout $stamped, " +
+              s"schema layout $current): finish it with rescaleBucket(${current._1}) " +
+              "before writing")
+      }
+    }
     // Two-phase publish. (1) CLAIM the id with an exclusive create
     // (overwrite=false) of a side-car claim file — atomic on HDFS and
     // local FS, no exists-precheck TOCTOU; an object store would need a
@@ -672,14 +708,21 @@ class GraftTable private (
     * same reason). */
   def rescaleBucket(newBuckets: Int): Long = {
     require(newBuckets >= 1, s"bucket count must be >= 1 (got $newBuckets)")
-    if (newBuckets == numBuckets) return latestSnapshotId.getOrElse(0L)
+    val base = latestSnapshotId.getOrElse(0L)
+    // resumable: after a crashed/raced rescale the schema already says
+    // `newBuckets` but the rewrite never landed (commitAt fences all
+    // other writes in that state) — same-count is a no-op ONLY when the
+    // latest snapshot really was committed under this layout
+    val alreadyDone = newBuckets == numBuckets &&
+      (base == 0 || bucketLayoutAt(snapshotSchemaId(base)) == bucketLayoutAt(schemaMeta.id))
+    if (alreadyDone) return base
     require(bucketKeys.nonEmpty,
       "rescale needs a bucketed table (bucket-key or primary-key layout)")
-    val base = latestSnapshotId.getOrElse(0L)
     val merged = read(snapshotId = Some(base).filter(_ > 0))
-    writeSchema(schemaMeta.copy(
-      id = schemaMeta.id + 1,
-      options = schemaMeta.options.updated("bucket", newBuckets.toString)))
+    if (newBuckets != numBuckets)
+      writeSchema(schemaMeta.copy(
+        id = schemaMeta.id + 1,
+        options = schemaMeta.options.updated("bucket", newBuckets.toString)))
     val added = stageWrite(merged, rowKind = RowKind.Insert, seq = base + 1)
     commitOrClean(base + 1, "COMPACT", added, rebase = true)
   }
@@ -1839,20 +1882,22 @@ class GraftTable private (
   private val ImmutableOptions =
     Set("bucket", "bucket-key", "file.format", "merge-engine", "sequence.field")
 
-  def setOptions(kv: Map[String, String]): Unit = {
-    val bad = kv.keySet.intersect(ImmutableOptions)
+  def setOptions(kv: Map[String, String]): Unit = updateOptions(kv, Seq.empty)
+
+  def removeOptions(keys: Seq[String]): Unit = updateOptions(Map.empty, keys)
+
+  /** One ALTER statement = ONE schema version, however many properties
+    * it sets/unsets — per-change versions would leave a half-applied
+    * ALTER visible to readers if the writer dies between them. */
+  def updateOptions(set: Map[String, String], remove: Seq[String]): Unit = {
+    if (set.isEmpty && remove.isEmpty) return
+    val bad = (set.keySet ++ remove).intersect(ImmutableOptions)
     require(bad.isEmpty,
       s"immutable table option(s): ${bad.mkString(", ")} " +
         "(bucket layout changes go through rescaleBucket)")
     writeSchema(schemaMeta.copy(
-      id = schemaMeta.id + 1, options = schemaMeta.options ++ kv))
-  }
-
-  def removeOptions(keys: Seq[String]): Unit = {
-    val bad = keys.toSet.intersect(ImmutableOptions)
-    require(bad.isEmpty, s"immutable table option(s): ${bad.mkString(", ")}")
-    writeSchema(schemaMeta.copy(
-      id = schemaMeta.id + 1, options = schemaMeta.options -- keys))
+      id = schemaMeta.id + 1,
+      options = schemaMeta.options ++ set -- remove))
   }
 
   /** Rename a column, keeping its field id: existing parquet files keep

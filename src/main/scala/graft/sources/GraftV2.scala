@@ -730,7 +730,12 @@ final class GraftScan(
       val out = new java.util.HashMap[
         org.apache.spark.sql.connector.expressions.NamedReference,
         org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
-      if (table.isPkTable || plannedFiles.isEmpty) return out
+      // deletion vectors mask rows the footer stats still count: numRows
+      // subtracts dvCount exactly, but null counts / bounds cannot —
+      // nullCount could exceed numRows and poison selectivity estimates.
+      // Decline column stats whenever any planned file carries a vector.
+      if (table.isPkTable || plannedFiles.isEmpty ||
+          plannedFiles.exists(_.hasDv)) return out
       readSchema().fields.foreach { fld =>
         val perFile = plannedFiles.map(_.statsOrEmpty.get(fld.name))
         if (perFile.forall(_.isDefined)) {

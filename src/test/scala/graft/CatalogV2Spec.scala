@@ -352,10 +352,17 @@ class CatalogV2Spec extends AnyFunSuite {
     sql("INSERT INTO graft2.procs.props VALUES (1, 'a')")
     sql("""ALTER TABLE graft2.procs.props SET TBLPROPERTIES
           |('num-sorted-run.compaction-trigger'='5', 'snapshot.time-retained'='3600000')""".stripMargin)
-    def t = graft.sources.GraftTable.load(spark,
-      spark.conf.get("spark.sql.catalog.graft2.warehouse") + "/procs.db/props")
+    val tableDir =
+      spark.conf.get("spark.sql.catalog.graft2.warehouse") + "/procs.db/props"
+    def t = graft.sources.GraftTable.load(spark, tableDir)
     assert(t.options.get("num-sorted-run.compaction-trigger").contains("5"))
     assert(t.options.get("snapshot.time-retained").contains("3600000"))
+    // one ALTER = ONE schema version, however many properties it sets
+    // (per-property versions would expose a half-applied ALTER on crash)
+    def schemaVersions: Int =
+      new java.io.File(tableDir, "schema").listFiles()
+        .count(_.getName.matches("schema-\\d+\\.json"))
+    assert(schemaVersions == 2, s"expected schema-0 + one ALTER version, got $schemaVersions")
     sql("ALTER TABLE graft2.procs.props UNSET TBLPROPERTIES ('snapshot.time-retained')")
     assert(!t.options.contains("snapshot.time-retained"))
     assert(t.options.get("num-sorted-run.compaction-trigger").contains("5"))

@@ -99,6 +99,36 @@ class ClusteringSpec extends AnyFunSuite {
     assert(t2.rescaleBucket(4) == head)
   }
 
+  test("S42b: a crashed rescale fences incremental writes until the rewrite lands") {
+    val path = TestSpark.tmpDir("rescalecrash")
+    val t = GraftTable.create(spark, path,
+      StructType(Seq(StructField("k", IntegerType), StructField("v", StringType),
+        StructField("seq", LongType))),
+      primaryKeys = Seq("k"), options = Map("bucket" -> "2"))
+    t.upsert((1 to 8).map(i => (i, s"v$i", 1L)).toDF("k", "v", "seq"))
+    val base = t.latestSnapshotId.get
+    // simulate the crash window: a conflicting claim makes the rescale's
+    // rewrite commit lose AFTER it published the new-layout schema
+    val claim = java.nio.file.Paths.get(path, "snapshot", s".claim-${base + 1}")
+    java.nio.file.Files.createFile(claim)
+    intercept[IllegalStateException] { t.rescaleBucket(4) }
+    java.nio.file.Files.delete(claim)
+    // schema now says 4 buckets, files are still 2-hashed: every
+    // incremental write must refuse — committing would stamp the new
+    // schemaId onto a mixed-hash set and falsely re-arm the SPJ claim
+    val e = intercept[IllegalStateException] {
+      t.upsert(Seq((9, "v9", 2L)).toDF("k", "v", "seq"))
+    }
+    assert(e.getMessage.contains("mid-rescale"), e.getMessage)
+    // retrying the rescale (same target count) repairs: full re-hash
+    t.rescaleBucket(4)
+    val bks = t.system("files").select("bucket").collect().map(_.getInt(0)).toSeq
+    assert(bks.forall(_ < 4) && bks.exists(_ >= 2), s"buckets $bks")
+    // and ordinary writes flow again
+    t.upsert(Seq((9, "v9", 2L)).toDF("k", "v", "seq"))
+    assert(spark.read.format("graft").load(path).count() == 9)
+  }
+
   test("Z4: compactBuckets folds ONLY the triggered groups, leaves the rest untouched") {
     val t = GraftTable.create(spark, TestSpark.tmpDir("lsm"),
       StructType(Seq(StructField("k", LongType), StructField("v", StringType))),

@@ -347,9 +347,15 @@ class GraftTableSpec extends AnyFunSuite {
     val out = fs.create(new org.apache.hadoop.fs.Path(root, "snapshot/snap-2.json"), true)
     out.write("{}".getBytes); out.close()
     intercept[IllegalStateException](t.commitAt(2, "APPEND", Seq.empty))
-    // and the next regular commit simply moves past the claimed id
+    // a regular commit REFUSES to build on an unreadable latest snapshot
+    // (it would silently lose the real history's manifest chain —
+    // building an empty chain from garbage is data loss, not progress)
+    intercept[IllegalArgumentException](t.append(Seq(2).toDF("k")))
+    // the operator removes the corrupt file; writes flow again
+    fs.delete(new org.apache.hadoop.fs.Path(root, "snapshot/snap-2.json"), false)
     t.append(Seq(2).toDF("k"))
-    assert(t.latestSnapshotId.contains(3L))
+    assert(t.latestSnapshotId.contains(2L))
+    assert(t.read().collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2))
   }
 
   test("S4c: partition values with '+', '%' escapes, and NULL round-trip") {

@@ -18,7 +18,9 @@ class PlanAuditSpec extends AnyFunSuite {
     * n² compute matters. */
   private val boundedBnlj =
     Set("q_ann_brute", "q_ann_quantized", "q_ann_ivf", "q_ann_ivf_trained",
-      "q_dedup_semantic")
+      "q_dedup_semantic",
+      // recall report composes q_ann_brute — same ≤20-probe broadcast
+      "q_ann_recall")
 
   test("no CartesianProduct and no unbounded BroadcastNestedLoopJoin in any plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -284,12 +284,13 @@ class StreamingSpec extends AnyFunSuite {
   test("T18: writeStream.format(\"graft\") — snapshot per batch, replay-idempotent, branch routing") {
     implicit val sc = spark.sqlContext
     val path = TestSpark.tmpDir("sinkfmt")
+    val ckpt = TestSpark.tmpDir("sinkfmtckpt")
     val t = GraftTable.create(spark, path,
       StructType(Seq(StructField("k", IntegerType), StructField("v", StringType))))
     val mem = MemoryStream[(Int, String)]
     val q = mem.toDF().toDF("k", "v").writeStream
       .format("graft").outputMode("append")
-      .option("checkpointLocation", TestSpark.tmpDir("sinkfmtckpt"))
+      .option("checkpointLocation", ckpt)
       .start(path)
     try {
       mem.addData((1, "a")); q.processAllAvailable()
@@ -298,21 +299,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.format("graft").load(path).collect()
       .map(r => (r.getInt(0), r.getString(1))).sortBy(_._1).toSeq
       == Seq((1, "a"), (2, "b")))
-    // one snapshot per micro-batch, stamped with the sink id
-    assert(t.snapshots.count(_.commitUser == "stream-sink") == 2)
-    // a REPLAYED batch id commits nothing (the crash window between the
-    // engine's offset log and commit log)
+    // one snapshot per micro-batch, stamped with a CHECKPOINT-derived
+    // sink id (batch ids are checkpoint-scoped — a static default would
+    // let another query's batch 0 alias this one's and drop data)
+    assert(t.snapshots.count(_.commitUser.startsWith("sink-")) == 2)
+    // a REPLAYED batch id of the SAME query (same checkpoint) commits
+    // nothing — the crash window between the engine's offset/commit logs
     val head = t.latestSnapshotId.get
-    new sources.GraftSink(spark, path, Map.empty,
-      org.apache.spark.sql.streaming.OutputMode.Append())
-      .addBatch(1L, Seq((9, "dup")).toDF("k", "v"))
+    def sinkWith(params: Map[String, String]) =
+      new sources.GraftSink(spark, path, params,
+        org.apache.spark.sql.streaming.OutputMode.Append())
+    sinkWith(Map("checkpointLocation" -> ckpt)).addBatch(1L, Seq((9, "dup")).toDF("k", "v"))
     assert(GraftTable.load(spark, path).latestSnapshotId.get == head,
       "replayed batch id must be skipped")
+    // ...but a DIFFERENT query's batch 1 (other checkpoint) must commit
+    sinkWith(Map("checkpointLocation" -> (ckpt + "-other")))
+      .addBatch(1L, Seq((3, "c")).toDF("k", "v"))
+    assert(spark.read.format("graft").load(path).filter($"k" === 3).count() == 1,
+      "another query's identically-numbered batch must not be aliased away")
     // the branch option routes commits onto the branch ref only
     t.createBranch("side", None)
-    new sources.GraftSink(spark, path, Map("branch" -> "side"),
-      org.apache.spark.sql.streaming.OutputMode.Append())
-      .addBatch(0L, Seq((7, "z")).toDF("k", "v"))
+    sinkWith(Map("branch" -> "side")).addBatch(0L, Seq((7, "z")).toDF("k", "v"))
     assert(spark.read.format("graft").option("branch", "side").load(path)
       .filter($"k" === 7).count() == 1)
     assert(spark.read.format("graft").load(path).filter($"k" === 7).count() == 0)
@@ -320,6 +327,18 @@ class StreamingSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       new sources.GraftSink(spark, path, Map.empty,
         org.apache.spark.sql.streaming.OutputMode.Complete())
+    }
+    // Update mode needs a PK table (append would accumulate stale rows)
+    intercept[IllegalArgumentException] {
+      new sources.GraftSink(spark, path, Map.empty,
+        org.apache.spark.sql.streaming.OutputMode.Update())
+        .addBatch(99L, Seq((8, "u")).toDF("k", "v"))
+    }
+    // a partitionBy spec that differs from the table layout fails loudly
+    intercept[IllegalArgumentException] {
+      new sources.GraftSink(spark, path, Map.empty,
+        org.apache.spark.sql.streaming.OutputMode.Append(), Seq("nope"))
+        .addBatch(99L, Seq((8, "p")).toDF("k", "v"))
     }
   }
 

@@ -124,6 +124,19 @@ class V2ScanSpec extends AnyFunSuite {
     t.upsert(Seq((1, "a", 1L)).toDF("k", "v", "seq"))
     assert(graftScan(spark.read.format("graft").load(pkPath))
       .estimateStatistics().columnStats().isEmpty)
+    // deletion vectors mask rows footer stats still count — nullCount
+    // could exceed numRows; stats must decline rather than mislead
+    val dvPath = TestSpark.tmpDir("v2colstatsdv")
+    val td = GraftTable.create(spark, dvPath,
+      StructType(Seq(StructField("id", LongType), StructField("grp", IntegerType))),
+      options = Map("deletion-vectors.enabled" -> "true"))
+    td.append((0L until 50L).map(i => (i, (i % 5).toInt)).toDF("id", "grp"))
+    assert(!graftScan(spark.read.format("graft").load(dvPath))
+      .estimateStatistics().columnStats().isEmpty, "pre-delete stats expected")
+    td.dvDelete($"grp" === 1)
+    assert(graftScan(spark.read.format("graft").load(dvPath))
+      .estimateStatistics().columnStats().isEmpty,
+      "dv-masked files must decline column stats")
   }
 
   test("partition pruning through the V2 scan, including NOT and IsNull") {
