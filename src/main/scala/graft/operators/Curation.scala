@@ -303,6 +303,101 @@ object Curation {
              |    len(string_split_regex(trim(text),'\s+')) AS ntok FROM documents)
              |SELECT lang, CAST(length(bin(ntok)) AS BIGINT) AS b,
              |  count(*) AS docs, CAST(sum(ntok) AS BIGINT) AS toks
-             |FROM t GROUP BY lang, b ORDER BY lang, b""".stripMargin))
+             |FROM t GROUP BY lang, b ORDER BY lang, b""".stripMargin)),
+
+    // L51: token-budget corpus selection — the data-mixing primitive:
+    // per language, greedily keep the highest-quality documents until a
+    // token budget (here lang_total div 4) is spent. Quality is banded
+    // to an integer (floor of 1000 × alphanumeric ratio — a single
+    // exact-int division then floor, deterministic both engines), so
+    // selection is: whole bands best-first while they fit, then the one
+    // BOUNDARY band fills the remainder in doc_id order. Scale shape:
+    // the band aggregation is map-combinable over ≤ langs×1001 keys;
+    // the band-level cumulative walk is a window over those same
+    // bounded keys; only the single boundary band (~1/1000 of the
+    // corpus) pays a per-doc running sum. Every number is an exact
+    // integer — bit-stable under any partitioning.
+    QDef(
+      "q_budget_select",
+      (s, d) => {
+        val len = length(col("text")).cast("long")
+        val alnum = length(regexp_replace(col("text"), "[^A-Za-z0-9]", "")).cast("long")
+        val t = T.documents(s, d).select(
+          col("lang"), col("doc_id"),
+          size(graft.functions.Text.words(col("text"))).cast("long").as("ntok"),
+          when(len > 0, floor(lit(1000.0) * (alnum.cast("double") / len.cast("double"))))
+            .otherwise(lit(0L)).cast("long").as("b"))
+        val bands = t.groupBy("lang", "b")
+          .agg(sum("ntok").as("toks"), count(lit(1)).as("docs"))
+        val wCum = Window.partitionBy("lang").orderBy(desc("b"))
+        val cum = bands.withColumn("cumtoks", sum("toks").over(wCum))
+        val bud = t.groupBy("lang").agg(expr("sum(ntok) div 4").as("bb"))
+        val fullAgg = cum.join(bud, "lang").filter(col("cumtoks") <= col("bb"))
+          .groupBy("lang")
+          .agg(sum("docs").as("full_docs"), sum("toks").as("full_toks"))
+        val cutoff = cum.join(bud, "lang").filter(col("cumtoks") > col("bb"))
+          .groupBy("lang").agg(max("b").as("cb"))
+        val wDoc = Window.partitionBy("lang").orderBy("doc_id")
+        // rename the join keys: cutoff derives from t, and a self-join on
+        // the shared lineage's `lang` is ambiguous to the analyzer
+        val cutoffR = cutoff.withColumnRenamed("lang", "cl")
+        val boundary = t.join(cutoffR, col("lang") === col("cl") && col("b") === col("cb"))
+          .select(col("lang"), col("doc_id"), col("ntok"))
+          .withColumn("cum2", sum("ntok").over(wDoc))
+        val rem = bud.join(fullAgg, Seq("lang"), "left")
+          .select(col("lang"), (col("bb") - coalesce(col("full_toks"), lit(0L))).as("rem"))
+        val bndAgg = boundary.join(rem, "lang").filter(col("cum2") <= col("rem"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("bnd_docs"), sum("ntok").as("bnd_toks"))
+        bud
+          .join(fullAgg, Seq("lang"), "left")
+          .join(cutoff, Seq("lang"), "left")
+          .join(bndAgg, Seq("lang"), "left")
+          .select(col("lang"), col("bb"),
+            coalesce(col("cb"), lit(-1L)).as("cb"),
+            coalesce(col("full_docs"), lit(0L)).as("full_docs"),
+            coalesce(col("full_toks"), lit(0L)).as("full_toks"),
+            coalesce(col("bnd_docs"), lit(0L)).as("bnd_docs"),
+            coalesce(col("bnd_toks"), lit(0L)).as("bnd_toks"))
+          .withColumn("sel_toks", col("full_toks") + col("bnd_toks"))
+          .orderBy("lang")
+      },
+      Some("""WITH t AS (SELECT lang, doc_id,
+             |    CAST(len(string_split_regex(trim(text),'\s+')) AS BIGINT) AS ntok,
+             |    CASE WHEN length(text) > 0 THEN CAST(floor(1000.0 *
+             |        (CAST(length(regexp_replace(text,'[^A-Za-z0-9]','','g')) AS DOUBLE)
+             |         / CAST(length(text) AS DOUBLE))) AS BIGINT)
+             |      ELSE 0 END AS b
+             |  FROM documents),
+             |bands AS (SELECT lang, b, CAST(sum(ntok) AS BIGINT) toks, count(*) docs
+             |  FROM t GROUP BY lang, b),
+             |cum AS (SELECT lang, b, toks, docs,
+             |    CAST(sum(toks) OVER (PARTITION BY lang ORDER BY b DESC) AS BIGINT) cumtoks
+             |  FROM bands),
+             |bud AS (SELECT lang, CAST(sum(ntok) // 4 AS BIGINT) bb FROM t GROUP BY lang),
+             |fullagg AS (SELECT c.lang, CAST(sum(c.docs) AS BIGINT) full_docs,
+             |    CAST(sum(c.toks) AS BIGINT) full_toks
+             |  FROM cum c JOIN bud USING (lang) WHERE c.cumtoks <= bb GROUP BY c.lang),
+             |cutoff AS (SELECT c.lang, max(c.b) cb
+             |  FROM cum c JOIN bud USING (lang) WHERE c.cumtoks > bb GROUP BY c.lang),
+             |rem AS (SELECT bud.lang, bb - coalesce(full_toks, 0) AS rem
+             |  FROM bud LEFT JOIN fullagg ON bud.lang = fullagg.lang),
+             |bnd AS (SELECT t.lang, t.doc_id, t.ntok,
+             |    CAST(sum(t.ntok) OVER (PARTITION BY t.lang ORDER BY t.doc_id) AS BIGINT) cum2
+             |  FROM t JOIN cutoff ON t.lang = cutoff.lang AND t.b = cutoff.cb),
+             |bndagg AS (SELECT bnd.lang, count(*) bnd_docs, CAST(sum(ntok) AS BIGINT) bnd_toks
+             |  FROM bnd JOIN rem ON bnd.lang = rem.lang WHERE cum2 <= rem.rem GROUP BY bnd.lang)
+             |SELECT bud.lang, bb,
+             |  coalesce(cutoff.cb, -1) AS cb,
+             |  coalesce(full_docs, 0) AS full_docs,
+             |  coalesce(full_toks, 0) AS full_toks,
+             |  coalesce(bnd_docs, 0) AS bnd_docs,
+             |  coalesce(bnd_toks, 0) AS bnd_toks,
+             |  coalesce(full_toks, 0) + coalesce(bnd_toks, 0) AS sel_toks
+             |FROM bud
+             |LEFT JOIN fullagg ON bud.lang = fullagg.lang
+             |LEFT JOIN cutoff ON bud.lang = cutoff.lang
+             |LEFT JOIN bndagg ON bud.lang = bndagg.lang
+             |ORDER BY bud.lang""".stripMargin))
   )
 }
