@@ -381,6 +381,44 @@ object Relational2 {
              |  round(CAST(sum(dd) AS DOUBLE) / count(*), 2) AS avg_days,
              |  round(CAST(sum(CASE WHEN dd <= 30 THEN 1 ELSE 0 END) AS DOUBLE)
              |    / count(*), 4) AS within30
-             |FROM j GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+             |FROM j GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // R42: NOT IN vs NOT EXISTS under NULLs — the three-valued-logic
+    // trap every SQL engine must honor: a NULL in the NOT IN subquery
+    // makes the predicate UNKNOWN for every row (zero survivors), while
+    // the NOT EXISTS form anti-joins normally. One query returns both
+    // counts side by side, plus the IN count as the control. Declared
+    // via spark.sql — Catalyst plans the null-aware anti join natively
+    // (a broadcast null-aware single-column NAAJ, not a cartesian).
+    QDef(
+      "q_not_in_null",
+      (s, d) => {
+        T.orders(s, d).createOrReplaceTempView("r42_orders")
+        T.customer(s, d).createOrReplaceTempView("r42_customer")
+        s.sql("""
+          |WITH risky AS (
+          |  SELECT CASE WHEN c_acctbal < 0 THEN NULL ELSE c_custkey END AS k
+          |  FROM r42_customer)
+          |SELECT
+          |  (SELECT count(*) FROM r42_orders WHERE o_custkey NOT IN (SELECT k FROM risky))
+          |    AS n_not_in,
+          |  (SELECT count(*) FROM r42_orders o
+          |     WHERE NOT EXISTS (SELECT 1 FROM risky r WHERE r.k = o.o_custkey))
+          |    AS n_not_exists,
+          |  (SELECT count(*) FROM r42_orders WHERE o_custkey IN (SELECT k FROM risky))
+          |    AS n_in
+          |""".stripMargin)
+      },
+      Some("""WITH risky AS (
+             |  SELECT CASE WHEN c_acctbal < 0 THEN NULL ELSE c_custkey END AS k
+             |  FROM customer)
+             |SELECT
+             |  (SELECT count(*) FROM orders WHERE o_custkey NOT IN (SELECT k FROM risky))
+             |    AS n_not_in,
+             |  (SELECT count(*) FROM orders o
+             |     WHERE NOT EXISTS (SELECT 1 FROM risky r WHERE r.k = o.o_custkey))
+             |    AS n_not_exists,
+             |  (SELECT count(*) FROM orders WHERE o_custkey IN (SELECT k FROM risky))
+             |    AS n_in""".stripMargin))
   )
 }
