@@ -235,6 +235,95 @@ object Multimodal {
     }
   }
 
+  /** Windowed RMS energy of one PCM clip: per `windowFrames` window the
+    * root-mean-square of the CHANNEL-MIXED normalized amplitude — the
+    * loudness contour a speech pipeline segments on (silence stripping,
+    * voice-activity gating before an ASR stage). Returns (windows,
+    * active windows at rms ≥ `activeRms`, peak rms, mean rms); the
+    * trailing partial window counts with its own length. Same PCM
+    * envelope as [[decodeAudioKernel]] (8/16-bit WAV/AIFF/AU), None for
+    * codecs the JDK lacks. */
+  private[operators] def audioEnergyKernel(
+      bytes: Array[Byte], windowFrames: Int,
+      activeRms: Double = 0.1): Option[(Long, Long, Double, Double)] = {
+    if (bytes == null || bytes.length == 0 || windowFrames <= 0) return None
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        val bits = fmt.getSampleSizeInBits
+        if (bits != 8 && bits != 16) return None
+        val data = in.readAllBytes()
+        val ch = math.max(1, fmt.getChannels)
+        val bytesPerSample = bits / 8
+        val nSamples = data.length / bytesPerSample
+        val nFrames = nSamples / ch
+        if (nFrames == 0) return None
+        def sample(i: Int): Double =
+          if (bits == 8) ((data(i) & 0xFF) - 128) / 128.0
+          else {
+            val off = i * 2
+            val s =
+              if (fmt.isBigEndian) ((data(off) << 8) | (data(off + 1) & 0xFF)).toShort
+              else ((data(off + 1) << 8) | (data(off) & 0xFF)).toShort
+            s.toDouble / 32768.0
+          }
+        var windows = 0L; var active = 0L
+        var peak = 0.0; var rmsSum = 0.0
+        var f = 0
+        while (f < nFrames) {
+          val end = math.min(nFrames, f + windowFrames)
+          var sumSq = 0.0
+          var i = f
+          while (i < end) {
+            var mix = 0.0
+            var c = 0
+            while (c < ch) { mix += sample(i * ch + c); c += 1 }
+            mix /= ch
+            sumSq += mix * mix
+            i += 1
+          }
+          val rms = math.sqrt(sumSq / (end - f))
+          windows += 1
+          if (rms >= activeRms) active += 1
+          if (rms > peak) peak = rms
+          rmsSum += rms
+          f = end
+        }
+        Some((windows, active, peak, rmsSum / windows))
+      } finally in.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
+  }
+
+  /** Windowed-energy extraction over media rows: partition-batched,
+    * zero shuffle (the decodeAudio contract). Output (media_id,
+    * decoded, n_windows, active_windows, peak_rms, mean_rms). */
+  def audioEnergy(spark: SparkSession, media: DataFrame,
+      windowFrames: Int): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("decoded", BooleanType, nullable = false),
+      StructField("n_windows", LongType),
+      StructField("active_windows", LongType),
+      StructField("peak_rms", DoubleType),
+      StructField("mean_rms", DoubleType)))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val bytesIdx = media.schema.fieldIndex("bytes")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = if (r.isNullAt(bytesIdx)) null else r.getAs[Array[Byte]](bytesIdx)
+        audioEnergyKernel(bytes, windowFrames) match {
+          case Some((w, a, p, m)) => Row(r.getLong(idIdx), true, w, a, p, m)
+          case None => Row(r.getLong(idIdx), false, null, null, null, null)
+        }
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
   /** Audio decode over media rows: partition-batched, zero shuffle.
     * Output (media_id, decoded, sample_rate, channels, n_frames,
     * feature) — same batch contract as decodeImages/decodeVideos, stub

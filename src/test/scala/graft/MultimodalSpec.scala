@@ -123,6 +123,45 @@ class MultimodalSpec extends AnyFunSuite {
     assert(s.getSeq[Double](5).length == Multimodal.FeatureDim)
   }
 
+  test("L12g: windowed audio energy — exact RMS contour, channel mixdown, stub fallback") {
+    import spark.implicits._
+    def wavOf(pcm: Array[Byte], channels: Int, frames: Long): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, channels, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, frames)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    def le16(pcm: Array[Byte], idx: Int, v: Short): Unit = {
+      pcm(2 * idx) = (v & 0xFF).toByte; pcm(2 * idx + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    // mono: 1600 silent frames then 1600 at constant +16384 (= 0.5):
+    // windows of 800 → rms contour 0, 0, 0.5, 0.5 EXACTLY
+    val mono = new Array[Byte](3200 * 2)
+    for (i <- 1600 until 3200) le16(mono, i, 16384)
+    // stereo: L=+16384, R=-16384 every frame — the channel mixdown
+    // cancels, so the clip is energy-silent despite loud channels
+    val stereo = new Array[Byte](800 * 2 * 2)
+    for (i <- 0 until 800) { le16(stereo, 2 * i, 16384); le16(stereo, 2 * i + 1, -16384) }
+    val rows = Seq(
+      (1L, wavOf(mono, 1, 3200)),
+      (2L, wavOf(stereo, 2, 800)),
+      (3L, "not audio".getBytes.toArray)).toDF("media_id", "bytes")
+    val out = Multimodal.audioEnergy(spark, rows, windowFrames = 800)
+      .orderBy("media_id").collect()
+    val m = out(0)
+    assert(m.getBoolean(1))
+    assert(m.getLong(2) == 4 && m.getLong(3) == 2, s"windows/active: $m")
+    assert(m.getDouble(4) == 0.5 && m.getDouble(5) == 0.25, s"peak/mean exact: $m")
+    val st = out(1)
+    assert(st.getBoolean(1))
+    assert(st.getLong(2) == 1 && st.getLong(3) == 0 && st.getDouble(4) == 0.0,
+      s"stereo mixdown must cancel: $st")
+    assert(!out(2).getBoolean(1) && out(2).isNullAt(2), "non-audio: decoded=false, null stats")
+  }
+
   test("L12f: keyframe selection — scene changes flagged, steady frames not; non-video yields no rows") {
     import spark.implicits._
     def jpeg(rgb: Int): Array[Byte] = {
