@@ -141,6 +141,27 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
     "compact" -> new GraftProcedure("compact",
       Seq(pStr("table")), snapshotResult,
       in => InternalRow(loadByName(in.getString(0)).compact())),
+    "drop_partition" -> new GraftProcedure("drop_partition",
+      // Paimon's drop_partition: remove whole partitions by spec
+      // ("pt=v" or "pt=v,pt2=w") as ONE metadata commit — zero file
+      // reads, zero rewrites (the S29 partition-delete path made
+      // callable without SQL DELETE)
+      Seq(pStr("table"), pStr("partition")), snapshotResult,
+      in => {
+        val t = loadByName(in.getString(0))
+        val filters = in.getString(1).split(",").map { kv =>
+          val parts = kv.split("=", 2)
+          require(parts.length == 2, s"partition spec must be col=value: $kv")
+          val (k, v) = (parts(0).trim, parts(1).trim)
+          require(t.partitionKeys.contains(k),
+            s"$k is not a partition key of ${in.getString(0)} " +
+              s"(keys: ${t.partitionKeys.mkString(",")})")
+          org.apache.spark.sql.sources.EqualTo(k,
+            GraftTable.castPartitionValue(v, t.schema(k).dataType))
+        }.toSeq
+        InternalRow(t.commitV2("filter", Seq.empty, filters,
+          t.latestSnapshotId.getOrElse(0L)))
+      }),
     "rescale" -> new GraftProcedure("rescale",
       // Paimon's rescale procedure: full re-hash rewrite under a new
       // bucket count (S42) — the 100 TB answer to a table whose write

@@ -373,6 +373,18 @@ class CatalogV2Spec extends AnyFunSuite {
       }
     // data untouched by the metadata-only versioning
     assert(sql("SELECT k FROM graft2.procs.props").first().getInt(0) == 1)
+    // drop_partition: whole partitions leave in one metadata commit
+    sql("DROP TABLE IF EXISTS graft2.procs.pt")
+    sql("CREATE TABLE graft2.procs.pt (k INT, dt STRING) PARTITIONED BY (dt)")
+    sql("INSERT INTO graft2.procs.pt VALUES (1,'d1'),(2,'d1'),(3,'d2')")
+    val dropped = sql("CALL graft2.sys.drop_partition('procs.pt', 'dt=d1')")
+      .first().getLong(0)
+    assert(dropped >= 2L)
+    assert(sql("SELECT k FROM graft2.procs.pt").collect().map(_.getInt(0)).toSeq == Seq(3))
+    // non-partition column in the spec fails loudly
+    intercept[Exception] {
+      sql("CALL graft2.sys.drop_partition('procs.pt', 'k=1')")
+    }
   }
 
   private def withConf(key: String, value: String)(body: => Unit): Unit = {
