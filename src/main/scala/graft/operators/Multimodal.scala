@@ -196,6 +196,37 @@ object Multimodal {
     * channels, frameCount, 16-bin histogram of absolute normalized
     * amplitude, L1-normalized). None for bytes no installed reader
     * claims (mp3/aac remain the documented stub). */
+  /** Linear-PCM envelopes this suite decodes: 16-bit signed (either
+    * endianness) and 8-bit signed (AIFF) or unsigned (WAV). Anything
+    * else — mu-law/A-law AU, float PCM, exotic widths — gets NO claim:
+    * interpreting a ULAW byte stream as linear PCM yields garbage
+    * amplitudes while still reporting decoded=true (silent corruption
+    * of every downstream energy/histogram consumer). */
+  private def pcmDecodable(fmt: javax.sound.sampled.AudioFormat): Boolean = {
+    val enc = fmt.getEncoding
+    val bits = fmt.getSampleSizeInBits
+    (bits == 16 && enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) ||
+      (bits == 8 && (enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+        enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED))
+  }
+
+  /** Normalized SIGNED amplitude of sample `i` — the single source for
+    * the width/signedness/endianness decode (both audio kernels call
+    * it; a divergent copy would mis-gate one of them). */
+  private def pcmSample(
+      data: Array[Byte], fmt: javax.sound.sampled.AudioFormat, i: Int): Double =
+    if (fmt.getSampleSizeInBits == 8) {
+      if (fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+        data(i).toDouble / 128.0
+      else ((data(i) & 0xFF) - 128) / 128.0
+    } else {
+      val off = i * 2
+      val s =
+        if (fmt.isBigEndian) ((data(off) << 8) | (data(off + 1) & 0xFF)).toShort
+        else ((data(off + 1) << 8) | (data(off) & 0xFF)).toShort
+      s.toDouble / 32768.0
+    }
+
   private[operators] def decodeAudioKernel(bytes: Array[Byte]): Option[(Int, Int, Long, Array[Double])] = {
     if (bytes == null || bytes.length == 0) return None
     try {
@@ -203,23 +234,14 @@ object Multimodal {
         new java.io.ByteArrayInputStream(bytes))
       try {
         val fmt = in.getFormat
-        val bits = fmt.getSampleSizeInBits
-        if (bits != 8 && bits != 16) return None // exotic PCM widths: no claim
+        if (!pcmDecodable(fmt)) return None
         val data = in.readAllBytes()
-        val bytesPerSample = bits / 8
+        val bytesPerSample = fmt.getSampleSizeInBits / 8
         val n = data.length / bytesPerSample
         val hist = new Array[Double](FeatureDim)
         var i = 0
         while (i < n) {
-          val amp: Double =
-            if (bits == 8) math.abs((data(i) & 0xFF) - 128) / 128.0
-            else {
-              val off = i * 2
-              val s =
-                if (fmt.isBigEndian) ((data(off) << 8) | (data(off + 1) & 0xFF)).toShort
-                else ((data(off + 1) << 8) | (data(off) & 0xFF)).toShort
-              math.abs(s.toDouble) / 32768.0
-            }
+          val amp = math.abs(pcmSample(data, fmt, i))
           hist(math.min(FeatureDim - 1, (amp * FeatureDim).toInt)) += 1.0
           i += 1
         }
@@ -252,23 +274,14 @@ object Multimodal {
         new java.io.ByteArrayInputStream(bytes))
       try {
         val fmt = in.getFormat
-        val bits = fmt.getSampleSizeInBits
-        if (bits != 8 && bits != 16) return None
+        if (!pcmDecodable(fmt)) return None
         val data = in.readAllBytes()
         val ch = math.max(1, fmt.getChannels)
-        val bytesPerSample = bits / 8
+        val bytesPerSample = fmt.getSampleSizeInBits / 8
         val nSamples = data.length / bytesPerSample
         val nFrames = nSamples / ch
         if (nFrames == 0) return None
-        def sample(i: Int): Double =
-          if (bits == 8) ((data(i) & 0xFF) - 128) / 128.0
-          else {
-            val off = i * 2
-            val s =
-              if (fmt.isBigEndian) ((data(off) << 8) | (data(off + 1) & 0xFF)).toShort
-              else ((data(off + 1) << 8) | (data(off) & 0xFF)).toShort
-            s.toDouble / 32768.0
-          }
+        def sample(i: Int): Double = pcmSample(data, fmt, i)
         var windows = 0L; var active = 0L
         var peak = 0.0; var rmsSum = 0.0
         var f = 0

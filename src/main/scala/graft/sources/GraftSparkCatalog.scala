@@ -149,6 +149,15 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
       Seq(pStr("table"), pStr("partition")), snapshotResult,
       in => {
         val t = loadByName(in.getString(0))
+        // same soundness rule as the SQL DELETE metadata path
+        // (GraftV2.partitionExact): on a PK table whose partition keys
+        // are not contained in the primary key, dropping a partition's
+        // files can resurrect stale versions of keys whose newest
+        // version lives there — refuse, like DELETE does
+        require(!t.isPkTable || t.partitionPruneSafe,
+          "drop_partition on a primary-key table requires partition keys " +
+            "contained in the primary key (file removal could resurrect " +
+            "stale row versions); use DELETE (tombstones) instead")
         val filters = in.getString(1).split(",").map { kv =>
           val parts = kv.split("=", 2)
           require(parts.length == 2, s"partition spec must be col=value: $kv")
@@ -156,11 +165,17 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
           require(t.partitionKeys.contains(k),
             s"$k is not a partition key of ${in.getString(0)} " +
               s"(keys: ${t.partitionKeys.mkString(",")})")
-          org.apache.spark.sql.sources.EqualTo(k,
-            GraftTable.castPartitionValue(v, t.schema(k).dataType))
+          val cast = GraftTable.castPartitionValue(v, t.schema(k).dataType)
+          // the null partition needs null-safe equality (plain EqualTo
+          // is UNKNOWN for null and would silently match nothing)
+          if (cast == null) org.apache.spark.sql.sources.EqualNullSafe(k, null)
+          else org.apache.spark.sql.sources.EqualTo(k, cast)
         }.toSeq
-        InternalRow(t.commitV2("filter", Seq.empty, filters,
-          t.latestSnapshotId.getOrElse(0L)))
+        val base = t.latestSnapshotId.getOrElse(0L)
+        val id = t.commitV2("filter", Seq.empty, filters, base)
+        require(id != base,
+          s"no files in partition '${in.getString(1)}' — nothing dropped")
+        InternalRow(id)
       }),
     "rescale" -> new GraftProcedure("rescale",
       // Paimon's rescale procedure: full re-hash rewrite under a new

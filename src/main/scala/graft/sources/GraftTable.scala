@@ -842,8 +842,12 @@ class GraftTable private (
         val cols = filters.map(f => GraftFilters.toColumn(f, partCols, exact = true).getOrElse(
           throw new UnsupportedOperationException(
             s"overwrite supports partition-column filters only, got: $f")))
-        commitAt(base + 1, "OVERWRITE", added,
-          deleted = pruneFiles(filesAt(base), cols.reduceOption(_ && _)))
+        val dels = pruneFiles(filesAt(base), cols.reduceOption(_ && _))
+        // nothing matched and nothing added: an empty OVERWRITE snapshot
+        // would be pure churn — report the unchanged base instead (the
+        // caller can distinguish "no-op" from "committed")
+        if (dels.isEmpty && added.isEmpty) base
+        else commitAt(base + 1, "OVERWRITE", added, deleted = dels)
       case other => throw new IllegalStateException(s"unknown V2 write mode: $other")
     }
   }

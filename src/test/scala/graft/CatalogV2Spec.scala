@@ -376,14 +376,31 @@ class CatalogV2Spec extends AnyFunSuite {
     // drop_partition: whole partitions leave in one metadata commit
     sql("DROP TABLE IF EXISTS graft2.procs.pt")
     sql("CREATE TABLE graft2.procs.pt (k INT, dt STRING) PARTITIONED BY (dt)")
-    sql("INSERT INTO graft2.procs.pt VALUES (1,'d1'),(2,'d1'),(3,'d2')")
+    sql("INSERT INTO graft2.procs.pt VALUES (1,'d1'),(2,'d1'),(3,'d2'),(4,NULL)")
     val dropped = sql("CALL graft2.sys.drop_partition('procs.pt', 'dt=d1')")
       .first().getLong(0)
     assert(dropped >= 2L)
+    assert(sql("SELECT k FROM graft2.procs.pt").collect().map(_.getInt(0)).sorted.toSeq
+      == Seq(3, 4))
+    // the NULL partition drops via the hive sentinel (null-safe equality)
+    sql("CALL graft2.sys.drop_partition('procs.pt', 'dt=__HIVE_DEFAULT_PARTITION__')")
     assert(sql("SELECT k FROM graft2.procs.pt").collect().map(_.getInt(0)).toSeq == Seq(3))
+    // a spec matching nothing fails loudly instead of committing churn
+    intercept[Exception] {
+      sql("CALL graft2.sys.drop_partition('procs.pt', 'dt=absent')")
+    }
     // non-partition column in the spec fails loudly
     intercept[Exception] {
       sql("CALL graft2.sys.drop_partition('procs.pt', 'k=1')")
+    }
+    // PK table whose partition keys are outside the primary key: refused
+    // (file removal could resurrect stale row versions)
+    sql("DROP TABLE IF EXISTS graft2.procs.ptpk")
+    sql("""CREATE TABLE graft2.procs.ptpk (id INT, dt STRING, v STRING)
+          |PARTITIONED BY (dt) TBLPROPERTIES ('primary-key'='id')""".stripMargin)
+    sql("INSERT INTO graft2.procs.ptpk VALUES (1,'a','x')")
+    intercept[Exception] {
+      sql("CALL graft2.sys.drop_partition('procs.ptpk', 'dt=a')")
     }
   }
 
