@@ -37,7 +37,18 @@ final class GraftV2Table(
     identName: Option[String] = None, pinnedSnapshot: Option[Long] = None)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDeleteV2
-    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+
+  /** S44: hidden `_file` metadata column (the Presto connector's `$path`
+    * shape): per-row provenance for debugging, targeted compaction and
+    * skew forensics — visible only when referenced, never in `SELECT *`.
+    * Append tables only: a merged PK row folds versions from SEVERAL
+    * files, so no single provenance path exists (declaring none makes
+    * `_file` an analysis error there instead of a lie). */
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    if (loaded.isPkTable) Array.empty
+    else Array(GraftV2Table.FileMetaColumn)
 
   /** UPDATE / MERGE INTO / rewrite-DELETE as group-based copy-on-write
     * (the Iceberg-style shape): Spark reads the affected groups through
@@ -589,13 +600,22 @@ final class GraftScan(
       partitionPrune, dataSkip, rowLevelReplace, subs)
 
   private val partKeySet = table.partitionKeys.toSet
+  // S44: the `_file` metadata column is synthesized per file partition,
+  // never read from parquet — carve it out of the data/partition split
+  private val wantFile: Boolean =
+    requiredSchema.fieldNames.contains(GraftV2Table.FileCol)
+  private val dataRequired: Array[StructField] =
+    requiredSchema.fields.filterNot(_.name == GraftV2Table.FileCol)
   // file-borne vs directory-borne halves of the requested schema
   private val readDataFields: Array[StructField] =
-    requiredSchema.fields.filterNot(f => partKeySet(f.name))
+    dataRequired.filterNot(f => partKeySet(f.name))
   private val readPartFields: Array[StructField] =
-    requiredSchema.fields.filter(f => partKeySet(f.name))
+    dataRequired.filter(f => partKeySet(f.name))
 
-  override def readSchema(): StructType = StructType(readDataFields ++ readPartFields)
+  override def readSchema(): StructType = StructType(
+    readDataFields ++ readPartFields ++
+      (if (wantFile) Seq(StructField(GraftV2Table.FileCol, StringType, nullable = false))
+       else Seq.empty))
 
   override def toBatch: Batch = this
 
@@ -847,6 +867,7 @@ final class GraftScan(
       .getConfString("spark.sql.sources.v2.bucketing.enabled", "false").toBoolean &&
       table.numBuckets > 1 && table.bucketKeys.nonEmpty &&
       (!table.isPkTable || table.bucketKeys.forall(table.primaryKeys.toSet)) &&
+      !wantFile && // S44: _file partitions are per-file, not per-bucket
       bucketLayoutCurrent && plannedFiles.forall(_.bucket < table.numBuckets)
 
   override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning =
@@ -873,8 +894,19 @@ final class GraftScan(
   override def planInputPartitions(): Array[InputPartition] = {
     if (bucketGrouped) return planBucketPartitions()
     if (plannedFiles.isEmpty) return Array.empty
+    if (wantFile) return planPerFilePartitions()
     if (table.isPkTable) planMergePartitions() else planSplitPartitions()
   }
+
+  /** S44: `_file` scans plan ONE partition per file — the synthesized
+    * provenance value is a per-partition constant, so bin-packing or
+    * splitting would mix files inside one reader. Metadata/forensics
+    * queries trade a little split parallelism for the column. */
+  private def planPerFilePartitions(): Array[InputPartition] =
+    plannedFiles.zipWithIndex.map { case (f, i) =>
+      FilePartition(i,
+        Array(toPartitionedFile(f, readPartFields, 0L, f.sizeBytes))): InputPartition
+    }.toArray
 
   /** Non-PK: split files to maxSplitBytes and bin-pack — Spark's own
     * open-cost formula, computed from manifest sizes (no listing). */
@@ -1001,6 +1033,23 @@ final class GraftScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
+    // S44: _file scans read row-based (uniformly — a mixed columnar
+    // answer is illegal) and wrap every partition's reader to append
+    // the per-partition constant path
+    if (wantFile) {
+      val plain = fileFactory(StructType(readDataFields), StructType(readPartFields),
+        readerFilters, vectorized = false)
+      val masked =
+        if (!plannedFiles.exists(_.hasDv)) plain
+        else new DvReaderFactory(
+          plain,
+          fileFactory(StructType(readDataFields), StructType(readPartFields),
+            Array.empty[Filter], vectorized = false),
+          table.root,
+          new org.apache.spark.util.SerializableConfiguration(
+            spark.sessionState.newHadoopConf()))
+      return new FileColFactory(masked)
+    }
     val inner =
       if (!table.isPkTable) {
         val plain =
@@ -1041,6 +1090,46 @@ final class GraftScan(
           })
       }
     if (bucketGrouped) new UnwrapBucketFactory(inner) else inner
+  }
+}
+
+object GraftV2Table {
+  /** S44: hidden per-row provenance column name. */
+  val FileCol = "_file"
+  val FileMetaColumn: org.apache.spark.sql.connector.catalog.MetadataColumn =
+    new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name: String = FileCol
+      override def dataType: DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment: String = "data file path relative to the table root"
+    }
+}
+
+/** S44: appends the `_file` constant to every row of a single-file
+  * partition. Row-based by design (a per-batch constant column vector
+  * would also work, but provenance scans are metadata/forensics-shaped,
+  * not throughput-shaped). */
+final class FileColFactory(delegate: PartitionReaderFactory)
+    extends PartitionReaderFactory {
+  override def supportColumnarReads(p: InputPartition): Boolean = false
+  override def createColumnarReader(p: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    throw new UnsupportedOperationException("_file scans are row-based")
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val fp = p.asInstanceOf[FilePartition]
+    require(fp.files.length == 1, s"_file partitions hold exactly one file, got ${fp.files.length}")
+    val abs = fp.files.head.filePath.toString
+    // files live under <root>/data/ — recover the root-relative path the
+    // manifest records, robust to scheme qualification of the root
+    val cut = abs.lastIndexOf("/data/")
+    val rel = if (cut >= 0) abs.substring(cut + 1) else abs
+    val fileRow = InternalRow(UTF8String.fromString(rel))
+    val inner = delegate.createReader(p)
+    val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+    new PartitionReader[InternalRow] {
+      override def next(): Boolean = inner.next()
+      override def get(): InternalRow = joined(inner.get(), fileRow)
+      override def close(): Unit = inner.close()
+    }
   }
 }
 

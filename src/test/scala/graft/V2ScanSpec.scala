@@ -139,6 +139,39 @@ class V2ScanSpec extends AnyFunSuite {
       "dv-masked files must decline column stats")
   }
 
+  test("S44: hidden _file metadata column — per-row provenance, invisible to SELECT *") {
+    val path = TestSpark.tmpDir("v2filecol")
+    val t = GraftTable.create(spark, path,
+      StructType(Seq(StructField("id", IntegerType), StructField("v", StringType))))
+    t.append((1 to 10).map(i => (i, s"v$i")).toDF("id", "v"))
+    t.append((11 to 15).map(i => (i, s"v$i")).toDF("id", "v"))
+    val df = spark.read.format("graft").load(path)
+    // hidden: SELECT * must not surface it
+    assert(!df.columns.contains("_file"))
+    // per-row provenance matches the manifest exactly
+    val perFile = df.select(col("id"), col("_file"))
+      .groupBy("_file").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val manifest = t.system("files")
+      .select("file_path", "record_count").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perFile == manifest, s"got $perFile vs manifest $manifest")
+    // filters still apply above the provenance read
+    assert(df.filter(col("id") > 10).select("_file").distinct().count() >= 1)
+    assert(df.select("id", "_file").count() == 15)
+    // PK tables declare NO metadata columns: _file is an analysis error,
+    // not a fabricated single-file provenance for a multi-file merge
+    val pkPath = TestSpark.tmpDir("v2filecolpk")
+    val pk = GraftTable.create(spark, pkPath,
+      StructType(Seq(StructField("k", IntegerType), StructField("v", StringType),
+        StructField("seq", LongType))),
+      primaryKeys = Seq("k"))
+    pk.upsert(Seq((1, "a", 1L)).toDF("k", "v", "seq"))
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.read.format("graft").load(pkPath).select("_file").collect()
+    }
+  }
+
   test("partition pruning through the V2 scan, including NOT and IsNull") {
     val path = TestSpark.tmpDir("v2prune")
     val rows = (1 to 4).map(i => (s"p$i", i)) :+ ((null: String), 5)
