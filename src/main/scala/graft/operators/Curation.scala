@@ -398,6 +398,159 @@ object Curation {
              |LEFT JOIN fullagg ON bud.lang = fullagg.lang
              |LEFT JOIN cutoff ON bud.lang = cutoff.lang
              |LEFT JOIN bndagg ON bud.lang = bndagg.lang
-             |ORDER BY bud.lang""".stripMargin))
+             |ORDER BY bud.lang""".stripMargin)),
+
+    // L52: train/test contamination report — the leak check run AFTER
+    // the split (L37) and BEFORE eval: fraction of each test doc's
+    // distinct shingles present anywhere in the train split, leaked =
+    // containment ≥ 1/2 in exact integer form (2·hits ≥ sz). The L20
+    // decontamination shape turned inward: candidate generation is ONE
+    // shingle-equality join of the (5%) test explosion against the
+    // vocabulary-bounded DISTINCT train-shingle presence set — never
+    // doc×doc pairs, never a corpus self-join. Consumes the SHARED
+    // persisted shingle stage; split assignment replays L37's salted
+    // hash exactly. Counts exact integers; leak_rate one division.
+    QDef(
+      "q_split_leakage",
+      (s, d) => {
+        val hv = pmod(
+          HashExpr.polyHash(concat(
+            lit("split:"), col("doc_id").cast("string"), lit(":"), col("lang"))),
+          lit(10000L))
+        val docs = T.documents(s, d).select(col("doc_id"), col("lang"))
+          .withColumn("hv", hv)
+        val tagged = Dedup.docsWithShingles(s, d)
+          .join(docs, "doc_id").filter(size(col("sh")) >= 1)
+        val trainG = tagged.filter(col("hv") < 9000)
+          .select(explode(col("sh")).as("g")).distinct()
+          .withColumn("hit", lit(1))
+        val testEx = tagged.filter(col("hv") >= 9500)
+          .select(col("doc_id"), col("lang"),
+            size(col("sh")).cast("long").as("sz"), explode(col("sh")).as("g"))
+        val perDoc = testEx.join(trainG, Seq("g"), "left")
+          .groupBy("doc_id", "lang")
+          .agg(max("sz").as("sz"), count(col("hit")).as("hits"))
+        perDoc.groupBy("lang")
+          .agg(
+            count(lit(1)).as("n_test"),
+            sum(when(col("hits") * 2 >= col("sz"), 1L).otherwise(0L)).as("n_leaked"),
+            sum("hits").as("tot_hits"),
+            sum("sz").as("tot_sh"))
+          .withColumn("leak_rate",
+            round(col("n_leaked").cast("double") / col("n_test"), 4))
+          .orderBy("lang")
+      },
+      Some(s"""WITH sp AS (SELECT doc_id, lang,
+              |    ${Dedup.polyHashSqlOf("'split:' || CAST(doc_id AS VARCHAR) || ':' || lang")} % 10000 AS hv,
+              |    ${Dedup.ShSql} AS sh
+              |  FROM documents),
+              |f AS (SELECT * FROM sp WHERE len(sh) >= 1),
+              |tr AS (SELECT DISTINCT unnest(sh) AS g FROM f WHERE hv < 9000),
+              |te AS (SELECT doc_id, lang, CAST(len(sh) AS BIGINT) AS sz,
+              |    unnest(sh) AS g FROM f WHERE hv >= 9500),
+              |h AS (SELECT te.doc_id, te.lang, max(te.sz) AS sz, count(tr.g) AS hits
+              |  FROM te LEFT JOIN tr ON te.g = tr.g GROUP BY te.doc_id, te.lang)
+              |SELECT lang, count(*) AS n_test,
+              |  CAST(sum(CASE WHEN hits*2 >= sz THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked,
+              |  CAST(sum(hits) AS BIGINT) AS tot_hits,
+              |  CAST(sum(sz) AS BIGINT) AS tot_sh,
+              |  round(CAST(sum(CASE WHEN hits*2 >= sz THEN 1 ELSE 0 END) AS DOUBLE)
+              |    / count(*), 4) AS leak_rate
+              |FROM h GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // L53: chunk-level duplication rate — exact dedup at RAG-chunk
+    // granularity (the L36 window geometry, md5 fingerprints): share of
+    // each language's chunks that are byte-duplicates of another chunk.
+    // Chunk dedup is the retrieval-index hygiene step (duplicate chunks
+    // waste index space and skew retrieval scores); document-level dedup
+    // (L1/L43) misses chunks repeated ACROSS distinct documents
+    // (boilerplate headers, quoted passages). One codegen chunking pass
+    // (fan-out len/stride, linear in corpus tokens), one distinct-count
+    // aggregate keyed on the 16-byte hash; integer/string exact, rate is
+    // one division.
+    QDef(
+      "q_chunk_dedup",
+      (s, d) => {
+        val W = 32
+        val S = 24
+        val chunks = T.documents(s, d)
+          .select(col("lang"), Text.words(col("text")).as("w"))
+          .withColumn("nw", size(col("w")).cast("long"))
+          .withColumn("n_chunks", expr(
+            s"CASE WHEN nw <= $W THEN CAST(1 AS BIGINT) " +
+              s"ELSE ((nw - $W + ${S - 1}) div $S) + 1 END"))
+          .select(col("lang"), col("w"),
+            explode(sequence(lit(0L), col("n_chunks") - 1)).as("cid"))
+          .select(col("lang"),
+            md5(array_join(
+              slice(col("w"), (col("cid") * S + 1).cast("int"), lit(W)), " ")).as("h"))
+        chunks.groupBy("lang")
+          .agg(count(lit(1)).as("n_chunks"), countDistinct(col("h")).as("n_unique"))
+          .withColumn("n_dup", col("n_chunks") - col("n_unique"))
+          .withColumn("dup_rate",
+            round(col("n_dup").cast("double") / col("n_chunks"), 4))
+          .orderBy("lang")
+      },
+      Some("""WITH dw AS (
+             |  SELECT lang, string_split_regex(trim(text), '\s+') AS w FROM documents),
+             |d2 AS (SELECT lang, w, len(w) AS nw,
+             |    CASE WHEN len(w) <= 32 THEN 1
+             |         ELSE ((len(w) - 32 + 23) // 24) + 1 END AS n_chunks
+             |  FROM dw),
+             |ch AS (SELECT lang, w, unnest(range(n_chunks)) AS cid FROM d2),
+             |hs AS (SELECT lang,
+             |    md5(array_to_string(list_slice(w, cid*24+1, cid*24+32), ' ')) AS h
+             |  FROM ch)
+             |SELECT lang, count(*) AS n_chunks,
+             |  CAST(count(DISTINCT h) AS BIGINT) AS n_unique,
+             |  CAST(count(*) - count(DISTINCT h) AS BIGINT) AS n_dup,
+             |  round(CAST(count(*) - count(DISTINCT h) AS DOUBLE) / count(*), 4) AS dup_rate
+             |FROM hs GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // L54: robust length-outlier bounds — per-language median + MAD
+    // (median absolute deviation) of token counts, and the doc counts
+    // beyond median ± 3·MAD (the robust trimming rule: mean/stddev
+    // bounds are themselves dragged by the outliers they should catch).
+    // Exact order statistics stay oracle-checkable by the §5 rule:
+    // token counts are integers, so the interpolated median is
+    // .5-quantized, each |nw − med| is .5-quantized, the MAD is
+    // .25-quantized and 3·MAD is exact — every comparison is between
+    // exactly-representable doubles on both engines. Three linear
+    // passes; the per-lang median tables are dimension-bounded
+    // broadcasts. (The 100 TB form swaps Percentiles.exact for the KLL
+    // sketch — same contract as q_percentile vs Percentiles.approx.)
+    QDef(
+      "q_len_outliers",
+      (s, d) => {
+        val tok = T.documents(s, d)
+          .select(col("lang"), size(Text.words(col("text"))).cast("long").as("nw"))
+        val med = tok.groupBy("lang")
+          .agg(expr("percentile(nw, CAST(0.5 AS DOUBLE))").as("med"))
+        val dev = tok.join(broadcast(med), "lang")
+          .withColumn("dev", abs(col("nw") - col("med")))
+        val mad = dev.groupBy("lang")
+          .agg(expr("percentile(dev, CAST(0.5 AS DOUBLE))").as("mad"))
+        dev.join(broadcast(mad), "lang")
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("n"),
+            max("med").as("med"),
+            max("mad").as("mad"),
+            sum(when(col("nw") < col("med") - col("mad") * 3, 1L).otherwise(0L)).as("n_low"),
+            sum(when(col("nw") > col("med") + col("mad") * 3, 1L).otherwise(0L)).as("n_high"))
+          .orderBy("lang")
+      },
+      Some("""WITH tok AS (SELECT lang,
+             |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS nw
+             |  FROM documents),
+             |med AS (SELECT lang, quantile_cont(nw, 0.5) AS med FROM tok GROUP BY lang),
+             |dev AS (SELECT tok.lang, nw, med, abs(nw - med) AS dev
+             |  FROM tok JOIN med ON tok.lang = med.lang),
+             |mad AS (SELECT lang, quantile_cont(dev, 0.5) AS mad FROM dev GROUP BY lang)
+             |SELECT dev.lang, count(*) AS n, max(dev.med) AS med, max(mad.mad) AS mad,
+             |  CAST(sum(CASE WHEN nw < med - mad*3 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+             |  CAST(sum(CASE WHEN nw > med + mad*3 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+             |FROM dev JOIN mad ON dev.lang = mad.lang
+             |GROUP BY dev.lang ORDER BY dev.lang""".stripMargin))
   )
 }

@@ -419,6 +419,98 @@ object Relational2 {
              |     WHERE NOT EXISTS (SELECT 1 FROM risky r WHERE r.k = o.o_custkey))
              |    AS n_not_exists,
              |  (SELECT count(*) FROM orders WHERE o_custkey IN (SELECT k FROM risky))
-             |    AS n_in""".stripMargin))
+             |    AS n_in""".stripMargin)),
+
+    // R43: correlated LATERAL join — for every region, the top-2 nations
+    // by total customer balance computed by a correlated subquery with
+    // its own ORDER BY + LIMIT (the per-outer-row top-k shape Presto
+    // runs as CROSS JOIN LATERAL / UNNEST pipelines). Catalyst
+    // DECORRELATES the lateral into a join + per-key window rank — one
+    // shuffle on the correlation key, never an outer-row-count re-scan
+    // of the inner table; the outer side here is a 5-row dim, and the
+    // inner aggregate is map-side combinable. Deterministic: the lateral
+    // orders by (bal DESC, n_name) with the rounded 2dp balance.
+    QDef(
+      "q_lateral",
+      (s, d) => {
+        T.region(s, d).createOrReplaceTempView("r43_region")
+        T.nation(s, d).createOrReplaceTempView("r43_nation")
+        T.customer(s, d).createOrReplaceTempView("r43_customer")
+        s.sql("""
+          |SELECT r_name, n_name, bal FROM r43_region,
+          |LATERAL (
+          |  SELECT n_name, round(sum(c_acctbal), 2) AS bal
+          |  FROM r43_nation JOIN r43_customer ON c_nationkey = n_nationkey
+          |  WHERE n_regionkey = r_regionkey
+          |  GROUP BY n_name ORDER BY bal DESC, n_name LIMIT 2)
+          |ORDER BY r_name, bal DESC, n_name
+          |""".stripMargin)
+      },
+      Some("""SELECT r_name, n_name, bal FROM region
+             |CROSS JOIN LATERAL (
+             |  SELECT n_name, round(sum(c_acctbal), 2) AS bal
+             |  FROM nation JOIN customer ON c_nationkey = n_nationkey
+             |  WHERE n_regionkey = r_regionkey
+             |  GROUP BY n_name ORDER BY bal DESC, n_name LIMIT 2) t
+             |ORDER BY r_name, bal DESC, n_name""".stripMargin)),
+
+    // R44: conditional / boolean aggregates — count_if, bool_and,
+    // bool_or, and the FILTERed-count idiom (Presto ships the same
+    // count_if / bool_and / bool_or family). Each is one
+    // map-side-combinable aggregate over exact predicates on exact
+    // values (integer thresholds on 2dp doubles never sit on a rounding
+    // boundary); the whole query is a single shuffle of 5 groups at any
+    // scale. DuckDB phrases count_if as count(*) FILTER — same
+    // semantics, NULL predicate rows counted by neither engine.
+    QDef(
+      "q_cond_agg",
+      (s, d) =>
+        T.orders(s, d)
+          .groupBy("o_orderpriority")
+          .agg(
+            count(lit(1)).as("n"),
+            expr("count_if(o_totalprice > 200000)").as("n_big"),
+            expr("count_if(o_orderstatus = 'F')").as("n_fin"),
+            expr("bool_and(o_totalprice > 0)").as("all_pos"),
+            expr("bool_or(o_totalprice > 400000)").as("any_huge"))
+          .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority, count(*) AS n,
+             |  count(*) FILTER (o_totalprice > 200000) AS n_big,
+             |  count(*) FILTER (o_orderstatus = 'F') AS n_fin,
+             |  bool_and(o_totalprice > 0) AS all_pos,
+             |  bool_or(o_totalprice > 400000) AS any_huge
+             |FROM orders GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // R45: width_bucket numeric histogram — fixed-grid value histogram
+    // of order totals (Presto's width_bucket; the profiling primitive
+    // behind every "distribution of X" dashboard). Bucketed on the
+    // INTEGER-VALUED floor of the price: an integer-valued double
+    // divided by the bucket width is ≥ 2e-5 away from the next integer
+    // unless exactly on a boundary (where both engines are exact), so
+    // no 1-ulp engine difference can flip a bucket — the §5
+    // exactly-representable-derivation rule applied to binning (raw 2dp
+    // doubles CAN straddle a boundary ulp). One codegen pass + one
+    // shuffle of ≤ 14 groups; the per-bucket total is an exact integer
+    // sum. DuckDB has no width_bucket — the oracle replays Spark's
+    // definition (below lo → 0, ≥ hi → n+1, else 1 + floor offset).
+    QDef(
+      "q_histogram",
+      (s, d) =>
+        T.orders(s, d)
+          .withColumn("usd", floor(col("o_totalprice")).cast("double"))
+          .withColumn("bucket", expr("width_bucket(usd, 0D, 600000D, 12)"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n"), sum(col("usd")).cast("long").as("total_usd"))
+          .orderBy("bucket"),
+      Some("""WITH b AS (
+             |  SELECT CAST(floor(o_totalprice) AS DOUBLE) AS usd,
+             |    CASE WHEN floor(o_totalprice) < 0 THEN 0
+             |         WHEN floor(o_totalprice) >= 600000 THEN 13
+             |         ELSE 1 + CAST(floor(CAST(floor(o_totalprice) AS DOUBLE) / 50000.0) AS BIGINT)
+             |    END AS bucket
+             |  FROM orders)
+             |SELECT bucket, count(*) AS n, CAST(sum(usd) AS BIGINT) AS total_usd
+             |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin))
   )
 }
