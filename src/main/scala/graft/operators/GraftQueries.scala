@@ -255,7 +255,32 @@ object GraftQueries {
       .orderBy("ref", "s_suppkey")
   }
 
+  /** S45: in-place migration — write supplier as a RAW hive-partitioned
+    * parquet directory (plain spark.write, no graft involved), adopt it
+    * via GraftTable.migrate (footer reads + renames + one commit, zero
+    * data rewritten), then read it back through the graft scan with a
+    * partition filter (prunes to one adopted k=v dir from the manifest).
+    * Oracle: the same predicate over the original supplier table —
+    * proving adoption is lossless and the adopted layout prunes. */
+  private def graftMigrate(s: SparkSession, d: String): DataFrame = {
+    val raw = tmpRoot("migsrc")
+    T.supplier(s, d)
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+        pmod(col("s_suppkey"), lit(3)).as("m"))
+      .write.partitionBy("m").parquet(raw)
+    val t = GraftTable.migrate(s, raw, tmpRoot("mig"))
+    t.read().filter(col("m") === 1)
+      .select(col("s_suppkey"), col("s_name"),
+        round(col("s_acctbal"), 2).as("bal"), col("m").cast("long").as("m"))
+      .orderBy("s_suppkey")
+  }
+
   val defs: Seq[QDef] = Seq(
+    QDef("q_graft_migrate", graftMigrate,
+      Some("""SELECT s_suppkey, s_name, round(s_acctbal,2) AS bal,
+             |  s_suppkey % 3 AS m
+             |FROM supplier WHERE s_suppkey % 3 = 1
+             |ORDER BY s_suppkey""".stripMargin)),
     QDef("q_graft_branch", graftBranch,
       Some("""SELECT ref, s_suppkey, s_name, round(s_acctbal,2) AS bal FROM (
              |  SELECT 'main' AS ref, s_suppkey, s_name, s_acctbal

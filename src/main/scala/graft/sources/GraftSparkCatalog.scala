@@ -203,6 +203,23 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
         if (next < 0) okRow(t.deleteConsumer(id))
         else { t.deleteConsumer(id); t.commitConsumer(id, next); okRow(true) }
       }),
+    "migrate_table" -> new GraftProcedure("migrate_table",
+      // Paimon's migrate_table (S45): adopt a raw parquet directory —
+      // flat or hive-partitioned — as a graft table in place: footer
+      // reads + renames + ONE commit, zero data rewritten (at 100 TB a
+      // copy-based migration is a corpus rewrite)
+      Seq(pStr("source_dir"), pStr("table")), StructType(Seq(
+        org.apache.spark.sql.types.StructField("snapshot_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("files", org.apache.spark.sql.types.LongType))),
+      in => {
+        val qualified = in.getString(1)
+        val parts = qualified.split("\\.")
+        require(parts.length == 2, s"procedures take a 'db.table' name, got: $qualified")
+        val t = GraftTable.migrate(spark, in.getString(0),
+          tablePath(Identifier.of(Array(parts(0)), parts(1))))
+        val snap = t.latestSnapshotId.get
+        InternalRow(snap, t.filesOf(t.snapshots.last).length.toLong)
+      }),
     "remove_orphan_files" -> new GraftProcedure("remove_orphan_files",
       Seq(pStr("table"), pLongOpt("older_than_ms", (3600L * 1000).toString)), StructType(Seq(
         org.apache.spark.sql.types.StructField("removed", org.apache.spark.sql.types.LongType))),

@@ -2098,7 +2098,16 @@ object GraftTable {
       schema: StructType,
       partitionKeys: Seq[String] = Seq.empty,
       primaryKeys: Seq[String] = Seq.empty,
-      options: Map[String, String] = Map.empty): GraftTable = {
+      options: Map[String, String] = Map.empty,
+      /** false = id-less legacy lattice, resolved by NAME. The migrate
+        * path (S45) uses it: adopted files carry no parquet field ids,
+        * and an id-carrying requested schema would null out every
+        * column (fieldId.read.ignoreMissing) instead of name-matching.
+        * Id-less tables read correctly and still support ADD COLUMN;
+        * RENAME/DROP refuse via requireIdEvolvable — the honest
+        * contract for files whose footers cannot be restamped without
+        * the rewrite migration exists to avoid. */
+      stampIds: Boolean = true): GraftTable = {
     require(partitionKeys.forall(schema.fieldNames.contains), "unknown partition key")
     require(primaryKeys.forall(schema.fieldNames.contains), "unknown primary key")
     val fs = fileSystem(spark, root)
@@ -2106,7 +2115,9 @@ object GraftTable {
     require(!fs.exists(schemaDir), s"table already exists at $root")
     fs.mkdirs(schemaDir)
     fs.mkdirs(new Path(root, "snapshot"))
-    val meta = SchemaMeta(0L, stampFieldIds(schema).json, partitionKeys, primaryKeys, options)
+    val fields = if (stampIds) stampFieldIds(schema) else StructType(
+      schema.fields.map(f => f.copy(metadata = org.apache.spark.sql.types.Metadata.empty)))
+    val meta = SchemaMeta(0L, fields.json, partitionKeys, primaryKeys, options)
     writeString(fs, new Path(root, "schema/schema-0.json"), mapper.writeValueAsString(meta))
     new GraftTable(spark, root, meta)
   }
@@ -2124,4 +2135,103 @@ object GraftTable {
 
   def exists(spark: SparkSession, root: String): Boolean =
     fileSystem(spark, root).exists(new Path(root, "schema"))
+
+  /** S45: in-place migration (Paimon's `migrate_table` procedure): adopt
+    * an existing raw-parquet directory — flat or hive-partitioned
+    * (`k=v` dirs) — as a graft table WITHOUT rewriting a byte of data.
+    * At 100 TB a copy-based migration is a full corpus rewrite; here the
+    * cost is one footer read per file (schema + min/max stats + row
+    * count, so data skipping / COUNT pushdown / CBO stats work from day
+    * one) plus a same-filesystem rename, and ONE snapshot commit.
+    *
+    * Crash-safe and resumable: schema first, then per-file moves, then
+    * the commit. A crash mid-move leaves a table with zero snapshots —
+    * re-running the same migrate moves the REMAINING source files and
+    * commits everything found under `data/` (already-moved files are
+    * re-adopted from their footers). Only the published snapshot makes
+    * the files live; until then nothing reads them.
+    *
+    * Adopted files carry no parquet field-ids, so the table is created
+    * with an ID-LESS (name-resolved) lattice — the legacy mode of the
+    * S9 field-id evolution: reads match by name, ADD COLUMN works,
+    * RENAME/DROP COLUMN refuse loudly (requireIdEvolvable — footers
+    * cannot be restamped without the rewrite migration exists to
+    * avoid). Append tables only (a PK table needs key-clustered sorted
+    * runs migration cannot guarantee).
+    * (ref: paimon docs migrate_table; the connector reads migrated
+    * tables like any other — PrestoSplitManager has no special case.) */
+  def migrate(
+      spark: SparkSession,
+      sourceDir: String,
+      root: String,
+      options: Map[String, String] = Map.empty): GraftTable = {
+    require(options.getOrElse("file.format", "parquet") == "parquet",
+      "migrate adopts parquet directories (file.format=parquet)")
+    val fs = fileSystem(spark, root)
+    val src = new Path(sourceDir)
+
+    def walk(st: org.apache.hadoop.fs.FileStatus): Seq[org.apache.hadoop.fs.FileStatus] = {
+      val n = st.getPath.getName
+      if (n.startsWith("_") || n.startsWith(".")) Seq.empty
+      else if (st.isDirectory) fs.listStatus(st.getPath).toSeq.flatMap(walk)
+      else if (n.endsWith(".parquet")) Seq(st) else Seq.empty
+    }
+    /** hive-style partition segments of `p` relative to `base`. */
+    def partSegs(base: Path, p: Path): Seq[(String, String)] = {
+      val baseQ = fs.makeQualified(base).toString.stripSuffix("/") + "/"
+      val rel = fs.makeQualified(p).toString.stripPrefix(baseQ)
+      rel.split("/").dropRight(1).toSeq.map { seg =>
+        val i = seg.indexOf('=')
+        require(i > 0, s"non-partition directory under migration source: $seg")
+        seg.take(i) -> unescapePath(seg.drop(i + 1))
+      }
+    }
+
+    val table =
+      if (!exists(spark, root)) {
+        require(fs.exists(src) && fs.getFileStatus(src).isDirectory,
+          s"no source directory at $sourceDir")
+        val first = walk(fs.getFileStatus(src))
+        require(first.nonEmpty, s"no parquet files under $sourceDir")
+        val keys = partSegs(src, first.head.getPath).map(_._1)
+        // one spark.read infers the full schema incl. typed partition
+        // columns from the k=v layout (driver-side footer merge)
+        val schema = spark.read.parquet(sourceDir).schema
+        create(spark, root, schema, partitionKeys = keys, primaryKeys = Seq.empty,
+          options = options, stampIds = false)
+      } else {
+        val t = load(spark, root)
+        require(t.latestSnapshotId.isEmpty,
+          s"table at $root already has snapshots — migrate only resumes " +
+            "into a snapshot-less target")
+        t
+      }
+
+    // move remaining source files into data/, preserving partition dirs
+    if (fs.exists(src)) walk(fs.getFileStatus(src)).foreach { st =>
+      val segs = partSegs(src, st.getPath)
+      require(segs.map(_._1) == table.partitionKeys,
+        s"file ${st.getPath} has partition layout ${segs.map(_._1).mkString("/")}, " +
+          s"table declares ${table.partitionKeys.mkString("/")}")
+      val rel = (Seq("data") ++ segs.map { case (k, v) =>
+        s"$k=${org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(v)}"
+      } :+ st.getPath.getName).mkString("/")
+      val dst = new Path(root, rel)
+      fs.mkdirs(dst.getParent)
+      require(fs.rename(st.getPath, dst), s"failed to move ${st.getPath} to $dst")
+    }
+
+    // adopt EVERYTHING under data/ (moved now or by a crashed prior run)
+    val conf = spark.sessionState.newHadoopConf()
+    val dataDir = new Path(root, "data")
+    val metas = walk(fs.getFileStatus(dataDir)).map { st =>
+      val footer = FileStats.fromFooter(conf, st.getPath)
+      val rootQ = fs.makeQualified(new Path(root)).toString.stripSuffix("/") + "/"
+      val rel = fs.makeQualified(st.getPath).toString.stripPrefix(rootQ)
+      FileMeta(rel, partSegs(dataDir, st.getPath).toMap, st.getLen, bucket = 0,
+        stats = footer.stats, rowCount = footer.rowCount)
+    }
+    table.commitAt(1, "APPEND", metas)
+    table
+  }
 }
