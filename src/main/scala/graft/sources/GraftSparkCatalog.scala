@@ -203,6 +203,18 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
         if (next < 0) okRow(t.deleteConsumer(id))
         else { t.deleteConsumer(id); t.commitConsumer(id, next); okRow(true) }
       }),
+    "expire_partitions" -> new GraftProcedure("expire_partitions",
+      // Paimon's expire_partitions (S46): calendar retention — drop
+      // every partition whose key value sorts strictly below `upto` as
+      // ONE metadata commit (zero file reads; null partitions retained)
+      Seq(pStr("table"), pStr("partition_key"), pStr("upto")), StructType(Seq(
+        org.apache.spark.sql.types.StructField("snapshot_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("dropped", org.apache.spark.sql.types.StringType))),
+      in => {
+        val (id, dropped) = loadByName(in.getString(0))
+          .expirePartitions(in.getString(1), in.getString(2))
+        InternalRow(id, UTF8String.fromString(dropped.mkString(",")))
+      }),
     "migrate_table" -> new GraftProcedure("migrate_table",
       // Paimon's migrate_table (S45): adopt a raw parquet directory —
       // flat or hive-partitioned — as a graft table in place: footer

@@ -852,6 +852,36 @@ class GraftTable private (
     }
   }
 
+  /** S46: value-based partition retention (Paimon's `expire_partitions`
+    * procedure): drop every partition whose `key` value sorts strictly
+    * below `upto` in ONE metadata OVERWRITE commit — zero file reads,
+    * zero rewrites (the calendar-retention shape: a 100 TB events table
+    * partitioned by day sheds `dt < today-90` as a driver-side manifest
+    * diff; the dropped files become expiry/GC work like any other
+    * superseded state). Null partitions are never value-comparable and
+    * are always retained. PK tables need partition keys contained in
+    * the primary key (same resurrection rule as S29's metadata delete
+    * and drop_partition). Returns (snapshotId, dropped partition
+    * values); a no-match call reports the unchanged base and drops
+    * nothing — retention loops run it idempotently. */
+  def expirePartitions(key: String, upto: String): (Long, Seq[String]) = {
+    require(partitionKeys.contains(key),
+      s"$key is not a partition key (keys: ${partitionKeys.mkString(",")})")
+    require(!isPkTable || partitionPruneSafe,
+      "expire_partitions on a primary-key table requires partition keys " +
+        "contained in the primary key (file removal could resurrect stale " +
+        "row versions)")
+    val cast = GraftTable.castPartitionValue(upto, schema(key).dataType)
+    require(cast != null, "expire_partitions needs a non-null bound")
+    val filter = org.apache.spark.sql.sources.LessThan(key, cast)
+    val base = latestSnapshotId.getOrElse(0L)
+    val pred = GraftFilters.toColumn(filter, partitionKeys.toSet, exact = true).get
+    val dropped = pruneFiles(filesAt(base), Some(pred))
+      .map(_.partition(key)).distinct.sorted
+    val id = commitV2("filter", Seq.empty, Seq(filter), base)
+    (id, dropped)
+  }
+
   /** Roll the table back to an earlier snapshot (Paimon's
     * rollback_to): publishes a NEW snapshot whose live file set is
     * exactly the target's, so the commits after it are logically undone

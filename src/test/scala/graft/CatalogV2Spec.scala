@@ -404,6 +404,44 @@ class CatalogV2Spec extends AnyFunSuite {
     }
   }
 
+  test("C17 (S46): CALL sys.expire_partitions — value-based calendar retention") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft2.ret")
+    sql("DROP TABLE IF EXISTS graft2.ret.ev")
+    sql("CREATE TABLE graft2.ret.ev (k INT, dt STRING) PARTITIONED BY (dt)")
+    sql("""INSERT INTO graft2.ret.ev VALUES
+          |(1, '2026-01-01'), (2, '2026-02-01'), (3, '2026-03-01'),
+          |(4, '2026-03-15'), (5, NULL)""".stripMargin)
+
+    val row = sql(
+      "CALL graft2.sys.expire_partitions('ret.ev', 'dt', '2026-03-01')").first()
+    assert(row.getLong(0) == 2L) // one metadata commit on top of the insert
+    assert(row.getString(1) == "2026-01-01,2026-02-01")
+    // strictly-below dropped; the boundary, later days and the NULL
+    // partition (never value-comparable) all retained
+    assert(sql("SELECT k FROM graft2.ret.ev").collect().map(_.getInt(0)).sorted.toSeq
+      == Seq(3, 4, 5))
+    // time travel still sees the pre-retention state (no purge)
+    assert(sql("SELECT count(*) FROM graft2.ret.ev VERSION AS OF 1").first().getLong(0) == 5)
+
+    // idempotent: nothing below the bound left — unchanged base, no churn
+    val again = sql(
+      "CALL graft2.sys.expire_partitions('ret.ev', 'dt', '2026-03-01')").first()
+    assert(again.getLong(0) == 2L && again.getString(1).isEmpty)
+
+    // non-partition key refused
+    intercept[Exception] {
+      sql("CALL graft2.sys.expire_partitions('ret.ev', 'k', '3')")
+    }
+    // PK table with partition keys outside the primary key: refused
+    sql("DROP TABLE IF EXISTS graft2.ret.evpk")
+    sql("""CREATE TABLE graft2.ret.evpk (id INT, dt STRING, v STRING)
+          |PARTITIONED BY (dt) TBLPROPERTIES ('primary-key'='id')""".stripMargin)
+    sql("INSERT INTO graft2.ret.evpk VALUES (1, 'a', 'x')")
+    intercept[Exception] {
+      sql("CALL graft2.sys.expire_partitions('ret.evpk', 'dt', 'z')")
+    }
+  }
+
   private def withConf(key: String, value: String)(body: => Unit): Unit = {
     val old = spark.conf.getOption(key)
     spark.conf.set(key, value)

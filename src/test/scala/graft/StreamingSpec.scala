@@ -281,6 +281,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("T20: foreachBatch MERGE INTO applies a CDC stream onto a graft table") {
+    // the operational upsert-apply shape: a change stream lands on a
+    // catalog table through SQL MERGE once per micro-batch (the S31
+    // row-level-op machinery driven from structured streaming — Paimon
+    // users run exactly this to sink Debezium-style feeds). Each batch
+    // here carries at most one change per key (a real pipeline dedups
+    // per key first — MERGE rejects multi-matches by SQL contract).
+    implicit val sc = spark.sqlContext
+    spark.conf.set("spark.sql.catalog.gms", "graft.sources.GraftSparkCatalog")
+    spark.conf.set("spark.sql.catalog.gms.warehouse", TestSpark.tmpDir("mergewh"))
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gms.db")
+    spark.sql("DROP TABLE IF EXISTS gms.db.state")
+    spark.sql("CREATE TABLE gms.db.state (k INT, v STRING)")
+    val mem = MemoryStream[(Int, String, String)] // (key, value, op U/D)
+    val q = mem.toDF().toDF("k", "v", "op").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.createOrReplaceTempView("t20_batch")
+        b.sparkSession.sql(
+          """MERGE INTO gms.db.state s USING t20_batch b ON s.k = b.k
+            |WHEN MATCHED AND b.op = 'D' THEN DELETE
+            |WHEN MATCHED THEN UPDATE SET v = b.v
+            |WHEN NOT MATCHED AND b.op != 'D' THEN INSERT (k, v) VALUES (b.k, b.v)
+            |""".stripMargin)
+        ()
+      }.start()
+    try {
+      mem.addData((1, "a", "U"), (2, "b", "U")); q.processAllAvailable()
+      mem.addData((1, "a2", "U"), (3, "c", "U")); q.processAllAvailable()
+      mem.addData((2, "", "D"), (3, "c2", "U")); q.processAllAvailable()
+    } finally q.stop()
+    val state = spark.sql("SELECT k, v FROM gms.db.state ORDER BY k").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(state == Seq((1, "a2"), (3, "c2")),
+      "update + insert + delete must all land through the streamed MERGE")
+  }
+
   test("T18: writeStream.format(\"graft\") — snapshot per batch, replay-idempotent, branch routing") {
     implicit val sc = spark.sqlContext
     val path = TestSpark.tmpDir("sinkfmt")
