@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QDef, Tables => T}
 import graft.functions.Text
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Second-wave dedup operators (SURVEY §2.3 L33–L34): sub-document
@@ -19,6 +20,110 @@ object Dedup2 {
   val FuzzyTop = 20
 
   val defs: Seq[QDef] = Seq(
+    // L55: containment (excerpt/quote) dedup — the DIRECTIONAL member of
+    // the near-dup family: doc A is contained in doc B when every
+    // distinct shingle of A appears in B (quotes, reposts, excerpt pages
+    // — Jaccard misses them because a short quote of a long doc has LOW
+    // Jaccard but FULL containment). Candidate generation is complete
+    // and bounded: if A ⊆ B then B contains A's RAREST shingle, so one
+    // equality join of (doc → its min-df shingle) against the exploded
+    // presence set finds every containing doc at df(rarest) fan-out —
+    // never an all-pairs scan. Verification counts shared shingles on
+    // candidates only (== |A| ⇔ contained). The synthetic corpus has no
+    // cross-doc containment, so the query INJECTS it deterministically
+    // (the q_text_pii inject-then-measure pattern): every doc_id % 37
+    // doc with ≥ 6 words contributes an excerpt pseudo-doc of its first
+    // max(nw/3, 3) words; the oracle replays injection, rarest-shingle
+    // choice and verification exactly. Equal-size (identical-set) pairs
+    // count once under a < b; integer counts, one final division.
+    QDef(
+      "q_dedup_contain",
+      (s, d) => {
+        val docs = T.documents(s, d).select(col("doc_id"), col("lang"))
+        val base = Dedup.docsWithShingles(s, d).join(docs, "doc_id")
+          .select(col("doc_id"), col("lang"), col("sh"))
+        val exc = T.documents(s, d)
+          .filter(col("doc_id") % 37 === 0)
+          .select(col("doc_id"), col("lang"), Text.words(col("text")).as("w"))
+          .withColumn("nw", size(col("w")))
+          .filter(col("nw") >= 6)
+          .select((col("doc_id") + 1000000000L).as("doc_id"), col("lang"),
+            graft.functions.ShingleExpr.shingles3(
+              slice(col("w"), lit(1), greatest(expr("nw div 3"), lit(3)))).as("sh"))
+        val all = base.unionByName(exc)
+          .filter(size(col("sh")) >= 1)
+          .withColumn("sz", size(col("sh")).cast("long"))
+        val ex = all.select(col("doc_id"), col("lang"), col("sz"),
+          explode(col("sh")).as("g"))
+        val rare = ex
+          .withColumn("c", count(lit(1)).over(Window.partitionBy("g")))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("doc_id").orderBy("c", "g")))
+          .filter(col("rn") === 1)
+          .select(col("doc_id").as("a_id"), col("lang").as("a_lang"),
+            col("sz").as("a_sz"), col("g"))
+        val pres = ex.select(col("doc_id").as("b_id"), col("sz").as("b_sz"), col("g"))
+        val cand = rare.join(pres, "g")
+          .filter(col("a_id") =!= col("b_id") &&
+            (col("a_sz") < col("b_sz") ||
+              (col("a_sz") === col("b_sz") && col("a_id") < col("b_id"))))
+          .select("a_id", "a_lang", "a_sz", "b_id", "b_sz")
+        val aSh = ex.select(col("doc_id").as("a_id"), col("g"))
+        val hits = cand.join(aSh, "a_id")
+          .join(pres.select(col("b_id"), col("g")).withColumn("hit", lit(1)),
+            Seq("b_id", "g"), "left")
+          .groupBy("a_id", "a_lang", "a_sz", "b_id", "b_sz")
+          .agg(count(col("hit")).as("matches"))
+          .filter(col("matches") === col("a_sz"))
+        hits.groupBy(col("a_lang").as("lang"))
+          .agg(
+            countDistinct(col("a_id")).as("n_contained"),
+            count(lit(1)).as("n_pairs"),
+            sum("a_sz").as("small_sh"),
+            sum("b_sz").as("big_sh"))
+          .withColumn("size_ratio",
+            round(col("small_sh").cast("double") / col("big_sh").cast("double"), 4))
+          .orderBy("lang")
+      },
+      Some(s"""WITH base AS (SELECT doc_id, lang, ${Dedup.ShSql} AS sh FROM documents),
+              |exc0 AS (SELECT doc_id, lang,
+              |    (string_split_regex(trim(text),'\\s+'))[1:greatest(
+              |      len(string_split_regex(trim(text),'\\s+')) // 3, 3)] AS ws
+              |  FROM documents
+              |  WHERE doc_id % 37 = 0
+              |    AND len(string_split_regex(trim(text),'\\s+')) >= 6),
+              |exc AS (SELECT doc_id + 1000000000 AS doc_id, lang,
+              |    list_distinct(list_transform(
+              |      range(1, greatest(len(ws)-1, 1)),
+              |      i -> array_to_string(ws[i:i+2], ' '))) AS sh
+              |  FROM exc0),
+              |allsh AS (SELECT * FROM (
+              |    SELECT * FROM base UNION ALL SELECT * FROM exc)
+              |  WHERE len(sh) >= 1),
+              |ex AS (SELECT doc_id, lang, CAST(len(sh) AS BIGINT) AS sz,
+              |    unnest(sh) AS g FROM allsh),
+              |dfc AS (SELECT *, count(*) OVER (PARTITION BY g) AS c FROM ex),
+              |rare AS (SELECT doc_id AS a_id, lang AS a_lang, sz AS a_sz, g
+              |  FROM (SELECT *, row_number() OVER (
+              |      PARTITION BY doc_id ORDER BY c, g) AS rn FROM dfc)
+              |  WHERE rn = 1),
+              |cand AS (SELECT r.a_id, r.a_lang, r.a_sz,
+              |    e.doc_id AS b_id, e.sz AS b_sz
+              |  FROM rare r JOIN ex e ON r.g = e.g
+              |  WHERE r.a_id != e.doc_id
+              |    AND (r.a_sz < e.sz OR (r.a_sz = e.sz AND r.a_id < e.doc_id))),
+              |cont AS (SELECT c.* FROM cand c
+              |  JOIN allsh a ON c.a_id = a.doc_id
+              |  JOIN allsh b ON c.b_id = b.doc_id
+              |  WHERE list_has_all(b.sh, a.sh))
+              |SELECT a_lang AS lang,
+              |  CAST(count(DISTINCT a_id) AS BIGINT) AS n_contained,
+              |  count(*) AS n_pairs,
+              |  CAST(sum(a_sz) AS BIGINT) AS small_sh,
+              |  CAST(sum(b_sz) AS BIGINT) AS big_sh,
+              |  round(CAST(sum(a_sz) AS DOUBLE) / CAST(sum(b_sz) AS DOUBLE), 4)
+              |    AS size_ratio
+              |FROM cont GROUP BY a_lang ORDER BY a_lang""".stripMargin)),
     // L33: repeated-span (paragraph-granularity) dedup — exact dedup at
     // sub-document granularity: split every document into
     // non-overlapping BlockLen-word blocks and report the blocks
