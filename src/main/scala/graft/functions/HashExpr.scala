@@ -270,4 +270,8 @@ object HashExpr {
   /** Fused words→simhash with the tokenHash64 polynomial. */
   def simHashWords(c: Column): Column =
     column(SimHashWords(expression(c), 1099511628211L))
+
+  /** Per-entry bloom hashes of a map/array column (the write-side half
+    * of subscript file pruning; also used by rewrite_file_index, S47). */
+  def mapEntryHashes(c: Column): Column = column(MapEntryHashes(expression(c)))
 }

@@ -203,6 +203,14 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
         if (next < 0) okRow(t.deleteConsumer(id))
         else { t.deleteConsumer(id); t.commitConsumer(id, next); okRow(true) }
       }),
+    "rewrite_file_index" -> new GraftProcedure("rewrite_file_index",
+      // Paimon's rewrite_file_index (S47): build bloom sidecars for live
+      // files that predate the index option (legacy / migrated / ALTERed
+      // tables) — one executor-side job, no data rewritten, no commit
+      // (sidecars are derived metadata keyed to immutable files)
+      Seq(pStr("table")), StructType(Seq(
+        org.apache.spark.sql.types.StructField("files", org.apache.spark.sql.types.LongType))),
+      in => InternalRow(loadByName(in.getString(0)).rewriteFileIndex())),
     "expire_partitions" -> new GraftProcedure("expire_partitions",
       // Paimon's expire_partitions (S46): calendar retention — drop
       // every partition whose key value sorts strictly below `upto` as

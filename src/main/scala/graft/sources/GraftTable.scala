@@ -852,6 +852,80 @@ class GraftTable private (
     }
   }
 
+  /** S47: rebuild missing bloom-filter sidecars (Paimon's
+    * `rewrite_file_index` procedure) for live data files that predate
+    * the index option — legacy commits, option flips via ALTER (S43),
+    * S45-migrated adoptions. ONE Spark job reads the target files where
+    * the rows are (repartitioned so each file's rows land in one task)
+    * and builds the SAME XxHash64 blooms the write path builds: scalar
+    * columns hash one stored value per row (identical count → identical
+    * sizing → a bit-compatible sidecar); map/array columns hash every
+    * non-null entry via the shared MapEntryHashes expression, restoring
+    * subscript EQUALITY pruning. The v2 per-entry range stats need
+    * write-time observation and are NOT reconstructed — a rebuilt
+    * sidecar makes no range claim, which is sound (planning keeps the
+    * file). Sidecars write from the executors; the planner discovers
+    * them lazily by path, so no commit is needed (sidecars are derived
+    * metadata keyed to immutable files, not manifest state). Returns
+    * the number of files indexed. */
+  def rewriteFileIndex(): Long = {
+    val cols = bloomIndexCols.filter(fileDataSchema.fieldNames.contains)
+    require(cols.nonEmpty,
+      s"table at $root declares no file-index.bloom-filter.columns")
+    val base = latestSnapshotId.getOrElse(0L)
+    if (base == 0L) return 0L
+    val missing = filesAt(base).filter(f =>
+      !fs.exists(new Path(root, f.path + BloomIndex.Suffix)))
+    if (missing.isEmpty) return 0L
+
+    val rootStr = root.stripSuffix("/")
+    val nested: Array[Boolean] = cols.toArray.map(c => schema(c).dataType match {
+      case _: MapType | _: ArrayType => true
+      case _ => false
+    })
+    val hashCols = cols.zip(nested).map { case (c, isN) =>
+      if (isN) graft.functions.HashExpr.mapEntryHashes(col(c)).as(s"__h_$c")
+      else xxhash64(col(c)).as(s"__h_$c")
+    }
+    val df = spark.read
+      .option("basePath", s"$rootStr/data")
+      .schema(fileSchema).format(fileFormat)
+      .load(missing.map(f => s"$rootStr/${f.path}"): _*)
+      .select(substring_index(col("_metadata.file_path"), "/", -1).as("__f") +: hashCols: _*)
+
+    val serConf = new org.apache.spark.util.SerializableConfiguration(hadoopConf)
+    val colNames = cols.toArray
+    val relByName = missing.map(f => f.path.substring(f.path.lastIndexOf('/') + 1) -> f.path).toMap
+    val suffix = BloomIndex.Suffix
+    df.repartition(missing.size, col("__f")).foreachPartition {
+      (it: Iterator[Row]) =>
+        val bufs = mutable.HashMap.empty[String, Array[mutable.ArrayBuilder.ofLong]]
+        it.foreach { row =>
+          val arr = bufs.getOrElseUpdate(row.getString(0),
+            Array.fill(colNames.length)(new mutable.ArrayBuilder.ofLong))
+          var i = 0
+          while (i < colNames.length) {
+            if (!row.isNullAt(i + 1)) {
+              if (nested(i)) row.getSeq[Long](i + 1).foreach(arr(i) += _)
+              else arr(i) += row.getLong(i + 1)
+            }
+            i += 1
+          }
+        }
+        if (bufs.nonEmpty) {
+          val fsx = new Path(rootStr).getFileSystem(serConf.value)
+          bufs.foreach { case (fname, colBufs) =>
+            val blooms = colNames.toSeq.zip(colBufs).map { case (c, b) =>
+              val hashes = b.result()
+              c -> BloomIndex.build(hashes, hashes.length)
+            }
+            BloomIndex.write(fsx, new Path(rootStr, relByName(fname) + suffix), blooms)
+          }
+        }
+    }
+    missing.size.toLong
+  }
+
   /** S46: value-based partition retention (Paimon's `expire_partitions`
     * procedure): drop every partition whose `key` value sorts strictly
     * below `upto` in ONE metadata OVERWRITE commit — zero file reads,

@@ -189,6 +189,48 @@ class BloomIndexSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
   }
 
+  test("S47: rewrite_file_index builds bit-compatible sidecars for pre-index files") {
+    // table WITHOUT the index option: files land sidecar-less
+    val path = TestSpark.tmpDir("rwidx")
+    val schema = StructType(Seq(StructField("id", LongType), StructField("u", StringType)))
+    val t = GraftTable.create(spark, path, schema)
+    for (c <- 0 until 4)
+      t.append((0 until 500).map(i => (c * 1000L + i, s"u-${i * 7 % 500}-$c"))
+        .toDF("id", "u").coalesce(1))
+
+    // flip the option on (S43), then rebuild the index (S47)
+    t.setOptions(Map("file-index.bloom-filter.columns" -> "u"))
+    assert(t.rewriteFileIndex() == 4L)
+    assert(t.rewriteFileIndex() == 0L, "second call finds nothing missing")
+
+    // pruning now engages exactly as on a written-with-index table
+    val fresh = GraftTable.load(spark, path) // bloom cache is per-instance
+    import org.apache.spark.sql.sources.EqualTo
+    assert(fresh.read(dataFilters = Seq(EqualTo("u", "u-14-2"))).inputFiles.length == 1)
+    assert(fresh.read(dataFilters = Seq(EqualTo("u", "nope"))).inputFiles.isEmpty)
+
+    // bit-compatibility: a twin table written WITH the option from day
+    // one produces byte-identical bloom words for the same rows (same
+    // hashes, same row-count sizing — order-independent bit OR)
+    val twin = GraftTable.create(spark, TestSpark.tmpDir("rwidx-twin"), schema,
+      options = Map("file-index.bloom-filter.columns" -> "u"))
+    for (c <- 0 until 4)
+      twin.append((0 until 500).map(i => (c * 1000L + i, s"u-${i * 7 % 500}-$c"))
+        .toDF("id", "u").coalesce(1))
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sessionState.newHadoopConf())
+    def bloomByMinId(root: String): Map[Long, Seq[Long]] = {
+      val tt = GraftTable.load(spark, root)
+      tt.system("files").select("file_path").collect().map(_.getString(0)).map { rel =>
+        val abs = s"$root/$rel"
+        val minId = spark.read.parquet(abs).agg(min("id")).head.getLong(0)
+        val sc = BloomIndex.read(fs, new org.apache.hadoop.fs.Path(abs + BloomIndex.Suffix))
+        minId -> sc.get.blooms("u").words.toSeq
+      }.toMap
+    }
+    assert(bloomByMinId(path) == bloomByMinId(twin.root),
+      "rebuilt sidecars must carry the exact bloom words the write path builds")
+  }
+
   test("S28d: PK tables bloom-skip only on version-invariant key columns") {
     val path = TestSpark.tmpDir("bloompk")
     val t = GraftTable.create(spark, path,
