@@ -507,6 +507,68 @@ object Curation {
              |  round(CAST(count(*) - count(DISTINCT h) AS DOUBLE) / count(*), 4) AS dup_rate
              |FROM hs GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // L56: per-source term-distribution drift — L1 distance between each
+    // source's term-frequency profile and the corpus profile over the
+    // top-V corpus vocabulary (the crawl-drift monitor: a source whose
+    // distribution walks away from the corpus changed its content mix —
+    // re-crawl or re-weight before it skews the mixture). EXACT integer
+    // arithmetic throughout: score = Σ_t |n_st·N_c − n_ct·N_s| over
+    // PRESENT terms plus (N_c − ΣpresC)·N_s for the source's absent
+    // vocabulary terms — algebraically the full-grid sum WITHOUT a
+    // source×vocab cross join (PlanAuditSpec forbids cartesians; the
+    // absent-term mass folds into one closed form). Long products stay
+    // < 2^63 at any realistic scale; the normalized drift is computed by
+    // the same two-op IEEE sequence both engines (mult, div), rounded.
+    // Two map-side-combinable count passes + one broadcast vocab join.
+    QDef(
+      "q_source_drift",
+      (s, d) => {
+        val V = 200
+        val words = T.documents(s, d)
+          .select(col("source"), explode(Text.words(col("text"))).as("w"))
+        val vocab = words.groupBy("w")
+          .agg(count(lit(1)).as("n_ct"))
+          .orderBy(desc("n_ct"), col("w")).limit(V)
+          .withColumn("n_c", sum("n_ct").over(Window.partitionBy()))
+        val st = words.join(broadcast(vocab), "w")
+          .groupBy("source", "w")
+          .agg(count(lit(1)).as("n_st"), max("n_ct").as("n_ct"), max("n_c").as("n_c"))
+        val ns = st.groupBy("source")
+          .agg(sum("n_st").as("n_s"), sum("n_ct").as("pres_c"), max("n_c").as("n_c"))
+        st.join(broadcast(ns.select(col("source"), col("n_s"))), "source")
+          .groupBy("source")
+          .agg(sum(abs(col("n_st") * col("n_c") - col("n_ct") * col("n_s"))).as("pres_score"))
+          .join(ns, "source")
+          .select(col("source"), col("n_s"), col("n_c"),
+            (col("pres_score") + (col("n_c") - col("pres_c")) * col("n_s")).as("score"))
+          .withColumn("drift",
+            round(col("score").cast("double") / (col("n_s").cast("double") * col("n_c").cast("double")), 4))
+          .orderBy("source")
+      },
+      Some("""WITH words AS (SELECT source,
+             |    unnest(string_split_regex(trim(text), '\s+')) AS w
+             |  FROM documents),
+             |cnt AS (SELECT w, count(*) AS n_ct FROM words GROUP BY w),
+             |vocab AS (SELECT w, CAST(n_ct AS BIGINT) AS n_ct FROM
+             |  (SELECT *, row_number() OVER (ORDER BY n_ct DESC, w) AS rn FROM cnt)
+             |  WHERE rn <= 200),
+             |vc AS (SELECT w, n_ct, CAST(sum(n_ct) OVER () AS BIGINT) AS n_c FROM vocab),
+             |st AS (SELECT source, words.w, count(*) AS n_st,
+             |    max(n_ct) AS n_ct, max(n_c) AS n_c
+             |  FROM words JOIN vc ON words.w = vc.w GROUP BY source, words.w),
+             |ns AS (SELECT source, CAST(sum(n_st) AS BIGINT) AS n_s,
+             |    CAST(sum(n_ct) AS BIGINT) AS pres_c, max(n_c) AS n_c
+             |  FROM st GROUP BY source),
+             |sc AS (SELECT st.source,
+             |    CAST(sum(abs(n_st * st.n_c - st.n_ct * ns.n_s)) AS BIGINT) AS pres_score
+             |  FROM st JOIN ns ON st.source = ns.source GROUP BY st.source)
+             |SELECT ns.source, n_s, n_c,
+             |  CAST(pres_score + (n_c - pres_c) * n_s AS BIGINT) AS score,
+             |  round(CAST(pres_score + (n_c - pres_c) * n_s AS DOUBLE)
+             |    / (CAST(n_s AS DOUBLE) * CAST(n_c AS DOUBLE)), 4) AS drift
+             |FROM sc JOIN ns ON sc.source = ns.source
+             |ORDER BY ns.source""".stripMargin)),
+
     // L54: robust length-outlier bounds — per-language median + MAD
     // (median absolute deviation) of token counts, and the doc counts
     // beyond median ± 3·MAD (the robust trimming rule: mean/stddev

@@ -482,6 +482,34 @@ object Relational2 {
              |FROM orders GROUP BY o_orderpriority
              |ORDER BY o_orderpriority""".stripMargin)),
 
+    // R46: INTERSECT ALL / EXCEPT ALL — the BAG-semantic set operations
+    // (R23 covers the DISTINCT forms): multiplicities matter, so a user
+    // with 3 purchases and 1 click contributes min(3,1)=1 row to
+    // INTERSECT ALL and 3-1=2 rows to EXCEPT ALL. Catalyst plans both as
+    // one hash aggregate per side + a join on the value (count-based
+    // replication, no sort), exactly the standard multiset algebra; the
+    // final groupBy collapses to two rows at any scale.
+    QDef(
+      "q_setops_all",
+      (s, d) => {
+        val ev = T.events(s, d)
+        val buy = ev.filter(col("event_type") === "purchase").select(col("user_id"))
+        val click = ev.filter(col("event_type") === "click").select(col("user_id"))
+        buy.intersectAll(click).withColumn("src", lit("intersect_all"))
+          .unionByName(buy.exceptAll(click).withColumn("src", lit("except_all")))
+          .groupBy("src").agg(count(lit(1)).as("n"))
+          .orderBy("src")
+      },
+      Some("""WITH buy AS (SELECT user_id FROM events WHERE event_type = 'purchase'),
+             |clk AS (SELECT user_id FROM events WHERE event_type = 'click'),
+             |u AS (
+             |  SELECT 'intersect_all' AS src, user_id FROM
+             |    (SELECT user_id FROM buy INTERSECT ALL SELECT user_id FROM clk)
+             |  UNION ALL
+             |  SELECT 'except_all', user_id FROM
+             |    (SELECT user_id FROM buy EXCEPT ALL SELECT user_id FROM clk))
+             |SELECT src, count(*) AS n FROM u GROUP BY src ORDER BY src""".stripMargin)),
+
     // R45: width_bucket numeric histogram — fixed-grid value histogram
     // of order totals (Presto's width_bucket; the profiling primitive
     // behind every "distribution of X" dashboard). Bucketed on the

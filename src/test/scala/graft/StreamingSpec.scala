@@ -281,6 +281,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("T21: composed streaming ingest — quality gate → fingerprint dedup → graft sink") {
+    // the end-to-end 100 TB ingest shape as ONE continuous query: raw
+    // docs stream in, a rule gate (L21's integer bounds) drops junk, the
+    // exact-dedup stage (T7, fingerprint state) drops re-crawls across
+    // micro-batches, and the survivors land as graft snapshots (T1) —
+    // each stage is a declared component; this pins their composition
+    // (gate before dedup keeps junk out of the state store; dedup state
+    // keyed on the md5 fingerprint, not the text).
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val t = GraftTable.create(spark, TestSpark.tmpDir("ingest"),
+      StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
+    val gated = mem.toDF().toDF("doc_id", "text")
+      .withColumn("nw", size(graft.functions.Text.words(col("text"))))
+      .filter(col("nw") >= 3 && col("nw") <= 50) // rule gate: word-count bounds
+      .withColumn("fp", md5(col("text")))
+    val clean = GraftStreaming.dedupStream(gated, Seq("fp"))
+      .select("doc_id", "text")
+    val q = GraftStreaming.appendStream(clean, t)
+      .option("checkpointLocation", TestSpark.tmpDir("ingest-ckpt")).start()
+    try {
+      mem.addData(
+        (1L, "a good little document"),
+        (2L, "no"), // gated: too short
+        (3L, "a good little document")) // in-batch duplicate of 1
+      q.processAllAvailable()
+      mem.addData(
+        (4L, "a good little document"), // cross-batch duplicate of 1
+        (5L, "another fine document here"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = t.read().orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(1L, 5L),
+      "gate drops junk, dedup drops in-batch AND cross-batch re-crawls, rest lands")
+    assert(t.latestSnapshotId.contains(2L), "one snapshot per non-empty micro-batch")
+  }
+
   test("T20: foreachBatch MERGE INTO applies a CDC stream onto a graft table") {
     // the operational upsert-apply shape: a change stream lands on a
     // catalog table through SQL MERGE once per micro-batch (the S31
