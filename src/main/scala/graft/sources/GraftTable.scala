@@ -869,9 +869,22 @@ class GraftTable private (
     * metadata keyed to immutable files, not manifest state). Returns
     * the number of files indexed. */
   def rewriteFileIndex(): Long = {
+    // same eligibility gate as the write path (GraftWrite.writeSpec):
+    // nested columns index their ENTRIES, and only when the entry
+    // rendering is provably plan-replayable — rebuilding a bloom the
+    // writer would have REFUSED would hand subscriptMayMatch a filter
+    // whose stored rendering can differ from the plan-side literal
+    // rendering: a bloom false negative, i.e. unsound pruning
     val cols = bloomIndexCols.filter(fileDataSchema.fieldNames.contains)
+      .filter { c =>
+        schema(c).dataType match {
+          case n @ (_: MapType | _: ArrayType) =>
+            graft.functions.MapEntryHashesImpl.subscriptSafe(n)
+          case _ => true
+        }
+      }
     require(cols.nonEmpty,
-      s"table at $root declares no file-index.bloom-filter.columns")
+      s"table at $root declares no (index-eligible) file-index.bloom-filter.columns")
     val base = latestSnapshotId.getOrElse(0L)
     if (base == 0L) return 0L
     val missing = filesAt(base).filter(f =>
@@ -896,6 +909,15 @@ class GraftTable private (
     val serConf = new org.apache.spark.util.SerializableConfiguration(hadoopConf)
     val colNames = cols.toArray
     val relByName = missing.map(f => f.path.substring(f.path.lastIndexOf('/') + 1) -> f.path).toMap
+    // the executor job keys row→file attribution by BASENAME — every
+    // graft write path (and S45 migrate's unique-rename adoption)
+    // guarantees table-wide unique names, but a hand-assembled layout
+    // could collide, which would silently merge two files' blooms; fail
+    // loudly instead
+    require(relByName.size == missing.size,
+      s"duplicate data-file basenames under $root — cannot attribute rows to files: " +
+        missing.map(_.path).groupBy(p => p.substring(p.lastIndexOf('/') + 1))
+          .filter(_._2.size > 1).values.flatten.mkString(", "))
     val suffix = BloomIndex.Suffix
     df.repartition(missing.size, col("__f")).foreachPartition {
       (it: Iterator[Row]) =>
@@ -922,6 +944,17 @@ class GraftTable private (
             BloomIndex.write(fsx, new Path(rootStr, relByName(fname) + suffix), blooms)
           }
         }
+    }
+    // zero-row files produce no executor rows, hence no sidecar above —
+    // write them an empty bloom here (all-zero words: mightContain is
+    // always false, which is exactly sound for a file with no rows), so
+    // the rebuild CONVERGES (a maintenance loop stopping on 0 must not
+    // re-plan the same empty file forever)
+    missing.foreach { f =>
+      val p = new Path(root, f.path + BloomIndex.Suffix)
+      if (!fs.exists(p))
+        BloomIndex.write(fs, p,
+          cols.map(c => c -> BloomIndex.build(Array.empty[Long], 0)))
     }
     missing.size.toLong
   }
@@ -950,9 +983,13 @@ class GraftTable private (
     val filter = org.apache.spark.sql.sources.LessThan(key, cast)
     val base = latestSnapshotId.getOrElse(0L)
     val pred = GraftFilters.toColumn(filter, partitionKeys.toSet, exact = true).get
-    val dropped = pruneFiles(filesAt(base), Some(pred))
-      .map(_.partition(key)).distinct.sorted
-    val id = commitV2("filter", Seq.empty, Seq(filter), base)
+    // one prune pass feeds both the report and the commit (commitV2's
+    // filter branch would re-run the identical prune)
+    val dels = pruneFiles(filesAt(base), Some(pred))
+    val dropped = dels.map(_.partition(key)).distinct.sorted
+    val id =
+      if (dels.isEmpty) base // no-op: report the unchanged base, no churn
+      else commitAt(base + 1, "OVERWRITE", Seq.empty, deleted = dels)
     (id, dropped)
   }
 
@@ -2311,7 +2348,14 @@ object GraftTable {
         t
       }
 
-    // move remaining source files into data/, preserving partition dirs
+    // Move remaining source files into data/, preserving partition dirs
+    // but RENAMING each file to a table-unique name: raw Spark writes
+    // reuse one basename (part-00000-<jobUUID>...) across every
+    // partition dir a task touched, while graft's own invariant — which
+    // deletion-vector masking (maskByDv's basename join) and the S47
+    // index rebuild rely on — is that basenames are unique TABLE-WIDE.
+    val migId = UUID.randomUUID().toString.take(8)
+    var seq = 0
     if (fs.exists(src)) walk(fs.getFileStatus(src)).foreach { st =>
       val segs = partSegs(src, st.getPath)
       require(segs.map(_._1) == table.partitionKeys,
@@ -2319,7 +2363,8 @@ object GraftTable {
           s"table declares ${table.partitionKeys.mkString("/")}")
       val rel = (Seq("data") ++ segs.map { case (k, v) =>
         s"$k=${org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(v)}"
-      } :+ st.getPath.getName).mkString("/")
+      } :+ f"mig-$migId-$seq%05d-${st.getPath.getName}").mkString("/")
+      seq += 1
       val dst = new Path(root, rel)
       fs.mkdirs(dst.getParent)
       require(fs.rename(st.getPath, dst), s"failed to move ${st.getPath} to $dst")

@@ -38,9 +38,17 @@ class MigrateSpec extends AnyFunSuite {
     // lossless: every row, exact values
     assert(t.read().count() == 90)
     assert(t.read().agg(sum("k")).head.getLong(0) == 90L * 91 / 2)
-    // moved, not rewritten: identical names and byte lengths under data/
-    val after = parquetsUnder(s"$root/data").map(f => f.getPath.getName -> f.getLen).toMap
-    assert(after == before, "adopted files must be the source bytes, renamed in")
+    // moved, not rewritten: same byte lengths, and each adopted name is
+    // the original basename behind a table-unique mig- prefix (raw Spark
+    // writes reuse basenames across partition dirs; graft's dv masking
+    // and index rebuild key on table-wide-unique basenames)
+    val after = parquetsUnder(s"$root/data")
+      .map(f => f.getPath.getName -> f.getLen)
+    assert(after.map(_._2).sorted == before.values.toSeq.sorted,
+      "adopted files must be the source bytes, renamed in")
+    assert(after.forall { case (n, _) =>
+      n.startsWith("mig-") && before.keySet.exists(o => n.endsWith(s"-$o"))
+    }, s"adopted names must be mig-<id>-<seq>-<original>: ${after.map(_._1)}")
     assert(parquetsUnder(src).isEmpty, "source directory should be drained")
     // footer stats adopted: min/max data skipping prunes to one range file
     assert(t.read().inputFiles.length == 3)
@@ -69,6 +77,12 @@ class MigrateSpec extends AnyFunSuite {
     // partition column values reconstruct through the V2 scan too
     val v2 = spark.read.format("graft").load(t.root).filter(col("m") === 2)
     assert(v2.count() == 30)
+    // raw partitionBy writes REUSE one basename across the partition
+    // dirs a task touched — adoption must have made them unique
+    // table-wide (dv masking and the index rebuild join on basenames)
+    val names = parquetsUnder(s"${t.root}/data").map(_.getPath.getName)
+    assert(names.distinct.size == names.size,
+      s"adopted basenames must be table-wide unique: $names")
   }
 
   test("S45c: migrate resumes into a snapshot-less target; refuses a live table") {
