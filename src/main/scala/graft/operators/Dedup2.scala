@@ -446,7 +446,49 @@ object Dedup2 {
               |  round(CAST(sum(CASE WHEN dd.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
               |    / CAST(count(*) AS DOUBLE), 4) AS dup_rate
               |FROM documents doc LEFT JOIN dd ON doc.doc_id = dd.doc_id
-              |GROUP BY source ORDER BY source""".stripMargin))
+              |GROUP BY source ORDER BY source""".stripMargin)),
+
+    // L58: n-gram novelty curve — per source, the fraction of each
+    // doc's distinct word-trigrams FIRST seen in that doc under the
+    // corpus's ingest order (doc_id): the marginal-novelty diagnostic
+    // behind "is source X still adding new content or re-crawling the
+    // same material?". Consumes the SHARED persisted shingle stage
+    // (Dedup.docsWithShingles — no second tokenize pass); first-seen is
+    // a window min over the shingle key (ONE exchange, vs two for
+    // groupBy+join — the jaccardPairs pattern), per-doc counts are the
+    // second bounded exchange, and the source rollup is 20 groups.
+    // Exact integer sums; one final division (§5 discipline). Docs with
+    // < 3 words have no shingles and drop from both engines alike.
+    QDef(
+      "q_ngram_novelty",
+      (s, d) => {
+        val ex = Dedup.docsWithShingles(s, d)
+          .select(col("doc_id"), explode(col("sh")).as("g"))
+        val perDoc = ex
+          .withColumn("first_doc", min("doc_id").over(Window.partitionBy("g")))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("total"),
+            sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("novel"))
+        perDoc
+          .join(T.documents(s, d).select("doc_id", "source"), Seq("doc_id"))
+          .groupBy("source")
+          .agg(sum("novel").as("novel_sh"), sum("total").as("total_sh"))
+          .select(col("source"), col("novel_sh"), col("total_sh"),
+            round(col("novel_sh").cast("double") / col("total_sh"), 6).as("novelty"))
+          .orderBy("source")
+      },
+      Some(s"""WITH sh AS (SELECT doc_id, unnest(${Dedup.ShSql}) AS g FROM documents),
+              |w AS (SELECT doc_id, g,
+              |        min(doc_id) OVER (PARTITION BY g) AS first_doc FROM sh),
+              |p AS (SELECT doc_id, count(*) AS total,
+              |        sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS novel
+              |      FROM w GROUP BY doc_id)
+              |SELECT d.source, CAST(sum(novel) AS BIGINT) AS novel_sh,
+              |  CAST(sum(total) AS BIGINT) AS total_sh,
+              |  round(CAST(sum(novel) AS DOUBLE) / CAST(sum(total) AS DOUBLE), 6)
+              |    AS novelty
+              |FROM p JOIN documents d USING (doc_id)
+              |GROUP BY d.source ORDER BY d.source""".stripMargin))
   )
 
   /** L35 core: rank Levenshtein-distance-1 pairs over a `(w, n)`

@@ -539,6 +539,104 @@ object Relational2 {
              |    END AS bucket
              |  FROM orders)
              |SELECT bucket, count(*) AS n, CAST(sum(usd) AS BIGINT) AS total_usd
-             |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin))
+             |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin)),
+
+    // R47: quantified subqueries (> ALL, < ANY) — expressed Spark-first
+    // as their standard decorrelations, checked against DuckDB's NATIVE
+    // ALL/ANY syntax so the rewrites are proven semantics-equivalent:
+    //   x > ALL S  ⇔  S empty OR x > max(S)   (S null-free here)
+    //   x < ANY S_corr ⇔ x < max(S_corr) with the correlation as a join
+    // The uncorrelated branch broadcasts a 1-row (max,count) aggregate
+    // (no shuffle of `part`); the correlated branch pre-aggregates
+    // customer to 25 nation rows and broadcasts — at 100 TB both sides
+    // stay a scan + broadcast-hash-join, never a per-row subquery. An
+    // empty correlated set (nation with no customers) is FALSE under
+    // `< ANY`, matching the inner join's drop. Membership pinned by
+    // exact key sums, not just counts.
+    QDef(
+      "q_any_all",
+      (s, d) => {
+        val part = T.part(s, d)
+        val sub = part.filter(col("p_brand") === "Brand#23")
+          .agg(max(col("p_retailprice")).as("mx"), count(lit(1)).as("cnt"))
+        // crossJoin of a broadcast 1-ROW aggregate — plans as a BNLJ
+        // whose build side is a single row by construction (a
+        // constant-key equi-join does not help: Catalyst constant-folds
+        // the foldable keys and degenerates it to the same BNLJ);
+        // allowlisted in PlanAuditSpec with the ANN probe sets
+        val allGt = part.crossJoin(broadcast(sub))
+          .filter(col("cnt") === 0 || col("p_retailprice") > col("mx"))
+          .agg(count(lit(1)).as("n"), sum(col("p_partkey")).as("key_sum"))
+          .select(lit("all_gt").as("src"), col("n"), col("key_sum"))
+        val natMax = T.customer(s, d)
+          .groupBy("c_nationkey").agg(max("c_acctbal").as("cmx"))
+        val anyLt = T.supplier(s, d)
+          .join(broadcast(natMax), col("s_nationkey") === col("c_nationkey"))
+          .filter(col("s_acctbal") < col("cmx"))
+          .agg(count(lit(1)).as("n"), sum(col("s_suppkey")).as("key_sum"))
+          .select(lit("any_lt").as("src"), col("n"), col("key_sum"))
+        allGt.unionByName(anyLt).orderBy("src")
+      },
+      Some("""SELECT * FROM (
+             |  SELECT 'all_gt' AS src, count(*) AS n,
+             |    CAST(sum(p_partkey) AS BIGINT) AS key_sum
+             |  FROM part
+             |  WHERE p_retailprice > ALL
+             |    (SELECT p_retailprice FROM part WHERE p_brand = 'Brand#23')
+             |  UNION ALL
+             |  SELECT 'any_lt', count(*), CAST(sum(s_suppkey) AS BIGINT)
+             |  FROM supplier s
+             |  WHERE s_acctbal < ANY
+             |    (SELECT c_acctbal FROM customer c
+             |     WHERE c.c_nationkey = s.s_nationkey))
+             |ORDER BY src""".stripMargin)),
+
+    // R48: window VALUE functions — first_value / last_value /
+    // nth_value over an explicit full frame (the default frame stops at
+    // CURRENT ROW, where last_value degenerates to the row itself) plus
+    // first_value(... IGNORE NULLS) skipping non-urgent orders. The
+    // order (o_orderdate, o_orderkey) is a total order (unique key), so
+    // every reading is deterministic; the frame-constant results
+    // collapse to one row per customer via min(). One shuffle on
+    // o_custkey; per-customer partitions are bounded (≤ 25 orders), so
+    // no hot-key wall at scale.
+    QDef(
+      "q_first_last",
+      (s, d) => {
+        val wf = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        T.orders(s, d)
+          .withColumn("urgent_price",
+            when(col("o_orderpriority") === "1-URGENT", col("o_totalprice")))
+          .select(col("o_custkey").as("cust"),
+            first(col("o_totalprice")).over(wf).as("fp"),
+            last(col("o_totalprice")).over(wf).as("lp"),
+            nth_value(col("o_totalprice"), 2).over(wf).as("sp"),
+            first(col("urgent_price"), ignoreNulls = true).over(wf).as("fu"))
+          .groupBy("cust")
+          .agg(round(min("fp"), 2).as("first_price"),
+            round(min("lp"), 2).as("last_price"),
+            round(min("sp"), 2).as("second_price"),
+            round(min("fu"), 2).as("first_urgent"))
+          .orderBy("cust")
+      },
+      Some("""WITH w AS (
+             |  SELECT o_custkey AS cust,
+             |    first_value(o_totalprice) OVER win AS fp,
+             |    last_value(o_totalprice) OVER win AS lp,
+             |    nth_value(o_totalprice, 2) OVER win AS sp,
+             |    first_value(CASE WHEN o_orderpriority = '1-URGENT'
+             |                     THEN o_totalprice END IGNORE NULLS)
+             |      OVER win AS fu
+             |  FROM orders
+             |  WINDOW win AS (PARTITION BY o_custkey
+             |    ORDER BY o_orderdate, o_orderkey
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+             |SELECT cust, round(min(fp), 2) AS first_price,
+             |  round(min(lp), 2) AS last_price,
+             |  round(min(sp), 2) AS second_price,
+             |  round(min(fu), 2) AS first_urgent
+             |FROM w GROUP BY cust ORDER BY cust""".stripMargin))
   )
 }

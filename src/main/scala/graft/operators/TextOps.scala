@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QDef, Tables => T}
-import graft.functions.{HashExpr, Text}
+import graft.functions.{CharStatsExpr, HashExpr, Text}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over `documents` (SURVEY §2.3 L8–L11).
@@ -277,6 +277,47 @@ object TextOps {
              |  list_reduce(list_cat([CAST(0 AS BIGINT)],
              |    list_transform(string_split(text,''), c -> CAST(ord(c) AS BIGINT))),
              |    (a, c) -> (a*31 + c) % 1000000007) AS fp
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // L57: character-diversity quality gate — per-language POOLED
+    // collision probability Σ cnt_c(cnt_c−1) / Σ n(n−1) (Rényi-2 /
+    // Simpson index; low diversity ⇒ aaaa…/base64/template junk) plus
+    // avg distinct code points per doc. The per-doc stats come from the
+    // native single-pass CharStats expression (codegen'd, NO shuffle of
+    // corpus characters — the explode→groupBy(doc,char) formulation the
+    // oracle uses would exchange every character at 100 TB); pooling
+    // sums are exact integers so the two final divisions are the same
+    // IEEE ops in both engines under any partitioning (§5 discipline).
+    QDef(
+      "q_char_diversity",
+      (s, d) =>
+        T.documents(s, d)
+          .select(col("lang"), CharStatsExpr.charStats(col("text")).as("cs"))
+          .select(col("lang"), col("cs.coll").as("coll"), col("cs.n").as("n"),
+            col("cs.dchars").cast("long").as("dchars"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("docs"),
+            sum(col("coll")).as("coll_sum"),
+            sum(col("n") * (col("n") - 1)).as("pairs_sum"),
+            sum(col("dchars")).as("dchars_sum"))
+          .select(col("lang"), col("docs"),
+            round(col("coll_sum").cast("double") / col("pairs_sum"), 6).as("collision_p"),
+            round(col("dchars_sum").cast("double") / col("docs"), 4).as("avg_distinct_chars"))
+          .orderBy("lang"),
+      Some("""WITH ch AS (
+             |  SELECT doc_id, lang, substr(text, CAST(i AS INTEGER), 1) AS c
+             |  FROM (SELECT doc_id, lang, text,
+             |          unnest(range(1, length(text) + 1)) AS i FROM documents)),
+             |cnt AS (SELECT doc_id, lang, c, count(*) AS cc
+             |        FROM ch GROUP BY doc_id, lang, c),
+             |per AS (SELECT doc_id, lang, sum(cc) AS n,
+             |          sum(cc * (cc - 1)) AS coll, count(*) AS dchars
+             |        FROM cnt GROUP BY doc_id, lang)
+             |SELECT lang, count(*) AS docs,
+             |  round(CAST(sum(coll) AS DOUBLE) / CAST(sum(n * (n - 1)) AS DOUBLE), 6)
+             |    AS collision_p,
+             |  round(CAST(sum(dchars) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4)
+             |    AS avg_distinct_chars
+             |FROM per GROUP BY lang ORDER BY lang""".stripMargin))
   )
 }

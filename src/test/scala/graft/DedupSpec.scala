@@ -140,4 +140,30 @@ class DedupSpec extends AnyFunSuite {
     assert(got.toSeq == operators.Dedup2.fuzzyWordPairs(vocab)
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(4))).toSeq)
   }
+
+  test("L58: ngram novelty equals the sequential ingest-order replay") {
+    // ground truth: walk docs in doc_id order with a running shingle
+    // set — a shingle is novel for exactly the first doc carrying it
+    // (= the query's min(doc_id) window formulation)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), Text.words(col("text")).as("w"))
+      .select(col("doc_id"), col("source"), ShingleExpr.shingles3(col("w")).as("sh"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getSeq[String](2)))
+      .sortBy(_._1)
+    val seen = scala.collection.mutable.HashSet[String]()
+    val agg = scala.collection.mutable.HashMap[String, (Long, Long)]()
+    docs.foreach { case (_, src, sh) =>
+      if (sh.nonEmpty) {
+        val novel = sh.count(g => !seen.contains(g)).toLong
+        sh.foreach(seen += _)
+        val (n0, t0) = agg.getOrElse(src, (0L, 0L))
+        agg(src) = (n0 + novel, t0 + sh.size)
+      }
+    }
+    val got = SparkEntry.queries("q_ngram_novelty")(spark, dir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == agg.toMap, s"got $got want $agg")
+    // the corpus's planted near-dups mean novelty is strictly < 1 somewhere
+    assert(agg.values.exists { case (n, t) => n < t })
+  }
 }

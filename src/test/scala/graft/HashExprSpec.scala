@@ -71,4 +71,30 @@ class HashExprSpec extends AnyFunSuite {
       .select(HashExpr.polyHash(col("s"))).collect()
     assert(got(0).isNullAt(0) && !got(1).isNullAt(0))
   }
+
+  test("CharStats (codegen) matches an interpreted reference, incl. non-ASCII and empty") {
+    import graft.functions.CharStatsExpr
+    def ref(s: String): (Long, Long, Int) = {
+      val counts = s.codePoints().toArray.groupBy(identity).view.mapValues(_.length.toLong)
+      val coll = counts.values.map(c => c * (c - 1)).sum
+      (coll, s.codePointCount(0, s.length).toLong, counts.size)
+    }
+    val inputs = Seq("", "a", "aaab", "hello world", "Ünïcödé", "a😀😀b", "日本日本語")
+    val got = inputs.toDF("s")
+      .select(CharStatsExpr.charStats(col("s")).as("cs"))
+      .select(col("cs.coll"), col("cs.n"), col("cs.dchars"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.toSeq == inputs.map(ref))
+    // hand-checked anchor: "aaab" → a:3 b:1 ⇒ coll=3·2=6, n=4, dchars=2
+    assert(got(2) == ((6L, 4L, 2)))
+    // codegen, not interpreted fallback
+    val df = spark.range(5).select(CharStatsExpr.charStats(concat(col("id").cast("string"), lit("aa"))))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("WholeStageCodegen") || p.contains("*(1)"), p)
+    // null propagation
+    val n = Seq[Option[String]](None, Some("x")).toDF("s")
+      .select(CharStatsExpr.charStats(col("s"))).collect()
+    assert(n(0).isNullAt(0) && !n(1).isNullAt(0))
+  }
 }

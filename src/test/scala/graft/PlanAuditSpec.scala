@@ -20,7 +20,11 @@ class PlanAuditSpec extends AnyFunSuite {
     Set("q_ann_brute", "q_ann_quantized", "q_ann_ivf", "q_ann_ivf_trained",
       "q_dedup_semantic",
       // recall report composes q_ann_brute — same ≤20-probe broadcast
-      "q_ann_recall")
+      "q_ann_recall",
+      // > ALL decorrelation crossJoins a broadcast 1-ROW (max,count)
+      // aggregate — the most bounded build side possible (an equi-join
+      // on lit keys constant-folds back to the same BNLJ)
+      "q_any_all")
 
   test("no CartesianProduct and no unbounded BroadcastNestedLoopJoin in any plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
