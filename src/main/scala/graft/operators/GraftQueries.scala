@@ -40,6 +40,27 @@ object GraftQueries {
       .orderBy("user_id")
   }
 
+  /** customers through a DYNAMIC-BUCKET PK table (S48, `bucket = -1`):
+    * keys spread over ceil(n / target) buckets by the persisted
+    * key-hash→bucket index, a second upsert updates every 7th key
+    * IN PLACE (commit order wins; assignments keep each key's versions
+    * in one bucket, so the MOR merge stays bucket-local) — the read
+    * must equal the oracle's replay of the update over raw customer. */
+  private def graftDynBucket(s: SparkSession, d: String): DataFrame = {
+    val c = T.customer(s, d).select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+    val t = GraftTable.create(s, tmpRoot("dynb"), c.schema,
+      primaryKeys = Seq("c_custkey"),
+      options = Map("bucket" -> "-1", "dynamic-bucket.target-row-num" -> "256"))
+    t.upsert(c)
+    t.upsert(c.filter(col("c_custkey") % 7 === 0)
+      .withColumn("c_acctbal", col("c_acctbal") + lit(1000.0)))
+    t.read()
+      .filter(col("c_custkey") <= 300)
+      .select(col("c_custkey"), col("c_nationkey"),
+        round(col("c_acctbal"), 2).as("bal"))
+      .orderBy("c_custkey")
+  }
+
   /** orders through a partitioned table, two commits; time travel to the
     * first commit ⇒ exactly the first batch (ref scan_version semantics,
     * TestPrestoITCase.testFilterWithTimeTravel). */
@@ -327,6 +348,12 @@ object GraftQueries {
              |      FROM events) t
              |WHERE rn = 1
              |ORDER BY user_id""".stripMargin)),
+    QDef("q_graft_dynbucket", graftDynBucket,
+      Some("""SELECT c_custkey, c_nationkey,
+             |  round(CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 1000.0
+             |             ELSE c_acctbal END, 2) AS bal
+             |FROM customer WHERE c_custkey <= 300
+             |ORDER BY c_custkey""".stripMargin)),
     QDef("q_graft_timetravel", graftTimeTravel,
       Some("""SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice),2) AS s
              |FROM orders WHERE o_orderkey % 3 = 0

@@ -72,7 +72,12 @@ final case class SnapshotMeta(
     schemaId: Long,
     timestampMs: Long,
     files: Seq[FileMeta] = null, // legacy inline manifest
-    manifests: Seq[String] = null) // ordered manifest chain under manifest/
+    manifests: Seq[String] = null, // ordered manifest chain under manifest/
+    // S48 dynamic bucket mode: ordered chain of key-hash→bucket
+    // assignment delta directories under index/ (first assignment wins;
+    // inherited commit-over-commit like `manifests`, folded when long).
+    // Null = table has never written dynamic assignments.
+    bucketIndexes: Seq[String] = null)
 
 final case class SchemaMeta(
     id: Long,
@@ -175,6 +180,17 @@ class GraftTable private (
   }
   private[sources] def sequenceFields: Seq[String] =
     options.get("sequence.field").map(_.split(",").map(_.trim).toSeq).getOrElse(Seq.empty)
+  /** S48 dynamic bucket mode (Paimon's `bucket = -1`): primary keys are
+    * assigned to buckets through a persisted key-hash→bucket index
+    * instead of a fixed `hash(key) % N` — the bucket count GROWS with
+    * the data (each bucket holds ≤ `dynamic-bucket.target-row-num`
+    * keys), so a table sized at creation for 1 TB never needs an
+    * offline rescale to survive 100 TB. A key's assignment is immutable
+    * (first assignment wins), which preserves the MOR invariant that
+    * all versions of a key share one (partition, bucket). */
+  private[sources] def isDynamicBucket: Boolean = numBuckets == -1
+  private[sources] def dynamicTargetRows: Long =
+    options.getOrElse("dynamic-bucket.target-row-num", "2000000").toLong
   private[sources] def isPkTable: Boolean = primaryKeys.nonEmpty
   /** Data-file format (Paimon's file.format option): parquet (default)
     * or orc. Both ride Spark's vectorized columnar readers. */
@@ -368,7 +384,8 @@ class GraftTable private (
   private[graft] def commitAt(
       id: Long, kind: String, added: Seq[FileMeta],
       deleted: Seq[FileMeta] = Seq.empty, rebase: Boolean = false,
-      commitUser: String = "graft", commitIdentifier: Option[Long] = None): Long = {
+      commitUser: String = "graft", commitIdentifier: Option[Long] = None,
+      indexDirs: Seq[String] = Seq.empty): Long = {
     // S42 mid-rescale fence: if the bucket layout the CURRENT schema
     // declares differs from the layout the latest snapshot was committed
     // under, a rescale published its schema but its rewrite never landed
@@ -449,6 +466,21 @@ class GraftTable private (
       if (chain.length >= manifestMergeMinCount)
         chain = Seq(writeManifest(resolveChain(chain).map(ManifestEntry(ManifestEntry.Add, _))))
 
+      // S48: the bucket-index chain inherits UNCONDITIONALLY (a rebase
+      // rewrites data files, never assignments — a key's bucket is
+      // immutable), appends this commit's delta dirs, and folds like
+      // the manifest chain. Only the INHERITED prefix folds: this
+      // commit's own deltas stay explicit entries, so every delta dir
+      // is referenced by the snapshot that introduced it (otherwise a
+      // same-commit fold would orphan them from expiry's reachability
+      // sweep — they'd leak forever).
+      val baseIdx: Seq[String] =
+        if (id <= 1) Seq.empty else bucketIndexChainOf(readSnapshot(id - 1))
+      val idxChain: Seq[String] =
+        if (baseIdx.nonEmpty && baseIdx.length + indexDirs.length >= manifestMergeMinCount)
+          foldIndexChain(baseIdx) ++ indexDirs
+        else baseIdx ++ indexDirs
+
       val snap = SnapshotMeta(
         id = id,
         commitUser = commitUser,
@@ -456,7 +488,8 @@ class GraftTable private (
         commitKind = kind,
         schemaId = schemaMeta.id,
         timestampMs = System.currentTimeMillis(),
-        manifests = chain)
+        manifests = chain,
+        bucketIndexes = if (idxChain.isEmpty) null else idxChain)
       val tmp = new Path(root, s"$snapDirRel/.tmp-$id-${UUID.randomUUID().toString.take(8)}")
       writeString(fs, tmp, mapper.writeValueAsString(snap))
       if (!fs.rename(tmp, dst)) {
@@ -649,9 +682,23 @@ class GraftTable private (
     require(partitionKeys.nonEmpty, "overwritePartitions requires a partitioned table")
     val base = latestSnapshotId.getOrElse(0L)
     val added = stageWrite(df, rowKind = RowKind.Insert, seq = base + 1)
-    val affected = added.map(_.partition).toSet
+    val affected = added.files.map(_.partition).toSet
     val removed = filesAt(base).filter(f => affected.contains(f.partition))
-    commitOrClean(base + 1, "OVERWRITE", added, deleted = removed)
+    commitOrClean(base + 1, "OVERWRITE", added.files, deleted = removed,
+      indexDirs = added.indexDirs)
+  }
+
+  /** Full-table overwrite in one snapshot (INSERT OVERWRITE): the new
+    * rows replace every current file. On a dynamic-bucket table the
+    * key assignments PERSIST (immutable by contract), so re-inserted
+    * keys land back in their buckets. */
+  def overwriteAll(df: DataFrame): Long = {
+    val base = latestSnapshotId.getOrElse(0L)
+    val staged = stageWrite(
+      if (isPkTable && mergeEngine == "deduplicate") dedupBatch(df) else df,
+      rowKind = RowKind.Insert, seq = base + 1)
+    commitOrClean(base + 1, "OVERWRITE", staged.files, deleted = filesAt(base),
+      indexDirs = staged.indexDirs)
   }
 
   /** Rewrite the merged current state as fresh files (drops overwritten
@@ -687,7 +734,8 @@ class GraftTable private (
     }
     val added = stageWrite(merged, rowKind = RowKind.Insert, seq = base + 1,
       keySort = sortBy.isEmpty && zorderBy.isEmpty)
-    commitOrClean(base + 1, "COMPACT", added, rebase = true)
+    commitOrClean(base + 1, "COMPACT", added.files, rebase = true,
+      indexDirs = added.indexDirs)
   }
 
   /** S42: offline bucket rescale (Paimon's `rescale` procedure shape) —
@@ -708,6 +756,9 @@ class GraftTable private (
     * same reason). */
   def rescaleBucket(newBuckets: Int): Long = {
     require(newBuckets >= 1, s"bucket count must be >= 1 (got $newBuckets)")
+    require(!isDynamicBucket,
+      "rescale does not apply to dynamic-bucket tables (bucket = -1 " +
+        "grows its bucket count with the data)")
     val base = latestSnapshotId.getOrElse(0L)
     // resumable: after a crashed/raced rescale the schema already says
     // `newBuckets` but the rewrite never landed (commitAt fences all
@@ -724,7 +775,7 @@ class GraftTable private (
         id = schemaMeta.id + 1,
         options = schemaMeta.options.updated("bucket", newBuckets.toString)))
     val added = stageWrite(merged, rowKind = RowKind.Insert, seq = base + 1)
-    commitOrClean(base + 1, "COMPACT", added, rebase = true)
+    commitOrClean(base + 1, "COMPACT", added.files, rebase = true)
   }
 
   /** LSM-style TARGETED compaction (Paimon's
@@ -763,7 +814,8 @@ class GraftTable private (
     // cross groups, so the keyed fold touches exactly one group's rows
     val merged = mergeVersions(raw).select(schema.fieldNames.map(col).toSeq: _*)
     val added = stageWrite(merged, rowKind = RowKind.Insert, seq = base + 1)
-    Some(commitOrClean(base + 1, "COMPACT", added, deleted = triggered))
+    Some(commitOrClean(base + 1, "COMPACT", added.files, deleted = triggered,
+      indexDirs = added.indexDirs))
   }
 
   /** `num-sorted-run.compaction-trigger` option (0 = no auto-compaction;
@@ -780,8 +832,9 @@ class GraftTable private (
       commitUser: String = "graft", commitIdentifier: Option[Long] = None): Long = {
     val base = latestSnapshotId.getOrElse(0L)
     val added = stageWrite(df, rowKind, seq = base + 1)
-    val id = commitOrClean(base + 1, kind, added,
-      commitUser = commitUser, commitIdentifier = commitIdentifier)
+    val id = commitOrClean(base + 1, kind, added.files,
+      commitUser = commitUser, commitIdentifier = commitIdentifier,
+      indexDirs = added.indexDirs)
     // opt-in write-amortized maintenance (Paimon's writer-side
     // compaction): fold any bucket whose run count reached the trigger.
     // Not under lookup changelog (compaction folds the -U/+U history
@@ -807,11 +860,15 @@ class GraftTable private (
   private def commitOrClean(
       id: Long, kind: String, added: Seq[FileMeta],
       deleted: Seq[FileMeta] = Seq.empty, rebase: Boolean = false,
-      commitUser: String = "graft", commitIdentifier: Option[Long] = None): Long =
-    try commitAt(id, kind, added, deleted, rebase, commitUser, commitIdentifier)
+      commitUser: String = "graft", commitIdentifier: Option[Long] = None,
+      indexDirs: Seq[String] = Seq.empty): Long =
+    try commitAt(id, kind, added, deleted, rebase, commitUser, commitIdentifier, indexDirs)
     catch {
       case e: Throwable =>
         added.foreach(f => deleteDataFile(f.path))
+        // a lost race references the assignment delta from no snapshot;
+        // delete it so the retry's fresh assignment is the only one
+        indexDirs.foreach(p => fs.delete(new Path(root, p), true))
         throw e
     }
 
@@ -1074,8 +1131,118 @@ class GraftTable private (
     * routing are applied inside the task writer. A speculatively
     * duplicated successful attempt can strand unreferenced files; they
     * are invisible to readers and reclaimed by removeOrphanFiles. */
+  // ---- S48 dynamic bucket index ---------------------------------------
+
+  private val IdxSchema = StructType(Seq(
+    StructField("part", StringType, nullable = true),
+    StructField("kh", LongType, nullable = false),
+    StructField("bucket", IntegerType, nullable = false)))
+
+  private[sources] def bucketIndexChainOf(snap: SnapshotMeta): Seq[String] =
+    Option(snap.bucketIndexes).getOrElse(Seq.empty)
+
+  /** Persist an assignment delta `(part, kh, bucket)` as a parquet
+    * directory under index/ (executor-written, never driver-collected);
+    * returns its root-relative chain entry. */
+  private def writeIndexDelta(df: DataFrame): String = {
+    val rel = s"index/idx-${UUID.randomUUID().toString.take(12)}"
+    df.select(col("part"), col("kh"), col("bucket"))
+      .write.mode("overwrite").parquet(s"$root/$rel")
+    rel
+  }
+
+  /** Resolved key-hash→bucket assignments of an index chain. The chain
+    * is append-only by protocol (a writer only emits keys absent from
+    * the base index), so duplicates exist only transiently around a
+    * fold; first-wins in chain order keeps resolution deterministic
+    * either way. */
+  private def resolveIndexChain(chain: Seq[String]): DataFrame = {
+    if (chain.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], IdxSchema)
+    val parts = chain.zipWithIndex.map { case (p, i) =>
+      spark.read.schema(IdxSchema).parquet(s"$root/$p").withColumn("__ord", lit(i))
+    }
+    val w = Window.partitionBy("part", "kh").orderBy(col("__ord").asc)
+    parts.reduce(_ unionByName _)
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select("part", "kh", "bucket")
+  }
+
+  /** Fold a long chain into one delta directory (the index analogue of
+    * the manifest-chain fold: reads stay bounded, commits stay O(delta)
+    * amortized). Superseded delta dirs become unreferenced once every
+    * snapshot naming them expires — expiry reclaims them then. */
+  private def foldIndexChain(chain: Seq[String]): Seq[String] =
+    Seq(writeIndexDelta(resolveIndexChain(chain)))
+
+  /** S48 write-side assignment: attach each row's dynamic bucket.
+    * Existing keys read their immutable assignment through a key-hash
+    * equality join against the resolved index; NEW keys fill the
+    * partition's highest bucket up to `dynamic-bucket.target-row-num`
+    * keys and then open fresh buckets, ranked deterministically by key
+    * hash. Buckets fill strictly in sequence and assignments never
+    * leave, so a partition's occupancy state is fully determined by its
+    * assigned-key COUNT — the only driver-side collect here is one row
+    * per PARTITION (bounded metadata, like the manifest reads), never
+    * per key. The new assignments are persisted as an index delta
+    * BEFORE the data files are written; a failed commit deletes the
+    * delta with them (commitOrClean), and an unreferenced delta is
+    * invisible to readers (the chain lives in SnapshotMeta).
+    *
+    * The key identity in the index is the 64-bit XxHash of the primary
+    * key (Paimon's dynamic-bucket index stores key hashes the same
+    * way): a hash collision co-locates two keys in one bucket — a
+    * placement artifact, never a correctness issue (the MOR merge keys
+    * on the real primary key). */
+  private def assignDynamicBuckets(df: DataFrame): (DataFrame, Seq[String]) = {
+    val P = "__dynpart"
+    val KH = "__dynkh"
+    val khExpr = xxhash64(primaryKeys.map(col): _*)
+    val partExpr: Column =
+      if (partitionKeys.isEmpty) lit("")
+      else concat_ws("/", partitionKeys.map(k =>
+        concat(lit(s"$k="), coalesce(col(k).cast("string"), lit("__GRAFT_NULL__")))): _*)
+    val keyed = df.withColumn(KH, khExpr).withColumn(P, partExpr)
+    val chain = latestSnapshotId.map(readSnapshot).map(bucketIndexChainOf).getOrElse(Seq.empty)
+    val idx = resolveIndexChain(chain)
+      .select(col("part").as(P), col("kh").as(KH), col("bucket").as(GraftTable.DynBucketCol))
+    // occupancy: one row per partition (sequential fill ⇒ count says it all)
+    val occ: Seq[(String, Long)] = idx.groupBy(P).count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val occDf = {
+      import spark.implicits._
+      occ.toDF(P, "__base")
+    }
+    val target = dynamicTargetRows
+    val newKeys = keyed
+      .join(idx, Seq(P, KH), "left_anti")
+      .select(P, KH).distinct()
+      .join(broadcast(occDf), Seq(P), "left")
+      .withColumn("__base", coalesce(col("__base"), lit(0L)))
+      .withColumn("__rn",
+        row_number().over(Window.partitionBy(P).orderBy(col(KH))).cast("long"))
+      .select(col(P).as("part"), col(KH).as("kh"),
+        expr(s"CAST((__base + __rn - 1) DIV ${target}L AS INT)").as("bucket"))
+    val rel = writeIndexDelta(newKeys)
+    // read the PERSISTED delta back for the row join: what the files say
+    // IS the assignment (no second evaluation of the assignment plan)
+    val delta = spark.read.schema(IdxSchema).parquet(s"$root/$rel")
+    val hasNew = delta.limit(1).count() > 0
+    val dirs =
+      if (hasNew) Seq(rel)
+      else { fs.delete(new Path(root, rel), true); Seq.empty }
+    val fullIdx =
+      if (hasNew)
+        idx.unionByName(delta.select(col("part").as(P), col("kh").as(KH),
+          col("bucket").as(GraftTable.DynBucketCol)))
+      else idx
+    val out = keyed.join(fullIdx, Seq(P, KH), "left").drop(P, KH)
+    (out, dirs)
+  }
+
   private def stageWrite(
-      df: DataFrame, rowKind: String, seq: Long, keySort: Boolean = true): Seq[FileMeta] = {
+      df: DataFrame, rowKind: String, seq: Long, keySort: Boolean = true): StagedWrite = {
     val dataCols = schema.fieldNames.toSeq
     require(dataCols.forall(df.columns.contains),
       s"df missing columns: ${dataCols.filterNot(df.columns.contains).mkString(",")}")
@@ -1114,15 +1281,47 @@ class GraftTable private (
     // a bucket's keys — the LSM write amortization. Skipped when the
     // caller requested a different clustering (compaction sortBy/zorder:
     // those files trade streaming merges for min/max selectivity).
+    // S48: attach the dynamic bucket before the key sort (the sort is
+    // within-partition; routing happens row-wise in the task writer)
+    var indexDirs: Seq[String] = Seq.empty
+    if (isDynamicBucket) {
+      require(isPkTable, "dynamic bucket mode (bucket = -1) requires primary keys")
+      val (withBucket, dirs) = assignDynamicBuckets(out)
+      // co-locate each (partition, bucket)'s rows in one task: buckets
+      // are assigned in HASH order while rows arrive in input order, so
+      // an unshuffled write would evict a task writer on nearly every
+      // row (one tiny file per row at 10k+ keys — measured OOM). One
+      // hash exchange, exactly the clustering the V2 static-bucket
+      // write requests.
+      out = withBucket.repartition(
+        (partitionKeys.map(col) :+ col(GraftTable.DynBucketCol)): _*)
+      indexDirs = dirs
+    }
     val doKeySort = isPkTable && keySort
-    if (doKeySort)
-      out = out.sortWithinPartitions(
-        primaryKeys.map(col(_).asc) ++ sequenceFields.map(col(_).desc): _*)
-    val spec = GraftWrite.spec(spark, this, out.schema, keySorted = doKeySort)
-    out.queryExecution.toRdd
+    // Dynamic mode prefixes the sort with the bucket so each bucket's
+    // rows are CONTIGUOUS: the task writer then opens every bucket file
+    // exactly once. Without it, hash-ordered buckets under input-ordered
+    // rows evict a writer on nearly every row once buckets ≫
+    // maxOpenWriters (measured: 15k keys / 59 buckets → one file per
+    // row, OOM from the accumulated writer buffers). Files stay valid
+    // sorted runs: a file holds ONE bucket, and within it keys ascend.
+    val sortCols =
+      (if (isDynamicBucket) Seq(col(GraftTable.DynBucketCol).asc) else Seq.empty) ++
+        (if (doKeySort) primaryKeys.map(col(_).asc) ++ sequenceFields.map(col(_).desc)
+         else Seq.empty)
+    if (sortCols.nonEmpty)
+      out = out.sortWithinPartitions(sortCols: _*)
+    val spec = GraftWrite.spec(spark, this, out.schema, keySorted = doKeySort,
+      dynamicBucketCol = if (isDynamicBucket) Some(GraftTable.DynBucketCol) else None)
+    val files = out.queryExecution.toRdd
       .mapPartitions(GraftWrite.writePartition(spec))
       .collect().flatten.toSeq
+    StagedWrite(files, indexDirs)
   }
+
+  /** Result of [[stageWrite]]: the written data files plus any dynamic
+    * bucket-index delta directories the commit must reference (S48). */
+  private case class StagedWrite(files: Seq[FileMeta], indexDirs: Seq[String])
 
   // ---- read path ------------------------------------------------------
 
@@ -1935,6 +2134,13 @@ class GraftTable private (
       fs.delete(new Path(root, s"manifest/$m"), false)
       manifestCache.remove(m)
     }
+    // bucket-index delta dirs (S48) referenced only by expired snapshots
+    // are orphans the same way (later snapshots INHERIT the chain, so a
+    // delta goes unreferenced only after a fold superseded it)
+    val externalIdx = sibs.flatMap(t => t.snapshots.flatMap(t.bucketIndexChainOf)).toSet
+    val retainedIdx = retainedSnaps.flatMap(bucketIndexChainOf).toSet ++ externalIdx
+    val orphanIdx = expiredSnaps.flatMap(bucketIndexChainOf).toSet -- retainedIdx
+    orphanIdx.foreach(p => fs.delete(new Path(root, p), true))
     expire.foreach { id =>
       fs.delete(new Path(root, s"$snapDirRel/snap-$id.json"), false)
       // keep the memo honest: an expired snapshot must read as missing
@@ -2111,6 +2317,9 @@ class GraftTable private (
 object GraftTable {
   val SeqCol = "__seq"
   val KindCol = "__kind"
+  /** S48: write-plan-only column carrying a row's pre-assigned dynamic
+    * bucket (never stored in data files). */
+  val DynBucketCol = "__bucket"
 
   /** StructField metadata key Spark's parquet writer/readers use for
     * field-id column resolution (the key ParquetUtils.FIELD_ID_METADATA_KEY

@@ -114,12 +114,20 @@ final class GraftV2Table(
     val caps = java.util.EnumSet.of(TableCapability.BATCH_READ)
     val v2Writable =
       !(loaded.isPkTable && loaded.lookupChangelog) &&
+        !loaded.isDynamicBucket &&
         !writeOpt("mergeSchema").exists(_.toBoolean)
     if (v2Writable) {
       caps.add(TableCapability.BATCH_WRITE)
       caps.add(TableCapability.TRUNCATE)
       caps.add(TableCapability.OVERWRITE_BY_FILTER)
       caps.add(TableCapability.OVERWRITE_DYNAMIC)
+    } else if (loaded.isDynamicBucket) {
+      // S48: dynamic-bucket writes need the key-hash→bucket index JOIN
+      // (a query), which a pushed V2 row writer cannot run — route SQL
+      // INSERT through Spark's V1Write fallback into the library path
+      caps.add(TableCapability.V1_BATCH_WRITE)
+      caps.add(TableCapability.TRUNCATE)
+      caps.add(TableCapability.OVERWRITE_BY_FILTER)
     }
     caps
   }
@@ -128,8 +136,42 @@ final class GraftV2Table(
       : org.apache.spark.sql.connector.write.WriteBuilder = {
     // `branch` write option (S36): commit onto the branch ref's log
     val t = Option(info.options.get("branch")).map(loaded.forBranch).getOrElse(loaded)
+    if (t.isDynamicBucket) return dynamicBucketV1Builder(t)
     new GraftWriteBuilder(t, info)
   }
+
+  /** S48: V1Write fallback for dynamic-bucket tables — the assignment
+    * is a DataFrame join against the persisted index, so the write must
+    * enter as a DataFrame (library append/overwriteAll), not as pushed
+    * V2 rows. */
+  private def dynamicBucketV1Builder(t: GraftTable)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder
+      with org.apache.spark.sql.connector.write.SupportsOverwrite {
+      private var replaceAll = false
+      override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+        replaceAll = true; this
+      }
+      override def overwrite(filters: Array[org.apache.spark.sql.sources.Filter])
+          : org.apache.spark.sql.connector.write.WriteBuilder = {
+        require(filters.forall(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue]),
+          "dynamic-bucket tables support only full-table INSERT OVERWRITE")
+        replaceAll = true; this
+      }
+      override def build(): org.apache.spark.sql.connector.write.Write = {
+        val all = replaceAll
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation: org.apache.spark.sql.sources.InsertableRelation =
+            new org.apache.spark.sql.sources.InsertableRelation {
+              override def insert(data: org.apache.spark.sql.DataFrame,
+                  overwrite: Boolean): Unit = {
+                if (all || overwrite) t.overwriteAll(data) else t.append(data)
+                ()
+              }
+            }
+        }
+      }
+    }
 
   // ---- SQL DELETE FROM / TRUNCATE TABLE --------------------------------
 

@@ -56,7 +56,12 @@ final case class GraftWriteSpec(
     // columns with a per-file bloom-filter sidecar (file-index.bloom-
     // filter.columns): the task hashes each stored value and writes
     // <file>.bfidx on close — see BloomIndex
-    bloomCols: Seq[String] = Seq.empty)
+    bloomCols: Seq[String] = Seq.empty,
+    // S48 dynamic bucket mode: rows arrive with a PRE-ASSIGNED bucket in
+    // this writeSchema column (computed driver-plan-side from the
+    // key-hash→bucket index); the writer routes by it and never stores
+    // it (it is not in fileDataSchema). None = static hash routing.
+    dynamicBucketCol: Option[String] = None)
 
 object GraftWrite {
 
@@ -66,7 +71,8 @@ object GraftWrite {
   def spec(
       spark: SparkSession, table: GraftTable, writeSchema: StructType,
       hiddenSeq: Option[Long] = None, hiddenKind: Option[String] = None,
-      dedupKeys: Seq[String] = Seq.empty, keySorted: Boolean = false): GraftWriteSpec = {
+      dedupKeys: Seq[String] = Seq.empty, keySorted: Boolean = false,
+      dynamicBucketCol: Option[String] = None): GraftWriteSpec = {
     val job = Job.getInstance(spark.sessionState.newHadoopConf())
     // embed the lattice's parquet.field.id metadata in every footer —
     // the write half of rename/drop schema evolution (id-resolved reads)
@@ -102,6 +108,7 @@ object GraftWrite {
       hiddenKind = hiddenKind,
       dedupKeys = dedupKeys,
       keySorted = keySorted,
+      dynamicBucketCol = dynamicBucketCol,
       bloomCols = table.bloomIndexCols.filter(writeSchema.fieldNames.contains)
         .filter { c =>
           table.schema(c).dataType match {
@@ -302,6 +309,10 @@ final class GraftTaskWriter(spec: GraftWriteSpec, taskUniq: String) {
         Pmod(new Murmur3Hash(spec.bucketKeys.map(ref)), Literal(spec.numBuckets)): Expression)))
     else None
 
+  // S48: pre-assigned dynamic bucket ordinal in the incoming row
+  private val dynBucketIdx: Option[Int] =
+    spec.dynamicBucketCol.map(spec.writeSchema.fieldIndex)
+
   private final class Open(
       val writer: org.apache.spark.sql.execution.datasources.OutputWriter,
       val relPath: String,
@@ -327,7 +338,10 @@ final class GraftTaskWriter(spec: GraftWriteSpec, taskUniq: String) {
         val r = p(row)
         spec.partitionKeys.indices.map(i => if (r.isNullAt(i)) null else r.getUTF8String(i).toString)
     }
-    val bucket = bucketProj.map(_(row).getInt(0)).getOrElse(0)
+    val bucket = dynBucketIdx match {
+      case Some(i) => row.getInt(i)
+      case None => bucketProj.map(_(row).getInt(0)).getOrElse(0)
+    }
     val key = (partVals, bucket)
     val o = open.getOrElseUpdate(key, newWriter(partVals, bucket))
     if (open.size > spec.maxOpenWriters)

@@ -1,0 +1,156 @@
+package graft
+
+import graft.sources.GraftTable
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SURVEY §2.1 S48: dynamic bucket mode (Paimon `bucket = -1`) — keys
+  * assigned to buckets through the persisted key-hash→bucket index;
+  * bucket count grows with the data, assignments are immutable. */
+class DynamicBucketSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("k", IntegerType),
+    StructField("v", StringType)))
+
+  private def dynTable(name: String, target: Int,
+      extra: Map[String, String] = Map.empty) =
+    GraftTable.create(spark, TestSpark.tmpDir(name), schema,
+      primaryKeys = Seq("k"),
+      options = Map("bucket" -> "-1",
+        "dynamic-bucket.target-row-num" -> target.toString) ++ extra)
+
+  /** (kh → bucket) resolved from every index dir the LATEST snapshot
+    * references. */
+  private def assignments(t: GraftTable): Map[Long, Int] = {
+    val chain = Option(t.snapshots.last.bucketIndexes).getOrElse(Seq.empty)
+    chain.flatMap { dir =>
+      spark.read.parquet(s"${t.root}/$dir")
+        .collect().map(r => r.getAs[Long]("kh") -> r.getAs[Int]("bucket"))
+    }.toMap
+  }
+
+  private def fileBuckets(t: GraftTable): Set[Int] =
+    t.system("files").select("bucket").collect().map(_.getInt(0)).toSet
+
+  test("S48a: buckets fill to target then grow; updates add no assignments") {
+    val t = dynTable("dyn-grow", target = 3)
+    t.upsert((1 to 5).map(k => (k, s"v$k")).toDF("k", "v"))
+    // 5 keys / target 3 ⇒ buckets {0, 1}, bucket 0 holds exactly 3 keys
+    val a1 = assignments(t)
+    assert(a1.size == 5)
+    assert(a1.values.toSet == Set(0, 1))
+    assert(a1.values.count(_ == 0) == 3 && a1.values.count(_ == 1) == 2)
+    assert(fileBuckets(t) == Set(0, 1))
+    val chainLen1 = t.snapshots.last.bucketIndexes.length
+    // update-only commit: same keys ⇒ NO new assignments, NO new chain entry
+    t.upsert((1 to 5).map(k => (k, s"u$k")).toDF("k", "v"))
+    assert(assignments(t) == a1)
+    assert(t.snapshots.last.bucketIndexes.length == chainLen1)
+    val rows = t.read().orderBy("k").collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(rows.toSeq == (1 to 5).map(k => (k, s"u$k")))
+    // growth: 4 more keys open bucket 2 (and fill 1 first)
+    t.upsert((6 to 9).map(k => (k, s"v$k")).toDF("k", "v"))
+    val a3 = assignments(t)
+    assert(a3.size == 9 && a3.view.filterKeys(a1.contains).toMap == a1) // stability
+    assert(a3.values.count(_ == 0) == 3 && a3.values.count(_ == 1) == 3 &&
+      a3.values.count(_ == 2) == 3)
+    assert(t.read().count() == 9)
+  }
+
+  test("S48b: per-partition independent bucket sequences") {
+    val s2 = StructType(Seq(
+      StructField("pt", StringType),
+      StructField("k", IntegerType),
+      StructField("v", StringType)))
+    val t = GraftTable.create(spark, TestSpark.tmpDir("dyn-part"), s2,
+      partitionKeys = Seq("pt"), primaryKeys = Seq("pt", "k"),
+      options = Map("bucket" -> "-1", "dynamic-bucket.target-row-num" -> "3"))
+    val rows = for (p <- Seq("a", "b"); k <- 1 to 4) yield (p, k, s"$p$k")
+    t.upsert(rows.toDF("pt", "k", "v"))
+    // each partition independently fills bucket 0 (3 keys) + bucket 1 (1)
+    val perPart = t.system("files")
+      .select("partition", "bucket").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getInt(1)).toSet).toMap
+    assert(perPart.keySet == Set("pt=a", "pt=b"))
+    assert(perPart.values.forall(_ == Set(0, 1)), perPart)
+    assert(t.read().count() == 8)
+  }
+
+  test("S48c: MOR stays correct through growth, delete and compaction") {
+    val t = dynTable("dyn-mor", target = 2,
+      extra = Map("num-sorted-run.compaction-trigger" -> "0"))
+    t.upsert(Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v"))
+    t.upsert(Seq((2, "b2"), (4, "d")).toDF("k", "v"))
+    t.delete(Seq((1, "x")).toDF("k", "v"))
+    t.upsert(Seq((5, "e"), (1, "back")).toDF("k", "v"))
+    def state = t.read().orderBy("k").collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    val want = Seq((1, "back"), (2, "b2"), (3, "c"), (4, "d"), (5, "e"))
+    assert(state == want)
+    // full compaction preserves contents and assignments
+    val before = assignments(t)
+    t.compact()
+    assert(state == want)
+    assert(assignments(t) == before)
+  }
+
+  test("S48d: SQL INSERT INTO / OVERWRITE route through the V1Write fallback") {
+    spark.conf.set("spark.sql.catalog.graftdyn", "graft.sources.GraftSparkCatalog")
+    spark.conf.set("spark.sql.catalog.graftdyn.warehouse", TestSpark.tmpDir("dyn-wh"))
+    spark.sql("CREATE NAMESPACE graftdyn.db")
+    spark.sql("""CREATE TABLE graftdyn.db.t (k INT, v STRING)
+                |TBLPROPERTIES ('primary-key'='k', 'bucket'='-1',
+                |  'dynamic-bucket.target-row-num'='3')""".stripMargin)
+    spark.sql("INSERT INTO graftdyn.db.t VALUES (1, 'a'), (2, 'b'), (3, 'c'), (4, 'd')")
+    spark.sql("INSERT INTO graftdyn.db.t VALUES (2, 'b2'), (5, 'e')")
+    val got = spark.sql("SELECT k, v FROM graftdyn.db.t ORDER BY k")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(got == Seq((1, "a"), (2, "b2"), (3, "c"), (4, "d"), (5, "e")))
+    // the table really is dynamic: more than one bucket formed
+    val wh = spark.conf.get("spark.sql.catalog.graftdyn.warehouse")
+    val t = GraftTable.load(spark, s"$wh/db.db/t")
+    assert(fileBuckets(t).size > 1)
+    val before = assignments(t)
+    spark.sql("INSERT OVERWRITE graftdyn.db.t VALUES (1, 'z'), (9, 'n')")
+    val after = spark.sql("SELECT k, v FROM graftdyn.db.t ORDER BY k")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(after == Seq((1, "z"), (9, "n")))
+    // assignments persist across the overwrite (immutable contract)
+    assert(assignments(t).view.filterKeys(before.contains).toMap == before)
+  }
+
+  test("S48e: chain folds; expiry reclaims superseded deltas, reads survive") {
+    val t = dynTable("dyn-fold", target = 100,
+      extra = Map("manifest.merge-min-count" -> "3"))
+    (1 to 4).foreach(i => t.upsert(Seq((i, s"v$i")).toDF("k", "v")))
+    val chain = t.snapshots.last.bucketIndexes
+    assert(chain.length < 3, s"chain should have folded: $chain")
+    assert(assignments(t).size == 4)
+    assert(t.read().count() == 4)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sessionState.newHadoopConf())
+    val idxDir = new org.apache.hadoop.fs.Path(s"${t.root}/index")
+    val allDirs = fs.listStatus(idxDir).map(_.getPath.getName).toSet
+    assert(allDirs.size > chain.length) // superseded deltas still on disk...
+    t.expireSnapshots(retainLast = 1)
+    val left = fs.listStatus(idxDir).map(_.getPath.getName).toSet
+    // ...and exactly the still-referenced ones survive expiry
+    assert(left == t.snapshots.last.bucketIndexes.map(_.stripPrefix("index/")).toSet)
+    assert(t.read().orderBy("k").collect().map(_.getString(1)).toSeq ==
+      (1 to 4).map(i => s"v$i"))
+  }
+
+  test("S48f: rescale is rejected; dynamic requires primary keys") {
+    val t = dynTable("dyn-guard", target = 3)
+    t.upsert(Seq((1, "a")).toDF("k", "v"))
+    val e = intercept[IllegalArgumentException](t.rescaleBucket(4))
+    assert(e.getMessage.contains("dynamic-bucket"), e.getMessage)
+    val nk = GraftTable.create(spark, TestSpark.tmpDir("dyn-nopk"), schema,
+      options = Map("bucket" -> "-1"))
+    val e2 = intercept[IllegalArgumentException](nk.append(Seq((1, "a")).toDF("k", "v")))
+    assert(e2.getMessage.contains("primary keys"), e2.getMessage)
+  }
+}
