@@ -61,6 +61,33 @@ object GraftQueries {
       .orderBy("c_custkey")
   }
 
+  /** orders through a partial-update table with SEQUENCE GROUPS (S49):
+    * the price columns are versioned by price_ts, the priority columns
+    * by prio_ts. The second commit updates every 3rd key's price
+    * (price_ts advances) while carrying a STALE priority copy
+    * (prio_ts = 0 < 1) — without groups, commit order would clobber the
+    * priority; with groups the stale copy is rejected per-group. */
+  private def graftSeqGroup(s: SparkSession, d: String): DataFrame = {
+    val base = T.orders(s, d).filter(col("o_orderkey") < 400)
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"),
+        lit(1L).as("price_ts"), col("o_orderpriority").as("prio"), lit(1L).as("prio_ts"))
+    val t = GraftTable.create(s, tmpRoot("seqg"), base.schema,
+      primaryKeys = Seq("k"),
+      options = Map("merge-engine" -> "partial-update",
+        "fields.price_ts.sequence-group" -> "price",
+        "fields.prio_ts.sequence-group" -> "prio"))
+    t.append(base)
+    t.append(base.filter(col("k") % 3 === 0)
+      .withColumn("price", col("price") + lit(500.0))
+      .withColumn("price_ts", lit(2L))
+      .withColumn("prio", lit("9-STALE"))
+      .withColumn("prio_ts", lit(0L)))
+    t.read()
+      .select(col("k"), round(col("price"), 2).as("price"), col("price_ts"),
+        col("prio"), col("prio_ts"))
+      .orderBy("k")
+  }
+
   /** orders through a partitioned table, two commits; time travel to the
     * first commit ⇒ exactly the first batch (ref scan_version semantics,
     * TestPrestoITCase.testFilterWithTimeTravel). */
@@ -354,6 +381,15 @@ object GraftQueries {
              |             ELSE c_acctbal END, 2) AS bal
              |FROM customer WHERE c_custkey <= 300
              |ORDER BY c_custkey""".stripMargin)),
+    QDef("q_graft_seqgroup", graftSeqGroup,
+      Some("""SELECT o_orderkey AS k,
+             |  round(CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 500.0
+             |             ELSE o_totalprice END, 2) AS price,
+             |  CAST(CASE WHEN o_orderkey % 3 = 0 THEN 2 ELSE 1 END AS BIGINT) AS price_ts,
+             |  o_orderpriority AS prio,
+             |  CAST(1 AS BIGINT) AS prio_ts
+             |FROM orders WHERE o_orderkey < 400
+             |ORDER BY o_orderkey""".stripMargin)),
     QDef("q_graft_timetravel", graftTimeTravel,
       Some("""SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice),2) AS s
              |FROM orders WHERE o_orderkey % 3 = 0

@@ -244,6 +244,43 @@ class GraftTable private (
         k.stripPrefix("fields.").stripSuffix(".aggregate-function") -> v
     }
 
+  /** S49: `fields.<seqCol>.sequence-group = colA,colB` options for
+    * merge-engine=partial-update (Paimon's sequence groups): each
+    * group's columns are versioned by their OWN sequence column — a
+    * partial row carrying an OLDER group sequence cannot clobber a
+    * newer value of that group, no matter how late it commits (the
+    * multi-source partial-update problem: feed A updates the price
+    * columns with price_ts, feed B the status columns with status_ts,
+    * and the feeds interleave arbitrarily). Ungrouped columns keep the
+    * global (sequence.field, commit) order. The group's sequence column
+    * belongs to its own group. Within a group, a null group-sequence
+    * row sorts OLDEST (it asserts nothing about the group), and the
+    * non-null-wins partial-update rule still applies per column. */
+  private[sources] def sequenceGroups: Map[String, Seq[String]] =
+    options.collect {
+      case (k, v) if k.startsWith("fields.") && k.endsWith(".sequence-group") =>
+        val g = k.stripPrefix("fields.").stripSuffix(".sequence-group")
+        g -> (v.split(",").map(_.trim).toSeq :+ g).distinct
+    }
+
+  /** column → its group's sequence column (validated disjoint). */
+  private[sources] def columnSequenceGroup: Map[String, String] = {
+    val groups = sequenceGroups
+    if (groups.isEmpty) return Map.empty
+    require(mergeEngine == "partial-update",
+      "fields.<col>.sequence-group requires merge-engine=partial-update")
+    val inverted = for ((g, cols) <- groups.toSeq; c <- cols) yield c -> g
+    val dup = inverted.groupBy(_._1).filter(_._2.map(_._2).distinct.size > 1).keys
+    require(dup.isEmpty, s"columns in multiple sequence-groups: ${dup.mkString(",")}")
+    val missing = (groups.keys ++ inverted.map(_._1)).filterNot(schema.fieldNames.contains)
+    require(missing.isEmpty, s"sequence-group references unknown columns: ${missing.mkString(",")}")
+    require(!groups.keys.exists(primaryKeys.contains),
+      "a primary-key column cannot be a sequence-group column")
+    require(!groups.keys.exists(partitionKeys.contains),
+      "a partition column cannot be a sequence-group column")
+    inverted.toMap
+  }
+
   /** On-disk columns of data files (data cols minus partition cols, plus
     * hidden cols for PK tables) — what a parquet reader sees before
     * partition values are appended. */
@@ -1604,7 +1641,20 @@ class GraftTable private (
         val wDesc = Window.partitionBy(pk: _*).orderBy(seqDesc: _*)
           .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
         val wRn = Window.partitionBy(pk: _*).orderBy(seqDesc: _*)
+        // S49 sequence groups: a grouped column folds under ITS group's
+        // sequence order (group seq desc nulls-last, then the global
+        // order as the tiebreak) instead of the global commit order
+        val colGroups = if (engine == "partial-update") columnSequenceGroup else Map.empty[String, String]
         def folded(c: String): Column = {
+          colGroups.get(c) match {
+            case Some(g) =>
+              return first(col(c), ignoreNulls = true).over(
+                Window.partitionBy(pk: _*)
+                  .orderBy(col(g).desc_nulls_last +: seqDesc: _*)
+                  .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+                .cast(schema(schema.fieldIndex(c)).dataType).as(c)
+            case None => ()
+          }
           val fn =
             if (engine == "partial-update") "last_non_null_value"
             else fieldAggregates.getOrElse(c, "last_non_null_value")

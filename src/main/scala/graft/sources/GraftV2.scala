@@ -1007,6 +1007,9 @@ final class GraftScan(
   private lazy val mergeDataFields: Array[StructField] = {
     val needed = readDataFields.map(_.name).toSet ++
       (table.primaryKeys ++ table.sequenceFields).filterNot(partKeySet) ++
+      // S49: the fold needs every group's sequence column even when the
+      // query prunes it (it drives the group's accept decision)
+      table.columnSequenceGroup.values.toSet ++
       Seq(GraftTable.SeqCol, GraftTable.KindCol)
     table.fileDataSchema.fields.filter(f => needed(f.name))
   }
@@ -1129,6 +1132,12 @@ final class GraftScan(
             if (metaCols.contains(f.name)) ""
             else if (table.mergeEngine == "partial-update") "last_non_null_value"
             else table.fieldAggregates.getOrElse(f.name, "last_non_null_value")
+          },
+          // S49: column → its group-seq ordinal (meta columns excluded —
+          // they track the latest version regardless of groups)
+          groupSeqIdx = mergeSchema.fields.map { f =>
+            if (metaCols.contains(f.name)) -1
+            else table.columnSequenceGroup.get(f.name).map(idx).getOrElse(-1)
           })
       }
     if (bucketGrouped) new UnwrapBucketFactory(inner) else inner
@@ -1235,11 +1244,73 @@ final class GraftMorReaderFactory(
     kindIdx: Int,
     outIdx: Array[Int],
     engine: String = "deduplicate",
-    aggFns: Array[String] = Array.empty) extends PartitionReaderFactory {
+    aggFns: Array[String] = Array.empty,
+    // S49 sequence groups: for each mergeSchema ordinal, the ordinal of
+    // its group's sequence column (-1 = ungrouped/global order)
+    groupSeqIdx: Array[Int] = Array.empty) extends PartitionReaderFactory {
 
   override def supportColumnarReads(partition: InputPartition): Boolean = false
 
   private def ref(i: Int) = BoundReference(i, mergeSchema(i).dataType, mergeSchema(i).nullable)
+
+  // S49: distinct group-seq ordinals + per-group value ordering
+  private val groupIdxs: Array[Int] = groupSeqIdx.filter(_ >= 0).distinct
+  @transient private lazy val groupOrds: Map[Int, Ordering[Any]] =
+    groupIdxs.map(i => i ->
+      org.apache.spark.sql.catalyst.util.TypeUtils.getInterpretedOrdering(
+        mergeSchema(i).dataType)).toMap
+
+  /** Shared ascending left-fold for partial-update/aggregation (used by
+    * BOTH the hash strategy and the streamed k-way merge so the two are
+    * row-for-row identical). A `-D` resets the accumulator. Sequence
+    * groups (S49): a row updates a group's columns only when its group
+    * sequence is (null-safely) ≥ the accumulated one — a late-arriving
+    * older partial row cannot clobber the group; within an accepted
+    * update the partial non-null-wins rule still applies per column. */
+  private def foldAscending(
+      rows: scala.collection.mutable.ArrayBuffer[InternalRow],
+      ordAsc: InterpretedOrdering,
+      combine: Array[(Any, Any) => Any]): InternalRow = {
+    val n = mergeSchema.length
+    val fieldTypes = mergeSchema.fields.map(_.dataType)
+    val delete = UTF8String.fromString(GraftTable.RowKind.Delete)
+    val sorted = rows.sorted(ordAsc)
+    var acc: Array[Any] = null
+    sorted.foreach { row =>
+      if (row.getUTF8String(kindIdx) == delete) acc = null
+      else if (acc == null) {
+        acc = Array.tabulate[Any](n)(i => row.get(i, fieldTypes(i)))
+      } else {
+        // per-group accept decision for THIS row, against the
+        // accumulated group sequence (acc of the group column)
+        var accept: Map[Int, Boolean] = Map.empty
+        var gi = 0
+        while (gi < groupIdxs.length) {
+          val g = groupIdxs(gi)
+          val gv = row.get(g, fieldTypes(g))
+          val cur = acc(g)
+          accept += g -> (if (gv == null) cur == null
+                          else cur == null || groupOrds(g).compare(gv, cur) >= 0)
+          gi += 1
+        }
+        var i = 0
+        while (i < n) {
+          val v = row.get(i, fieldTypes(i))
+          acc(i) =
+            if (i < aggFns.length && aggFns(i).isEmpty) v // key/seq/kind track latest
+            else {
+              val g = if (i < groupSeqIdx.length) groupSeqIdx(i) else -1
+              if (g < 0) combine(i)(acc(i), v)
+              else if (accept(g)) { if (v != null) v else acc(i) }
+              else acc(i)
+            }
+          i += 1
+        }
+      }
+    }
+    if (acc == null) null
+    else new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(acc)
+  }
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val sortedRuns = partition match {
@@ -1307,8 +1378,6 @@ final class GraftMorReaderFactory(
     val delete = UTF8String.fromString(GraftTable.RowKind.Delete)
     val runs = fp.files.zipWithIndex.map { case (f, i) => new Run(f, i) }
     val outProj = UnsafeProjection.create(outIdx.map(ref).toSeq)
-    val n = mergeSchema.length
-    val fieldTypes = mergeSchema.fields.map(_.dataType)
 
     new PartitionReader[InternalRow] {
       private var current: InternalRow = _
@@ -1353,28 +1422,11 @@ final class GraftMorReaderFactory(
         }
       }
 
-      /** Ascending stable sort + left fold — mirrors the hash strategy's
-        * fold exactly (a -D resets the accumulator). */
-      private def foldVersions(rows: scala.collection.mutable.ArrayBuffer[InternalRow]): InternalRow = {
-        val sorted = rows.sorted(ordAsc)
-        var acc: Array[Any] = null
-        sorted.foreach { row =>
-          if (row.getUTF8String(kindIdx) == delete) acc = null
-          else if (acc == null) {
-            acc = Array.tabulate[Any](n)(i => row.get(i, fieldTypes(i)))
-          } else {
-            var i = 0
-            while (i < n) {
-              acc(i) =
-                if (i < aggFns.length && aggFns(i).isEmpty) row.get(i, fieldTypes(i))
-                else combine(i)(acc(i), row.get(i, fieldTypes(i)))
-              i += 1
-            }
-          }
-        }
-        if (acc == null) null
-        else new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(acc)
-      }
+      /** Ascending stable sort + left fold — the SHARED foldAscending,
+        * so the streamed and hash strategies are row-for-row identical
+        * (incl. S49 sequence groups). */
+      private def foldVersions(rows: scala.collection.mutable.ArrayBuffer[InternalRow]): InternalRow =
+        foldAscending(rows, ordAsc, combine)
 
       override def next(): Boolean = {
         while (runs.exists(_.head != null)) {
@@ -1449,7 +1501,6 @@ final class GraftMorReaderFactory(
       }
     val versions = new java.util.HashMap[UnsafeRow, scala.collection.mutable.ArrayBuffer[InternalRow]]()
     val updateBefore = UTF8String.fromString(GraftTable.RowKind.UpdateBefore)
-    val delete = UTF8String.fromString(GraftTable.RowKind.Delete)
     val in = parquet.createReader(partition)
     try {
       while (in.next()) {
@@ -1466,29 +1517,10 @@ final class GraftMorReaderFactory(
       }
     } finally in.close()
 
-    val n = mergeSchema.length
-    val fieldTypes = mergeSchema.fields.map(_.dataType)
-    def fold(rows: scala.collection.mutable.ArrayBuffer[InternalRow]): InternalRow = {
-      val sorted = rows.sorted(ordAsc)
-      var acc: Array[Any] = null
-      sorted.foreach { row =>
-        if (row.getUTF8String(kindIdx) == delete) acc = null
-        else if (acc == null) {
-          acc = Array.tabulate[Any](n)(i => row.get(i, fieldTypes(i)))
-        } else {
-          var i = 0
-          while (i < n) {
-            // key/seq/kind (fn "") track the latest version; data combines
-            acc(i) =
-              if (i < aggFns.length && aggFns(i).isEmpty) row.get(i, fieldTypes(i))
-              else combine(i)(acc(i), row.get(i, fieldTypes(i)))
-            i += 1
-          }
-        }
-      }
-      if (acc == null) null
-      else new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(acc)
-    }
+    // the SHARED group-aware ascending fold (S49) — identical rows out
+    // of the hash and streamed strategies
+    def fold(rows: scala.collection.mutable.ArrayBuffer[InternalRow]): InternalRow =
+      foldAscending(rows, ordAsc, combine)
 
     val outProj = UnsafeProjection.create(outIdx.map(ref).toSeq)
     val it = versions.values().iterator()

@@ -142,4 +142,77 @@ class MergeEngineSpec extends AnyFunSuite {
       t.append(Seq((1, "a")).toDF("k", "v"))
     }
   }
+
+  private def seqGroupTable(name: String) = {
+    val schema = StructType(Seq(
+      StructField("k", IntegerType),
+      StructField("price", DoubleType),
+      StructField("price_ts", LongType),
+      StructField("status", StringType),
+      StructField("status_ts", LongType)))
+    GraftTable.create(spark, TestSpark.tmpDir(name), schema,
+      primaryKeys = Seq("k"),
+      options = Map("merge-engine" -> "partial-update",
+        "fields.price_ts.sequence-group" -> "price",
+        "fields.status_ts.sequence-group" -> "status"))
+  }
+
+  private def sgRow(r: Row) =
+    (r.getInt(0), r.getDouble(1), r.getLong(2), r.getString(3), r.getLong(4))
+
+  test("S49: sequence groups — per-group versioning, late stale rows rejected") {
+    val t = seqGroupTable("me-sg")
+    t.append(Seq((1, 10.0, 100L, "new", 100L)).toDF("k", "price", "price_ts", "status", "status_ts"))
+    // price feed advances; status columns null → status group untouched
+    t.append(Seq((1, Some(12.0), Some(200L), Option.empty[String], Option.empty[Long]))
+      .toDF("k", "price", "price_ts", "status", "status_ts"))
+    // status feed advances, but its price copy is STALE (150 < 200):
+    // without groups commit order would clobber price back to 11.0
+    t.append(Seq((1, 11.0, 150L, "shipped", 300L)).toDF("k", "price", "price_ts", "status", "status_ts"))
+    assert(readBoth(t).map(sgRow) == Seq((1, 12.0, 200L, "shipped", 300L)))
+    // fully stale late row: nothing moves
+    t.append(Seq((1, 9.0, 50L, "stale", 50L)).toDF("k", "price", "price_ts", "status", "status_ts"))
+    assert(readBoth(t).map(sgRow) == Seq((1, 12.0, 200L, "shipped", 300L)))
+    // hash-strategy path must agree too: a non-key clustering compaction
+    // leaves unsorted files, forcing foldReader on the next read
+    t.compact(sortBy = Seq("status"))
+    assert(readBoth(t).map(sgRow) == Seq((1, 12.0, 200L, "shipped", 300L)))
+  }
+
+  test("S49: delete resets group state; null group-seq sorts oldest") {
+    val t = seqGroupTable("me-sg-del")
+    t.append(Seq((1, 10.0, 500L, "new", 500L)).toDF("k", "price", "price_ts", "status", "status_ts"))
+    t.delete(Seq((1, 0.0, 0L, "", 0L)).toDF("k", "price", "price_ts", "status", "status_ts"))
+    assert(readBoth(t).isEmpty)
+    // re-insert with OLDER group seqs: the delete reset forgot them
+    t.append(Seq((1, 5.0, 10L, "reborn", 10L)).toDF("k", "price", "price_ts", "status", "status_ts"))
+    assert(readBoth(t).map(sgRow) == Seq((1, 5.0, 10L, "reborn", 10L)))
+    // a null group-seq row cannot override a non-null one
+    t.append(Seq((1, Some(99.0), Option.empty[Long], Some("ghost"), Option.empty[Long]))
+      .toDF("k", "price", "price_ts", "status", "status_ts"))
+    assert(readBoth(t).map(sgRow) == Seq((1, 5.0, 10L, "reborn", 10L)))
+  }
+
+  test("S49: sequence-group validation") {
+    val schema = StructType(Seq(
+      StructField("k", IntegerType), StructField("v", StringType),
+      StructField("ts", LongType)))
+    def make(opts: Map[String, String]) = {
+      val t = GraftTable.create(spark, TestSpark.tmpDir("me-sg-bad"), schema,
+        primaryKeys = Seq("k"), options = opts)
+      t.append(Seq((1, "a", 1L)).toDF("k", "v", "ts"))
+      t.read().collect()
+    }
+    // group on a non-partial-update engine
+    intercept[IllegalArgumentException](make(Map(
+      "merge-engine" -> "aggregation", "fields.ts.sequence-group" -> "v")))
+    // unknown column in the group
+    intercept[IllegalArgumentException](make(Map(
+      "merge-engine" -> "partial-update", "fields.ts.sequence-group" -> "nope")))
+    // one column claimed by two groups
+    intercept[IllegalArgumentException](make(Map(
+      "merge-engine" -> "partial-update",
+      "fields.ts.sequence-group" -> "v",
+      "fields.v.sequence-group" -> "v")))
+  }
 }
