@@ -42,6 +42,8 @@ object Indexing {
   private val QSkip = 10 // skip the 10 highest-df terms (corpus stopwords)
   private val QTerms = 8 // query = the next 8 by (df desc, term asc)
   private val TopDocs = 50
+  /** L59: semantic-side candidate depth for the RRF fusion. */
+  private val SemTop = 20
 
   val defs: Seq[QDef] = Seq(
     QDef(
@@ -108,9 +110,87 @@ object Indexing {
       * Ordering/parity: both engines order by the ROUNDED score (ties by
       * doc_id), so sub-ULP ln/sum differences cannot flip the cutoff.
       */
+    QDef("q_rank_bm25", bm25TopDocs,
+      Some(s"""WITH $Bm25Ctes
+              |SELECT doc_id, matched, score FROM sc
+              |ORDER BY score DESC, doc_id LIMIT $TopDocs""".stripMargin)),
+
+    // L59: hybrid retrieval — reciprocal-rank fusion (RRF, k = 60) of
+    // the BM25 lexical ranking (L38, shared computation) and a
+    // brute-cosine semantic ranking against the vec_id-0 probe (the
+    // synthetic corpus convention: embedding i ↔ document i). RRF is
+    // the standard hybrid-search combiner (rank-only, so the two score
+    // scales never need calibration). Parity: both rankings order by
+    // ROUNDED scores (2dp BM25 / 6dp cosine, ties by id) before ranks
+    // exist, ranks are exact integers, and the fused score is the same
+    // two IEEE divisions + one addition on both engines, rounded 6dp
+    // before the final cut. Scale: BM25's one-tokenize-pass plan + a
+    // one-probe broadcast cosine scan; the fusion join is ≤ 70 rows.
     QDef(
-      "q_rank_bm25",
+      "q_hybrid_rank",
       (s, d) => {
+        val lex = bm25TopDocs(s, d)
+          .withColumn("lex_rank", row_number().over(
+            Window.orderBy(desc("score"), col("doc_id"))).cast("long"))
+          .select(col("doc_id"), col("lex_rank"))
+        val n = T.embeddings(s, d)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+          .withColumn("nrm", sqrt(graft.functions.VectorExpr.dot(col("v"), col("v"))))
+          .filter(col("nrm") > 0)
+        val probe = n.filter(col("vec_id") === 0)
+          .select(col("v").as("qv"), col("nrm").as("qn"))
+        val sem = n.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(probe))
+          .withColumn("cos", round(
+            graft.functions.VectorExpr.dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6))
+          .orderBy(desc("cos"), col("vec_id")).limit(SemTop)
+          .withColumn("sem_rank", row_number().over(
+            Window.orderBy(desc("cos"), col("vec_id"))).cast("long"))
+          .select(col("vec_id").as("doc_id"), col("sem_rank"))
+        lex.join(sem, Seq("doc_id"), "full_outer")
+          .withColumn("rrf", round(
+            coalesce(lit(1.0) / (lit(60L) + col("lex_rank")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(60L) + col("sem_rank")), lit(0.0)), 6))
+          .orderBy(desc("rrf"), col("doc_id")).limit(10)
+          .select(col("doc_id"),
+            coalesce(col("lex_rank"), lit(0L)).as("lex_rank"),
+            coalesce(col("sem_rank"), lit(0L)).as("sem_rank"),
+            col("rrf"))
+      },
+      Some(s"""WITH $Bm25Ctes,
+              |lextop AS (SELECT doc_id, score FROM sc
+              |           ORDER BY score DESC, doc_id LIMIT $TopDocs),
+              |lexr AS (SELECT doc_id, row_number() OVER
+              |           (ORDER BY score DESC, doc_id) AS lex_rank FROM lextop),
+              |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+              |      FROM embeddings),
+              |nv AS (SELECT vec_id, v, nrm FROM (
+              |  SELECT vec_id, v,
+              |    sqrt(list_reduce(list_cat([0.0], list_transform(v, x -> x*x)),
+              |      (a,x) -> a+x)) nrm FROM e) WHERE nrm > 0),
+              |qv AS (SELECT v, nrm FROM nv WHERE vec_id = 0),
+              |cosr AS (SELECT c.vec_id AS doc_id,
+              |    round(list_reduce(list_cat([0.0],
+              |        list_transform(range(1, len(qv.v)+1), i -> qv.v[i]*c.v[i])),
+              |      (a,x) -> a+x) / (qv.nrm * c.nrm), 6) AS cos
+              |  FROM nv c, qv WHERE c.vec_id <> 0),
+              |semtop AS (SELECT doc_id, cos FROM cosr
+              |           ORDER BY cos DESC, doc_id LIMIT $SemTop),
+              |semr AS (SELECT doc_id, row_number() OVER
+              |           (ORDER BY cos DESC, doc_id) AS sem_rank FROM semtop),
+              |fused AS (SELECT doc_id, lex_rank, sem_rank,
+              |    round(COALESCE(1.0/(60 + lex_rank), 0)
+              |        + COALESCE(1.0/(60 + sem_rank), 0), 6) AS rrf
+              |  FROM lexr FULL JOIN semr USING (doc_id))
+              |SELECT doc_id, CAST(COALESCE(lex_rank, 0) AS BIGINT) AS lex_rank,
+              |  CAST(COALESCE(sem_rank, 0) AS BIGINT) AS sem_rank, rrf
+              |FROM fused ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin))
+  )
+
+  /** BM25 result frame (doc_id, matched, score), shared by q_rank_bm25
+    * and the L59 hybrid fusion. */
+  private[operators] def bm25TopDocs(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
         // ONE tokenize pass + ONE (doc,term) shuffle: every statistic —
         // dl (sum of tf per doc), df (row count per term), tf (filtered
         // rows) — derives from the persisted tf frame. Naively deriving
@@ -151,27 +231,28 @@ object Indexing {
           s.createDataFrame(
             s.sparkContext.parallelize(rows.toSeq, 1), result.schema)
         } finally grouped.unpersist()
-      },
-      Some(s"""WITH toks AS (SELECT doc_id,
-              |    unnest(string_split_regex(trim(text),'\\s+')) AS term FROM documents),
-              |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
-              |st AS (SELECT (SELECT count(*) FROM documents) AS n,
-              |         CAST((SELECT sum(dl) FROM dl) AS DOUBLE)
-              |           / (SELECT count(*) FROM documents) AS avgdl),
-              |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
-              |q AS (SELECT term, df FROM df
-              |      ORDER BY df DESC, term LIMIT $QTerms OFFSET $QSkip),
-              |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
-              |       WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term),
-              |sc AS (SELECT tf.doc_id, count(*) AS matched,
-              |         round(sum(
-              |           ln((st.n - q.df + 0.5)/(q.df + 0.5) + 1.0)
-              |             * (tf.tf * ${K1 + 1.0})
-              |             / (tf.tf + $K1 * (${1.0 - B} + $B * dl.dl / st.avgdl))), 2)
-              |           AS score
-              |       FROM tf JOIN q USING (term) JOIN dl USING (doc_id) CROSS JOIN st
-              |       GROUP BY tf.doc_id)
-              |SELECT doc_id, matched, score FROM sc
-              |ORDER BY score DESC, doc_id LIMIT $TopDocs""".stripMargin))
-  )
+  }
+
+  /** The BM25 oracle CTE chain (ends at `sc`), shared by the q_rank_bm25
+    * oracle and the L59 hybrid fusion oracle. */
+  private lazy val Bm25Ctes: String =
+    s"""toks AS (SELECT doc_id,
+       |    unnest(string_split_regex(trim(text),'\\s+')) AS term FROM documents),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+       |st AS (SELECT (SELECT count(*) FROM documents) AS n,
+       |         CAST((SELECT sum(dl) FROM dl) AS DOUBLE)
+       |           / (SELECT count(*) FROM documents) AS avgdl),
+       |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+       |q AS (SELECT term, df FROM df
+       |      ORDER BY df DESC, term LIMIT $QTerms OFFSET $QSkip),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       |       WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term),
+       |sc AS (SELECT tf.doc_id, count(*) AS matched,
+       |         round(sum(
+       |           ln((st.n - q.df + 0.5)/(q.df + 0.5) + 1.0)
+       |             * (tf.tf * ${K1 + 1.0})
+       |             / (tf.tf + $K1 * (${1.0 - B} + $B * dl.dl / st.avgdl))), 2)
+       |           AS score
+       |       FROM tf JOIN q USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+       |       GROUP BY tf.doc_id)""".stripMargin
 }

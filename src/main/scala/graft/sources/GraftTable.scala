@@ -1362,6 +1362,30 @@ class GraftTable private (
 
   // ---- read path ------------------------------------------------------
 
+  /** S50: Paimon's `scan.fallback-branch` — a LATEST batch scan of the
+    * main view serves a partition from the fallback branch when main
+    * has no files for it (the dual-write migration shape: the new
+    * pipeline backfills main partition-by-partition while the old
+    * pipeline still lands complete data on the branch; readers see a
+    * complete table throughout). Partition-level and partition-DISJOINT
+    * by construction, so PK merge-on-read stays correct (every key's
+    * versions come wholly from one side). Time-travel reads and branch
+    * views stay exact — the fallback only shapes "what is the table
+    * NOW". */
+  private[sources] def fallbackBranch: Option[String] = options.get("scan.fallback-branch")
+
+  private def withFallbackBranch(
+      main: Seq[FileMeta], snapshotId: Option[Long]): Seq[FileMeta] =
+    fallbackBranch match {
+      case Some(b) if branchName.isEmpty && snapshotId.isEmpty =>
+        require(partitionKeys.nonEmpty,
+          "scan.fallback-branch requires a partitioned table")
+        val mainParts = main.map(_.partition).toSet
+        main ++ forBranch(b).currentFiles(None)
+          .filterNot(f => mainParts.contains(f.partition))
+      case _ => main
+    }
+
   private def currentFiles(snapshotId: Option[Long]): Seq[FileMeta] =
     snapshotId.orElse(latestSnapshotId) match {
       case None => Seq.empty
@@ -1477,7 +1501,7 @@ class GraftTable private (
       bucket: Option[Int] = None,
       dataFilters: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty,
       subscriptFilters: Seq[SubscriptPredicate] = Seq.empty): Seq[FileMeta] = {
-    var files = pruneFiles(currentFiles(snapshotId),
+    var files = pruneFiles(withFallbackBranch(currentFiles(snapshotId), snapshotId),
       if (partitionPruneSafe) partitionFilter else None)
     bucket.foreach(b => files = files.filter(_.bucket == b))
     val skipSafe =

@@ -226,4 +226,38 @@ class BranchSpec extends AnyFunSuite {
     val headKs = t3.read().collect().map(_.getInt(0)).toSet
     assert(Set(100, 101).subsetOf(headKs), s"branch history missing from head: $headKs")
   }
+
+  test("S50: scan.fallback-branch serves partitions missing from main") {
+    val pschema = StructType(Seq(
+      StructField("pt", StringType), StructField("k", IntegerType),
+      StructField("v", StringType)))
+    val t = GraftTable.create(spark, TestSpark.tmpDir("br-fb"), pschema,
+      partitionKeys = Seq("pt"),
+      options = Map("scan.fallback-branch" -> "old"))
+    t.append(Seq(("p0", 0, "seed")).toDF("pt", "k", "v"))
+    // option points at a missing branch → a read fails LOUDLY, never
+    // silently incomplete
+    intercept[IllegalArgumentException](t.read().collect())
+    t.createBranch("old")
+    val dev = t.forBranch("old")
+    // the old pipeline owns p1+p2 on the branch; the new pipeline has
+    // backfilled only p1 on main (with DIFFERENT content for p1)
+    dev.append(Seq(("p1", 1, "old1"), ("p2", 2, "old2")).toDF("pt", "k", "v"))
+    t.append(Seq(("p1", 10, "new1")).toDF("pt", "k", "v"))
+    val rows = t.read().orderBy("k").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSeq
+    // p0 + p1 from MAIN (the branch's copies shadowed), p2 from the branch
+    assert(rows == Seq(("p0", 0, "seed"), ("p2", 2, "old2"), ("p1", 10, "new1")), rows)
+    // partition pruning composes with the fallback
+    assert(t.read(partitionFilter = Some(org.apache.spark.sql.functions.col("pt") === "p2"))
+      .collect().map(_.getInt(1)).toSeq == Seq(2))
+    // time travel ignores the fallback (snapshot 1 = the seed commit)
+    assert(t.read(snapshotId = Some(1L)).collect().map(_.getInt(1)).toSeq == Seq(0))
+    // backfilling p2 on main shadows the branch copy
+    t.append(Seq(("p2", 20, "new2")).toDF("pt", "k", "v"))
+    val after = t.read().orderBy("k").collect().map(r => (r.getInt(1), r.getString(2))).toSeq
+    assert(after == Seq((0, "seed"), (10, "new1"), (20, "new2")), after)
+    // the branch view itself is never fallback-shaped
+    assert(dev.read().collect().map(_.getInt(1)).toSet == Set(0, 1, 2))
+  }
 }

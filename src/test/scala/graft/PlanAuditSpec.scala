@@ -24,7 +24,9 @@ class PlanAuditSpec extends AnyFunSuite {
       // > ALL decorrelation crossJoins a broadcast 1-ROW (max,count)
       // aggregate — the most bounded build side possible (an equi-join
       // on lit keys constant-folds back to the same BNLJ)
-      "q_any_all")
+      "q_any_all",
+      // RRF fusion broadcasts a 1-vector probe (same shape as ann_brute)
+      "q_hybrid_rank")
 
   test("no CartesianProduct and no unbounded BroadcastNestedLoopJoin in any plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
