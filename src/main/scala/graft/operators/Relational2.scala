@@ -637,6 +637,45 @@ object Relational2 {
              |  round(min(lp), 2) AS last_price,
              |  round(min(sp), 2) AS second_price,
              |  round(min(fu), 2) AS first_urgent
-             |FROM w GROUP BY cust ORDER BY cust""".stripMargin))
+             |FROM w GROUP BY cust ORDER BY cust""".stripMargin)),
+
+    // R49: correlated SCALAR subquery in the select list — each
+    // customer's balance against THEIR nation's average (the per-row
+    // lookup shape; R47 covers the quantified-filter shape). Spark-first
+    // it decorrelates to one 25-row aggregate broadcast-joined back —
+    // never a per-row rescan. §5 parity: balances floor to
+    // integer-valued doubles, so the per-nation sum is exact under any
+    // partitioning and avg/diff are single IEEE ops both engines.
+    QDef(
+      "q_scalar_subquery",
+      (s, d) => {
+        val c = T.customer(s, d)
+          .withColumn("bal", floor(col("c_acctbal")).cast("double"))
+        val natAvg = c.groupBy("c_nationkey")
+          .agg((sum("bal") / count(lit(1))).as("nat_avg"))
+        c.join(broadcast(natAvg), Seq("c_nationkey"))
+          .withColumn("above", col("bal") > col("nat_avg") + lit(500.0))
+          .groupBy(col("c_nationkey").as("nation"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("above"), 1L).otherwise(0L)).as("n_above"),
+            sum(when(col("above"), col("c_custkey"))).as("above_keys"),
+            round(min("nat_avg"), 2).as("nat_avg"))
+          .orderBy("nation")
+      },
+      Some("""SELECT c_nationkey AS nation, count(*) AS n,
+             |  CAST(sum(CASE WHEN above THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+             |  CAST(sum(CASE WHEN above THEN c_custkey END) AS BIGINT) AS above_keys,
+             |  round(min(nat_avg), 2) AS nat_avg
+             |FROM (
+             |  SELECT c_custkey, c_nationkey,
+             |    (SELECT CAST(sum(floor(c2.c_acctbal)) AS DOUBLE) / count(*)
+             |     FROM customer c2
+             |     WHERE c2.c_nationkey = c.c_nationkey) AS nat_avg,
+             |    floor(c_acctbal) > (SELECT CAST(sum(floor(c2.c_acctbal)) AS DOUBLE)
+             |        / count(*) + 500.0
+             |      FROM customer c2
+             |      WHERE c2.c_nationkey = c.c_nationkey) AS above
+             |  FROM customer c)
+             |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin))
   )
 }

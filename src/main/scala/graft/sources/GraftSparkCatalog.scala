@@ -117,6 +117,17 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
     "rollback" -> new GraftProcedure("rollback",
       Seq(pStr("table"), pLongOpt("version", "-1")), snapshotResult,
       in => InternalRow(loadByName(in.getString(0)).rollbackTo(in.getLong(1)))),
+    // Paimon's rollback_to_timestamp: resolve the latest snapshot
+    // committed at or before the epoch-millis bound, then roll back
+    "rollback_to_timestamp" -> new GraftProcedure("rollback_to_timestamp",
+      Seq(pStr("table"), pLongOpt("timestamp", "-1")), snapshotResult,
+      in => {
+        val t = loadByName(in.getString(0))
+        val id = t.snapshotAsOfTime(in.getLong(1)).getOrElse(
+          throw new IllegalArgumentException(
+            s"no snapshot committed at or before ${in.getLong(1)}"))
+        InternalRow(t.rollbackTo(id))
+      }),
     "expire_snapshots" -> new GraftProcedure("expire_snapshots",
       // default retains 10 (Paimon's snapshot.num-retained.min): a
       // no-argument maintenance CALL must not destroy all history

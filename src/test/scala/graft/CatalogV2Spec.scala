@@ -321,6 +321,15 @@ class CatalogV2Spec extends AnyFunSuite {
     assert(removed >= 0L)
     assert(sql("SELECT k FROM graft2.procs.t").collect().map(_.getInt(0)).sorted.toSeq
       == Seq(1, 5))
+    // rollback_to_timestamp: resolve by commit time, then roll back
+    val tProc = graft.sources.GraftTable.load(spark,
+      spark.conf.get("spark.sql.catalog.graft2.warehouse") + "/procs.db/t")
+    val lastSnap = tProc.snapshots.last
+    val rbts = sql(s"CALL graft2.sys.rollback_to_timestamp('procs.t', ${lastSnap.timestampMs})")
+      .first().getLong(0)
+    assert(rbts > lastSnap.id) // commits a NEW snapshot at the resolved state
+    // a bound before the first commit resolves nothing → loud error
+    intercept[Exception] { sql("CALL graft2.sys.rollback_to_timestamp('procs.t', 0)") }
     // unknown procedure: a clear error
     intercept[Exception] { sql("CALL graft2.sys.nope('procs.t')") }
     // reset_consumer: reposition the retention pin, then delete it

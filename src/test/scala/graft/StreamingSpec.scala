@@ -810,4 +810,39 @@ class StreamingSpec extends AnyFunSuite {
       .orderBy("commit_seq").collect().map(r => (r.getString(0), r.getInt(2)))
     assert(changes.toSeq == Seq(("+I", 2), ("-D", 1)))
   }
+
+  test("T22: streaming upsert into a DYNAMIC-BUCKET table — stable assignments, bucket-local MOR") {
+    implicit val sc = spark.sqlContext
+    val path = TestSpark.tmpDir("sinkdyn")
+    val ckpt = TestSpark.tmpDir("sinkdynckpt")
+    val t = GraftTable.create(spark, path,
+      StructType(Seq(StructField("k", IntegerType), StructField("v", StringType))),
+      primaryKeys = Seq("k"),
+      options = Map("bucket" -> "-1", "dynamic-bucket.target-row-num" -> "3"))
+    val mem = MemoryStream[(Int, String)]
+    val q = mem.toDF().toDF("k", "v").writeStream
+      .format("graft").outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .start(path)
+    def assignments: Map[Long, Int] =
+      Option(t.snapshots.last.bucketIndexes).getOrElse(Seq.empty).flatMap { dir =>
+        spark.read.parquet(s"$path/$dir")
+          .collect().map(r => r.getAs[Long]("kh") -> r.getAs[Int]("bucket"))
+      }.toMap
+    try {
+      mem.addData((1, "a"), (2, "b"), (3, "c"), (4, "d")); q.processAllAvailable()
+      val a1 = assignments
+      assert(a1.size == 4 && a1.values.toSet == Set(0, 1))
+      // batch 2: updates (same keys) + one new key — updates add NO
+      // assignments, the new key fills bucket 1 (2nd slot of 3)
+      mem.addData((2, "b2"), (5, "e")); q.processAllAvailable()
+      val a2 = assignments
+      assert(a2.size == 5 && a2.view.filterKeys(a1.contains).toMap == a1)
+      assert(a2.values.count(_ == 1) == 2)
+    } finally q.stop()
+    // MOR across micro-batches resolves per key (bucket-local merge)
+    val rows = spark.read.format("graft").load(path).orderBy("k")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(rows == Seq((1, "a"), (2, "b2"), (3, "c"), (4, "d"), (5, "e")))
+  }
 }
