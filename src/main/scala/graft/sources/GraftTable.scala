@@ -2259,6 +2259,21 @@ class GraftTable private (
         }
       }
     }
+    // S48: bucket-index delta DIRS from crashed commits (written before
+    // the claim, cleaned only by commitOrClean on a thrown failure — a
+    // killed writer leaves them referenced by no snapshot's chain)
+    val idxDir = new Path(root, "index")
+    if (fs.exists(idxDir)) {
+      val refIdx: Set[String] = (this +: siblingRefs)
+        .flatMap(t => t.snapshots.flatMap(t.bucketIndexChainOf)).toSet
+      fs.listStatus(idxDir).foreach { st =>
+        val rel = s"index/${st.getPath.getName}"
+        if (!refIdx.contains(rel) && now - st.getModificationTime >= ttlMs) {
+          fs.delete(st.getPath, true)
+          out += rel
+        }
+      }
+    }
     out.toSeq
   }
 

@@ -143,6 +143,21 @@ class DynamicBucketSpec extends AnyFunSuite {
       (1 to 4).map(i => s"v$i"))
   }
 
+  test("S48g: orphan sweep reclaims crashed-commit index deltas, keeps referenced ones") {
+    val t = dynTable("dyn-orphan", target = 3)
+    t.upsert(Seq((1, "a")).toDF("k", "v"))
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sessionState.newHadoopConf())
+    // a crashed writer's delta: on disk, referenced by no snapshot chain
+    val orphan = new org.apache.hadoop.fs.Path(s"${t.root}/index/idx-orphan-test")
+    fs.mkdirs(orphan)
+    val removed = t.removeOrphanFiles(ttlMs = 0)
+    assert(removed.contains("index/idx-orphan-test"), removed)
+    assert(!fs.exists(orphan))
+    // the referenced delta survives and the table still resolves
+    assert(assignments(t).size == 1)
+    assert(t.read().count() == 1)
+  }
+
   test("S48f: rescale is rejected; dynamic requires primary keys") {
     val t = dynTable("dyn-guard", target = 3)
     t.upsert(Seq((1, "a")).toDF("k", "v"))
