@@ -488,7 +488,57 @@ object Dedup2 {
               |  round(CAST(sum(novel) AS DOUBLE) / CAST(sum(total) AS DOUBLE), 6)
               |    AS novelty
               |FROM p JOIN documents d USING (doc_id)
-              |GROUP BY d.source ORDER BY d.source""".stripMargin))
+              |GROUP BY d.source ORDER BY d.source""".stripMargin)),
+
+    // L60: quality-aware canonical selection — pick each near-dup
+    // cluster's REPRESENTATIVE by keep-longest (max token count, ties
+    // by doc_id) instead of min-id: the standard curation rule (the
+    // longest variant usually embeds the others; CCNet/RefinedWeb keep
+    // the longest member). Consumes the SHARED pair stage and the L25
+    // cluster resolution; exact-integer ordering, so the pick is
+    // deterministic under any partitioning. Per-cluster output is
+    // pair-graph-sized (tiny at any corpus: clusters, not the corpus).
+    QDef(
+      "q_dedup_canonical",
+      (s, d) => {
+        val cc = Dedup.connectedComponents(
+          Dedup.jaccardPairsStaged(s, d).select("d1", "d2"))
+        val toks = T.documents(s, d).select(col("doc_id"),
+          size(Text.words(col("text"))).cast("long").as("ntok"))
+        cc.join(toks, "doc_id")
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("cluster_id").orderBy(desc("ntok"), col("doc_id"))))
+          .filter(col("rk") === 1)
+          .select(col("cluster_id"), col("doc_id").as("rep_doc"),
+            col("ntok").as("rep_tokens"), col("csize").as("cluster_size"))
+          .orderBy("cluster_id")
+      },
+      Some(s"""WITH RECURSIVE w AS (SELECT doc_id, ${Dedup.ShSql} sh FROM documents),
+              |e AS (SELECT doc_id, unnest(sh) g FROM w),
+              |${Dedup.PrefixCandSql},
+              |jv AS (SELECT d1, d2,
+              |  CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE)
+              |    / len(list_distinct(list_cat(s1.sh, s2.sh))) jr
+              |  FROM cand JOIN w s1 ON d1 = s1.doc_id JOIN w s2 ON d2 = s2.doc_id),
+              |pp AS (SELECT d1, d2 FROM jv WHERE jr >= ${Dedup.Tau}),
+              |nodes AS (SELECT d1 AS id FROM pp UNION SELECT d2 FROM pp),
+              |ed AS (SELECT d1 a, d2 b FROM pp UNION ALL SELECT d2 a, d1 b FROM pp),
+              |reach(id, r) AS (
+              |  SELECT id, id FROM nodes
+              |  UNION
+              |  SELECT e2.b, reach.r FROM reach JOIN ed e2 ON e2.a = reach.id),
+              |cc AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+              |tok AS (SELECT doc_id,
+              |  CAST(len(string_split_regex(trim(text),'\\s+')) AS BIGINT) ntok
+              |  FROM documents),
+              |r AS (SELECT cc.doc_id, cc.cluster_id, tok.ntok,
+              |    count(*) OVER (PARTITION BY cc.cluster_id) AS csize,
+              |    row_number() OVER (PARTITION BY cc.cluster_id
+              |      ORDER BY tok.ntok DESC, cc.doc_id) AS rk
+              |  FROM cc JOIN tok USING (doc_id))
+              |SELECT cluster_id, doc_id AS rep_doc, ntok AS rep_tokens,
+              |  CAST(csize AS BIGINT) AS cluster_size
+              |FROM r WHERE rk = 1 ORDER BY cluster_id""".stripMargin))
   )
 
   /** L35 core: rank Levenshtein-distance-1 pairs over a `(w, n)`

@@ -676,6 +676,26 @@ object Relational2 {
              |      FROM customer c2
              |      WHERE c2.c_nationkey = c.c_nationkey) AS above
              |  FROM customer c)
-             |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin))
+             |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)),
+
+    // R50: count-of-counts (frequency-of-frequency histogram) — the
+    // distribution of per-customer order counts: a two-level aggregation
+    // (groupBy → groupBy of the counts). Both levels are map-side-
+    // combinable integer counts; level 2's key space is ≤ max orders
+    // per customer (~25), so the second shuffle is trivially small at
+    // any scale. Membership pinned by exact key sums.
+    QDef(
+      "q_count_of_counts",
+      (s, d) =>
+        T.orders(s, d)
+          .groupBy("o_custkey").agg(count(lit(1)).as("n_orders"))
+          .groupBy("n_orders")
+          .agg(count(lit(1)).as("customers"), sum("o_custkey").as("key_sum"))
+          .orderBy("n_orders"),
+      Some("""SELECT n_orders, count(*) AS customers,
+             |  CAST(sum(o_custkey) AS BIGINT) AS key_sum
+             |FROM (SELECT o_custkey, count(*) AS n_orders
+             |      FROM orders GROUP BY o_custkey)
+             |GROUP BY n_orders ORDER BY n_orders""".stripMargin))
   )
 }
