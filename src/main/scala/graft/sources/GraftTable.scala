@@ -2390,6 +2390,11 @@ class GraftTable private (
     require(!primaryKeys.contains(c), s"cannot $op primary-key column $c")
     require(!bucketKeys.contains(c), s"cannot $op bucket-key column $c")
     require(!sequenceFields.contains(c), s"cannot $op sequence.field column $c")
+    // S49: fields.<g>.sequence-group options reference columns by name;
+    // a rename/drop would leave a dangling reference that fails every
+    // subsequent read — freeze them like the other layout columns
+    require(!columnSequenceGroup.contains(c),
+      s"cannot $op column $c: referenced by a fields.*.sequence-group option")
   }
 
   /** Next never-used field id: the max across ALL schema versions + 1,

@@ -512,6 +512,17 @@ final class GraftRowLevelOperation(
     // reached only when a rewrite actually executes (a DELETE converted
     // to the tombstone path never builds this write) — see the
     // lookup-changelog rationale in GraftV2Table
+    // S48: a group rewrite routes replacement rows through the STATIC
+    // bucket projection (disabled at bucket = -1 ⇒ everything lands in
+    // bucket 0), so a rewritten key would leave its assigned bucket and
+    // the bucket-local MOR merge would resurrect both versions — reject
+    // loudly; dynamic tables change rows through the assignment-aware
+    // upsert/delete paths instead
+    if (table.isDynamicBucket)
+      throw new UnsupportedOperationException(
+        s"$cmd is not supported on dynamic-bucket tables (bucket = -1): " +
+          "a group rewrite would move keys out of their assigned buckets; " +
+          "use upsert/delete (library) or INSERT INTO (upsert semantics)")
     if (table.isPkTable && table.lookupChangelog)
       throw new UnsupportedOperationException(
         s"$cmd is not supported with changelog-producer=lookup " +

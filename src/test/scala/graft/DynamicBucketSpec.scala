@@ -143,6 +143,27 @@ class DynamicBucketSpec extends AnyFunSuite {
       (1 to 4).map(i => s"v$i"))
   }
 
+  test("S48h: SQL UPDATE rewrite is rejected (bucket-moving); DELETE tombstone works") {
+    spark.conf.set("spark.sql.catalog.graftdyn", "graft.sources.GraftSparkCatalog")
+    spark.conf.set("spark.sql.catalog.graftdyn.warehouse", TestSpark.tmpDir("dyn-wh2"))
+    spark.sql("CREATE NAMESPACE graftdyn.db2")
+    spark.sql("""CREATE TABLE graftdyn.db2.t (k INT, v STRING)
+                |TBLPROPERTIES ('primary-key'='k', 'bucket'='-1',
+                |  'dynamic-bucket.target-row-num'='2')""".stripMargin)
+    spark.sql("INSERT INTO graftdyn.db2.t VALUES (1,'a'), (2,'b'), (3,'c')")
+    // a group rewrite would move keys out of their assigned buckets
+    val e = intercept[Exception](
+      spark.sql("UPDATE graftdyn.db2.t SET v = 'x' WHERE k = 2"))
+    assert(e.getMessage.contains("dynamic-bucket"), e.getMessage)
+    // the tombstone DELETE path is assignment-aware and stays available
+    spark.sql("DELETE FROM graftdyn.db2.t WHERE k = 1")
+    assert(spark.sql("SELECT k FROM graftdyn.db2.t ORDER BY k")
+      .collect().map(_.getInt(0)).toSeq == Seq(2, 3))
+    // in-place change still possible: INSERT INTO upserts by PK
+    spark.sql("INSERT INTO graftdyn.db2.t VALUES (2, 'b2')")
+    assert(spark.sql("SELECT v FROM graftdyn.db2.t WHERE k = 2").first().getString(0) == "b2")
+  }
+
   test("S48g: orphan sweep reclaims crashed-commit index deltas, keeps referenced ones") {
     val t = dynTable("dyn-orphan", target = 3)
     t.upsert(Seq((1, "a")).toDF("k", "v"))

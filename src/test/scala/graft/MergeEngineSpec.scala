@@ -214,5 +214,13 @@ class MergeEngineSpec extends AnyFunSuite {
       "merge-engine" -> "partial-update",
       "fields.ts.sequence-group" -> "v",
       "fields.v.sequence-group" -> "v")))
+    // group-referenced columns are layout-frozen: rename/drop rejected
+    val t = GraftTable.create(spark, TestSpark.tmpDir("me-sg-frozen"), schema,
+      primaryKeys = Seq("k"),
+      options = Map("merge-engine" -> "partial-update",
+        "fields.ts.sequence-group" -> "v"))
+    t.append(Seq((1, "a", 1L)).toDF("k", "v", "ts"))
+    intercept[IllegalArgumentException](t.renameColumn("ts", "ts2"))
+    intercept[IllegalArgumentException](t.dropColumn("v"))
   }
 }
