@@ -696,6 +696,70 @@ object Relational2 {
              |  CAST(sum(o_custkey) AS BIGINT) AS key_sum
              |FROM (SELECT o_custkey, count(*) AS n_orders
              |      FROM orders GROUP BY o_custkey)
-             |GROUP BY n_orders ORDER BY n_orders""".stripMargin))
+             |GROUP BY n_orders ORDER BY n_orders""".stripMargin)),
+
+    // R51: percent-of-total (ratio_to_report) — each nation's share of
+    // its region's customer balance via a window sum over the grouped
+    // frame (Presto/Oracle's RATIO_TO_REPORT shape). The window runs
+    // over 25 GROUPED rows, never the base table, so the only
+    // full-corpus work is one map-combinable aggregation. §5: balances
+    // floored to integer-valued doubles ⇒ group sums exact under any
+    // partitioning; the share is one division, rounded.
+    QDef(
+      "q_pct_of_total",
+      (s, d) => {
+        val n = T.nation(s, d).select(col("n_nationkey"), col("n_regionkey"))
+        val per = T.customer(s, d)
+          .withColumn("bal", floor(col("c_acctbal")))
+          .groupBy("c_nationkey").agg(sum("bal").cast("double").as("nat_bal"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        per
+          .withColumn("reg_bal",
+            sum("nat_bal").over(Window.partitionBy("n_regionkey")))
+          .select(col("n_regionkey").as("region"), col("c_nationkey").as("nation"),
+            round(col("nat_bal"), 2).as("nat_bal"),
+            round(col("nat_bal") / col("reg_bal") * lit(100.0), 4).as("pct"))
+          .orderBy("region", "nation")
+      },
+      Some("""WITH per AS (
+             |  SELECT n.n_regionkey AS region, c.c_nationkey AS nation,
+             |    CAST(sum(floor(c.c_acctbal)) AS DOUBLE) AS nat_bal
+             |  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+             |  GROUP BY n.n_regionkey, c.c_nationkey)
+             |SELECT region, nation, round(nat_bal, 2) AS nat_bal,
+             |  round(nat_bal / sum(nat_bal) OVER (PARTITION BY region) * 100.0, 4)
+             |    AS pct
+             |FROM per ORDER BY region, nation""".stripMargin)),
+
+    // R52: period-over-period growth — monthly order revenue with the
+    // previous month's value and the growth rate (the WoW/MoM dashboard
+    // shape: aggregate to a calendar series, then lag over it). The lag
+    // runs over ≤ tens of MONTH rows; revenue floors to exact integer
+    // sums (§5), growth is one subtraction + one division on those
+    // exact values, rounded; first month's growth is NULL both engines.
+    QDef(
+      "q_period_growth",
+      (s, d) => {
+        val m = T.orders(s, d)
+          .withColumn("month", date_format(col("o_orderdate"), "yyyy-MM"))
+          .groupBy("month")
+          .agg(sum(floor(col("o_totalprice"))).cast("double").as("revenue"))
+        val w = Window.orderBy("month")
+        m.withColumn("prev", lag(col("revenue"), 1).over(w))
+          .select(col("month"), round(col("revenue"), 2).as("revenue"),
+            round(col("prev"), 2).as("prev_revenue"),
+            round((col("revenue") - col("prev")) / col("prev") * lit(100.0), 4)
+              .as("growth_pct"))
+          .orderBy("month")
+      },
+      Some("""WITH m AS (
+             |  SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+             |    CAST(sum(floor(o_totalprice)) AS DOUBLE) AS revenue
+             |  FROM orders GROUP BY 1)
+             |SELECT month, round(revenue, 2) AS revenue,
+             |  round(lag(revenue) OVER (ORDER BY month), 2) AS prev_revenue,
+             |  round((revenue - lag(revenue) OVER (ORDER BY month))
+             |      / lag(revenue) OVER (ORDER BY month) * 100.0, 4) AS growth_pct
+             |FROM m ORDER BY month""".stripMargin))
   )
 }

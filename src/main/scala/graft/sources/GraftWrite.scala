@@ -339,7 +339,13 @@ final class GraftTaskWriter(spec: GraftWriteSpec, taskUniq: String) {
         spec.partitionKeys.indices.map(i => if (r.isNullAt(i)) null else r.getUTF8String(i).toString)
     }
     val bucket = dynBucketIdx match {
-      case Some(i) => row.getInt(i)
+      case Some(i) =>
+        // a null here means the assignment join failed to cover a key —
+        // silently writing bucket 0 (getInt on null) would split the
+        // key across buckets and corrupt the MOR merge; fail the task
+        if (row.isNullAt(i))
+          throw new IllegalStateException("dynamic bucket not assigned for row")
+        row.getInt(i)
       case None => bucketProj.map(_(row).getInt(0)).getOrElse(0)
     }
     val key = (partVals, bucket)
