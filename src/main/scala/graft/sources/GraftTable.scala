@@ -278,6 +278,12 @@ class GraftTable private (
       "a primary-key column cannot be a sequence-group column")
     require(!groups.keys.exists(partitionKeys.contains),
       "a partition column cannot be a sequence-group column")
+    // a global sequence.field is merge METADATA (tracked-latest in the
+    // fold) — letting it double as a group sequence would compare the
+    // accept decision against the last row seen instead of the max
+    // accepted value
+    require(!groups.keys.exists(sequenceFields.contains),
+      "a sequence.field column cannot also be a sequence-group column")
     inverted.toMap
   }
 

@@ -214,6 +214,11 @@ class MergeEngineSpec extends AnyFunSuite {
       "merge-engine" -> "partial-update",
       "fields.ts.sequence-group" -> "v",
       "fields.v.sequence-group" -> "v")))
+    // a global sequence.field cannot double as a group sequence
+    intercept[IllegalArgumentException](make(Map(
+      "merge-engine" -> "partial-update",
+      "sequence.field" -> "ts",
+      "fields.ts.sequence-group" -> "v")))
     // group-referenced columns are layout-frozen: rename/drop rejected
     val t = GraftTable.create(spark, TestSpark.tmpDir("me-sg-frozen"), schema,
       primaryKeys = Seq("k"),
