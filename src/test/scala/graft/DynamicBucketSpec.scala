@@ -179,6 +179,41 @@ class DynamicBucketSpec extends AnyFunSuite {
     assert(t.read().count() == 1)
   }
 
+  test("S48i: a losing concurrent writer leaves no assignment; its retry reassigns once") {
+    val t1 = dynTable("dyn-race", target = 3)
+    t1.upsert(Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v"))
+    // a second, independent view of the same table (fresh caches — the
+    // optimistic-concurrency shape of two writer processes)
+    val t2 = GraftTable.load(spark, t1.root)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sessionState.newHadoopConf())
+    def idxDirsOnDisk: Set[String] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"${t1.root}/index"))
+        .map(_.getPath.getName).toSet
+    // another writer holds the claim for snapshot 2: t2's commit loses
+    val claim = new org.apache.hadoop.fs.Path(s"${t1.root}/snapshot/.claim-2")
+    fs.create(claim, false).close()
+    val before = idxDirsOnDisk
+    intercept[IllegalStateException](t2.upsert(Seq((4, "d"), (5, "e")).toDF("k", "v")))
+    // the loser's index delta was cleaned with its data files — nothing
+    // unreferenced lingers to conflict with the retry's fresh assignment
+    assert(idxDirsOnDisk == before, s"loser leaked index deltas: ${idxDirsOnDisk -- before}")
+    fs.delete(claim, false)
+    // retry wins and assigns exactly once, continuing the sequential fill
+    val t3 = GraftTable.load(spark, t1.root)
+    t3.upsert(Seq((4, "d"), (5, "e")).toDF("k", "v"))
+    val a = assignments(t3)
+    assert(a.size == 5)
+    assert(a.values.count(_ == 0) == 3 && a.values.count(_ == 1) == 2)
+    // chain-wide consistency: no key hash maps to two buckets anywhere
+    val chain = Option(t3.snapshots.last.bucketIndexes).getOrElse(Seq.empty)
+    val raw = chain.map(dir => spark.read.parquet(s"${t3.root}/$dir")).reduce(_ unionByName _)
+    val conflicted = raw.groupBy("part", "kh")
+      .agg(org.apache.spark.sql.functions.countDistinct("bucket").as("nb"))
+      .filter(org.apache.spark.sql.functions.col("nb") > 1).count()
+    assert(conflicted == 0L)
+    assert(t3.read().count() == 5)
+  }
+
   test("S48f: rescale is rejected; dynamic requires primary keys") {
     val t = dynTable("dyn-guard", target = 3)
     t.upsert(Seq((1, "a")).toDF("k", "v"))
