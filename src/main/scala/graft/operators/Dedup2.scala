@@ -538,7 +538,67 @@ object Dedup2 {
               |  FROM cc JOIN tok USING (doc_id))
               |SELECT cluster_id, doc_id AS rep_doc, ntok AS rep_tokens,
               |  CAST(csize AS BIGINT) AS cluster_size
-              |FROM r WHERE rk = 1 ORDER BY cluster_id""".stripMargin))
+              |FROM r WHERE rk = 1 ORDER BY cluster_id""".stripMargin)),
+
+    // L61: MinHash estimator calibration — for every VERIFIED near-dup
+    // pair, the signature-agreement estimate (matching components / 12)
+    // against the TRUE Jaccard: the index-tuning diagnostic that says
+    // whether the deployed band/row geometry still tracks reality
+    // (E[agree/k] = J; a drifting gap means the permutation count is
+    // wrong for the corpus). Reuses the SHARED persisted pair stage and
+    // the L3 signature permutations; per-pair rows only (pair-set
+    // sized) with NO cross-row float aggregation — every value is a
+    // single-division derivation both engines (§5).
+    QDef(
+      "q_minhash_calibration",
+      (s, d) => {
+        val k = Dedup.Bands * Dedup.RowsPerBand
+        val docs = Dedup.docsWithShingles(s, d).filter(size(col("sh")) > 0)
+        val exh = docs.select(col("doc_id"), explode(col("sh")).as("g"))
+          .withColumn("h", graft.functions.HashExpr.polyHash(col("g")))
+        val aggs = (0 until k).map(j =>
+          min((col("h") * Dedup.A(j) + Dedup.B(j)) % Dedup.P).as(s"mh$j"))
+        val sig = exh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+        val s1 = sig.select(col("doc_id").as("d1") +:
+          (0 until k).map(j => col(s"mh$j").as(s"a$j")): _*)
+        val s2 = sig.select(col("doc_id").as("d2") +:
+          (0 until k).map(j => col(s"mh$j").as(s"b$j")): _*)
+        val agree = (0 until k).map(j =>
+          when(col(s"a$j") === col(s"b$j"), 1).otherwise(0)).reduce(_ + _)
+        Dedup.jaccardPairsStaged(s, d)
+          .join(s1, "d1").join(s2, "d2")
+          .withColumn("agree", agree.cast("long"))
+          .select(col("d1"), col("d2"), col("jac"), col("agree"),
+            round(col("agree").cast("double") / lit(k.toDouble), 4).as("est"))
+          .orderBy("d1", "d2")
+      },
+      Some {
+        val k = Dedup.Bands * Dedup.RowsPerBand
+        val mhExprs = (0 until k).map { j =>
+          s"list_min(list_transform(H, x -> (x*${Dedup.A(j)} + ${Dedup.B(j)}) % ${Dedup.P}))"
+        }
+        val agreeSql = (1 to k)
+          .map(i => s"CASE WHEN s1.mh[$i] = s2.mh[$i] THEN 1 ELSE 0 END")
+          .mkString(" + ")
+        s"""WITH w AS (SELECT doc_id, ${Dedup.ShSql} sh FROM documents),
+           |e AS (SELECT doc_id, unnest(sh) g FROM w),
+           |${Dedup.PrefixCandSql},
+           |j AS (SELECT d1, d2,
+           |  CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE)
+           |    / len(list_distinct(list_cat(s1.sh, s2.sh))) jr
+           |  FROM cand JOIN w s1 ON d1 = s1.doc_id JOIN w s2 ON d2 = s2.doc_id),
+           |vp AS (SELECT d1, d2, round(jr, 4) AS jac FROM j WHERE jr >= ${Dedup.Tau}),
+           |hh AS (SELECT doc_id,
+           |    list_transform(sh, g -> ${Dedup.polyHashSqlOf("g")}) H
+           |  FROM w WHERE len(sh) > 0),
+           |sig AS (SELECT doc_id, [${mhExprs.mkString(", ")}] mh FROM hh)
+           |SELECT vp.d1, vp.d2, vp.jac,
+           |  CAST($agreeSql AS BIGINT) AS agree,
+           |  round(CAST($agreeSql AS DOUBLE) / ${k}.0, 4) AS est
+           |FROM vp JOIN sig s1 ON vp.d1 = s1.doc_id
+           |        JOIN sig s2 ON vp.d2 = s2.doc_id
+           |ORDER BY vp.d1, vp.d2""".stripMargin
+      })
   )
 
   /** L35 core: rank Levenshtein-distance-1 pairs over a `(w, n)`
