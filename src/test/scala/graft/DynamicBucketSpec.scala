@@ -214,6 +214,21 @@ class DynamicBucketSpec extends AnyFunSuite {
     assert(t3.read().count() == 5)
   }
 
+  test("S48 legacy: pre-S48 snapshot JSON (no bucketIndexes field) still deserializes") {
+    // the r9-era snapshot shape; jackson materializes an absent Seq
+    // field per its own rules (null OR empty — the manifests trap in
+    // CLAUDE.md), so every consumer goes through Option(...).getOrElse:
+    // pin the BEHAVIOR, not the representation
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    mapper.registerModule(com.fasterxml.jackson.module.scala.DefaultScalaModule)
+    val json = """{"id":1,"commitUser":"u","commitIdentifier":1,
+                  |"commitKind":"APPEND","schemaId":0,"timestampMs":5,
+                  |"manifests":["m-1"]}""".stripMargin.replace("\n", "")
+    val snap = mapper.readValue(json, classOf[graft.sources.SnapshotMeta])
+    assert(Option(snap.bucketIndexes).getOrElse(Seq.empty).isEmpty)
+    assert(snap.manifests == Seq("m-1") && snap.id == 1L)
+  }
+
   test("S48f: rescale is rejected; dynamic requires primary keys") {
     val t = dynTable("dyn-guard", target = 3)
     t.upsert(Seq((1, "a")).toDF("k", "v"))
