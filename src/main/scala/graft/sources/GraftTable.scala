@@ -466,6 +466,26 @@ class GraftTable private (
     // crash). A claim whose writer died before publishing is taken over
     // after ClaimTtlMs. Claiming BEFORE the manifest writes means a
     // losing committer leaves no orphan manifests behind.
+    // S48: the bucket-index chain inherits UNCONDITIONALLY (a rebase
+    // rewrites data files, never assignments — a key's bucket is
+    // immutable), appends this commit's delta dirs, and folds like the
+    // manifest chain. Only the INHERITED prefix folds: this commit's own
+    // deltas stay explicit entries, so every delta dir is referenced by
+    // the snapshot that introduced it (otherwise a same-commit fold
+    // would orphan them from expiry's reachability sweep). The fold runs
+    // a full Spark job (read + rewrite of the resolved index), so it
+    // happens HERE — before the claim — not inside the critical section,
+    // where it would lengthen the window in which concurrent writers
+    // lose the snapshot race and must restage (ADVICE r10). If WE lose
+    // the race after folding, the folded dir is unreferenced and the
+    // orphan sweep reclaims it.
+    val baseIdx: Seq[String] =
+      if (id <= 1) Seq.empty else bucketIndexChainOf(readSnapshot(id - 1))
+    val idxChain: Seq[String] =
+      if (baseIdx.nonEmpty && baseIdx.length + indexDirs.length >= manifestMergeMinCount)
+        foldIndexChain(baseIdx) ++ indexDirs
+      else baseIdx ++ indexDirs
+
     val dst = new Path(root, s"$snapDirRel/snap-$id.json")
     val claim = new Path(root, s"$snapDirRel/.claim-$id")
     def tryClaim(): Boolean =
@@ -508,21 +528,6 @@ class GraftTable private (
       var chain = if (delta.isEmpty) baseChain else baseChain :+ writeManifest(delta)
       if (chain.length >= manifestMergeMinCount)
         chain = Seq(writeManifest(resolveChain(chain).map(ManifestEntry(ManifestEntry.Add, _))))
-
-      // S48: the bucket-index chain inherits UNCONDITIONALLY (a rebase
-      // rewrites data files, never assignments — a key's bucket is
-      // immutable), appends this commit's delta dirs, and folds like
-      // the manifest chain. Only the INHERITED prefix folds: this
-      // commit's own deltas stay explicit entries, so every delta dir
-      // is referenced by the snapshot that introduced it (otherwise a
-      // same-commit fold would orphan them from expiry's reachability
-      // sweep — they'd leak forever).
-      val baseIdx: Seq[String] =
-        if (id <= 1) Seq.empty else bucketIndexChainOf(readSnapshot(id - 1))
-      val idxChain: Seq[String] =
-        if (baseIdx.nonEmpty && baseIdx.length + indexDirs.length >= manifestMergeMinCount)
-          foldIndexChain(baseIdx) ++ indexDirs
-        else baseIdx ++ indexDirs
 
       val snap = SnapshotMeta(
         id = id,
@@ -1258,7 +1263,14 @@ class GraftTable private (
       occ.toDF(P, "__base")
     }
     val target = dynamicTargetRows
-    val newKeys = keyed
+    // Only row versions that ADD data (+I/+U) may mint an assignment:
+    // a -D/-U for a key the index never saw merges to nothing whatever
+    // bucket it lands in, and assignments are immutable — recording one
+    // would permanently consume target-row-num capacity for a key that
+    // never held data (ADVICE r10). Such rows route to bucket 0 below.
+    val minting = keyed.filter(
+      col(KindCol).isin(GraftTable.RowKind.Insert, GraftTable.RowKind.UpdateAfter))
+    val newKeys = minting
       .join(idx, Seq(P, KH), "left_anti")
       .select(P, KH).distinct()
       .join(broadcast(occDf), Seq(P), "left")
@@ -1280,7 +1292,12 @@ class GraftTable private (
         idx.unionByName(delta.select(col("part").as(P), col("kh").as(KH),
           col("bucket").as(GraftTable.DynBucketCol)))
       else idx
-    val out = keyed.join(fullIdx, Seq(P, KH), "left").drop(P, KH)
+    // a tombstone/pre-image for an unindexed key has no assignment —
+    // route it to bucket 0 without recording (merges to nothing anyway)
+    val out = keyed.join(fullIdx, Seq(P, KH), "left")
+      .withColumn(GraftTable.DynBucketCol,
+        coalesce(col(GraftTable.DynBucketCol), lit(0)))
+      .drop(P, KH)
     (out, dirs)
   }
 
@@ -1671,20 +1688,26 @@ class GraftTable private (
         val wDesc = Window.partitionBy(pk: _*).orderBy(seqDesc: _*)
           .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
         val wRn = Window.partitionBy(pk: _*).orderBy(seqDesc: _*)
-        // S49 sequence groups: a grouped column folds under ITS group's
-        // sequence order (group seq desc nulls-last, then the global
-        // order as the tiebreak) instead of the global commit order
+        // S49 sequence groups: replicate foldAscending's per-row accept
+        // decision exactly — processing versions in ascending global
+        // order, a row updates group g's columns iff no non-null g was
+        // seen on an earlier row, or its g is non-null and >= the running
+        // max of earlier g values. A REJECTED (stale-group-seq) row
+        // contributes NOTHING for the group's columns — masked to null
+        // here so a late-committed stale row can't resurrect a value the
+        // newest group row set to null (ADVICE r10).
         val colGroups = if (engine == "partial-update") columnSequenceGroup else Map.empty[String, String]
+        val wPrior = Window.partitionBy(pk: _*).orderBy(seqAsc: _*)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val aliveMasked = colGroups.foldLeft(alive) { case (df, (c, g)) =>
+          val priorMax = max(col(g)).over(wPrior)
+          val accepted = priorMax.isNull || (col(g).isNotNull && col(g) >= priorMax)
+          df.withColumn(s"__grp_$c", when(accepted, col(c)))
+        }
         def folded(c: String): Column = {
-          colGroups.get(c) match {
-            case Some(g) =>
-              return first(col(c), ignoreNulls = true).over(
-                Window.partitionBy(pk: _*)
-                  .orderBy(col(g).desc_nulls_last +: seqDesc: _*)
-                  .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
-                .cast(schema(schema.fieldIndex(c)).dataType).as(c)
-            case None => ()
-          }
+          if (colGroups.contains(c))
+            return first(col(s"__grp_$c"), ignoreNulls = true).over(wDesc)
+              .cast(schema(schema.fieldIndex(c)).dataType).as(c)
           val fn =
             if (engine == "partial-update") "last_non_null_value"
             else fieldAggregates.getOrElse(c, "last_non_null_value")
@@ -1707,7 +1730,7 @@ class GraftTable private (
           f.cast(schema(schema.fieldIndex(c)).dataType).as(c)
         }
         val nonKey = schema.fieldNames.toSeq.filterNot(primaryKeys.contains)
-        alive
+        aliveMasked
           .select(pk ++ nonKey.map(folded) :+ row_number().over(wRn).as("__rn"): _*)
           .filter(col("__rn") === 1).drop("__rn")
     }

@@ -97,6 +97,29 @@ class DynamicBucketSpec extends AnyFunSuite {
     assert(assignments(t) == before)
   }
 
+  test("S48j: deleting a never-present key mints no assignment (ADVICE r10)") {
+    val t = dynTable("dyn-del-absent", target = 3)
+    t.upsert(Seq((1, "a"), (2, "b")).toDF("k", "v"))
+    val a1 = assignments(t)
+    assert(a1.size == 2)
+    val chainLen = t.snapshots.last.bucketIndexes.length
+    // tombstones for keys the index never saw: no capacity consumed,
+    // no new chain entry, and the table contents are unchanged
+    t.delete(Seq((100, "x"), (200, "y")).toDF("k", "v"))
+    assert(assignments(t) == a1, "delete of absent keys grew the index")
+    assert(t.snapshots.last.bucketIndexes.length == chainLen)
+    assert(t.read().orderBy("k").collect().map(_.getInt(0)).toSeq == Seq(1, 2))
+    // a delete of a PRESENT key still lands in its assigned bucket
+    t.delete(Seq((1, "a")).toDF("k", "v"))
+    assert(assignments(t) == a1)
+    assert(t.read().collect().map(_.getInt(0)).toSeq == Seq(2))
+    // those absent keys can still be inserted later, getting fresh slots
+    t.upsert(Seq((100, "now")).toDF("k", "v"))
+    assert(assignments(t).size == 3)
+    assert(t.read().orderBy("k").collect().map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((2, "b"), (100, "now")))
+  }
+
   test("S48d: SQL INSERT INTO / OVERWRITE route through the V1Write fallback") {
     spark.conf.set("spark.sql.catalog.graftdyn", "graft.sources.GraftSparkCatalog")
     spark.conf.set("spark.sql.catalog.graftdyn.warehouse", TestSpark.tmpDir("dyn-wh"))

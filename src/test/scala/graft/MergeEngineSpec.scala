@@ -179,6 +179,31 @@ class MergeEngineSpec extends AnyFunSuite {
     assert(readBoth(t).map(sgRow) == Seq((1, 12.0, 200L, "shipped", 300L)))
   }
 
+  test("S49: a stale-group-seq row cannot resurrect a value the newest group row nulled") {
+    // ADVICE r10 repro: the newest group-seq row carries NULL in the
+    // grouped column; a late-committed STALE row (lower group seq) holds
+    // a non-null value. foldAscending rejects the whole stale row — the
+    // window path (mergeVersions, which also backs compact()) must too.
+    val t = seqGroupTable("me-sg-stale-null")
+    t.append(Seq((1, Option.empty[Double], Some(200L), Some("new"), Some(200L)))
+      .toDF("k", "price", "price_ts", "status", "status_ts"))
+    t.append(Seq((1, Some(9.0), Some(150L), Option.empty[String], Option.empty[Long]))
+      .toDF("k", "price", "price_ts", "status", "status_ts"))
+    def check(): Unit = {
+      val rows = readBoth(t)
+      assert(rows.map(r => (r.getInt(0), Option(r.get(1)), r.getLong(2), r.getString(3))) ==
+        Seq((1, None, 200L, "new")))
+    }
+    check()
+    // compaction materializes via mergeVersions — result must not change
+    t.compact()
+    check()
+    // an accepted EQUAL group seq still updates (>= semantics)
+    t.append(Seq((1, Some(7.5), Some(200L), Option.empty[String], Option.empty[Long]))
+      .toDF("k", "price", "price_ts", "status", "status_ts"))
+    assert(readBoth(t).map(sgRow) == Seq((1, 7.5, 200L, "new", 200L)))
+  }
+
   test("S49: delete resets group state; null group-seq sorts oldest") {
     val t = seqGroupTable("me-sg-del")
     t.append(Seq((1, 10.0, 500L, "new", 500L)).toDF("k", "price", "price_ts", "status", "status_ts"))
