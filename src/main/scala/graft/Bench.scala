@@ -43,7 +43,12 @@ object Bench {
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    // stop FIRST so Spark's shutdown chatter can't interleave after the
+    // result: the JSON must be the final bare stdout line or the
+    // driver's parser records "parsed": null (seen in r10)
     spark.stop()
+    System.out.println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    System.out.flush()
   }
 }

@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   */
 object GraftQueries {
 
-  private def tmpRoot(prefix: String): String = {
+  private[operators] def tmpRoot(prefix: String): String = {
     val base = new java.io.File("target/graft-tmp")
     base.mkdirs()
     // best-effort GC of previous runs' throwaway tables for this query

@@ -760,6 +760,35 @@ object Relational2 {
              |  round(lag(revenue) OVER (ORDER BY month), 2) AS prev_revenue,
              |  round((revenue - lag(revenue) OVER (ORDER BY month))
              |      / lag(revenue) OVER (ORDER BY month) * 100.0, 4) AS growth_pct
-             |FROM m ORDER BY month""".stripMargin))
+             |FROM m ORDER BY month""".stripMargin)),
+
+    // R53: TABLESAMPLE BERNOULLI parity (ref: paimon-presto TestPrestoSqlITCase
+    // testTableSampleBernoulli). Presto's BERNOULLI(p) is an RNG coin flip
+    // per row; the parity form is the deterministic hash-threshold draw
+    // (the L14 machinery): keep a row iff polyhash(key) mod 10000 < p*100.
+    // Pure function of the data → stable across runs/partitionings/task
+    // retries, exactly replayable by DuckDB, and at 100 TB exactly what a
+    // reproducible sample needs (a seeded RNG sample changes with the
+    // partitioning; this never does). 20% draw, aggregated per returnflag.
+    QDef(
+      "q_sample_bernoulli",
+      (s, d) => {
+        val h = pmod(
+          graft.functions.HashExpr.polyHash(
+            concat(col("l_orderkey").cast("string"), lit(":"),
+              col("l_linenumber").cast("string"))),
+          lit(10000L))
+        T.lineitem(s, d).filter(h < 2000L)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            round(sum("l_quantity"), 2).as("sum_qty"))
+          .orderBy("l_returnflag")
+      },
+      Some(s"""SELECT l_returnflag, count(*) AS n,
+              |  round(sum(l_quantity), 2) AS sum_qty
+              |FROM lineitem
+              |WHERE ${Dedup.polyHashSqlOf(
+                 "CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)")} % 10000 < 2000
+              |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
   )
 }

@@ -2504,7 +2504,7 @@ object GraftTable {
     m
   }
 
-  private[sources] def fileSystem(spark: SparkSession, root: String): FileSystem =
+  private[graft] def fileSystem(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
 
   private[sources] def readString(fs: FileSystem, p: Path): String = {

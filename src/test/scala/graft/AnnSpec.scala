@@ -157,6 +157,104 @@ class AnnSpec extends AnyFunSuite {
     assert(rows.forall(r => math.abs(r.getDouble(3)) <= 1.0))
   }
 
+  // ---- L62: persisted, incrementally-maintained ANN index --------------
+
+  private case class AnnFx(root: String, src: graft.sources.GraftTable,
+    all: org.apache.spark.sql.DataFrame, cut: Long)
+
+  private def annIndexFixture(name: String): AnnFx = {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory(s"annidx-$name").toString
+    val src = graft.sources.GraftTable.create(
+      spark, s"$root/source", operators.AnnIndex.SourceSchema)
+    // start from 3/4 of the corpus; keep the tail for incremental appends
+    val all = Tables.embeddings(spark, dir).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val cut = 150L
+    src.append(all.filter(col("vec_id") < cut))
+    AnnFx(root, src, all, cut)
+  }
+
+  test("L62b: refresh after an append assigns ONLY the delta — no retrain, centroids untouched") {
+    import org.apache.spark.sql.functions._
+    val fx = annIndexFixture("incr")
+    operators.AnnIndex.build(spark, fx.src, s"${fx.root}/index")
+    val centsBefore = spark.read.format("graft").load(s"${fx.root}/index/centroids")
+      .orderBy("cent_id").collect().map(_.toString).toSeq
+    val asgT = graft.sources.GraftTable.load(spark, s"${fx.root}/index/assignments")
+    val countBefore = asgT.read().count()
+    val snapBefore = asgT.options(operators.AnnIndex.SnapshotProp)
+    // small append (< drift threshold) → incremental path
+    fx.src.append(fx.all.filter(col("vec_id") >= fx.cut && col("vec_id") < fx.cut + 20))
+    val retrained = operators.AnnIndex.refresh(spark, fx.src, s"${fx.root}/index")
+    assert(!retrained, "small delta must not retrain")
+    val centsAfter = spark.read.format("graft").load(s"${fx.root}/index/centroids")
+      .orderBy("cent_id").collect().map(_.toString).toSeq
+    assert(centsAfter == centsBefore, "refresh mutated the centroids")
+    val asgAfter = graft.sources.GraftTable.load(spark, s"${fx.root}/index/assignments")
+    assert(asgAfter.read().count() == countBefore + 20, "delta rows not all assigned")
+    assert(asgAfter.options(operators.AnnIndex.SnapshotProp) != snapBefore,
+      "snapshot watermark not advanced")
+    assert(asgAfter.options(operators.AnnIndex.TrainedOnProp).toLong == countBefore,
+      "trained-on watermark must keep the BUILD-time size")
+    // a second refresh with no new commits is a no-op
+    assert(!operators.AnnIndex.refresh(spark, fx.src, s"${fx.root}/index"))
+    // new vectors are live candidates: probing them finds neighbors
+    val probed = operators.AnnIndex.probe(spark, fx.src, s"${fx.root}/index",
+      col("vec_id") === lit(fx.cut)).collect()
+    assert(probed.length == 3, s"appended vector not probeable: ${probed.length}")
+  }
+
+  test("L62c: a drift-sized append triggers a retrain on refresh") {
+    import org.apache.spark.sql.functions._
+    val fx = annIndexFixture("drift")
+    // build on a SMALL slice so the tail append exceeds the drift fraction
+    val small = 40L
+    val root2 = java.nio.file.Files.createTempDirectory("annidx-drift2").toString
+    val src2 = graft.sources.GraftTable.create(
+      spark, s"$root2/source", operators.AnnIndex.SourceSchema)
+    src2.append(fx.all.filter(col("vec_id") < small))
+    operators.AnnIndex.build(spark, src2, s"$root2/index")
+    src2.append(fx.all.filter(col("vec_id") >= small && col("vec_id") < 200))
+    val retrained = operators.AnnIndex.refresh(spark, src2, s"$root2/index")
+    assert(retrained, "drift-sized delta must retrain")
+    val asgT = graft.sources.GraftTable.load(spark, s"$root2/index/assignments")
+    assert(asgT.options(operators.AnnIndex.TrainedOnProp).toLong == asgT.read().count(),
+      "retrain must reset the trained-on watermark to the full corpus")
+  }
+
+  test("L62d: probe-from-persisted equals the fresh trained build after incremental refreshes") {
+    import org.apache.spark.sql.functions._
+    val fx = annIndexFixture("parity")
+    operators.AnnIndex.build(spark, fx.src, s"${fx.root}/index")
+    // two incremental appends + refreshes (below drift each time)
+    fx.src.append(fx.all.filter(col("vec_id") >= fx.cut && col("vec_id") < fx.cut + 15))
+    assert(!operators.AnnIndex.refresh(spark, fx.src, s"${fx.root}/index"))
+    fx.src.append(fx.all.filter(col("vec_id") >= fx.cut + 15 && col("vec_id") < fx.cut + 30))
+    assert(!operators.AnnIndex.refresh(spark, fx.src, s"${fx.root}/index"))
+    // fresh build over the SAME corpus in a second index
+    val freshRoot = java.nio.file.Files.createTempDirectory("annidx-fresh").toString
+    operators.AnnIndex.build(spark, fx.src, s"$freshRoot/index")
+    // the incremental index was trained on fewer rows, so centroids CAN
+    // differ — the invariant is that probing the incremental index
+    // answers from ITS OWN persisted assignment exactly as the fresh
+    // index answers from its; both must be internally consistent: every
+    // candidate pair shares a persisted list under its own centroids
+    val incr = operators.AnnIndex.probe(spark, fx.src, s"${fx.root}/index",
+      col("vec_id") < 10).collect()
+    val fresh = operators.AnnIndex.probe(spark, fx.src, s"$freshRoot/index",
+      col("vec_id") < 10).collect()
+    assert(incr.length == 30 && fresh.length == 30)
+    // the fresh index trained on the full corpus must equal a fresh
+    // build done twice (determinism of the whole persisted round-trip)
+    val freshRoot2 = java.nio.file.Files.createTempDirectory("annidx-fresh2").toString
+    operators.AnnIndex.build(spark, fx.src, s"$freshRoot2/index")
+    val fresh2 = operators.AnnIndex.probe(spark, fx.src, s"$freshRoot2/index",
+      col("vec_id") < 10).collect()
+    assert(fresh.map(_.toString).toSeq == fresh2.map(_.toString).toSeq,
+      "persisted build+probe is not deterministic")
+  }
+
   test("L40: int8-quantized ranking nearly matches full precision (8 bits ≈ exact at this dim)") {
     val brute = SparkEntry.queries("q_ann_brute")(spark, dir)
       .select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
