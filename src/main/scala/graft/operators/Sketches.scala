@@ -154,6 +154,49 @@ object Sketches {
              |                           ORDER BY cnt DESC, item) AS rn
              |      FROM c)
              |SELECT l_returnflag, item, cnt, rn FROM r WHERE rn <= 5
-             |ORDER BY l_returnflag, rn""".stripMargin))
+             |ORDER BY l_returnflag, rn""".stripMargin)),
+
+    /** L63 on the oracle surface: PERSISTABLE sketch columns — the
+      * rollup-table pattern the reference exercises as Presto's
+      * approx_set → stored HyperLogLog → merge → cardinality (ref:
+      * TestPrestoSqlITCase testApproxSet / testMergeHyperLogLog).
+      * Stage 1 sketches per (returnflag, shipmode) cell and STORES the
+      * binary sketch in a graft table; stage 2 reads the table back and
+      * merges cells up to per-returnflag estimates — no touch of the
+      * raw rows. KMV merges are LOSSLESS (the global k-min set is a
+      * pure function of the union of per-cell k-min sets), so the
+      * merged estimate equals the one-pass estimate bit-for-bit at ANY
+      * scale factor, and the oracle replay is the same kmvSql the
+      * one-pass q_sketch_distinct uses. The binary round-trip through
+      * graft parquet (write → manifest stats skip → scan) is the other
+      * half of what this checks; KLL/MG state/merge parity is
+      * SketchPersistSpec. */
+    QDef(
+      "q_sketch_persist",
+      (s, d) => {
+        import graft.functions.SketchState
+        val rollup = T.lineitem(s, d)
+          .withColumn("ship_month", date_format(col("l_shipdate"), "yyyy-MM"))
+          .groupBy("l_returnflag", "ship_month")
+          .agg(
+            SketchState.kmvState(
+              HashExpr.tokenHash64(col("l_suppkey").cast("string")), K).as("sk"),
+            count(lit(1)).as("n"))
+        val t = graft.sources.GraftTable.create(
+          s, GraftQueries.tmpRoot("skpersist"), rollup.schema)
+        t.append(rollup)
+        t.read()
+          .groupBy("l_returnflag")
+          .agg(SketchState.kmvMerge(col("sk")).as("msk"), sum("n").as("n"))
+          .select(col("l_returnflag"),
+            SketchState.kmvEstimate(col("msk")).as("approx_supps"),
+            col("n"))
+          .orderBy("l_returnflag")
+      },
+      Some(s"""WITH ${kmvSql("m", "l_suppkey", "approx_supps")},
+              |base AS (SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag)
+              |SELECT b.l_returnflag, em.approx_supps, b.n
+              |FROM base b JOIN em ON b.l_returnflag = em.l_returnflag
+              |ORDER BY b.l_returnflag""".stripMargin))
   )
 }

@@ -84,6 +84,12 @@ object FileStats {
       }
       val stats = acc.flatMap { case (name, (mn, mx, nulls, tpe)) =>
         if (poisoned(name)) None // a stats-less chunk: nothing provable
+        // raw BINARY (no string/decimal annotation) is opaque bytes —
+        // sketch states, media blobs: min/max rendered into the UTF8
+        // string domain would be garbage that bloats manifests and
+        // compares in the wrong domain; record nothing (L63)
+        else if (tpe.getPrimitiveTypeName == PrimitiveTypeName.BINARY &&
+            tpe.getLogicalTypeAnnotation == null) None
         else if (mn == null && nulls <= 0) None // nothing provable about this column
         else Some(name -> ColStats(
           if (mn == null) null else render(mn, tpe),

@@ -1409,7 +1409,7 @@ class GraftTable private (
       case _ => main
     }
 
-  private def currentFiles(snapshotId: Option[Long]): Seq[FileMeta] =
+  private[graft] def currentFiles(snapshotId: Option[Long]): Seq[FileMeta] =
     snapshotId.orElse(latestSnapshotId) match {
       case None => Seq.empty
       case Some(id) => filesOf(readSnapshot(id))
