@@ -77,7 +77,13 @@ final case class SnapshotMeta(
     // assignment delta directories under index/ (first assignment wins;
     // inherited commit-over-commit like `manifests`, folded when long).
     // Null = table has never written dynamic assignments.
-    bucketIndexes: Seq[String] = null)
+    bucketIndexes: Seq[String] = null,
+    // S52 changelog-producer=full-compaction: root-relative directory of
+    // THIS commit's changelog rows (rowkind + data columns), written by
+    // the compaction that diffed the merged state before/after. Unlike
+    // bucketIndexes this is NOT an inherited chain — each changelog
+    // belongs to exactly one snapshot. Null = commit produced none.
+    changelogDir: String = null)
 
 final case class SchemaMeta(
     id: Long,
@@ -199,10 +205,22 @@ class GraftTable private (
     require(f == "parquet" || f == "orc", s"unsupported file.format: $f")
     f
   }
-  /** Paimon option name: `none` (default) writes upserts as +I;
-    * `lookup` classifies against current state and emits -U/+U pairs. */
-  private[sources] def lookupChangelog: Boolean =
-    options.getOrElse("changelog-producer", "none") == "lookup"
+  /** Paimon's `changelog-producer` lattice (CoreOptions):
+    * `none` (default) — upserts write +I, CDC consumers cannot tell
+    * update from insert; `input` (S51) — the caller's stream IS the
+    * changelog, rows arrive with their own rowkinds via [[writeCdc]],
+    * zero classification cost; `lookup` — classify each batch against
+    * current state, emitting true -U/+U pairs per write;
+    * `full-compaction` (S52) — changelog materializes only at
+    * [[compact]] time by diffing the merged state before/after, the
+    * zero-write-cost / compaction-latency trade. */
+  private[sources] def changelogProducer: String = {
+    val p = options.getOrElse("changelog-producer", "none")
+    require(p == "none" || p == "input" || p == "lookup" || p == "full-compaction",
+      s"unsupported changelog-producer: $p")
+    p
+  }
+  private[sources] def lookupChangelog: Boolean = changelogProducer == "lookup"
   /** `deletion-vectors.enabled` (S37): row-predicate DELETE on an APPEND
     * table writes per-file position sidecars instead of a group rewrite.
     * PK tables already have a cheaper delete (RowKind tombstones through
@@ -428,7 +446,8 @@ class GraftTable private (
       id: Long, kind: String, added: Seq[FileMeta],
       deleted: Seq[FileMeta] = Seq.empty, rebase: Boolean = false,
       commitUser: String = "graft", commitIdentifier: Option[Long] = None,
-      indexDirs: Seq[String] = Seq.empty): Long = {
+      indexDirs: Seq[String] = Seq.empty,
+      changelogDir: Option[String] = None): Long = {
     // S42 mid-rescale fence: if the bucket layout the CURRENT schema
     // declares differs from the layout the latest snapshot was committed
     // under, a rescale published its schema but its rewrite never landed
@@ -537,7 +556,8 @@ class GraftTable private (
         schemaId = schemaMeta.id,
         timestampMs = System.currentTimeMillis(),
         manifests = chain,
-        bucketIndexes = if (idxChain.isEmpty) null else idxChain)
+        bucketIndexes = if (idxChain.isEmpty) null else idxChain,
+        changelogDir = changelogDir.orNull)
       val tmp = new Path(root, s"$snapDirRel/.tmp-$id-${UUID.randomUUID().toString.take(8)}")
       writeString(fs, tmp, mapper.writeValueAsString(snap))
       if (!fs.rename(tmp, dst)) {
@@ -611,6 +631,47 @@ class GraftTable private (
     val pre = cur.join(updatedKeys, primaryKeys, "left_semi")
       .withColumn(KindCol, lit(RowKind.UpdateBefore))
     writeCommit(marked.unionByName(pre), kind = "APPEND", rowKind = RowKind.Insert,
+      commitUser = commitUser, commitIdentifier = commitIdentifier)
+  }
+
+  /** S51 `changelog-producer=input`: the caller's batch IS the changelog
+    * (the CDC-ingest configuration — a Debezium/Flink-CDC style stream
+    * already carries per-row kinds, so classifying against table state
+    * would pay a lookup join for information the source has). `df` must
+    * carry a `rowkind` STRING column with values in the +I/-U/+U/-D
+    * lattice; rows are written verbatim — `-U` markers are changelog
+    * pre-images the merge skips, `-D` tombstones reset their key, +I/+U
+    * are row versions. Changelog readers (`readIncrement(changelog =
+    * true)`, streaming `readChangelog`) replay exactly these kinds.
+    *
+    * Without a `sequence.field` the rows of one batch share a commit
+    * sequence, so a key may appear at most ONCE as a row version per
+    * batch (checked); with sequence fields the within-batch order is the
+    * data's own and multi-version batches are fine — the standard Paimon
+    * answer for out-of-order CDC. */
+  def writeCdc(df: DataFrame, commitUser: String = "graft",
+      commitIdentifier: Option[Long] = None): Long = {
+    require(isPkTable, "writeCdc requires primary keys")
+    require(changelogProducer == "input",
+      "writeCdc requires changelog-producer=input (the input IS the changelog)")
+    require(df.columns.contains("rowkind"),
+      "writeCdc input must carry a 'rowkind' column (+I/-U/+U/-D)")
+    val kinds = Seq(RowKind.Insert, RowKind.UpdateBefore, RowKind.UpdateAfter, RowKind.Delete)
+    val withKind = df
+      .withColumn(KindCol,
+        when(col("rowkind").isin(kinds.map(k => k: Any): _*), col("rowkind"))
+          .otherwise(raise_error(concat(lit("writeCdc: invalid rowkind "), col("rowkind")))))
+      .drop("rowkind")
+    if (sequenceFields.isEmpty) {
+      val dup = withKind.filter(col(KindCol) =!= RowKind.UpdateBefore)
+        .groupBy(primaryKeys.map(col): _*).count()
+        .filter(col("count") > 1).limit(1).count()
+      require(dup == 0,
+        "writeCdc batch holds multiple versions of one key but the table has no " +
+          "sequence.field — they would share a commit sequence and merge " +
+          "nondeterministically; declare sequence.field or split the batch")
+    }
+    writeCommit(withKind, kind = "APPEND", rowKind = RowKind.Insert,
       commitUser = commitUser, commitIdentifier = commitIdentifier)
   }
 
@@ -780,11 +841,75 @@ class GraftTable private (
         .repartitionByRange(n, sortBy.map(col): _*)
         .sortWithinPartitions(sortBy.map(col): _*)
     }
+    // S52 changelog-producer=full-compaction: the changelog materializes
+    // HERE, by diffing the merged state against the last snapshot that
+    // carried a changelog (or the table's beginning). Writes stay
+    // zero-changelog-cost; the latency is the compaction interval —
+    // Paimon's documented trade for this producer.
+    val changelogDir =
+      if (changelogProducer == "full-compaction" && isPkTable)
+        writeCompactionChangelog(base, merged)
+      else None
     val added = stageWrite(merged, rowKind = RowKind.Insert, seq = base + 1,
       keySort = sortBy.isEmpty && zorderBy.isEmpty)
     commitOrClean(base + 1, "COMPACT", added.files, rebase = true,
-      indexDirs = added.indexDirs)
+      indexDirs = added.indexDirs, changelogDir = changelogDir)
   }
+
+  /** Diff the merged table state between the last changelog-producing
+    * compaction and `now`, writing (rowkind, data columns) parquet rows
+    * under changelog/. One PK-keyed full-outer join of two merged
+    * frames — new keys emit +I, vanished keys -D (pre-image), changed
+    * keys a -U/+U pair; unchanged keys emit nothing. Returns None when
+    * the diff is empty (a changelog-less COMPACT snapshot). */
+  private def writeCompactionChangelog(
+      base: Long, now: DataFrame): Option[String] = {
+    // the diff base: the merged state at the most recent snapshot that
+    // HAS a changelog (every consumer has seen exactly that state);
+    // before any changelog exists the base is empty and all rows are +I
+    val prevClSnap = (1L to base).reverse.find(id =>
+      scala.util.Try(readSnapshot(id)).toOption.exists(_.changelogDir != null))
+    val old = prevClSnap match {
+      case Some(id) => read(snapshotId = Some(id))
+      case None => spark.createDataFrame(new java.util.ArrayList[Row](), schema)
+    }
+    val pk = primaryKeys
+    val nonKey = schema.fieldNames.toSeq.filterNot(pk.contains)
+    val o = old.select(schema.fieldNames.map(c => col(c).as(s"__o_$c")).toSeq: _*)
+    val nw = now.select(schema.fieldNames.map(col).toSeq: _*)
+    val joinCond = pk.map(k => col(k) <=> col(s"__o_$k")).reduce(_ && _)
+    val j = nw.join(o, joinCond, "full_outer")
+    val oldExists = col(s"__o_${pk.head}").isNotNull ||
+      pk.tail.map(k => col(s"__o_$k").isNotNull).foldLeft(lit(false))(_ || _)
+    val newExists = col(pk.head).isNotNull ||
+      pk.tail.map(k => col(k).isNotNull).foldLeft(lit(false))(_ || _)
+    val changed = nonKey.map(c => !(col(c) <=> col(s"__o_$c")))
+      .foldLeft(lit(false))(_ || _)
+    def rows(kind: String, fromOld: Boolean) = {
+      val cols = schema.fieldNames.toSeq.map(c =>
+        (if (fromOld) col(s"__o_$c") else col(c)).as(c))
+      (lit(kind).as("rowkind") +: cols)
+    }
+    val inserts = j.filter(!oldExists && newExists).select(rows(RowKind.Insert, fromOld = false): _*)
+    val deletes = j.filter(oldExists && !newExists).select(rows(RowKind.Delete, fromOld = true): _*)
+    val updatesPre = j.filter(oldExists && newExists && changed)
+      .select(rows(RowKind.UpdateBefore, fromOld = true): _*)
+    val updatesPost = j.filter(oldExists && newExists && changed)
+      .select(rows(RowKind.UpdateAfter, fromOld = false): _*)
+    val cl = inserts.unionByName(deletes).unionByName(updatesPre).unionByName(updatesPost)
+    val rel = s"changelog/cl-${base + 1}-${UUID.randomUUID().toString.take(8)}"
+    cl.write.mode("overwrite").parquet(s"${root.stripSuffix("/")}/$rel")
+    // an empty diff leaves an empty dir — drop it, commit changelog-less
+    val any = spark.read.schema(changelogDiffSchema).parquet(s"${root.stripSuffix("/")}/$rel")
+      .limit(1).count() > 0
+    if (any) Some(rel)
+    else { fs.delete(new Path(root, rel), true); None }
+  }
+
+  /** Stored full-compaction changelog layout: rowkind + data columns
+    * (commit_seq is implied by the owning snapshot id). */
+  private def changelogDiffSchema: StructType =
+    StructType(StructField("rowkind", StringType) +: schema.fields)
 
   /** S42: offline bucket rescale (Paimon's `rescale` procedure shape) —
     * rewrite the whole table under a NEW bucket count in one commit.
@@ -909,14 +1034,17 @@ class GraftTable private (
       id: Long, kind: String, added: Seq[FileMeta],
       deleted: Seq[FileMeta] = Seq.empty, rebase: Boolean = false,
       commitUser: String = "graft", commitIdentifier: Option[Long] = None,
-      indexDirs: Seq[String] = Seq.empty): Long =
-    try commitAt(id, kind, added, deleted, rebase, commitUser, commitIdentifier, indexDirs)
+      indexDirs: Seq[String] = Seq.empty,
+      changelogDir: Option[String] = None): Long =
+    try commitAt(id, kind, added, deleted, rebase, commitUser, commitIdentifier,
+      indexDirs, changelogDir)
     catch {
       case e: Throwable =>
         added.foreach(f => deleteDataFile(f.path))
         // a lost race references the assignment delta from no snapshot;
         // delete it so the retry's fresh assignment is the only one
         indexDirs.foreach(p => fs.delete(new Path(root, p), true))
+        changelogDir.foreach(p => fs.delete(new Path(root, p), true))
         throw e
     }
 
@@ -1781,6 +1909,22 @@ class GraftTable private (
     val snaps =
       try range.map(readSnapshot)
       catch { case e: java.io.FileNotFoundException => expired(e) }
+    // S52: on a full-compaction-producer table the changelog stream IS
+    // the stored per-compaction diff — APPEND commits between
+    // compactions emit nothing (Paimon's documented latency trade);
+    // each diff row carries its owning snapshot id as commit_seq
+    if (changelog && isPkTable && changelogProducer == "full-compaction") {
+      val dirs = snaps.filter(_.changelogDir != null)
+        .map(s => (s.id, s.changelogDir))
+      if (dirs.isEmpty)
+        return spark.createDataFrame(new java.util.ArrayList[Row](), changelogSchema)
+      return dirs.map { case (id, dir) =>
+        spark.read.schema(changelogDiffSchema)
+          .parquet(s"${root.stripSuffix("/")}/$dir")
+          .withColumn("commit_seq", lit(id))
+      }.reduce(_ unionByName _)
+        .select(changelogSchema.fieldNames.map(col).toSeq: _*)
+    }
     var prev: Set[String] =
       if (fromExclusive <= 0) Set.empty
       else
@@ -2244,6 +2388,12 @@ class GraftTable private (
     val retainedIdx = retainedSnaps.flatMap(bucketIndexChainOf).toSet ++ externalIdx
     val orphanIdx = expiredSnaps.flatMap(bucketIndexChainOf).toSet -- retainedIdx
     orphanIdx.foreach(p => fs.delete(new Path(root, p), true))
+    // S52: a full-compaction changelog dir belongs to exactly ONE
+    // snapshot — expired with it (unless a sibling ref shares it)
+    val externalCl = sibs.flatMap(t => t.snapshots.flatMap(s => Option(s.changelogDir))).toSet
+    val retainedCl = retainedSnaps.flatMap(s => Option(s.changelogDir)).toSet ++ externalCl
+    val orphanCl = expiredSnaps.flatMap(s => Option(s.changelogDir)).toSet -- retainedCl
+    orphanCl.foreach(p => fs.delete(new Path(root, p), true))
     expire.foreach { id =>
       fs.delete(new Path(root, s"$snapDirRel/snap-$id.json"), false)
       // keep the memo honest: an expired snapshot must read as missing
@@ -2298,6 +2448,21 @@ class GraftTable private (
       fs.listStatus(idxDir).foreach { st =>
         val rel = s"index/${st.getPath.getName}"
         if (!refIdx.contains(rel) && now - st.getModificationTime >= ttlMs) {
+          fs.delete(st.getPath, true)
+          out += rel
+        }
+      }
+    }
+    // S52: changelog dirs from crashed/raced compactions (written
+    // before the claim; cleaned by commitOrClean only on a THROWN
+    // failure — a killed writer leaves them referenced by no snapshot)
+    val clDir = new Path(root, "changelog")
+    if (fs.exists(clDir)) {
+      val refCl: Set[String] = (this +: siblingRefs)
+        .flatMap(t => t.snapshots.flatMap(s => Option(s.changelogDir))).toSet
+      fs.listStatus(clDir).foreach { st =>
+        val rel = s"changelog/${st.getPath.getName}"
+        if (!refCl.contains(rel) && now - st.getModificationTime >= ttlMs) {
           fs.delete(st.getPath, true)
           out += rel
         }
