@@ -12,27 +12,44 @@ import org.apache.spark.sql.types.StructType
   *
   * Layout: `<warehouse>/<db>.db/<table>/` — same convention as the
   * reference's test warehouse (TestPrestoITCase.java:89).
+  *
+  * S53: name→location resolution is a pluggable [[GraftMetaStore]]
+  * chosen by `catalogOptions` — `metastore` = `filesystem` (default,
+  * the layout IS the registry) or `hive` (+ optional `uri`), mirroring
+  * the reference's PaimonConfig catalog options. Data placement and
+  * table semantics are identical across backends; only registration
+  * and lookup move.
   */
-class GraftCatalog(spark: SparkSession, warehouse: String) {
+class GraftCatalog(spark: SparkSession, warehouse: String,
+    catalogOptions: Map[String, String] = Map.empty) {
   private val fs = GraftTable.fileSystem(spark, warehouse)
+
+  /** ref: PaimonConfig.java:43-60 (`paimon.catalog.type`, metastore uri). */
+  private[graft] val metaStore: GraftMetaStore =
+    catalogOptions.getOrElse("metastore", "filesystem") match {
+      case "filesystem" => new FsMetaStore(spark, warehouse)
+      case "hive" => new HiveMetaStore(warehouse, catalogOptions.get("uri"))
+      case other => throw new IllegalArgumentException(
+        s"unsupported metastore: $other (filesystem | hive)")
+    }
 
   private def dbPath(db: String) = new Path(warehouse, s"$db.db")
   private def tablePath(db: String, t: String) = new Path(dbPath(db), t)
 
-  def createDatabase(db: String): Unit = fs.mkdirs(dbPath(db))
-  def databaseExists(db: String): Boolean = fs.exists(dbPath(db))
+  def createDatabase(db: String): Unit = {
+    metaStore.createDatabase(db)
+    fs.mkdirs(dbPath(db))
+  }
+  def databaseExists(db: String): Boolean = metaStore.databaseExists(db)
   def dropDatabase(db: String): Unit = {
-    // guard on ANY child entry, not just recognized graft tables — a
+    // guard on ANY child entry, not just registered graft tables — a
     // half-created or foreign directory must block the recursive delete
     require(!fs.exists(dbPath(db)) || fs.listStatus(dbPath(db)).isEmpty,
       s"database $db is not empty")
+    metaStore.dropDatabase(db)
     fs.delete(dbPath(db), true)
   }
-  def listDatabases(): Seq[String] =
-    if (!fs.exists(new Path(warehouse))) Seq.empty
-    else fs.listStatus(new Path(warehouse)).toSeq
-      .filter(_.isDirectory).map(_.getPath.getName)
-      .filter(_.endsWith(".db")).map(_.stripSuffix(".db")).sorted
+  def listDatabases(): Seq[String] = metaStore.listDatabases()
 
   def createTable(
       db: String,
@@ -42,7 +59,10 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       primaryKeys: Seq[String] = Seq.empty,
       options: Map[String, String] = Map.empty): GraftTable = {
     require(databaseExists(db), s"no such database: $db")
-    GraftTable.create(spark, tablePath(db, table).toString, schema, partitionKeys, primaryKeys, options)
+    val loc = tablePath(db, table).toString
+    val t = GraftTable.create(spark, loc, schema, partitionKeys, primaryKeys, options)
+    metaStore.registerTable(db, table, loc)
+    t
   }
 
   /** CTAS (ref: PrestoMetadata.beginCreateTable/finishCreateTable). */
@@ -58,17 +78,13 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
   }
 
   def getTable(db: String, table: String): GraftTable =
-    GraftTable.load(spark, tablePath(db, table).toString)
+    GraftTable.load(spark, metaStore.tableLocation(db, table).getOrElse(
+      throw new IllegalArgumentException(s"no such table: $db.$table")))
 
   def tableExists(db: String, table: String): Boolean =
-    GraftTable.exists(spark, tablePath(db, table).toString)
+    metaStore.tableLocation(db, table).exists(GraftTable.exists(spark, _))
 
-  def listTables(db: String): Seq[String] = {
-    val p = dbPath(db)
-    if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.getName)
-      .filter(n => GraftTable.exists(spark, new Path(p, n).toString)).sorted
-  }
+  def listTables(db: String): Seq[String] = metaStore.listTables(db)
 
   /** Parse a reference-style scan_version spec: either a bare version
     * ("3") applying to any table, or a pipe-separated list of
@@ -95,12 +111,20 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     t.read(snapshotId = parseScanVersion(scanVersion, db, table))
   }
 
-  def dropTable(db: String, table: String): Unit =
-    fs.delete(tablePath(db, table), true)
+  def dropTable(db: String, table: String): Unit = {
+    val loc = metaStore.tableLocation(db, table)
+    metaStore.unregisterTable(db, table)
+    // delete at the REGISTERED location (an externally-located table's
+    // data lives outside the warehouse layout)
+    fs.delete(new Path(loc.getOrElse(tablePath(db, table).toString)), true)
+  }
 
   def renameTable(db: String, from: String, to: String): Unit = {
     require(!tableExists(db, to), s"table $db.$to already exists")
     if (!fs.rename(tablePath(db, from), tablePath(db, to)))
       throw new IllegalStateException(s"rename $db.$from -> $db.$to failed")
+    metaStore.renameTable(db, from, to, tablePath(db, to).toString)
   }
+
+  def close(): Unit = metaStore.close()
 }
