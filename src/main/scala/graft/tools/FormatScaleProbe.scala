@@ -1,0 +1,69 @@
+package graft.tools
+
+import graft.sources.GraftTable
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale probe for the r10/r11 FORMAT features that are not plain
+  * queries: deletion-vector DELETE + masked scan over many files,
+  * dynamic-bucket assignment at growing key counts, and
+  * rewrite_file_index over a table written without sidecars. Prints
+  * per-step seconds; run at two data scales and compare ratios — the
+  * same discipline as RunQ for queries.
+  *
+  *   runMain graft.tools.FormatScaleProbe <sfDir>
+  */
+object FormatScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def timed[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[probe] $label%-32s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+    val base = java.nio.file.Files.createTempDirectory("fmtprobe").toString
+
+    // ---- S37 deletion vectors over many files -------------------------
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+    val dv = GraftTable.create(spark, s"$base/dv", li.schema,
+      options = Map("deletion-vectors.enabled" -> "true"))
+    // many files: one commit, repartitioned wide so sidecars spread
+    timed("dv: ingest")(dv.append(li.repartition(64)))
+    timed("dv: delete ~2% via sidecars")(
+      dv.dvDelete(col("l_orderkey") % 50 === 0))
+    val kept = timed("dv: masked full scan")(dv.read().count())
+    println(s"[probe] dv rows kept = $kept")
+
+    // ---- S48 dynamic-bucket assignment at scale -----------------------
+    val cust = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("v"))
+    val dyn = GraftTable.create(spark, s"$base/dyn", cust.schema,
+      primaryKeys = Seq("k"),
+      options = Map("bucket" -> "-1", "dynamic-bucket.target-row-num" -> "100000"))
+    timed("dyn: initial upsert (all keys new)")(dyn.upsert(cust))
+    timed("dyn: update upsert (no new keys)")(
+      dyn.upsert(cust.filter(col("k") % 7 === 0).withColumn("v", col("v") + 1)))
+    val dynRows = timed("dyn: MOR read")(dyn.read().count())
+    println(s"[probe] dyn rows = $dynRows")
+
+    // ---- S47 rewrite_file_index over an unindexed table ---------------
+    val bl = GraftTable.create(spark, s"$base/bloom", li.schema)
+    timed("bloom: ingest without index")(bl.append(li.repartition(32)))
+    bl.setOptions(Map("file-index.bloom-filter.columns" -> "l_partkey"))
+    val built = timed("bloom: rewrite_file_index")(bl.rewriteFileIndex())
+    println(s"[probe] bloom sidecars built = $built")
+
+    spark.stop()
+  }
+}

@@ -57,10 +57,17 @@ object ScaleUp {
       df.withColumn("l_orderkey", col("l_orderkey") + lit(i * Step))
     }
     replicate("events") { (df, i) =>
-      // ts reads as BIGINT nanos under nanosAsLong (Tables.events converts
-      // either encoding); nudge replicas by i*7s so sessions stay distinct
-      df.withColumn("event_id", col("event_id") + lit(i * Step))
-        .withColumn("ts", col("ts") + lit(i * 7000000000L))
+      // ts has shipped as BOTH nanos-as-long (reads BIGINT under
+      // nanosAsLong) and µs TIMESTAMP_NTZ (the r9+ vintage) — shift
+      // replicas by i*7s under whichever type arrived so sessions stay
+      // distinct (the same dual-vintage rule as Tables.normalizeTs)
+      val shifted = df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts", col("ts") + lit(i * 7000000000L))
+        case _ =>
+          df.withColumn("ts", col("ts") + expr(s"INTERVAL ${i * 7} SECOND"))
+      }
+      shifted.withColumn("event_id", col("event_id") + lit(i * Step))
     }
     replicate("documents") { (df, i) =>
       val mutated =
