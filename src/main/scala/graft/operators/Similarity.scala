@@ -263,6 +263,38 @@ object Similarity {
       .limit(20)
   }
 
+  /** L64: hard-negative mining — for each probe vector, the top-3 most
+    * cosine-similar vectors from a DIFFERENT trained k-means cell.
+    * Contrastive training wants negatives that are SIMILAR but not
+    * near-duplicates; "high cosine, different cluster" is the standard
+    * mining rule, and the trained cells (the L26/L19 quantizer, shared
+    * via the centroid cache — no extra training pass) provide the
+    * cluster side. One corpus pass against a broadcast ≤20-probe set
+    * (the annBrute shape — never all-pairs); the oracle replays
+    * trainer + assignment + cross-cell ranking bit-exactly. */
+  private def hardNegatives(s: SparkSession, d: String): DataFrame = {
+    val centDf = centFrame(s, KMeansOp.trainedCentroids(s, d, IvfK))
+    val n = normed(s, d)
+    val wAssign = Window.partitionBy("vec_id").orderBy(desc("ccos"), col("cent_id"))
+    val cells = n.crossJoin(broadcast(centDf))
+      .withColumn("ccos", cosine(col("v"), col("cv"), col("nrm"), col("cn")))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cent_id").as("cell"))
+    val q = cells.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
+        col("cell").as("qcell"))
+    val c = cells.select(col("vec_id").as("c_id"), col("v").as("cv2"),
+      col("nrm").as("cn2"), col("cell").as("ccell"))
+    val w = Window.partitionBy("q_id").orderBy(desc("cos"), col("c_id"))
+    c.join(broadcast(q), col("qcell") =!= col("ccell"))
+      .withColumn("cos", cosine(col("qv"), col("cv2"), col("qn"), col("cn2")))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("q_id"), col("rn"), col("c_id"), round(col("cos"), 4).as("cos"))
+      .orderBy("q_id", "rn")
+  }
+
   /** (cent_id, cv, cn) frame from driver centroid literals. */
   private def centFrame(
       s: SparkSession, cent: Array[Array[Double]]): DataFrame =
@@ -496,6 +528,35 @@ object Similarity {
       "q_ann_index",
       annIndexPersisted,
       Some(TrainedIvfSql)),
+
+    // L64: hard negatives for contrastive training — high-cosine,
+    // different-cluster candidates (the standard mining rule). The
+    // oracle replays the shared trainer, the cell assignment, and the
+    // cross-cell brute ranking.
+    QDef(
+      "q_hard_negatives",
+      hardNegatives,
+      Some(s"""WITH ${KMeansOp.lloydCtes(IvfK, KMeansOp.KmIters, KMeansOp.KmScale)},
+              |$NormedSql,
+              |cent AS (SELECT c AS cent_id, cv,
+              |    sqrt(list_reduce(list_cat([0.0], list_transform(cv, x -> x*x)), (p,x) -> p+x)) AS cn
+              |  FROM c${KMeansOp.KmIters}),
+              |ac AS (SELECT n.vec_id, cent.cent_id,
+              |    list_reduce(list_cat([0.0], list_transform(range(1, len(n.v)+1), i -> n.v[i]*cent.cv[i])), (a,x) -> a+x)
+              |      / (n.nrm*cent.cn) AS ccos
+              |  FROM n CROSS JOIN cent),
+              |ar AS (SELECT vec_id, cent_id, row_number() OVER
+              |    (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) arn FROM ac),
+              |asg AS (SELECT vec_id, cent_id AS cell FROM ar WHERE arn = 1),
+              |pairs AS (SELECT q.vec_id q_id, c.vec_id c_id, $CosSql cos
+              |  FROM n q JOIN asg qa ON qa.vec_id = q.vec_id AND q.vec_id < 20
+              |  JOIN asg ca ON ca.cell <> qa.cell
+              |  JOIN n c ON c.vec_id = ca.vec_id),
+              |r AS (SELECT q_id, c_id, cos,
+              |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) rn
+              |      FROM pairs)
+              |SELECT q_id, rn, c_id, round(cos,4) AS cos FROM r WHERE rn <= 3
+              |ORDER BY q_id, rn""".stripMargin)),
 
     // L32: semantic near-dup — k-means cells as the candidate
     // generator, exact cosine within cells, ranked top-20 pair report.

@@ -26,7 +26,13 @@ class PlanAuditSpec extends AnyFunSuite {
       // on lit keys constant-folds back to the same BNLJ)
       "q_any_all",
       // RRF fusion broadcasts a 1-vector probe (same shape as ann_brute)
-      "q_hybrid_rank")
+      "q_hybrid_rank",
+      // persisted-index probe broadcasts the K=8 centroid table for
+      // probe routing — the q_ann_ivf_trained shape served from tables
+      "q_ann_index",
+      // hard negatives: K=8 centroid broadcast for cell assignment +
+      // a ≤20-probe broadcast for the cross-cell ranking (annBrute's)
+      "q_hard_negatives")
 
   test("no CartesianProduct and no unbounded BroadcastNestedLoopJoin in any plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
