@@ -97,6 +97,11 @@ case class KmvState(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[KmvBuffer] {
   override def children: Seq[Expression] = Seq(child)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"kmv_state takes a pre-hashed BIGINT column (xxhash64/tokenHash64 " +
+        s"upstream), got ${child.dataType.sql}")
   override def nullable: Boolean = false
   override def dataType: DataType = BinaryType
   override def prettyName: String = "kmv_state"

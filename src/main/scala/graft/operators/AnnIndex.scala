@@ -86,7 +86,10 @@ object AnnIndex {
     * index tables. Destroys any previous index at `root`. */
   def build(s: SparkSession, source: GraftTable, root: String,
       k: Int = Similarity.IvfK): Unit = {
-    require(!source.root.startsWith(root),
+    // path-COMPONENT containment, not a raw string prefix ("/wh/ann"
+    // must not reject a sibling "/wh/ann_src")
+    require(source.root != root &&
+        !source.root.startsWith(root.stripSuffix("/") + "/"),
       s"index root $root would clobber the source table ${source.root}")
     val snap = source.latestSnapshotId.getOrElse(0L)
     val corpus = source.read()
@@ -124,14 +127,17 @@ object AnnIndex {
       .option("incremental-between", s"$from,$latest").load(source.root)
       .select(col("vec_id"), col("v"))
     val trainedOn = aT.options.get(TrainedOnProp).map(_.toLong).getOrElse(0L)
-    val deltaN = delta.count()
-    val total = aT.read().count() + deltaN
+    // assign FIRST, measure drift from the REAL assignment count: a
+    // raw delta row count would charge re-delivered vec_ids (upserts
+    // that grow nothing) and zero-norm vectors (never indexed) as
+    // never-trained-on corpus and over-trigger retrains
+    aT.upsert(assignOf(delta, centDfOf(s, root)))
+    val total = aT.read().count()
     if (total > 0 && (total - trainedOn).toDouble > DriftRetrainFraction * total) {
       val k = GraftTable.load(s, centPath(root)).read().count().toInt
       build(s, source, root, k)
       true
     } else {
-      aT.upsert(assignOf(delta, centDfOf(s, root)))
       aT.setOptions(Map(SnapshotProp -> latest.toString))
       false
     }

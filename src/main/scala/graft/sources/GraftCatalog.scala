@@ -121,9 +121,18 @@ class GraftCatalog(spark: SparkSession, warehouse: String,
 
   def renameTable(db: String, from: String, to: String): Unit = {
     require(!tableExists(db, to), s"table $db.$to already exists")
-    if (!fs.rename(tablePath(db, from), tablePath(db, to)))
-      throw new IllegalStateException(s"rename $db.$from -> $db.$to failed")
-    metaStore.renameTable(db, from, to, tablePath(db, to).toString)
+    val loc = metaStore.tableLocation(db, from).getOrElse(
+      throw new IllegalArgumentException(s"no such table: $db.$from"))
+    if (loc == tablePath(db, from).toString) {
+      // warehouse-layout table: the directory moves with the name
+      if (!fs.rename(tablePath(db, from), tablePath(db, to)))
+        throw new IllegalStateException(s"rename $db.$from -> $db.$to failed")
+      metaStore.renameTable(db, from, to, tablePath(db, to).toString)
+    } else {
+      // externally-located table (hive backend): only the NAME moves —
+      // the data stays at its registered home
+      metaStore.renameTable(db, from, to, loc)
+    }
   }
 
   def close(): Unit = metaStore.close()

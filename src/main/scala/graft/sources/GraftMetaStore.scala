@@ -43,13 +43,9 @@ final class FsMetaStore(spark: SparkSession, warehouse: String) extends GraftMet
 
   override def createDatabase(db: String): Unit = fs.mkdirs(dbPath(db))
   override def databaseExists(db: String): Boolean = fs.exists(dbPath(db))
-  override def dropDatabase(db: String): Unit = {
-    // guard on ANY child entry, not just recognized graft tables — a
-    // half-created or foreign directory must block the recursive delete
-    require(!fs.exists(dbPath(db)) || fs.listStatus(dbPath(db)).isEmpty,
-      s"database $db is not empty")
-    fs.delete(dbPath(db), true)
-  }
+  // registration is the layout itself: the catalog's emptiness guard +
+  // recursive delete of the layout dir IS the unregistration
+  override def dropDatabase(db: String): Unit = ()
   override def listDatabases(): Seq[String] =
     if (!fs.exists(new Path(warehouse))) Seq.empty
     else fs.listStatus(new Path(warehouse)).toSeq

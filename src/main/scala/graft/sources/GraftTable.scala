@@ -83,7 +83,14 @@ final case class SnapshotMeta(
     // the compaction that diffed the merged state before/after. Unlike
     // bucketIndexes this is NOT an inherited chain — each changelog
     // belongs to exactly one snapshot. Null = commit produced none.
-    changelogDir: String = null)
+    changelogDir: String = null,
+    // Inherited pointer to the most recent changelog-BEARING snapshot
+    // (this one if changelogDir is set): the next compaction's diff base
+    // resolves in ONE snapshot read instead of a linear history walk,
+    // and expiry pins it so the base state stays readable (an expired
+    // base would force a degraded all-+I diff that re-emits unchanged
+    // keys to consumers). Null = no changelog ever produced.
+    lastChangelog: java.lang.Long = null)
 
 final case class SchemaMeta(
     id: Long,
@@ -557,7 +564,12 @@ class GraftTable private (
         timestampMs = System.currentTimeMillis(),
         manifests = chain,
         bucketIndexes = if (idxChain.isEmpty) null else idxChain,
-        changelogDir = changelogDir.orNull)
+        changelogDir = changelogDir.orNull,
+        lastChangelog =
+          if (changelogDir.isDefined) Long.box(id)
+          else if (id <= 1) null
+          else scala.util.Try(readSnapshot(id - 1)).toOption
+            .map(_.lastChangelog).orNull)
       val tmp = new Path(root, s"$snapDirRel/.tmp-$id-${UUID.randomUUID().toString.take(8)}")
       writeString(fs, tmp, mapper.writeValueAsString(snap))
       if (!fs.rename(tmp, dst)) {
@@ -866,9 +878,13 @@ class GraftTable private (
       base: Long, now: DataFrame): Option[String] = {
     // the diff base: the merged state at the most recent snapshot that
     // HAS a changelog (every consumer has seen exactly that state);
-    // before any changelog exists the base is empty and all rows are +I
-    val prevClSnap = (1L to base).reverse.find(id =>
-      scala.util.Try(readSnapshot(id)).toOption.exists(_.changelogDir != null))
+    // before any changelog exists the base is empty and all rows are
+    // +I. The inherited lastChangelog pointer resolves it in one read;
+    // expiry pins that snapshot, so the base state is always readable.
+    val prevClSnap: Option[Long] =
+      if (base <= 0) None
+      else scala.util.Try(readSnapshot(base)).toOption
+        .flatMap(s => Option(s.lastChangelog)).map(_.longValue)
     val old = prevClSnap match {
       case Some(id) => read(snapshotId = Some(id))
       case None => spark.createDataFrame(new java.util.ArrayList[Row](), schema)
@@ -1391,13 +1407,25 @@ class GraftTable private (
       occ.toDF(P, "__base")
     }
     val target = dynamicTargetRows
-    // Only row versions that ADD data (+I/+U) may mint an assignment:
-    // a -D/-U for a key the index never saw merges to nothing whatever
-    // bucket it lands in, and assignments are immutable — recording one
-    // would permanently consume target-row-num capacity for a key that
-    // never held data (ADVICE r10). Such rows route to bucket 0 below.
-    val minting = keyed.filter(
-      col(KindCol).isin(GraftTable.RowKind.Insert, GraftTable.RowKind.UpdateAfter))
+    // Which row kinds may MINT an assignment for an unindexed key:
+    // +I/+U always; a -U never (merge-skipped marker — harmless in any
+    // bucket); a -D only when the table has sequence fields. Without
+    // them, commit order IS the merge order, so a tombstone for a
+    // never-indexed key can never outrank a later insert — recording an
+    // assignment would permanently consume target-row-num capacity for
+    // a key that never held data (ADVICE r10), so it routes to bucket 0
+    // unrecorded. WITH sequence fields an out-of-order CDC flow can
+    // deliver a LATER-seq delete before an EARLIER-seq insert in a
+    // later commit; if the tombstone sat unrecorded in bucket 0 while
+    // the insert minted bucket b, the bucket-local V2 fold would never
+    // see them together and resurrect the deleted row — so the delete
+    // must mint and pin the key's bucket (correctness over capacity).
+    val mintKinds =
+      if (sequenceFields.nonEmpty)
+        Seq(GraftTable.RowKind.Insert, GraftTable.RowKind.UpdateAfter,
+          GraftTable.RowKind.Delete)
+      else Seq(GraftTable.RowKind.Insert, GraftTable.RowKind.UpdateAfter)
+    val minting = keyed.filter(col(KindCol).isin(mintKinds.map(k => k: Any): _*))
     val newKeys = minting
       .join(idx, Seq(P, KH), "left_anti")
       .select(P, KH).distinct()
@@ -2352,8 +2380,16 @@ class GraftTable private (
     // file set, so nextSnapshot-1 and everything after must stay
     // readable; stale consumers (consumer.expiration-time) stop pinning
     val pin = consumerPin()
-    val expire = expireCand.filterNot(tagged).filter(id => pin.forall(id < _ - 1))
-    val retain = expireCand.filter(id => tagged(id) || pin.exists(id >= _ - 1)) ++ retainTail
+    // S52: the most recent changelog-BEARING snapshot is the next
+    // compaction's diff base — expiring it would force a degraded
+    // all-+I diff that re-emits unchanged keys to consumers
+    val clPin: Set[Long] = ids.lastOption
+      .flatMap(last => scala.util.Try(readSnapshot(last)).toOption)
+      .flatMap(s => Option(s.lastChangelog)).map(_.longValue).toSet
+    val expire = expireCand.filterNot(tagged).filterNot(clPin)
+      .filter(id => pin.forall(id < _ - 1))
+    val retain = expireCand.filter(id =>
+      tagged(id) || clPin(id) || pin.exists(id >= _ - 1)) ++ retainTail
     if (expire.isEmpty) return Seq.empty
     val retainedSnaps = retain.map(readSnapshot)
     val expiredSnaps = expire.map(readSnapshot)

@@ -104,23 +104,44 @@ class ChangelogProducerSpec extends AnyFunSuite {
     assert(cl(t, 0, c2).map(_._2).distinct == Seq(c1, c2))
   }
 
-  test("S52b: an unchanged compaction commits changelog-less; expiry reclaims old diffs") {
+  test("S52b: an unchanged compaction commits changelog-less; expiry reclaims SUPERSEDED diffs") {
     val t = fcTable("fc-gc")
     t.upsert(Seq((1, "a")).toDF("k", "v"))
     val c1 = t.compact()
     val dir1 = t.snapshots.find(_.id == c1).get.changelogDir
     assert(dir1 != null)
-    // no data change → empty diff → no changelog dir on this COMPACT
+    // no data change → empty diff → no changelog dir on this COMPACT,
+    // but the lastChangelog pointer still names c1
     val c2 = t.compact()
     assert(t.snapshots.find(_.id == c2).get.changelogDir == null)
+    assert(t.snapshots.find(_.id == c2).get.lastChangelog == c1)
     assert(cl(t, c1, c2).isEmpty)
-    // expire everything before the latest: c1's diff dir is reclaimed
     val fs = GraftTable.fileSystem(spark, t.root)
-    assert(fs.exists(new org.apache.hadoop.fs.Path(t.root, dir1)))
+    // a NEWER changelog-bearing compaction supersedes c1 as the diff
+    // base; only then may expiry reclaim c1 and its diff dir
     t.upsert(Seq((2, "b")).toDF("k", "v"))
+    val c3 = t.compact()
+    assert(t.snapshots.find(_.id == c3).get.changelogDir != null)
     t.expireSnapshots(retainLast = 1)
     assert(!fs.exists(new org.apache.hadoop.fs.Path(t.root, dir1)),
-      "expired snapshot's changelog dir leaked")
+      "superseded snapshot's changelog dir leaked")
+  }
+
+  test("S52d: expiry PINS the current diff base — a consumer never sees a degraded all-+I diff") {
+    val t = fcTable("fc-pin")
+    t.upsert(Seq((1, "a"), (2, "b")).toDF("k", "v"))
+    val c1 = t.compact()
+    // appends push c1 outside the retain window; the pin must keep it
+    t.upsert(Seq((1, "a2")).toDF("k", "v"))
+    t.upsert(Seq((3, "c")).toDF("k", "v"))
+    val expired = t.expireSnapshots(retainLast = 1)
+    assert(!expired.contains(c1), s"diff base $c1 expired: $expired")
+    // the next compaction diffs against c1's REAL state: the update
+    // emits -U/+U (not a re-+I of an unchanged key), k=2 emits nothing
+    val c2 = t.compact()
+    assert(cl(t, c2 - 1, c2) == Seq(
+      ("+U", c2, 1, "a2"), ("-U", c2, 1, "a"),
+      ("+I", c2, 3, "c")))
   }
 
   test("S52c: orphan sweep reclaims crash-leaked changelog dirs, keeps referenced ones") {

@@ -120,6 +120,32 @@ class DynamicBucketSpec extends AnyFunSuite {
       Seq((2, "b"), (100, "now")))
   }
 
+  test("S48k: with sequence.field, an out-of-order delete PINS its key's bucket " +
+    "(a later lower-seq insert cannot resurrect in another bucket)") {
+    val s3 = StructType(schema.fields :+ StructField("seq", LongType))
+    val t = GraftTable.create(spark, TestSpark.tmpDir("dyn-ooo"), s3,
+      primaryKeys = Seq("k"),
+      options = Map("bucket" -> "-1", "dynamic-bucket.target-row-num" -> "3",
+        "sequence.field" -> "seq"))
+    t.upsert(Seq((1, "a", 1L), (2, "b", 1L)).toDF("k", "v", "seq"))
+    // the CDC flow delivers the DELETE of k=9 (seq=10) before its
+    // insert ever arrives: the tombstone must mint k=9's bucket so the
+    // late lower-seq insert folds against it bucket-locally
+    t.delete(Seq((9, "x", 10L)).toDF("k", "v", "seq"))
+    val aDel = assignments(t)
+    assert(aDel.size == 3, "sequence.field delete must mint an assignment")
+    t.upsert(Seq((9, "late", 5L)).toDF("k", "v", "seq"))
+    assert(assignments(t) == aDel, "late insert must land in the pinned bucket")
+    // both read paths agree: k=9 stays deleted (seq 5 < 10)
+    val v2 = t.read().orderBy("k").collect().map(r => (r.getInt(0), r.getString(1)))
+    val win = t.read(dataFilters =
+      Seq(org.apache.spark.sql.sources.IsNotNull("k"))).orderBy("k")
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(v2.toSeq == Seq((1, "a"), (2, "b")), s"resurrected: ${v2.toSeq}")
+    assert(win.toSeq == v2.toSeq, "read paths disagree")
+    // without sequence.field the no-mint optimization still holds (S48j)
+  }
+
   test("S48d: SQL INSERT INTO / OVERWRITE route through the V1Write fallback") {
     spark.conf.set("spark.sql.catalog.graftdyn", "graft.sources.GraftSparkCatalog")
     spark.conf.set("spark.sql.catalog.graftdyn.warehouse", TestSpark.tmpDir("dyn-wh"))
