@@ -61,6 +61,25 @@ object GraftQueries {
       .orderBy("c_custkey")
   }
 
+  /** customers through an AVRO-format PK table (S54, file.format=avro):
+    * the same upsert-update round-trip as the dynbucket query but under
+    * the row-based third format — write, MOR fold, and the stats-absent
+    * manifest path all land on the oracle's replay of the update. */
+  private def graftAvro(s: SparkSession, d: String): DataFrame = {
+    val c = T.customer(s, d).select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+    val t = GraftTable.create(s, tmpRoot("avroq"), c.schema,
+      primaryKeys = Seq("c_custkey"),
+      options = Map("file.format" -> "avro"))
+    t.upsert(c)
+    t.upsert(c.filter(col("c_custkey") % 5 === 0)
+      .withColumn("c_acctbal", col("c_acctbal") + lit(77.0)))
+    t.read()
+      .filter(col("c_custkey") <= 300)
+      .select(col("c_custkey"), col("c_nationkey"),
+        round(col("c_acctbal"), 2).as("bal"))
+      .orderBy("c_custkey")
+  }
+
   /** orders through a partial-update table with SEQUENCE GROUPS (S49):
     * the price columns are versioned by price_ts, the priority columns
     * by prio_ts. The second commit updates every 3rd key's price
@@ -375,6 +394,12 @@ object GraftQueries {
              |      FROM events) t
              |WHERE rn = 1
              |ORDER BY user_id""".stripMargin)),
+    QDef("q_graft_avro", graftAvro,
+      Some("""SELECT c_custkey, c_nationkey,
+             |  round(CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 77.0
+             |             ELSE c_acctbal END, 2) AS bal
+             |FROM customer WHERE c_custkey <= 300
+             |ORDER BY c_custkey""".stripMargin)),
     QDef("q_graft_dynbucket", graftDynBucket,
       Some("""SELECT c_custkey, c_nationkey,
              |  round(CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 1000.0

@@ -1,0 +1,398 @@
+package graft.sources
+
+import org.apache.avro.{LogicalTypes, Schema => ASchema}
+import org.apache.avro.file.{CodecFactory, DataFileReader, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.avro.mapred.FsInput
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.hadoop.mapreduce.{Job, TaskAttemptContext}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, ArrayData, GenericArrayData, MapData}
+import org.apache.spark.sql.execution.datasources.{FileFormat, OutputWriter, OutputWriterFactory, PartitionedFile}
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
+
+import java.nio.ByteBuffer
+import scala.jdk.CollectionConverters._
+
+/** S54: Avro as the third data-file format (Paimon's `file.format`
+  * lattice is parquet | orc | avro — ref: paimon CoreOptions FILE_FORMAT;
+  * the reference connector reads whatever format the table was written
+  * under). Spark's own avro module is a separate artifact this
+  * distribution does not ship, so the format is implemented directly on
+  * avro-core: a V1 [[FileFormat]] registered under the shortName `avro`
+  * (every `spark.read.format(table.fileFormat)` call site works
+  * unchanged) plus a V2 [[GraftAvroReaderFactory]] for the DSv2 scan.
+  *
+  * Row-based by nature: no vectorized path, no footer min/max stats
+  * (manifest stats degrade to row counts — pruning declines, reads stay
+  * correct; the write task counts rows itself so COUNT pushdown keeps
+  * working), and splits follow Avro's own sync-marker protocol
+  * (seek to the first sync ≥ start, read until pastSync(end) — the
+  * standard container-file split rule, so byte-range splits never
+  * duplicate or drop rows).
+  *
+  * Type lattice: boolean/int/long/float/double/string/binary/date/
+  * timestamp (µs, with and without timezone)/decimal/array/struct and
+  * maps with STRING keys (Avro's map constraint); byte/short widen to
+  * INT on disk and narrow back on read. Schema evolution is resolved BY
+  * NAME (Avro has no parquet-style field ids): add/widen work, but
+  * rename would silently orphan old files' data — [[GraftTable]] rejects
+  * renameColumn on avro tables for that reason. */
+object GraftAvro {
+
+  // ---- schema conversion ------------------------------------------------
+
+  def toAvroSchema(st: StructType): ASchema = toRecord(st, "graft_record", "graft")
+
+  private def toRecord(st: StructType, name: String, ns: String): ASchema = {
+    val fields = st.fields.map { f =>
+      val t = toAvroType(f.dataType, s"$ns.$name", f.name)
+      val s = if (f.nullable) ASchema.createUnion(ASchema.create(ASchema.Type.NULL), t) else t
+      new ASchema.Field(f.name, s,
+        null, if (f.nullable) ASchema.Field.NULL_DEFAULT_VALUE else null)
+    }
+    ASchema.createRecord(name, null, ns, false, java.util.Arrays.asList(fields: _*))
+  }
+
+  private def toAvroType(dt: DataType, ns: String, fieldName: String): ASchema = dt match {
+    case BooleanType => ASchema.create(ASchema.Type.BOOLEAN)
+    case ByteType | ShortType | IntegerType => ASchema.create(ASchema.Type.INT)
+    case LongType => ASchema.create(ASchema.Type.LONG)
+    case FloatType => ASchema.create(ASchema.Type.FLOAT)
+    case DoubleType => ASchema.create(ASchema.Type.DOUBLE)
+    case StringType => ASchema.create(ASchema.Type.STRING)
+    case BinaryType => ASchema.create(ASchema.Type.BYTES)
+    case DateType => LogicalTypes.date().addToSchema(ASchema.create(ASchema.Type.INT))
+    case TimestampType =>
+      LogicalTypes.timestampMicros().addToSchema(ASchema.create(ASchema.Type.LONG))
+    case TimestampNTZType =>
+      LogicalTypes.localTimestampMicros().addToSchema(ASchema.create(ASchema.Type.LONG))
+    case d: DecimalType =>
+      LogicalTypes.decimal(d.precision, d.scale).addToSchema(ASchema.create(ASchema.Type.BYTES))
+    case a: ArrayType =>
+      val e = toAvroType(a.elementType, ns, fieldName + "_item")
+      ASchema.createArray(
+        if (a.containsNull) ASchema.createUnion(ASchema.create(ASchema.Type.NULL), e) else e)
+    case m: MapType =>
+      require(m.keyType == StringType,
+        s"avro maps require STRING keys (column path $fieldName has ${m.keyType.simpleString})")
+      val v = toAvroType(m.valueType, ns, fieldName + "_value")
+      ASchema.createMap(
+        if (m.valueContainsNull) ASchema.createUnion(ASchema.create(ASchema.Type.NULL), v) else v)
+    case s: StructType => toRecord(s, fieldName + "_record", ns)
+    case other => throw new IllegalArgumentException(
+      s"file.format=avro does not support ${other.simpleString} (column path $fieldName)")
+  }
+
+  private def nonNull(s: ASchema): ASchema =
+    if (s.getType == ASchema.Type.UNION)
+      s.getTypes.asScala.find(_.getType != ASchema.Type.NULL).getOrElse(s)
+    else s
+
+  // ---- Catalyst internal value → Avro ------------------------------------
+
+  /** Converter over Catalyst INTERNAL values (UTF8String, micros longs,
+    * Decimal, ArrayData/MapData/InternalRow). */
+  private def toAvroValue(dt: DataType, avro: ASchema): Any => Any = {
+    val t = nonNull(avro)
+    dt match {
+      case BooleanType | IntegerType | LongType | FloatType | DoubleType |
+           DateType | TimestampType | TimestampNTZType => identity
+      case ByteType => v => v.asInstanceOf[Byte].toInt
+      case ShortType => v => v.asInstanceOf[Short].toInt
+      case StringType => v => v.asInstanceOf[UTF8String].toString
+      case BinaryType => v => ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])
+      case _: DecimalType =>
+        v => ByteBuffer.wrap(v.asInstanceOf[Decimal].toJavaBigDecimal.unscaledValue.toByteArray)
+      case a: ArrayType =>
+        val conv = toAvroValue(a.elementType, t.getElementType)
+        v => {
+          val ad = v.asInstanceOf[ArrayData]
+          val out = new java.util.ArrayList[Any](ad.numElements())
+          var i = 0
+          while (i < ad.numElements()) {
+            out.add(if (ad.isNullAt(i)) null else conv(ad.get(i, a.elementType)))
+            i += 1
+          }
+          out
+        }
+      case m: MapType =>
+        val conv = toAvroValue(m.valueType, t.getValueType)
+        v => {
+          val md = v.asInstanceOf[MapData]
+          val ks = md.keyArray(); val vs = md.valueArray()
+          val out = new java.util.HashMap[String, Any](md.numElements())
+          var i = 0
+          while (i < md.numElements()) {
+            out.put(ks.getUTF8String(i).toString,
+              if (vs.isNullAt(i)) null else conv(vs.get(i, m.valueType)))
+            i += 1
+          }
+          out
+        }
+      case s: StructType =>
+        val convs = s.fields.zipWithIndex.map { case (f, i) =>
+          (f.dataType, toAvroValue(f.dataType, t.getFields.get(i).schema()), i)
+        }
+        v => {
+          val row = v.asInstanceOf[InternalRow]
+          val rec = new GenericData.Record(t)
+          convs.foreach { case (fdt, c, i) =>
+            rec.put(i, if (row.isNullAt(i)) null else c(row.get(i, fdt)))
+          }
+          rec
+        }
+      case other => throw new IllegalArgumentException(s"unsupported avro type ${other.simpleString}")
+    }
+  }
+
+  def rowToRecord(st: StructType, avro: ASchema): InternalRow => GenericRecord = {
+    val convs = st.fields.zipWithIndex.map { case (f, i) =>
+      (f.dataType, toAvroValue(f.dataType, avro.getFields.get(i).schema()), i)
+    }
+    row => {
+      val rec = new GenericData.Record(avro)
+      convs.foreach { case (dt, c, i) =>
+        rec.put(i, if (row.isNullAt(i)) null else c(row.get(i, dt)))
+      }
+      rec
+    }
+  }
+
+  // ---- Avro value → Catalyst internal ------------------------------------
+
+  private def fromAvroValue(dt: DataType): Any => Any = dt match {
+    case BooleanType | IntegerType | LongType | FloatType | DoubleType |
+         DateType | TimestampType | TimestampNTZType => identity
+    case ByteType => v => v.asInstanceOf[Int].toByte
+    case ShortType => v => v.asInstanceOf[Int].toShort
+    case StringType => v => UTF8String.fromString(v.toString)
+    case BinaryType => v => {
+      val bb = v.asInstanceOf[ByteBuffer].duplicate()
+      val arr = new Array[Byte](bb.remaining())
+      bb.get(arr)
+      arr
+    }
+    case d: DecimalType => v => {
+      val bb = v.asInstanceOf[ByteBuffer].duplicate()
+      val arr = new Array[Byte](bb.remaining())
+      bb.get(arr)
+      Decimal(new java.math.BigDecimal(new java.math.BigInteger(arr), d.scale), d.precision, d.scale)
+    }
+    case a: ArrayType =>
+      val conv = fromAvroValue(a.elementType)
+      v => {
+        val in = v.asInstanceOf[java.util.Collection[Any]]
+        val out = new Array[Any](in.size())
+        var i = 0
+        val it = in.iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          out(i) = if (e == null) null else conv(e)
+          i += 1
+        }
+        new GenericArrayData(out)
+      }
+    case m: MapType =>
+      val conv = fromAvroValue(m.valueType)
+      v => {
+        val in = v.asInstanceOf[java.util.Map[Any, Any]]
+        val ks = new Array[Any](in.size())
+        val vs = new Array[Any](in.size())
+        var i = 0
+        val it = in.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          ks(i) = UTF8String.fromString(e.getKey.toString)
+          vs(i) = if (e.getValue == null) null else conv(e.getValue)
+          i += 1
+        }
+        new ArrayBasedMapData(new GenericArrayData(ks), new GenericArrayData(vs))
+      }
+    case s: StructType =>
+      val fields = s.fields.map(f => (f.name, fromAvroValue(f.dataType)))
+      v => {
+        val rec = v.asInstanceOf[GenericRecord]
+        val out = new Array[Any](fields.length)
+        var i = 0
+        while (i < fields.length) {
+          val hasField = rec.getSchema.getField(fields(i)._1) != null
+          val raw = if (hasField) rec.get(fields(i)._1) else null
+          out(i) = if (raw == null) null else fields(i)._2(raw)
+          i += 1
+        }
+        new GenericInternalRow(out)
+      }
+    case other => throw new IllegalArgumentException(s"unsupported avro type ${other.simpleString}")
+  }
+
+  /** Record → InternalRow for `required` — fields resolve BY NAME;
+    * absent fields (schema-evolution adds) read as null. */
+  def recordToRow(required: StructType): GenericRecord => InternalRow = {
+    val fields = required.fields.map(f => (f.name, fromAvroValue(f.dataType)))
+    rec => {
+      val out = new Array[Any](fields.length)
+      var i = 0
+      while (i < fields.length) {
+        val hasField = rec.getSchema.getField(fields(i)._1) != null
+        val raw = if (hasField) rec.get(fields(i)._1) else null
+        out(i) = if (raw == null) null else fields(i)._2(raw)
+        i += 1
+      }
+      new GenericInternalRow(out)
+    }
+  }
+
+  /** Avro container schema → StructType (inference for schema-less
+    * reads; graft's own reads always pass the table schema). */
+  def toSparkType(s: ASchema): DataType = nonNull(s).getType match {
+    case ASchema.Type.BOOLEAN => BooleanType
+    case ASchema.Type.INT =>
+      if (nonNull(s).getLogicalType.isInstanceOf[LogicalTypes.Date]) DateType else IntegerType
+    case ASchema.Type.LONG => nonNull(s).getLogicalType match {
+      case _: LogicalTypes.TimestampMicros => TimestampType
+      case _: LogicalTypes.LocalTimestampMicros => TimestampNTZType
+      case _ => LongType
+    }
+    case ASchema.Type.FLOAT => FloatType
+    case ASchema.Type.DOUBLE => DoubleType
+    case ASchema.Type.STRING => StringType
+    case ASchema.Type.BYTES => nonNull(s).getLogicalType match {
+      case d: LogicalTypes.Decimal => DecimalType(d.getPrecision, d.getScale)
+      case _ => BinaryType
+    }
+    case ASchema.Type.ARRAY =>
+      ArrayType(toSparkType(nonNull(s).getElementType),
+        nonNull(s).getElementType.getType == ASchema.Type.UNION)
+    case ASchema.Type.MAP =>
+      MapType(StringType, toSparkType(nonNull(s).getValueType),
+        nonNull(s).getValueType.getType == ASchema.Type.UNION)
+    case ASchema.Type.RECORD =>
+      StructType(nonNull(s).getFields.asScala.toSeq.map(f =>
+        StructField(f.name(), toSparkType(f.schema()),
+          f.schema().getType == ASchema.Type.UNION)))
+    case other => throw new IllegalArgumentException(s"unsupported avro type $other")
+  }
+
+  /** Iterate one file SPLIT: seek to the first sync marker ≥ start, read
+    * until past (start + length) — Avro's container split protocol. */
+  def openSplit(conf: Configuration, file: Path, start: Long, length: Long,
+      required: StructType): Iterator[InternalRow] = {
+    val reader = new DataFileReader[GenericRecord](
+      new FsInput(file, conf), new GenericDatumReader[GenericRecord]())
+    reader.sync(start)
+    val conv = recordToRow(required)
+    val end = start + length
+    new Iterator[InternalRow] {
+      private var closed = false
+      override def hasNext: Boolean = {
+        if (closed) return false
+        val more = reader.hasNext && !reader.pastSync(end)
+        if (!more) { closed = true; reader.close() }
+        more
+      }
+      override def next(): InternalRow = conv(reader.next())
+    }
+  }
+}
+
+/** V1 FileFormat registered as `avro` — makes every
+  * `spark.read.format("avro")` / write call site work without the absent
+  * spark-avro module. */
+final class GraftAvroFileFormat extends FileFormat with DataSourceRegister with Serializable {
+  override def shortName(): String = "avro"
+  override def toString: String = "GraftAvro"
+
+  override def inferSchema(spark: SparkSession, options: Map[String, String],
+      files: Seq[FileStatus]): Option[StructType] =
+    files.headOption.map { f =>
+      val r = new DataFileReader[GenericRecord](
+        new FsInput(f.getPath, spark.sessionState.newHadoopConf()),
+        new GenericDatumReader[GenericRecord]())
+      try GraftAvro.toSparkType(r.getSchema).asInstanceOf[StructType]
+      finally r.close()
+    }
+
+  override def isSplitable(spark: SparkSession, options: Map[String, String],
+      path: Path): Boolean = true // sync-marker protocol in openSplit
+
+  override def prepareWrite(spark: SparkSession, job: Job,
+      options: Map[String, String], dataSchema: StructType): OutputWriterFactory =
+    new OutputWriterFactory {
+      override def getFileExtension(context: TaskAttemptContext): String = ".avro"
+      override def newInstance(path: String, dataSchema: StructType,
+          context: TaskAttemptContext): OutputWriter =
+        new GraftAvroOutputWriter(path, dataSchema, context.getConfiguration)
+    }
+
+  override protected def buildReader(
+      spark: SparkSession, dataSchema: StructType, partitionSchema: StructType,
+      requiredSchema: StructType, filters: Seq[Filter], options: Map[String, String],
+      hadoopConf: Configuration): PartitionedFile => Iterator[InternalRow] = {
+    val conf = new SerializableConfiguration(hadoopConf)
+    pf => GraftAvro.openSplit(conf.value, pf.toPath, pf.start, pf.length, requiredSchema)
+  }
+}
+
+/** Executor-side avro writer; counts its rows so the commit can record
+  * FileMeta.rowCount without a second file pass (avro has no footer
+  * stats to harvest). */
+final class GraftAvroOutputWriter(
+    val path: String, dataSchema: StructType, conf: Configuration) extends OutputWriter {
+  private val avroSchema = GraftAvro.toAvroSchema(dataSchema)
+  private val conv = GraftAvro.rowToRecord(dataSchema, avroSchema)
+  private val writer = new DataFileWriter[GenericRecord](
+    new GenericDatumWriter[GenericRecord](avroSchema))
+  writer.setCodec(CodecFactory.snappyCodec())
+  private val p = new Path(path)
+  writer.create(avroSchema, p.getFileSystem(conf).create(p, /*overwrite=*/ false))
+  var rowCount: Long = 0L
+
+  override def write(row: InternalRow): Unit = { writer.append(conv(row)); rowCount += 1 }
+  override def close(): Unit = writer.close()
+}
+
+/** DSv2 reader factory for avro tables: row-based for every partition
+  * (DataSourceV2ScanExecBase requires uniformity), file splits honored
+  * via the sync protocol, partition values appended after data columns —
+  * the same (readData ++ readPartition) layout the parquet/orc factories
+  * produce. Pushed filters are ignored: the graft scan declares every
+  * filter residual, so Spark re-applies them above. */
+final class GraftAvroReaderFactory(
+    conf: SerializableConfiguration,
+    readData: StructType,
+    readPart: StructType)
+  extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+
+  override def supportColumnarReads(
+      p: org.apache.spark.sql.connector.read.InputPartition): Boolean = false
+
+  override def createReader(p: org.apache.spark.sql.connector.read.InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[InternalRow] = {
+    val files = p.asInstanceOf[org.apache.spark.sql.execution.datasources.FilePartition].files
+    new org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
+      private var idx = 0
+      private var cur: Iterator[InternalRow] = Iterator.empty
+      private var curPart: InternalRow = InternalRow.empty
+      private val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow()
+      private var row: InternalRow = _
+      override def next(): Boolean = {
+        while (!cur.hasNext && idx < files.length) {
+          val f = files(idx)
+          idx += 1
+          cur = GraftAvro.openSplit(conf.value, f.toPath, f.start, f.length, readData)
+          curPart = f.partitionValues
+        }
+        if (cur.hasNext) { row = joined(cur.next(), curPart); true } else false
+      }
+      override def get(): InternalRow = row
+      override def close(): Unit = ()
+    }
+  }
+}

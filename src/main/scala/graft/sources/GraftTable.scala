@@ -205,11 +205,14 @@ class GraftTable private (
   private[sources] def dynamicTargetRows: Long =
     options.getOrElse("dynamic-bucket.target-row-num", "2000000").toLong
   private[sources] def isPkTable: Boolean = primaryKeys.nonEmpty
-  /** Data-file format (Paimon's file.format option): parquet (default)
-    * or orc. Both ride Spark's vectorized columnar readers. */
+  /** Data-file format (Paimon's file.format option): parquet (default),
+    * orc, or avro (S54). Parquet/orc ride Spark's vectorized columnar
+    * readers; avro is row-based via [[GraftAvroFileFormat]] with
+    * stats-absent manifests (row counts only — pruning declines). */
   private[sources] def fileFormat: String = {
     val f = options.getOrElse("file.format", "parquet")
-    require(f == "parquet" || f == "orc", s"unsupported file.format: $f")
+    require(f == "parquet" || f == "orc" || f == "avro",
+      s"unsupported file.format: $f")
     f
   }
   /** Paimon's `changelog-producer` lattice (CoreOptions):

@@ -1047,6 +1047,15 @@ final class GraftScan(
       vectorized: Boolean = true): PartitionReaderFactory = {
     // The vectorized flag is captured into a FINAL factory field during
     // createReaderFactory() (driver-side), read from the session's SQLConf.
+    // S54 avro: row-based by nature, so the vectorized flag is moot —
+    // every reader opened from this factory is an independent
+    // DataFileReader (safe for the MOR k-way merge's interleaving);
+    // pushed filters are ignored because the scan declares them residual
+    if (table.fileFormat == "avro")
+      return new GraftAvroReaderFactory(
+        new org.apache.spark.util.SerializableConfiguration(
+          spark.sessionState.newHadoopConf()),
+        readData, readPart)
     def build(s: SparkSession): PartitionReaderFactory = {
       val emptyIndex = new org.apache.spark.sql.execution.datasources.InMemoryFileIndex(
         s, Seq.empty, Map.empty, None)

@@ -80,6 +80,7 @@ object GraftWrite {
     val fileDataSchema = table.fileDataSchema
     val format: org.apache.spark.sql.execution.datasources.FileFormat =
       if (table.fileFormat == "orc") new org.apache.spark.sql.execution.datasources.orc.OrcFileFormat
+      else if (table.fileFormat == "avro") new GraftAvroFileFormat
       else new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
     val factory = format.prepareWrite(spark, job, Map.empty, fileDataSchema)
     val lattice = table.lattice
@@ -320,6 +321,9 @@ final class GraftTaskWriter(spec: GraftWriteSpec, taskUniq: String) {
       val bucket: Int) {
     val bloomBufs: Array[LongBuf] = Array.fill(spec.bloomCols.size)(new LongBuf)
     val entryStatBufs: Array[EntryStatBuf] = Array.fill(entryStatSpecs.size)(new EntryStatBuf)
+    // avro has no harvestable footer: the writer's own count becomes
+    // FileMeta.rowCount (captured at close — see closeOne)
+    var rowCount: Long = -1L
   }
 
   private val open = mutable.LinkedHashMap[(Seq[String], Int), Open]()
@@ -387,6 +391,10 @@ final class GraftTaskWriter(spec: GraftWriteSpec, taskUniq: String) {
   }
 
   private def closeOne(o: Open): Unit = {
+    o.writer match {
+      case a: GraftAvroOutputWriter => o.rowCount = a.rowCount
+      case _ => ()
+    }
     o.writer.close()
     if (spec.bloomCols.nonEmpty)
       BloomIndex.write(fs, new Path(root, o.relPath + BloomIndex.Suffix),
@@ -407,6 +415,9 @@ final class GraftTaskWriter(spec: GraftWriteSpec, taskUniq: String) {
       val abs = new Path(root, o.relPath)
       val footer =
         if (spec.fileFormat == "orc") FileStats.fromOrcFooter(conf, abs)
+        // avro: no footer stats — row count from the writer, no min/max
+        // (absent stats mean "never prune", which is the sound default)
+        else if (spec.fileFormat == "avro") FileFooter(Map.empty, o.rowCount)
         else FileStats.fromFooter(conf, abs)
       FileMeta(o.relPath, o.partition, fs.getFileStatus(abs).getLen, o.bucket,
         footer.stats, footer.rowCount,
