@@ -153,6 +153,31 @@ object GraftStreaming {
     * commit_seq list per batch is bounded by commits-per-batch (driver
     * scalars, never data). Replays after restart are absorbed by the
     * PK merge (idempotent upserts, sequence field = source commit). */
+  /** T23: CDC RELAY — land a changelog stream VERBATIM into a
+    * `changelog-producer=input` table through writeCdc, one target
+    * commit per source commit (ordering and per-commit atomicity
+    * preserved, commit_seq recorded as the commitIdentifier). Unlike
+    * replicateStream (which MATERIALIZES the changelog into table
+    * state), the relay keeps the rowkinds first-class: a downstream
+    * changelog reader of the target sees the SAME +I/-U/+U/-D stream
+    * the source emitted — the multi-hop CDC pipeline shape. Commit ids
+    * per batch are bounded by commits-per-batch (driver scalars). */
+  def relayCdcStream(changelog: DataFrame, target: GraftTable): DataStreamWriter[Row] =
+    changelog.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.persist()
+        try {
+          val commits = batch.select("commit_seq").distinct()
+            .collect().map(_.getLong(0)).sorted
+          commits.foreach { cs =>
+            target.writeCdc(
+              batch.filter(col("commit_seq") === cs).drop("commit_seq"),
+              commitIdentifier = Some(cs))
+          }
+        } finally batch.unpersist()
+      }
+
   def replicateStream(changelog: DataFrame, target: GraftTable): DataStreamWriter[Row] =
     changelog.writeStream
       .outputMode("append")

@@ -64,6 +64,21 @@ object FormatScaleProbe {
     val built = timed("bloom: rewrite_file_index")(bl.rewriteFileIndex())
     println(s"[probe] bloom sidecars built = $built")
 
+    // ---- L62 ANN index: build once, probe many --------------------------
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val src = GraftTable.create(spark, s"$base/annsrc",
+      graft.operators.AnnIndex.SourceSchema)
+    src.append(emb)
+    timed("ann: BUILD (train + assign + persist)")(
+      graft.operators.AnnIndex.build(spark, src, s"$base/annidx"))
+    timed("ann: probe #1 from persisted index")(
+      graft.operators.AnnIndex.probe(spark, src, s"$base/annidx",
+        col("vec_id") < 20).queryExecution.toRdd.count())
+    timed("ann: probe #2 (warm)")(
+      graft.operators.AnnIndex.probe(spark, src, s"$base/annidx",
+        col("vec_id") < 20).queryExecution.toRdd.count())
+
     spark.stop()
   }
 }

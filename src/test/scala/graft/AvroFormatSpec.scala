@@ -149,6 +149,24 @@ class AvroFormatSpec extends AnyFunSuite {
     assert(t.read().count() == 2)
   }
 
+  test("S54h: streaming reads follow avro commits (snapshot-id offsets)") {
+    val path = TestSpark.tmpDir("avro-stream")
+    val schema = StructType(Seq(StructField("k", IntegerType), StructField("v", StringType)))
+    val t = GraftTable.create(spark, path, schema,
+      options = Map("file.format" -> "avro"))
+    t.append(Seq((1, "a")).toDF("k", "v"))
+    val q = spark.readStream.format("graft").load(path)
+      .writeStream.outputMode("append").format("memory").queryName("avro_stream").start()
+    try {
+      q.processAllAvailable()
+      t.append(Seq((2, "b"), (3, "c")).toDF("k", "v"))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT k FROM avro_stream ORDER BY k")
+        .collect().map(_.getInt(0)).toSeq
+      assert(got == Seq(1, 2, 3))
+    } finally q.stop()
+  }
+
   test("S54g: unsupported avro types fail loudly at write time") {
     val schema = StructType(Seq(
       StructField("k", IntegerType),

@@ -158,6 +158,42 @@ class ChangelogProducerSpec extends AnyFunSuite {
       "live changelog dir swept")
   }
 
+  test("T23: CDC relay — a changelog stream lands verbatim in an input-producer table; " +
+    "downstream readers see the SAME kinds") {
+    import graft.streaming.GraftStreaming
+    val srcPath = TestSpark.tmpDir("relay-src")
+    val dstPath = TestSpark.tmpDir("relay-dst")
+    val s3 = StructType(schema.fields :+ StructField("seq", LongType))
+    val src = GraftTable.create(spark, srcPath, s3,
+      primaryKeys = Seq("k"),
+      options = Map("sequence.field" -> "seq", "changelog-producer" -> "lookup"))
+    val dst = GraftTable.create(spark, dstPath, s3,
+      primaryKeys = Seq("k"),
+      options = Map("sequence.field" -> "seq", "changelog-producer" -> "input"))
+    src.upsert(Seq((1, "a", 1L), (2, "b", 1L)).toDF("k", "v", "seq"))
+    val changelog = spark.readStream.format("graft")
+      .option("readChangelog", "true").load(srcPath)
+    val q = GraftStreaming.relayCdcStream(changelog, dst).start()
+    try {
+      q.processAllAvailable()
+      src.upsert(Seq((1, "a2", 2L), (3, "c", 2L)).toDF("k", "v", "seq"))
+      src.delete(Seq((2, "b", 3L)).toDF("k", "v", "seq"))
+      q.processAllAvailable()
+      // the relay target's STATE matches the source
+      def state(t: GraftTable) = t.read().orderBy("k").collect()
+        .map(r => (r.getInt(0), r.getString(1))).toSeq
+      assert(state(dst) == state(src))
+      assert(state(dst) == Seq((1, "a2"), (3, "c")))
+      // and its CHANGELOG carries the source's kinds verbatim — the
+      // property replicateStream (T8) cannot offer
+      def kinds(t: GraftTable) = t.readIncrement(0, t.latestSnapshotId.get, changelog = true)
+        .orderBy("commit_seq", "k", "rowkind")
+        .collect().map(r => (r.getString(0), r.getInt(2), r.getString(3))).toSeq
+      assert(kinds(dst) == kinds(src), s"relay changed the kinds:\n${kinds(dst)}\n${kinds(src)}")
+      assert(kinds(dst).map(_._1).toSet == Set("+I", "-U", "+U", "-D"))
+    } finally q.stop()
+  }
+
   test("T4e: streaming readChangelog over a full-compaction table delivers the diffs") {
     val path = TestSpark.tmpDir("fc-stream")
     val t = GraftTable.create(spark, path, schema,
