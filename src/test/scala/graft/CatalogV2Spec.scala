@@ -25,6 +25,29 @@ class CatalogV2Spec extends AnyFunSuite {
     assert(sql("SHOW NAMESPACES IN graft2").collect().map(_.getString(0)).contains("db1"))
   }
 
+  test("C18: avro-format tables work end-to-end through the SQL catalog (S54)") {
+    sql("CREATE NAMESPACE graft2.db18")
+    sql("""CREATE TABLE graft2.db18.av (k INT, v STRING)
+          |TBLPROPERTIES ('file.format'='avro')""".stripMargin)
+    sql("INSERT INTO graft2.db18.av VALUES (1, 'a'), (2, 'b')")
+    sql("INSERT INTO graft2.db18.av VALUES (3, 'c')")
+    assert(sql("SELECT count(*) FROM graft2.db18.av").first().getLong(0) == 3L)
+    assert(sql("SELECT v FROM graft2.db18.av WHERE k = 2").first().getString(0) == "b")
+    // files on disk really are avro containers
+    val t = graft.sources.GraftTable.load(spark,
+      sql("SHOW TBLPROPERTIES graft2.db18.av").collect()
+        .find(_.getString(0) == "path").map(_.getString(1))
+        .getOrElse(spark.conf.get("spark.sql.catalog.graft2.warehouse") + "/db18.db/av"))
+    assert(t.currentFiles(None).forall(_.path.endsWith(".avro")))
+    // avro PK table: SQL upsert + MOR read
+    sql("""CREATE TABLE graft2.db18.avpk (k INT, v STRING)
+          |TBLPROPERTIES ('primary-key'='k', 'file.format'='avro')""".stripMargin)
+    sql("INSERT INTO graft2.db18.avpk VALUES (1, 'x'), (2, 'y')")
+    sql("INSERT INTO graft2.db18.avpk VALUES (2, 'y2')")
+    assert(sql("SELECT v FROM graft2.db18.avpk ORDER BY k").collect()
+      .map(_.getString(0)).toSeq == Seq("x", "y2"))
+  }
+
   test("C2: PK table INSERT dedups within batch and upserts across commits") {
     sql("CREATE NAMESPACE graft2.db2")
     sql("""CREATE TABLE graft2.db2.pk (k INT, v STRING, seq BIGINT)
