@@ -137,14 +137,17 @@ object GraftAvro {
           out
         }
       case s: StructType =>
-        val convs = s.fields.zipWithIndex.map { case (f, i) =>
-          (f.dataType, toAvroValue(f.dataType, t.getFields.get(i).schema()), i)
+        val types = s.fields.map(_.dataType)
+        val convs = types.zipWithIndex.map { case (fdt, i) =>
+          toAvroValue(fdt, t.getFields.get(i).schema())
         }
         v => {
           val row = v.asInstanceOf[InternalRow]
           val rec = new GenericData.Record(t)
-          convs.foreach { case (fdt, c, i) =>
-            rec.put(i, if (row.isNullAt(i)) null else c(row.get(i, fdt)))
+          var i = 0
+          while (i < convs.length) {
+            rec.put(i, if (row.isNullAt(i)) null else convs(i)(row.get(i, types(i))))
+            i += 1
           }
           rec
         }
@@ -153,13 +156,16 @@ object GraftAvro {
   }
 
   def rowToRecord(st: StructType, avro: ASchema): InternalRow => GenericRecord = {
-    val convs = st.fields.zipWithIndex.map { case (f, i) =>
-      (f.dataType, toAvroValue(f.dataType, avro.getFields.get(i).schema()), i)
+    val types = st.fields.map(_.dataType)
+    val convs = types.zipWithIndex.map { case (dt, i) =>
+      toAvroValue(dt, avro.getFields.get(i).schema())
     }
     row => {
       val rec = new GenericData.Record(avro)
-      convs.foreach { case (dt, c, i) =>
-        rec.put(i, if (row.isNullAt(i)) null else c(row.get(i, dt)))
+      var i = 0
+      while (i < convs.length) {
+        rec.put(i, if (row.isNullAt(i)) null else convs(i)(row.get(i, types(i))))
+        i += 1
       }
       rec
     }
@@ -216,33 +222,23 @@ object GraftAvro {
         new ArrayBasedMapData(new GenericArrayData(ks), new GenericArrayData(vs))
       }
     case s: StructType =>
-      val fields = s.fields.map(f => (f.name, fromAvroValue(f.dataType)))
-      v => {
-        val rec = v.asInstanceOf[GenericRecord]
-        val out = new Array[Any](fields.length)
-        var i = 0
-        while (i < fields.length) {
-          val hasField = rec.getSchema.getField(fields(i)._1) != null
-          val raw = if (hasField) rec.get(fields(i)._1) else null
-          out(i) = if (raw == null) null else fields(i)._2(raw)
-          i += 1
-        }
-        new GenericInternalRow(out)
-      }
+      val conv = recordToRow(s)
+      v => conv(v.asInstanceOf[GenericRecord])
     case other => throw new IllegalArgumentException(s"unsupported avro type ${other.simpleString}")
   }
 
   /** Record → InternalRow for `required` — fields resolve BY NAME;
-    * absent fields (schema-evolution adds) read as null. */
+    * absent fields (schema-evolution adds) read as null. The SAME
+    * converter serves top-level records and nested struct values. */
   def recordToRow(required: StructType): GenericRecord => InternalRow = {
-    val fields = required.fields.map(f => (f.name, fromAvroValue(f.dataType)))
+    val names = required.fields.map(_.name)
+    val convs = required.fields.map(f => fromAvroValue(f.dataType))
     rec => {
-      val out = new Array[Any](fields.length)
+      val out = new Array[Any](names.length)
       var i = 0
-      while (i < fields.length) {
-        val hasField = rec.getSchema.getField(fields(i)._1) != null
-        val raw = if (hasField) rec.get(fields(i)._1) else null
-        out(i) = if (raw == null) null else fields(i)._2(raw)
+      while (i < names.length) {
+        val raw = if (rec.getSchema.getField(names(i)) != null) rec.get(names(i)) else null
+        out(i) = if (raw == null) null else convs(i)(raw)
         i += 1
       }
       new GenericInternalRow(out)

@@ -898,10 +898,10 @@ class GraftTable private (
     val nw = now.select(schema.fieldNames.map(col).toSeq: _*)
     val joinCond = pk.map(k => col(k) <=> col(s"__o_$k")).reduce(_ && _)
     val j = nw.join(o, joinCond, "full_outer")
-    val oldExists = col(s"__o_${pk.head}").isNotNull ||
-      pk.tail.map(k => col(s"__o_$k").isNotNull).foldLeft(lit(false))(_ || _)
-    val newExists = col(pk.head).isNotNull ||
-      pk.tail.map(k => col(k).isNotNull).foldLeft(lit(false))(_ || _)
+    // PK columns are non-null by construction, so a single head-column
+    // null test detects the unmatched (null-extended) side
+    val oldExists = col(s"__o_${pk.head}").isNotNull
+    val newExists = col(pk.head).isNotNull
     val changed = nonKey.map(c => !(col(c) <=> col(s"__o_$c")))
       .foldLeft(lit(false))(_ || _)
     def rows(kind: String, fromOld: Boolean) = {
