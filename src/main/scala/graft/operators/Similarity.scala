@@ -295,6 +295,44 @@ object Similarity {
       .orderBy("q_id", "rn")
   }
 
+  /** L65: embedding drift — compare the MEAN embedding of two corpus
+    * halves (the crawl-over-crawl / source-over-source drift check a
+    * retraining pipeline runs before mixing in new data). Bit-exact by
+    * the §5 quantized-sums discipline: per-(half, dim) sums of
+    * integer-valued quantized components are exact under any
+    * partitioning, means are one IEEE division, the cross-dim cosine is
+    * a SEQUENTIAL fold over the dim-sorted mean arrays (VectorExpr.dot
+    * here ≡ list_reduce in the oracle), and the top-shift dim is a
+    * lexicographic max on exactly-derived values. One corpus pass +
+    * one 64-key shuffle; output is a single diagnostic row. */
+  private def embedDrift(s: SparkSession, d: String): DataFrame = {
+    val q = T.embeddings(s, d).select(col("vec_id"),
+      graft.functions.VectorExpr.quantize(
+        col("embedding").cast("array<double>"), KMeansOp.KmScale).as("qv"))
+    val per = q
+      .withColumn("half", pmod(col("vec_id"), lit(2L)))
+      .select(col("half"), posexplode(col("qv")).as(Seq("d", "x")))
+      .groupBy("d")
+      .agg(
+        (sum(when(col("half") === 0, col("x"))) /
+          count(when(col("half") === 0, lit(1)))).as("m0"),
+        (sum(when(col("half") === 1, col("x"))) /
+          count(when(col("half") === 1, lit(1)))).as("m1"))
+    val one = per.agg(
+      sort_array(collect_list(struct(col("d"), col("m0"), col("m1")))).as("rs"),
+      max(struct(abs(col("m1") - col("m0")).as("ashift"),
+        (-col("d")).cast("long").as("negd"),
+        (col("m1") - col("m0")).as("shift"),
+        col("d").cast("long").as("dim"))).as("top"))
+    val v0 = col("rs").getField("m0")
+    val v1 = col("rs").getField("m1")
+    one.select(
+      round(VectorExpr.dot(v0, v1) /
+        (sqrt(VectorExpr.dot(v0, v0)) * sqrt(VectorExpr.dot(v1, v1))), 4).as("cos_means"),
+      col("top.dim").as("top_dim"),
+      round(col("top.shift"), 4).as("top_shift"))
+  }
+
   /** (cent_id, cv, cn) frame from driver centroid literals. */
   private def centFrame(
       s: SparkSession, cent: Array[Array[Double]]): DataFrame =
@@ -528,6 +566,34 @@ object Similarity {
       "q_ann_index",
       annIndexPersisted,
       Some(TrainedIvfSql)),
+
+    // L65: embedding drift between corpus halves — exact quantized
+    // sums, sequential-fold cosine of the dim-sorted means, lexmax
+    // top-shift dim. The oracle replays every step bit-for-bit.
+    QDef(
+      "q_embed_drift",
+      embedDrift,
+      Some {
+        val q = s"CAST(x AS DOUBLE)*${KMeansOp.KmScale}"
+        val quant = s"CASE WHEN $q >= 0 THEN floor($q + 0.5) ELSE -floor(-($q) + 0.5) END"
+        val dot = (a: String, b: String) =>
+          s"list_reduce(list_cat([0.0], list_transform(range(1, len($a)+1), i -> $a[i]*$b[i])), (p,x) -> p+x)"
+        s"""WITH q AS (SELECT vec_id, list_transform(embedding, x -> $quant) AS qv
+           |  FROM embeddings),
+           |e AS (SELECT vec_id % 2 AS half, i - 1 AS d, qv[i] AS x
+           |  FROM q CROSS JOIN range(1, ${Dims + 1}) r(i)),
+           |per AS (SELECT d,
+           |    sum(x) FILTER (half = 0) / count(*) FILTER (half = 0) AS m0,
+           |    sum(x) FILTER (half = 1) / count(*) FILTER (half = 1) AS m1
+           |  FROM e GROUP BY d),
+           |vecs AS (SELECT list(m0 ORDER BY d) AS v0, list(m1 ORDER BY d) AS v1 FROM per),
+           |top AS (SELECT CAST(d AS BIGINT) AS top_dim, round(m1 - m0, 4) AS top_shift
+           |  FROM per ORDER BY abs(m1 - m0) DESC, d LIMIT 1)
+           |SELECT round(${dot("v0", "v1")} / (sqrt(${dot("v0", "v0")}) * sqrt(${dot("v1", "v1")})), 4)
+           |    AS cos_means,
+           |  top_dim, top_shift
+           |FROM vecs CROSS JOIN top""".stripMargin
+      }),
 
     // L64: hard negatives for contrastive training — high-cosine,
     // different-cluster candidates (the standard mining rule). The
