@@ -167,6 +167,40 @@ class AvroFormatSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("S54i: edge values — negative/zero decimals, multi-byte UTF8, empty containers, " +
+    "null struct fields") {
+    val schema = StructType(Seq(
+      StructField("k", IntegerType),
+      StructField("dec", DecimalType(10, 2)),
+      StructField("s", StringType),
+      StructField("arr", ArrayType(LongType)),
+      StructField("m", MapType(StringType, StringType)),
+      StructField("st", StructType(Seq(
+        StructField("x", IntegerType), StructField("y", StringType))))))
+    val rows = Seq(
+      Row(1, BigDecimal("-12345.67").bigDecimal, "héllo — 日本語 ü",
+        Seq.empty[Long], Map.empty[String, String], Row(null, "only-y")),
+      Row(2, BigDecimal("0.00").bigDecimal, "", Seq(-1L, 0L, Long.MaxValue),
+        Map("k" -> null), Row(5, null)))
+    val t = GraftTable.create(spark, TestSpark.tmpDir("avro-edge"), schema,
+      options = Map("file.format" -> "avro"))
+    t.append(spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema))
+    val back = t.read().orderBy("k").collect()
+    assert(back(0).getDecimal(1) == BigDecimal("-12345.67").bigDecimal,
+      "negative decimal (two's-complement unscaled bytes) corrupted")
+    assert(back(0).getString(2) == "héllo — 日本語 ü", "multi-byte UTF8 corrupted")
+    assert(back(0).getSeq[Long](3).isEmpty && back(0).getMap[String, String](4).isEmpty)
+    assert(back(0).getStruct(5).isNullAt(0) && back(0).getStruct(5).getString(1) == "only-y")
+    assert(back(1).getDecimal(1) == BigDecimal("0.00").bigDecimal)
+    assert(back(1).getString(2) == "")
+    assert(back(1).getSeq[Long](3) == Seq(-1L, 0L, Long.MaxValue))
+    assert(back(1).getMap[String, String](4) == Map("k" -> null))
+    assert(back(1).getStruct(5).getInt(0) == 5 && back(1).getStruct(5).isNullAt(1))
+    // the V2 scan agrees on every edge value
+    val v2 = spark.read.format("graft").load(t.root).orderBy("k").collect()
+    assert(v2.map(_.toString).toSeq == back.map(_.toString).toSeq)
+  }
+
   test("S54g: unsupported avro types fail loudly at write time") {
     val schema = StructType(Seq(
       StructField("k", IntegerType),
