@@ -319,13 +319,19 @@ final class GraftAvroFileFormat extends FileFormat with DataSourceRegister with 
       path: Path): Boolean = true // sync-marker protocol in openSplit
 
   override def prepareWrite(spark: SparkSession, job: Job,
-      options: Map[String, String], dataSchema: StructType): OutputWriterFactory =
+      options: Map[String, String], dataSchema: StructType): OutputWriterFactory = {
+    // Paimon's file.compression option, narrowed to the codecs this JVM
+    // carries: snappy (default), deflate, none
+    val codec = options.getOrElse("file.compression", "snappy")
+    require(Set("snappy", "deflate", "none")(codec),
+      s"unsupported avro file.compression: $codec (snappy | deflate | none)")
     new OutputWriterFactory {
       override def getFileExtension(context: TaskAttemptContext): String = ".avro"
       override def newInstance(path: String, dataSchema: StructType,
           context: TaskAttemptContext): OutputWriter =
-        new GraftAvroOutputWriter(path, dataSchema, context.getConfiguration)
+        new GraftAvroOutputWriter(path, dataSchema, context.getConfiguration, codec)
     }
+  }
 
   override protected def buildReader(
       spark: SparkSession, dataSchema: StructType, partitionSchema: StructType,
@@ -340,12 +346,17 @@ final class GraftAvroFileFormat extends FileFormat with DataSourceRegister with 
   * FileMeta.rowCount without a second file pass (avro has no footer
   * stats to harvest). */
 final class GraftAvroOutputWriter(
-    val path: String, dataSchema: StructType, conf: Configuration) extends OutputWriter {
+    val path: String, dataSchema: StructType, conf: Configuration,
+    codec: String = "snappy") extends OutputWriter {
   private val avroSchema = GraftAvro.toAvroSchema(dataSchema)
   private val conv = GraftAvro.rowToRecord(dataSchema, avroSchema)
   private val writer = new DataFileWriter[GenericRecord](
     new GenericDatumWriter[GenericRecord](avroSchema))
-  writer.setCodec(CodecFactory.snappyCodec())
+  writer.setCodec(codec match {
+    case "deflate" => CodecFactory.deflateCodec(CodecFactory.DEFAULT_DEFLATE_LEVEL)
+    case "none" => CodecFactory.nullCodec()
+    case _ => CodecFactory.snappyCodec()
+  })
   private val p = new Path(path)
   writer.create(avroSchema, p.getFileSystem(conf).create(p, /*overwrite=*/ false))
   var rowCount: Long = 0L

@@ -82,7 +82,13 @@ object GraftWrite {
       if (table.fileFormat == "orc") new org.apache.spark.sql.execution.datasources.orc.OrcFileFormat
       else if (table.fileFormat == "avro") new GraftAvroFileFormat
       else new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-    val factory = format.prepareWrite(spark, job, Map.empty, fileDataSchema)
+    // avro honors file.compression (snappy|deflate|none); parquet/orc
+    // keep Spark's own codec confs — their option namespace is distinct
+    val writeOptions =
+      if (table.fileFormat == "avro")
+        table.options.filter(_._1 == "file.compression")
+      else Map.empty[String, String]
+    val factory = format.prepareWrite(spark, job, writeOptions, fileDataSchema)
     val lattice = table.lattice
     val charPad = lattice.fields.collect {
       case StructField(n, CharType(w), _, _) if fileDataSchema.fieldNames.contains(n) => n -> w

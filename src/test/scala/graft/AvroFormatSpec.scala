@@ -201,6 +201,19 @@ class AvroFormatSpec extends AnyFunSuite {
     assert(v2.map(_.toString).toSeq == back.map(_.toString).toSeq)
   }
 
+  test("S54j: file.compression codec option — deflate/none round-trip, bad codec rejected") {
+    val schema = StructType(Seq(StructField("k", IntegerType), StructField("v", StringType)))
+    for (codec <- Seq("deflate", "none", "snappy")) {
+      val t = GraftTable.create(spark, TestSpark.tmpDir(s"avro-codec-$codec"), schema,
+        options = Map("file.format" -> "avro", "file.compression" -> codec))
+      t.append(Seq((1, "a" * 1000), (2, "b")).toDF("k", "v"))
+      assert(t.read().count() == 2, s"codec $codec round-trip failed")
+    }
+    val bad = GraftTable.create(spark, TestSpark.tmpDir("avro-codec-bad"), schema,
+      options = Map("file.format" -> "avro", "file.compression" -> "zstdx"))
+    intercept[IllegalArgumentException](bad.append(Seq((1, "a")).toDF("k", "v")))
+  }
+
   test("S54g: unsupported avro types fail loudly at write time") {
     val schema = StructType(Seq(
       StructField("k", IntegerType),

@@ -158,6 +158,26 @@ class ChangelogProducerSpec extends AnyFunSuite {
       "live changelog dir swept")
   }
 
+  test("S52e: full-compaction changelog is branch-local — a branch compaction's diff " +
+    "never leaks into main's changelog stream (and vice versa)") {
+    val t = fcTable("fc-branch")
+    t.upsert(Seq((1, "a")).toDF("k", "v"))
+    val cMain = t.compact()
+    t.createBranch("dev")
+    val dev = t.forBranch("dev")
+    dev.upsert(Seq((2, "dev-only")).toDF("k", "v"))
+    val cDev = dev.compact()
+    // the branch sees its own diff (+I of the branch-only row)...
+    assert(cl(dev, cMain, cDev) == Seq(("+I", cDev, 2, "dev-only")))
+    // ...main's stream stays exactly its own history
+    assert(cl(t, 0, t.latestSnapshotId.get) == Seq(("+I", cMain, 1, "a")))
+    // both changelog dirs survive each ref's expiry pinning
+    t.upsert(Seq((3, "m")).toDF("k", "v"))
+    t.expireSnapshots(retainLast = 1)
+    assert(cl(dev, cMain, cDev) == Seq(("+I", cDev, 2, "dev-only")),
+      "main expiry broke the branch's changelog")
+  }
+
   test("T23: CDC relay — a changelog stream lands verbatim in an input-producer table; " +
     "downstream readers see the SAME kinds") {
     import graft.streaming.GraftStreaming
