@@ -38,17 +38,33 @@ object Bench {
       val (sec, ok) = run(name)
       (name, if (ok) sec else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def fmt(v: Double): String = f"$v%.3f"
+    def qjson(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val ok = results.filter(_._2 >= 0)
+    val total = ok.map(_._2).sum
+    val mean = if (ok.nonEmpty) total / ok.size else 0.0
+    // The driver captures only the LAST 2000 chars of stdout (seen in
+    // every BENCH_r*.json: "tail" is exactly 2000 chars and the full
+    // per-query map for 140+ queries is ~4.5 KB, so the final JSON line
+    // arrived front-truncated and "parsed" stayed null through r11).
+    // Emit a compact line that provably fits: slowest-40 subset at 3dp
+    // (~1.2 KB) + totals; the FULL map goes to BENCH_FULL.json in cwd.
+    val slowest = ok.sortBy(-_._2).take(40).sortBy(_._1)
+    val full =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nq":${results.size},"mean":${fmt(mean)},"queries":${qjson(results)},"failed":$failed,"sf":"$sfDir"}"""
+    try {
+      val w = new java.io.PrintWriter("BENCH_FULL.json")
+      try w.println(full) finally w.close()
+    } catch { case e: Exception => System.err.println(s"[bench] full dump failed: $e") }
     // stop FIRST so Spark's shutdown chatter can't interleave after the
     // result: the JSON must be the final bare stdout line or the
     // driver's parser records "parsed": null (seen in r10)
     spark.stop()
     System.out.println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nq":${results.size},"mean":${fmt(mean)},"queries":${qjson(slowest)},"failed":$failed,"sf":"$sfDir"}""")
     System.out.flush()
   }
 }
