@@ -16,7 +16,7 @@ object SparkEntry {
   }
 
   private def allDefsSeq: Seq[QDef] =
-    operators.Relational.defs ++ operators.Relational2.defs ++ operators.Temporal.defs ++ operators.GraftQueries.defs ++
+    operators.Relational.defs ++ operators.Relational2.defs ++ operators.Relational3.defs ++ operators.Temporal.defs ++ operators.GraftQueries.defs ++
       operators.TextOps.defs ++ operators.Dedup.defs ++ operators.Similarity.defs ++
       operators.Sketches.defs ++ operators.Packing.defs ++ operators.Indexing.defs ++
       operators.KMeansOp.defs ++ operators.Pipeline.defs ++ operators.Curation.defs ++

@@ -1,0 +1,110 @@
+package graft.operators
+
+import graft.{QDef, Tables => T}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Third tranche of relational coverage (SURVEY §2.2 R54–R56): modal
+  * value per group, bitwise aggregates, and a bucketed interval/range
+  * join (ref: Presto's range-predicate joins over Paimon scans,
+  * paimon-presto-common PaimonSplitManager drives plain scans — the
+  * join itself is engine-side; re-expressed Spark-first).
+  */
+object Relational3 {
+
+  val defs: Seq[QDef] = Seq(
+    // R54: statistical mode per group with a deterministic tie-break
+    // (max count, ties → lexicographically smallest value). Expressed
+    // as count + window rank rather than an engine-native mode() so the
+    // tie-break is pinned identically in both engines. Scale shape: the
+    // aggregate runs map-side-combinable over (status, priority) — a
+    // ≤15-key space — and the window sorts ≤5 rows per status.
+    QDef(
+      "q_mode",
+      (s, d) => {
+        val counts = T.orders(s, d)
+          .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy("o_orderstatus")
+          .orderBy(col("n").desc, col("o_orderpriority").asc)
+        counts.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("o_orderstatus"), col("o_orderpriority").as("modal_pri"), col("n"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, modal_pri, n FROM (
+             |  SELECT o_orderstatus, o_orderpriority AS modal_pri, count(*) AS n,
+             |    row_number() OVER (PARTITION BY o_orderstatus
+             |      ORDER BY count(*) DESC, o_orderpriority ASC) AS rn
+             |  FROM orders GROUP BY o_orderstatus, o_orderpriority) t
+             |WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin)),
+
+    // R55: bitwise aggregates (Presto's bitwise_or_agg/bitwise_and_agg
+    // family). Integer-exact under any partitioning: OR/AND/XOR are
+    // associative + commutative, so the partial aggregates map-side
+    // combine and one ≤3-group shuffle finishes at any corpus size.
+    QDef(
+      "q_bitwise_agg",
+      (s, d) =>
+        T.lineitem(s, d)
+          .select(col("l_returnflag"),
+            col("l_linenumber").cast("long").as("ln"),
+            (col("l_orderkey") % 1024L).as("okm"))
+          .groupBy("l_returnflag")
+          .agg(
+            expr("bit_or(ln)").cast("long").as("b_or"),
+            expr("bit_and(ln + 12)").cast("long").as("b_and"),
+            expr("bit_xor(okm)").cast("long").as("b_xor"),
+            count(lit(1)).as("n"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  CAST(bit_or(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS b_or,
+             |  CAST(bit_and(CAST(l_linenumber AS BIGINT) + 12) AS BIGINT) AS b_and,
+             |  CAST(bit_xor(l_orderkey % 1024) AS BIGINT) AS b_xor,
+             |  count(*) AS n
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // R56: interval/range join — orders matched to OVERLAPPING 45-day
+    // promotion windows (offset 30 days, so one order can hit two
+    // windows; NOT expressible as a date_trunc bucketing). Spark-first
+    // scale shape: a naive `day BETWEEN lo AND hi` join plans as a
+    // broadcast nested loop — O(rows × windows) probes; instead each
+    // window is exploded into the ≤2 fixed-width 30-day bins it
+    // touches and the join becomes a broadcast EQUI-join on the bin
+    // with the BETWEEN kept as a residual filter. Each order's bin is
+    // unique, so no pair dedup is needed. The oracle replays the plain
+    // BETWEEN join — proving the bucketed plan semantics-identical.
+    // The window origin (min order date) is one footer-cheap scalar
+    // aggregate collected on the driver (O(1), the q_rank_bm25
+    // precedent); revenues are floored to integer-valued longs (§5).
+    QDef(
+      "q_range_join",
+      (s, d) => {
+        import s.implicits._
+        val d0 = T.orders(s, d)
+          .agg(min(col("o_orderdate").cast("date"))).as[java.sql.Date]
+          .collect().head // bounded: ONE scalar row (window grid origin)
+        val windows = s.range(10).toDF("w_id")
+          .select(col("w_id"),
+            explode(array(col("w_id"), col("w_id") + 1L)).as("bin"))
+        val orders = T.orders(s, d)
+          .select(
+            datediff(col("o_orderdate").cast("date"), lit(d0)).cast("long").as("day"),
+            floor(col("o_totalprice")).cast("long").as("fp"))
+          .withColumn("bin", expr("day div 30"))
+        orders.join(broadcast(windows),
+            orders("bin") === windows("bin") &&
+              col("day").between(col("w_id") * 30L, col("w_id") * 30L + 44L))
+          .groupBy("w_id")
+          .agg(count(lit(1)).as("n"), sum("fp").as("rev"))
+          .orderBy("w_id")
+      },
+      Some("""WITH d0 AS (SELECT CAST(min(o_orderdate) AS DATE) AS m FROM orders),
+             |w AS (SELECT CAST(range AS BIGINT) AS w_id FROM range(10)),
+             |o AS (SELECT date_diff('day', (SELECT m FROM d0), CAST(o_orderdate AS DATE)) AS day,
+             |             CAST(floor(o_totalprice) AS BIGINT) AS fp FROM orders)
+             |SELECT w_id, count(*) AS n, CAST(sum(fp) AS BIGINT) AS rev
+             |FROM w JOIN o ON o.day BETWEEN w_id*30 AND w_id*30+44
+             |GROUP BY w_id ORDER BY w_id""".stripMargin)),
+  )
+}
