@@ -173,6 +173,29 @@ object GraftQueries {
       .orderBy("l_orderkey")
   }
 
+  /** documents through a bitmap-indexed table (S55, file-index.bitmap.
+    * columns = lang,source): four commits split by doc_id = four files
+    * whose language sets all overlap (min/max stats cannot prune), read
+    * through the CLAIM path (bitmap.claim-filters=true — the IN predicate
+    * is reported fully pushed and enforced by per-file position masks
+    * from the value-complete sidecars; the per-source aggregate consumes
+    * the masked rows). The oracle replays the same aggregate over raw
+    * documents: identical groups prove the exact index neither drops nor
+    * leaks a row. Ref: Paimon file-index.bitmap.columns (BitmapFileIndex);
+    * the reference connector inherits it via FileStoreScan planning. */
+  private def graftBitmap(s: SparkSession, d: String): DataFrame = {
+    val docs = T.documents(s, d).select("doc_id", "lang", "source", "n_chars")
+    val t = GraftTable.create(s, tmpRoot("bitmap"), docs.schema,
+      options = Map("file-index.bitmap.columns" -> "lang,source"))
+    val part = pmod(col("doc_id"), lit(4))
+    (0 until 4).foreach(i => t.append(docs.filter(part === i).coalesce(1)))
+    s.read.format("graft").option("bitmap.claim-filters", "true").load(t.root)
+      .filter(col("lang").isin("de", "zh"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"))
+      .orderBy("lang", "source")
+  }
+
   /** part through a bloom-indexed table (file-index.bloom-filter.columns
     * = p_partkey): four commits = four files whose key ranges fully
     * overlap (pmod split), so min/max stats cannot discriminate — only
@@ -371,6 +394,10 @@ object GraftQueries {
              |  round(CASE WHEN p_size >= 40 THEN p_retailprice + 1000
              |        ELSE p_retailprice END, 2) AS price
              |FROM part WHERE p_partkey < 300 ORDER BY p_partkey""".stripMargin)),
+    QDef("q_graft_bitmap", graftBitmap,
+      Some("""SELECT lang, source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+             |FROM documents WHERE lang IN ('de','zh')
+             |GROUP BY lang, source ORDER BY lang, source""".stripMargin)),
     QDef("q_graft_bloom", graftBloom,
       Some("""SELECT p_partkey, p_name, p_brand, round(p_retailprice,2) AS price
              |FROM part WHERE p_partkey IN (17, 118, 219, 1020)

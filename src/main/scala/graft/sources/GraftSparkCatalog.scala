@@ -215,13 +215,20 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
         else { t.deleteConsumer(id); t.commitConsumer(id, next); okRow(true) }
       }),
     "rewrite_file_index" -> new GraftProcedure("rewrite_file_index",
-      // Paimon's rewrite_file_index (S47): build bloom sidecars for live
-      // files that predate the index option (legacy / migrated / ALTERed
-      // tables) — one executor-side job, no data rewritten, no commit
-      // (sidecars are derived metadata keyed to immutable files)
+      // Paimon's rewrite_file_index (S47 + S55): build bloom AND bitmap
+      // sidecars for live files that predate their index options
+      // (legacy / migrated / ALTERed tables) — executor-side jobs, no
+      // data rewritten, no commit (sidecars are derived metadata keyed
+      // to immutable files). Reports the larger of the two counts (each
+      // kind converges independently).
       Seq(pStr("table")), StructType(Seq(
         org.apache.spark.sql.types.StructField("files", org.apache.spark.sql.types.LongType))),
-      in => InternalRow(loadByName(in.getString(0)).rewriteFileIndex())),
+      in => {
+        val t = loadByName(in.getString(0))
+        val blooms = if (t.bloomIndexCols.nonEmpty) t.rewriteFileIndex() else 0L
+        val bitmaps = if (t.bitmapIndexCols.nonEmpty) t.rewriteBitmapIndex() else 0L
+        InternalRow(math.max(blooms, bitmaps))
+      }),
     "expire_partitions" -> new GraftProcedure("expire_partitions",
       // Paimon's expire_partitions (S46): calendar retention — drop
       // every partition whose key value sorts strictly below `upto` as

@@ -1211,6 +1211,92 @@ class GraftTable private (
     missing.size.toLong
   }
 
+  /** S55 half of `rewrite_file_index`: rebuild missing BITMAP sidecars
+    * for live files that predate `file-index.bitmap.columns`. Positions
+    * must be the file's physical row order, and a shuffled rebuild job
+    * cannot observe that order by arrival — parquet's
+    * `_metadata.row_index` carries it explicitly, so the rebuild is
+    * parquet-only (orc/avro sidecars come from the write path, which
+    * counts rows itself; a missing sidecar there just means no claim).
+    * The same completeness rules as the writer apply: a file exceeding
+    * MaxDistinct values (or holding an unrenderable value) gets the
+    * column OMITTED, and zero-row files write an empty sidecar so a
+    * maintenance loop converges. Returns the number of files indexed. */
+  def rewriteBitmapIndex(): Long = {
+    val cols = bitmapIndexCols.filter(fileDataSchema.fieldNames.contains)
+      .filter(c => BitmapIndex.supportedType(schema(c).dataType))
+    if (cols.isEmpty) return 0L
+    require(fileFormat == "parquet",
+      "bitmap index rebuild requires parquet (_metadata.row_index positions); " +
+        s"$fileFormat sidecars are written only by the write path")
+    val base = latestSnapshotId.getOrElse(0L)
+    if (base == 0L) return 0L
+    val missing = filesAt(base).filter(f =>
+      !fs.exists(new Path(root, f.path + BitmapIndex.Suffix)))
+    if (missing.isEmpty) return 0L
+
+    val rootStr = root.stripSuffix("/")
+    val relByName = missing.map(f => f.path.substring(f.path.lastIndexOf('/') + 1) -> f.path).toMap
+    require(relByName.size == missing.size,
+      s"duplicate data-file basenames under $root — cannot attribute rows to files")
+    val df = spark.read
+      .option("basePath", s"$rootStr/data")
+      .schema(fileSchema).format(fileFormat)
+      .load(missing.map(f => s"$rootStr/${f.path}"): _*)
+      .select(
+        substring_index(col("_metadata.file_path"), "/", -1).as("__f") +:
+          col("_metadata.row_index").as("__pos") +: cols.map(col): _*)
+    val serConf = new org.apache.spark.util.SerializableConfiguration(hadoopConf)
+    val colNames = cols.toArray
+    df.repartition(missing.size, col("__f")).foreachPartition { (it: Iterator[Row]) =>
+      // per file: per column value → positions (unsorted on arrival —
+      // the shuffle breaks row order; sorted before writing)
+      val files = mutable.HashMap.empty[String, BitmapIndex.RebuildAcc]
+      it.foreach { row =>
+        val acc = files.getOrElseUpdate(row.getString(0),
+          new BitmapIndex.RebuildAcc(colNames.length))
+        acc.rows += 1
+        val pos = row.getLong(1)
+        var i = 0
+        while (i < colNames.length) {
+          if (!acc.over(i) && !row.isNullAt(i + 2)) {
+            BitmapIndex.render(row.get(i + 2)) match {
+              case Some(k) =>
+                val m = acc.bufs(i)
+                m.get(k) match {
+                  case Some(b) => b += pos
+                  case None =>
+                    if (m.size >= BitmapIndex.MaxDistinct) { acc.over(i) = true; m.clear() }
+                    else { val b = new mutable.ArrayBuilder.ofLong; b += pos; m.put(k, b) }
+                }
+              case None => acc.over(i) = true; acc.bufs(i).clear()
+            }
+          }
+          i += 1
+        }
+      }
+      if (files.nonEmpty) {
+        val fsx = new Path(rootStr).getFileSystem(serConf.value)
+        files.foreach { case (fname, acc) =>
+          val sidecarCols = colNames.toSeq.zipWithIndex.collect {
+            case (c, i) if !acc.over(i) =>
+              c -> acc.bufs(i).view.mapValues(b => b.result().sorted).toMap
+          }
+          BitmapIndex.write(fsx,
+            new Path(rootStr, relByName(fname) + BitmapIndex.Suffix), acc.rows, sidecarCols)
+        }
+      }
+    }
+    // zero-row files produced no executor rows: write an empty (still
+    // value-complete) sidecar so the rebuild converges
+    missing.foreach { f =>
+      val p = new Path(root, f.path + BitmapIndex.Suffix)
+      if (!fs.exists(p))
+        BitmapIndex.write(fs, p, 0L, cols.map(c => c -> Map.empty[String, Array[Long]]))
+    }
+    missing.size.toLong
+  }
+
   /** S46: value-based partition retention (Paimon's `expire_partitions`
     * procedure): drop every partition whose `key` value sorts strictly
     * below `upto` in ONE metadata OVERWRITE commit — zero file reads,
@@ -1643,6 +1729,45 @@ class GraftTable private (
     options.get("file-index.bloom-filter.columns")
       .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Seq.empty)
 
+  /** Columns with a per-file bitmap sidecar index (S55,
+    * `file-index.bitmap.columns` — Paimon's bitmap file index for
+    * low-cardinality columns; the reference connector inherits it via
+    * FileStoreScan). Unlike the bloom (S28) the claim is EXACT both
+    * ways: a present column's value map is file-complete. */
+  private[sources] def bitmapIndexCols: Seq[String] =
+    options.get("file-index.bitmap.columns")
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Seq.empty)
+
+  private val bitmapCache =
+    scala.collection.concurrent.TrieMap[String, Option[BitmapIndex.Sidecar]]()
+  private[sources] def bitmapSidecarOf(f: FileMeta): Option[BitmapIndex.Sidecar] =
+    bitmapCache.getOrElseUpdate(f.path,
+      BitmapIndex.read(fs, new Path(root, f.path + BitmapIndex.Suffix)))
+
+  /** Bitmap pruning of one filter against one file — exact: a key
+    * absent from a PRESENT column map proves no row matches. Missing
+    * sidecars/columns (legacy files, overflowed cardinality) and
+    * unrenderable literals keep the file; non-equality shapes make no
+    * claim. Residual-safe either way (the Filter stays in the plan). */
+  private def bitmapMayMatch(fl: org.apache.spark.sql.sources.Filter, f: FileMeta): Boolean = {
+    import org.apache.spark.sql.sources.{EqualNullSafe, EqualTo, In}
+    val cols = bitmapIndexCols.toSet
+    def mayMatch(c: String, values: Seq[Any]): Boolean =
+      bitmapSidecarOf(f).flatMap { sc =>
+        val rendered = values.map(BitmapIndex.render)
+        if (rendered.exists(_.isEmpty)) None // unrenderable literal: no claim
+        else sc.cols.get(c).map(m => rendered.flatten.exists(m.contains))
+      }.getOrElse(true)
+    fl match {
+      case EqualTo(c, v) if cols(c) && v != null => mayMatch(c, Seq(v))
+      case EqualNullSafe(c, v) if cols(c) && v != null => mayMatch(c, Seq(v))
+      case In(c, vs) if cols(c) && vs != null =>
+        val nn = vs.filter(_ != null)
+        nn.isEmpty || mayMatch(c, nn)
+      case _ => true
+    }
+  }
+
   // sidecar (blooms + entry stats) memoized per data-file path (files
   // are immutable)
   private val bloomCache =
@@ -1694,6 +1819,8 @@ class GraftTable private (
         skipSafe.forall(fl => FileStats.mayMatch(fl, f.statsOrEmpty, schema)))
     if (skipSafe.nonEmpty && bloomIndexCols.nonEmpty)
       files = files.filter(f => skipSafe.forall(fl => bloomMayMatch(fl, f)))
+    if (skipSafe.nonEmpty && bitmapIndexCols.nonEmpty)
+      files = files.filter(f => skipSafe.forall(fl => bitmapMayMatch(fl, f)))
     // map-subscript pruning (`props['k'] = 'v'` via bloom entry hashes,
     // `props['k'] > 5` via per-entry min/max stats, ref
     // range_filters_on_subscripts_enabled): both live in the same
@@ -2463,10 +2590,13 @@ class GraftTable private (
       val st = it.next()
       if (st.isFile) {
         val rel = st.getPath.toString.stripPrefix(rootQ).stripPrefix("/")
-        // a bloom sidecar lives and dies with its data file: it is
-        // orphaned iff the data file it indexes is unreferenced
+        // an index sidecar (bloom/bitmap) lives and dies with its data
+        // file: it is orphaned iff the data file it indexes is
+        // unreferenced
         val base =
-          if (rel.endsWith(BloomIndex.Suffix)) rel.dropRight(BloomIndex.Suffix.length) else rel
+          if (rel.endsWith(BloomIndex.Suffix)) rel.dropRight(BloomIndex.Suffix.length)
+          else if (rel.endsWith(BitmapIndex.Suffix)) rel.dropRight(BitmapIndex.Suffix.length)
+          else rel
         // >= so ttlMs=0 means "all unreferenced": with strict >, a file
         // whose modification time lands in the SAME millisecond as `now`
         // survives a ttl-0 sweep (observed as a suite flake — data file
@@ -2510,10 +2640,12 @@ class GraftTable private (
     out.toSeq
   }
 
-  /** Delete a data file together with its bloom sidecar (best-effort). */
+  /** Delete a data file together with its index sidecars (best-effort). */
   private def deleteDataFile(rel: String): Unit = {
     try fs.delete(new Path(root, rel), false) catch { case _: java.io.IOException => () }
     try fs.delete(new Path(root, rel + BloomIndex.Suffix), false)
+    catch { case _: java.io.IOException => () }
+    try fs.delete(new Path(root, rel + BitmapIndex.Suffix), false)
     catch { case _: java.io.IOException => () }
   }
 

@@ -323,12 +323,50 @@ final class GraftScanBuilder(
 
   private var requiredSchema: StructType = table.schema
   private var pushed: Array[Filter] = Array.empty
+  private var claimed: Array[Filter] = Array.empty
   private var aggScan: Option[GraftManifestAggScan] = None
+
+  // ---- S55 claimed filters (bitmap.claim-filters, opt-in) --------------
+
+  /** Opt-in: equality/IN predicates on bitmap-indexed columns are
+    * reported FULLY pushed (removed from Spark's residual) and enforced
+    * by position-masked reads; the payoff is sidecar-only COUNT
+    * answering (see buildAggScan). Off by default — the claimed row
+    * path reads row-based/unsplit, which is the wrong trade for plain
+    * wide SELECTs where residual filtering + vectorized scan wins. */
+  private val bitmapClaim = Option(options.get("bitmap.claim-filters")).exists(_.toBoolean)
+
+  private lazy val claimFiles: Seq[FileMeta] = table.planFiles(snapshotId)
+  private val claimColCache = scala.collection.mutable.HashMap[String, Boolean]()
+  /** Column claimable iff EVERY file of the scanned snapshot carries a
+    * sidecar with the column present (value-complete) and no deletion
+    * vector (a masked row may be a dv'd row; don't compose the masks). */
+  private def colClaimable(c: String): Boolean = claimColCache.getOrElseUpdate(c, {
+    table.bitmapIndexCols.contains(c) &&
+      claimFiles.forall(f => !f.hasDv && table.bitmapSidecarOf(f).exists(_.cols.contains(c)))
+  })
+  private def claimable(fl: Filter): Boolean = fl match {
+    // IsNotNull rides along with every derived equality; the union of a
+    // present column's value lists is exactly its non-null set
+    case org.apache.spark.sql.sources.IsNotNull(c) => colClaimable(c)
+    case _ =>
+      BitmapIndex.filterValues(fl) match {
+        case Some((c, vs)) =>
+          vs.forall(v => BitmapIndex.render(v).isDefined) && colClaimable(c)
+        case None => false
+      }
+  }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val known = table.schema.fieldNames.toSet
     pushed = filters.filter(_.references.forall(known))
-    filters // everything is residual: pruning is best-effort, Spark re-applies
+    claimed =
+      if (!bitmapClaim || table.isPkTable || rowLevelReplace || table.fileFormat == "avro")
+        Array.empty
+      else pushed.filter(claimable)
+    // claimed filters are enforced by the masked read; everything else
+    // is residual (pruning stays best-effort, Spark re-applies)
+    filters.filterNot(claimed.contains)
   }
 
   override def pushedFilters(): Array[Filter] = pushed
@@ -384,7 +422,10 @@ final class GraftScanBuilder(
 
   private def buildAggScan(agg: Aggregation): Option[GraftManifestAggScan] = {
     import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
-    if (!aggPushdown || pushed.nonEmpty || table.isPkTable) return None
+    // claimed (bitmap-enforced) filters stay compatible with COUNT
+    // pushdown — the sidecar position sets ARE the filtered counts; any
+    // other filter disables pushdown as before
+    if (!aggPushdown || pushed.exists(f => !claimed.contains(f)) || table.isPkTable) return None
     val partKeys = table.partitionKeys.toSet
 
     val groupColsOpt = agg.groupByExpressions.toSeq
@@ -419,6 +460,24 @@ final class GraftScanBuilder(
     // sidecar's exact cardinality), but a masked row may have BEEN the
     // min/max — stats are only conservative bounds on a dv'd file
     if (files.exists(_.hasDv) && defs.exists(_ != CountStarDef)) return None
+    // S55 filtered COUNT: under claimed filters only COUNT(*) is
+    // answerable (a masked-away row may have been the min/max), each
+    // file's contribution being |∩ claimed match positions| from its
+    // sidecar. Eligibility at claim time guarantees sidecar coverage
+    // and no dv; re-verify per file and abort (fall back to the masked
+    // row scan) rather than guess.
+    val claimedCounts: Map[String, Long] =
+      if (claimed.isEmpty) Map.empty
+      else {
+        if (defs.exists(_ != CountStarDef) || files.exists(_.hasDv)) return None
+        files.map { f =>
+          val n = table.bitmapSidecarOf(f)
+            .flatMap(sc => BitmapIndex.keepPositions(sc, claimed.toSeq))
+            .map(_.length.toLong)
+            .getOrElse(return None)
+          f.path -> n
+        }.toMap
+      }
     // every MIN/MAX target needs a stats entry in EVERY file (absence is
     // ambiguous between "all null" and "not collected" — don't guess)
     val statCols = defs.collect { case MinDef(c) => c case MaxDef(c) => c }
@@ -453,7 +512,9 @@ final class GraftScanBuilder(
           toInternal(GraftTable.castPartitionValue(v, table.schema(c).dataType))
         }
         val aggVals = defs.map {
-          case CountStarDef => fs.map(f => f.rowCountOpt.get - f.dvCountOrZero).sum
+          case CountStarDef =>
+            if (claimed.nonEmpty) fs.map(f => claimedCounts(f.path)).sum
+            else fs.map(f => f.rowCountOpt.get - f.dvCountOrZero).sum
           case MinDef(c) =>
             val ord = ordering(table.schema(c).dataType)
             val vs = fs.flatMap(f => statValue(f, c, min = true)).map(toInternal)
@@ -479,7 +540,7 @@ final class GraftScanBuilder(
 
   override def build(): Scan = aggScan.getOrElse {
     val s = new GraftScan(spark, table, snapshotId, requiredSchema, pushed,
-      partitionPrune, dataSkip, rowLevelReplace, subscriptFilters)
+      partitionPrune, dataSkip, rowLevelReplace, subscriptFilters, claimed)
     onBuild(s)
     s
   }
@@ -599,6 +660,7 @@ final class GraftReplaceBatchWrite(
       try {
         fsys.delete(new org.apache.hadoop.fs.Path(table.root, f.path), false)
         fsys.delete(new org.apache.hadoop.fs.Path(table.root, f.path + BloomIndex.Suffix), false)
+        fsys.delete(new org.apache.hadoop.fs.Path(table.root, f.path + BitmapIndex.Suffix), false)
       } catch { case _: java.io.IOException => () }
     }
   }
@@ -640,7 +702,10 @@ final class GraftScan(
     partitionPrune: Boolean,
     dataSkip: Boolean,
     rowLevelReplace: Boolean = false,
-    val subscriptFilters: Seq[SubscriptPredicate] = Seq.empty)
+    val subscriptFilters: Seq[SubscriptPredicate] = Seq.empty,
+    // S55 claimed filters (bitmap.claim-filters): reported fully pushed
+    // by the builder; THIS scan must enforce them (position-masked read)
+    claimed: Array[Filter] = Array.empty)
     extends Scan with Batch with SupportsReportStatistics with SupportsReportPartitioning
     with SupportsRuntimeFiltering {
 
@@ -650,7 +715,7 @@ final class GraftScan(
     * DataSourceV2Relation shape via the read option). */
   def withSubscriptFilters(subs: Seq[SubscriptPredicate]): GraftScan =
     new GraftScan(spark, table, snapshotId, requiredSchema, pushed,
-      partitionPrune, dataSkip, rowLevelReplace, subs)
+      partitionPrune, dataSkip, rowLevelReplace, subs, claimed)
 
   private val partKeySet = table.partitionKeys.toSet
   // S44: the `_file` metadata column is synthesized per file partition,
@@ -861,7 +926,9 @@ final class GraftScan(
 
   override def description(): String =
     s"GraftTable files=${plannedFiles.size}/$totalFiles root=${table.root} " +
-      s"PushedFilters: [${pushed.mkString(", ")}], ReadSchema: ${readSchema().catalogString}"
+      s"PushedFilters: [${pushed.mkString(", ")}], " +
+      (if (claimed.nonEmpty) s"ClaimedFilters: [${claimed.mkString(", ")}], " else "") +
+      s"ReadSchema: ${readSchema().catalogString}"
 
   // ---- split planning (driver-side, manifest-only) ---------------------
 
@@ -976,8 +1043,10 @@ final class GraftScan(
     val splits = plannedFiles.flatMap { f =>
       // a dv-carrying file is planned UNSPLIT: its reader masks sidecar
       // positions against a physical row counter that must start at 0
-      // and see every row (DvSkipReader)
-      if (f.hasDv) Seq(toPartitionedFile(f, readPartFields, 0L, f.sizeBytes))
+      // and see every row (DvSkipReader). Claimed bitmap filters mask
+      // the same way, so every file of a claimed scan plans unsplit.
+      if (f.hasDv || claimed.nonEmpty)
+        Seq(toPartitionedFile(f, readPartFields, 0L, f.sizeBytes))
       else (0L until math.max(1L, f.sizeBytes) by maxSplit).map { off =>
         toPartitionedFile(f, readPartFields, off, math.min(maxSplit, f.sizeBytes - off))
       }
@@ -1105,7 +1174,16 @@ final class GraftScan(
       val plain = fileFactory(StructType(readDataFields), StructType(readPartFields),
         readerFilters, vectorized = false)
       val masked =
-        if (!plannedFiles.exists(_.hasDv)) plain
+        if (claimed.nonEmpty)
+          // claim eligibility excludes dv-carrying snapshots, so the
+          // bitmap mask is the only wrapper needed here
+          new BitmapMaskReaderFactory(
+            fileFactory(StructType(readDataFields), StructType(readPartFields),
+              Array.empty[Filter], vectorized = false),
+            claimed.toSeq,
+            new org.apache.spark.util.SerializableConfiguration(
+              spark.sessionState.newHadoopConf()))
+        else if (!plannedFiles.exists(_.hasDv)) plain
         else new DvReaderFactory(
           plain,
           fileFactory(StructType(readDataFields), StructType(readPartFields),
@@ -1115,6 +1193,16 @@ final class GraftScan(
             spark.sessionState.newHadoopConf()))
       return new FileColFactory(masked)
     }
+    // S55 claimed filters: every file reads row-based/unsplit through a
+    // NO-pushdown factory (parquet row-group skipping would desync the
+    // position counter) and a keep-mask from its bitmap sidecar
+    if (claimed.nonEmpty && !table.isPkTable)
+      return new BitmapMaskReaderFactory(
+        fileFactory(StructType(readDataFields), StructType(readPartFields),
+          Array.empty[Filter], vectorized = false),
+        claimed.toSeq,
+        new org.apache.spark.util.SerializableConfiguration(
+          spark.sessionState.newHadoopConf()))
     val inner =
       if (!table.isPkTable) {
         val plain =

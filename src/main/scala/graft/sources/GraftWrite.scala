@@ -61,7 +61,11 @@ final case class GraftWriteSpec(
     // this writeSchema column (computed driver-plan-side from the
     // key-hash→bucket index); the writer routes by it and never stores
     // it (it is not in fileDataSchema). None = static hash routing.
-    dynamicBucketCol: Option[String] = None)
+    dynamicBucketCol: Option[String] = None,
+    // columns with a per-file bitmap sidecar (file-index.bitmap.columns,
+    // S55): the task records value → ascending row positions and writes
+    // <file>.bmidx on close — see BitmapIndex
+    bitmapCols: Seq[String] = Seq.empty)
 
 object GraftWrite {
 
@@ -126,7 +130,9 @@ object GraftWrite {
               graft.functions.MapEntryHashesImpl.subscriptSafe(n)
             case _ => true
           }
-        })
+        },
+      bitmapCols = table.bitmapIndexCols.filter(writeSchema.fieldNames.contains)
+        .filter(c => BitmapIndex.supportedType(table.schema(c).dataType)))
   }
 
   /** mapPartitions body for the library write path (static method so the
@@ -208,6 +214,36 @@ final class GraftTaskWriter(spec: GraftWriteSpec, taskUniq: String) {
       else
         new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(storedValue(c))): Expression
     }))
+
+  // S55 bitmap index: STORED values (pad/truncate applied) of the
+  // configured low-cardinality columns, rendered per row with the same
+  // BitmapIndex.render convention the planner applies to predicate
+  // literals; the recorded position is the file's physical row order.
+  private val bitmapProj: Option[UnsafeProjection] =
+    if (spec.bitmapCols.isEmpty) None
+    else Some(UnsafeProjection.create(spec.bitmapCols.toIndexedSeq.map(storedValue)))
+  private val bitmapTypes: Array[org.apache.spark.sql.types.DataType] =
+    spec.bitmapCols.toArray.map(c => storedValue(c).dataType)
+
+  /** Per-(file, column) value → ascending positions. A non-null value
+    * that fails to render (over-long) OVERFLOWS the whole column — a
+    * silently skipped value would break the "absent key proves no row"
+    * claim. Nulls are skipped soundly (no equality literal matches
+    * null, and IS NULL pruning is S39's null counts). */
+  private final class BitmapBuf {
+    val m = mutable.HashMap[String, LongBuf]()
+    var overflow = false
+    def add(key: String, pos: Long): Unit = {
+      if (overflow) return
+      m.get(key) match {
+        case Some(b) => b.add(pos)
+        case None =>
+          if (m.size >= BitmapIndex.MaxDistinct) { overflow = true; m.clear() }
+          else { val b = new LongBuf; b.add(pos); m.put(key, b) }
+      }
+    }
+    def invalidate(): Unit = { overflow = true; m.clear() }
+  }
 
   // Per-entry min/max collection for nested bloom columns whose map
   // value / array element type is integral — the RANGE half of subscript
@@ -327,6 +363,8 @@ final class GraftTaskWriter(spec: GraftWriteSpec, taskUniq: String) {
       val bucket: Int) {
     val bloomBufs: Array[LongBuf] = Array.fill(spec.bloomCols.size)(new LongBuf)
     val entryStatBufs: Array[EntryStatBuf] = Array.fill(entryStatSpecs.size)(new EntryStatBuf)
+    val bitmapBufs: Array[BitmapBuf] = Array.fill(spec.bitmapCols.size)(new BitmapBuf)
+    var rowsWritten: Long = 0L
     // avro has no harvestable footer: the writer's own count becomes
     // FileMeta.rowCount (captured at close — see closeOne)
     var rowCount: Long = -1L
@@ -377,7 +415,21 @@ final class GraftTaskWriter(spec: GraftWriteSpec, taskUniq: String) {
       }
     }
     if (entryStatSpecs.nonEmpty) collectEntryStats(row, o)
+    bitmapProj.foreach { bp =>
+      val r = bp(row)
+      var i = 0
+      while (i < o.bitmapBufs.length) {
+        if (!r.isNullAt(i)) {
+          BitmapIndex.render(r.get(i, bitmapTypes(i))) match {
+            case Some(k) => o.bitmapBufs(i).add(k, o.rowsWritten)
+            case None => o.bitmapBufs(i).invalidate() // over-long value
+          }
+        }
+        i += 1
+      }
+    }
     o.writer.write(dataProj(row))
+    o.rowsWritten += 1
   }
 
   private def newWriter(partVals: Seq[String], bucket: Int): Open = {
@@ -410,6 +462,12 @@ final class GraftTaskWriter(spec: GraftWriteSpec, taskUniq: String) {
         entryStatSpecs.zip(o.entryStatBufs).collect {
           case ((c, _, _), buf) if !buf.overflow =>
             c -> buf.m.view.mapValues(b => (b(0), b(1))).toMap
+        })
+    if (spec.bitmapCols.nonEmpty)
+      BitmapIndex.write(fs, new Path(root, o.relPath + BitmapIndex.Suffix), o.rowsWritten,
+        spec.bitmapCols.zip(o.bitmapBufs).collect {
+          case (c, buf) if !buf.overflow =>
+            c -> buf.m.view.mapValues(b => java.util.Arrays.copyOf(b.arr, b.n)).toMap
         })
     closed += o
   }

@@ -1,0 +1,249 @@
+package graft
+
+import graft.sources.{BitmapIndex, GraftScan, GraftTable}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SURVEY §2.1 S55 — per-file bitmap column index
+  * (file-index.bitmap.columns): EXACT equality/IN file skipping on
+  * low-cardinality columns, value-complete per file (the claim is sound
+  * both ways, unlike the probabilistic bloom), positions recorded in
+  * physical row order for sidecar-only COUNT answering.
+  */
+class BitmapIndexSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def plannedOfTotal(df: DataFrame): (Int, Int) = {
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec if b.scan.isInstanceOf[GraftScan] => b.scan.asInstanceOf[GraftScan]
+    }
+    assert(scans.size == 1)
+    val d = scans.head.description()
+    val m = "files=(\\d+)/(\\d+)".r.findFirstMatchIn(d).getOrElse(fail(s"no file count in: $d"))
+    (m.group(1).toInt, m.group(2).toInt)
+  }
+
+  private def langOf(i: Int): String = Seq("en", "de", "fr", "ja")(i)
+
+  test("S55a: bitmap index prunes files exactly on equality and IN") {
+    val path = TestSpark.tmpDir("bmidx")
+    val t = GraftTable.create(spark, path,
+      StructType(Seq(StructField("id", LongType), StructField("lang", StringType))),
+      options = Map("file-index.bitmap.columns" -> "lang"))
+    // 4 commits = 4 files, each holding TWO of the four languages — the
+    // value sets overlap across files, so min/max stats cannot isolate
+    for (c <- 0 until 4)
+      t.append((0 until 300).map(i => (c * 1000L + i, langOf((c + i % 2) % 4)))
+        .toDF("id", "lang").coalesce(1))
+
+    // "ja" is stored only in files 2 (c=2, odd rows) and 3 (c=3, even rows)
+    val hit = spark.read.format("graft").load(path).filter($"lang" === "ja")
+    assert(plannedOfTotal(hit) == ((2, 4)), "bitmap should isolate the two ja files")
+    assert(hit.count() == 300)
+
+    // absent value: an exact index prunes EVERY file (a bloom could
+    // only do this modulo false positives)
+    val miss = spark.read.format("graft").load(path).filter($"lang" === "xx")
+    assert(plannedOfTotal(miss)._1 == 0)
+    assert(miss.count() == 0)
+
+    // IN over (absent, present-in-two-files) keeps exactly those two
+    val in2 = spark.read.format("graft").load(path).filter($"lang".isin("xx", "en"))
+    assert(plannedOfTotal(in2) == ((2, 4)))
+    assert(in2.count() == 300)
+  }
+
+  test("S55b: recorded positions match parquet's physical row order") {
+    val path = TestSpark.tmpDir("bmpos")
+    val t = GraftTable.create(spark, path,
+      StructType(Seq(StructField("id", LongType), StructField("lang", StringType))),
+      options = Map("file-index.bitmap.columns" -> "lang"))
+    t.append((0 until 100).map(i => (i.toLong, langOf(i % 3))).toDF("id", "lang").coalesce(1))
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(new org.apache.hadoop.conf.Configuration())
+    val dataFile = fs.listFiles(new org.apache.hadoop.fs.Path(path, "data"), true)
+    val found = Iterator.continually(dataFile).takeWhile(_ => dataFile.hasNext)
+      .map(_.next().getPath).find(_.getName.endsWith(".parquet")).get
+    val sc = BitmapIndex.read(fs, new org.apache.hadoop.fs.Path(found.toString + BitmapIndex.Suffix))
+      .getOrElse(fail("sidecar missing/unreadable"))
+    assert(sc.rowCount == 100)
+    val expected = spark.read.parquet(found.toString)
+      .select(col("lang"), col("_metadata.row_index").as("pos"))
+      .collect().groupBy(_.getString(0)).view
+      .mapValues(_.map(_.getLong(1)).sorted.toSeq).toMap
+    assert(sc.cols("lang").view.mapValues(_.toSeq).toMap == expected)
+  }
+
+  test("S55c: cardinality overflow drops the column claim, never correctness") {
+    val path = TestSpark.tmpDir("bmover")
+    val t = GraftTable.create(spark, path,
+      StructType(Seq(StructField("id", LongType), StructField("u", StringType))),
+      options = Map("file-index.bitmap.columns" -> "u"))
+    val n = BitmapIndex.MaxDistinct + 50
+    t.append((0 until n).map(i => (i.toLong, s"v$i")).toDF("id", "u").coalesce(1))
+    // the overflowed column makes no claim: the file survives pruning
+    val q = spark.read.format("graft").load(path).filter($"u" === "v7")
+    assert(plannedOfTotal(q) == ((1, 1)))
+    assert(q.collect().map(_.getLong(0)).toSeq == Seq(7L))
+    // and an over-long stored value invalidates the column the same way
+    val path2 = TestSpark.tmpDir("bmlong")
+    val t2 = GraftTable.create(spark, path2,
+      StructType(Seq(StructField("id", LongType), StructField("u", StringType))),
+      options = Map("file-index.bitmap.columns" -> "u"))
+    t2.append(Seq((1L, "short"), (2L, "x" * (BitmapIndex.MaxValueBytes + 1)))
+      .toDF("id", "u").coalesce(1))
+    // literal chosen INSIDE the file's min/max range ("short" < "tt" <
+    // "xxx…") so only the bitmap could prune — and it must decline
+    val q2 = spark.read.format("graft").load(path2).filter($"u" === "tt")
+    assert(plannedOfTotal(q2) == ((1, 1)), "over-long value must void the file's claim")
+  }
+
+  test("S55d: corrupt/missing sidecar degrades to no-claim") {
+    val path = TestSpark.tmpDir("bmcorrupt")
+    val t = GraftTable.create(spark, path,
+      StructType(Seq(StructField("id", LongType), StructField("lang", StringType))),
+      options = Map("file-index.bitmap.columns" -> "lang"))
+    t.append(Seq((1L, "en"), (2L, "de")).toDF("id", "lang").coalesce(1))
+    t.append(Seq((3L, "fr"), (4L, "ja")).toDF("id", "lang").coalesce(1))
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(new org.apache.hadoop.conf.Configuration())
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(path, "data"), true)
+    val sidecars = scala.collection.mutable.ArrayBuffer[org.apache.hadoop.fs.Path]()
+    while (it.hasNext) {
+      val p = it.next().getPath
+      if (p.getName.endsWith(BitmapIndex.Suffix)) sidecars += p
+    }
+    assert(sidecars.size == 2)
+    val out = fs.create(sidecars.head, true)
+    out.write(Array[Byte](1, 2, 3)) // truncated garbage
+    out.close()
+    GraftTable.load(spark, path) // fresh instance: no stale sidecar cache
+    val rows = spark.read.format("graft").load(path)
+      .filter($"lang".isin("en", "de", "fr", "ja"))
+      .collect().map(_.getLong(0)).sorted
+    assert(rows.toSeq == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("S55f: claimed filters are fully pushed and position-mask exactly") {
+    val path = TestSpark.tmpDir("bmclaim")
+    val t = GraftTable.create(spark, path,
+      StructType(Seq(StructField("id", LongType), StructField("lang", StringType))),
+      options = Map("file-index.bitmap.columns" -> "lang"))
+    for (c <- 0 until 3)
+      t.append((0 until 400).map(i => (c * 1000L + i, langOf(i % 4))).toDF("id", "lang")
+        .coalesce(1))
+    val expected = spark.read.format("graft").load(path)
+      .filter($"lang".isin("de", "ja")).collect().map(_.getLong(0)).sorted.toSeq
+    val claimedDf = spark.read.format("graft")
+      .option("bitmap.claim-filters", "true").load(path)
+      .filter($"lang".isin("de", "ja"))
+    // fully pushed: no FilterExec survives in the physical plan
+    val filters = claimedDf.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FilterExec => f
+    }
+    assert(filters.isEmpty, s"claimed predicate left a Filter node:\n${claimedDf.queryExecution}")
+    assert(claimedDf.collect().map(_.getLong(0)).sorted.toSeq == expected)
+  }
+
+  test("S55g: filtered COUNT(*) answers from sidecars alone (zero file reads)") {
+    val path = TestSpark.tmpDir("bmcount")
+    val t = GraftTable.create(spark, path,
+      StructType(Seq(StructField("id", LongType), StructField("lang", StringType))),
+      options = Map("file-index.bitmap.columns" -> "lang"))
+    for (c <- 0 until 3)
+      t.append((0 until 400).map(i => (c * 1000L + i, langOf(i % 4))).toDF("id", "lang")
+        .coalesce(1))
+    val df = spark.read.format("graft")
+      .option("bitmap.claim-filters", "true").load(path)
+      .filter($"lang" === "de").agg(count(lit(1)).as("n"))
+    assert(df.first().getLong(0) == 300L)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan") && !plan.contains("BatchScan"),
+      s"filtered count should be manifest+sidecar-only:\n$plan")
+    // conjunction: second claimed filter intersects positions
+    val df2 = spark.read.format("graft")
+      .option("bitmap.claim-filters", "true").load(path)
+      .filter($"lang".isin("de", "en") && $"lang" === "de").agg(count(lit(1)).as("n"))
+    assert(df2.first().getLong(0) == 300L)
+    assert(df2.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+  }
+
+  test("S55h: claim declines without full sidecar coverage; reads stay correct") {
+    val path = TestSpark.tmpDir("bmnoclaim")
+    val t = GraftTable.create(spark, path,
+      StructType(Seq(StructField("id", LongType), StructField("lang", StringType))),
+      options = Map("file-index.bitmap.columns" -> "lang"))
+    t.append(Seq((1L, "en"), (2L, "de")).toDF("id", "lang").coalesce(1))
+    t.append(Seq((3L, "fr"), (4L, "de")).toDF("id", "lang").coalesce(1))
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(new org.apache.hadoop.conf.Configuration())
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(path, "data"), true)
+    var deleted = false
+    while (it.hasNext && !deleted) {
+      val p = it.next().getPath
+      if (p.getName.endsWith(BitmapIndex.Suffix)) { fs.delete(p, false); deleted = true }
+    }
+    assert(deleted)
+    GraftTable.load(spark, path) // fresh table instance: no stale cache
+    val df = spark.read.format("graft")
+      .option("bitmap.claim-filters", "true").load(path).filter($"lang" === "de")
+    // ineligible → the predicate must survive as a residual Filter
+    val filters = df.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FilterExec => f
+    }
+    assert(filters.nonEmpty, "claim without coverage would be unsound")
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 4L))
+  }
+
+  test("S55i: rewriteBitmapIndex rebuilds a byte-identical sidecar") {
+    val path = TestSpark.tmpDir("bmrw")
+    val t = GraftTable.create(spark, path,
+      StructType(Seq(StructField("id", LongType), StructField("lang", StringType))),
+      options = Map("file-index.bitmap.columns" -> "lang"))
+    t.append((0 until 500).map(i => (i.toLong, if (i % 7 == 0) null else langOf(i % 4)))
+      .toDF("id", "lang").coalesce(1))
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(new org.apache.hadoop.conf.Configuration())
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(path, "data"), true)
+    var sidecar: org.apache.hadoop.fs.Path = null
+    while (it.hasNext) {
+      val p = it.next().getPath
+      if (p.getName.endsWith(BitmapIndex.Suffix)) sidecar = p
+    }
+    assert(sidecar != null)
+    val written = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(sidecar.toUri))
+    fs.delete(sidecar, false)
+    assert(t.rewriteBitmapIndex() == 1L)
+    val rebuilt = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(sidecar.toUri))
+    assert(java.util.Arrays.equals(written, rebuilt),
+      "rebuilt sidecar must be byte-identical to the written one")
+    assert(t.rewriteBitmapIndex() == 0L, "second pass must converge to no work")
+    // rebuilt index prunes like the original
+    val t2 = GraftTable.load(spark, path)
+    import org.apache.spark.sql.sources.EqualTo
+    assert(t2.read(dataFilters = Seq(EqualTo("lang", "ja"))).inputFiles.nonEmpty)
+  }
+
+  test("S55e: sidecars die with their data files (orphan sweep + replace)") {
+    val path = TestSpark.tmpDir("bmgc")
+    val t = GraftTable.create(spark, path,
+      StructType(Seq(StructField("id", LongType), StructField("lang", StringType))),
+      options = Map("file-index.bitmap.columns" -> "lang"))
+    t.append(Seq((1L, "en")).toDF("id", "lang").coalesce(1))
+    t.overwriteAll(Seq((2L, "de")).toDF("id", "lang").coalesce(1))
+    t.expireSnapshots(1)
+    t.removeOrphanFiles(0L)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(new org.apache.hadoop.conf.Configuration())
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(path, "data"), true)
+    var parquets = 0
+    var bmidx = 0
+    while (it.hasNext) {
+      val p = it.next().getPath
+      if (p.getName.endsWith(".parquet")) parquets += 1
+      if (p.getName.endsWith(BitmapIndex.Suffix)) bmidx += 1
+    }
+    assert(parquets == 1, "expired data file should be reclaimed")
+    assert(bmidx == 1, "its bitmap sidecar should be reclaimed with it")
+    assert(spark.read.format("graft").load(path).collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+}
