@@ -834,13 +834,49 @@ class GraftTable private (
     * sorts by the Morton z-value, clustering BOTH dimensions at once.
     * `partitions` bounds the output file count (0 = Spark's default
     * parallelism decides). */
+  /** S56 record-level expire (Paimon's `record-level.expire-time` +
+    * `record-level.time-field`): rows whose time field falls behind
+    * now − TTL are DROPPED when a compaction rewrites their files —
+    * never on read or write (Paimon's documented semantics: expiry is
+    * lazy, piggybacked on maintenance I/O; a 100 TB table sheds aged
+    * rows without a single dedicated delete scan or tombstone commit).
+    * Time-field encodings: INT = epoch seconds, BIGINT = epoch millis,
+    * TIMESTAMP native. NULL time fields never expire (no claim).
+    * `record-level.expire.now-millis` pins the clock (tests). */
+  private[sources] def recordExpireMs: Option[Long] =
+    options.get("record-level.expire-time").map(GraftTable.parseDurationMs)
+  private def recordExpire(df: DataFrame): DataFrame =
+    (recordExpireMs, options.get("record-level.time-field")) match {
+      case (Some(ttl), Some(f)) =>
+        require(schema.fieldNames.contains(f),
+          s"record-level.time-field $f is not a table column")
+        val now = options.get("record-level.expire.now-millis").map(_.toLong)
+          .getOrElse(System.currentTimeMillis())
+        val cutoffMs = now - ttl
+        val keep = schema(f).dataType match {
+          case IntegerType => col(f).isNull || col(f).cast(LongType) >=
+            Math.floorDiv(cutoffMs, 1000L)
+          case LongType => col(f).isNull || col(f) >= cutoffMs
+          case TimestampType => col(f).isNull ||
+            col(f) >= lit(java.time.Instant.ofEpochMilli(cutoffMs))
+          case other => throw new IllegalArgumentException(
+            s"record-level.time-field $f must be INT (epoch seconds), " +
+              s"BIGINT (epoch millis) or TIMESTAMP (got ${other.simpleString})")
+        }
+        df.filter(keep)
+      case _ => df
+    }
+
   def compact(
       sortBy: Seq[String] = Seq.empty,
       zorderBy: Seq[String] = Seq.empty,
       partitions: Int = 0): Long = {
     require(sortBy.isEmpty || zorderBy.isEmpty, "use sortBy OR zorderBy, not both")
     val base = latestSnapshotId.getOrElse(0L)
-    var merged = read(snapshotId = Some(base).filter(_ > 0))
+    // S56: expired rows leave the table through this rewrite; with
+    // changelog-producer=full-compaction they surface as -D diffs below
+    // (downstream replicas see the expiry as ordinary deletions)
+    var merged = recordExpire(read(snapshotId = Some(base).filter(_ > 0)))
     val n = if (partitions > 0) partitions else spark.sessionState.conf.numShufflePartitions
     if (zorderBy.nonEmpty) {
       require(zorderBy.length == 2, "z-order clustering takes exactly two columns")
@@ -1003,8 +1039,11 @@ class GraftTable private (
       .schema(fileSchema)
       .format(fileFormat).load(paths: _*)
     // merging all triggered groups in one pass is sound: keys never
-    // cross groups, so the keyed fold touches exactly one group's rows
-    val merged = mergeVersions(raw).select(schema.fieldNames.map(col).toSeq: _*)
+    // cross groups, so the keyed fold touches exactly one group's rows.
+    // S56: the rewrite also sheds this group's expired rows (dropping a
+    // key's FOLDED newest version is exact — all its versions live here)
+    val merged = recordExpire(
+      mergeVersions(raw).select(schema.fieldNames.map(col).toSeq: _*))
     val added = stageWrite(merged, rowKind = RowKind.Insert, seq = base + 1)
     Some(commitOrClean(base + 1, "COMPACT", added.files, deleted = triggered,
       indexDirs = added.indexDirs))
@@ -2862,6 +2901,22 @@ object GraftTable {
 
   /** Hive's directory name for a null partition value. */
   val NullPartition = "__HIVE_DEFAULT_PARTITION__"
+
+  /** Parse a duration option value to millis: `<n>ms|s|m|h|d` (Paimon's
+    * duration-string convention) or a bare number = millis. */
+  def parseDurationMs(v: String): Long = {
+    val s = v.trim.toLowerCase
+    val m = "^(\\d+)\\s*(ms|s|m|h|d)?$".r.findFirstMatchIn(s).getOrElse(
+      throw new IllegalArgumentException(s"unparseable duration: $v"))
+    val n = m.group(1).toLong
+    m.group(2) match {
+      case "s" => n * 1000L
+      case "m" => n * 60_000L
+      case "h" => n * 3_600_000L
+      case "d" => n * 86_400_000L
+      case _ => n // "ms" or bare number
+    }
+  }
 
   private[sources] def castPartitionValue(v: String, dt: DataType): Any =
     if (v == NullPartition) null else dt match {
