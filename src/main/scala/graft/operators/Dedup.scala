@@ -126,7 +126,7 @@ object Dedup {
     * materialization — at 100 TB the shuffle is (pairs × avg-set-size)
     * rows of (long,long,string), never whole documents. Same value as
     * the array formulation (the oracle keeps the array form). */
-  private def verifyJaccard(cand: DataFrame, docs: DataFrame): DataFrame = {
+  private[operators] def verifyJaccard(cand: DataFrame, docs: DataFrame): DataFrame = {
     val ex = docs.select(col("doc_id"), explode(col("sh")).as("g"))
     val sizes = docs.select(col("doc_id"), size(col("sh")).as("sz"))
     val inter = cand
@@ -194,7 +194,7 @@ object Dedup {
     verifyJaccard(cand, docs)
   }
 
-  private def minhashOracle: String = {
+  private[operators] def minhashOracle: String = {
     val mhExprs = (0 until Bands * RowsPerBand).map { j =>
       s"list_min(list_transform(H, x -> (x*${A(j)} + ${B(j)}) % $P))"
     }
