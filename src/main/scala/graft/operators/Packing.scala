@@ -81,6 +81,47 @@ object Packing {
        |FROM walk GROUP BY 1 ORDER BY pack_id""".stripMargin
 
   val defs: Seq[QDef] = Seq(
+    // L67: deterministic training-shard export — the final pipeline
+    // step: assign every document to a shard by SEEDED hash (stable
+    // under any partitioning, retry, or corpus re-read — an epoch is
+    // reproducible bit-for-bit from the corpus alone) and order within
+    // the shard by an independent hash (the global shuffle training
+    // wants, without a corpus-wide sort: ordering is per-shard). The
+    // report per shard: doc/token mass (balance check) + first/last doc
+    // under the shuffle order (order determinism pinned end-to-end).
+    // The within-shard order key composes (hash, doc_id) injectively:
+    // hash < 2^30 (polyhash mod 1e9+7), so hash·2^20 + doc_id is
+    // collision-free while doc_id < 2^20 — documents ids are dense from
+    // 0, so this holds far past sf1; a production export would widen
+    // the key, not the idea. One map pass + one 8-group shuffle.
+    QDef(
+      "q_train_shards",
+      (s, d) =>
+        T.documents(s, d)
+          .select(
+            col("doc_id"),
+            size(Text.words(col("text"))).cast("long").as("tok"),
+            pmod(graft.functions.HashExpr.polyHash(
+              concat(lit("shard:"), col("doc_id").cast("string"))), lit(8L)).as("shard"),
+            (graft.functions.HashExpr.polyHash(
+              concat(lit("ord:"), col("doc_id").cast("string"))) * 1048576L +
+              col("doc_id")).as("ok"))
+          .groupBy("shard")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum("tok").as("tok_sum"),
+            min_by(col("doc_id"), col("ok")).as("first_doc"),
+            max_by(col("doc_id"), col("ok")).as("last_doc"))
+          .orderBy("shard"),
+      Some(s"""WITH t AS (SELECT doc_id,
+              |    len(regexp_split_to_array(trim(text),'\\s+')) AS tok,
+              |    ${Dedup.polyHashSqlOf("'shard:' || CAST(doc_id AS VARCHAR)")} % 8 AS shard,
+              |    ${Dedup.polyHashSqlOf("'ord:' || CAST(doc_id AS VARCHAR)")} * 1048576 + doc_id AS ok
+              |  FROM documents)
+              |SELECT shard, count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS tok_sum,
+              |  arg_min(doc_id, ok) AS first_doc, arg_max(doc_id, ok) AS last_doc
+              |FROM t GROUP BY shard ORDER BY shard""".stripMargin)),
+
     // L16: greedy packing per fixed doc_id block; the oracle replays the
     // sequential next-fit with a recursive CTE (PackingSpec additionally
     // checks budget/coverage/maximality invariants).

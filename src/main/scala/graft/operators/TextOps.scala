@@ -156,6 +156,42 @@ object TextOps {
               |  count(*) AS n_docs
               |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // L66: tokenizer fertility per language — the tokenizer-efficiency
+    // diagnostic a multilingual pipeline watches (a language whose
+    // bytes/token or BPE-per-word fertility is an outlier is getting
+    // over-fragmented and under-represented per compute budget). One
+    // codegen pass per doc, integer sums map-side combine, the three
+    // ratios are single IEEE divisions over ≤5 lang groups (§5).
+    QDef(
+      "q_token_fertility",
+      (s, d) =>
+        T.documents(s, d)
+          .select(
+            col("lang"), col("n_chars"),
+            size(Text.words(col("text"))).cast("long").as("tok"),
+            size(regexp_extract_all(col("text"), lit(Text.BpeishPattern), lit(0)))
+              .cast("long").as("bpe"),
+            octet_length(col("text")).cast("long").as("bytes"))
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum("tok").as("tok_sum"),
+            round(sum("bpe").cast("double") / sum("tok"), 4).as("fertility"),
+            round(sum("bytes").cast("double") / sum("bpe"), 4).as("bytes_per_tok"),
+            round(sum("tok").cast("double") / sum("n_chars"), 6).as("tok_per_char"))
+          .orderBy("lang"),
+      Some(s"""SELECT lang, count(*) AS n_docs,
+              |  CAST(sum(tok) AS BIGINT) AS tok_sum,
+              |  round(CAST(sum(bpe) AS DOUBLE)/sum(tok), 4) AS fertility,
+              |  round(CAST(sum(bytes) AS DOUBLE)/sum(bpe), 4) AS bytes_per_tok,
+              |  round(CAST(sum(tok) AS DOUBLE)/sum(n_chars), 6) AS tok_per_char
+              |FROM (SELECT lang, n_chars,
+              |        len(regexp_split_to_array(trim(text),'\\s+')) AS tok,
+              |        len(regexp_extract_all(text, '${Text.BpeishPattern}')) AS bpe,
+              |        strlen(text) AS bytes
+              |      FROM documents) t
+              |GROUP BY lang ORDER BY lang""".stripMargin)),
+
     // L8: language ID — confusion matrix of heuristic vs labeled lang.
     QDef(
       "q_text_langid",
