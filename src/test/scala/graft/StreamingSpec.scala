@@ -318,6 +318,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(t.latestSnapshotId.contains(2L), "one snapshot per non-empty micro-batch")
   }
 
+  test("T24: streaming ingest keeps the persisted dedup index current") {
+    // the L65 index as a LIVE artifact: each micro-batch lands in the
+    // corpus table and the signature index refreshes from the snapshot
+    // watermark — build-on-first-batch, delta-refresh after (the
+    // operational recipe; at 100 TB the refresh signs kilobytes of new
+    // text while the corpus stays untouched). Pins: per-batch signed
+    // counts are DELTA-sized, and the streamed index serves the same
+    // pairs as a from-scratch rebuild.
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val src = GraftTable.create(spark, TestSpark.tmpDir("dixsrc-t24"),
+      StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
+    val idxRoot = TestSpark.tmpDir("dixidx-t24")
+    val signed = scala.collection.mutable.ArrayBuffer[Long]()
+    val fs = GraftTable.fileSystem(spark, idxRoot)
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        src.append(b)
+        if (!fs.exists(new org.apache.hadoop.fs.Path(s"$idxRoot/signatures"))) {
+          graft.operators.DedupIndex.build(spark, src, idxRoot)
+          signed += GraftTable.load(spark, s"$idxRoot/signatures").read().count()
+        } else signed += graft.operators.DedupIndex.refresh(spark, src, idxRoot)
+        ()
+      }
+      .option("checkpointLocation", TestSpark.tmpDir("dixidx-t24-ckpt")).start()
+    val dupText = "the quick brown fox jumps over the lazy dog again and again"
+    try {
+      mem.addData((1L, dupText), (2L, "an entirely different sentence about streams"))
+      q.processAllAvailable()
+      mem.addData((3L, dupText)) // near-dup of doc 1, arriving a batch later
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(signed.toSeq == Seq(2L, 1L), s"per-batch signing must be delta-sized: $signed")
+    val streamedPairs = graft.operators.DedupIndex.pairs(spark, src, idxRoot)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rebuiltRoot = TestSpark.tmpDir("dixidx-t24-full")
+    graft.operators.DedupIndex.build(spark, src, rebuiltRoot)
+    val rebuiltPairs = graft.operators.DedupIndex.pairs(spark, src, rebuiltRoot)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamedPairs == Set((1L, 3L)) && streamedPairs == rebuiltPairs)
+  }
+
   test("T20: foreachBatch MERGE INTO applies a CDC stream onto a graft table") {
     // the operational upsert-apply shape: a change stream lands on a
     // catalog table through SQL MERGE once per micro-batch (the S31
