@@ -38,7 +38,9 @@ object Bench {
       val (sec, ok) = run(name)
       (name, if (ok) sec else -1.0)
     }
-    def fmt(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: the f-interpolator honors the JVM default locale, and
+    // a comma-decimal locale would render invalid JSON
+    def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
     def qjson(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }

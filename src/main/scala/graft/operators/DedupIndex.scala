@@ -7,7 +7,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** L65: persisted, incrementally-maintained MinHash/LSH dedup index —
+/** L68: persisted, incrementally-maintained MinHash/LSH dedup index —
   * the dedup sibling of the L62 ANN index.
   *
   * The per-query MinHash path (L3 `q_dedup_minhash`) re-tokenizes,
@@ -96,11 +96,15 @@ object DedupIndex {
     val delta = s.read.format("graft")
       .option("incremental-between", s"$from,$latest").load(source.root)
       .select(col("doc_id"), col("text"))
+    // persisted so the diagnostic count below reads the cached delta
+    // signatures instead of re-running the tokenize/hash pipeline
     val sigs = signaturesOf(delta)
-    t.upsert(sigs)
-    t.setOptions(Map(SnapshotProp -> latest.toString))
-    // O(delta) diagnostic count — the signature frame, never the corpus
-    sigs.count()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      t.upsert(sigs)
+      t.setOptions(Map(SnapshotProp -> latest.toString))
+      sigs.count() // O(delta) diagnostic — never the corpus
+    } finally sigs.unpersist(blocking = false)
   }
 
   /** Verified near-dup pairs FROM the persisted index: band-equality
@@ -123,7 +127,7 @@ object DedupIndex {
   }
 
   val defs: Seq[QDef] = Seq(
-    // L65: the oracle is VERBATIM the L3 minhash oracle — a half-built,
+    // L68: the oracle is VERBATIM the L3 minhash oracle — a half-built,
     // then incrementally refreshed index must serve identical pairs.
     QDef(
       "q_dedup_index",

@@ -135,6 +135,17 @@ object BitmapIndex {
     } finally out.close()
   }
 
+  /** Keys-only read: (rowCount, column → value-key set) with the
+    * position varints parsed but DISCARDED. File-skip pruning and claim
+    * eligibility need only key presence, and they run driver-side over
+    * EVERY file of a snapshot — caching full position arrays there
+    * would pin O(corpus rows) longs in the planner for the table's
+    * lifetime. Positions are decoded on demand (executor masks, count
+    * pushdown) and not retained. */
+  def readKeys(fs: FileSystem, path: Path): Option[(Long, Map[String, Set[String]])] =
+    read(fs, path).map(sc =>
+      (sc.rowCount, sc.cols.view.mapValues(_.keySet).toMap))
+
   /** None for a missing/unreadable/foreign sidecar — no pruning claim.
     * Counts are validated against the byte length before allocating
     * (same corruption discipline as BloomIndex.read). */

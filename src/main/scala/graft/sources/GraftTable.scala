@@ -1265,14 +1265,23 @@ class GraftTable private (
     val cols = bitmapIndexCols.filter(fileDataSchema.fieldNames.contains)
       .filter(c => BitmapIndex.supportedType(schema(c).dataType))
     if (cols.isEmpty) return 0L
-    require(fileFormat == "parquet",
-      "bitmap index rebuild requires parquet (_metadata.row_index positions); " +
-        s"$fileFormat sidecars are written only by the write path")
     val base = latestSnapshotId.getOrElse(0L)
     if (base == 0L) return 0L
     val missing = filesAt(base).filter(f =>
       !fs.exists(new Path(root, f.path + BitmapIndex.Suffix)))
     if (missing.isEmpty) return 0L
+    // non-parquet formats carry no _metadata.row_index, so a rebuild
+    // cannot observe physical row order — degrade to "nothing rebuilt"
+    // (missing sidecars already mean "no claim"; throwing here would
+    // fail the whole CALL sys.rewrite_file_index and discard the
+    // bloom half's completed work)
+    if (fileFormat != "parquet") {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"bitmap index rebuild skipped for ${missing.size} $fileFormat " +
+          s"file(s) under $root: positions require parquet _metadata.row_index; " +
+          "sidecars for this format are written only by the write path")
+      return 0L
+    }
 
     val rootStr = root.stripSuffix("/")
     val relByName = missing.map(f => f.path.substring(f.path.lastIndexOf('/') + 1) -> f.path).toMap
@@ -1777,11 +1786,22 @@ class GraftTable private (
     options.get("file-index.bitmap.columns")
       .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Seq.empty)
 
-  private val bitmapCache =
-    scala.collection.concurrent.TrieMap[String, Option[BitmapIndex.Sidecar]]()
+  // KEYS-ONLY cache (rowCount + per-column value-key sets): file-skip
+  // pruning and claim eligibility touch every file of a snapshot
+  // driver-side, so the memoized form must not pin position arrays —
+  // that would grow O(corpus rows) driver memory for the table's
+  // lifetime. Positions are decoded on demand and never cached.
+  private val bitmapKeysCache =
+    scala.collection.concurrent.TrieMap[String, Option[(Long, Map[String, Set[String]])]]()
+  private[sources] def bitmapKeysOf(f: FileMeta): Option[(Long, Map[String, Set[String]])] =
+    bitmapKeysCache.getOrElseUpdate(f.path,
+      BitmapIndex.readKeys(fs, new Path(root, f.path + BitmapIndex.Suffix)))
+
+  /** Full sidecar (positions included) — UNCACHED: used by the filtered
+    * COUNT pushdown, which computes per-file cardinalities and discards
+    * the arrays. */
   private[sources] def bitmapSidecarOf(f: FileMeta): Option[BitmapIndex.Sidecar] =
-    bitmapCache.getOrElseUpdate(f.path,
-      BitmapIndex.read(fs, new Path(root, f.path + BitmapIndex.Suffix)))
+    BitmapIndex.read(fs, new Path(root, f.path + BitmapIndex.Suffix))
 
   /** Bitmap pruning of one filter against one file — exact: a key
     * absent from a PRESENT column map proves no row matches. Missing
@@ -1792,10 +1812,10 @@ class GraftTable private (
     import org.apache.spark.sql.sources.{EqualNullSafe, EqualTo, In}
     val cols = bitmapIndexCols.toSet
     def mayMatch(c: String, values: Seq[Any]): Boolean =
-      bitmapSidecarOf(f).flatMap { sc =>
+      bitmapKeysOf(f).flatMap { case (_, cols) =>
         val rendered = values.map(BitmapIndex.render)
         if (rendered.exists(_.isEmpty)) None // unrenderable literal: no claim
-        else sc.cols.get(c).map(m => rendered.flatten.exists(m.contains))
+        else cols.get(c).map(keys => rendered.flatten.exists(keys.contains))
       }.getOrElse(true)
     fl match {
       case EqualTo(c, v) if cols(c) && v != null => mayMatch(c, Seq(v))

@@ -343,7 +343,8 @@ final class GraftScanBuilder(
     * vector (a masked row may be a dv'd row; don't compose the masks). */
   private def colClaimable(c: String): Boolean = claimColCache.getOrElseUpdate(c, {
     table.bitmapIndexCols.contains(c) &&
-      claimFiles.forall(f => !f.hasDv && table.bitmapSidecarOf(f).exists(_.cols.contains(c)))
+      claimFiles.forall(f =>
+        !f.hasDv && table.bitmapKeysOf(f).exists(_._2.contains(c)))
   })
   private def claimable(fl: Filter): Boolean = fl match {
     // IsNotNull rides along with every derived equality; the union of a
@@ -507,24 +508,33 @@ final class GraftScanBuilder(
       if (files.isEmpty && groupCols.isEmpty)
         // global aggregate over an empty table: COUNT = 0, MIN/MAX = NULL
         Seq(InternalRow.fromSeq(defs.map { case CountStarDef => 0L; case _ => null }))
-      else groups.map { case (gv, fs) =>
-        val groupVals = groupCols.zip(gv).map { case (c, v) =>
-          toInternal(GraftTable.castPartitionValue(v, table.schema(c).dataType))
+      else groups.flatMap { case (gv, fs) =>
+        // GROUP BY semantics: a group materializes only from EXISTING
+        // rows — a partition whose files hold zero surviving rows (all
+        // dv-masked, or nothing matched the claimed filters) emits NO
+        // row, not a zero/NULL row (the ungrouped global aggregate
+        // keeps its count=0 row above)
+        val groupRows =
+          if (claimed.nonEmpty) fs.map(f => claimedCounts(f.path)).sum
+          else fs.map(f => f.rowCountOpt.get - f.dvCountOrZero).sum
+        if (groupCols.nonEmpty && groupRows == 0L) None
+        else {
+          val groupVals = groupCols.zip(gv).map { case (c, v) =>
+            toInternal(GraftTable.castPartitionValue(v, table.schema(c).dataType))
+          }
+          val aggVals = defs.map {
+            case CountStarDef => groupRows
+            case MinDef(c) =>
+              val ord = ordering(table.schema(c).dataType)
+              val vs = fs.flatMap(f => statValue(f, c, min = true)).map(toInternal)
+              if (vs.isEmpty) null else vs.min(ord)
+            case MaxDef(c) =>
+              val ord = ordering(table.schema(c).dataType)
+              val vs = fs.flatMap(f => statValue(f, c, min = false)).map(toInternal)
+              if (vs.isEmpty) null else vs.max(ord)
+          }
+          Some(InternalRow.fromSeq(groupVals ++ aggVals))
         }
-        val aggVals = defs.map {
-          case CountStarDef =>
-            if (claimed.nonEmpty) fs.map(f => claimedCounts(f.path)).sum
-            else fs.map(f => f.rowCountOpt.get - f.dvCountOrZero).sum
-          case MinDef(c) =>
-            val ord = ordering(table.schema(c).dataType)
-            val vs = fs.flatMap(f => statValue(f, c, min = true)).map(toInternal)
-            if (vs.isEmpty) null else vs.min(ord)
-          case MaxDef(c) =>
-            val ord = ordering(table.schema(c).dataType)
-            val vs = fs.flatMap(f => statValue(f, c, min = false)).map(toInternal)
-            if (vs.isEmpty) null else vs.max(ord)
-        }
-        InternalRow.fromSeq(groupVals ++ aggVals)
       }
 
     val schema = StructType(
@@ -988,6 +998,10 @@ final class GraftScan(
       table.numBuckets > 1 && table.bucketKeys.nonEmpty &&
       (!table.isPkTable || table.bucketKeys.forall(table.primaryKeys.toSet)) &&
       !wantFile && // S44: _file partitions are per-file, not per-bucket
+      // S55: a claimed scan masks per-file through unsplit FilePartitions;
+      // BucketedFilePartition would reach the mask factory unwrapped —
+      // drop the SPJ claim rather than compose the two partition shapes
+      claimed.isEmpty &&
       bucketLayoutCurrent && plannedFiles.forall(_.bucket < table.numBuckets)
 
   override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning =

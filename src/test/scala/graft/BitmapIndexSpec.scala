@@ -170,6 +170,70 @@ class BitmapIndexSpec extends AnyFunSuite {
     assert(df2.queryExecution.executedPlan.toString.contains("LocalTableScan"))
   }
 
+  test("S55j: grouped claimed COUNT omits zero-match partitions (no phantom rows)") {
+    val path = TestSpark.tmpDir("bmgroup")
+    val t = GraftTable.create(spark, path,
+      StructType(Seq(StructField("id", LongType), StructField("pt", StringType),
+        StructField("lang", StringType))),
+      partitionKeys = Seq("pt"),
+      options = Map("file-index.bitmap.columns" -> "lang"))
+    // partition a holds de rows; partition b holds only en — a grouped
+    // count filtered to de must NOT emit a (b, 0) row
+    t.append(Seq((1L, "a", "de"), (2L, "a", "en"), (3L, "b", "en"))
+      .toDF("id", "pt", "lang").coalesce(1))
+    val df = spark.read.format("graft")
+      .option("bitmap.claim-filters", "true").load(path)
+      .filter($"lang" === "de").groupBy("pt").agg(count(lit(1)).as("n"))
+    val rows = df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows == Seq(("a", 1L)), s"phantom groups: $rows")
+    assert(df.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      "grouped filtered count should still answer from sidecars")
+  }
+
+  test("S55k: claimed read on a bucketed table with SPJ enabled stays correct") {
+    val path = TestSpark.tmpDir("bmspj")
+    val t = GraftTable.create(spark, path,
+      StructType(Seq(StructField("id", LongType), StructField("lang", StringType))),
+      options = Map(
+        "file-index.bitmap.columns" -> "lang",
+        "bucket" -> "4", "bucket-key" -> "id"))
+    t.append((0 until 200).map(i => (i.toLong, langOf(i % 3))).toDF("id", "lang"))
+    val old = spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      val df = spark.read.format("graft")
+        .option("bitmap.claim-filters", "true").load(path)
+        .filter($"lang" === "de")
+      // the claimed scan drops the bucket-grouped claim instead of
+      // handing BucketedFilePartition to the mask factory
+      val got = df.collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == (0 until 200).filter(_ % 3 == 1).map(_.toLong).toSeq)
+    } finally old match {
+      case Some(v) => spark.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+      case None => spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+    }
+  }
+
+  test("S55l: rewrite procedure degrades (not throws) on non-parquet bitmap tables") {
+    val path = TestSpark.tmpDir("bmavro")
+    val t = GraftTable.create(spark, path,
+      StructType(Seq(StructField("id", LongType), StructField("lang", StringType))),
+      options = Map("file-index.bitmap.columns" -> "lang", "file.format" -> "avro"))
+    t.append(Seq((1L, "en")).toDF("id", "lang").coalesce(1))
+    // delete the write-path sidecar, then the rebuild must decline
+    // gracefully (avro has no _metadata.row_index to order positions by)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(new org.apache.hadoop.conf.Configuration())
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(path, "data"), true)
+    while (it.hasNext) {
+      val p = it.next().getPath
+      if (p.getName.endsWith(BitmapIndex.Suffix)) fs.delete(p, false)
+    }
+    assert(t.rewriteBitmapIndex() == 0L)
+    // and reads stay correct with no sidecar (no claim)
+    assert(spark.read.format("graft").load(path)
+      .filter($"lang" === "en").count() == 1L)
+  }
+
   test("S55h: claim declines without full sidecar coverage; reads stay correct") {
     val path = TestSpark.tmpDir("bmnoclaim")
     val t = GraftTable.create(spark, path,

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** SURVEY §2.3 L65 — persisted incrementally-maintained MinHash/LSH
+/** SURVEY §2.3 L68 — persisted incrementally-maintained MinHash/LSH
   * dedup index: signatures live as a graft PK table, refresh signs only
   * the appended delta, pairs serve from the persisted bands.
   */
@@ -20,7 +20,7 @@ class DedupIndexSpec extends AnyFunSuite {
   private def docsDf(d: String) =
     Tables.documents(spark, d).select("doc_id", "text")
 
-  test("L65a: refresh signs ONLY the appended delta") {
+  test("L68a: refresh signs ONLY the appended delta") {
     val d = "/root/testdata/sf0.001"
     val src = GraftTable.create(spark, TestSpark.tmpDir("dixsrc"), docSchema)
     src.append(docsDf(d).filter(col("doc_id") % 2 === 0))
@@ -44,7 +44,7 @@ class DedupIndexSpec extends AnyFunSuite {
     assert(delta.size.toLong == signed)
   }
 
-  test("L65b: refresh with a current watermark is a no-op") {
+  test("L68b: refresh with a current watermark is a no-op") {
     val d = "/root/testdata/sf0.001"
     val src = GraftTable.create(spark, TestSpark.tmpDir("dixsrc2"), docSchema)
     src.append(docsDf(d).limit(50))
@@ -57,7 +57,7 @@ class DedupIndexSpec extends AnyFunSuite {
       "a no-op refresh must not commit")
   }
 
-  test("L65c: pairs from a refreshed index equal pairs from a fresh full build") {
+  test("L68c: pairs from a refreshed index equal pairs from a fresh full build") {
     val d = "/root/testdata/sf0.001"
     val src = GraftTable.create(spark, TestSpark.tmpDir("dixsrc3"), docSchema)
     src.append(docsDf(d).filter(col("doc_id") % 2 === 0))

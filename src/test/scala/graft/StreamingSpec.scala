@@ -319,7 +319,7 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("T24: streaming ingest keeps the persisted dedup index current") {
-    // the L65 index as a LIVE artifact: each micro-batch lands in the
+    // the L68 index as a LIVE artifact: each micro-batch lands in the
     // corpus table and the signature index refreshes from the snapshot
     // watermark — build-on-first-batch, delta-refresh after (the
     // operational recipe; at 100 TB the refresh signs kilobytes of new
