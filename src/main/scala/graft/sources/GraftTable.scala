@@ -251,7 +251,8 @@ class GraftTable private (
     *  - `aggregation`: per column, fold all versions with the function
     *    declared via `fields.<col>.aggregate-function` (sum, min, max,
     *    bool_and, bool_or, listagg, first_value, first_non_null_value,
-    *    last_value; unspecified columns default to last_non_null_value).
+    *    last_value, product, collect; unspecified columns default to
+    *    last_non_null_value).
     * For partial-update/aggregation a `-D` delete RESETS the key: only
     * versions after the latest delete participate in the fold (the
     * remove-record-on-delete behavior).
@@ -2067,6 +2068,11 @@ class GraftTable private (
             case "first_non_null_value" => first(col(c), ignoreNulls = true).over(wAsc)
             case "last_value" => first(col(c), ignoreNulls = false).over(wDesc)
             case "last_non_null_value" => first(col(c), ignoreNulls = true).over(wDesc)
+            // product computes via Spark's double aggregate and the cast
+            // below restores the declared type (exact within the
+            // double-exact range; overflow undefined, as in the fold)
+            case "product" => product(col(c)).over(wKey)
+            case "collect" => flatten(collect_list(col(c)).over(wAsc))
             case other => throw new IllegalArgumentException(
               s"unsupported aggregate-function for $c: $other")
           }

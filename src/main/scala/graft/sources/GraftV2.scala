@@ -1683,6 +1683,16 @@ private[sources] object MergeFns {
     case "bool_or" => nullSkipping((a, b) => a.asInstanceOf[Boolean] || b.asInstanceOf[Boolean])
     case "listagg" => nullSkipping((a, b) =>
       UTF8String.concat(a.asInstanceOf[UTF8String], Comma, b.asInstanceOf[UTF8String]))
+    case "product" => nullSkipping(mult(dt))
+    case "collect" => dt match {
+      case ArrayType(et, _) => nullSkipping { (a, b) =>
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toObjectArray(et) ++
+            b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toObjectArray(et))
+      }
+      case other => throw new IllegalArgumentException(
+        s"aggregate-function collect needs an ARRAY column (got ${other.simpleString})")
+    }
     case other => throw new IllegalArgumentException(s"unsupported aggregate-function: $other")
   }
 
@@ -1705,5 +1715,20 @@ private[sources] object MergeFns {
       a.asInstanceOf[org.apache.spark.sql.types.Decimal] +
         b.asInstanceOf[org.apache.spark.sql.types.Decimal]
     case other => throw new IllegalArgumentException(s"sum unsupported for type $other")
+  }
+
+  /** product keeps the declared integral/floating type (the window
+    * formulation computes via Spark's double `product` and casts back —
+    * identical while magnitudes stay in the double-exact range; overflow
+    * behavior is undefined, as in Paimon's field agg). Decimal products
+    * change precision/scale mid-fold and are rejected. */
+  private def mult(dt: DataType): (Any, Any) => Any = dt match {
+    case ByteType => (a, b) => (a.asInstanceOf[Byte] * b.asInstanceOf[Byte]).toByte
+    case ShortType => (a, b) => (a.asInstanceOf[Short] * b.asInstanceOf[Short]).toShort
+    case IntegerType => (a, b) => a.asInstanceOf[Int] * b.asInstanceOf[Int]
+    case LongType => (a, b) => a.asInstanceOf[Long] * b.asInstanceOf[Long]
+    case FloatType => (a, b) => a.asInstanceOf[Float] * b.asInstanceOf[Float]
+    case DoubleType => (a, b) => a.asInstanceOf[Double] * b.asInstanceOf[Double]
+    case other => throw new IllegalArgumentException(s"product unsupported for type $other")
   }
 }

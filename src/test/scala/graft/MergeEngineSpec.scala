@@ -96,6 +96,28 @@ class MergeEngineSpec extends AnyFunSuite {
     assert(t.read().schema("total").dataType == IntegerType)
   }
 
+  test("S26b: aggregation product and collect fold across versions on both paths") {
+    val t = GraftTable.create(spark, TestSpark.tmpDir("aggwide"),
+      StructType(Seq(
+        StructField("k", IntegerType), StructField("p", LongType),
+        StructField("tags", ArrayType(StringType)))),
+      primaryKeys = Seq("k"),
+      options = Map(
+        "merge-engine" -> "aggregation",
+        "fields.p.aggregate-function" -> "product",
+        "fields.tags.aggregate-function" -> "collect"))
+    t.upsert(Seq((1, 3L, Seq("a"))).toDF("k", "p", "tags"))
+    t.upsert(Seq((1, 4L, Seq("b", "c"))).toDF("k", "p", "tags"))
+    // a null version contributes nothing to either column
+    t.upsert(Seq((1, Option.empty[Long], Option.empty[Seq[String]]))
+      .toDF("k", "p", "tags"))
+    t.upsert(Seq((1, 2L, Seq("a"))).toDF("k", "p", "tags"))
+    val rows = readBoth(t).map(r =>
+      (r.getInt(0), r.getLong(1), r.getSeq[String](2).toList))
+    assert(rows == Seq((1, 24L, List("a", "b", "c", "a"))),
+      "product multiplies non-null versions; collect appends elements in version order")
+  }
+
   test("aggregation: sum skips nulls and a delete resets the running fold") {
     val schema = StructType(Seq(
       StructField("k", IntegerType), StructField("total", LongType)))
