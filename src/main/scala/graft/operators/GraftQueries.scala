@@ -173,6 +173,32 @@ object GraftQueries {
       .orderBy("l_orderkey")
   }
 
+  /** orders through a record-level-expire table (S56): TTL 365 d against
+    * a PINNED clock (1996-01-01T00:00:00Z — record-level.expire.
+    * now-millis), so expiry is deterministic: the compaction rewrite
+    * drops every order dated before 1995-01-01 and the yearly revenue
+    * report afterwards must equal the oracle's plain cutoff filter over
+    * raw orders. Ref: Paimon record-level.expire-time/-strategy (the
+    * reference connector predates it; graded against Paimon's
+    * documented lazy-at-compaction semantics). */
+  private def graftExpire(s: SparkSession, d: String): DataFrame = {
+    val o = T.orders(s, d).select(
+      col("o_orderkey"),
+      floor(col("o_totalprice")).cast("long").as("fp"),
+      col("o_orderdate").cast("timestamp").as("ts"))
+    val t = GraftTable.create(s, tmpRoot("rexpq"), o.schema, options = Map(
+      "record-level.expire-time" -> "365d",
+      "record-level.time-field" -> "ts",
+      "record-level.expire.now-millis" -> "820454400000"))
+    t.append(o)
+    t.compact()
+    t.read()
+      .withColumn("yr", year(col("ts")).cast("long"))
+      .groupBy("yr")
+      .agg(count(lit(1)).as("n"), sum("fp").as("rev"))
+      .orderBy("yr")
+  }
+
   /** documents through a bitmap-indexed table (S55, file-index.bitmap.
     * columns = lang,source): four commits split by doc_id = four files
     * whose language sets all overlap (min/max stats cannot prune), read
@@ -394,6 +420,13 @@ object GraftQueries {
              |  round(CASE WHEN p_size >= 40 THEN p_retailprice + 1000
              |        ELSE p_retailprice END, 2) AS price
              |FROM part WHERE p_partkey < 300 ORDER BY p_partkey""".stripMargin)),
+    QDef("q_graft_expire", graftExpire,
+      Some("""SELECT CAST(year(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS yr,
+             |  count(*) AS n,
+             |  CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS rev
+             |FROM orders
+             |WHERE CAST(o_orderdate AS TIMESTAMP) >= TIMESTAMP '1995-01-01 00:00:00'
+             |GROUP BY yr ORDER BY yr""".stripMargin)),
     QDef("q_graft_bitmap", graftBitmap,
       Some("""SELECT lang, source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
              |FROM documents WHERE lang IN ('de','zh')
