@@ -38,7 +38,8 @@ final class GraftV2Table(
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDeleteV2
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
-    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
+    with org.apache.spark.sql.connector.catalog.SupportsPartitionManagement {
 
   /** S44: hidden `_file` metadata column (the Presto connector's `$path`
     * shape): per-row provenance for debugging, targeted compaction and
@@ -95,6 +96,95 @@ final class GraftV2Table(
     loaded.options.foreach { case (k, v) => m.put(k, v) }
     if (loaded.primaryKeys.nonEmpty) m.put("primary-key", loaded.primaryKeys.mkString(","))
     m
+  }
+
+  // ---- S57: SupportsPartitionManagement (SHOW PARTITIONS / ALTER TABLE
+  // DROP PARTITION through Spark's native SQL, mirroring Paimon's Spark
+  // catalog surface). Partitions in a lakehouse MATERIALIZE from data —
+  // listing derives from live manifests; ADD PARTITION has nothing to
+  // create and is rejected (as in Paimon).
+
+  override def partitionSchema(): StructType =
+    StructType(loaded.partitionKeys.map(k => loaded.schema(loaded.schema.fieldIndex(k))))
+
+  private def partInternal(rendered: Map[String, String]): InternalRow =
+    InternalRow.fromSeq(loaded.partitionKeys.map { k =>
+      GraftTable.castPartitionValue(rendered(k), loaded.schema(k).dataType) match {
+        case null => null
+        case s: String => UTF8String.fromString(s)
+        case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt
+        case bd: java.math.BigDecimal => org.apache.spark.sql.types.Decimal(bd)
+        case other => other
+      }
+    })
+
+  /** External (Filter-literal) value of one partition-ident position. */
+  private def partExternal(ident: InternalRow, i: Int): Any = {
+    val dt = partitionSchema()(i).dataType
+    if (ident.isNullAt(i)) null
+    else dt match {
+      case StringType => ident.getUTF8String(i).toString
+      case DateType => java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(ident.getInt(i)))
+      case d: DecimalType => ident.getDecimal(i, d.precision, d.scale).toJavaBigDecimal
+      case _ => ident.get(i, dt)
+    }
+  }
+
+  private def identFilters(ident: InternalRow): Seq[Filter] =
+    loaded.partitionKeys.indices.map { i =>
+      val k = loaded.partitionKeys(i)
+      partExternal(ident, i) match {
+        // the null partition needs null-safe equality (plain EqualTo is
+        // UNKNOWN for null and would silently match nothing)
+        case null => org.apache.spark.sql.sources.EqualNullSafe(k, null)
+        case v => org.apache.spark.sql.sources.EqualTo(k, v)
+      }
+    }
+
+  override def listPartitionIdentifiers(
+      names: Array[String], ident: InternalRow): Array[InternalRow] = {
+    require(names.length == ident.numFields,
+      s"the number of fields (${ident.numFields}) must match names (${names.length})")
+    names.foreach(n => require(loaded.partitionKeys.contains(n),
+      s"$n is not a partition key (keys: ${loaded.partitionKeys.mkString(",")})"))
+    val schema = partitionSchema()
+    val prefixIdx = names.map(n => loaded.partitionKeys.indexOf(n))
+    val all = loaded.planFiles().map(_.partition).distinct.map(partInternal)
+    all.filter { row =>
+      prefixIdx.indices.forall { j =>
+        val i = prefixIdx(j)
+        val dt = schema(i).dataType
+        val a = if (row.isNullAt(i)) null else row.get(i, dt)
+        val b = if (ident.isNullAt(j)) null else ident.get(j, dt)
+        a == b
+      }
+    }.toArray
+  }
+
+  override def createPartition(
+      ident: InternalRow, properties: java.util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      "graft partitions materialize from data — write rows instead of ADD PARTITION")
+
+  override def replacePartitionMetadata(
+      ident: InternalRow, properties: java.util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException("graft partitions carry no metadata")
+
+  override def loadPartitionMetadata(ident: InternalRow): java.util.Map[String, String] =
+    java.util.Collections.emptyMap()
+
+  override def dropPartition(ident: InternalRow): Boolean = {
+    // same soundness rule as SQL DELETE's metadata path and CALL
+    // sys.drop_partition: on a PK table whose partition keys are not
+    // contained in the primary key, removing a partition's files can
+    // resurrect stale versions of keys whose newest version lives there
+    if (loaded.isPkTable && !loaded.partitionPruneSafe)
+      throw new UnsupportedOperationException(
+        "DROP PARTITION on a primary-key table requires partition keys " +
+          "contained in the primary key; use DELETE (tombstones) instead")
+    val base = loaded.latestSnapshotId.getOrElse(0L)
+    val id = loaded.commitV2("filter", Seq.empty, identFilters(ident), base)
+    id != base
   }
 
   private def writeOpt(key: String): Option[String] =

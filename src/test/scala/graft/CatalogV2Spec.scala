@@ -474,6 +474,37 @@ class CatalogV2Spec extends AnyFunSuite {
     }
   }
 
+  test("C19/S57: SHOW PARTITIONS and ALTER TABLE DROP PARTITION (native SQL)") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft2.pm")
+    sql("DROP TABLE IF EXISTS graft2.pm.t")
+    sql("CREATE TABLE graft2.pm.t (k INT, dt STRING) PARTITIONED BY (dt)")
+    sql("INSERT INTO graft2.pm.t VALUES (1,'d1'),(2,'d1'),(3,'d2'),(4,NULL)")
+    val parts = sql("SHOW PARTITIONS graft2.pm.t").collect().map(_.getString(0)).sorted
+    assert(parts.toSeq == Seq("dt=d1", "dt=d2", "dt=null").sorted
+      || parts.toSeq == Seq("dt=__HIVE_DEFAULT_PARTITION__", "dt=d1", "dt=d2"),
+      s"unexpected partition listing: ${parts.toSeq}")
+    // filtered listing
+    val one = sql("SHOW PARTITIONS graft2.pm.t PARTITION (dt='d1')").collect()
+    assert(one.length == 1 && one.head.getString(0) == "dt=d1")
+    // native DROP PARTITION removes the partition's rows in one commit
+    sql("ALTER TABLE graft2.pm.t DROP PARTITION (dt='d1')")
+    assert(sql("SELECT k FROM graft2.pm.t").collect().map(_.getInt(0)).sorted.toSeq
+      == Seq(3, 4))
+    assert(sql("SHOW PARTITIONS graft2.pm.t").collect().length == 2)
+    // partitions materialize from data: ADD PARTITION is rejected
+    intercept[Exception] {
+      sql("ALTER TABLE graft2.pm.t ADD PARTITION (dt='new')")
+    }
+    // PK table with partition keys outside the primary key: unsafe drop
+    sql("DROP TABLE IF EXISTS graft2.pm.tpk")
+    sql("""CREATE TABLE graft2.pm.tpk (id INT, v STRING, dt STRING)
+          |PARTITIONED BY (dt) TBLPROPERTIES ('primary-key'='id')""".stripMargin)
+    sql("INSERT INTO graft2.pm.tpk VALUES (1, 'a', 'x')")
+    intercept[Exception] {
+      sql("ALTER TABLE graft2.pm.tpk DROP PARTITION (dt='x')")
+    }
+  }
+
   private def withConf(key: String, value: String)(body: => Unit): Unit = {
     val old = spark.conf.getOption(key)
     spark.conf.set(key, value)
