@@ -56,17 +56,17 @@ object BitmapIndex {
   /** Render a stored value / predicate literal to the sidecar's key
     * string — the SAME convention on the write and plan side. None =
     * unsupported type or over-long value (no claim either side). */
-  def render(v: Any): Option[String] = {
-    val s = v match {
-      case null => null
-      case s: String => s
-      case u: org.apache.spark.unsafe.types.UTF8String => u.toString
-      case b: java.lang.Boolean => if (b) "true" else "false"
-      case n @ (_: java.lang.Integer | _: java.lang.Long |
-                _: java.lang.Short | _: java.lang.Byte) => n.toString
-      case _ => null
-    }
-    Option(s).filter(_.getBytes("UTF-8").length <= MaxValueBytes)
+  def render(v: Any): Option[String] = v match {
+    case null => None
+    // numBytes avoids the per-row getBytes allocation on the write path
+    case u: org.apache.spark.unsafe.types.UTF8String =>
+      if (u.numBytes > MaxValueBytes) None else Some(u.toString)
+    case s: String =>
+      Some(s).filter(_.getBytes("UTF-8").length <= MaxValueBytes)
+    case b: java.lang.Boolean => Some(if (b) "true" else "false")
+    case n @ (_: java.lang.Integer | _: java.lang.Long |
+              _: java.lang.Short | _: java.lang.Byte) => Some(n.toString)
+    case _ => None
   }
 
   /** Column data types the index supports (scalar, exact rendering). */

@@ -2928,6 +2928,17 @@ object GraftTable {
   /** Hive's directory name for a null partition value. */
   val NullPartition = "__HIVE_DEFAULT_PARTITION__"
 
+  /** External (castPartitionValue-shaped) value → Catalyst internal
+    * representation — shared by partition-ident listing, manifest agg
+    * rows and split planning. */
+  def toInternalValue(v: Any): Any = v match {
+    case null => null
+    case s: String => org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt
+    case bd: java.math.BigDecimal => org.apache.spark.sql.types.Decimal(bd)
+    case other => other
+  }
+
   /** Parse a duration option value to millis: `<n>ms|s|m|h|d` (Paimon's
     * duration-string convention) or a bare number = millis. */
   def parseDurationMs(v: String): Long = {

@@ -109,18 +109,15 @@ final class GraftV2Table(
 
   private def partInternal(rendered: Map[String, String]): InternalRow =
     InternalRow.fromSeq(loaded.partitionKeys.map { k =>
-      GraftTable.castPartitionValue(rendered(k), loaded.schema(k).dataType) match {
-        case null => null
-        case s: String => UTF8String.fromString(s)
-        case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt
-        case bd: java.math.BigDecimal => org.apache.spark.sql.types.Decimal(bd)
-        case other => other
-      }
+      GraftTable.toInternalValue(
+        GraftTable.castPartitionValue(rendered(k), loaded.schema(k).dataType))
     })
+
+  private lazy val partSchema: StructType = partitionSchema()
 
   /** External (Filter-literal) value of one partition-ident position. */
   private def partExternal(ident: InternalRow, i: Int): Any = {
-    val dt = partitionSchema()(i).dataType
+    val dt = partSchema(i).dataType
     if (ident.isNullAt(i)) null
     else dt match {
       case StringType => ident.getUTF8String(i).toString
@@ -451,6 +448,9 @@ final class GraftScanBuilder(
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val known = table.schema.fieldNames.toSet
     pushed = filters.filter(_.references.forall(known))
+    // avro excluded conservatively: its reader factory has no
+    // no-pushdown "clean" twin to guarantee physical-order row counting
+    // (masking is only proven for the parquet/orc factories)
     claimed =
       if (!bitmapClaim || table.isPkTable || rowLevelReplace || table.fileFormat == "avro")
         Array.empty
@@ -503,13 +503,7 @@ final class GraftScanBuilder(
     case _ => false
   }
 
-  private def toInternal(v: Any): Any = v match {
-    case null => null
-    case s: String => UTF8String.fromString(s)
-    case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt
-    case bd: java.math.BigDecimal => org.apache.spark.sql.types.Decimal(bd)
-    case other => other
-  }
+  private def toInternal(v: Any): Any = GraftTable.toInternalValue(v)
 
   private def buildAggScan(agg: Aggregation): Option[GraftManifestAggScan] = {
     import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
@@ -1038,12 +1032,8 @@ final class GraftScan(
     * `fields` order. */
   private def partValues(f: FileMeta, fields: Array[StructField]): InternalRow =
     InternalRow.fromSeq(fields.toSeq.map { fld =>
-      GraftTable.castPartitionValue(f.partition(fld.name), fld.dataType) match {
-        case null => null
-        case s: String => UTF8String.fromString(s)
-        case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt
-        case other => other
-      }
+      GraftTable.toInternalValue(
+        GraftTable.castPartitionValue(f.partition(fld.name), fld.dataType))
     })
 
   private def toPartitionedFile(

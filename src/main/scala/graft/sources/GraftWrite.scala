@@ -233,6 +233,26 @@ final class GraftTaskWriter(spec: GraftWriteSpec, taskUniq: String) {
   private final class BitmapBuf {
     val m = mutable.HashMap[String, LongBuf]()
     var overflow = false
+    // last-value memo: low-cardinality columns repeat (and often
+    // cluster), so most rows skip the render (String + toString
+    // allocations) entirely. UTF8Strings from the projection point into
+    // a reused buffer — the memo holds a COPY.
+    private var lastRaw: Any = _
+    private var lastKey: String = _
+    def addRaw(v: Any, pos: Long): Unit = {
+      if (overflow) return
+      if (lastRaw != null && lastRaw == v) { add(lastKey, pos); return }
+      BitmapIndex.render(v) match {
+        case Some(k) =>
+          lastRaw = v match {
+            case u: org.apache.spark.unsafe.types.UTF8String => u.copy()
+            case x => x
+          }
+          lastKey = k
+          add(k, pos)
+        case None => invalidate() // over-long value
+      }
+    }
     def add(key: String, pos: Long): Unit = {
       if (overflow) return
       m.get(key) match {
@@ -419,12 +439,8 @@ final class GraftTaskWriter(spec: GraftWriteSpec, taskUniq: String) {
       val r = bp(row)
       var i = 0
       while (i < o.bitmapBufs.length) {
-        if (!r.isNullAt(i)) {
-          BitmapIndex.render(r.get(i, bitmapTypes(i))) match {
-            case Some(k) => o.bitmapBufs(i).add(k, o.rowsWritten)
-            case None => o.bitmapBufs(i).invalidate() // over-long value
-          }
-        }
+        if (!r.isNullAt(i))
+          o.bitmapBufs(i).addRaw(r.get(i, bitmapTypes(i)), o.rowsWritten)
         i += 1
       }
     }
