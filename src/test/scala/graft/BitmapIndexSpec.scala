@@ -288,6 +288,37 @@ class BitmapIndexSpec extends AnyFunSuite {
     assert(t2.read(dataFilters = Seq(EqualTo("lang", "ja"))).inputFiles.nonEmpty)
   }
 
+  test("S55m: streaming appends write bitmap sidecars (shared task writer)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val path = TestSpark.tmpDir("bmstream")
+    val t = GraftTable.create(spark, path,
+      StructType(Seq(StructField("id", LongType), StructField("lang", StringType))),
+      options = Map("file-index.bitmap.columns" -> "lang"))
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.GraftStreaming.appendStream(mem.toDF().toDF("id", "lang"), t)
+      .option("checkpointLocation", TestSpark.tmpDir("bmstream-ckpt")).start()
+    try {
+      mem.addData((1L, "en"), (2L, "de"))
+      q.processAllAvailable()
+      mem.addData((3L, "fr"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(new org.apache.hadoop.conf.Configuration())
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(path, "data"), true)
+    var data = 0
+    var side = 0
+    while (it.hasNext) {
+      val p = it.next().getPath
+      if (p.getName.endsWith(".parquet")) data += 1
+      if (p.getName.endsWith(BitmapIndex.Suffix)) side += 1
+    }
+    assert(data > 0 && side == data, s"every streamed file needs a sidecar ($side/$data)")
+    // and the streamed sidecars prune
+    val miss = spark.read.format("graft").load(path).filter($"lang" === "xx")
+    assert(plannedOfTotal(miss)._1 == 0)
+  }
+
   test("S55e: sidecars die with their data files (orphan sweep + replace)") {
     val path = TestSpark.tmpDir("bmgc")
     val t = GraftTable.create(spark, path,
