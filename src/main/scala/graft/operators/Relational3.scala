@@ -64,6 +64,37 @@ object Relational3 {
              |  count(*) AS n
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    // R57: second string-function family — levenshtein edit distance,
+    // translate (with-removal form: unmapped chars drop in BOTH
+    // engines), lpad, repeat, left/right slicing (Presto's
+    // levenshtein_distance / translate / lpad family). All outputs are
+    // integer-exact (distances and lengths summed per ≤5 groups), so
+    // there is no rounding surface; one codegen pass + one tiny shuffle.
+    QDef(
+      "q_string_fns",
+      (s, d) =>
+        T.customer(s, d)
+          .select(
+            col("c_mktsegment"),
+            levenshtein(expr("right(c_name, 6)"),
+              lpad((col("c_custkey") % 1000000L).cast("string"), 6, "0"))
+              .cast("long").as("lv"),
+            length(translate(col("c_name"), "0123456789", "")).cast("long").as("tl"),
+            length(repeat(expr("left(c_mktsegment, 2)"), 3)).cast("long").as("rp"))
+          .groupBy("c_mktsegment")
+          .agg(
+            count(lit(1)).as("n"),
+            sum("lv").as("lv_sum"),
+            sum("tl").as("tl_sum"),
+            sum("rp").as("rp_sum"))
+          .orderBy("c_mktsegment"),
+      Some("""SELECT c_mktsegment, count(*) AS n,
+             |  CAST(sum(levenshtein(right(c_name,6),
+             |        lpad(CAST(c_custkey % 1000000 AS VARCHAR),6,'0'))) AS BIGINT) AS lv_sum,
+             |  CAST(sum(length(translate(c_name,'0123456789',''))) AS BIGINT) AS tl_sum,
+             |  CAST(sum(length(repeat(left(c_mktsegment,2),3))) AS BIGINT) AS rp_sum
+             |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
     // R56: interval/range join — orders matched to OVERLAPPING 45-day
     // promotion windows (offset 30 days, so one order can hit two
     // windows; NOT expressible as a date_trunc bucketing). Spark-first

@@ -39,7 +39,7 @@ final class GraftV2Table(
     with org.apache.spark.sql.connector.catalog.SupportsDeleteV2
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
-    with org.apache.spark.sql.connector.catalog.SupportsPartitionManagement {
+    with org.apache.spark.sql.connector.catalog.SupportsAtomicPartitionManagement {
 
   /** S44: hidden `_file` metadata column (the Presto connector's `$path`
     * shape): per-row provenance for debugging, targeted compaction and
@@ -170,19 +170,34 @@ final class GraftV2Table(
   override def loadPartitionMetadata(ident: InternalRow): java.util.Map[String, String] =
     java.util.Collections.emptyMap()
 
-  override def dropPartition(ident: InternalRow): Boolean = {
-    // same soundness rule as SQL DELETE's metadata path and CALL
-    // sys.drop_partition: on a PK table whose partition keys are not
-    // contained in the primary key, removing a partition's files can
-    // resurrect stale versions of keys whose newest version lives there
+  override def dropPartition(ident: InternalRow): Boolean =
+    dropPartitions(Array(ident))
+
+  /** S58: ATOMIC multi-partition drop — `ALTER TABLE t DROP PARTITION
+    * (a), PARTITION (b)` lands as ONE metadata OVERWRITE snapshot (an
+    * or-of-ands partition predicate), not one commit per spec: readers
+    * never observe a half-dropped state and retention sees one
+    * snapshot. Same PK soundness rule as SQL DELETE's metadata path
+    * and CALL sys.drop_partition: file removal on a PK table whose
+    * partition keys are not key-contained can resurrect stale versions. */
+  override def dropPartitions(idents: Array[InternalRow]): Boolean = {
     if (loaded.isPkTable && !loaded.partitionPruneSafe)
       throw new UnsupportedOperationException(
         "DROP PARTITION on a primary-key table requires partition keys " +
           "contained in the primary key; use DELETE (tombstones) instead")
+    if (idents.isEmpty) return true
+    val anyIdent = idents.toSeq
+      .map(identFilters(_).reduce(org.apache.spark.sql.sources.And))
+      .reduce(org.apache.spark.sql.sources.Or)
     val base = loaded.latestSnapshotId.getOrElse(0L)
-    val id = loaded.commitV2("filter", Seq.empty, identFilters(ident), base)
-    id != base
+    loaded.commitV2("filter", Seq.empty, Seq(anyIdent), base) != base
   }
+
+  override def createPartitions(
+      idents: Array[InternalRow],
+      properties: Array[java.util.Map[String, String]]): Unit =
+    throw new UnsupportedOperationException(
+      "graft partitions materialize from data — write rows instead of ADD PARTITION")
 
   private def writeOpt(key: String): Option[String] =
     writeOptions.collectFirst { case (k, v) if k.equalsIgnoreCase(key) => v }

@@ -505,6 +505,21 @@ class CatalogV2Spec extends AnyFunSuite {
     }
   }
 
+  test("C20/S58: multi-partition DROP lands as ONE atomic snapshot") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft2.pm")
+    sql("DROP TABLE IF EXISTS graft2.pm.atomic")
+    sql("CREATE TABLE graft2.pm.atomic (k INT, dt STRING) PARTITIONED BY (dt)")
+    sql("INSERT INTO graft2.pm.atomic VALUES (1,'a'),(2,'b'),(3,'c')")
+    val dir = new java.io.File(
+      spark.conf.get("spark.sql.catalog.graft2.warehouse"), "pm.db/atomic").getAbsolutePath
+    val before = graft.sources.GraftTable.load(spark, dir).latestSnapshotId.get
+    sql("ALTER TABLE graft2.pm.atomic DROP PARTITION (dt='a'), PARTITION (dt='b')")
+    val t = graft.sources.GraftTable.load(spark, dir)
+    assert(t.latestSnapshotId.contains(before + 1),
+      "two dropped partitions must commit ONE snapshot, not one each")
+    assert(sql("SELECT k FROM graft2.pm.atomic").collect().map(_.getInt(0)).toSeq == Seq(3))
+  }
+
   private def withConf(key: String, value: String)(body: => Unit): Unit = {
     val old = spark.conf.getOption(key)
     spark.conf.set(key, value)
