@@ -173,6 +173,27 @@ object GraftQueries {
       .orderBy("l_orderkey")
   }
 
+  /** documents through the native SHOW PARTITIONS surface (S57,
+    * SupportsPartitionManagement): stage a lang-partitioned table via
+    * the SQL catalog, list its partitions with SHOW PARTITIONS (a
+    * driver-side manifest read — zero file scans at any corpus size)
+    * and prove the listing equals the data's distinct partition values.
+    * Ref: Paimon's Spark `SHOW PARTITIONS` surface. */
+  private def graftPartitions(s: SparkSession, d: String): DataFrame = {
+    val wh = new java.io.File("target/graft-tmp/showpartwh").getAbsolutePath
+    s.conf.set("spark.sql.catalog.graftsp", "graft.sources.GraftSparkCatalog")
+    s.conf.set("spark.sql.catalog.graftsp.warehouse", wh)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graftsp.q")
+    s.sql("DROP TABLE IF EXISTS graftsp.q.docs")
+    s.sql("""CREATE TABLE graftsp.q.docs (doc_id BIGINT, lang STRING)
+            |PARTITIONED BY (lang)""".stripMargin)
+    T.documents(s, d).select("doc_id", "lang").createOrReplaceTempView("graft_sp_src")
+    s.sql("INSERT INTO graftsp.q.docs SELECT * FROM graft_sp_src")
+    // SHOW PARTITIONS is a statement, not a subquery-able relation
+    s.sql("SHOW PARTITIONS graftsp.q.docs")
+      .select(col("partition").as("part")).orderBy("part")
+  }
+
   /** orders through a record-level-expire table (S56): TTL 365 d against
     * a PINNED clock (1996-01-01T00:00:00Z — record-level.expire.
     * now-millis), so expiry is deterministic: the compaction rewrite
@@ -420,6 +441,9 @@ object GraftQueries {
              |  round(CASE WHEN p_size >= 40 THEN p_retailprice + 1000
              |        ELSE p_retailprice END, 2) AS price
              |FROM part WHERE p_partkey < 300 ORDER BY p_partkey""".stripMargin)),
+    QDef("q_graft_partitions", graftPartitions,
+      Some("""SELECT 'lang=' || lang AS part FROM documents
+             |GROUP BY lang ORDER BY part""".stripMargin)),
     QDef("q_graft_expire", graftExpire,
       Some("""SELECT CAST(year(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS yr,
              |  count(*) AS n,
