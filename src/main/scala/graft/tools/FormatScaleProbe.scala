@@ -64,6 +64,52 @@ object FormatScaleProbe {
     val built = timed("bloom: rewrite_file_index")(bl.rewriteFileIndex())
     println(s"[probe] bloom sidecars built = $built")
 
+    // ---- S55 bitmap index: write, exact skip, sidecar-only count ------
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "lang", "source", "n_chars")
+    val bm = GraftTable.create(spark, s"$base/bm", docs.schema,
+      options = Map("file-index.bitmap.columns" -> "lang,source"))
+    timed("bitmap: ingest with sidecars")(bm.append(docs.repartition(16)))
+    timed("bitmap: exact-skip filtered scan")(
+      spark.read.format("graft").load(s"$base/bm")
+        .filter(col("lang") === "de").queryExecution.toRdd.count())
+    timed("bitmap: claimed sidecar-only COUNT")(
+      spark.read.format("graft").option("bitmap.claim-filters", "true")
+        .load(s"$base/bm").filter(col("lang") === "de")
+        .agg(count(lit(1))).queryExecution.toRdd.count())
+    timed("bitmap: claimed masked row scan")(
+      spark.read.format("graft").option("bitmap.claim-filters", "true")
+        .load(s"$base/bm").filter(col("lang") === "de")
+        .queryExecution.toRdd.count())
+
+    // ---- S56 record-level expire through compaction --------------------
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    // events span Jan 2024: now=2024-01-31, TTL 15 d ⇒ ~half the rows age out
+    val rex = GraftTable.create(spark, s"$base/rex", ev.schema, options = Map(
+      "record-level.expire-time" -> "15d",
+      "record-level.time-field" -> "ts",
+      "record-level.expire.now-millis" -> "1706659200000"))
+    timed("expire: ingest")(rex.append(ev.repartition(16)))
+    timed("expire: compact (TTL rewrite)")(rex.compact())
+    println(s"[probe] expire rows kept = ${rex.read().count()}")
+
+    // ---- L68 dedup index: build once, refresh delta ---------------------
+    val dtexts = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+    val dsrc = GraftTable.create(spark, s"$base/dixsrc",
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType))))
+    dsrc.append(dtexts.filter(col("doc_id") % 10 =!= 0))
+    timed("dedupidx: BUILD (90% of corpus)")(
+      graft.operators.DedupIndex.build(spark, dsrc, s"$base/dix"))
+    dsrc.append(dtexts.filter(col("doc_id") % 10 === 0))
+    timed("dedupidx: REFRESH (10% delta)")(
+      graft.operators.DedupIndex.refresh(spark, dsrc, s"$base/dix"))
+    timed("dedupidx: pairs from persisted bands")(
+      graft.operators.DedupIndex.pairs(spark, dsrc, s"$base/dix")
+        .queryExecution.toRdd.count())
+
     // ---- L62 ANN index: build once, probe many --------------------------
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
