@@ -87,6 +87,23 @@ object SketchState {
     column(MgMergeState(expression(sketch)).toAggregateExpression())
   def mgTop(sketch: Column, topN: Int): Column =
     column(MgTopExpr(expression(sketch), topN))
+
+  // ---- pairwise BINARY merges (S26: sketch-typed merge-engine columns,
+  // the Paimon hll_sketch/rbm field-agg shape): the fold merge engines
+  // combine two stored sketch values at a time. Left-fold order matches
+  // the merge aggregates' frame order, so both read formulations
+  // produce identical bytes for these deterministic buffers.
+  def kmvMergeBytes(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val x = kmvDeserialize(a); x.mergeIn(kmvDeserialize(b)); kmvSerialize(x)
+  }
+  def kllMergeBytes(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val x = QuantileBuffer.deserialize(a)
+    x.mergeIn(QuantileBuffer.deserialize(b))
+    x.serializeBytes()
+  }
+  def mgMergeBytes(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val x = FreqBuffer.deserialize(a); x.mergeIn(FreqBuffer.deserialize(b)); x.serializeBytes()
+  }
 }
 
 /** `kmv_state(hashedLong, k)` → BINARY sketch of the group. */

@@ -2073,6 +2073,12 @@ class GraftTable private (
             // double-exact range; overflow undefined, as in the fold)
             case "product" => product(col(c)).over(wKey)
             case "collect" => flatten(collect_list(col(c)).over(wAsc))
+            // sketch columns merge through the L63 aggregates; the wAsc
+            // frame feeds versions in ascending order — the same left
+            // fold as the V2 path, so the bytes come out identical
+            case "kmv_merge" => graft.functions.SketchState.kmvMerge(col(c)).over(wAsc)
+            case "kll_merge" => graft.functions.SketchState.kllMerge(col(c)).over(wAsc)
+            case "mg_merge" => graft.functions.SketchState.mgMerge(col(c)).over(wAsc)
             case other => throw new IllegalArgumentException(
               s"unsupported aggregate-function for $c: $other")
           }

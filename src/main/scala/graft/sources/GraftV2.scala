@@ -1779,6 +1779,18 @@ private[sources] object MergeFns {
     case "listagg" => nullSkipping((a, b) =>
       UTF8String.concat(a.asInstanceOf[UTF8String], Comma, b.asInstanceOf[UTF8String]))
     case "product" => nullSkipping(mult(dt))
+    // sketch-typed columns (L63 SketchState bytes; the Paimon
+    // hll_sketch/rbm field-agg shape): the rollup TABLE maintains its
+    // sketches through the merge engine itself
+    case "kmv_merge" | "kll_merge" | "mg_merge" =>
+      require(dt == BinaryType,
+        s"aggregate-function $fn needs a BINARY sketch column (got ${dt.simpleString})")
+      val m: (Array[Byte], Array[Byte]) => Array[Byte] = fn match {
+        case "kmv_merge" => graft.functions.SketchState.kmvMergeBytes
+        case "kll_merge" => graft.functions.SketchState.kllMergeBytes
+        case _ => graft.functions.SketchState.mgMergeBytes
+      }
+      nullSkipping((a, b) => m(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]]))
     case "collect" => dt match {
       case ArrayType(et, _) => nullSkipping { (a, b) =>
         new org.apache.spark.sql.catalyst.util.GenericArrayData(

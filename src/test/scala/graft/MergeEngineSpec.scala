@@ -118,6 +118,35 @@ class MergeEngineSpec extends AnyFunSuite {
       "product multiplies non-null versions; collect appends elements in version order")
   }
 
+  test("S26c: sketch-typed columns auto-merge through the aggregation engine") {
+    import graft.functions.SketchState
+    val t = GraftTable.create(spark, TestSpark.tmpDir("aggsketch"),
+      StructType(Seq(StructField("k", IntegerType), StructField("sk", BinaryType))),
+      primaryKeys = Seq("k"),
+      options = Map(
+        "merge-engine" -> "aggregation",
+        "fields.sk.aggregate-function" -> "kmv_merge"))
+    // two partial sketches per key (disjoint element sets), upserted as
+    // separate versions — the table itself maintains the rollup
+    def sketchOf(ids: Seq[Long]) = {
+      import org.apache.spark.sql.functions.{col, xxhash64}
+      spark.createDataset(ids).toDF("x")
+        .agg(SketchState.kmvState(xxhash64(col("x"))).as("sk"))
+        .first().getAs[Array[Byte]](0)
+    }
+    val aIds = (0L until 400L)
+    val bIds = (300L until 700L) // overlaps a: union = 700 distinct
+    t.upsert(Seq((1, sketchOf(aIds))).toDF("k", "sk"))
+    t.upsert(Seq((1, sketchOf(bIds))).toDF("k", "sk"))
+    val merged = readBoth(t).head.getAs[Array[Byte]](1)
+    // the stored merged sketch estimates the UNION's distinct count;
+    // compare against a one-pass sketch of the union — KMV merges are
+    // lossless, so the bytes must be identical, not just close
+    val onePass = sketchOf((aIds ++ bIds).distinct)
+    assert(java.util.Arrays.equals(merged, onePass),
+      "merge-engine kmv fold must equal the one-pass sketch bit-for-bit")
+  }
+
   test("aggregation: sum skips nulls and a delete resets the running fold") {
     val schema = StructType(Seq(
       StructField("k", IntegerType), StructField("total", LongType)))
