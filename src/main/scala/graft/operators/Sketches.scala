@@ -197,6 +197,40 @@ object Sketches {
               |base AS (SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag)
               |SELECT b.l_returnflag, em.approx_supps, b.n
               |FROM base b JOIN em ON b.l_returnflag = em.l_returnflag
-              |ORDER BY b.l_returnflag""".stripMargin))
+              |ORDER BY b.l_returnflag""".stripMargin)),
+
+    // S26c/L63 composition: a rollup TABLE whose sketch column merges
+    // through the AGGREGATION MERGE ENGINE itself — per-lang
+    // distinct-source sketches upsert in two halves and the table's
+    // kmv_merge fold maintains the union; no read-side merge query at
+    // all. Exact-regime oracle: ≤20 distinct sources per lang < k=256,
+    // where the KMV estimate IS the exact distinct count, so the plain
+    // COUNT(DISTINCT) replays it. The engine-level fold is what a
+    // 100 TB ingest wants: every upsert carries O(k) sketch bytes and
+    // the stored rollup is always current.
+    QDef(
+      "q_sketch_rollup",
+      (s, d) => {
+        import graft.functions.SketchState
+        val docs = T.documents(s, d)
+        def half(even: Boolean) = docs
+          .filter(if (even) col("doc_id") % 2 === 0 else col("doc_id") % 2 =!= 0)
+          .groupBy("lang")
+          .agg(SketchState.kmvState(HashExpr.tokenHash64(col("source"))).as("sk"))
+        val h1 = half(even = true)
+        val t = graft.sources.GraftTable.create(
+          s, GraftQueries.tmpRoot("skrollup"), h1.schema,
+          primaryKeys = Seq("lang"),
+          options = Map(
+            "merge-engine" -> "aggregation",
+            "fields.sk.aggregate-function" -> "kmv_merge"))
+        t.upsert(h1)
+        t.upsert(half(even = false))
+        t.read()
+          .select(col("lang"), SketchState.kmvEstimate(col("sk")).as("n_sources"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, count(DISTINCT source) AS n_sources
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin))
   )
 }
