@@ -105,8 +105,12 @@ class GraftSource extends RelationProvider with SchemaRelationProvider
     // `branch` is a per-write routing option, never a table property —
     // filtering it here keeps a create-with-branch from persisting it
     // into SchemaMeta.options forever
+    // commit.watermark is likewise per-write (S59): each commit stamps
+    // its own event-time watermark, it is not a table property
     val opts = parameters.view.filterKeys(k =>
-      !Set("path", "partitionKeys", "primaryKeys", "branch").contains(k)).toMap
+      !Set("path", "partitionKeys", "primaryKeys", "branch",
+        "commit.watermark").contains(k)).toMap
+    val watermark = parameters.get("commit.watermark").map(_.toLong)
     val exists = GraftTable.exists(spark, path)
     val table =
       if (!exists) {
@@ -130,8 +134,11 @@ class GraftSource extends RelationProvider with SchemaRelationProvider
         parameters.get("branch").map(t0.forBranch).getOrElse(t0)
       }
     mode match {
-      case _ if !exists => table.append(data) // first write: every mode just writes
-      case SaveMode.Append => if (table.primaryKeys.nonEmpty) table.upsert(data) else table.append(data)
+      case _ if !exists => // first write: every mode just writes
+        table.append(data, watermark = watermark)
+      case SaveMode.Append =>
+        if (table.primaryKeys.nonEmpty) table.upsert(data, watermark = watermark)
+        else table.append(data, watermark = watermark)
       case SaveMode.Overwrite if table.partitionKeys.nonEmpty => table.overwritePartitions(data)
       case SaveMode.Overwrite =>
         throw new UnsupportedOperationException(

@@ -90,7 +90,13 @@ final case class SnapshotMeta(
     // and expiry pins it so the base state stays readable (an expired
     // base would force a degraded all-+I diff that re-emits unchanged
     // keys to consumers). Null = no changelog ever produced.
-    lastChangelog: java.lang.Long = null)
+    lastChangelog: java.lang.Long = null,
+    // S59 event-time watermark (Paimon Snapshot.watermark): epoch ms up
+    // to which the writer asserts all event-time data has arrived.
+    // Monotonic: a commit that supplies none inherits the base
+    // snapshot's, so maintenance commits (compaction, expiry) never
+    // regress the table's watermark. Null = no writer ever stamped one.
+    watermark: java.lang.Long = null)
 
 final case class SchemaMeta(
     id: Long,
@@ -458,7 +464,13 @@ class GraftTable private (
       deleted: Seq[FileMeta] = Seq.empty, rebase: Boolean = false,
       commitUser: String = "graft", commitIdentifier: Option[Long] = None,
       indexDirs: Seq[String] = Seq.empty,
-      changelogDir: Option[String] = None): Long = {
+      changelogDir: Option[String] = None,
+      watermark: Option[Long] = None): Long = {
+    // S59: validate the tag.automatic-creation option family BEFORE the
+    // claim — a misconfigured table fails the commit loudly here instead
+    // of after the snapshot has published (when a thrown error would
+    // make a durable write look failed and invite a duplicating retry).
+    val autoTag = if (branchName.isEmpty) autoTagConf() else None
     // S42 mid-rescale fence: if the bucket layout the CURRENT schema
     // declares differs from the layout the latest snapshot was committed
     // under, a rescale published its schema but its rewrite never landed
@@ -559,6 +571,18 @@ class GraftTable private (
       if (chain.length >= manifestMergeMinCount)
         chain = Seq(writeManifest(resolveChain(chain).map(ManifestEntry(ManifestEntry.Add, _))))
 
+      // S59: watermark is monotonic across commits — fold the provided
+      // value with the base snapshot's so watermark-less maintenance
+      // commits carry it forward instead of silently resetting it
+      val baseWatermark: Option[Long] =
+        if (id <= 1) None
+        else scala.util.Try(readSnapshot(id - 1)).toOption
+          .flatMap(s => Option(s.watermark)).map(_.longValue)
+      val effWatermark: Option[Long] = (watermark, baseWatermark) match {
+        case (Some(w), Some(b)) => Some(math.max(w, b))
+        case (a, b) => a.orElse(b)
+      }
+
       val snap = SnapshotMeta(
         id = id,
         commitUser = commitUser,
@@ -573,13 +597,18 @@ class GraftTable private (
           if (changelogDir.isDefined) Long.box(id)
           else if (id <= 1) null
           else scala.util.Try(readSnapshot(id - 1)).toOption
-            .map(_.lastChangelog).orNull)
+            .map(_.lastChangelog).orNull,
+        watermark = effWatermark.map(Long.box).orNull)
       val tmp = new Path(root, s"$snapDirRel/.tmp-$id-${UUID.randomUUID().toString.take(8)}")
       writeString(fs, tmp, mapper.writeValueAsString(snap))
       if (!fs.rename(tmp, dst)) {
         fs.delete(tmp, false)
         throw new IllegalStateException(s"failed to publish snapshot $id at $root")
       }
+      // S59 automatic tag creation runs AFTER the snapshot is durable and
+      // is best-effort (config was validated pre-claim): a tag-side IO
+      // hiccup must not fail a commit whose data already published
+      maybeAutoTag(autoTag, id, effWatermark)
       id
     } catch {
       case e: Throwable =>
@@ -594,10 +623,12 @@ class GraftTable private (
     * like any other PK write — duplicate keys within one batch would
     * otherwise share a `__seq` and merge nondeterministically). */
   def append(df: DataFrame, commitUser: String = "graft",
-      commitIdentifier: Option[Long] = None): Long =
-    if (isPkTable) upsert(df, commitUser, commitIdentifier)
+      commitIdentifier: Option[Long] = None,
+      watermark: Option[Long] = None): Long =
+    if (isPkTable) upsert(df, commitUser, commitIdentifier, watermark)
     else writeCommit(df, kind = "APPEND", rowKind = RowKind.Insert,
-      commitUser = commitUser, commitIdentifier = commitIdentifier)
+      commitUser = commitUser, commitIdentifier = commitIdentifier,
+      watermark = watermark)
 
   /** Upsert by primary key. Within the batch the greatest
     * `sequence.field` value per key wins.
@@ -613,7 +644,8 @@ class GraftTable private (
     * against the merged table — at scale exactly the bucketed-join cost
     * Paimon's lookup changelog-producer pays. */
   def upsert(df: DataFrame, commitUser: String = "graft",
-      commitIdentifier: Option[Long] = None): Long = {
+      commitIdentifier: Option[Long] = None,
+      watermark: Option[Long] = None): Long = {
     require(isPkTable, "upsert requires primary keys")
     require(mergeEngine == "deduplicate" || !lookupChangelog,
       "changelog-producer=lookup requires merge-engine=deduplicate")
@@ -622,7 +654,8 @@ class GraftTable private (
     val batch = if (mergeEngine == "deduplicate") dedupBatch(df) else df
     if (!lookupChangelog)
       return writeCommit(batch, kind = "APPEND", rowKind = RowKind.Insert,
-        commitUser = commitUser, commitIdentifier = commitIdentifier)
+        commitUser = commitUser, commitIdentifier = commitIdentifier,
+        watermark = watermark)
     val cur = read()
     val keyCols = primaryKeys.map(col)
     // classify against the MERGE OUTCOME, not mere key existence: a
@@ -647,7 +680,8 @@ class GraftTable private (
     val pre = cur.join(updatedKeys, primaryKeys, "left_semi")
       .withColumn(KindCol, lit(RowKind.UpdateBefore))
     writeCommit(marked.unionByName(pre), kind = "APPEND", rowKind = RowKind.Insert,
-      commitUser = commitUser, commitIdentifier = commitIdentifier)
+      commitUser = commitUser, commitIdentifier = commitIdentifier,
+      watermark = watermark)
   }
 
   /** S51 `changelog-producer=input`: the caller's batch IS the changelog
@@ -666,7 +700,8 @@ class GraftTable private (
     * data's own and multi-version batches are fine — the standard Paimon
     * answer for out-of-order CDC. */
   def writeCdc(df: DataFrame, commitUser: String = "graft",
-      commitIdentifier: Option[Long] = None): Long = {
+      commitIdentifier: Option[Long] = None,
+      watermark: Option[Long] = None): Long = {
     require(isPkTable, "writeCdc requires primary keys")
     require(changelogProducer == "input",
       "writeCdc requires changelog-producer=input (the input IS the changelog)")
@@ -688,7 +723,8 @@ class GraftTable private (
           "nondeterministically; declare sequence.field or split the batch")
     }
     writeCommit(withKind, kind = "APPEND", rowKind = RowKind.Insert,
-      commitUser = commitUser, commitIdentifier = commitIdentifier)
+      commitUser = commitUser, commitIdentifier = commitIdentifier,
+      watermark = watermark)
   }
 
   /** Delete by primary key. `df` must contain FULL rows of the schema
@@ -1061,12 +1097,13 @@ class GraftTable private (
     * files' __seq always equals the committed snapshot id. */
   private def writeCommit(
       df: DataFrame, kind: String, rowKind: String,
-      commitUser: String = "graft", commitIdentifier: Option[Long] = None): Long = {
+      commitUser: String = "graft", commitIdentifier: Option[Long] = None,
+      watermark: Option[Long] = None): Long = {
     val base = latestSnapshotId.getOrElse(0L)
     val added = stageWrite(df, rowKind, seq = base + 1)
     val id = commitOrClean(base + 1, kind, added.files,
       commitUser = commitUser, commitIdentifier = commitIdentifier,
-      indexDirs = added.indexDirs)
+      indexDirs = added.indexDirs, watermark = watermark)
     // opt-in write-amortized maintenance (Paimon's writer-side
     // compaction): fold any bucket whose run count reached the trigger.
     // Not under lookup changelog (compaction folds the -U/+U history
@@ -1094,9 +1131,10 @@ class GraftTable private (
       deleted: Seq[FileMeta] = Seq.empty, rebase: Boolean = false,
       commitUser: String = "graft", commitIdentifier: Option[Long] = None,
       indexDirs: Seq[String] = Seq.empty,
-      changelogDir: Option[String] = None): Long =
+      changelogDir: Option[String] = None,
+      watermark: Option[Long] = None): Long =
     try commitAt(id, kind, added, deleted, rebase, commitUser, commitIdentifier,
-      indexDirs, changelogDir)
+      indexDirs, changelogDir, watermark)
     catch {
       case e: Throwable =>
         added.foreach(f => deleteDataFile(f.path))
@@ -1113,20 +1151,23 @@ class GraftTable private (
     * fail rather than publish a state built from a stale view). */
   private[sources] def commitV2(
       mode: String, added: Seq[FileMeta],
-      filters: Seq[org.apache.spark.sql.sources.Filter], base: Long): Long = {
+      filters: Seq[org.apache.spark.sql.sources.Filter], base: Long,
+      watermark: Option[Long] = None): Long = {
     mode match {
       case "append" =>
-        val id = commitAt(base + 1, "APPEND", added)
+        val id = commitAt(base + 1, "APPEND", added, watermark = watermark)
         // same opt-in best-effort maintenance as the V1 writeCommit path
         maintenanceCompact()
         id
       case "truncate" =>
-        commitAt(base + 1, "OVERWRITE", added, deleted = filesAt(base))
+        commitAt(base + 1, "OVERWRITE", added, deleted = filesAt(base),
+          watermark = watermark)
       case "dynamic" =>
         require(partitionKeys.nonEmpty, "dynamic partition overwrite requires a partitioned table")
         val parts = added.map(_.partition).toSet
         commitAt(base + 1, "OVERWRITE", added,
-          deleted = filesAt(base).filter(f => parts.contains(f.partition)))
+          deleted = filesAt(base).filter(f => parts.contains(f.partition)),
+          watermark = watermark)
       case "filter" =>
         // overwrite-by-filter deletes FILES, so the filter must be an
         // exact partition predicate (same soundness rule as pruning)
@@ -1139,7 +1180,8 @@ class GraftTable private (
         // would be pure churn — report the unchanged base instead (the
         // caller can distinguish "no-op" from "committed")
         if (dels.isEmpty && added.isEmpty) base
-        else commitAt(base + 1, "OVERWRITE", added, deleted = dels)
+        else commitAt(base + 1, "OVERWRITE", added, deleted = dels,
+          watermark = watermark)
       case other => throw new IllegalStateException(s"unknown V2 write mode: $other")
     }
   }
@@ -2310,6 +2352,85 @@ class GraftTable private (
 
   def deleteTag(name: String): Boolean =
     fs.delete(new Path(root, s"tag/tag-$name.json"), false)
+
+  // ---- S59 automatic tag creation (Paimon tag.automatic-creation) -----
+  // A periodic tag names the UTC period that just COMPLETED and pins the
+  // first snapshot committed after its end — under watermark semantics
+  // the earliest state guaranteed to contain all of the period's data.
+  // Tags are root-level pins shared by every ref, so only main-view
+  // commits auto-tag. Creation is per-crossing (no backfill of periods
+  // with no commits — Paimon's TagAutoManager shape); daily names are
+  // `yyyy-MM-dd`, hourly `yyyy-MM-dd-HH` (dash, not Paimon's space —
+  // tag names here are path segments).
+
+  private case class AutoTagConf(
+      mode: String, periodMs: Long, delayMs: Long,
+      retainMax: Option[Int], pinnedNowMs: Option[Long])
+
+  /** Parse + validate the option family; throws on misconfiguration.
+    * None = disabled (the default). */
+  private def autoTagConf(): Option[AutoTagConf] = {
+    val mode = options.getOrElse("tag.automatic-creation", "none")
+    if (mode == "none") None
+    else {
+      require(mode == "process-time" || mode == "watermark",
+        s"tag.automatic-creation must be none|process-time|watermark (got $mode)")
+      val periodMs = options.getOrElse("tag.creation-period", "daily") match {
+        case "daily" => 86400000L
+        case "hourly" => 3600000L
+        case other => throw new IllegalArgumentException(
+          s"tag.creation-period must be daily|hourly (got $other)")
+      }
+      val delay = options.get("tag.creation-delay").map(_.toLong).getOrElse(0L)
+      require(delay >= 0, s"tag.creation-delay must be >= 0 (got $delay)")
+      val retain = options.get("tag.num-retained-max").map(_.toInt)
+      retain.foreach(n => require(n >= 1, s"tag.num-retained-max must be >= 1 (got $n)"))
+      Some(AutoTagConf(mode, periodMs, delay, retain,
+        options.get("tag.automatic-creation.now-millis").map(_.toLong)))
+    }
+  }
+
+  private def autoTagName(periodStartMs: Long, periodMs: Long): String = {
+    val fmt = if (periodMs >= 86400000L) "yyyy-MM-dd" else "yyyy-MM-dd-HH"
+    java.time.format.DateTimeFormatter.ofPattern(fmt)
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochMilli(periodStartMs))
+  }
+
+  /** Auto tags are recognized BY NAME (the period format), like Paimon's
+    * TagPeriodHandler — retention must never reap a user's manual tag. */
+  private def isAutoTagName(name: String, periodMs: Long): Boolean =
+    if (periodMs >= 86400000L) name.matches("\\d{4}-\\d{2}-\\d{2}")
+    else name.matches("\\d{4}-\\d{2}-\\d{2}-\\d{2}")
+
+  /** Create the tag for the latest period completed as of the trigger
+    * time (process clock or this snapshot's watermark), then apply
+    * `tag.num-retained-max` over auto tags. Best-effort post-publish:
+    * races with concurrent committers over the same period resolve to
+    * whichever snapshot tagged first. */
+  private def maybeAutoTag(
+      conf: Option[AutoTagConf], snapId: Long, watermark: Option[Long]): Unit =
+    conf.foreach { c =>
+      try {
+        val trigger: Option[Long] = c.mode match {
+          case "process-time" => Some(c.pinnedNowMs.getOrElse(System.currentTimeMillis()))
+          case _ => watermark // no watermark yet = nothing provably complete
+        }
+        trigger.foreach { t =>
+          val start = Math.floorDiv(t - c.delayMs, c.periodMs) * c.periodMs - c.periodMs
+          if (start >= 0) {
+            val name = autoTagName(start, c.periodMs)
+            if (!fs.exists(new Path(root, s"tag/tag-$name.json")))
+              try createTag(name, Some(snapId))
+              catch { case _: IllegalArgumentException => () } // lost the race
+          }
+          c.retainMax.foreach { max =>
+            val auto = tags.filter(tg => isAutoTagName(tg.name, c.periodMs)).sortBy(_.name)
+            if (auto.length > max) auto.dropRight(max).foreach(tg => deleteTag(tg.name))
+          }
+        }
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
 
   // ---- stream consumers (S38, Paimon consumer-id) ---------------------
 

@@ -556,7 +556,9 @@ final class GraftWriteBuilder(table: GraftTable, info: LogicalWriteInfo)
 
   override def overwriteDynamicPartitions(): WriteBuilder = { mode = "dynamic"; this }
 
-  override def build(): Write = new GraftWriteImpl(table, info.schema(), mode, overwriteFilters)
+  override def build(): Write = new GraftWriteImpl(table, info.schema(), mode, overwriteFilters,
+    // S59: per-write event-time watermark stamped into the snapshot
+    Option(info.options.get("commit.watermark")).map(_.toLong))
 }
 
 /** Distribution contract:
@@ -575,7 +577,8 @@ final class GraftWriteBuilder(table: GraftTable, info: LogicalWriteInfo)
   * distributed. Strict matters: a rebalance could split one key's rows
   * across tasks mid-sort and break the dedup invariant. */
 final class GraftWriteImpl(
-    table: GraftTable, writeSchema: StructType, mode: String, filters: Array[Filter])
+    table: GraftTable, writeSchema: StructType, mode: String, filters: Array[Filter],
+    watermark: Option[Long] = None)
     extends Write with RequiresDistributionAndOrdering {
 
   import org.apache.spark.sql.connector.expressions.{Expression => V2Expression, SortDirection}
@@ -605,11 +608,13 @@ final class GraftWriteImpl(
         version.map(c => Expressions.sort(Expressions.column(c), SortDirection.DESCENDING))).toArray
     }
 
-  override def toBatch: BatchWrite = new GraftBatchWrite(table, writeSchema, mode, filters)
+  override def toBatch: BatchWrite =
+    new GraftBatchWrite(table, writeSchema, mode, filters, watermark)
 }
 
 final class GraftBatchWrite(
-    table: GraftTable, writeSchema: StructType, mode: String, filters: Array[Filter])
+    table: GraftTable, writeSchema: StructType, mode: String, filters: Array[Filter],
+    watermark: Option[Long] = None)
     extends BatchWrite {
 
   /** Base captured at write start: the staged files' __seq equals the
@@ -636,7 +641,7 @@ final class GraftBatchWrite(
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val added = messages.toSeq.flatMap { case GraftCommitMessage(f) => f }
-    table.commitV2(mode, added, filters.toSeq, base)
+    table.commitV2(mode, added, filters.toSeq, base, watermark)
   }
 
   /** Tasks clean their own failures (GraftTaskWriter.abort); this sweeps
