@@ -32,11 +32,19 @@ final case class FileMeta(
     // stay manifest-only). Null = no deletions. Boxed/nullable for the
     // same legacy-manifest reason as rowCount.
     dvPath: String = null,
-    dvCount: java.lang.Long = null) {
+    dvCount: java.lang.Long = null,
+    // S60: true = this file is the output of a history FOLD (compact /
+    // targeted compactBuckets / rescale) — its rows are the final merged
+    // state of its (partition, bucket) group at fold time, readable
+    // without the MOR merge (Paimon's max-level contract; the `$ro`
+    // read-optimized table serves exactly the live compacted files).
+    // Boxed/nullable for the same legacy-manifest reason as rowCount.
+    compacted: java.lang.Boolean = null) {
   /** null-safe (snapshots written before stats existed). */
   def statsOrEmpty: Map[String, ColStats] = Option(stats).getOrElse(Map.empty)
   def rowCountOpt: Option[Long] = Option(rowCount).map(_.longValue)
   def isSorted: Boolean = sorted != null && sorted.booleanValue
+  def isCompacted: Boolean = compacted != null && compacted.booleanValue
   def hasDv: Boolean = dvPath != null
   def dvCountOrZero: Long = if (dvCount == null) 0L else dvCount.longValue
   /** Storage paths this manifest entry keeps live (data file + sidecar) —
@@ -940,7 +948,8 @@ class GraftTable private (
       else None
     val added = stageWrite(merged, rowKind = RowKind.Insert, seq = base + 1,
       keySort = sortBy.isEmpty && zorderBy.isEmpty)
-    commitOrClean(base + 1, "COMPACT", added.files, rebase = true,
+    commitOrClean(base + 1, "COMPACT",
+      added.files.map(_.copy(compacted = java.lang.Boolean.TRUE)), rebase = true,
       indexDirs = added.indexDirs, changelogDir = changelogDir)
   }
 
@@ -1040,7 +1049,8 @@ class GraftTable private (
         id = schemaMeta.id + 1,
         options = schemaMeta.options.updated("bucket", newBuckets.toString)))
     val added = stageWrite(merged, rowKind = RowKind.Insert, seq = base + 1)
-    commitOrClean(base + 1, "COMPACT", added.files, rebase = true)
+    commitOrClean(base + 1, "COMPACT",
+      added.files.map(_.copy(compacted = java.lang.Boolean.TRUE)), rebase = true)
   }
 
   /** LSM-style TARGETED compaction (Paimon's
@@ -1082,8 +1092,9 @@ class GraftTable private (
     val merged = recordExpire(
       mergeVersions(raw).select(schema.fieldNames.map(col).toSeq: _*))
     val added = stageWrite(merged, rowKind = RowKind.Insert, seq = base + 1)
-    Some(commitOrClean(base + 1, "COMPACT", added.files, deleted = triggered,
-      indexDirs = added.indexDirs))
+    Some(commitOrClean(base + 1, "COMPACT",
+      added.files.map(_.copy(compacted = java.lang.Boolean.TRUE)),
+      deleted = triggered, indexDirs = added.indexDirs))
   }
 
   /** `num-sorted-run.compaction-trigger` option (0 = no auto-compaction;
@@ -2018,6 +2029,32 @@ class GraftTable private (
     merged.select(schema.fieldNames.map(col).toSeq: _*)
   }
 
+  /** S60 read-optimized view (Paimon's `$ro` system table / ReadOptimized
+    * Table): serve a PK table WITHOUT paying the merge-on-read by reading
+    * only the live COMPACTED files — each (partition, bucket) group's
+    * state as of its last fold. Every fold (compact / compactBuckets /
+    * rescale) rewrites its groups WHOLE, so the live compacted files of a
+    * group always come from exactly one fold: they hold final merged +I
+    * rows and no version of their keys lives elsewhere among them — a
+    * plain columnar scan is exact for that state. Groups never compacted
+    * (or re-opened by a CoW rewrite) contribute nothing until their next
+    * fold — Paimon's documented freshness trade: `$ro` is the
+    * cheap-and-stale leg of a lambda read (batch analytics off `$ro`,
+    * exact reads off the merging scan). Non-PK tables are already
+    * merge-free: `$ro` = the plain read. */
+  def readOptimized(): DataFrame = {
+    if (!isPkTable) return read()
+    val files = currentFiles(None).filter(_.isCompacted)
+    if (files.isEmpty)
+      return spark.createDataFrame(new java.util.ArrayList[Row](), schema)
+    val paths = files.map(f => s"${root.stripSuffix("/")}/${f.path}")
+    spark.read
+      .option("basePath", s"${root.stripSuffix("/")}/data")
+      .schema(fileSchema)
+      .format(fileFormat).load(paths: _*)
+      .select(schema.fieldNames.map(col).toSeq: _*)
+  }
+
   /** Mask `dvFiles`' sidecar positions out of `raw` (which must carry
     * `_metadata`) with an anti-join on (filename, row position); the
     * sidecars are read in a parallelized executor job, never collected.
@@ -2273,9 +2310,12 @@ class GraftTable private (
             f.bucket, f.sizeBytes, f.rowCountOpt.map(Long.box).orNull, f.isSorted,
             // deletion-vector sidecar (S37): masked-row count + pointer
             // (Paimon $files' delete_row_count)
-            f.dvCountOrZero, f.dvPath))
+            f.dvCountOrZero, f.dvPath,
+            // S60: fold output, servable merge-free via `$ro` (Paimon
+            // $files' level column collapsed to its max-level meaning)
+            f.isCompacted))
           .toDF("file_path", "partition", "bucket", "file_size_in_bytes",
-            "record_count", "sorted", "delete_row_count", "dv_path")
+            "record_count", "sorted", "delete_row_count", "dv_path", "compacted")
       case "schemas" =>
         allSchemas
           .map(s => (s.id, s.fieldsJson, s.partitionKeys.mkString(","),
@@ -2327,6 +2367,7 @@ class GraftTable private (
           else (b, java.lang.Long.valueOf(ids.min), java.lang.Long.valueOf(ids.max))
         }.toDF("branch_name", "cut_snapshot_id", "head_snapshot_id")
       case "audit_log" => auditLog()
+      case "ro" => readOptimized()
       case other => throw new IllegalArgumentException(s"unknown system table: $other")
     }
   }
