@@ -40,6 +40,30 @@ object GraftQueries {
       .orderBy("user_id")
   }
 
+  /** orders through a CROSS-PARTITION dynamic-bucket table (S61): the
+    * table partitions by o_orderstatus, which is NOT in the primary key,
+    * so the key index is GLOBAL; the second upsert flips every 4th order
+    * to status 'X' — a partition MOVE (tombstone into the old partition's
+    * group, row + index re-home into 'X'). The per-status rollup equals
+    * the oracle's CASE replay over raw orders iff no key duplicated
+    * across partitions and none resurrected in its old one. */
+  private def graftCrossPartition(s: SparkSession, d: String): DataFrame = {
+    val o = T.orders(s, d).select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .filter(col("o_orderkey") < 2000)
+    val t = GraftTable.create(s, tmpRoot("xpart"), o.schema,
+      partitionKeys = Seq("o_orderstatus"),
+      primaryKeys = Seq("o_orderkey"),
+      options = Map("bucket" -> "-1", "dynamic-bucket.target-row-num" -> "256"))
+    t.upsert(o)
+    t.upsert(o.filter(col("o_orderkey") % 4 === 0)
+      .withColumn("o_orderstatus", lit("X"))
+      .withColumn("o_totalprice", col("o_totalprice") + lit(100.0)))
+    t.read()
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("s"))
+      .orderBy("status")
+  }
+
   /** customers through a DYNAMIC-BUCKET PK table (S48, `bucket = -1`):
     * keys spread over ceil(n / target) buckets by the persisted
     * key-hash→bucket index, a second upsert updates every 7th key
@@ -484,6 +508,13 @@ object GraftQueries {
              |             ELSE c_acctbal END, 2) AS bal
              |FROM customer WHERE c_custkey <= 300
              |ORDER BY c_custkey""".stripMargin)),
+    QDef("q_graft_xpart", graftCrossPartition,
+      Some("""SELECT CASE WHEN o_orderkey % 4 = 0 THEN 'X' ELSE o_orderstatus END AS status,
+             |  count(*) AS n,
+             |  round(sum(CASE WHEN o_orderkey % 4 = 0 THEN o_totalprice + 100.0
+             |                 ELSE o_totalprice END), 2) AS s
+             |FROM orders WHERE o_orderkey < 2000
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
     QDef("q_graft_dynbucket", graftDynBucket,
       Some("""SELECT c_custkey, c_nationkey,
              |  round(CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 1000.0

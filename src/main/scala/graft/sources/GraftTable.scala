@@ -216,6 +216,16 @@ class GraftTable private (
     * (first assignment wins), which preserves the MOR invariant that
     * all versions of a key share one (partition, bucket). */
   private[sources] def isDynamicBucket: Boolean = numBuckets == -1
+
+  /** S61: dynamic-bucket table whose partition keys are NOT all inside
+    * the primary key — the key→bucket index is then GLOBAL (keyed by the
+    * key hash alone, latest entry wins) and an upsert whose partition
+    * value changed MOVES the key: tombstone into the old partition's
+    * group, row + index update into the new (Paimon's cross-partition
+    * update mode). */
+  private[sources] def isCrossPartitionUpsert: Boolean =
+    isDynamicBucket && partitionKeys.nonEmpty &&
+      !partitionKeys.forall(primaryKeys.contains)
   private[sources] def dynamicTargetRows: Long =
     options.getOrElse("dynamic-bucket.target-row-num", "2000000").toLong
   private[sources] def isPkTable: Boolean = primaryKeys.nonEmpty
@@ -1546,7 +1556,15 @@ class GraftTable private (
     val parts = chain.zipWithIndex.map { case (p, i) =>
       spark.read.schema(IdxSchema).parquet(s"$root/$p").withColumn("__ord", lit(i))
     }
-    val w = Window.partitionBy("part", "kh").orderBy(col("__ord").asc)
+    // Per-partition mode: assignments are immutable, the FIRST entry for
+    // a (part, key) wins. Cross-partition mode (S61): the index is global
+    // and a key's entry moves with it — the LATEST entry for a key wins,
+    // which is also why the chain fold must run through here (a fold that
+    // kept both sides of a move would lose the order that disambiguates
+    // them).
+    val w =
+      if (isCrossPartitionUpsert) Window.partitionBy("kh").orderBy(col("__ord").desc)
+      else Window.partitionBy("part", "kh").orderBy(col("__ord").asc)
     parts.reduce(_ unionByName _)
       .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
       .select("part", "kh", "bucket")
@@ -1578,7 +1596,116 @@ class GraftTable private (
     * way): a hash collision co-locates two keys in one bucket — a
     * placement artifact, never a correctness issue (the MOR merge keys
     * on the real primary key). */
-  private def assignDynamicBuckets(df: DataFrame): (DataFrame, Seq[String]) = {
+  private def assignDynamicBuckets(df: DataFrame): (DataFrame, Seq[String]) =
+    if (isCrossPartitionUpsert) assignCrossPartition(df)
+    else assignPerPartitionBuckets(df)
+
+  /** S61 cross-partition upsert (Paimon's cross-partition update mode —
+    * dynamic bucket with partition keys outside the primary key). The
+    * index is GLOBAL: one latest-wins entry per key hash naming the
+    * (partition, bucket) that holds the key. Row versions (+I/+U) whose
+    * incoming partition differs from the indexed one MOVE the key —
+    * this commit writes a `-D` tombstone into the old group (partition
+    * columns reconstructed from the index entry), the row into the new
+    * partition under a freshly minted assignment, and an index delta
+    * superseding the old entry; the bucket-local folds then resolve both
+    * groups correctly on their own (the tombstone resets the old group,
+    * the row is the new group's newest version). Tombstones/markers
+    * (-D/-U) route to the INDEXED location regardless of their incoming
+    * partition values — the global index is what lets a caller delete by
+    * key without knowing which partition currently holds it. Requires
+    * merge-engine=deduplicate and no sequence.field: commit order makes
+    * the move's tombstone final (the same-commit tombstone+row pair is
+    * disambiguated by the merge's kind tiebreak — a row version outranks
+    * a delete at equal sequence). Occupancy accounting counts CURRENT
+    * index entries per partition, which under moves is a soft bound on
+    * bucket fill — a placement approximation, never a correctness issue
+    * (merges key on the real primary key). */
+  private def assignCrossPartition(df: DataFrame): (DataFrame, Seq[String]) = {
+    require(mergeEngine == "deduplicate" && sequenceFields.isEmpty,
+      "cross-partition upsert (dynamic bucket with partition keys outside " +
+        "the primary key) requires merge-engine=deduplicate and no " +
+        "sequence.field — commit order must make the move tombstone final")
+    val P = "__dynpart"
+    val KH = "__dynkh"
+    val khExpr = xxhash64(primaryKeys.map(col): _*)
+    val partExpr: Column =
+      concat_ws("/", partitionKeys.map(k =>
+        concat(lit(s"$k="), coalesce(col(k).cast("string"), lit("__GRAFT_NULL__")))): _*)
+    /** Inverse of partExpr for one key: the value `k` holds inside a
+      * rendered partition string, cast back to the column's type. */
+    def partVal(k: String, src: Column): Column = {
+      val v = regexp_extract(src,
+        "(?:^|/)" + java.util.regex.Pattern.quote(k) + "=([^/]*)", 1)
+      when(v === "__GRAFT_NULL__", lit(null).cast(schema(k).dataType))
+        .otherwise(v.cast(schema(k).dataType))
+    }
+    val keyed = df.withColumn(KH, khExpr).withColumn(P, partExpr)
+    val chain = latestSnapshotId.map(readSnapshot).map(bucketIndexChainOf).getOrElse(Seq.empty)
+    val idx = resolveIndexChain(chain)
+      .select(col("kh").as(KH), col("part").as("__ipart"), col("bucket").as("__ibucket"))
+    val occ: Seq[(String, Long)] = idx.groupBy("__ipart").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val occDf = { import spark.implicits._; occ.toDF(P, "__base") }
+    val target = dynamicTargetRows
+    val joined = keyed.join(idx, Seq(KH), "left")
+    val isRowVersion = col(KindCol).isin(
+      GraftTable.RowKind.Insert, GraftTable.RowKind.UpdateAfter)
+    // new assignments: unseen keys + keys moving into this partition
+    val needNew = joined
+      .filter(isRowVersion && (col("__ipart").isNull || col("__ipart") =!= col(P)))
+      .select(col(P), col(KH)).distinct()
+      .join(broadcast(occDf), Seq(P), "left")
+      .withColumn("__base", coalesce(col("__base"), lit(0L)))
+      .withColumn("__rn",
+        row_number().over(Window.partitionBy(P).orderBy(col(KH))).cast("long"))
+      .select(col(P).as("part"), col(KH).as("kh"),
+        expr(s"CAST((__base + __rn - 1) DIV ${target}L AS INT)").as("bucket"))
+    val rel = writeIndexDelta(needNew)
+    // the persisted delta IS the assignment (same discipline as the
+    // per-partition path: no second evaluation of the assignment plan)
+    val delta = spark.read.schema(IdxSchema).parquet(s"$root/$rel")
+    val hasNew = delta.limit(1).count() > 0
+    val dirs =
+      if (hasNew) Seq(rel)
+      else { fs.delete(new Path(root, rel), true); Seq.empty }
+    // an empty delta's dir was just deleted — the routing plan must not
+    // reference it (the lazy read would hit FILE_NOT_EXIST at write time)
+    val routed =
+      if (hasNew)
+        joined.join(
+          delta.select(col("kh").as(KH), col("bucket").as("__dbucket")),
+          Seq(KH), "left")
+      else joined.withColumn("__dbucket", lit(null).cast("int"))
+    // +I/+U land in the incoming partition (minted/moved bucket first,
+    // else the existing same-partition assignment); -D/-U land where the
+    // index says the key lives, bucket 0 of the incoming partition
+    // unrecorded when unindexed (merges to nothing — S48j)
+    val targetPart =
+      when(isRowVersion, col(P)).otherwise(coalesce(col("__ipart"), col(P)))
+    val targetBucket =
+      when(isRowVersion, coalesce(col("__dbucket"), col("__ibucket")))
+        .otherwise(coalesce(col("__ibucket"), lit(0)))
+    val main = routed.select(
+      df.columns.toSeq.map { c =>
+        if (partitionKeys.contains(c))
+          when(targetPart === col(P), col(c)).otherwise(partVal(c, targetPart)).as(c)
+        else col(c).as(c)
+      } :+ targetBucket.cast("int").as(GraftTable.DynBucketCol): _*)
+    // the move's tombstone: same key + this commit's sequence, old
+    // partition's column values, the indexed bucket
+    val moved = routed.filter(
+      isRowVersion && col("__ipart").isNotNull && col("__ipart") =!= col(P))
+    val tomb = moved.select(
+      df.columns.toSeq.map { c =>
+        if (partitionKeys.contains(c)) partVal(c, col("__ipart")).as(c)
+        else if (c == KindCol) lit(GraftTable.RowKind.Delete).as(c)
+        else col(c).as(c)
+      } :+ col("__ibucket").cast("int").as(GraftTable.DynBucketCol): _*)
+    (main.unionByName(tomb), dirs)
+  }
+
+  private def assignPerPartitionBuckets(df: DataFrame): (DataFrame, Seq[String]) = {
     val P = "__dynpart"
     val KH = "__dynkh"
     val khExpr = xxhash64(primaryKeys.map(col): _*)
@@ -2097,7 +2224,15 @@ class GraftTable private (
         .drop("__rn", SeqCol, KindCol)
     }
     mergeEngine match {
-      case "deduplicate" => winnerByOrder(seqDesc)
+      case "deduplicate" =>
+        // equal-sequence tiebreak: a row version outranks a delete. The
+        // only same-key same-seq pair any write path produces is a
+        // cross-partition MOVE (S61: tombstone + row in one commit) —
+        // semantically delete-then-insert, so the row wins. (The V2
+        // bucket-local folds never see the pair together: the two rows
+        // live in different groups by construction.)
+        winnerByOrder(seqDesc :+
+          when(col(KindCol) === RowKind.Delete, 0).otherwise(1).desc)
       case "first-row" => winnerByOrder(seqAsc)
       case engine => // partial-update | aggregation
         val seqStruct = struct((sequenceFields :+ SeqCol).map(col): _*)

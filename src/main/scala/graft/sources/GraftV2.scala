@@ -1170,7 +1170,16 @@ final class GraftScan(
     val partCo = table.partitionKeys.forall(pk)
     val bucketCo = table.bucketKeys.nonEmpty && table.bucketKeys.forall(pk)
     val groups: Iterable[Seq[FileMeta]] =
-      if (partCo && bucketCo) plannedFiles.groupBy(f => (f.partition, f.bucket)).values
+      // S61 cross-partition dynamic bucket: partition keys sit OUTSIDE
+      // the pk, but the global index pins every live version of a key to
+      // ONE (partition, bucket) and a move writes its tombstone into the
+      // old group — each group folds complete on its own. Without this,
+      // the conservative single-group fallback would merge the whole
+      // table in one task AND see a move's same-sequence tombstone/row
+      // pair together (arbitrary tie).
+      if (table.isCrossPartitionUpsert)
+        plannedFiles.groupBy(f => (f.partition, f.bucket)).values
+      else if (partCo && bucketCo) plannedFiles.groupBy(f => (f.partition, f.bucket)).values
       else if (partCo) plannedFiles.groupBy(_.partition).values
       else Seq(plannedFiles)
     groups.zipWithIndex.map { case (fs, i) =>

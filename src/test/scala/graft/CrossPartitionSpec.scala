@@ -1,0 +1,119 @@
+package graft
+
+import graft.sources.GraftTable
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SURVEY §2.1 S61: cross-partition upsert (ref: Paimon's cross-partition
+  * update mode — dynamic bucket + partition keys outside the primary
+  * key). The key index is global; an upsert with a changed partition
+  * value moves the key: tombstone into the old group, row + index update
+  * into the new. */
+class CrossPartitionSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", IntegerType),
+    StructField("status", StringType), // partition key, NOT in the pk
+    StructField("v", StringType)))
+
+  private def mk(name: String, extra: Map[String, String] = Map.empty): GraftTable =
+    GraftTable.create(spark, TestSpark.tmpDir(name), schema,
+      partitionKeys = Seq("status"), primaryKeys = Seq("id"),
+      options = Map("bucket" -> "-1") ++ extra)
+
+  private def rows(t: GraftTable) =
+    t.read().collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).sorted.toSeq
+
+  test("S61a: an upsert with a changed partition value MOVES the key") {
+    val t = mk("xp-move")
+    t.upsert(Seq((1, "open", "v1"), (2, "open", "v1")).toDF("id", "status", "v"))
+    t.upsert(Seq((1, "closed", "v2")).toDF("id", "status", "v"))
+    assert(rows(t) == Seq((1, "closed", "v2"), (2, "open", "v1")))
+    // the old partition no longer serves the key (post-merge filter path)
+    assert(t.read(partitionFilter = Some(col("status") === "open"))
+      .collect().map(_.getInt(0)).toSeq == Seq(2))
+    // V1 global-merge path agrees with the V2 bucket-local folds
+    val v1 = t.read(dataFilters = Seq(org.apache.spark.sql.sources.IsNotNull("id")))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).sorted.toSeq
+    assert(v1 == rows(t))
+  }
+
+  test("S61b: deletes route by the GLOBAL index, not the incoming partition value") {
+    val t = mk("xp-del")
+    t.upsert(Seq((1, "open", "v1"), (2, "open", "v1")).toDF("id", "status", "v"))
+    t.upsert(Seq((1, "closed", "v2")).toDF("id", "status", "v"))
+    // the caller deletes by key with a STALE partition value — the index
+    // knows the key now lives in 'closed'
+    t.delete(Seq((1, "open", "x")).toDF("id", "status", "v"))
+    assert(rows(t) == Seq((2, "open", "v1")))
+    // deleting an unindexed key is a no-op that must not corrupt anything
+    t.delete(Seq((99, "open", "x")).toDF("id", "status", "v"))
+    assert(rows(t) == Seq((2, "open", "v1")))
+  }
+
+  test("S61c: repeated moves keep exactly one live version per key") {
+    val t = mk("xp-pingpong")
+    t.upsert(Seq((1, "a", "v1")).toDF("id", "status", "v"))
+    t.upsert(Seq((1, "b", "v2")).toDF("id", "status", "v"))
+    t.upsert(Seq((1, "a", "v3")).toDF("id", "status", "v"))
+    t.upsert(Seq((1, "c", "v4")).toDF("id", "status", "v"))
+    assert(rows(t) == Seq((1, "c", "v4")))
+    // same-partition update (no move) stays an ordinary upsert
+    t.upsert(Seq((1, "c", "v5")).toDF("id", "status", "v"))
+    assert(rows(t) == Seq((1, "c", "v5")))
+  }
+
+  test("S61d: compaction folds moves away; time travel sees pre-move states") {
+    val t = mk("xp-compact")
+    val s1 = t.upsert(Seq((1, "open", "v1"), (2, "open", "v1")).toDF("id", "status", "v"))
+    t.upsert(Seq((1, "closed", "v2")).toDF("id", "status", "v"))
+    t.compact()
+    assert(rows(t) == Seq((1, "closed", "v2"), (2, "open", "v1")))
+    // $ro after the fold equals the merged state (and re-assignment
+    // during the rewrite must not duplicate or relocate keys)
+    assert(t.system("ro").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).sorted.toSeq == rows(t))
+    // pre-move snapshot still shows the key in its old partition
+    assert(t.read(snapshotId = Some(s1)).collect()
+      .map(r => (r.getInt(0), r.getString(1))).sorted.toSeq ==
+      Seq((1, "open"), (2, "open")))
+  }
+
+  test("S61e: null partition values move like any other") {
+    val t = mk("xp-null")
+    t.upsert(Seq((1, null, "v1")).toDF("id", "status", "v"))
+    t.upsert(Seq((1, "set", "v2")).toDF("id", "status", "v"))
+    assert(rows(t) == Seq((1, "set", "v2")))
+    t.upsert(Seq((1, null, "v3")).toDF("id", "status", "v"))
+    assert(t.read().collect().map(r => (r.getInt(0), Option(r.getString(1)), r.getString(2))).toSeq ==
+      Seq((1, None, "v3")))
+  }
+
+  test("S61f: sequence.field is rejected in cross-partition mode") {
+    val t = mk("xp-seq", Map("sequence.field" -> "v"))
+    intercept[IllegalArgumentException] {
+      t.upsert(Seq((1, "a", "v1")).toDF("id", "status", "v"))
+    }
+  }
+
+  test("S61g: 200 keys migrating between partitions stay exact") {
+    val t = mk("xp-scale", Map("dynamic-bucket.target-row-num" -> "16"))
+    val init = (1 to 200).map(i => (i, if (i % 2 == 0) "even" else "odd", s"v$i"))
+    t.upsert(init.toDF("id", "status", "v"))
+    // move every multiple of 3 to partition 'three'
+    val mv = (1 to 200).filter(_ % 3 == 0).map(i => (i, "three", s"m$i"))
+    t.upsert(mv.toDF("id", "status", "v"))
+    val got = rows(t)
+    assert(got.size == 200)
+    val expect = init.map { case (i, p, v) =>
+      if (i % 3 == 0) (i, "three", s"m$i") else (i, p, v)
+    }.sorted
+    assert(got == expect)
+    // partition listing reflects the migration
+    val parts = t.system("partitions").select("partition").as[String].collect().toSet
+    assert(parts == Set("status=even", "status=odd", "status=three"))
+  }
+}
