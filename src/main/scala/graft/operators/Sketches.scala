@@ -231,6 +231,39 @@ object Sketches {
           .orderBy("lang")
       },
       Some("""SELECT lang, count(DISTINCT source) AS n_sources
-             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin))
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // S26d: the EXACT sibling of q_sketch_rollup — per-priority distinct
+    // BUYER SETS as rbm64 bitmap columns maintained by the aggregation
+    // merge engine (Paimon's rbm64 field aggregate). Two upsert halves,
+    // the engine folds the exact union, the read extracts cardinalities;
+    // the oracle is a plain COUNT(DISTINCT) — no exactness regime caveat
+    // at ANY scale factor, which is precisely what separates rbm64 from
+    // the KMV sketch column.
+    QDef(
+      "q_rbm_rollup",
+      (s, d) => {
+        import graft.functions.Bitmap64
+        val o = T.orders(s, d)
+        def half(even: Boolean) = o
+          .filter(if (even) col("o_orderkey") % 2 === 0 else col("o_orderkey") % 2 =!= 0)
+          .groupBy("o_orderpriority")
+          .agg(Bitmap64.rbmState(col("o_custkey").cast("long")).as("buyers"))
+        val h1 = half(even = true)
+        val t = graft.sources.GraftTable.create(
+          s, GraftQueries.tmpRoot("rbmrollup"), h1.schema,
+          primaryKeys = Seq("o_orderpriority"),
+          options = Map(
+            "merge-engine" -> "aggregation",
+            "fields.buyers.aggregate-function" -> "rbm64_merge"))
+        t.upsert(h1)
+        t.upsert(half(even = false))
+        t.read()
+          .select(col("o_orderpriority").as("prio"),
+            Bitmap64.rbmCardinality(col("buyers")).as("n_buyers"))
+          .orderBy("prio")
+      },
+      Some("""SELECT o_orderpriority AS prio, count(DISTINCT o_custkey) AS n_buyers
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -2293,6 +2293,9 @@ class GraftTable private (
             case "kmv_merge" => graft.functions.SketchState.kmvMerge(col(c)).over(wAsc)
             case "kll_merge" => graft.functions.SketchState.kllMerge(col(c)).over(wAsc)
             case "mg_merge" => graft.functions.SketchState.mgMerge(col(c)).over(wAsc)
+            // S26d exact id-set union (order-insensitive: equal sets
+            // serialize to equal bytes, so frame order is immaterial)
+            case "rbm64_merge" => graft.functions.Bitmap64.rbmMerge(col(c)).over(wAsc)
             case other => throw new IllegalArgumentException(
               s"unsupported aggregate-function for $c: $other")
           }

@@ -1800,6 +1800,13 @@ private[sources] object MergeFns {
         case _ => graft.functions.SketchState.mgMergeBytes
       }
       nullSkipping((a, b) => m(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]]))
+    // S26d exact rbm64 id-set union (same BINARY-column shape as the
+    // sketch merges, but lossless at any cardinality)
+    case "rbm64_merge" =>
+      require(dt == BinaryType,
+        s"aggregate-function rbm64_merge needs a BINARY bitmap column (got ${dt.simpleString})")
+      nullSkipping((a, b) => graft.functions.Bitmap64.mergeBytes(
+        a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]]))
     case "collect" => dt match {
       case ArrayType(et, _) => nullSkipping { (a, b) =>
         new org.apache.spark.sql.catalyst.util.GenericArrayData(
