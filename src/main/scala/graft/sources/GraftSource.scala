@@ -48,7 +48,8 @@ class GraftSource extends RelationProvider with SchemaRelationProvider
     // incremental reads (Paimon's incremental-between) are a V1 relation:
     // an empty schema here reports no V2 capability, routing the read to
     // createRelation below, which builds from readIncrement
-    if (options.containsKey("incremental-between")) return new StructType()
+    if (options.containsKey("incremental-between") ||
+        options.containsKey("incremental-between-timestamp")) return new StructType()
     Option(options.get("path")).filter(p => GraftTable.exists(spark, p))
       .map(p => GraftTable.load(spark, p).schema)
       .getOrElse(new StructType())
@@ -163,7 +164,10 @@ final case class GraftRelation(
   // commits in (from, to] — rewrites (OVERWRITE/COMPACT) never re-emit.
   // Bounds are snapshot ids OR tag names (Paimon accepts both: tags are
   // the durable form — ids expire, a tagged bound survives by contract).
-  private def incrementalBetween: Option[(Long, Long)] =
+  private def incrementalBetween: Option[(Long, Long)] = {
+    require(!(parameters.contains("incremental-between") &&
+        parameters.contains("incremental-between-timestamp")),
+      "set incremental-between OR incremental-between-timestamp, not both")
     parameters.get("incremental-between").map { v =>
       // tag lookup FIRST: digit-only tag names are legal, and a tagged
       // bound must not be shadowed by the raw-snapshot-id reading
@@ -175,6 +179,32 @@ final case class GraftRelation(
         case Array(a, b) => (bound(a), bound(b))
         case _ => throw new IllegalArgumentException(
           s"incremental-between expects 'from,to' (snapshot ids or tag names), got: $v")
+      }
+    }.orElse(incrementalBetweenTimestamp)
+  }
+
+  /** S62 `incremental-between-timestamp` = "fromMs,toMs" (Paimon
+    * CoreOptions): the APPEND delta between the table states AS OF the
+    * two wall-clock instants — each bound resolves to the latest
+    * snapshot at or before it (the S6 time-travel rule), so the read is
+    * exactly "what arrived in (stateAt(from), stateAt(to)]". A `to`
+    * before the first snapshot is an empty read, not an error; a `from`
+    * before the first snapshot means "from the beginning" (bound 0). */
+  private def incrementalBetweenTimestamp: Option[(Long, Long)] =
+    parameters.get("incremental-between-timestamp").map { v =>
+      v.split(",").map(_.trim) match {
+        case Array(a, b) =>
+          val (fromMs, toMs) = (
+            a.toLongOption.getOrElse(throw new IllegalArgumentException(
+              s"incremental-between-timestamp bound '$a' is not epoch millis")),
+            b.toLongOption.getOrElse(throw new IllegalArgumentException(
+              s"incremental-between-timestamp bound '$b' is not epoch millis")))
+          require(fromMs <= toMs,
+            s"incremental-between-timestamp bounds out of order: $fromMs > $toMs")
+          (table.snapshotAsOfTime(fromMs).getOrElse(0L),
+            table.snapshotAsOfTime(toMs).getOrElse(0L))
+        case _ => throw new IllegalArgumentException(
+          s"incremental-between-timestamp expects 'fromMs,toMs', got: $v")
       }
     }
   // session-property equivalents (ref PrestoSessionProperties:

@@ -142,4 +142,36 @@ class SourceSpec extends AnyFunSuite {
         .option("incremental-between", "nope,mid").load(path).collect()
     }
   }
+
+  test("S62: incremental-between-timestamp resolves bounds by wall clock") {
+    import graft.sources.GraftTable
+    import org.apache.spark.sql.types._
+    val path = TestSpark.tmpDir("inctsopt")
+    val t = GraftTable.create(spark, path,
+      StructType(Seq(StructField("k", IntegerType))))
+    val ts0 = System.currentTimeMillis() - 1 // before any snapshot
+    t.append(Seq(1, 2).toDF("k"))
+    val ts1 = System.currentTimeMillis(); Thread.sleep(5)
+    t.append(Seq(3).toDF("k"))
+    t.append(Seq(4).toDF("k"))
+    val ts2 = System.currentTimeMillis()
+    def inc(a: Long, b: Long) = spark.read.format("graft")
+      .option("incremental-between-timestamp", s"$a,$b").load(path)
+      .collect().map(_.getInt(0)).sorted.toSeq
+    // (stateAt(ts1), stateAt(ts2)] = snapshots 2 and 3
+    assert(inc(ts1, ts2) == Seq(3, 4))
+    // from before the first snapshot = from the beginning
+    assert(inc(ts0, ts2) == Seq(1, 2, 3, 4))
+    // to before the first snapshot = empty, not an error
+    assert(inc(ts0 - 10, ts0) == Seq.empty)
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft")
+        .option("incremental-between-timestamp", s"$ts2,$ts1").load(path).collect()
+    }
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft")
+        .option("incremental-between", "1,2")
+        .option("incremental-between-timestamp", s"$ts1,$ts2").load(path).collect()
+    }
+  }
 }
