@@ -126,6 +126,49 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+object HashedScoreImpl {
+  /** L69: hashed-bag-of-words linear score — each word hashes into one
+    * of `buckets` feature slots (the oracle-replayable mod-1e9+7
+    * polynomial) and contributes that slot's deterministic pseudo-weight
+    * `(slot*a + c) % m - m/2`; the doc's score is the plain sum. One
+    * tight pass per doc, no interpreted per-token lambda (the SimHash
+    * lesson). The weight schedule stands in for trained classifier
+    * weights — swapping in a learned table changes one array lookup,
+    * none of the Spark-side shape. */
+  def score(words: ArrayData, buckets: Int, a: Int, c: Int, m: Int): Long = {
+    var s = 0L
+    val shift = m / 2
+    var i = 0
+    val n = words.numElements()
+    while (i < n) {
+      val slot = PolyHash64Impl.hash(words.getUTF8String(i), 31L, 1000000007L) % buckets
+      s += (slot * a + c) % m - shift
+      i += 1
+    }
+    s
+  }
+}
+
+/** Fused words→hashed-linear-classifier score in one codegen pass
+  * (SURVEY §2.3 L69 — the fastText-style quality-filter shape). */
+case class HashedWeightSum(child: Expression, buckets: Int, a: Int, c: Int, m: Int)
+  extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hashed_weight_sum"
+
+  override def nullSafeEval(input: Any): Any =
+    HashedScoreImpl.score(input.asInstanceOf[ArrayData], buckets, a, c, m)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, cIn =>
+      s"${ev.value} = graft.functions.HashedScoreImpl$$.MODULE$$" +
+        s".score($cIn, $buckets, $a, $c, $m);")
+
+  override protected def withNewChildInternal(newChild: Expression): HashedWeightSum =
+    copy(child = newChild)
+}
+
 /** Fused SimHash over an array<string> of words: token hash + bit vote in
   * one codegen pass (SURVEY §2.3 L4). Equivalent to
   * `SimHash64(transform(words, tokenHash64))` but stays inside
@@ -266,6 +309,11 @@ object HashExpr {
     column(PolyHash64(expression(c), 1099511628211L, 0L))
 
   def simHash(c: Column): Column = column(SimHash64(expression(c)))
+
+  /** L69 hashed-bag-of-words linear score (64 slots, weights in
+    * [-10, 10] from the (37, 11, 21) schedule). */
+  def hashedScore(words: Column): Column =
+    column(HashedWeightSum(expression(words), 64, 37, 11, 21))
 
   /** Fused words→simhash with the tokenHash64 polynomial. */
   def simHashWords(c: Column): Column =

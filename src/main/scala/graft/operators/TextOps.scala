@@ -354,6 +354,47 @@ object TextOps {
              |    AS collision_p,
              |  round(CAST(sum(dchars) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4)
              |    AS avg_distinct_chars
-             |FROM per GROUP BY lang ORDER BY lang""".stripMargin))
+             |FROM per GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // L69: hashed-bag-of-words LINEAR QUALITY CLASSIFIER scoring — the
+    // fastText-style filter every pretraining pipeline runs (CCNet /
+    // GPT-3 quality filtering shape): each word hashes into one of 64
+    // feature slots, the slot's weight accumulates, keep iff the doc's
+    // score is positive. The weight schedule here is deterministic
+    // pseudo-weights (slot*37+11 mod 21, shifted to [-10,10]) so the
+    // oracle replays it exactly — a trained model swaps the schedule for
+    // a learned table and changes NOTHING Spark-side. Fused per-doc
+    // native expression (HashedWeightSum: one codegen pass, no
+    // interpreted per-token lambda — the SimHash lesson); integer sums
+    // map-side combine; one IEEE division per lang group (§5).
+    QDef(
+      "q_quality_linear",
+      (s, d) =>
+        T.documents(s, d)
+          .select(
+            col("lang"),
+            graft.functions.HashExpr.hashedScore(Text.words(col("text"))).as("score"),
+            size(Text.words(col("text"))).cast("long").as("ntok"))
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(col("score") > 0, 1L).otherwise(0L)).as("kept"),
+            sum("score").as("score_sum"),
+            round(sum(col("score")).cast("double") / sum(col("ntok")), 4)
+              .as("mean_tok_score"))
+          .orderBy("lang"),
+      Some("""WITH sc AS (SELECT lang,
+             |  list_sum(list_transform(string_split_regex(trim(text),'\s+'),
+             |    w -> ((list_reduce(list_cat([CAST(0 AS BIGINT)],
+             |            list_transform(string_split(w,''), ch -> CAST(ord(ch) AS BIGINT))),
+             |            (acc,cv) -> (acc*31+cv) % 1000000007) % 64) * 37 + 11) % 21 - 10))
+             |    AS score,
+             |  len(string_split_regex(trim(text),'\s+')) AS ntok
+             |FROM documents)
+             |SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+             |  CAST(sum(score) AS BIGINT) AS score_sum,
+             |  round(sum(score) * 1.0 / sum(ntok), 4) AS mean_tok_score
+             |FROM sc GROUP BY lang ORDER BY lang""".stripMargin))
   )
 }

@@ -97,4 +97,27 @@ class HashExprSpec extends AnyFunSuite {
       .select(CharStatsExpr.charStats(col("s"))).collect()
     assert(n(0).isNullAt(0) && !n(1).isNullAt(0))
   }
+
+  test("L69 HashedWeightSum: reference parity, empty array, codegen path") {
+    import graft.functions.{HashExpr, PolyHash64Impl}
+    import org.apache.spark.unsafe.types.UTF8String
+    def ref(words: Seq[String]): Long = words.map { w =>
+      val slot = PolyHash64Impl.hash(UTF8String.fromString(w), 31L, 1000000007L) % 64
+      (slot * 37 + 11) % 21 - 10
+    }.sum
+    val inputs = Seq(Seq("the", "quick", "fox"), Seq(""), Seq.empty[String],
+      Seq("a", "a", "a"), Seq("Ünïcödé", "日本語"))
+    val got = inputs.toDF("ws")
+      .select(HashExpr.hashedScore(col("ws"))).collect().map(_.getLong(0))
+    assert(got.toSeq == inputs.map(ref))
+    assert(ref(Seq.empty) == 0L)
+    // duplicates accumulate with multiplicity (bag, not set)
+    assert(ref(Seq("a", "a", "a")) == 3 * ref(Seq("a")))
+    // stays inside whole-stage codegen
+    val df = spark.range(5)
+      .select(HashExpr.hashedScore(split(col("id").cast("string"), "-")))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("WholeStageCodegen") || p.contains("*(1)"), p)
+  }
 }
