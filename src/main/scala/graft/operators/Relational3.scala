@@ -137,5 +137,35 @@ object Relational3 {
              |SELECT w_id, count(*) AS n, CAST(sum(fp) AS BIGINT) AS rev
              |FROM w JOIN o ON o.day BETWEEN w_id*30 AND w_id*30+44
              |GROUP BY w_id ORDER BY w_id""".stripMargin)),
+
+    // R58: GROUPING() diagnostics over ROLLUP — the function that tells a
+    // report "this NULL is the rollup's ALL, not a null data value"
+    // (Presto/Spark/DuckDB all ship it; any BI layer on top needs it).
+    // The combined grouping id is computed EXPLICITLY as 2·g(status) +
+    // g(prio) on both sides — engines disagree on grouping_id() naming,
+    // not on GROUPING() itself.
+    QDef(
+      "q_grouping_fn",
+      (s, d) =>
+        T.orders(s, d)
+          .rollup("o_orderstatus", "o_orderpriority")
+          .agg(
+            count(lit(1)).as("n"),
+            grouping(col("o_orderstatus")).cast("long").as("g_status"),
+            grouping(col("o_orderpriority")).cast("long").as("g_prio"))
+          .select(
+            coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+            coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
+            col("n"), col("g_status"), col("g_prio"),
+            (col("g_status") * 2 + col("g_prio")).as("gid"))
+          .orderBy("gid", "status", "prio"),
+      Some("""SELECT coalesce(o_orderstatus,'ALL') AS status,
+             |  coalesce(o_orderpriority,'ALL') AS prio,
+             |  count(*) AS n,
+             |  CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+             |  CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
+             |  CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid
+             |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+             |ORDER BY gid, status, prio""".stripMargin))
   )
 }
