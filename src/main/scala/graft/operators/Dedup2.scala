@@ -598,7 +598,44 @@ object Dedup2 {
            |FROM vp JOIN sig s1 ON vp.d1 = s1.doc_id
            |        JOIN sig s2 ON vp.d2 = s2.doc_id
            |ORDER BY vp.d1, vp.d2""".stripMargin
-      })
+      }),
+
+    // L70: duplication-aware DOWNSAMPLING — between "keep one per
+    // cluster" (L1) and "keep everything" sits the production policy
+    // that keeps ~sqrt(n) of an n-way duplicate cluster (SlimPajama/
+    // RefinedWeb shape: frequency carries signal, but linearly
+    // upweighting boilerplate is how memorization happens). Clusters =
+    // the L1 prefix-hash key; within a cluster the keepers are the
+    // lowest doc_ids (deterministic, oracle-replayable); report kept
+    // docs + surviving clusters per lang. The per-cluster window is
+    // bounded by real duplication depth (no hot key below boilerplate
+    // pathologies — a production cap composes with L28's MinNSummary
+    // bounded selection).
+    QDef(
+      "q_dedup_downsample",
+      (s, d) => {
+        val keyed = T.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            md5(concat_ws(" ", slice(Text.words(col("text")), 1, 8)).cast("binary")).as("k"))
+        keyed
+          .withColumn("sz", count(lit(1)).over(Window.partitionBy("k")))
+          .withColumn("rn",
+            row_number().over(Window.partitionBy("k").orderBy("doc_id")))
+          .filter(col("rn") <= ceil(sqrt(col("sz").cast("double"))))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("kept"), countDistinct("k").as("clusters"))
+          .orderBy("lang")
+      },
+      Some("""WITH c AS (SELECT doc_id, lang,
+             |    md5(array_to_string(string_split_regex(trim(text),'\s+')[1:8],' ')) AS k
+             |  FROM documents),
+             |r AS (SELECT lang, k,
+             |    row_number() OVER (PARTITION BY k ORDER BY doc_id) AS rn,
+             |    count(*) OVER (PARTITION BY k) AS sz
+             |  FROM c)
+             |SELECT lang, count(*) AS kept, count(DISTINCT k) AS clusters
+             |FROM r WHERE rn <= ceil(sqrt(CAST(sz AS DOUBLE)))
+             |GROUP BY lang ORDER BY lang""".stripMargin))
   )
 
   /** L35 core: rank Levenshtein-distance-1 pairs over a `(w, n)`
