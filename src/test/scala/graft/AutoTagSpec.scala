@@ -130,6 +130,32 @@ class AutoTagSpec extends AnyFunSuite {
     assert(t.read(snapshotId = Some(pinned)).count() == 1)
   }
 
+  test("S59h/T25: streamed micro-batch commits drive automatic tag creation") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val day = java.time.LocalDate.of(2026, 2, 10)
+    val dayMs = day.atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
+    val path = TestSpark.tmpDir("autotag-stream")
+    val ckpt = TestSpark.tmpDir("autotag-stream-ckpt")
+    val t = GraftTable.create(spark, path, schema,
+      options = Map(
+        "tag.automatic-creation" -> "process-time",
+        "tag.automatic-creation.now-millis" -> (dayMs + Hour).toString))
+    val mem = MemoryStream[(Int, String)]
+    val q = mem.toDF().toDF("k", "v").writeStream
+      .format("graft").outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .start(path)
+    try {
+      mem.addData((1, "a")); q.processAllAvailable()
+      // second batch within the same period: still one tag
+      mem.addData((2, "b")); q.processAllAvailable()
+    } finally q.stop()
+    assert(t.tags.map(_.name) == Seq("2026-02-09"))
+    // the pinned tag serves exactly the first batch's state
+    assert(t.read(snapshotId = Some(t.snapshotForTag("2026-02-09"))).count() == 1)
+  }
+
   test("S59g: misconfiguration fails the commit loudly, before publish") {
     val t = GraftTable.create(spark, TestSpark.tmpDir("autotag-bad"), schema,
       options = Map("tag.automatic-creation" -> "watermark",
