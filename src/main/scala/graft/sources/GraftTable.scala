@@ -484,11 +484,14 @@ class GraftTable private (
       indexDirs: Seq[String] = Seq.empty,
       changelogDir: Option[String] = None,
       watermark: Option[Long] = None): Long = {
-    // S59: validate the tag.automatic-creation option family BEFORE the
-    // claim — a misconfigured table fails the commit loudly here instead
-    // of after the snapshot has published (when a thrown error would
-    // make a durable write look failed and invite a duplicating retry).
+    // S59/S63: validate the tag.automatic-creation and
+    // partition.expiration option families BEFORE the claim — a
+    // misconfigured table fails the commit loudly here instead of after
+    // the snapshot has published (when a thrown error would make a
+    // durable write look failed and invite a duplicating retry).
     val autoTag = if (branchName.isEmpty) autoTagConf() else None
+    val partExpire =
+      if (branchName.isEmpty && kind != "OVERWRITE") partitionExpireConf() else None
     // S42 mid-rescale fence: if the bucket layout the CURRENT schema
     // declares differs from the layout the latest snapshot was committed
     // under, a rescale published its schema but its rewrite never landed
@@ -627,6 +630,9 @@ class GraftTable private (
       // is best-effort (config was validated pre-claim): a tag-side IO
       // hiccup must not fail a commit whose data already published
       maybeAutoTag(autoTag, id, effWatermark)
+      // S63 automatic partition expiration: same post-publish best-effort
+      // discipline; publishes at most ONE follow-up metadata OVERWRITE
+      maybePartitionExpire(partExpire)
       id
     } catch {
       case e: Throwable =>
@@ -2581,6 +2587,82 @@ class GraftTable private (
   private def isAutoTagName(name: String, periodMs: Long): Boolean =
     if (periodMs >= 86400000L) name.matches("\\d{4}-\\d{2}-\\d{2}")
     else name.matches("\\d{4}-\\d{2}-\\d{2}-\\d{2}")
+
+  // ---- S63 automatic partition expiration (Paimon
+  // partition.expiration-time) ------------------------------------------
+  // A partitioned table sheds calendar-aged partitions as a side effect
+  // of WRITING: after each non-OVERWRITE commit publishes, partitions
+  // whose time value is older than the TTL leave in ONE follow-up
+  // metadata OVERWRITE — zero file reads/rewrites (the S46 shape, but
+  // writer-driven like Paimon's: no external maintenance job to forget).
+  // Time travel keeps the dropped state readable; expiry/GC reclaim it
+  // later. The expiry commit is itself OVERWRITE, so it never re-checks
+  // (recursion-free by construction).
+
+  private case class PartExpireConf(
+      ttlMs: Long, key: String,
+      fmt: java.time.format.DateTimeFormatter, nowMs: Option[Long])
+
+  /** Parse + validate the option family; throws on misconfiguration
+    * (called pre-claim: bad config fails the commit loudly, before
+    * anything publishes). None = disabled (the default). */
+  private def partitionExpireConf(): Option[PartExpireConf] =
+    options.get("partition.expiration-time").map { ttlStr =>
+      val ttl = ttlStr.toLong
+      require(ttl > 0, s"partition.expiration-time must be > 0 ms (got $ttl)")
+      require(partitionKeys.nonEmpty,
+        "partition.expiration-time requires a partitioned table")
+      val key = options.getOrElse("partition.expiration-key", partitionKeys.head)
+      require(partitionKeys.contains(key),
+        s"partition.expiration-key $key is not a partition key " +
+          s"(keys: ${partitionKeys.mkString(",")})")
+      // same soundness rule as expire_partitions (S46): dropping a PK
+      // table's partition files could resurrect stale row versions
+      // unless a key's versions never span partitions
+      require(!isPkTable || partitionPruneSafe,
+        "partition.expiration-time on a primary-key table requires " +
+          "partition keys contained in the primary key")
+      val pattern = options.getOrElse("partition.timestamp-formatter", "yyyy-MM-dd")
+      PartExpireConf(ttl, key,
+        java.time.format.DateTimeFormatter.ofPattern(pattern),
+        options.get("partition.expiration.now-millis").map(_.toLong))
+    }
+
+  /** Drop every live partition whose `key` value parses (as UTC date or
+    * date-time) older than now - ttl. Unparseable or null values RETAIN
+    * their partition (a mixed layout must not lose data to a formatter
+    * mismatch — Paimon logs-and-skips the same way). Best-effort
+    * post-publish: a lost race is retried by whichever write lands
+    * next. */
+  private def maybePartitionExpire(conf: Option[PartExpireConf]): Unit =
+    conf.foreach { c =>
+      try {
+        val cutoff = c.nowMs.getOrElse(System.currentTimeMillis()) - c.ttlMs
+        latestSnapshotId.foreach { base =>
+          def agedValue(v: String): Boolean = v != null && {
+            // date-time FIRST: LocalDate.parse accepts a formatter that
+            // carries time fields and silently discards them — trying it
+            // first would age a whole day of hourly partitions at once
+            val ms =
+              try Some(java.time.LocalDateTime.parse(v, c.fmt)
+                .toInstant(java.time.ZoneOffset.UTC).toEpochMilli)
+              catch {
+                case _: java.time.format.DateTimeParseException =>
+                  try Some(java.time.LocalDate.parse(v, c.fmt)
+                    .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli)
+                  catch { case _: java.time.format.DateTimeParseException => None }
+              }
+            ms.exists(_ < cutoff)
+          }
+          // driver-side over the manifest's distinct partition values —
+          // bounded metadata, the same cost class as planning
+          val dels = filesAt(base).filter(f => agedValue(f.partition.getOrElse(c.key, null)))
+          if (dels.nonEmpty)
+            commitAt(base + 1, "OVERWRITE", Seq.empty, deleted = dels,
+              commitUser = "partition-expire")
+        }
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
 
   /** Create the tag for the latest period completed as of the trigger
     * time (process clock or this snapshot's watermark), then apply
