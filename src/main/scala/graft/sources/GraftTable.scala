@@ -626,20 +626,32 @@ class GraftTable private (
         fs.delete(tmp, false)
         throw new IllegalStateException(s"failed to publish snapshot $id at $root")
       }
-      // S59 automatic tag creation runs AFTER the snapshot is durable and
-      // is best-effort (config was validated pre-claim): a tag-side IO
-      // hiccup must not fail a commit whose data already published
-      maybeAutoTag(autoTag, id, effWatermark)
-      // S63 automatic partition expiration: same post-publish best-effort
-      // discipline; publishes at most ONE follow-up metadata OVERWRITE
-      maybePartitionExpire(partExpire)
       id
     } catch {
       case e: Throwable =>
         try fs.delete(claim, false) catch { case _: java.io.IOException => () }
         throw e
     }
+    // S59/S63 post-publish hooks run OUTSIDE the claim try AND swallow
+    // everything non-fatal-to-the-VM (including InterruptedException,
+    // with the flag restored): the snapshot above is durable and
+    // reader-visible, so NOTHING from here may propagate — an escaping
+    // throwable would reach commitOrClean's cleanup and delete data
+    // files a published snapshot references.
+    postPublish { maybeAutoTag(autoTag, id, effWatermark) }
+    postPublish { maybePartitionExpire(partExpire) }
+    id
   }
+
+  /** Run a post-publish side effect; never let it fail the commit. */
+  private def postPublish(body: => Unit): Unit =
+    try body
+    catch {
+      case e: InterruptedException =>
+        val _ = e; Thread.currentThread().interrupt()
+      case e: Throwable if !e.isInstanceOf[VirtualMachineError] =>
+        val _ = e; ()
+    }
 
   // ---- write path -----------------------------------------------------
 
