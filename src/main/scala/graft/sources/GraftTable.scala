@@ -567,6 +567,19 @@ class GraftTable private (
         throw new IllegalStateException(s"conflicting commit for snapshot $id at $root")
     }
 
+    // S59: watermark is monotonic across commits — fold the provided
+    // value with the base snapshot's so watermark-less maintenance
+    // commits carry it forward instead of silently resetting it.
+    // Declared BEFORE the claim try: the post-publish hooks below need it.
+    val baseWatermark: Option[Long] =
+      if (id <= 1) None
+      else scala.util.Try(readSnapshot(id - 1)).toOption
+        .flatMap(s => Option(s.watermark)).map(_.longValue)
+    val effWatermark: Option[Long] = (watermark, baseWatermark) match {
+      case (Some(w), Some(b)) => Some(math.max(w, b))
+      case (a, b) => a.orElse(b)
+    }
+
     // From here on WE hold the claim exclusively. If anything below
     // fails before the rename publishes the snapshot, release the claim
     // — otherwise a retry of this id (the base is unchanged) would be
@@ -591,18 +604,6 @@ class GraftTable private (
       var chain = if (delta.isEmpty) baseChain else baseChain :+ writeManifest(delta)
       if (chain.length >= manifestMergeMinCount)
         chain = Seq(writeManifest(resolveChain(chain).map(ManifestEntry(ManifestEntry.Add, _))))
-
-      // S59: watermark is monotonic across commits — fold the provided
-      // value with the base snapshot's so watermark-less maintenance
-      // commits carry it forward instead of silently resetting it
-      val baseWatermark: Option[Long] =
-        if (id <= 1) None
-        else scala.util.Try(readSnapshot(id - 1)).toOption
-          .flatMap(s => Option(s.watermark)).map(_.longValue)
-      val effWatermark: Option[Long] = (watermark, baseWatermark) match {
-        case (Some(w), Some(b)) => Some(math.max(w, b))
-        case (a, b) => a.orElse(b)
-      }
 
       val snap = SnapshotMeta(
         id = id,
