@@ -99,14 +99,17 @@ object Dedup {
     */
   private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
     val docs = docsWithShingles(s, d)
-    val ex = docs.select(col("doc_id"), explode(col("sh")).as("g"))
-    // Global doc-frequency and per-doc size as WINDOW counts, not
-    // groupBy+join: two exchanges total (on g, then on doc_id) instead
-    // of four. sz = count over the doc partition (shingles are distinct
-    // per doc, so it equals size(sh)).
-    val prefix = ex
-      .withColumn("c", count(lit(1)).over(Window.partitionBy("g")))
-      .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
+    // Shingle document frequency as a map-side-combinable groupBy joined
+    // back on g, NOT count().over(Window.partitionBy("g")): shingle df is
+    // Zipfian, and a window puts EVERY occurrence of the hottest shingle
+    // into one task's buffer — an unbounded straggler at 100 TB. The
+    // groupBy is partial-aggregated before the shuffle and AQE's skew
+    // handling splits the join back (it cannot split window partitions).
+    // Per-doc size is size(sh) directly (shingles are distinct per doc).
+    val ex = docs.select(col("doc_id"), size(col("sh")).cast("long").as("sz"),
+      explode(col("sh")).as("g"))
+    val dfreq = ex.groupBy("g").agg(count(lit(1)).as("c"))
+    val prefix = ex.join(dfreq, "g")
       .withColumn("rn",
         row_number().over(Window.partitionBy("doc_id").orderBy("c", "g")))
       .filter(col("rn") <= col("sz") - expr("(sz*4+4) div 5") + 1)

@@ -55,8 +55,10 @@ object Dedup2 {
           .withColumn("sz", size(col("sh")).cast("long"))
         val ex = all.select(col("doc_id"), col("lang"), col("sz"),
           explode(col("sh")).as("g"))
-        val rare = ex
-          .withColumn("c", count(lit(1)).over(Window.partitionBy("g")))
+        // df as a map-combinable groupBy joined back (AQE-skew-safe), not
+        // a window over the Zipfian shingle key — see Dedup.jaccardPairs.
+        val dfreq = ex.groupBy("g").agg(count(lit(1)).as("c"))
+        val rare = ex.join(dfreq, "g")
           .withColumn("rn", row_number().over(
             Window.partitionBy("doc_id").orderBy("c", "g")))
           .filter(col("rn") === 1)
@@ -454,9 +456,11 @@ object Dedup2 {
     // behind "is source X still adding new content or re-crawling the
     // same material?". Consumes the SHARED persisted shingle stage
     // (Dedup.docsWithShingles — no second tokenize pass); first-seen is
-    // a window min over the shingle key (ONE exchange, vs two for
-    // groupBy+join — the jaccardPairs pattern), per-doc counts are the
-    // second bounded exchange, and the source rollup is 20 groups.
+    // a map-combinable groupBy min on the shingle key (NOT a window over
+    // g — Zipfian hot-key buffering, see Dedup.jaccardPairs), the novel
+    // count per doc is a second groupBy over first_doc (no join back
+    // against the exploded table at all), and the source rollup is 20
+    // groups.
     // Exact integer sums; one final division (§5 discipline). Docs with
     // < 3 words have no shingles and drop from both engines alike.
     QDef(
@@ -464,11 +468,16 @@ object Dedup2 {
       (s, d) => {
         val ex = Dedup.docsWithShingles(s, d)
           .select(col("doc_id"), explode(col("sh")).as("g"))
-        val perDoc = ex
-          .withColumn("first_doc", min("doc_id").over(Window.partitionBy("g")))
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("total"),
-            sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("novel"))
+        // novel-per-doc = |{g : min(doc_id over g) == doc_id}| — two
+        // map-combinable groupBys (g → first_doc, then first_doc → count),
+        // no window over the Zipfian shingle key and no join back against
+        // the exploded table.
+        val totals = ex.groupBy("doc_id").agg(count(lit(1)).as("total"))
+        val novels = ex.groupBy("g").agg(min("doc_id").as("doc_id"))
+          .groupBy("doc_id").agg(count(lit(1)).as("novel"))
+        val perDoc = totals.join(novels, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("total"),
+            coalesce(col("novel"), lit(0L)).as("novel"))
         perDoc
           .join(T.documents(s, d).select("doc_id", "source"), Seq("doc_id"))
           .groupBy("source")

@@ -141,6 +141,25 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(4))).toSeq)
   }
 
+  test("shape pin: no window aggregate partitioned by the Zipfian shingle key") {
+    // Shingle document frequency must be a map-combinable groupBy joined
+    // back, never count()/min().over(Window.partitionBy("g")) — a window
+    // buffers every occurrence of the hottest shingle in ONE task (AQE
+    // splits skewed join sides, not window partitions). Any Window left
+    // in these plans may only partition by per-doc/per-cluster keys.
+    Seq("q_dedup_jaccard", "q_dedup_contain", "q_ngram_novelty").foreach { q =>
+      val plan = SparkEntry.queries(q)(spark, dir).queryExecution.optimizedPlan
+      val winParts = plan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window =>
+          w.partitionSpec.flatMap(_.references.map(_.name))
+      }.flatten
+      assert(!winParts.contains("g"),
+        s"$q has a window partitioned by the shingle key: $winParts")
+      assert(winParts.forall(n => n == "doc_id" || n == "cluster_id"),
+        s"$q window partition keys: $winParts")
+    }
+  }
+
   test("L58: ngram novelty equals the sequential ingest-order replay") {
     // ground truth: walk docs in doc_id order with a running shingle
     // set — a shingle is novel for exactly the first doc carrying it
