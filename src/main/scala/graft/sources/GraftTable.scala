@@ -1640,6 +1640,32 @@ class GraftTable private (
     * index entries per partition, which under moves is a soft bound on
     * bucket fill — a placement approximation, never a correctness issue
     * (merges key on the real primary key). */
+  /** Injective rendering of ONE partition value inside the index's
+    * `k=v/k2=v2` part string: '%'→%25 and '/'→%2F so a value can never
+    * split or forge a segment, and a value LITERALLY equal to the null
+    * sentinel escapes its first '_' (→%5F) so only true NULLs render as
+    * "__GRAFT_NULL__". Values without %, / or the sentinel render
+    * byte-identically to the pre-escape scheme, so existing persisted
+    * index entries keep their identity. */
+  private def escPartVal(c: Column): Column = {
+    val e = regexp_replace(regexp_replace(c, lit("%"), lit("%25")), lit("/"), lit("%2F"))
+    when(e === "__GRAFT_NULL__", lit("%5F_GRAFT_NULL__")).otherwise(e)
+  }
+
+  /** Inverse of [[escPartVal]]. Decoding is unambiguous: in escaped text
+    * every '%' is followed by exactly one of 25/2F/5F, and the inserted
+    * '/', '_' and '%' can never re-form an escape sequence. */
+  private def unescPartVal(c: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(
+      c, lit("%2F"), lit("/")), lit("%5F"), lit("_")), lit("%25"), lit("%"))
+
+  /** The `k=v/k2=v2` part string for the incoming row, value-escaped. */
+  private def renderedPart: Column =
+    if (partitionKeys.isEmpty) lit("")
+    else concat_ws("/", partitionKeys.map(k =>
+      concat(lit(s"$k="),
+        coalesce(escPartVal(col(k).cast("string")), lit("__GRAFT_NULL__")))): _*)
+
   private def assignCrossPartition(df: DataFrame): (DataFrame, Seq[String]) = {
     require(mergeEngine == "deduplicate" && sequenceFields.isEmpty,
       "cross-partition upsert (dynamic bucket with partition keys outside " +
@@ -1648,16 +1674,14 @@ class GraftTable private (
     val P = "__dynpart"
     val KH = "__dynkh"
     val khExpr = xxhash64(primaryKeys.map(col): _*)
-    val partExpr: Column =
-      concat_ws("/", partitionKeys.map(k =>
-        concat(lit(s"$k="), coalesce(col(k).cast("string"), lit("__GRAFT_NULL__")))): _*)
+    val partExpr: Column = renderedPart
     /** Inverse of partExpr for one key: the value `k` holds inside a
       * rendered partition string, cast back to the column's type. */
     def partVal(k: String, src: Column): Column = {
       val v = regexp_extract(src,
         "(?:^|/)" + java.util.regex.Pattern.quote(k) + "=([^/]*)", 1)
       when(v === "__GRAFT_NULL__", lit(null).cast(schema(k).dataType))
-        .otherwise(v.cast(schema(k).dataType))
+        .otherwise(unescPartVal(v).cast(schema(k).dataType))
     }
     val keyed = df.withColumn(KH, khExpr).withColumn(P, partExpr)
     val chain = latestSnapshotId.map(readSnapshot).map(bucketIndexChainOf).getOrElse(Seq.empty)
@@ -1728,10 +1752,7 @@ class GraftTable private (
     val P = "__dynpart"
     val KH = "__dynkh"
     val khExpr = xxhash64(primaryKeys.map(col): _*)
-    val partExpr: Column =
-      if (partitionKeys.isEmpty) lit("")
-      else concat_ws("/", partitionKeys.map(k =>
-        concat(lit(s"$k="), coalesce(col(k).cast("string"), lit("__GRAFT_NULL__")))): _*)
+    val partExpr: Column = renderedPart
     val keyed = df.withColumn(KH, khExpr).withColumn(P, partExpr)
     val chain = latestSnapshotId.map(readSnapshot).map(bucketIndexChainOf).getOrElse(Seq.empty)
     val idx = resolveIndexChain(chain)

@@ -99,6 +99,37 @@ class CrossPartitionSpec extends AnyFunSuite {
     }
   }
 
+  test("S61h: '/'-, '%'- and sentinel-valued string partitions round-trip the index") {
+    // The global index renders partitions as `k=v` strings and the move
+    // tombstone re-parses them — a '/' in the value (or a value equal to
+    // the null sentinel) must not corrupt the reconstructed partition
+    // columns, or the key's old version resurrects in its old group.
+    val t = mk("xp-escape")
+    t.upsert(Seq((1, "a/b=c", "v1"), (2, "100%/x", "v1"),
+      (3, "__GRAFT_NULL__", "v1"), (4, null, "v1")).toDF("id", "status", "v"))
+    // sentinel-LITERAL and true-null partitions are distinct groups
+    assert(t.read().collect().map(r => (r.getInt(0), Option(r.getString(1)))).sorted.toSeq ==
+      Seq((1, Some("a/b=c")), (2, Some("100%/x")), (3, Some("__GRAFT_NULL__")), (4, None)).sortBy(_._1))
+    // move every key out of its tricky partition — tombstones must land
+    // in the RIGHT old groups (reconstructed through the escaped string)
+    t.upsert(Seq((1, "plain", "v2"), (2, "plain", "v2"),
+      (3, null, "v2"), (4, "__GRAFT_NULL__", "v2")).toDF("id", "status", "v"))
+    val got = t.read().collect().map(r => (r.getInt(0), Option(r.getString(1)), r.getString(2))).sortBy(_._1).toSeq
+    assert(got == Seq((1, Some("plain"), "v2"), (2, Some("plain"), "v2"),
+      (3, None, "v2"), (4, Some("__GRAFT_NULL__"), "v2")), s"got $got")
+    // no resurrection: the old partitions serve nothing
+    Seq("a/b=c", "100%/x").foreach { p =>
+      assert(t.read(partitionFilter = Some(col("status") === p)).count() == 0, s"stale rows in $p")
+    }
+    // delete by key with a STALE tricky partition value still routes via the index
+    t.delete(Seq((1, "a/b=c", "x")).toDF("id", "status", "v"))
+    assert(t.read().collect().map(_.getInt(0)).sorted.toSeq == Seq(2, 3, 4))
+    // move BACK into a '/'-valued partition (minted group, escaped identity)
+    t.upsert(Seq((2, "a/b=c", "v3")).toDF("id", "status", "v"))
+    assert(t.read(partitionFilter = Some(col("status") === "a/b=c"))
+      .collect().map(r => (r.getInt(0), r.getString(2))).toSeq == Seq((2, "v3")))
+  }
+
   test("S61g: 200 keys migrating between partitions stay exact") {
     val t = mk("xp-scale", Map("dynamic-bucket.target-row-num" -> "16"))
     val init = (1 to 200).map(i => (i, if (i % 2 == 0) "even" else "odd", s"v$i"))
