@@ -108,9 +108,8 @@ object BitmapIndex {
   }
 
   def write(fs: FileSystem, path: Path, rowCount: Long,
-      cols: Seq[(String, Map[String, Array[Long]])]): Unit = {
-    val out = new DataOutputStream(new java.io.BufferedOutputStream(fs.create(path, true)))
-    try {
+      cols: Seq[(String, Map[String, Array[Long]])]): Unit =
+    SidecarIO.publish(fs, path) { out =>
       out.writeInt(Magic)
       out.writeLong(rowCount)
       out.writeInt(cols.size)
@@ -132,8 +131,7 @@ object BitmapIndex {
           }
         }
       }
-    } finally out.close()
-  }
+    }
 
   /** Keys-only read: (rowCount, column → value-key set) with the
     * position varints parsed but DISCARDED. File-skip pruning and claim

@@ -82,9 +82,8 @@ object BloomIndex {
   }
 
   def write(fs: FileSystem, path: Path, cols: Seq[(String, Bloom)],
-      entryStats: Seq[(String, Map[String, (Long, Long)])] = Seq.empty): Unit = {
-    val out = new DataOutputStream(fs.create(path, true))
-    try {
+      entryStats: Seq[(String, Map[String, (Long, Long)])] = Seq.empty): Unit =
+    SidecarIO.publish(fs, path) { out =>
       out.writeInt(Magic2)
       out.writeInt(cols.size)
       cols.foreach { case (name, b) =>
@@ -102,8 +101,7 @@ object BloomIndex {
           out.writeLong(mx)
         }
       }
-    } finally out.close()
-  }
+    }
 
   /** None for a missing/unreadable/foreign sidecar (legacy files — no
     * pruning claim can be made). */

@@ -126,6 +126,46 @@ class BitmapIndexSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq(1L, 2L, 3L, 4L))
   }
 
+  test("S55e: sidecar publish is atomic — concurrent/failed writers never tear the file") {
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(new org.apache.hadoop.conf.Configuration())
+    val dir = new org.apache.hadoop.fs.Path(TestSpark.tmpDir("bmatomic"))
+    fs.mkdirs(dir)
+    val p = new org.apache.hadoop.fs.Path(dir, s"f0.parquet${BitmapIndex.Suffix}")
+    val cols = Seq("lang" -> Map("en" -> Array(0L, 2L), "de" -> Array(1L)))
+    BitmapIndex.write(fs, p, 3L, cols)
+    val v1 = BitmapIndex.read(fs, p).getOrElse(fail("unreadable after first publish"))
+    // a writer that dies MID-BODY must leave the published sidecar intact
+    // (the rewrite path's retried/speculative-task scenario: with a plain
+    // create(overwrite=true) the reader would see a torn file and a
+    // claimed scan would throw)
+    intercept[RuntimeException] {
+      graft.sources.SidecarIO.publish(fs, p) { out =>
+        out.writeInt(0xDEAD)
+        throw new RuntimeException("task died mid-write")
+      }
+    }
+    val after = BitmapIndex.read(fs, p).getOrElse(fail("torn sidecar after failed publish"))
+    assert(after.rowCount == v1.rowCount)
+    assert(after.cols.view.mapValues(_.view.mapValues(_.toSeq).toMap).toMap ==
+      v1.cols.view.mapValues(_.view.mapValues(_.toSeq).toMap).toMap)
+    // the dead writer leaves ONLY an unreferenced .tmp stray (orphan-GC
+    // fodder, never the published path); clear it before the storm
+    val crashStrays = fs.listStatus(dir).map(_.getPath).filter(_.getName.contains(".tmp-"))
+    assert(crashStrays.nonEmpty)
+    crashStrays.foreach(fs.delete(_, false))
+    // N concurrent writers racing the SAME path: every interleaving must
+    // end with a complete, parseable sidecar
+    val threads = (1 to 8).map { _ =>
+      new Thread(() => (1 to 10).foreach(_ => BitmapIndex.write(fs, p, 3L, cols)))
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val fin = BitmapIndex.read(fs, p).getOrElse(fail("torn sidecar after concurrent publish"))
+    assert(fin.rowCount == 3L && fin.cols("lang").keySet == Set("en", "de"))
+    // no .tmp strays survive a completed publish storm
+    val strays = fs.listStatus(dir).map(_.getPath.getName).filter(_.contains(".tmp-"))
+    assert(strays.isEmpty, s"leftover temp files: ${strays.toSeq}")
+  }
+
   test("S55f: claimed filters are fully pushed and position-mask exactly") {
     val path = TestSpark.tmpDir("bmclaim")
     val t = GraftTable.create(spark, path,
