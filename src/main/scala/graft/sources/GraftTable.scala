@@ -452,6 +452,19 @@ class GraftTable private (
   }
 
   /** Live file set of a snapshot (manifest chain or legacy inline list). */
+  /** Data-file paths the CURRENT latest snapshot references, for write
+    * ABORT paths: Spark calls BatchWrite.abort when commit() throws, and
+    * that includes a post-publish VirtualMachineError from a maintenance
+    * hook — the snapshot is durable then and owns the "aborted" files.
+    * None = reference state unreadable; callers must then skip deletion
+    * entirely (a leaked file is orphan-GC work, a deleted referenced
+    * file is corruption). */
+  private[graft] def publishedDataPaths: Option[Set[String]] =
+    try Some(latestSnapshotId
+      .map(id => filesOf(readSnapshot(id)).map(_.path).toSet)
+      .getOrElse(Set.empty))
+    catch { case scala.util.control.NonFatal(_) => None }
+
   private[sources] def filesOf(snap: SnapshotMeta): Seq[FileMeta] =
     filesCache.getOrElseUpdate(snap.id,
       if (snap.files != null) snap.files
@@ -1177,13 +1190,36 @@ class GraftTable private (
       indexDirs, changelogDir, watermark)
     catch {
       case e: Throwable =>
-        added.foreach(f => deleteDataFile(f.path))
-        // a lost race references the assignment delta from no snapshot;
-        // delete it so the retry's fresh assignment is the only one
-        indexDirs.foreach(p => fs.delete(new Path(root, p), true))
-        changelogDir.foreach(p => fs.delete(new Path(root, p), true))
+        if (safeToCleanAfterFailedCommit(id, added, indexDirs, changelogDir)) {
+          added.foreach(f => deleteDataFile(f.path))
+          // a lost race references the assignment delta from no snapshot;
+          // delete it so the retry's fresh assignment is the only one
+          indexDirs.foreach(p => fs.delete(new Path(root, p), true))
+          changelogDir.foreach(p => fs.delete(new Path(root, p), true))
+        }
         throw e
     }
+
+  /** Post-publish cleanup guard for commitOrClean: the only throwable
+    * commitAt lets escape AFTER snap-id published is a
+    * VirtualMachineError from a post-publish hook — cleanup then would
+    * delete files a durable, reader-visible snapshot references. snap-id
+    * existing is not enough (a LOST RACE leaves the winner's snap-id):
+    * cleanup is safe only when the published snapshot references none of
+    * OUR artifacts. If the check itself fails (e.g. an OOM cascade),
+    * skip cleanup — a leaked file is orphan-GC work, a deleted
+    * referenced file is corruption. */
+  private[graft] def safeToCleanAfterFailedCommit(
+      id: Long, added: Seq[FileMeta], indexDirs: Seq[String] = Seq.empty,
+      changelogDir: Option[String] = None): Boolean =
+    try !fs.exists(new Path(root, s"$snapDirRel/snap-$id.json")) || {
+      val snap = readSnapshot(id)
+      val ourFiles = added.map(_.path).toSet
+      val ourIdx = indexDirs.toSet
+      !(filesOf(snap).exists(f => ourFiles.contains(f.path)) ||
+        Option(snap.bucketIndexes).getOrElse(Seq.empty).exists(ourIdx.contains) ||
+        (changelogDir.isDefined && changelogDir.contains(snap.changelogDir)))
+    } catch { case scala.util.control.NonFatal(_) => false }
 
   /** Snapshot commit of a V2 batch write (files already written and
     * measured by the executors; `added` arrived in commit messages;

@@ -765,13 +765,19 @@ final class GraftReplaceBatchWrite(
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val fsys = GraftTable.fileSystem(table.spark, table.root)
-    messages.toSeq.filter(_ != null).flatMap { case GraftCommitMessage(f) => f }.foreach { f =>
-      try {
-        fsys.delete(new org.apache.hadoop.fs.Path(table.root, f.path), false)
-        fsys.delete(new org.apache.hadoop.fs.Path(table.root, f.path + BloomIndex.Suffix), false)
-        fsys.delete(new org.apache.hadoop.fs.Path(table.root, f.path + BitmapIndex.Suffix), false)
-      } catch { case _: java.io.IOException => () }
-    }
+    // commit() throwing does not always mean the snapshot failed to
+    // publish (post-publish maintenance VirtualMachineError) — never
+    // delete a file the latest snapshot references; unknown state skips
+    // deletion entirely (orphan GC over corruption).
+    val live = table.publishedDataPaths.getOrElse(return)
+    messages.toSeq.filter(_ != null).flatMap { case GraftCommitMessage(f) => f }
+      .filterNot(f => live.contains(f.path)).foreach { f =>
+        try {
+          fsys.delete(new org.apache.hadoop.fs.Path(table.root, f.path), false)
+          fsys.delete(new org.apache.hadoop.fs.Path(table.root, f.path + BloomIndex.Suffix), false)
+          fsys.delete(new org.apache.hadoop.fs.Path(table.root, f.path + BitmapIndex.Suffix), false)
+        } catch { case _: java.io.IOException => () }
+      }
   }
 }
 

@@ -649,12 +649,16 @@ final class GraftBatchWrite(
     * snapshot commit — Spark calls abort when commit throws). */
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val fsys = GraftTable.fileSystem(table.spark, table.root)
-    messages.toSeq.filter(_ != null).flatMap { case GraftCommitMessage(f) => f }.foreach { f =>
-      try {
-        fsys.delete(new Path(table.root, f.path), false)
-        fsys.delete(new Path(table.root, f.path + BloomIndex.Suffix), false)
-      } catch { case _: java.io.IOException => () }
-    }
+    // see GraftV2 BatchWrite.abort: a post-publish commit throwable must
+    // not delete files a durable snapshot references
+    val live = table.publishedDataPaths.getOrElse(return)
+    messages.toSeq.filter(_ != null).flatMap { case GraftCommitMessage(f) => f }
+      .filterNot(f => live.contains(f.path)).foreach { f =>
+        try {
+          fsys.delete(new Path(table.root, f.path), false)
+          fsys.delete(new Path(table.root, f.path + BloomIndex.Suffix), false)
+        } catch { case _: java.io.IOException => () }
+      }
   }
 }
 

@@ -14,6 +14,43 @@ class WriteV2Spec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("W0: post-publish failure cleanup never deletes a published snapshot's files") {
+    import graft.sources.{FileMeta, GraftBatchWrite, GraftCommitMessage}
+    val path = TestSpark.tmpDir("w2postpub")
+    val t = GraftTable.create(spark, path,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType))))
+    t.append(Seq((1, "a"), (2, "b")).toDF("k", "v"))
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(new org.apache.hadoop.conf.Configuration())
+    val livePaths = t.publishedDataPaths.getOrElse(fail("unreadable reference state"))
+    assert(livePaths.nonEmpty)
+    val liveMeta = livePaths.toSeq.sorted.map(p => FileMeta(p, Map.empty, 0L, 0))
+    // commitOrClean's guard: snapshot 1 is published and references OUR
+    // files (the post-publish VirtualMachineError scenario) — cleanup
+    // must be refused
+    assert(!t.safeToCleanAfterFailedCommit(1, liveMeta))
+    // a genuinely failed commit (snap-2 never published) may clean
+    assert(t.safeToCleanAfterFailedCommit(2,
+      Seq(FileMeta("data/ghost.parquet", Map.empty, 0L, 0))))
+    // a LOST RACE (snap-1 exists but is the winner's — references none of
+    // our artifacts) may also clean
+    assert(t.safeToCleanAfterFailedCommit(1,
+      Seq(FileMeta("data/loser.parquet", Map.empty, 0L, 0))))
+    // end-to-end V2 abort: Spark calls abort when commit() throws, which
+    // includes post-publish throwables — published files must survive,
+    // genuine strays must still be swept
+    val stray = new org.apache.hadoop.fs.Path(path, "data/stray-task.parquet")
+    fs.create(stray, true).close()
+    val bw = new GraftBatchWrite(t, t.schema, "append", Array.empty)
+    bw.abort(Array(GraftCommitMessage(
+      liveMeta :+ FileMeta("data/stray-task.parquet", Map.empty, 0L, 0))))
+    assert(!fs.exists(stray), "abort must still sweep unpublished strays")
+    livePaths.foreach(p => assert(
+      fs.exists(new org.apache.hadoop.fs.Path(path, p)), s"published file $p deleted by abort"))
+    assert(spark.read.format("graft").load(path).count() == 2)
+  }
+
   test("W1: append lands executor-reported stats + row counts in the manifest") {
     val path = TestSpark.tmpDir("w2stats")
     Seq((1, "a")).toDF("k", "v").write.format("graft").save(path) // V1 create
