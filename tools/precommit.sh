@@ -1,17 +1,26 @@
 #!/bin/sh
 # Pre-commit guard: refuse to commit a tree whose Scala sources do not
-# compile. Installed as .git/hooks/pre-commit (see CLAUDE.md). Exists
-# because rounds 7 and 12 both shipped an entire round's work behind a
-# one-line compile error introduced by the final snapshot commit.
+# compile. Install with: cp tools/precommit.sh .git/hooks/pre-commit
+# (documented in CLAUDE.md Commands). Exists because rounds 7 and 12
+# both shipped an entire round's work behind a one-line compile error
+# introduced by the final snapshot commit.
 #
 # Only runs when the commit touches src/ or build files; doc-only commits
-# pass through immediately.
+# pass through immediately. Compiles the INDEX, not the working tree:
+# with partial staging the unstaged diff is stashed (--keep-index) for
+# the duration of the compile so exactly the tree being committed is
+# what gets checked, then restored.
 set -e
 cd "$(git rev-parse --show-toplevel)"
 
 if git diff --cached --name-only | grep -qE '^(src/|build\.sbt|project/)'; then
-  echo "[precommit] src/ staged -> running sbt -batch compile" >&2
-  if ! sbt -batch compile >/tmp/precommit_compile.log 2>&1; then
+  STASHED=0
+  if ! git diff --quiet || [ -n "$(git ls-files --others --exclude-standard)" ]; then
+    git stash push -q --keep-index --include-untracked -m "precommit-compile" && STASHED=1
+    trap '[ "$STASHED" = 1 ] && git stash pop -q' EXIT
+  fi
+  echo "[precommit] src/ staged -> running sbt -batch compile Test/compile" >&2
+  if ! sbt -batch compile Test/compile >/tmp/precommit_compile.log 2>&1; then
     tail -30 /tmp/precommit_compile.log >&2
     echo "[precommit] COMPILE FAILED -- commit refused (log: /tmp/precommit_compile.log)" >&2
     exit 1
