@@ -233,6 +233,75 @@ object BitmapIndex {
     }
   }
 
+  /** Range shape of a claimable ORDER predicate: (column, lower bound
+    * inclusive?, upper bound inclusive?) with open sides as None. A
+    * BETWEEN arrives as the conjunction of its two halves and is handled
+    * by the fold in [[keepPositions]]. Null bounds compare UNKNOWN and
+    * match nothing — not claim material. */
+  def filterRange(fl: org.apache.spark.sql.sources.Filter)
+      : Option[(String, Option[Any], Boolean, Option[Any], Boolean)] = {
+    import org.apache.spark.sql.sources._
+    fl match {
+      case GreaterThan(c, v) if v != null => Some((c, Some(v), false, None, true))
+      case GreaterThanOrEqual(c, v) if v != null => Some((c, Some(v), true, None, true))
+      case LessThan(c, v) if v != null => Some((c, None, true, Some(v), false))
+      case LessThanOrEqual(c, v) if v != null => Some((c, None, true, Some(v), true))
+      case _ => None
+    }
+  }
+
+  /** Order a rendered sidecar key against a predicate bound, in the
+    * COLUMN's ordering: integral keys compare numerically, strings by
+    * UTF8 byte order (Spark's string comparison — NOT Java's UTF-16
+    * code-unit order, which disagrees on supplementary characters),
+    * booleans false < true. None = the key/bound pair is not orderable
+    * here (no claim). */
+  private def compareKey(k: String, bound: Any): Option[Int] = bound match {
+    case n @ (_: java.lang.Integer | _: java.lang.Long |
+              _: java.lang.Short | _: java.lang.Byte) =>
+      try Some(java.lang.Long.compare(k.toLong, n.asInstanceOf[Number].longValue))
+      catch { case _: NumberFormatException => None }
+    case s: String =>
+      Some(org.apache.spark.unsafe.types.UTF8String.fromString(k)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(s)))
+    case u: org.apache.spark.unsafe.types.UTF8String =>
+      Some(org.apache.spark.unsafe.types.UTF8String.fromString(k).compareTo(u))
+    case b: java.lang.Boolean =>
+      Some(java.lang.Boolean.compare(k == "true", b.booleanValue))
+    case _ => None
+  }
+
+  /** Ascending positions with the column's value inside the range —
+    * union of the in-range keys' lists (value-completeness makes the
+    * claim exact both ways; null rows sit in no list and correctly fail
+    * the range). None = column absent or a key/bound not orderable. */
+  def rangePositions(sc: Sidecar, col: String,
+      lo: Option[Any], loInc: Boolean, hi: Option[Any], hiInc: Boolean)
+      : Option[Array[Long]] =
+    sc.cols.get(col).flatMap { m =>
+      val picked = scala.collection.mutable.ArrayBuffer[Array[Long]]()
+      val it = m.iterator
+      while (it.hasNext) {
+        val (k, pos) = it.next()
+        val loOk = lo match {
+          case None => true
+          case Some(b) => compareKey(k, b) match {
+            case Some(c) => if (loInc) c >= 0 else c > 0
+            case None => return None
+          }
+        }
+        val hiOk = hi match {
+          case None => true
+          case Some(b) => compareKey(k, b) match {
+            case Some(c) => if (hiInc) c <= 0 else c < 0
+            case None => return None
+          }
+        }
+        if (loOk && hiOk) picked += pos
+      }
+      Some(if (picked.isEmpty) Array.empty[Long] else picked.reduce(merge))
+    }
+
   /** IsNotNull positions: a present column's value lists are
     * file-complete over non-null rows, so their union IS the non-null
     * set (Spark derives IsNotNull alongside every equality — it must be
@@ -256,7 +325,9 @@ object BitmapIndex {
             filterValues(fl).flatMap { case (c, vs) =>
               if (!vs.forall(v => render(v).isDefined)) None
               else matchPositions(sc, c, vs)
-            }
+            }.orElse(filterRange(fl).flatMap { case (c, lo, loInc, hi, hiInc) =>
+              rangePositions(sc, c, lo, loInc, hi, hiInc)
+            })
         }
         matched.map(p => if (prev == null) p else intersect(prev, p))
       }

@@ -456,7 +456,14 @@ final class GraftScanBuilder(
       BitmapIndex.filterValues(fl) match {
         case Some((c, vs)) =>
           vs.forall(v => BitmapIndex.render(v).isDefined) && colClaimable(c)
-        case None => false
+        case None =>
+          // ranges (</<=/>/>= and BETWEEN's two halves): the value→positions
+          // map answers them exactly — union of the in-range keys' lists
+          BitmapIndex.filterRange(fl) match {
+            case Some((c, lo, _, hi, _)) =>
+              (lo ++ hi).forall(v => BitmapIndex.render(v).isDefined) && colClaimable(c)
+            case None => false
+          }
       }
   }
 

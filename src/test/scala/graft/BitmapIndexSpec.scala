@@ -126,7 +126,7 @@ class BitmapIndexSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq(1L, 2L, 3L, 4L))
   }
 
-  test("S55e: sidecar publish is atomic — concurrent/failed writers never tear the file") {
+  test("S55n: sidecar publish is atomic — concurrent/failed writers never tear the file") {
     val fs = org.apache.hadoop.fs.FileSystem.getLocal(new org.apache.hadoop.conf.Configuration())
     val dir = new org.apache.hadoop.fs.Path(TestSpark.tmpDir("bmatomic"))
     fs.mkdirs(dir)
@@ -208,6 +208,44 @@ class BitmapIndexSpec extends AnyFunSuite {
       .filter($"lang".isin("de", "en") && $"lang" === "de").agg(count(lit(1)).as("n"))
     assert(df2.first().getLong(0) == 300L)
     assert(df2.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+  }
+
+  test("S55o: range predicates (< / BETWEEN / string >=) claim and count from sidecars") {
+    val path = TestSpark.tmpDir("bmrange")
+    val t = GraftTable.create(spark, path,
+      StructType(Seq(StructField("id", LongType), StructField("score", IntegerType),
+        StructField("lang", StringType))),
+      options = Map("file-index.bitmap.columns" -> "score,lang"))
+    for (c <- 0 until 3)
+      t.append((0 until 400).map(i => (c * 1000L + i, i % 10, langOf(i % 4)))
+        .toDF("id", "score", "lang").coalesce(1))
+    def claimed(): org.apache.spark.sql.DataFrame = spark.read.format("graft")
+      .option("bitmap.claim-filters", "true").load(path)
+    def plain(): org.apache.spark.sql.DataFrame = spark.read.format("graft").load(path)
+    def assertNoResidual(df: org.apache.spark.sql.DataFrame): Unit = {
+      val fl = df.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FilterExec => f
+      }
+      assert(fl.isEmpty, s"range claim left a Filter node:\n${df.queryExecution}")
+    }
+    // numeric <: 10-valued key space, numeric compare (NOT "9" < "10" lexicographic)
+    for (pred <- Seq($"score" < 3, $"score".between(2, 5), $"score" >= 9,
+      $"lang" >= "en" && $"lang" < "ja")) {
+      val want = plain().filter(pred).collect().map(_.getLong(0)).sorted.toSeq
+      val dfc = claimed().filter(pred)
+      assertNoResidual(dfc)
+      assert(dfc.collect().map(_.getLong(0)).sorted.toSeq == want, s"mismatch for $pred")
+      assert(want.nonEmpty)
+    }
+    // claimed filtered COUNT(*) under a range: sidecar-only (no file reads)
+    val cnt = claimed().filter($"score".between(2, 5)).agg(count(lit(1)).as("n"))
+    assert(cnt.first().getLong(0) ==
+      plain().filter($"score".between(2, 5)).count())
+    val planStr = cnt.queryExecution.executedPlan.toString
+    assert(planStr.contains("LocalTableScan") && !planStr.contains("BatchScan"),
+      s"range-claimed count should be manifest+sidecar-only:\n$planStr")
+    // numeric-vs-lexicographic trap: score IN 0..9, "< 10" keeps all rows
+    assert(claimed().filter($"score" < 10).count() == 1200L)
   }
 
   test("S55j: grouped claimed COUNT omits zero-match partitions (no phantom rows)") {
