@@ -214,6 +214,9 @@ case class MapEntryHashes(child: Expression) extends UnaryExpression {
     case a: ArrayType =>
       MapEntryHashesImpl.hashArray(
         input.asInstanceOf[ArrayData], a.elementType)
+    case s: StructType =>
+      MapEntryHashesImpl.hashStruct(
+        input.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow], s)
     case other => throw new IllegalStateException(s"unsupported child type $other")
   }
 
@@ -228,6 +231,10 @@ case class MapEntryHashes(child: Expression) extends UnaryExpression {
         val et = ctx.addReferenceObj("et", a.elementType)
         nullSafeCodeGen(ctx, ev, c =>
           s"${ev.value} = graft.functions.MapEntryHashesImpl$$.MODULE$$.hashArray($c, $et);")
+      case s: StructType =>
+        val st = ctx.addReferenceObj("st", s)
+        nullSafeCodeGen(ctx, ev, c =>
+          s"${ev.value} = graft.functions.MapEntryHashesImpl$$.MODULE$$.hashStruct($c, $st);")
       case other => throw new IllegalStateException(s"unsupported child type $other")
     }
 
@@ -246,6 +253,11 @@ object MapEntryHashesImpl {
 
   def subscriptSafe(dt: DataType): Boolean = dt match {
     case m: MapType => SafeTypes(m.keyType) && SafeTypes(m.valueType)
+    // struct (row) subscripts (ref testRowSubscript, `r.f = v`): entries
+    // hash as (field name, value) — only SafeType leaves are hashed, and
+    // the plan side claims per-LEAF (see SubscriptFilterRule), so a
+    // struct qualifies when any leaf is claimable
+    case s: StructType => s.fields.exists(f => SafeTypes(f.dataType))
     // array subscripts (ref `a[2] = 5`): entries hash as
     // (1-based position, value) — the position IS the key
     case a: ArrayType => SafeTypes(a.elementType)
@@ -268,6 +280,27 @@ object MapEntryHashesImpl {
     while (i < n) {
       if (!a.isNullAt(i)) {
         out(written) = hashEntry((i + 1).toString, a.get(i, et).toString)
+        written += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      if (written == n) out else java.util.Arrays.copyOf(out, written))
+  }
+
+  /** Struct entries hash as (field name, value) for SafeType leaves —
+    * the row-subscript analogue of the map convention; null leaves are
+    * skipped (an equality can never match null) and non-SafeType leaves
+    * make no claim (the plan side never renders them). */
+  def hashStruct(row: org.apache.spark.sql.catalyst.InternalRow, st: StructType): ArrayData = {
+    val n = st.length
+    val out = new Array[Long](n)
+    var i = 0
+    var written = 0
+    while (i < n) {
+      val f = st.fields(i)
+      if (SafeTypes(f.dataType) && !row.isNullAt(i)) {
+        out(written) = hashEntry(f.name, row.get(i, f.dataType).toString)
         written += 1
       }
       i += 1

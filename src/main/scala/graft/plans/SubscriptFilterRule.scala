@@ -108,10 +108,31 @@ case class SubscriptFilterRule(enabled: () => Boolean)
       case org.apache.spark.sql.catalyst.expressions.GetArrayItem(
           a: AttributeReference, Literal(k, _), failOnError) if k != null && !failOnError =>
         idx(k).filter(_ >= 0).map(i => (a, (i + 1).toString)) // a[i] is 0-based
+      // struct (row) subscript `r.f` (ref testRowSubscript,
+      // PrestoDistributedQueryTest.java:974): the entry key is the FIELD
+      // NAME; null-struct rows fail the predicate like null-map rows, so
+      // the absent-hash claim is sound
+      case org.apache.spark.sql.catalyst.expressions.GetStructField(
+          a: AttributeReference, ord, _) =>
+        a.dataType match {
+          case st: org.apache.spark.sql.types.StructType =>
+            Some((a, st.fields(ord).name))
+          case _ => None
+        }
       case _ => None
     }
+    // struct claims are per-LEAF: the write side hashes only SafeType
+    // leaves (and range-stats only integral leaves), so a predicate on
+    // any other leaf must not claim. Map/array safety is whole-type.
+    def leafSafe(col: AttributeReference, k: String): Boolean = col.dataType match {
+      case st: org.apache.spark.sql.types.StructType =>
+        st.fields.find(_.name == k)
+          .exists(f => MapEntryHashesImpl.SafeTypes(f.dataType))
+      case _ => true
+    }
     def render(col: AttributeReference, k: String, op: String, v: Any): Option[SubscriptPredicate] =
-      if (!MapEntryHashesImpl.subscriptSafe(col.dataType) || v == null) None
+      if (!MapEntryHashesImpl.subscriptSafe(col.dataType) || v == null ||
+          !leafSafe(col, k)) None
       else if (op == "=") Some(SubscriptPredicate(col.name, k, op, v.toString))
       // range claims need an integral value (the stats store Long bounds)
       else idx(v).map(x => SubscriptPredicate(col.name, k, op, x.toString))

@@ -167,18 +167,46 @@ object FileStats {
     true
   }
 
+  /** Resolve a (possibly nested) filter attribute to its leaf field:
+    * top-level names first (a literal dot in a column name wins), then a
+    * dotted path walked through struct types — parquet footers record
+    * nested leaves under exactly this dotted rendering
+    * (ColumnPath.toDotString), so `r.f` stats prune `r.f` predicates.
+    * Backticked parts (`a`.`b`) normalize to the plain path. */
+  private[sources] def resolveField(schema: StructType, attr: String): Option[StructField] = {
+    schema.fields.find(_.name == attr).orElse {
+      val parts =
+        if (attr.contains('`')) attr.split('.').map(_.stripPrefix("`").stripSuffix("`")).toSeq
+        else attr.split('.').toSeq
+      if (parts.length < 2) None
+      else parts.tail.foldLeft(schema.fields.find(_.name == parts.head)) { (cur, p) =>
+        cur.flatMap(_.dataType match {
+          case st: StructType => st.fields.find(_.name == p)
+          case _ => None
+        })
+      }
+    }
+  }
+
   /** Can `filter` possibly match a file with these stats? Conservative:
     * unknown columns/types/filters ⇒ true (no prune). */
   def mayMatch(filter: Filter, stats: Map[String, ColStats], schema: StructType): Boolean = {
     // S39 null skipping: an all-null column fails every VALUE predicate
     // and IS NOT NULL; a provably-null-free column (nullCount == 0,
     // known — -1 is unknown) fails IS NULL
-    def allNull(attr: String): Boolean = stats.get(attr).exists(_.isAllNull)
+    // parquet leaf null counts include rows where an ANCESTOR struct is
+    // null — matching Spark's `r.f IS NULL` semantics exactly
+    def allNull(attr: String): Boolean = stats.get(statKey(attr)).exists(_.isAllNull)
+    // nested attrs ("r.f") key the stats map by the parquet dotted path;
+    // normalize a backticked plan rendering to it
+    def statKey(attr: String): String =
+      if (schema.fieldNames.contains(attr) || !attr.contains('`')) attr
+      else attr.split('.').map(_.stripPrefix("`").stripSuffix("`")).mkString(".")
     def bounds(attr: String): Option[(Any, Any, DataType)] =
       for {
-        cs <- stats.get(attr)
+        cs <- stats.get(statKey(attr))
         if cs.min != null && cs.max != null
-        field <- schema.fields.find(_.name == attr)
+        field <- resolveField(schema, attr)
         mn <- parse(cs.min, field.dataType)
         mx <- parse(cs.max, field.dataType)
       } yield (mn, mx, field.dataType)
@@ -216,9 +244,9 @@ object FileStats {
     filter match {
       case IsNull(a) =>
         // keep unless the column provably has no nulls in this file
-        stats.get(a).forall(_.nullCount != 0L)
+        stats.get(statKey(a)).forall(_.nullCount != 0L)
       case IsNotNull(a) => !allNull(a)
-      case EqualNullSafe(a, null) => stats.get(a).forall(_.nullCount != 0L)
+      case EqualNullSafe(a, null) => stats.get(statKey(a)).forall(_.nullCount != 0L)
       case EqualNullSafe(a, v) =>
         if (allNull(a)) false else mayMatch(EqualTo(a, v), stats, schema)
       // value predicates: NULL input yields NULL → row dropped, so an

@@ -469,7 +469,12 @@ final class GraftScanBuilder(
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val known = table.schema.fieldNames.toSet
-    pushed = filters.filter(_.references.forall(known))
+    // nested struct-leaf references ("r.f") participate in manifest
+    // min/max + null-count file skipping (parquet footers record leaf
+    // stats under the dotted path); they are never CLAIMED — the filter
+    // stays residual and pruning is best-effort
+    pushed = filters.filter(_.references.forall(r =>
+      known(r) || FileStats.resolveField(table.schema, r).isDefined))
     // avro excluded conservatively: its reader factory has no
     // no-pushdown "clean" twin to guarantee physical-order row counting
     // (masking is only proven for the parquet/orc factories)

@@ -203,6 +203,10 @@ final class GraftTaskWriter(spec: GraftWriteSpec, taskUniq: String) {
   private def isNested(c: String): Boolean = ref(c).dataType match {
     case _: org.apache.spark.sql.types.MapType => true
     case _: org.apache.spark.sql.types.ArrayType => true
+    // struct columns index (field, value) entries only when some leaf is
+    // rendering-safe; otherwise they keep the whole-value hash
+    case s: org.apache.spark.sql.types.StructType =>
+      graft.functions.MapEntryHashesImpl.subscriptSafe(s)
     case _ => false
   }
   private val bloomIsMap: Array[Boolean] = spec.bloomCols.toArray.map(isNested)
@@ -286,6 +290,9 @@ final class GraftTaskWriter(spec: GraftWriteSpec, taskUniq: String) {
       ref(c).dataType match {
         case m: org.apache.spark.sql.types.MapType => integralType(m.valueType)
         case a: org.apache.spark.sql.types.ArrayType => integralType(a.elementType)
+        // struct: integral leaves get (field name → min/max) range stats
+        case s: org.apache.spark.sql.types.StructType =>
+          s.fields.exists(f => integralType(f.dataType))
         case _ => false
       }
     }.map(c => (c, spec.writeSchema.fieldIndex(c), ref(c).dataType))
@@ -334,6 +341,15 @@ final class GraftTaskWriter(spec: GraftWriteSpec, taskUniq: String) {
           while (i < ad.numElements()) {
             if (!ad.isNullAt(i)) // entry key = 1-based position, like the hashes
               o.entryStatBufs(s).add((i + 1).toString, asLong(ad.get(i, a.elementType)))
+            i += 1
+          }
+        case st: org.apache.spark.sql.types.StructType =>
+          val sr = row.getStruct(ord, st.length)
+          var i = 0
+          while (i < st.length) {
+            val f = st.fields(i)
+            if (integralType(f.dataType) && !sr.isNullAt(i))
+              o.entryStatBufs(s).add(f.name, asLong(sr.get(i, f.dataType)))
             i += 1
           }
         case _ => ()

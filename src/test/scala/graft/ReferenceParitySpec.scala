@@ -255,6 +255,84 @@ class ReferenceParitySpec extends AnyFunSuite {
     }
   }
 
+  test("testRowSubscript (ref PrestoDistributedQueryTest.java:974): struct-leaf " +
+    "predicates prune files via entry hashes + range stats, identical results either way") {
+    val dir = TestSpark.tmpDir("ref_row_sub")
+    val schema = StructType(Seq(
+      StructField("i1", IntegerType),
+      StructField("r", StructType(Seq(
+        StructField("name", StringType), StructField("score", IntegerType))))))
+    val t = GraftTable.create(spark, dir, schema,
+      options = Map("file-index.bloom-filter.columns" -> "r"))
+    // every file spans the SAME [min,max] on both leaves (padding rows
+    // "aa"/"zz", scores 1/1000), so manifest min/max stats can never
+    // discriminate — only the (field, value) entry hashes can
+    def file(i: Int, n: String, s: Int) =
+      Seq((i, n, s), (i * 10, "aa", 1), (i * 100, "zz", 1000)).toDF("i1", "n", "s")
+        .select(col("i1"), struct(col("n").as("name"), col("s").as("score")).as("r"))
+        .coalesce(1)
+    t.append(file(1, "dd", 5))
+    t.append(file(2, "ee", 50))
+    t.append(file(3, "ff", 900))
+    val key = "spark.graft.subscriptFilters.enabled"
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ graft.plans.SubscriptFilterRule(() =>
+        spark.conf.get(key, "false").toBoolean)
+    try {
+      def run(cond: org.apache.spark.sql.Column): (Seq[Int], Int) = {
+        val df = spark.read.format("graft").load(dir).filter(cond)
+        val rows = df.collect().map(_.getInt(0)).toSeq.sorted
+        val m = "files=(\\d+)/3".r.findFirstMatchIn(df.queryExecution.executedPlan.toString)
+        (rows, m.get.group(1).toInt)
+      }
+      spark.conf.set(key, "false")
+      assert(run(col("r").getField("name") === "ee") == ((Seq(2), 3)),
+        "toggle off: all files scanned (overlapping min/max), correct rows")
+      spark.conf.set(key, "true")
+      // equality on a string leaf: (field, value) entry hash prunes where
+      // min/max cannot
+      assert(run(col("r").getField("name") === "ee") == ((Seq(2), 1)),
+        "r.name = 'ee' should entry-hash-prune to 1/3")
+      // a predicate value no file holds prunes everything
+      assert(run(col("r").getField("name") === "qq") == ((Seq(), 0)))
+      // integral-leaf ranges stay correct under the claim (per-field
+      // min/max entry stats have manifest granularity for structs: the
+      // padding rows make them non-discriminating here by design)
+      assert(run(col("r").getField("score") > 100) == ((Seq(3, 100, 200, 300), 3)))
+    } finally {
+      spark.conf.unset(key)
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations
+          .filterNot(_.isInstanceOf[graft.plans.SubscriptFilterRule])
+    }
+  }
+
+  test("struct-leaf predicates skip files via MANIFEST min/max (no index, no rule): " +
+    "parquet footers record nested leaf stats under the dotted path") {
+    val dir = TestSpark.tmpDir("ref_row_stats")
+    val schema = StructType(Seq(
+      StructField("i1", IntegerType),
+      StructField("r", StructType(Seq(
+        StructField("name", StringType), StructField("score", IntegerType))))))
+    val t = GraftTable.create(spark, dir, schema) // NO file index configured
+    def row(i: Int, n: String, s: Int) = Seq((i, n, s)).toDF("i1", "n", "s")
+      .select(col("i1"), struct(col("n").as("name"), col("s").as("score")).as("r"))
+    t.append(row(1, "aa", 5))
+    t.append(row(2, "mm", 50))
+    t.append(row(3, "zz", 900))
+    def run(cond: org.apache.spark.sql.Column): (Seq[Int], Int) = {
+      val df = spark.read.format("graft").load(dir).filter(cond)
+      val rows = df.collect().map(_.getInt(0)).toSeq.sorted
+      val m = "files=(\\d+)/3".r.findFirstMatchIn(df.queryExecution.executedPlan.toString)
+      (rows, m.get.group(1).toInt)
+    }
+    assert(run(col("r").getField("score") > 100) == ((Seq(3), 1)),
+      "integral leaf range should manifest-prune to 1/3")
+    assert(run(col("r").getField("name") === "mm") == ((Seq(2), 1)),
+      "string leaf equality should manifest-prune to 1/3 (ASCII min/max)")
+    assert(run(col("r").getField("score") <= 5) == ((Seq(1), 1)))
+  }
+
   test("range filters on subscripts (ref session property's namesake): " +
     "props['k'] > v prunes files via per-entry min/max stats, identical results either way") {
     val dir = TestSpark.tmpDir("ref_sub_range")
