@@ -150,8 +150,21 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
       Seq(pStr("table"), pStr("branch")), snapshotResult,
       in => InternalRow(loadByName(in.getString(0)).fastForward(in.getString(1)))),
     "compact" -> new GraftProcedure("compact",
-      Seq(pStr("table")), snapshotResult,
-      in => InternalRow(loadByName(in.getString(0)).compact())),
+      // Paimon's compact procedure: optional `where` (a partition-column
+      // predicate as SQL text) restricts the rewrite to the matching
+      // partitions — S30 targeted compaction composed onto the S40
+      // procedure surface. Empty/NULL = full compaction.
+      Seq(pStr("table"),
+        ProcedureParameter.in("where", org.apache.spark.sql.types.StringType)
+          .defaultValue("''").build()), snapshotResult,
+      in => {
+        val t = loadByName(in.getString(0))
+        val w = if (in.isNullAt(1)) "" else in.getString(1).trim
+        InternalRow(
+          if (w.isEmpty) t.compact()
+          else t.compactPartitions(org.apache.spark.sql.graft.Bridge.column(
+            spark.sessionState.sqlParser.parseExpression(w))))
+      }),
     "drop_partition" -> new GraftProcedure("drop_partition",
       // Paimon's drop_partition: remove whole partitions by spec
       // ("pt=v" or "pt=v,pt2=w") as ONE metadata commit — zero file

@@ -995,6 +995,59 @@ class GraftTable private (
       indexDirs = added.indexDirs, changelogDir = changelogDir)
   }
 
+  /** S30+S40 composition (Paimon's `CALL sys.compact(table => …,
+    * where => …)`): targeted compaction of ONLY the partitions matching
+    * `where` — a pure partition-column predicate — in one commit.
+    * Rewrite cost scales with the SELECTED partitions, not the table:
+    * the 100 TB day-partitioned shape compacts yesterday, not 3 years.
+    *
+    * Exactness: `pruneFiles` evaluates a partition-only predicate on the
+    * distinct partition tuples (not conservatively), so `targeted` is
+    * exactly the matching partitions' files; the rewritten rows are the
+    * merged state of those partitions (the post-read row filter keeps
+    * the row set exact even where file pruning declined). PK tables
+    * additionally need partition keys contained in the primary key — a
+    * key's versions must not span partition groups, or a fresh-`__seq`
+    * partial rewrite could outrank versions left elsewhere (the
+    * compactBuckets rule). */
+  def compactPartitions(where: Column): Long = {
+    require(partitionKeys.nonEmpty, "targeted compaction requires a partitioned table")
+    require(!isPkTable || partitionPruneSafe,
+      "targeted compaction on a primary-key table requires partition keys " +
+        "contained in the primary key (a key's versions must not span partitions)")
+    require(changelogProducer != "full-compaction" || !isPkTable,
+      "changelog-producer=full-compaction diffs the WHOLE merged state — " +
+        "use compact() so the changelog stays complete")
+    val refs = org.apache.spark.sql.graft.Bridge.expression(where).collect {
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => u.name
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference => a.name
+    }.toSet
+    require(refs.nonEmpty && refs.subsetOf(partitionKeys.toSet),
+      s"compaction filter may reference partition keys only " +
+        s"(${partitionKeys.mkString(",")}); got: ${refs.mkString(",")}")
+    val base = latestSnapshotId.getOrElse(0L)
+    val targeted = pruneFiles(filesAt(base), Some(where))
+    require(targeted.nonEmpty, "no files match the compaction filter")
+    var merged = recordExpire(
+      read(snapshotId = Some(base).filter(_ > 0), partitionFilter = Some(where))
+        .filter(where))
+    // small-file folding is the POINT of a targeted compact: bin the
+    // rewrite into ceil(bytes / target-file-size) output tasks (Paimon's
+    // target-file-size, default 128 MiB). PK tables skip this — their
+    // stage write already routes rows to (partition, bucket) groups.
+    if (!isPkTable) {
+      val targetBytes = options.get("target-file-size")
+        .map(GraftTable.parseBytes).getOrElse(128L * 1024 * 1024)
+      val n = math.max(1L, (targeted.map(_.sizeBytes).sum + targetBytes - 1) / targetBytes)
+      merged = merged.repartition(n.toInt)
+    }
+    val added = stageWrite(merged, rowKind = RowKind.Insert, seq = base + 1,
+      keySort = true)
+    commitOrClean(base + 1, "COMPACT",
+      added.files.map(_.copy(compacted = java.lang.Boolean.TRUE)),
+      deleted = targeted, indexDirs = added.indexDirs)
+  }
+
   /** Diff the merged table state between the last changelog-producing
     * compaction and `now`, writing (rowkind, data columns) parquet rows
     * under changelog/. One PK-keyed full-outer join of two merged
@@ -3395,6 +3448,21 @@ object GraftTable {
     case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt
     case bd: java.math.BigDecimal => org.apache.spark.sql.types.Decimal(bd)
     case other => other
+  }
+
+  /** Parse a byte-size option value: `<n>b|kb|mb|gb` (Paimon's memory-size
+    * convention) or a bare number = bytes. */
+  def parseBytes(v: String): Long = {
+    val s = v.trim.toLowerCase
+    val m = "^(\\d+)\\s*(b|kb|mb|gb)?$".r.findFirstMatchIn(s).getOrElse(
+      throw new IllegalArgumentException(s"unparseable byte size: $v"))
+    val n = m.group(1).toLong
+    m.group(2) match {
+      case "kb" => n * 1024L
+      case "mb" => n * 1024L * 1024
+      case "gb" => n * 1024L * 1024 * 1024
+      case _ => n
+    }
   }
 
   /** Parse a duration option value to millis: `<n>ms|s|m|h|d` (Paimon's

@@ -94,6 +94,28 @@ object FormatScaleProbe {
     timed("expire: compact (TTL rewrite)")(rex.compact())
     println(s"[probe] expire rows kept = ${rex.read().count()}")
 
+    // ---- S61 cross-partition upsert: the GLOBAL index under moves ------
+    val xp = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+        col("o_totalprice").as("v"))
+    val xpt = GraftTable.create(spark, s"$base/xp", xp.schema,
+      partitionKeys = Seq("status"), primaryKeys = Seq("k"),
+      options = Map("bucket" -> "-1", "dynamic-bucket.target-row-num" -> "100000"))
+    timed("xpart: initial upsert")(xpt.upsert(xp))
+    // every 7th key MOVES partition: index lookup + old-group tombstone +
+    // fresh assignment + index supersede, in one commit
+    timed("xpart: move upsert (1/7 keys)")(
+      xpt.upsert(xp.filter(col("k") % 7 === 0).withColumn("status", lit("X"))))
+    val xr = timed("xpart: MOR read after moves")(xpt.read().count())
+    println(s"[probe] xpart rows = $xr")
+
+    // ---- S60 read-optimized $ro on a COMPACTED PK table -----------------
+    timed("ro: compact PK table")(xpt.compact())
+    timed("ro: $ro read (compacted)")(
+      xpt.system("ro").queryExecution.toRdd.count())
+    timed("ro: full MOR read (compacted)")(
+      xpt.read().queryExecution.toRdd.count())
+
     // ---- L68 dedup index: build once, refresh delta ---------------------
     val dtexts = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
     val dsrc = GraftTable.create(spark, s"$base/dixsrc",

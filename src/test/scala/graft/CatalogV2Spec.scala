@@ -315,6 +315,40 @@ class CatalogV2Spec extends AnyFunSuite {
     assert(pr.toSeq == Seq(("p1", "A"), ("p2", "b")))
   }
 
+  test("C19 (S30+S40): CALL sys.compact with a partition-filter `where` rewrites " +
+    "ONLY the matching partitions") {
+    sql("CREATE NAMESPACE graft2.db19")
+    sql("CREATE TABLE graft2.db19.t (k INT, v INT, pt STRING) PARTITIONED BY (pt)")
+    for (i <- 1 to 3) // 3 commits x 2 partitions = 3 files per partition
+      sql(s"INSERT INTO graft2.db19.t VALUES ($i, ${i * 10}, 'a'), (${i + 100}, ${i * 10}, 'b')")
+    val path = spark.conf.get("spark.sql.catalog.graft2.warehouse") + "/db19.db/t"
+    val t = graft.sources.GraftTable.load(spark, path)
+    val before = sql("SELECT k, v, pt FROM graft2.db19.t").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2))).sorted.toSeq
+    val bFilesBefore = t.system("files").collect()
+      .map(_.getString(0)).filter(_.contains("pt=b")).sorted.toSeq
+    assert(bFilesBefore.size == 3)
+    val snap = sql("CALL graft2.sys.compact('db19.t', \"pt = 'a'\")").first().getLong(0)
+    val t2 = graft.sources.GraftTable.load(spark, path)
+    assert(t2.snapshots.last.id == snap && t2.snapshots.last.commitKind == "COMPACT")
+    // results identical; partition a folded to one compacted file;
+    // partition b's files byte-identical (same paths, untouched)
+    val after = sql("SELECT k, v, pt FROM graft2.db19.t").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2))).sorted.toSeq
+    assert(after == before)
+    val filesAfter = t2.system("files").collect()
+    val aAfter = filesAfter.filter(_.getString(0).contains("pt=a"))
+    assert(aAfter.length == 1,
+      s"partition a should fold to one target-file-size bin: ${aAfter.map(_.getString(0)).toSeq}")
+    assert(aAfter.forall(_.getBoolean(8)), "folded files must carry the compacted flag")
+    assert(filesAfter.map(_.getString(0)).filter(_.contains("pt=b")).sorted.toSeq == bFilesBefore,
+      "partition b must be untouched by a targeted compact")
+    // a data-column (non-partition) where must be refused
+    intercept[Exception] { sql("CALL graft2.sys.compact('db19.t', 'k = 1')").collect() }
+    // a where matching nothing must be refused (not silently no-op)
+    intercept[Exception] { sql("CALL graft2.sys.compact('db19.t', \"pt = 'zz'\")").collect() }
+  }
+
   test("C14 (S40): CALL sys.* procedures — tag, rollback, branch, expire, compact") {
     sql("CREATE NAMESPACE IF NOT EXISTS graft2.procs")
     sql("DROP TABLE IF EXISTS graft2.procs.t")
