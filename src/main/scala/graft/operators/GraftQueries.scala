@@ -267,6 +267,32 @@ object GraftQueries {
       .orderBy("lang", "source")
   }
 
+  /** documents packed into a STRUCT column through a graft table (S34
+    * r14 struct subscripts): meta = struct(lang, nc). Four pmod-split
+    * commits make four files whose leaf value ranges fully overlap; the
+    * read filters on BOTH struct leaves (string equality + integral
+    * range). The leaf predicates reach the scan as dotted references
+    * (meta.lang / meta.nc) and participate in manifest nested-stats
+    * skipping and the (field, value) entry-hash sidecars; correctness is
+    * what the oracle checks — it replays the same predicate over the raw
+    * flat columns, so identical groups prove struct-leaf filtering
+    * neither drops nor leaks a row. Ref: testRowSubscript,
+    * PrestoDistributedQueryTest.java:974. */
+  private def graftStruct(s: SparkSession, d: String): DataFrame = {
+    val docs = T.documents(s, d).select(col("doc_id"), col("source"),
+      struct(col("lang").as("lang"), col("n_chars").cast("long").as("nc")).as("meta"))
+    val t = GraftTable.create(s, tmpRoot("structq"), docs.schema,
+      options = Map("file-index.bloom-filter.columns" -> "meta"))
+    val part = pmod(col("doc_id"), lit(4))
+    (0 until 4).foreach(i => t.append(docs.filter(part === i).coalesce(1)))
+    s.read.format("graft").load(t.root)
+      .filter(col("meta").getField("lang") === "de" &&
+        col("meta").getField("nc") >= 300L)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), sum(col("meta").getField("nc")).as("chars"))
+      .orderBy("source")
+  }
+
   /** part through a bloom-indexed table (file-index.bloom-filter.columns
     * = p_partkey): four commits = four files whose key ranges fully
     * overlap (pmod split), so min/max stats cannot discriminate — only
@@ -479,6 +505,10 @@ object GraftQueries {
       Some("""SELECT lang, source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
              |FROM documents WHERE lang IN ('de','zh')
              |GROUP BY lang, source ORDER BY lang, source""".stripMargin)),
+    QDef("q_graft_struct", graftStruct,
+      Some("""SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+             |FROM documents WHERE lang = 'de' AND n_chars >= 300
+             |GROUP BY source ORDER BY source""".stripMargin)),
     QDef("q_graft_bloom", graftBloom,
       Some("""SELECT p_partkey, p_name, p_brand, round(p_retailprice,2) AS price
              |FROM part WHERE p_partkey IN (17, 118, 219, 1020)

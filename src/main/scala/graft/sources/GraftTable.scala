@@ -1266,7 +1266,16 @@ class GraftTable private (
       id: Long, added: Seq[FileMeta], indexDirs: Seq[String] = Seq.empty,
       changelogDir: Option[String] = None): Boolean =
     try !fs.exists(new Path(root, s"$snapDirRel/snap-$id.json")) || {
-      val snap = readSnapshot(id)
+      val snap =
+        try readSnapshot(id)
+        catch {
+          // an UNPARSEABLE snap-id cannot be OUR publish (the rename is
+          // atomic and the body validated) and references nothing —
+          // cleaning our staged files is safe
+          case _: com.fasterxml.jackson.core.JacksonException => return true
+          case e @ (_: IllegalStateException | _: IllegalArgumentException)
+              if String.valueOf(e.getMessage).contains("corrupt snapshot") => return true
+        }
       val ourFiles = added.map(_.path).toSet
       val ourIdx = indexDirs.toSet
       !(filesOf(snap).exists(f => ourFiles.contains(f.path)) ||
