@@ -197,6 +197,51 @@ object GraftQueries {
       .orderBy("l_orderkey")
   }
 
+  /** customers through the read-optimized `$ro` surface (S60): a
+    * dynamic-bucket PK table takes a base upsert plus an update wave
+    * (every 7th key), then a FULL compact folds every (partition,
+    * bucket) group — `$ro` serves the folded files merge-free and must
+    * equal the oracle's replay of the update over raw customer. A
+    * post-compact THIRD upsert then makes `$ro` deliberately stale;
+    * the query reads `$ro` BEFORE that write, so the oracle stays the
+    * two-commit state (the staleness contract is spec-pinned in
+    * ReadOptimizedSpec; here the driver proves the fold itself). */
+  private def graftRo(s: SparkSession, d: String): DataFrame = {
+    val c = T.customer(s, d).select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+    val t = GraftTable.create(s, tmpRoot("roq"), c.schema,
+      primaryKeys = Seq("c_custkey"),
+      options = Map("bucket" -> "-1", "dynamic-bucket.target-row-num" -> "256"))
+    t.upsert(c)
+    t.upsert(c.filter(col("c_custkey") % 7 === 0)
+      .withColumn("c_acctbal", col("c_acctbal") + lit(1000.0)))
+    t.compact()
+    t.readOptimized()
+      .filter(col("c_custkey") <= 300)
+      .select(col("c_custkey"), col("c_nationkey"),
+        round(col("c_acctbal"), 2).as("bal"))
+      .orderBy("c_custkey")
+  }
+
+  /** orders through a WHERE-targeted compaction (S30+S40 composition,
+    * Paimon's `CALL sys.compact(table, where)`): a status-partitioned
+    * table takes three pmod-split commits, then compactPartitions folds
+    * ONLY status 'O'; the full per-status rollup afterwards must equal
+    * the oracle's plain aggregate over raw orders — the targeted rewrite
+    * neither drops, duplicates, nor leaks rows in either the folded or
+    * the untouched partitions. */
+  private def graftCompactWhere(s: SparkSession, d: String): DataFrame = {
+    val o = T.orders(s, d).select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val t = GraftTable.create(s, tmpRoot("cmpwq"), o.schema,
+      partitionKeys = Seq("o_orderstatus"))
+    val part = pmod(col("o_orderkey"), lit(3))
+    (0 until 3).foreach(i => t.append(o.filter(part === i)))
+    t.compactPartitions(col("o_orderstatus") === "O")
+    t.read()
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("s"))
+      .orderBy("status")
+  }
+
   /** documents through the native SHOW PARTITIONS surface (S57,
     * SupportsPartitionManagement): stage a lang-partitioned table via
     * the SQL catalog, list its partitions with SHOW PARTITIONS (a
@@ -505,6 +550,16 @@ object GraftQueries {
       Some("""SELECT lang, source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
              |FROM documents WHERE lang IN ('de','zh')
              |GROUP BY lang, source ORDER BY lang, source""".stripMargin)),
+    QDef("q_graft_ro", graftRo,
+      Some("""SELECT c_custkey, c_nationkey,
+             |  round(CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 1000.0
+             |             ELSE c_acctbal END, 2) AS bal
+             |FROM customer WHERE c_custkey <= 300
+             |ORDER BY c_custkey""".stripMargin)),
+    QDef("q_graft_compact_where", graftCompactWhere,
+      Some("""SELECT o_orderstatus AS status, count(*) AS n,
+             |  round(sum(o_totalprice), 2) AS s
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
     QDef("q_graft_struct", graftStruct,
       Some("""SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
              |FROM documents WHERE lang = 'de' AND n_chars >= 300

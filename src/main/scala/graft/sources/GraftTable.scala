@@ -1018,15 +1018,19 @@ class GraftTable private (
     require(changelogProducer != "full-compaction" || !isPkTable,
       "changelog-producer=full-compaction diffs the WHOLE merged state — " +
         "use compact() so the changelog stays complete")
-    val refs = org.apache.spark.sql.graft.Bridge.expression(where).collect {
-      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => u.name
-      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference => a.name
-    }.toSet
-    require(refs.nonEmpty && refs.subsetOf(partitionKeys.toSet),
-      s"compaction filter may reference partition keys only " +
-        s"(${partitionKeys.mkString(",")}); got: ${refs.mkString(",")}")
     val base = latestSnapshotId.getOrElse(0L)
-    val targeted = pruneFiles(filesAt(base), Some(where))
+    // the reference rule is enforced by ANALYSIS: pruneFiles evaluates
+    // the predicate against a partition-columns-only frame, so any
+    // non-partition reference fails resolution there (a Column's
+    // expression tree is a lazily-converted node — not introspectable)
+    val targeted =
+      try pruneFiles(filesAt(base), Some(where))
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalArgumentException(
+            "compaction filter may reference partition keys only " +
+              s"(${partitionKeys.mkString(",")}): ${e.getMessage}")
+      }
     require(targeted.nonEmpty, "no files match the compaction filter")
     var merged = recordExpire(
       read(snapshotId = Some(base).filter(_ > 0), partitionFilter = Some(where))
