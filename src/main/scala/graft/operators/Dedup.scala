@@ -130,8 +130,16 @@ object Dedup {
     * rows of (long,long,string), never whole documents. Same value as
     * the array formulation (the oracle keeps the array form). */
   private[operators] def verifyJaccard(cand: DataFrame, docs: DataFrame): DataFrame = {
-    val ex = docs.select(col("doc_id"), explode(col("sh")).as("g"))
-    val sizes = docs.select(col("doc_id"), size(col("sh")).as("sz"))
+    // verification is CANDIDATE-ONLY all the way down: semi-join the
+    // corpus to the candidate id set BEFORE exploding — otherwise the
+    // whole exploded corpus shuffles into the d1 join just to be
+    // filtered there (measured 8.8x of the sf1 pair stage; at 100 TB
+    // candidates ≪ corpus is the whole point of candidate generation)
+    val ids = cand.select(col("d1").as("doc_id"))
+      .union(cand.select(col("d2").as("doc_id"))).distinct()
+    val cdocs = docs.join(ids, Seq("doc_id"), "left_semi")
+    val ex = cdocs.select(col("doc_id"), explode(col("sh")).as("g"))
+    val sizes = cdocs.select(col("doc_id"), size(col("sh")).as("sz"))
     val inter = cand
       .join(ex.select(col("doc_id").as("d1"), col("g")), "d1")
       .join(ex.select(col("doc_id").as("d2"), col("g")), Seq("d2", "g"))
