@@ -135,7 +135,11 @@ object FileStats {
       val totalRows = reader.getNumberOfRows
       val names = root.getFieldNames.asScala.toSeq
       val children = root.getChildren.asScala.toSeq
-      val stats = names.zip(children).flatMap { case (name, child) =>
+      // struct children recurse under the parquet dotted-path rendering
+      // (r.f) so ORC tables get the same nested-leaf skipping; ORC's
+      // per-column value counts exclude rows where an ancestor struct is
+      // null, so nullCount matches Spark's `r.f IS NULL` like parquet's
+      def walk(name: String, child: org.apache.orc.TypeDescription): Seq[(String, ColStats)] = {
         val s: OrcStats = all(child.getId)
         val mm: Option[(String, String)] = s match {
           case i: IntegerColumnStatistics =>
@@ -151,12 +155,20 @@ object FileStats {
             Some((dt.getMinimumDayOfEpoch.toString, dt.getMaximumDayOfEpoch.toString))
           case _ => None
         }
-        if (s.getNumberOfValues == 0 && totalRows > 0)
-          Some(name -> ColStats(null, null, totalRows)) // all-null column (S39)
-        else mm.filter(_ => s.getNumberOfValues > 0).map { case (mn, mx) =>
-          name -> ColStats(mn, mx, totalRows - s.getNumberOfValues)
-        }
-      }.toMap
+        val own: Option[(String, ColStats)] =
+          if (s.getNumberOfValues == 0 && totalRows > 0)
+            Some(name -> ColStats(null, null, totalRows)) // all-null column (S39)
+          else mm.filter(_ => s.getNumberOfValues > 0).map { case (mn, mx) =>
+            name -> ColStats(mn, mx, totalRows - s.getNumberOfValues)
+          }
+        val nested =
+          if (child.getCategory == org.apache.orc.TypeDescription.Category.STRUCT)
+            child.getFieldNames.asScala.toSeq.zip(child.getChildren.asScala.toSeq)
+              .flatMap { case (fn, fc) => walk(s"$name.$fn", fc) }
+          else Seq.empty
+        own.toSeq ++ nested
+      }
+      val stats = names.zip(children).flatMap { case (n, c) => walk(n, c) }.toMap
       FileFooter(stats, totalRows)
     } finally reader.close()
   }

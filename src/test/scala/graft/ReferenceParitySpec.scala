@@ -308,29 +308,32 @@ class ReferenceParitySpec extends AnyFunSuite {
   }
 
   test("struct-leaf predicates skip files via MANIFEST min/max (no index, no rule): " +
-    "parquet footers record nested leaf stats under the dotted path") {
-    val dir = TestSpark.tmpDir("ref_row_stats")
-    val schema = StructType(Seq(
-      StructField("i1", IntegerType),
-      StructField("r", StructType(Seq(
-        StructField("name", StringType), StructField("score", IntegerType))))))
-    val t = GraftTable.create(spark, dir, schema) // NO file index configured
-    def row(i: Int, n: String, s: Int) = Seq((i, n, s)).toDF("i1", "n", "s")
-      .select(col("i1"), struct(col("n").as("name"), col("s").as("score")).as("r"))
-    t.append(row(1, "aa", 5))
-    t.append(row(2, "mm", 50))
-    t.append(row(3, "zz", 900))
-    def run(cond: org.apache.spark.sql.Column): (Seq[Int], Int) = {
-      val df = spark.read.format("graft").load(dir).filter(cond)
-      val rows = df.collect().map(_.getInt(0)).toSeq.sorted
-      val m = "files=(\\d+)/3".r.findFirstMatchIn(df.queryExecution.executedPlan.toString)
-      (rows, m.get.group(1).toInt)
+    "parquet AND orc footers record nested leaf stats under the dotted path") {
+    for (fmt <- Seq("parquet", "orc")) {
+      val dir = TestSpark.tmpDir(s"ref_row_stats_$fmt")
+      val schema = StructType(Seq(
+        StructField("i1", IntegerType),
+        StructField("r", StructType(Seq(
+          StructField("name", StringType), StructField("score", IntegerType))))))
+      val t = GraftTable.create(spark, dir, schema, // NO file index configured
+        options = Map("file.format" -> fmt))
+      def row(i: Int, n: String, s: Int) = Seq((i, n, s)).toDF("i1", "n", "s")
+        .select(col("i1"), struct(col("n").as("name"), col("s").as("score")).as("r"))
+      t.append(row(1, "aa", 5))
+      t.append(row(2, "mm", 50))
+      t.append(row(3, "zz", 900))
+      def run(cond: org.apache.spark.sql.Column): (Seq[Int], Int) = {
+        val df = spark.read.format("graft").load(dir).filter(cond)
+        val rows = df.collect().map(_.getInt(0)).toSeq.sorted
+        val m = "files=(\\d+)/3".r.findFirstMatchIn(df.queryExecution.executedPlan.toString)
+        (rows, m.get.group(1).toInt)
+      }
+      assert(run(col("r").getField("score") > 100) == ((Seq(3), 1)),
+        s"$fmt: integral leaf range should manifest-prune to 1/3")
+      assert(run(col("r").getField("name") === "mm") == ((Seq(2), 1)),
+        s"$fmt: string leaf equality should manifest-prune to 1/3 (ASCII min/max)")
+      assert(run(col("r").getField("score") <= 5) == ((Seq(1), 1)), s"$fmt")
     }
-    assert(run(col("r").getField("score") > 100) == ((Seq(3), 1)),
-      "integral leaf range should manifest-prune to 1/3")
-    assert(run(col("r").getField("name") === "mm") == ((Seq(2), 1)),
-      "string leaf equality should manifest-prune to 1/3 (ASCII min/max)")
-    assert(run(col("r").getField("score") <= 5) == ((Seq(1), 1)))
   }
 
   test("range filters on subscripts (ref session property's namesake): " +
