@@ -66,14 +66,21 @@ object BitmapIndex {
     case b: java.lang.Boolean => Some(if (b) "true" else "false")
     case n @ (_: java.lang.Integer | _: java.lang.Long |
               _: java.lang.Short | _: java.lang.Byte) => Some(n.toString)
+    // DateType: the write side sees the Catalyst epoch-day Int (covered
+    // above); predicate literals arrive EXTERNAL and normalize to the
+    // same epoch-day rendering
+    case d: java.sql.Date => Some(d.toLocalDate.toEpochDay.toString)
+    case d: java.time.LocalDate => Some(d.toEpochDay.toString)
     case _ => None
   }
 
-  /** Column data types the index supports (scalar, exact rendering). */
+  /** Column data types the index supports (scalar, exact rendering).
+    * DateType keys render as epoch-day integers on both sides. */
   def supportedType(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
     case org.apache.spark.sql.types.StringType | org.apache.spark.sql.types.BooleanType |
          org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
-         org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType => true
+         org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType |
+         org.apache.spark.sql.types.DateType => true
     case _: org.apache.spark.sql.types.CharType | _: org.apache.spark.sql.types.VarcharType => true
     case _ => false
   }
@@ -260,6 +267,13 @@ object BitmapIndex {
     case n @ (_: java.lang.Integer | _: java.lang.Long |
               _: java.lang.Short | _: java.lang.Byte) =>
       try Some(java.lang.Long.compare(k.toLong, n.asInstanceOf[Number].longValue))
+      catch { case _: NumberFormatException => None }
+    // date bounds order by epoch day — the key rendering
+    case d: java.sql.Date =>
+      try Some(java.lang.Long.compare(k.toLong, d.toLocalDate.toEpochDay))
+      catch { case _: NumberFormatException => None }
+    case d: java.time.LocalDate =>
+      try Some(java.lang.Long.compare(k.toLong, d.toEpochDay))
       catch { case _: NumberFormatException => None }
     case s: String =>
       Some(org.apache.spark.unsafe.types.UTF8String.fromString(k)

@@ -248,6 +248,34 @@ class BitmapIndexSpec extends AnyFunSuite {
     assert(claimed().filter($"score" < 10).count() == 1200L)
   }
 
+  test("S55p: DATE columns index, prune and range-claim via epoch-day keys") {
+    val path = TestSpark.tmpDir("bmdate")
+    val t = GraftTable.create(spark, path,
+      StructType(Seq(StructField("id", LongType), StructField("dt", DateType))),
+      options = Map("file-index.bitmap.columns" -> "dt"))
+    def day(s: String) = java.sql.Date.valueOf(s)
+    // three files with disjoint date sets
+    t.append(Seq((1L, day("2024-01-01")), (2L, day("2024-01-02"))).toDF("id", "dt").coalesce(1))
+    t.append(Seq((3L, day("2024-02-10")), (4L, day("2024-02-11"))).toDF("id", "dt").coalesce(1))
+    t.append(Seq((5L, day("2024-03-20"))).toDF("id", "dt").coalesce(1))
+    // equality prunes to the one file holding the date (exact-skip path)
+    val eq = spark.read.format("graft").load(path).filter($"dt" === day("2024-02-10"))
+    assert(plannedOfTotal(eq) == ((1, 3)))
+    assert(eq.collect().map(_.getLong(0)).toSeq == Seq(3L))
+    // claimed range (BETWEEN = its two halves) masks exactly, counts from
+    // sidecars, and matches the unclaimed read
+    val want = spark.read.format("graft").load(path)
+      .filter($"dt".between(day("2024-01-02"), day("2024-02-10")))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val claimed = spark.read.format("graft").option("bitmap.claim-filters", "true").load(path)
+      .filter($"dt".between(day("2024-01-02"), day("2024-02-10")))
+    assert(claimed.collect().map(_.getLong(0)).sorted.toSeq == want && want == Seq(2L, 3L))
+    val cnt = spark.read.format("graft").option("bitmap.claim-filters", "true").load(path)
+      .filter($"dt" >= day("2024-02-01")).agg(count(lit(1)).as("n"))
+    assert(cnt.first().getLong(0) == 3L)
+    assert(cnt.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+  }
+
   test("S55j: grouped claimed COUNT omits zero-match partitions (no phantom rows)") {
     val path = TestSpark.tmpDir("bmgroup")
     val t = GraftTable.create(spark, path,
