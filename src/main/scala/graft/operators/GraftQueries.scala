@@ -242,6 +242,33 @@ object GraftQueries {
       .orderBy("status")
   }
 
+  /** documents through a ROW-TRACKING table (S64, Paimon's
+    * row-tracking.enabled): two sorted single-file appends (even then
+    * odd doc_ids) assign each row a stable `_row_id` = the file's
+    * firstRowId + its physical position, and `_sequence_number` = the
+    * committing snapshot; a dv delete then drops short docs WITHOUT
+    * renumbering survivors (positions are physical). Because the write
+    * order is pinned (one sorted partition per append), the oracle can
+    * REPLAY the id assignment exactly: row_number within each half
+    * (minus 1, plus the even half's count as the odd half's base), ids
+    * computed over ALL rows then filtered — proving assignment,
+    * sequence stamping and dv stability are all exactly the declared
+    * semantics. */
+  private def graftLineage(s: SparkSession, d: String): DataFrame = {
+    val docs = T.documents(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
+    val t = GraftTable.create(s, tmpRoot("rowlin"), docs.schema,
+      options = Map("row-tracking.enabled" -> "true",
+        "deletion-vectors.enabled" -> "true"))
+    t.append(docs.filter(col("doc_id") % 2 === 0)
+      .repartition(1).sortWithinPartitions("doc_id"))
+    t.append(docs.filter(col("doc_id") % 2 =!= 0)
+      .repartition(1).sortWithinPartitions("doc_id"))
+    t.dvDelete(col("n_chars") < 100)
+    t.readWithLineage()
+      .select(col("doc_id"), col("_row_id"), col("_sequence_number"))
+      .orderBy("doc_id")
+  }
+
   /** documents through the native SHOW PARTITIONS surface (S57,
     * SupportsPartitionManagement): stage a lang-partitioned table via
     * the SQL catalog, list its partitions with SHOW PARTITIONS (a
@@ -550,6 +577,18 @@ object GraftQueries {
       Some("""SELECT lang, source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
              |FROM documents WHERE lang IN ('de','zh')
              |GROUP BY lang, source ORDER BY lang, source""".stripMargin)),
+    QDef("q_graft_lineage", graftLineage,
+      Some("""WITH halves AS (
+             |  SELECT doc_id, n_chars, doc_id % 2 AS h,
+             |    row_number() OVER (PARTITION BY doc_id % 2 ORDER BY doc_id) - 1 AS rn
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CAST(rn + CASE WHEN h = 1
+             |    THEN (SELECT count(*) FROM documents WHERE doc_id % 2 = 0)
+             |    ELSE 0 END AS BIGINT) AS "_row_id",
+             |  CAST(CASE WHEN h = 0 THEN 1 ELSE 2 END AS BIGINT) AS "_sequence_number"
+             |FROM halves WHERE n_chars >= 100
+             |ORDER BY doc_id""".stripMargin)),
     QDef("q_graft_ro", graftRo,
       Some("""SELECT c_custkey, c_nationkey,
              |  round(CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 1000.0

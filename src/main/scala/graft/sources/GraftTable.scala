@@ -39,7 +39,14 @@ final case class FileMeta(
     // without the MOR merge (Paimon's max-level contract; the `$ro`
     // read-optimized table serves exactly the live compacted files).
     // Boxed/nullable for the same legacy-manifest reason as rowCount.
-    compacted: java.lang.Boolean = null) {
+    compacted: java.lang.Boolean = null,
+    // S64 row tracking: stable row id of this file's FIRST row (row i
+    // holds id firstRowId + i — Paimon's firstRowId contract), and the
+    // snapshot id whose commit wrote these rows (the row's
+    // _sequence_number). Assigned once at commit; preserved verbatim
+    // when a file is re-added (rollback). Null = tracking off.
+    firstRowId: java.lang.Long = null,
+    rowSeq: java.lang.Long = null) {
   /** null-safe (snapshots written before stats existed). */
   def statsOrEmpty: Map[String, ColStats] = Option(stats).getOrElse(Map.empty)
   def rowCountOpt: Option[Long] = Option(rowCount).map(_.longValue)
@@ -104,7 +111,14 @@ final case class SnapshotMeta(
     // Monotonic: a commit that supplies none inherits the base
     // snapshot's, so maintenance commits (compaction, expiry) never
     // regress the table's watermark. Null = no writer ever stamped one.
-    watermark: java.lang.Long = null)
+    watermark: java.lang.Long = null,
+    // S64 row tracking (Paimon row-tracking.enabled / Snapshot's
+    // nextRowId): first row id NOT yet assigned — commits with
+    // row tracking on allocate [nextRowId, nextRowId + rows) to their
+    // added files and advance it. Inherited monotonically; ids are never
+    // reused (a rollback's re-adds keep their original ranges). Null =
+    // tracking never enabled on this history.
+    nextRowId: java.lang.Long = null)
 
 final case class SchemaMeta(
     id: Long,
@@ -248,6 +262,19 @@ class GraftTable private (
     * `full-compaction` (S52) — changelog materializes only at
     * [[compact]] time by diffing the merged state before/after, the
     * zero-write-cost / compaction-latency trade. */
+  /** S64 row tracking (Paimon's row-tracking.enabled): APPEND tables
+    * only (a PK table's MOR fold re-homes row versions — ids would not
+    * be stable), parquet only (the lineage read derives positions from
+    * parquet's native `_metadata.row_index`). */
+  private[sources] def rowTracking: Boolean = {
+    val on = options.get("row-tracking.enabled").exists(_.toBoolean)
+    if (on) {
+      require(!isPkTable, "row-tracking.enabled requires an append (non-PK) table")
+      require(fileFormat == "parquet", "row tracking requires file.format=parquet")
+    }
+    on
+  }
+
   private[sources] def changelogProducer: String = {
     val p = options.getOrElse("changelog-producer", "none")
     require(p == "none" || p == "input" || p == "lookup" || p == "full-compaction",
@@ -611,9 +638,35 @@ class GraftTable private (
             else Seq(writeManifest(base.files.map(ManifestEntry(ManifestEntry.Add, _))))
           else Option(base.manifests).getOrElse(Seq.empty)
         }
+      // S64 row-id assignment: allocate [nextRowId, nextRowId + rows) to
+      // this commit's fresh files (re-adds — rollback — keep their
+      // original ranges; ids are never reused) and stamp the committing
+      // snapshot as their rows' sequence number. Non-tracking commits
+      // still inherit the counter so toggling the option never reuses
+      // an id range.
+      val baseNextRowId: Option[Long] =
+        if (id <= 1) None
+        else scala.util.Try(readSnapshot(id - 1)).toOption
+          .flatMap(s => Option(s.nextRowId)).map(_.longValue)
+      val (added2, nextRowIdOut): (Seq[FileMeta], java.lang.Long) =
+        if (!rowTracking) (added, baseNextRowId.map(Long.box).orNull)
+        else {
+          var cur = baseNextRowId.getOrElse(0L)
+          val out = added.map { f =>
+            if (f.firstRowId != null) f
+            else {
+              val n = f.rowCountOpt.getOrElse(throw new IllegalStateException(
+                s"row tracking requires per-file row counts (missing on ${f.path})"))
+              val a = f.copy(firstRowId = Long.box(cur), rowSeq = Long.box(id))
+              cur += n
+              a
+            }
+          }
+          (out, Long.box(cur))
+        }
       val delta: Seq[ManifestEntry] =
         deleted.map(ManifestEntry(ManifestEntry.Delete, _)) ++
-          added.map(ManifestEntry(ManifestEntry.Add, _))
+          added2.map(ManifestEntry(ManifestEntry.Add, _))
       var chain = if (delta.isEmpty) baseChain else baseChain :+ writeManifest(delta)
       if (chain.length >= manifestMergeMinCount)
         chain = Seq(writeManifest(resolveChain(chain).map(ManifestEntry(ManifestEntry.Add, _))))
@@ -633,7 +686,8 @@ class GraftTable private (
           else if (id <= 1) null
           else scala.util.Try(readSnapshot(id - 1)).toOption
             .map(_.lastChangelog).orNull,
-        watermark = effWatermark.map(Long.box).orNull)
+        watermark = effWatermark.map(Long.box).orNull,
+        nextRowId = nextRowIdOut)
       val tmp = new Path(root, s"$snapDirRel/.tmp-$id-${UUID.randomUUID().toString.take(8)}")
       writeString(fs, tmp, mapper.writeValueAsString(snap))
       if (!fs.rename(tmp, dst)) {
@@ -959,6 +1013,10 @@ class GraftTable private (
       zorderBy: Seq[String] = Seq.empty,
       partitions: Int = 0): Long = {
     require(sortBy.isEmpty || zorderBy.isEmpty, "use sortBy OR zorderBy, not both")
+    require(!rowTracking,
+      "compaction rewrites rows and would re-home their stable ids — not " +
+        "supported on a row-tracking table (dv deletes and partition drops " +
+        "are the id-stable maintenance paths)")
     val base = latestSnapshotId.getOrElse(0L)
     // S56: expired rows leave the table through this rewrite; with
     // changelog-producer=full-compaction they surface as -D diffs below
@@ -1011,6 +1069,9 @@ class GraftTable private (
     * partial rewrite could outrank versions left elsewhere (the
     * compactBuckets rule). */
   def compactPartitions(where: Column): Long = {
+    require(!rowTracking,
+      "compaction rewrites rows and would re-home their stable ids — not " +
+        "supported on a row-tracking table")
     require(partitionKeys.nonEmpty, "targeted compaction requires a partitioned table")
     require(!isPkTable || partitionPruneSafe,
       "targeted compaction on a primary-key table requires partition keys " +
@@ -1128,6 +1189,9 @@ class GraftTable private (
     * reads of pre-rescale snapshots stay claim-less forever for the
     * same reason). */
   def rescaleBucket(newBuckets: Int): Long = {
+    require(!rowTracking,
+      "rescale rewrites rows and would re-home their stable ids — not " +
+        "supported on a row-tracking table")
     require(newBuckets >= 1, s"bucket count must be >= 1 (got $newBuckets)")
     require(!isDynamicBucket,
       "rescale does not apply to dynamic-bucket tables (bucket = -1 " +
@@ -1596,8 +1660,13 @@ class GraftTable private (
     * their rewritten replacements (group-based copy-on-write UPDATE /
     * MERGE / DELETE — see GraftRowLevelOperation). */
   private[sources] def commitReplace(
-      added: Seq[FileMeta], deleted: Seq[FileMeta], base: Long): Long =
+      added: Seq[FileMeta], deleted: Seq[FileMeta], base: Long): Long = {
+    require(!rowTracking,
+      "row-level rewrites (UPDATE / MERGE / rewrite-DELETE) re-home rows " +
+        "and would break their stable ids — not supported on a " +
+        "row-tracking table (use dv deletes / whole-partition ops)")
     commitAt(base + 1, "OVERWRITE", added, deleted = deleted)
+  }
 
   /** Streaming-sink entry: append/upsert one micro-batch tagged with
     * (queryId, batchId); a batch already committed under the same tag is
@@ -2311,6 +2380,53 @@ class GraftTable private (
     * cheap-and-stale leg of a lambda read (batch analytics off `$ro`,
     * exact reads off the merging scan). Non-PK tables are already
     * merge-free: `$ro` = the plain read. */
+  /** S64 row lineage read (Paimon's row-tracking metadata): the table's
+    * rows plus `_row_id` (stable id = the file's firstRowId + the row's
+    * physical position, from parquet's native `_metadata.row_index`) and
+    * `_sequence_number` (the snapshot whose commit wrote the row).
+    * DV deletes keep survivors' positions — ids are stable under them —
+    * and whole-file ops (partition drop, expiry of superseded state)
+    * never renumber; the rewriting maintenance paths are refused on
+    * row-tracking tables. Per-file bases join in via one broadcast of
+    * O(files) rows — zero extra shuffle at any scale. */
+  def readWithLineage(snapshotId: Option[Long] = None): DataFrame = {
+    require(rowTracking, "row lineage requires row-tracking.enabled")
+    val files = planFiles(snapshotId)
+    val lineageSchema = StructType(schema.fields ++ Seq(
+      StructField("_row_id", LongType), StructField("_sequence_number", LongType)))
+    if (files.isEmpty)
+      return spark.createDataFrame(new java.util.ArrayList[Row](), lineageSchema)
+    require(files.forall(f => f.firstRowId != null && f.rowSeq != null),
+      "file(s) predate row tracking — enable row-tracking.enabled at table creation")
+    import spark.implicits._
+    def nameOf(rel: String) = rel.substring(rel.lastIndexOf('/') + 1)
+    val lkDf = broadcast(
+      spark.createDataset(files.map(f =>
+        (nameOf(f.path), f.firstRowId.longValue, f.rowSeq.longValue)))
+        .toDF("__gfile", "__gbase", "__gseq"))
+    val paths = files.map(f => s"${root.stripSuffix("/")}/${f.path}")
+    var raw = spark.read
+      .option("basePath", s"${root.stripSuffix("/")}/data")
+      .schema(fileSchema).format(fileFormat).load(paths: _*)
+      .withColumn("__gfile", substring_index(col("_metadata.file_path"), "/", -1))
+      .withColumn("__gpos", col("_metadata.row_index"))
+    val dvFiles = files.filter(_.hasDv)
+    if (dvFiles.nonEmpty) {
+      val serConf = new org.apache.spark.util.SerializableConfiguration(hadoopConf)
+      val rootStr = root
+      val posDf = spark.createDataset(dvFiles.map(f => (nameOf(f.path), f.dvPath)))
+        .flatMap { case (fname, dv) =>
+          DeletionVector.read(serConf.value, rootStr, dv).map(p => (fname, p))
+        }
+        .toDF("__gfile", "__gpos")
+      raw = raw.join(posDf, Seq("__gfile", "__gpos"), "left_anti")
+    }
+    raw.join(lkDf, Seq("__gfile"))
+      .withColumn("_row_id", col("__gbase") + col("__gpos"))
+      .withColumn("_sequence_number", col("__gseq"))
+      .select(schema.fieldNames.map(col).toSeq :+ col("_row_id") :+ col("_sequence_number"): _*)
+  }
+
   def readOptimized(): DataFrame = {
     if (!isPkTable) return read()
     val files = currentFiles(None).filter(_.isCompacted)
@@ -2648,6 +2764,7 @@ class GraftTable private (
         }.toDF("branch_name", "cut_snapshot_id", "head_snapshot_id")
       case "audit_log" => auditLog()
       case "ro" => readOptimized()
+      case "row_lineage" => readWithLineage()
       case other => throw new IllegalArgumentException(s"unknown system table: $other")
     }
   }

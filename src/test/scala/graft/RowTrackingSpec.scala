@@ -1,0 +1,110 @@
+package graft
+
+import graft.sources.GraftTable
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SURVEY §2.1 S64 — row tracking (Paimon's `row-tracking.enabled` /
+  * row lineage): append tables assign each row a STABLE `_row_id`
+  * (file firstRowId + physical position) and a `_sequence_number` (the
+  * committing snapshot) at commit time; ids survive dv deletes,
+  * whole-file ops and rollbacks, and are never reused. Rewriting
+  * maintenance (compact / rescale / row-level rewrites) is refused.
+  */
+class RowTrackingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("v", StringType)))
+
+  private def mk(name: String, extra: Map[String, String] = Map.empty): GraftTable =
+    GraftTable.create(spark, TestSpark.tmpDir(name), schema,
+      options = Map("row-tracking.enabled" -> "true") ++ extra)
+
+  private def lineage(t: GraftTable, snap: Option[Long] = None): Seq[(Long, String, Long, Long)] =
+    t.readWithLineage(snap).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._3).toSeq
+
+  test("S64a: appends assign dense, unique, stable ids; nextRowId advances") {
+    val t = mk("rt-basic")
+    t.append(Seq((10L, "a"), (11L, "b"), (12L, "c")).toDF("id", "v").coalesce(1))
+    t.append(Seq((20L, "d"), (21L, "e")).toDF("id", "v").coalesce(1))
+    val rows = lineage(t)
+    assert(rows.map(_._3) == Seq(0L, 1L, 2L, 3L, 4L), s"ids not dense: $rows")
+    // sequence number = the committing snapshot
+    assert(rows.filter(_._3 < 3).forall(_._4 == 1L))
+    assert(rows.filter(_._3 >= 3).forall(_._4 == 2L))
+    assert(Option(t.snapshots.last.nextRowId).map(_.longValue).contains(5L))
+    // stability: a second read returns the identical (row → id) mapping
+    assert(lineage(t) == rows)
+    // the system-table surface serves the same frame
+    assert(t.system("row_lineage").collect().length == 5)
+  }
+
+  test("S64b: dv deletes keep survivors' ids (positions are physical)") {
+    val t = mk("rt-dv", Map("deletion-vectors.enabled" -> "true"))
+    t.append((0L until 10L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1))
+    val before = lineage(t).map(r => r._1 -> r._3).toMap
+    t.dvDelete(col("id") % 3 === 0)
+    val after = lineage(t)
+    assert(after.map(_._1).sorted == (0L until 10L).filter(_ % 3 != 0).sorted)
+    after.foreach { case (id, _, rid, _) =>
+      assert(before(id) == rid, s"row $id renumbered by a dv delete")
+    }
+  }
+
+  test("S64c: time travel serves the lineage as of the snapshot") {
+    val t = mk("rt-tt")
+    val s1 = t.append(Seq((1L, "a")).toDF("id", "v").coalesce(1))
+    t.append(Seq((2L, "b")).toDF("id", "v").coalesce(1))
+    assert(lineage(t, Some(s1)).map(_._3) == Seq(0L))
+    assert(lineage(t).map(_._3) == Seq(0L, 1L))
+  }
+
+  test("S64d: rollback keeps original ranges; later appends never reuse ids") {
+    val t = mk("rt-rb")
+    val s1 = t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1))
+    t.append(Seq((3L, "c")).toDF("id", "v").coalesce(1))
+    t.rollbackTo(s1)
+    assert(lineage(t).map(_._3) == Seq(0L, 1L))
+    // the counter survives the rollback: fresh rows continue past the
+    // retired range instead of re-issuing id 2
+    t.append(Seq((4L, "d")).toDF("id", "v").coalesce(1))
+    assert(lineage(t).map(_._3) == Seq(0L, 1L, 3L))
+  }
+
+  test("S64e: overwrite retires old ids and assigns fresh ones") {
+    val t = mk("rt-ow")
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1))
+    t.overwriteAll(Seq((9L, "z")).toDF("id", "v").coalesce(1))
+    val rows = lineage(t)
+    assert(rows.map(_._3) == Seq(2L), s"overwrite rows must get FRESH ids: $rows")
+  }
+
+  test("S64f: rewriting maintenance and incompatible table shapes are refused") {
+    val t = mk("rt-refuse")
+    t.append(Seq((1L, "a")).toDF("id", "v"))
+    intercept[IllegalArgumentException](t.compact())
+    intercept[IllegalArgumentException](t.compactPartitions(lit(true)))
+    intercept[IllegalArgumentException](t.rescaleBucket(4))
+    // PK and non-parquet tables cannot enable tracking
+    val pk = GraftTable.create(spark, TestSpark.tmpDir("rt-pk"), schema,
+      primaryKeys = Seq("id"), options = Map("row-tracking.enabled" -> "true"))
+    intercept[IllegalArgumentException](pk.upsert(Seq((1L, "a")).toDF("id", "v")))
+    val orc = GraftTable.create(spark, TestSpark.tmpDir("rt-orc"), schema,
+      options = Map("row-tracking.enabled" -> "true", "file.format" -> "orc"))
+    intercept[IllegalArgumentException](orc.append(Seq((1L, "a")).toDF("id", "v")))
+  }
+
+  test("S64g: multi-file commits number files deterministically and densely") {
+    val t = mk("rt-multi")
+    // one commit, several tasks/files — every row id in [0, n) exactly once
+    t.append((0L until 200L).map(i => (i, s"v$i")).toDF("id", "v").repartition(8))
+    val ids = lineage(t).map(_._3)
+    assert(ids.sorted == (0L until 200L))
+    assert(Option(t.snapshots.last.nextRowId).map(_.longValue).contains(200L))
+  }
+}
