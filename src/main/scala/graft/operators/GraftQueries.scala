@@ -264,6 +264,10 @@ object GraftQueries {
     t.append(docs.filter(col("doc_id") % 2 =!= 0)
       .repartition(1).sortWithinPartitions("doc_id"))
     t.dvDelete(col("n_chars") < 100)
+    // the fold rewrites every surviving row (dv applied, order re-binned)
+    // with MATERIALIZED lineage columns — the oracle's replayed ids must
+    // still match exactly after it
+    t.compact()
     t.readWithLineage()
       .select(col("doc_id"), col("_row_id"), col("_sequence_number"))
       .orderBy("doc_id")

@@ -653,7 +653,9 @@ class GraftTable private (
         else {
           var cur = baseNextRowId.getOrElse(0L)
           val out = added.map { f =>
-            if (f.firstRowId != null) f
+            // compacted files carry MATERIALIZED __row_id/__row_seq
+            // columns — no positional assignment (and no fresh ids)
+            if (f.firstRowId != null || f.isCompacted) f
             else {
               val n = f.rowCountOpt.getOrElse(throw new IllegalStateException(
                 s"row tracking requires per-file row counts (missing on ${f.path})"))
@@ -1013,15 +1015,22 @@ class GraftTable private (
       zorderBy: Seq[String] = Seq.empty,
       partitions: Int = 0): Long = {
     require(sortBy.isEmpty || zorderBy.isEmpty, "use sortBy OR zorderBy, not both")
-    require(!rowTracking,
-      "compaction rewrites rows and would re-home their stable ids — not " +
-        "supported on a row-tracking table (dv deletes and partition drops " +
-        "are the id-stable maintenance paths)")
     val base = latestSnapshotId.getOrElse(0L)
     // S56: expired rows leave the table through this rewrite; with
     // changelog-producer=full-compaction they surface as -D diffs below
     // (downstream replicas see the expiry as ordinary deletions)
-    var merged = recordExpire(read(snapshotId = Some(base).filter(_ > 0)))
+    // S64: a row-tracking fold MATERIALIZES each surviving row's id and
+    // sequence as physical __row_id/__row_seq columns in the rewritten
+    // files (ids travel with rows through any re-sort/re-binning; the
+    // lineage read prefers stored columns over positional derivation),
+    // so compaction — incl. record-level expire and dv application —
+    // never renumbers a row.
+    var merged =
+      if (rowTracking)
+        recordExpire(readWithLineage(Some(base).filter(_ > 0))
+          .withColumnRenamed("_row_id", RowIdCol)
+          .withColumnRenamed("_sequence_number", RowSeqCol))
+      else recordExpire(read(snapshotId = Some(base).filter(_ > 0)))
     val n = if (partitions > 0) partitions else spark.sessionState.conf.numShufflePartitions
     if (zorderBy.nonEmpty) {
       require(zorderBy.length == 2, "z-order clustering takes exactly two columns")
@@ -1047,7 +1056,7 @@ class GraftTable private (
         writeCompactionChangelog(base, merged)
       else None
     val added = stageWrite(merged, rowKind = RowKind.Insert, seq = base + 1,
-      keySort = sortBy.isEmpty && zorderBy.isEmpty)
+      keySort = sortBy.isEmpty && zorderBy.isEmpty, lineage = rowTracking)
     commitOrClean(base + 1, "COMPACT",
       added.files.map(_.copy(compacted = java.lang.Boolean.TRUE)), rebase = true,
       indexDirs = added.indexDirs, changelogDir = changelogDir)
@@ -1987,8 +1996,10 @@ class GraftTable private (
   }
 
   private def stageWrite(
-      df: DataFrame, rowKind: String, seq: Long, keySort: Boolean = true): StagedWrite = {
-    val dataCols = schema.fieldNames.toSeq
+      df: DataFrame, rowKind: String, seq: Long, keySort: Boolean = true,
+      lineage: Boolean = false): StagedWrite = {
+    val lineageCols = if (lineage) Seq(RowIdCol, RowSeqCol) else Seq.empty
+    val dataCols = schema.fieldNames.toSeq ++ lineageCols
     require(dataCols.forall(df.columns.contains),
       s"df missing columns: ${dataCols.filterNot(df.columns.contains).mkString(",")}")
     // a pre-attached __kind column (the lookup changelog-producer path)
@@ -2006,7 +2017,8 @@ class GraftTable private (
     // the table's own readers reject. Safe widenings upcast in place;
     // anything lossy must be cast explicitly by the writer.
     var out = df.select(dataCols.map { c =>
-      val target = schema(c).dataType
+      val target =
+        if (lineageCols.contains(c)) LongType else schema(c).dataType
       val actual = df.schema(c).dataType
       if (actual == target) col(c)
       else {
@@ -2057,7 +2069,10 @@ class GraftTable private (
     if (sortCols.nonEmpty)
       out = out.sortWithinPartitions(sortCols: _*)
     val spec = GraftWrite.spec(spark, this, out.schema, keySorted = doKeySort,
-      dynamicBucketCol = if (isDynamicBucket) Some(GraftTable.DynBucketCol) else None)
+      dynamicBucketCol = if (isDynamicBucket) Some(GraftTable.DynBucketCol) else None,
+      extraDataCols =
+        if (lineage) Seq(StructField(RowIdCol, LongType), StructField(RowSeqCol, LongType))
+        else Seq.empty)
     val files = out.queryExecution.toRdd
       .mapPartitions(GraftWrite.writePartition(spec))
       .collect().flatten.toSeq
@@ -2396,18 +2411,29 @@ class GraftTable private (
       StructField("_row_id", LongType), StructField("_sequence_number", LongType)))
     if (files.isEmpty)
       return spark.createDataFrame(new java.util.ArrayList[Row](), lineageSchema)
-    require(files.forall(f => f.firstRowId != null && f.rowSeq != null),
+    require(files.forall(f =>
+      (f.firstRowId != null && f.rowSeq != null) || f.isCompacted),
       "file(s) predate row tracking — enable row-tracking.enabled at table creation")
     import spark.implicits._
     def nameOf(rel: String) = rel.substring(rel.lastIndexOf('/') + 1)
-    val lkDf = broadcast(
-      spark.createDataset(files.map(f =>
-        (nameOf(f.path), f.firstRowId.longValue, f.rowSeq.longValue)))
-        .toDF("__gfile", "__gbase", "__gseq"))
+    // appended files derive ids positionally from their (firstRowId,
+    // rowSeq); COMPACTED files read their materialized __row_id/__row_seq
+    // columns instead (null bases; parquet returns null for the absent
+    // physical columns of appended files — coalesce picks the right leg
+    // per file without per-file branching)
+    val lkRows = files.map(f => Row(nameOf(f.path),
+      Option(f.firstRowId).map(_.longValue).orNull,
+      Option(f.rowSeq).map(_.longValue).orNull))
+    val lkDf = broadcast(spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(lkRows).asJava),
+      StructType(Seq(StructField("__gfile", StringType),
+        StructField("__gbase", LongType), StructField("__gseq", LongType)))))
+    val readSchema = StructType(fileSchema.fields ++ Seq(
+      StructField(RowIdCol, LongType), StructField(RowSeqCol, LongType)))
     val paths = files.map(f => s"${root.stripSuffix("/")}/${f.path}")
     var raw = spark.read
       .option("basePath", s"${root.stripSuffix("/")}/data")
-      .schema(fileSchema).format(fileFormat).load(paths: _*)
+      .schema(readSchema).format(fileFormat).load(paths: _*)
       .withColumn("__gfile", substring_index(col("_metadata.file_path"), "/", -1))
       .withColumn("__gpos", col("_metadata.row_index"))
     val dvFiles = files.filter(_.hasDv)
@@ -2422,8 +2448,8 @@ class GraftTable private (
       raw = raw.join(posDf, Seq("__gfile", "__gpos"), "left_anti")
     }
     raw.join(lkDf, Seq("__gfile"))
-      .withColumn("_row_id", col("__gbase") + col("__gpos"))
-      .withColumn("_sequence_number", col("__gseq"))
+      .withColumn("_row_id", coalesce(col(RowIdCol), col("__gbase") + col("__gpos")))
+      .withColumn("_sequence_number", coalesce(col(RowSeqCol), col("__gseq")))
       .select(schema.fieldNames.map(col).toSeq :+ col("_row_id") :+ col("_sequence_number"): _*)
   }
 
@@ -3482,6 +3508,10 @@ class GraftTable private (
 object GraftTable {
   val SeqCol = "__seq"
   val KindCol = "__kind"
+  // S64: physical lineage columns a row-tracking COMPACT materializes
+  // into rewritten files (appended files derive ids positionally)
+  val RowIdCol = "__row_id"
+  val RowSeqCol = "__row_seq"
   /** S48: write-plan-only column carrying a row's pre-assigned dynamic
     * bucket (never stored in data files). */
   val DynBucketCol = "__bucket"

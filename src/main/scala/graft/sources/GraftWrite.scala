@@ -76,12 +76,15 @@ object GraftWrite {
       spark: SparkSession, table: GraftTable, writeSchema: StructType,
       hiddenSeq: Option[Long] = None, hiddenKind: Option[String] = None,
       dedupKeys: Seq[String] = Seq.empty, keySorted: Boolean = false,
-      dynamicBucketCol: Option[String] = None): GraftWriteSpec = {
+      dynamicBucketCol: Option[String] = None,
+      // S64: extra physical columns this write materializes (the
+      // lineage-preserving compact's __row_id/__row_seq)
+      extraDataCols: Seq[StructField] = Seq.empty): GraftWriteSpec = {
     val job = Job.getInstance(spark.sessionState.newHadoopConf())
     // embed the lattice's parquet.field.id metadata in every footer —
     // the write half of rename/drop schema evolution (id-resolved reads)
     job.getConfiguration.set("spark.sql.parquet.fieldId.write.enabled", "true")
-    val fileDataSchema = table.fileDataSchema
+    val fileDataSchema = StructType(table.fileDataSchema.fields ++ extraDataCols)
     val format: org.apache.spark.sql.execution.datasources.FileFormat =
       if (table.fileFormat == "orc") new org.apache.spark.sql.execution.datasources.orc.OrcFileFormat
       else if (table.fileFormat == "avro") new GraftAvroFileFormat

@@ -84,10 +84,35 @@ class RowTrackingSpec extends AnyFunSuite {
     assert(rows.map(_._3) == Seq(2L), s"overwrite rows must get FRESH ids: $rows")
   }
 
+  test("S64h: compaction preserves ids via materialized lineage columns") {
+    val t = mk("rt-compact", Map("deletion-vectors.enabled" -> "true"))
+    t.append((0L until 50L).map(i => (i, s"v$i")).toDF("id", "v").repartition(4))
+    t.append((50L until 80L).map(i => (i, s"w$i")).toDF("id", "v").repartition(2))
+    t.dvDelete(col("id") % 5 === 0)
+    val before = lineage(t).map(r => (r._1, r._2, r._3, r._4)).sortBy(_._1)
+    // the fold re-sorts rows (sortBy changes physical order entirely):
+    // ids must travel WITH the rows through the rewrite
+    t.compact(sortBy = Seq("v"))
+    val after = lineage(t).map(r => (r._1, r._2, r._3, r._4)).sortBy(_._1)
+    assert(after == before, "compact renumbered rows")
+    // the fold consumed the dv and marked its output compacted
+    val t2 = graft.sources.GraftTable.load(spark, t.root)
+    assert(t2.system("files").collect().forall(r => r.getBoolean(8) && r.getString(7) == null))
+    // a post-compact append continues the counter (never reuses an id,
+    // even those retired by the dv delete)
+    t.append(Seq((99L, "z")).toDF("id", "v").coalesce(1))
+    val ids = lineage(t).map(_._3)
+    assert(ids.contains(80L) && ids.distinct.size == ids.size,
+      s"post-compact append must continue at nextRowId: $ids")
+    // a SECOND compact folds already-materialized files losslessly
+    t.compact()
+    assert(lineage(t).map(r => (r._1, r._3)).sortBy(_._1) ==
+      (before.map(r => (r._1, r._3)) :+ ((99L, 80L))).sortBy(_._1))
+  }
+
   test("S64f: rewriting maintenance and incompatible table shapes are refused") {
     val t = mk("rt-refuse")
     t.append(Seq((1L, "a")).toDF("id", "v"))
-    intercept[IllegalArgumentException](t.compact())
     intercept[IllegalArgumentException](t.compactPartitions(lit(true)))
     intercept[IllegalArgumentException](t.rescaleBucket(4))
     // PK and non-parquet tables cannot enable tracking
