@@ -124,6 +124,22 @@ class RowTrackingSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](orc.append(Seq((1L, "a")).toDF("id", "v")))
   }
 
+  test("S64i: streaming appends assign ids per micro-batch commit") {
+    implicit val sc = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val t = mk("rt-stream")
+    val q = graft.streaming.GraftStreaming.appendStream(mem.toDF().toDF("id", "v"), t).start()
+    try {
+      mem.addData((1L, "a"), (2L, "b")); q.processAllAvailable()
+      mem.addData((3L, "c")); q.processAllAvailable()
+    } finally q.stop()
+    val rows = lineage(t)
+    assert(rows.map(_._3).sorted == Seq(0L, 1L, 2L), s"streamed ids: $rows")
+    // per-batch sequence numbers = the two micro-batch snapshots
+    assert(rows.map(_._4).distinct.sorted == Seq(1L, 2L))
+    assert(Option(t.snapshots.last.nextRowId).map(_.longValue).contains(3L))
+  }
+
   test("S64g: multi-file commits number files deterministically and densely") {
     val t = mk("rt-multi")
     // one commit, several tasks/files — every row id in [0, n) exactly once
