@@ -1078,9 +1078,6 @@ class GraftTable private (
     * partial rewrite could outrank versions left elsewhere (the
     * compactBuckets rule). */
   def compactPartitions(where: Column): Long = {
-    require(!rowTracking,
-      "compaction rewrites rows and would re-home their stable ids — not " +
-        "supported on a row-tracking table")
     require(partitionKeys.nonEmpty, "targeted compaction requires a partitioned table")
     require(!isPkTable || partitionPruneSafe,
       "targeted compaction on a primary-key table requires partition keys " +
@@ -1102,9 +1099,19 @@ class GraftTable private (
               s"(${partitionKeys.mkString(",")}): ${e.getMessage}")
       }
     require(targeted.nonEmpty, "no files match the compaction filter")
-    var merged = recordExpire(
-      read(snapshotId = Some(base).filter(_ > 0), partitionFilter = Some(where))
-        .filter(where))
+    // S64: a row-tracking targeted fold materializes lineage columns for
+    // the rewritten partitions, exactly like the full compact; untouched
+    // partitions keep their positional derivation
+    var merged =
+      if (rowTracking)
+        recordExpire(
+          readWithLineage(Some(base).filter(_ > 0), partitionFilter = Some(where))
+            .filter(where)
+            .withColumnRenamed("_row_id", RowIdCol)
+            .withColumnRenamed("_sequence_number", RowSeqCol))
+      else recordExpire(
+        read(snapshotId = Some(base).filter(_ > 0), partitionFilter = Some(where))
+          .filter(where))
     // small-file folding is the POINT of a targeted compact: bin the
     // rewrite into ceil(bytes / target-file-size) output tasks (Paimon's
     // target-file-size, default 128 MiB). PK tables skip this — their
@@ -1116,7 +1123,7 @@ class GraftTable private (
       merged = merged.repartition(n.toInt)
     }
     val added = stageWrite(merged, rowKind = RowKind.Insert, seq = base + 1,
-      keySort = true)
+      keySort = true, lineage = rowTracking)
     commitOrClean(base + 1, "COMPACT",
       added.files.map(_.copy(compacted = java.lang.Boolean.TRUE)),
       deleted = targeted, indexDirs = added.indexDirs)
@@ -2404,9 +2411,10 @@ class GraftTable private (
     * never renumber; the rewriting maintenance paths are refused on
     * row-tracking tables. Per-file bases join in via one broadcast of
     * O(files) rows — zero extra shuffle at any scale. */
-  def readWithLineage(snapshotId: Option[Long] = None): DataFrame = {
+  def readWithLineage(snapshotId: Option[Long] = None,
+      partitionFilter: Option[Column] = None): DataFrame = {
     require(rowTracking, "row lineage requires row-tracking.enabled")
-    val files = planFiles(snapshotId)
+    val files = planFiles(snapshotId, partitionFilter)
     val lineageSchema = StructType(schema.fields ++ Seq(
       StructField("_row_id", LongType), StructField("_sequence_number", LongType)))
     if (files.isEmpty)

@@ -110,10 +110,30 @@ class RowTrackingSpec extends AnyFunSuite {
       (before.map(r => (r._1, r._3)) :+ ((99L, 80L))).sortBy(_._1))
   }
 
+  test("S64j: a WHERE-targeted compact preserves ids in the folded partition only") {
+    val pschema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType),
+      StructField("pt", StringType)))
+    val t = GraftTable.create(spark, TestSpark.tmpDir("rt-cmpw"), pschema,
+      partitionKeys = Seq("pt"), options = Map("row-tracking.enabled" -> "true"))
+    for (c <- 0 until 3)
+      t.append(Seq((c * 10L, s"a$c", "a"), (c * 10L + 1, s"b$c", "b"))
+        .toDF("id", "v", "pt").coalesce(1))
+    val before = t.readWithLineage().collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq
+    t.compactPartitions(col("pt") === "a")
+    val after = t.readWithLineage().collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq
+    assert(after == before, s"targeted fold renumbered rows: $after vs $before")
+    // partition a folded (one compacted file), b untouched (3 files)
+    val files = graft.sources.GraftTable.load(spark, t.root).system("files").collect()
+    assert(files.count(_.getString(0).contains("pt=a")) == 1)
+    assert(files.count(_.getString(0).contains("pt=b")) == 3)
+  }
+
   test("S64f: rewriting maintenance and incompatible table shapes are refused") {
     val t = mk("rt-refuse")
     t.append(Seq((1L, "a")).toDF("id", "v"))
-    intercept[IllegalArgumentException](t.compactPartitions(lit(true)))
     intercept[IllegalArgumentException](t.rescaleBucket(4))
     // PK and non-parquet tables cannot enable tracking
     val pk = GraftTable.create(spark, TestSpark.tmpDir("rt-pk"), schema,
