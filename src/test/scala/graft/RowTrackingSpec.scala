@@ -160,6 +160,20 @@ class RowTrackingSpec extends AnyFunSuite {
     assert(Option(t.snapshots.last.nextRowId).map(_.longValue).contains(3L))
   }
 
+  test("S64k: lineage reads survive schema evolution (rename + add) over mixed files") {
+    val t = mk("rt-evolve")
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1))
+    t.compact() // materialized lineage columns in the rewritten file
+    t.append(Seq((3L, "c")).toDF("id", "v").coalesce(1)) // positional file
+    t.renameColumn("v", "w") // field-id resolution for data cols
+    t.addColumn("x", LongType)
+    val rows = t.readWithLineage().collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3), r.getLong(4)))
+      .sortBy(_._3).toSeq
+    assert(rows == Seq((1L, "a", 0L, 1L), (2L, "b", 1L, 1L), (3L, "c", 2L, 3L)),
+      s"lineage after evolution: $rows")
+  }
+
   test("S64g: multi-file commits number files deterministically and densely") {
     val t = mk("rt-multi")
     // one commit, several tasks/files — every row id in [0, n) exactly once
