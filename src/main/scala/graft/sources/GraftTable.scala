@@ -1205,9 +1205,6 @@ class GraftTable private (
     * reads of pre-rescale snapshots stay claim-less forever for the
     * same reason). */
   def rescaleBucket(newBuckets: Int): Long = {
-    require(!rowTracking,
-      "rescale rewrites rows and would re-home their stable ids — not " +
-        "supported on a row-tracking table")
     require(newBuckets >= 1, s"bucket count must be >= 1 (got $newBuckets)")
     require(!isDynamicBucket,
       "rescale does not apply to dynamic-bucket tables (bucket = -1 " +
@@ -1222,12 +1219,21 @@ class GraftTable private (
     if (alreadyDone) return base
     require(bucketKeys.nonEmpty,
       "rescale needs a bucketed table (bucket-key or primary-key layout)")
-    val merged = read(snapshotId = Some(base).filter(_ > 0))
+    // S64: a row-tracking rescale materializes lineage columns through
+    // the re-hash rewrite, exactly like compact — ids survive the new
+    // bucket placement
+    val merged =
+      if (rowTracking)
+        readWithLineage(Some(base).filter(_ > 0))
+          .withColumnRenamed("_row_id", RowIdCol)
+          .withColumnRenamed("_sequence_number", RowSeqCol)
+      else read(snapshotId = Some(base).filter(_ > 0))
     if (newBuckets != numBuckets)
       writeSchema(schemaMeta.copy(
         id = schemaMeta.id + 1,
         options = schemaMeta.options.updated("bucket", newBuckets.toString)))
-    val added = stageWrite(merged, rowKind = RowKind.Insert, seq = base + 1)
+    val added = stageWrite(merged, rowKind = RowKind.Insert, seq = base + 1,
+      lineage = rowTracking)
     commitOrClean(base + 1, "COMPACT",
       added.files.map(_.copy(compacted = java.lang.Boolean.TRUE)), rebase = true)
   }

@@ -131,10 +131,22 @@ class RowTrackingSpec extends AnyFunSuite {
     assert(files.count(_.getString(0).contains("pt=b")) == 3)
   }
 
-  test("S64f: rewriting maintenance and incompatible table shapes are refused") {
+  test("S64l: rescale re-hashes buckets without renumbering rows") {
+    val t = GraftTable.create(spark, TestSpark.tmpDir("rt-rescale"), schema,
+      options = Map("row-tracking.enabled" -> "true",
+        "bucket" -> "2", "bucket-key" -> "id"))
+    t.append((0L until 40L).map(i => (i, s"v$i")).toDF("id", "v"))
+    val before = lineage(t).map(r => (r._1, r._3)).sortBy(_._1)
+    t.rescaleBucket(5)
+    assert(lineage(t).map(r => (r._1, r._3)).sortBy(_._1) == before,
+      "rescale renumbered rows")
+    val t2 = GraftTable.load(spark, t.root)
+    assert(t2.system("files").collect().map(_.getInt(2)).distinct.length == 5)
+  }
+
+  test("S64f: incompatible table shapes are refused") {
     val t = mk("rt-refuse")
     t.append(Seq((1L, "a")).toDF("id", "v"))
-    intercept[IllegalArgumentException](t.rescaleBucket(4))
     // PK and non-parquet tables cannot enable tracking
     val pk = GraftTable.create(spark, TestSpark.tmpDir("rt-pk"), schema,
       primaryKeys = Seq("id"), options = Map("row-tracking.enabled" -> "true"))
