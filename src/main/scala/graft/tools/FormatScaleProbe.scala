@@ -116,6 +116,22 @@ object FormatScaleProbe {
     timed("ro: full MOR read (compacted)")(
       xpt.read().queryExecution.toRdd.count())
 
+    // ---- S64 row tracking: id assignment, lineage read, id-preserving fold
+    val rtDocs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "lang", "n_chars")
+    val rt = GraftTable.create(spark, s"$base/rt", rtDocs.schema, options = Map(
+      "row-tracking.enabled" -> "true", "deletion-vectors.enabled" -> "true"))
+    timed("rowtrack: ingest (2 commits, id assignment)") {
+      rt.append(rtDocs.filter(col("doc_id") % 2 === 0).repartition(8))
+      rt.append(rtDocs.filter(col("doc_id") % 2 =!= 0).repartition(8))
+    }
+    timed("rowtrack: lineage read")(
+      rt.readWithLineage().queryExecution.toRdd.count())
+    timed("rowtrack: dv delete ~10%")(rt.dvDelete(col("doc_id") % 10 === 0))
+    timed("rowtrack: id-materializing compact")(rt.compact())
+    timed("rowtrack: lineage read (materialized)")(
+      rt.readWithLineage().queryExecution.toRdd.count())
+
     // ---- L68 dedup index: build once, refresh delta ---------------------
     val dtexts = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
     val dsrc = GraftTable.create(spark, s"$base/dixsrc",
