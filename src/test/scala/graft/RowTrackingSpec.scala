@@ -186,6 +186,39 @@ class RowTrackingSpec extends AnyFunSuite {
       s"lineage after evolution: $rows")
   }
 
+  test("S64m: randomized append/dv-delete/compact sequences never renumber or reuse an id") {
+    val rnd = new scala.util.Random(42)
+    val t = mk("rt-fuzz", Map("deletion-vectors.enabled" -> "true"))
+    var nextKey = 0L
+    var observed = Map.empty[Long, Long] // data key -> row id (keys are never re-added)
+    var retired = Set.empty[Long]        // ids whose rows were deleted
+    def observe(): Unit = {
+      val cur = t.readWithLineage().collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toMap
+      cur.foreach { case (k, id) =>
+        observed.get(k).foreach(p => assert(p == id, s"row $k renumbered $p -> $id")) }
+      assert(cur.values.toSeq.distinct.size == cur.size, "duplicate live ids")
+      retired ++= (observed.keySet -- cur.keySet).map(observed)
+      (cur.keySet -- observed.keySet).foreach(k =>
+        assert(!retired.contains(cur(k)), s"retired id ${cur(k)} reused by row $k"))
+      observed ++= cur
+    }
+    for (_ <- 0 until 12) {
+      rnd.nextInt(3) match {
+        case 0 =>
+          val n = 1 + rnd.nextInt(20)
+          val rows = (0 until n).map { _ => nextKey += 1; (nextKey, s"v$nextKey") }
+          t.append(rows.toDF("id", "v").coalesce(1))
+        case 1 =>
+          t.dvDelete(col("id") % (2 + rnd.nextInt(7)) === 0)
+        case 2 =>
+          t.compact()
+      }
+      observe()
+    }
+    assert(observed.nonEmpty && retired.nonEmpty, "fuzz exercised both legs")
+  }
+
   test("S64g: multi-file commits number files deterministically and densely") {
     val t = mk("rt-multi")
     // one commit, several tasks/files — every row id in [0, n) exactly once
