@@ -242,6 +242,30 @@ object GraftQueries {
       .orderBy("status")
   }
 
+  /** lineitem through a BUCKET RESCALE (S42, Paimon's rescale
+    * procedure): a bucket-keyed append table ingests two commits under
+    * bucket=2, re-hashes to bucket=5 in one rewrite commit, takes one
+    * more append under the new layout, and the final per-bucket-count +
+    * full aggregate must equal the oracle's plain aggregate over raw
+    * lineitem — the re-hash neither drops, duplicates, nor corrupts a
+    * row, and post-rescale writes land under the new layout. */
+  private def graftRescale(s: SparkSession, d: String): DataFrame = {
+    val li = T.lineitem(s, d)
+      .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+      .filter(col("l_orderkey") < 3000)
+    val t = GraftTable.create(s, tmpRoot("rescq"), li.schema,
+      options = Map("bucket" -> "2", "bucket-key" -> "l_orderkey"))
+    t.append(li.filter(col("l_orderkey") % 2 === 0))
+    t.append(li.filter(col("l_orderkey") % 2 =!= 0).filter(col("l_orderkey") % 3 =!= 0))
+    t.rescaleBucket(5)
+    t.append(li.filter(col("l_orderkey") % 2 =!= 0).filter(col("l_orderkey") % 3 === 0))
+    t.read()
+      .groupBy((col("l_orderkey") % 10).as("g"))
+      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"),
+        round(sum("l_extendedprice"), 2).as("rev"))
+      .orderBy("g")
+  }
+
   /** documents through a ROW-TRACKING table (S64, Paimon's
     * row-tracking.enabled): two sorted single-file appends (even then
     * odd doc_ids) assign each row a stable `_row_id` = the file's
@@ -581,6 +605,12 @@ object GraftQueries {
       Some("""SELECT lang, source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
              |FROM documents WHERE lang IN ('de','zh')
              |GROUP BY lang, source ORDER BY lang, source""".stripMargin)),
+    QDef("q_graft_rescale", graftRescale,
+      Some("""SELECT CAST(l_orderkey % 10 AS BIGINT) AS g, count(*) AS n,
+             |  round(sum(l_quantity), 2) AS qty,
+             |  round(sum(l_extendedprice), 2) AS rev
+             |FROM lineitem WHERE l_orderkey < 3000
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
     QDef("q_graft_lineage", graftLineage,
       Some("""WITH halves AS (
              |  SELECT doc_id, n_chars, doc_id % 2 AS h,
