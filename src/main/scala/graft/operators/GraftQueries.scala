@@ -201,10 +201,8 @@ object GraftQueries {
     * dynamic-bucket PK table takes a base upsert plus an update wave
     * (every 7th key), then a FULL compact folds every (partition,
     * bucket) group — `$ro` serves the folded files merge-free and must
-    * equal the oracle's replay of the update over raw customer. A
-    * post-compact THIRD upsert then makes `$ro` deliberately stale;
-    * the query reads `$ro` BEFORE that write, so the oracle stays the
-    * two-commit state (the staleness contract is spec-pinned in
+    * equal the oracle's replay of the update over raw customer (the
+    * staleness contract under post-fold writes is spec-pinned in
     * ReadOptimizedSpec; here the driver proves the fold itself). */
   private def graftRo(s: SparkSession, d: String): DataFrame = {
     val c = T.customer(s, d).select("c_custkey", "c_name", "c_nationkey", "c_acctbal")

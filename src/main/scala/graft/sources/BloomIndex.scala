@@ -25,6 +25,7 @@ object BloomIndex {
   val Suffix = ".bfidx"
   private val Magic = 0x47424631 // "GBF1" — blooms only (legacy, still read)
   private val Magic2 = 0x47424632 // "GBF2" — blooms + per-entry min/max stats
+  private val Magic3 = 0x47424633 // "GBF3" — v2 + declared entry-hashed columns
 
   /** One file's sidecar: per-column blooms, plus (format v2) per-column
     * per-ENTRY-KEY min/max of integral map/array values — the range half
@@ -33,10 +34,21 @@ object BloomIndex {
     * `entryStats` ONLY when the writer saw every row (no key-cap
     * overflow) and every non-null value was integral — so key ABSENCE
     * from a present column map proves no row in the file carries that
-    * key, and the (min,max) bounds are file-complete. */
+    * key, and the (min,max) bounds are file-complete.
+    *
+    * `entryCols` (format v3) declares WHICH columns' blooms hold
+    * per-ENTRY hashes rather than whole-value hashes. The hash kind is
+    * otherwise invisible in the bits, and it changed for struct columns
+    * when struct-leaf subscript pushdown landed: a pre-v3 struct bloom
+    * holds whole-value hashes, so probing it with an entry hash would
+    * return a FALSE NEGATIVE and prune a file that matches. None =
+    * legacy sidecar (v1/v2): map/array blooms were always entry-hashed
+    * there, struct blooms never were — the reader must decline struct
+    * claims for them. */
   final case class Sidecar(
       blooms: Map[String, Bloom],
-      entryStats: Map[String, Map[String, (Long, Long)]])
+      entryStats: Map[String, Map[String, (Long, Long)]],
+      entryCols: Option[Set[String]] = None)
 
   /** ~1% false-positive rate: m ≈ 9.6 bits/item, k = 7. */
   private val BitsPerItem = 10
@@ -82,9 +94,10 @@ object BloomIndex {
   }
 
   def write(fs: FileSystem, path: Path, cols: Seq[(String, Bloom)],
-      entryStats: Seq[(String, Map[String, (Long, Long)])] = Seq.empty): Unit =
+      entryStats: Seq[(String, Map[String, (Long, Long)])] = Seq.empty,
+      entryCols: Set[String] = Set.empty): Unit =
     SidecarIO.publish(fs, path) { out =>
-      out.writeInt(Magic2)
+      out.writeInt(Magic3)
       out.writeInt(cols.size)
       cols.foreach { case (name, b) =>
         out.writeUTF(name)
@@ -101,6 +114,10 @@ object BloomIndex {
           out.writeLong(mx)
         }
       }
+      // sorted for deterministic bytes (speculative-attempt + rebuild
+      // bit-compat contracts)
+      out.writeInt(entryCols.size)
+      entryCols.toSeq.sorted.foreach(out.writeUTF)
     }
 
   /** None for a missing/unreadable/foreign sidecar (legacy files — no
@@ -116,7 +133,7 @@ object BloomIndex {
       val in = new DataInputStream(fs.open(path))
       try {
         val magic = in.readInt()
-        if (magic != Magic && magic != Magic2) return None
+        if (magic != Magic && magic != Magic2 && magic != Magic3) return None
         val n = in.readInt()
         if (n < 0 || n > 10000) return None
         val blooms = (0 until n).map { _ =>
@@ -128,7 +145,7 @@ object BloomIndex {
           name -> new Bloom(words)
         }.toMap
         val stats =
-          if (magic != Magic2) Map.empty[String, Map[String, (Long, Long)]]
+          if (magic == Magic) Map.empty[String, Map[String, (Long, Long)]]
           else {
             val nc = in.readInt()
             if (nc < 0 || nc > 10000) return None
@@ -141,7 +158,14 @@ object BloomIndex {
               }.toMap
             }.toMap
           }
-        Some(Sidecar(blooms, stats))
+        val entryCols =
+          if (magic != Magic3) None
+          else {
+            val ne = in.readInt()
+            if (ne < 0 || ne > 10000) return None
+            Some((0 until ne).map(_ => in.readUTF()).toSet)
+          }
+        Some(Sidecar(blooms, stats, entryCols))
       } finally in.close()
     } catch { case scala.util.control.NonFatal(_) => None }
 

@@ -179,25 +179,68 @@ object FileStats {
     true
   }
 
-  /** Resolve a (possibly nested) filter attribute to its leaf field:
-    * top-level names first (a literal dot in a column name wins), then a
-    * dotted path walked through struct types — parquet footers record
-    * nested leaves under exactly this dotted rendering
-    * (ColumnPath.toDotString), so `r.f` stats prune `r.f` predicates.
-    * Backticked parts (`a`.`b`) normalize to the plain path. */
-  private[sources] def resolveField(schema: StructType, attr: String): Option[StructField] = {
-    schema.fields.find(_.name == attr).orElse {
-      val parts =
-        if (attr.contains('`')) attr.split('.').map(_.stripPrefix("`").stripSuffix("`")).toSeq
-        else attr.split('.').toSeq
-      if (parts.length < 2) None
-      else parts.tail.foldLeft(schema.fields.find(_.name == parts.head)) { (cur, p) =>
-        cur.flatMap(_.dataType match {
-          case st: StructType => st.fields.find(_.name == p)
-          case _ => None
-        })
-      }
+  /** Split a filter attribute into path parts, honoring backtick
+    * quoting: dots INSIDE a backtick pair are part of the name (`a.b` is
+    * one top-level column; `a`.`b` is a struct walk), and a doubled
+    * backtick inside a quoted part is a literal backtick. A naive
+    * split('.') would resolve a dotted COLUMN NAME through the struct
+    * walk and prune files with the wrong field's stats. */
+  private[sources] def splitAttr(attr: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    var inTick = false
+    var i = 0
+    while (i < attr.length) {
+      val ch = attr.charAt(i)
+      if (ch == '`') {
+        if (inTick && i + 1 < attr.length && attr.charAt(i + 1) == '`') {
+          sb.append('`'); i += 1
+        } else inTick = !inTick
+      } else if (ch == '.' && !inTick) { out += sb.result(); sb.clear() }
+      else sb.append(ch)
+      i += 1
     }
+    out += sb.result()
+    out.toSeq
+  }
+
+  private def walkParts(schema: StructType, parts: Seq[String]): Option[StructField] =
+    if (parts.length < 2) None
+    else parts.tail.foldLeft(schema.fields.find(_.name == parts.head)) { (cur, p) =>
+      cur.flatMap(_.dataType match {
+        case st: StructType => st.fields.find(_.name == p)
+        case _ => None
+      })
+    }
+
+  /** True when the DOTTED stats key `key` is reachable both as a
+    * top-level column name (a name containing literal dots) and as a
+    * struct walk — the footer stats map (ColumnPath.toDotString keys)
+    * then holds ONE entry for two physical columns, so no claim keyed by
+    * it can be attributed. */
+  private[sources] def keyCollides(schema: StructType, key: String): Boolean =
+    key.contains('.') && schema.fieldNames.contains(key) &&
+      walkParts(schema, key.split('.').toSeq).isDefined
+
+  /** Resolve a (possibly nested) filter attribute to its leaf field:
+    * the exact top-level name, or a dotted path walked through struct
+    * types — parquet footers record nested leaves under exactly this
+    * dotted rendering (ColumnPath.toDotString), so `r.f` stats prune
+    * `r.f` predicates. Backticked parts (`a`.`b`) normalize to the
+    * plain path, with quoting honored: `a.b` is the dotted COLUMN, not
+    * the walk. Whenever the dotted rendering collides (a column named
+    * "a.b" coexisting with struct a's field b), resolution declines —
+    * the stats-map entry under that key is unattributable. */
+  private[sources] def resolveField(schema: StructType, attr: String): Option[StructField] = {
+    val parts = splitAttr(attr)
+    if (keyCollides(schema, parts.mkString("."))) return None
+    if (attr.contains('`')) {
+      // quoting is authoritative: one part = that exact name, several =
+      // the struct walk
+      if (parts.length == 1) schema.fields.find(_.name == parts.head)
+      else walkParts(schema, parts)
+    } else
+      schema.fields.find(_.name == attr).orElse(walkParts(schema, parts))
   }
 
   /** Can `filter` possibly match a file with these stats? Conservative:
@@ -208,15 +251,18 @@ object FileStats {
     // known — -1 is unknown) fails IS NULL
     // parquet leaf null counts include rows where an ANCESTOR struct is
     // null — matching Spark's `r.f IS NULL` semantics exactly
-    def allNull(attr: String): Boolean = stats.get(statKey(attr)).exists(_.isAllNull)
+    def allNull(attr: String): Boolean = statsFor(attr).exists(_.isAllNull)
     // nested attrs ("r.f") key the stats map by the parquet dotted path;
-    // normalize a backticked plan rendering to it
-    def statKey(attr: String): String =
-      if (schema.fieldNames.contains(attr) || !attr.contains('`')) attr
-      else attr.split('.').map(_.stripPrefix("`").stripSuffix("`")).mkString(".")
+    // normalize a backticked plan rendering to it (quote-aware split —
+    // a literal dot inside backticks stays part of the name), declining
+    // entirely when the dotted key is schema-ambiguous (keyCollides)
+    def statsFor(attr: String): Option[ColStats] = {
+      val key = splitAttr(attr).mkString(".")
+      if (keyCollides(schema, key)) None else stats.get(key)
+    }
     def bounds(attr: String): Option[(Any, Any, DataType)] =
       for {
-        cs <- stats.get(statKey(attr))
+        cs <- statsFor(attr)
         if cs.min != null && cs.max != null
         field <- resolveField(schema, attr)
         mn <- parse(cs.min, field.dataType)
@@ -256,9 +302,9 @@ object FileStats {
     filter match {
       case IsNull(a) =>
         // keep unless the column provably has no nulls in this file
-        stats.get(statKey(a)).forall(_.nullCount != 0L)
+        statsFor(a).forall(_.nullCount != 0L)
       case IsNotNull(a) => !allNull(a)
-      case EqualNullSafe(a, null) => stats.get(statKey(a)).forall(_.nullCount != 0L)
+      case EqualNullSafe(a, null) => statsFor(a).forall(_.nullCount != 0L)
       case EqualNullSafe(a, v) =>
         if (allNull(a)) false else mayMatch(EqualTo(a, v), stats, schema)
       // value predicates: NULL input yields NULL → row dropped, so an

@@ -479,17 +479,20 @@ class GraftTable private (
   }
 
   /** Live file set of a snapshot (manifest chain or legacy inline list). */
-  /** Data-file paths the CURRENT latest snapshot references, for write
-    * ABORT paths: Spark calls BatchWrite.abort when commit() throws, and
-    * that includes a post-publish VirtualMachineError from a maintenance
-    * hook — the snapshot is durable then and owns the "aborted" files.
-    * None = reference state unreadable; callers must then skip deletion
-    * entirely (a leaked file is orphan-GC work, a deleted referenced
-    * file is corruption). */
+  /** Data-file paths ANY retained snapshot of this ref references, for
+    * write ABORT paths: Spark calls BatchWrite.abort when commit()
+    * throws, and that includes a post-publish VirtualMachineError from a
+    * maintenance hook — the snapshot is durable then and owns the
+    * "aborted" files. The union must span the WHOLE retained log, not
+    * just the latest snapshot: a concurrent rebase commit (compact) can
+    * land after our publish and drop our files from the latest live set
+    * while our snapshot — time-travel/rollback-visible until expiry —
+    * still references them. Abort is rare, so the O(snapshots) walk is
+    * fine. None = reference state unreadable; callers must then skip
+    * deletion entirely (a leaked file is orphan-GC work, a deleted
+    * referenced file is corruption). */
   private[graft] def publishedDataPaths: Option[Set[String]] =
-    try Some(latestSnapshotId
-      .map(id => filesOf(readSnapshot(id)).map(_.path).toSet)
-      .getOrElse(Set.empty))
+    try Some(snapshots.flatMap(s => filesOf(s).map(_.path)).toSet)
     catch { case scala.util.control.NonFatal(_) => None }
 
   private[sources] def filesOf(snap: SnapshotMeta): Seq[FileMeta] =
@@ -644,8 +647,24 @@ class GraftTable private (
       // snapshot as their rows' sequence number. Non-tracking commits
       // still inherit the counter so toggling the option never reuses
       // an id range.
+      // On a TRACKING table a failed base read must fail the commit: a
+      // swallowed failure would restart the counter at 0 and re-issue
+      // row ids already held by published rows — breaking the never-
+      // reuse invariant the whole feature rests on. (id-1 is the live
+      // predecessor, never expired, so a read failure is a real fault.)
+      // Non-tracking tables keep the lenient read: the counter is only
+      // carried as a courtesy for a later migration.
       val baseNextRowId: Option[Long] =
         if (id <= 1) None
+        else if (rowTracking) {
+          // every commit of a tracking table stamps the counter (the
+          // option is creation-time immutable), so a null here is
+          // corruption, not a legacy vintage
+          val n = readSnapshot(id - 1).nextRowId
+          require(n != null,
+            s"row-tracking table missing nextRowId on snapshot ${id - 1} at $root")
+          Some(n.longValue)
+        }
         else scala.util.Try(readSnapshot(id - 1)).toOption
           .flatMap(s => Option(s.nextRowId)).map(_.longValue)
       val (added2, nextRowIdOut): (Seq[FileMeta], java.lang.Long) =
@@ -1454,10 +1473,15 @@ class GraftTable private (
     if (missing.isEmpty) return 0L
 
     val rootStr = root.stripSuffix("/")
+    // MUST mirror GraftTaskWriter.isNested exactly: the hash KIND per
+    // column (whole-value vs per-entry) is part of the sidecar contract,
+    // and subscript-safe STRUCT columns are entry-hashed by the writer
     val nested: Array[Boolean] = cols.toArray.map(c => schema(c).dataType match {
       case _: MapType | _: ArrayType => true
+      case s: StructType => graft.functions.MapEntryHashesImpl.subscriptSafe(s)
       case _ => false
     })
+    val entryColSet = cols.zip(nested).collect { case (c, true) => c }.toSet
     val hashCols = cols.zip(nested).map { case (c, isN) =>
       if (isN) graft.functions.HashExpr.mapEntryHashes(col(c)).as(s"__h_$c")
       else xxhash64(col(c)).as(s"__h_$c")
@@ -1503,7 +1527,8 @@ class GraftTable private (
               val hashes = b.result()
               c -> BloomIndex.build(hashes, hashes.length)
             }
-            BloomIndex.write(fsx, new Path(rootStr, relByName(fname) + suffix), blooms)
+            BloomIndex.write(fsx, new Path(rootStr, relByName(fname) + suffix), blooms,
+              entryCols = entryColSet)
           }
         }
     }
@@ -1516,7 +1541,8 @@ class GraftTable private (
       val p = new Path(root, f.path + BloomIndex.Suffix)
       if (!fs.exists(p))
         BloomIndex.write(fs, p,
-          cols.map(c => c -> BloomIndex.build(Array.empty[Long], 0)))
+          cols.map(c => c -> BloomIndex.build(Array.empty[Long], 0)),
+          entryCols = entryColSet)
     }
     missing.size.toLong
   }
@@ -2262,8 +2288,16 @@ class GraftTable private (
   private def bloomMayMatch(fl: org.apache.spark.sql.sources.Filter, f: FileMeta): Boolean = {
     import org.apache.spark.sql.sources.{EqualNullSafe, EqualTo, In}
     val cols = bloomIndexCols.toSet
+    // columns the writer ENTRY-hashes hold no whole-value hashes — a
+    // whole-value probe against them would false-negative (mis-prune)
+    def entryHashedType(c: String): Boolean = schema(c).dataType match {
+      case _: MapType | _: ArrayType => true
+      case s: StructType => graft.functions.MapEntryHashesImpl.subscriptSafe(s)
+      case _ => false
+    }
     def probe(c: String, v: Any): Boolean =
-      sidecarOf(f).flatMap(_.blooms.get(c)) match {
+      if (entryHashedType(c)) true
+      else sidecarOf(f).flatMap(_.blooms.get(c)) match {
         case Some(b) => BloomIndex.hashLiteral(v, schema(c).dataType).forall(b.mightContain)
         case None => true
       }
@@ -2326,7 +2360,20 @@ class GraftTable private (
     sidecarOf(f) match {
       case None => true // legacy file without a sidecar
       case Some(sc) =>
-        if (p.op == "=")
+        // only claim when the sidecar's bloom for this column provably
+        // holds ENTRY hashes: v3 sidecars declare it; v1/v2 sidecars
+        // predate the declaration and always entry-hashed maps/arrays
+        // but NEVER structs (whole-value hashes there — an entry probe
+        // against them would false-negative and prune a matching file)
+        val entryHashed = sc.entryCols match {
+          case Some(declared) => declared.contains(p.col)
+          case None => schema(p.col).dataType match {
+            case _: MapType | _: ArrayType => true
+            case _ => false
+          }
+        }
+        if (!entryHashed) true
+        else if (p.op == "=")
           sc.blooms.get(p.col).forall(
             _.mightContain(graft.functions.MapEntryHashesImpl.hashEntry(p.key, p.value)))
         else sc.entryStats.get(p.col) match {
@@ -2451,16 +2498,9 @@ class GraftTable private (
       .withColumn("__gfile", substring_index(col("_metadata.file_path"), "/", -1))
       .withColumn("__gpos", col("_metadata.row_index"))
     val dvFiles = files.filter(_.hasDv)
-    if (dvFiles.nonEmpty) {
-      val serConf = new org.apache.spark.util.SerializableConfiguration(hadoopConf)
-      val rootStr = root
-      val posDf = spark.createDataset(dvFiles.map(f => (nameOf(f.path), f.dvPath)))
-        .flatMap { case (fname, dv) =>
-          DeletionVector.read(serConf.value, rootStr, dv).map(p => (fname, p))
-        }
-        .toDF("__gfile", "__gpos")
-      raw = raw.join(posDf, Seq("__gfile", "__gpos"), "left_anti")
-    }
+    if (dvFiles.nonEmpty)
+      // not maskByDv: __gfile must SURVIVE for the lineage-base join below
+      raw = raw.join(dvPositionsDf(dvFiles), Seq("__gfile", "__gpos"), "left_anti")
     raw.join(lkDf, Seq("__gfile"))
       .withColumn("_row_id", coalesce(col(RowIdCol), col("__gbase") + col("__gpos")))
       .withColumn("_sequence_number", coalesce(col(RowSeqCol), col("__gseq")))
@@ -2485,22 +2525,28 @@ class GraftTable private (
     * sidecars are read in a parallelized executor job, never collected.
     * Filenames are uuid-unique within the table, sidestepping URI-form
     * mismatches between `_metadata.file_path` and root. */
-  private def maskByDv(raw: DataFrame, dvFiles: Seq[FileMeta]): DataFrame = {
-    if (dvFiles.isEmpty) return raw
+  /** (filename, deleted position) rows of these files' dv sidecars,
+    * read in a parallelized executor job (never collected) — the
+    * anti-join side of every dv-masked read. */
+  private def dvPositionsDf(dvFiles: Seq[FileMeta]): DataFrame = {
     import spark.implicits._
     val rootStr = root
     val serConf = new org.apache.spark.util.SerializableConfiguration(hadoopConf)
     val dvInfo = dvFiles.map(f =>
       (f.path.substring(f.path.lastIndexOf('/') + 1), f.dvPath))
-    val posDf = spark.createDataset(dvInfo)
+    spark.createDataset(dvInfo)
       .flatMap { case (fname, dv) =>
         DeletionVector.read(serConf.value, rootStr, dv).map(p => (fname, p))
       }
       .toDF("__gfile", "__gpos")
+  }
+
+  private def maskByDv(raw: DataFrame, dvFiles: Seq[FileMeta]): DataFrame = {
+    if (dvFiles.isEmpty) return raw
     raw
       .withColumn("__gfile", substring_index(col("_metadata.file_path"), "/", -1))
       .withColumn("__gpos", col("_metadata.row_index"))
-      .join(posDf, Seq("__gfile", "__gpos"), "left_anti")
+      .join(dvPositionsDf(dvFiles), Seq("__gfile", "__gpos"), "left_anti")
       .drop("__gfile", "__gpos")
   }
 
@@ -3429,9 +3475,15 @@ class GraftTable private (
     * (rescaleBucket is the sound path), file.format would misread every
     * existing file (readers resolve the format table-wide), and
     * merge-engine / sequence.field would silently change the fold
-    * semantics of ALREADY-WRITTEN row versions. */
+    * semantics of ALREADY-WRITTEN row versions. row-tracking.enabled is
+    * a creation-time property (as in Paimon): toggling it ON mid-history
+    * would let pre-tracking COMPACTED files slip past readWithLineage's
+    * vintage guard (compacted files are exempt because tracking-aware
+    * folds materialize their lineage columns — a pre-tracking fold
+    * materialized nothing) and read NULL _row_id for every row. */
   private val ImmutableOptions =
-    Set("bucket", "bucket-key", "file.format", "merge-engine", "sequence.field")
+    Set("bucket", "bucket-key", "file.format", "merge-engine", "sequence.field",
+      "row-tracking.enabled")
 
   def setOptions(kv: Map[String, String]): Unit = updateOptions(kv, Seq.empty)
 

@@ -497,7 +497,11 @@ final class GraftTaskWriter(spec: GraftWriteSpec, taskUniq: String) {
         entryStatSpecs.zip(o.entryStatBufs).collect {
           case ((c, _, _), buf) if !buf.overflow =>
             c -> buf.m.view.mapValues(b => (b(0), b(1))).toMap
-        })
+        },
+        // declare which blooms hold ENTRY hashes: probing a whole-value
+        // bloom with an entry hash (or vice versa) is a false negative —
+        // unsound pruning (see BloomIndex.Sidecar.entryCols)
+        spec.bloomCols.zip(bloomIsMap).collect { case (c, true) => c }.toSet)
     if (spec.bitmapCols.nonEmpty)
       BitmapIndex.write(fs, new Path(root, o.relPath + BitmapIndex.Suffix), o.rowsWritten,
         spec.bitmapCols.zip(o.bitmapBufs).collect {

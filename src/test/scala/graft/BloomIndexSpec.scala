@@ -231,6 +231,64 @@ class BloomIndexSpec extends AnyFunSuite {
       "rebuilt sidecars must carry the exact bloom words the write path builds")
   }
 
+  test("S28f: hash-KIND safety — a legacy (pre-v3) sidecar makes no struct " +
+    "claims (its struct blooms hold whole-value hashes; an entry probe " +
+    "would false-negative and prune a matching file)") {
+    val path = TestSpark.tmpDir("bloomkind")
+    val schema = StructType(Seq(
+      StructField("i1", IntegerType),
+      StructField("r", StructType(Seq(
+        StructField("name", StringType), StructField("score", IntegerType))))))
+    val t = GraftTable.create(spark, path, schema,
+      options = Map("file-index.bloom-filter.columns" -> "r"))
+    t.append(Seq((1, "dd", 5)).toDF("i1", "n", "s")
+      .select(col("i1"), struct(col("n").as("name"), col("s").as("score")).as("r"))
+      .coalesce(1))
+
+    // current write path declares the struct column entry-hashed (v3)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sessionState.newHadoopConf())
+    val rel = t.system("files").select("file_path").head.getString(0)
+    val scPath = new org.apache.hadoop.fs.Path(s"$path/$rel" + BloomIndex.Suffix)
+    assert(BloomIndex.read(fs, scPath).get.entryCols.contains(Set("r")),
+      "fresh sidecars must declare their entry-hashed columns")
+
+    // forge the sidecar back to what the PRE-v3 writer produced for a
+    // struct column: format GBF2, whole-value bloom, no declaration. An
+    // all-zero bloom answers mightContain=false for EVERY probe, so any
+    // unsound probe against it would prune the (matching) file.
+    // (through fs, so the local ChecksumFileSystem's .crc stays in sync)
+    val out = new java.io.DataOutputStream(fs.create(scPath, true))
+    out.writeInt(0x47424632) // GBF2
+    out.writeInt(1)
+    out.writeUTF("r")
+    out.writeInt(1) // one all-zero word
+    out.writeLong(0L)
+    out.writeInt(0) // no entry stats
+    out.close()
+    val forged = BloomIndex.read(fs, scPath).get
+    assert(forged.entryCols.isEmpty, "legacy sidecar reads back with no declaration")
+    assert(!forged.blooms("r").mightContain(
+      graft.functions.MapEntryHashesImpl.hashEntry("name", "dd")),
+      "precondition: the forged bloom would reject the entry probe")
+
+    val key = "spark.graft.subscriptFilters.enabled"
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ graft.plans.SubscriptFilterRule(() =>
+        spark.conf.get(key, "false").toBoolean)
+    try {
+      spark.conf.set(key, "true")
+      val df = spark.read.format("graft").load(path).filter($"r".getField("name") === "dd")
+      assert(plannedOfTotal(df) == ((1, 1)),
+        "legacy struct sidecar must decline the claim and keep the file")
+      assert(df.collect().map(_.getInt(0)).toSeq == Seq(1))
+    } finally {
+      spark.conf.unset(key)
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations
+          .filterNot(_.isInstanceOf[graft.plans.SubscriptFilterRule])
+    }
+  }
+
   test("S28d: PK tables bloom-skip only on version-invariant key columns") {
     val path = TestSpark.tmpDir("bloompk")
     val t = GraftTable.create(spark, path,

@@ -433,7 +433,10 @@ class CatalogV2Spec extends AnyFunSuite {
     assert(!t.options.contains("snapshot.time-retained"))
     assert(t.options.get("num-sorted-run.compaction-trigger").contains("5"))
     // layout/semantics-critical options are immutable through this path
-    for (bad <- Seq("bucket", "file.format", "merge-engine", "sequence.field"))
+    // (row-tracking.enabled included: toggling it ON mid-history would
+    // let pre-tracking compacted files read NULL _row_id silently)
+    for (bad <- Seq("bucket", "file.format", "merge-engine", "sequence.field",
+        "row-tracking.enabled"))
       intercept[Exception] {
         sql(s"ALTER TABLE graft2.procs.props SET TBLPROPERTIES ('$bad'='x')")
       }

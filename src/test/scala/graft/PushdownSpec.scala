@@ -48,6 +48,33 @@ class PushdownSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("S14d: stats pruning on dotted-vs-nested attribute renderings — " +
+    "quote-aware split, collision declines every claim") {
+    import graft.sources.{ColStats, FileStats}
+    import org.apache.spark.sql.sources.EqualTo
+    import org.apache.spark.sql.types._
+    // struct-only schema: the backticked walk resolves and prunes
+    val nested = StructType(Seq(
+      StructField("a", StructType(Seq(StructField("b", IntegerType))))))
+    val stats = Map("a.b" -> ColStats("1", "5", 0L))
+    assert(!FileStats.mayMatch(EqualTo("`a`.`b`", 100), stats, nested),
+      "quoted struct walk should prune on the leaf's stats")
+    assert(!FileStats.mayMatch(EqualTo("a.b", 100), stats, nested),
+      "plain dotted walk should prune on the leaf's stats")
+    assert(FileStats.mayMatch(EqualTo("a.b", 3), stats, nested))
+    // dotted TOP-LEVEL column only: `a.b` is that column, same stats key
+    val dotted = StructType(Seq(StructField("a.b", IntegerType)))
+    assert(!FileStats.mayMatch(EqualTo("`a.b`", 100), stats, dotted),
+      "quoted dotted name should prune on the top-level column's stats")
+    // COLLISION: both a top-level "a.b" and struct a.b exist — the
+    // footer keys both under "a.b", so every rendering must DECLINE
+    // (keep the file) rather than prune with unattributable stats
+    val both = StructType(nested.fields ++ dotted.fields)
+    for (attr <- Seq("`a.b`", "`a`.`b`", "a.b"))
+      assert(FileStats.mayMatch(EqualTo(attr, 100), stats, both),
+        s"ambiguous $attr must keep the file")
+  }
+
   test("whole-stage codegen covers the agg pipeline of q1") {
     // AQE materializes the final plan (with codegen spans) only on execute
     val df = SparkEntry.queries("q1_agg")(spark, dir)

@@ -15,9 +15,19 @@ cd "$(git rev-parse --show-toplevel)"
 
 if git diff --cached --name-only | grep -qE '^(src/|build\.sbt|project/)'; then
   STASHED=0
+  restore() {
+    if [ "$STASHED" = 1 ]; then STASHED=0; git stash pop -q || true; fi
+  }
   if ! git diff --quiet || [ -n "$(git ls-files --others --exclude-standard)" ]; then
-    git stash push -q --keep-index --include-untracked -m "precommit-compile" && STASHED=1
-    trap '[ "$STASHED" = 1 ] && git stash pop -q' EXIT
+    # set -e makes a failed stash push refuse the commit loudly (never
+    # silently compile the dirty tree the comment above claims to exclude)
+    git stash push -q --keep-index --include-untracked -m "precommit-compile"
+    STASHED=1
+    # plain sh does NOT run the EXIT trap on an untrapped SIGINT — a
+    # Ctrl-C during the multi-minute compile would strand the unstaged
+    # work in the stash; trap the signals explicitly
+    trap restore EXIT
+    trap 'restore; exit 130' INT TERM
   fi
   echo "[precommit] src/ staged -> running sbt -batch compile Test/compile" >&2
   if ! sbt -batch compile Test/compile >/tmp/precommit_compile.log 2>&1; then
