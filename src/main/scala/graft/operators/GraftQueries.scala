@@ -295,6 +295,53 @@ object GraftQueries {
       .orderBy("doc_id")
   }
 
+  /** S65 driver check: SQL UPDATE + DELETE + MERGE on a row-tracking
+    * table run the DELTA row-level path (dv positions + id-materialized
+    * appends; commits 3/4/5) — the lineage metadata columns then read
+    * back ids/sequence numbers the oracle REPLAYS from raw customer:
+    * carried and updated rows must hold their base-commit ids through
+    * all three ops. MERGE-inserted rows take fresh nondeterministic ids
+    * (task-ordered file assignment), so they clamp to -1 both sides;
+    * their `_sequence_number` (the MERGE commit) stays exact. */
+  private def graftRowLevel(s: SparkSession, d: String): DataFrame = {
+    val wh = new java.io.File("target/graft-tmp/rowlvlwh").getAbsolutePath
+    s.conf.set("spark.sql.catalog.graftrl", "graft.sources.GraftSparkCatalog")
+    s.conf.set("spark.sql.catalog.graftrl.warehouse", wh)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graftrl.q")
+    s.sql("DROP TABLE IF EXISTS graftrl.q.cust")
+    s.sql("""CREATE TABLE graftrl.q.cust (
+            |  c_custkey BIGINT, c_nationkey BIGINT, c_acctbal DOUBLE
+            |) TBLPROPERTIES ('row-tracking.enabled'='true')""".stripMargin)
+    val c = T.customer(s, d).select(
+      col("c_custkey").cast("long").as("c_custkey"),
+      col("c_nationkey").cast("long").as("c_nationkey"),
+      col("c_acctbal").cast("double").as("c_acctbal"))
+    val nBase = c.count()
+    val t = GraftTable.load(s, s"$wh/q.db/cust")
+    // pinned write order (single sorted file per commit) makes base ids
+    // replayable: half A = ids [0, |A|) in custkey order at seq 1, half
+    // B continues the counter at seq 2
+    t.append(c.filter(col("c_custkey") % 2 === 0)
+      .repartition(1).sortWithinPartitions("c_custkey"))
+    t.append(c.filter(col("c_custkey") % 2 =!= 0)
+      .repartition(1).sortWithinPartitions("c_custkey"))
+    s.sql("UPDATE graftrl.q.cust SET c_acctbal = c_acctbal + 500.0 " +
+      "WHERE c_nationkey % 5 = 2")
+    // modulo keeps the predicate off the metadata tombstone path — this
+    // DELETE exercises the delta write
+    s.sql("DELETE FROM graftrl.q.cust WHERE c_acctbal < 0 AND c_nationkey % 5 != 2")
+    c.filter(col("c_custkey") % 10 === 3).createOrReplaceTempView("graft_rl_src")
+    s.sql("""MERGE INTO graftrl.q.cust t USING graft_rl_src s
+            |ON t.c_custkey = s.c_custkey
+            |WHEN MATCHED THEN UPDATE SET t.c_acctbal = t.c_acctbal + 1000.0
+            |WHEN NOT MATCHED THEN INSERT (c_custkey, c_nationkey, c_acctbal)
+            |  VALUES (s.c_custkey, s.c_nationkey, 0.0)""".stripMargin)
+    s.sql(s"""SELECT c_custkey, round(c_acctbal, 2) AS bal,
+             |  CAST(CASE WHEN _row_id < $nBase THEN _row_id ELSE -1 END AS BIGINT) AS rid,
+             |  _sequence_number AS seq
+             |FROM graftrl.q.cust ORDER BY c_custkey""".stripMargin)
+  }
+
   /** documents through the native SHOW PARTITIONS surface (S57,
     * SupportsPartitionManagement): stage a lang-partitioned table via
     * the SQL catalog, list its partitions with SHOW PARTITIONS (a
@@ -621,6 +668,40 @@ object GraftQueries {
              |  CAST(CASE WHEN h = 0 THEN 1 ELSE 2 END AS BIGINT) AS "_sequence_number"
              |FROM halves WHERE n_chars >= 100
              |ORDER BY doc_id""".stripMargin)),
+    QDef("q_graft_rowlevel", graftRowLevel,
+      Some("""WITH halves AS (
+             |  SELECT c_custkey, c_nationkey, c_acctbal, c_custkey % 2 AS h,
+             |    row_number() OVER (PARTITION BY c_custkey % 2 ORDER BY c_custkey) - 1 AS rn
+             |  FROM customer),
+             |ids AS (
+             |  SELECT c_custkey, c_nationkey, c_acctbal,
+             |    rn + CASE WHEN h = 1
+             |      THEN (SELECT count(*) FROM customer WHERE c_custkey % 2 = 0)
+             |      ELSE 0 END AS rid,
+             |    CASE WHEN h = 0 THEN 1 ELSE 2 END AS seq
+             |  FROM halves),
+             |upd AS (
+             |  SELECT c_custkey, c_nationkey,
+             |    CASE WHEN c_nationkey % 5 = 2 THEN c_acctbal + 500.0
+             |         ELSE c_acctbal END AS bal,
+             |    rid,
+             |    CASE WHEN c_nationkey % 5 = 2 THEN 3 ELSE seq END AS seq
+             |  FROM ids),
+             |del AS (SELECT * FROM upd WHERE NOT (bal < 0 AND c_nationkey % 5 != 2)),
+             |mrg AS (
+             |  SELECT c_custkey,
+             |    CASE WHEN c_custkey % 10 = 3 THEN bal + 1000.0 ELSE bal END AS bal,
+             |    rid,
+             |    CASE WHEN c_custkey % 10 = 3 THEN 5 ELSE seq END AS seq
+             |  FROM del
+             |  UNION ALL
+             |  SELECT c_custkey, 0.0 AS bal, -1 AS rid, 5 AS seq
+             |  FROM customer
+             |  WHERE c_custkey % 10 = 3
+             |    AND c_custkey NOT IN (SELECT c_custkey FROM del))
+             |SELECT c_custkey, round(bal, 2) AS bal, CAST(rid AS BIGINT) AS rid,
+             |  CAST(seq AS BIGINT) AS seq
+             |FROM mrg ORDER BY c_custkey""".stripMargin)),
     QDef("q_graft_ro", graftRo,
       Some("""SELECT c_custkey, c_nationkey,
              |  round(CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 1000.0

@@ -1709,11 +1709,109 @@ class GraftTable private (
     * MERGE / DELETE — see GraftRowLevelOperation). */
   private[sources] def commitReplace(
       added: Seq[FileMeta], deleted: Seq[FileMeta], base: Long): Long = {
+    // tracking tables never reach here — newRowLevelOperationBuilder
+    // routes them to the delta operation (commitDelta); kept as a net
+    // against a future caller wiring the CoW path in directly
     require(!rowTracking,
-      "row-level rewrites (UPDATE / MERGE / rewrite-DELETE) re-home rows " +
-        "and would break their stable ids — not supported on a " +
-        "row-tracking table (use dv deletes / whole-partition ops)")
+      "group copy-on-write rewrites re-home rows and would break their " +
+        "stable ids — row-tracking tables use the delta row-level path")
     commitAt(base + 1, "OVERWRITE", added, deleted = deleted)
+  }
+
+  /** S65 delta row-level commit (UPDATE / MERGE / DELETE on a
+    * row-tracking table, merge-on-read): publish the tasks' new data
+    * files and fold their PARTIAL deletion-vector sidecars into one
+    * final vector per touched file — all in ONE atomic snapshot.
+    *
+    *  - `lineageFiles` (update rewrites) carry materialized
+    *    `__row_id`/`__row_seq` columns and commit as COMPACTED so
+    *    commit-time id assignment skips them (the S64 fold contract);
+    *  - `plainFiles` (MERGE inserts) take fresh ids from the counter;
+    *  - `dvParts` = (root-relative data path, partial dv path,
+    *    positions) per (task, file). Partials merge with the file's
+    *    prior vector in a small parallelized job — executor I/O, driver
+    *    memory O(touched files); the single-partial/no-prior fast path
+    *    adopts the task's sidecar as the final without a copy. A merged
+    *    vector covering the whole file drops it from the manifest.
+    *
+    * The scan masked already-deleted rows, so partial counts must sum
+    * exactly into the merged cardinality — an overlap means one target
+    * row was deleted twice across tasks (a MERGE cardinality bug) and
+    * fails the commit rather than silently corrupting lineage.
+    * Commit kind OVERWRITE, like dvDelete: incremental/streaming
+    * readers do not re-emit, time travel sees the pre-op state. */
+  private[sources] def commitDelta(
+      lineageFiles: Seq[FileMeta], plainFiles: Seq[FileMeta],
+      dvParts: Seq[(String, String, Long)], base: Long): Long = {
+    val byPath: Map[String, FileMeta] = filesAt(base).map(f => f.path -> f).toMap
+    val grouped = dvParts.groupBy(_._1)
+    grouped.keys.foreach(p => require(byPath.contains(p),
+      s"delta write deletes from a file not live at snapshot $base: $p"))
+    val (direct, needMerge) = grouped.toSeq.partition {
+      case (p, parts) => parts.size == 1 && !byPath(p).hasDv
+    }
+    val directRes = direct.map { case (p, parts) => (p, parts.head._2, parts.head._3) }
+    val mergedRes: Seq[(String, String, Long)] =
+      if (needMerge.isEmpty) Seq.empty
+      else {
+        val rootStr = root
+        val serConf = new org.apache.spark.util.SerializableConfiguration(hadoopConf)
+        val descs = needMerge.map { case (p, parts) =>
+          (p, Option(byPath(p).dvPath), parts.map(_._2), byPath(p).rowCountOpt)
+        }
+        spark.sparkContext.parallelize(descs, math.min(descs.size, 32)).map {
+          case (p, prior, partials, rows) =>
+            val vecs = (prior.toSeq ++ partials)
+              .map(DeletionVector.read(serConf.value, rootStr, _))
+            val merged = vecs.reduce(DeletionVector.union)
+            require(merged.length == vecs.map(_.length).sum,
+              s"overlapping delete positions for $p across tasks/prior vector " +
+                "— duplicate MERGE match?")
+            val rel =
+              if (rows.contains(merged.length.toLong)) "" // file fully deleted
+              else DeletionVector.write(serConf.value, rootStr, merged)
+            // the partial sidecars are superseded scratch — reclaim now
+            // (best-effort; a leak is orphan-GC work)
+            val fsx = new org.apache.hadoop.fs.Path(rootStr)
+              .getFileSystem(serConf.value)
+            partials.foreach { part =>
+              try fsx.delete(new org.apache.hadoop.fs.Path(rootStr, part), false)
+              catch { case _: java.io.IOException => () }
+            }
+            (p, rel, merged.length.toLong)
+        }.collect().toSeq
+      }
+    val results = directRes ++ mergedRes
+    def covers(p: String, rel: String, cnt: Long): Boolean =
+      rel.isEmpty || byPath(p).rowCountOpt.contains(cnt)
+    val kept = results.collect {
+      case (p, rel, cnt) if !covers(p, rel, cnt) =>
+        byPath(p).copy(dvPath = rel, dvCount = cnt)
+    }
+    val gone = results.collect { case (p, rel, cnt) if covers(p, rel, cnt) => byPath(p) }
+    // a direct partial that turned out to cover its whole file is scratch
+    val strayDvs = results.collect { case (p, rel, cnt) if rel.nonEmpty &&
+      byPath(p).rowCountOpt.contains(cnt) => rel }
+    val added = kept ++
+      lineageFiles.map(_.copy(compacted = java.lang.Boolean.TRUE)) ++ plainFiles
+    try {
+      val id = commitAt(base + 1, "OVERWRITE", added = added, deleted = gone)
+      strayDvs.foreach { rel =>
+        try fs.delete(new Path(root, rel), false)
+        catch { case _: java.io.IOException => () }
+      }
+      id
+    } catch {
+      case e: Throwable =>
+        // losing the optimistic-concurrency race must not strand the
+        // merged finals (partials/data files are the batch abort's job)
+        mergedRes.foreach { case (_, rel, _) =>
+          if (rel.nonEmpty)
+            try fs.delete(new Path(root, rel), false)
+            catch { case _: java.io.IOException => () }
+        }
+        throw e
+    }
   }
 
   /** Streaming-sink entry: append/upsert one micro-batch tagged with

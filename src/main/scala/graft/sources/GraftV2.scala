@@ -49,6 +49,13 @@ final class GraftV2Table(
     * `_file` an analysis error there instead of a lie). */
   override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
     if (loaded.isPkTable) Array.empty
+    else if (loaded.rowTracking)
+      // S65: row-tracking tables additionally surface Paimon's lineage
+      // metadata (`SELECT _row_id, _sequence_number FROM t` — the SQL
+      // twin of readWithLineage) plus the physical `_pos` the delta
+      // row-level operation uses as positional row identity
+      Array(GraftV2Table.FileMetaColumn, RowLineage.IdMetaColumn,
+        RowLineage.SeqMetaColumn, RowLineage.PosMetaColumn)
     else Array(GraftV2Table.FileMetaColumn)
 
   /** UPDATE / MERGE INTO / rewrite-DELETE as group-based copy-on-write
@@ -73,6 +80,11 @@ final class GraftV2Table(
       throw new UnsupportedOperationException(
         "UPDATE/MERGE are not supported with changelog-producer=lookup " +
           "(a rewrite cannot emit the -U/+U changelog); use upsert writes instead")
+    // S65: row-tracking tables take the DELTA operation — dv deletes +
+    // id-materializing appends preserve every surviving row's stable id,
+    // where the CoW group rewrite would re-home (and re-number) them
+    if (loaded.rowTracking)
+      return () => new GraftDeltaRowLevelOperation(loaded, info.command())
     () => new GraftRowLevelOperation(loaded, info.command())
   }
 
@@ -845,22 +857,33 @@ final class GraftScan(
       partitionPrune, dataSkip, rowLevelReplace, subs, claimed)
 
   private val partKeySet = table.partitionKeys.toSet
-  // S44: the `_file` metadata column is synthesized per file partition,
-  // never read from parquet — carve it out of the data/partition split
+  // S44/S65: metadata columns (`_file`, and on row-tracking tables
+  // `_row_id`/`_sequence_number`/`_pos`) are synthesized per file
+  // partition, never read from parquet — carve them out of the
+  // data/partition split. Requested order is preserved in the output.
+  private val metaColNames: Set[String] = RowLineage.MetaColNames + GraftV2Table.FileCol
+  private val metaFields: Array[StructField] =
+    requiredSchema.fields.filter(f => metaColNames(f.name)).map { f =>
+      if (f.name == GraftV2Table.FileCol) StructField(f.name, StringType, nullable = false)
+      // nullability mirrors the MetadataColumn declarations (_row_id and
+      // _sequence_number declare nullable for MERGE's insert branch)
+      else StructField(f.name, LongType, nullable = f.name != RowLineage.PosCol)
+    }
   private val wantFile: Boolean =
-    requiredSchema.fieldNames.contains(GraftV2Table.FileCol)
+    metaFields.exists(_.name == GraftV2Table.FileCol)
+  // any lineage column forces the positional per-file read (S65)
+  private val wantLineage: Boolean =
+    metaFields.exists(f => RowLineage.MetaColNames(f.name))
   private val dataRequired: Array[StructField] =
-    requiredSchema.fields.filterNot(_.name == GraftV2Table.FileCol)
+    requiredSchema.fields.filterNot(f => metaColNames(f.name))
   // file-borne vs directory-borne halves of the requested schema
   private val readDataFields: Array[StructField] =
     dataRequired.filterNot(f => partKeySet(f.name))
   private val readPartFields: Array[StructField] =
     dataRequired.filter(f => partKeySet(f.name))
 
-  override def readSchema(): StructType = StructType(
-    readDataFields ++ readPartFields ++
-      (if (wantFile) Seq(StructField(GraftV2Table.FileCol, StringType, nullable = false))
-       else Seq.empty))
+  override def readSchema(): StructType =
+    StructType(readDataFields ++ readPartFields ++ metaFields)
 
   override def toBatch: Batch = this
 
@@ -1083,6 +1106,13 @@ final class GraftScan(
       (if (f.isSorted) Map[String, Any](GraftMorReaderFactory.SortedKey -> true)
        else Map.empty[String, Any]) ++
         (if (f.hasDv) Map[String, Any](DvReaderFactory.DvKey -> f.dvPath)
+         else Map.empty[String, Any]) ++
+        // S65: the file's commit-assigned id range for the lineage read
+        // (absent on compacted files — their ids are stored columns)
+        (if (wantLineage)
+           Option(f.firstRowId).map(v =>
+             RowLineage.FirstRowIdKey -> (v.longValue: Any)).toMap ++
+             Option(f.rowSeq).map(v => RowLineage.RowSeqKey -> (v.longValue: Any)).toMap
          else Map.empty[String, Any]))
 
   // ---- storage-partitioned scan (zero-shuffle bucketed joins) ----------
@@ -1110,7 +1140,7 @@ final class GraftScan(
       .getConfString("spark.sql.sources.v2.bucketing.enabled", "false").toBoolean &&
       table.numBuckets > 1 && table.bucketKeys.nonEmpty &&
       (!table.isPkTable || table.bucketKeys.forall(table.primaryKeys.toSet)) &&
-      !wantFile && // S44: _file partitions are per-file, not per-bucket
+      !wantFile && !wantLineage && // S44/S65: meta-col partitions are per-file, not per-bucket
       // S55: a claimed scan masks per-file through unsplit FilePartitions;
       // BucketedFilePartition would reach the mask factory unwrapped —
       // drop the SPJ claim rather than compose the two partition shapes
@@ -1141,7 +1171,7 @@ final class GraftScan(
   override def planInputPartitions(): Array[InputPartition] = {
     if (bucketGrouped) return planBucketPartitions()
     if (plannedFiles.isEmpty) return Array.empty
-    if (wantFile) return planPerFilePartitions()
+    if (wantFile || wantLineage) return planPerFilePartitions()
     if (table.isPkTable) planMergePartitions() else planSplitPartitions()
   }
 
@@ -1249,7 +1279,12 @@ final class GraftScan(
     * the vectorized factory. */
   private def fileFactory(
       readData: StructType, readPart: StructType, filters: Array[Filter],
-      vectorized: Boolean = true): PartitionReaderFactory = {
+      vectorized: Boolean = true,
+      // S65: extra physical columns some files carry (the lineage read's
+      // stored __row_id/__row_seq) — declared in dataSchema so the
+      // format resolves them by name and null-fills files lacking them
+      extraDataCols: Seq[StructField] = Seq.empty): PartitionReaderFactory = {
+    val dataSchema = StructType(table.fileDataSchema.fields ++ extraDataCols)
     // The vectorized flag is captured into a FINAL factory field during
     // createReaderFactory() (driver-side), read from the session's SQLConf.
     // S54 avro: row-based by nature, so the vectorized flag is moot —
@@ -1267,7 +1302,7 @@ final class GraftScan(
       if (table.fileFormat == "orc")
         new org.apache.spark.sql.execution.datasources.v2.orc.OrcScan(
           s, s.sessionState.newHadoopConf(), emptyIndex,
-          dataSchema = table.fileDataSchema,
+          dataSchema = dataSchema,
           readDataSchema = readData,
           readPartitionSchema = readPart,
           options = CaseInsensitiveStringMap.empty(),
@@ -1278,7 +1313,7 @@ final class GraftScan(
       else
         new org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan(
           s, s.sessionState.newHadoopConf(), emptyIndex,
-          dataSchema = table.fileDataSchema,
+          dataSchema = dataSchema,
           readDataSchema = readData,
           readPartitionSchema = readPart,
           pushedFilters = filters,
@@ -1303,6 +1338,30 @@ final class GraftScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
+    // S65: lineage scans read per-file, row-based, unsplit, with NO
+    // reader pushdown (a skipped row group would desync the physical
+    // position counter) — stored __row_id/__row_seq columns ride along
+    // for compacted files, dv/claim masks apply after the position is
+    // taken. Subsumes the _file wrapper when both are requested.
+    if (wantLineage) {
+      require(table.rowTracking,
+        s"lineage metadata columns require row-tracking.enabled at ${table.root}")
+      plannedFiles.foreach(f => require(
+        (f.firstRowId != null && f.rowSeq != null) || f.isCompacted,
+        s"file ${f.path} predates row tracking — enable row-tracking.enabled " +
+          "at table creation"))
+      val storedCols = Seq(
+        StructField(GraftTable.RowIdCol, LongType),
+        StructField(GraftTable.RowSeqCol, LongType))
+      val readData = StructType(readDataFields ++ storedCols)
+      return new LineageReaderFactory(
+        fileFactory(readData, StructType(readPartFields), Array.empty[Filter],
+          vectorized = false, extraDataCols = storedCols),
+        readDataFields.map(_.dataType), readPartFields.map(_.dataType),
+        metaFields.map(_.name), claimed.toSeq, table.root,
+        new org.apache.spark.util.SerializableConfiguration(
+          spark.sessionState.newHadoopConf()))
+    }
     // S44: _file scans read row-based (uniformly — a mixed columnar
     // answer is illegal) and wrap every partition's reader to append
     // the per-partition constant path

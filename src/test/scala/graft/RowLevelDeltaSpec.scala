@@ -1,0 +1,185 @@
+package graft
+
+import graft.sources.GraftTable
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SURVEY §2.1 S65 — delta row-level operations on row-tracking tables
+  * (the lift of S64's one refusal): SQL UPDATE / MERGE / DELETE run
+  * MERGE-ON-READ — deletes become deletion-vector positions on the
+  * source files, updates append id-materialized rows with a bumped
+  * `_sequence_number`, inserts take fresh commit-assigned ids. Also the
+  * lineage METADATA COLUMNS (`_row_id`, `_sequence_number`, `_pos`,
+  * with S44's `_file`) — the SQL twin of readWithLineage. */
+class RowLevelDeltaSpec extends AnyFunSuite {
+  lazy val spark = {
+    val s = TestSpark.spark
+    s.conf.set("spark.sql.catalog.gdelta", "graft.sources.GraftSparkCatalog")
+    s.conf.set("spark.sql.catalog.gdelta.warehouse", TestSpark.tmpDir("gdelta-wh"))
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gdelta.db")
+    s
+  }
+  import spark.implicits._
+
+  private def sql(q: String) = spark.sql(q)
+  private var n = 0
+  /** A registered row-tracking table seeded with two single-file commits
+    * (ids 0-4: k=0..4 seq 1, ids 5-7: k=5..7 seq 2); returns (name, table). */
+  private def mkSql(extra: String = ""): (String, GraftTable) = {
+    n += 1
+    val name = s"gdelta.db.t$n"
+    sql(s"""CREATE TABLE $name (k BIGINT, v STRING)
+           |TBLPROPERTIES ('row-tracking.enabled'='true'$extra)""".stripMargin)
+    val root = spark.conf.get("spark.sql.catalog.gdelta.warehouse") + s"/db.db/t$n"
+    val t = GraftTable.load(spark, root)
+    t.append((0L to 4L).map(i => (i, s"v$i")).toDF("k", "v").coalesce(1))
+    t.append((5L to 7L).map(i => (i, s"v$i")).toDF("k", "v").coalesce(1))
+    (name, t)
+  }
+
+  private def lineageSql(name: String): Seq[(Long, String, Long, Long)] =
+    sql(s"SELECT k, v, _row_id, _sequence_number FROM $name").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._3).toSeq
+
+  test("S65a: lineage metadata columns match readWithLineage through dv + compact") {
+    val (name, t) = mkSql(extra = ", 'deletion-vectors.enabled'='true'")
+    t.dvDelete(col("k") === 1L) // positional vintage + a dv mask
+    t.compact() // materialized vintage (stored __row_id/__row_seq)
+    t.append(Seq((8L, "v8")).toDF("k", "v").coalesce(1)) // positional again
+    val viaSql = lineageSql(name)
+    val viaLib = t.readWithLineage().collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._3).toSeq
+    assert(viaSql == viaLib, s"SQL $viaSql != library $viaLib")
+    assert(viaSql.map(_._3) == Seq(0L, 2L, 3L, 4L, 5L, 6L, 7L, 8L))
+    // _pos and _file: physical positions within the named file
+    val posFile = sql(s"SELECT _file, _pos, _row_id FROM $name ORDER BY _row_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(posFile.forall(_._1.startsWith("data/")))
+    // positions are dense per file starting at 0 (physical order)
+    posFile.groupBy(_._1).values.foreach { grp =>
+      assert(grp.map(_._2).sorted.toSeq == grp.indices.map(_.toLong),
+        s"positions not dense: ${grp.toSeq}")
+    }
+  }
+
+  test("S65b: UPDATE preserves _row_id, bumps _sequence_number, rewrites no group") {
+    val (name, t) = mkSql()
+    val before = lineageSql(name)
+    val filesBefore = t.system("files")
+      .select("file_path").collect().map(_.getString(0)).toSet
+    sql(s"UPDATE $name SET v = concat(v, '!') WHERE k % 3 = 1") // k=1,4,7
+    val after = lineageSql(name)
+    assert(after.map(r => (r._1, r._3)) == before.map(r => (r._1, r._3)),
+      "UPDATE renumbered rows")
+    after.foreach { case (k, v, _, seq) =>
+      if (k % 3 == 1) { assert(v == s"v$k!"); assert(seq == 3L, s"k=$k seq=$seq") }
+      else { assert(v == s"v$k"); assert(seq == (if (k <= 4) 1L else 2L)) }
+    }
+    // MOR shape: both original files still live (now dv-masked), ONE new
+    // lineage file holds exactly the 3 rewritten rows — no group rewrite
+    val files = t.system("files")
+      .select("file_path", "record_count", "delete_row_count", "compacted").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val olds = files.filter(f => filesBefore(f._1))
+    val news = files.filterNot(f => filesBefore(f._1))
+    assert(olds.length == 2 && olds.map(_._3).sorted.toSeq == Seq(1L, 2L),
+      s"originals must survive dv-masked: ${files.toSeq}")
+    // (one rewrite file per scan task that held matches — 2 here)
+    assert(news.nonEmpty && news.map(_._2).sum == 3L && news.forall(_._4),
+      s"compacted-flagged rewrite files holding exactly the 3 updated " +
+        s"rows expected: ${files.toSeq}")
+    // id uniqueness held
+    assert(after.map(_._3).distinct.length == after.length)
+  }
+
+  test("S65c: DELETE with an untranslatable predicate runs the delta path; survivors stable") {
+    val (name, t) = mkSql()
+    val before = lineageSql(name)
+    sql(s"DELETE FROM $name WHERE k % 2 = 0") // modulo: no V1 filter, no tombstone path
+    val after = lineageSql(name)
+    assert(after.map(_._1) == before.map(_._1).filter(_ % 2 != 0))
+    after.foreach { case (k, _, rid, seq) =>
+      val b = before.find(_._1 == k).get
+      assert(rid == b._3 && seq == b._4, s"survivor $k changed lineage")
+    }
+    // no data file was written — deletes are pure dv metadata
+    assert(t.system("files").select("file_path").collect().length == 2)
+  }
+
+  test("S65d: MERGE — matched update keeps ids, matched delete removes, insert mints fresh") {
+    val (name, t) = mkSql()
+    val before = lineageSql(name).map(r => r._1 -> r._3).toMap
+    Seq((1L, "one"), (4L, "DEL"), (9L, "nine"), (10L, "ten"))
+      .toDF("k", "v").createOrReplaceTempView("src65d")
+    sql(s"""MERGE INTO $name t USING src65d s ON t.k = s.k
+           |WHEN MATCHED AND s.v = 'DEL' THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET t.v = s.v
+           |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""".stripMargin)
+    val after = lineageSql(name)
+    assert(after.map(_._1).sorted == Seq(0L, 1L, 2L, 3L, 5L, 6L, 7L, 9L, 10L))
+    // updated row: same id, new seq, new value
+    val u = after.find(_._1 == 1L).get
+    assert(u._2 == "one" && u._3 == before(1L) && u._4 == 3L)
+    // carried rows: identical lineage
+    after.filter(r => r._1 != 1L && r._1 < 9L).foreach { case (k, v, rid, _) =>
+      assert(rid == before(k) && v == s"v$k")
+    }
+    // inserted rows: fresh ids continuing the counter (8 rows existed →
+    // next ids 8, 9), seq = the committing snapshot
+    val ins = after.filter(_._1 >= 9L)
+    assert(ins.map(_._3).sorted == Seq(8L, 9L), s"fresh ids wrong: $ins")
+    assert(ins.forall(_._4 == 3L))
+    assert(Option(t.snapshots.last.nextRowId).map(_.longValue).contains(10L))
+    // id uniqueness across the whole table
+    assert(after.map(_._3).distinct.length == after.length)
+  }
+
+  test("S65e: UPDATE over a compacted (id-materialized) vintage preserves stored ids") {
+    val (name, t) = mkSql()
+    t.compact()
+    val before = lineageSql(name)
+    sql(s"UPDATE $name SET v = 'X' WHERE k = 6")
+    val after = lineageSql(name)
+    assert(after.map(r => (r._1, r._3)) == before.map(r => (r._1, r._3)))
+    assert(after.find(_._1 == 6L).get._2 == "X")
+    assert(after.find(_._1 == 6L).get._4 == 4L) // compact was snapshot 3
+    // a second update of the SAME row through its rewritten (lineage
+    //-materialized, dv-maskable) file still holds the id
+    sql(s"UPDATE $name SET v = 'Y' WHERE k = 6")
+    val again = lineageSql(name)
+    assert(again.map(r => (r._1, r._3)) == before.map(r => (r._1, r._3)))
+    assert(again.find(_._1 == 6L).get._2 == "Y")
+  }
+
+  test("S65f: time travel and rollback see pre-op lineage; ids never reused") {
+    val (name, t) = mkSql()
+    val pre = lineageSql(name)
+    sql(s"DELETE FROM $name WHERE k % 2 = 0")
+    sql(s"UPDATE $name SET v = 'u' WHERE k = 1")
+    val preTravel = t.readWithLineage(Some(2L)).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).sortBy(_._3).toSeq
+    assert(preTravel == pre, "time travel must replay the pre-op lineage")
+    t.rollbackTo(2L)
+    assert(lineageSql(name) == pre)
+    // post-rollback appends continue the counter — no id reuse ever
+    t.append(Seq((99L, "z")).toDF("k", "v").coalesce(1))
+    val ids = lineageSql(name).map(_._3)
+    assert(ids.max == 8L && ids.distinct.length == ids.length)
+  }
+
+  test("S65g: an UPDATE covering a whole file drops it from the manifest") {
+    val (name, t) = mkSql()
+    sql(s"UPDATE $name SET v = 'all' WHERE k >= 5") // the entire second file
+    val files = t.system("files").select("file_path", "record_count", "delete_row_count")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // first file untouched, second file GONE (fully deleted), one rewrite
+    assert(files.length == 2, s"fully-updated file must leave: ${files.toSeq}")
+    assert(files.forall(_._3 == 0L))
+    val after = lineageSql(name)
+    assert(after.filter(_._1 >= 5L).map(_._3).sorted == Seq(5L, 6L, 7L))
+    assert(after.filter(_._1 >= 5L).forall(_._2 == "all"))
+  }
+}

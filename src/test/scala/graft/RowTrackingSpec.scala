@@ -9,8 +9,9 @@ import org.scalatest.funsuite.AnyFunSuite
   * row lineage): append tables assign each row a STABLE `_row_id`
   * (file firstRowId + physical position) and a `_sequence_number` (the
   * committing snapshot) at commit time; ids survive dv deletes,
-  * whole-file ops and rollbacks, and are never reused. Rewriting
-  * maintenance (compact / rescale / row-level rewrites) is refused.
+  * whole-file ops and rollbacks, and are never reused. Compact/rescale
+  * preserve ids by materializing them; row-level UPDATE/MERGE/DELETE
+  * take the delta path (S65, RowLevelDeltaSpec).
   */
 class RowTrackingSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
