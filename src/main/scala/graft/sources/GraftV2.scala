@@ -49,14 +49,26 @@ final class GraftV2Table(
     * `_file` an analysis error there instead of a lie). */
   override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
     if (loaded.isPkTable) Array.empty
-    else if (loaded.rowTracking)
+    else {
       // S65: row-tracking tables additionally surface Paimon's lineage
       // metadata (`SELECT _row_id, _sequence_number FROM t` — the SQL
-      // twin of readWithLineage) plus the physical `_pos` the delta
-      // row-level operation uses as positional row identity
-      Array(GraftV2Table.FileMetaColumn, RowLineage.IdMetaColumn,
-        RowLineage.SeqMetaColumn, RowLineage.PosMetaColumn)
-    else Array(GraftV2Table.FileMetaColumn)
+      // twin of readWithLineage); every non-PK parquet table surfaces
+      // the physical `_pos` the delta row-level operation uses as
+      // positional row identity (parquet-only: the positional read
+      // discipline is proven for the parquet factories)
+      val lineage =
+        if (loaded.rowTracking)
+          Array[org.apache.spark.sql.connector.catalog.MetadataColumn](
+            RowLineage.IdMetaColumn, RowLineage.SeqMetaColumn)
+        else Array.empty[org.apache.spark.sql.connector.catalog.MetadataColumn]
+      val pos =
+        if (loaded.fileFormat == "parquet")
+          Array[org.apache.spark.sql.connector.catalog.MetadataColumn](
+            RowLineage.PosMetaColumn)
+        else Array.empty[org.apache.spark.sql.connector.catalog.MetadataColumn]
+      Array(GraftV2Table.FileMetaColumn: org.apache.spark.sql.connector.catalog.MetadataColumn) ++
+        lineage ++ pos
+    }
 
   /** UPDATE / MERGE INTO / rewrite-DELETE as group-based copy-on-write
     * (the Iceberg-style shape): Spark reads the affected groups through
@@ -82,8 +94,13 @@ final class GraftV2Table(
           "(a rewrite cannot emit the -U/+U changelog); use upsert writes instead")
     // S65: row-tracking tables take the DELTA operation — dv deletes +
     // id-materializing appends preserve every surviving row's stable id,
-    // where the CoW group rewrite would re-home (and re-number) them
-    if (loaded.rowTracking)
+    // where the CoW group rewrite would re-home (and re-number) them.
+    // Deletion-vectors append tables take it too (Paimon's dv-mode
+    // UPDATE/MERGE): write amplification O(changed rows), not O(touched
+    // groups) — at 100 TB a CoW UPDATE of 0.1% of rows rewrites every
+    // grazed group; the delta write touches exactly the changed rows.
+    if (loaded.rowTracking ||
+        (loaded.dvEnabled && !loaded.isPkTable && loaded.fileFormat == "parquet"))
       return () => new GraftDeltaRowLevelOperation(loaded, info.command())
     () => new GraftRowLevelOperation(loaded, info.command())
   }
@@ -861,7 +878,10 @@ final class GraftScan(
   // `_row_id`/`_sequence_number`/`_pos`) are synthesized per file
   // partition, never read from parquet — carve them out of the
   // data/partition split. Requested order is preserved in the output.
-  private val metaColNames: Set[String] = RowLineage.MetaColNames + GraftV2Table.FileCol
+  // a DATA column sharing a metadata column's name shadows it (Spark
+  // hides the metadata column then) — the carve-out must not capture it
+  private val metaColNames: Set[String] =
+    (RowLineage.MetaColNames + GraftV2Table.FileCol) -- table.schema.fieldNames
   private val metaFields: Array[StructField] =
     requiredSchema.fields.filter(f => metaColNames(f.name)).map { f =>
       if (f.name == GraftV2Table.FileCol) StructField(f.name, StringType, nullable = false)
@@ -1344,12 +1364,18 @@ final class GraftScan(
     // for compacted files, dv/claim masks apply after the position is
     // taken. Subsumes the _file wrapper when both are requested.
     if (wantLineage) {
-      require(table.rowTracking,
-        s"lineage metadata columns require row-tracking.enabled at ${table.root}")
-      plannedFiles.foreach(f => require(
-        (f.firstRowId != null && f.rowSeq != null) || f.isCompacted,
-        s"file ${f.path} predates row tracking — enable row-tracking.enabled " +
-          "at table creation"))
+      // `_pos`/`_file` alone (the delta write's row identity on a plain
+      // dv-append table) need only the positional read; id/seq
+      // additionally need the tracking vintage
+      if (metaFields.exists(f =>
+        f.name == RowLineage.IdCol || f.name == RowLineage.SeqCol)) {
+        require(table.rowTracking,
+          s"lineage metadata columns require row-tracking.enabled at ${table.root}")
+        plannedFiles.foreach(f => require(
+          (f.firstRowId != null && f.rowSeq != null) || f.isCompacted,
+          s"file ${f.path} predates row tracking — enable row-tracking.enabled " +
+            "at table creation"))
+      }
       val storedCols = Seq(
         StructField(GraftTable.RowIdCol, LongType),
         StructField(GraftTable.RowSeqCol, LongType))

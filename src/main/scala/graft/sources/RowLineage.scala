@@ -218,7 +218,11 @@ final class GraftDeltaRowLevelOperation(
     Array(Expressions.column(GraftV2Table.FileCol), Expressions.column(RowLineage.PosCol))
 
   override def requiredMetadataAttributes(): Array[NamedReference] =
-    Array(Expressions.column(RowLineage.IdCol), Expressions.column(RowLineage.SeqCol))
+    // plain dv-append tables have no lineage to preserve — Spark then
+    // drives the non-metadata delta task (null metadata per callback)
+    if (table.rowTracking)
+      Array(Expressions.column(RowLineage.IdCol), Expressions.column(RowLineage.SeqCol))
+    else Array.empty
 
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
     new DeltaWriteBuilder {
@@ -345,6 +349,10 @@ final class GraftDeltaWriter(
   private val joined = new JoinedRow
 
   private def writeUpdated(meta: InternalRow, row: InternalRow): Unit = {
+    // null metadata = a plain dv-append table (the operation declared no
+    // metadata attributes): nothing to preserve, the rewritten row is an
+    // ordinary append
+    if (meta == null) { insert(row); return }
     require(!meta.isNullAt(0) && !meta.isNullAt(1),
       "updated row carries no lineage metadata — pre-tracking vintage?")
     idSeq.update(0, meta.getLong(0)) // original _row_id, preserved

@@ -132,6 +132,34 @@ object FormatScaleProbe {
     timed("rowtrack: lineage read (materialized)")(
       rt.readWithLineage().queryExecution.toRdd.count())
 
+    // ---- S65 delta row-level ops (UPDATE/MERGE/DELETE as dv + append) --
+    spark.conf.set("spark.sql.catalog.fmtprobe", "graft.sources.GraftSparkCatalog")
+    spark.conf.set("spark.sql.catalog.fmtprobe.warehouse", s"$base/wh")
+    spark.sql("CREATE NAMESPACE fmtprobe.q")
+    spark.sql("""CREATE TABLE fmtprobe.q.rl (doc_id BIGINT, lang STRING, n_chars BIGINT)
+                |TBLPROPERTIES ('row-tracking.enabled'='true')""".stripMargin)
+    val rlDocs = rtDocs.select(col("doc_id").cast("long").as("doc_id"),
+      col("lang").cast("string").as("lang"), col("n_chars").cast("long").as("n_chars"))
+    val rl = GraftTable.load(spark, s"$base/wh/q.db/rl")
+    timed("delta: ingest")(rl.append(rlDocs.repartition(8)))
+    timed("delta: UPDATE ~10% (dv + id-keeping append)")(
+      spark.sql("UPDATE fmtprobe.q.rl SET n_chars = n_chars + 1 WHERE doc_id % 10 = 3"))
+    rlDocs.filter(col("doc_id") % 20 === 7)
+      .union(rlDocs.filter(col("doc_id") % 20 === 9)
+        .withColumn("doc_id", -col("doc_id")))
+      .createOrReplaceTempView("probe_rl_src")
+    timed("delta: MERGE ~5% updates + ~5% inserts")(
+      spark.sql("""MERGE INTO fmtprobe.q.rl t USING probe_rl_src s
+                  |ON t.doc_id = s.doc_id
+                  |WHEN MATCHED THEN UPDATE SET t.n_chars = s.n_chars + 2
+                  |WHEN NOT MATCHED THEN INSERT (doc_id, lang, n_chars)
+                  |  VALUES (s.doc_id, s.lang, s.n_chars)""".stripMargin))
+    timed("delta: DELETE ~10% (pure dv metadata)")(
+      spark.sql("DELETE FROM fmtprobe.q.rl WHERE doc_id % 10 = 6 AND n_chars % 2 = 0"))
+    val rlRows = timed("delta: lineage read after ops")(
+      rl.readWithLineage().queryExecution.toRdd.count())
+    println(s"[probe] delta rows = $rlRows")
+
     // ---- L68 dedup index: build once, refresh delta ---------------------
     val dtexts = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
     val dsrc = GraftTable.create(spark, s"$base/dixsrc",

@@ -170,6 +170,64 @@ class RowLevelDeltaSpec extends AnyFunSuite {
     assert(ids.max == 8L && ids.distinct.length == ids.length)
   }
 
+  test("S65h: plain deletion-vectors append tables (no tracking) take the " +
+    "delta path too — UPDATE/MERGE touch only changed rows") {
+    n += 1
+    val name = s"gdelta.db.t$n"
+    sql(s"""CREATE TABLE $name (k BIGINT, v STRING)
+           |TBLPROPERTIES ('deletion-vectors.enabled'='true')""".stripMargin)
+    sql(s"INSERT INTO $name SELECT id, concat('v', id) FROM range(0, 100)")
+    val root = spark.conf.get("spark.sql.catalog.gdelta.warehouse") + s"/db.db/t$n"
+    val t = GraftTable.load(spark, root)
+    val filesBefore = t.system("files")
+      .select("file_path").collect().map(_.getString(0)).toSet
+    sql(s"UPDATE $name SET v = 'u' WHERE k % 10 = 7") // 10 of 100 rows
+    val files = t.system("files")
+      .select("file_path", "record_count", "delete_row_count").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val olds = files.filter(f => filesBefore(f._1))
+    val news = files.filterNot(f => filesBefore(f._1))
+    assert(olds.map(_._1).toSet == filesBefore,
+      s"originals must survive dv-masked, not be rewritten: ${files.toSeq}")
+    assert(olds.map(_._3).sum == 10L && news.map(_._2).sum == 10L,
+      s"exactly the 10 changed rows move: ${files.toSeq}")
+    assert(sql(s"SELECT count(*) FROM $name WHERE v = 'u'").first().getLong(0) == 10L)
+    assert(sql(s"SELECT count(*) FROM $name").first().getLong(0) == 100L)
+    // MERGE: update + insert through the same path
+    sql(s"SELECT id AS k, 'm' AS v FROM range(95, 105)").createOrReplaceTempView("src65h")
+    sql(s"""MERGE INTO $name t USING src65h s ON t.k = s.k
+           |WHEN MATCHED THEN UPDATE SET t.v = s.v
+           |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""".stripMargin)
+    assert(sql(s"SELECT count(*) FROM $name").first().getLong(0) == 105L)
+    assert(sql(s"SELECT count(*) FROM $name WHERE v = 'm'").first().getLong(0) == 10L)
+    // untranslatable DELETE rides the delta path (dv metadata, no rewrite)
+    val nFiles = t.system("files").collect().length
+    sql(s"DELETE FROM $name WHERE k % 3 = 1 AND v != 'm'")
+    assert(t.system("files").collect().length == nFiles, "delta DELETE writes no data file")
+    assert(sql(s"SELECT count(*) FROM $name").first().getLong(0) ==
+      (0L until 105L).count(k => !(k % 3 == 1 && !(k >= 95 && k < 105))))
+  }
+
+  test("S65i: a plain append table (no dv, no tracking) keeps the CoW rewrite") {
+    n += 1
+    val name = s"gdelta.db.t$n"
+    sql(s"CREATE TABLE $name (k BIGINT, v STRING)")
+    sql(s"INSERT INTO $name SELECT id, concat('v', id) FROM range(0, 10)")
+    val root = spark.conf.get("spark.sql.catalog.gdelta.warehouse") + s"/db.db/t$n"
+    val t = GraftTable.load(spark, root)
+    val before = t.system("files").select("file_path").collect().map(_.getString(0)).toSet
+    sql(s"UPDATE $name SET v = 'u' WHERE k = 3")
+    val after = t.system("files").select("file_path", "delete_row_count").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    // the scanned group was REPLACED (file-pruning may keep untouched
+    // groups) and nothing was dv-masked — the CoW shape, not the delta's
+    assert(after.exists(f => !before(f._1)) && !after.map(_._1).toSet.subsetOf(before) &&
+      before.diff(after.map(_._1).toSet).nonEmpty,
+      s"CoW must replace the scanned group: ${after.toSeq}")
+    assert(after.forall(_._2 == 0L), "CoW writes no deletion vectors")
+    assert(sql(s"SELECT v FROM $name WHERE k = 3").first().getString(0) == "u")
+  }
+
   test("S65g: an UPDATE covering a whole file drops it from the manifest") {
     val (name, t) = mkSql()
     sql(s"UPDATE $name SET v = 'all' WHERE k >= 5") // the entire second file
