@@ -271,6 +271,15 @@ class GraftTable private (
     if (on) {
       require(!isPkTable, "row-tracking.enabled requires an append (non-PK) table")
       require(fileFormat == "parquet", "row tracking requires file.format=parquet")
+      // a data column named like a lineage metadata column would SHADOW
+      // it (Spark suppresses the metadata column on a name conflict) —
+      // lineage reads would silently serve user data and the delta
+      // row-level plan would bind its row identity to it
+      val clash = schema.fieldNames.toSet
+        .intersect(GraftTable.ReservedLineageCols)
+      require(clash.isEmpty,
+        s"row-tracking tables reserve column name(s) ${clash.mkString(", ")} " +
+          "for lineage metadata")
     }
     on
   }
@@ -1770,14 +1779,11 @@ class GraftTable private (
             val rel =
               if (rows.contains(merged.length.toLong)) "" // file fully deleted
               else DeletionVector.write(serConf.value, rootStr, merged)
-            // the partial sidecars are superseded scratch — reclaim now
-            // (best-effort; a leak is orphan-GC work)
-            val fsx = new org.apache.hadoop.fs.Path(rootStr)
-              .getFileSystem(serConf.value)
-            partials.foreach { part =>
-              try fsx.delete(new org.apache.hadoop.fs.Path(rootStr, part), false)
-              catch { case _: java.io.IOException => () }
-            }
+            // partials are NOT deleted here: a speculative/retried
+            // attempt must still find its inputs — the task stays
+            // idempotent (a duplicate attempt writes a second final; the
+            // unreferenced one is orphan-GC work). The driver reclaims
+            // partials after the commit publishes.
             (p, rel, merged.length.toLong)
         }.collect().toSeq
       }
@@ -1789,9 +1795,12 @@ class GraftTable private (
         byPath(p).copy(dvPath = rel, dvCount = cnt)
     }
     val gone = results.collect { case (p, rel, cnt) if covers(p, rel, cnt) => byPath(p) }
-    // a direct partial that turned out to cover its whole file is scratch
-    val strayDvs = results.collect { case (p, rel, cnt) if rel.nonEmpty &&
-      byPath(p).rowCountOpt.contains(cnt) => rel }
+    // scratch reclaimed only AFTER the commit publishes: the merged
+    // partials (superseded by their finals) plus any direct partial
+    // that turned out to cover its whole file
+    val strayDvs = needMerge.flatMap(_._2.map(_._2)) ++
+      results.collect { case (p, rel, cnt) if rel.nonEmpty &&
+        byPath(p).rowCountOpt.contains(cnt) => rel }
     val added = kept ++
       lineageFiles.map(_.copy(compacted = java.lang.Boolean.TRUE)) ++ plainFiles
     try {
@@ -3676,6 +3685,10 @@ object GraftTable {
   // into rewritten files (appended files derive ids positionally)
   val RowIdCol = "__row_id"
   val RowSeqCol = "__row_seq"
+  /** Data-column names a row-tracking table may not use: they would
+    * shadow the lineage metadata columns (S65). */
+  val ReservedLineageCols: Set[String] =
+    RowLineage.MetaColNames + GraftV2Table.FileCol
   /** S48: write-plan-only column carrying a row's pre-assigned dynamic
     * bucket (never stored in data files). */
   val DynBucketCol = "__bucket"

@@ -99,8 +99,17 @@ final class GraftV2Table(
     // UPDATE/MERGE): write amplification O(changed rows), not O(touched
     // groups) — at 100 TB a CoW UPDATE of 0.1% of rows rewrites every
     // grazed group; the delta write touches exactly the changed rows.
+    // A data column named like a delta identity column (_pos/_file)
+    // SHADOWS the metadata column — Spark would bind the delta plan's
+    // row identity to user data and the dv positions would mask
+    // arbitrary rows. Tracking tables refuse such schemas at the source
+    // (GraftTable.rowTracking); plain dv tables may carry them
+    // legitimately and fall back to the CoW rewrite.
+    val deltaShadowed =
+      loaded.schema.fieldNames.exists(GraftTable.ReservedLineageCols)
     if (loaded.rowTracking ||
-        (loaded.dvEnabled && !loaded.isPkTable && loaded.fileFormat == "parquet"))
+        (loaded.dvEnabled && !loaded.isPkTable && loaded.fileFormat == "parquet" &&
+          !deltaShadowed))
       return () => new GraftDeltaRowLevelOperation(loaded, info.command())
     () => new GraftRowLevelOperation(loaded, info.command())
   }

@@ -164,6 +164,25 @@ object GraftWrite {
   * unbounded writer memory). The V2 write requests clustering by
   * (partition, bucket-key) columns, so in practice a task sees few
   * groups. */
+/** Growable primitive long buffer (no boxing on the per-row path) —
+  * shared by the task writer's sidecar builders and the delta writer's
+  * per-file delete-position buffers. */
+private[sources] final class LongBuf {
+  var arr = new Array[Long](1024)
+  var n = 0
+  def add(v: Long): Unit = {
+    if (n == arr.length) arr = java.util.Arrays.copyOf(arr, n * 2)
+    arr(n) = v
+    n += 1
+  }
+  /** Sorted copy of the filled prefix. */
+  def sorted(): Array[Long] = {
+    val r = java.util.Arrays.copyOf(arr, n)
+    java.util.Arrays.sort(r)
+    r
+  }
+}
+
 final class GraftTaskWriter(spec: GraftWriteSpec, taskUniq: String) {
 
   private val conf = new Configuration(spec.conf.value)
@@ -358,17 +377,6 @@ final class GraftTaskWriter(spec: GraftWriteSpec, taskUniq: String) {
         case _ => ()
       }
       s += 1
-    }
-  }
-
-  /** Growable primitive long buffer (no boxing on the per-row path). */
-  private final class LongBuf {
-    var arr = new Array[Long](1024)
-    var n = 0
-    def add(v: Long): Unit = {
-      if (n == arr.length) arr = java.util.Arrays.copyOf(arr, n * 2)
-      arr(n) = v
-      n += 1
     }
   }
 

@@ -226,17 +226,37 @@ final class GraftDeltaRowLevelOperation(
 
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
     new DeltaWriteBuilder {
-      override def build(): DeltaWrite = new GraftDeltaWrite(table)
+      override def build(): DeltaWrite = new GraftDeltaWrite(table, cmd)
     }
 
   override def description(): String = s"GraftDeltaRowLevelOperation[$cmd]"
 }
 
-/** No required distribution/ordering: rows flow straight out of the
-  * rewrite plan with zero added exchanges; the task writer routes rows
-  * by (partition, bucket) with bounded open-writer fan-out, and delete
-  * positions buffer per file regardless of arrival order. */
-final class GraftDeltaWrite(table: GraftTable) extends DeltaWrite {
+/** UPDATE/MERGE request a non-strict clustering on (partition, bucket
+  * key) columns — same contract as the append write: hash-interleaved
+  * buckets under a MERGE join's key order would evict the task writer
+  * on nearly every row once groups ≫ maxOpenWriters (the S48 wall).
+  * DELETE requests nothing: its plan carries no row attributes to
+  * cluster on, and delete positions buffer per file in any order. */
+final class GraftDeltaWrite(table: GraftTable, cmd: RowLevelOperation.Command)
+    extends DeltaWrite
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+
+  import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+  import org.apache.spark.sql.connector.expressions.{Expressions, Expression => V2Expression}
+
+  override def requiredDistribution(): Distribution = {
+    val cols = table.partitionKeys ++
+      (if (table.numBuckets > 1) table.bucketKeys else Seq.empty)
+    if (cmd == RowLevelOperation.Command.DELETE || cols.isEmpty)
+      Distributions.unspecified()
+    else Distributions.clustered(
+      cols.map(c => Expressions.column(c): V2Expression).toArray)
+  }
+  override def distributionStrictlyRequired(): Boolean = false
+  override def requiredOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    Array.empty
+
   override def toBatch: DeltaBatchWrite = new GraftDeltaBatchWrite(table)
   override def description(): String = s"GraftDeltaWrite[${table.root}]"
 }
@@ -323,24 +343,11 @@ final class GraftDeltaWriter(
   private var lineageW: GraftTaskWriter = _
   private var plainW: GraftTaskWriter = _
 
-  private final class PosBuf {
-    var a = new Array[Long](16)
-    var n = 0
-    def add(v: Long): Unit = {
-      if (n == a.length) a = java.util.Arrays.copyOf(a, n * 2)
-      a(n) = v; n += 1
-    }
-    def sorted(): Array[Long] = {
-      val r = java.util.Arrays.copyOf(a, n)
-      java.util.Arrays.sort(r)
-      r
-    }
-  }
-  private val positions = scala.collection.mutable.HashMap.empty[String, PosBuf]
+  private val positions = scala.collection.mutable.HashMap.empty[String, LongBuf]
 
   private def addDelete(id: InternalRow): Unit = {
     val file = id.getUTF8String(0).toString // root-relative data path
-    positions.getOrElseUpdate(file, new PosBuf).add(id.getLong(1))
+    positions.getOrElseUpdate(file, new LongBuf).add(id.getLong(1))
   }
 
   override def delete(meta: InternalRow, id: InternalRow): Unit = addDelete(id)
@@ -376,6 +383,8 @@ final class GraftDeltaWriter(
     plainW.write(row)
   }
 
+  private val writtenParts = scala.collection.mutable.ArrayBuffer.empty[String]
+
   override def commit(): WriterCommitMessage = {
     val lf = if (lineageW != null) lineageW.commit() else Seq.empty
     val pf = if (plainW != null) plainW.commit() else Seq.empty
@@ -390,7 +399,9 @@ final class GraftDeltaWriter(
           s"row $file:${arr(i)} deleted twice in one task — duplicate MERGE match?")
         i += 1
       }
-      (file, DeletionVector.write(conf.value, rootUri, arr), arr.length.toLong)
+      val rel = DeletionVector.write(conf.value, rootUri, arr)
+      writtenParts += rel
+      (file, rel, arr.length.toLong)
     }
     GraftDeltaCommitMessage(lf, pf, dvParts)
   }
@@ -398,8 +409,15 @@ final class GraftDeltaWriter(
   override def abort(): Unit = {
     if (lineageW != null) lineageW.abort()
     if (plainW != null) plainW.abort()
-    // partial dvs written by a FAILED commit() can't exist (write is the
-    // last step); nothing else to clean task-side
+    // partials already written by a commit() that failed MID-LOOP (or
+    // whose message was lost) are referenced by no message — reclaim
+    // them here; the duplicate-position require above can fire after
+    // earlier files' sidecars exist
+    val fs = new Path(rootUri).getFileSystem(conf.value)
+    writtenParts.foreach { rel =>
+      try fs.delete(new Path(rootUri, rel), false)
+      catch { case _: java.io.IOException => () }
+    }
   }
 
   override def close(): Unit = ()

@@ -228,6 +228,31 @@ class RowLevelDeltaSpec extends AnyFunSuite {
     assert(sql(s"SELECT v FROM $name WHERE k = 3").first().getString(0) == "u")
   }
 
+  test("S65j: reserved lineage names — tracking tables refuse them, dv tables " +
+    "with a shadowing column fall back to the CoW rewrite") {
+    import org.apache.spark.sql.types._
+    // a data column named _pos would shadow the delta row identity
+    val bad = GraftTable.create(spark, TestSpark.tmpDir("rl-shadow"),
+      StructType(Seq(StructField("_pos", LongType), StructField("v", StringType))),
+      options = Map("row-tracking.enabled" -> "true"))
+    intercept[IllegalArgumentException](
+      bad.append(Seq((1L, "a")).toDF("_pos", "v")))
+    // dv table with the same column: legal, but row-level ops must NOT
+    // bind identity to it — the CoW rewrite handles them instead
+    n += 1
+    val name = s"gdelta.db.t$n"
+    sql(s"""CREATE TABLE $name (`_pos` BIGINT, v STRING)
+           |TBLPROPERTIES ('deletion-vectors.enabled'='true')""".stripMargin)
+    sql(s"INSERT INTO $name SELECT id, concat('v', id) FROM range(0, 10)")
+    val root = spark.conf.get("spark.sql.catalog.gdelta.warehouse") + s"/db.db/t$n"
+    val t = GraftTable.load(spark, root)
+    sql(s"UPDATE $name SET v = 'u' WHERE `_pos` = 3")
+    assert(t.system("files").select("delete_row_count").collect()
+      .forall(_.getLong(0) == 0L), "shadowed table must take CoW, not dv masking")
+    assert(sql(s"SELECT v FROM $name WHERE `_pos` = 3").first().getString(0) == "u")
+    assert(sql(s"SELECT count(*) FROM $name").first().getLong(0) == 10L)
+  }
+
   test("S65g: an UPDATE covering a whole file drops it from the manifest") {
     val (name, t) = mkSql()
     sql(s"UPDATE $name SET v = 'all' WHERE k >= 5") // the entire second file
