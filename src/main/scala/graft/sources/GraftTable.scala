@@ -1749,7 +1749,7 @@ class GraftTable private (
     * fails the commit rather than silently corrupting lineage.
     * Commit kind OVERWRITE, like dvDelete: incremental/streaming
     * readers do not re-emit, time travel sees the pre-op state. */
-  private[sources] def commitDelta(
+  private[graft] def commitDelta(
       lineageFiles: Seq[FileMeta], plainFiles: Seq[FileMeta],
       dvParts: Seq[(String, String, Long)], base: Long): Long = {
     val byPath: Map[String, FileMeta] = filesAt(base).map(f => f.path -> f).toMap

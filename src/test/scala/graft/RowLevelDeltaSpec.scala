@@ -253,6 +253,37 @@ class RowLevelDeltaSpec extends AnyFunSuite {
     assert(sql(s"SELECT count(*) FROM $name").first().getLong(0) == 10L)
   }
 
+  test("S65k: crashed-task partial dv sidecars are orphan-GC work; live " +
+    "finals survive the sweep") {
+    val (name, t) = mkSql()
+    sql(s"UPDATE $name SET v = 'u' WHERE k % 2 = 0") // real dvs now live
+    val before = lineageSql(name)
+    // what a task that died after writing its partial (message lost)
+    // leaves behind: an unreferenced sidecar under data/dv
+    val conf = spark.sessionState.newHadoopConf()
+    val stray = graft.sources.DeletionVector.write(conf, t.root, Array(0L, 1L))
+    val swept = t.removeOrphanFiles(ttlMs = 0L)
+    assert(swept.contains(stray), s"stray partial must be reclaimed: $swept")
+    assert(lineageSql(name) == before, "live vectors must survive the sweep")
+  }
+
+  test("S65l: a delta commit racing a concurrent commit fails loudly and " +
+    "leaves no trace") {
+    val (name, t) = mkSql() // snapshots 1, 2
+    val before = lineageSql(name)
+    // the file the FIRST commit wrote (live at stale base 1 too)
+    val victim = sql(s"SELECT _file FROM $name WHERE _row_id = 0").head.getString(0)
+    val conf = spark.sessionState.newHadoopConf()
+    val partial = graft.sources.DeletionVector.write(conf, t.root, Array(0L))
+    // base = 1 is stale (snapshot 2 already exists): the optimistic
+    // claim of snapshot 2 must fail the swap
+    intercept[Exception](
+      t.commitDelta(Seq.empty, Seq.empty, Seq((victim, partial, 1L)), base = 1L))
+    assert(lineageSql(name) == before, "a lost race must not change state")
+    // the losing partial is referenced by nothing — orphan GC reclaims it
+    assert(t.removeOrphanFiles(ttlMs = 0L).contains(partial))
+  }
+
   test("S65g: an UPDATE covering a whole file drops it from the manifest") {
     val (name, t) = mkSql()
     sql(s"UPDATE $name SET v = 'all' WHERE k >= 5") // the entire second file
