@@ -295,6 +295,37 @@ object GraftQueries {
       .orderBy("doc_id")
   }
 
+  /** S65 driver check #2 — the training-pipeline use of lineage:
+    * INCREMENTAL CHANGED-ROW EXPORT. After a delta UPDATE wave, the
+    * rows to re-export are exactly those whose `_sequence_number`
+    * equals the update commit — stable `_row_id` lets the downstream
+    * store upsert them in place. The filter is a plain metadata-column
+    * predicate; no diff join, no full-table rewrite. */
+  private def graftLineageDiff(s: SparkSession, d: String): DataFrame = {
+    val wh = new java.io.File("target/graft-tmp/lindiffwh").getAbsolutePath
+    s.conf.set("spark.sql.catalog.graftld", "graft.sources.GraftSparkCatalog")
+    s.conf.set("spark.sql.catalog.graftld.warehouse", wh)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graftld.q")
+    s.sql("DROP TABLE IF EXISTS graftld.q.docs")
+    s.sql("""CREATE TABLE graftld.q.docs (doc_id BIGINT, lang STRING, n_chars BIGINT)
+            |TBLPROPERTIES ('row-tracking.enabled'='true')""".stripMargin)
+    val docs = T.documents(s, d).select(
+      col("doc_id").cast("long").as("doc_id"),
+      col("lang").cast("string").as("lang"),
+      col("n_chars").cast("long").as("n_chars"))
+    val t = GraftTable.load(s, s"$wh/q.db/docs")
+    t.append(docs.filter(col("doc_id") % 2 === 0)
+      .repartition(1).sortWithinPartitions("doc_id"))
+    t.append(docs.filter(col("doc_id") % 2 =!= 0)
+      .repartition(1).sortWithinPartitions("doc_id"))
+    // the "refresh wave": re-scored quality lengths for one language
+    s.sql("UPDATE graftld.q.docs SET n_chars = n_chars + 7 WHERE lang = 'de'")
+    // export exactly the changed rows (seq = the update commit, 3)
+    s.sql("""SELECT doc_id, n_chars, _row_id AS rid
+            |FROM graftld.q.docs WHERE _sequence_number = 3
+            |ORDER BY doc_id""".stripMargin)
+  }
+
   /** S65 driver check: SQL UPDATE + DELETE + MERGE on a row-tracking
     * table run the DELTA row-level path (dv positions + id-materialized
     * appends; commits 3/4/5) — the lineage metadata columns then read
@@ -667,6 +698,21 @@ object GraftQueries {
              |    ELSE 0 END AS BIGINT) AS "_row_id",
              |  CAST(CASE WHEN h = 0 THEN 1 ELSE 2 END AS BIGINT) AS "_sequence_number"
              |FROM halves WHERE n_chars >= 100
+             |ORDER BY doc_id""".stripMargin)),
+    QDef("q_graft_lineage_diff", graftLineageDiff,
+      Some("""WITH halves AS (
+             |  SELECT doc_id, lang, n_chars, doc_id % 2 AS h,
+             |    row_number() OVER (PARTITION BY doc_id % 2 ORDER BY doc_id) - 1 AS rn
+             |  FROM documents),
+             |ids AS (
+             |  SELECT doc_id, lang, n_chars,
+             |    rn + CASE WHEN h = 1
+             |      THEN (SELECT count(*) FROM documents WHERE doc_id % 2 = 0)
+             |      ELSE 0 END AS rid
+             |  FROM halves)
+             |SELECT doc_id, CAST(n_chars + 7 AS BIGINT) AS n_chars,
+             |  CAST(rid AS BIGINT) AS rid
+             |FROM ids WHERE lang = 'de'
              |ORDER BY doc_id""".stripMargin)),
     QDef("q_graft_rowlevel", graftRowLevel,
       Some("""WITH halves AS (
