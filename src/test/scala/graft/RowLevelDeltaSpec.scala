@@ -284,6 +284,90 @@ class RowLevelDeltaSpec extends AnyFunSuite {
     assert(t.removeOrphanFiles(ttlMs = 0L).contains(partial))
   }
 
+  test("S65m: randomized append/UPDATE/DELETE/MERGE/compact/dvDelete sequences " +
+    "never renumber, never reuse, and never resurrect a row id") {
+    for (seed <- Seq(11, 42, 1337)) {
+      val rnd = new scala.util.Random(seed)
+      n += 1
+      val name = s"gdelta.db.t$n"
+      sql(s"""CREATE TABLE $name (k BIGINT, v STRING)
+             |TBLPROPERTIES ('row-tracking.enabled'='true',
+             |  'deletion-vectors.enabled'='true')""".stripMargin)
+      val root = spark.conf.get("spark.sql.catalog.gdelta.warehouse") + s"/db.db/t$n"
+      val t = GraftTable.load(spark, root)
+      // model: rid -> (k, v); keys globally unique so k <-> rid is a bijection
+      var model = Map.empty[Long, (Long, String)]
+      var nextKey = 0L
+      var nextId = 0L
+      var maxIdSeen = -1L
+      def keysOf(m: Int): Seq[Long] =
+        rnd.shuffle(model.values.map(_._1).toSeq).take(m)
+      def check(tag: String): Unit = {
+        val got = sql(s"SELECT _row_id, k, v FROM $name").collect()
+          .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+        assert(got == model, s"seed=$seed after $tag:\n got=$got\n exp=$model")
+        if (got.nonEmpty) maxIdSeen = math.max(maxIdSeen, got.keys.max)
+      }
+      // seed batch so every op has something to chew on
+      def append(sz: Int): Unit = {
+        val ks = (nextKey until nextKey + sz); nextKey += sz
+        t.append(ks.map(k => (k, s"v$k")).toDF("k", "v")
+          .repartition(1).sortWithinPartitions("k"))
+        ks.zipWithIndex.foreach { case (k, i) => model += (nextId + i) -> ((k, s"v$k")) }
+        nextId += sz
+      }
+      append(8)
+      for (step <- 1 to 14) {
+        rnd.nextInt(6) match {
+          case 0 => append(1 + rnd.nextInt(5))
+          case 1 if model.nonEmpty => // delta UPDATE (modulo keeps it off tombstones)
+            val ks = keysOf(1 + rnd.nextInt(3))
+            sql(s"UPDATE $name SET v = concat(v, '+') WHERE k IN (${ks.mkString(",")}) " +
+              "AND (k % 2 = 0 OR k % 2 = 1)")
+            model = model.map { case (rid, (k, v)) =>
+              rid -> ((k, if (ks.contains(k)) v + "+" else v))
+            }
+          case 2 if model.nonEmpty => // DELETE, alternating tombstone/delta routing
+            val ks = keysOf(1 + rnd.nextInt(3))
+            val residual = if (step % 2 == 0) " AND (k % 2 = 0 OR k % 2 = 1)" else ""
+            sql(s"DELETE FROM $name WHERE k IN (${ks.mkString(",")})$residual")
+            model = model.filterNot { case (_, (k, _)) => ks.contains(k) }
+          case 3 if model.nonEmpty => // MERGE: updates + fresh-key inserts
+            val upd = keysOf(1 + rnd.nextInt(2))
+            val ins = (nextKey until nextKey + 1 + rnd.nextInt(2)); nextKey = ins.end
+            (upd.map(k => (k, "m")) ++ ins.map(k => (k, s"i$k")))
+              .toDF("k", "v").createOrReplaceTempView("fuzz_src")
+            sql(s"""MERGE INTO $name t USING fuzz_src s ON t.k = s.k
+                   |WHEN MATCHED THEN UPDATE SET t.v = s.v
+                   |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""".stripMargin)
+            model = model.map { case (rid, (k, v)) =>
+              rid -> ((k, if (upd.contains(k)) "m" else v))
+            }
+            // inserted ids are task-order-assigned: adopt from the table,
+            // but they must be FRESH (never seen) and advance the counter
+            // by exactly the insert count
+            val got = sql(s"SELECT _row_id, k, v FROM $name WHERE k >= ${ins.start}")
+              .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+            assert(got.length == ins.size && got.forall(_._1 > maxIdSeen),
+              s"seed=$seed step=$step: inserted ids not fresh: ${got.toSeq}")
+            got.foreach { case (rid, k, v) => model += rid -> ((k, v)) }
+            nextId += ins.size
+          case 4 => t.compact()
+          case 5 if model.nonEmpty =>
+            val ks = keysOf(1 + rnd.nextInt(2))
+            t.dvDelete(col("k").isin(ks: _*))
+            model = model.filterNot { case (_, (k, _)) => ks.contains(k) }
+          case _ => append(1)
+        }
+        check(s"step $step")
+        // the global counter never regresses and never reuses
+        val counter = Option(t.snapshots.last.nextRowId).map(_.longValue).getOrElse(0L)
+        assert(counter > maxIdSeen || model.isEmpty,
+          s"seed=$seed step=$step: counter $counter not past max id $maxIdSeen")
+      }
+    }
+  }
+
   test("S65g: an UPDATE covering a whole file drops it from the manifest") {
     val (name, t) = mkSql()
     sql(s"UPDATE $name SET v = 'all' WHERE k >= 5") // the entire second file
