@@ -272,10 +272,11 @@ class GraftTable private (
       require(!isPkTable, "row-tracking.enabled requires an append (non-PK) table")
       require(fileFormat == "parquet", "row tracking requires file.format=parquet")
       // a data column named like a lineage metadata column would SHADOW
-      // it (Spark suppresses the metadata column on a name conflict) —
-      // lineage reads would silently serve user data and the delta
-      // row-level plan would bind its row identity to it
-      val clash = schema.fieldNames.toSet
+      // it (Spark suppresses the metadata column on a name conflict,
+      // CASE-INSENSITIVELY under the default resolver) — lineage reads
+      // would silently serve user data and the delta row-level plan
+      // would bind its row identity to it
+      val clash = schema.fieldNames.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
         .intersect(GraftTable.ReservedLineageCols)
       require(clash.isEmpty,
         s"row-tracking tables reserve column name(s) ${clash.mkString(", ")} " +
@@ -3563,8 +3564,18 @@ class GraftTable private (
     * id-stamped table the new column gets a FRESH field id (never a
     * recycled one — see nextFieldId), so files written before the add
     * resolve it as absent, not as some other column's data. */
+  /** Names a schema-evolution step may not introduce on a row-tracking
+    * table: rejecting the ALTER here keeps the table usable — the
+    * rowTracking getter's validate-on-read would otherwise throw on
+    * every subsequent statement of an already-bricked table. */
+  private def requireNotReservedLineage(name: String): Unit =
+    require(!rowTracking ||
+      !GraftTable.ReservedLineageCols(name.toLowerCase(java.util.Locale.ROOT)),
+      s"row-tracking tables reserve column name $name for lineage metadata")
+
   def addColumn(name: String, dataType: DataType): Unit = {
     require(!schema.fieldNames.contains(name), s"column $name exists")
+    requireNotReservedLineage(name)
     val newField =
       if (fieldIdsComplete) GraftTable.withFieldId(StructField(name, dataType), nextFieldId)
       else StructField(name, dataType) // legacy id-less table: stay name-resolved
@@ -3620,6 +3631,7 @@ class GraftTable private (
   def renameColumn(from: String, to: String): Unit = {
     requireIdEvolvable(from, "rename")
     require(!schema.fieldNames.contains(to), s"column $to exists")
+    requireNotReservedLineage(to)
     val next = schemaMeta.copy(
       id = schemaMeta.id + 1,
       fieldsJson = StructType(lattice.fields.map(f =>

@@ -105,8 +105,8 @@ final class GraftV2Table(
     // arbitrary rows. Tracking tables refuse such schemas at the source
     // (GraftTable.rowTracking); plain dv tables may carry them
     // legitimately and fall back to the CoW rewrite.
-    val deltaShadowed =
-      loaded.schema.fieldNames.exists(GraftTable.ReservedLineageCols)
+    val deltaShadowed = loaded.schema.fieldNames.exists(c =>
+      GraftTable.ReservedLineageCols(c.toLowerCase(java.util.Locale.ROOT)))
     if (loaded.rowTracking ||
         (loaded.dvEnabled && !loaded.isPkTable && loaded.fileFormat == "parquet" &&
           !deltaShadowed))
@@ -888,9 +888,11 @@ final class GraftScan(
   // partition, never read from parquet — carve them out of the
   // data/partition split. Requested order is preserved in the output.
   // a DATA column sharing a metadata column's name shadows it (Spark
-  // hides the metadata column then) — the carve-out must not capture it
+  // hides the metadata column then, case-insensitively) — the carve-out
+  // must not capture it
   private val metaColNames: Set[String] =
-    (RowLineage.MetaColNames + GraftV2Table.FileCol) -- table.schema.fieldNames
+    (RowLineage.MetaColNames + GraftV2Table.FileCol) --
+      table.schema.fieldNames.map(_.toLowerCase(java.util.Locale.ROOT))
   private val metaFields: Array[StructField] =
     requiredSchema.fields.filter(f => metaColNames(f.name)).map { f =>
       if (f.name == GraftV2Table.FileCol) StructField(f.name, StringType, nullable = false)

@@ -154,21 +154,12 @@ object GraftWrite {
   }
 }
 
-/** Executor-side writer: routes each row to its (partition, bucket) file,
-  * applying the declared CHAR/VARCHAR write semantics, and reports
-  * [[FileMeta]] (incl. footer min/max stats + row count) on commit.
-  *
-  * Fan-out is bounded: at most `maxOpenWriters` files are open at once;
-  * the least-recently-opened group is closed early and reopens as a new
-  * file if more of its rows arrive (more, smaller files — never
-  * unbounded writer memory). The V2 write requests clustering by
-  * (partition, bucket-key) columns, so in practice a task sees few
-  * groups. */
 /** Growable primitive long buffer (no boxing on the per-row path) —
-  * shared by the task writer's sidecar builders and the delta writer's
-  * per-file delete-position buffers. */
-private[sources] final class LongBuf {
-  var arr = new Array[Long](1024)
+  * shared by the task writer's sidecar builders (1024 initial: files
+  * hold many positions) and the delta writer's per-file delete buffers
+  * (16 initial: sparse changes touch many files with few rows each). */
+private[sources] final class LongBuf(initial: Int = 1024) {
+  var arr = new Array[Long](initial)
   var n = 0
   def add(v: Long): Unit = {
     if (n == arr.length) arr = java.util.Arrays.copyOf(arr, n * 2)
@@ -183,6 +174,16 @@ private[sources] final class LongBuf {
   }
 }
 
+/** Executor-side writer: routes each row to its (partition, bucket) file,
+  * applying the declared CHAR/VARCHAR write semantics, and reports
+  * [[FileMeta]] (incl. footer min/max stats + row count) on commit.
+  *
+  * Fan-out is bounded: at most `maxOpenWriters` files are open at once;
+  * the least-recently-opened group is closed early and reopens as a new
+  * file if more of its rows arrive (more, smaller files — never
+  * unbounded writer memory). The V2 write requests clustering by
+  * (partition, bucket-key) columns, so in practice a task sees few
+  * groups. */
 final class GraftTaskWriter(spec: GraftWriteSpec, taskUniq: String) {
 
   private val conf = new Configuration(spec.conf.value)

@@ -38,11 +38,13 @@ import org.apache.hadoop.fs.Path
   * O(touched groups): the 100 TB reason to prefer this over the CoW
   * rewrite GraftRowLevelOperation keeps for non-tracking tables.
   *
-  * Scale shape: no required distribution or ordering — rows flow
-  * straight out of the rewrite plan (zero added exchanges); each task
-  * buffers only its own delete positions (8 B/row), writes PARTIAL dv
-  * sidecars executor-side, and the commit merges partials per file in a
-  * small parallelized job (driver memory stays O(touched files)).
+  * Scale shape: UPDATE/MERGE request one non-strict (partition,
+  * bucket-key) clustering — the same exchange the append write pays, so
+  * the bounded task writer sees contiguous groups; DELETE adds no
+  * exchange at all. Each task buffers only its own delete positions
+  * (8 B/row), writes PARTIAL dv sidecars executor-side, and the commit
+  * merges partials per file in a small parallelized job (driver memory
+  * stays O(touched files)).
   *
   * Ref: Paimon row-tracking.enabled update semantics (row id stable
   * across UPDATE, _sequence_number bumps to the committing snapshot);
@@ -347,7 +349,7 @@ final class GraftDeltaWriter(
 
   private def addDelete(id: InternalRow): Unit = {
     val file = id.getUTF8String(0).toString // root-relative data path
-    positions.getOrElseUpdate(file, new LongBuf).add(id.getLong(1))
+    positions.getOrElseUpdate(file, new LongBuf(initial = 16)).add(id.getLong(1))
   }
 
   override def delete(meta: InternalRow, id: InternalRow): Unit = addDelete(id)

@@ -251,6 +251,30 @@ class RowLevelDeltaSpec extends AnyFunSuite {
       .forall(_.getLong(0) == 0L), "shadowed table must take CoW, not dv masking")
     assert(sql(s"SELECT v FROM $name WHERE `_pos` = 3").first().getString(0) == "u")
     assert(sql(s"SELECT count(*) FROM $name").first().getLong(0) == 10L)
+    // Spark's shadowing is CASE-INSENSITIVE under the default resolver —
+    // both guards must be too
+    val badCase = GraftTable.create(spark, TestSpark.tmpDir("rl-shadow-case"),
+      StructType(Seq(StructField("_Row_Id", LongType), StructField("v", StringType))),
+      options = Map("row-tracking.enabled" -> "true"))
+    intercept[IllegalArgumentException](
+      badCase.append(Seq((1L, "a")).toDF("_Row_Id", "v")))
+    n += 1
+    val cname = s"gdelta.db.t$n"
+    sql(s"""CREATE TABLE $cname (`_POS` BIGINT, v STRING)
+           |TBLPROPERTIES ('deletion-vectors.enabled'='true')""".stripMargin)
+    sql(s"INSERT INTO $cname SELECT id, concat('v', id) FROM range(0, 5)")
+    val ct = GraftTable.load(spark,
+      spark.conf.get("spark.sql.catalog.gdelta.warehouse") + s"/db.db/t$n")
+    sql(s"UPDATE $cname SET v = 'u' WHERE `_POS` = 2")
+    assert(ct.system("files").select("delete_row_count").collect()
+      .forall(_.getLong(0) == 0L), "case-variant shadow must also take CoW")
+    assert(sql(s"SELECT v FROM $cname WHERE `_POS` = 2").first().getString(0) == "u")
+    // ALTER may not introduce a reserved name on a live tracking table —
+    // rejected up front, table stays fully usable afterwards
+    val (tname, tt) = mkSql()
+    intercept[IllegalArgumentException](tt.addColumn("_pos", LongType))
+    intercept[IllegalArgumentException](tt.renameColumn("v", "_Sequence_Number"))
+    assert(lineageSql(tname).length == 8, "table must stay usable after rejected ALTERs")
   }
 
   test("S65k: crashed-task partial dv sidecars are orphan-GC work; live " +
