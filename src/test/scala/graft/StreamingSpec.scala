@@ -396,6 +396,47 @@ class StreamingSpec extends AnyFunSuite {
       "update + insert + delete must all land through the streamed MERGE")
   }
 
+  test("T26: streamed MERGE onto a row-tracking table rides the delta path — " +
+    "ids stable across micro-batches, deletes are dv metadata") {
+    implicit val sc = spark.sqlContext
+    spark.conf.set("spark.sql.catalog.gms26", "graft.sources.GraftSparkCatalog")
+    spark.conf.set("spark.sql.catalog.gms26.warehouse", TestSpark.tmpDir("merge26wh"))
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gms26.db")
+    spark.sql("""CREATE TABLE gms26.db.state (k BIGINT, v STRING)
+                |TBLPROPERTIES ('row-tracking.enabled'='true')""".stripMargin)
+    val mem = MemoryStream[(Long, String, String)]
+    val q = mem.toDF().toDF("k", "v", "op").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.createOrReplaceTempView("t26_batch")
+        b.sparkSession.sql(
+          """MERGE INTO gms26.db.state s USING t26_batch b ON s.k = b.k
+            |WHEN MATCHED AND b.op = 'D' THEN DELETE
+            |WHEN MATCHED THEN UPDATE SET v = b.v
+            |WHEN NOT MATCHED AND b.op != 'D' THEN INSERT (k, v) VALUES (b.k, b.v)
+            |""".stripMargin)
+        ()
+      }.start()
+    def ids(): Map[Long, Long] =
+      spark.sql("SELECT k, _row_id FROM gms26.db.state").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    try {
+      mem.addData((1L, "a", "U"), (2L, "b", "U"), (3L, "c", "U")); q.processAllAvailable()
+      val after1 = ids()
+      assert(after1.keySet == Set(1L, 2L, 3L) && after1.values.toSeq.distinct.size == 3)
+      mem.addData((2L, "b2", "U"), (3L, "", "D"), (5L, "e", "U")); q.processAllAvailable()
+      val after2 = ids()
+      assert(after2(1L) == after1(1L), "untouched row renumbered")
+      assert(after2(2L) == after1(2L), "streamed MERGE update must keep the id")
+      assert(!after2.contains(3L))
+      assert(after2(5L) > after1.values.max, "insert must mint a fresh id")
+    } finally q.stop()
+    // the delete landed as dv metadata on batch-1's file, not a rewrite
+    val t = graft.sources.GraftTable.load(spark,
+      spark.conf.get("spark.sql.catalog.gms26.warehouse") + "/db.db/state")
+    assert(t.system("files").select("delete_row_count").collect()
+      .map(_.getLong(0)).sum >= 1L, "streamed delete must be a dv, not a rewrite")
+  }
+
   test("T18: writeStream.format(\"graft\") — snapshot per batch, replay-idempotent, branch routing") {
     implicit val sc = spark.sqlContext
     val path = TestSpark.tmpDir("sinkfmt")
