@@ -392,6 +392,23 @@ class RowLevelDeltaSpec extends AnyFunSuite {
     }
   }
 
+  test("S65n: incremental reads skip delta commits (OVERWRITE semantics — " +
+    "the dvDelete contract: append-table changes carry no retractions)") {
+    val (name, t) = mkSql() // snapshots 1, 2
+    sql(s"UPDATE $name SET v = 'u' WHERE k % 2 = 0") // snap 3 (delta)
+    sql(s"DELETE FROM $name WHERE k = 1 AND (k % 2 = 0 OR k % 2 = 1)") // snap 4 (delta)
+    t.append(Seq((100L, "new")).toDF("k", "v")) // snap 5 (append)
+    val across = spark.read.format("graft")
+      .option("incremental-between", "2,4").load(t.root)
+    assert(across.count() == 0L,
+      "delta UPDATE/DELETE commits must not re-emit rows to incremental consumers")
+    val withAppend = spark.read.format("graft")
+      .option("incremental-between", "2,5").load(t.root)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(withAppend == Seq((100L, "new")),
+      "appends after the delta commits still flow incrementally")
+  }
+
   test("S65g: an UPDATE covering a whole file drops it from the manifest") {
     val (name, t) = mkSql()
     sql(s"UPDATE $name SET v = 'all' WHERE k >= 5") // the entire second file
