@@ -127,8 +127,10 @@ class GraftSource extends RelationProvider with SchemaRelationProvider
         // write-time schema evolution (Paimon-style): with mergeSchema=true
         // new columns in the incoming df are added to the table schema
         if (parameters.get("mergeSchema").exists(_.toBoolean)) {
+          // case-insensitive: a df column differing only by case from an
+          // existing one must NOT add (ambiguous refs thereafter)
           data.schema.fields
-            .filterNot(f => t0.schema.fieldNames.contains(f.name))
+            .filterNot(f => t0.schema.fieldNames.exists(_.equalsIgnoreCase(f.name)))
             .foreach(f => t0.addColumn(f.name, f.dataType))
         }
         // `branch` write option (S36): commit onto the branch ref

@@ -275,9 +275,10 @@ class GraftTable private (
       // it (Spark suppresses the metadata column on a name conflict,
       // CASE-INSENSITIVELY under the default resolver) — lineage reads
       // would silently serve user data and the delta row-level plan
-      // would bind its row identity to it
-      val clash = schema.fieldNames.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
-        .intersect(GraftTable.ReservedLineageCols)
+      // would bind its row identity to it. create() rejects such
+      // schemas up front; this validate-on-read is the backstop for
+      // tables written by older vintages.
+      val clash = schema.fieldNames.filter(GraftTable.isReservedLineage)
       require(clash.isEmpty,
         s"row-tracking tables reserve column name(s) ${clash.mkString(", ")} " +
           "for lineage metadata")
@@ -3567,14 +3568,20 @@ class GraftTable private (
   /** Names a schema-evolution step may not introduce on a row-tracking
     * table: rejecting the ALTER here keeps the table usable — the
     * rowTracking getter's validate-on-read would otherwise throw on
-    * every subsequent statement of an already-bricked table. */
+    * every subsequent statement of an already-bricked table. Reads the
+    * raw OPTION (not the validating getter), so renaming a clashing
+    * column AWAY from a reserved name stays possible on a table an
+    * older vintage bricked. */
   private def requireNotReservedLineage(name: String): Unit =
-    require(!rowTracking ||
-      !GraftTable.ReservedLineageCols(name.toLowerCase(java.util.Locale.ROOT)),
+    require(!options.get("row-tracking.enabled").exists(_.toBoolean) ||
+      !GraftTable.isReservedLineage(name),
       s"row-tracking tables reserve column name $name for lineage metadata")
 
   def addColumn(name: String, dataType: DataType): Unit = {
-    require(!schema.fieldNames.contains(name), s"column $name exists")
+    // case-insensitive: two columns differing only by case make every
+    // reference AMBIGUOUS under Spark's default resolver
+    require(!schema.fieldNames.exists(_.equalsIgnoreCase(name)),
+      s"column $name exists")
     requireNotReservedLineage(name)
     val newField =
       if (fieldIdsComplete) GraftTable.withFieldId(StructField(name, dataType), nextFieldId)
@@ -3630,7 +3637,10 @@ class GraftTable private (
     * keys, bucket keys, sequence fields) cannot be renamed. */
   def renameColumn(from: String, to: String): Unit = {
     requireIdEvolvable(from, "rename")
-    require(!schema.fieldNames.contains(to), s"column $to exists")
+    // case-insensitive duplicate check, but a case-only rename of the
+    // SAME column (v -> V) stays legal
+    require(!schema.fieldNames.exists(n => n != from && n.equalsIgnoreCase(to)),
+      s"column $to exists")
     requireNotReservedLineage(to)
     val next = schemaMeta.copy(
       id = schemaMeta.id + 1,
@@ -3701,6 +3711,12 @@ object GraftTable {
     * shadow the lineage metadata columns (S65). */
   val ReservedLineageCols: Set[String] =
     RowLineage.MetaColNames + GraftV2Table.FileCol
+
+  /** Case-folded membership test (Spark resolves — and shadows metadata
+    * columns — case-insensitively under the default resolver). The ONE
+    * spelling of the rule; every guard goes through here. */
+  def isReservedLineage(name: String): Boolean =
+    ReservedLineageCols(name.toLowerCase(java.util.Locale.ROOT))
   /** S48: write-plan-only column carrying a row's pre-assigned dynamic
     * bucket (never stored in data files). */
   val DynBucketCol = "__bucket"
@@ -3886,6 +3902,15 @@ object GraftTable {
       stampIds: Boolean = true): GraftTable = {
     require(partitionKeys.forall(schema.fieldNames.contains), "unknown partition key")
     require(primaryKeys.forall(schema.fieldNames.contains), "unknown primary key")
+    // reject a bricked-from-birth table HERE, not on first use: a
+    // reserved-name column would shadow the lineage metadata columns
+    // and every later statement would throw from the rowTracking getter
+    if (options.get("row-tracking.enabled").exists(_.toBoolean)) {
+      val clash = schema.fieldNames.filter(isReservedLineage)
+      require(clash.isEmpty,
+        s"row-tracking tables reserve column name(s) ${clash.mkString(", ")} " +
+          "for lineage metadata")
+    }
     val fs = fileSystem(spark, root)
     val schemaDir = new Path(root, "schema")
     require(!fs.exists(schemaDir), s"table already exists at $root")

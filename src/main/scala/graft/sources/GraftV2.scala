@@ -105,8 +105,8 @@ final class GraftV2Table(
     // arbitrary rows. Tracking tables refuse such schemas at the source
     // (GraftTable.rowTracking); plain dv tables may carry them
     // legitimately and fall back to the CoW rewrite.
-    val deltaShadowed = loaded.schema.fieldNames.exists(c =>
-      GraftTable.ReservedLineageCols(c.toLowerCase(java.util.Locale.ROOT)))
+    val deltaShadowed =
+      loaded.schema.fieldNames.exists(GraftTable.isReservedLineage)
     if (loaded.rowTracking ||
         (loaded.dvEnabled && !loaded.isPkTable && loaded.fileFormat == "parquet" &&
           !deltaShadowed))

@@ -231,12 +231,12 @@ class RowLevelDeltaSpec extends AnyFunSuite {
   test("S65j: reserved lineage names — tracking tables refuse them, dv tables " +
     "with a shadowing column fall back to the CoW rewrite") {
     import org.apache.spark.sql.types._
-    // a data column named _pos would shadow the delta row identity
-    val bad = GraftTable.create(spark, TestSpark.tmpDir("rl-shadow"),
-      StructType(Seq(StructField("_pos", LongType), StructField("v", StringType))),
-      options = Map("row-tracking.enabled" -> "true"))
+    // a data column named _pos would shadow the delta row identity —
+    // refused at CREATE (not on first use: that would brick the table)
     intercept[IllegalArgumentException](
-      bad.append(Seq((1L, "a")).toDF("_pos", "v")))
+      GraftTable.create(spark, TestSpark.tmpDir("rl-shadow"),
+        StructType(Seq(StructField("_pos", LongType), StructField("v", StringType))),
+        options = Map("row-tracking.enabled" -> "true")))
     // dv table with the same column: legal, but row-level ops must NOT
     // bind identity to it — the CoW rewrite handles them instead
     n += 1
@@ -252,12 +252,11 @@ class RowLevelDeltaSpec extends AnyFunSuite {
     assert(sql(s"SELECT v FROM $name WHERE `_pos` = 3").first().getString(0) == "u")
     assert(sql(s"SELECT count(*) FROM $name").first().getLong(0) == 10L)
     // Spark's shadowing is CASE-INSENSITIVE under the default resolver —
-    // both guards must be too
-    val badCase = GraftTable.create(spark, TestSpark.tmpDir("rl-shadow-case"),
-      StructType(Seq(StructField("_Row_Id", LongType), StructField("v", StringType))),
-      options = Map("row-tracking.enabled" -> "true"))
+    // every guard must be too
     intercept[IllegalArgumentException](
-      badCase.append(Seq((1L, "a")).toDF("_Row_Id", "v")))
+      GraftTable.create(spark, TestSpark.tmpDir("rl-shadow-case"),
+        StructType(Seq(StructField("_Row_Id", LongType), StructField("v", StringType))),
+        options = Map("row-tracking.enabled" -> "true")))
     n += 1
     val cname = s"gdelta.db.t$n"
     sql(s"""CREATE TABLE $cname (`_POS` BIGINT, v STRING)
@@ -274,7 +273,13 @@ class RowLevelDeltaSpec extends AnyFunSuite {
     val (tname, tt) = mkSql()
     intercept[IllegalArgumentException](tt.addColumn("_pos", LongType))
     intercept[IllegalArgumentException](tt.renameColumn("v", "_Sequence_Number"))
-    assert(lineageSql(tname).length == 8, "table must stay usable after rejected ALTERs")
+    // case-variant duplicates are refused (they'd make every reference
+    // ambiguous under the default resolver); a case-ONLY rename of the
+    // same column stays legal
+    intercept[IllegalArgumentException](tt.addColumn("V", StringType))
+    tt.renameColumn("v", "V")
+    assert(sql(s"SELECT k, V, _row_id FROM $tname").collect().length == 8,
+      "table must stay usable after rejected ALTERs and a case-only rename")
   }
 
   test("S65k: crashed-task partial dv sidecars are orphan-GC work; live " +
