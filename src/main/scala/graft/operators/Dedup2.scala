@@ -505,8 +505,11 @@ object Dedup2 {
     // longest variant usually embeds the others; CCNet/RefinedWeb keep
     // the longest member). Consumes the SHARED pair stage and the L25
     // cluster resolution; exact-integer ordering, so the pick is
-    // deterministic under any partitioning. Per-cluster output is
-    // pair-graph-sized (tiny at any corpus: clusters, not the corpus).
+    // deterministic under any partitioning. The per-cluster top-1 is a
+    // map-combinable max(struct(ntok, -doc_id)) groupBy — NOT a window
+    // over cluster_id (near-dup clusters are exactly the keys that go
+    // boilerplate-huge; a window would pin a 10M-copy cluster on one
+    // task, a max-struct partial-aggregates it map-side).
     QDef(
       "q_dedup_canonical",
       (s, d) => {
@@ -515,11 +518,10 @@ object Dedup2 {
         val toks = T.documents(s, d).select(col("doc_id"),
           size(Text.words(col("text"))).cast("long").as("ntok"))
         cc.join(toks, "doc_id")
-          .withColumn("rk", row_number().over(
-            Window.partitionBy("cluster_id").orderBy(desc("ntok"), col("doc_id"))))
-          .filter(col("rk") === 1)
-          .select(col("cluster_id"), col("doc_id").as("rep_doc"),
-            col("ntok").as("rep_tokens"), col("csize").as("cluster_size"))
+          .groupBy("cluster_id", "csize")
+          .agg(max(struct(col("ntok"), (-col("doc_id")).as("nid"))).as("m"))
+          .select(col("cluster_id"), (-col("m.nid")).as("rep_doc"),
+            col("m.ntok").as("rep_tokens"), col("csize").as("cluster_size"))
           .orderBy("cluster_id")
       },
       Some(s"""WITH RECURSIVE w AS (SELECT doc_id, ${Dedup.ShSql} sh FROM documents),
@@ -614,36 +616,44 @@ object Dedup2 {
     // that keeps ~sqrt(n) of an n-way duplicate cluster (SlimPajama/
     // RefinedWeb shape: frequency carries signal, but linearly
     // upweighting boilerplate is how memorization happens). Clusters =
-    // the L1 prefix-hash key; within a cluster the keepers are the
-    // lowest doc_ids (deterministic, oracle-replayable); report kept
-    // docs + surviving clusters per lang. The per-cluster window is
-    // bounded by real duplication depth (no hot key below boilerplate
-    // pathologies — a production cap composes with L28's MinNSummary
-    // bounded selection).
+    // the L1 prefix-hash key. Selection is ORDER-FREE: cluster stats
+    // (sz, min doc-hash) come from a map-combinable groupBy joined
+    // back (an equality join AQE can skew-split — unlike a window,
+    // which pins a 10M-copy boilerplate cluster onto ONE task), and a
+    // row is kept iff its deterministic doc-hash draw lands under the
+    // ceil(sqrt(sz))/sz threshold (the L14 hash-draw pattern, replayed
+    // bit-exactly in the oracle) — OR it holds the cluster-min hash,
+    // so every cluster keeps >= 1 representative. Expected keepers per
+    // n-way cluster ~ sqrt(n); no per-key ordering anywhere.
     QDef(
       "q_dedup_downsample",
       (s, d) => {
         val keyed = T.documents(s, d)
           .select(col("doc_id"), col("lang"),
             md5(concat_ws(" ", slice(Text.words(col("text")), 1, 8)).cast("binary")).as("k"))
-        keyed
-          .withColumn("sz", count(lit(1)).over(Window.partitionBy("k")))
-          .withColumn("rn",
-            row_number().over(Window.partitionBy("k").orderBy("doc_id")))
-          .filter(col("rn") <= ceil(sqrt(col("sz").cast("double"))))
+          .withColumn("h", graft.functions.HashExpr.polyHash(
+            concat(col("doc_id").cast("string"), lit(":"), col("k"))))
+        val stats = keyed.groupBy("k")
+          .agg(count(lit(1)).as("sz"), min("h").as("minh"))
+        keyed.join(stats, "k")
+          .filter(pmod(col("h"), col("sz")) <
+              ceil(sqrt(col("sz").cast("double"))).cast("long") ||
+            col("h") === col("minh"))
           .groupBy("lang")
           .agg(count(lit(1)).as("kept"), countDistinct("k").as("clusters"))
           .orderBy("lang")
       },
-      Some("""WITH c AS (SELECT doc_id, lang,
-             |    md5(array_to_string(string_split_regex(trim(text),'\s+')[1:8],' ')) AS k
+      Some(s"""WITH c AS (SELECT doc_id, lang,
+             |    md5(array_to_string(string_split_regex(trim(text),'\\s+')[1:8],' ')) AS k
              |  FROM documents),
-             |r AS (SELECT lang, k,
-             |    row_number() OVER (PARTITION BY k ORDER BY doc_id) AS rn,
-             |    count(*) OVER (PARTITION BY k) AS sz
-             |  FROM c)
-             |SELECT lang, count(*) AS kept, count(DISTINCT k) AS clusters
-             |FROM r WHERE rn <= ceil(sqrt(CAST(sz AS DOUBLE)))
+             |hh AS (SELECT doc_id, lang, k,
+             |    ${Dedup.polyHashSqlOf("CAST(doc_id AS VARCHAR) || ':' || k")} AS h
+             |  FROM c),
+             |g AS (SELECT k, count(*) AS sz, min(h) AS minh FROM hh GROUP BY k)
+             |SELECT lang, count(*) AS kept, count(DISTINCT hh.k) AS clusters
+             |FROM hh JOIN g ON hh.k = g.k
+             |WHERE (h % sz) < CAST(ceil(sqrt(CAST(sz AS DOUBLE))) AS BIGINT)
+             |   OR h = minh
              |GROUP BY lang ORDER BY lang""".stripMargin))
   )
 

@@ -48,6 +48,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(offenders.isEmpty, s"bad plans: $offenders")
   }
 
+  test("duplicate-cluster selection plans no window over the cluster key") {
+    // L70/L60 pin: per-cluster selection over the duplicate-cluster key
+    // must be a map-combinable groupBy (+ AQE-skew-splittable join-back),
+    // never a window — a 10M-copy boilerplate cluster would put every
+    // copy through ONE window task (AQE cannot split window partitions).
+    for (name <- Seq("q_dedup_downsample", "q_dedup_canonical")) {
+      val plan = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"),
+        s"$name plans a window over the duplicate-cluster key:\n$plan")
+    }
+  }
+
   test("no interpreted higher-order array functions in any declared query plan") {
     // ArrayTransform/ArrayAggregate/ArrayFilter/ZipWith are CodegenFallback
     // (interpreted per element) and measured 17-30× slower than native
