@@ -28,6 +28,18 @@ object Dedup {
   /** Near-dup threshold on 3-gram Jaccard. */
   val Tau = 0.8
 
+  /** PPJoin document-frequency cap: shingles appearing in more than
+    * DfCap documents are dropped from candidate GENERATION (never from
+    * verification sets) — prefix filtering only needs RARE shingles,
+    * and a shingle with df D creates up to D² candidate pairs through
+    * the prefix self-join (stopword-saturated boilerplate shingles are
+    * the quadratic hot keys at 100 TB). Chosen ABOVE every df at the
+    * driver-oracle SFs (max observed: 25 at sf0.1), so local pair sets
+    * are bit-identical with or without the cap — and the DuckDB oracle
+    * replays the cap (PrefixCandSql), so parity holds even at scales
+    * where it bites. */
+  val DfCap = 100L
+
   // 12 minhash permutations in 4 bands × 3 rows; p = 2^31-1.
   val P = 2147483647L
   val A: Seq[Long] = Seq(1859374103L, 1500450271L, 2038074743L, 1203391511L,
@@ -64,11 +76,19 @@ object Dedup {
     * staged table; here the same sharing is an in-memory persist. */
   private val shingleCache = scala.collection.concurrent.TrieMap[String, DataFrame]()
   private[operators] def docsWithShingles(s: SparkSession, d: String): DataFrame =
-    shingleCache.getOrElseUpdate(cacheKey(s, d),
-      T.documents(s, d)
+    shingleCache.getOrElseUpdate(cacheKey(s, d), {
+      val df = T.documents(s, d)
         .select(col("doc_id"), Text.words(col("text")).as("w"))
         .select(col("doc_id"), ShingleExpr.shingles3(col("w")).as("sh"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // materialize EAGERLY: the cascade references this frame from
+      // several branches of ONE action (prefix, verify semi-join, sizes);
+      // a lazy persist lets those branches race-compute the shingle pass
+      // in parallel before any block lands in the cache (measured ~2× on
+      // the cold pair build) — one up-front pass pins it.
+      df.count()
+      df
+    })
 
   /** The verified Jaccard pair set is a STAGED intermediate: the pair
     * diagnostics (q_dedup_jaccard) and the apply operator (q_dedup_apply)
@@ -108,7 +128,11 @@ object Dedup {
     // Per-doc size is size(sh) directly (shingles are distinct per doc).
     val ex = docs.select(col("doc_id"), size(col("sh")).cast("long").as("sz"),
       explode(col("sh")).as("g"))
+    // PPJoin df-cap: hot shingles never enter the join-back (cuts the
+    // skew-join volume) nor the prefix self-join (cuts the D² candidate
+    // blowup). See DfCap for why this is lossless at the oracle SFs.
     val dfreq = ex.groupBy("g").agg(count(lit(1)).as("c"))
+      .filter(col("c") <= lit(DfCap))
     val prefix = ex.join(dfreq, "g")
       .withColumn("rn",
         row_number().over(Window.partitionBy("doc_id").orderBy("c", "g")))
@@ -120,7 +144,19 @@ object Dedup {
           greatest(col("a.sz"), col("b.sz")) * 4 <= least(col("a.sz"), col("b.sz")) * 5)
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
-    verifyJaccard(cand, docs)
+    verifyJaccard(stageCand(cand), docs)
+  }
+
+  /** Materialize a candidate-pair frame before verification: verify
+    * references it three times (the id semi-join twice, the
+    * intersection join once) inside ONE action, so an unmaterialized
+    * subtree re-runs the whole candidate cascade per reference. This is
+    * the in-memory analogue of writing the candidate table between
+    * pipeline stages at 100 TB (candidates ≪ corpus by construction). */
+  private[operators] def stageCand(cand: DataFrame): DataFrame = {
+    val c = cand.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    c.count()
+    c
   }
 
   /** Exact-Jaccard verification as a distributed set-similarity join:
@@ -158,13 +194,13 @@ object Dedup {
     * Mirrors [[jaccardPairs]] exactly: same rarest-first (c, g) order,
     * same integer-arithmetic prefix length and size filter. */
   private[operators] val PrefixCandSql =
-    """p0 AS (SELECT doc_id, g,
+    s"""p0 AS (SELECT doc_id, g,
       |    count(*) OVER (PARTITION BY g) c,
       |    count(*) OVER (PARTITION BY doc_id) sz
       |  FROM e),
       |p AS (SELECT doc_id, g, sz,
       |    row_number() OVER (PARTITION BY doc_id ORDER BY c, g) rn
-      |  FROM p0),
+      |  FROM p0 WHERE c <= $DfCap),
       |pr AS (SELECT doc_id, g, sz FROM p WHERE rn <= sz - ((sz*4+4)//5) + 1),
       |cand AS (SELECT DISTINCT a.doc_id d1, b.doc_id d2
       |  FROM pr a JOIN pr b ON a.g = b.g AND a.doc_id < b.doc_id
@@ -202,7 +238,7 @@ object Dedup {
         col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
-    verifyJaccard(cand, docs)
+    verifyJaccard(stageCand(cand), docs)
   }
 
   private[operators] def minhashOracle: String = {

@@ -123,7 +123,7 @@ object DedupIndex {
     val docs = source.read()
       .select(col("doc_id"), ShingleExpr.shingles3(Text.words(col("text"))).as("sh"))
       .filter(size(col("sh")) > 0)
-    Dedup.verifyJaccard(cand, docs)
+    Dedup.verifyJaccard(Dedup.stageCand(cand), docs)
   }
 
   val defs: Seq[QDef] = Seq(
