@@ -503,7 +503,10 @@ class GraftTable private (
     * deletion entirely (a leaked file is orphan-GC work, a deleted
     * referenced file is corruption). */
   private[graft] def publishedDataPaths: Option[Set[String]] =
-    try Some(snapshots.flatMap(s => filesOf(s).map(_.path)).toSet)
+    // refPaths, not path: a dv SIDECAR adopted as a snapshot-referenced
+    // final (commitDelta's direct fast path) is published state exactly
+    // like a data file — abort paths must not reclaim it either
+    try Some(snapshots.flatMap(s => filesOf(s).flatMap(_.refPaths)).toSet)
     catch { case scala.util.control.NonFatal(_) => None }
 
   private[sources] def filesOf(snap: SnapshotMeta): Seq[FileMeta] =
@@ -961,10 +964,14 @@ class GraftTable private (
     catch {
       case e: Throwable =>
         // losing an optimistic-concurrency race must not strand sidecars
-        written.foreach { case (_, rel, _) =>
-          if (rel.nonEmpty)
+        // — but never reclaim ones a post-publish throwable left
+        // referenced by the durable snapshot (see commitDelta's catch)
+        val rels = written.collect { case (_, rel, _) if rel.nonEmpty => rel }.toSet
+        if (rels.nonEmpty && safeToCleanDvsAfterFailedCommit(base + 1, rels)) {
+          rels.foreach { rel =>
             try fs.delete(new Path(root, rel), false)
             catch { case _: java.io.IOException => () }
+          }
         }
         throw e
     }
@@ -1403,6 +1410,27 @@ class GraftTable private (
         (changelogDir.isDefined && changelogDir.contains(snap.changelogDir)))
     } catch { case scala.util.control.NonFatal(_) => false }
 
+  /** Dv-sidecar analogue of [[safeToCleanAfterFailedCommit]]: after a
+    * failed dv-bearing commit, reclaiming the just-written sidecars is
+    * safe only when snap-id never published or references NONE of our
+    * sidecar paths. Keyed on the dv paths themselves (not the data
+    * paths) because a lost race's winner keeps referencing the same
+    * still-live data files with their PRIOR dvs — data-path membership
+    * would wrongly veto cleanup on every lost race. Unknown state skips
+    * cleanup (leaked sidecars are orphan work; a deleted referenced
+    * sidecar makes reads throw and deleted rows resurrect). */
+  private[graft] def safeToCleanDvsAfterFailedCommit(id: Long, rels: Set[String]): Boolean =
+    try !fs.exists(new Path(root, s"$snapDirRel/snap-$id.json")) || {
+      val snap =
+        try readSnapshot(id)
+        catch {
+          case _: com.fasterxml.jackson.core.JacksonException => return true
+          case e @ (_: IllegalStateException | _: IllegalArgumentException)
+              if String.valueOf(e.getMessage).contains("corrupt snapshot") => return true
+        }
+      !filesOf(snap).exists(f => f.hasDv && rels.contains(f.dvPath))
+    } catch { case scala.util.control.NonFatal(_) => false }
+
   /** Snapshot commit of a V2 batch write (files already written and
     * measured by the executors; `added` arrived in commit messages;
     * `base` was captured at write start — a concurrent commit makes this
@@ -1816,10 +1844,15 @@ class GraftTable private (
       case e: Throwable =>
         // losing the optimistic-concurrency race must not strand the
         // merged finals (partials/data files are the batch abort's job)
-        mergedRes.foreach { case (_, rel, _) =>
-          if (rel.nonEmpty)
+        // — but a post-publish throwable (VirtualMachineError from a
+        // hook) arrives with snap-(base+1) durable and referencing
+        // them: clean only when the published state provably doesn't
+        val rels = mergedRes.collect { case (_, rel, _) if rel.nonEmpty => rel }.toSet
+        if (rels.nonEmpty && safeToCleanDvsAfterFailedCommit(base + 1, rels)) {
+          rels.foreach { rel =>
             try fs.delete(new Path(root, rel), false)
             catch { case _: java.io.IOException => () }
+          }
         }
         throw e
     }

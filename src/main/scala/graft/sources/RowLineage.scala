@@ -312,12 +312,15 @@ final class GraftDeltaBatchWrite(table: GraftTable) extends DeltaBatchWrite {
           fsys.delete(new Path(table.root, f.path + BitmapIndex.Suffix), false)
         } catch { case _: java.io.IOException => () }
       }
-      // partial dvs are pre-commit scratch — never referenced by a
-      // snapshot until commitDelta merges them into finals
-      m.dvParts.foreach { case (_, rel, _) =>
-        try fsys.delete(new Path(table.root, rel), false)
-        catch { case _: java.io.IOException => () }
-      }
+      // partial dvs are pre-commit scratch — EXCEPT when commitDelta's
+      // direct fast path adopted one AS the snapshot-referenced final
+      // and a post-publish throwable routed us here: live now carries
+      // dv refPaths, so the adopted sidecar is skipped like a data file
+      m.dvParts.filterNot { case (_, rel, _) => live.contains(rel) }
+        .foreach { case (_, rel, _) =>
+          try fsys.delete(new Path(table.root, rel), false)
+          catch { case _: java.io.IOException => () }
+        }
     }
   }
 }

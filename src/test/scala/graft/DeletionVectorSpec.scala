@@ -227,4 +227,37 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(files.map(_._2).sum == 50L)
     assert(t.read().select("id").as[Long].collect().forall(_ % 2 == 1))
   }
+
+  test("S37p: failure-path cleanup never reclaims a published dv sidecar") {
+    import graft.sources.{GraftDeltaBatchWrite, GraftDeltaCommitMessage}
+    val t = mkTable("dv-postpub")
+    t.dvDelete(col("id") === 7L)
+    val tt = GraftTable.load(spark, t.root)
+    // publishedDataPaths must carry dv refPaths, not just data paths
+    val live = tt.publishedDataPaths.getOrElse(fail("unreadable reference state"))
+    val dvs = live.filter(_.endsWith(".dv"))
+    assert(dvs.nonEmpty, "published reference set must include dv sidecars")
+    val snapId = tt.latestSnapshotId.get
+    // post-publish throwable: the durable snapshot references OUR rels
+    assert(!tt.safeToCleanDvsAfterFailedCommit(snapId, dvs))
+    // genuinely failed commit (target id never published): clean
+    assert(tt.safeToCleanDvsAfterFailedCommit(snapId + 7, dvs))
+    // lost race: the winner's snapshot references none of our rels
+    assert(tt.safeToCleanDvsAfterFailedCommit(snapId, Set("data/dv/ghost.dv")))
+    // delta-write abort: a partial ADOPTED as the published final must
+    // survive; a genuine pre-commit stray partial must still sweep
+    val fsys = org.apache.hadoop.fs.FileSystem.getLocal(conf)
+    val stray = DeletionVector.write(conf, t.root, Array(0L))
+    val adopted = dvs.head
+    new GraftDeltaBatchWrite(tt).abort(Array(GraftDeltaCommitMessage(
+      Seq.empty, Seq.empty,
+      Seq(("data/whatever.parquet", adopted, 1L),
+        ("data/whatever.parquet", stray, 1L)))))
+    assert(!fsys.exists(new org.apache.hadoop.fs.Path(t.root, stray)),
+      "abort must still sweep unpublished partials")
+    assert(fsys.exists(new org.apache.hadoop.fs.Path(t.root, adopted)),
+      "abort deleted a snapshot-referenced dv sidecar")
+    // and the masked read still works
+    assert(tt.read().count() == 99)
+  }
 }
