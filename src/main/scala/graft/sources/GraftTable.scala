@@ -118,7 +118,15 @@ final case class SnapshotMeta(
     // added files and advance it. Inherited monotonically; ids are never
     // reused (a rollback's re-adds keep their original ranges). Null =
     // tracking never enabled on this history.
-    nextRowId: java.lang.Long = null)
+    nextRowId: java.lang.Long = null,
+    // Paths within an OVERWRITE-kind snapshot that are logically NEW
+    // data (MERGE WHEN NOT MATCHED inserts from the delta row-level
+    // path): incremental/streaming readers skip OVERWRITE rewrites —
+    // correct for update/delete retractions — but rows INSERTED by the
+    // same MERGE are genuinely new and must flow exactly as an append
+    // would. Null = no append-visible component (every pre-existing
+    // snapshot). */
+    appendPaths: Seq[String] = null)
 
 final case class SchemaMeta(
     id: Long,
@@ -540,7 +548,8 @@ class GraftTable private (
       commitUser: String = "graft", commitIdentifier: Option[Long] = None,
       indexDirs: Seq[String] = Seq.empty,
       changelogDir: Option[String] = None,
-      watermark: Option[Long] = None): Long = {
+      watermark: Option[Long] = None,
+      appendPaths: Seq[String] = Seq.empty): Long = {
     // S59/S63: validate the tag.automatic-creation and
     // partition.expiration option families BEFORE the claim — a
     // misconfigured table fails the commit loudly here instead of after
@@ -722,7 +731,8 @@ class GraftTable private (
           else scala.util.Try(readSnapshot(id - 1)).toOption
             .map(_.lastChangelog).orNull,
         watermark = effWatermark.map(Long.box).orNull,
-        nextRowId = nextRowIdOut)
+        nextRowId = nextRowIdOut,
+        appendPaths = if (appendPaths.isEmpty) null else appendPaths)
       val tmp = new Path(root, s"$snapDirRel/.tmp-$id-${UUID.randomUUID().toString.take(8)}")
       writeString(fs, tmp, mapper.writeValueAsString(snap))
       if (!fs.rename(tmp, dst)) {
@@ -1834,7 +1844,11 @@ class GraftTable private (
     val added = kept ++
       lineageFiles.map(_.copy(compacted = java.lang.Boolean.TRUE)) ++ plainFiles
     try {
-      val id = commitAt(base + 1, "OVERWRITE", added = added, deleted = gone)
+      // MERGE's NOT-MATCHED inserts are append-visible to incremental/
+      // streaming consumers (the retraction components — dv'd kept files
+      // and update rewrites — stay skipped with OVERWRITE semantics)
+      val id = commitAt(base + 1, "OVERWRITE", added = added, deleted = gone,
+        appendPaths = plainFiles.map(_.path))
       strayDvs.foreach { rel =>
         try fs.delete(new Path(root, rel), false)
         catch { case _: java.io.IOException => () }
@@ -2001,24 +2015,42 @@ class GraftTable private (
     * index entries per partition, which under moves is a soft bound on
     * bucket fill — a placement approximation, never a correctness issue
     * (merges key on the real primary key). */
+  /** Vintage-2 tables ([[GraftTable.EscapeVintageKey]] stamped at
+    * CREATE) render fully injectively; unstamped tables predate the
+    * escaping and must keep '%' raw, or every persisted index entry for
+    * a '%'-bearing value would stop matching on upgrade — the next
+    * upsert of an existing key would miss the entry, mint a fresh
+    * bucket, and the bucket-local merge would resurrect the stale
+    * version under the old one. */
+  private def escapeV2: Boolean =
+    options.getOrElse(GraftTable.EscapeVintageKey, "1") == "2"
+
   /** Injective rendering of ONE partition value inside the index's
-    * `k=v/k2=v2` part string: '%'→%25 and '/'→%2F so a value can never
-    * split or forge a segment, and a value LITERALLY equal to the null
-    * sentinel escapes its first '_' (→%5F) so only true NULLs render as
-    * "__GRAFT_NULL__". Values without %, / or the sentinel render
-    * byte-identically to the pre-escape scheme, so existing persisted
-    * index entries keep their identity. */
+    * `k=v/k2=v2` part string: '%'→%25 (vintage 2 only) and '/'→%2F so a
+    * value can never split or forge a segment, and a value LITERALLY
+    * equal to the null sentinel escapes its first '_' (→%5F) so only
+    * true NULLs render as "__GRAFT_NULL__". Values without %, / or the
+    * sentinel render byte-identically across vintages AND to the
+    * pre-escape scheme, so existing persisted index entries keep their
+    * identity. Legacy vintage keeps '%' raw (pre-escape identity for
+    * '%' values, which always rendered fine); its known residual
+    * ambiguity — a value literally containing "%2F"/"%5F" collides with
+    * an escape — is exactly the pre-escape contract. */
   private def escPartVal(c: Column): Column = {
-    val e = regexp_replace(regexp_replace(c, lit("%"), lit("%25")), lit("/"), lit("%2F"))
+    val pct = if (escapeV2) regexp_replace(c, lit("%"), lit("%25")) else c
+    val e = regexp_replace(pct, lit("/"), lit("%2F"))
     when(e === "__GRAFT_NULL__", lit("%5F_GRAFT_NULL__")).otherwise(e)
   }
 
-  /** Inverse of [[escPartVal]]. Decoding is unambiguous: in escaped text
+  /** Inverse of [[escPartVal]]. Vintage-2 decoding is unambiguous:
     * every '%' is followed by exactly one of 25/2F/5F, and the inserted
-    * '/', '_' and '%' can never re-form an escape sequence. */
-  private def unescPartVal(c: Column): Column =
-    regexp_replace(regexp_replace(regexp_replace(
-      c, lit("%2F"), lit("/")), lit("%5F"), lit("_")), lit("%25"), lit("%"))
+    * '/', '_' and '%' can never re-form an escape sequence. Legacy
+    * decoding must NOT decode %25 (never produced by its encoder). */
+  private def unescPartVal(c: Column): Column = {
+    val base = regexp_replace(regexp_replace(
+      c, lit("%2F"), lit("/")), lit("%5F"), lit("_"))
+    if (escapeV2) regexp_replace(base, lit("%25"), lit("%")) else base
+  }
 
   /** The `k=v/k2=v2` part string for the incoming row, value-escaped. */
   private def renderedPart: Column =
@@ -2869,6 +2901,13 @@ class GraftTable private (
       val live = filesOf(snap)
       if (snap.commitKind == "APPEND")
         added ++= live.filterNot(f => prev.contains(f.path))
+      else if (snap.appendPaths != null) {
+        // an OVERWRITE with an append-visible component (MERGE's
+        // NOT-MATCHED inserts): emit exactly those files — the rewrite/
+        // retraction components of the same commit stay silent
+        val ap = snap.appendPaths.toSet
+        added ++= live.filter(f => ap.contains(f.path) && !prev.contains(f.path))
+      }
       prev = live.map(_.path).toSet
     }
     val outCols =
@@ -3739,6 +3778,14 @@ object GraftTable {
   // S64: physical lineage columns a row-tracking COMPACT materializes
   // into rewritten files (appended files derive ids positionally)
   val RowIdCol = "__row_id"
+
+  /** Table option stamping the dynamic-bucket index value-escaping
+    * vintage at CREATE: "2" = fully-injective rendering ('%', '/' and
+    * the null sentinel escaped); absent/"1" = legacy rendering ('%'
+    * kept raw so pre-escape persisted index entries keep matching —
+    * only '/'-and-sentinel values were ever broken under it, and those
+    * stay fixed in both vintages). */
+  val EscapeVintageKey = "index.value-escape"
   val RowSeqCol = "__row_seq"
   /** Data-column names a row-tracking table may not use: they would
     * shadow the lineage metadata columns (S65). */
@@ -3951,7 +3998,15 @@ object GraftTable {
     fs.mkdirs(new Path(root, "snapshot"))
     val fields = if (stampIds) stampFieldIds(schema) else StructType(
       schema.fields.map(f => f.copy(metadata = org.apache.spark.sql.types.Metadata.empty)))
-    val meta = SchemaMeta(0L, fields.json, partitionKeys, primaryKeys, options)
+    // stamp the dynamic-bucket index value-escaping vintage at birth:
+    // tables created from here on render '%' escaped (fully injective
+    // part strings); unstamped (pre-existing) tables keep the legacy
+    // '%'-unescaped rendering so their persisted index entries keep
+    // matching — see escPartVal
+    val opts =
+      if (options.contains(EscapeVintageKey)) options
+      else options + (EscapeVintageKey -> "2")
+    val meta = SchemaMeta(0L, fields.json, partitionKeys, primaryKeys, opts)
     writeString(fs, new Path(root, "schema/schema-0.json"), mapper.writeValueAsString(meta))
     new GraftTable(spark, root, meta)
   }

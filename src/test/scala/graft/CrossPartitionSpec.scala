@@ -147,4 +147,30 @@ class CrossPartitionSpec extends AnyFunSuite {
     val parts = t.system("partitions").select("partition").as[String].collect().toSet
     assert(parts == Set("status=even", "status=odd", "status=three"))
   }
+
+  test("S61h: legacy escape vintage keeps '%'-valued index entries matching") {
+    // a table WITHOUT the CREATE-stamped vintage option predates the
+    // escaping: its persisted index entries rendered '%' raw, and the
+    // upgraded code must keep rendering it raw (a changed rendering
+    // would miss the entry on the next upsert, mint a second bucket,
+    // and resurrect the stale version bucket-locally)
+    val legacy = mk("xp-legacy", Map(GraftTable.EscapeVintageKey -> "1"))
+    legacy.upsert(Seq((1, "100%", "v1")).toDF("id", "status", "v"))
+    legacy.upsert(Seq((1, "100%", "v2")).toDF("id", "status", "v"))
+    assert(rows(legacy) == Seq((1, "100%", "v2")), "stale '%' version resurrected")
+    // the legacy part string is byte-identical to the pre-escape scheme
+    val parts = legacy.system("partitions")
+      .select("partition").as[String].collect().toSet
+    assert(parts.contains("status=100%"), s"legacy rendering changed: $parts")
+    // fresh tables are stamped vintage 2 at CREATE and render injectively
+    val v2 = mk("xp-v2")
+    assert(v2.system("options").filter(col("key") === GraftTable.EscapeVintageKey)
+      .select("value").as[String].collect().toSeq == Seq("2"))
+    v2.upsert(Seq((1, "100%", "v1"), (2, "a%2Fb", "v1")).toDF("id", "status", "v"))
+    v2.upsert(Seq((1, "100%", "v2")).toDF("id", "status", "v"))
+    assert(rows(v2) == Seq((1, "100%", "v2"), (2, "a%2Fb", "v1")))
+    // injective: the literal-"%2F" value cannot forge a '/' and decodes back
+    v2.upsert(Seq((2, "moved", "v2")).toDF("id", "status", "v"))
+    assert(rows(v2) == Seq((1, "100%", "v2"), (2, "moved", "v2")))
+  }
 }

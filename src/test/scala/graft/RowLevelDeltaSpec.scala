@@ -414,6 +414,32 @@ class RowLevelDeltaSpec extends AnyFunSuite {
       "appends after the delta commits still flow incrementally")
   }
 
+  test("S65q: MERGE's NOT-MATCHED inserts flow to incremental consumers " +
+    "(retraction components of the same commit stay silent)") {
+    val (name, t) = mkSql() // snapshots 1, 2
+    Seq((1L, "one"), (4L, "DEL"), (9L, "nine"), (10L, "ten"))
+      .toDF("k", "v").createOrReplaceTempView("src65q")
+    sql(s"""MERGE INTO $name t USING src65q s ON t.k = s.k
+           |WHEN MATCHED AND s.v = 'DEL' THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET t.v = s.v
+           |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""".stripMargin) // snap 3
+    val inc = spark.read.format("graft")
+      .option("incremental-between", "2,3").load(t.root)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(inc == Seq((9L, "nine"), (10L, "ten")),
+      s"MERGE inserts must flow like appends (no updates, no pre-images): $inc")
+    // the inserted rows carry lineage like any append
+    val ids = sql(s"SELECT k, _row_id FROM $name WHERE k >= 9").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(ids.keySet == Set(9L, 10L) && ids.values.toSet.size == 2)
+    // a MERGE with NO not-matched inserts emits nothing incrementally
+    Seq((2L, "two")).toDF("k", "v").createOrReplaceTempView("src65q2")
+    sql(s"""MERGE INTO $name t USING src65q2 s ON t.k = s.k
+           |WHEN MATCHED THEN UPDATE SET t.v = s.v""".stripMargin) // snap 4
+    assert(spark.read.format("graft")
+      .option("incremental-between", "3,4").load(t.root).count() == 0L)
+  }
+
   test("S65g: an UPDATE covering a whole file drops it from the manifest") {
     val (name, t) = mkSql()
     sql(s"UPDATE $name SET v = 'all' WHERE k >= 5") // the entire second file
