@@ -66,7 +66,8 @@ final class GraftV2Table(
           Array[org.apache.spark.sql.connector.catalog.MetadataColumn](
             RowLineage.PosMetaColumn)
         else Array.empty[org.apache.spark.sql.connector.catalog.MetadataColumn]
-      Array(GraftV2Table.FileMetaColumn: org.apache.spark.sql.connector.catalog.MetadataColumn) ++
+      Array(GraftV2Table.FileMetaColumn: org.apache.spark.sql.connector.catalog.MetadataColumn,
+        GraftV2Table.PartMetaColumn, GraftV2Table.BucketMetaColumn) ++
         lineage ++ pos
     }
 
@@ -891,17 +892,26 @@ final class GraftScan(
   // hides the metadata column then, case-insensitively) — the carve-out
   // must not capture it
   private val metaColNames: Set[String] =
-    (RowLineage.MetaColNames + GraftV2Table.FileCol) --
+    (RowLineage.MetaColNames ++ GraftV2Table.ConstColNames) --
       table.schema.fieldNames.map(_.toLowerCase(java.util.Locale.ROOT))
   private val metaFields: Array[StructField] =
     requiredSchema.fields.filter(f => metaColNames(f.name)).map { f =>
-      if (f.name == GraftV2Table.FileCol) StructField(f.name, StringType, nullable = false)
+      if (f.name == GraftV2Table.FileCol || f.name == GraftV2Table.PartCol)
+        StructField(f.name, StringType, nullable = false)
+      else if (f.name == GraftV2Table.BucketCol)
+        StructField(f.name, IntegerType, nullable = false)
       // nullability mirrors the MetadataColumn declarations (_row_id and
       // _sequence_number declare nullable for MERGE's insert branch)
       else StructField(f.name, LongType, nullable = f.name != RowLineage.PosCol)
     }
+  // any per-file-constant metadata column (_file/_partition/_bucket)
+  // forces per-file planning + the constant-appending row-based read
   private val wantFile: Boolean =
-    metaFields.exists(_.name == GraftV2Table.FileCol)
+    metaFields.exists(f => GraftV2Table.ConstColNames(f.name))
+  private val wantPartCol: Boolean =
+    metaFields.exists(_.name == GraftV2Table.PartCol)
+  private val wantBucketCol: Boolean =
+    metaFields.exists(_.name == GraftV2Table.BucketCol)
   // any lineage column forces the positional per-file read (S65)
   private val wantLineage: Boolean =
     metaFields.exists(f => RowLineage.MetaColNames(f.name))
@@ -1144,6 +1154,13 @@ final class GraftScan(
            Option(f.firstRowId).map(v =>
              RowLineage.FirstRowIdKey -> (v.longValue: Any)).toMap ++
              Option(f.rowSeq).map(v => RowLineage.RowSeqKey -> (v.longValue: Any)).toMap
+         else Map.empty[String, Any]) ++
+        // per-file constants for the _partition/_bucket metadata columns
+        (if (wantPartCol)
+           Map[String, Any](GraftV2Table.PartValKey ->
+             table.partitionKeys.map(k => s"$k=${f.partition(k)}").mkString("/"))
+         else Map.empty[String, Any]) ++
+        (if (wantBucketCol) Map[String, Any](GraftV2Table.BucketValKey -> f.bucket)
          else Map.empty[String, Any]))
 
   // ---- storage-partitioned scan (zero-shuffle bucketed joins) ----------
@@ -1423,7 +1440,7 @@ final class GraftScan(
           table.root,
           new org.apache.spark.util.SerializableConfiguration(
             spark.sessionState.newHadoopConf()))
-      return new FileColFactory(masked)
+      return new FileColFactory(masked, metaFields.map(_.name))
     }
     // S55 claimed filters: every file reads row-based/unsplit through a
     // NO-pushdown factory (parquet row-group skipping would desync the
@@ -1494,31 +1511,68 @@ object GraftV2Table {
       override def isNullable: Boolean = false
       override def comment: String = "data file path relative to the table root"
     }
+
+  /** Paimon's `__paimon_partition`/`__paimon_bucket` Spark surface,
+    * graft-shaped: the owning partition rendered as the canonical
+    * `k=v/k2=v2` string (byte-identical to the `$files`/`$partitions`
+    * system-table rendering; "" on unpartitioned tables) and the file's
+    * bucket id (0 on unbucketed layouts). Per-file constants — same
+    * synthesis discipline as `_file`. */
+  val PartCol = "_partition"
+  val BucketCol = "_bucket"
+  val PartMetaColumn: org.apache.spark.sql.connector.catalog.MetadataColumn =
+    new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name: String = PartCol
+      override def dataType: DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment: String = "owning partition as the canonical k=v/k2=v2 string"
+    }
+  val BucketMetaColumn: org.apache.spark.sql.connector.catalog.MetadataColumn =
+    new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name: String = BucketCol
+      override def dataType: DataType = IntegerType
+      override def isNullable: Boolean = false
+      override def comment: String = "bucket id of the row's data file"
+    }
+  /** PartitionedFile piggyback keys for the per-file constants. */
+  val PartValKey = "__graft_part_str"
+  val BucketValKey = "__graft_bucket_id"
+  /** The metadata columns synthesized as per-file constants. */
+  val ConstColNames: Set[String] = Set(FileCol, PartCol, BucketCol)
 }
 
-/** S44: appends the `_file` constant to every row of a single-file
-  * partition. Row-based by design (a per-batch constant column vector
-  * would also work, but provenance scans are metadata/forensics-shaped,
-  * not throughput-shaped). */
-final class FileColFactory(delegate: PartitionReaderFactory)
+/** S44: appends the per-file constant metadata columns (`_file`,
+  * `_partition`, `_bucket` — in requested order) to every row of a
+  * single-file partition. Row-based by design (a per-batch constant
+  * column vector would also work, but provenance scans are
+  * metadata/forensics-shaped, not throughput-shaped). */
+final class FileColFactory(delegate: PartitionReaderFactory, metaNames: Array[String])
     extends PartitionReaderFactory {
   override def supportColumnarReads(p: InputPartition): Boolean = false
   override def createColumnarReader(p: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
-    throw new UnsupportedOperationException("_file scans are row-based")
+    throw new UnsupportedOperationException("_file/_partition/_bucket scans are row-based")
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val fp = p.asInstanceOf[FilePartition]
     require(fp.files.length == 1, s"_file partitions hold exactly one file, got ${fp.files.length}")
-    val abs = fp.files.head.filePath.toString
+    val pf = fp.files.head
+    val abs = pf.filePath.toString
     // files live under <root>/data/ — recover the root-relative path the
     // manifest records, robust to scheme qualification of the root
     val cut = abs.lastIndexOf("/data/")
     val rel = if (cut >= 0) abs.substring(cut + 1) else abs
-    val fileRow = InternalRow(UTF8String.fromString(rel))
+    val consts = pf.otherConstantMetadataColumnValues
+    val vals: Array[Any] = metaNames.map {
+      case GraftV2Table.FileCol => UTF8String.fromString(rel)
+      case GraftV2Table.PartCol =>
+        UTF8String.fromString(consts(GraftV2Table.PartValKey).toString)
+      case GraftV2Table.BucketCol => consts(GraftV2Table.BucketValKey)
+    }
+    val metaRow = InternalRow.fromSeq(vals.toSeq)
     val inner = delegate.createReader(p)
     val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
     new PartitionReader[InternalRow] {
       override def next(): Boolean = inner.next()
-      override def get(): InternalRow = joined(inner.get(), fileRow)
+      override def get(): InternalRow = joined(inner.get(), metaRow)
       override def close(): Unit = inner.close()
     }
   }

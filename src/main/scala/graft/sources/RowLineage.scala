@@ -187,6 +187,11 @@ final class LineageReaderFactory(
                   "commit-assigned rowSeq — pre-tracking vintage?")
             case RowLineage.PosCol => pos
             case GraftV2Table.FileCol => fileVal
+            // per-file constants when _partition/_bucket ride a lineage
+            // scan (both piggybacked by toPartitionedFile on request)
+            case GraftV2Table.PartCol =>
+              UTF8String.fromString(consts(GraftV2Table.PartValKey).toString)
+            case GraftV2Table.BucketCol => consts(GraftV2Table.BucketValKey)
           }
           out.update(nData + nPart + m, v)
           m += 1

@@ -172,6 +172,45 @@ class V2ScanSpec extends AnyFunSuite {
     }
   }
 
+  test("S44b: _partition/_bucket metadata columns — per-file constants, " +
+    "$files-consistent, hidden from *, composing with pruning") {
+    val path = TestSpark.tmpDir("v2partcol")
+    val t = GraftTable.create(spark, path,
+      StructType(Seq(StructField("pt", StringType), StructField("id", IntegerType),
+        StructField("v", StringType))),
+      partitionKeys = Seq("pt"), options = Map("bucket" -> "4", "bucket-key" -> "id"))
+    t.append((1 to 40).map(i => (s"p${i % 2}", i, s"v$i")).toDF("pt", "id", "v"))
+    val df = spark.read.format("graft").load(path)
+    // hidden from SELECT *
+    assert(!df.columns.contains("_partition") && !df.columns.contains("_bucket"))
+    // per-row constants agree with the manifest ($files) per file
+    val perRow = df.select(col("_file"), col("_partition"), col("_bucket"))
+      .distinct().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).sorted.toSeq
+    val manifest = t.system("files").select("file_path", "partition", "bucket")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).sorted.toSeq
+    assert(perRow == manifest, s"got $perRow vs manifest $manifest")
+    // composes with partition pruning: only p1 files planned AND reported
+    val pruned = df.filter(col("pt") === "p1").select("_partition", "id")
+    assert(plannedOfTotal(pruned)._1 < manifest.size)
+    val parts = pruned.collect().map(_.getString(0)).toSet
+    assert(parts == Set("pt=p1"), s"got $parts")
+    // bucket routing is real: each id reads back the bucket the writer chose
+    val byBucket = df.select(col("id"), col("_bucket")).collect()
+      .map(r => (r.getInt(0), r.getInt(1)))
+    assert(byBucket.map(_._2).toSet.size > 1, "expected several buckets")
+    // rides a lineage scan too (per-file consts on the positional read)
+    val trPath = TestSpark.tmpDir("v2partcol-tr")
+    val tr = GraftTable.create(spark, trPath,
+      StructType(Seq(StructField("pt", StringType), StructField("id", IntegerType))),
+      partitionKeys = Seq("pt"), options = Map("row-tracking.enabled" -> "true"))
+    tr.append(Seq(("a", 1), ("b", 2)).toDF("pt", "id"))
+    val withLineage = spark.read.format("graft").load(trPath)
+      .select(col("id"), col("_row_id"), col("_partition")).collect()
+      .map(r => (r.getInt(0), r.getString(2))).sorted.toSeq
+    assert(withLineage == Seq((1, "pt=a"), (2, "pt=b")), s"got $withLineage")
+  }
+
   test("partition pruning through the V2 scan, including NOT and IsNull") {
     val path = TestSpark.tmpDir("v2prune")
     val rows = (1 to 4).map(i => (s"p$i", i)) :+ ((null: String), 5)
