@@ -360,6 +360,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamedPairs == Set((1L, 3L)) && streamedPairs == rebuiltPairs)
   }
 
+  test("T27: streaming ingest keeps the persisted ANN index current") {
+    // the L62 index as a LIVE artifact (the T24 shape for vectors): each
+    // micro-batch lands in the vector table and the index assigns ONLY
+    // the batch's vectors against the persisted centroids — no retrain,
+    // no corpus re-assignment. Pins: the post-stream probe serves the
+    // same neighbors as a from-scratch rebuild, and the refreshes were
+    // delta-sized (assignment count grows by exactly the batch size,
+    // retrain never triggered below the drift threshold).
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val src = GraftTable.create(spark, TestSpark.tmpDir("annsrc-t27"),
+      graft.operators.AnnIndex.SourceSchema)
+    val idxRoot = TestSpark.tmpDir("annidx-t27")
+    val counts = scala.collection.mutable.ArrayBuffer[Long]()
+    val retrained = scala.collection.mutable.ArrayBuffer[Boolean]()
+    val fs = GraftTable.fileSystem(spark, idxRoot)
+    val q = mem.toDF().toDF("vec_id", "v").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        src.append(b)
+        if (!fs.exists(new org.apache.hadoop.fs.Path(s"$idxRoot/assignments")))
+          graft.operators.AnnIndex.build(spark, src, idxRoot, k = 2)
+        else retrained += graft.operators.AnnIndex.refresh(spark, src, idxRoot)
+        counts += GraftTable.load(spark, s"$idxRoot/assignments").read().count()
+        ()
+      }
+      .option("checkpointLocation", TestSpark.tmpDir("annidx-t27-ckpt")).start()
+    // two tight clusters around (1,0) and (0,1)
+    def v(x: Double, y: Double) = Seq(x, y)
+    try {
+      mem.addData((1L, v(1.0, 0.0)), (2L, v(0.9, 0.1)), (3L, v(0.0, 1.0)),
+        (4L, v(0.1, 0.9)), (5L, v(1.0, 0.1)), (6L, v(0.1, 1.0)))
+      q.processAllAvailable()
+      mem.addData((7L, v(0.95, 0.05)), (8L, v(0.05, 0.95)))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(counts.toSeq == Seq(6L, 8L), s"refresh must be delta-sized: $counts")
+    assert(retrained.toSeq == Seq(false), s"drift retrain must not trigger: $retrained")
+    // streamed index == from-scratch rebuild, probe-for-probe
+    def probes(root: String) =
+      graft.operators.AnnIndex.probe(spark, src, root, col("vec_id") >= 7L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val rebuiltRoot = TestSpark.tmpDir("annidx-t27-full")
+    graft.operators.AnnIndex.build(spark, src, rebuiltRoot, k = 2)
+    val streamed = probes(idxRoot)
+    assert(streamed == probes(rebuiltRoot), s"streamed index diverged: $streamed")
+    // the late vectors found their own cluster, not the other one
+    val n7 = streamed.filter(_._1 == 7L).map(_._3)
+    assert(n7.nonEmpty && n7.subsetOf(Set(1L, 2L, 5L)), s"q7 neighbors: $n7")
+  }
+
   test("T20: foreachBatch MERGE INTO applies a CDC stream onto a graft table") {
     // the operational upsert-apply shape: a change stream lands on a
     // catalog table through SQL MERGE once per micro-batch (the S31
