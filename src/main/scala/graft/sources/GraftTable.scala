@@ -2268,15 +2268,21 @@ class GraftTable private (
       indexDirs = dirs
     }
     val doKeySort = isPkTable && keySort
-    // Dynamic mode prefixes the sort with the bucket so each bucket's
-    // rows are CONTIGUOUS: the task writer then opens every bucket file
-    // exactly once. Without it, hash-ordered buckets under input-ordered
-    // rows evict a writer on nearly every row once buckets ≫
-    // maxOpenWriters (measured: 15k keys / 59 buckets → one file per
-    // row, OOM from the accumulated writer buffers). Files stay valid
-    // sorted runs: a file holds ONE bucket, and within it keys ascend.
+    // Dynamic mode prefixes the sort with the FULL routing key —
+    // partition columns AND bucket — so each (partition, bucket) group's
+    // rows are CONTIGUOUS: the task writer then opens every group file
+    // exactly once. Without the full prefix, routing-key-ordered groups
+    // under other-ordered rows evict a writer on nearly every row once
+    // groups ≫ maxOpenWriters (measured twice: 15k keys / 59 buckets
+    // via the bucket axis, and r15's skew probe via the PARTITION axis —
+    // a bucket-only prefix left 20 partitions interleaving per row once
+    // AQE coalesced the pre-write shuffle to one task: one file per row,
+    // 3.8k live parquet page writers, OOM at any heap). Files stay valid
+    // sorted runs: a file holds ONE group, and within it keys ascend.
     val sortCols =
-      (if (isDynamicBucket) Seq(col(GraftTable.DynBucketCol).asc) else Seq.empty) ++
+      (if (isDynamicBucket)
+         partitionKeys.map(col(_).asc) :+ col(GraftTable.DynBucketCol).asc
+       else Seq.empty) ++
         (if (doKeySort) primaryKeys.map(col(_).asc) ++ sequenceFields.map(col(_).desc)
          else Seq.empty)
     if (sortCols.nonEmpty)

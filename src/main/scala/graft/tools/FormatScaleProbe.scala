@@ -191,6 +191,106 @@ object FormatScaleProbe {
       graft.operators.AnnIndex.probe(spark, src, s"$base/annidx",
         col("vec_id") < 20).queryExecution.toRdd.count())
 
+    // ---- S56 × S64: record-level expire on a ROW-TRACKING table ---------
+    // expiry drops rows at the compaction rewrite while survivors must
+    // keep their ids (materialized through the fold) — the lineage read
+    // after expiry should stay flat vs before at any scale
+    val evl = graft.Tables.events(spark, dir)
+      .select(col("event_id").cast("long").as("event_id"), col("user_id"), col("ts"))
+    val rext = GraftTable.create(spark, s"$base/rext", evl.schema, options = Map(
+      "row-tracking.enabled" -> "true",
+      "record-level.expire-time" -> "15d",
+      "record-level.time-field" -> "ts",
+      "record-level.expire.now-millis" -> "1706659200000"))
+    timed("expire+track: ingest")(rext.append(evl.repartition(16)))
+    val preIds = timed("expire+track: lineage read (pre)")(
+      rext.readWithLineage().select("event_id", "_row_id"))
+    val pre = preIds.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    timed("expire+track: compact (TTL rewrite, id-materializing)")(rext.compact())
+    val post = timed("expire+track: lineage read (post-expiry)")(
+      rext.readWithLineage().select("event_id", "_row_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap)
+    val moved = post.count { case (k, id) => pre.get(k).exists(_ != id) }
+    println(s"[probe] expire+track survivors = ${post.size} of ${pre.size}, " +
+      s"renumbered = $moved (must be 0)")
+    require(moved == 0, "record-level expire renumbered surviving rows")
+
+    // ---- Zipfian skew stress: a boilerplate mega-cluster + stopword ----
+    // shingles vs a uniform corpus of EQUAL volume, driven through the
+    // shared Jaccard pair stage (the df-cap kills the D² hot-shingle
+    // blowup: the mega-cluster's shingles all carry df > DfCap and never
+    // enter candidate generation), the L70 sqrt-downsample (groupBy+join,
+    // no window on the duplicate key), a skew-partitioned dynamic-bucket
+    // upsert, and a delta MERGE whose matches concentrate in one file.
+    def mkCorpus(path: String, n: Int, dupCopies: Int, stops: Boolean): String = {
+      val wordsPerDoc = 40
+      val boiler = (0 until wordsPerDoc).map(j => s"boiler$j").mkString(" ")
+      val rows = (0 until n).map { i =>
+        val text =
+          if (i < dupCopies) boiler
+          else (0 until wordsPerDoc).map { j =>
+            val h = (i.toLong * 1103515245L + j * 12345L) & 0x7fffffffL
+            if (stops && j % 2 == 0) s"s${h % 20}" else s"w${h % 50000}"
+          }.mkString(" ")
+        (i.toLong, text, s"l${i % 5}", "web", text.length.toLong)
+      }
+      import spark.implicits._
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .repartition(16).write.parquet(s"$path/documents.parquet")
+      path
+    }
+    val nDocs = 20000
+    val uniDir = mkCorpus(s"$base/zipf-uni", nDocs, 0, stops = false)
+    val zipfDir = mkCorpus(s"$base/zipf-hot", nDocs, nDocs / 2, stops = true)
+    for ((tag, d2) <- Seq(("uniform", uniDir), ("zipfian", zipfDir))) {
+      timed(s"skew[$tag]: jaccard pair stage")(
+        graft.SparkEntry.queries("q_dedup_jaccard")(spark, d2)
+          .queryExecution.toRdd.count())
+      timed(s"skew[$tag]: L70 sqrt-downsample")(
+        graft.SparkEntry.queries("q_dedup_downsample")(spark, d2)
+          .queryExecution.toRdd.count())
+    }
+    // the dedup/pair stages above persisted frames for three corpora in
+    // this one probe JVM — drop them before the write-heavy skew
+    // sections (nothing re-reads them; a real pipeline's stages are
+    // separate jobs)
+    spark.catalog.clearCache()
+    // dynamic-bucket upsert: 90% of keys land in ONE partition vs spread
+    import spark.implicits._
+    val nKeys = 100000
+    def dynUp(tag: String, partOf: org.apache.spark.sql.Column): Unit = {
+      val df = spark.range(nKeys).select(col("id").as("k"),
+        partOf.as("part"), (col("id") * 1.0).as("v"))
+      val t = GraftTable.create(spark, s"$base/zdyn-$tag", df.schema,
+        partitionKeys = Seq("part"), primaryKeys = Seq("k", "part"),
+        options = Map("bucket" -> "-1", "dynamic-bucket.target-row-num" -> "5000"))
+      timed(s"skew[$tag]: dynamic-bucket upsert")(t.upsert(df))
+      timed(s"skew[$tag]: MOR read")(t.read().queryExecution.toRdd.count())
+    }
+    dynUp("uniform", (col("id") % 20).cast("string"))
+    dynUp("zipfian", when(col("id") % 10 < 9, lit("hot"))
+      .otherwise((col("id") % 20).cast("string")))
+    // delta MERGE: equal changed-row counts, matches spread over all
+    // files vs concentrated in ONE file's key range
+    spark.sql("""CREATE TABLE fmtprobe.q.zm (k BIGINT, v BIGINT)
+                |TBLPROPERTIES ('row-tracking.enabled'='true')""".stripMargin)
+    val zm = GraftTable.load(spark, s"$base/wh/q.db/zm")
+    // 10 files of 10k rows each, key-ranged
+    for (b <- 0 until 10)
+      zm.append(spark.range(b * 10000L, (b + 1) * 10000L)
+        .select(col("id").as("k"), col("id").as("v")).coalesce(1))
+    spark.range(nKeys).filter(col("id") % 10 === 3)
+      .select(col("id").as("k"), (col("id") + 1).as("v"))
+      .createOrReplaceTempView("zm_spread")
+    spark.range(10000).select(col("id").as("k"), (col("id") + 1).as("v"))
+      .createOrReplaceTempView("zm_hot")
+    timed("skew[uniform]: delta MERGE (matches spread)")(
+      spark.sql("""MERGE INTO fmtprobe.q.zm t USING zm_spread s ON t.k = s.k
+                  |WHEN MATCHED THEN UPDATE SET t.v = s.v""".stripMargin))
+    timed("skew[zipfian]: delta MERGE (matches in one file)")(
+      spark.sql("""MERGE INTO fmtprobe.q.zm t USING zm_hot s ON t.k = s.k
+                  |WHEN MATCHED THEN UPDATE SET t.v = s.v""".stripMargin))
+
     spark.stop()
   }
 }

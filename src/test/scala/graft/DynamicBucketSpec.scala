@@ -61,6 +61,28 @@ class DynamicBucketSpec extends AnyFunSuite {
     assert(t.read().count() == 9)
   }
 
+  test("S48l: many-partition upsert writes one file per (partition, bucket) group") {
+    // r15 regression: the pre-write within-task sort must prefix the
+    // FULL routing key (partition cols + bucket). With a bucket-only
+    // prefix, 20 partitions interleave row-by-row once AQE coalesces
+    // the routing shuffle to one task — a writer eviction per row, one
+    // file per row, and an OOM from thousands of live parquet writers.
+    val pschema = StructType(Seq(
+      StructField("k", LongType), StructField("part", StringType),
+      StructField("v", DoubleType)))
+    val t = GraftTable.create(spark, TestSpark.tmpDir("dyn-manypart"), pschema,
+      partitionKeys = Seq("part"), primaryKeys = Seq("k", "part"),
+      options = Map("bucket" -> "-1", "dynamic-bucket.target-row-num" -> "1000"))
+    val n = 20000L
+    t.upsert(spark.range(n).select(col("id").as("k"),
+      (col("id") % 20).cast("string").as("part"), (col("id") * 1.0).as("v")))
+    assert(t.read().count() == n)
+    // 20 partitions x 1 bucket each: file count must be group-bounded
+    // (tasks x groups worst case), nowhere near row-bounded
+    val files = t.system("files").select("file_path").collect().length
+    assert(files <= 80, s"write fan-out exploded: $files files for 20 groups")
+  }
+
   test("S48b: per-partition independent bucket sequences") {
     val s2 = StructType(Seq(
       StructField("pt", StringType),
