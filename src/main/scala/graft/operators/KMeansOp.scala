@@ -244,7 +244,13 @@ object KMeansOp {
     * cnN, aN, eN, mN CTEs. Shared by the L26 oracle and the trained-IVF
     * oracle (L19),
     * which appends its own probe/re-rank tail. */
-  private[operators] def lloydCtes(k: Int, iters: Int, scale: Double): String = {
+  private[operators] def lloydCtes(k: Int, iters: Int, scale: Double): String =
+    lloydCtes(k.toString, iters, scale)
+
+  /** As above with k as a SQL scalar expression — lets an oracle derive
+    * the centroid count from the corpus itself (Similarity.semKFor's
+    * corpus-scaled k), since oracle strings are static per query. */
+  private[operators] def lloydCtes(kSql: String, iters: Int, scale: Double): String = {
     // parity-exact per-element quantizer (see VecImpl.quantize)
     val q = s"CAST(x AS DOUBLE)*$scale"
     val quant = s"CASE WHEN $q >= 0 THEN floor($q + 0.5) ELSE -floor(-($q) + 0.5) END"
@@ -273,7 +279,7 @@ object KMeansOp {
        |hh AS (SELECT vec_id, v, $polyId AS hv FROM vv),
        |c0 AS (SELECT cid - 1 AS c, cv FROM (
        |    SELECT row_number() OVER (ORDER BY hv, vec_id) AS cid, v AS cv FROM hh)
-       |  WHERE cid <= $k),
+       |  WHERE cid <= ($kSql)),
        |$rounds""".stripMargin
   }
 

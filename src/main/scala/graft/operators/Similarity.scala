@@ -113,17 +113,32 @@ object Similarity {
     * oracle-checked sizes (n ≤ 2000) this yields exactly the base 4
     * planes, so the replayed-hyperplane SQL stays bit-identical. */
   private[operators] val TargetOccupancy = 125
-  private[operators] def planesPerTableFor(n: Long): Int =
-    math.max(PlanesPerTable,
-      math.ceil(math.log(math.max(1.0, n.toDouble / TargetOccupancy)) / math.log(2)).toInt)
-
-  /** First `p` seeded hyperplanes per table; the fill order makes the
-    * p=4 prefix of table 0 identical to the static oracle planes. */
-  private[operators] def planesFor(p: Int): Seq[Seq[Seq[Double]]] = {
-    val rnd = new scala.util.Random(42)
-    Seq.fill(NumTables)(Seq.fill(p)(
-      Seq.fill(Dims)(if (rnd.nextBoolean()) 1.0 else -1.0)))
+  /** Upper bound on planes per table (2^16 buckets/table ≈ 8.2M-vector
+    * corpora before occupancy passes target; also bounds the oracle's
+    * embedded plane superset). */
+  private[operators] val MaxPlanes = 16
+  /** Corpus-scaled planes per table: the smallest p in [4, MaxPlanes]
+    * with TargetOccupancy·2^p ≥ n. INTEGER arithmetic (not an FP
+    * log-ratio) so the DuckDB oracle replays the same rule bit-free —
+    * a 1-ulp log() disagreement at a power-of-two boundary would
+    * silently shift every bucket. */
+  private[operators] def planesPerTableFor(n: Long): Int = {
+    var p = PlanesPerTable
+    while (p < MaxPlanes && (TargetOccupancy.toLong << p) < n) p += 1
+    p
   }
+
+  /** First `p` seeded hyperplanes per table. Each plane is seeded
+    * per (t, j) — NOT from one shared stream — so planesFor(p) is a
+    * prefix of planesFor(MaxPlanes) for every p: the oracle embeds the
+    * superset once and selects the corpus-scaled count in SQL. */
+  private[operators] def planesFor(p: Int): Seq[Seq[Seq[Double]]] =
+    (0 until NumTables).map { t =>
+      (0 until p).map { j =>
+        val rnd = new scala.util.Random(42L + 7919L * t + 104729L * j)
+        Seq.fill(Dims)(if (rnd.nextBoolean()) 1.0 else -1.0): Seq[Double]
+      }: Seq[Seq[Double]]
+    }
   private[operators] lazy val planes: Seq[Seq[Seq[Double]]] = planesFor(PlanesPerTable)
 
   private[operators] def bucketCol(
@@ -408,11 +423,27 @@ object Similarity {
   private val CosSql =
     "list_reduce(list_cat([0.0], list_transform(range(1, len(q.v)+1), i -> q.v[i]*c.v[i])), (a,x) -> a+x) / (q.nrm*c.nrm)"
 
-  /** The seeded hyperplanes as DuckDB VALUES rows (t, j, 1<<j, plane). */
-  private lazy val PlanesSql: String =
-    (for (t <- 0 until NumTables; j <- 0 until PlanesPerTable) yield
-      s"($t, $j, ${1 << j}, [${planes(t)(j).map(x => if (x > 0) "1.0" else "-1.0").mkString(",")}])")
+  /** The seeded hyperplane SUPERSET as DuckDB VALUES rows
+    * (t, j, 1<<j, plane) — all MaxPlanes per table; [[PlanesCtes]]
+    * selects the corpus-scaled count. */
+  private lazy val PlanesSql: String = {
+    val all = planesFor(MaxPlanes)
+    (for (t <- 0 until NumTables; j <- 0 until MaxPlanes) yield
+      s"($t, $j, ${1 << j}, [${all(t)(j).map(x => if (x > 0) "1.0" else "-1.0").mkString(",")}])")
       .mkString(", ")
+  }
+
+  /** Oracle CTEs yielding `pl` = the corpus-scaled plane set: the same
+    * smallest-p-with-TargetOccupancy·2^p ≥ n integer rule as
+    * [[planesPerTableFor]] (n = ALL embeddings rows, mirroring the
+    * footer-metadata count the Spark side uses). */
+  private lazy val PlanesCtes: String =
+    s"""pl0(t, j, w, p) AS (VALUES $PlanesSql),
+       |pcnt AS (SELECT coalesce(
+       |    (SELECT min(q) FROM range($PlanesPerTable, $MaxPlanes + 1) r(q)
+       |     WHERE $TargetOccupancy * (1::BIGINT << q) >=
+       |       (SELECT count(*) FROM embeddings)), $MaxPlanes) AS pc),
+       |pl AS (SELECT t, j, w, p FROM pl0 WHERE j < (SELECT pc FROM pcnt))""".stripMargin
 
   /** Full trained-IVF replay (quantized Lloyd's trainer + assignment +
     * probe/re-rank) — the oracle for BOTH q_ann_ivf_trained (fresh
@@ -471,7 +502,7 @@ object Similarity {
       "q_embed_nn",
       embedNn,
       Some(s"""WITH $NormedSql,
-              |pl(t, j, w, p) AS (VALUES $PlanesSql),
+              |$PlanesCtes,
               |dots AS (SELECT n.vec_id, pl.t, pl.w,
               |    list_reduce(list_cat([0.0], list_transform(range(1, len(n.v)+1), i -> n.v[i]*pl.p[i])), (a,x) -> a+x) AS dot
               |  FROM n CROSS JOIN pl),
@@ -495,7 +526,7 @@ object Similarity {
       "q_ann_lsh",
       annLsh,
       Some(s"""WITH $NormedSql,
-              |pl(t, j, w, p) AS (VALUES $PlanesSql),
+              |$PlanesCtes,
               |dots AS (SELECT n.vec_id, pl.t, pl.w,
               |    list_reduce(list_cat([0.0], list_transform(range(1, len(n.v)+1), i -> n.v[i]*pl.p[i])), (a,x) -> a+x) AS dot
               |  FROM n CROSS JOIN pl),
@@ -631,7 +662,11 @@ object Similarity {
     QDef(
       "q_dedup_semantic",
       dedupSemantic,
-      Some(s"""WITH ${KMeansOp.lloydCtes(IvfK, KMeansOp.KmIters, KMeansOp.KmScale)},
+      // the corpus-scaled cell count (semKFor) replayed as a SQL scalar
+      // so the static oracle stays exact at ANY corpus size
+      Some(s"""WITH ${KMeansOp.lloydCtes(
+                s"SELECT greatest($IvfK, CAST(ceil(count(*) / $SemTargetCell.0) AS BIGINT)) FROM embeddings",
+                KMeansOp.KmIters, KMeansOp.KmScale)},
               |$NormedSql,
               |cent AS (SELECT c AS cent_id, cv,
               |    sqrt(list_reduce(list_cat([0.0], list_transform(cv, x -> x*x)), (p,x) -> p+x)) AS cn
@@ -710,7 +745,7 @@ object Similarity {
               |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) rn
               |      FROM bp),
               |gt AS (SELECT q_id, c_id FROM br WHERE rn <= 3),
-              |pl(t, j, w, p) AS (VALUES $PlanesSql),
+              |$PlanesCtes,
               |dots AS (SELECT n.vec_id, pl.t, pl.w,
               |    list_reduce(list_cat([0.0], list_transform(range(1, len(n.v)+1), i -> n.v[i]*pl.p[i])), (a,x) -> a+x) AS dot
               |  FROM n CROSS JOIN pl),

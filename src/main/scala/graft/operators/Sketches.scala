@@ -114,9 +114,15 @@ object Sketches {
     QDef(
       "q_sketch_quantiles",
       (s, d) =>
+        // k = 8192 keeps the ORACLE-GATED configuration in the sketch's
+        // exact regime through the sf1 scale-up gate (6k rows/group at
+        // sf1 < k; the driver SFs are ≤600/group) — quantile_cont can
+        // only oracle the exact regime. Compaction-regime correctness
+        // (rank error ≤ bound, split/merge associativity) is
+        // PercentilesSpec's property tests, not an equality oracle.
         Percentiles.approx(
             T.lineitem(s, d), Seq("l_suppkey"), "l_quantity",
-            Seq(("p25", 0.25), ("p50", 0.5), ("p75", 0.75)), k = 2048)
+            Seq(("p25", 0.25), ("p50", 0.5), ("p75", 0.75)), k = 8192)
           .orderBy("l_suppkey", "name"),
       Some("""WITH q AS (
              |  SELECT l_suppkey,

@@ -61,8 +61,9 @@ class GraftTableSpec extends AnyFunSuite {
     val fsum = t.system("files").agg(sum("record_count")).first().getLong(0)
     assert(fsum == 2L)
     assert(t.system("partitions").count() == 2)
+    // user options plus the CREATE-stamped escape vintage (S61h)
     assert(t.system("options").collect().map(r => (r.getString(0), r.getString(1))).toSeq
-      == Seq(("write.batch", "x")))
+      == Seq((GraftTable.EscapeVintageKey, "2"), ("write.batch", "x")))
     assert(t.system("schemas").count() == 1)
   }
 
