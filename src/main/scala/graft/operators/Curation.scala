@@ -322,16 +322,24 @@ object Curation {
       (s, d) => {
         val len = length(col("text")).cast("long")
         val alnum = length(regexp_replace(col("text"), "[^A-Za-z0-9]", "")).cast("long")
+        // the doc-stats pass (tokenize + per-char regexp) feeds three
+        // branches of one action — materialize it once (4 scalars/doc,
+        // the "doc stats" table a real pipeline stages; a lazy frame
+        // recomputes the text scan per branch)
         val t = T.documents(s, d).select(
           col("lang"), col("doc_id"),
           size(graft.functions.Text.words(col("text"))).cast("long").as("ntok"),
           when(len > 0, floor(lit(1000.0) * (alnum.cast("double") / len.cast("double"))))
             .otherwise(lit(0L)).cast("long").as("b"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        t.count()
         val bands = t.groupBy("lang", "b")
           .agg(sum("ntok").as("toks"), count(lit(1)).as("docs"))
         val wCum = Window.partitionBy("lang").orderBy(desc("b"))
         val cum = bands.withColumn("cumtoks", sum("toks").over(wCum))
-        val bud = t.groupBy("lang").agg(expr("sum(ntok) div 4").as("bb"))
+        // total tokens per lang = sum of its band sums: derive the
+        // budget from the band aggregate, not a second corpus pass
+        val bud = bands.groupBy("lang").agg(expr("sum(toks) div 4").as("bb"))
         val fullAgg = cum.join(bud, "lang").filter(col("cumtoks") <= col("bb"))
           .groupBy("lang")
           .agg(sum("docs").as("full_docs"), sum("toks").as("full_toks"))

@@ -89,6 +89,61 @@ object TextOps {
              |SELECT doc_id, n_bigrams, CAST(fam_sum AS BIGINT) AS fam_sum,
              |  round(CAST(fam_sum AS DOUBLE) / n_bigrams, 4) AS familiarity
              |FROM sc ORDER BY familiarity, doc_id LIMIT 100""".stripMargin)),
+    // L71: bigram-LM perplexity PROXY (the CCNet/Gopher LM-filter shape —
+    // the other half of quality scoring next to L39's raw-frequency
+    // familiarity): train CONDITIONAL bigram counts on the corpus itself
+    // and score each doc by its mean scaled transition probability
+    // q = floor(1e6·c(w1 w2) / c(w1 ·)). Exact integer arithmetic
+    // end-to-end — real pipelines sum log-probs, but libm log is not
+    // replayable across engines, and the scaled-ratio mean ranks docs
+    // identically for filtering. Shapes: two map-combinable groupBys +
+    // equality joins back on the bigram/left-context keys
+    // (AQE-skew-splittable — stopword-headed contexts are the hot keys);
+    // the tokenize pass is ONE persisted stage (the L39 rule); output is
+    // the per-lang quality mix (low-quality = mean scaled transition < 33000, ~the corpus p10-p25).
+    QDef(
+      "q_lm_score",
+      (s, d) => {
+        import graft.functions.ShingleExpr
+        val pairs = T.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            explode(ShingleExpr.bigrams(Text.words(col("text")))).as("bg"))
+          .withColumn("w1", substring_index(col("bg"), " ", 1))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          pairs.count() // eager: three branches of one action read it
+          val cb = pairs.groupBy("bg").agg(count(lit(1)).as("cb"))
+          val cl = pairs.groupBy("w1").agg(count(lit(1)).as("cl"))
+          val docScores = pairs.join(cb, "bg").join(cl, "w1")
+            .withColumn("q", expr("(1000000L * cb) div cl"))
+            .groupBy("doc_id", "lang")
+            .agg(expr("sum(q) div count(*)").as("score"))
+          val result = docScores.groupBy("lang")
+            .agg(count(lit(1)).as("docs"),
+              sum(when(col("score") < lit(33000L), 1L).otherwise(0L)).as("low_docs"),
+              expr("sum(score) div count(*)").as("avg_q"))
+            .orderBy("lang")
+          val rows = result.collect() // bounded (langs) — release the stage
+          s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), result.schema)
+        } finally pairs.unpersist()
+      },
+      Some("""WITH toks AS (SELECT doc_id, lang,
+             |    string_split_regex(trim(text),'\s+') AS t FROM documents),
+             |pairs AS (SELECT doc_id, lang, unnest(list_transform(
+             |    range(1, greatest(len(t), 1)),
+             |    i -> array_to_string(t[i:i+1], ' '))) AS bg FROM toks),
+             |p2 AS (SELECT doc_id, lang, bg, string_split(bg, ' ')[1] AS w1 FROM pairs),
+             |cb AS (SELECT bg, count(*) AS cb FROM p2 GROUP BY bg),
+             |cl AS (SELECT w1, count(*) AS cl FROM p2 GROUP BY w1),
+             |q AS (SELECT doc_id, lang, (1000000 * cb.cb) // cl.cl AS q
+             |      FROM p2 JOIN cb USING (bg) JOIN cl USING (w1)),
+             |ds AS (SELECT doc_id, lang, sum(q) // count(*) AS score
+             |       FROM q GROUP BY doc_id, lang)
+             |SELECT lang, count(*) AS docs,
+             |  CAST(sum(CASE WHEN score < 33000 THEN 1 ELSE 0 END) AS BIGINT) AS low_docs,
+             |  CAST(sum(score) // count(*) AS BIGINT) AS avg_q
+             |FROM ds GROUP BY lang ORDER BY lang""".stripMargin)),
+
     // L21: Gopher/C4-style rule-based quality FILTERING — the keep/drop
     // gate a pipeline runs before training, with per-rule rejection
     // counts (the curation dashboard). Rules are exact INTEGER
