@@ -98,8 +98,62 @@ case class Bigrams(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+object ShinglesNImpl {
+  private val Space = UTF8String.fromString(" ")
+
+  /** Distinct n-word shingles, first-occurrence order — the Shingles3
+    * loop generalized (L72's 13-gram decontamination wash needs long
+    * windows). Windows containing a null word are skipped. */
+  def eval(words: ArrayData, n: Int): ArrayData = {
+    val m = words.numElements()
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String](m * 2)
+    var i = 0
+    while (i <= m - n) {
+      var j = 0
+      var ok = true
+      val parts = new Array[UTF8String](2 * n - 1)
+      while (ok && j < n) {
+        val w = words.getUTF8String(i + j)
+        if (w == null) ok = false
+        else {
+          if (j > 0) parts(2 * j - 1) = Space
+          parts(2 * j) = w
+        }
+        j += 1
+      }
+      if (ok) seen.add(UTF8String.concat(parts: _*))
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** Native distinct n-gram shingling (whole-stage codegen, same rationale
+  * as Shingles3). `n` is a plan-time constant. */
+case class ShinglesN(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "shingle width must be >= 1")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = s"shingles$n"
+
+  override def nullSafeEval(input: Any): Any =
+    ShinglesNImpl.eval(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ShinglesNImpl$$.MODULE$$.eval($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): ShinglesN =
+    copy(child = newChild)
+}
+
 object ShingleExpr {
   import org.apache.spark.sql.graft.Bridge.{column, expression}
   def shingles3(words: Column): Column = column(Shingles3(expression(words)))
   def bigrams(words: Column): Column = column(Bigrams(expression(words)))
+  def shinglesN(words: Column, n: Int): Column = column(ShinglesN(expression(words), n))
 }

@@ -492,6 +492,57 @@ object Dedup {
               |SELECT doc_id, bench_id, round(containment, 4) AS containment
               |FROM c ORDER BY 3 DESC, doc_id, bench_id LIMIT 20""".stripMargin)),
 
+    // L72: exact n-gram decontamination WASH (the GPT-3/PaLM appendix
+    // rule, distinct from L20's containment FRACTION): drop every train
+    // doc sharing ANY 13-gram with an eval doc — the conservative wash
+    // labs run before training, where a single long verbatim overlap is
+    // disqualifying regardless of the doc's size. Native ShinglesN
+    // windowing (one codegen pass); the eval side (%97 slice standing
+    // in for the eval sets) is orders smaller than the corpus, so its
+    // distinct gram set BROADCASTS and the train side is one linear
+    // pass — no shuffle of the 100 TB side. Exact string equality;
+    // per-lang washed-doc and hit-gram counts (sparse by design on this
+    // corpus: only true near-dup pairs share 13-word runs).
+    QDef(
+      "q_decontaminate_13g",
+      (s, d) => {
+        val N = 13
+        val docs = T.documents(s, d).select(col("doc_id"), col("lang"),
+          ShingleExpr.shinglesN(Text.words(col("text")), N).as("gs"))
+        val bench = docs.filter(col("doc_id") % 97 === 0)
+          .select(explode(col("gs")).as("g")).distinct()
+        val train = docs.filter(col("doc_id") % 97 =!= 0)
+        val hits = train.select(col("doc_id"), col("lang"), explode(col("gs")).as("g"))
+          .join(broadcast(bench), "g")
+          .groupBy("lang")
+          .agg(countDistinct("doc_id").as("washed"),
+            countDistinct("g").as("hit_grams"))
+        train.groupBy("lang").agg(count(lit(1)).as("train_docs"))
+          .join(hits, Seq("lang"), "left")
+          .select(col("lang"), col("train_docs"),
+            coalesce(col("washed"), lit(0L)).as("washed"),
+            coalesce(col("hit_grams"), lit(0L)).as("hit_grams"))
+          .orderBy("lang")
+      },
+      Some("""WITH w AS (SELECT doc_id, lang,
+             |    string_split_regex(trim(text),'\s+') AS t FROM documents),
+             |g AS (SELECT doc_id, lang, unnest(list_distinct(list_transform(
+             |    range(1, greatest(len(t)-11, 1)),
+             |    i -> array_to_string(t[i:i+12], ' ')))) AS g
+             |  FROM w WHERE len(t) >= 13),
+             |bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0),
+             |train AS (SELECT doc_id, lang, g FROM g WHERE doc_id % 97 <> 0),
+             |hits AS (SELECT t.lang,
+             |    CAST(count(DISTINCT t.doc_id) AS BIGINT) AS washed,
+             |    CAST(count(DISTINCT t.g) AS BIGINT) AS hit_grams
+             |  FROM train t JOIN bench b ON t.g = b.g GROUP BY t.lang)
+             |SELECT d.lang, count(*) AS train_docs,
+             |  coalesce(any_value(h.washed), 0) AS washed,
+             |  coalesce(any_value(h.hit_grams), 0) AS hit_grams
+             |FROM documents d LEFT JOIN hits h ON d.lang = h.lang
+             |WHERE d.doc_id % 97 <> 0
+             |GROUP BY d.lang ORDER BY d.lang""".stripMargin)),
+
     // L25: duplicate-CLUSTER resolution — connected components over the
     // verified near-dup pair graph. Pairwise dedup (L13) keeps d1 of
     // every pair independently, which over-deletes on chains (a~b, b~c:

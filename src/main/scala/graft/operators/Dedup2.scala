@@ -53,8 +53,14 @@ object Dedup2 {
         val all = base.unionByName(exc)
           .filter(size(col("sh")) >= 1)
           .withColumn("sz", size(col("sh")).cast("long"))
+        // ex feeds FIVE branches of one action (df, prefix join-back,
+        // presence set twice, verify) — materialize it once (the staged
+        // shingle-occurrence table; a lazy frame re-runs the
+        // union/shingle/explode per branch)
         val ex = all.select(col("doc_id"), col("lang"), col("sz"),
           explode(col("sh")).as("g"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        ex.count()
         // df as a map-combinable groupBy joined back (AQE-skew-safe), not
         // a window over the Zipfian shingle key — see Dedup.jaccardPairs.
         val dfreq = ex.groupBy("g").agg(count(lit(1)).as("c"))
@@ -77,7 +83,7 @@ object Dedup2 {
           .groupBy("a_id", "a_lang", "a_sz", "b_id", "b_sz")
           .agg(count(col("hit")).as("matches"))
           .filter(col("matches") === col("a_sz"))
-        hits.groupBy(col("a_lang").as("lang"))
+        val result = hits.groupBy(col("a_lang").as("lang"))
           .agg(
             countDistinct(col("a_id")).as("n_contained"),
             count(lit(1)).as("n_pairs"),
@@ -86,6 +92,10 @@ object Dedup2 {
           .withColumn("size_ratio",
             round(col("small_sh").cast("double") / col("big_sh").cast("double"), 4))
           .orderBy("lang")
+        try {
+          val rows = result.collect() // bounded (langs) — release the stage
+          s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), result.schema)
+        } finally ex.unpersist()
       },
       Some(s"""WITH base AS (SELECT doc_id, lang, ${Dedup.ShSql} AS sh FROM documents),
               |exc0 AS (SELECT doc_id, lang,
