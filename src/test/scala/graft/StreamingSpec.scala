@@ -86,6 +86,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("T4e: a running stream sees MERGE's NOT-MATCHED inserts, not its retractions") {
+    // S65q's streaming half: the source rides readIncrement, so the
+    // append-visible component of a delta MERGE commit (snapshot
+    // appendPaths) must flow to a live stream exactly like an append,
+    // while the same commit's dv retractions and update rewrites stay
+    // silent.
+    spark.conf.set("spark.sql.catalog.gt4e", "graft.sources.GraftSparkCatalog")
+    spark.conf.set("spark.sql.catalog.gt4e.warehouse", TestSpark.tmpDir("t4e-wh"))
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gt4e.db")
+    spark.sql("""CREATE TABLE gt4e.db.m (k BIGINT, v STRING)
+                |TBLPROPERTIES ('row-tracking.enabled'='true')""".stripMargin)
+    val root = spark.conf.get("spark.sql.catalog.gt4e.warehouse") + "/db.db/m"
+    val t = GraftTable.load(spark, root)
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    val q = spark.readStream.format("graft").load(root)
+      .writeStream.outputMode("append").format("memory").queryName("t4e_sink").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.sql("SELECT k FROM t4e_sink ORDER BY k").collect()
+        .map(_.getLong(0)).toSeq == Seq(1L, 2L))
+      Seq((1L, "ONE"), (9L, "nine")).toDF("k", "v").createOrReplaceTempView("t4e_src")
+      spark.sql("""MERGE INTO gt4e.db.m t USING t4e_src s ON t.k = s.k
+                  |WHEN MATCHED THEN UPDATE SET t.v = s.v
+                  |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""".stripMargin)
+      q.processAllAvailable()
+      val got = spark.sql("SELECT k, v FROM t4e_sink ORDER BY k").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      // inserted row flows once; the updated row is NOT re-emitted
+      assert(got == Seq((1L, "a"), (2L, "b"), (9L, "nine")), s"got $got")
+    } finally q.stop()
+  }
+
   test("T4b: changelog stream over a PK table carries rowkind + commit_seq") {
     val path = TestSpark.tmpDir("streamcdc")
     val t = GraftTable.create(spark, path,
