@@ -117,7 +117,12 @@ object Curation {
     // division of two exact counts — bit-identical ranking both
     // engines; ties break (score desc, ldf desc, term). Two map-side-
     // combinable groupBys + one equality join on term, all linear; the
-    // per-lang top-5 window partitions on lang (bounded).
+    // per-lang top-5 is the bounded MinNRows aggregate, NOT a window —
+    // a window over lang sorts that language's WHOLE vocabulary in one
+    // task, while the aggregate ships ≤ 5 rows per lang per partition
+    // (selection by the total order (score desc, ldf desc, term) is
+    // merge-independent; term is unique per (lang, term) group, so the
+    // order is total). posexplode's pos + 1 IS the window's row_number.
     QDef(
       "q_tfidf_terms",
       (s, d) => {
@@ -127,14 +132,17 @@ object Curation {
         val cdf = pairs.groupBy("term").agg(count(lit(1)).as("cdf"))
           .filter(col("cdf") >= TermMinDf)
         val ldf = pairs.groupBy("lang", "term").agg(count(lit(1)).as("ldf"))
-        val w = Window.partitionBy("lang")
-          .orderBy(desc("score"), desc("ldf"), col("term"))
         ldf.join(cdf, "term")
           .withColumn("score", col("ldf").cast("double") / col("cdf"))
-          .withColumn("rn", row_number().over(w).cast("long"))
-          .filter(col("rn") <= 5)
-          .select(col("lang"), col("rn"), col("term"), col("ldf"), col("cdf"),
-            round(col("score"), 4).as("score"))
+          .groupBy("lang")
+          .agg(graft.functions.MinNAgg.minNRows(5,
+            Seq(("score", col("score"), true), ("ldf", col("ldf"), true),
+              ("term", col("term"), false)),
+            Seq(("cdf", col("cdf")))).as("t"))
+          .select(col("lang"), posexplode(col("t")))
+          .select(col("lang"), (col("pos") + 1).cast("long").as("rn"),
+            col("col.term").as("term"), col("col.ldf").as("ldf"),
+            col("col.cdf").as("cdf"), round(col("col.score"), 4).as("score"))
           .orderBy("lang", "rn")
       },
       Some(s"""WITH pairs AS (SELECT doc_id, lang,

@@ -20,11 +20,13 @@ import org.apache.spark.sql.functions._
   *    surviving terms only. A one-aggregation plan would build the full
   *    posting array of every stopword before dropping it — unbounded
   *    per-group state, the classic index-build OOM.
-  *  - Posting materialization itself is BOUNDED: a row_number window
-  *    (sort-based, spillable) keeps the 20 smallest doc_ids per term
-  *    before any array exists, so no task ever holds an array longer
-  *    than the cap — full postings at scale would be written sharded,
-  *    exactly this plan per shard.
+  *  - Posting materialization itself is BOUNDED AND MERGEABLE: the
+  *    MinNRows aggregate keeps the 20 smallest doc_ids per term with
+  *    ≤ 20 entries per term per partition crossing the shuffle (no
+  *    per-term sort task anywhere — a hot term near the 0.9·N ceiling
+  *    is partial-aggregated map-side like any other), so no task ever
+  *    holds state longer than the cap — full postings at scale would
+  *    be written sharded, exactly this plan per shard.
   *
   * The oracle replays the band (scalar-subquery ceiling — SF-portable),
   * the ranked head, and the list ordering exactly; integer/string
@@ -60,18 +62,25 @@ object Indexing {
         try {
           val kept = pairs.groupBy("term").agg(count(lit(1)).as("df"))
             .filter(col("df") >= MinDf && col("df") <= maxDf)
-          val w = Window.partitionBy("term").orderBy("doc_id")
+          // head-cap via the bounded MinNRows aggregate, NOT a row_number
+          // window: the band ceiling is 0.9·N, so a near-universal term
+          // would still sort up to 0.9·N rows in ONE task under the
+          // window form (the per-key-window hot-key wall, CLAUDE.md
+          // rule). The aggregate ships ≤ HeadLen doc_ids per term per
+          // partition across the shuffle and its array arrives already
+          // sorted ascending — bit-identical to the window + sort_array
+          // form (doc_id is unique ⇒ total order).
+          // head rendered as a comma-joined STRING, not array<long>: the
+          // driver's oracle harness hashes result cells via pandas, which
+          // cannot hash ndarray cells — oracle-checked outputs must be
+          // scalar columns only (r8 verdict #1).
           val result = pairs.join(kept, "term")
-            .withColumn("rn", row_number().over(w))
-            .filter(col("rn") <= HeadLen)
             .groupBy("term", "df")
-            // head rendered as a comma-joined STRING, not array<long>: the
-            // driver's oracle harness hashes result cells via pandas, which
-            // cannot hash ndarray cells — oracle-checked outputs must be
-            // scalar columns only (r8 verdict #1). sort_array is numeric
-            // (on longs) and the array<string> cast preserves that order.
-            .agg(array_join(sort_array(collect_list("doc_id")).cast("array<string>"), ",")
-              .as("postings_head"))
+            .agg(graft.functions.MinNAgg.minNRows(HeadLen,
+              Seq(("doc_id", col("doc_id"), false))).as("h"))
+            .withColumn("postings_head",
+              array_join(col("h").cast("array<string>"), ","))
+            .drop("h")
             .orderBy(desc("df"), col("term"))
             .limit(Top)
           val rows = result.collect() // bounded (Top) — release the stage

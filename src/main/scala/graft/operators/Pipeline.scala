@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.{QDef, Tables => T}
 import graft.functions.Text
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The full training-data curation pipeline as ONE composed,
@@ -34,11 +33,17 @@ object Pipeline {
       "q_pipeline_curate",
       (s, d) => {
         val docs = T.documents(s, d)
-        // stage 1: exact dedup — keep the min doc_id per content key
+        // stage 1: exact dedup — keep the min doc_id per content key.
+        // groupBy+min, NOT min().over(Window.partitionBy(k)): k is the
+        // duplicate-CLUSTER key, so a boilerplate mega-cluster (10M
+        // copies of one page) would pin every copy onto the one task
+        // that sorts the window partition. The aggregate form is
+        // map-side combinable and AQE-skew-splittable — identical
+        // result (the keeper IS the per-key min), the q_dedup_exact
+        // shape (Dedup.scala L1).
         val dupKey = md5(concat_ws(" ", slice(Text.words(col("text")), 1, 8)).cast("binary"))
         val keepers = docs.select(col("doc_id"), dupKey.as("k"))
-          .withColumn("mn", min("doc_id").over(Window.partitionBy("k")))
-          .filter(col("doc_id") === col("mn"))
+          .groupBy("k").agg(min("doc_id").as("doc_id"))
           .select("doc_id")
         // stage 2: near-dup drop set (the SAME staged pair table the
         // diagnostic queries use)
@@ -93,9 +98,7 @@ object Pipeline {
               |k0 AS (SELECT doc_id,
               |  md5(array_to_string(string_split_regex(trim(text),'\\s+')[1:8],' ')) k
               |  FROM documents),
-              |keep AS (SELECT doc_id FROM
-              |  (SELECT doc_id, min(doc_id) OVER (PARTITION BY k) mn FROM k0)
-              |  WHERE doc_id = mn),
+              |keep AS (SELECT min(doc_id) doc_id FROM k0 GROUP BY k),
               |bw AS (SELECT doc_id bench_id, sh, len(sh) bsz FROM w WHERE doc_id % 97 = 0),
               |be AS (SELECT bench_id, unnest(sh) g FROM bw),
               |hits AS (SELECT e.doc_id, be.bench_id, count(DISTINCT e.g) AS hits

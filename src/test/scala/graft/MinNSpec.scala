@@ -69,4 +69,53 @@ class MinNSpec extends AnyFunSuite {
       .select(col("s.kept"), col("s.payload_sum")).collect().head
     assert(t.getLong(0) == 5 && t.getLong(1) == (0L + 1 + 2 + 3 + 4))
   }
+
+  test("MinNRows ≡ row_number window (composite desc/asc order + payload), any partitioning") {
+    import spark.implicits._
+    // synthetic (lang, term, ldf, cdf) frame with score ties that the
+    // term tie-break must resolve deterministically
+    val rows = for {
+      lang <- Seq("de", "en", "fr"); i <- 0 until 500
+    } yield (lang, f"t$i%04d", (i % 7 + 1).toLong, (i % 11 + 2).toLong)
+    val base = rows.toDF("lang", "term", "ldf", "cdf")
+      .withColumn("score", col("ldf").cast("double") / col("cdf"))
+    val win = base
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("lang").orderBy(desc("score"), desc("ldf"), col("term"))))
+      .filter(col("rn") <= 5)
+      .select(col("lang"), col("rn").cast("long").as("rn"), col("term"),
+        col("ldf"), col("cdf"), round(col("score"), 4).as("score"))
+      .orderBy("lang", "rn").collect().map(_.toString).toSeq
+    for (parts <- Seq(1, 7, 31)) {
+      val agg = base.repartition(parts)
+        .groupBy("lang")
+        .agg(MinNAgg.minNRows(5,
+          Seq(("score", col("score"), true), ("ldf", col("ldf"), true),
+            ("term", col("term"), false)),
+          Seq(("cdf", col("cdf")))).as("t"))
+        .select(col("lang"), posexplode(col("t")))
+        .select(col("lang"), (col("pos") + 1).cast("long").as("rn"),
+          col("col.term").as("term"), col("col.ldf").as("ldf"),
+          col("col.cdf").as("cdf"), round(col("col.score"), 4).as("score"))
+        .orderBy("lang", "rn").collect().map(_.toString).toSeq
+      assert(agg == win, s"mismatch at $parts partitions")
+    }
+  }
+
+  test("MinNRows single-column mode emits a sorted plain array on a hot key") {
+    import spark.implicits._
+    // 100k-row hot term: the window form would sort all of it in one
+    // task; the aggregate keeps ≤ 20 per partition. Permuted ids so
+    // arrival order ≠ sorted order.
+    val df = (0L until 100000L).map(i => ("hot", i * 2654435761L % 1000003L))
+      .toDF("term", "doc_id").repartition(64)
+    val got = df.groupBy("term")
+      .agg(MinNAgg.minNRows(20, Seq(("doc_id", col("doc_id"), false))).as("h"))
+      .select(org.apache.spark.sql.functions.array_join(
+        col("h").cast("array<string>"), ",").as("s"))
+      .collect().head.getString(0)
+    val want = (0L until 100000L).map(i => i * 2654435761L % 1000003L)
+      .sorted.take(20).mkString(",")
+    assert(got == want)
+  }
 }

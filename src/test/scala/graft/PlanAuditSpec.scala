@@ -61,6 +61,72 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  /** Window partition keys that are CORPUS-cardinality (documents /
+    * shingles / terms / vectors / duplicate-cluster keys): a window over
+    * one of these sorts every row of a key inside ONE task — the hot-key
+    * wall the CLAUDE.md per-key-window rule exists for (found in r13, r14
+    * AND r15; this guard makes the class mechanically impossible).
+    * Bounded-frame windows (calendar series, per-query top-k over
+    * broadcast probes, ≤ langs×1001 band walks) key on other names. */
+  private val corpusKeyNames = Set(
+    "doc_id", "d1", "d2", "k", "term", "g", "w", "vec_id", "cluster_id",
+    "bench_id", "chunk_id", "sig", "band", "content", "fp")
+
+  /** Queries with a DOCUMENTED bounded window over a name that collides
+    * with the corpus-key list: (query, partition column) pairs. */
+  private val boundedWindowAllow: Set[(String, String)] = Set(
+    // per-DOC windows: partition size = tokens/shingles of one document
+    // (bounded by max doc length, not corpus size) — the PPJoin
+    // rarest-first prefix rank and span/chunk position grids
+    ("q_dedup_jaccard", "doc_id"), ("q_dedup_minhash", "doc_id"),
+    ("q_dedup_apply", "doc_id"), ("q_dedup_clusters", "doc_id"),
+    ("q_dedup_canonical", "doc_id"), ("q_dedup_downsample", "doc_id"),
+    ("q_dedup_index", "doc_id"), ("q_pipeline_curate", "doc_id"),
+    ("q_minhash_calibration", "doc_id"), ("q_dup_rate", "doc_id"),
+    ("q_sketch_persist", "doc_id"), ("q_dedup_incremental", "doc_id"),
+    // per-VECTOR windows: the IVF coarse-quantizer argmin — each vector
+    // crossJoins the K=8 broadcast centroids and the window picks the
+    // nearest; partition size = K rows, never a hot key
+    ("q_ann_ivf", "vec_id"), ("q_ann_ivf_trained", "vec_id"),
+    ("q_ann_index", "vec_id"), ("q_dedup_semantic", "vec_id"),
+    ("q_hard_negatives", "vec_id"))
+
+  /** Logical-plan window partition column names, query-shaped. */
+  private def windowPartitionCols(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    val lp = df.queryExecution.optimizedPlan
+    lp.collect {
+      case wnd: org.apache.spark.sql.catalyst.plans.logical.Window =>
+        wnd.partitionSpec.flatMap(_.references.map(_.name))
+      case gl: org.apache.spark.sql.catalyst.plans.logical.WindowGroupLimit =>
+        gl.partitionSpec.flatMap(_.references.map(_.name))
+    }.flatten
+  }
+
+  test("no window partitioned by a corpus-cardinality key in any declared query") {
+    // prove the detector fires on the r15 offending shape first (the
+    // pre-fix q_pipeline_curate keeper selection)
+    val docs = Tables.documents(spark, dir)
+    val offendingShape = docs
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.md5(
+          org.apache.spark.sql.functions.col("text").cast("binary")).as("k"))
+      .withColumn("mn", org.apache.spark.sql.functions.min("doc_id").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("k")))
+    assert(windowPartitionCols(offendingShape).contains("k"),
+      "detector no longer sees the duplicate-cluster-key window — fix the audit")
+
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val cols =
+        try windowPartitionCols(fn(spark, dir))
+        catch { case e: Throwable => Seq(s"PLAN_FAILED: $e") }
+      cols.filter(c => corpusKeyNames(c) || c.startsWith("PLAN_FAILED"))
+        .filterNot(c => boundedWindowAllow((name, c)))
+        .map(c => s"$name [$c]")
+    }
+    assert(offenders.isEmpty,
+      s"corpus-cardinality window partition keys (hot-key wall): $offenders")
+  }
+
   test("no interpreted higher-order array functions in any declared query plan") {
     // ArrayTransform/ArrayAggregate/ArrayFilter/ZipWith are CodegenFallback
     // (interpreted per element) and measured 17-30× slower than native
