@@ -144,7 +144,7 @@ object Dedup {
           greatest(col("a.sz"), col("b.sz")) * 4 <= least(col("a.sz"), col("b.sz")) * 5)
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
-    verifyJaccard(stageCand(cand), docs)
+    verifyJaccard(stageCandTracked(s"ppjoin:${cacheKey(s, d)}", cand), docs)
   }
 
   /** Materialize a candidate-pair frame before verification: verify
@@ -156,6 +156,21 @@ object Dedup {
   private[operators] def stageCand(cand: DataFrame): DataFrame = {
     val c = cand.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     c.count()
+    c
+  }
+
+  /** [[stageCand]] with per-owner tracking: staging a new frame under an
+    * owner key unpersists the owner's PREVIOUS staged frame, so callers
+    * that re-stage per invocation (DedupIndex.pairs — a long-lived
+    * session verifying after every index refresh) hold at most ONE
+    * staged block set per owner instead of accumulating MEMORY_AND_DISK
+    * blocks unboundedly (ADVICE r15). Unpersisting the superseded frame
+    * is always safe: a straggling consumer recomputes, never misreads. */
+  private val stagedByOwner =
+    scala.collection.concurrent.TrieMap[String, DataFrame]()
+  private[operators] def stageCandTracked(owner: String, cand: DataFrame): DataFrame = {
+    val c = stageCand(cand)
+    stagedByOwner.put(owner, c).foreach(_.unpersist(blocking = false))
     c
   }
 
@@ -238,7 +253,7 @@ object Dedup {
         col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
-    verifyJaccard(stageCand(cand), docs)
+    verifyJaccard(stageCandTracked(s"minhash:${cacheKey(s, d)}", cand), docs)
   }
 
   private[operators] def minhashOracle: String = {

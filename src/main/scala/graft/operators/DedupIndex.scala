@@ -123,7 +123,11 @@ object DedupIndex {
     val docs = source.read()
       .select(col("doc_id"), ShingleExpr.shingles3(Text.words(col("text"))).as("sh"))
       .filter(size(col("sh")) > 0)
-    Dedup.verifyJaccard(Dedup.stageCand(cand), docs)
+    // tracked staging: repeated pairs() calls (verify-after-every-
+    // refresh in a long-lived session) release the previous invocation's
+    // staged candidate blocks instead of leaking them (ADVICE r15)
+    Dedup.verifyJaccard(Dedup.stageCandTracked(
+      s"${s.sparkContext.applicationId}:$root", cand), docs)
   }
 
   val defs: Seq[QDef] = Seq(

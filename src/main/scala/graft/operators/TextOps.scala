@@ -114,14 +114,21 @@ object TextOps {
           pairs.count() // eager: three branches of one action read it
           val cb = pairs.groupBy("bg").agg(count(lit(1)).as("cb"))
           val cl = pairs.groupBy("w1").agg(count(lit(1)).as("cl"))
+          // cb is a GLOBAL bigram count: at 100 TB a stopword bigram
+          // exceeds ~9.2e12 occurrences and 1000000*cb overflows BIGINT
+          // (ANSI throws). Widen the scaled ratio to DECIMAL(38,0) —
+          // still exact integer arithmetic (q = floor(1e6·cb/cl) ≤ 1e6
+          // since cb ≤ cl, so div's BIGINT result never overflows);
+          // the oracle widens the same product to HUGEINT (ADVICE r15).
           val docScores = pairs.join(cb, "bg").join(cl, "w1")
-            .withColumn("q", expr("(1000000L * cb) div cl"))
+            .withColumn("q", expr("(CAST(cb AS DECIMAL(38,0)) * 1000000) div cl"))
             .groupBy("doc_id", "lang")
             .agg(expr("sum(q) div count(*)").as("score"))
+          // lang-level mean: sum(score) is docs·1e6-scaled — widen too
           val result = docScores.groupBy("lang")
             .agg(count(lit(1)).as("docs"),
               sum(when(col("score") < lit(33000L), 1L).otherwise(0L)).as("low_docs"),
-              expr("sum(score) div count(*)").as("avg_q"))
+              expr("sum(CAST(score AS DECIMAL(38,0))) div count(*)").as("avg_q"))
             .orderBy("lang")
           val rows = result.collect() // bounded (langs) — release the stage
           s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), result.schema)
@@ -135,7 +142,7 @@ object TextOps {
              |p2 AS (SELECT doc_id, lang, bg, string_split(bg, ' ')[1] AS w1 FROM pairs),
              |cb AS (SELECT bg, count(*) AS cb FROM p2 GROUP BY bg),
              |cl AS (SELECT w1, count(*) AS cl FROM p2 GROUP BY w1),
-             |q AS (SELECT doc_id, lang, (1000000 * cb.cb) // cl.cl AS q
+             |q AS (SELECT doc_id, lang, (1000000 * CAST(cb.cb AS HUGEINT)) // cl.cl AS q
              |      FROM p2 JOIN cb USING (bg) JOIN cl USING (w1)),
              |ds AS (SELECT doc_id, lang, sum(q) // count(*) AS score
              |       FROM q GROUP BY doc_id, lang)

@@ -2017,13 +2017,50 @@ class GraftTable private (
     * (merges key on the real primary key). */
   /** Vintage-2 tables ([[GraftTable.EscapeVintageKey]] stamped at
     * CREATE) render fully injectively; unstamped tables predate the
-    * escaping and must keep '%' raw, or every persisted index entry for
-    * a '%'-bearing value would stop matching on upgrade — the next
-    * upsert of an existing key would miss the entry, mint a fresh
-    * bucket, and the bucket-local merge would resurrect the stale
-    * version under the old one. */
-  private def escapeV2: Boolean =
-    options.getOrElse(GraftTable.EscapeVintageKey, "1") == "2"
+    * stamp and are classified ONCE per loaded instance from their own
+    * persisted index entries (see [[inferEscapeVintage]]) — a fixed
+    * default in either direction mis-renders one era: raw-'%' legacy
+    * tables must keep '%' raw, but tables written by the intermediate
+    * escape-without-stamp build hold %25-escaped entries and a legacy
+    * rendering would miss every '%'-bearing entry on the next upsert
+    * (fresh mint → bucket-local stale resurrection, the mirror of the
+    * bug the vintage scheme guards against). */
+  private lazy val escapeV2: Boolean =
+    options.getOrElse(GraftTable.EscapeVintageKey, inferEscapeVintage()) == "2"
+
+  /** Classify an UNSTAMPED table's escape vintage from the '%' shapes in
+    * its persisted dynamic-bucket index (bounded metadata: distinct part
+    * strings ≤ partition count, the same driver-side scale as the
+    * occupancy collect):
+    *  - any '%' NOT forming %25/%2F/%5F ⇒ only the raw legacy encoder
+    *    writes those ⇒ vintage 1. (A mixed-era chain keeps the
+    *    majority-legacy reading; its escape-era entries need the
+    *    documented manual index rebuild — both readings are wrong for
+    *    one era's entries there, and legacy preserves the older data.)
+    *  - otherwise any "%25" ⇒ the escaping-era encoder ⇒ vintage 2 (a
+    *    legacy value LITERALLY containing "%25" was already ambiguous
+    *    under the legacy contract; the injective reading round-trips).
+    *  - no '%' anywhere, incl. an empty index ⇒ both vintages render
+    *    every existing entry identically ⇒ vintage 2, making future
+    *    '%' values injective from here on.
+    * The verdict is a stable fixpoint without a persisted stamp:
+    * vintage 2 never writes a raw '%', vintage 1 never writes a new
+    * escape, so re-inference on any later load reaches the same answer.
+    */
+  private def inferEscapeVintage(): String = {
+    if (partitionKeys.isEmpty) return "2" // part is always "" — no '%' possible
+    val chain = latestSnapshotId.map(readSnapshot).map(bucketIndexChainOf).getOrElse(Seq.empty)
+    if (chain.isEmpty) return "2"
+    // every chain entry (including superseded ones) was written by SOME
+    // era's encoder — read them all raw, no resolution needed
+    val parts = spark.read.schema(IdxSchema)
+      .parquet(chain.map(p => s"$root/$p"): _*)
+      .select(col("part")).filter(col("part").contains("%")).distinct()
+      .collect().map(_.getString(0))
+    val rawPct = java.util.regex.Pattern.compile("%(?!25|2F|5F)")
+    if (parts.exists(p => rawPct.matcher(p).find())) "1"
+    else "2"
+  }
 
   /** Injective rendering of ONE partition value inside the index's
     * `k=v/k2=v2` part string: '%'→%25 (vintage 2 only) and '/'→%2F so a
