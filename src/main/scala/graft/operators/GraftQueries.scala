@@ -443,6 +443,29 @@ object GraftQueries {
       .orderBy("lang", "source")
   }
 
+  /** orders through a BSI-indexed table (S66, file-index.bsi.columns =
+    * o_custkey,od): four pmod-split commits make four files whose
+    * custkey/date envelopes fully overlap, so min/max stats cannot
+    * discriminate a mid-range predicate — the bit-slice sidecars answer
+    * the ranges exactly, and `bsi.claim-filters` masks the claimed
+    * filters positionally (count/rows from sidecar positions). The
+    * oracle replays the same ranges over the raw parquet; identical
+    * groups prove the claimed mask neither drops nor leaks a row. */
+  private def graftBsi(s: SparkSession, d: String): DataFrame = {
+    val o = T.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderdate").cast("date").as("od"), col("o_orderpriority"))
+    val t = GraftTable.create(s, tmpRoot("bsiq"), o.schema,
+      options = Map("file-index.bsi.columns" -> "o_custkey,od"))
+    val part = pmod(col("o_orderkey"), lit(4))
+    (0 until 4).foreach(i => t.append(o.filter(part === i).coalesce(1)))
+    s.read.format("graft").option("bsi.claim-filters", "true").load(t.root)
+      .filter(col("o_custkey") >= 100L && col("o_custkey") <= 600L &&
+        col("od") >= lit(java.sql.Date.valueOf("1995-06-01")))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum("o_custkey").as("ck"))
+      .orderBy("o_orderpriority")
+  }
+
   /** documents packed into a STRUCT column through a graft table (S34
     * r14 struct subscripts): meta = struct(lang, nc). Four pmod-split
     * commits make four files whose leaf value ranges fully overlap; the
@@ -762,6 +785,12 @@ object GraftQueries {
       Some("""SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
              |FROM documents WHERE lang = 'de' AND n_chars >= 300
              |GROUP BY source ORDER BY source""".stripMargin)),
+    QDef("q_graft_bsi", graftBsi,
+      Some("""SELECT o_orderpriority, count(*) AS n, CAST(sum(o_custkey) AS BIGINT) AS ck
+             |FROM orders
+             |WHERE o_custkey BETWEEN 100 AND 600
+             |  AND CAST(o_orderdate AS DATE) >= DATE '1995-06-01'
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
     QDef("q_graft_bloom", graftBloom,
       Some("""SELECT p_partkey, p_name, p_brand, round(p_retailprice,2) AS price
              |FROM part WHERE p_partkey IN (17, 118, 219, 1020)

@@ -371,17 +371,18 @@ final class BitmapKeepReader(
   override def close(): Unit = inner.close()
 }
 
-/** Enforces CLAIMED equality/IN filters (bitmap.claim-filters) by
-  * masking each file's rows to the sidecar's matching positions. The
-  * scan plans claimed files unsplit and this factory reads them
-  * file-by-file through the no-pushdown `clean` factory (sequential
-  * single-file sub-readers — the same shape as DvReaderFactory), so the
-  * position counter is exact. Planner eligibility guarantees every
-  * planned file carries a sidecar covering every claimed column; a
-  * missing claim here is an invariant breach (e.g. a sidecar reclaimed
-  * mid-query) and fails loudly rather than returning unfiltered rows.
+/** Enforces CLAIMED filters (bitmap.claim-filters / bsi.claim-filters)
+  * by masking each file's rows to its sidecars' matching positions
+  * (IndexClaims: bitmap first, BSI second, per filter). The scan plans
+  * claimed files unsplit and this factory reads them file-by-file
+  * through the no-pushdown `clean` factory (sequential single-file
+  * sub-readers — the same shape as DvReaderFactory), so the position
+  * counter is exact. Planner eligibility guarantees every planned file
+  * carries a sidecar covering every claimed column; a missing claim
+  * here is an invariant breach (e.g. a sidecar reclaimed mid-query) and
+  * fails loudly rather than returning unfiltered rows.
   */
-final class BitmapMaskReaderFactory(
+final class ClaimMaskReaderFactory(
     clean: org.apache.spark.sql.connector.read.PartitionReaderFactory,
     claimed: Seq[org.apache.spark.sql.sources.Filter],
     conf: org.apache.spark.util.SerializableConfiguration)
@@ -403,12 +404,7 @@ final class BitmapMaskReaderFactory(
           val pf = fp.files(i); i += 1
           val dataPath = new Path(pf.filePath.toString)
           val fs = dataPath.getFileSystem(conf.value)
-          val sc = BitmapIndex.read(fs, new Path(dataPath.toString + BitmapIndex.Suffix))
-            .getOrElse(throw new IllegalStateException(
-              s"bitmap sidecar vanished for claimed scan: $dataPath"))
-          val keep = BitmapIndex.keepPositions(sc, claimed).getOrElse(
-            throw new IllegalStateException(
-              s"bitmap sidecar cannot answer claimed filters for $dataPath"))
+          val keep = IndexClaims.keepFor(fs, dataPath, claimed)
           cur = new BitmapKeepReader(
             clean.createReader(FilePartition(fp.index, Array(pf))), keep)
           true

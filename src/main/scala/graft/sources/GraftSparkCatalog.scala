@@ -240,7 +240,8 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
         val t = loadByName(in.getString(0))
         val blooms = if (t.bloomIndexCols.nonEmpty) t.rewriteFileIndex() else 0L
         val bitmaps = if (t.bitmapIndexCols.nonEmpty) t.rewriteBitmapIndex() else 0L
-        InternalRow(math.max(blooms, bitmaps))
+        val bsis = if (t.bsiIndexCols.nonEmpty) t.rewriteBsiIndex() else 0L
+        InternalRow(math.max(blooms, math.max(bitmaps, bsis)))
       }),
     "expire_partitions" -> new GraftProcedure("expire_partitions",
       // Paimon's expire_partitions (S46): calendar retention — drop

@@ -1691,6 +1691,85 @@ class GraftTable private (
     missing.size.toLong
   }
 
+  /** S66 half of `rewrite_file_index`: rebuild missing BSI sidecars for
+    * live files that predate `file-index.bsi.columns`. Same contract as
+    * [[rewriteBitmapIndex]]: positions come from parquet's
+    * `_metadata.row_index` (parquet-only — other formats' sidecars come
+    * from the write path), a column whose range overflows is OMITTED,
+    * zero-row files write an empty sidecar so a maintenance loop
+    * converges. Returns the number of files indexed. */
+  def rewriteBsiIndex(): Long = {
+    val cols = bsiIndexCols.filter(fileDataSchema.fieldNames.contains)
+      .filter(c => BsiIndex.supportedType(schema(c).dataType))
+    if (cols.isEmpty) return 0L
+    val base = latestSnapshotId.getOrElse(0L)
+    if (base == 0L) return 0L
+    val missing = filesAt(base).filter(f =>
+      !fs.exists(new Path(root, f.path + BsiIndex.Suffix)))
+    if (missing.isEmpty) return 0L
+    if (fileFormat != "parquet") {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"BSI index rebuild skipped for ${missing.size} $fileFormat " +
+          s"file(s) under $root: positions require parquet _metadata.row_index; " +
+          "sidecars for this format are written only by the write path")
+      return 0L
+    }
+    val rootStr = root.stripSuffix("/")
+    val relByName = missing.map(f => f.path.substring(f.path.lastIndexOf('/') + 1) -> f.path).toMap
+    require(relByName.size == missing.size,
+      s"duplicate data-file basenames under $root — cannot attribute rows to files")
+    val df = spark.read
+      .option("basePath", s"$rootStr/data")
+      .schema(fileSchema).format(fileFormat)
+      .load(missing.map(f => s"$rootStr/${f.path}"): _*)
+      .select(
+        substring_index(col("_metadata.file_path"), "/", -1).as("__f") +:
+          col("_metadata.row_index").as("__pos") +:
+          // dates render as epoch days (unix_date — the renderLong key
+          // order; ANSI forbids a direct date→long cast), integrals widen
+          cols.map { c =>
+            if (schema(c).dataType == org.apache.spark.sql.types.DateType)
+              unix_date(col(c)).cast("long")
+            else col(c).cast("long")
+          }: _*)
+    val serConf = new org.apache.spark.util.SerializableConfiguration(hadoopConf)
+    val colNames = cols.toArray
+    df.repartition(missing.size, col("__f")).foreachPartition { (it: Iterator[Row]) =>
+      // per file: per column (position, value) pairs + row count; the
+      // shuffle breaks arrival order but slice words are positional, so
+      // no sort is needed (unlike the bitmap's posting lists)
+      class Acc { val bufs = Array.fill(colNames.length)(new BsiIndex.BsiBuf); var rows = 0L }
+      val files = mutable.HashMap.empty[String, Acc]
+      it.foreach { row =>
+        val acc = files.getOrElseUpdate(row.getString(0), new Acc)
+        acc.rows += 1
+        val pos = row.getLong(1)
+        var i = 0
+        while (i < colNames.length) {
+          if (!row.isNullAt(i + 2)) acc.bufs(i).add(pos, row.getLong(i + 2))
+          i += 1
+        }
+      }
+      if (files.nonEmpty) {
+        val fsx = new Path(rootStr).getFileSystem(serConf.value)
+        files.foreach { case (fname, acc) =>
+          BsiIndex.write(fsx,
+            new Path(rootStr, relByName(fname) + BsiIndex.Suffix), acc.rows,
+            colNames.toSeq.zip(acc.bufs.toSeq).map { case (c, b) => c -> b.result(acc.rows) })
+        }
+      }
+    }
+    // zero-row files produced no executor rows: write an empty (still
+    // complete) sidecar so the rebuild converges
+    missing.foreach { f =>
+      val p = new Path(root, f.path + BsiIndex.Suffix)
+      if (!fs.exists(p))
+        BsiIndex.write(fs, p, 0L,
+          cols.map(c => c -> Some(BsiIndex.BsiCol(0L, 0, Array.empty, Array.empty))))
+    }
+    missing.size.toLong
+  }
+
   /** S46: value-based partition retention (Paimon's `expire_partitions`
     * procedure): drop every partition whose `key` value sorts strictly
     * below `upto` in ONE metadata OVERWRITE commit — zero file reads,
@@ -2466,6 +2545,69 @@ class GraftTable private (
   private[sources] def bitmapSidecarOf(f: FileMeta): Option[BitmapIndex.Sidecar] =
     BitmapIndex.read(fs, new Path(root, f.path + BitmapIndex.Suffix))
 
+  /** Columns with a per-file bit-slice sidecar index (S66,
+    * `file-index.bsi.columns` — Paimon's BSI file index for RANGE
+    * predicates on high-cardinality integral columns). Exact both ways,
+    * like the bitmap (S55), with no distinct-value cap. */
+  private[sources] def bsiIndexCols: Seq[String] =
+    options.get("file-index.bsi.columns")
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Seq.empty)
+
+  // header-only cache (rowCount + present column names): claim
+  // eligibility sweeps every file of a snapshot driver-side; the slice
+  // bitmaps are decoded on demand and never cached (O(rows) driver
+  // memory otherwise — the bitmapKeysCache discipline)
+  private val bsiColsCache =
+    scala.collection.concurrent.TrieMap[String, Option[(Long, Set[String])]]()
+  private[sources] def bsiColsOf(f: FileMeta): Option[(Long, Set[String])] =
+    bsiColsCache.getOrElseUpdate(f.path,
+      BsiIndex.readCols(fs, new Path(root, f.path + BsiIndex.Suffix)))
+
+  /** Claimed-filter keep positions of one file, answered by its bitmap
+    * and/or BSI sidecars (IndexClaims) — UNCACHED, used by the filtered
+    * COUNT pushdown which keeps only the lengths. */
+  private[sources] def claimedKeepOf(
+      f: FileMeta, claimed: Seq[org.apache.spark.sql.sources.Filter])
+      : Option[Array[Long]] =
+    IndexClaims.tryKeepFor(fs, new Path(root, f.path), claimed)
+
+  /** BSI pruning of a filter CONJUNCTION against one file — exact: an
+    * empty intersection of the answerable filters' position sets proves
+    * no row satisfies them together. Conjunction-level (not per-filter)
+    * because a range's two halves each match some row while their
+    * intersection is empty — the min/max-straddling gap case file stats
+    * cannot skip. Missing sidecars/columns (legacy files, declined
+    * range) and unrenderable literals contribute no constraint;
+    * residual-safe either way (the Filters stay in the plan). Reads the
+    * sidecar once and discards it — the prune runs only over files that
+    * already survived stats skipping. */
+  private def bsiMayMatchAll(
+      fls: Seq[org.apache.spark.sql.sources.Filter], f: FileMeta): Boolean = {
+    val cols = bsiIndexCols.toSet
+    val relevant = fls.filter { fl =>
+      fl match {
+        case org.apache.spark.sql.sources.IsNotNull(c) => cols(c)
+        case _ =>
+          BitmapIndex.filterValues(fl).map(_._1).orElse(
+            BitmapIndex.filterRange(fl).map(_._1)).exists(cols)
+      }
+    }
+    if (relevant.isEmpty) return true
+    BsiIndex.read(fs, new Path(root, f.path + BsiIndex.Suffix)) match {
+      case None => true
+      case Some(sc) =>
+        var acc: Array[Long] = null
+        relevant.foreach { fl =>
+          // per-filter answer; unanswerable filters add no constraint
+          BsiIndex.keepPositions(sc, Seq(fl)).foreach { p =>
+            acc = if (acc == null) p else BitmapIndex.intersect(acc, p)
+            if (acc.isEmpty) return false
+          }
+        }
+        true
+    }
+  }
+
   /** Bitmap pruning of one filter against one file — exact: a key
     * absent from a PRESENT column map proves no row matches. Missing
     * sidecars/columns (legacy files, overflowed cardinality) and
@@ -2551,6 +2693,8 @@ class GraftTable private (
       files = files.filter(f => skipSafe.forall(fl => bloomMayMatch(fl, f)))
     if (skipSafe.nonEmpty && bitmapIndexCols.nonEmpty)
       files = files.filter(f => skipSafe.forall(fl => bitmapMayMatch(fl, f)))
+    if (skipSafe.nonEmpty && bsiIndexCols.nonEmpty)
+      files = files.filter(f => bsiMayMatchAll(skipSafe, f))
     // map-subscript pruning (`props['k'] = 'v'` via bloom entry hashes,
     // `props['k'] > 5` via per-entry min/max stats, ref
     // range_filters_on_subscripts_enabled): both live in the same
@@ -3612,6 +3756,7 @@ class GraftTable private (
         val base =
           if (rel.endsWith(BloomIndex.Suffix)) rel.dropRight(BloomIndex.Suffix.length)
           else if (rel.endsWith(BitmapIndex.Suffix)) rel.dropRight(BitmapIndex.Suffix.length)
+          else if (rel.endsWith(BsiIndex.Suffix)) rel.dropRight(BsiIndex.Suffix.length)
           else rel
         // >= so ttlMs=0 means "all unreferenced": with strict >, a file
         // whose modification time lands in the SAME millisecond as `now`
@@ -3662,6 +3807,8 @@ class GraftTable private (
     try fs.delete(new Path(root, rel + BloomIndex.Suffix), false)
     catch { case _: java.io.IOException => () }
     try fs.delete(new Path(root, rel + BitmapIndex.Suffix), false)
+    catch { case _: java.io.IOException => () }
+    try fs.delete(new Path(root, rel + BsiIndex.Suffix), false)
     catch { case _: java.io.IOException => () }
   }
 

@@ -476,6 +476,9 @@ final class GraftScanBuilder(
     * path reads row-based/unsplit, which is the wrong trade for plain
     * wide SELECTs where residual filtering + vectorized scan wins. */
   private val bitmapClaim = Option(options.get("bitmap.claim-filters")).exists(_.toBoolean)
+  /** S66: the BSI twin — range/equality predicates on bsi-indexed
+    * integral columns claim through the same masked-read machinery. */
+  private val bsiClaim = Option(options.get("bsi.claim-filters")).exists(_.toBoolean)
 
   private lazy val claimFiles: Seq[FileMeta] = table.planFiles(snapshotId)
   private val claimColCache = scala.collection.mutable.HashMap[String, Boolean]()
@@ -487,7 +490,16 @@ final class GraftScanBuilder(
       claimFiles.forall(f =>
         !f.hasDv && table.bitmapKeysOf(f).exists(_._2.contains(c)))
   })
-  private def claimable(fl: Filter): Boolean = fl match {
+  private val bsiColCache = scala.collection.mutable.HashMap[String, Boolean]()
+  /** Same completeness contract for the BSI sidecar (S66): present on
+    * every planned file (header-only reads), no deletion vectors. */
+  private def bsiColClaimable(c: String): Boolean = bsiColCache.getOrElseUpdate(c, {
+    table.bsiIndexCols.contains(c) &&
+      claimFiles.forall(f =>
+        !f.hasDv && table.bsiColsOf(f).exists(_._2.contains(c)))
+  })
+  private def claimable(fl: Filter): Boolean = claimableBm(fl) || claimableBsi(fl)
+  private def claimableBm(fl: Filter): Boolean = bitmapClaim && (fl match {
     // IsNotNull rides along with every derived equality; the union of a
     // present column's value lists is exactly its non-null set
     case org.apache.spark.sql.sources.IsNotNull(c) => colClaimable(c)
@@ -504,7 +516,21 @@ final class GraftScanBuilder(
             case None => false
           }
       }
-  }
+  })
+  private def claimableBsi(fl: Filter): Boolean = bsiClaim && (fl match {
+    case org.apache.spark.sql.sources.IsNotNull(c) => bsiColClaimable(c)
+    case _ =>
+      BitmapIndex.filterValues(fl) match {
+        case Some((c, vs)) =>
+          vs.forall(v => BsiIndex.renderLong(v).isDefined) && bsiColClaimable(c)
+        case None =>
+          BitmapIndex.filterRange(fl) match {
+            case Some((c, lo, _, hi, _)) =>
+              (lo ++ hi).forall(v => BsiIndex.renderLong(v).isDefined) && bsiColClaimable(c)
+            case None => false
+          }
+      }
+  })
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val known = table.schema.fieldNames.toSet
@@ -518,7 +544,8 @@ final class GraftScanBuilder(
     // no-pushdown "clean" twin to guarantee physical-order row counting
     // (masking is only proven for the parquet/orc factories)
     claimed =
-      if (!bitmapClaim || table.isPkTable || rowLevelReplace || table.fileFormat == "avro")
+      if ((!bitmapClaim && !bsiClaim) || table.isPkTable || rowLevelReplace ||
+          table.fileFormat == "avro")
         Array.empty
       else pushed.filter(claimable)
     // claimed filters are enforced by the masked read; everything else
@@ -622,8 +649,7 @@ final class GraftScanBuilder(
       else {
         if (defs.exists(_ != CountStarDef) || files.exists(_.hasDv)) return None
         files.map { f =>
-          val n = table.bitmapSidecarOf(f)
-            .flatMap(sc => BitmapIndex.keepPositions(sc, claimed.toSeq))
+          val n = table.claimedKeepOf(f, claimed.toSeq)
             .map(_.length.toLong)
             .getOrElse(return None)
           f.path -> n
@@ -1425,8 +1451,8 @@ final class GraftScan(
       val masked =
         if (claimed.nonEmpty)
           // claim eligibility excludes dv-carrying snapshots, so the
-          // bitmap mask is the only wrapper needed here
-          new BitmapMaskReaderFactory(
+          // index mask is the only wrapper needed here
+          new ClaimMaskReaderFactory(
             fileFactory(StructType(readDataFields), StructType(readPartFields),
               Array.empty[Filter], vectorized = false),
             claimed.toSeq,
@@ -1442,11 +1468,11 @@ final class GraftScan(
             spark.sessionState.newHadoopConf()))
       return new FileColFactory(masked, metaFields.map(_.name))
     }
-    // S55 claimed filters: every file reads row-based/unsplit through a
-    // NO-pushdown factory (parquet row-group skipping would desync the
-    // position counter) and a keep-mask from its bitmap sidecar
+    // S55/S66 claimed filters: every file reads row-based/unsplit through
+    // a NO-pushdown factory (parquet row-group skipping would desync the
+    // position counter) and a keep-mask from its index sidecars
     if (claimed.nonEmpty && !table.isPkTable)
-      return new BitmapMaskReaderFactory(
+      return new ClaimMaskReaderFactory(
         fileFactory(StructType(readDataFields), StructType(readPartFields),
           Array.empty[Filter], vectorized = false),
         claimed.toSeq,

@@ -65,7 +65,11 @@ final case class GraftWriteSpec(
     // columns with a per-file bitmap sidecar (file-index.bitmap.columns,
     // S55): the task records value → ascending row positions and writes
     // <file>.bmidx on close — see BitmapIndex
-    bitmapCols: Seq[String] = Seq.empty)
+    bitmapCols: Seq[String] = Seq.empty,
+    // columns with a per-file bit-slice sidecar (file-index.bsi.columns,
+    // S66): the task records (position, value) pairs and packs the bit
+    // slices into <file>.bsidx on close — see BsiIndex
+    bsiCols: Seq[String] = Seq.empty)
 
 object GraftWrite {
 
@@ -135,7 +139,9 @@ object GraftWrite {
           }
         },
       bitmapCols = table.bitmapIndexCols.filter(writeSchema.fieldNames.contains)
-        .filter(c => BitmapIndex.supportedType(table.schema(c).dataType)))
+        .filter(c => BitmapIndex.supportedType(table.schema(c).dataType)),
+      bsiCols = table.bsiIndexCols.filter(writeSchema.fieldNames.contains)
+        .filter(c => BsiIndex.supportedType(table.schema(c).dataType)))
   }
 
   /** mapPartitions body for the library write path (static method so the
@@ -251,6 +257,22 @@ final class GraftTaskWriter(spec: GraftWriteSpec, taskUniq: String) {
     else Some(UnsafeProjection.create(spec.bitmapCols.toIndexedSeq.map(storedValue)))
   private val bitmapTypes: Array[org.apache.spark.sql.types.DataType] =
     spec.bitmapCols.toArray.map(c => storedValue(c).dataType)
+
+  // S66 BSI index: raw integral values of the configured columns
+  // (dates are epoch-day ints internally — BsiIndex.renderLong's key
+  // order); the recorded position is the file's physical row order.
+  private val bsiProj: Option[UnsafeProjection] =
+    if (spec.bsiCols.isEmpty) None
+    else Some(UnsafeProjection.create(spec.bsiCols.toIndexedSeq.map(ref)))
+  // typed accessors avoid per-row boxing on the hot write path:
+  // 0 = Int/Date, 1 = Long, 2 = Short, 3 = Byte
+  private val bsiTypeCodes: Array[Int] = spec.bsiCols.toArray.map(c => ref(c).dataType match {
+    case org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.DateType => 0
+    case org.apache.spark.sql.types.LongType => 1
+    case org.apache.spark.sql.types.ShortType => 2
+    case org.apache.spark.sql.types.ByteType => 3
+    case other => throw new IllegalStateException(s"unsupported BSI type $other")
+  })
 
   /** Per-(file, column) value → ascending positions. A non-null value
     * that fails to render (over-long) OVERFLOWS the whole column — a
@@ -412,6 +434,7 @@ final class GraftTaskWriter(spec: GraftWriteSpec, taskUniq: String) {
     val bloomBufs: Array[LongBuf] = Array.fill(spec.bloomCols.size)(new LongBuf)
     val entryStatBufs: Array[EntryStatBuf] = Array.fill(entryStatSpecs.size)(new EntryStatBuf)
     val bitmapBufs: Array[BitmapBuf] = Array.fill(spec.bitmapCols.size)(new BitmapBuf)
+    val bsiBufs: Array[BsiIndex.BsiBuf] = Array.fill(spec.bsiCols.size)(new BsiIndex.BsiBuf)
     var rowsWritten: Long = 0L
     // avro has no harvestable footer: the writer's own count becomes
     // FileMeta.rowCount (captured at close — see closeOne)
@@ -472,6 +495,22 @@ final class GraftTaskWriter(spec: GraftWriteSpec, taskUniq: String) {
         i += 1
       }
     }
+    bsiProj.foreach { bp =>
+      val r = bp(row)
+      var i = 0
+      while (i < o.bsiBufs.length) {
+        if (!r.isNullAt(i)) {
+          val v = bsiTypeCodes(i) match {
+            case 0 => r.getInt(i).toLong
+            case 1 => r.getLong(i)
+            case 2 => r.getShort(i).toLong
+            case _ => r.getByte(i).toLong
+          }
+          o.bsiBufs(i).add(o.rowsWritten, v)
+        }
+        i += 1
+      }
+    }
     o.writer.write(dataProj(row))
     o.rowsWritten += 1
   }
@@ -517,6 +556,9 @@ final class GraftTaskWriter(spec: GraftWriteSpec, taskUniq: String) {
           case (c, buf) if !buf.overflow =>
             c -> buf.m.view.mapValues(b => java.util.Arrays.copyOf(b.arr, b.n)).toMap
         })
+    if (spec.bsiCols.nonEmpty)
+      BsiIndex.write(fs, new Path(root, o.relPath + BsiIndex.Suffix), o.rowsWritten,
+        spec.bsiCols.zip(o.bsiBufs).map { case (c, buf) => c -> buf.result(o.rowsWritten) })
     closed += o
   }
 
@@ -543,6 +585,8 @@ final class GraftTaskWriter(spec: GraftWriteSpec, taskUniq: String) {
       try {
         fs.delete(new Path(root, o.relPath), false)
         fs.delete(new Path(root, o.relPath + BloomIndex.Suffix), false)
+        fs.delete(new Path(root, o.relPath + BitmapIndex.Suffix), false)
+        fs.delete(new Path(root, o.relPath + BsiIndex.Suffix), false)
       } catch { case _: java.io.IOException => () }
     }
     open.clear(); closed.clear()

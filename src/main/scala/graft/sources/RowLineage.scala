@@ -124,20 +124,15 @@ final class LineageReaderFactory(
     val dv: Array[Long] = consts.get(DvReaderFactory.DvKey)
       .map(d => DeletionVector.read(conf.value, tableRoot, d.toString))
       .getOrElse(Array.empty[Long])
-    // claimed bitmap filters (S55) compose positionally, exactly like
-    // BitmapMaskReaderFactory — the claim was reported fully pushed, so
-    // it MUST be enforced here too
+    // claimed index filters (S55 bitmap / S66 BSI) compose positionally,
+    // exactly like ClaimMaskReaderFactory — the claim was reported fully
+    // pushed, so it MUST be enforced here too
     val keep: Array[Long] =
       if (claimed.isEmpty) null
       else {
         val dataPath = new Path(abs)
         val fs = dataPath.getFileSystem(conf.value)
-        val sc = BitmapIndex.read(fs, new Path(abs + BitmapIndex.Suffix))
-          .getOrElse(throw new IllegalStateException(
-            s"bitmap sidecar vanished for claimed scan: $abs"))
-        BitmapIndex.keepPositions(sc, claimed).getOrElse(
-          throw new IllegalStateException(
-            s"bitmap sidecar cannot answer claimed filters for $abs"))
+        IndexClaims.keepFor(fs, dataPath, claimed)
       }
 
     val r = inner.createReader(p)

@@ -82,6 +82,23 @@ object FormatScaleProbe {
         .load(s"$base/bm").filter(col("lang") === "de")
         .queryExecution.toRdd.count())
 
+    // ---- S66 BSI index: write, gap-exact range skip, claimed count -----
+    val bsi = GraftTable.create(spark, s"$base/bsi", li.schema,
+      options = Map("file-index.bsi.columns" -> "l_partkey"))
+    timed("bsi: ingest with sidecars")(bsi.append(li.repartition(16)))
+    timed("bsi: range filtered scan")(
+      spark.read.format("graft").load(s"$base/bsi")
+        .filter(col("l_partkey").between(1000L, 2000L))
+        .queryExecution.toRdd.count())
+    timed("bsi: claimed sidecar-only range COUNT")(
+      spark.read.format("graft").option("bsi.claim-filters", "true")
+        .load(s"$base/bsi").filter(col("l_partkey").between(1000L, 2000L))
+        .agg(count(lit(1))).queryExecution.toRdd.count())
+    timed("bsi: claimed masked row scan")(
+      spark.read.format("graft").option("bsi.claim-filters", "true")
+        .load(s"$base/bsi").filter(col("l_partkey").between(1000L, 2000L))
+        .queryExecution.toRdd.count())
+
     // ---- S56 record-level expire through compaction --------------------
     val ev = graft.Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"), col("ts"))
@@ -248,6 +265,12 @@ object FormatScaleProbe {
           .queryExecution.toRdd.count())
       timed(s"skew[$tag]: L70 sqrt-downsample")(
         graft.SparkEntry.queries("q_dedup_downsample")(spark, d2)
+          .queryExecution.toRdd.count())
+      // the END-TO-END composed pipeline (L27) over the same corpora:
+      // its exact-dedup keeper selection is the r16 groupBy rewrite —
+      // the mega-cluster must not re-introduce a hot-key wall
+      timed(s"skew[$tag]: composed pipeline (L27)")(
+        graft.SparkEntry.queries("q_pipeline_curate")(spark, d2)
           .queryExecution.toRdd.count())
     }
     // the dedup/pair stages above persisted frames for three corpora in
