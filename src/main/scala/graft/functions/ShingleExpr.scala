@@ -151,9 +151,73 @@ case class ShinglesN(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+object CdcChunksImpl {
+  private val Space = UTF8String.fromString(" ")
+
+  @inline private def joinRange(words: ArrayData, from: Int, len: Int): UTF8String = {
+    val parts = new Array[UTF8String](2 * len - 1)
+    var j = 0
+    while (j < len) {
+      val w = words.getUTF8String(from + j)
+      if (j > 0) parts(2 * j - 1) = Space
+      parts(2 * j) = if (w == null) UTF8String.EMPTY_UTF8 else w
+      j += 1
+    }
+    UTF8String.concat(parts: _*)
+  }
+
+  /** Content-defined chunking (the rsync/CDC trick, SURVEY §2.3 L73): a
+    * word position ends a chunk when the polynomial hash of the k-word
+    * window ENDING there ≡ 0 (mod d); the last position always closes
+    * the final chunk. Boundaries depend only on the k local words, so a
+    * repeated span longer than k + chunk length yields IDENTICAL
+    * interior chunks at ANY offset (self-synchronizing within k−1
+    * words) — the property L33's fixed word grid lacks (an offset shift
+    * misaligns every block). Expected chunk length ≈ d words. Emits the
+    * chunks' space-joined strings in document order. */
+  def eval(words: ArrayData, k: Int, d: Long, mult: Long, mod: Long): ArrayData = {
+    val n = words.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val out = new java.util.ArrayList[Any](math.max(4, n / math.max(1, d.toInt)))
+    var start = 0
+    var i = 0
+    while (i < n) {
+      val isBp = i >= k - 1 &&
+        PolyHash64Impl.hash(joinRange(words, i - k + 1, k), mult, mod) % d == 0L
+      if (isBp || i == n - 1) {
+        out.add(joinRange(words, start, i - start + 1))
+        start = i + 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** Native CDC chunker (whole-stage codegen, same rationale as Shingles3;
+  * the window hash is the SAME (31, 1e9+7) char fold the DuckDB oracle
+  * replays via polyHashSqlOf). `k` and `d` are plan-time constants. */
+case class CdcChunks(child: Expression, k: Int, d: Long) extends UnaryExpression {
+  require(k >= 1 && d >= 1, "window width and breakpoint divisor must be >= 1")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = s"cdc_chunks_${k}_$d"
+
+  override def nullSafeEval(input: Any): Any =
+    CdcChunksImpl.eval(input.asInstanceOf[ArrayData], k, d, 31L, 1000000007L)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.CdcChunksImpl$$.MODULE$$.eval($c, $k, ${d}L, 31L, 1000000007L);")
+
+  override protected def withNewChildInternal(newChild: Expression): CdcChunks =
+    copy(child = newChild)
+}
+
 object ShingleExpr {
   import org.apache.spark.sql.graft.Bridge.{column, expression}
   def shingles3(words: Column): Column = column(Shingles3(expression(words)))
   def bigrams(words: Column): Column = column(Bigrams(expression(words)))
   def shinglesN(words: Column, n: Int): Column = column(ShinglesN(expression(words), n))
+  def cdcChunks(words: Column, k: Int, d: Long): Column =
+    column(CdcChunks(expression(words), k, d))
 }

@@ -18,6 +18,12 @@ object Dedup2 {
   val BlockTop = 20
   /** L35: fuzzy-pair report size. */
   val FuzzyTop = 20
+  /** L73: CDC breakpoint window (words) and divisor (expected chunk
+    * length ≈ CdcD words). */
+  val CdcK = 8
+  val CdcD = 16L
+  /** L73: report size. */
+  val CdcTop = 100
 
   val defs: Seq[QDef] = Seq(
     // L55: containment (excerpt/quote) dedup — the DIRECTIONAL member of
@@ -174,6 +180,71 @@ object Dedup2 {
               |SELECT block, count(*) AS ndocs, min(doc_id) AS first_doc
               |FROM bl GROUP BY block HAVING count(*) > 1
               |ORDER BY ndocs DESC, block LIMIT $BlockTop""".stripMargin)),
+
+    // L73: substring-granularity (content-defined-chunking) dedup — the
+    // Lee-et-al-style VARIABLE verbatim-run dedup L33's fixed grid
+    // cannot do: chunk boundaries come from a rolling-hash breakpoint
+    // rule (a word ends a chunk when the CdcK-word window hashing to
+    // ≡ 0 mod CdcD — the rsync/CDC trick), so a repeated span yields
+    // IDENTICAL interior chunks at ANY offset (self-synchronizing
+    // within CdcK−1 words), while a fixed grid misaligns on any shift.
+    // The synthetic corpus has no offset-shifted copies, so the query
+    // PLANTS them deterministically (the L55 inject-then-measure
+    // pattern): every doc_id % 53 doc with ≥ 24 words re-enters with
+    // its first 3 words dropped; its interior chunks MUST collide with
+    // the original's. Chunking is one native codegen expression per
+    // row (no HOF, no shuffle); the repeat report is the L33
+    // map-combinable presence count; chunks render as md5 so output
+    // cells stay bounded. Scale: linear tokenize + one groupBy on the
+    // chunk key (Zipfian chunk keys partial-aggregate map-side).
+    QDef(
+      "q_dedup_spans_cdc",
+      (s, d) => {
+        import graft.functions.ShingleExpr
+        val w = Text.words(col("text"))
+        val base = T.documents(s, d).select(col("doc_id"), w.as("w"))
+          .filter(size(col("w")) > 0)
+        val shifted = base
+          .filter(col("doc_id") % 53 === 0 && size(col("w")) >= 24)
+          .select((col("doc_id") + 2000000000L).as("doc_id"),
+            slice(col("w"), lit(4), size(col("w")) - 3).as("w"))
+        val chunks = base.unionByName(shifted)
+          .select(col("doc_id"),
+            explode(ShingleExpr.cdcChunks(col("w"), CdcK, CdcD)).as("chunk"))
+          .distinct() // presence: one (doc, chunk) row each
+        chunks.groupBy("chunk")
+          .agg(count(lit(1)).as("ndocs"), min("doc_id").as("first_doc"))
+          .filter(col("ndocs") > 1)
+          .select(md5(col("chunk").cast("binary")).as("h"),
+            length(col("chunk")).cast("long").as("nchars"),
+            col("ndocs"), col("first_doc"))
+          .orderBy(desc("ndocs"), col("h"))
+          .limit(CdcTop)
+      },
+      Some(s"""WITH wd AS (SELECT doc_id, string_split_regex(trim(text),'\\s+') w
+              |  FROM documents
+              |  WHERE len(string_split_regex(trim(text),'\\s+')) > 0),
+              |sh AS (SELECT doc_id + 2000000000 AS doc_id, w[4:len(w)] AS w
+              |  FROM wd WHERE doc_id % 53 = 0 AND len(w) >= 24),
+              |allw AS (SELECT * FROM wd UNION ALL SELECT * FROM sh),
+              |bp AS (SELECT doc_id, w, len(w) AS n,
+              |    list_filter(range($CdcK, len(w)+1),
+              |      i -> (${Dedup.polyHashSqlOf(s"array_to_string(w[i-${CdcK - 1}:i],' ')")})
+              |             % $CdcD = 0) AS bps
+              |  FROM allw),
+              |bounds AS (SELECT doc_id, w,
+              |    list_sort(list_distinct(list_append(bps, n))) AS ends FROM bp),
+              |ch AS (SELECT DISTINCT doc_id,
+              |    unnest(list_transform(range(1, len(ends)+1),
+              |      j -> array_to_string(
+              |        w[CASE WHEN j = 1 THEN 1 ELSE ends[j-1]+1 END : ends[j]], ' ')))
+              |      AS chunk
+              |  FROM bounds),
+              |rep AS (SELECT chunk, count(*) AS ndocs, min(doc_id) AS first_doc
+              |  FROM ch GROUP BY chunk HAVING count(*) > 1)
+              |SELECT md5(chunk) AS h, CAST(length(chunk) AS BIGINT) AS nchars,
+              |  ndocs, CAST(first_doc AS BIGINT) AS first_doc
+              |FROM rep ORDER BY ndocs DESC, h LIMIT $CdcTop""".stripMargin)),
 
     // L34: incremental dedup — dedup a NEW batch (doc_id % 10 = 9, the
     // deterministic stand-in for "today's crawl") against the EXISTING

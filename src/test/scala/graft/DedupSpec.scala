@@ -84,6 +84,41 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("L73: CDC chunks catch offset-shifted copies the fixed grid provably misses") {
+    import graft.operators.Dedup2.{BlockLen, CdcD, CdcK}
+    import spark.implicits._
+    // a 200-word document with word-unique content (no periodicity), and
+    // a copy shifted by 3 words — the planted-run shape
+    val words = (0 until 200).map(i => s"tok${i * 7919 % 100003}x$i")
+    val original = words.mkString(" ")
+    val shifted = words.drop(3).mkString(" ")
+    val df = Seq((1L, original), (2L, shifted)).toDF("doc_id", "text")
+    val chunks = df.select(col("doc_id"),
+        explode(ShingleExpr.cdcChunks(Text.words(col("text")), CdcK, CdcD)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val c1 = chunks.filter(_._1 == 1L).map(_._2).toSet
+    val c2 = chunks.filter(_._1 == 2L).map(_._2).toSet
+    val shared = c1.intersect(c2)
+    // self-synchronization: every interior chunk of the shifted copy
+    // (all but its first and last) must also be a chunk of the original
+    val interior2 = {
+      val seq2 = chunks.filter(_._1 == 2L).map(_._2).toSeq
+      seq2.drop(1).dropRight(1).toSet
+    }
+    assert(shared.nonEmpty, "CDC found no shared chunk on a 197-word verbatim run")
+    assert(interior2.subsetOf(c1),
+      s"interior chunks not offset-invariant: ${interior2 -- c1}")
+    // the fixed 8-word grid shares NO block between the two copies (the
+    // 3-word shift misaligns every block of word-unique content)
+    def blocks(ws: Seq[String]): Set[String] =
+      ws.grouped(BlockLen).map(_.mkString(" ")).toSet
+    assert(blocks(words).intersect(blocks(words.drop(3))).isEmpty,
+      "grid unexpectedly aligned — the probe corpus lost word-uniqueness")
+    // chunk reconstruction: concatenating each doc's chunks restores it
+    val rec1 = chunks.filter(_._1 == 1L).map(_._2).mkString(" ")
+    assert(rec1 == original, "chunks must partition the document")
+  }
+
   test("L34: incremental dedup — batch partitions exactly, corpus untouched, drop reasons disjoint") {
     val rows = SparkEntry.queries("q_dedup_incremental")(spark, dir).collect()
     assert(rows.nonEmpty)
