@@ -149,6 +149,54 @@ object HashedScoreImpl {
   }
 }
 
+object HashedTableScoreImpl {
+  /** L69 learned-weights form: each word hashes into slot
+    * `polyHash % weights.length` and contributes the TABLE's weight —
+    * the production surface where a trained classifier's weights
+    * replace the deterministic pseudo-schedule. Same single codegen
+    * pass per doc; the table rides the serialized plan (bounded — a
+    * hashed-BoW model is a few hundred slots, the fastText trick). */
+  def score(words: ArrayData, weights: Array[Long]): Long = {
+    var s = 0L
+    var i = 0
+    val n = words.numElements()
+    while (i < n) {
+      val slot = PolyHash64Impl.hash(words.getUTF8String(i), 31L, 1000000007L) %
+        weights.length
+      s += weights(slot.toInt)
+      i += 1
+    }
+    s
+  }
+}
+
+/** [[HashedWeightSum]] with a LEARNED slot→weight table instead of the
+  * baked pseudo-schedule (SURVEY §2.3 L69's trained form). The table is
+  * a plan-time constant shipped inside the expression — the right
+  * transport for a classifier of ≤ a few thousand weights (a bigger
+  * model is a broadcast join, not a scalar expression). */
+case class HashedWeightTableSum(child: Expression, weights: Seq[Long])
+  extends UnaryExpression {
+
+  require(weights.nonEmpty, "weight table must be non-empty")
+  private lazy val weightArr: Array[Long] = weights.toArray
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hashed_weight_table_sum"
+
+  override def nullSafeEval(input: Any): Any =
+    HashedTableScoreImpl.score(input.asInstanceOf[ArrayData], weightArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("weights", weightArr, "long[]")
+    nullSafeCodeGen(ctx, ev, cIn =>
+      s"${ev.value} = graft.functions.HashedTableScoreImpl$$.MODULE$$.score($cIn, $ref);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HashedWeightTableSum =
+    copy(child = newChild)
+}
+
 /** Fused words→hashed-linear-classifier score in one codegen pass
   * (SURVEY §2.3 L69 — the fastText-style quality-filter shape). */
 case class HashedWeightSum(child: Expression, buckets: Int, a: Int, c: Int, m: Int)
@@ -347,6 +395,11 @@ object HashExpr {
     * [-10, 10] from the (37, 11, 21) schedule). */
   def hashedScore(words: Column): Column =
     column(HashedWeightSum(expression(words), 64, 37, 11, 21))
+
+  /** L69 learned form: score against a trained slot→weight table (see
+    * [[graft.operators.TextOps.trainLinearWeights]] for the trainer). */
+  def hashedScoreWeights(words: Column, weights: Seq[Long]): Column =
+    column(HashedWeightTableSum(expression(words), weights))
 
   /** Fused words→simhash with the tokenHash64 polynomial. */
   def simHashWords(c: Column): Column =

@@ -459,4 +459,29 @@ object TextOps {
              |  round(sum(score) * 1.0 / sum(ntok), 4) AS mean_tok_score
              |FROM sc GROUP BY lang ORDER BY lang""".stripMargin))
   )
+
+  /** L69 trainer: label-difference weights for the hashed-BoW linear
+    * classifier — weight(slot) = Σ over training tokens of (+1 from
+    * positive docs, −1 from negative), the centroid-difference step a
+    * hashed linear quality filter bootstraps from (one pass; a real
+    * pipeline iterates the same shape). Distributed: one explode + a
+    * map-combinable groupBy on ≤ `buckets` slot keys; the collected
+    * table is `buckets` longs of driver state (bounded metadata, the
+    * k-means-centroid discipline). Unhit slots weigh 0. Score with
+    * [[graft.functions.HashExpr.hashedScoreWeights]]. */
+  def trainLinearWeights(
+      docs: org.apache.spark.sql.DataFrame, textCol: String, labelCol: String,
+      buckets: Int = 64): Array[Long] = {
+    import graft.functions.HashExpr
+    val rows = docs
+      .select(explode(Text.words(col(textCol))).as("__w"),
+        when(col(labelCol), 1L).otherwise(-1L).as("__y"))
+      .select(pmod(HashExpr.polyHash(col("__w")), lit(buckets.toLong)).as("__s"),
+        col("__y"))
+      .groupBy("__s").agg(sum("__y").as("__wt"))
+      .collect()
+    val out = new Array[Long](buckets)
+    rows.foreach(r => out(r.getLong(0).toInt) = r.getLong(1))
+    out
+  }
 }

@@ -120,4 +120,59 @@ class HashExprSpec extends AnyFunSuite {
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("WholeStageCodegen") || p.contains("*(1)"), p)
   }
+
+  test("L69 learned weights: table scoring routes through the trained table") {
+    import graft.functions.{HashExpr, PolyHash64Impl}
+    import org.apache.spark.unsafe.types.UTF8String
+    // the default pseudo-schedule expressed AS a table must reproduce
+    // hashedScore exactly — the learned surface is a strict superset
+    val schedule = (0 until 64).map(s => ((s.toLong * 37 + 11) % 21 - 10)).toSeq
+    val inputs = Seq(Seq("the", "quick", "fox"), Seq.empty[String],
+      Seq("a", "a", "b"), Seq("Ünïcödé", "日本語"))
+    val both = inputs.toDF("ws")
+      .select(HashExpr.hashedScore(col("ws")).as("s1"),
+        HashExpr.hashedScoreWeights(col("ws"), schedule).as("s2"))
+      .collect()
+    both.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
+    // a one-hot table proves the lookup routes by slot: only the probe
+    // word's slot carries weight, so score = multiplicity × weight
+    val probeSlot =
+      (PolyHash64Impl.hash(UTF8String.fromString("probe"), 31L, 1000000007L) % 64).toInt
+    val oneHot = Seq.tabulate(64)(s => if (s == probeSlot) 5L else 0L)
+    val got = Seq(Seq("probe", "probe", "other")).toDF("ws")
+      .select(HashExpr.hashedScoreWeights(col("ws"), oneHot)).collect().head.getLong(0)
+    val otherSlot =
+      (PolyHash64Impl.hash(UTF8String.fromString("other"), 31L, 1000000007L) % 64).toInt
+    assert(got == (if (otherSlot == probeSlot) 15L else 10L))
+    // train a trivial table distributed and verify it separates the
+    // training classes when scored THROUGH the expression. Vocabulary
+    // is picked slot-disjoint across classes (collisions fold a pos and
+    // neg word into one slot and are a property of the 64-slot model,
+    // not of the trainer) — a real filter uses more slots than classes'
+    // vocabulary for the same reason.
+    def slotOf(w: String): Int =
+      (PolyHash64Impl.hash(UTF8String.fromString(w), 31L, 1000000007L) % 64).toInt
+    val vocab = Iterator.from(0).map(i => s"w$i")
+      .scanLeft((Seq.empty[String], Set.empty[Int])) { case ((ws, slots), w) =>
+        if (slots(slotOf(w))) (ws, slots) else (ws :+ w, slots + slotOf(w))
+      }.find(_._1.size == 20).get._1
+    val (posV, negV) = vocab.splitAt(10)
+    val docs = ((0 until 40).map(i =>
+      ((0 until 5).map(j => posV((i + j) % 10)).mkString(" "), true)) ++
+      (0 until 40).map(i =>
+        ((0 until 5).map(j => negV((i + j) % 10)).mkString(" "), false)))
+      .toDF("text", "label")
+    val w = graft.operators.TextOps.trainLinearWeights(docs, "text", "label")
+    val scored = docs.select(col("label"),
+      HashExpr.hashedScoreWeights(graft.functions.Text.words(col("text")), w.toSeq).as("s"))
+      .collect()
+    val correct = scored.count(r => (r.getLong(1) > 0) == r.getBoolean(0))
+    assert(correct == 80, s"learned table separates only $correct/80")
+    // learned-table scoring stays inside whole-stage codegen
+    val dfw = spark.range(5)
+      .select(HashExpr.hashedScoreWeights(split(col("id").cast("string"), "-"), schedule))
+    dfw.collect()
+    val pw = dfw.queryExecution.executedPlan.toString
+    assert(pw.contains("WholeStageCodegen") || pw.contains("*(1)"), pw)
+  }
 }
