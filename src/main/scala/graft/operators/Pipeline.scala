@@ -56,7 +56,22 @@ object Pipeline {
         // pass and must not be re-executed inside this plan (r8 verdict
         // #2: rebuilding it here ran it ~3× per query).
         val sh = Dedup.docsWithShingles(s, d)
-        val ex = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+        // the contamination check runs over the SURVIVORS of stages 1, 2
+        // and the bench exclusion only — identical drop decisions (a doc
+        // the dedup stages drop is dropped regardless of contamination,
+        // so restricting the contaminated set to survivors cannot change
+        // the anti-join), but a boilerplate mega-cluster contributes ONE
+        // doc to the containment join instead of every copy. Unrestricted,
+        // the cluster×bench-copies cross product is quadratic in cluster
+        // size (measured 6.3× on the r16 Zipfian probe corpus, where half
+        // the docs AND ~half the bench slice are one duplicated page).
+        // The keeper aggregate appears in two branches; its subplans are
+        // identical so the exchange is reused, not recomputed.
+        val ex = sh
+          .join(keepers, Seq("doc_id"), "left_semi")
+          .join(nearDrop, Seq("doc_id"), "left_anti")
+          .filter(col("doc_id") % 97 =!= 0)
+          .select(col("doc_id"), explode(col("sh")).as("g"))
         val bench = sh.filter(col("doc_id") % 97 === 0)
         val benchSizes = bench.select(col("doc_id").as("bench_id"), size(col("sh")).as("bsz"))
         val benchEx = bench.select(col("doc_id").as("bench_id"), explode(col("sh")).as("g"))
