@@ -457,7 +457,49 @@ object TextOps {
              |  CAST(sum(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT) AS kept,
              |  CAST(sum(score) AS BIGINT) AS score_sum,
              |  round(sum(score) * 1.0 / sum(ntok), 4) AS mean_tok_score
-             |FROM sc GROUP BY lang ORDER BY lang""".stripMargin))
+             |FROM sc GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // L74: TRAIN-then-apply quality classifier — the full CCNet loop
+    // L69 scores only half of: fit the hashed-BoW linear weights ON the
+    // corpus against a deterministic reference class (lang = 'en', the
+    // high-resource-language target CCNet trains its LM filter toward),
+    // then score every document with the LEARNED table. Training is one
+    // explode + a 64-key map-combinable groupBy collected as 64 longs of
+    // driver state (bounded metadata); scoring is the one-pass
+    // HashedWeightTableSum codegen expression with the table riding the
+    // plan. Exact integer arithmetic end-to-end — the oracle REPLAYS the
+    // trainer in SQL (per-slot label-difference sums) and re-derives
+    // each doc's score as the same token→slot→weight sum, so the learned
+    // weights themselves are oracle-checked, not just the plumbing.
+    QDef(
+      "q_quality_trained",
+      (s, d) => {
+        import graft.functions.HashExpr
+        val docs = T.documents(s, d)
+        val w = TextOps.trainLinearWeights(
+          docs.select(col("text"), (col("lang") === "en").as("__lbl")), "text", "__lbl")
+        docs
+          .select(col("lang"),
+            HashExpr.hashedScoreWeights(Text.words(col("text")), w.toSeq).as("score"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("score") > 0, 1L).otherwise(0L)).as("kept"),
+            sum("score").as("score_sum"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, lang,
+              |    unnest(string_split_regex(trim(text),'\\s+')) AS w FROM documents),
+              |sl AS (SELECT doc_id, lang,
+              |    (${Dedup.polyHashSqlOf("w")}) % 64 AS s FROM toks),
+              |wt AS (SELECT s,
+              |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE -1 END) AS BIGINT) AS w
+              |  FROM sl GROUP BY s),
+              |sc AS (SELECT sl.doc_id, sl.lang, CAST(sum(wt.w) AS BIGINT) AS score
+              |  FROM sl JOIN wt USING (s) GROUP BY sl.doc_id, sl.lang)
+              |SELECT lang, count(*) AS n_docs,
+              |  CAST(sum(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+              |  CAST(sum(score) AS BIGINT) AS score_sum
+              |FROM sc GROUP BY lang ORDER BY lang""".stripMargin))
   )
 
   /** L69 trainer: label-difference weights for the hashed-BoW linear
