@@ -291,6 +291,92 @@ class BsiIndexSpec extends AnyFunSuite {
     assert(rebuilt == written, "rebuild must reproduce the written sidecar byte-for-byte")
   }
 
+  test("S66m: randomized op-sequence fuzz — claimed reads ≡ plain reads through append/compact/dv/rebuild") {
+    for (seed <- Seq(1, 7)) {
+      val rnd = new scala.util.Random(seed)
+      val path = TestSpark.tmpDir(s"bsifuzz$seed")
+      val t = GraftTable.create(spark, path,
+        StructType(Seq(StructField("id", LongType),
+          StructField("v", LongType, nullable = true))),
+        options = Map("file-index.bsi.columns" -> "v",
+          "deletion-vectors.enabled" -> "true"))
+      var nextId = 0L
+      def appendBatch(): Unit = {
+        val n = 50 + rnd.nextInt(150)
+        val rows = (0 until n).map { _ =>
+          val id = nextId; nextId += 1
+          val v: java.lang.Long =
+            if (rnd.nextInt(8) == 0) null else java.lang.Long.valueOf(rnd.nextInt(10000) - 3000L)
+          (id, v)
+        }
+        t.append(rows.toDF("id", "v").coalesce(1))
+      }
+      appendBatch()
+      for (step <- 0 until 10) {
+        rnd.nextInt(4) match {
+          case 0 => appendBatch()
+          case 1 => t.compact()
+          case 2 => t.rewriteBsiIndex()
+          case 3 => t.dvDelete(col("id") % (2 + rnd.nextInt(9)) === 0)
+        }
+        val lo = rnd.nextInt(8000) - 4000L
+        val hi = lo + rnd.nextInt(3000)
+        def agg(df: DataFrame): (Long, Long) = {
+          val r = df.filter(col("v") >= lo && col("v") <= hi)
+            .agg(count(lit(1)), coalesce(sum("id"), lit(0L))).collect().head
+          (r.getLong(0), r.getLong(1))
+        }
+        val plain = agg(spark.read.format("graft").load(path))
+        val claimed = agg(spark.read.format("graft")
+          .option("bsi.claim-filters", "true").load(path))
+        assert(claimed == plain, s"seed=$seed step=$step range=[$lo,$hi]")
+        // count-only shape (the aggregate-pushdown path when eligible)
+        val pc = spark.read.format("graft").load(path)
+          .filter(col("v").between(lo, hi)).count()
+        val cc = spark.read.format("graft").option("bsi.claim-filters", "true")
+          .load(path).filter(col("v").between(lo, hi)).count()
+        assert(cc == pc, s"count mismatch seed=$seed step=$step")
+      }
+    }
+  }
+
+  test("S66n: streaming appends write BSI sidecars (shared task writer)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val path = TestSpark.tmpDir("bsistream")
+    val t = GraftTable.create(spark, path,
+      StructType(Seq(StructField("id", LongType), StructField("qty", LongType))),
+      options = Map("file-index.bsi.columns" -> "qty"))
+    val mem = MemoryStream[(Long, Long)]
+    val q = graft.streaming.GraftStreaming.appendStream(mem.toDF().toDF("id", "qty"), t)
+      .option("checkpointLocation", TestSpark.tmpDir("bsistream-ckpt")).start()
+    try {
+      mem.addData((1L, 100L), (2L, 900L))
+      q.processAllAvailable()
+      mem.addData((3L, 5000L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(new org.apache.hadoop.conf.Configuration())
+    val it = fs.listFiles(new Path(path, "data"), true)
+    var data = 0
+    var side = 0
+    while (it.hasNext) {
+      val p = it.next().getPath
+      if (p.getName.endsWith(".parquet")) data += 1
+      if (p.getName.endsWith(BsiIndex.Suffix)) side += 1
+    }
+    assert(data > 0 && side == data, s"every streamed file needs a sidecar ($side/$data)")
+    // and the streamed sidecars answer ranges exactly (gap between runs)
+    val miss = spark.read.format("graft").load(path)
+      .filter($"qty".between(1500L, 3000L))
+    assert(plannedOfTotal(miss)._1 == 0)
+    assert(miss.count() == 0)
+    val dfc = spark.read.format("graft").option("bsi.claim-filters", "true").load(path)
+      .filter($"qty" >= 800L)
+    assertNoResidual(dfc)
+    assert(dfc.collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
+  }
+
   test("S66e: sidecars die with their data files (orphan sweep + compaction replace)") {
     val path = TestSpark.tmpDir("bsigc")
     val t = GraftTable.create(spark, path,
