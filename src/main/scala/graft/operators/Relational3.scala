@@ -166,6 +166,59 @@ object Relational3 {
              |  CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
              |  CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid
              |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
-             |ORDER BY gid, status, prio""".stripMargin))
+             |ORDER BY gid, status, prio""".stripMargin)),
+
+    // R59: RECURSIVE CTE (Spark 4.1 WITH RECURSIVE ≡ DuckDB's) — a
+    // row-to-row recurrence a window CANNOT express: an integer
+    // compounded quarterly index (idx' = idx·(10000+bps) div 10000, the
+    // multiplicative analogue of a running sum; exp(Σlog) would be
+    // float-divergent, the scaled-integer recurrence is exact on both
+    // engines). Recursion depth = distinct order QUARTERS (≤ ~28 —
+    // calendar-bounded, never corpus-bounded: Spark executes one job
+    // per recursive step, so depth must stay metadata-sized; unbounded
+    // iteration belongs to the L25 localCheckpoint-loop shape instead);
+    // each step joins the 1-row frontier to the collected spine.
+    QDef(
+      "q_recursive_cte",
+      (s, d) => {
+        // materialize the quarter spine FIRST (one map-combinable corpus
+        // aggregate, collected as ≤ ~28 calendar-bounded rows — the
+        // percentile-run-table discipline): the recursive term re-plans
+        // its source once per iteration, and recursing directly over
+        // the corpus CTE re-scanned orders once per step (measured 34 s
+        // at sf0.1 with an 80-step monthly spine; sub-second per step
+        // over the collected spine)
+        val spine = T.orders(s, d)
+          .groupBy(concat(year(col("o_orderdate")).cast("string"), lit("-Q"),
+            quarter(col("o_orderdate")).cast("string")).as("qtr"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("qtr")
+          .collect().zipWithIndex
+          .map { case (r, i) => (i + 1L, r.getString(0), r.getLong(1)) }
+        import s.implicits._
+        spine.toSeq.toDF("rn", "qtr", "n").createOrReplaceTempView("r59_quarters")
+        s.sql("""
+          WITH RECURSIVE
+          g(rn, qtr, n, idx) AS (
+            SELECT rn, qtr, n, CAST(1000000 AS BIGINT) FROM r59_quarters WHERE rn = 1
+            UNION ALL
+            SELECT s.rn, s.qtr, s.n, (g.idx * (10000 + s.n % 500)) div 10000
+            FROM g JOIN r59_quarters s ON s.rn = g.rn + 1
+          )
+          SELECT rn, qtr, n, idx FROM g ORDER BY rn""")
+      },
+      Some("""WITH RECURSIVE
+             |quarters AS (SELECT CAST(year(o_orderdate) AS VARCHAR) || '-Q' ||
+             |    CAST(quarter(o_orderdate) AS VARCHAR) AS qtr, count(*) AS n
+             |  FROM orders GROUP BY 1),
+             |seq AS (SELECT qtr, n, row_number() OVER (ORDER BY qtr) AS rn FROM quarters),
+             |g(rn, qtr, n, idx) AS (
+             |  SELECT rn, qtr, n, CAST(1000000 AS BIGINT) FROM seq WHERE rn = 1
+             |  UNION ALL
+             |  SELECT s.rn, s.qtr, s.n, (g.idx * (10000 + s.n % 500)) // 10000
+             |  FROM g JOIN seq s ON s.rn = g.rn + 1
+             |)
+             |SELECT rn, qtr, n, CAST(idx AS BIGINT) AS idx
+             |FROM g ORDER BY rn""".stripMargin))
   )
 }
