@@ -219,6 +219,64 @@ object Relational3 {
              |  FROM g JOIN seq s ON s.rn = g.rn + 1
              |)
              |SELECT rn, qtr, n, CAST(idx AS BIGINT) AS idx
-             |FROM g ORDER BY rn""".stripMargin))
+             |FROM g ORDER BY rn""".stripMargin)),
+
+    // R60: SQL UDFs (Spark 4 `CREATE FUNCTION ... RETURNS ... RETURN`,
+    // the ANSI SQL-invoked-function surface): a scalar net-revenue UDF
+    // and a CASE banding UDF used inside a grouped aggregate. SQL UDFs
+    // INLINE into the plan at analysis (no black-box eval — the body
+    // participates in codegen/pushdown like any expression), so the
+    // oracle simply inlines the same bodies. Float sums rounded 2dp
+    // (§5, the q6 pattern).
+    QDef(
+      "q_sql_udf",
+      (s, d) => {
+        T.lineitem(s, d).createOrReplaceTempView("r60_lineitem")
+        s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION r60_net(
+                |  p DOUBLE, disc DOUBLE, tax DOUBLE) RETURNS DOUBLE
+                |RETURN p * (1.0 - disc) * (1.0 + tax)""".stripMargin)
+        s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION r60_band(q DOUBLE) RETURNS STRING
+                |RETURN CASE WHEN q < 10 THEN 'low'
+                |            WHEN q < 30 THEN 'mid' ELSE 'high' END""".stripMargin)
+        s.sql("""SELECT l_returnflag, r60_band(l_quantity) AS band, count(*) AS n,
+                |  round(sum(r60_net(l_extendedprice, l_discount, l_tax)), 2) AS net_sum
+                |FROM r60_lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+      },
+      Some("""SELECT l_returnflag,
+             |  CASE WHEN l_quantity < 10 THEN 'low'
+             |       WHEN l_quantity < 30 THEN 'mid' ELSE 'high' END AS band,
+             |  count(*) AS n,
+             |  round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2)
+             |    AS net_sum
+             |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // R61: VARIANT semi-structured type (Spark 4 parse_json/variant_get,
+    // the open-format twin of Snowflake/Delta VARIANT): events.props
+    // parses ONCE to a VARIANT column that survives the group-by
+    // exchange (binary-encoded, shredding-ready), then typed paths
+    // extract on the agg side. Differs from R39's from_json in that no
+    // schema is declared anywhere — the type is carried, not projected.
+    // Exact integer aggregates; the oracle extracts the same paths with
+    // DuckDB's JSON pointers.
+    QDef(
+      "q_variant",
+      (s, d) =>
+        T.events(s, d)
+          .select(col("event_type"), parse_json(col("props")).as("v"))
+          .select(col("event_type"),
+            expr("variant_get(v, '$.k', 'bigint')").as("k"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            count(col("k")).as("n_k"),
+            sum("k").as("k_sum"),
+            sum(when(pmod(col("k"), lit(2L)) === 0, 1L).otherwise(0L)).as("k_even"))
+          .orderBy("event_type"),
+      Some("""SELECT event_type, count(*) AS n,
+             |  count(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k,
+             |  CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             |    AS k_sum,
+             |  CAST(sum(CASE WHEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+             |                     % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS k_even
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 }
