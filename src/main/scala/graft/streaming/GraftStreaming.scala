@@ -29,6 +29,32 @@ object GraftStreaming {
         if (!batch.isEmpty) { table.append(batch); () }
       }
 
+  /** T28: streamed quality-classifier training — each labeled micro-batch
+    * ((text, label)) reduces to per-slot hashed-BoW weight DELTAS and
+    * upserts them into an aggregation-merge-engine weights table
+    * (`fields.weight.aggregate-function = sum`): the MOR fold IS the
+    * incremental trainer, because the L74 label-difference weights are
+    * plain sums and sums merge exactly under any batch split — no
+    * read-modify-write, no driver state, O(batch) work per trigger.
+    * Score with [[graft.functions.HashExpr.hashedScoreWeights]] over the
+    * table read back (absent slots weigh 0). */
+  def classifierStream(
+      labeled: DataFrame, weights: GraftTable, buckets: Int = 64): DataStreamWriter[Row] =
+    labeled.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val delta = batch
+            .select(explode(graft.functions.Text.words(col("text"))).as("__w"),
+              when(col("label"), 1L).otherwise(-1L).as("__y"))
+            .select(pmod(graft.functions.HashExpr.polyHash(col("__w")),
+              lit(buckets.toLong)).as("slot"), col("__y"))
+            .groupBy("slot").agg(sum("__y").as("weight"))
+          weights.upsert(delta)
+          ()
+        }
+      }
+
   /** Upsert variant: micro-batches merge by primary key. */
   def upsertStream(stream: DataFrame, table: GraftTable): DataStreamWriter[Row] =
     stream.writeStream

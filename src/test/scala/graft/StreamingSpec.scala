@@ -442,6 +442,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(n7.nonEmpty && n7.subsetOf(Set(1L, 2L, 5L)), s"q7 neighbors: $n7")
   }
 
+  test("T28: streamed classifier training via the aggregation merge engine") {
+    // the L74 trainer as a LIVE artifact: per-batch hashed-BoW slot
+    // DELTAS upsert into an aggregation-merge-engine weights table whose
+    // sum-fold IS the incremental trainer (label-difference weights are
+    // sums, so any batch split merges exactly). Pins: the streamed table
+    // equals the one-shot batch trainer over the union, and scoring
+    // through the learned table routes identically.
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.types._
+    val wt = graft.sources.GraftTable.create(spark, TestSpark.tmpDir("clfw-t28"),
+      StructType(Seq(StructField("slot", LongType, nullable = false),
+        StructField("weight", LongType))),
+      primaryKeys = Seq("slot"),
+      options = Map("merge-engine" -> "aggregation",
+        "fields.weight.aggregate-function" -> "sum"))
+    val mem = MemoryStream[(String, Boolean)]
+    val q = graft.streaming.GraftStreaming.classifierStream(
+      mem.toDF().toDF("text", "label"), wt)
+      .option("checkpointLocation", TestSpark.tmpDir("clfw-t28-ckpt")).start()
+    val batch1 = Seq(("good fine nice words here", true),
+      ("awful bad poor text sample", false))
+    val batch2 = Seq(("fine good again and again", true),
+      ("bad bad awful repeat", false), ("good mixed bad", true))
+    try {
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // streamed fold ≡ the one-shot L74 batch trainer over the union
+    import spark.implicits._
+    val all = (batch1 ++ batch2).toDF("text", "label")
+    val batchW = graft.operators.TextOps.trainLinearWeights(all, "text", "label")
+    val streamedW = new Array[Long](64)
+    wt.read().collect().foreach(r => streamedW(r.getLong(0).toInt) = r.getLong(1))
+    assert(streamedW.toSeq == batchW.toSeq,
+      s"streamed weights diverged:\n ${streamedW.toSeq}\n ${batchW.toSeq}")
+    // scoring through the streamed table matches batch-trained scoring
+    val s1 = all.select(graft.functions.HashExpr.hashedScoreWeights(
+      graft.functions.Text.words(col("text")), streamedW.toSeq)).collect().map(_.getLong(0)).toSeq
+    val s2 = all.select(graft.functions.HashExpr.hashedScoreWeights(
+      graft.functions.Text.words(col("text")), batchW.toSeq)).collect().map(_.getLong(0)).toSeq
+    assert(s1 == s2)
+  }
+
   test("T20: foreachBatch MERGE INTO applies a CDC stream onto a graft table") {
     // the operational upsert-apply shape: a change stream lands on a
     // catalog table through SQL MERGE once per micro-batch (the S31
