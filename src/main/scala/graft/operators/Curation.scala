@@ -629,6 +629,115 @@ object Curation {
              |  CAST(sum(CASE WHEN nw < med - mad*3 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
              |  CAST(sum(CASE WHEN nw > med + mad*3 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
              |FROM dev JOIN mad ON dev.lang = mad.lang
-             |GROUP BY dev.lang ORDER BY dev.lang""".stripMargin))
+             |GROUP BY dev.lang ORDER BY dev.lang""".stripMargin)),
+
+    // L75: the FINAL TRAINING-MIX EXPORT — the step that actually
+    // decides what gets trained on, composing the curated stages the
+    // diagnostics above audit: exact-dedup keepers (L1 groupBy shape) ∖
+    // near-dup drops (the SHARED staged pair table) → the TRAINED
+    // quality gate (L74 weights, score above the corpus MEDIAN — a zero threshold rejects everything when the reference class is the minority) → per-lang sqrt-temperature
+    // keep (L31's rule, derived over SURVIVOR counts — the mix is
+    // balanced over what remains after cleaning, not the raw corpus;
+    // salt "mix:" decorrelates the draw from L31's). Reports per lang
+    // the survivor count, derived threshold, kept docs and kept
+    // whitespace tokens — the export manifest. Three corpus passes
+    // (trainer, survivor counts, final pass) + the persisted pair
+    // stage; every selection is a pure hash/integer function, and the
+    // threshold derivation is the L31 IEEE-exact single-op sequence
+    // replayed in SQL from the survivor counts.
+    QDef(
+      "q_mixture_final",
+      (s, d) => {
+        val docs = T.documents(s, d)
+        val dupKey = md5(concat_ws(" ",
+          slice(Text.words(col("text")), 1, 8)).cast("binary"))
+        val keepers = docs.select(col("doc_id"), dupKey.as("k"))
+          .groupBy("k").agg(min("doc_id").as("doc_id")).select("doc_id")
+        val nearDrop = Dedup.jaccardPairsStaged(s, d)
+          .select(col("d2").as("doc_id")).distinct()
+        val w = TextOps.trainLinearWeights(
+          docs.select(col("text"), (col("lang") === "en").as("__lbl")), "text", "__lbl")
+        // gate at the corpus MEDIAN score, not zero: the label-difference
+        // weights are majority-negative whenever the reference class is
+        // the minority, so a zero threshold can reject everything — the
+        // median keeps the better-scoring half at ANY SF, and Spark's
+        // percentile ≡ DuckDB's quantile_cont exactly (R26)
+        val scored = docs.withColumn("__score",
+          HashExpr.hashedScoreWeights(Text.words(col("text")), w.toSeq))
+        val med = scored.agg(
+          expr("percentile(__score, CAST(0.5 AS DOUBLE))")).head().getDouble(0)
+        val surv = scored
+          .join(keepers, "doc_id")
+          .join(nearDrop, Seq("doc_id"), "left_anti")
+          .filter(col("__score") > med)
+        val counts = surv.groupBy("lang").agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val mx = math.sqrt(counts.values.max.toDouble)
+        val thr: Map[String, Long] = counts.map { case (l, n) =>
+          l -> math.floor(TempBps * math.sqrt(n.toDouble) / mx).toLong
+        }
+        val thrCol = thr.foldLeft(lit(0L)) { case (acc, (l, t)) =>
+          when(col("lang") === l, lit(t)).otherwise(acc)
+        }
+        val h = pmod(HashExpr.polyHash(concat(
+          lit("mix:"), col("doc_id").cast("string"), lit(":"), col("lang"))),
+          lit(TempBps))
+        surv
+          .withColumn("thr", thrCol)
+          .withColumn("keep", h < col("thr"))
+          .groupBy("lang", "thr")
+          .agg(count(lit(1)).as("n_surv"),
+            sum(when(col("keep"), 1L).otherwise(0L)).as("kept"),
+            sum(when(col("keep"),
+              size(Text.words(col("text"))).cast("long")).otherwise(0L))
+              .as("kept_tokens"))
+          .select(col("lang"), col("n_surv"), col("thr"), col("kept"), col("kept_tokens"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH w AS (SELECT doc_id, ${Dedup.ShSql} sh FROM documents),
+              |e AS (SELECT doc_id, unnest(sh) g FROM w),
+              |${Dedup.PrefixCandSql},
+              |jv AS (SELECT d1, d2,
+              |  CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE)
+              |    / len(list_distinct(list_cat(s1.sh, s2.sh))) jr
+              |  FROM cand JOIN w s1 ON d1 = s1.doc_id JOIN w s2 ON d2 = s2.doc_id),
+              |dropd AS (SELECT DISTINCT d2 FROM jv WHERE jr >= ${Dedup.Tau}),
+              |k0 AS (SELECT doc_id,
+              |  md5(array_to_string(string_split_regex(trim(text),'\\s+')[1:8],' ')) k
+              |  FROM documents),
+              |keep AS (SELECT min(doc_id) doc_id FROM k0 GROUP BY k),
+              |toks AS (SELECT doc_id, lang,
+              |    unnest(string_split_regex(trim(text),'\\s+')) AS tok FROM documents),
+              |sl AS (SELECT doc_id, lang,
+              |    (${Dedup.polyHashSqlOf("tok")}) % 64 AS s FROM toks),
+              |wt AS (SELECT s,
+              |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE -1 END) AS BIGINT) AS w
+              |  FROM sl GROUP BY s),
+              |scs AS (SELECT sl.doc_id, CAST(sum(wt.w) AS BIGINT) AS score
+              |  FROM sl JOIN wt USING (s) GROUP BY sl.doc_id),
+              |med AS (SELECT quantile_cont(score, 0.5) m FROM scs),
+              |surv AS (SELECT d.doc_id, d.lang,
+              |    CAST(len(string_split_regex(trim(d.text),'\\s+')) AS BIGINT) AS ntok
+              |  FROM documents d
+              |  JOIN keep ON d.doc_id = keep.doc_id
+              |  JOIN scs ON d.doc_id = scs.doc_id
+              |  WHERE d.doc_id NOT IN (SELECT d2 FROM dropd)
+              |    AND scs.score > (SELECT m FROM med)),
+              |c AS (SELECT lang, count(*) n FROM surv GROUP BY lang),
+              |mx AS (SELECT sqrt(CAST(max(n) AS DOUBLE)) m FROM c),
+              |t AS (SELECT lang, n,
+              |    CAST(floor($TempBps * sqrt(CAST(n AS DOUBLE)) / (SELECT m FROM mx))
+              |      AS BIGINT) thr
+              |  FROM c),
+              |hk AS (SELECT surv.doc_id, surv.lang, surv.ntok,
+              |    (${Dedup.polyHashSqlOf("'mix:' || CAST(surv.doc_id AS VARCHAR) || ':' || surv.lang")})
+              |      % $TempBps AS hv
+              |  FROM surv)
+              |SELECT t.lang, CAST(t.n AS BIGINT) AS n_surv, t.thr,
+              |  CAST(sum(CASE WHEN hk.hv < t.thr THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+              |  CAST(sum(CASE WHEN hk.hv < t.thr THEN hk.ntok ELSE 0 END) AS BIGINT)
+              |    AS kept_tokens
+              |FROM hk JOIN t USING (lang) GROUP BY t.lang, t.n, t.thr
+              |ORDER BY t.lang""".stripMargin))
   )
 }
