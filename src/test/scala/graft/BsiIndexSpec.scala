@@ -79,6 +79,25 @@ class BsiIndexSpec extends AnyFunSuite {
     }
     assert(BsiIndex.notNullPositions(sc, "v").get.length ==
       (0 until n).count(vals(_) != null))
+    // maximal legal width (63 slices): range = Long.MaxValue − 1 is the
+    // widest non-declined column; every comparison shape must stay exact
+    val wide = new BsiIndex.BsiBuf
+    val wvals = Seq(0L, 1L, Long.MaxValue - 1, Long.MaxValue / 2, 37L)
+    wvals.zipWithIndex.foreach { case (v, i) => wide.add(i.toLong, v) }
+    val wcol = wide.result(wvals.length.toLong).get
+    assert(wcol.width == 63, s"expected 63 slices, got ${wcol.width}")
+    val wsc = BsiIndex.Sidecar(wvals.length.toLong, Map("v" -> wcol))
+    for (b <- Seq(0L, 1L, 36L, 37L, Long.MaxValue / 2, Long.MaxValue - 1, Long.MaxValue)) {
+      val ge = BsiIndex.rangePositions(wsc, "v", Some(b), true, None, true).get.toSeq
+      assert(ge == wvals.zipWithIndex.filter(_._1 >= b).map(_._2.toLong),
+        s"width-63 GE($b) wrong: $ge")
+      val le = BsiIndex.rangePositions(wsc, "v", None, true, Some(b), true).get.toSeq
+      assert(le == wvals.zipWithIndex.filter(_._1 <= b).map(_._2.toLong),
+        s"width-63 LE($b) wrong: $le")
+      val eq = BsiIndex.matchPositions(wsc, "v", Seq(b: Any)).get.toSeq
+      assert(eq == wvals.zipWithIndex.filter(_._1 == b).map(_._2.toLong),
+        s"width-63 EQ($b) wrong: $eq")
+    }
     // round-trips through serialization byte-identically
     val p = new Path(TestSpark.tmpDir("bsi-unit"), "u.bsidx")
     BsiIndex.write(fs, p, n.toLong, Seq("v" -> Some(col)))
