@@ -206,7 +206,10 @@ object BsiIndex {
   /** Ascending KEEP positions for a conjunction of claimed filters —
     * the S55 contract (BitmapIndex.keepPositions), answered by slices. */
   def keepPositions(sc: Sidecar, claimed: Seq[org.apache.spark.sql.sources.Filter])
-      : Option[Array[Long]] =
+      : Option[Array[Long]] = {
+    // See IndexClaims.tryKeepFor: an empty conjunction must never silently
+    // render as "keep no rows".
+    require(claimed.nonEmpty, "empty claimed-filter conjunction")
     claimed.foldLeft(Some(null: Array[Long]): Option[Array[Long]]) { (acc, fl) => // null seed = "all rows"
       acc.flatMap { prev =>
         val matched = fl match {
@@ -221,6 +224,7 @@ object BsiIndex {
         matched.map(p => if (prev == null) p else BitmapIndex.intersect(prev, p))
       }
     }.map(p => if (p == null) Array.empty[Long] else p)
+  }
 
   // ---- serialization ------------------------------------------------------
 
@@ -378,6 +382,11 @@ object IndexClaims {
     * back or fail loudly per their contract). */
   def tryKeepFor(fs: FileSystem, dataPath: Path,
       claimed: Seq[org.apache.spark.sql.sources.Filter]): Option[Array[Long]] = {
+    // An empty conjunction means "no constraint" = ALL rows; the null-seeded
+    // fold below would render it as Array.empty = "NO rows". Fail loudly
+    // instead of silently dropping every row for a caller that forgot to
+    // guard (all current call sites pass nonEmpty by construction).
+    require(claimed.nonEmpty, s"empty claimed-filter conjunction for $dataPath")
     lazy val bm = BitmapIndex.read(fs, new Path(dataPath.toString + BitmapIndex.Suffix))
     lazy val bsi = BsiIndex.read(fs, new Path(dataPath.toString + BsiIndex.Suffix))
     // Some(null) seed = "all rows" (Option(null) would silently be None)

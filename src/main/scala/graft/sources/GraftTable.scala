@@ -1697,7 +1697,16 @@ class GraftTable private (
     * `_metadata.row_index` (parquet-only — other formats' sidecars come
     * from the write path), a column whose range overflows is OMITTED,
     * zero-row files write an empty sidecar so a maintenance loop
-    * converges. Returns the number of files indexed. */
+    * converges. Returns the number of files indexed.
+    *
+    * MEMORY BOUND: the rebuild task buffers every (position, value)
+    * pair of ONE whole file per indexed column (~16 B/row/col in
+    * BsiBuf) before packing — bounded in practice because the write
+    * path's file-roll policy caps data-file size; a legacy file far
+    * above the roll size is logged at WARN below before the job runs
+    * so an operator can compact first (the alternative — a two-pass
+    * min/max-then-stream-bits pack — is not worth the complexity until
+    * such files exist). */
   def rewriteBsiIndex(): Long = {
     val cols = bsiIndexCols.filter(fileDataSchema.fieldNames.contains)
       .filter(c => BsiIndex.supportedType(schema(c).dataType))
@@ -1707,6 +1716,20 @@ class GraftTable private (
     val missing = filesAt(base).filter(f =>
       !fs.exists(new Path(root, f.path + BsiIndex.Suffix)))
     if (missing.isEmpty) return 0L
+    // per-file buffer bound (see Scaladoc): warn on legacy files far
+    // beyond the roll policy, whose in-task (pos, value) buffers could
+    // pressure executor memory
+    locally {
+      val targetBytes = options.get("target-file-size")
+        .map(GraftTable.parseBytes).getOrElse(128L * 1024 * 1024)
+      val oversized = missing.filter(_.sizeBytes > 4 * targetBytes)
+      if (oversized.nonEmpty)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"BSI rebuild will buffer ~16 B/row/col per file in one task; " +
+            s"${oversized.size} file(s) exceed 4x target-file-size " +
+            s"(largest ${oversized.map(_.sizeBytes).max} B, e.g. " +
+            s"${oversized.head.path}) — consider compacting before rebuilding")
+    }
     if (fileFormat != "parquet") {
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"BSI index rebuild skipped for ${missing.size} $fileFormat " +
@@ -2138,7 +2161,20 @@ class GraftTable private (
       .collect().map(_.getString(0))
     val rawPct = java.util.regex.Pattern.compile("%(?!25|2F|5F)")
     if (parts.exists(p => rawPct.matcher(p).find())) "1"
-    else "2"
+    else {
+      // the '%25-present ⇒ vintage 2' branch is inherently ambiguous for
+      // a legacy value LITERALLY containing "%25" — surface the verdict
+      // and its evidence so a misclassified table is diagnosable before
+      // the next upsert mints fresh buckets under the new rendering
+      if (parts.nonEmpty)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"unstamped table at $root: inferred escape vintage 2 from " +
+            s"escape-only '%' shapes in ${parts.length} index part string(s) " +
+            s"(e.g. ${parts.take(3).mkString(", ")}); if these are LEGACY " +
+            s"values literally containing %25/%2F/%5F, stamp " +
+            s"${GraftTable.EscapeVintageKey}=1 and rebuild the bucket index")
+      "2"
+    }
   }
 
   /** Injective rendering of ONE partition value inside the index's
@@ -2578,9 +2614,15 @@ class GraftTable private (
     * intersection is empty — the min/max-straddling gap case file stats
     * cannot skip. Missing sidecars/columns (legacy files, declined
     * range) and unrenderable literals contribute no constraint;
-    * residual-safe either way (the Filters stay in the plan). Reads the
-    * sidecar once and discards it — the prune runs only over files that
-    * already survived stats skipping. */
+    * residual-safe either way (the Filters stay in the plan). The
+    * VERDICT is memoized per (file, conjunction) — files are immutable,
+    * so a cached answer never goes stale — because the full O(rows)
+    * sidecar decode would otherwise repeat per query on large
+    * snapshots; the memo is booleans only (never the decoded bitmaps)
+    * and resets past a size cap to bound driver memory. */
+  private val bsiPruneMemo =
+    scala.collection.concurrent.TrieMap[(String, String), Boolean]()
+  private val BsiPruneMemoCap = 131072
   private def bsiMayMatchAll(
       fls: Seq[org.apache.spark.sql.sources.Filter], f: FileMeta): Boolean = {
     val cols = bsiIndexCols.toSet
@@ -2593,6 +2635,18 @@ class GraftTable private (
       }
     }
     if (relevant.isEmpty) return true
+    val memoKey = (f.path, relevant.map(_.toString).sorted.mkString("&"))
+    bsiPruneMemo.get(memoKey) match {
+      case Some(v) => v
+      case None =>
+        if (bsiPruneMemo.size >= BsiPruneMemoCap) bsiPruneMemo.clear()
+        val v = bsiMayMatchAllUncached(relevant, f)
+        bsiPruneMemo.putIfAbsent(memoKey, v)
+        v
+    }
+  }
+  private def bsiMayMatchAllUncached(
+      relevant: Seq[org.apache.spark.sql.sources.Filter], f: FileMeta): Boolean = {
     BsiIndex.read(fs, new Path(root, f.path + BsiIndex.Suffix)) match {
       case None => true
       case Some(sc) =>
