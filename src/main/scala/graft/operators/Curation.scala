@@ -661,7 +661,12 @@ object Curation {
         // weights are majority-negative whenever the reference class is
         // the minority, so a zero threshold can reject everything — the
         // median keeps the better-scoring half at ANY SF, and Spark's
-        // percentile ≡ DuckDB's quantile_cont exactly (R26)
+        // percentile ≡ DuckDB's quantile_cont exactly (R26).
+        // Scale contract (L54's): the single-group exact percentile's
+        // aggregation buffer is value-histogram-sized — scores are
+        // bounded-range integer weight sums — and past that bound the
+        // threshold swaps to the L22 KLL sketch (Sketches.kllQuantiles),
+        // exactly as q_percentile documents vs Percentiles.approx.
         val scored = docs.withColumn("__score",
           HashExpr.hashedScoreWeights(Text.words(col("text")), w.toSeq))
         val med = scored.agg(

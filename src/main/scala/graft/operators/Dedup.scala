@@ -387,9 +387,15 @@ object Dedup {
     require(converged,
       s"connectedComponents did not converge in $maxRounds rounds — " +
         "component diameter exceeds the cap; raise maxRounds")
-    val out = labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
-      .withColumn("csize",
-        count(lit(1)).over(Window.partitionBy("cluster_id")).cast("long"))
+    // cluster sizes via groupBy + join-back, NOT a window partitioned by
+    // the cluster label: a window sorts every row of a key inside one
+    // task, the exact hot-key shape PlanAuditSpec bans — a mega-cluster
+    // (DfCap keeps them out of the pair graph today, but this code must
+    // not depend on that) would serialize on a single task
+    val sizes = labels.groupBy(col("label"))
+      .agg(count(lit(1)).cast("long").as("csize"))
+    val out = labels.join(sizes, "label")
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"), col("csize"))
       .orderBy("doc_id")
     // result is pair-graph-nodes-sized (small): materialize so the
     // checkpoint blocks can be released before returning

@@ -70,7 +70,13 @@ class PlanAuditSpec extends AnyFunSuite {
     * broadcast probes, ≤ langs×1001 band walks) key on other names. */
   private val corpusKeyNames = Set(
     "doc_id", "d1", "d2", "k", "term", "g", "w", "vec_id", "cluster_id",
-    "bench_id", "chunk_id", "sig", "band", "content", "fp")
+    "bench_id", "chunk_id", "sig", "band", "content", "fp",
+    // post-alias cluster labels: Catalyst's project collapse resolves a
+    // window partitioned by an ALIAS of the propagation label back to the
+    // underlying attribute, so the guard must know the pre-alias names
+    // too (the r16-verdict csize shape: partitionBy("cluster_id") printed
+    // as a window over "label" in the optimized plan)
+    "label", "csize")
 
   /** Queries with a DOCUMENTED bounded window over a name that collides
     * with the corpus-key list: (query, partition column) pairs. */
@@ -114,6 +120,20 @@ class PlanAuditSpec extends AnyFunSuite {
         org.apache.spark.sql.expressions.Window.partitionBy("k")))
     assert(windowPartitionCols(offendingShape).contains("k"),
       "detector no longer sees the duplicate-cluster-key window — fix the audit")
+    // and on the pre-fix connectedComponents csize shape: the window was
+    // partitioned by "cluster_id" (an alias of the propagation label),
+    // which the optimized plan resolves back to "label" — the guard must
+    // see THAT name or alias-laundering re-opens the hole
+    val csizeShape = docs
+      .select(org.apache.spark.sql.functions.col("doc_id").as("id"),
+        org.apache.spark.sql.functions.col("doc_id").as("label"))
+      .select(org.apache.spark.sql.functions.col("id"),
+        org.apache.spark.sql.functions.col("label").as("cluster_id"))
+      .withColumn("csize", org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")))
+    assert(windowPartitionCols(csizeShape).exists(corpusKeyNames),
+      "detector no longer sees the post-alias cluster-label window — fix the audit")
 
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val cols =
