@@ -277,6 +277,159 @@ object Relational3 {
              |    AS k_sum,
              |  CAST(sum(CASE WHEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
              |                     % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS k_even
-             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // R62: max_by / min_by + the N-variant (ref skipped suite:
+    // PrestoDistributedQueryTest.java:704 testMaxBy, :709 testMaxByN,
+    // :759/:764 the min twins). 2-arg forms are Spark-native declarative
+    // aggregates (map-side combinable; o_orderkey is unique so the
+    // selection is deterministic). The N-variant is the bounded MinNRows
+    // aggregate — ≤3 rows per group per partition cross the shuffle, and
+    // posexplode's pos+1 IS the row_number the (banned) hot-key window
+    // form would produce; ord (cents DESC, okey ASC) is a total order.
+    // Prices compare as exact cents: round(p*100) is the same IEEE
+    // multiply + half-up-on-positives round in both engines.
+    QDef(
+      "q_max_min_by",
+      (s, d) => {
+        val cents = round(col("o_totalprice") * 100).cast("long")
+        T.orders(s, d)
+          .select(col("o_orderstatus"), cents.as("cents"),
+            col("o_orderkey").as("okey"), col("o_orderpriority").as("pri"))
+          .groupBy("o_orderstatus")
+          .agg(
+            expr("max_by(pri, okey)").as("last_pri"),
+            expr("min_by(pri, okey)").as("first_pri"),
+            graft.functions.MinNAgg.minNRows(3,
+              Seq(("cents", col("cents"), true), ("okey", col("okey"), false)))
+              .as("top3"))
+          .select(col("o_orderstatus"), col("last_pri"), col("first_pri"),
+            posexplode(col("top3")))
+          .select(col("o_orderstatus"), (col("pos") + 1).cast("long").as("rnk"),
+            col("col.cents").as("cents"), col("col.okey").as("okey"),
+            col("last_pri"), col("first_pri"))
+          .orderBy("o_orderstatus", "rnk")
+      },
+      Some("""WITH g AS (SELECT o_orderstatus,
+             |    max_by(o_orderpriority, o_orderkey) AS last_pri,
+             |    min_by(o_orderpriority, o_orderkey) AS first_pri
+             |  FROM orders GROUP BY 1),
+             |r AS (SELECT o_orderstatus, o_orderkey AS okey,
+             |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             |    row_number() OVER (PARTITION BY o_orderstatus
+             |      ORDER BY round(o_totalprice * 100) DESC, o_orderkey) AS rnk
+             |  FROM orders)
+             |SELECT r.o_orderstatus, CAST(rnk AS BIGINT) AS rnk, cents, okey,
+             |  last_pri, first_pri
+             |FROM r JOIN g ON r.o_orderstatus = g.o_orderstatus
+             |WHERE rnk <= 3 ORDER BY 1, 2""".stripMargin)),
+
+    // R63: OFFSET / LIMIT-with-OFFSET (ref skipped suite: :804
+    // testOffsetEmptyResult). Both faces: a mid-stream page and an
+    // offset past the result set (empty at any SF — unioned so the
+    // declared output stays non-empty). Scale shape: ORDER BY + LIMIT n
+    // OFFSET k plans as a per-partition top-(n+k) + single (n+k)-row
+    // final pick — driver-bounded, never a global sort, PROVIDED n+k is
+    // small: Spark sizes the selection's priority queue at n+k rows, so
+    // a billions-deep OFFSET allocates a billions-slot queue and OOMs
+    // (measured — exit 52 on the first cut of this query). Deep paging
+    // belongs to keyset pagination (WHERE key > last_seen), which is why
+    // the empty-result face here offsets past a BOUNDED 10-row page, not
+    // past the corpus.
+    QDef(
+      "q_offset",
+      (s, d) => {
+        T.orders(s, d).createOrReplaceTempView("r63_orders")
+        s.sql("""SELECT o_orderkey, o_orderstatus,
+                |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                |FROM (SELECT * FROM r63_orders ORDER BY o_orderkey LIMIT 15 OFFSET 25)
+                |UNION ALL
+                |SELECT o_orderkey, o_orderstatus,
+                |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                |FROM (SELECT * FROM (SELECT * FROM r63_orders
+                |        ORDER BY o_orderkey LIMIT 10) page
+                |      ORDER BY o_orderkey LIMIT 5 OFFSET 20)
+                |ORDER BY o_orderkey""".stripMargin)
+      },
+      Some("""SELECT o_orderkey, o_orderstatus,
+             |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+             |FROM (SELECT * FROM orders ORDER BY o_orderkey LIMIT 15 OFFSET 25)
+             |UNION ALL
+             |SELECT o_orderkey, o_orderstatus,
+             |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+             |FROM (SELECT * FROM (SELECT * FROM orders
+             |        ORDER BY o_orderkey LIMIT 10) page
+             |      ORDER BY o_orderkey LIMIT 5 OFFSET 20)
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // R64: TRY / error-safe expression family (ref skipped suite: :1159
+    // testTry) — the ANSI-mode-era twin: try_divide NULLs the zero
+    // divisor (quantity = 25), try_cast NULLs the non-numeric strings,
+    // try_add NULLs the BIGINT overflow (keys > 7 push past Long.Max).
+    // The oracle replays each semantics explicitly: plain division
+    // (DuckDB /0 is NULL), TRY_CAST, and HUGEINT-widened add + TRY_CAST
+    // back down. Per-row values are single IEEE ops both engines; the
+    // cross-row double sum rounds 2dp (§5, the q6 pattern).
+    QDef(
+      "q_try_family",
+      (s, d) =>
+        T.lineitem(s, d)
+          .select(col("l_returnflag"),
+            expr("try_divide(l_extendedprice, l_quantity - 25.0)").as("td"),
+            expr("try_cast(CASE WHEN l_linenumber <= 3 " +
+              "THEN CAST(l_linenumber AS STRING) ELSE l_returnflag END AS BIGINT)")
+              .as("tc"),
+            expr("try_add(9223372036854775800L, l_orderkey)").as("ta"))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            count(col("td")).as("n_div"),
+            round(sum("td"), 2).as("div_sum"),
+            count(col("tc")).as("n_cast"),
+            sum("tc").as("cast_sum"),
+            count(col("ta")).as("n_add"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, count(*) AS n,
+             |  count(td) AS n_div, round(sum(td), 2) AS div_sum,
+             |  count(tc) AS n_cast, CAST(sum(tc) AS BIGINT) AS cast_sum,
+             |  count(ta) AS n_add
+             |FROM (SELECT l_returnflag,
+             |    l_extendedprice / (l_quantity - 25.0) AS td,
+             |    TRY_CAST(CASE WHEN l_linenumber <= 3
+             |      THEN CAST(l_linenumber AS VARCHAR) ELSE l_returnflag END
+             |      AS BIGINT) AS tc,
+             |    TRY_CAST(CAST(9223372036854775800 AS HUGEINT) + l_orderkey
+             |      AS BIGINT) AS ta
+             |  FROM lineitem) t
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // R65: set_agg (ref skipped suite: :1029 testSetAgg) — Presto's
+    // set_agg ≡ Spark collect_set, rendered as sorted comma-joined
+    // STRINGS (§5: oracle-checked cells must be scalar). Buffers are
+    // DISTINCT-bounded (≤5 priorities, ≤10 residues), so the aggregate
+    // map-side combines with tiny state at any corpus size; the
+    // array<long> renders via an elementwise Cast, not an interpreted
+    // HOF.
+    QDef(
+      "q_set_agg",
+      (s, d) =>
+        T.orders(s, d)
+          .groupBy(col("o_orderstatus"))
+          .agg(
+            array_join(sort_array(collect_set(col("o_orderpriority"))), ",").as("pris"),
+            size(collect_set(col("o_orderpriority"))).cast("long").as("npri"),
+            array_join(
+              sort_array(collect_set(pmod(col("o_custkey"), lit(10L))))
+                .cast("array<string>"), ",").as("custmods"),
+            count(lit(1)).as("n"))
+          .orderBy("o_orderstatus"),
+      Some("""WITH m AS (SELECT o_orderstatus, o_orderpriority,
+             |    o_custkey % 10 AS cm FROM orders)
+             |SELECT o_orderstatus,
+             |  array_to_string(list(DISTINCT o_orderpriority
+             |    ORDER BY o_orderpriority), ',') AS pris,
+             |  CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS npri,
+             |  array_to_string(list(DISTINCT cm ORDER BY cm), ',') AS custmods,
+             |  count(*) AS n
+             |FROM m GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
   )
 }
