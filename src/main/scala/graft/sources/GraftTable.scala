@@ -617,9 +617,22 @@ class GraftTable private (
 
     val dst = new Path(root, s"$snapDirRel/snap-$id.json")
     val claim = new Path(root, s"$snapDirRel/.claim-$id")
+    // RawLocalFileSystem.create(overwrite=false) is exists-check-then-
+    // create — NOT atomic: two local writers can both believe they hold
+    // the claim (found by ConcurrencySpec's fuzz). Route local claims
+    // through NIO createFile (O_CREAT|O_EXCL — kernel-atomic); other
+    // schemes keep the FS-contract create (atomic on HDFS; an object
+    // store needs a conditional put / catalog lock, as documented above).
     def tryClaim(): Boolean =
-      try { fs.create(claim, /*overwrite=*/ false).close(); true }
-      catch { case _: java.io.IOException => false }
+      if ("file" == fs.getUri.getScheme)
+        try {
+          java.nio.file.Files.createFile(java.nio.file.Paths.get(
+            fs.makeQualified(claim).toUri.getPath))
+          true
+        } catch { case _: java.io.IOException => false }
+      else
+        try { fs.create(claim, /*overwrite=*/ false).close(); true }
+        catch { case _: java.io.IOException => false }
     if (!tryClaim()) {
       val stale =
         try !fs.exists(dst) &&
@@ -737,6 +750,16 @@ class GraftTable private (
       writeString(fs, tmp, mapper.writeValueAsString(snap))
       if (!fs.rename(tmp, dst)) {
         fs.delete(tmp, false)
+        // The rename is the REAL publish arbiter (defense in depth for
+        // filesystems whose exclusive create is not atomic): if dst
+        // already exists, another writer published this id — surface the
+        // standard retryable conflict. Releasing the claim below stays
+        // correct: with snap-id present, the stale-claim check can never
+        // hand the id out (dst-exists vetoes it), and release is what
+        // un-wedges the id after an operator deletes a corrupt planted
+        // snapshot (S16's recovery contract).
+        if (fs.exists(dst))
+          throw new IllegalStateException(s"conflicting commit for snapshot $id at $root")
         throw new IllegalStateException(s"failed to publish snapshot $id at $root")
       }
       id
