@@ -43,7 +43,8 @@ case class SubscriptFilterRule(enabled: () => Boolean)
       case f @ Filter(cond, r: DataSourceV2Relation)
           if r.table.isInstanceOf[GraftV2Table] &&
             r.options.get(GraftScanBuilder.SubscriptFiltersOption) == null =>
-        val subs = splitConjunctivePredicates(cond).flatMap(extract)
+        val subs = splitConjunctivePredicates(cond)
+          .flatMap(c => extract(c).toSeq ++ extractVariant(c))
         if (subs.isEmpty) f
         else {
           val merged = new java.util.HashMap[String, String](r.options)
@@ -56,7 +57,8 @@ case class SubscriptFilterRule(enabled: () => Boolean)
       case f @ Filter(cond, sr: DataSourceV2ScanRelation)
           if sr.scan.isInstanceOf[GraftScan] &&
             sr.scan.asInstanceOf[GraftScan].subscriptFilters.isEmpty =>
-        val subs = splitConjunctivePredicates(cond).flatMap(extract)
+        val subs = splitConjunctivePredicates(cond)
+          .flatMap(c => extract(c).toSeq ++ extractVariant(c))
         if (subs.isEmpty) f
         else f.copy(child =
           sr.copy(scan = sr.scan.asInstanceOf[GraftScan].withSubscriptFilters(subs)))
@@ -149,6 +151,94 @@ case class SubscriptFilterRule(enabled: () => Boolean)
       case LessThan(l, r) => both(l, r, "<", ">")
       case LessThanOrEqual(l, r) => both(l, r, "<=", ">=")
       case _ => None
+    }
+  }
+
+  /** S68 variant/JSON-path shapes over a STRING column with a configured
+    * shred (`file-index.variant.columns`): the claims ride the same
+    * SubscriptPredicate channel, keyed by the `$.name` path.
+    *
+    *  - `get_json_object(c, '$.k') = 'lit'` → an equality claim probing
+    *    the entry-hash bloom. Sound because BOTH sides render through
+    *    the SAME expression (the writer hashed GetJsonObject's raw
+    *    output for every row).
+    *  - `variant_get(parse_json(c), '$.k', '<integral>') cmp n` and
+    *    `[try_]cast(get_json_object(c, '$.k') as bigint) cmp n` → range
+    *    claims against the per-path (min, max) stats; integral equality
+    *    becomes the (>= n AND <= n) claim pair (the bloom holds RAW text
+    *    hashes — "07" vs 7 — so numeric equality must not probe it).
+    *    Sound under ANSI/failOnError as well: the writer widens a
+    *    path's per-file bounds to the FULL Long range when any non-null
+    *    extraction fails the integral parse, so a stats-pruned file
+    *    provably holds only values whose numeric cast agrees with the
+    *    bound (or nulls) — pruning can neither contradict variant_get's
+    *    cast nor suppress its error.
+    *
+    * Whether the column actually carries a shred (and whether the path
+    * is configured) is verified scan-side (GraftTable.subscriptMayMatch)
+    * — an unconfigured claim is answered "may match". */
+  private def extractVariant(e: Expression): Seq[SubscriptPredicate] = {
+    import org.apache.spark.sql.catalyst.expressions.variant.VariantGet
+    import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
+    def integral(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case IntegerType | LongType | ShortType | ByteType => true
+      case _ => false
+    }
+    // parse_json is RuntimeReplaceable: the optimized plan holds its
+    // StaticInvoke(VariantExpressionEvalUtils.parseJson, attr, ...) form
+    def unwrapJson(x: Expression): Option[AttributeReference] = x match {
+      case si: StaticInvoke if si.functionName == "parseJson" =>
+        si.arguments.headOption.collect {
+          case a: AttributeReference if a.dataType == StringType => a
+        }
+      case _ => None
+    }
+    // (attr, path, integral-valued?) for the supported extraction shapes
+    def pathOf(x: Expression): Option[(AttributeReference, String, Boolean)] = x match {
+      case org.apache.spark.sql.catalyst.expressions.GetJsonObject(
+          a: AttributeReference, Literal(p, StringType)) if p != null =>
+        Some((a, p.toString, false))
+      case org.apache.spark.sql.catalyst.expressions.Cast(inner, dt, _, _) if integral(dt) =>
+        pathOf(inner).collect { case (a, p, false) => (a, p, true) }
+      case VariantGet(j, Literal(p, StringType), dt, _, _) if p != null && integral(dt) =>
+        unwrapJson(j).map(a => (a, p.toString, true))
+      case _ => None
+    }
+    def longOf(v: Any): Option[Long] = v match {
+      case i: Int => Some(i.toLong)
+      case l: Long => Some(l)
+      case s: Short => Some(s.toLong)
+      case b: Byte => Some(b.toLong)
+      case _ => None
+    }
+    def claims(x: Expression, v: Any, op: String): Seq[SubscriptPredicate] =
+      pathOf(x).toSeq.flatMap {
+        case (a, p, false) if op == "=" && v != null =>
+          // raw-text equality via the entry-hash bloom
+          Seq(SubscriptPredicate(a.name, p, "=", v.toString))
+        case (a, p, true) =>
+          longOf(v).toSeq.flatMap { n =>
+            if (op == "=") Seq(
+              SubscriptPredicate(a.name, p, ">=", n.toString),
+              SubscriptPredicate(a.name, p, "<=", n.toString))
+            else Seq(SubscriptPredicate(a.name, p, op, n.toString))
+          }
+        case _ => Seq.empty
+      }
+    def both(lhs: Expression, rhs: Expression, op: String, flipped: String): Seq[SubscriptPredicate] =
+      (lhs, rhs) match {
+        case (l, Literal(v, _)) => claims(l, v, op)
+        case (Literal(v, _), r) => claims(r, v, flipped)
+        case _ => Seq.empty
+      }
+    e match {
+      case EqualTo(l, r) => both(l, r, "=", "=")
+      case GreaterThan(l, r) => both(l, r, ">", "<")
+      case GreaterThanOrEqual(l, r) => both(l, r, ">=", "<=")
+      case LessThan(l, r) => both(l, r, "<", ">")
+      case LessThanOrEqual(l, r) => both(l, r, "<=", ">=")
+      case _ => Seq.empty
     }
   }
 }

@@ -2612,6 +2612,44 @@ class GraftTable private (
     options.get("file-index.bsi.columns")
       .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Seq.empty)
 
+  /** S68 VARIANT/JSON path shredding index: STRING columns holding JSON
+    * whose configured root paths are shredded at write time into the
+    * bloom sidecar — entry hashes of the RAW extracted text for equality
+    * claims, per-path (min, max) Long bounds for range claims — so a
+    * `variant_get(parse_json(c), '$.k', 'bigint') > x` filter prunes
+    * files like a filter on a real column. Configured as
+    * `file-index.variant.columns = props` +
+    * `file-index.variant.<col>.paths = $.k,$.tag` (root-level `$.name`
+    * paths). The shred rides the S34 subscript machinery end to end
+    * (SubscriptFilterRule carries the claims; subscriptMayMatch answers
+    * them), with one extra soundness rule enforced at write time: a
+    * non-null extracted value that does not parse as a plain integral
+    * token widens that path's per-file bounds to the full Long range
+    * (claims nothing), so a stats prune can never disagree with
+    * variant_get's own numeric cast (and can never suppress a cast
+    * error a full scan would raise). */
+  private[sources] def variantIndexCols: Seq[String] =
+    options.get("file-index.variant.columns")
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Seq.empty)
+
+  /** (column, configured `$.name` paths) after validation. */
+  private[sources] def variantIndexSpecs: Seq[(String, Seq[String])] =
+    variantIndexCols.map { c =>
+      require(schema.fieldNames.contains(c), s"unknown variant-index column $c")
+      require(schema(c).dataType == org.apache.spark.sql.types.StringType,
+        s"variant-index column $c must be STRING (JSON text), got " +
+          schema(c).dataType.simpleString)
+      require(!bloomIndexCols.contains(c),
+        s"column $c cannot carry both a whole-value bloom and a variant shred " +
+          "(one bloom per column; the probes are incompatible)")
+      val paths = options.get(s"file-index.variant.$c.paths")
+        .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Seq.empty)
+      require(paths.nonEmpty, s"file-index.variant.$c.paths must list at least one path")
+      paths.foreach(p => require(p.matches("\\$\\.[A-Za-z_][A-Za-z0-9_]*"),
+        s"variant shred paths must be root fields ($$.name), got $p"))
+      c -> paths
+    }
+
   // header-only cache (rowCount + present column names): claim
   // eligibility sweeps every file of a snapshot driver-side; the slice
   // bitmaps are decoded on demand and never cached (O(rows) driver
@@ -2778,7 +2816,8 @@ class GraftTable private (
     // sidecars. Non-PK tables only — a map column's entries change
     // across row versions, so file pruning on them could resurrect an
     // older version through the merge (same rule as skipSafeCols).
-    if (subscriptFilters.nonEmpty && !isPkTable && bloomIndexCols.nonEmpty)
+    if (subscriptFilters.nonEmpty && !isPkTable &&
+        (bloomIndexCols.nonEmpty || variantIndexCols.nonEmpty))
       files = files.filter { f =>
         subscriptFilters.forall(p => subscriptMayMatch(p, f))
       }
@@ -2794,12 +2833,21 @@ class GraftTable private (
     * match. Missing sidecars / columns / unparseable values keep the
     * file (residual-safe either way: the Filter stays in the plan). */
   private def subscriptMayMatch(p: SubscriptPredicate, f: FileMeta): Boolean = {
-    if (!bloomIndexCols.contains(p.col)) return true
+    if (!bloomIndexCols.contains(p.col) && !variantIndexCols.contains(p.col))
+      return true
+    // S68: a variant claim is answerable ONLY for a CONFIGURED path —
+    // an unconfigured path was never hashed or bounded, so its absence
+    // from the sidecar proves nothing (a claim there would prune
+    // matching files)
+    if (variantIndexCols.contains(p.col) &&
+        !variantIndexSpecs.exists { case (c, paths) => c == p.col && paths.contains(p.key) })
+      return true
     sidecarOf(f) match {
       case None => true // legacy file without a sidecar
       case Some(sc) =>
         // only claim when the sidecar's bloom for this column provably
-        // holds ENTRY hashes: v3 sidecars declare it; v1/v2 sidecars
+        // holds ENTRY hashes: v3 sidecars declare it (variant shreds,
+        // S68, exist only as declared v3 entries); v1/v2 sidecars
         // predate the declaration and always entry-hashed maps/arrays
         // but NEVER structs (whole-value hashes there — an entry probe
         // against them would false-negative and prune a matching file)

@@ -69,7 +69,15 @@ final case class GraftWriteSpec(
     // columns with a per-file bit-slice sidecar (file-index.bsi.columns,
     // S66): the task records (position, value) pairs and packs the bit
     // slices into <file>.bsidx on close — see BsiIndex
-    bsiCols: Seq[String] = Seq.empty)
+    bsiCols: Seq[String] = Seq.empty,
+    // S68 variant shredding (file-index.variant.columns): per STRING
+    // JSON column, the configured `$.name` paths — each row contributes
+    // the entry hash of the raw extracted text (equality claims) and,
+    // when the text parses as a plain integral token, the per-path
+    // (min, max) bound (range claims); any non-null unparsable value
+    // widens that path's bounds to the full Long range — present but
+    // claiming nothing (see GraftTable.variantIndexSpecs)
+    variantSpecs: Seq[(String, Seq[String])] = Seq.empty)
 
 object GraftWrite {
 
@@ -141,7 +149,9 @@ object GraftWrite {
       bitmapCols = table.bitmapIndexCols.filter(writeSchema.fieldNames.contains)
         .filter(c => BitmapIndex.supportedType(table.schema(c).dataType)),
       bsiCols = table.bsiIndexCols.filter(writeSchema.fieldNames.contains)
-        .filter(c => BsiIndex.supportedType(table.schema(c).dataType)))
+        .filter(c => BsiIndex.supportedType(table.schema(c).dataType)),
+      variantSpecs = table.variantIndexSpecs
+        .filter { case (c, _) => writeSchema.fieldNames.contains(c) })
   }
 
   /** mapPartitions body for the library write path (static method so the
@@ -273,6 +283,27 @@ final class GraftTaskWriter(spec: GraftWriteSpec, taskUniq: String) {
     case org.apache.spark.sql.types.ByteType => 3
     case other => throw new IllegalStateException(s"unsupported BSI type $other")
   })
+
+  // S68 variant shredding: one flat (column ordinal into variantSpecs,
+  // path) list; the projection yields TWO fields per entry — the RAW
+  // extracted text (GetJsonObject, hashed with the shared entry-hash
+  // convention for equality claims) and its TRY-cast Long (range-stat
+  // bounds; a non-null text that fails the cast INVALIDATES the
+  // path's stats to the full Long range — the path then claims nothing,
+  // so a stats prune can never disagree with variant_get's numeric cast
+  // or suppress its error). Cost: one JSON-path evaluation per
+  // (row, path) — paid only on tables that opt into the option.
+  private val variantFlat: Seq[(Int, String)] =
+    spec.variantSpecs.zipWithIndex.flatMap { case ((_, paths), i) => paths.map(i -> _) }
+  private val variantProj: Option[UnsafeProjection] =
+    if (variantFlat.isEmpty) None
+    else Some(UnsafeProjection.create(variantFlat.flatMap { case (ci, p) =>
+      val raw = org.apache.spark.sql.catalyst.expressions.GetJsonObject(
+        storedValue(spec.variantSpecs(ci)._1), Literal(p))
+      Seq(raw,
+        Cast(raw, org.apache.spark.sql.types.LongType, None,
+          org.apache.spark.sql.catalyst.expressions.EvalMode.TRY): Expression)
+    }.toIndexedSeq))
 
   /** Per-(file, column) value → ascending positions. A non-null value
     * that fails to render (over-long) OVERFLOWS the whole column — a
@@ -433,6 +464,8 @@ final class GraftTaskWriter(spec: GraftWriteSpec, taskUniq: String) {
       val bucket: Int) {
     val bloomBufs: Array[LongBuf] = Array.fill(spec.bloomCols.size)(new LongBuf)
     val entryStatBufs: Array[EntryStatBuf] = Array.fill(entryStatSpecs.size)(new EntryStatBuf)
+    val variantBloomBufs: Array[LongBuf] = Array.fill(spec.variantSpecs.size)(new LongBuf)
+    val variantStatBufs: Array[EntryStatBuf] = Array.fill(spec.variantSpecs.size)(new EntryStatBuf)
     val bitmapBufs: Array[BitmapBuf] = Array.fill(spec.bitmapCols.size)(new BitmapBuf)
     val bsiBufs: Array[BsiIndex.BsiBuf] = Array.fill(spec.bsiCols.size)(new BsiIndex.BsiBuf)
     var rowsWritten: Long = 0L
@@ -486,6 +519,27 @@ final class GraftTaskWriter(spec: GraftWriteSpec, taskUniq: String) {
       }
     }
     if (entryStatSpecs.nonEmpty) collectEntryStats(row, o)
+    variantProj.foreach { vp =>
+      val r = vp(row)
+      var i = 0
+      while (i < variantFlat.length) {
+        val si = i * 2 // raw text at si, TRY-cast long at si + 1
+        if (!r.isNullAt(si)) {
+          val (ci, path) = variantFlat(i)
+          o.variantBloomBufs(ci).add(graft.functions.MapEntryHashesImpl.hashEntry(
+            path, r.getUTF8String(si).toString))
+          if (r.isNullAt(si + 1)) {
+            // non-integral text: widen THIS path's bounds to full range —
+            // the path claims nothing (any numeric predicate "may match")
+            // while staying PRESENT in the stats map, so absent-path
+            // pruning and the other paths' exact bounds are untouched
+            o.variantStatBufs(ci).add(path, Long.MinValue)
+            o.variantStatBufs(ci).add(path, Long.MaxValue)
+          } else o.variantStatBufs(ci).add(path, r.getLong(si + 1))
+        }
+        i += 1
+      }
+    }
     bitmapProj.foreach { bp =>
       val r = bp(row)
       var i = 0
@@ -537,19 +591,29 @@ final class GraftTaskWriter(spec: GraftWriteSpec, taskUniq: String) {
       case _ => ()
     }
     o.writer.close()
-    if (spec.bloomCols.nonEmpty)
+    if (spec.bloomCols.nonEmpty || spec.variantSpecs.nonEmpty)
       BloomIndex.write(fs, new Path(root, o.relPath + BloomIndex.Suffix),
         spec.bloomCols.zip(o.bloomBufs).map { case (c, buf) =>
           c -> BloomIndex.build(buf.arr, buf.n)
-        },
+        } ++
+          // S68: variant shreds are entry-hash blooms over the raw
+          // extracted text of the configured paths
+          spec.variantSpecs.map(_._1).zip(o.variantBloomBufs).map { case (c, buf) =>
+            c -> BloomIndex.build(buf.arr, buf.n)
+          },
         entryStatSpecs.zip(o.entryStatBufs).collect {
           case ((c, _, _), buf) if !buf.overflow =>
             c -> buf.m.view.mapValues(b => (b(0), b(1))).toMap
-        },
+        } ++
+          spec.variantSpecs.map(_._1).zip(o.variantStatBufs).collect {
+            case (c, buf) if !buf.overflow =>
+              c -> buf.m.view.mapValues(b => (b(0), b(1))).toMap
+          },
         // declare which blooms hold ENTRY hashes: probing a whole-value
         // bloom with an entry hash (or vice versa) is a false negative —
         // unsound pruning (see BloomIndex.Sidecar.entryCols)
-        spec.bloomCols.zip(bloomIsMap).collect { case (c, true) => c }.toSet)
+        spec.bloomCols.zip(bloomIsMap).collect { case (c, true) => c }.toSet ++
+          spec.variantSpecs.map(_._1))
     if (spec.bitmapCols.nonEmpty)
       BitmapIndex.write(fs, new Path(root, o.relPath + BitmapIndex.Suffix), o.rowsWritten,
         spec.bitmapCols.zip(o.bitmapBufs).collect {

@@ -346,4 +346,87 @@ class V2ScanSpec extends AnyFunSuite {
     // 1..25 at ×10, 26..50 at ×1
     assert(total == (1L to 25L).map(_ * 10).sum + (26L to 50L).sum)
   }
+
+  test("S68: variant shred prunes files on variant_get / get_json_object filters") {
+    val path = TestSpark.tmpDir("varshred")
+    val t = GraftTable.create(spark, path,
+      StructType(Seq(StructField("props", StringType), StructField("x", IntegerType))),
+      options = Map(
+        "file-index.variant.columns" -> "props",
+        "file-index.variant.props.paths" -> "$.k,$.tag"))
+    // three files with disjoint shredded ranges/tags
+    def rows(lo: Int, hi: Int, tag: String) =
+      (lo to hi).map(i => (s"""{"k": $i, "tag": "$tag", "noise": "n$i"}""", i))
+        .toDF("props", "x").repartition(1)
+    t.append(rows(1, 10, "aa"))
+    t.append(rows(11, 20, "bb"))
+    t.append(rows(21, 30, "cc"))
+
+    val key = "spark.graft.subscriptFilters.enabled"
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ graft.plans.SubscriptFilterRule(() =>
+        spark.conf.get(key, "false").toBoolean)
+    try {
+      spark.conf.set(key, "true")
+      def load = spark.read.format("graft").load(path)
+
+      // RANGE on an integral path: variant_get prunes like a real column
+      val hi = load.filter(expr("variant_get(parse_json(props), '$.k', 'bigint') > 25"))
+      assert(plannedOfTotal(hi) == ((1, 3)), "k > 25 must plan only the third file")
+      assert(hi.collect().map(_.getInt(1)).sorted.toSeq == (26 to 30))
+      // integral equality goes through the stats pair, not the raw-text bloom
+      val eq = load.filter(expr("try_variant_get(parse_json(props), '$.k', 'bigint') = 15"))
+      assert(plannedOfTotal(eq) == ((1, 3)), "k = 15 must plan only the second file")
+      assert(eq.collect().map(_.getInt(1)).toSeq == Seq(15))
+      // try_cast(get_json_object(...)) is the same claim
+      val tc = load.filter(expr("try_cast(get_json_object(props, '$.k') AS BIGINT) < 5"))
+      assert(plannedOfTotal(tc) == ((1, 3)))
+      assert(tc.collect().map(_.getInt(1)).sorted.toSeq == (1 to 4))
+      // raw-text EQUALITY probes the entry-hash bloom
+      val tag = load.filter(expr("get_json_object(props, '$.tag') = 'bb'"))
+      assert(plannedOfTotal(tag) == ((1, 3)), "tag = 'bb' must plan only the second file")
+      assert(tag.count() == 10)
+      // an UNCONFIGURED path makes no claim (never hashed != absent)
+      val un = load.filter(expr("get_json_object(props, '$.noise') = 'n7'"))
+      assert(plannedOfTotal(un) == ((3, 3)), "unconfigured paths must not prune")
+      assert(un.count() == 1)
+      // a matching value is NEVER pruned away with the toggle on vs off
+      spark.conf.set(key, "false")
+      val off = load.filter(expr("variant_get(parse_json(props), '$.k', 'bigint') > 25"))
+      assert(plannedOfTotal(off) == ((3, 3)))
+      assert(off.collect().map(_.getInt(1)).sorted.toSeq == (26 to 30))
+    } finally {
+      spark.conf.unset(key)
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations
+          .filterNot(_.isInstanceOf[graft.plans.SubscriptFilterRule])
+    }
+
+    // soundness: a file holding a NON-INTEGRAL value for a configured
+    // path must invalidate its range stats (no claim), never misprune
+    val path2 = TestSpark.tmpDir("varshred2")
+    val t2 = GraftTable.create(spark, path2,
+      StructType(Seq(StructField("props", StringType), StructField("x", IntegerType))),
+      options = Map(
+        "file-index.variant.columns" -> "props",
+        "file-index.variant.props.paths" -> "$.k"))
+    t2.append(Seq(("""{"k": 7}""", 1), ("""{"k": "oops"}""", 2))
+      .toDF("props", "x").repartition(1))
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ graft.plans.SubscriptFilterRule(() =>
+        spark.conf.get(key, "false").toBoolean)
+    try {
+      spark.conf.set(key, "true")
+      val df = spark.read.format("graft").load(path2)
+        .filter(expr("try_variant_get(parse_json(props), '$.k', 'bigint') > 100"))
+      // stats invalidated -> no claim -> file kept (and the row set right)
+      assert(plannedOfTotal(df) == ((1, 1)))
+      assert(df.count() == 0)
+    } finally {
+      spark.conf.unset(key)
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations
+          .filterNot(_.isInstanceOf[graft.plans.SubscriptFilterRule])
+    }
+  }
 }
