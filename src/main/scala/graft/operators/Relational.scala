@@ -21,6 +21,15 @@ object Relational {
 
   val defs: Seq[QDef] = Seq(
     // R1: TPC-H Q1 shape — grouped agg, map-side partial agg, 1 shuffle.
+    // Money sums are EXACT-INTEGER sums of per-row quantized units
+    // (cents / 1e-4 units): a raw double sum's last-ulp error is
+    // summation-ORDER-dependent, and at 60M rows (the sf10 gate) the
+    // accumulated drift crosses the half-cent that round(.,2) absorbs —
+    // the two engines then legitimately disagree. The per-row quantize
+    // is the same IEEE multiply+round both engines, the BIGINT sum is
+    // order-independent, and the closing /scale is one shared division
+    // (§5, the QuantizeVec discipline applied to money). l_quantity is
+    // integer-valued, so its double sum is already exact at any SF.
     QDef(
       "q1_agg",
       (s, d) =>
@@ -29,16 +38,19 @@ object Relational {
           .groupBy("l_returnflag", "l_linestatus")
           .agg(
             round(sum("l_quantity"), 2).as("sum_qty"),
-            round(sum("l_extendedprice"), 2).as("sum_base"),
-            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-              .as("sum_disc_price"),
+            round(sum(round(col("l_extendedprice") * 100).cast("long")) / 100.0, 2)
+              .as("sum_base"),
+            round(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000)
+              .cast("long")) / 10000.0, 2).as("sum_disc_price"),
             round(avg("l_quantity"), 2).as("avg_qty"),
             count(lit(1)).as("count_order"))
           .orderBy("l_returnflag", "l_linestatus"),
       Some("""SELECT l_returnflag, l_linestatus,
              |  round(sum(l_quantity),2) AS sum_qty,
-             |  round(sum(l_extendedprice),2) AS sum_base,
-             |  round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+             |  round(CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+             |    / 100.0, 2) AS sum_base,
+             |  round(CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT))
+             |    AS BIGINT) / 10000.0, 2) AS sum_disc_price,
              |  round(avg(l_quantity),2) AS avg_qty,
              |  count(*) AS count_order
              |FROM lineitem
