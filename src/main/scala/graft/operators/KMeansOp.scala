@@ -257,27 +257,34 @@ object KMeansOp {
     // shared poly-hash SQL mirror (Dedup.polyHashSqlOf — single source)
     val polyId = Dedup.polyHashSqlOf("CAST(vec_id AS VARCHAR)")
     val dist = SqlDist
+    // AS MATERIALIZED on the CHAINED CTEs: DuckDB inlines a CTE per
+    // reference, and each round references c(r-1) twice (cn + the
+    // carry-forward join) — inlined, the base plan re-evaluates 2^rounds
+    // times, which at the sf10 gate spilled >70 GB of sort temp before
+    // running the disk out. Materialization pins each round to ONE
+    // evaluation; results are value-identical (found by the r17 full
+    // sf10 oracle compare).
     def round(r: Int): String =
-      s"""cn${r - 1} AS (SELECT c, cv,
+      s"""cn${r - 1} AS MATERIALIZED (SELECT c, cv,
          |    list_reduce(list_cat([0.0], list_transform(cv, x -> x*x)), (p,x) -> p+x) AS cn2
          |  FROM c${r - 1}),
-         |a$r AS (SELECT vec_id, v, c FROM (
+         |a$r AS MATERIALIZED (SELECT vec_id, v, c FROM (
          |    SELECT a.vec_id, a.v, c.c,
          |      row_number() OVER (PARTITION BY a.vec_id ORDER BY $dist, c.c) AS rn
          |    FROM vv a CROSS JOIN cn${r - 1} c) WHERE rn = 1),
          |e$r AS (SELECT c, unnest(v) AS x, unnest(range(1, len(v)+1)) AS p FROM a$r),
-         |m$r AS (SELECT c, list(cm ORDER BY p) AS cv FROM (
+         |m$r AS MATERIALIZED (SELECT c, list(cm ORDER BY p) AS cv FROM (
          |    SELECT c, p, sum(x)/count(*) AS cm FROM e$r GROUP BY c, p) GROUP BY c),
-         |c$r AS (SELECT prev.c, coalesce(nw.cv, prev.cv) AS cv
+         |c$r AS MATERIALIZED (SELECT prev.c, coalesce(nw.cv, prev.cv) AS cv
          |  FROM c${r - 1} prev LEFT JOIN m$r nw ON prev.c = nw.c)""".stripMargin
     val rounds = (1 to iters).map(round).mkString(",\n")
     s"""v0 AS (SELECT vec_id, list_transform(embedding, x -> $quant) AS v
        |  FROM embeddings),
-       |vv AS (SELECT vec_id, v,
+       |vv AS MATERIALIZED (SELECT vec_id, v,
        |    list_reduce(list_cat([0.0], list_transform(v, x -> x*x)), (p,x) -> p+x) AS vn2
        |  FROM v0 WHERE v IS NOT NULL),
        |hh AS (SELECT vec_id, v, $polyId AS hv FROM vv),
-       |c0 AS (SELECT cid - 1 AS c, cv FROM (
+       |c0 AS MATERIALIZED (SELECT cid - 1 AS c, cv FROM (
        |    SELECT row_number() OVER (ORDER BY hv, vec_id) AS cid, v AS cv FROM hh)
        |  WHERE cid <= ($kSql)),
        |$rounds""".stripMargin

@@ -297,12 +297,17 @@ object Relational {
               .otherwise("big").as("bucket"),
             col("o_totalprice"))
           .groupBy("bucket")
-          .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("s"))
+          // exact cent sums: the raw double sum's order-dependent drift
+          // crosses the half-cent at sf10 row counts (see q1_agg)
+          .agg(count(lit(1)).as("n"),
+            round(sum(round(col("o_totalprice") * 100).cast("long")) / 100.0, 2).as("s"))
           .orderBy("bucket"),
       Some("""SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
              |            WHEN o_totalprice < 200000 THEN 'mid'
              |            ELSE 'big' END AS bucket,
-             |  count(*) AS n, round(sum(o_totalprice),2) AS s
+             |  count(*) AS n,
+             |  round(CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+             |    / 100.0, 2) AS s
              |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin)),
 
     // R13: LIKE + string functions.

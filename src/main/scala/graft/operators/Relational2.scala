@@ -267,7 +267,9 @@ object Relational2 {
           .agg(
             grouping_id().as("gid"),
             count(lit(1)).as("n"),
-            round(sum("o_totalprice"), 2).as("total"))
+            // exact cent sums (see q1_agg: double-sum drift at sf10 scale)
+            round(sum(round(col("o_totalprice") * 100).cast("long")) / 100.0, 2)
+              .as("total"))
           .select(
             coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
             coalesce(col("o_orderpriority"), lit("ALL")).as("pri"),
@@ -277,7 +279,9 @@ object Relational2 {
       Some("""SELECT coalesce(o_orderstatus,'ALL') AS status,
              |  coalesce(o_orderpriority,'ALL') AS pri,
              |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
-             |  count(*) AS n, round(sum(o_totalprice),2) AS total
+             |  count(*) AS n,
+             |  round(CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+             |    / 100.0, 2) AS total
              |FROM orders
              |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
              |  (o_orderstatus), (o_orderpriority), ())

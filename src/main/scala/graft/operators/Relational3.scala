@@ -238,16 +238,21 @@ object Relational3 {
         s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION r60_band(q DOUBLE) RETURNS STRING
                 |RETURN CASE WHEN q < 10 THEN 'low'
                 |            WHEN q < 30 THEN 'mid' ELSE 'high' END""".stripMargin)
+        // exact 1e-6-unit sums (see q1_agg: double-sum drift at sf10
+        // scale); net has 6 decimal digits, and per-group sums *1e6 stay
+        // ~2.5e17 at sf10 - far inside BIGINT
         s.sql("""SELECT l_returnflag, r60_band(l_quantity) AS band, count(*) AS n,
-                |  round(sum(r60_net(l_extendedprice, l_discount, l_tax)), 2) AS net_sum
+                |  round(sum(CAST(round(r60_net(l_extendedprice, l_discount, l_tax)
+                |    * 1000000) AS BIGINT)) / 1000000.0, 2) AS net_sum
                 |FROM r60_lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
       },
       Some("""SELECT l_returnflag,
              |  CASE WHEN l_quantity < 10 THEN 'low'
              |       WHEN l_quantity < 30 THEN 'mid' ELSE 'high' END AS band,
              |  count(*) AS n,
-             |  round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2)
-             |    AS net_sum
+             |  round(CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount)
+             |    * (1.0 + l_tax) * 1000000) AS BIGINT)) AS BIGINT)
+             |    / 1000000.0, 2) AS net_sum
              |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     // R61: VARIANT semi-structured type (Spark 4 parse_json/variant_get,

@@ -278,7 +278,9 @@ object Temporal {
       (s, d) =>
         T.orders(s, d)
           .cube("o_orderstatus", "o_orderpriority")
-          .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("s"))
+          // exact cent sums (see q1_agg: double-sum drift at sf10 scale)
+          .agg(count(lit(1)).as("n"),
+            round(sum(round(col("o_totalprice") * 100).cast("long")) / 100.0, 2).as("s"))
           .select(
             coalesce(col("o_orderstatus"), lit("ALL")).as("st"),
             coalesce(col("o_orderpriority"), lit("ALL")).as("pri"),
@@ -286,7 +288,9 @@ object Temporal {
           .orderBy("st", "pri"),
       Some("""SELECT coalesce(o_orderstatus,'ALL') AS st,
              |  coalesce(o_orderpriority,'ALL') AS pri,
-             |  count(*) AS n, round(sum(o_totalprice),2) AS s
+             |  count(*) AS n,
+             |  round(CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+             |    / 100.0, 2) AS s
              |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
              |ORDER BY st, pri""".stripMargin))
   )
