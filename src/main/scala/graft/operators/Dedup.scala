@@ -575,16 +575,16 @@ object Dedup {
     QDef(
       "q_dedup_clusters",
       (s, d) => connectedComponents(jaccardPairsStaged(s, d).select("d1", "d2")),
-      Some(s"""WITH RECURSIVE w AS (SELECT doc_id, $ShSql sh FROM documents),
+      Some(s"""WITH RECURSIVE w AS MATERIALIZED (SELECT doc_id, $ShSql sh FROM documents),
               |e AS (SELECT doc_id, unnest(sh) g FROM w),
               |$PrefixCandSql,
               |jv AS (SELECT d1, d2,
               |  CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE)
               |    / len(list_distinct(list_cat(s1.sh, s2.sh))) jr
               |  FROM cand JOIN w s1 ON d1 = s1.doc_id JOIN w s2 ON d2 = s2.doc_id),
-              |pp AS (SELECT d1, d2 FROM jv WHERE jr >= $Tau),
-              |nodes AS (SELECT d1 AS id FROM pp UNION SELECT d2 FROM pp),
-              |ed AS (SELECT d1 a, d2 b FROM pp UNION ALL SELECT d2 a, d1 b FROM pp),
+              |pp AS MATERIALIZED (SELECT d1, d2 FROM jv WHERE jr >= $Tau),
+              |nodes AS MATERIALIZED (SELECT d1 AS id FROM pp UNION SELECT d2 FROM pp),
+              |ed AS MATERIALIZED (SELECT d1 a, d2 b FROM pp UNION ALL SELECT d2 a, d1 b FROM pp),
               |reach(id, r) AS (
               |  SELECT id, id FROM nodes
               |  UNION

@@ -298,7 +298,7 @@ object Dedup2 {
               |  CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE)
               |    / len(list_distinct(list_cat(s1.sh, s2.sh))) jr
               |  FROM cand JOIN w s1 ON d1 = s1.doc_id JOIN w s2 ON d2 = s2.doc_id),
-              |pp AS (SELECT d1, d2 FROM jv WHERE jr >= ${Dedup.Tau}),
+              |pp AS MATERIALIZED (SELECT d1, d2 FROM jv WHERE jr >= ${Dedup.Tau}),
               |k0 AS (SELECT doc_id,
               |  md5(array_to_string(string_split_regex(trim(text),'\\s+')[1:8],' ')) k
               |  FROM documents),
@@ -605,16 +605,16 @@ object Dedup2 {
             col("m.ntok").as("rep_tokens"), col("csize").as("cluster_size"))
           .orderBy("cluster_id")
       },
-      Some(s"""WITH RECURSIVE w AS (SELECT doc_id, ${Dedup.ShSql} sh FROM documents),
+      Some(s"""WITH RECURSIVE w AS MATERIALIZED (SELECT doc_id, ${Dedup.ShSql} sh FROM documents),
               |e AS (SELECT doc_id, unnest(sh) g FROM w),
               |${Dedup.PrefixCandSql},
               |jv AS (SELECT d1, d2,
               |  CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE)
               |    / len(list_distinct(list_cat(s1.sh, s2.sh))) jr
               |  FROM cand JOIN w s1 ON d1 = s1.doc_id JOIN w s2 ON d2 = s2.doc_id),
-              |pp AS (SELECT d1, d2 FROM jv WHERE jr >= ${Dedup.Tau}),
-              |nodes AS (SELECT d1 AS id FROM pp UNION SELECT d2 FROM pp),
-              |ed AS (SELECT d1 a, d2 b FROM pp UNION ALL SELECT d2 a, d1 b FROM pp),
+              |pp AS MATERIALIZED (SELECT d1, d2 FROM jv WHERE jr >= ${Dedup.Tau}),
+              |nodes AS MATERIALIZED (SELECT d1 AS id FROM pp UNION SELECT d2 FROM pp),
+              |ed AS MATERIALIZED (SELECT d1 a, d2 b FROM pp UNION ALL SELECT d2 a, d1 b FROM pp),
               |reach(id, r) AS (
               |  SELECT id, id FROM nodes
               |  UNION
