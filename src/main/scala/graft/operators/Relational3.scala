@@ -435,6 +435,94 @@ object Relational3 {
              |  CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS npri,
              |  array_to_string(list(DISTINCT cm ORDER BY cm), ',') AS custmods,
              |  count(*) AS n
-             |FROM m GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
+             |FROM m GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // R66: large IN-list (ref skipped suite: :644 testLargeIn, :589
+    // testIn, :134 testAndInFilter). 500 literals — past Spark's
+    // inSetConversionThreshold (10), so the predicate plans as InSet: ONE
+    // O(1) hash-set probe per row inside whole-stage codegen, not a
+    // 500-branch OR chain (the naive expansion testLargeBytecode guards
+    // against). The In filter also pushes down whole to the scan
+    // (PushedFilters carries all 500 values — parquet dictionary pages
+    // and graft bloom-index claims each prune per value). The list is a
+    // STATIC coprime progression (97 ⊥ 4000 ⇒ 500 distinct keys), baked
+    // identically into both engines' texts — never corpus-derived (§5).
+    QDef(
+      "q_large_in",
+      (s, d) => {
+        val inKeys = Relational3.largeInKeys
+        T.lineitem(s, d)
+          .filter(col("l_partkey").isin(inKeys: _*) && col("l_quantity") < 30.0)
+          .groupBy("l_returnflag")
+          .agg(
+            count(lit(1)).as("n"),
+            countDistinct(col("l_partkey")).as("nparts"),
+            sum(round(col("l_extendedprice") * 100).cast("long")).as("cents"))
+          .orderBy("l_returnflag")
+      },
+      Some(s"""SELECT l_returnflag, count(*) AS n,
+              |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS nparts,
+              |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+              |FROM lineitem
+              |WHERE l_partkey IN (${Relational3.largeInKeys.mkString(", ")})
+              |  AND l_quantity < 30
+              |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // R67: order-independent checksum aggregate (Presto's checksum() —
+    // the migration/replication validator: prove a CTAS copy, a branch
+    // fast-forward, or a cross-cluster replica carries EXACTLY the same
+    // rows as its source WITHOUT sorting 100 TB). Each row renders to a
+    // canonical '|'-joined string (ints verbatim, money as exact cents,
+    // dates as ISO — every piece the same text in both engines), hashes
+    // through md5 (the one hash both engines share bit-for-bit; 15 hex
+    // digits = 60 bits, inside BIGINT), and XOR-folds per group: XOR is
+    // commutative + associative, so partials map-side combine and the
+    // result is identical under ANY partitioning/order — the property
+    // that makes it a valid equality witness across engines. A second
+    // single-column checksum shows the per-column variant that localizes
+    // WHICH column diverged when the full-row checksums disagree.
+    QDef(
+      "q_checksum",
+      (s, d) => {
+        val cents = round(col("l_extendedprice") * 100).cast("long")
+        T.lineitem(s, d)
+          .select(col("l_returnflag"),
+            concat_ws("|",
+              col("l_orderkey").cast("string"),
+              col("l_linenumber").cast("string"),
+              col("l_partkey").cast("string"),
+              cents.cast("string"),
+              col("l_shipdate").cast("date").cast("string"),
+              col("l_returnflag")).as("render"),
+            cents.cast("string").as("prender"))
+          .groupBy("l_returnflag")
+          .agg(
+            count(lit(1)).as("n"),
+            expr("bit_xor(CAST(conv(substr(md5(render),1,15),16,10) AS BIGINT))")
+              .as("cksum"),
+            expr("bit_xor(CAST(conv(substr(md5(prender),1,15),16,10) AS BIGINT))")
+              .as("cksum_price"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH t AS (SELECT l_returnflag,
+             |    CAST(l_orderkey AS VARCHAR) || '|' ||
+             |    CAST(l_linenumber AS VARCHAR) || '|' ||
+             |    CAST(l_partkey AS VARCHAR) || '|' ||
+             |    CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS VARCHAR) || '|' ||
+             |    CAST(CAST(l_shipdate AS DATE) AS VARCHAR) || '|' ||
+             |    l_returnflag AS render,
+             |    CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS VARCHAR) AS prender
+             |  FROM lineitem)
+             |SELECT l_returnflag, count(*) AS n,
+             |  CAST(bit_xor(('0x' || substr(md5(render), 1, 15))::BIGINT) AS BIGINT)
+             |    AS cksum,
+             |  CAST(bit_xor(('0x' || substr(md5(prender), 1, 15))::BIGINT) AS BIGINT)
+             |    AS cksum_price
+             |FROM t GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
   )
+
+  /** R66's static IN-list: 500 distinct keys (97 coprime to 4000), baked
+    * into BOTH engine texts — never derived from the corpus (§5). */
+  private[operators] lazy val largeInKeys: Seq[Long] =
+    (1 to 500).map(i => 1L + (i.toLong * 97) % 4000)
 }

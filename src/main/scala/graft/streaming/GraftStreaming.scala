@@ -118,6 +118,30 @@ object GraftStreaming {
       .drop(col(s"r.$key"))
   }
 
+  /** Stream-stream LEFT OUTER interval join (T29): the attribution shape
+    * that also reports the NON-converting impressions — every left row
+    * either matches a right row inside the interval or emits once with
+    * NULL right columns after the watermark proves no match can still
+    * arrive (left state for a row is releasable at
+    * `leftTs + withinSeconds + delay`; the engine emits the null-padded
+    * row when it evicts — correct AND state-bounded, same
+    * (rate × horizon) contract as the inner form). Unmatched RIGHT rows
+    * drop (left-outer), so the output keys are exactly the left stream's.
+    * Same column-name contract as intervalJoin. */
+  def intervalJoinOuter(
+      left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String,
+      delay: String, withinSeconds: Long): DataFrame = {
+    val l = left.withWatermark(leftTs, delay).alias("l")
+    val r = right.withWatermark(rightTs, delay).alias("r")
+    l.join(r,
+      col(s"l.$key") === col(s"r.$key") &&
+        col(rightTs) >= col(leftTs) &&
+        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $withinSeconds seconds"),
+      "leftOuter")
+      .drop(col(s"r.$key"))
+  }
+
   /** Incremental changelog read between two snapshots: every row version
     * committed after `fromSnapshot`, with rowkind — batch-incremental CDC
     * (the `$audit_log` + snapshot-diff pattern). */

@@ -735,6 +735,51 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("T29: LEFT OUTER interval join emits non-converting impressions after watermark expiry") {
+    implicit val sc = spark.sqlContext
+    val imps = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val clicks = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val joined = GraftStreaming.intervalJoinOuter(
+      imps.toDF().toDF("user_id", "imp_ts", "imp_id"),
+      clicks.toDF().toDF("user_id", "click_ts", "click_id"),
+      key = "user_id", leftTs = "imp_ts", rightTs = "click_ts",
+      delay = "1 minute", withinSeconds = 600)
+    val q = joined.select("user_id", "imp_id", "click_id")
+      .writeStream.outputMode("append").format("memory").queryName("outer_attr").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    try {
+      imps.addData(
+        (1L, ts("2024-01-01 10:00:00"), "i1"),  // converts (c1 inside 10 min)
+        (2L, ts("2024-01-01 10:00:00"), "i2"))  // never converts
+      clicks.addData(
+        (1L, ts("2024-01-01 10:05:00"), "c1"),
+        (9L, ts("2024-01-01 10:05:00"), "c9"))  // orphan click: left-outer drops it
+      q.processAllAvailable()
+      // matched pair emits immediately; i2 is still inside its horizon
+      val early = spark.sql("SELECT user_id, imp_id, click_id FROM outer_attr")
+        .collect().map(r => (r.getLong(0), r.getString(1), Option(r.getString(2))))
+      assert(early.toSeq == Seq((1L, "i1", Some("c1"))),
+        s"inner matches must not wait for the watermark: ${early.toSeq}")
+      // advance BOTH sides' event time past i2's release bound
+      // (10:00 + 600 s within + 1 min delay = 10:11) — the watermark is
+      // the min across sources, so each side needs a newer event
+      imps.addData((98L, ts("2024-01-01 10:30:00"), "i_wm"))
+      clicks.addData((99L, ts("2024-01-01 10:30:00"), "c_wm"))
+      q.processAllAvailable()
+      // null-padded rows emit on state eviction, one batch after the
+      // watermark moves — run one more (empty) trigger to flush
+      imps.addData((98L, ts("2024-01-01 10:31:00"), "i_wm2"))
+      clicks.addData((99L, ts("2024-01-01 10:31:00"), "c_wm2"))
+      q.processAllAvailable()
+      val out = spark.sql(
+        "SELECT user_id, imp_id, click_id FROM outer_attr WHERE user_id < 50 " +
+          "ORDER BY user_id").collect()
+        .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2))))
+      assert(out.toSeq == Seq((1L, "i1", Some("c1")), (2L, "i2", None)),
+        s"left-outer must emit i2 with NULL click and drop the orphan click: ${out.toSeq}")
+    } finally q.stop()
+  }
+
   test("T5: flatMapGroupsWithState session tracker closes sessions across micro-batches") {
     import graft.streaming.UserEvent
     implicit val sc = spark.sqlContext
