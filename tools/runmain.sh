@@ -10,6 +10,11 @@ REPO="$(cd "$(dirname "$0")/.." && pwd)"
 if [ ! -d "$SNAP/classes" ]; then
   mkdir -p "$SNAP"
   cp -r "$REPO/target/scala-2.13/classes" "$SNAP/classes"
+  # `sbt compile` does NOT run copyResources — target/classes may lack
+  # META-INF/services (the graft DataSourceRegister) right after a fresh
+  # compile. Overlay the source resources so format("graft") always
+  # resolves from the snapshot.
+  cp -r "$REPO/src/main/resources/." "$SNAP/classes/"
 fi
 ADD_OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
