@@ -9,6 +9,11 @@ sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 
 con = duckdb.connect()
+# parallel gate runs (several compare.py workers over disjoint query
+# subsets) each cap their DuckDB thread pool so N workers share the host
+import os as _os
+if _os.environ.get("DUCKDB_THREADS"):
+    con.execute(f"PRAGMA threads={int(_os.environ['DUCKDB_THREADS'])}")
 for t in ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]:
     # driver testdata ships single-file tables; ScaleUp output is a
