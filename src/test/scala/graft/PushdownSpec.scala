@@ -34,6 +34,23 @@ class PushdownSpec extends AnyFunSuite {
     assert(pushed.contains("LessThanOrEqual(l_discount"), pushed)
   }
 
+  test("R66: 500-literal IN plans as InSet and pushes whole to the scan") {
+    val df = SparkEntry.queries("q_large_in")(spark, dir)
+    // physical predicate is ONE hash-set probe (INSET), not a 500-branch
+    // OR chain
+    assert(df.queryExecution.executedPlan.toString.contains("INSET"),
+      "expected an InSet physical predicate")
+    val pushed = df.queryExecution.sparkPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f.metadata("PushedFilters")
+    }.mkString
+    assert(pushed.contains("In(l_partkey"), pushed.take(200))
+    // the In filter reaches the reader with ALL its values, not a prefix
+    val inList = "In\\(l_partkey, \\[([^\\]]*)\\]".r
+      .findFirstMatchIn(pushed).map(_.group(1)).getOrElse("")
+    assert(inList.split(",").length == 500,
+      s"expected all 500 IN values pushed, got ${inList.split(",").length}")
+  }
+
   test("S3: limit compiles to a bounded collect (CollectLimit/TakeOrdered)") {
     val p = planOf("q_limit")
     assert(p.contains("TakeOrderedAndProject") || p.contains("CollectLimit"), p)
