@@ -53,7 +53,13 @@ object Dedup2 {
           .select(col("doc_id"), col("lang"), Text.words(col("text")).as("w"))
           .withColumn("nw", size(col("w")))
           .filter(col("nw") >= 6)
-          .select((col("doc_id") + 1000000000L).as("doc_id"), col("lang"),
+          // pseudo-doc ids live in the NEGATIVE namespace: disjoint from
+          // real (non-negative) doc_ids at ANY scale factor — a fixed
+          // positive offset collided with replica ids at sf10 (ScaleUp
+          // steps 1e8/replica: +1e9 = replica i+10's ids), merging two
+          // docs' shingle sets under one key and making the rarest-
+          // shingle row_number tie-broken differently per engine
+          .select((-col("doc_id") - 1L).as("doc_id"), col("lang"),
             graft.functions.ShingleExpr.shingles3(
               slice(col("w"), lit(1), greatest(expr("nw div 3"), lit(3)))).as("sh"))
         val all = base.unionByName(exc)
@@ -110,7 +116,7 @@ object Dedup2 {
               |  FROM documents
               |  WHERE doc_id % 37 = 0
               |    AND len(string_split_regex(trim(text),'\\s+')) >= 6),
-              |exc AS (SELECT doc_id + 1000000000 AS doc_id, lang,
+              |exc AS (SELECT -doc_id - 1 AS doc_id, lang,
               |    list_distinct(list_transform(
               |      range(1, greatest(len(ws)-1, 1)),
               |      i -> array_to_string(ws[i:i+2], ' '))) AS sh
