@@ -139,9 +139,12 @@ object GraftQueries {
     val t = GraftTable.create(s, tmpRoot("tt"), o.schema, partitionKeys = Seq("o_orderstatus"))
     val s1 = t.append(o.filter(col("o_orderkey") % 3 === 0))
     t.append(o.filter(col("o_orderkey") % 3 =!= 0))
+    // exact-integer cent sum (q1_agg discipline): a raw double sum's
+    // last-ulp drift crosses the half-cent at sf10 row counts
     t.read(snapshotId = Some(s1))
       .groupBy("o_orderstatus")
-      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("s"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(round(col("o_totalprice") * 100).cast("long")) / 100.0, 2).as("s"))
       .orderBy("o_orderstatus")
   }
 
@@ -152,9 +155,11 @@ object GraftQueries {
     val o = T.orders(s, d).select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
     val t = GraftTable.create(s, tmpRoot("prune"), o.schema, partitionKeys = Seq("o_orderstatus"))
     t.append(o)
+    // exact-integer cent sum (q1_agg discipline)
     t.read(partitionFilter = Some(col("o_orderstatus") === "O"))
       .groupBy("o_orderpriority")
-      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("s"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(round(col("o_totalprice") * 100).cast("long")) / 100.0, 2).as("s"))
       .orderBy("o_orderpriority")
   }
 
@@ -234,9 +239,11 @@ object GraftQueries {
     val part = pmod(col("o_orderkey"), lit(3))
     (0 until 3).foreach(i => t.append(o.filter(part === i)))
     t.compactPartitions(col("o_orderstatus") === "O")
+    // exact-integer cent sum (q1_agg discipline)
     t.read()
       .groupBy(col("o_orderstatus").as("status"))
-      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("s"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(round(col("o_totalprice") * 100).cast("long")) / 100.0, 2).as("s"))
       .orderBy("status")
   }
 
@@ -779,7 +786,8 @@ object GraftQueries {
              |ORDER BY c_custkey""".stripMargin)),
     QDef("q_graft_compact_where", graftCompactWhere,
       Some("""SELECT o_orderstatus AS status, count(*) AS n,
-             |  round(sum(o_totalprice), 2) AS s
+             |  round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             |    / 100.0, 2) AS s
              |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
     QDef("q_graft_struct", graftStruct,
       Some("""SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
@@ -843,11 +851,15 @@ object GraftQueries {
              |FROM orders WHERE o_orderkey < 400
              |ORDER BY o_orderkey""".stripMargin)),
     QDef("q_graft_timetravel", graftTimeTravel,
-      Some("""SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice),2) AS s
+      Some("""SELECT o_orderstatus, count(*) AS n,
+             |  round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             |    / 100.0, 2) AS s
              |FROM orders WHERE o_orderkey % 3 = 0
              |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
     QDef("q_graft_partition_prune", graftPartitionPrune,
-      Some("""SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice),2) AS s
+      Some("""SELECT o_orderpriority, count(*) AS n,
+             |  round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             |    / 100.0, 2) AS s
              |FROM orders WHERE o_orderstatus = 'O'
              |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
     QDef("q_graft_partial_update", graftPartialUpdate,
