@@ -212,7 +212,10 @@ object Dedup2 {
           .filter(size(col("w")) > 0)
         val shifted = base
           .filter(col("doc_id") % 53 === 0 && size(col("w")) >= 24)
-          .select((col("doc_id") + 2000000000L).as("doc_id"),
+          // negative pseudo-id namespace (the L55 rule): a fixed positive
+          // offset collides with real replica ids at large scale factors
+          // and silently attributes the planted copy to a real doc
+          .select((-col("doc_id") - 1L).as("doc_id"),
             slice(col("w"), lit(4), size(col("w")) - 3).as("w"))
         val chunks = base.unionByName(shifted)
           .select(col("doc_id"),
@@ -230,7 +233,7 @@ object Dedup2 {
       Some(s"""WITH wd AS (SELECT doc_id, string_split_regex(trim(text),'\\s+') w
               |  FROM documents
               |  WHERE len(string_split_regex(trim(text),'\\s+')) > 0),
-              |sh AS (SELECT doc_id + 2000000000 AS doc_id, w[4:len(w)] AS w
+              |sh AS (SELECT -doc_id - 1 AS doc_id, w[4:len(w)] AS w
               |  FROM wd WHERE doc_id % 53 = 0 AND len(w) >= 24),
               |allw AS (SELECT * FROM wd UNION ALL SELECT * FROM sh),
               |bp AS (SELECT doc_id, w, len(w) AS n,
