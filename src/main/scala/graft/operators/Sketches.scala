@@ -93,16 +93,16 @@ object Sketches {
               |ORDER BY b.l_returnflag""".stripMargin)),
 
     /** L22 on the oracle surface: the KLL sketch end-to-end through the
-      * driver gate. Per-supplier lineitem groups hold ≤ ~700 rows at ANY
-      * scale factor (TPC-H row counts scale with supplier count), so
-      * k=2048 pins the sketch in its EXACT regime — no compaction ever
-      * fires, level 0 holds the whole group, and the weighted
-      * interpolation must equal DuckDB's quantile_cont bit-for-bit
-      * regardless of partitioning or merge order. This oracle-checks the
-      * full plumbing (TypedImperativeAggregate update/serialize/merge
-      * across a real shuffle, posexplode naming, interpolation math);
-      * compaction correctness under n ≫ k is PercentilesSpec's
-      * rank-error + split/merge-associativity property tests.
+      * driver gate, with k sized (from footer metadata, driver-side) to
+      * pin the sketch in its EXACT regime at the gate's scale — no
+      * compaction ever fires, level 0 holds the whole group, and the
+      * weighted interpolation must equal DuckDB's quantile_cont
+      * bit-for-bit regardless of partitioning or merge order. This
+      * oracle-checks the full plumbing (TypedImperativeAggregate
+      * update/serialize/merge across a real shuffle, posexplode naming,
+      * interpolation math); compaction correctness under n ≫ k is
+      * PercentilesSpec's rank-error + split/merge-associativity property
+      * tests.
       *
       * l_quantity (integral values) rather than l_extendedprice: with
       * integer endpoints and frac ∈ {0, .25, .5, .75} every interpolated
@@ -113,17 +113,28 @@ object Sketches {
       * engine differences — observed 3/300 rows). */
     QDef(
       "q_sketch_quantiles",
-      (s, d) =>
-        // k = 8192 keeps the ORACLE-GATED configuration in the sketch's
-        // exact regime through the sf1 scale-up gate (6k rows/group at
-        // sf1 < k; the driver SFs are ≤600/group) — quantile_cont can
-        // only oracle the exact regime. Compaction-regime correctness
-        // (rank error ≤ bound, split/merge associativity) is
-        // PercentilesSpec's property tests, not an equality oracle.
+      (s, d) => {
+        // The ORACLE-GATED configuration must stay in the sketch's exact
+        // regime (quantile_cont can only oracle exactness), and ScaleUp
+        // multiplies rows-per-supplier by the factor while COPYING the
+        // supplier dim — so a fixed k has a scale horizon (k=8192 died at
+        // sf10's 60k rows/group). Derive k from footer metadata instead:
+        // next power of two ≥ 4× the mean group size (uniform suppkeys;
+        // ScaleUp replicates every group exactly, so the ×4 margin is
+        // factor-invariant). Driver-side, zero scans, no oracle
+        // counterpart needed — exact quantiles don't depend on k.
+        // Compaction-regime correctness (rank error ≤ bound, split/merge
+        // associativity) is PercentilesSpec's property tests, not an
+        // equality oracle.
+        val rows = T.metadataRowCount(s, d, "lineitem")
+        val supp = math.max(T.metadataRowCount(s, d, "supplier"), 1L)
+        val mean = math.max(rows / supp, 512L)
+        val k = java.lang.Long.highestOneBit(mean * 4 - 1).toInt * 2
         Percentiles.approx(
             T.lineitem(s, d), Seq("l_suppkey"), "l_quantity",
-            Seq(("p25", 0.25), ("p50", 0.5), ("p75", 0.75)), k = 8192)
-          .orderBy("l_suppkey", "name"),
+            Seq(("p25", 0.25), ("p50", 0.5), ("p75", 0.75)), k = math.max(k, 8192))
+          .orderBy("l_suppkey", "name")
+      },
       Some("""WITH q AS (
              |  SELECT l_suppkey,
              |    quantile_cont(l_quantity, 0.25) AS p25,
