@@ -384,7 +384,14 @@ object Relational3 {
             expr("try_cast(CASE WHEN l_linenumber <= 3 " +
               "THEN CAST(l_linenumber AS STRING) ELSE l_returnflag END AS BIGINT)")
               .as("tc"),
-            expr("try_add(9223372036854775800L, l_orderkey)").as("ta"))
+            // overflow must be the RARE case: JVM try_add throws/catches
+            // ArithmeticException on overflow, and the first cut
+            // overflowed on ~every row (orderkey ≥ 8) — 60M exceptions
+            // at the sf10 gate turned a scan-bound query into minutes of
+            // exception control flow. One row in 512 overflows; the
+            // non-overflow path is an intrinsified Math.addExact.
+            expr("try_add(l_orderkey, CASE WHEN l_orderkey % 512 = 0 " +
+              "THEN 9223372036854775807L ELSE 0L END)").as("ta"))
           .groupBy("l_returnflag")
           .agg(count(lit(1)).as("n"),
             count(col("td")).as("n_div"),
@@ -402,7 +409,9 @@ object Relational3 {
              |    TRY_CAST(CASE WHEN l_linenumber <= 3
              |      THEN CAST(l_linenumber AS VARCHAR) ELSE l_returnflag END
              |      AS BIGINT) AS tc,
-             |    TRY_CAST(CAST(9223372036854775800 AS HUGEINT) + l_orderkey
+             |    TRY_CAST(CAST(l_orderkey AS HUGEINT)
+             |      + CASE WHEN l_orderkey % 512 = 0
+             |             THEN 9223372036854775807 ELSE 0 END
              |      AS BIGINT) AS ta
              |  FROM lineitem) t
              |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
