@@ -527,7 +527,110 @@ object Relational3 {
              |    AS cksum,
              |  CAST(bit_xor(('0x' || substr(md5(prender), 1, 15))::BIGINT) AS BIGINT)
              |    AS cksum_price
-             |FROM t GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+             |FROM t GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // R68: null-safe equality join (Spark `<=>` ≡ SQL IS NOT DISTINCT
+    // FROM — Presto's null-safe join face). The trap this pins: a plain
+    // equi-join DROPS rows whose key is NULL on either side (NULL = NULL
+    // is UNKNOWN), while the null-safe form matches NULL keys to each
+    // other — the semantics dimension tables with "unknown" buckets
+    // need. Plan shape matters as much as semantics: Spark's
+    // ExtractEquiJoinKeys lifts EqualNullSafe into ordinary hash/SMJ
+    // join keys (coalesce-wrapped), so this stays an equi-join — a
+    // planner without that extraction degrades to a nested-loop scan of
+    // every pair. Both sides pre-aggregate to ≤26 rows before the join,
+    // so the join itself is bounded at any corpus size. FULL OUTER +
+    // null-safe: right keys 20..24 exist only on the customer side and
+    // surface as unmatched rows; the NULL bucket matches across.
+    QDef(
+      "q_nullsafe_join",
+      (s, d) => {
+        val lk = when(pmod(col("o_custkey"), lit(7L)) === 0, lit(null))
+          .otherwise(pmod(col("o_custkey"), lit(20L)))
+        val rk = when(pmod(col("c_custkey"), lit(5L)) === 0, lit(null))
+          .otherwise(pmod(col("c_custkey"), lit(25L)))
+        val l = T.orders(s, d)
+          .select(lk.as("k"),
+            round(col("o_totalprice") * 100).cast("long").as("cents"))
+          .groupBy("k")
+          .agg(count(lit(1)).as("cnt_l"), sum("cents").as("cents_l"))
+        val r = T.customer(s, d)
+          .select(rk.as("k"))
+          .groupBy("k").agg(count(lit(1)).as("cnt_r"))
+        l.join(r, l("k") <=> r("k"), "full_outer")
+          .select(
+            coalesce(l("k").cast("string"), r("k").cast("string"), lit("NULL"))
+              .as("bucket"),
+            coalesce(col("cnt_l"), lit(0L)).as("cnt_l"),
+            coalesce(col("cents_l"), lit(0L)).as("cents_l"),
+            coalesce(col("cnt_r"), lit(0L)).as("cnt_r"))
+          .orderBy("bucket")
+      },
+      Some("""WITH l AS (SELECT CASE WHEN o_custkey % 7 = 0 THEN NULL
+             |      ELSE o_custkey % 20 END AS k,
+             |    count(*) AS cnt_l,
+             |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             |      AS cents_l
+             |  FROM orders GROUP BY 1),
+             |r AS (SELECT CASE WHEN c_custkey % 5 = 0 THEN NULL
+             |      ELSE c_custkey % 25 END AS k,
+             |    count(*) AS cnt_r
+             |  FROM customer GROUP BY 1)
+             |SELECT coalesce(CAST(l.k AS VARCHAR), CAST(r.k AS VARCHAR), 'NULL')
+             |    AS bucket,
+             |  CAST(coalesce(cnt_l, 0) AS BIGINT) AS cnt_l,
+             |  CAST(coalesce(cents_l, 0) AS BIGINT) AS cents_l,
+             |  CAST(coalesce(cnt_r, 0) AS BIGINT) AS cnt_r
+             |FROM l FULL JOIN r ON l.k IS NOT DISTINCT FROM r.k
+             |ORDER BY bucket""".stripMargin)),
+
+    // R69: histogram / map_agg family (Presto histogram(x),
+    // map_agg(k, v), map_union — the map-SHAPED aggregates). Graft
+    // renders the map scalar (§5: oracle cells must be scalar): the
+    // value histogram builds as an ordinary two-level aggregate — counts
+    // per (group, key) then a bounded per-group fold — NOT by
+    // collecting raw rows into a map state, so the shuffled state is one
+    // row per DISTINCT (group, key) pair regardless of corpus size. Keys
+    // render "k:v" BEFORE collect_list (priority strings are distinct
+    // per group, so the lexicographic sort_array IS the key order) and
+    // the map_union face shows two disjoint sub-corpus histograms
+    // merging by key-wise sum — associative, any partitioning.
+    QDef(
+      "q_histogram_map",
+      (s, d) => {
+        val half = (pmod(col("o_orderkey"), lit(2L)) === 0).cast("int")
+        val l1 = T.orders(s, d)
+          .select(col("o_orderstatus"), col("o_orderpriority"), half.as("h"))
+          .groupBy("o_orderstatus", "o_orderpriority")
+          .agg(count(lit(1)).as("cnt"), sum("h").as("cnt_even"))
+        l1.select(col("o_orderstatus"),
+            concat(col("o_orderpriority"), lit(":"), col("cnt")).as("kv"),
+            concat(col("o_orderpriority"), lit(":"), col("cnt_even"),
+              lit("+"), (col("cnt") - col("cnt_even"))).as("kv2"),
+            col("cnt"))
+          .groupBy("o_orderstatus")
+          .agg(
+            array_join(sort_array(collect_list(col("kv"))), ",").as("hist"),
+            array_join(sort_array(collect_list(col("kv2"))), ",").as("hist_union"),
+            count(lit(1)).cast("long").as("nkeys"),
+            sum("cnt").as("n"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""WITH l1 AS (SELECT o_orderstatus, o_orderpriority,
+             |    count(*) AS cnt,
+             |    CAST(sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS cnt_even
+             |  FROM orders GROUP BY 1, 2)
+             |SELECT o_orderstatus,
+             |  array_to_string(list(o_orderpriority || ':' || cnt
+             |    ORDER BY o_orderpriority || ':' || cnt), ',') AS hist,
+             |  array_to_string(list(o_orderpriority || ':' || cnt_even || '+'
+             |      || (cnt - cnt_even)
+             |    ORDER BY o_orderpriority || ':' || cnt_even || '+'
+             |      || (cnt - cnt_even)), ',') AS hist_union,
+             |  CAST(count(*) AS BIGINT) AS nkeys,
+             |  CAST(sum(cnt) AS BIGINT) AS n
+             |FROM l1 GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
   )
 
   /** R66's static IN-list: 500 distinct keys (97 coprime to 4000), baked

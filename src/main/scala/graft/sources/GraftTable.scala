@@ -3105,6 +3105,11 @@ class GraftTable private (
             case "sum" => sum(col(c)).over(wKey)
             case "min" => min(col(c)).over(wKey)
             case "max" => max(col(c)).over(wKey)
+            // XOR-fold (T30 checksum maintenance): commutative,
+            // associative AND self-inverse — re-applying a row's value
+            // RETRACTS it, so a CDC relay can maintain a live content
+            // checksum under inserts and deletes with +I rows alone
+            case "bit_xor" => call_function("bit_xor", col(c)).over(wKey)
             case "bool_and" => min(col(c)).over(wKey) // false < true
             case "bool_or" => max(col(c)).over(wKey)
             case "listagg" => array_join(collect_list(col(c)).over(wAsc), ",")

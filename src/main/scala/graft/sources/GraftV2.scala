@@ -1979,6 +1979,8 @@ private[sources] object MergeFns {
     case "max" => nullSkipping { (a, b) => if (ordering(dt).compare(a, b) >= 0) a else b }
     case "bool_and" => nullSkipping((a, b) => a.asInstanceOf[Boolean] && b.asInstanceOf[Boolean])
     case "bool_or" => nullSkipping((a, b) => a.asInstanceOf[Boolean] || b.asInstanceOf[Boolean])
+    // XOR-fold (T30): self-inverse — re-applying a value retracts it
+    case "bit_xor" => nullSkipping(xor(dt))
     case "listagg" => nullSkipping((a, b) =>
       UTF8String.concat(a.asInstanceOf[UTF8String], Comma, b.asInstanceOf[UTF8String]))
     case "product" => nullSkipping(mult(dt))
@@ -2032,6 +2034,14 @@ private[sources] object MergeFns {
       a.asInstanceOf[org.apache.spark.sql.types.Decimal] +
         b.asInstanceOf[org.apache.spark.sql.types.Decimal]
     case other => throw new IllegalArgumentException(s"sum unsupported for type $other")
+  }
+
+  private def xor(dt: DataType): (Any, Any) => Any = dt match {
+    case ByteType => (a, b) => (a.asInstanceOf[Byte] ^ b.asInstanceOf[Byte]).toByte
+    case ShortType => (a, b) => (a.asInstanceOf[Short] ^ b.asInstanceOf[Short]).toShort
+    case IntegerType => (a, b) => a.asInstanceOf[Int] ^ b.asInstanceOf[Int]
+    case LongType => (a, b) => a.asInstanceOf[Long] ^ b.asInstanceOf[Long]
+    case other => throw new IllegalArgumentException(s"bit_xor unsupported for type $other")
   }
 
   /** product keeps the declared integral/floating type (the window

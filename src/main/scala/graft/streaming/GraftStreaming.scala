@@ -276,6 +276,50 @@ object GraftStreaming {
         } finally { batch.unpersist(); () }
       }
 
+  /** T30: continuous replication-validation checksums — the STREAMING
+    * face of the R67 order-independent checksum. A changelog stream
+    * maintains a LIVE per-group content checksum in an
+    * aggregation-merge-engine table (PK = group; `cksum` folds with
+    * `bit_xor`, `n` with `sum`), so "does the replica still equal the
+    * source?" is a bounded read of the checksum table instead of a
+    * 100 TB sort-and-compare. The algebra that makes deletes work with
+    * INSERT rows alone: XOR is self-inverse, so re-applying a row's
+    * hash RETRACTS it — +I/+U contribute (hash, +1), -U/-D contribute
+    * (hash, -1), and unlike replicateStream the -U pre-image is
+    * ESSENTIAL (it retracts the pre-update rendering that +U's
+    * post-image replaces). Each micro-batch pre-folds to ONE delta row
+    * per touched group (bit_xor of hashes, sum of signs) before the
+    * upsert — shuffled state is group-bounded, never batch-row-bounded,
+    * and the merge engine folds deltas across batches associatively. A
+    * group whose rows are all deleted converges to (cksum=0, n=0) — the
+    * reader face filters n != 0. Validation = compare the table against
+    * [[rowChecksum]] re-aggregated over the current source/replica
+    * state; equality is an equality WITNESS under any partitioning and
+    * any arrival order (the R67 argument, live). */
+  def checksumStream(
+      changelog: DataFrame,
+      target: GraftTable,
+      grpCol: String,
+      renderCols: Seq[String]): DataStreamWriter[Row] =
+    changelog.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val sign = when(col("rowkind").isin("+I", "+U"), lit(1L)).otherwise(lit(-1L))
+        val delta = batch
+          .filter(col("rowkind").isin("+I", "+U", "-U", "-D"))
+          .select(col(grpCol), rowChecksum(renderCols).as("cksum"), sign.as("n"))
+          .groupBy(grpCol)
+          .agg(expr("bit_xor(cksum)").as("cksum"), sum("n").as("n"))
+        if (!delta.isEmpty) { target.upsert(delta); () }
+      }
+
+  /** The canonical row hash both the maintenance stream and the
+    * validation recompute share: '|'-joined rendered columns → md5 →
+    * first 15 hex digits (60 bits, inside BIGINT) — the R67 rendering,
+    * so a batch recompute with DuckDB's md5 is bit-identical too. */
+  def rowChecksum(renderCols: Seq[String]): org.apache.spark.sql.Column =
+    expr(s"CAST(conv(substr(md5(concat_ws('|', ${renderCols.mkString(", ")})), 1, 15), 16, 10) AS BIGINT)")
+
   /** Streaming grouped approx-distinct: the KMV sketch as
     * mapGroupsWithState STATE — the mergeable-summary property (SURVEY
     * L15) is exactly what makes unbounded-stream aggregation bounded:

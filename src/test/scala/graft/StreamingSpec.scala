@@ -1100,4 +1100,68 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
     assert(rows == Seq((1, "a"), (2, "b2"), (3, "c"), (4, "d"), (5, "e")))
   }
+
+  test("T30: streaming replication-validation checksums — live per-group bit_xor under insert/update/delete") {
+    val srcPath = TestSpark.tmpDir("cksum_src")
+    val aggPath = TestSpark.tmpDir("cksum_agg")
+    val schema = StructType(Seq(StructField("k", IntegerType),
+      StructField("grp", StringType), StructField("v", StringType),
+      StructField("seq", LongType)))
+    val src = GraftTable.create(spark, srcPath, schema,
+      primaryKeys = Seq("k"),
+      options = Map("sequence.field" -> "seq", "changelog-producer" -> "lookup"))
+    // the live checksum table: one row per group, cksum XOR-folds, n sums
+    val agg = GraftTable.create(spark, aggPath,
+      StructType(Seq(StructField("grp", StringType),
+        StructField("cksum", LongType), StructField("n", LongType))),
+      primaryKeys = Seq("grp"),
+      options = Map("merge-engine" -> "aggregation",
+        "fields.cksum.aggregate-function" -> "bit_xor",
+        "fields.n.aggregate-function" -> "sum"))
+    // the rendered identity excludes seq (a replica may re-sequence);
+    // all render cols are non-null here (concat_ws would silently skip
+    // a NULL — callers render nullable cols via explicit coalesce)
+    val render = Seq("CAST(k AS STRING)", "grp", "v")
+    def expect(): Map[String, (Long, Long)] =
+      src.read()
+        .select(col("grp"), GraftStreaming.rowChecksum(render).as("h"))
+        .groupBy("grp")
+        .agg(expr("bit_xor(h)").as("cksum"), count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def got(): Map[String, (Long, Long)] =
+      agg.read().filter(col("n") =!= 0L)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    src.upsert(Seq((1, "g1", "a", 1L), (2, "g1", "b", 1L), (3, "g2", "c", 1L))
+      .toDF("k", "grp", "v", "seq"))
+    val changelog = spark.readStream.format("graft")
+      .option("readChangelog", "true").load(srcPath)
+    val q = GraftStreaming.checksumStream(changelog, agg, "grp", render).start()
+    try {
+      q.processAllAvailable()
+      assert(got() == expect(), s"after initial load: ${got()} vs ${expect()}")
+      // update (the -U pre-image must retract the OLD rendering), insert,
+      // and delete across separate commits
+      src.upsert(Seq((1, "g1", "a2", 2L), (4, "g2", "d", 2L))
+        .toDF("k", "grp", "v", "seq"))
+      src.delete(Seq((2, "g1", "b", 3L)).toDF("k", "grp", "v", "seq"))
+      q.processAllAvailable()
+      assert(got() == expect(), s"after update+insert+delete: ${got()} vs ${expect()}")
+      // empty out g2 entirely: its row converges to (cksum=0, n=0) and
+      // drops from the n!=0 reader face, matching the recompute exactly
+      src.delete(Seq((3, "g2", "c", 4L), (4, "g2", "d", 4L))
+        .toDF("k", "grp", "v", "seq"))
+      q.processAllAvailable()
+      assert(got() == expect(), s"after emptying g2: ${got()} vs ${expect()}")
+      assert(!got().contains("g2"))
+      // a divergence IS visible: flip one replica-side row's rendering
+      // and the checksums disagree (the witness property)
+      val tampered = expect() + ("g1" -> (expect()("g1")._1 ^ 5L, expect()("g1")._2))
+      assert(tampered != got())
+      // both read paths fold bit_xor identically (window fold vs the V2
+      // merge-on-read combiner)
+      val v2 = spark.read.format("graft").load(aggPath).filter(col("n") =!= 0L)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(v2 == got(), s"V2 read diverged from window fold: $v2 vs ${got()}")
+    } finally q.stop()
+  }
 }

@@ -16,8 +16,10 @@ for q in $(cat "$NAMES"); do
     continue
   fi
   # keep the FULL oracle map in place (a concurrently-finishing Verify
-  # pass may overwrite it with a subset vintage)
-  cp /tmp/verify_new/oracle_sql.json "$OUT/oracle_sql.json" 2>/dev/null || true
+  # pass may overwrite it with a subset vintage). ORACLE_JSON points at a
+  # pre-dumped full map (Verify <sf> <dir> __none__ writes it without
+  # running any query).
+  cp "${ORACLE_JSON:-/tmp/verify_new/oracle_sql.json}" "$OUT/oracle_sql.json" 2>/dev/null || true
   DUCKDB_THREADS=${DUCKDB_THREADS:-8} python3 "$REPO/tools/compare.py" "$SF" "$OUT" "$q" \
     | grep -E "^(ok|FAIL|WARN)" >> "$LOG"
 done
