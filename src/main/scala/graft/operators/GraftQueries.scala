@@ -13,16 +13,46 @@ import org.apache.spark.sql.functions._
   */
 object GraftQueries {
 
-  private[operators] def tmpRoot(prefix: String): String = {
-    val base = new java.io.File("target/graft-tmp")
+  /** Per-PROCESS scratch base (target/graft-tmp/<pid>): two JVMs sharing
+    * a cwd — a gate Verify and a concurrently-running test suite — must
+    * never GC or race each other's live scratch tables (r17: the
+    * plan-audit JVM and a Verify JVM both ran q_graft_delete's lifecycle
+    * at the shared fixed path and one died with "conflicting commit for
+    * snapshot 1"). Bases of DEAD processes are best-effort reaped once
+    * per JVM, so disk stays bounded across runs; live siblings are
+    * untouchable by construction. */
+  private[operators] lazy val scratchBase: java.io.File = {
+    val root = new java.io.File("target/graft-tmp")
+    root.mkdirs()
+    val pid = ProcessHandle.current().pid()
+    Option(root.listFiles()).getOrElse(Array.empty).filter(_.isDirectory).foreach { d =>
+      val dead = d.getName.toLongOption match {
+        case Some(p) => p != pid && !ProcessHandle.of(p).isPresent
+        // legacy flat layout (no pid dir): only reap when old enough
+        // that no live pre-pid-layout JVM can still be using it
+        case None => d.lastModified < System.currentTimeMillis() - 6L * 3600 * 1000
+      }
+      if (dead) { scala.reflect.io.Directory(scala.reflect.io.Path(d)).deleteRecursively(); () }
+    }
+    val base = new java.io.File(root, pid.toString)
     base.mkdirs()
-    // best-effort GC of previous runs' throwaway tables for this query
+    base
+  }
+
+  private[operators] def tmpRoot(prefix: String): String = {
+    val base = scratchBase
+    // best-effort GC of this JVM's previous throwaway tables for this query
     Option(base.listFiles()).getOrElse(Array.empty)
       .filter(_.getName.startsWith(s"$prefix-"))
       .foreach(dir => scala.reflect.io.Directory(dir).deleteRecursively())
     new java.io.File(base, s"$prefix-${java.util.UUID.randomUUID().toString.take(8)}")
       .getAbsolutePath
   }
+
+  /** Fixed-name catalog warehouses get the same per-process isolation
+    * (within one JVM the queries DROP/CREATE idempotently). */
+  private def scratchWarehouse(name: String): String =
+    new java.io.File(scratchBase, name).getAbsolutePath
 
   /** events through a PK table: two upsert commits (even/odd event_id),
     * merge-on-read by sequence.field (ts,event_id) ⇒ latest event per
@@ -309,7 +339,7 @@ object GraftQueries {
     * store upsert them in place. The filter is a plain metadata-column
     * predicate; no diff join, no full-table rewrite. */
   private def graftLineageDiff(s: SparkSession, d: String): DataFrame = {
-    val wh = new java.io.File("target/graft-tmp/lindiffwh").getAbsolutePath
+    val wh = scratchWarehouse("lindiffwh")
     s.conf.set("spark.sql.catalog.graftld", "graft.sources.GraftSparkCatalog")
     s.conf.set("spark.sql.catalog.graftld.warehouse", wh)
     s.sql("CREATE NAMESPACE IF NOT EXISTS graftld.q")
@@ -342,7 +372,7 @@ object GraftQueries {
     * (task-ordered file assignment), so they clamp to -1 both sides;
     * their `_sequence_number` (the MERGE commit) stays exact. */
   private def graftRowLevel(s: SparkSession, d: String): DataFrame = {
-    val wh = new java.io.File("target/graft-tmp/rowlvlwh").getAbsolutePath
+    val wh = scratchWarehouse("rowlvlwh")
     s.conf.set("spark.sql.catalog.graftrl", "graft.sources.GraftSparkCatalog")
     s.conf.set("spark.sql.catalog.graftrl.warehouse", wh)
     s.sql("CREATE NAMESPACE IF NOT EXISTS graftrl.q")
@@ -387,7 +417,7 @@ object GraftQueries {
     * and prove the listing equals the data's distinct partition values.
     * Ref: Paimon's Spark `SHOW PARTITIONS` surface. */
   private def graftPartitions(s: SparkSession, d: String): DataFrame = {
-    val wh = new java.io.File("target/graft-tmp/showpartwh").getAbsolutePath
+    val wh = scratchWarehouse("showpartwh")
     s.conf.set("spark.sql.catalog.graftsp", "graft.sources.GraftSparkCatalog")
     s.conf.set("spark.sql.catalog.graftsp.warehouse", wh)
     s.sql("CREATE NAMESPACE IF NOT EXISTS graftsp.q")
@@ -529,7 +559,7 @@ object GraftQueries {
     * Ref: Paimon deletion-vectors.enabled (the reference connector
     * predates it); DeletionVector.scala for the sidecar format. */
   private def graftDv(s: SparkSession, d: String): DataFrame = {
-    val wh = new java.io.File("target/graft-tmp/dvwh").getAbsolutePath
+    val wh = scratchWarehouse("dvwh")
     s.conf.set("spark.sql.catalog.graftdv", "graft.sources.GraftSparkCatalog")
     s.conf.set("spark.sql.catalog.graftdv.warehouse", wh)
     s.sql("CREATE NAMESPACE IF NOT EXISTS graftdv.q")
@@ -551,7 +581,7 @@ object GraftQueries {
     * (tombstone -D commit the merge hides), SELECT — the oracle applies
     * the negated predicate to raw customer. */
   private def graftDelete(s: SparkSession, d: String): DataFrame = {
-    val wh = new java.io.File("target/graft-tmp/delwh").getAbsolutePath
+    val wh = scratchWarehouse("delwh")
     s.conf.set("spark.sql.catalog.graftq", "graft.sources.GraftSparkCatalog")
     s.conf.set("spark.sql.catalog.graftq.warehouse", wh)
     s.sql("CREATE NAMESPACE IF NOT EXISTS graftq.q")
@@ -572,7 +602,7 @@ object GraftQueries {
     * update), SELECT — the oracle replays both commands as CASE
     * expressions over raw part. */
   private def graftUpdate(s: SparkSession, d: String): DataFrame = {
-    val wh = new java.io.File("target/graft-tmp/updwh").getAbsolutePath
+    val wh = scratchWarehouse("updwh")
     s.conf.set("spark.sql.catalog.graftu", "graft.sources.GraftSparkCatalog")
     s.conf.set("spark.sql.catalog.graftu.warehouse", wh)
     s.sql("CREATE NAMESPACE IF NOT EXISTS graftu.q")
