@@ -50,6 +50,21 @@ object Dedup {
   val Bands = 4
   val RowsPerBand = 3
 
+  /** LSH band-bucket cap — the banding analogue of [[DfCap]]: a band
+    * value shared by more than BandCap docs generates NO candidates. A
+    * bucket of size s yields s(s-1)/2 pairs, and a "boilerplate family"
+    * of sub-threshold-similar docs (J ≈ 0.2, BELOW Tau) shares band
+    * values at rate ~J^RowsPerBand per band — so family buckets grow
+    * linearly with family size and candidates QUADRATICALLY (measured:
+    * sf1→sf10 bench ratio 26× at 10× data; at sf10, 91% of all 4.25M
+    * candidate pairs came from >16-doc buckets, max bucket 240). True
+    * near-dup pairs (J ≥ Tau) collide in buckets of ~2 + chance
+    * cohabitants, far below the cap. Chosen ABOVE every bucket size at
+    * the driver-oracle SFs (max observed: 4 at sf0.1), so local pair
+    * sets are bit-identical with or without the cap — and the DuckDB
+    * oracle replays the cap, so parity holds at scales where it bites. */
+  val BandCap = 16L
+
   /** DuckDB expr: distinct 3-word shingles of `text`. */
   private[operators] val ShSql =
     """list_distinct(list_transform(
@@ -248,8 +263,15 @@ object Dedup {
       concat_ws("_", lit(b) +: ms: _*)
     }
     val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
-    val cand = bands.as("a")
-      .join(bands.as("b"),
+    // BandCap: crowded buckets out of candidate generation (see the val
+    // doc) — the semi-join shares the band key with the self-join below,
+    // so both shuffles co-partition
+    val keep = bands.join(
+      bands.groupBy("band").agg(count(lit(1)).as("bn"))
+        .filter(col("bn") <= lit(BandCap)).select("band"),
+      Seq("band"), "left_semi")
+    val cand = keep.as("a")
+      .join(keep.as("b"),
         col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
@@ -269,8 +291,10 @@ object Dedup {
        |      FROM w WHERE len(sh) > 0),
        |sig AS (SELECT doc_id, sh, [${mhExprs.mkString(", ")}] mh FROM h),
        |er AS (SELECT doc_id, unnest([${bandExprs.mkString(", ")}]) g FROM sig),
+       |bs AS (SELECT g FROM er GROUP BY g HAVING count(*) <= $BandCap),
+       |erk AS (SELECT er.* FROM er JOIN bs USING (g)),
        |cand AS (SELECT DISTINCT a.doc_id d1, b.doc_id d2
-       |  FROM er a JOIN er b ON a.g = b.g AND a.doc_id < b.doc_id),
+       |  FROM erk a JOIN erk b ON a.g = b.g AND a.doc_id < b.doc_id),
        |$JaccardVerifySql""".stripMargin
   }
 
