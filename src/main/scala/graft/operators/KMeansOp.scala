@@ -117,16 +117,25 @@ object KMeansOp {
     * per-(cluster, dim) sums are then exact under ANY partitioning and
     * every centroid double is bit-identical to the SQL replay. */
   def fitReplayable(df: DataFrame, idCol: String, vecCol: String, k: Int,
-      iters: Int): Array[Array[Double]] = {
-    require(k >= 1 && iters >= 1)
-    val base = normalized(df, idCol, vecCol)
+      iters: Int, sampleDivisor: Long = 1L): Array[Array[Double]] = {
+    require(k >= 1 && iters >= 1 && sampleDivisor >= 1)
+    // bounded-sample trainer (L32 scale path): seeds and every Lloyd
+    // round run over the deterministic `polyhash(id) % d = 0` subset —
+    // mirrored by lloydCtes' `vt` CTE, so the replayed-trainer SQL sees
+    // the SAME training set. The consumer's final full-corpus
+    // assignment is untouched. d = 1 keeps today's full-corpus trainer.
+    val all = normalized(df, idCol, vecCol)
+    val base = (if (sampleDivisor == 1L) all
+      else all.filter(
+        graft.functions.HashExpr.polyHash(col("__id").cast("string"))
+          % lit(sampleDivisor) === 0))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val seeds = base
         .orderBy(graft.functions.HashExpr.polyHash(col("__id").cast("string")), col("__id"))
         .limit(k)
         .select("__v").collect().map(_.getSeq[Double](0).toArray)
-      require(seeds.length == k, s"corpus has fewer than $k vectors")
+      require(seeds.length == k, s"training sample has fewer than $k vectors")
       lloyd(base, seeds, iters, 0.0)._1
     } finally base.unpersist()
   }
@@ -218,10 +227,10 @@ object KMeansOp {
     scala.collection.concurrent.TrieMap[String, Array[Array[Double]]]()
   private[operators] def trainedCentroids(
       s: org.apache.spark.sql.SparkSession, d: String,
-      k: Int, iters: Int = KmIters): Array[Array[Double]] =
+      k: Int, iters: Int = KmIters, sampleDivisor: Long = 1L): Array[Array[Double]] =
     centCache.getOrElseUpdate(
-      s"${s.sparkContext.applicationId}:${System.identityHashCode(s)}:$d:$k:$iters",
-      fitReplayable(quantizedEmbeddings(s, d), "vec_id", "qv", k, iters))
+      s"${s.sparkContext.applicationId}:${System.identityHashCode(s)}:$d:$k:$iters:$sampleDivisor",
+      fitReplayable(quantizedEmbeddings(s, d), "vec_id", "qv", k, iters, sampleDivisor))
 
   /** DuckDB replay of the full quantized Lloyd's run (r8 verdict #3 —
     * q_kmeans previously verified nothing at the driver). The rounds are
@@ -249,8 +258,15 @@ object KMeansOp {
 
   /** As above with k as a SQL scalar expression — lets an oracle derive
     * the centroid count from the corpus itself (Similarity.semKFor's
-    * corpus-scaled k), since oracle strings are static per query. */
-  private[operators] def lloydCtes(kSql: String, iters: Int, scale: Double): String = {
+    * corpus-scaled k), since oracle strings are static per query.
+    * `dSql` is the TRAINING-SAMPLE divisor (SQL scalar, default 1 = no
+    * sampling): seeds and every Lloyd round run over the `hv % d = 0`
+    * subset (`vt`) while `vv` stays the full corpus for the consumer's
+    * final assignment — the bounded-sample trainer that keeps the
+    * n·K round cost from going quadratic when K itself scales with the
+    * corpus (L32). With d = 1, vt ≡ vv and results are unchanged. */
+  private[operators] def lloydCtes(kSql: String, iters: Int, scale: Double,
+      dSql: String = "1"): String = {
     // parity-exact per-element quantizer (see VecImpl.quantize)
     val q = s"CAST(x AS DOUBLE)*$scale"
     val quant = s"CASE WHEN $q >= 0 THEN floor($q + 0.5) ELSE -floor(-($q) + 0.5) END"
@@ -271,7 +287,7 @@ object KMeansOp {
          |a$r AS MATERIALIZED (SELECT vec_id, v, c FROM (
          |    SELECT a.vec_id, a.v, c.c,
          |      row_number() OVER (PARTITION BY a.vec_id ORDER BY $dist, c.c) AS rn
-         |    FROM vv a CROSS JOIN cn${r - 1} c) WHERE rn = 1),
+         |    FROM vt a CROSS JOIN cn${r - 1} c) WHERE rn = 1),
          |e$r AS (SELECT c, unnest(v) AS x, unnest(range(1, len(v)+1)) AS p FROM a$r),
          |m$r AS MATERIALIZED (SELECT c, list(cm ORDER BY p) AS cv FROM (
          |    SELECT c, p, sum(x)/count(*) AS cm FROM e$r GROUP BY c, p) GROUP BY c),
@@ -283,9 +299,11 @@ object KMeansOp {
        |vv AS MATERIALIZED (SELECT vec_id, v,
        |    list_reduce(list_cat([0.0], list_transform(v, x -> x*x)), (p,x) -> p+x) AS vn2
        |  FROM v0 WHERE v IS NOT NULL),
-       |hh AS (SELECT vec_id, v, $polyId AS hv FROM vv),
+       |hh AS (SELECT vec_id, v, vn2, $polyId AS hv FROM vv),
+       |vt AS MATERIALIZED (SELECT vec_id, v, vn2, hv FROM hh
+       |  WHERE (hv % ($dSql)) = 0),
        |c0 AS MATERIALIZED (SELECT cid - 1 AS c, cv FROM (
-       |    SELECT row_number() OVER (ORDER BY hv, vec_id) AS cid, v AS cv FROM hh)
+       |    SELECT row_number() OVER (ORDER BY hv, vec_id) AS cid, v AS cv FROM vt)
        |  WHERE cid <= ($kSql)),
        |$rounds""".stripMargin
   }

@@ -244,6 +244,20 @@ object Similarity {
   private[graft] def semKFor(n: Long): Int =
     math.max(IvfK, math.ceil(n.toDouble / SemTargetCell).toInt)
 
+  /** L32 bounded-sample trainer cap: the semantic quantizer's k scales
+    * with the corpus (semKFor), so a FULL-corpus Lloyd round costs
+    * n·k = n²/SemTargetCell — quadratic (measured: the one >linear
+    * bench ratio left at the r17 sf1→sf10 gate, 11.3× at 10× data).
+    * Training on the deterministic `polyhash(vec_id) % d = 0` sample
+    * with d = ceil(n / SemTrainCap) bounds rounds at ~SemTrainCap·k.
+    * INTEGER ceiling rule on the raw footer/count(*) basis — replayed
+    * verbatim in the oracle (§5: never an FP ratio). d = 1 at every
+    * driver-oracle SF (n ≤ 20k), so those results are unchanged; the
+    * cap must stay ≫ k (true while n ≤ SemTrainCap·SemTargetCell). */
+  private[graft] val SemTrainCap = 50000L
+  private[graft] def semTrainDivisorFor(n: Long): Long =
+    (n + SemTrainCap - 1) / SemTrainCap
+
   /** Embedding-space (semantic) near-dup detection (L32): bucket the
     * corpus into k-means cells via the replayable trainer, then exact
     * cosine over WITHIN-CELL pairs only — the embedding-cosine member
@@ -258,8 +272,10 @@ object Similarity {
     * nprobe move); the oracle-checked entry keeps nprobe=1 for the
     * candidate set the SQL replays. */
   private def dedupSemantic(s: SparkSession, d: String): DataFrame = {
-    val k = semKFor(T.metadataRowCount(s, d, "embeddings"))
-    val centDf = centFrame(s, KMeansOp.trainedCentroids(s, d, k))
+    val nRows = T.metadataRowCount(s, d, "embeddings")
+    val k = semKFor(nRows)
+    val centDf = centFrame(s, KMeansOp.trainedCentroids(s, d, k,
+      sampleDivisor = semTrainDivisorFor(nRows)))
     val n = normed(s, d)
     val wAssign = Window.partitionBy("vec_id").orderBy(desc("ccos"), col("cent_id"))
     val cells = n.crossJoin(broadcast(centDf))
@@ -666,7 +682,8 @@ object Similarity {
       // so the static oracle stays exact at ANY corpus size
       Some(s"""WITH ${KMeansOp.lloydCtes(
                 s"SELECT greatest($IvfK, CAST(ceil(count(*) / $SemTargetCell.0) AS BIGINT)) FROM embeddings",
-                KMeansOp.KmIters, KMeansOp.KmScale)},
+                KMeansOp.KmIters, KMeansOp.KmScale,
+                dSql = s"SELECT (count(*) + ${SemTrainCap - 1}) // $SemTrainCap FROM embeddings")},
               |$NormedSql,
               |cent AS (SELECT c AS cent_id, cv,
               |    sqrt(list_reduce(list_cat([0.0], list_transform(cv, x -> x*x)), (p,x) -> p+x)) AS cn
