@@ -702,10 +702,7 @@ object Curation {
       Some(s"""WITH w AS (SELECT doc_id, ${Dedup.ShSql} sh FROM documents),
               |e AS (SELECT doc_id, unnest(sh) g FROM w),
               |${Dedup.PrefixCandSql},
-              |jv AS (SELECT d1, d2,
-              |  CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE)
-              |    / len(list_distinct(list_cat(s1.sh, s2.sh))) jr
-              |  FROM cand JOIN w s1 ON d1 = s1.doc_id JOIN w s2 ON d2 = s2.doc_id),
+              |${Dedup.jrCtesSql("jv")},
               |dropd AS (SELECT DISTINCT d2 FROM jv WHERE jr >= ${Dedup.Tau}),
               |k0 AS (SELECT doc_id,
               |  md5(array_to_string(string_split_regex(trim(text),'\\s+')[1:8],' ')) k

@@ -90,7 +90,7 @@ object Dedup {
     * persisted. At 100 TB this is the stage a pipeline materializes to a
     * staged table; here the same sharing is an in-memory persist. */
   private val shingleCache = scala.collection.concurrent.TrieMap[String, DataFrame]()
-  private[operators] def docsWithShingles(s: SparkSession, d: String): DataFrame =
+  private[graft] def docsWithShingles(s: SparkSession, d: String): DataFrame =
     shingleCache.getOrElseUpdate(cacheKey(s, d), {
       val df = T.documents(s, d)
         .select(col("doc_id"), Text.words(col("text")).as("w"))
@@ -134,6 +134,12 @@ object Dedup {
     */
   private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
     val docs = docsWithShingles(s, d)
+    verifyJaccard(stageCandTracked(s"ppjoin:${cacheKey(s, d)}",
+      jaccardCandidates(docs)), docs)
+  }
+
+  /** The PPJoin candidate stage alone (exposed for scale probes). */
+  private[graft] def jaccardCandidates(docs: DataFrame): DataFrame = {
     // Shingle document frequency as a map-side-combinable groupBy joined
     // back on g, NOT count().over(Window.partitionBy("g")): shingle df is
     // Zipfian, and a window puts EVERY occurrence of the hottest shingle
@@ -141,25 +147,36 @@ object Dedup {
     // groupBy is partial-aggregated before the shuffle and AQE's skew
     // handling splits the join back (it cannot split window partitions).
     // Per-doc size is size(sh) directly (shingles are distinct per doc).
+    // Candidate generation keys on the md5-60-bit HASH of the shingle,
+    // not the shingle string: the exploded frame (corpus × ~40 shingles)
+    // crosses three shuffles (df groupBy, join-back, prefix self-join),
+    // and an 8-byte key vs a ~30-byte string cuts that volume ~3× — at
+    // sf100 the string formulation exhausted 58 GB of single-box spill.
+    // Verification still compares full shingle SETS, and the oracle
+    // keys on the identical hash (R67's cross-engine md5 rendering), so
+    // parity is by construction; 60-bit space keeps collisions
+    // negligible (~10⁻²) up to billions of distinct shingles, unlike
+    // the 30-bit polyhash.
     val ex = docs.select(col("doc_id"), size(col("sh")).cast("long").as("sz"),
       explode(col("sh")).as("g"))
+      .select(col("doc_id"), col("sz"),
+        expr("CAST(conv(substr(md5(g),1,15),16,10) AS BIGINT)").as("hg"))
     // PPJoin df-cap: hot shingles never enter the join-back (cuts the
     // skew-join volume) nor the prefix self-join (cuts the D² candidate
     // blowup). See DfCap for why this is lossless at the oracle SFs.
-    val dfreq = ex.groupBy("g").agg(count(lit(1)).as("c"))
+    val dfreq = ex.groupBy("hg").agg(count(lit(1)).as("c"))
       .filter(col("c") <= lit(DfCap))
-    val prefix = ex.join(dfreq, "g")
+    val prefix = ex.join(dfreq, "hg")
       .withColumn("rn",
-        row_number().over(Window.partitionBy("doc_id").orderBy("c", "g")))
+        row_number().over(Window.partitionBy("doc_id").orderBy("c", "hg")))
       .filter(col("rn") <= col("sz") - expr("(sz*4+4) div 5") + 1)
-      .select("doc_id", "g", "sz")
-    val cand = prefix.as("a")
+      .select("doc_id", "hg", "sz")
+    prefix.as("a")
       .join(prefix.as("b"),
-        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id") &&
+        col("a.hg") === col("b.hg") && col("a.doc_id") < col("b.doc_id") &&
           greatest(col("a.sz"), col("b.sz")) * 4 <= least(col("a.sz"), col("b.sz")) * 5)
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
-    verifyJaccard(stageCandTracked(s"ppjoin:${cacheKey(s, d)}", cand), docs)
   }
 
   /** Materialize a candidate-pair frame before verification: verify
@@ -195,7 +212,7 @@ object Dedup {
     * materialization — at 100 TB the shuffle is (pairs × avg-set-size)
     * rows of (long,long,string), never whole documents. Same value as
     * the array formulation (the oracle keeps the array form). */
-  private[operators] def verifyJaccard(cand: DataFrame, docs: DataFrame): DataFrame = {
+  private[graft] def verifyJaccard(cand: DataFrame, docs: DataFrame): DataFrame = {
     // verification is CANDIDATE-ONLY all the way down: semi-join the
     // corpus to the candidate id set BEFORE exploding — otherwise the
     // whole exploded corpus shuffles into the d1 join just to be
@@ -204,15 +221,26 @@ object Dedup {
     val ids = cand.select(col("d1").as("doc_id"))
       .union(cand.select(col("d2").as("doc_id"))).distinct()
     val cdocs = docs.join(ids, Seq("doc_id"), "left_semi")
-    val ex = cdocs.select(col("doc_id"), explode(col("sh")).as("g"))
-    val sizes = cdocs.select(col("doc_id"), size(col("sh")).as("sz"))
-    val inter = cand
-      .join(ex.select(col("doc_id").as("d1"), col("g")), "d1")
-      .join(ex.select(col("doc_id").as("d2"), col("g")), Seq("d2", "g"))
-      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), "d1")
-      .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2")), "d2")
+    // Intersection via per-doc HASHED-shingle sets + codegen'd
+    // array_intersect, NOT a pair × shingles explode-join: candidates ×
+    // ~shingles-per-doc rows (20M × 63 = 1.26 BILLION at sf100) through
+    // two sort-joins exhausted 58 GB of single-box spill — the set
+    // formulation ships each pair's two ~8B/element arrays exactly once.
+    // Both engines intersect the SAME md5-60-bit hashes (set semantics
+    // on both — Spark array_intersect and DuckDB list_intersect dedup),
+    // so parity is by construction; |union| = sz1 + sz2 − |∩| with the
+    // string-distinct sizes, identical arithmetic both sides.
+    val hset = cdocs.select(col("doc_id"), size(col("sh")).as("sz"),
+        explode(col("sh")).as("g"))
+      .select(col("doc_id"), col("sz"),
+        expr("CAST(conv(substr(md5(g),1,15),16,10) AS BIGINT)").as("hg"))
+      .groupBy("doc_id", "sz").agg(collect_list("hg").as("hs"))
+    cand
+      .join(hset.select(col("doc_id").as("d1"), col("sz").as("sz1"),
+        col("hs").as("hs1")), "d1")
+      .join(hset.select(col("doc_id").as("d2"), col("sz").as("sz2"),
+        col("hs").as("hs2")), "d2")
+      .withColumn("inter", size(array_intersect(col("hs1"), col("hs2"))).cast("long"))
       .withColumn("jr",
         col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter")))
       .filter(col("jr") >= Tau)
@@ -224,24 +252,39 @@ object Dedup {
     * Mirrors [[jaccardPairs]] exactly: same rarest-first (c, g) order,
     * same integer-arithmetic prefix length and size filter. */
   private[operators] val PrefixCandSql =
-    s"""p0 AS (SELECT doc_id, g,
-      |    count(*) OVER (PARTITION BY g) c,
+    s"""eh AS (SELECT doc_id,
+      |    ('0x' || substr(md5(g), 1, 15))::BIGINT hg FROM e),
+      |p0 AS (SELECT doc_id, hg,
+      |    count(*) OVER (PARTITION BY hg) c,
       |    count(*) OVER (PARTITION BY doc_id) sz
-      |  FROM e),
-      |p AS (SELECT doc_id, g, sz,
-      |    row_number() OVER (PARTITION BY doc_id ORDER BY c, g) rn
+      |  FROM eh),
+      |p AS (SELECT doc_id, hg, sz,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY c, hg) rn
       |  FROM p0 WHERE c <= $DfCap),
-      |pr AS (SELECT doc_id, g, sz FROM p WHERE rn <= sz - ((sz*4+4)//5) + 1),
+      |pr AS (SELECT doc_id, hg, sz FROM p WHERE rn <= sz - ((sz*4+4)//5) + 1),
       |cand AS (SELECT DISTINCT a.doc_id d1, b.doc_id d2
-      |  FROM pr a JOIN pr b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  FROM pr a JOIN pr b ON a.hg = b.hg AND a.doc_id < b.doc_id
       |    AND 4*greatest(a.sz, b.sz) <= 5*least(a.sz, b.sz))""".stripMargin
+
+  /** DuckDB: verified-pair CTE pair — splice as `${jrCtesSql("j")}`;
+    * expects `cand`(d1,d2) and `w`(doc_id, sh) in scope and defines
+    * `whs` (per-doc hashed shingle sets — md5 ONCE per (doc, shingle),
+    * never per pair side) plus `<name>`(d1, d2, jr). Intersects the
+    * md5-60-bit shingle HASHES and derives |union| as sz1 + sz2 − |∩| —
+    * the verbatim mirror of verifyJaccard's hashed-set formulation, so
+    * parity holds by construction even in the (2⁻⁶⁰) collision case.
+    * THE single source for every oracle that verifies Jaccard pairs. */
+  private[operators] def jrCtesSql(name: String): String =
+    s"""whs AS (SELECT doc_id, len(sh) sz,
+       |    list_transform(sh, g -> ('0x' || substr(md5(g), 1, 15))::BIGINT) hs
+       |  FROM w),
+       |$name AS (SELECT d1, d2, CAST(hin AS DOUBLE) / (sz1 + sz2 - hin) jr FROM (
+       |  SELECT d1, d2, len(list_intersect(s1.hs, s2.hs)) hin, s1.sz sz1, s2.sz sz2
+       |  FROM cand JOIN whs s1 ON d1 = s1.doc_id JOIN whs s2 ON d2 = s2.doc_id))""".stripMargin
 
   /** DuckDB: exact-Jaccard verification tail (expects `cand` and `w`). */
   private val JaccardVerifySql =
-    s"""j AS (SELECT d1, d2,
-       |  CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE)
-       |    / len(list_distinct(list_cat(s1.sh, s2.sh))) jr
-       |  FROM cand JOIN w s1 ON d1 = s1.doc_id JOIN w s2 ON d2 = s2.doc_id)
+    s"""${jrCtesSql("j")}
        |SELECT d1, d2, round(jr,4) AS jac FROM j WHERE jr >= $Tau
        |ORDER BY d1, d2""".stripMargin
 
@@ -483,10 +526,7 @@ object Dedup {
       Some(s"""WITH w AS (SELECT doc_id, $ShSql sh FROM documents),
               |e AS (SELECT doc_id, unnest(sh) g FROM w),
               |$PrefixCandSql,
-              |j AS (SELECT d1, d2,
-              |  CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE)
-              |    / len(list_distinct(list_cat(s1.sh, s2.sh))) jr
-              |  FROM cand JOIN w s1 ON d1 = s1.doc_id JOIN w s2 ON d2 = s2.doc_id),
+              |${jrCtesSql("j")},
               |dropd AS (SELECT DISTINCT d2 FROM j WHERE jr >= $Tau)
               |SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
               |FROM documents WHERE doc_id NOT IN (SELECT d2 FROM dropd)
@@ -602,10 +642,7 @@ object Dedup {
       Some(s"""WITH RECURSIVE w AS MATERIALIZED (SELECT doc_id, $ShSql sh FROM documents),
               |e AS (SELECT doc_id, unnest(sh) g FROM w),
               |$PrefixCandSql,
-              |jv AS (SELECT d1, d2,
-              |  CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE)
-              |    / len(list_distinct(list_cat(s1.sh, s2.sh))) jr
-              |  FROM cand JOIN w s1 ON d1 = s1.doc_id JOIN w s2 ON d2 = s2.doc_id),
+              |${jrCtesSql("jv")},
               |pp AS MATERIALIZED (SELECT d1, d2 FROM jv WHERE jr >= $Tau),
               |nodes AS MATERIALIZED (SELECT d1 AS id FROM pp UNION SELECT d2 FROM pp),
               |ed AS MATERIALIZED (SELECT d1 a, d2 b FROM pp UNION ALL SELECT d2 a, d1 b FROM pp),

@@ -303,10 +303,7 @@ object Dedup2 {
       Some(s"""WITH w AS (SELECT doc_id, ${Dedup.ShSql} sh FROM documents),
               |e AS (SELECT doc_id, unnest(sh) g FROM w),
               |${Dedup.PrefixCandSql},
-              |jv AS (SELECT d1, d2,
-              |  CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE)
-              |    / len(list_distinct(list_cat(s1.sh, s2.sh))) jr
-              |  FROM cand JOIN w s1 ON d1 = s1.doc_id JOIN w s2 ON d2 = s2.doc_id),
+              |${Dedup.jrCtesSql("jv")},
               |pp AS MATERIALIZED (SELECT d1, d2 FROM jv WHERE jr >= ${Dedup.Tau}),
               |k0 AS (SELECT doc_id,
               |  md5(array_to_string(string_split_regex(trim(text),'\\s+')[1:8],' ')) k
@@ -526,10 +523,7 @@ object Dedup2 {
       Some(s"""WITH w AS (SELECT doc_id, ${Dedup.ShSql} sh FROM documents),
               |e AS (SELECT doc_id, unnest(sh) g FROM w),
               |${Dedup.PrefixCandSql},
-              |j AS (SELECT d1, d2,
-              |  CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE)
-              |    / len(list_distinct(list_cat(s1.sh, s2.sh))) jr
-              |  FROM cand JOIN w s1 ON d1 = s1.doc_id JOIN w s2 ON d2 = s2.doc_id),
+              |${Dedup.jrCtesSql("j")},
               |vp AS (SELECT d1, d2 FROM j WHERE jr >= ${Dedup.Tau}),
               |dd AS (SELECT DISTINCT doc_id FROM
               |  (SELECT d1 AS doc_id FROM vp UNION ALL SELECT d2 FROM vp))
@@ -617,10 +611,7 @@ object Dedup2 {
       Some(s"""WITH RECURSIVE w AS MATERIALIZED (SELECT doc_id, ${Dedup.ShSql} sh FROM documents),
               |e AS (SELECT doc_id, unnest(sh) g FROM w),
               |${Dedup.PrefixCandSql},
-              |jv AS (SELECT d1, d2,
-              |  CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE)
-              |    / len(list_distinct(list_cat(s1.sh, s2.sh))) jr
-              |  FROM cand JOIN w s1 ON d1 = s1.doc_id JOIN w s2 ON d2 = s2.doc_id),
+              |${Dedup.jrCtesSql("jv")},
               |pp AS MATERIALIZED (SELECT d1, d2 FROM jv WHERE jr >= ${Dedup.Tau}),
               |nodes AS MATERIALIZED (SELECT d1 AS id FROM pp UNION SELECT d2 FROM pp),
               |ed AS MATERIALIZED (SELECT d1 a, d2 b FROM pp UNION ALL SELECT d2 a, d1 b FROM pp),
@@ -684,10 +675,7 @@ object Dedup2 {
         s"""WITH w AS (SELECT doc_id, ${Dedup.ShSql} sh FROM documents),
            |e AS (SELECT doc_id, unnest(sh) g FROM w),
            |${Dedup.PrefixCandSql},
-           |j AS (SELECT d1, d2,
-           |  CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE)
-           |    / len(list_distinct(list_cat(s1.sh, s2.sh))) jr
-           |  FROM cand JOIN w s1 ON d1 = s1.doc_id JOIN w s2 ON d2 = s2.doc_id),
+           |${Dedup.jrCtesSql("j")},
            |vp AS (SELECT d1, d2, round(jr, 4) AS jac FROM j WHERE jr >= ${Dedup.Tau}),
            |hh AS (SELECT doc_id,
            |    list_transform(sh, g -> ${Dedup.polyHashSqlOf("g")}) H
