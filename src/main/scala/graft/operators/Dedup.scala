@@ -51,19 +51,66 @@ object Dedup {
   val RowsPerBand = 3
 
   /** LSH band-bucket cap — the banding analogue of [[DfCap]]: a band
-    * value shared by more than BandCap docs generates NO candidates. A
-    * bucket of size s yields s(s-1)/2 pairs, and a "boilerplate family"
-    * of sub-threshold-similar docs (J ≈ 0.2, BELOW Tau) shares band
-    * values at rate ~J^RowsPerBand per band — so family buckets grow
-    * linearly with family size and candidates QUADRATICALLY (measured:
+    * value shared by more than BandCap docs generates only a linear STAR
+    * of candidates (each doc paired with the bucket's min doc_id) instead
+    * of the full s(s-1)/2 self-join. A "boilerplate family" of
+    * sub-threshold-similar docs (J ≈ 0.2, BELOW Tau) shares band values
+    * at rate ~J^RowsPerBand per band — so family buckets grow linearly
+    * with family size and uncapped candidates QUADRATICALLY (measured:
     * sf1→sf10 bench ratio 26× at 10× data; at sf10, 91% of all 4.25M
     * candidate pairs came from >16-doc buckets, max bucket 240). True
     * near-dup pairs (J ≥ Tau) collide in buckets of ~2 + chance
-    * cohabitants, far below the cap. Chosen ABOVE every bucket size at
-    * the driver-oracle SFs (max observed: 4 at sf0.1), so local pair
-    * sets are bit-identical with or without the cap — and the DuckDB
-    * oracle replays the cap, so parity holds at scales where it bites. */
+    * cohabitants, far below the cap. The star (rather than dropping the
+    * bucket outright, the r17 rule) keeps a TRUE mega-duplicate cluster
+    * of N > BandCap exact copies connected: all N copies share every band
+    * bucket, each pairs with the representative, verification passes
+    * (J = 1), and connected-components recovers the full cluster from
+    * the N−1 star edges — recall on the largest duplicate families
+    * survives at O(s) pairs per bucket (ADVICE r17; asserted by
+    * SkewMinhashProbe's mega-corpus recall check). Chosen ABOVE every
+    * bucket size at the driver-oracle SFs (max observed: 4 at sf0.1), so
+    * local pair sets are bit-identical with or without the cap — and the
+    * DuckDB oracle replays the star rule, so parity holds at scales
+    * where it bites. */
   val BandCap = 16L
+
+  /** Shared LSH candidate generation under [[BandCap]]: full self-join
+    * within small buckets, linear star-to-representative within over-cap
+    * buckets. `bands` must be (doc_id, band); every join keys on `band`,
+    * so the bucket-stat aggregate, the semi-join and the self-join all
+    * co-partition on one shuffle key. Used by the L3 batch path and the
+    * L68 persisted-index path (same oracle fragment: [[bandCandSql]]). */
+  private[operators] def bandCandidates(bands: DataFrame): DataFrame = {
+    val stats = bands.groupBy("band")
+      .agg(count(lit(1)).as("bn"), min(col("doc_id")).as("rep"))
+    val keep = bands.join(
+      stats.filter(col("bn") <= lit(BandCap)).select("band"),
+      Seq("band"), "left_semi")
+    val small = keep.as("a")
+      .join(keep.as("b"),
+        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+    val star = bands.join(
+      stats.filter(col("bn") > lit(BandCap)).select("band", "rep"),
+      Seq("band"))
+      .filter(col("doc_id") > col("rep"))
+      .select(col("rep").as("d1"), col("doc_id").as("d2"))
+    small.union(star).distinct()
+  }
+
+  /** DuckDB mirror of [[bandCandidates]]: expects a CTE `er(doc_id, g)`
+    * (one row per doc × band value) and emits `bsz`/`erk`/`cand` CTE
+    * text producing `cand(d1, d2)`. */
+  private[operators] val bandCandSql: String =
+    s"""bsz AS (SELECT g, count(*) bn, min(doc_id) mn FROM er GROUP BY g),
+       |erk AS (SELECT er.doc_id, er.g FROM er JOIN bsz USING (g) WHERE bsz.bn <= $BandCap),
+       |cand AS (SELECT DISTINCT d1, d2 FROM (
+       |  SELECT a.doc_id d1, b.doc_id d2
+       |    FROM erk a JOIN erk b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  UNION ALL
+       |  SELECT bsz.mn d1, er.doc_id d2
+       |    FROM er JOIN bsz USING (g)
+       |    WHERE bsz.bn > $BandCap AND er.doc_id > bsz.mn))""".stripMargin
 
   /** DuckDB expr: distinct 3-word shingles of `text`. */
   private[operators] val ShSql =
@@ -306,18 +353,9 @@ object Dedup {
       concat_ws("_", lit(b) +: ms: _*)
     }
     val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
-    // BandCap: crowded buckets out of candidate generation (see the val
-    // doc) — the semi-join shares the band key with the self-join below,
-    // so both shuffles co-partition
-    val keep = bands.join(
-      bands.groupBy("band").agg(count(lit(1)).as("bn"))
-        .filter(col("bn") <= lit(BandCap)).select("band"),
-      Seq("band"), "left_semi")
-    val cand = keep.as("a")
-      .join(keep.as("b"),
-        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .distinct()
+    // BandCap star rule: small buckets self-join, crowded buckets emit a
+    // linear star to the bucket representative (see the val doc)
+    val cand = bandCandidates(bands)
     verifyJaccard(stageCandTracked(s"minhash:${cacheKey(s, d)}", cand), docs)
   }
 
@@ -334,10 +372,7 @@ object Dedup {
        |      FROM w WHERE len(sh) > 0),
        |sig AS (SELECT doc_id, sh, [${mhExprs.mkString(", ")}] mh FROM h),
        |er AS (SELECT doc_id, unnest([${bandExprs.mkString(", ")}]) g FROM sig),
-       |bs AS (SELECT g FROM er GROUP BY g HAVING count(*) <= $BandCap),
-       |erk AS (SELECT er.* FROM er JOIN bs USING (g)),
-       |cand AS (SELECT DISTINCT a.doc_id d1, b.doc_id d2
-       |  FROM erk a JOIN erk b ON a.g = b.g AND a.doc_id < b.doc_id),
+       |$bandCandSql,
        |$JaccardVerifySql""".stripMargin
   }
 

@@ -115,18 +115,11 @@ object DedupIndex {
     val sigs = GraftTable.load(s, sigPath(root)).read()
     val bands = sigs.select(col("doc_id"),
       explode(array((0 until Bands).map(b => col(s"b$b")): _*)).as("band"))
-    // the same BandCap as the batch path (Dedup.BandCap doc): the oracle
-    // is verbatim the L3 oracle, so the crowded-bucket rule must match —
-    // and the index path has the same quadratic family-bucket exposure
-    val keep = bands.join(
-      bands.groupBy("band").agg(count(lit(1)).as("bn"))
-        .filter(col("bn") <= lit(Dedup.BandCap)).select("band"),
-      Seq("band"), "left_semi")
-    val cand = keep.as("a")
-      .join(keep.as("b"),
-        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .distinct()
+    // the same BandCap star rule as the batch path (Dedup.BandCap doc):
+    // the oracle is verbatim the L3 oracle, so the crowded-bucket rule
+    // must match — and the index path has the same quadratic
+    // family-bucket exposure
+    val cand = Dedup.bandCandidates(bands)
     val docs = source.read()
       .select(col("doc_id"), ShingleExpr.shingles3(Text.words(col("text"))).as("sh"))
       .filter(size(col("sh")) > 0)

@@ -25,14 +25,26 @@ object GraftQueries {
     val root = new java.io.File("target/graft-tmp")
     root.mkdirs()
     val pid = ProcessHandle.current().pid()
+    val staleMs = 6L * 3600 * 1000
     Option(root.listFiles()).getOrElse(Array.empty).filter(_.isDirectory).foreach { d =>
       val dead = d.getName.toLongOption match {
-        case Some(p) => p != pid && !ProcessHandle.of(p).isPresent
+        // pid-liveness AND a staleness floor: a RECYCLED pid would read
+        // as live forever (ADVICE r17) — an old-enough dir is reapable
+        // regardless, because no gate/test JVM lives 6 h
+        case Some(p) => p != pid &&
+          (!ProcessHandle.of(p).isPresent ||
+            d.lastModified < System.currentTimeMillis() - staleMs)
         // legacy flat layout (no pid dir): only reap when old enough
         // that no live pre-pid-layout JVM can still be using it
-        case None => d.lastModified < System.currentTimeMillis() - 6L * 3600 * 1000
+        case None => d.lastModified < System.currentTimeMillis() - staleMs
       }
-      if (dead) { scala.reflect.io.Directory(scala.reflect.io.Path(d)).deleteRecursively(); () }
+      // best-effort, as advertised: two JVMs booting concurrently can
+      // both walk the same dead tree — the loser's NoSuchFileException
+      // must not abort session bring-up for the whole run
+      if (dead) {
+        try { scala.reflect.io.Directory(scala.reflect.io.Path(d)).deleteRecursively(); () }
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
     }
     val base = new java.io.File(root, pid.toString)
     base.mkdirs()

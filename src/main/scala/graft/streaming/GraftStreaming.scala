@@ -305,18 +305,33 @@ object GraftStreaming {
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val sign = when(col("rowkind").isin("+I", "+U"), lit(1L)).otherwise(lit(-1L))
+        // persisted: the empty-probe (which must NOT mint an empty
+        // snapshot per idle micro-batch) and the upsert share one
+        // computation of the hash+fold pipeline instead of two — the
+        // same multi-action discipline as replicateStream above
         val delta = batch
           .filter(col("rowkind").isin("+I", "+U", "-U", "-D"))
           .select(col(grpCol), rowChecksum(renderCols).as("cksum"), sign.as("n"))
           .groupBy(grpCol)
           .agg(expr("bit_xor(cksum)").as("cksum"), sum("n").as("n"))
-        if (!delta.isEmpty) { target.upsert(delta); () }
+          .persist()
+        try { if (!delta.isEmpty) { target.upsert(delta); () } }
+        finally { delta.unpersist(); () }
       }
 
   /** The canonical row hash both the maintenance stream and the
     * validation recompute share: '|'-joined rendered columns → md5 →
     * first 15 hex digits (60 bits, inside BIGINT) — the R67 rendering,
-    * so a batch recompute with DuckDB's md5 is bit-identical too. */
+    * so a batch recompute with DuckDB's md5 is bit-identical too.
+    *
+    * CONTRACT (render columns): the rendering is injective only for
+    * NON-NULL values with no '|' in their string form. `concat_ws`
+    * SKIPS null columns — ('a', NULL) and (NULL, 'a') render
+    * identically — and an embedded separator makes ('a|b') collide with
+    * ('a','b'). Callers with nullable or free-text render columns must
+    * pre-render each through `coalesce(c, sentinel)` and escape the
+    * separator; the library keeps the raw rendering because it is the
+    * one DuckDB's `md5(concat_ws(...))` reproduces bit-identically. */
   def rowChecksum(renderCols: Seq[String]): org.apache.spark.sql.Column =
     expr(s"CAST(conv(substr(md5(concat_ws('|', ${renderCols.mkString(", ")})), 1, 15), 16, 10) AS BIGINT)")
 

@@ -65,9 +65,24 @@ object SkewMinhashProbe {
     for (kind <- Seq("uniform", "mega", "family")) {
       val d = mk(s"$base/$kind", kind)
       val t0 = System.nanoTime()
-      val n = graft.SparkEntry.queries("q_dedup_minhash")(spark, d)
-        .queryExecution.toRdd.count()
+      val pairs = graft.SparkEntry.queries("q_dedup_minhash")(spark, d)
+      val n = pairs.queryExecution.toRdd.count()
       println(f"[skewmh] $kind%-8s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n pairs)")
+      if (kind == "mega") {
+        // CORRECTNESS, not just timing (ADVICE r17): the nDocs/2 exact
+        // copies form one duplicate cluster whose every band bucket is
+        // over-cap — the star rule must keep ALL of them reachable in the
+        // verified pair graph (each copy pairs with the representative at
+        // J = 1), so cluster recall is total despite the cap.
+        import org.apache.spark.sql.functions.{col, explode, array, countDistinct}
+        val covered = pairs
+          .select(explode(array(col("d1"), col("d2"))).as("d"))
+          .filter(col("d") < nDocs / 2)
+          .agg(countDistinct(col("d"))).head.getLong(0)
+        assert(covered == nDocs / 2,
+          s"mega-cluster recall broken: $covered of ${nDocs / 2} copies in the pair graph")
+        println(s"[skewmh] mega recall OK: all ${nDocs / 2} copies connected")
+      }
     }
     spark.stop()
   }
