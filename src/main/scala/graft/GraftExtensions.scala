@@ -104,6 +104,57 @@ object GraftExtensions {
         require(args.length == 4, "min_n_summary(ord, id, payload, n) takes exactly 4 arguments")
         graft.functions.MinNSummary(args(0), args(1), args(2),
           litNum(args(3), "n").toInt).toAggregateExpression()
+      }),
+    // ---- R70: the Presto approx-sketch SQL surface (ref: paimon-presto
+    // TestPrestoSqlITCase testApproxSet / testMergeHyperLogLog /
+    // testApproxSetBigint / approx_percentile usages) re-expressed over
+    // the KMV/KLL machinery. approx_set hashes with Spark's codegen'd
+    // xxhash64 — NOT the replayable poly fold: KMV's estimator needs a
+    // well-MIXED hash (measured: the weakly-mixed poly hash of short
+    // strings skews the k-th minimum 7× at 20k distinct), and the
+    // q_approx_set oracle runs in the EXACT regime (estimate ≡ distinct
+    // count below k), where the hash choice is invisible. The bit-exact
+    // poly-hash replay gate lives in q_sketch_distinct. The sketch VALUE
+    // is the self-describing L63 binary, so it persists in tables and
+    // re-merges later.
+    (FunctionIdentifier("approx_set"),
+      info("approx_set",
+        "approx_set(x[, k]) - mergeable KMV distinct-count sketch of x (BINARY; Presto approx_set)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1 || args.length == 2,
+          "approx_set(x[, k]) takes 1 or 2 arguments")
+        val k = if (args.length == 2) litNum(args(1), "k").toInt else 256
+        graft.functions.KmvState(
+          new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(args.head)),
+          k).toAggregateExpression()
+      }),
+    (FunctionIdentifier("merge"),
+      info("merge",
+        "merge(sketch) - re-merge stored KMV distinct sketches (BINARY; Presto merge(hll))"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "merge(sketch) takes exactly 1 argument")
+        // the approx_set flow's merge; KLL/MG sketches re-merge through
+        // their typed names (kll_merge/mg_merge) — the binary forms are
+        // not tagged, so a type-dispatching merge cannot exist
+        graft.functions.KmvMergeState(args.head).toAggregateExpression()
+      }),
+    (FunctionIdentifier("cardinality"),
+      info("cardinality",
+        "cardinality(x) - distinct estimate of a BINARY KMV sketch; Spark size() of array/map"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "cardinality(x) takes exactly 1 argument")
+        graft.functions.SketchCardinality(args.head)
+      }),
+    (FunctionIdentifier("approx_percentile"),
+      info("approx_percentile",
+        "approx_percentile(x, p[, k]) - KLL-sketch quantile (Presto approx_percentile shape)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2 || args.length == 3,
+          "approx_percentile(x, p[, k]) takes 2 or 3 arguments")
+        val p = litNum(args(1), "fraction")
+        val k = if (args.length == 3) litNum(args(2), "k").toInt else 256
+        graft.functions.KllQuantileExpr(
+          graft.functions.KllState(args.head, k).toAggregateExpression(), p)
       }))
 
   /** Shared literal decode for the sketch-function arguments. */

@@ -299,6 +299,27 @@ case class KllQuantileExpr(child: Expression, p: Double)
   override protected def withNewChildInternal(c: Expression): KllQuantileExpr = copy(child = c)
 }
 
+/** `cardinality(x)` — the Presto-shaped OVERLOAD dispatch (ref:
+  * paimon-presto TestPrestoSqlITCase testApproxSet: `cardinality(hll)`):
+  * a BINARY KMV sketch yields its distinct estimate (BIGINT); any other
+  * input keeps Spark's builtin collection semantics (Size over
+  * array/map), so registering the name in a graft session does not break
+  * `cardinality(array)`. Dispatch happens at ANALYSIS time on the
+  * resolved child type (RuntimeReplaceable — the optimizer swaps in the
+  * replacement, so codegen and pushdown see only the concrete node). */
+case class SketchCardinality(child: Expression)
+  extends Expression
+  with org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable
+  with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+  override lazy val replacement: Expression = child.dataType match {
+    case BinaryType => KmvEstimateExpr(child)
+    case _ => org.apache.spark.sql.catalyst.expressions.Size(child, legacySizeOfNull = false)
+  }
+  override def prettyName: String = "cardinality"
+  override protected def withNewChildInternal(c: Expression): SketchCardinality =
+    copy(child = c)
+}
+
 /** `mg_state(item, k)` → BINARY Misra–Gries sketch of the group. */
 case class MgState(
     child: Expression,

@@ -281,6 +281,62 @@ object Sketches {
           .orderBy("prio")
       },
       Some("""SELECT o_orderpriority AS prio, count(DISTINCT o_custkey) AS n_buyers
-             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    /** R70: the Presto approx-sketch SQL SURFACE — `approx_set(x)` →
+      * sketch-typed value → `merge(...)` → `cardinality(...)`, run as
+      * SQL text through the GraftExtensions function registry (ref:
+      * paimon-presto TestPrestoSqlITCase testApproxSet /
+      * testMergeHyperLogLog). Same machinery as q_sketch_persist, but
+      * exercised through the SQL names a reference user types: sketch
+      * per (lang, doc_id%4) sub-corpus cell, re-merge cells per lang,
+      * estimate. EXACT regime: the source dim is bounded (≪ k = 256
+      * distinct per lang at ANY scale factor — ScaleUp replicates the
+      * dim), and KMV merges are lossless, so the merged estimate IS the
+      * distinct count and the oracle is a plain COUNT(DISTINCT). */
+    QDef(
+      "q_approx_set",
+      (s, d) => {
+        graft.GraftExtensions.register(s)
+        T.documents(s, d).createOrReplaceTempView("graft_apxset_docs")
+        s.sql("""
+          WITH cells AS (
+            SELECT lang, doc_id % 4 AS cell, approx_set(source) AS sk
+            FROM graft_apxset_docs GROUP BY lang, doc_id % 4)
+          SELECT lang, cardinality(merge(sk)) AS n_sources
+          FROM cells GROUP BY lang ORDER BY lang""")
+      },
+      Some("""SELECT lang, count(DISTINCT source) AS n_sources
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    /** R70 quantile face: `approx_percentile(x, p, k)` over the KLL
+      * sketch, through SQL. Exactness discipline copied verbatim from
+      * q_sketch_quantiles: k is derived DRIVER-side from footer metadata
+      * (next power of two ≥ 4× mean group size — no scan, and exact
+      * quantiles don't depend on k so the static oracle needs no
+      * counterpart), and l_quantity's integral values interpolate at
+      * exact multiples of 0.25 — bit-identical IEEE doubles in both
+      * engines. */
+    QDef(
+      "q_approx_percentile",
+      (s, d) => {
+        graft.GraftExtensions.register(s)
+        T.lineitem(s, d).createOrReplaceTempView("graft_apxpct_li")
+        val rows = T.metadataRowCount(s, d, "lineitem")
+        val supp = math.max(T.metadataRowCount(s, d, "supplier"), 1L)
+        val mean = math.max(rows / supp, 512L)
+        val k = math.max(java.lang.Long.highestOneBit(mean * 4 - 1).toInt * 2, 8192)
+        s.sql(s"""
+          SELECT l_suppkey,
+            round(approx_percentile(l_quantity, 0.25D, $k), 2) AS p25,
+            round(approx_percentile(l_quantity, 0.50D, $k), 2) AS p50,
+            round(approx_percentile(l_quantity, 0.75D, $k), 2) AS p75
+          FROM graft_apxpct_li GROUP BY l_suppkey ORDER BY l_suppkey""")
+      },
+      Some("""SELECT l_suppkey,
+             |  round(quantile_cont(l_quantity, 0.25), 2) AS p25,
+             |  round(quantile_cont(l_quantity, 0.50), 2) AS p50,
+             |  round(quantile_cont(l_quantity, 0.75), 2) AS p75
+             |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin))
   )
 }

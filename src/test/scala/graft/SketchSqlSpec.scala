@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SURVEY §2.2 R70: the Presto approx-sketch SQL surface —
+  * `approx_set` / `merge` / `cardinality` / `approx_percentile`
+  * registered as SQL functions over the L63 KMV/KLL machinery (ref:
+  * paimon-presto TestPrestoSqlITCase testApproxSet /
+  * testMergeHyperLogLog). The q_approx_set / q_approx_percentile
+  * oracles prove the exact regime; this spec pins the SQL-registry
+  * faces the oracle can't: the `cardinality` name dispatch (sketch vs
+  * collection), the approx-regime error bound, and mixed-k merges.
+  */
+class SketchSqlSpec extends AnyFunSuite {
+  lazy val spark = {
+    val s = TestSpark.spark
+    GraftExtensions.register(s)
+    s
+  }
+  import spark.implicits._
+
+  test("R70a: cardinality() dispatches — BINARY sketch -> estimate, array/map keep Spark size semantics") {
+    // registering the Presto overload must NOT break the builtin faces
+    val r = spark.sql(
+      "SELECT cardinality(array(1, 2, 3)) AS a, cardinality(map('x', 1)) AS m").head
+    assert(r.getInt(0) == 3 && r.getInt(1) == 1)
+    val est = spark.sql(
+      "SELECT cardinality(approx_set(v)) AS c FROM VALUES (1),(2),(3),(2) t(v)").head.getLong(0)
+    assert(est == 3L, "exact regime: 3 distinct below k=256 must be exact")
+  }
+
+  test("R70b: approx_set -> store -> merge -> cardinality through SQL equals exact below k") {
+    (1 to 500).map(i => (i % 7, s"u${i % 40}")).toDF("g", "u")
+      .createOrReplaceTempView("r70_src")
+    val got = spark.sql(
+      """WITH cells AS (
+        |  SELECT g, u IS NOT NULL AND length(u) > 2 AS cell, approx_set(u) sk
+        |  FROM r70_src GROUP BY g, 2)
+        |SELECT g, cardinality(merge(sk)) c FROM cells GROUP BY g ORDER BY g""".stripMargin)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    val exact = spark.sql("SELECT g, count(DISTINCT u) c FROM r70_src GROUP BY g")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(got == exact)
+  }
+
+  test("R70c: approx regime — estimate within the KMV error envelope, merge order-independent") {
+    (1 to 20000).map(i => s"v$i").toDF("u").createOrReplaceTempView("r70_big")
+    val est = spark.sql("SELECT cardinality(approx_set(u, 256)) FROM r70_big").head.getLong(0)
+    // KMV stderr ~ 1/sqrt(k-2) ≈ 6.3%; allow 4 sigma
+    assert(math.abs(est - 20000) < 20000 * 0.25, s"estimate $est too far from 20000")
+    // merging per-cell sketches must reproduce the one-pass estimate
+    // bit-for-bit (union-stable k-min set), regardless of cell split
+    val merged = spark.sql(
+      """WITH cells AS (
+        |  SELECT crc32(u) % 13 cell, approx_set(u, 256) sk FROM r70_big GROUP BY 1)
+        |SELECT cardinality(merge(sk)) FROM cells""".stripMargin).head.getLong(0)
+    assert(merged == est)
+  }
+
+  test("R70d: approx_percentile through SQL matches the exact percentile in the exact regime") {
+    (1 to 999).map(i => (i % 3, i.toDouble)).toDF("g", "x")
+      .createOrReplaceTempView("r70_pct")
+    val got = spark.sql(
+      """SELECT g, approx_percentile(x, 0.5D, 2048) p50 FROM r70_pct
+        |GROUP BY g ORDER BY g""".stripMargin)
+      .collect().map(r => (r.getInt(0), r.getDouble(1)))
+    val exact = spark.sql(
+      """SELECT g, percentile(x, 0.5D) p50 FROM r70_pct GROUP BY g ORDER BY g""")
+      .collect().map(r => (r.getInt(0), r.getDouble(1)))
+    assert(got.toSeq == exact.toSeq)
+  }
+}
