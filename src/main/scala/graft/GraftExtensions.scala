@@ -145,6 +145,12 @@ object GraftExtensions {
         require(args.length == 1, "cardinality(x) takes exactly 1 argument")
         graft.functions.SketchCardinality(args.head)
       }),
+    // NOTE: reduce_agg (R72) is deliberately NOT here: Spark 4's
+    // ResolveFunctions rejects lambda arguments unless the registry
+    // result is itself a HigherOrderFunction, and validateFunction wraps
+    // every AggregateFunction into an AggregateExpression BEFORE that
+    // check — an aggregate HOF cannot resolve through any function
+    // registry. Use org.apache.spark.sql.graft.ReduceAgg.reduceAgg.
     (FunctionIdentifier("approx_percentile"),
       info("approx_percentile",
         "approx_percentile(x, p[, k]) - KLL-sketch quantile (Presto approx_percentile shape)"),

@@ -630,7 +630,78 @@ object Relational3 {
              |      || (cnt - cnt_even)), ',') AS hist_union,
              |  CAST(count(*) AS BIGINT) AS nkeys,
              |  CAST(sum(cnt) AS BIGINT) AS n
-             |FROM l1 GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
+             |FROM l1 GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    /** R71: plain multiset array_agg (Presto `array_agg(x)`, ref :214)
+      * with PINNED ordering (sort_array — array_agg alone is
+      * order-nondeterministic under any parallel engine, so a replayable
+      * result must sort), composed with UNNEST WITH ORDINALITY (ref
+      * :1224): posexplode's pos+1 IS the ordinality. Two faces: `digits`
+      * keeps DUPLICATES (right(n_name,1) repeats within a region — the
+      * multiset property that separates array_agg from collect_set), and
+      * the exploded rows round-trip the sorted array back to relational
+      * form. Rendered scalar per §5. Scale contract: array_agg is only
+      * sane over BOUNDED groups (a dim here); the corpus-scale "top-N
+      * rows as array" sibling is MinNRows (q_max_min_by). */
+    QDef(
+      "q_array_agg",
+      (s, d) => {
+        val rn = T.region(s, d)
+          .join(T.nation(s, d), col("n_regionkey") === col("r_regionkey"))
+        val agg = rn.groupBy("r_name").agg(
+          expr("sort_array(array_agg(n_name))").as("arr"),
+          expr("array_join(sort_array(array_agg(right(n_name, 1))), ',')").as("digits"))
+        agg.select(col("r_name"), col("digits"),
+            array_join(col("arr"), ",").as("nations"),
+            posexplode(col("arr")).as(Seq("p", "n_name")))
+          .select(col("r_name"), col("nations"), col("digits"),
+            (col("p") + 1).cast("long").as("pos"), col("n_name"))
+          .orderBy("r_name", "pos")
+      },
+      Some("""WITH a AS (
+             |  SELECT r_name,
+             |    array_to_string(list(n_name ORDER BY n_name), ',') AS nations,
+             |    array_to_string(list(right(n_name, 1)
+             |      ORDER BY right(n_name, 1)), ',') AS digits
+             |  FROM region JOIN nation ON n_regionkey = r_regionkey
+             |  GROUP BY r_name),
+             |e AS (
+             |  SELECT r_name, n_name,
+             |    CAST(row_number() OVER (PARTITION BY r_name ORDER BY n_name)
+             |      AS BIGINT) AS pos
+             |  FROM region JOIN nation ON n_regionkey = r_regionkey)
+             |SELECT e.r_name, a.nations, a.digits, e.pos, e.n_name
+             |FROM e JOIN a USING (r_name) ORDER BY r_name, pos""".stripMargin)),
+
+    /** R72: Presto `reduce_agg` (ref :894) — the generic user-
+      * programmable fold, integer-exact through the gate: a
+      * sum-of-squares fold and a greatest-fold over BIGINT quantities
+      * reproduce the builtin sum(x*x)/max(x) bit-for-bit under any
+      * partitioning (commutative-associative integer folds). One fold
+      * state per group crosses the shuffle (map-side combine through
+      * the TypedImperativeAggregate partial path); the lambda bodies
+      * are analysis-bound SQL lambdas. Machinery faces (string state,
+      * null skipping, type-drift analysis error): ReduceAggSpec. */
+    QDef(
+      "q_reduce_agg",
+      (s, d) => {
+        import org.apache.spark.sql.graft.ReduceAgg.reduceAgg
+        T.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(
+            reduceAgg(col("l_quantity").cast("long"), lit(0L),
+              "(s, x) -> s + x * x", "(a, b) -> a + b").as("ssq"),
+            reduceAgg(col("l_quantity").cast("long"), lit(-1L),
+              "(s, x) -> greatest(s, x)", "(a, b) -> greatest(a, b)").as("mxq"),
+            count(lit(1)).as("n"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+             |  CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+             |    AS BIGINT) AS ssq,
+             |  CAST(max(CAST(l_quantity AS BIGINT)) AS BIGINT) AS mxq,
+             |  count(*) AS n
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
   )
 
   /** R66's static IN-list: 500 distinct keys (97 coprime to 4000), baked

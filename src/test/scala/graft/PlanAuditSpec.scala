@@ -165,11 +165,18 @@ class PlanAuditSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(rendered.contains(probe),
       s"probe string no longer matches Spark's HOF rendering — fix the audit:\n$rendered")
+    // R72 reduce_agg is the sanctioned EXCEPTION: a user-programmable
+    // fold aggregate carries its lambdas by definition (Presto's
+    // reduce_agg is interpreted per row there too) — it is documented as
+    // the ad-hoc escape hatch, never the hot-path idiom, and its state
+    // (not its inputs) is what crosses the shuffle. Everything else on
+    // the declared surface stays native.
+    val interpretedFoldAllow = Set("q_reduce_agg")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan =
         try fn(spark, dir).queryExecution.executedPlan.toString
         catch { case e: Throwable => s"PLAN_FAILED: $e" }
-      if (plan.contains(probe)) Some(name) else None
+      if (plan.contains(probe) && !interpretedFoldAllow(name)) Some(name) else None
     }
     assert(offenders.isEmpty, s"interpreted HOFs in plans: $offenders")
   }
