@@ -205,6 +205,38 @@ object GraftQueries {
       .orderBy("o_orderpriority")
   }
 
+  /** S69 TABLESAMPLE SYSTEM through the gate: orders land in a table
+    * partitioned by ship MONTH (a fixed ~80-value set at ANY scale
+    * factor — TPC-H dates span 1992–1998, so the kept-partition SET is
+    * SF-stable while rows per partition grow), then a sampled read keeps
+    * each partition's files iff polyHash("o_month=" || month) % 10000 <
+    * 3750 — the decision is served from the MANIFEST (skipped partitions
+    * cost zero file I/O, the real 100 TB lever) and COMPOSES with
+    * partition pruning (the month >= 1995-01 predicate prunes first,
+    * the sample rule thins the survivors). The DuckDB oracle replays the
+    * identical hash rule over the partition value — bit-exact because
+    * the polynomial fold is the repo's shared oracle-expressible hash.
+    * File-path-keyed sampling (the unpartitioned face) is SamplingSysSpec
+    * — deterministic per table instance but not replayable across
+    * engines (paths carry commit uuids). */
+  private def graftSampleSystem(s: SparkSession, d: String): DataFrame = {
+    val o = T.orders(s, d)
+      .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+      .select("o_orderkey", "o_month", "o_totalprice")
+    val t = GraftTable.create(s, tmpRoot("sampsys"), o.schema,
+      partitionKeys = Seq("o_month"))
+    t.append(o)
+    s.read.format("graft")
+      .option("sample-system", "37.5")
+      .option("sample-key", "partition")
+      .load(t.root)
+      .filter(col("o_month") >= "1995-01")
+      .groupBy("o_month")
+      .agg(count(lit(1)).as("n"),
+        round(sum(round(col("o_totalprice") * 100).cast("long")) / 100.0, 2).as("rev"))
+      .orderBy("o_month")
+  }
+
   /** orders through a partial-update table: one commit carries only
     * o_totalprice, a second only o_orderpriority — the merge stitches the
     * full row back together (latest non-null per column), so the oracle
@@ -711,6 +743,18 @@ object GraftQueries {
   }
 
   val defs: Seq[QDef] = Seq(
+    QDef("q_sample_system", graftSampleSystem,
+      Some(s"""WITH m AS (
+              |  SELECT strftime(o_orderdate, '%Y-%m') AS o_month, o_totalprice
+              |  FROM orders),
+              |k AS (
+              |  SELECT o_month, o_totalprice FROM m
+              |  WHERE o_month >= '1995-01'
+              |    AND ((${Dedup.polyHashSqlOf("'o_month=' || o_month")}
+              |          * 2654435761) % 4294967296) * 10000 // 4294967296 < 3750)
+              |SELECT o_month, count(*) AS n,
+              |  round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2) AS rev
+              |FROM k GROUP BY o_month ORDER BY o_month""".stripMargin)),
     QDef("q_graft_migrate", graftMigrate,
       Some("""SELECT s_suppkey, s_name, round(s_acctbal,2) AS bal,
              |  s_suppkey % 3 AS m

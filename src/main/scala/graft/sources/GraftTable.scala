@@ -2443,21 +2443,25 @@ class GraftTable private (
       indexDirs = dirs
     }
     val doKeySort = isPkTable && keySort
-    // Dynamic mode prefixes the sort with the FULL routing key —
-    // partition columns AND bucket — so each (partition, bucket) group's
-    // rows are CONTIGUOUS: the task writer then opens every group file
-    // exactly once. Without the full prefix, routing-key-ordered groups
-    // under other-ordered rows evict a writer on nearly every row once
-    // groups ≫ maxOpenWriters (measured twice: 15k keys / 59 buckets
-    // via the bucket axis, and r15's skew probe via the PARTITION axis —
-    // a bucket-only prefix left 20 partitions interleaving per row once
-    // AQE coalesced the pre-write shuffle to one task: one file per row,
-    // 3.8k live parquet page writers, OOM at any heap). Files stay valid
-    // sorted runs: a file holds ONE group, and within it keys ascend.
+    // EVERY partitioned write prefixes the within-task sort with the
+    // routing key — partition columns (and in dynamic mode the bucket) —
+    // so each (partition, bucket) group's rows are CONTIGUOUS: the task
+    // writer then opens every group file exactly once and closes it
+    // before the next (Spark's own FileFormatWriter requiredOrdering
+    // discipline), while write parallelism stays the input task count.
+    // Without the prefix, routing-key-ordered groups under other-ordered
+    // rows evict a writer on nearly every row once groups ≫
+    // maxOpenWriters (measured three times: 15k keys / 59 buckets via
+    // the bucket axis; r15's skew probe via the PARTITION axis — 20
+    // partitions interleaving per row once AQE coalesced the pre-write
+    // shuffle to one task, 3.8k live parquet page writers, OOM at any
+    // heap; and r18's 80-month plain partitioned append, OOM again —
+    // which is why the prefix now applies to NON-PK partitioned appends
+    // too, not just dynamic-bucket mode). Files stay valid sorted runs:
+    // a file holds ONE group, and within it keys ascend.
     val sortCols =
-      (if (isDynamicBucket)
-         partitionKeys.map(col(_).asc) :+ col(GraftTable.DynBucketCol).asc
-       else Seq.empty) ++
+      partitionKeys.map(col(_).asc) ++
+        (if (isDynamicBucket) Seq(col(GraftTable.DynBucketCol).asc) else Seq.empty) ++
         (if (doKeySort) primaryKeys.map(col(_).asc) ++ sequenceFields.map(col(_).desc)
          else Seq.empty)
     if (sortCols.nonEmpty)

@@ -449,6 +449,18 @@ final class GraftScanBuilder(
   private val partitionPrune = Option(options.get("partitionPrune")).forall(_.toBoolean)
   private val dataSkip = Option(options.get("dataSkip")).forall(_.toBoolean)
   private val aggPushdown = Option(options.get("aggPushdown")).forall(_.toBoolean)
+  // S69 TABLESAMPLE SYSTEM (ref TestPrestoITCase :109/:1114): percent in
+  // [0,100] → basis points; files kept by a deterministic hash rule (see
+  // GraftScan.sampleKeep) straight from the MANIFEST — skipped files cost
+  // zero I/O, and the rule composes with partition pruning / data
+  // skipping (sampling applies to the pruned survivor set).
+  private val sampleBps: Int = Option(options.get("sample-system")).map { s =>
+    val pct = s.toDouble
+    require(pct >= 0 && pct <= 100, s"sample-system must be in [0,100], got $pct")
+    math.round(pct * 100).toInt
+  }.getOrElse(10000)
+  private val sampleKeyMode: String =
+    Option(options.get("sample-key")).getOrElse("path")
 
   /** Map-subscript predicates for bloom entry pruning, injected by
     * SubscriptFilterRule (or set directly as a read option) as
@@ -573,6 +585,10 @@ final class GraftScanBuilder(
     buildAggScan(agg).isDefined
 
   override def pushAggregation(agg: Aggregation): Boolean = {
+    // a manifest-answered aggregate over a SAMPLED scan would need the
+    // same file filter replayed here; decline instead — Spark computes
+    // the aggregate over the (correctly sampled) row scan
+    if (sampleBps < 10000) return false
     val built = buildAggScan(agg)
     built.foreach(s => aggScan = Some(s))
     built.isDefined // partial pushdown is never offered
@@ -726,7 +742,8 @@ final class GraftScanBuilder(
 
   override def build(): Scan = aggScan.getOrElse {
     val s = new GraftScan(spark, table, snapshotId, requiredSchema, pushed,
-      partitionPrune, dataSkip, rowLevelReplace, subscriptFilters, claimed)
+      partitionPrune, dataSkip, rowLevelReplace, subscriptFilters, claimed,
+      sampleBps, sampleKeyMode)
     onBuild(s)
     s
   }
@@ -885,6 +902,52 @@ final class GraftManifestAggScan(
   * the same contract Paimon's bucketed LSM gives its readers, and the
   * per-task working set is one bucket's live keys, which is exactly what
   * bucket sizing bounds. */
+object GraftScan {
+  /** S69 TABLESAMPLE SYSTEM keep rule — a pure function of the MANIFEST
+    * entry, so the decision costs zero data I/O and is DETERMINISTIC for
+    * a given table state (unlike Trino's per-split coin flip):
+    * keep iff floorMod(polyHash(key), 10000) < bps. Two key modes:
+    *   - "path" (default): the file's root-relative path — true
+    *     file-granular sampling; deterministic per table instance but
+    *     not reproducible across table rebuilds (paths carry commit
+    *     uuids), so it is spec-tested, not oracle-gated.
+    *   - "partition": the file's `k=v/k2=v2` partition string (raw
+    *     values) — partition-granular, content-derived, reproducible
+    *     across engines: the DuckDB oracle replays the same polyHash
+    *     rule over the partition value (q_sample_system). Requires a
+    *     partitioned table.
+    * The polynomial hash is the repo's shared oracle-expressible fold
+    * (HashExpr.polyHash: mult 31, mod 1e9+7), FINISHED with a Fibonacci
+    * multiplicative mix: the raw fold of near-identical keys is
+    * SEQUENTIAL (".../m=1995-01" → consecutive values), so a bare
+    * `% 10000` would keep contiguous key RUNS — a sampler correlated
+    * with the partition value. `(h * 2654435761) mod 2^32`, scaled to
+    * the bucket range by the top bits, strides consecutive inputs by
+    * the golden ratio — dispersion without losing exact-integer
+    * replayability (all intermediates < 2^46, exact BIGINT arithmetic
+    * in both engines). */
+  def sampleBucket(key: String): Long = {
+    val h = graft.functions.PolyHash64Impl.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(key), 31L, 1000000007L)
+    ((h * 2654435761L) % 4294967296L) * 10000L / 4294967296L
+  }
+
+  def sampleKeep(table: GraftTable, f: FileMeta, bps: Int, mode: String): Boolean = {
+    val key = mode match {
+      case "path" => f.path
+      case "partition" =>
+        require(table.partitionKeys.nonEmpty,
+          "sample-key=partition requires a partitioned table")
+        table.partitionKeys.map(k => s"$k=${f.partition.getOrElse(k, "")}")
+          .mkString("/")
+      case other =>
+        throw new IllegalArgumentException(
+          s"unknown sample-key '$other' (expected path | partition)")
+    }
+    sampleBucket(key) < bps
+  }
+}
+
 final class GraftScan(
     spark: SparkSession,
     table: GraftTable,
@@ -897,9 +960,18 @@ final class GraftScan(
     val subscriptFilters: Seq[SubscriptPredicate] = Seq.empty,
     // S55 claimed filters (bitmap.claim-filters): reported fully pushed
     // by the builder; THIS scan must enforce them (position-masked read)
-    claimed: Array[Filter] = Array.empty)
+    claimed: Array[Filter] = Array.empty,
+    // S69 TABLESAMPLE SYSTEM: basis points of files kept (10000 = off)
+    // and the sample-key mode ("path" | "partition")
+    sampleBps: Int = 10000,
+    sampleKeyMode: String = "path")
     extends Scan with Batch with SupportsReportStatistics with SupportsReportPartitioning
     with SupportsRuntimeFiltering {
+
+  // a sampled row-level rewrite would commit against an INCOMPLETE file
+  // set (delete/update decisions over a subset of each key's history)
+  require(!(rowLevelReplace && sampleBps < 10000),
+    "sample-system cannot combine with row-level operations")
 
   /** A copy of this scan with map-subscript bloom pruning predicates —
     * used by SubscriptFilterRule when it rewrites an already-built
@@ -907,7 +979,8 @@ final class GraftScan(
     * DataSourceV2Relation shape via the read option). */
   def withSubscriptFilters(subs: Seq[SubscriptPredicate]): GraftScan =
     new GraftScan(spark, table, snapshotId, requiredSchema, pushed,
-      partitionPrune, dataSkip, rowLevelReplace, subs, claimed)
+      partitionPrune, dataSkip, rowLevelReplace, subs, claimed,
+      sampleBps, sampleKeyMode)
 
   private val partKeySet = table.partitionKeys.toSet
   // S44/S65: metadata columns (`_file`, and on row-tracking tables
@@ -960,9 +1033,11 @@ final class GraftScan(
     val partFilter =
       if (!partitionPrune) None
       else filters.flatMap(GraftFilters.toColumn(_, partKeySet)).reduceOption(_ && _)
-    table.planFiles(snapshotId, partFilter,
+    val planned = table.planFiles(snapshotId, partFilter,
       dataFilters = if (dataSkip) filters else Seq.empty,
       subscriptFilters = if (dataSkip) subscriptFilters else Seq.empty)
+    if (sampleBps >= 10000) planned
+    else planned.filter(f => GraftScan.sampleKeep(table, f, sampleBps, sampleKeyMode))
   }
 
   private lazy val basePlanned: Seq[FileMeta] = planWith(pushed.toSeq)

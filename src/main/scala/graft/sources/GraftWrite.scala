@@ -62,6 +62,13 @@ final case class GraftWriteSpec(
     // key-hash→bucket index); the writer routes by it and never stores
     // it (it is not in fileDataSchema). None = static hash routing.
     dynamicBucketCol: Option[String] = None,
+    // S70: schema-declared NOT NULL columns (nullable=false in the table
+    // schema) — the task writer rejects a null loudly per row, so every
+    // entry path (append, V2 batch write, row-level rewrite, streaming
+    // sink) enforces the constraint at the same single point. Spark only
+    // adds AssertNotNull on the SQL INSERT path (TableOutputResolver);
+    // direct DataFrame/table-API writes would otherwise store the null.
+    notNullCols: Seq[String] = Seq.empty,
     // columns with a per-file bitmap sidecar (file-index.bitmap.columns,
     // S55): the task records value → ascending row positions and writes
     // <file>.bmidx on close — see BitmapIndex
@@ -135,6 +142,8 @@ object GraftWrite {
       dedupKeys = dedupKeys,
       keySorted = keySorted,
       dynamicBucketCol = dynamicBucketCol,
+      notNullCols = table.schema.fields.filterNot(_.nullable).map(_.name).toSeq
+        .filter(writeSchema.fieldNames.contains),
       bloomCols = table.bloomIndexCols.filter(writeSchema.fieldNames.contains)
         .filter { c =>
           table.schema(c).dataType match {
@@ -478,7 +487,19 @@ final class GraftTaskWriter(spec: GraftWriteSpec, taskUniq: String) {
   private val closed = mutable.ArrayBuffer[Open]()
   private var nFiles = 0
 
+  // S70 NOT NULL enforcement: (writeSchema ordinal, column name) pairs
+  private val notNullIdx: Array[(Int, String)] =
+    spec.notNullCols.map(c => (spec.writeSchema.fieldIndex(c), c)).toArray
+
   def write(row: InternalRow): Unit = {
+    var nn = 0
+    while (nn < notNullIdx.length) {
+      if (row.isNullAt(notNullIdx(nn)._1))
+        throw new IllegalStateException(
+          s"NOT NULL constraint violated: column '${notNullIdx(nn)._2}' " +
+            "received a NULL row (the table schema declares it non-nullable)")
+      nn += 1
+    }
     keyProj.foreach { kp =>
       val k = kp(row)
       if (lastKey != null && k == lastKey) return // later version of a key already written

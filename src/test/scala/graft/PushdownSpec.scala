@@ -51,6 +51,30 @@ class PushdownSpec extends AnyFunSuite {
       s"expected all 500 IN values pushed, got ${inList.split(",").length}")
   }
 
+  test("R68b: IS [NOT] DISTINCT FROM as a SCALAR filter — EqualNullSafe " +
+    "reaches PushedFilters; the null-probe face matches null rows") {
+    import spark.implicits._
+    val p = TestSpark.tmpDir("nullsafe-filter")
+    Seq((1L, Some(7L)), (2L, None), (3L, Some(7L)), (4L, Some(9L)), (5L, None))
+      .toDF("id", "v").repartition(2).write.parquet(p)
+    // literal face: a <=> 7 ≡ a IS NOT DISTINCT FROM 7 — pushed as
+    // EqualNullSafe, not left residual (the R68 JOIN face's scalar twin)
+    val lit7 = spark.read.parquet(p).filter(expr("v IS NOT DISTINCT FROM 7"))
+    val pushed = lit7.queryExecution.sparkPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f.metadata("PushedFilters")
+    }.mkString
+    assert(pushed.contains("EqualNullSafe(v,7)"), pushed)
+    assert(lit7.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+    // null-probe face: <=> NULL matches exactly the null rows (a plain
+    // `= NULL` matches nothing) — Catalyst may canonicalize to IsNull,
+    // which pushes equally; assert semantics + a pushed filter exists
+    val nulls = spark.read.parquet(p).filter(col("v") <=> lit(null))
+    assert(nulls.select("id").as[Long].collect().sorted.toSeq == Seq(2L, 5L))
+    // negated face: IS DISTINCT FROM 7 keeps nulls (unlike <> 7)
+    val not7 = spark.read.parquet(p).filter(expr("v IS DISTINCT FROM 7"))
+    assert(not7.select("id").as[Long].collect().sorted.toSeq == Seq(2L, 4L, 5L))
+  }
+
   test("S3: limit compiles to a bounded collect (CollectLimit/TakeOrdered)") {
     val p = planOf("q_limit")
     assert(p.contains("TakeOrderedAndProject") || p.contains("CollectLimit"), p)

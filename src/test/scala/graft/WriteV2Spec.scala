@@ -143,6 +143,54 @@ class WriteV2Spec extends AnyFunSuite {
     assert(t.removeOrphanFiles(ttlMs = 0L).isEmpty) // nothing else to sweep
   }
 
+  test("S70a: NOT NULL columns reject a NULL row loudly on the V2 append path") {
+    import org.apache.spark.sql.types._
+    val path = TestSpark.tmpDir("w2notnull")
+    GraftTable.create(spark, path, StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("v", StringType, nullable = true))))
+    // nullable column accepts nulls; non-nullable values pass
+    Seq((1L, Some("a")), (2L, None)).toDF("k", "v")
+      .write.format("graft").mode(SaveMode.Append).save(path)
+    assert(spark.read.format("graft").load(path).count() == 2)
+    // a NULL in the declared NOT NULL column fails the WRITE (no silent
+    // store), and the error names the column. On this DataFrameWriter V2
+    // path Spark's own TableOutputResolver inserts AssertNotNull against
+    // the reported table schema (NOT_NULL_ASSERT_VIOLATION) — the
+    // upstream of our writer-side guard, which S70b proves for the
+    // table-API path Spark never sees
+    val e = intercept[Exception] {
+      Seq((Some(3L), Some("c")), (None, Some("d"))).toDF("k", "v")
+        .write.format("graft").mode(SaveMode.Append).save(path)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(m =>
+      (m.contains("NOT NULL") && m.contains("'k'")) ||
+        (m.contains("NOT_NULL_ASSERT_VIOLATION") && m.contains("k"))),
+      s"expected a NOT NULL violation naming 'k', got: ${msgs(e)}")
+    // the failed commit must not have published partial rows
+    assert(spark.read.format("graft").load(path).count() == 2)
+  }
+
+  test("S70b: NOT NULL enforcement covers the table-API path, incl. a PK column") {
+    import org.apache.spark.sql.types._
+    val path = TestSpark.tmpDir("w2notnullpk")
+    val t = GraftTable.create(spark, path, StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("v", DoubleType, nullable = true))),
+      primaryKeys = Seq("id"))
+    t.upsert(Seq((1L, 1.5), (2L, 2.5)).toDF("id", "v"))
+    val e = intercept[Exception] {
+      t.upsert(Seq((Some(3L), 3.5), (None, 4.5)).toDF("id", "v"))
+    }
+    def msgs(x: Throwable): Seq[String] =
+      if (x == null) Seq.empty else Option(x.getMessage).toSeq ++ msgs(x.getCause)
+    assert(msgs(e).exists(m => m.contains("NOT NULL") && m.contains("'id'")),
+      s"expected a NOT NULL violation naming 'id', got: ${msgs(e)}")
+    assert(t.read().count() == 2)
+  }
+
   test("W8: CHAR padding is applied by the executor writer on the V2 path") {
     val path = TestSpark.tmpDir("w2char")
     val schema = org.apache.spark.sql.types.StructType(Seq(
