@@ -118,16 +118,16 @@ object DedupIndex {
     // the same BandCap star rule as the batch path (Dedup.BandCap doc):
     // the oracle is verbatim the L3 oracle, so the crowded-bucket rule
     // must match — and the index path has the same quadratic
-    // family-bucket exposure
-    val cand = Dedup.bandCandidates(bands)
+    // family-bucket exposure. bandCandidates STAGES the candidate frame
+    // under the owner key, so repeated pairs() calls (verify-after-
+    // every-refresh in a long-lived session) release the previous
+    // invocation's staged blocks instead of leaking them (ADVICE r15)
+    val cand = Dedup.bandCandidates(
+      s"${s.sparkContext.applicationId}:$root", bands)
     val docs = source.read()
       .select(col("doc_id"), ShingleExpr.shingles3(Text.words(col("text"))).as("sh"))
       .filter(size(col("sh")) > 0)
-    // tracked staging: repeated pairs() calls (verify-after-every-
-    // refresh in a long-lived session) release the previous invocation's
-    // staged candidate blocks instead of leaking them (ADVICE r15)
-    Dedup.verifyJaccard(Dedup.stageCandTracked(
-      s"${s.sparkContext.applicationId}:$root", cand), docs)
+    Dedup.verifyJaccard(cand, docs)
   }
 
   val defs: Seq[QDef] = Seq(
