@@ -391,22 +391,39 @@ object Dedup {
 
   /** SimHash near-dup: 64-bit simhash of token hashes, candidates via
     * 16-bit chunk collision, verified by exact hamming. With 4 chunks,
-    * pigeonhole guarantees completeness for hamming distance <= 3 (4+
-    * differing bits could touch every chunk), so the radius is 3. */
+    * pigeonhole guarantees a shared-chunk witness for hamming ≤ 3 (4+
+    * differing bits could touch every chunk), so the radius is 3.
+    * Completeness holds whenever SOME witness bucket is ≤ [[BandCap]];
+    * over-cap buckets emit the linear star instead of the quadratic
+    * clique (r18 — the uncapped self-join measured 101× at sf10→sf100's
+    * 10× data), so mega-duplicate groups stay CONNECTED (hd(rep, m) = 0
+    * verifies) while crowded-bucket pair lists are no longer exhaustive
+    * — the L3 contract, pinned by DedupSpec L4's three-way assertion. */
   private def simhashPairs(s: SparkSession, d: String): DataFrame = {
     val MaxHam = 3
     val docs = T.documents(s, d).select(col("doc_id"),
       HashExpr.simHashWords(Text.words(col("text"))).as("sim"))
-    val chunks = docs.select(col("doc_id"), col("sim"),
+    // chunk buckets are LSH band buckets in every way that matters, so
+    // candidate generation reuses bandCandidates — including the
+    // BandCap star rule: chunk buckets grow linearly with corpus size
+    // (5M docs × 4 chunks over 4×65536 values = ~76 docs/bucket at
+    // sf100) and the uncapped self-join is QUADRATIC in bucket size
+    // (measured: the sf10→sf100 bench ratio was 101× at 10× data —
+    // n²/chunk-space). The star keeps true identical-simhash families
+    // connected (hamming(rep, member) = 0 passes verification); chance
+    // 16-bit cohabitants of crowded buckets fail the hamming gate
+    // exactly as their self-join pairs would have. Candidate IDs only —
+    // sims re-attach in the verification joins (candidates ≪ corpus).
+    val chunks = docs.select(col("doc_id"),
       explode(array((0 until 4).map(c =>
         concat_ws("_", lit(c), shiftright(col("sim"), 16 * c).bitwiseAND(0xFFFFL))): _*))
-        .as("chunk"))
-    chunks.as("a")
-      .join(chunks.as("b"),
-        col("a.chunk") === col("b.chunk") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-        bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).cast("long").as("hd"))
-      .distinct()
+        .as("band"))
+    val cand = bandCandidates(s"simhash:${cacheKey(s, d)}", chunks)
+    cand
+      .join(docs.select(col("doc_id").as("d1"), col("sim").as("s1")), Seq("d1"))
+      .join(docs.select(col("doc_id").as("d2"), col("sim").as("s2")), Seq("d2"))
+      .select(col("d1"), col("d2"),
+        bit_count(col("s1").bitwiseXOR(col("s2"))).cast("long").as("hd"))
       .filter(col("hd") <= MaxHam)
       .orderBy("d1", "d2")
   }
@@ -432,14 +449,16 @@ object Dedup {
        |    CAST(sum(CASE WHEN cnt >= 0 THEN w ELSE CAST(0 AS HUGEINT) END) AS HUGEINT) AS s
        |  FROM bits GROUP BY doc_id),
        |cd(c, dv) AS (VALUES $chunkDiv),
-       |chunks AS (SELECT doc_id, s, cd.c, (s // cd.dv) % 65536 AS chunk FROM sim CROSS JOIN cd),
-       |pairs AS (SELECT DISTINCT a.doc_id d1, b.doc_id d2,
+       |er AS (SELECT doc_id,
+       |    CAST(cd.c AS VARCHAR) || '_' || CAST((s // cd.dv) % 65536 AS VARCHAR) AS g
+       |  FROM sim CROSS JOIN cd),
+       |$bandCandSql,
+       |sh AS (SELECT d1, d2,
        |    CAST(bit_count(xor(
        |      CAST(CASE WHEN a.s >= $two64/2 THEN a.s - $two64 ELSE a.s END AS BIGINT),
        |      CAST(CASE WHEN b.s >= $two64/2 THEN b.s - $two64 ELSE b.s END AS BIGINT))) AS BIGINT) hd
-       |  FROM chunks a JOIN chunks b
-       |    ON a.c = b.c AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
-       |SELECT d1, d2, hd FROM pairs WHERE hd <= 3 ORDER BY d1, d2""".stripMargin
+       |  FROM cand JOIN sim a ON a.doc_id = cand.d1 JOIN sim b ON b.doc_id = cand.d2)
+       |SELECT d1, d2, hd FROM sh WHERE hd <= 3 ORDER BY d1, d2""".stripMargin
   }
 
   /** Connected components over an undirected pair graph by min-label

@@ -271,18 +271,35 @@ object Similarity {
     * be missed — the recall lever is probing arn ≤ 2 cells (the IVF
     * nprobe move); the oracle-checked entry keeps nprobe=1 for the
     * candidate set the SQL replays. */
+  /** Best-cell assignment of every vector — the shape that must survive
+    * n×k: the scored stream carries ONLY (vec_id, cent_id, ccos) scalars
+    * (the vector array is projected away the moment ccos is computed),
+    * and the argmax folds as a map-side-combinable `max(struct(ccos,
+    * -cent_id))` — so NOTHING of n×k size ever shuffles (the previous
+    * row_number window shuffled n×k rows each CARRYING the 32-double
+    * array: 1.2 TB at sf100's 2M vectors × 1000 cells — 44 GB of sort
+    * spill before the box died). The struct max reproduces the window's
+    * (ccos desc, cent_id asc) tie-break exactly: highest ccos, then
+    * highest negated id = lowest id. v/nrm re-attach by one n-row join.
+    * Returns (vec_id, v, nrm, cell). */
+  private def assignCells(n: DataFrame, cent: DataFrame): DataFrame = {
+    val best = n.select("vec_id", "v", "nrm").crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("cent_id"),
+        cosine(col("v"), col("cv"), col("nrm"), col("cn")).as("ccos"))
+      .groupBy("vec_id")
+      .agg(max(struct(col("ccos"), (-col("cent_id")).as("negc"))).as("m"))
+      .select(col("vec_id"), (-col("m.negc")).as("cell"))
+    n.join(best, Seq("vec_id"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+  }
+
   private def dedupSemantic(s: SparkSession, d: String): DataFrame = {
     val nRows = T.metadataRowCount(s, d, "embeddings")
     val k = semKFor(nRows)
     val centDf = centFrame(s, KMeansOp.trainedCentroids(s, d, k,
       sampleDivisor = semTrainDivisorFor(nRows)))
     val n = normed(s, d)
-    val wAssign = Window.partitionBy("vec_id").orderBy(desc("ccos"), col("cent_id"))
-    val cells = n.crossJoin(broadcast(centDf))
-      .withColumn("ccos", cosine(col("v"), col("cv"), col("nrm"), col("cn")))
-      .withColumn("arn", row_number().over(wAssign))
-      .filter(col("arn") === 1)
-      .select(col("vec_id"), col("v"), col("nrm"), col("cent_id").as("cell"))
+    val cells = assignCells(n, centDf)
     cells.as("a")
       .join(cells.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
@@ -306,12 +323,7 @@ object Similarity {
   private def hardNegatives(s: SparkSession, d: String): DataFrame = {
     val centDf = centFrame(s, KMeansOp.trainedCentroids(s, d, IvfK))
     val n = normed(s, d)
-    val wAssign = Window.partitionBy("vec_id").orderBy(desc("ccos"), col("cent_id"))
-    val cells = n.crossJoin(broadcast(centDf))
-      .withColumn("ccos", cosine(col("v"), col("cv"), col("nrm"), col("cn")))
-      .withColumn("arn", row_number().over(wAssign))
-      .filter(col("arn") === 1)
-      .select(col("vec_id"), col("v"), col("nrm"), col("cent_id").as("cell"))
+    val cells = assignCells(n, centDf)
     val q = cells.filter(col("vec_id") < 20)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
         col("cell").as("qcell"))
@@ -385,14 +397,17 @@ object Similarity {
     * in trained k-means centroids changes only the `cent` frame". */
   private[graft] def ivfTopK(s: SparkSession, d: String, cent: DataFrame): DataFrame = {
     val n = normed(s, d)
+    val assigned = assignCells(n, cent)
+      .select(col("vec_id").as("c_id"), col("v").as("cv2"), col("nrm").as("cn2"),
+        col("cell").as("list_id"))
+    // probe routing needs the top-IvfProbe cells PER PROBE (a multi-rank,
+    // not an argmax) — but only for the ≤20 probe vectors, so the window
+    // runs over 20×k rows, never the corpus
     val wAssign = Window.partitionBy("vec_id").orderBy(desc("ccos"), col("cent_id"))
-    val scored = n.crossJoin(broadcast(cent))
+    val probes = n.filter(col("vec_id") < 20).crossJoin(broadcast(cent))
       .withColumn("ccos", cosine(col("v"), col("cv"), col("nrm"), col("cn")))
       .withColumn("arn", row_number().over(wAssign))
-    val assigned = scored.filter(col("arn") === 1)
-      .select(col("vec_id").as("c_id"), col("v").as("cv2"), col("nrm").as("cn2"),
-        col("cent_id").as("list_id"))
-    val probes = scored.filter(col("vec_id") < 20 && col("arn") <= IvfProbe)
+      .filter(col("arn") <= IvfProbe)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
         col("cent_id").as("list_id"))
     ivfRerank(assigned, probes)
