@@ -119,14 +119,18 @@ object GraftExtensions {
     // re-merges later.
     (FunctionIdentifier("approx_set"),
       info("approx_set",
-        "approx_set(x[, k]) - mergeable KMV distinct-count sketch of x (BINARY; Presto approx_set)"),
+        "approx_set(x[, k | maxError]) - mergeable KMV distinct-count sketch of x (BINARY; Presto approx_set). " +
+          "A fractional second argument (< 1) is Presto's maxError and maps to k = ceil((1.04/maxError)^2)"),
       (args: Seq[Expression]) => {
         require(args.length == 1 || args.length == 2,
-          "approx_set(x[, k]) takes 1 or 2 arguments")
-        val k = if (args.length == 2) litNum(args(1), "k").toInt else 256
-        graft.functions.KmvState(
-          new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(args.head)),
-          k).toAggregateExpression()
+          "approx_set(x[, k | maxError]) takes 1 or 2 arguments")
+        val k =
+          if (args.length != 2) 256
+          else {
+            val n = litNum(args(1), "k | maxError")
+            if (n < 1.0) maxErrorToK(n) else n.toInt
+          }
+        graft.functions.KmvState(nullSafeXxHash64(args.head), k).toAggregateExpression()
       }),
     (FunctionIdentifier("merge"),
       info("merge",
@@ -162,6 +166,33 @@ object GraftExtensions {
         graft.functions.KllQuantileExpr(
           graft.functions.KllState(args.head, k).toAggregateExpression(), p)
       }))
+
+  /** xxhash64 that PROPAGATES null instead of folding it into the seed:
+    * XxHash64 of a null child returns the running seed (42), so a bare
+    * XxHash64 would make KmvState count NULL as one extra distinct
+    * element per group — Presto's approx_set (and COUNT(DISTINCT))
+    * skip NULLs (ADVICE r18). Wrapping as if(isnull(x), null, hash(x))
+    * lets KmvState's existing null-skip fire. */
+  private def nullSafeXxHash64(x: Expression): Expression =
+    org.apache.spark.sql.catalyst.expressions.If(
+      org.apache.spark.sql.catalyst.expressions.IsNull(x),
+      org.apache.spark.sql.catalyst.expressions.Literal(null, org.apache.spark.sql.types.LongType),
+      new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(x)))
+
+  /** Presto's approx_set(x, maxError) second-argument face: a standard
+    * error e maps to sketch size k = ceil((1.04/e)^2) (the HLL
+    * error-to-bucket rule 1.04/sqrt(m), inverted; KMV's error is the
+    * same 1/sqrt(k) family). The 1-ulp guard keeps exact quotients
+    * (e.g. e=0.0325 → 32.0² = 1024) from ceil-ing one past the intended
+    * size on libm drift. Presto bounds e to [0.0040625, 0.26]; we accept
+    * that range and reject outside it, matching the reference's
+    * error surface (PrestoDistributedQueryTest.java:154-204). */
+  private def maxErrorToK(e: Double): Int = {
+    require(e >= 0.0040625 && e <= 0.26,
+      s"approx_set maxError must be in [0.0040625, 0.26], got $e")
+    val raw = 1.04 / e
+    math.ceil(raw * raw - 1e-9).toInt
+  }
 
   /** Shared literal decode for the sketch-function arguments. */
   private def litNum(e: Expression, what: String): Double = e match {

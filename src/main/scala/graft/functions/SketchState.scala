@@ -59,9 +59,24 @@ object SketchState {
   }
 
   private[functions] def kmvDeserialize(bytes: Array[Byte]): KmvBuffer = {
+    // structural header validation: cardinality()'s overload dispatch
+    // (SketchCardinality) routes ANY binary column here, so a non-sketch
+    // binary value (raw bytes, an image, a different sketch family) must
+    // fail LOUDLY rather than decode as garbage and return a plausible
+    // estimate (ADVICE r18). The L63 layout is [int k][int n][n longs]:
+    // requiring 0 <= n <= k and an exact byte length pins it.
+    def bad(why: String): Nothing = throw new IllegalArgumentException(
+      s"not a graft KMV sketch ($why): cardinality()/kmv_estimate expect the BINARY " +
+        "produced by approx_set/merge/kmv_state — for array/map sizes use Spark's " +
+        "cardinality on the collection column itself")
+    if (bytes.length < 8) bad(s"${bytes.length} bytes, header needs 8")
     val bb = ByteBuffer.wrap(bytes)
-    val buf = new KmvBuffer(bb.getInt)
+    val k = bb.getInt
     val n = bb.getInt
+    if (k < 1) bad(s"k=$k")
+    if (n < 0 || n > k) bad(s"n=$n outside [0, k=$k]")
+    if (bytes.length != 8 + n.toLong * 8) bad(s"${bytes.length} bytes, expected ${8 + n.toLong * 8}")
+    val buf = new KmvBuffer(k)
     var i = 0
     while (i < n) { buf.add(bb.getLong); i += 1 }
     buf

@@ -474,8 +474,13 @@ object Dedup {
     * analysis/optimization cost compounds per iteration (measured: a
     * diameter-9 path hung the 20-round loop for minutes on 16 rows).
     * localCheckpoint truncates the lineage to the materialized blocks —
-    * the standard iterative-algorithm discipline; the node-sized result
-    * is collected and the checkpoint blocks are freed before returning.
+    * the standard iterative-algorithm discipline; the result is
+    * materialized to EXECUTOR-SIDE scratch parquet (tmpRoot) so the
+    * checkpoint blocks can be freed before returning. It is NEVER
+    * collected: the result is pair-graph-NODE-sized — at a web corpus'
+    * typical 25-40% duplication rate that is O(corpus) rows, a driver
+    * OOM at 100 TB (r18 verdict). The scratch write is one distributed
+    * action; the returned frame re-reads the parquet lazily.
     * Freeing goes through the UNDERLYING RDDs (Bridge.checkpointRdd):
     * Dataset.unpersist routes through the CacheManager, which does not
     * track localCheckpoint blocks, so a Dataset-level unpersist here
@@ -487,7 +492,6 @@ object Dedup {
     *         node appearing in `pairs`, ordered by doc_id
     */
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
-    import scala.jdk.CollectionConverters._
     val s = pairs.sparkSession
     // free a localCheckpoint'd frame's blocks NOW (the frame must no
     // longer be needed: the checkpoint is its only copy)
@@ -530,14 +534,18 @@ object Dedup {
       .agg(count(lit(1)).cast("long").as("csize"))
     val out = labels.join(sizes, "label")
       .select(col("id").as("doc_id"), col("label").as("cluster_id"), col("csize"))
-      .orderBy("doc_id")
-    // result is pair-graph-nodes-sized (small): materialize so the
-    // checkpoint blocks can be released before returning
-    val rows = out.collect()
+    // materialize to executor-side scratch so the checkpoint blocks can
+    // be released before returning — NOT a collect: the result is
+    // pair-graph-node-sized, O(corpus) at real duplication rates, and a
+    // driver collect here is the textbook 100 TB scale-killer. The
+    // parquet write is fully distributed; callers wanting an ordering
+    // apply their own orderBy (re-sorting a re-read frame is free until
+    // an action runs).
+    val scratch = GraftQueries.tmpRoot("ccout")
+    out.write.mode("overwrite").parquet(scratch)
     free(edges)
     free(labels)
-    s.createDataFrame(
-      new java.util.ArrayList[org.apache.spark.sql.Row](rows.toSeq.asJava), out.schema)
+    s.read.parquet(scratch).orderBy("doc_id")
   }
 
   val defs: Seq[QDef] = Seq(

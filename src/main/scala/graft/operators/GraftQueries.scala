@@ -53,6 +53,13 @@ object GraftQueries {
 
   private[operators] def tmpRoot(prefix: String): String = {
     val base = scratchBase
+    // refresh the pid dir's mtime on every use: the recycled-pid reap
+    // above treats a LIVE pid's dir as dead once it is >6h old, so a
+    // long-lived session (hours-long re-verification holding a persisted
+    // index) must keep its liveness visible through the mtime — touching
+    // here makes "live ⇒ recently-touched" hold for any session that is
+    // actually using its scratch (ADVICE r18)
+    base.setLastModified(System.currentTimeMillis())
     // best-effort GC of this JVM's previous throwaway tables for this query
     Option(base.listFiles()).getOrElse(Array.empty)
       .filter(_.getName.startsWith(s"$prefix-"))
@@ -63,8 +70,11 @@ object GraftQueries {
 
   /** Fixed-name catalog warehouses get the same per-process isolation
     * (within one JVM the queries DROP/CREATE idempotently). */
-  private def scratchWarehouse(name: String): String =
-    new java.io.File(scratchBase, name).getAbsolutePath
+  private def scratchWarehouse(name: String): String = {
+    val base = scratchBase
+    base.setLastModified(System.currentTimeMillis()) // same liveness touch as tmpRoot
+    new java.io.File(base, name).getAbsolutePath
+  }
 
   /** events through a PK table: two upsert commits (even/odd event_id),
     * merge-on-read by sequence.field (ts,event_id) ⇒ latest event per

@@ -69,6 +69,12 @@ final case class GraftWriteSpec(
     // adds AssertNotNull on the SQL INSERT path (TableOutputResolver);
     // direct DataFrame/table-API writes would otherwise store the null.
     notNullCols: Seq[String] = Seq.empty,
+    // the table's primary keys (empty for append tables): Delete-kind
+    // tombstone rows are exempt from the NOT NULL check on NON-key
+    // columns — delete()'s contract is that non-key values are ignored
+    // by the merge, so rejecting a NULL placeholder there would break
+    // the documented API (ADVICE r18)
+    pkCols: Seq[String] = Seq.empty,
     // columns with a per-file bitmap sidecar (file-index.bitmap.columns,
     // S55): the task records value → ascending row positions and writes
     // <file>.bmidx on close — see BitmapIndex
@@ -144,6 +150,7 @@ object GraftWrite {
       dynamicBucketCol = dynamicBucketCol,
       notNullCols = table.schema.fields.filterNot(_.nullable).map(_.name).toSeq
         .filter(writeSchema.fieldNames.contains),
+      pkCols = table.primaryKeys.filter(writeSchema.fieldNames.contains),
       bloomCols = table.bloomIndexCols.filter(writeSchema.fieldNames.contains)
         .filter { c =>
           table.schema(c).dataType match {
@@ -487,19 +494,36 @@ final class GraftTaskWriter(spec: GraftWriteSpec, taskUniq: String) {
   private val closed = mutable.ArrayBuffer[Open]()
   private var nFiles = 0
 
-  // S70 NOT NULL enforcement: (writeSchema ordinal, column name) pairs
-  private val notNullIdx: Array[(Int, String)] =
-    spec.notNullCols.map(c => (spec.writeSchema.fieldIndex(c), c)).toArray
+  // S70 NOT NULL enforcement: (writeSchema ordinal, column name) pairs,
+  // split key/non-key — a Delete-kind tombstone's NON-key values are
+  // ignored by the merge (GraftTable.delete's contract), so only the
+  // key columns stay enforced on -D rows (ADVICE r18)
+  private val notNullKeyIdx: Array[(Int, String)] =
+    spec.notNullCols.filter(spec.pkCols.contains)
+      .map(c => (spec.writeSchema.fieldIndex(c), c)).toArray
+  private val notNullNonKeyIdx: Array[(Int, String)] =
+    spec.notNullCols.filterNot(spec.pkCols.contains)
+      .map(c => (spec.writeSchema.fieldIndex(c), c)).toArray
+  private val kindOrd: Int =
+    spec.writeSchema.fieldNames.indexOf(GraftTable.KindCol)
+  private val deleteKind =
+    org.apache.spark.unsafe.types.UTF8String.fromString(GraftTable.RowKind.Delete)
 
   def write(row: InternalRow): Unit = {
-    var nn = 0
-    while (nn < notNullIdx.length) {
-      if (row.isNullAt(notNullIdx(nn)._1))
-        throw new IllegalStateException(
-          s"NOT NULL constraint violated: column '${notNullIdx(nn)._2}' " +
-            "received a NULL row (the table schema declares it non-nullable)")
-      nn += 1
+    def checkNotNull(idx: Array[(Int, String)]): Unit = {
+      var nn = 0
+      while (nn < idx.length) {
+        if (row.isNullAt(idx(nn)._1))
+          throw new IllegalStateException(
+            s"NOT NULL constraint violated: column '${idx(nn)._2}' " +
+              "received a NULL row (the table schema declares it non-nullable)")
+        nn += 1
+      }
     }
+    checkNotNull(notNullKeyIdx)
+    val isTombstone = kindOrd >= 0 && !row.isNullAt(kindOrd) &&
+      row.getUTF8String(kindOrd) == deleteKind
+    if (!isTombstone) checkNotNull(notNullNonKeyIdx)
     keyProj.foreach { kp =>
       val k = kp(row)
       if (lastKey != null && k == lastKey) return // later version of a key already written

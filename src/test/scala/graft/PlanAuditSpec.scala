@@ -147,6 +147,66 @@ class PlanAuditSpec extends AnyFunSuite {
       s"corpus-cardinality window partition keys (hot-key wall): $offenders")
   }
 
+  /** Files whose driver-side collects are bounded BY CONSTRUCTION —
+    * every entry must name the bound. A collect from any other file in
+    * a declared query path fails the wall below: the r18 verdict's one
+    * scale flag was connectedComponents collecting its pair-graph-node-
+    * sized result (O(corpus) rows at a web corpus' 25-40% duplication
+    * rate — a driver OOM at 100 TB); that shape must not recur. */
+  private val boundedCollectFiles = Map(
+    "Percentiles.scala" -> "group × fraction percentile spine (≤ dozens of rows)",
+    "TextOps.scala" -> "classifier weight vector (fixed hashed-BoW dimension)",
+    "Indexing.scala" -> "scalar avgdl + 8 query terms + fused top-k ranking",
+    "Curation.scala" -> "per-language maps (langs ≤ 5) + one scalar median",
+    "PcaOp.scala" -> "d-dimensional component vectors (d = 32)",
+    "KMeansOp.scala" -> "K centroid vectors (K ≤ 16)",
+    "Relational3.scala" -> "bounded literal spine for the recursive CTE seed",
+    // per-commit metadata: FileMeta of the files one commit wrote,
+    // partition value lists, dv sidecar pointers — never row data
+    "GraftTable.scala" -> "commit metadata (FileMeta / partition values / dv pointers)")
+
+  test("no corpus-sized driver collect in any declared query path") {
+    val prefixes =
+      Seq("collect at ", "collectAsList at ", "head at ", "first at ",
+        "take at ", "toLocalIterator at ")
+    val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val fenced = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        // each StageInfo.name is that stage's callsite; the result
+        // stage's is the action site ("collect at <file>:<line>")
+        js.stageInfos.foreach { si =>
+          val cs = si.name
+          if (prefixes.exists(cs.startsWith)) { seen.add(cs); () }
+          // the sentinel parallelize-count below, NOT the collect probe
+          if (cs.startsWith("count at PlanAuditSpec")) fenced.set(true)
+        }
+    }
+    // prove the probe actually fires on a real collect first
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      spark.range(1).collect()
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+        fn(spark, dir) // eager construction work runs here; the plan stays lazy
+      }
+      // fence: a job whose callsite is THIS suite; listener events are
+      // delivered in order, so seeing it means all prior starts arrived
+      spark.sparkContext.parallelize(Seq(1), 1).count()
+      val deadline = System.nanoTime() + 30e9.toLong
+      while (!fenced.get() && System.nanoTime() < deadline) Thread.sleep(10)
+      assert(fenced.get(), "listener fence never arrived")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    import scala.jdk.CollectionConverters._
+    val sites = seen.asScala.toSeq.sorted
+    assert(sites.exists(_.contains("PlanAuditSpec")),
+      s"probe collect not captured — the callsite audit no longer fires: $sites")
+    val offenders = sites
+      .filterNot(_.contains("PlanAuditSpec")) // the probe itself
+      .filterNot(cs => boundedCollectFiles.keys.exists(f => cs.contains(s"$f:")))
+    assert(offenders.isEmpty,
+      s"driver collect outside the bounded allowlist (100 TB scale wall): $offenders")
+  }
+
   test("no interpreted higher-order array functions in any declared query plan") {
     // ArrayTransform/ArrayAggregate/ArrayFilter/ZipWith are CodegenFallback
     // (interpreted per element) and measured 17-30× slower than native
