@@ -390,7 +390,18 @@ class GraftTable private (
     * hidden cols for PK tables) — what a parquet reader sees before
     * partition values are appended. */
   private[sources] def fileDataSchema: StructType = {
-    val dataCols = schema.fields.filterNot(f => partitionKeys.contains(f.name))
+    val dataCols0 = schema.fields.filterNot(f => partitionKeys.contains(f.name))
+    // PK tables store NON-key columns as OPTIONAL on disk even when the
+    // table declares them NOT NULL: a Delete tombstone legitimately
+    // carries NULL placeholders there (delete()'s contract ignores
+    // non-key values), and a parquet REQUIRED column holding a null is
+    // an unreadable file. Logical NOT NULL stays enforced for live rows
+    // by the task writer (S70) — required-ness is a table constraint,
+    // not a file-layout one (the Iceberg/Paimon convention).
+    val dataCols =
+      if (isPkTable)
+        dataCols0.map(f => if (primaryKeys.contains(f.name)) f else f.copy(nullable = true))
+      else dataCols0
     val hidden =
       if (isPkTable) Seq(StructField(SeqCol, LongType), StructField(KindCol, StringType))
       else Seq.empty

@@ -57,6 +57,57 @@ class SketchSqlSpec extends AnyFunSuite {
     assert(merged == est)
   }
 
+  test("R70e: NULL inputs are skipped — with-nulls, only-nulls and null-group faces " +
+    "(ref PrestoDistributedQueryTest testApproxSetGroupByWithNulls/OnlyNulls)") {
+    // Presto: approx_set skips NULLs like COUNT(DISTINCT); a group of
+    // only NULLs yields an EMPTY sketch (Presto returns NULL — our
+    // sketch is non-null but must estimate 0)
+    Seq((1, Option("a")), (1, Option("b")), (1, None), (2, None), (2, None))
+      .toDF("g", "u").createOrReplaceTempView("r70_nulls")
+    val got = spark.sql(
+      """SELECT g, cardinality(approx_set(u)) c FROM r70_nulls GROUP BY g ORDER BY g""")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(got == Seq((1, 2L), (2, 0L)),
+      s"NULLs must not count as a distinct element: $got")
+    // grouping BY a nullable key: the NULL group aggregates like any other
+    Seq((Option("x"), "a"), (None, "a"), (None, "b"), (None, "b"))
+      .toDF("g", "u").createOrReplaceTempView("r70_nullgrp")
+    val byGrp = spark.sql(
+      """SELECT g, cardinality(approx_set(u)) c FROM r70_nullgrp
+        |GROUP BY g ORDER BY g NULLS FIRST""".stripMargin)
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1))).toSeq
+    assert(byGrp == Seq((None, 2L), (Some("x"), 1L)))
+    // and the stored→merge flow preserves the skip (merge of an
+    // only-nulls cell's sketch adds nothing)
+    val merged = spark.sql(
+      """WITH cells AS (
+        |  SELECT g, approx_set(u) sk FROM r70_nulls GROUP BY g)
+        |SELECT cardinality(merge(sk)) FROM cells""".stripMargin).head.getLong(0)
+    assert(merged == 2L)
+  }
+
+  test("R70f: approx_set(x, maxError) — Presto's fractional second argument maps to k") {
+    // maxError 0.0325 → k = ceil((1.04/0.0325)^2) = 1024: 1000 distinct
+    // values sit BELOW k, so the estimate must be exact — proving the
+    // adapter produced a sketch at least that large
+    (1 to 1000).map(i => s"v$i").toDF("u").createOrReplaceTempView("r70_me")
+    val est = spark.sql(
+      "SELECT cardinality(approx_set(u, 0.0325D)) FROM r70_me").head.getLong(0)
+    assert(est == 1000L, s"maxError=0.0325 must yield k>=1024 (exact at 1000): $est")
+    // default Presto error (no argument) stays the k=256 default;
+    // out-of-range maxError fails loudly like Presto's
+    val e = intercept[Exception](
+      spark.sql("SELECT cardinality(approx_set(u, 0.5D)) FROM r70_me").head)
+    assert(e.getMessage.contains("maxError"), s"wrong error: ${e.getMessage}")
+  }
+
+  test("R70g: cardinality() on a non-sketch BINARY fails loudly, never decodes garbage") {
+    val e = intercept[Exception](
+      spark.sql("SELECT cardinality(CAST('not a sketch!!' AS BINARY))").head)
+    assert(e.getMessage.contains("KMV sketch"),
+      s"expected the sketch-vs-collection dispatch message: ${e.getMessage}")
+  }
+
   test("R70d: approx_percentile through SQL matches the exact percentile in the exact regime") {
     (1 to 999).map(i => (i % 3, i.toDouble)).toDF("g", "x")
       .createOrReplaceTempView("r70_pct")

@@ -191,6 +191,30 @@ class WriteV2Spec extends AnyFunSuite {
     assert(t.read().count() == 2)
   }
 
+  test("S70c: Delete tombstones are exempt from NOT NULL on NON-key columns " +
+    "(delete()'s contract ignores non-key values), key columns stay enforced") {
+    import org.apache.spark.sql.types._
+    val path = TestSpark.tmpDir("w2notnulldel")
+    val t = GraftTable.create(spark, path, StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("v", StringType, nullable = false))),
+      primaryKeys = Seq("id"))
+    t.upsert(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+    // a delete batch carrying NULL placeholders in the NOT NULL non-key
+    // column must succeed — the -D row's non-key values never merge
+    t.delete(Seq((2L, Option.empty[String])).toDF("id", "v"))
+    assert(t.read().orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    // but an INSERT with the same NULL still fails (the exemption is
+    // kind-scoped, not a hole in the constraint)
+    val e = intercept[Exception] {
+      t.upsert(Seq((4L, Option.empty[String])).toDF("id", "v"))
+    }
+    def msgs(x: Throwable): Seq[String] =
+      if (x == null) Seq.empty else Option(x.getMessage).toSeq ++ msgs(x.getCause)
+    assert(msgs(e).exists(m => m.contains("NOT NULL") && m.contains("'v'")),
+      s"expected a NOT NULL violation naming 'v', got: ${msgs(e)}")
+  }
+
   test("W8: CHAR padding is applied by the executor writer on the V2 path") {
     val path = TestSpark.tmpDir("w2char")
     val schema = org.apache.spark.sql.types.StructType(Seq(
