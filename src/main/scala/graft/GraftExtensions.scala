@@ -132,6 +132,34 @@ object GraftExtensions {
           }
         graft.functions.KmvState(nullSafeXxHash64(args.head), k).toAggregateExpression()
       }),
+    // The DENSE HLL face (ref testP4ApproxSet* :809-858): same hashing
+    // and null-skip as approx_set, fixed 2^p register file instead of a
+    // k-min set. merge()/cardinality() dispatch on the self-describing
+    // header, so stored columns of either family flow through the same
+    // SQL. maxError maps to the register count (power-of-two ceil).
+    (FunctionIdentifier("p4_approx_set"),
+      info("p4_approx_set",
+        "p4_approx_set(x[, maxError]) - DENSE HyperLogLog distinct sketch (BINARY; Presto P4 semantics)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1 || args.length == 2,
+          "p4_approx_set(x[, maxError]) takes 1 or 2 arguments")
+        val p =
+          if (args.length != 2) 12 // Presto's default 0.01625 → 4096 registers
+          else graft.functions.DenseHll.maxErrorToP(litNum(args(1), "maxError"))
+        graft.functions.DenseHllState(nullSafeXxHash64(args.head), p).toAggregateExpression()
+      }),
+    // R73: Presto key_sampling_percent — deterministic per-key sampling
+    // coordinate in [0,1) (ref PrestoDistributedQueryTest.java:629/:979:
+    // a key's sample fate is CONSISTENT across tables and join chains).
+    // Oracle-replayable by construction: poly fold + Fibonacci mix +
+    // power-of-two scale, all exact in both engines (see HashExpr).
+    (FunctionIdentifier("key_sampling_percent"),
+      info("key_sampling_percent",
+        "key_sampling_percent(key) - deterministic per-key DOUBLE in [0,1) for consistent key sampling"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "key_sampling_percent(key) takes exactly 1 argument")
+        graft.functions.KeySamplingPercent(args.head)
+      }),
     (FunctionIdentifier("merge"),
       info("merge",
         "merge(sketch) - re-merge stored KMV distinct sketches (BINARY; Presto merge(hll))"),

@@ -20,7 +20,8 @@ object SparkEntry {
       operators.TextOps.defs ++ operators.Dedup.defs ++ operators.Similarity.defs ++
       operators.Sketches.defs ++ operators.Packing.defs ++ operators.Indexing.defs ++
       operators.KMeansOp.defs ++ operators.Pipeline.defs ++ operators.Curation.defs ++
-      operators.Dedup2.defs ++ operators.PcaOp.defs ++ operators.DedupIndex.defs
+      operators.Dedup2.defs ++ operators.PcaOp.defs ++ operators.DedupIndex.defs ++
+      operators.Multimodal.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -52,6 +52,47 @@ object PolyHash64Impl {
   }
 }
 
+/** Presto's `key_sampling_percent(varchar)` → DOUBLE in [0,1): a
+  * deterministic per-key sampling coordinate, so `WHERE
+  * key_sampling_percent(k) < 0.1` keeps a consistent ~10% of KEYS
+  * across tables and across a join chain (ref paimon-presto
+  * PrestoDistributedQueryTest.java:629 testKeyBasedSampling, :979
+  * testSamplingJoinChain — both skipped there; the Presto-engine
+  * function this re-expresses).
+  *
+  * Built on the repo's oracle-expressible sampling discipline
+  * (GraftV2.sampleBucket): the poly fold of NEAR-IDENTICAL keys is
+  * SEQUENTIAL, so the raw hash must be finished with the Fibonacci
+  * multiplicative mix `(h * 2654435761) mod 2^32` before scaling —
+  * all intermediates < 2^46 stay exact BIGINTs in both engines, and
+  * the final division by 2^32 is a power-of-two scale (EXACT in
+  * IEEE double), so a DuckDB oracle replays the value bit-for-bit. */
+case class KeySamplingPercent(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "key_sampling_percent"
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"key_sampling_percent takes a STRING key, got ${child.dataType.sql} — " +
+        "cast explicitly so numeric keys are rendered deterministically")
+  override def nullSafeEval(input: Any): Any =
+    KeySamplingPercentImpl.pct(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.KeySamplingPercentImpl$$.MODULE$$.pct($c);")
+  override protected def withNewChildInternal(newChild: Expression): KeySamplingPercent =
+    copy(child = newChild)
+}
+
+object KeySamplingPercentImpl {
+  def pct(u: UTF8String): Double = {
+    val h = PolyHash64Impl.hash(u, 31L, 1000000007L)
+    ((h * 2654435761L) % 4294967296L).toDouble / 4294967296.0
+  }
+}
+
 object SimHash64Impl {
   /** Fused words→simhash: hashes each word with the wrapping FNV-style
     * polynomial (same arithmetic as PolyHash64Impl.hash(mult,0)) and
@@ -388,6 +429,10 @@ object HashExpr {
   /** Wrapping 64-bit FNV-style hash — full-width bits for SimHash. */
   def tokenHash64(c: Column): Column =
     column(PolyHash64(expression(c), 1099511628211L, 0L))
+
+  /** Presto key_sampling_percent: deterministic per-key double in [0,1). */
+  def keySamplingPercent(c: Column): Column =
+    column(KeySamplingPercent(expression(c)))
 
   def simHash(c: Column): Column = column(SimHash64(expression(c)))
 

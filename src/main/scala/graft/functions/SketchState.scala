@@ -159,14 +159,17 @@ case class KmvState(
   * either crash on construction or silently degrade exactness). */
 final class SketchMergeHolder[T <: AnyRef](var inner: T)
 
-/** `kmv_merge(sketchBinary)` → BINARY union sketch. The first input
-  * sketch fixes k; mixed-k inputs merge at the SMALLEST k (still a
-  * valid KMV of that size, the standard downgrade). */
+/** `merge(sketchBinary)` → BINARY union sketch, runtime-dispatched on
+  * the self-describing header: KMV (L63 layout) or dense HLL (the
+  * magic-tagged R70/P4 layout) — Presto's `merge` likewise accepts both
+  * HyperLogLog forms. Mixed-k KMV inputs merge at the SMALLEST k
+  * (still a valid KMV of that size, the standard downgrade); mixing the
+  * two FAMILIES in one group fails loudly (no sound union exists). */
 case class KmvMergeState(
     child: Expression,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[SketchMergeHolder[KmvBuffer]] {
+  extends TypedImperativeAggregate[SketchMergeHolder[AnyRef]] {
   override def children: Seq[Expression] = Seq(child)
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
@@ -175,35 +178,50 @@ case class KmvMergeState(
   override def nullable: Boolean = false
   override def dataType: DataType = BinaryType
   override def prettyName: String = "kmv_merge"
-  override def createAggregationBuffer(): SketchMergeHolder[KmvBuffer] =
-    new SketchMergeHolder[KmvBuffer](null)
-  private def combine(h: SketchMergeHolder[KmvBuffer], b: KmvBuffer): SketchMergeHolder[KmvBuffer] = {
-    if (h.inner == null) h.inner = b
-    else if (b.k < h.inner.k) { b.mergeIn(h.inner); h.inner = b }
-    else h.inner.mergeIn(b)
+  override def createAggregationBuffer(): SketchMergeHolder[AnyRef] =
+    new SketchMergeHolder[AnyRef](null)
+  private def combine(h: SketchMergeHolder[AnyRef], b: AnyRef): SketchMergeHolder[AnyRef] = {
+    (h.inner, b) match {
+      case (null, _) => h.inner = b
+      case (a: KmvBuffer, bb: KmvBuffer) =>
+        if (bb.k < a.k) { bb.mergeIn(a); h.inner = bb } else a.mergeIn(bb)
+      case (a: DenseHllBuffer, bb: DenseHllBuffer) => a.mergeIn(bb)
+      case _ => throw new IllegalArgumentException(
+        "merge() received BOTH a KMV and a dense-HLL sketch in one group — " +
+          "the families have no sound union; re-aggregate one side")
+    }
     h
   }
-  override def update(h: SketchMergeHolder[KmvBuffer], input: InternalRow): SketchMergeHolder[KmvBuffer] = {
+  private def decode(bytes: Array[Byte]): AnyRef =
+    if (DenseHll.isDense(bytes)) DenseHll.deserialize(bytes)
+    else SketchState.kmvDeserialize(bytes)
+  private def encode(v: AnyRef): Array[Byte] = v match {
+    case b: KmvBuffer => SketchState.kmvSerialize(b)
+    case d: DenseHllBuffer => d.serialize
+  }
+  override def update(h: SketchMergeHolder[AnyRef], input: InternalRow): SketchMergeHolder[AnyRef] = {
     val v = child.eval(input)
     if (v == null) h
-    else combine(h, SketchState.kmvDeserialize(v.asInstanceOf[Array[Byte]]))
+    else combine(h, decode(v.asInstanceOf[Array[Byte]]))
   }
-  override def merge(h: SketchMergeHolder[KmvBuffer], o: SketchMergeHolder[KmvBuffer]): SketchMergeHolder[KmvBuffer] =
+  override def merge(h: SketchMergeHolder[AnyRef], o: SketchMergeHolder[AnyRef]): SketchMergeHolder[AnyRef] =
     if (o.inner == null) h else combine(h, o.inner)
-  override def eval(h: SketchMergeHolder[KmvBuffer]): Any =
-    SketchState.kmvSerialize(if (h.inner == null) new KmvBuffer(1) else h.inner)
-  override def serialize(h: SketchMergeHolder[KmvBuffer]): Array[Byte] =
-    if (h.inner == null) Array.emptyByteArray else SketchState.kmvSerialize(h.inner)
-  override def deserialize(bytes: Array[Byte]): SketchMergeHolder[KmvBuffer] =
-    new SketchMergeHolder[KmvBuffer](
-      if (bytes.isEmpty) null else SketchState.kmvDeserialize(bytes))
+  override def eval(h: SketchMergeHolder[AnyRef]): Any =
+    encode(if (h.inner == null) new KmvBuffer(1) else h.inner)
+  override def serialize(h: SketchMergeHolder[AnyRef]): Array[Byte] =
+    if (h.inner == null) Array.emptyByteArray else encode(h.inner)
+  override def deserialize(bytes: Array[Byte]): SketchMergeHolder[AnyRef] =
+    new SketchMergeHolder[AnyRef](if (bytes.isEmpty) null else decode(bytes))
   override def withNewMutableAggBufferOffset(o: Int): KmvMergeState = copy(mutableAggBufferOffset = o)
   override def withNewInputAggBufferOffset(o: Int): KmvMergeState = copy(inputAggBufferOffset = o)
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): KmvMergeState =
     copy(child = c.head)
 }
 
-/** `kmv_estimate(sketchBinary)` → BIGINT distinct estimate. */
+/** `kmv_estimate(sketchBinary)` → BIGINT distinct estimate. Dispatches
+  * on the self-describing header: dense-HLL (magic-tagged) estimates via
+  * the HLL harmonic mean, anything else must satisfy the KMV structural
+  * header or fail loudly. */
 case class KmvEstimateExpr(child: Expression)
   extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = LongType
@@ -212,8 +230,11 @@ case class KmvEstimateExpr(child: Expression)
     if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
       s"kmv_estimate requires a BINARY sketch column, got ${child.dataType.sql}")
-  override def nullSafeEval(v: Any): Any =
-    SketchState.kmvDeserialize(v.asInstanceOf[Array[Byte]]).estimate
+  override def nullSafeEval(v: Any): Any = {
+    val bytes = v.asInstanceOf[Array[Byte]]
+    if (DenseHll.isDense(bytes)) DenseHll.deserialize(bytes).estimate
+    else SketchState.kmvDeserialize(bytes).estimate
+  }
   override protected def withNewChildInternal(c: Expression): KmvEstimateExpr = copy(child = c)
 }
 

@@ -520,18 +520,19 @@ object Multimodal {
     * every `stride`-th one (a real build would seek keyframes). Pure
     * column expressions — stays in codegen, no UDF. */
   def sampleFrames(media: DataFrame, frameBytes: Int, stride: Int): DataFrame =
-    media.select(
-      col("media_id"),
-      col("meta"),
+    media
       // empty/NULL media yields zero frames (sequence(0,0) would emit one
-      // phantom frame otherwise)
-      when(length(col("bytes")) > 0,
-        filter(
-          transform(
-            sequence(lit(0), ((length(col("bytes")) - 1) / frameBytes).cast("int")),
-            i => col("bytes").substr((i * frameBytes + 1).cast("int"), lit(frameBytes))),
-          (_, i) => i % stride === 0))
-        .otherwise(array().cast("array<binary>")).as("frames"))
+      // phantom frame otherwise). Input columns pass through so callers
+      // can keep per-media attributes (byte length, meta) without a
+      // corpus-keyed join-back.
+      .withColumn("frames",
+        when(length(col("bytes")) > 0,
+          filter(
+            transform(
+              sequence(lit(0), ((length(col("bytes")) - 1) / frameBytes).cast("int")),
+              i => col("bytes").substr((i * frameBytes + 1).cast("int"), lit(frameBytes))),
+            (_, i) => i % stride === 0))
+          .otherwise(array().cast("array<binary>")))
       .withColumn("n_sampled", size(col("frames")))
 
   /** Build a media table from documents (bytes = utf-8 text) — the
@@ -545,4 +546,88 @@ object Multimodal {
         length(col("text")).as("width"),
         lit(1).as("height"),
         (length(col("text")) / 64 + 1).cast("int").as("n_frames")).as("meta"))
+
+  /** Deterministic PNG fixture `t` for the oracle-anchored decode query:
+    * w×h image whose first `t+1` row-major pixels are BLACK and the rest
+    * WHITE. Only pure black/white pixels appear, so the decoded
+    * luminance histogram provably occupies bins {0, 15} regardless of
+    * 1-ulp drift in the Rec.601 weights (lum 255±ε and 0 land in the
+    * same bins), making (width, height, nblack, nwhite) embeddable as
+    * literal VALUES in a static DuckDB oracle. */
+  private[operators] def fixturePng(t: Int): Array[Byte] = {
+    val w = 3 + t
+    val h = 2 + (t % 4)
+    val b = t + 1
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var i = 0
+    while (i < w * h) {
+      img.setRGB(i % w, i / w, if (i < b) 0x000000 else 0xFFFFFF)
+      i += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  val defs: Seq[graft.QDef] = Seq(
+    // L12: the multimodal pipeline's oracle anchor — two legs in one
+    // result. (a) REAL image decode: 8 deterministic PNG fixtures run
+    // through decodeImages (javax.imageio, true pixel dimensions +
+    // luminance histogram); the oracle embeds the expected
+    // (width, height, nblack, nwhite) as literal VALUES — the
+    // static-superset pattern, valid at every SF because fixtures are
+    // corpus-independent. (b) corpus plumbing: every document's bytes
+    // through the binary column + frame-sampling geometry
+    // (frameBytes=64, stride=2), aggregated to corpus totals DuckDB
+    // derives independently from strlen arithmetic. Scale shape: leg
+    // (a) is 8 rows; leg (b) is one map-side-combinable aggregate over
+    // a single scan — no joins, no windows.
+    graft.QDef(
+      "q_multimodal",
+      (s, d) => {
+        import s.implicits._
+        val fixtures = (0 until 8).map(t => (900L + t, fixturePng(t)))
+          .toDF("media_id", "bytes")
+        val fixLeg = decodeImages(s, fixtures).select(
+          col("media_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          round(element_at(col("feature"), 1) * col("width") * col("height"), 0)
+            .cast("long").as("nblack"),
+          round(element_at(col("feature"), 16) * col("width") * col("height"), 0)
+            .cast("long").as("nwhite"),
+          lit(-1L).as("blen_sum"),
+          lit(-1L).as("sampled_sum"),
+          lit(-1L).as("ndocs"))
+        val media = mediaFromDocuments(s, graft.Tables.documents(s, d))
+        val docLeg = sampleFrames(media, frameBytes = 64, stride = 2)
+          .agg(
+            sum(length(col("bytes"))).cast("long").as("blen_sum"),
+            sum(col("n_sampled")).cast("long").as("sampled_sum"),
+            count(lit(1)).as("ndocs"))
+          .select(
+            lit(-1L).as("media_id"), lit(-1L).as("width"), lit(-1L).as("height"),
+            lit(-1L).as("nblack"), lit(-1L).as("nwhite"),
+            col("blen_sum"), col("sampled_sum"), col("ndocs"))
+        fixLeg.unionByName(docLeg).orderBy("media_id")
+      },
+      Some("""SELECT CAST(media_id AS BIGINT) AS media_id,
+             |  CAST(width AS BIGINT) AS width, CAST(height AS BIGINT) AS height,
+             |  CAST(nblack AS BIGINT) AS nblack, CAST(nwhite AS BIGINT) AS nwhite,
+             |  CAST(-1 AS BIGINT) AS blen_sum, CAST(-1 AS BIGINT) AS sampled_sum,
+             |  CAST(-1 AS BIGINT) AS ndocs
+             |FROM (VALUES (900,3,2,1,5),(901,4,3,2,10),(902,5,4,3,17),
+             |             (903,6,5,4,26),(904,7,2,5,9),(905,8,3,6,18),
+             |             (906,9,4,7,29),(907,10,5,8,42))
+             |  v(media_id, width, height, nblack, nwhite)
+             |UNION ALL
+             |SELECT -1, -1, -1, -1, -1,
+             |  CAST(sum(strlen(text)) AS BIGINT) AS blen_sum,
+             |  CAST(sum(CASE WHEN strlen(text) > 0
+             |             THEN ((strlen(text) - 1) // 64) // 2 + 1 ELSE 0 END)
+             |    AS BIGINT) AS sampled_sum,
+             |  count(*) AS ndocs
+             |FROM documents
+             |ORDER BY media_id""".stripMargin))
+  )
 }

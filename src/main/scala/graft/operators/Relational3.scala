@@ -701,7 +701,47 @@ object Relational3 {
              |    AS BIGINT) AS ssq,
              |  CAST(max(CAST(l_quantity AS BIGINT)) AS BIGINT) AS mxq,
              |  count(*) AS n
-             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // R73: key_sampling_percent (ref PrestoDistributedQueryTest.java:629
+    // testKeyBasedSampling, :979 testSamplingJoinChain): a deterministic
+    // per-key sampling coordinate — the SAME ~10% of orderkeys survive
+    // on every table that filters by it, so the sampled orders join
+    // chain (orders→lineitem→customer) is a consistent subgraph, not
+    // two independent samples. Scale shape: the filter is a scan-side
+    // scalar predicate (codegen'd native expression, no shuffle added);
+    // the join chain shuffles only the pre-shrunk 10%.
+    // Parity: poly fold + Fibonacci mix are exact BIGINT in both
+    // engines and /2^32 is a power-of-two scale (exact in double), so
+    // DuckDB replays the sample bit-for-bit (GraftV2.sampleBucket's
+    // discipline — the raw poly fold of consecutive keys is sequential,
+    // the mix is what de-correlates the sample from key ranges).
+    QDef(
+      "q_key_sample",
+      (s, d) => {
+        import graft.functions.HashExpr.keySamplingPercent
+        val o = T.orders(s, d)
+          .where(keySamplingPercent(col("o_orderkey").cast("string")) < lit(0.1))
+        o.join(T.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(T.customer(s, d), col("c_custkey") === col("o_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(
+            count(lit(1)).as("n"),
+            countDistinct(col("o_orderkey")).as("keys"),
+            round(sum("l_quantity"), 2).as("qty"))
+          .orderBy("c_mktsegment")
+      },
+      Some(s"""WITH sampled AS (
+             |  SELECT o_orderkey, o_custkey FROM orders
+             |  WHERE CAST((${Dedup.polyHashSqlOf("CAST(o_orderkey AS VARCHAR)")}
+             |          * 2654435761) % 4294967296 AS DOUBLE) / 4294967296 < 0.1)
+             |SELECT c_mktsegment, count(*) AS n,
+             |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS keys,
+             |  round(sum(l_quantity), 2) AS qty
+             |FROM sampled
+             |JOIN lineitem ON l_orderkey = o_orderkey
+             |JOIN customer ON c_custkey = o_custkey
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
   )
 
   /** R66's static IN-list: 500 distinct keys (97 coprime to 4000), baked

@@ -28,6 +28,39 @@ class HashExprSpec extends AnyFunSuite {
     assert(got64.toSeq == inputs.map(refPoly(_, 1099511628211L, 0L)))
   }
 
+  test("R73: key_sampling_percent — [0,1) range, rate, join-chain consistency, error face") {
+    GraftExtensions.register(spark)
+    // deterministic + in range + matches the documented integer rule
+    val v = spark.sql("SELECT key_sampling_percent('k42')").head.getDouble(0)
+    val h = refPoly("k42", 31L, 1000000007L)
+    assert(v == ((h * 2654435761L) % 4294967296L).toDouble / 4294967296.0)
+    // ~10% sample rate over 4000 NEAR-IDENTICAL keys: the Fibonacci
+    // mix is what keeps the rate honest — the raw poly fold of
+    // consecutive keys is sequential and would sample a contiguous run
+    val keys = (1 to 4000).map(i => s"o$i").toDF("k")
+    val kept = keys.filter(expr("key_sampling_percent(k) < 0.1")).count()
+    assert(math.abs(kept - 400L) < 120, s"rate off: $kept/4000 at 10%")
+    // CONSISTENCY (the :979 join-chain property): the same keys survive
+    // the filter applied independently on two different frames
+    val a = keys.filter(expr("key_sampling_percent(k) < 0.1"))
+      .collect().map(_.getString(0)).toSet
+    val b = keys.sample(1.0, seed = 7).filter(expr("key_sampling_percent(k) < 0.1"))
+      .collect().map(_.getString(0)).toSet
+    assert(a == b)
+    // stays inside whole-stage codegen (scan-side predicate at 100 TB);
+    // a range-backed frame so Catalyst can't fold the local rows away
+    val plan = spark.range(4000)
+      .select(concat(lit("o"), col("id")).as("k"))
+      .filter(expr("key_sampling_percent(k) < 0.1"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WholeStageCodegen") || plan.contains("*(1)"), plan)
+    // error face (ref testKeyBasedSamplingFunctionError): a non-string
+    // key fails analysis loudly instead of hashing raw internals
+    val e = intercept[Exception](
+      spark.sql("SELECT key_sampling_percent(42)").head)
+    assert(e.getMessage.contains("STRING"), e.getMessage)
+  }
+
   test("PolyHash64 stays inside whole-stage codegen") {
     // a range source (not a local relation, which constant-folds) so the
     // physical plan actually runs codegen

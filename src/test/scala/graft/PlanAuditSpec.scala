@@ -231,7 +231,14 @@ class PlanAuditSpec extends AnyFunSuite {
     // the ad-hoc escape hatch, never the hot-path idiom, and its state
     // (not its inputs) is what crosses the shuffle. Everything else on
     // the declared surface stays native.
-    val interpretedFoldAllow = Set("q_reduce_agg")
+    // q_multimodal: sampleFrames builds the per-document frame LIST with
+    // transform/filter — the op's OUTPUT is an array of binary slices, so
+    // an array constructor is inherent (a native expression would rebuild
+    // the same ArrayData element-wise); per row it touches ≤ len/64
+    // slices once, and the multimodal pipeline materializes frames ONCE
+    // into a staged table before the (partition-batched, JVM-kernel)
+    // decode — not a per-query scan-path filter like the banned shapes.
+    val interpretedFoldAllow = Set("q_reduce_agg", "q_multimodal")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan =
         try fn(spark, dir).queryExecution.executedPlan.toString

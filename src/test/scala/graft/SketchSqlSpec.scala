@@ -108,6 +108,58 @@ class SketchSqlSpec extends AnyFunSuite {
       s"expected the sketch-vs-collection dispatch message: ${e.getMessage}")
   }
 
+  test("P4a: p4_approx_set — bigint/double/varchar faces, group-by, accuracy envelope " +
+    "(ref testP4ApproxSetBigint/Double/Varchar/GroupBy :809-858)") {
+    (1 to 20000).map(i => (i % 4, i.toLong, i / 7.0, s"v$i")).toDF("g", "b", "d", "s")
+      .createOrReplaceTempView("p4_src")
+    // each typed face estimates within the p=12 envelope (1.04/sqrt(4096)
+    // ≈ 1.6%; allow 4 sigma ≈ 6.5%)
+    for (c <- Seq("b", "d", "s")) {
+      val est = spark.sql(s"SELECT cardinality(p4_approx_set($c)) FROM p4_src").head.getLong(0)
+      assert(math.abs(est - 20000) < 20000 * 0.065, s"$c: estimate $est too far from 20000")
+    }
+    // group-by: per-group estimates track per-group exact counts
+    val got = spark.sql(
+      "SELECT g, cardinality(p4_approx_set(s)) c FROM p4_src GROUP BY g")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    for (g <- 0 to 3)
+      assert(math.abs(got(g) - 5000) < 5000 * 0.09, s"group $g: ${got(g)}")
+    // the sketch is the FIXED-SIZE register file: 5-byte header + 2^12
+    val bytes = spark.sql("SELECT p4_approx_set(s) FROM p4_src").head.getAs[Array[Byte]](0)
+    assert(bytes.length == 5 + 4096, s"dense layout size: ${bytes.length}")
+  }
+
+  test("P4b: dense null faces + store->merge->cardinality; smaller maxError = bigger registers " +
+    "(ref testP4ApproxSetWithNulls/OnlyNulls/GroupByWithNulls)") {
+    Seq((1, Option("a")), (1, Option("b")), (1, None), (2, None), (2, None))
+      .toDF("g", "u").createOrReplaceTempView("p4_nulls")
+    // NULLs skipped; only-nulls group → empty sketch → 0 (small-range
+    // linear counting returns exactly 0 when every register is 0)
+    val got = spark.sql(
+      "SELECT g, cardinality(p4_approx_set(u)) c FROM p4_nulls GROUP BY g ORDER BY g")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(got == Seq((1, 2L), (2, 0L)), s"$got")
+    // stored sketches re-merge through the SAME merge() as KMV (header
+    // dispatch), reproducing the one-pass estimate bit-for-bit
+    (1 to 9000).map(i => s"w$i").toDF("u").createOrReplaceTempView("p4_big")
+    val one = spark.sql("SELECT cardinality(p4_approx_set(u, 0.026D)) FROM p4_big").head.getLong(0)
+    val merged = spark.sql(
+      """WITH cells AS (
+        |  SELECT crc32(u) % 7 cell, p4_approx_set(u, 0.026D) sk FROM p4_big GROUP BY 1)
+        |SELECT cardinality(merge(sk)) FROM cells""".stripMargin).head.getLong(0)
+    assert(merged == one, s"dense merge must be register-max exact: $merged vs $one")
+    // maxError 0.026 → m=1600 → p=11 (2048 registers)
+    val sz = spark.sql("SELECT p4_approx_set(u, 0.026D) FROM p4_big").head.getAs[Array[Byte]](0).length
+    assert(sz == 5 + 2048, s"maxError→p mapping: $sz")
+    // mixing the two families in one merge() group fails loudly
+    val e = intercept[Exception](spark.sql(
+      """SELECT cardinality(merge(sk)) FROM (
+        |  SELECT approx_set(u) sk FROM p4_big
+        |  UNION ALL SELECT p4_approx_set(u) FROM p4_big)""".stripMargin).head)
+    assert(e.getMessage.contains("families") || Option(e.getCause).exists(_.getMessage.contains("families")),
+      s"wrong error: ${e.getMessage}")
+  }
+
   test("R70d: approx_percentile through SQL matches the exact percentile in the exact regime") {
     (1 to 999).map(i => (i % 3, i.toDouble)).toDF("g", "x")
       .createOrReplaceTempView("r70_pct")
