@@ -47,6 +47,11 @@ object Bench {
       else SparkEntry.queries.keys.toSeq.sorted
     val results = names.map { name =>
       val (sec, ok) = run(name)
+      // stream per-query progress to stderr: a long big-SF sweep that is
+      // killed (wall-clock cap, OOM later in the alphabet) still yields
+      // every completed measurement — BENCH_FULL.json only lands at exit
+      System.err.println(String.format(java.util.Locale.ROOT,
+        "[bench] done %s %.3f s ok=%b", name, Double.box(sec), Boolean.box(ok)))
       (name, if (ok) sec else -1.0)
     }
     // Locale.ROOT: the f-interpolator honors the JVM default locale, and

@@ -32,7 +32,15 @@ import java.nio.ByteBuffer
   * allocation per add; higher levels change only on (rare) compaction.
   */
 final class QuantileBuffer(val k: Int) {
-  private var l0 = new Array[Double](k + 1)
+  // level 0 grows GEOMETRICALLY up to its k+1 cap instead of eagerly
+  // allocating k+1 doubles at construction: the exactness discipline
+  // derives k from the MEAN group size (4x, power-of-two), and at a
+  // dimension-fixed scale-up that mean is corpus/dims — r19's full-set
+  // sf100 sweep hit k≈4M, i.e. a 32 MB eager array per group buffer,
+  // and ObjectHashAggregate OOM'd in createAggregationBuffer before a
+  // single value arrived. Lazily, per-group memory is O(values actually
+  // held) — identical add/compaction sequences, bit-identical results.
+  private var l0 = new Array[Double](math.min(k + 1, 64))
   private[functions] var l0n = 0
   // hi(i) = level i+1 (weight 2^(i+1)); parities(h) = next kept parity
   // for level h (0 = level 0)
@@ -45,6 +53,8 @@ final class QuantileBuffer(val k: Int) {
   private[functions] def parityBits: Array[Boolean] = parities
 
   def add(v: Double): Unit = {
+    if (l0n == l0.length && l0.length < k + 1)
+      l0 = java.util.Arrays.copyOf(l0, math.min(l0.length.toLong * 2, k + 1L).toInt)
     l0(l0n) = v
     l0n += 1
     count += 1
