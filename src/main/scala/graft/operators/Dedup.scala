@@ -334,6 +334,52 @@ object Dedup {
     * the verbatim mirror of verifyJaccard's hashed-set formulation, so
     * parity holds by construction even in the (2⁻⁶⁰) collision case.
     * THE single source for every oracle that verifies Jaccard pairs. */
+  /** Shared containment-hit stage (L20 q_decontaminate, L27
+    * q_pipeline_curate): per (train doc, bench doc) pair, the number of
+    * distinct shared shingles. Scale discipline, both r19 sf100-sweep
+    * findings folded in:
+    *  - keys on the md5-60-bit HASH of the shingle (L2's rule — 8-byte
+    *    keys through the shuffles, not ~30-byte strings);
+    *  - the TRAIN side drops shingles whose train-side df exceeds
+    *    [[DfCap]] — a shingle in D train docs and B bench docs emits
+    *    D·B join rows, and the Zipfian head made the uncapped join
+    *    spill >54 GB and die at sf100 (boilerplate shingles carry no
+    *    decontamination signal; the same PPJoin rationale as L2). The
+    *    oracle replays the cap ([[containHitsSql]]) so parity holds at
+    *    every SF; below-cap SFs are bit-identical to the uncapped form.
+    *  - the bench side joins by SHUFFLE, not broadcast: a 1/97 slice of
+    *    a 100 TB corpus is not broadcastable.
+    *
+    * @param trainEx (doc_id, g) exploded train-side shingles (distinct
+    *                per doc); also the df base for the cap
+    * @param benchEx (bench_id, g) exploded bench-side shingles
+    * @return (doc_id, bench_id, hits) with hits >= 1
+    */
+  private[operators] def containmentHits(trainEx: DataFrame, benchEx: DataFrame): DataFrame = {
+    def h(c: String) = expr(s"CAST(conv(substr(md5($c),1,15),16,10) AS BIGINT)")
+    val t = trainEx.select(col("doc_id"), h("g").as("hg"))
+    val b = benchEx.select(col("bench_id"), h("g").as("hg"))
+    val rare = t.groupBy("hg").agg(count(lit(1)).as("c"))
+      .filter(col("c") <= lit(DfCap)).select("hg")
+    t.join(rare, "hg")
+      .join(b, "hg")
+      .filter(col("doc_id") =!= col("bench_id"))
+      .groupBy("doc_id", "bench_id")
+      .agg(countDistinct(col("hg")).as("hits"))
+  }
+
+  /** DuckDB CTE chain replaying [[containmentHits]] verbatim: expects
+    * `$train`(doc_id, g) and `$bench`(bench_id, g) in scope, defines
+    * `hitsc`(doc_id, bench_id, hits). */
+  private[operators] def containHitsSql(train: String, bench: String): String =
+    s"""thc AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT hg FROM $train),
+       |bhc AS (SELECT bench_id, ('0x' || substr(md5(g), 1, 15))::BIGINT hg FROM $bench),
+       |rarec AS (SELECT hg FROM (SELECT hg, count(*) c FROM thc GROUP BY hg) WHERE c <= $DfCap),
+       |tcc AS (SELECT doc_id, hg FROM thc JOIN rarec USING (hg)),
+       |hitsc AS (SELECT tcc.doc_id, bhc.bench_id, count(DISTINCT tcc.hg) AS hits
+       |  FROM tcc JOIN bhc ON tcc.hg = bhc.hg AND tcc.doc_id <> bhc.bench_id
+       |  GROUP BY tcc.doc_id, bhc.bench_id)""".stripMargin
+
   private[operators] def jrCtesSql(name: String): String =
     s"""whs AS (SELECT doc_id, len(sh) sz,
        |    list_transform(sh, g -> ('0x' || substr(md5(g), 1, 15))::BIGINT) hs
@@ -624,13 +670,12 @@ object Dedup {
         val bench = docs.filter(col("doc_id") % 97 === 0)
         val benchSizes = bench.select(col("doc_id").as("bench_id"), size(col("sh")).as("bsz"))
         val benchEx = bench.select(col("doc_id").as("bench_id"), explode(col("sh")).as("g"))
-        ex.join(broadcast(benchEx), Seq("g"))
-          .filter(col("doc_id") =!= col("bench_id"))
-          // count DISTINCT shared shingles: a shingle repeated in the
-          // train doc must not inflate containment
-          .select(col("doc_id"), col("bench_id"), col("g")).distinct()
-          .groupBy("doc_id", "bench_id").agg(count(lit(1)).as("hits"))
-          .join(broadcast(benchSizes), Seq("bench_id"))
+        // capped + hashed containment stage (containmentHits) — the
+        // uncapped string-keyed broadcast join spilled >54 GB and died
+        // at sf100 (r19 full-set sweep); bsz stays the FULL shingle-set
+        // size, so containment is the capped-hit fraction of the doc
+        containmentHits(ex, benchEx)
+          .join(benchSizes, Seq("bench_id"))
           .withColumn("containment", col("hits").cast("double") / col("bsz"))
           // leak report: the top-20 most-contaminated (train, bench)
           // pairs — a pipeline drops everything above its threshold;
@@ -641,14 +686,12 @@ object Dedup {
       },
       Some(s"""WITH w AS (SELECT doc_id, $ShSql sh FROM documents),
               |e AS (SELECT doc_id, unnest(sh) g FROM w),
-              |bw AS (SELECT doc_id bench_id, sh, len(sh) bsz FROM w WHERE doc_id % 97 = 0),
-              |be AS (SELECT bench_id, unnest(sh) g FROM bw),
-              |hits AS (SELECT e.doc_id, be.bench_id, count(DISTINCT e.g) AS hits
-              |  FROM e JOIN be ON e.g = be.g AND e.doc_id <> be.bench_id
-              |  GROUP BY e.doc_id, be.bench_id),
+              |bw AS (SELECT doc_id bench_id, len(sh) bsz FROM w WHERE doc_id % 97 = 0),
+              |be AS (SELECT doc_id bench_id, unnest(sh) g FROM w WHERE doc_id % 97 = 0),
+              |${containHitsSql("e", "be")},
               |c AS (SELECT h.doc_id, h.bench_id,
               |    CAST(h.hits AS DOUBLE) / bw.bsz AS containment
-              |  FROM hits h JOIN bw ON h.bench_id = bw.bench_id)
+              |  FROM hitsc h JOIN bw ON h.bench_id = bw.bench_id)
               |SELECT doc_id, bench_id, round(containment, 4) AS containment
               |FROM c ORDER BY 3 DESC, doc_id, bench_id LIMIT 20""".stripMargin)),
 

@@ -56,30 +56,21 @@ object Pipeline {
         // pass and must not be re-executed inside this plan (r8 verdict
         // #2: rebuilding it here ran it ~3× per query).
         val sh = Dedup.docsWithShingles(s, d)
-        // the contamination check runs over the SURVIVORS of stages 1, 2
-        // and the bench exclusion only — identical drop decisions (a doc
-        // the dedup stages drop is dropped regardless of contamination,
-        // so restricting the contaminated set to survivors cannot change
-        // the anti-join), but a boilerplate mega-cluster contributes ONE
-        // doc to the containment join instead of every copy. Unrestricted,
-        // the cluster×bench-copies cross product is quadratic in cluster
-        // size (measured 6.3× on the r16 Zipfian probe corpus, where half
-        // the docs AND ~half the bench slice are one duplicated page).
-        // The keeper aggregate appears in two branches; its subplans are
-        // identical so the exchange is reused, not recomputed.
-        val ex = sh
-          .join(keepers, Seq("doc_id"), "left_semi")
-          .join(nearDrop, Seq("doc_id"), "left_anti")
-          .filter(col("doc_id") % 97 =!= 0)
-          .select(col("doc_id"), explode(col("sh")).as("g"))
+        // The contamination check runs through the SHARED capped+hashed
+        // containmentHits stage (r19: the uncapped string-keyed
+        // broadcast join spilled >54 GB and died at sf100 — DfCap drops
+        // the Zipfian boilerplate shingles that made it quadratic, and
+        // the oracle replays the cap verbatim). Train side is the FULL
+        // corpus explosion, identical to the oracle's CTE: the former
+        // survivor-only restriction (an r16 mega-cluster mitigation the
+        // cap subsumes) would give the two engines DIFFERENT df bases
+        // for the cap and diverge exactly where it bites.
+        val ex = sh.select(col("doc_id"), explode(col("sh")).as("g"))
         val bench = sh.filter(col("doc_id") % 97 === 0)
         val benchSizes = bench.select(col("doc_id").as("bench_id"), size(col("sh")).as("bsz"))
         val benchEx = bench.select(col("doc_id").as("bench_id"), explode(col("sh")).as("g"))
-        val contaminated = ex.join(broadcast(benchEx), Seq("g"))
-          .filter(col("doc_id") =!= col("bench_id"))
-          .select(col("doc_id"), col("bench_id"), col("g")).distinct()
-          .groupBy("doc_id", "bench_id").agg(count(lit(1)).as("hits"))
-          .join(broadcast(benchSizes), Seq("bench_id"))
+        val contaminated = Dedup.containmentHits(ex, benchEx)
+          .join(benchSizes, Seq("bench_id"))
           .filter(col("hits") * 2 >= col("bsz"))
           .select("doc_id").distinct()
         // stage 4: per-row quality rules (L21's exact integer gates)
@@ -111,13 +102,11 @@ object Pipeline {
               |  md5(array_to_string(string_split_regex(trim(text),'\\s+')[1:8],' ')) k
               |  FROM documents),
               |keep AS (SELECT min(doc_id) doc_id FROM k0 GROUP BY k),
-              |bw AS (SELECT doc_id bench_id, sh, len(sh) bsz FROM w WHERE doc_id % 97 = 0),
-              |be AS (SELECT bench_id, unnest(sh) g FROM bw),
-              |hits AS (SELECT e.doc_id, be.bench_id, count(DISTINCT e.g) AS hits
-              |  FROM e JOIN be ON e.g = be.g AND e.doc_id <> be.bench_id
-              |  GROUP BY e.doc_id, be.bench_id),
+              |bw AS (SELECT doc_id bench_id, len(sh) bsz FROM w WHERE doc_id % 97 = 0),
+              |be AS (SELECT doc_id bench_id, unnest(sh) g FROM w WHERE doc_id % 97 = 0),
+              |${Dedup.containHitsSql("e", "be")},
               |cont AS (SELECT DISTINCT h.doc_id
-              |  FROM hits h JOIN bw ON h.bench_id = bw.bench_id
+              |  FROM hitsc h JOIN bw ON h.bench_id = bw.bench_id
               |  WHERE h.hits * 2 >= bw.bsz),
               |m AS (SELECT doc_id,
               |  CAST(len(string_split_regex(trim(text),'\\s+')) AS BIGINT) AS nw,
