@@ -83,7 +83,19 @@ object Dedup2 {
           .select(col("doc_id").as("a_id"), col("lang").as("a_lang"),
             col("sz").as("a_sz"), col("g"))
         val pres = ex.select(col("doc_id").as("b_id"), col("sz").as("b_sz"), col("g"))
-        val cand = rare.join(pres, "g")
+        // r19 sf100 finding: candidate fan-out is df(rarest shingle) per
+        // probe doc — sound when the rarest shingle is rare, but a
+        // boilerplate-saturated corpus (or ScaleUp's ×1000 replication,
+        // where EVERY shingle has df ≥ factor) makes the equality join
+        // emit ~corpus × df pairs and the sort spilled the disk out.
+        // The PPJoin DfCap applies verbatim: candidate GENERATION only
+        // probes shingles with df ≤ DfCap (a doc whose RAREST shingle
+        // exceeds the cap is pure boilerplate — a containment report
+        // against it carries no curation signal); verification still
+        // compares full sets, and the oracle replays the cap.
+        val presCand = pres.join(
+          dfreq.filter(col("c") <= lit(Dedup.DfCap)).select("g"), "g")
+        val cand = rare.join(presCand, "g")
           .filter(col("a_id") =!= col("b_id") &&
             (col("a_sz") < col("b_sz") ||
               (col("a_sz") === col("b_sz") && col("a_id") < col("b_id"))))
@@ -133,7 +145,8 @@ object Dedup2 {
               |  WHERE rn = 1),
               |cand AS (SELECT r.a_id, r.a_lang, r.a_sz,
               |    e.doc_id AS b_id, e.sz AS b_sz
-              |  FROM rare r JOIN ex e ON r.g = e.g
+              |  FROM rare r JOIN (SELECT * FROM dfc WHERE c <= ${Dedup.DfCap}) e
+              |    ON r.g = e.g
               |  WHERE r.a_id != e.doc_id
               |    AND (r.a_sz < e.sz OR (r.a_sz = e.sz AND r.a_id < e.doc_id))),
               |cont AS (SELECT c.* FROM cand c
@@ -273,13 +286,20 @@ object Dedup2 {
         val docs = T.documents(s, d)
         val keys = docs.select(col("doc_id"),
           md5(concat_ws(" ", slice(Text.words(col("text")), 1, 8)).cast("binary")).as("k"))
-        // exact: same content key as a corpus doc or a smaller-id new doc
-        val exactDrop = keys.as("n")
-          .join(keys.as("o"),
-            col("n.k") === col("o.k") && col("n.doc_id") =!= col("o.doc_id") &&
-              col("n.doc_id") % 10 === 9 &&
-              (col("o.doc_id") % 10 =!= 9 || col("o.doc_id") < col("n.doc_id")))
-          .select(col("n.doc_id")).distinct()
+        // exact: same content key as a corpus doc or a smaller-id new
+        // doc. NOT a key self-join (r19 sf100 flag: 548× — an exact-dup
+        // group of m copies emits m² join rows, and duplication factor
+        // GROWS with corpus size): the membership test "∃ o in my key
+        // group, o old, or o new with smaller id" folds to two per-key
+        // aggregates — old-copy count and min new id — one map-side-
+        // combinable groupBy plus an equi join-back. Identical row set.
+        val kstats = keys.groupBy("k").agg(
+          sum(when(col("doc_id") % 10 =!= 9, 1L).otherwise(0L)).as("n_old"),
+          min(when(col("doc_id") % 10 === 9, col("doc_id"))).as("min_new"))
+        val exactDrop = keys.filter(col("doc_id") % 10 === 9)
+          .join(kstats, "k")
+          .filter(col("n_old") > 0 || col("doc_id") > col("min_new"))
+          .select("doc_id")
         // near: pair partner in the corpus, or a smaller-id new partner
         val pp = Dedup.jaccardPairsStaged(s, d)
         val sym = pp.select(col("d2").as("x"), col("d1").as("y"))
@@ -308,10 +328,13 @@ object Dedup2 {
               |k0 AS (SELECT doc_id,
               |  md5(array_to_string(string_split_regex(trim(text),'\\s+')[1:8],' ')) k
               |  FROM documents),
-              |exd AS (SELECT DISTINCT n.doc_id FROM k0 n JOIN k0 o
-              |  ON n.k = o.k AND n.doc_id <> o.doc_id
-              |  AND (o.doc_id % 10 <> 9 OR o.doc_id < n.doc_id)
-              |  WHERE n.doc_id % 10 = 9),
+              |ks AS (SELECT k,
+              |    sum(CASE WHEN doc_id % 10 <> 9 THEN 1 ELSE 0 END) AS n_old,
+              |    min(CASE WHEN doc_id % 10 = 9 THEN doc_id END) AS min_new
+              |  FROM k0 GROUP BY k),
+              |exd AS (SELECT k0.doc_id FROM k0 JOIN ks USING (k)
+              |  WHERE k0.doc_id % 10 = 9
+              |    AND (ks.n_old > 0 OR k0.doc_id > ks.min_new)),
               |sym AS (SELECT d2 x, d1 y FROM pp UNION ALL SELECT d1, d2 FROM pp),
               |nrd AS (SELECT DISTINCT x AS doc_id FROM sym
               |  WHERE x % 10 = 9 AND (y % 10 <> 9 OR y < x))

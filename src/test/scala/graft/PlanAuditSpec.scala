@@ -147,64 +147,62 @@ class PlanAuditSpec extends AnyFunSuite {
       s"corpus-cardinality window partition keys (hot-key wall): $offenders")
   }
 
-  /** Files whose driver-side collects are bounded BY CONSTRUCTION —
-    * every entry must name the bound. A collect from any other file in
-    * a declared query path fails the wall below: the r18 verdict's one
-    * scale flag was connectedComponents collecting its pair-graph-node-
-    * sized result (O(corpus) rows at a web corpus' 25-40% duplication
-    * rate — a driver OOM at 100 TB); that shape must not recur. */
-  private val boundedCollectFiles = Map(
-    "Percentiles.scala" -> "group × fraction percentile spine (≤ dozens of rows)",
-    "TextOps.scala" -> "classifier weight vector (fixed hashed-BoW dimension)",
-    "Indexing.scala" -> "scalar avgdl + 8 query terms + fused top-k ranking",
-    "Curation.scala" -> "per-language maps (langs ≤ 5) + one scalar median",
-    "PcaOp.scala" -> "d-dimensional component vectors (d = 32)",
-    "KMeansOp.scala" -> "K centroid vectors (K ≤ 16)",
-    "Relational3.scala" -> "bounded literal spine for the recursive CTE seed",
-    // per-commit metadata: FileMeta of the files one commit wrote,
-    // partition value lists, dv sidecar pointers — never row data
-    "GraftTable.scala" -> "commit metadata (FileMeta / partition values / dv pointers)")
+  /** Per-FILE budget of driver-side collect-family call sites in the
+    * operator/streaming sources, each with its boundedness argument. A
+    * NEW collect anywhere (or one more in an allowlisted file) fails
+    * the wall below until its bound is argued here: the r18 verdict's
+    * one scale flag was connectedComponents collecting its pair-graph-
+    * node-sized result (O(corpus) rows at real duplication rates — a
+    * driver OOM at 100 TB); that shape must not recur.
+    *
+    * This is a SOURCE-level audit, not a SparkListener one, because
+    * Spark 4 runs Dataset.collect through SQLExecution's
+    * withThreadLocalCaptured executor thread — the job's stage
+    * callsites read "$anonfun$withThreadLocalCaptured$2 at
+    * CompletableFuture.java", so a listener provably cannot attribute
+    * collects to user code (measured r19). Static counting catches
+    * every call site deterministically, including ones only reachable
+    * at scale. */
+  private val boundedCollectBudget = Map(
+    "Percentiles.scala" -> (2, "group × fraction percentile spine (≤ dozens of rows)"),
+    "TextOps.scala" -> (3, "classifier weight vectors (fixed hashed-BoW dimension) + scalar"),
+    "Indexing.scala" -> (4, "scalar avgdl, 8 query terms, fused top-k ranking"),
+    "Curation.scala" -> (3, "per-language maps (langs ≤ 5) + one scalar median"),
+    "PcaOp.scala" -> (2, "d-dimensional component vectors (d = 32)"),
+    "KMeansOp.scala" -> (5, "K centroid vectors (K ≤ 16) per trainer round"),
+    "Relational3.scala" -> (2, "bounded literal spine for the recursive CTE seed"),
+    "Dedup2.scala" -> (1, "q_dedup_contain per-lang report (langs ≤ 5), frees the staged explosion"),
+    "GraftStreaming.scala" -> (2, "snapshot-id lists (metadata-sized)"))
 
-  test("no corpus-sized driver collect in any declared query path") {
-    val prefixes =
-      Seq("collect at ", "collectAsList at ", "head at ", "first at ",
-        "take at ", "toLocalIterator at ")
-    val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-    val fenced = new java.util.concurrent.atomic.AtomicBoolean(false)
-    val listener = new org.apache.spark.scheduler.SparkListener {
-      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-        // each StageInfo.name is that stage's callsite; the result
-        // stage's is the action site ("collect at <file>:<line>")
-        js.stageInfos.foreach { si =>
-          val cs = si.name
-          if (prefixes.exists(cs.startsWith)) { seen.add(cs); () }
-          // the sentinel parallelize-count below, NOT the collect probe
-          if (cs.startsWith("count at PlanAuditSpec")) fenced.set(true)
+  test("no corpus-sized driver collect in any operator/streaming source") {
+    val dirs = Seq(
+      new java.io.File("src/main/scala/graft/operators"),
+      new java.io.File("src/main/scala/graft/streaming"))
+    val pattern = java.util.regex.Pattern.compile(
+      """\.(collect\(\)|collectAsList|head\(\)|first\(\)|toLocalIterator)""")
+    val found = dirs.flatMap(d => Option(d.listFiles()).getOrElse(Array.empty).toSeq)
+      .filter(_.getName.endsWith(".scala"))
+      .map { f =>
+        val lines = scala.io.Source.fromFile(f, "UTF-8").getLines().toSeq
+        val n = lines.count { l =>
+          val code = l.split("//", 2).head // strip line comments
+          !l.trim.startsWith("*") && pattern.matcher(code).find()
         }
-    }
-    // prove the probe actually fires on a real collect first
-    spark.sparkContext.addSparkListener(listener)
-    try {
-      spark.range(1).collect()
-      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-        fn(spark, dir) // eager construction work runs here; the plan stays lazy
+        f.getName -> n
       }
-      // fence: a job whose callsite is THIS suite; listener events are
-      // delivered in order, so seeing it means all prior starts arrived
-      spark.sparkContext.parallelize(Seq(1), 1).count()
-      val deadline = System.nanoTime() + 30e9.toLong
-      while (!fenced.get() && System.nanoTime() < deadline) Thread.sleep(10)
-      assert(fenced.get(), "listener fence never arrived")
-    } finally spark.sparkContext.removeSparkListener(listener)
-    import scala.jdk.CollectionConverters._
-    val sites = seen.asScala.toSeq.sorted
-    assert(sites.exists(_.contains("PlanAuditSpec")),
-      s"probe collect not captured — the callsite audit no longer fires: $sites")
-    val offenders = sites
-      .filterNot(_.contains("PlanAuditSpec")) // the probe itself
-      .filterNot(cs => boundedCollectFiles.keys.exists(f => cs.contains(s"$f:")))
-    assert(offenders.isEmpty,
-      s"driver collect outside the bounded allowlist (100 TB scale wall): $offenders")
+      .filter(_._2 > 0).toMap
+    val offenders = found.toSeq.sortBy(_._1).flatMap { case (file, n) =>
+      boundedCollectBudget.get(file) match {
+        case Some((budget, _)) if n <= budget => None
+        case Some((budget, why)) =>
+          Some(s"$file has $n collect sites, budget $budget ($why) — argue the new one's bound here")
+        case None =>
+          Some(s"$file has $n collect site(s) and no documented bound — a corpus-sized driver collect is the 100 TB scale-killer")
+      }
+    }
+    assert(offenders.isEmpty, s"collect wall: $offenders")
+    // the audit must actually be reading source (guard against a moved tree)
+    assert(found.nonEmpty, "collect audit found zero sites — is the source tree present?")
   }
 
   test("no interpreted higher-order array functions in any declared query plan") {
