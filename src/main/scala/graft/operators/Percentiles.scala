@@ -8,49 +8,53 @@ import scala.jdk.CollectionConverters._
 
 /** Exact grouped percentiles with linear interpolation — the semantics of
   * SQL `percentile_cont` / DuckDB `quantile_cont` — as a reusable,
-  * fully-parallel two-pass order statistic (no per-group serial sort).
+  * fully-parallel TWO-AGGREGATION order statistic: no shuffle of the
+  * data, no sort, no persist (r19 optimization; guide §2.3/§2.4 —
+  * "shuffle keys and metadata instead of payloads", here shrunk further
+  * to "shuffle only map-side-combined histograms").
   *
-  * Algorithm (the plan q_percentile landed in r6, lifted to a library
-  * operator):
-  *   1. range-repartition the (group..., value) scalar pairs and sort
-  *      within partitions, tagging each row with its partition id and a
-  *      local index (monotonically_increasing_id's per-partition counter
-  *      assigned above the sort in the same stage) — the ONLY full-data
-  *      movement is this single range shuffle of scalars;
-  *   2. aggregate per-(partition, group) run lengths (P × groups scalars)
-  *      to the driver and turn them into global-rank offsets plus the ≤2
-  *      bracketing target ranks per requested percentile;
-  *   3. one broadcast join re-derives each row's GLOBAL rank
-  *      (partition offset + local index) and keeps only the bracketing
-  *      rows, which interpolate exactly like quantile_cont.
+  * Algorithm (histogram selection; replaces the r6 range-shuffle plan):
+  *   1. bucket every value by the TOP 16 BITS of its sign-adjusted IEEE
+  *      representation ([[graft.functions.BitsExpr.orderedBits]] —
+  *      ascending signed order ≡ ascending double order, so buckets are
+  *      rank-correct and need no min/max pre-pass), and aggregate
+  *      per-(group, bucket) counts: a map-side-combinable groupBy whose
+  *      shuffle is ≤ 65536 × groups scalars, NOT the data;
+  *   2. on the driver, walk each group's bucket histogram to locate the
+  *      ≤ 2 bracketing ranks per requested percentile (global rank →
+  *      (bucket, rank-within-bucket));
+  *   3. a second aggregation over ONLY the needed (group, bucket) pairs
+  *      (a broadcast semi-join of the base — at most groups × ps × 2
+  *      buckets, each ~n/65536 of its group) yields per-value counts;
+  *      the driver sorts that bounded value list, picks the bracketing
+  *      values, and interpolates `lo + frac * (hi - lo)` — the same
+  *      IEEE op sequence as quantile_cont, bit-identical to the old
+  *      plan's expression.
   *
-  * Scale shape: every partition sorts rows/P values — at 100× the data a
-  * group never funnels through one task the way a partitionBy(group)
-  * window sort would. Driver state is partitions × groups × 2 scalars
-  * (bounded metadata, same class as manifest reads — not data-sized).
-  *
-  * The big sorted intermediate is persisted between the two passes and
-  * UNPERSISTED before returning: the (groups × percentiles)-sized result
-  * is materialized eagerly and returned as a local-relation DataFrame, so
-  * no cached blocks outlive the call (a bench loop of 60+ queries would
-  * otherwise accumulate executor storage memory).
+  * Scale shape: two scans of the input projected to (group, value) with
+  * map-side partial aggregation; shuffled bytes are histogram-sized
+  * (≤ 65536 × groups + probed-bucket distinct values), independent of
+  * corpus size — where the previous plan range-shuffled, sorted and
+  * persisted EVERY (group, value) pair (measured 125 s at sf10 for
+  * q_percentile; this plan is scan-bound). Driver state is bounded:
+  * the bucket histogram (≤ 65536 × groups counts) plus the probed
+  * buckets' distinct values (~n/65536 per probed bucket — a pathological
+  * single-value group collapses to ONE distinct value, so duplicates
+  * never inflate it).
   *
   * Null values are ignored (percentile_cont semantics); null group keys
-  * are not supported (they would drop at the broadcast joins).
+  * are dropped (same contract as the previous implementation, where
+  * they fell out of the broadcast joins).
   *
   * ==Cost contract — exact vs approx==
-  * `exact` is inherently a FULL range-shuffle + persist of every value
-  * between its two passes: the fastest plan that returns bit-exact
-  * percentile_cont, and the right face for oracle parity and small/
-  * medium data, but its wall-clock scales with the full value column
-  * (measured ~2× every other sf0.1 query; ~17× at sf1). At 100 TB the
-  * operator of choice is [[approx]] (KLL sketch, ~1.1× per 10× data,
-  * mergeable, bounded memory) — reach for `exact` only when the answer
-  * must be exact to the last ULP. q_percentile deliberately benches the
-  * exact path; treat its larger reading as this documented band, not a
-  * regression (SURVEY §6).
+  * `exact` now costs two aggregation passes over the input. [[approx]]
+  * (KLL sketch, mergeable, bounded memory) remains the single-pass
+  * choice when ~1% rank error is acceptable; `exact` is the face for
+  * oracle parity and whenever the answer must be exact to the last ULP.
   */
 object Percentiles {
+
+  private val BucketShift = 48 // top 16 bits of the sign-adjusted IEEE long
 
   /** @param ps (outputName, fraction in [0,1]) pairs, e.g. ("p50", 0.5).
     * @return long-format result: groupCols..., name STRING, value DOUBLE —
@@ -65,67 +69,96 @@ object Percentiles {
     val s = df.sparkSession
     val gs = groupCols.map(col)
     val groupFields = groupCols.map(n => df.schema(n))
+    val g = groupCols.size
     val vals = df
       .select(gs :+ col(valueCol).cast("double").as("__v"): _*)
       .filter(col("__v").isNotNull)
-    val nParts = s.sessionState.conf.numShufflePartitions
-    val Mask = (1L << 33) - 1 // monotonically_increasing_id local counter bits
-    val parted = vals
-      .repartitionByRange(nParts, gs :+ col("__v"): _*)
-      .sortWithinPartitions(groupCols :+ "__v" map col: _*)
-      .select(gs :+ col("__v") :+ spark_partition_id().as("__pid") :+
-        monotonically_increasing_id().bitwiseAND(lit(Mask)).as("__lidx"): _*)
-      .persist()
-    try {
-      // pass 1: per-(partition, group) run length + start index
-      val g = groupCols.size
-      val runs: Array[(Int, List[Any], Long, Long)] = parted
-        .groupBy(col("__pid") +: gs: _*)
-        .agg(count(lit(1)).as("cnt"), min("__lidx").as("start"))
-        .collect()
-        .map(r => (r.getInt(0), (0 until g).map(i => r.get(1 + i)).toList,
-          r.getLong(1 + g), r.getLong(2 + g)))
-      val byGroup = runs.groupBy(_._2)
-      // offsets: rows of the same group in LOWER partitions (range
-      // partitions ascend in pid, so global order = pid, then local idx)
-      val offsetRows: Seq[Row] = byGroup.toSeq.flatMap { case (_, rs) =>
-        val sorted = rs.sortBy(_._1)
-        sorted.scanLeft(0L)(_ + _._3).zip(sorted).map {
-          case (off, (pid, key, _, start)) => Row.fromSeq(pid +: key :+ off :+ start)
-        }
-      }
-      // bracketing global ranks per (group, percentile)
-      val targetRows: Seq[Row] = byGroup.toSeq.flatMap { case (key, rs) =>
-        val n = rs.map(_._3).sum
-        ps.map { case (name, p) =>
-          val k = (n - 1) * p
-          Row.fromSeq(key :+ name :+ (math.floor(k).toLong + 1) :+
-            (math.ceil(k).toLong + 1) :+ (k - math.floor(k)))
-        }
-      }
-      val offsetsDf = s.createDataFrame(
-        new java.util.ArrayList[Row](offsetRows.asJava),
-        StructType(StructField("__pid", IntegerType) +: groupFields :+
-          StructField("__goff", LongType) :+ StructField("__start", LongType)))
-      val targetsDf = s.createDataFrame(
-        new java.util.ArrayList[Row](targetRows.asJava),
+      .na.drop(groupCols)
+      .withColumn("__b",
+        shiftright(graft.functions.BitsExpr.orderedBits(col("__v")), BucketShift)
+          .cast("int"))
+    // pass 1: per-(group, bucket) counts — map-side combinable, the only
+    // full scan that shuffles anything (histogram-sized)
+    val hist: Array[(List[Any], Int, Long)] = vals
+      .groupBy(gs :+ col("__b"): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .collect()
+      .map(r => ((0 until g).map(r.get).toList, r.getInt(g), r.getLong(g + 1)))
+    if (hist.isEmpty) {
+      return s.createDataFrame(
+        new java.util.ArrayList[Row](),
         StructType(groupFields :+ StructField("name", StringType) :+
-          StructField("__lo", LongType) :+ StructField("__hi", LongType) :+
-          StructField("__frac", DoubleType)))
-      val out = parted
-        .join(broadcast(offsetsDf), "__pid" +: groupCols)
-        .withColumn("__grank", col("__goff") + (col("__lidx") - col("__start")) + 1)
-        .join(broadcast(targetsDf), groupCols)
-        .filter(col("__grank") === col("__lo") || col("__grank") === col("__hi"))
-        .groupBy(gs :+ col("name"): _*)
-        .agg((max(when(col("__grank") === col("__lo"), col("__v"))) +
-          first(col("__frac")) * (max(when(col("__grank") === col("__hi"), col("__v"))) -
-            max(when(col("__grank") === col("__lo"), col("__v"))))).as("value"))
-      // materialize the (groups × ps)-sized result so the sorted
-      // intermediate can be unpersisted before returning
-      val rows = out.collect()
-      s.createDataFrame(new java.util.ArrayList[Row](rows.toSeq.asJava), out.schema)
-    } finally parted.unpersist()
+          StructField("value", DoubleType)))
+    }
+    // driver: locate the bracketing (bucket, rank-within-bucket) per
+    // (group, percentile); ranks are 1-based within the group
+    case class Need(key: List[Any], bucket: Int, localRank: Long)
+    // (group, name) -> (loNeed, hiNeed, frac)
+    val wanted = scala.collection.mutable.ArrayBuffer.empty[(List[Any], String, Need, Need, Double)]
+    hist.groupBy(_._1).foreach { case (key, rows) =>
+      val buckets = rows.sortBy(_._2) // ascending bucket = ascending value
+      val n = buckets.map(_._3).sum
+      def locate(rank: Long): Need = {
+        var cum = 0L
+        var i = 0
+        while (i < buckets.length) {
+          val c = buckets(i)._3
+          if (rank <= cum + c) return Need(key, buckets(i)._2, rank - cum)
+          cum += c
+          i += 1
+        }
+        Need(key, buckets.last._2, buckets.last._3) // rank == n fallback
+      }
+      ps.foreach { case (name, p) =>
+        val k = (n - 1) * p
+        val lo = locate(math.floor(k).toLong + 1)
+        val hi = locate(math.ceil(k).toLong + 1)
+        wanted += ((key, name, lo, hi, k - math.floor(k)))
+      }
+    }
+    // pass 2: per-value counts inside ONLY the probed buckets (broadcast
+    // semi-join on (group, bucket) — ≤ groups × ps × 2 pairs)
+    val neededPairs: Seq[Row] = wanted
+      .flatMap(w => Seq(w._3, w._4)).map(nd => Row.fromSeq(nd.key :+ nd.bucket))
+      .distinct.toSeq
+    val needDf = s.createDataFrame(
+      new java.util.ArrayList[Row](neededPairs.asJava),
+      StructType(groupFields :+ StructField("__b", IntegerType)))
+    val probed: Array[(List[Any], Int, Double, Long)] = vals
+      .join(broadcast(needDf), groupCols :+ "__b", "leftsemi")
+      .groupBy(gs :+ col("__b") :+ col("__v"): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .collect()
+      .map(r => ((0 until g).map(r.get).toList, r.getInt(g), r.getDouble(g + 1),
+        r.getLong(g + 2)))
+    // driver: sorted distinct values per probed (group, bucket); walk
+    // counts to resolve rank-within-bucket → value
+    val valuesByBucket: Map[(List[Any], Int), Array[(Double, Long)]] = probed
+      .groupBy(r => (r._1, r._2))
+      .map { case (k, rs) => k -> rs.map(r => (r._3, r._4)).sortBy(r =>
+        graft.functions.BitsExpr.orderedBitsOf(r._1)) }
+    def valueAt(nd: Need): Double = {
+      val vs = valuesByBucket((nd.key, nd.bucket))
+      var cum = 0L
+      var i = 0
+      while (i < vs.length) {
+        if (nd.localRank <= cum + vs(i)._2) return vs(i)._1
+        cum += vs(i)._2
+        i += 1
+      }
+      vs.last._1
+    }
+    val outRows: Seq[Row] = wanted.toSeq.map { case (key, name, lo, hi, frac) =>
+      val vLo = valueAt(lo)
+      val vHi = valueAt(hi)
+      // same IEEE sequence as the previous plan's aggregate expression:
+      // lo + frac * (hi - lo)
+      Row.fromSeq(key :+ name :+ (vLo + frac * (vHi - vLo)))
+    }
+    s.createDataFrame(
+      new java.util.ArrayList[Row](outRows.asJava),
+      StructType(groupFields :+ StructField("name", StringType) :+
+        StructField("value", DoubleType)))
   }
 
   /** Approximate grouped percentiles via the mergeable multilevel

@@ -38,14 +38,36 @@ object Similarity {
     val q = n.filter(col("vec_id") < 20)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
     val c = n.select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
-    val w = Window.partitionBy("q_id").orderBy(desc("cos"), col("c_id"))
-    c.join(broadcast(q), col("q_id") =!= col("c_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv"), col("qn"), col("cn")))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= 3)
-      .select(col("q_id"), col("rn"), col("c_id"), round(col("cos"), 4).as("cos"))
-      .orderBy("q_id", "rn")
+    topKPairs(
+      c.join(broadcast(q), col("q_id") =!= col("c_id"))
+        .select(col("q_id"), col("c_id"),
+          cosine(col("qv"), col("cv"), col("qn"), col("cn")).as("cos")),
+      3)
   }
+
+  /** Bounded per-probe top-k over scored (q_id, c_id, cos) pairs —
+    * the shared re-rank tail of every ANN face. r19: MinNRows (the
+    * bounded mergeable top-N aggregate, CLAUDE.md rule) instead of
+    * `row_number().over(partitionBy(q_id))`: the window form sorts a
+    * probe's ENTIRE candidate set in one task (for the brute baseline
+    * that is the whole corpus per probe — a single-task corpus sort at
+    * 100 TB), where this aggregate map-side combines and ships ≤ k rows
+    * per probe per partition. Selection is by the total order
+    * (cos DESC, c_id ASC) — c_id is unique per probe after the callers'
+    * dedup — so the emitted array order IS the window's row_number
+    * (posexplode pos + 1), bit-identical under any partitioning
+    * (MinNSpec). Callers with multi-table/multi-list candidate streams
+    * must still `.distinct()` first: duplicate (cos, c_id) rows would
+    * otherwise occupy two ranks. */
+  private def topKPairs(pairs: DataFrame, k: Int): DataFrame =
+    pairs
+      .groupBy("q_id")
+      .agg(graft.functions.MinNAgg.minNRows(k,
+        Seq(("cos", col("cos"), true), ("c_id", col("c_id"), false))).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "r")))
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("rn"),
+        col("r.c_id").as("c_id"), round(col("r.cos"), 4).as("cos"))
+      .orderBy("q_id", "rn")
 
   /** Embedding near-dup scan: nearest LSH candidate for every vector.
     * Candidates come from an equality join on sign-LSH buckets (same
@@ -86,17 +108,24 @@ object Similarity {
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"), col("bucket"))
     val c = withBuckets
       .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"), col("bucket"))
-    val w = Window.partitionBy("q_id").orderBy(desc("cos"), col("c_id"))
+    // r19: the nearest candidate is an ARGMAX, not a rank — the
+    // assignCells pattern. The previous distinct() + row_number()
+    // window partitioned by q_id was a CORPUS-cardinality window
+    // (every vector is a query here — the audit's hot-key wall, missed
+    // because the alias `q_id` wasn't in corpusKeyNames; it is now):
+    // two extra shuffles plus a per-key sort. max(struct(cos, -c_id))
+    // reproduces (cos DESC, c_id ASC) exactly — highest cos, then
+    // highest negated id = lowest id — is duplicate-insensitive (table
+    // collisions produce EQUAL (cos, c_id) rows, so no distinct needed)
+    // and map-side combines: one scalar shuffle, no sort.
     q.join(c, Seq("bucket"))
       .filter(col("q_id") =!= col("c_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv"), col("qn"), col("cn")))
-      // dedupe table collisions AFTER scoring: cos is deterministic per
-      // pair, so distinct shuffles 3 scalars, never the vectors
-      .select(col("q_id"), col("c_id"), col("cos"))
-      .distinct()
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("q_id").as("vec_id"), col("c_id").as("nn_id"), round(col("cos"), 4).as("cos"))
+      .select(col("q_id"), col("c_id"),
+        cosine(col("qv"), col("cv"), col("qn"), col("cn")).as("cos"))
+      .groupBy("q_id")
+      .agg(max(struct(col("cos"), (-col("c_id")).as("negc"))).as("m"))
+      .select(col("q_id").as("vec_id"), (-col("m.negc")).as("nn_id"),
+        round(col("m.cos"), 4).as("cos"))
       .orderBy("vec_id")
   }
 
@@ -175,18 +204,16 @@ object Similarity {
     val c = wb
       .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"),
         concat_ws("_", col("t"), col("bnum")).as("bucket"))
-    val w = Window.partitionBy("q_id").orderBy(desc("cos"), col("c_id"))
-    c.join(broadcast(q), Seq("bucket"))
-      .filter(col("q_id") =!= col("c_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv"), col("qn"), col("cn")))
-      // dedupe table collisions AFTER scoring: distinct shuffles three
-      // scalars, never the vectors
-      .select(col("q_id"), col("c_id"), col("cos"))
-      .distinct()
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= 3)
-      .select(col("q_id"), col("rn"), col("c_id"), round(col("cos"), 4).as("cos"))
-      .orderBy("q_id", "rn")
+    topKPairs(
+      c.join(broadcast(q), Seq("bucket"))
+        .filter(col("q_id") =!= col("c_id"))
+        .withColumn("cos", cosine(col("qv"), col("cv"), col("qn"), col("cn")))
+        // dedupe table/probe collisions AFTER scoring: distinct shuffles
+        // three scalars, never the vectors (and MinNRows requires unique
+        // (cos, c_id) per probe)
+        .select(col("q_id"), col("c_id"), col("cos"))
+        .distinct(),
+      3)
   }
 
   // IVF coarse quantizer: K deterministic centroid vectors, nprobe lists
@@ -329,13 +356,11 @@ object Similarity {
         col("cell").as("qcell"))
     val c = cells.select(col("vec_id").as("c_id"), col("v").as("cv2"),
       col("nrm").as("cn2"), col("cell").as("ccell"))
-    val w = Window.partitionBy("q_id").orderBy(desc("cos"), col("c_id"))
-    c.join(broadcast(q), col("qcell") =!= col("ccell"))
-      .withColumn("cos", cosine(col("qv"), col("cv2"), col("qn"), col("cn2")))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= 3)
-      .select(col("q_id"), col("rn"), col("c_id"), round(col("cos"), 4).as("cos"))
-      .orderBy("q_id", "rn")
+    topKPairs(
+      c.join(broadcast(q), col("qcell") =!= col("ccell"))
+        .select(col("q_id"), col("c_id"),
+          cosine(col("qv"), col("cv2"), col("qn"), col("cn2")).as("cos")),
+      3)
   }
 
   /** L65: embedding drift — compare the MEAN embedding of two corpus
@@ -417,19 +442,15 @@ object Similarity {
     * and the persisted-index probe (AnnIndex.probe), so the two paths
     * are the same math by construction. `assigned` = (list_id, c_id,
     * cv2, cn2), `probes` = (list_id, q_id, qv, qn). */
-  private[operators] def ivfRerank(assigned: DataFrame, probes: DataFrame): DataFrame = {
-    val w = Window.partitionBy("q_id").orderBy(desc("cos"), col("c_id"))
-    assigned.join(broadcast(probes), Seq("list_id"))
-      .filter(col("q_id") =!= col("c_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv2"), col("qn"), col("cn2")))
-      // a candidate can surface via both probed lists: dedupe scalars
-      .select(col("q_id"), col("c_id"), col("cos"))
-      .distinct()
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= 3)
-      .select(col("q_id"), col("rn"), col("c_id"), round(col("cos"), 4).as("cos"))
-      .orderBy("q_id", "rn")
-  }
+  private[operators] def ivfRerank(assigned: DataFrame, probes: DataFrame): DataFrame =
+    topKPairs(
+      assigned.join(broadcast(probes), Seq("list_id"))
+        .filter(col("q_id") =!= col("c_id"))
+        .withColumn("cos", cosine(col("qv"), col("cv2"), col("qn"), col("cn2")))
+        // a candidate can surface via both probed lists: dedupe scalars
+        .select(col("q_id"), col("c_id"), col("cos"))
+        .distinct(),
+      3)
 
   /** L40: brute top-3 (the L6 plan) over int8-reconstructed vectors. */
   private def annQuantized(s: SparkSession, d: String): DataFrame = {
@@ -442,13 +463,11 @@ object Similarity {
     val q = n.filter(col("vec_id") < 20)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
     val c = n.select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
-    val w = Window.partitionBy("q_id").orderBy(desc("cos"), col("c_id"))
-    c.join(broadcast(q), col("q_id") =!= col("c_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv"), col("qn"), col("cn")))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= 3)
-      .select(col("q_id"), col("rn"), col("c_id"), round(col("cos"), 4).as("cos"))
-      .orderBy("q_id", "rn")
+    topKPairs(
+      c.join(broadcast(q), col("q_id") =!= col("c_id"))
+        .select(col("q_id"), col("c_id"),
+          cosine(col("qv"), col("cv"), col("qn"), col("cn")).as("cos")),
+      3)
   }
 
   private val CosSql =

@@ -71,6 +71,12 @@ class PlanAuditSpec extends AnyFunSuite {
   private val corpusKeyNames = Set(
     "doc_id", "d1", "d2", "k", "term", "g", "w", "vec_id", "cluster_id",
     "bench_id", "chunk_id", "sig", "band", "content", "fp",
+    // r19: the ANN probe alias — q_embed_nn's nearest-candidate window
+    // keyed on q_id was corpus-cardinality (every vector is a query
+    // there) and slipped this list; it is now an argmax aggregate, and
+    // the bounded ≤20-probe re-ranks are MinNRows aggregates, so no
+    // declared query windows over q_id at all
+    "q_id",
     // post-alias cluster labels: Catalyst's project collapse resolves a
     // window partitioned by an ALIAS of the propagation label back to the
     // underlying attribute, so the guard must know the pre-alias names
@@ -164,7 +170,7 @@ class PlanAuditSpec extends AnyFunSuite {
     * every call site deterministically, including ones only reachable
     * at scale. */
   private val boundedCollectBudget = Map(
-    "Percentiles.scala" -> (2, "group × fraction percentile spine (≤ dozens of rows)"),
+    "Percentiles.scala" -> (2, "bucket histogram (≤ 65536 × groups counts) + probed-bucket distinct values (~n/65536 each)"),
     "TextOps.scala" -> (3, "classifier weight vectors (fixed hashed-BoW dimension) + scalar"),
     "Indexing.scala" -> (4, "scalar avgdl, 8 query terms, fused top-k ranking"),
     "Curation.scala" -> (3, "per-language maps (langs ≤ 5) + one scalar median"),
