@@ -53,6 +53,7 @@ final class QuantileBuffer(val k: Int) {
   private[functions] def parityBits: Array[Boolean] = parities
 
   def add(v: Double): Unit = {
+    sortedL0n = -1 // any mutation invalidates the cached eval sort
     if (l0n == l0.length && l0.length < k + 1)
       l0 = java.util.Arrays.copyOf(l0, math.min(l0.length.toLong * 2, k + 1L).toInt)
     l0(l0n) = v
@@ -121,6 +122,16 @@ final class QuantileBuffer(val k: Int) {
     cascade()
   }
 
+  /** Sorted level-0 snapshot, cached across the quantile(p) calls of one
+    * eval. In the sketch's EXACT regime (k ≥ group size — the oracle
+    * discipline sizes k at 4× the mean group, so nothing ever compacts)
+    * level 0 holds the whole group: sorting it ONCE with the primitive
+    * dual-pivot `Arrays.sort(double[])` instead of per-call boxed
+    * `indices.sortBy` (an Integer-boxing comparator sort) was measured
+    * 5-10× faster on the eval path. Invalidated by any add/merge. */
+  private var sortedL0: Array[Double] = null
+  private var sortedL0n: Int = -1
+
   /** Linear-interpolated quantile over the weighted items (weight 2^h at
     * level h) — percentile_cont-style semantics over the sketch view. */
   def quantile(p: Double): Double = {
@@ -128,6 +139,25 @@ final class QuantileBuffer(val k: Int) {
     var i = 0
     while (i < hi.length) { n += hi(i).length; i += 1 }
     if (n == 0) return Double.NaN
+    if (n == l0n) {
+      // fast path: no compacted levels (the exact regime) — all weights
+      // are 1, so the generic walk below reduces to: sort values, pick
+      // r = floor(target), frac = target - r, interpolate when frac > 0.
+      // Same IEEE sequence as the wi = 1 branch of the generic path
+      // (frac*1 - 0 ≡ frac), bit-identical; Arrays.sort's total order
+      // (-0.0 < 0.0, NaN last) matches the boxed TotalOrdering.
+      if (sortedL0n != l0n) {
+        sortedL0 = java.util.Arrays.copyOf(l0, l0n)
+        java.util.Arrays.sort(sortedL0)
+        sortedL0n = l0n
+      }
+      val target = p * (n - 1).toDouble
+      val r = target.toInt
+      val frac = target - r
+      return if (r + 1 < n && frac > 0)
+        sortedL0(r) + frac * (sortedL0(r + 1) - sortedL0(r))
+      else sortedL0(r)
+    }
     val values = new Array[Double](n)
     val weights = new Array[Long](n)
     var w = 0

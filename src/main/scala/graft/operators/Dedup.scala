@@ -220,7 +220,7 @@ object Dedup {
     val ex = docs.select(col("doc_id"), size(col("sh")).cast("long").as("sz"),
       explode(col("sh")).as("g"))
       .select(col("doc_id"), col("sz"),
-        expr("CAST(conv(substr(md5(g),1,15),16,10) AS BIGINT)").as("hg"))
+        graft.functions.BitsExpr.md5Bits60(col("g")).as("hg"))
     // PPJoin df-cap: hot shingles never enter the join-back (cuts the
     // skew-join volume) nor the prefix self-join (cuts the D² candidate
     // blowup). See DfCap for why this is lossless at the oracle SFs.
@@ -293,7 +293,7 @@ object Dedup {
     val hset = cdocs.select(col("doc_id"), size(col("sh")).as("sz"),
         explode(col("sh")).as("g"))
       .select(col("doc_id"), col("sz"),
-        expr("CAST(conv(substr(md5(g),1,15),16,10) AS BIGINT)").as("hg"))
+        graft.functions.BitsExpr.md5Bits60(col("g")).as("hg"))
       .groupBy("doc_id", "sz").agg(collect_list("hg").as("hs"))
     cand
       .join(hset.select(col("doc_id").as("d1"), col("sz").as("sz1"),
@@ -356,7 +356,9 @@ object Dedup {
     * @return (doc_id, bench_id, hits) with hits >= 1
     */
   private[operators] def containmentHits(trainEx: DataFrame, benchEx: DataFrame): DataFrame = {
-    def h(c: String) = expr(s"CAST(conv(substr(md5($c),1,15),16,10) AS BIGINT)")
+    // r19: fused md5→60-bit expression (no hex render / substr / conv
+    // parse, thread-local MessageDigest) — same value bit-for-bit
+    def h(c: String) = graft.functions.BitsExpr.md5Bits60(col(c))
     val t = trainEx.select(col("doc_id"), h("g").as("hg"))
     val b = benchEx.select(col("bench_id"), h("g").as("hg"))
     val rare = t.groupBy("hg").agg(count(lit(1)).as("c"))

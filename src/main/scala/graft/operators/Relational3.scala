@@ -518,9 +518,12 @@ object Relational3 {
           .groupBy("l_returnflag")
           .agg(
             count(lit(1)).as("n"),
-            expr("bit_xor(CAST(conv(substr(md5(render),1,15),16,10) AS BIGINT))")
+            // r19: fused md5→60-bit native expression (BitsExpr) — the
+            // hex-render + substr + base-16 parse tail of the previous
+            // form collapsed into one digest pass; value bit-identical
+            bit_xor(graft.functions.BitsExpr.md5Bits60(col("render")))
               .as("cksum"),
-            expr("bit_xor(CAST(conv(substr(md5(prender),1,15),16,10) AS BIGINT))")
+            bit_xor(graft.functions.BitsExpr.md5Bits60(col("prender")))
               .as("cksum_price"))
           .orderBy("l_returnflag")
       },

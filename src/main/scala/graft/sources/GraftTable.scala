@@ -1377,7 +1377,7 @@ class GraftTable private (
       commitUser: String = "graft", commitIdentifier: Option[Long] = None,
       watermark: Option[Long] = None): Long = {
     val base = latestSnapshotId.getOrElse(0L)
-    val added = stageWrite(df, rowKind, seq = base + 1)
+    val added = stageWrite(df, rowKind, seq = base + 1, coalesceSmall = true)
     val id = commitOrClean(base + 1, kind, added.files,
       commitUser = commitUser, commitIdentifier = commitIdentifier,
       indexDirs = added.indexDirs, watermark = watermark)
@@ -2396,7 +2396,7 @@ class GraftTable private (
 
   private def stageWrite(
       df: DataFrame, rowKind: String, seq: Long, keySort: Boolean = true,
-      lineage: Boolean = false): StagedWrite = {
+      lineage: Boolean = false, coalesceSmall: Boolean = false): StagedWrite = {
     val lineageCols = if (lineage) Seq(RowIdCol, RowSeqCol) else Seq.empty
     val dataCols = schema.fieldNames.toSeq ++ lineageCols
     require(dataCols.forall(df.columns.contains),
@@ -2430,6 +2430,33 @@ class GraftTable private (
     if (isPkTable) {
       out = out.withColumn(SeqCol, lit(seq))
       if (!perRowKind) out = out.withColumn(KindCol, lit(rowKind))
+    }
+    // r19 (guide §6, small files): a tiny frame arriving in many input
+    // partitions writes one near-empty parquet file PER TASK (measured:
+    // a 1000-row 32-partition append = 32 files, 0.8-2.9 s vs 0.27 s at
+    // one) — and at scale every micro-commit bloats the manifest with
+    // sub-MB files. When Catalyst's size ESTIMATE says the whole write
+    // is small, coalesce to ~32 MB-estimated tasks. Estimate-gated on
+    // the SAFE side: unfiltered-scan/unknown estimates are large or
+    // Long.Max, so a possibly-big write never collapses its stage; only
+    // provably-small frames coalesce. Plain (non-PK, non-bucketed,
+    // non-dynamic) tables only — bucketed task writers route rows
+    // per-bucket and a coalesced task would interleave buckets row-wise
+    // (the S48 writer-thrash OOM); partition-key sorting below happens
+    // AFTER the coalesce, so partitioned appends keep their contiguity.
+    // APPEND-path only (coalesceSmall) — compaction/rewrite callers
+    // pre-shape their layout deliberately (z-order/sortBy range
+    // partitioning) and a coalesce would collapse it (ClusteringSpec Z2
+    // caught exactly that).
+    if (coalesceSmall && !isPkTable && !isDynamicBucket && numBuckets <= 1 &&
+        options.getOrElse("write.small-file-coalesce", "true").toBoolean) {
+      val targetPerTask = 32L * 1024 * 1024
+      val est = out.queryExecution.optimizedPlan.stats.sizeInBytes
+      if (est >= 0 && est < targetPerTask * 512) { // sane estimate, small write
+        val n = math.max(1L, (est.toLong + targetPerTask - 1) / targetPerTask).toInt
+        // coalesce never raises a partition count, so n ≥ current is a no-op
+        out = out.coalesce(n)
+      }
     }
     // PK tables: a local (no-shuffle) sort by (pk asc, version desc)
     // makes every written file a sorted run the MOR reader can stream

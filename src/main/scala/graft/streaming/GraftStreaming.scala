@@ -333,7 +333,11 @@ object GraftStreaming {
     * separator; the library keeps the raw rendering because it is the
     * one DuckDB's `md5(concat_ws(...))` reproduces bit-identically. */
   def rowChecksum(renderCols: Seq[String]): org.apache.spark.sql.Column =
-    expr(s"CAST(conv(substr(md5(concat_ws('|', ${renderCols.mkString(", ")})), 1, 15), 16, 10) AS BIGINT)")
+    // r19: fused md5→60-bit expression — identical value to the previous
+    // CAST(conv(substr(md5(...),1,15),16,10) AS BIGINT) form, one digest
+    // pass per row (no 32-char hex render, no base-16 string parse)
+    graft.functions.BitsExpr.md5Bits60(
+      expr(s"concat_ws('|', ${renderCols.mkString(", ")})"))
 
   /** Streaming grouped approx-distinct: the KMV sketch as
     * mapGroupsWithState STATE — the mergeable-summary property (SURVEY

@@ -99,6 +99,38 @@ class HashExprSpec extends AnyFunSuite {
     assert(p.contains("WholeStageCodegen") || p.contains("*(1)"), p)
   }
 
+  test("Md5Bits60 ≡ CAST(conv(substr(md5(s),1,15),16,10) AS BIGINT), codegen, nulls") {
+    import graft.functions.BitsExpr
+    val inputs = Seq("", "a", "hello|world|1|2", "Ünïcödé 😀", "42|9|1992-03-14|N")
+    val got = inputs.toDF("s")
+      .select(BitsExpr.md5Bits60(col("s")).as("f"),
+        expr("CAST(conv(substr(md5(s),1,15),16,10) AS BIGINT)").as("r"))
+      .collect()
+    got.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
+    got.foreach(r => assert(r.getLong(0) >= 0L)) // 60 bits, never negative
+    // stays inside whole-stage codegen
+    val df = spark.range(5).select(BitsExpr.md5Bits60(col("id").cast("string")))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("WholeStageCodegen") || p.contains("*(1)"), p)
+    // null propagation
+    val n = Seq[Option[String]](None, Some("x")).toDF("s")
+      .select(BitsExpr.md5Bits60(col("s"))).collect()
+    assert(n(0).isNullAt(0) && !n(1).isNullAt(0))
+  }
+
+  test("DoubleBits ordering: sign-adjusted bits preserve double order") {
+    import graft.functions.BitsExpr
+    val vals = Seq(Double.NegativeInfinity, -1.5e300, -2.0, -1.0, -1e-300,
+      -0.0, 0.0, 1e-300, 0.5, 1.0, 2.0, 1.5e300, Double.PositiveInfinity)
+    val ord = vals.toDF("v").select(BitsExpr.orderedBits(col("v")))
+      .collect().map(_.getLong(0))
+    assert(ord.toSeq == ord.sorted.toSeq, s"not monotone: ${ord.mkString(",")}")
+    // driver mirror agrees with the expression
+    val drv = vals.map(BitsExpr.orderedBitsOf)
+    assert(ord.toSeq == drv)
+  }
+
   test("null propagation") {
     val got = Seq[Option[String]](None, Some("x")).toDF("s")
       .select(HashExpr.polyHash(col("s"))).collect()

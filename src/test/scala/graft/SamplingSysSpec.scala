@@ -26,7 +26,11 @@ class SamplingSysSpec extends AnyFunSuite {
   private def mkTable(prefix: String): GraftTable = {
     val df = (0 until 4000).map(i => (i.toLong, s"g${i % 20}", i * 1.5))
       .toDF("id", "g", "v").repartition(16)
-    val t = GraftTable.create(spark, TestSpark.tmpDir(prefix), df.schema)
+    // this spec DELIBERATELY builds a 16-file layout (file-granular
+    // sampling needs many files) — opt out of the r19 small-append
+    // coalesce, which would fold the tiny frame into one file
+    val t = GraftTable.create(spark, TestSpark.tmpDir(prefix), df.schema,
+      options = Map("write.small-file-coalesce" -> "false"))
     t.append(df)
     t
   }
