@@ -451,9 +451,18 @@ object Dedup2 {
     QDef(
       "q_source_overlap",
       (s, d) => {
+        // r19 (guide §2.3 — shuffle keys, not payloads): the distinct
+        // presence set and its self-join key on the md5-60-bit HASH of
+        // the shingle, not the ~30-byte shingle string — the L2/L20
+        // candidate-key discipline. 8-byte keys through the distinct,
+        // the exchange-reused self-join and the pair aggregate; the
+        // oracle replays the identical hash (R67's cross-engine md5
+        // rendering), so the counts match by construction, 60-bit
+        // collision odds stay negligible to billions of shingles.
         val e = Dedup.docsWithShingles(s, d)
           .join(T.documents(s, d).select(col("doc_id"), col("source")), "doc_id")
-          .select(col("source"), explode(col("sh")).as("g"))
+          .select(col("source"), explode(col("sh")).as("g0"))
+          .select(col("source"), graft.functions.BitsExpr.md5Bits60(col("g0")).as("g"))
           .distinct()
         val a = e.select(col("source").as("s1"), col("g"))
         val b = e.select(col("source").as("s2"), col("g"))
@@ -465,8 +474,9 @@ object Dedup2 {
           .limit(50)
       },
       Some(s"""WITH w AS (SELECT doc_id, ${Dedup.ShSql} sh FROM documents),
-              |e0 AS (SELECT d.source, unnest(w.sh) AS g
+              |e1 AS (SELECT d.source, unnest(w.sh) AS g0
               |  FROM w JOIN documents d USING (doc_id)),
+              |e0 AS (SELECT source, ('0x' || substr(md5(g0), 1, 15))::BIGINT AS g FROM e1),
               |e AS (SELECT DISTINCT source, g FROM e0)
               |SELECT a.source AS s1, b.source AS s2, count(*) AS shared
               |FROM e a JOIN e b USING (g)

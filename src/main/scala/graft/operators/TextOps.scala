@@ -108,20 +108,34 @@ object TextOps {
         val pairs = T.documents(s, d)
           .select(col("doc_id"), col("lang"),
             explode(ShingleExpr.bigrams(Text.words(col("text")))).as("bg"))
-          .withColumn("w1", substring_index(col("bg"), " ", 1))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           pairs.count() // eager: three branches of one action read it
           val cb = pairs.groupBy("bg").agg(count(lit(1)).as("cb"))
-          val cl = pairs.groupBy("w1").agg(count(lit(1)).as("cl"))
+          val cl = pairs
+            .select(substring_index(col("bg"), " ", 1).as("w1"))
+            .groupBy("w1").agg(count(lit(1)).as("cl"))
           // cb is a GLOBAL bigram count: at 100 TB a stopword bigram
           // exceeds ~9.2e12 occurrences and 1000000*cb overflows BIGINT
           // (ANSI throws). Widen the scaled ratio to DECIMAL(38,0) —
           // still exact integer arithmetic (q = floor(1e6·cb/cl) ≤ 1e6
           // since cb ≤ cl, so div's BIGINT result never overflows);
           // the oracle widens the same product to HUGEINT (ADVICE r15).
-          val docScores = pairs.join(cb, "bg").join(cl, "w1")
+          // r19 (guide §2.3/§2.4): q = floor(1e6·cb/cl) is a pure
+          // function of the BIGRAM, so compute it on the
+          // VOCABULARY-sized count table (cb ⋈ cl over distinct bigrams)
+          // and attach it to the corpus occurrences with ONE join — the
+          // previous plan joined the full occurrence frame twice (by bg,
+          // then by w1), i.e. two corpus-sized shuffles where one
+          // suffices and the w1 join now runs over the vocabulary.
+          // Identical values: same cb/cl counts, same q per bg, same
+          // per-occurrence sum.
+          val qtab = cb
+            .withColumn("w1", substring_index(col("bg"), " ", 1))
+            .join(cl, "w1")
             .withColumn("q", expr("(CAST(cb AS DECIMAL(38,0)) * 1000000) div cl"))
+            .select("bg", "q")
+          val docScores = pairs.join(qtab, "bg")
             .groupBy("doc_id", "lang")
             .agg(expr("sum(q) div count(*)").as("score"))
           // lang-level mean: sum(score) is docs·1e6-scaled — widen too
