@@ -2450,13 +2450,19 @@ class GraftTable private (
     // caught exactly that).
     if (coalesceSmall && !isPkTable && !isDynamicBucket && numBuckets <= 1 &&
         options.getOrElse("write.small-file-coalesce", "true").toBoolean) {
-      val targetPerTask = 32L * 1024 * 1024
+      // Trigger ONLY on metadata-sized writes (< 2 MB estimated). The
+      // estimate is compressed-file-size × default-column-size ratios,
+      // and StringType's 20-byte default understates real text ~100×:
+      // a looser 32 MB/task rule coalesced q_dedup_index's corpus
+      // append (72 MB compressed, ~26 MB "estimated", ~1 GB of real
+      // tokenize+encode work) to 3 tasks AND left the table as a few
+      // giant-row-group files that serialized every DOWNSTREAM read of
+      // it — measured 36 → 84 s at sf10. At < 2 MB estimated, even a
+      // 100× text understatement bounds the single write task at
+      // ~200 MB, and anything reading such a table back is reading a
+      // frame that small too.
       val est = out.queryExecution.optimizedPlan.stats.sizeInBytes
-      if (est >= 0 && est < targetPerTask * 512) { // sane estimate, small write
-        val n = math.max(1L, (est.toLong + targetPerTask - 1) / targetPerTask).toInt
-        // coalesce never raises a partition count, so n ≥ current is a no-op
-        out = out.coalesce(n)
-      }
+      if (est >= 0 && est < 2L * 1024 * 1024) out = out.coalesce(1)
     }
     // PK tables: a local (no-shuffle) sort by (pk asc, version desc)
     // makes every written file a sorted run the MOR reader can stream
