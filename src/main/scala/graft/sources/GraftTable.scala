@@ -181,6 +181,18 @@ class GraftTable private (
 
   private val fs: FileSystem = fileSystem(spark, root)
 
+  /** Opt-in phase profiler for the write/commit paths (guide §1 measure
+    * first): -Dgraft.write.profile=true prints per-phase seconds. Zero
+    * cost when off; no behavior change ever. */
+  @inline private def prof[T](label: String)(body: => T): T =
+    if (!ProfileWrites) body
+    else {
+      val t0 = System.nanoTime()
+      val r = body
+      println(f"[gprof] $label%-38s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+      r
+    }
+
   /** Snapshot-log directory of this view's ref, relative to root. */
   private def snapDirRel: String =
     branchName.map(b => s"branch/$b/snapshot").getOrElse("snapshot")
@@ -619,8 +631,17 @@ class GraftTable private (
     // lose the snapshot race and must restage (ADVICE r10). If WE lose
     // the race after folding, the folded dir is unreferenced and the
     // orphan sweep reclaims it.
+    // The base snapshot (id - 1) is consulted by several fields below
+    // (index chain, watermark, manifest chain, row-id counter, changelog
+    // pointer) — read and parse its JSON ONCE. Strict consumers rethrow
+    // the original failure via Try.get; lenient ones see None, exactly
+    // the per-site behavior before this was deduplicated.
+    val baseSnapTry: Option[scala.util.Try[SnapshotMeta]] =
+      if (id <= 1) None else Some(scala.util.Try(readSnapshot(id - 1)))
+    def baseStrict: SnapshotMeta = baseSnapTry.get.get
+    def baseLenient: Option[SnapshotMeta] = baseSnapTry.flatMap(_.toOption)
     val baseIdx: Seq[String] =
-      if (id <= 1) Seq.empty else bucketIndexChainOf(readSnapshot(id - 1))
+      if (id <= 1) Seq.empty else bucketIndexChainOf(baseStrict)
     val idxChain: Seq[String] =
       if (baseIdx.nonEmpty && baseIdx.length + indexDirs.length >= manifestMergeMinCount)
         foldIndexChain(baseIdx) ++ indexDirs
@@ -662,9 +683,7 @@ class GraftTable private (
     // commits carry it forward instead of silently resetting it.
     // Declared BEFORE the claim try: the post-publish hooks below need it.
     val baseWatermark: Option[Long] =
-      if (id <= 1) None
-      else scala.util.Try(readSnapshot(id - 1)).toOption
-        .flatMap(s => Option(s.watermark)).map(_.longValue)
+      baseLenient.flatMap(s => Option(s.watermark)).map(_.longValue)
     val effWatermark: Option[Long] = (watermark, baseWatermark) match {
       case (Some(w), Some(b)) => Some(math.max(w, b))
       case (a, b) => a.orElse(b)
@@ -678,7 +697,7 @@ class GraftTable private (
       val baseChain: Seq[String] =
         if (rebase || id <= 1) Seq.empty
         else {
-          val base = readSnapshot(id - 1)
+          val base = baseStrict
           // check `files` FIRST: jackson materializes an ABSENT manifests
           // field as an empty List (not null), so a legacy inline snapshot
           // must be detected by its files, or migration silently drops them
@@ -707,13 +726,12 @@ class GraftTable private (
           // every commit of a tracking table stamps the counter (the
           // option is creation-time immutable), so a null here is
           // corruption, not a legacy vintage
-          val n = readSnapshot(id - 1).nextRowId
+          val n = baseStrict.nextRowId
           require(n != null,
             s"row-tracking table missing nextRowId on snapshot ${id - 1} at $root")
           Some(n.longValue)
         }
-        else scala.util.Try(readSnapshot(id - 1)).toOption
-          .flatMap(s => Option(s.nextRowId)).map(_.longValue)
+        else baseLenient.flatMap(s => Option(s.nextRowId)).map(_.longValue)
       val (added2, nextRowIdOut): (Seq[FileMeta], java.lang.Long) =
         if (!rowTracking) (added, baseNextRowId.map(Long.box).orNull)
         else {
@@ -751,9 +769,7 @@ class GraftTable private (
         changelogDir = changelogDir.orNull,
         lastChangelog =
           if (changelogDir.isDefined) Long.box(id)
-          else if (id <= 1) null
-          else scala.util.Try(readSnapshot(id - 1)).toOption
-            .map(_.lastChangelog).orNull,
+          else baseLenient.map(_.lastChangelog).orNull,
         watermark = effWatermark.map(Long.box).orNull,
         nextRowId = nextRowIdOut,
         appendPaths = if (appendPaths.isEmpty) null else appendPaths)
@@ -832,13 +848,24 @@ class GraftTable private (
     require(isPkTable, "upsert requires primary keys")
     require(mergeEngine == "deduplicate" || !lookupChangelog,
       "changelog-producer=lookup requires merge-engine=deduplicate")
+    // Per-partition dynamic-bucket deduplicate upserts skip the
+    // pre-shuffle dedup window: stageWrite clusters rows by (partition,
+    // bucket) — partition keys are contained in the primary key there, so
+    // every version of a key meets in ONE task — and sorts them
+    // (pk asc, version desc), so the task writer's consecutive-key dedup
+    // keeps exactly the window's winner. That is the V2 batch write's
+    // distributed discipline; reusing it here removes a full
+    // corpus-keyed shuffle from every bulk upsert (guide §2.4).
+    val writerDedup = mergeEngine == "deduplicate" && !lookupChangelog &&
+      isDynamicBucket && !isCrossPartitionUpsert
     // folding engines (partial-update/aggregation/first-row) need EVERY
     // version kept — within-batch dedup would drop rows the fold reads
-    val batch = if (mergeEngine == "deduplicate") dedupBatch(df) else df
+    val batch =
+      if (mergeEngine == "deduplicate" && !writerDedup) dedupBatch(df) else df
     if (!lookupChangelog)
       return writeCommit(batch, kind = "APPEND", rowKind = RowKind.Insert,
         commitUser = commitUser, commitIdentifier = commitIdentifier,
-        watermark = watermark)
+        watermark = watermark, dedupInWriter = writerDedup)
     val cur = read()
     val keyCols = primaryKeys.map(col)
     // classify against the MERGE OUTCOME, not mere key existence: a
@@ -1375,12 +1402,13 @@ class GraftTable private (
   private def writeCommit(
       df: DataFrame, kind: String, rowKind: String,
       commitUser: String = "graft", commitIdentifier: Option[Long] = None,
-      watermark: Option[Long] = None): Long = {
+      watermark: Option[Long] = None, dedupInWriter: Boolean = false): Long = {
     val base = latestSnapshotId.getOrElse(0L)
-    val added = stageWrite(df, rowKind, seq = base + 1, coalesceSmall = true)
-    val id = commitOrClean(base + 1, kind, added.files,
+    val added = prof("stageWrite")(stageWrite(df, rowKind, seq = base + 1,
+      coalesceSmall = true, dedupInWriter = dedupInWriter))
+    val id = prof("commit")(commitOrClean(base + 1, kind, added.files,
       commitUser = commitUser, commitIdentifier = commitIdentifier,
-      indexDirs = added.indexDirs, watermark = watermark)
+      indexDirs = added.indexDirs, watermark = watermark))
     // opt-in write-amortized maintenance (Paimon's writer-side
     // compaction): fold any bucket whose run count reached the trigger.
     // Not under lookup changelog (compaction folds the -U/+U history
@@ -2081,8 +2109,20 @@ class GraftTable private (
     * either way. */
   private def resolveIndexChain(chain: Seq[String]): DataFrame = {
     if (chain.isEmpty)
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], IdxSchema)
+      // a LOCAL empty relation, not an emptyRDD-backed one: Catalyst's
+      // PropagateEmptyRelation then prunes the downstream joins/unions of
+      // the assignment plan outright (an RDD-backed empty is opaque and
+      // keeps a join + exchange per reference — measured as most of the
+      // first-upsert job storm)
+      return spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        IdxSchema)
+    // a single chain entry holds no duplicates by construction (a delta
+    // dir is distinct (part, kh) keys; a fold dir is the resolved chain)
+    // — skip the union + window shuffle and read it directly. This is
+    // the common shape: the commit-time fold keeps chains short.
+    if (chain.length == 1)
+      return spark.read.schema(IdxSchema).parquet(s"$root/${chain.head}")
+        .select("part", "kh", "bucket")
     val parts = chain.zipWithIndex.map { case (p, i) =>
       spark.read.schema(IdxSchema).parquet(s"$root/$p").withColumn("__ord", lit(i))
     }
@@ -2106,6 +2146,18 @@ class GraftTable private (
     * snapshot naming them expires — expiry reclaims them then. */
   private def foldIndexChain(chain: Seq[String]): Seq[String] =
     Seq(writeIndexDelta(resolveIndexChain(chain)))
+
+  /** Did the just-written index delta receive any rows? Decided
+    * driver-side from the part files — FileFormatWriter materializes a
+    * file only for a task that wrote rows, except partition 0 which
+    * always emits one (possibly empty) file, so a single file needs its
+    * footer's row count. No Spark job, unlike a `limit(1).count()`. */
+  private def deltaHasRows(rel: String): Boolean = {
+    val parts = fs.listStatus(new Path(root, rel))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+    parts.length > 1 ||
+      parts.exists(p => FileStats.fromFooter(hadoopConf, p.getPath).rowCount > 0)
+  }
 
   /** S48 write-side assignment: attach each row's dynamic bucket.
     * Existing keys read their immutable assignment through a key-hash
@@ -2287,7 +2339,7 @@ class GraftTable private (
     // the persisted delta IS the assignment (same discipline as the
     // per-partition path: no second evaluation of the assignment plan)
     val delta = spark.read.schema(IdxSchema).parquet(s"$root/$rel")
-    val hasNew = delta.limit(1).count() > 0
+    val hasNew = deltaHasRows(rel)
     val dirs =
       if (hasNew) Seq(rel)
       else { fs.delete(new Path(root, rel), true); Seq.empty }
@@ -2337,8 +2389,8 @@ class GraftTable private (
     val idx = resolveIndexChain(chain)
       .select(col("part").as(P), col("kh").as(KH), col("bucket").as(GraftTable.DynBucketCol))
     // occupancy: one row per partition (sequential fill ⇒ count says it all)
-    val occ: Seq[(String, Long)] = idx.groupBy(P).count()
-      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val occ: Seq[(String, Long)] = prof("assign: occupancy")(idx.groupBy(P).count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq)
     val occDf = {
       import spark.implicits._
       occ.toDF(P, "__base")
@@ -2372,11 +2424,11 @@ class GraftTable private (
         row_number().over(Window.partitionBy(P).orderBy(col(KH))).cast("long"))
       .select(col(P).as("part"), col(KH).as("kh"),
         expr(s"CAST((__base + __rn - 1) DIV ${target}L AS INT)").as("bucket"))
-    val rel = writeIndexDelta(newKeys)
+    val rel = prof("assign: index delta write")(writeIndexDelta(newKeys))
     // read the PERSISTED delta back for the row join: what the files say
     // IS the assignment (no second evaluation of the assignment plan)
     val delta = spark.read.schema(IdxSchema).parquet(s"$root/$rel")
-    val hasNew = delta.limit(1).count() > 0
+    val hasNew = prof("assign: delta row check")(deltaHasRows(rel))
     val dirs =
       if (hasNew) Seq(rel)
       else { fs.delete(new Path(root, rel), true); Seq.empty }
@@ -2396,7 +2448,8 @@ class GraftTable private (
 
   private def stageWrite(
       df: DataFrame, rowKind: String, seq: Long, keySort: Boolean = true,
-      lineage: Boolean = false, coalesceSmall: Boolean = false): StagedWrite = {
+      lineage: Boolean = false, coalesceSmall: Boolean = false,
+      dedupInWriter: Boolean = false): StagedWrite = {
     val lineageCols = if (lineage) Seq(RowIdCol, RowSeqCol) else Seq.empty
     val dataCols = schema.fieldNames.toSeq ++ lineageCols
     require(dataCols.forall(df.columns.contains),
@@ -2475,7 +2528,7 @@ class GraftTable private (
     var indexDirs: Seq[String] = Seq.empty
     if (isDynamicBucket) {
       require(isPkTable, "dynamic bucket mode (bucket = -1) requires primary keys")
-      val (withBucket, dirs) = assignDynamicBuckets(out)
+      val (withBucket, dirs) = prof("assign: total")(assignDynamicBuckets(out))
       // co-locate each (partition, bucket)'s rows in one task: buckets
       // are assigned in HASH order while rows arrive in input order, so
       // an unshuffled write would evict a task writer on nearly every
@@ -2503,21 +2556,36 @@ class GraftTable private (
     // which is why the prefix now applies to NON-PK partitioned appends
     // too, not just dynamic-bucket mode). Files stay valid sorted runs:
     // a file holds ONE group, and within it keys ascend.
+    // writer-side dedup (see upsert): the version order must be TOTAL
+    // within a key so "first row of a key group wins" is the dedup
+    // window's winner. With sequence fields their desc order is the
+    // contract; without, fall back to the orderable non-key columns desc
+    // in table-schema order — the same fallback the V2 batch write's
+    // requiredOrdering declares.
+    val versionOrder: Seq[Column] =
+      if (sequenceFields.nonEmpty) sequenceFields.map(col(_).desc)
+      else if (dedupInWriter) {
+        import org.apache.spark.sql.catalyst.expressions.RowOrdering
+        schema.fields.toSeq.filter(f =>
+          !primaryKeys.contains(f.name) && RowOrdering.isOrderable(f.dataType))
+          .map(f => col(f.name).desc)
+      } else Seq.empty
     val sortCols =
       partitionKeys.map(col(_).asc) ++
         (if (isDynamicBucket) Seq(col(GraftTable.DynBucketCol).asc) else Seq.empty) ++
-        (if (doKeySort) primaryKeys.map(col(_).asc) ++ sequenceFields.map(col(_).desc)
+        (if (doKeySort) primaryKeys.map(col(_).asc) ++ versionOrder
          else Seq.empty)
     if (sortCols.nonEmpty)
       out = out.sortWithinPartitions(sortCols: _*)
     val spec = GraftWrite.spec(spark, this, out.schema, keySorted = doKeySort,
+      dedupKeys = if (dedupInWriter) primaryKeys else Seq.empty,
       dynamicBucketCol = if (isDynamicBucket) Some(GraftTable.DynBucketCol) else None,
       extraDataCols =
         if (lineage) Seq(StructField(RowIdCol, LongType), StructField(RowSeqCol, LongType))
         else Seq.empty)
-    val files = out.queryExecution.toRdd
+    val files = prof("stage: data write job")(out.queryExecution.toRdd
       .mapPartitions(GraftWrite.writePartition(spec))
-      .collect().flatten.toSeq
+      .collect().flatten.toSeq)
     StagedWrite(files, indexDirs)
   }
 
@@ -4143,6 +4211,9 @@ class GraftTable private (
 object GraftTable {
   val SeqCol = "__seq"
   val KindCol = "__kind"
+
+  /** -Dgraft.write.profile=true prints per-phase write/commit seconds. */
+  val ProfileWrites: Boolean = java.lang.Boolean.getBoolean("graft.write.profile")
   // S64: physical lineage columns a row-tracking COMPACT materializes
   // into rewritten files (appended files derive ids positionally)
   val RowIdCol = "__row_id"
