@@ -70,16 +70,22 @@ object AnnIndex {
     GraftTable.load(s, centPath(root)).read()
       .withColumn("cn", sqrt(VectorExpr.dot(col("cv"), col("cv"))))
 
-  /** Nearest-centroid assignment — the arn == 1 rows of the IVF scoring,
-    * same ordering/tie-break as the fresh path. */
-  private def assignOf(df: DataFrame, cent: DataFrame): DataFrame = {
-    val wAssign = Window.partitionBy("vec_id").orderBy(desc("ccos"), col("cent_id"))
+  /** Nearest-centroid assignment — the same argmax as the fresh path's
+    * assignCells (r18/r19 discipline): score against the k-row
+    * broadcast, project the vector away immediately, and fold
+    * `max(struct(ccos, -cent_id))` — a map-side-combinable scalar
+    * aggregate instead of a window that shuffled corpus×k rows CARRYING
+    * the vector array and sorted per key. The struct max reproduces the
+    * window's (ccos desc, cent_id asc) tie-break exactly: highest ccos,
+    * then highest negated id = lowest id. */
+  private def assignOf(df: DataFrame, cent: DataFrame): DataFrame =
     normedOf(df).crossJoin(broadcast(cent))
-      .withColumn("ccos", Similarity.cosine(col("v"), col("cv"), col("nrm"), col("cn")))
-      .withColumn("arn", row_number().over(wAssign))
-      .filter(col("arn") === 1)
-      .select(col("vec_id"), col("cent_id").cast(LongType).as("list_id"))
-  }
+      .select(col("vec_id"),
+        Similarity.cosine(col("v"), col("cv"), col("nrm"), col("cn")).as("ccos"),
+        (-col("cent_id")).as("negc"))
+      .groupBy("vec_id")
+      .agg(max(struct(col("ccos"), col("negc"))).as("m"))
+      .select(col("vec_id"), (-col("m.negc")).cast(LongType).as("list_id"))
 
   /** Train the quantizer on the source's CURRENT rows (the replayable
     * quantized Lloyd's — KMeansOp.fitReplayable) and (re)write both
@@ -107,10 +113,12 @@ object AnnIndex {
     val aT = GraftTable.create(s, asgPath(root), asgSchema,
       primaryKeys = Seq("vec_id"))
     aT.upsert(assignOf(corpus, centDfOf(s, root)))
-    // trained-on size for the drift trigger: count the 2-long assignment
-    // rows (16 bytes/vector — a metadata-weight scan even at 100 TB of
-    // source), never the source itself
-    val n = aT.read().count()
+    // trained-on size for the drift trigger: ONE upsert into an empty
+    // deduplicate PK table makes every written row a distinct key, so
+    // the merged count equals the manifest's per-file row counts —
+    // driver-side metadata, no count job. (refresh() cannot use this:
+    // its upserts overwrite existing keys, so it keeps the merged count.)
+    val n = aT.currentFiles(None).flatMap(_.rowCountOpt).sum
     aT.setOptions(Map(SnapshotProp -> snap.toString, TrainedOnProp -> n.toString))
   }
 
