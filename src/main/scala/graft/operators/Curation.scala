@@ -328,15 +328,20 @@ object Curation {
     QDef(
       "q_budget_select",
       (s, d) => {
-        val len = length(col("text")).cast("long")
-        val alnum = length(regexp_replace(col("text"), "[^A-Za-z0-9]", "")).cast("long")
-        // the doc-stats pass (tokenize + per-char regexp) feeds three
-        // branches of one action — materialize it once (4 scalars/doc,
-        // the "doc stats" table a real pipeline stages; a lazy frame
-        // recomputes the text scan per branch)
+        // ONE fused byte pass per document (TextStats: ntok/alnum/len)
+        // replaces the tokenize-array + per-char regexp_replace trio —
+        // the banding arithmetic below is the identical IEEE sequence on
+        // the identical integers (TextStatsSpec pins the equivalence).
+        val st = graft.functions.TextStatsExpr.textStats(col("text"))
+        val len = st.getField("len")
+        val alnum = st.getField("alnum")
+        // the doc-stats pass feeds three branches of one action —
+        // materialize it once (4 scalars/doc, the "doc stats" table a
+        // real pipeline stages; a lazy frame recomputes the text scan
+        // per branch)
         val t = T.documents(s, d).select(
           col("lang"), col("doc_id"),
-          size(graft.functions.Text.words(col("text"))).cast("long").as("ntok"),
+          st.getField("ntok").as("ntok"),
           when(len > 0, floor(lit(1000.0) * (alnum.cast("double") / len.cast("double"))))
             .otherwise(lit(0L)).cast("long").as("b"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

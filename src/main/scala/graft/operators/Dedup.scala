@@ -409,9 +409,16 @@ object Dedup {
     val aggs = (0 until Bands * RowsPerBand).map(j =>
       min((col("h") * A(j) + B(j)) % P).as(s"mh$j"))
     val sig = exh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    // band keys travel as 8-byte md5-60bit longs, not ~30-byte rendered
+    // strings: the band frame feeds FOUR co-partitioned shuffles in
+    // bandCandidates (stats, semi-join, self-join, star) — the r19
+    // q_source_overlap key discipline (guide §2.3), with the DuckDB
+    // oracle replaying the identical hash so the candidate set matches
+    // by construction (60-bit collisions stay negligible to billions of
+    // distinct bands).
     val bandCols = (0 until Bands).map { b =>
       val ms = (0 until RowsPerBand).map(r => col(s"mh${b * RowsPerBand + r}"))
-      concat_ws("_", lit(b) +: ms: _*)
+      graft.functions.BitsExpr.md5Bits60(concat_ws("_", lit(b) +: ms: _*))
     }
     val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
     // BandCap star rule: small buckets self-join, crowded buckets emit a
@@ -432,7 +439,8 @@ object Dedup {
        |h AS (SELECT doc_id, sh, list_transform(sh, g -> $PolySql) H
        |      FROM w WHERE len(sh) > 0),
        |sig AS (SELECT doc_id, sh, [${mhExprs.mkString(", ")}] mh FROM h),
-       |er AS (SELECT doc_id, unnest([${bandExprs.mkString(", ")}]) g FROM sig),
+       |er0 AS (SELECT doc_id, unnest([${bandExprs.mkString(", ")}]) g0 FROM sig),
+       |er AS (SELECT doc_id, ('0x' || substr(md5(g0), 1, 15))::BIGINT AS g FROM er0),
        |$bandCandSql,
        |$JaccardVerifySql""".stripMargin
   }
