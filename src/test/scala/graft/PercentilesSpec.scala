@@ -53,6 +53,32 @@ class PercentilesSpec extends AnyFunSuite {
       Seq("p0" -> 0.0, "p25" -> 0.25, "p50" -> 0.5, "p90" -> 0.9, "p100" -> 1.0))
   }
 
+  test("R26d: bounded driver collect — deep 16-bit-level descent resolves " +
+      "binade-concentrated values and over-cap duplicate runs exactly") {
+    import spark.implicits._
+    // 5000 distinct values inside ONE level-1 bucket (same binade, top
+    // mantissa bits shared) — the r19-advice driver-OOM shape; plus a
+    // 1000-row single-value group that stays over-cap down to the full
+    // 64 bits (the shift==0 direct resolution); plus a mixed group.
+    val rows =
+      Seq.tabulate(5000)(i => ("dense", 1.0 + i * 1e-9)) ++
+        Seq.fill(1000)(("const", 7.25)) ++
+        Seq.tabulate(300)(i => ("mix", if (i % 3 == 0) 5.0 else i * 1.0))
+    val df = rows.toDF("g", "v")
+    val ps = Seq("p0" -> 0.0, "p37" -> 0.37, "p50" -> 0.5, "p100" -> 1.0)
+    val got = Percentiles.exact(df, Seq("g"), "v", ps, collectCap = 64L)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val want = Percentiles.exact(df, Seq("g"), "v", ps) // default cap: legacy 2-pass shape
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(got == want, s"descent path diverged: got $got want $want")
+    val oracle = df.groupBy("g")
+      .agg(expr("percentile(v, 0.37)").as("w")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    for ((g, w) <- oracle)
+      assert(math.abs(got((g, "p37")) - w) <= 1e-12 * math.max(1.0, math.abs(w)),
+        s"$g p37: got ${got((g, "p37"))} want $w")
+  }
+
   test("R26b: multi-column groups, null values ignored, integer input cast") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)

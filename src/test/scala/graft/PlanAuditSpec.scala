@@ -170,7 +170,7 @@ class PlanAuditSpec extends AnyFunSuite {
     * every call site deterministically, including ones only reachable
     * at scale. */
   private val boundedCollectBudget = Map(
-    "Percentiles.scala" -> (2, "bucket histogram (≤ 65536 × groups counts) + probed-bucket distinct values (~n/65536 each)"),
+    "Percentiles.scala" -> (3, "level histogram (≤ 65536 × groups counts) + per-level refinement: probed paths collect values only when their ROW count ≤ CollectCap (hard bound; oversized paths descend 16 more bits, ≤ 65536 sub-counts per path, to the full 64 bits where a path IS one value)"),
     "TextOps.scala" -> (3, "classifier weight vectors (fixed hashed-BoW dimension) + scalar"),
     "Indexing.scala" -> (4, "scalar avgdl, 8 query terms, fused top-k ranking"),
     "Curation.scala" -> (3, "per-language maps (langs ≤ 5) + one scalar median"),
