@@ -69,6 +69,7 @@ final class QuantileBuffer(val k: Int) {
   /** Sort and keep alternate elements; the kept parity flips per level
     * per compaction (deterministic, unbiased over pairs of compactions). */
   private def compactHalf(values: Array[Double], level: Int): Array[Double] = {
+    sortedL0n = -1 // see promote(): structural mutations self-invalidate
     java.util.Arrays.sort(values)
     ensureParity(level)
     val start = if (parities(level)) 1 else 0
@@ -84,6 +85,13 @@ final class QuantileBuffer(val k: Int) {
     }
 
   private def promote(fromLevel: Int, values: Array[Double]): Unit = {
+    // defense in depth (r19 advice): add() already pre-invalidates and
+    // every mutation funnels through it today, but a future direct
+    // level-0/level writer landing on the same l0n would silently serve
+    // a stale snapshot from the length-equality fast path — invalidate
+    // at every structural mutation too, so validity never depends on
+    // the add()-only invariant
+    sortedL0n = -1
     val i = fromLevel // hi index for level fromLevel+1
     if (i >= hi.length) {
       val nh = new Array[Array[Double]](i + 1)

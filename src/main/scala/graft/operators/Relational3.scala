@@ -381,19 +381,18 @@ object Relational3 {
         T.lineitem(s, d)
           .select(col("l_returnflag"),
             expr("try_divide(l_extendedprice, l_quantity - 25.0)").as("td"),
-            // r19: the SAME rare-failure discipline for try_cast. The
-            // original ELSE branch fed l_returnflag (always non-numeric)
-            // to try_cast, so ~4/7 of the corpus threw-and-caught a
-            // SparkNumberFormatException per row — measured 4.74 s vs
-            // 0.35 s at sf0.1 for this one expression (13x, the whole
-            // query cost). Non-numeric strings still flow through
-            // try_cast (one row in 512), the NULL result is identical
-            // row-for-row (try_cast(returnflag) = NULL = the literal),
-            // and the DuckDB oracle is unchanged.
-            expr("try_cast(CASE WHEN l_linenumber <= 3 " +
-              "THEN CAST(l_linenumber AS STRING) " +
-              "WHEN l_orderkey % 512 = 0 THEN l_returnflag " +
-              "ELSE NULL END AS BIGINT)")
+            // r20: the ORIGINAL r18 CASE is restored — every row's
+            // l_returnflag flows through the cast again — now via the
+            // engine-level non-throwing TryCastLong (identical try_cast
+            // semantics, TryCastSpec fuzz-pinned): Spark's TRY cast
+            // constructs-and-catches a SparkNumberFormatException per
+            // non-numeric row (measured 4.74 s vs 0.35 s at sf0.1 for
+            // this one expression), which r19 had only worked around
+            // with a query-side rare-failure CASE.
+            graft.functions.TryCastExpr.tryCastLong(
+              expr("CASE WHEN l_linenumber <= 3 " +
+                "THEN CAST(l_linenumber AS STRING) " +
+                "ELSE l_returnflag END"))
               .as("tc"),
             // overflow must be the RARE case: JVM try_add throws/catches
             // ArithmeticException on overflow, and the first cut

@@ -2501,6 +2501,13 @@ class GraftTable private (
     // pre-shape their layout deliberately (z-order/sortBy range
     // partitioning) and a coalesce would collapse it (ClusteringSpec Z2
     // caught exactly that).
+    // Cost note (r19 advice asked to short-circuit the stats estimate):
+    // `out.queryExecution.optimizedPlan.stats` does NOT re-analyze — the
+    // Dataset's QueryExecution phases are lazy vals that the toRdd call
+    // below needs anyway, so the estimate adds only the memoized stats
+    // visitor; a partition-count pre-check would itself force physical
+    // planning (strictly more work). The option is documented in SURVEY
+    // §2.1 S5.
     if (coalesceSmall && !isPkTable && !isDynamicBucket && numBuckets <= 1 &&
         options.getOrElse("write.small-file-coalesce", "true").toBoolean) {
       // Trigger ONLY on metadata-sized writes (< 2 MB estimated). The
