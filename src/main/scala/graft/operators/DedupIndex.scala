@@ -113,8 +113,13 @@ object DedupIndex {
     * verification touches candidate documents only. */
   def pairs(s: SparkSession, source: GraftTable, root: String): DataFrame = {
     val sigs = GraftTable.load(s, sigPath(root)).read()
+    // the persisted artifact keeps the rendered band STRINGS (the
+    // stable, engine-replayable contract); the self-join key hashes to
+    // an 8-byte md5-60bit long — the same r20 discipline as the L3
+    // batch path, whose oracle (shared verbatim here) replays the hash
     val bands = sigs.select(col("doc_id"),
-      explode(array((0 until Bands).map(b => col(s"b$b")): _*)).as("band"))
+      explode(array((0 until Bands).map(b =>
+        graft.functions.BitsExpr.md5Bits60(col(s"b$b"))): _*)).as("band"))
     // the same BandCap star rule as the batch path (Dedup.BandCap doc):
     // the oracle is verbatim the L3 oracle, so the crowded-bucket rule
     // must match — and the index path has the same quadratic
