@@ -2123,18 +2123,25 @@ class GraftTable private (
     if (chain.length == 1)
       return spark.read.schema(IdxSchema).parquet(s"$root/${chain.head}")
         .select("part", "kh", "bucket")
+    // Per-partition mode: chain entries are pairwise DISJOINT by
+    // protocol — a delta holds only keys absent from the resolved chain
+    // it was written against (the minting left_anti), and a commit-time
+    // fold replaces exactly the prefix those deltas were disjoint from —
+    // so first-wins dedup is a no-op and the union alone resolves the
+    // chain: no window, no per-key sort, at ANY chain length (r20; the
+    // window was a full shuffle of the whole key index per resolution).
+    if (!isCrossPartitionUpsert)
+      return chain.map(p => spark.read.schema(IdxSchema).parquet(s"$root/$p"))
+        .reduce(_ unionByName _)
+        .select("part", "kh", "bucket")
+    // Cross-partition mode (S61): the index is global and a key's entry
+    // MOVES with it — the LATEST entry for a key wins, which is also why
+    // the chain fold must run through here (a fold that kept both sides
+    // of a move would lose the order that disambiguates them).
     val parts = chain.zipWithIndex.map { case (p, i) =>
       spark.read.schema(IdxSchema).parquet(s"$root/$p").withColumn("__ord", lit(i))
     }
-    // Per-partition mode: assignments are immutable, the FIRST entry for
-    // a (part, key) wins. Cross-partition mode (S61): the index is global
-    // and a key's entry moves with it — the LATEST entry for a key wins,
-    // which is also why the chain fold must run through here (a fold that
-    // kept both sides of a move would lose the order that disambiguates
-    // them).
-    val w =
-      if (isCrossPartitionUpsert) Window.partitionBy("kh").orderBy(col("__ord").desc)
-      else Window.partitionBy("part", "kh").orderBy(col("__ord").asc)
+    val w = Window.partitionBy("kh").orderBy(col("__ord").desc)
     parts.reduce(_ unionByName _)
       .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
       .select("part", "kh", "bucket")
